@@ -1,0 +1,138 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Data Vault hashing semantics, re-expressed as pure Catalyst `Column`
+  * expressions (whole-stage-codegen friendly — no UDFs).
+  *
+  * Semantics derived from the reference implementation
+  * (ScalefreeCOM/datavault4dbt, Databricks dialect):
+  *  - attribute standardization: `macros/supporting/hash_standardization.sql:93-103`
+  *  - concatenated standardization (hashkey/hashdiff):
+  *    `macros/supporting/hash_standardization.sql:549-612`
+  *  - multi-active (grouped, ordered LISTAGG) hashdiff:
+  *    `macros/supporting/hash_standardization.sql:1215-1287`
+  *  - zero/error keys per algorithm:
+  *    `macros/supporting/hash_default_values.sql:234-266`
+  *  - config defaults: `dbt_project.yml:17-44`
+  */
+final case class HashConfig(
+    algorithm: String = "MD5", // MD5 | SHA1 | SHA256 | SHA512
+    concatString: String = "||",
+    quoteCharacter: String = "\"",
+    nullPlaceholder: String = "^^",
+    concatReplacement: String = "dv4dbt-concat-replacement",
+    quoteReplacement: String = "dv4dbt-quote-replacement",
+    nullReplacement: String = "dv4dbt-null-replacement",
+    hashkeyCaseSensitive: Boolean = false,
+    hashdiffCaseSensitive: Boolean = true,
+    hashdiffUseTrim: Boolean = true
+) {
+  private def keyOf(ch: Char): String = algorithm match {
+    case "MD5"            => "!" + (ch.toString * 32)
+    case "SHA" | "SHA1"   => "!" + (ch.toString * 40)
+    case "SHA2" | "SHA256" => "!" + (ch.toString * 64)
+    case "SHA512"         => "!" + (ch.toString * 128)
+    case other => throw new IllegalArgumentException(s"unknown hash algorithm $other")
+  }
+  /** all-business-keys-null sentinel (reference: `hash_default_values.sql:242-259`) */
+  def zeroKey: String = keyOf('0')
+  /** error-ghost-record sentinel */
+  def errorKey: String = keyOf('f')
+
+  def hashFn(c: Column): Column = algorithm match {
+    case "MD5"             => md5(c)
+    case "SHA" | "SHA1"    => sha1(c)
+    case "SHA2" | "SHA256" => sha2(c, 256)
+    case "SHA512"          => sha2(c, 512)
+    case other => throw new IllegalArgumentException(s"unknown hash algorithm $other")
+  }
+}
+
+object Hashing {
+
+  val Default: HashConfig = HashConfig()
+
+  /** H1 — attribute standardization (reference:
+    * `hash_standardization.sql:93-103`, databricks__attribute_standardise):
+    * quote-wrap, escape backslashes, replace delimiter collisions. NULL in →
+    * NULL out (concat with a NULL is NULL).
+    */
+  def standardize(c: Column, useTrim: Boolean = true)(implicit cfg: HashConfig): Column = {
+    val s0 = if (useTrim) trim(c.cast("string")) else c.cast("string")
+    // REGEXP_REPLACE(x, r'\\', r'\\\\'): one backslash -> two
+    val s1 = regexp_replace(s0, "\\\\", "\\\\\\\\")
+    val s2 = regexp_replace(s1, java.util.regex.Pattern.quote(cfg.quoteCharacter), cfg.quoteReplacement)
+    val s3 = replace(s2, lit(cfg.nullPlaceholder), lit(cfg.nullReplacement))
+    val s4 = replace(s3, lit(cfg.concatString), lit(cfg.concatReplacement))
+    concat(lit(cfg.quoteCharacter), s4, lit(cfg.quoteCharacter))
+  }
+
+  /** The concatenated, standardized, pre-hash string for a list of columns
+    * (reference `hash.sql:71-96` loop + `hash_standardization.sql:549-612`).
+    * Returns NULL iff every input column is NULL (NULLIF against [ALL_NULL]).
+    */
+  def concatenated(cols: Seq[Column], caseSensitive: Boolean, useTrim: Boolean)(
+      implicit cfg: HashConfig): Column = {
+    require(cols.nonEmpty, "hash over empty column list")
+    val parts = cols.map(c => coalesce(standardize(c, useTrim), lit(cfg.nullPlaceholder)))
+    val joined = parts.reduce((a, b) => concat(a, lit(cfg.concatString), b))
+    val cased = if (caseSensitive) joined else upper(joined)
+    // strip \n \t \v \r (reference: hash_standardization.sql:573-577)
+    val stripped = regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(cased, "\\n", ""), "\\t", ""), "\\x0B", ""),
+      "\\r", "")
+    val allNull = cols.map(_ => cfg.nullPlaceholder).mkString(cfg.concatString)
+    nullif(stripped.cast("string"), lit(allNull))
+  }
+
+  /** H3 — hashkey: case-insensitive by default, always trimmed, all-null →
+    * zero key (reference `hash.sql:31-96`, `dbt_project.yml:32`).
+    */
+  def hashkey(cols: Seq[Column])(implicit cfg: HashConfig): Column = {
+    val pre = concatenated(cols, caseSensitive = cfg.hashkeyCaseSensitive, useTrim = true)
+    coalesce(lower(cfg.hashFn(pre)), lit(cfg.zeroKey))
+  }
+
+  /** H4 — hashdiff: case-sensitive by default, trim configurable, optional
+    * RTRIM of trailing null-placeholder/concat chars
+    * (reference `hash_standardization.sql:562-568`, `dbt_project.yml:34`).
+    */
+  def hashdiff(cols: Seq[Column], rtrimHashdiff: Boolean = false)(
+      implicit cfg: HashConfig): Column = {
+    val pre0 = concatenated(cols, caseSensitive = cfg.hashdiffCaseSensitive, useTrim = cfg.hashdiffUseTrim)
+    // databricks RTRIM(trimStr, str): strips trailing chars in the SET
+    // {null_placeholder chars ∪ concat chars} — e.g. {'^','|'}
+    val pre = if (rtrimHashdiff) rtrim(pre0, cfg.nullPlaceholder + cfg.concatString) else pre0
+    coalesce(lower(cfg.hashFn(pre)), lit(cfg.zeroKey))
+  }
+
+  /** H5 — multi-active hashdiff: the per-row standardized concat, aggregated
+    * as an ordered LISTAGG(',') over the multi-active keys inside one
+    * (main_hashkey, ldts) group, then hashed (reference
+    * `hash_standardization.sql:1215-1287`; invoked with
+    * `GROUP BY main_hashkey, ldts` from `staging/databricks/stage.sql:402-418`).
+    *
+    * This returns the AGGREGATE expression — apply inside a `groupBy`.
+    * Ordering: LISTAGG ... WITHIN GROUP (ORDER BY ma_keys); we additionally
+    * order by the standardized string itself so ties are total
+    * (SURVEY §7.5-5: determinism).
+    *
+    * Implementation: collect_list(struct(maKeys…, row_str)) → sort_array →
+    * array_join. collect_list skips NULL structs, matching LISTAGG's
+    * null-skipping; a custom TypedImperativeAggregate is a later perf upgrade.
+    */
+  def maHashdiff(payloadCols: Seq[Column], maKeys: Seq[Column])(
+      implicit cfg: HashConfig): Column = {
+    val rowStr = concatenated(payloadCols, caseSensitive = cfg.hashdiffCaseSensitive,
+      useTrim = cfg.hashdiffUseTrim)
+    val keyed = maKeys.zipWithIndex.map { case (k, i) => k.cast("string").as(s"k$i") }
+    val entry = when(rowStr.isNotNull, struct((keyed :+ rowStr.as("s")): _*))
+    val agg = array_join(
+      transform(array_sort(collect_list(entry)), e => e.getField("s")), ",")
+    // empty group (all rows null) -> array_join gives "", LISTAGG gives NULL
+    val pre = nullif(agg, lit(""))
+    coalesce(lower(cfg.hashFn(pre)), lit(cfg.zeroKey))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.loaders
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.expr.SystemColumns._
+import graft.ops.Ops
+
+/** Effectivity satellite v0: tracks activation/deactivation of a driving
+  * key. Reference `macros/tables/databricks/eff_sat_v0.sql`.
+  *
+  * Multi-batch mode builds the (hashkey × load-date) history matrix (J7) and
+  * derives per-batch activity (J8); single-batch mode only activates new /
+  * reactivated keys. In both modes, keys that disappeared from the source get
+  * a deactivation row stamped with rsrc='SYSTEM'.
+  *
+  * Scale note: `load_dates` is tiny (#batches) — Spark broadcasts it, so the
+  * "cross join" is a broadcast-nested-loop bounded by #keys × #batches, the
+  * same cardinality the reference produces.
+  */
+object EffSatLoader {
+
+  def records(
+      source: DataFrame,
+      hashkey: String,
+      target: Option[DataFrame],
+      isActiveAlias: String = "is_active",
+      singleBatch: Boolean = false,
+      disableHwm: Boolean = false): DataFrame = {
+
+    val outCols = Seq(hashkey, LdtsAlias, RsrcAlias, isActiveAlias)
+    val incremental = target.isDefined
+
+    // source_data: ghost rows excluded + HWM (eff_sat_v0.sql:33-53)
+    val src0 = Ops.excludeGhosts(source.select(hashkey, LdtsAlias, RsrcAlias))
+    val src = if (disableHwm) Ops.hwmFilter(src0, target) else Ops.hwmFilter(src0, target)
+
+    // current_status: latest row per key in the existing sat (:58-73)
+    val currentStatus = target.map(t =>
+      Ops.dedupLatest(t, Seq(hashkey)).select(col(hashkey), col(isActiveAlias), col(RsrcAlias)))
+
+    val incoming: DataFrame =
+      if (!singleBatch) {
+        // hashkeys + load_dates + history matrix (:77-115)
+        val hashkeys = src.groupBy(col(hashkey)).agg(min(col(LdtsAlias)).as("__first"))
+        val loadDates = src.select(LdtsAlias).distinct()
+        val history = hashkeys.join(broadcast(loadDates),
+          col(LdtsAlias) >= col("__first")).drop("__first")
+        // is_active (:122-140)
+        val isActive = history.join(
+            src.select(col(hashkey).as("__src_hk"), col(LdtsAlias).as("__src_ldts"),
+              col(RsrcAlias).as("__src_rsrc")),
+            col(hashkey) === col("__src_hk") && col(LdtsAlias) === col("__src_ldts"),
+            "left")
+          .select(col(hashkey), col(LdtsAlias),
+            coalesce(col("__src_rsrc"), lit(UnknownRsrc)).as(RsrcAlias),
+            when(col("__src_hk").isNull, 0).otherwise(1).as(isActiveAlias))
+        // deduplicated_incoming (:146-163): status changes only
+        Ops.dedupChanges(isActive, hashkey, isActiveAlias)
+      } else {
+        // new_hashkeys (:174-199): activate keys not currently active
+        val newKeys = src.select(col(hashkey), col(LdtsAlias), col(RsrcAlias),
+          lit(1).as(isActiveAlias)).distinct()
+        currentStatus match {
+          case None => newKeys
+          case Some(cs) =>
+            val active = cs.filter(col(isActiveAlias).cast("int") === 1).select(hashkey)
+            newKeys.join(active, Seq(hashkey), "left_anti")
+        }
+      }
+
+    val withDisappeared: DataFrame = currentStatus match {
+      case None => incoming
+      case Some(cs) =>
+        // disappeared_hashkeys (:208-264): active keys absent from this delta
+        val pool = if (!singleBatch) incoming else src
+        val minRow = pool.agg(min(col(LdtsAlias))).head()
+        val activeNow = cs.filter(col(isActiveAlias).cast("int") === 1).select(hashkey)
+        val disappeared =
+          if (minRow.isNullAt(0)) incoming.limit(0)
+          else {
+            val present =
+              if (!singleBatch) pool.filter(col(LdtsAlias) === lit(minRow.getTimestamp(0))).select(hashkey)
+              else src.select(hashkey)
+            activeNow.join(present, Seq(hashkey), "left_anti")
+              .select(col(hashkey), lit(minRow.getTimestamp(0)).as(LdtsAlias),
+                lit(UnknownRsrc).as(RsrcAlias), lit(0).as(isActiveAlias))
+              .distinct()
+          }
+
+        // records_to_insert (:270-316): multi-batch compares the earliest
+        // incoming status per key against current_status; then UNION (distinct)
+        val filtered =
+          if (!singleBatch) {
+            val hit = cs.select(col(hashkey), col(isActiveAlias).cast("int").as("__cs_active"))
+            incoming.join(hit, Seq(hashkey), "left")
+              .filter(!(col("__cs_active") === col(isActiveAlias).cast("int") &&
+                col(LdtsAlias) === lit(minRow.get(0))))
+              .drop("__cs_active")
+          } else incoming
+        filtered.select(outCols.map(col): _*)
+          .union(disappeared.select(outCols.map(col): _*))
+          .distinct()
+    }
+
+    // final NOT EXISTS vs target on (hk, ldts) (:330-337)
+    val result = target match {
+      case Some(t) => Ops.antiJoin(withDisappeared, t, Seq(hashkey, LdtsAlias))
+      case None    => withDisappeared
+    }
+    result.select(col(hashkey), col(LdtsAlias), col(RsrcAlias),
+      col(isActiveAlias).cast("boolean").as(isActiveAlias))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.SystemColumns._
+
+/** Reusable Data Vault dataflow operators (SURVEY §2.4-2.7).
+  * All are pure DataFrame → DataFrame transforms — Catalyst owns the
+  * physical strategy (exchange placement, broadcast decisions, AQE).
+  */
+object Ops {
+
+  /** W1 — keep the earliest row per key set
+    * (reference `tables/databricks/hub.sql:221-232`). */
+  def dedupEarliest(df: DataFrame, keys: Seq[String], ldts: String = LdtsAlias): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ldts).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** W2 — keep the latest row per key set
+    * (reference `tables/databricks/sat_v0.sql:69-84`). */
+  def dedupLatest(df: DataFrame, keys: Seq[String], ldts: String = LdtsAlias): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ldts).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** W3 — change-only dedup: drop rows whose dedup column equals the previous
+    * row's value within the key partition (reference
+    * `tables/databricks/sat_v0.sql:93-114`: QUALIFY CASE WHEN hd = LAG(hd) ...).
+    * NULL-safe exactly like the reference: `hd = LAG(hd)` is NULL (≠ TRUE)
+    * when either side is NULL, so such rows are KEPT. */
+  def dedupChanges(df: DataFrame, key: String, dedupCol: String,
+                   ldts: String = LdtsAlias): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ldts).asc)
+    val isDup = col(dedupCol) === lag(col(dedupCol), 1).over(w)
+    df.withColumn("__dup", coalesce(isDup, lit(false)))
+      .filter(!col("__dup")).drop("__dup")
+  }
+
+  /** W4 — virtual end-dating: ledts = LEAD(ldts) - 1 microsecond, last row
+    * gets end-of-all-times (reference `tables/databricks/sat_v1.sql:33-48`). */
+  def endDate(df: DataFrame, key: String, ldts: String = LdtsAlias,
+              ledtsAlias: String = LedtsAlias): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ldts).asc)
+    df.withColumn(ledtsAlias,
+      coalesce(lead(col(ldts) - expr("interval 1 microsecond"), 1).over(w), endOfAllTimesTs))
+  }
+
+  /** W6 — is_current flag (reference `tables/databricks/sat_v1.sql:58-63`). */
+  def isCurrentFlag(df: DataFrame, ledts: String = LedtsAlias,
+                    alias: String = IsCurrentAlias): DataFrame =
+    df.withColumn(alias, when(col(ledts) === endOfAllTimesTs, true).otherwise(false))
+
+  /** P6 — high-water-mark filter: rows newer than the target's max ldts
+    * (ghost rows at end-of-all-times excluded from the max; empty target →
+    * beginning-of-all-times). Reference `tables/databricks/sat_v0.sql:56-62`.
+    *
+    * Implemented as a scalar aggregate collected on the driver: the target
+    * max is one value, and a literal predicate pushes down into the parquet
+    * scan (min/max page skipping) — strictly better at 100 TB than a join.
+    */
+  def hwmFilter(src: DataFrame, target: Option[DataFrame],
+                ldts: String = LdtsAlias): DataFrame = target match {
+    case None => src
+    case Some(t) =>
+      val hwmRow = t.filter(col(ldts) =!= endOfAllTimesTs).agg(max(col(ldts))).head()
+      if (hwmRow.isNullAt(0)) src
+      else src.filter(col(ldts) > lit(hwmRow.getTimestamp(0)))
+  }
+
+  /** J3/A1 — per-record-source high-water-marks (reference
+    * `tables/databricks/hub.sql:121-179`): max ldts per rsrc_static in the
+    * target, joined back as an inner broadcast join so each source only
+    * contributes rows newer than ITS OWN watermark. */
+  def hwmPerRsrcStatic(src: DataFrame, target: DataFrame, rsrcStatic: String,
+                       ldts: String = LdtsAlias): DataFrame = {
+    val maxPer = target
+      .filter(col(RsrcAlias).like(rsrcStatic) && col(ldts) =!= endOfAllTimesTs)
+      .agg(max(col(ldts)).as("__max_ldts"))
+    src.join(broadcast(maxPer), col(ldts) > col("__max_ldts") || col("__max_ldts").isNull,
+        "inner")
+      .drop("__max_ldts")
+  }
+
+  /** J1 — anti-join: keep src rows whose keys do not exist in target
+    * (reference `tables/databricks/hub.sql:234-256` NOT IN;
+    * `sat_v0.sql:131-142` NOT EXISTS). */
+  def antiJoin(src: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
+    src.join(target.select(keys.map(col): _*), keys, "left_anti")
+
+  /** J6 — temporal (point-in-time) join: for each (entity, sdts) pick the
+    * satellite version valid at sdts (reference `tables/databricks/pit.sql:85-101`). */
+  def temporalJoin(left: DataFrame, sat: DataFrame, key: String,
+                   sdts: String = SdtsAlias, ldts: String = LdtsAlias,
+                   ledts: String = LedtsAlias): DataFrame = {
+    val satCols = sat.columns.map(c => sat(c).as(s"sat_$c"))
+    left.join(sat,
+      left(key) === sat(key) && left(sdts).between(sat(ldts), sat(ledts)),
+      "left")
+  }
+
+  /** U1 — union N sources by column name
+    * (reference `tables/databricks/hub.sql:186-219`). */
+  def unionSources(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_))
+
+  /** P7 — exclude ghost-record rows (reference `eff_sat_v0.sql:43`). */
+  def excludeGhosts(df: DataFrame, ldts: String = LdtsAlias): DataFrame =
+    df.filter(col(ldts) =!= beginningOfAllTimesTs && col(ldts) =!= endOfAllTimesTs)
+}
