@@ -1,0 +1,572 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.{HashConfig, Hashing}
+import graft.expr.SystemColumns._
+import graft.loaders._
+import graft.ops.Ops
+import graft.queries.{OracleSql => O}
+
+/** One driver-checkable query: Spark implementation + DuckDB oracle SQL.
+  * Column names MUST match between the two (driver compares by name). */
+final case class Q(name: String, fn: (SparkSession, String) => DataFrame,
+                   oracle: Option[String])
+
+/** Data Vault operator queries over the driver test data (SURVEY §2).
+  * Staging conventions (same on both sides):
+  *  - customer: ldts = 2024-01-01 + (c_custkey % 3) days, rsrc TPC_H/Customer
+  *  - orders:   ldts = 2024-01-04 + (o_orderkey % 3) days, rsrc TPC_H/Orders
+  */
+object DvQueries {
+  implicit val hc: HashConfig = HashConfig()
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  // ---- shared Spark staging fragments ----------------------------------
+  private def custStage(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer")
+      .withColumn(LdtsAlias,
+        expr("timestampadd(DAY, cast(c_custkey % 3 as int), timestamp'2024-01-01 00:00:00')"))
+      .withColumn(RsrcAlias, lit("TPC_H/Customer"))
+      .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey"))))
+
+  private def ordStage(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "orders")
+      .withColumn(LdtsAlias,
+        expr("timestampadd(DAY, cast(o_orderkey % 3 as int), timestamp'2024-01-04 00:00:00')"))
+      .withColumn(RsrcAlias, lit("TPC_H/Orders"))
+      .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("o_custkey"))))
+
+  /** 3-batch customer source: every key changes at b=2, keys %5=0 also at
+    * b=1 — the A→A→B LAG-dedup fixture shape (FIXTURES §3). */
+  private def cust3Batch(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer")
+      .crossJoin(s.range(3).select(col("id").as("b")))
+      .withColumn(LdtsAlias,
+        expr("timestampadd(DAY, cast(b as int), timestamp'2024-02-01 00:00:00')"))
+      .withColumn(RsrcAlias, lit("TPC_H/Customer"))
+      .withColumn("c_acctbal_v",
+        col("c_acctbal") + when(col("b") === 2, 3.0)
+          .when(col("b") === 1 && col("c_custkey") % 5 === 0, 1.5).otherwise(0.0))
+      .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey"))))
+      .withColumn("hd_customer_s",
+        Hashing.hashdiff(Seq(col("c_name"), col("c_acctbal_v"), col("c_mktsegment"))))
+
+  // ---- shared oracle fragments -----------------------------------------
+  private val custStageSql =
+    s"""cust_stage AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       |         timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
+       |         'TPC_H/Customer' AS rsrc,
+       |         ${O.hashkey("c_custkey")} AS hk_customer_h
+       |  FROM customer)""".stripMargin
+
+  private val cust3BatchSql =
+    s"""src AS (
+       |  SELECT c_custkey, c_name, c_mktsegment,
+       |         timestamp '2024-02-01 00:00:00' + b * INTERVAL 1 DAY AS ldts,
+       |         'TPC_H/Customer' AS rsrc,
+       |         c_acctbal + CASE WHEN b = 2 THEN 3.0
+       |                          WHEN b = 1 AND c_custkey % 5 = 0 THEN 1.5
+       |                          ELSE 0.0 END AS c_acctbal_v,
+       |         ${O.hashkey("c_custkey")} AS hk_customer_h
+       |  FROM customer CROSS JOIN (VALUES (0),(1),(2)) AS batches(b)),
+       |hashed AS (
+       |  SELECT *, ${O.hashdiff("c_name", "c_acctbal_v", "c_mktsegment")} AS hd_customer_s
+       |  FROM src)""".stripMargin
+
+  private val satV0Sql = // change-only dedup over the 3-batch source (W3)
+    s"""$cust3BatchSql,
+       |sat_v0 AS (
+       |  SELECT hk_customer_h, hd_customer_s, rsrc, ldts, c_name, c_acctbal_v, c_mktsegment
+       |  FROM hashed
+       |  QUALIFY CASE WHEN hd_customer_s = LAG(hd_customer_s)
+       |      OVER (PARTITION BY hk_customer_h ORDER BY ldts) THEN FALSE ELSE TRUE END)""".stripMargin
+
+  // ======================================================================
+  val all: Seq[Q] = Seq(
+
+    // H1-H4, P1, P2 — hashkey + hashdiff generation
+    Q("stage_hash",
+      (s, dir) => custStage(s, dir)
+        .withColumn("hd_customer_s",
+          Hashing.hashdiff(Seq(col("c_name"), col("c_acctbal"), col("c_mktsegment"))))
+        .select("c_custkey", "hk_customer_h", "hd_customer_s"),
+      Some(s"""SELECT c_custkey, ${O.hashkey("c_custkey")} AS hk_customer_h,
+              |${O.hashdiff("c_name", "c_acctbal", "c_mktsegment")} AS hd_customer_s
+              |FROM customer""".stripMargin)),
+
+    // U2, H6, P3 — ghost records appended on initial stage build
+    Q("stage_ghost",
+      (s, dir) => {
+        val cfg = StageConfig(
+          ldts = "timestampadd(DAY, cast(c_custkey % 3 as int), timestamp'2024-01-01 00:00:00')",
+          rsrc = "!TPC_H/Customer",
+          hashedColumns = Seq(HashColumnSpec("hk_customer_h", Seq("c_custkey"))))
+        StageLoader.build(rd(s, dir, "customer"), cfg)
+          .select("c_custkey", "c_name", "c_acctbal", "ldts", "rsrc", "hk_customer_h")
+      },
+      Some(s"""WITH $custStageSql
+              |SELECT c_custkey, c_name, c_acctbal, ldts, rsrc, hk_customer_h FROM cust_stage
+              |UNION ALL SELECT -1, '(unknown)', -1.0, timestamp '0001-01-01 00:00:01', 'SYSTEM', '${O.ZeroKey}'
+              |UNION ALL SELECT -2, '(error)', -2.0, timestamp '8888-12-31 23:59:59', 'ERROR', '!${"f" * 32}'""".stripMargin)),
+
+    // J4, P4 — prejoin + derived columns
+    Q("stage_prejoin_derived",
+      (s, dir) => {
+        val cfg = StageConfig(
+          ldts = "!2024-01-01 00:00:00", rsrc = "!CRM/Customer",
+          hashedColumns = Seq(HashColumnSpec("hk_customer_h", Seq("c_custkey"))),
+          derivedColumns = Seq(
+            DerivedColumn("segment_uc", "upper(c_mktsegment)"),
+            DerivedColumn("src_system", "!CRM"),
+            DerivedColumn("key_concat", Seq("c_custkey", "c_nationkey"))),
+          prejoins = Seq(Prejoin(rd(s, dir, "nation"),
+            extract = Seq(("n_name", "nation_name")),
+            on = Seq(("c_nationkey", "n_nationkey")))),
+          enableGhostRecords = false)
+        StageLoader.build(rd(s, dir, "customer"), cfg)
+          .select("c_custkey", "nation_name", "segment_uc", "src_system", "key_concat", "hk_customer_h")
+      },
+      Some(s"""SELECT c_custkey, n_name AS nation_name, upper(c_mktsegment) AS segment_uc,
+              |  'CRM' AS src_system,
+              |  cast(c_custkey as varchar) || '||' || cast(c_nationkey as varchar) AS key_concat,
+              |  ${O.hashkey("c_custkey")} AS hk_customer_h
+              |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin)),
+
+    // U1, W1 — multi-source hub with earliest-wins dedup
+    Q("hub_customer",
+      (s, dir) => HubLoader.records(
+        Seq(
+          EntitySource(custStage(s, dir), Some("hk_customer_h"), Seq("c_custkey")),
+          EntitySource(ordStage(s, dir), Some("hk_customer_h"), Seq("o_custkey"))),
+        "hk_customer_h", Seq("custkey"), target = None),
+      Some(s"""WITH $custStageSql,
+              |ord_stage AS (
+              |  SELECT o_custkey,
+              |         timestamp '2024-01-04 00:00:00' + (o_orderkey % 3) * INTERVAL 1 DAY AS ldts,
+              |         'TPC_H/Orders' AS rsrc,
+              |         ${O.hashkey("o_custkey")} AS hk_customer_h
+              |  FROM orders),
+              |unioned AS (
+              |  SELECT hk_customer_h, c_custkey AS custkey, ldts, rsrc FROM cust_stage
+              |  UNION ALL
+              |  SELECT hk_customer_h, o_custkey AS custkey, ldts, rsrc FROM ord_stage)
+              |SELECT hk_customer_h, custkey, ldts, rsrc FROM unioned
+              |QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_customer_h ORDER BY ldts) = 1""".stripMargin)),
+
+    // link: distinct FK-hashkey combinations
+    Q("link_order_customer",
+      (s, dir) => {
+        val st = ordStage(s, dir)
+          .withColumn("hk_order_customer_l",
+            Hashing.hashkey(Seq(col("o_orderkey"), col("o_custkey"))))
+          .withColumn("hk_order_h", Hashing.hashkey(Seq(col("o_orderkey"))))
+        LinkLoader.records(
+          Seq(EntitySource(st, Some("hk_order_customer_l"), Seq("hk_order_h", "hk_customer_h"))),
+          "hk_order_customer_l", Seq("hk_order_h", "hk_customer_h"), target = None)
+      },
+      Some(s"""WITH ord_stage AS (
+              |  SELECT ${O.hashkey("o_orderkey", "o_custkey")} AS hk_order_customer_l,
+              |         ${O.hashkey("o_orderkey")} AS hk_order_h,
+              |         ${O.hashkey("o_custkey")} AS hk_customer_h,
+              |         timestamp '2024-01-04 00:00:00' + (o_orderkey % 3) * INTERVAL 1 DAY AS ldts,
+              |         'TPC_H/Orders' AS rsrc
+              |  FROM orders)
+              |SELECT hk_order_customer_l, hk_order_h, hk_customer_h, ldts, rsrc FROM ord_stage
+              |QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_order_customer_l ORDER BY ldts) = 1""".stripMargin)),
+
+    // U3 — non-historized link, union-distinct strategy, with payload
+    Q("nh_link_order",
+      (s, dir) => {
+        val st = ordStage(s, dir)
+          .withColumn("hk_order_customer_l",
+            Hashing.hashkey(Seq(col("o_orderkey"), col("o_custkey"))))
+          .withColumn("hk_order_h", Hashing.hashkey(Seq(col("o_orderkey"))))
+        NhLinkLoader.records(
+          Seq(EntitySource(st, Some("hk_order_customer_l"), Seq("hk_order_h", "hk_customer_h"))),
+          "hk_order_customer_l", Seq("hk_order_h", "hk_customer_h"),
+          payload = Seq("o_orderstatus", "o_totalprice"), target = None, unionDistinct = true)
+      },
+      Some(s"""WITH ord_stage AS (
+              |  SELECT ${O.hashkey("o_orderkey", "o_custkey")} AS hk_order_customer_l,
+              |         ${O.hashkey("o_orderkey")} AS hk_order_h,
+              |         ${O.hashkey("o_custkey")} AS hk_customer_h,
+              |         o_orderstatus, o_totalprice,
+              |         timestamp '2024-01-04 00:00:00' + (o_orderkey % 3) * INTERVAL 1 DAY AS ldts,
+              |         'TPC_H/Orders' AS rsrc
+              |  FROM orders),
+              |dd AS (SELECT DISTINCT hk_order_customer_l, hk_order_h, hk_customer_h,
+              |       o_orderstatus, o_totalprice, ldts, rsrc FROM ord_stage)
+              |SELECT * FROM dd
+              |QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_order_customer_l ORDER BY ldts) = 1""".stripMargin)),
+
+    // W3 — sat v0 change-only dedup over 3 batches
+    Q("sat_v0_customer",
+      (s, dir) => SatV0Loader.records(cust3Batch(s, dir), Seq("hk_customer_h"),
+        Some("hd_customer_s"), Seq("c_name", "c_acctbal_v", "c_mktsegment"), target = None),
+      Some(s"""WITH $satV0Sql SELECT * FROM sat_v0""".stripMargin)),
+
+    // W4, W6 — sat v1 virtual end-dating + is_current
+    Q("sat_v1_customer",
+      (s, dir) => {
+        val v0 = SatV0Loader.records(cust3Batch(s, dir), Seq("hk_customer_h"),
+          Some("hd_customer_s"), Seq("c_name", "c_acctbal_v", "c_mktsegment"), target = None)
+        SatV1Loader.build(v0, "hk_customer_h", Some("hd_customer_s"), addIsCurrentFlag = true)
+      },
+      Some(s"""WITH $satV0Sql
+              |SELECT hk_customer_h, hd_customer_s, rsrc, ldts,
+              |  COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |    OVER (PARTITION BY hk_customer_h ORDER BY ldts),
+              |    timestamp '8888-12-31 23:59:59') AS ledts,
+              |  CASE WHEN COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |    OVER (PARTITION BY hk_customer_h ORDER BY ldts),
+              |    timestamp '8888-12-31 23:59:59') = timestamp '8888-12-31 23:59:59'
+              |    THEN TRUE ELSE FALSE END AS is_current,
+              |  c_name, c_acctbal_v, c_mktsegment
+              |FROM sat_v0""".stripMargin)),
+
+    // H5, A5, A6 — multi-active satellite with ordered-LISTAGG hashdiff
+    Q("ma_sat_order",
+      (s, dir) => {
+        val src = rd(s, dir, "orders")
+          .withColumn(LdtsAlias, to_timestamp(lit("2024-03-01 00:00:00")))
+          .withColumn(RsrcAlias, lit("TPC_H/Orders"))
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("o_custkey"))))
+        val grouped = src.groupBy(col("hk_customer_h"), col(LdtsAlias))
+          .agg(Hashing.maHashdiff(
+            Seq(col("o_orderstatus"), col("o_totalprice")), Seq(col("o_orderkey"))).as("hd_orders_ms"))
+        val staged = src.join(grouped, Seq("hk_customer_h", LdtsAlias), "left")
+        MaSatV0Loader.records(staged, "hk_customer_h", "hd_orders_ms", Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"), target = None, singleBatch = true)
+      },
+      Some(s"""WITH src AS (
+              |  SELECT ${O.hashkey("o_custkey")} AS hk_customer_h,
+              |         timestamp '2024-03-01 00:00:00' AS ldts, 'TPC_H/Orders' AS rsrc,
+              |         o_orderkey, o_orderstatus, o_totalprice
+              |  FROM orders),
+              |grouped AS (
+              |  SELECT hk_customer_h, ldts,
+              |         ${O.maHashdiff(Seq("o_orderstatus", "o_totalprice"), Seq("o_orderkey"))} AS hd_orders_ms
+              |  FROM src GROUP BY hk_customer_h, ldts)
+              |SELECT s.hk_customer_h, g.hd_orders_ms, s.rsrc, s.ldts,
+              |       s.o_orderkey, s.o_orderstatus, s.o_totalprice
+              |FROM src s LEFT JOIN grouped g
+              |  ON s.hk_customer_h = g.hk_customer_h AND s.ldts = g.ldts""".stripMargin)),
+
+    // nh_sat: insert-once earliest version per key
+    Q("nh_sat_order",
+      (s, dir) => {
+        val src = rd(s, dir, "orders")
+          .withColumn(LdtsAlias,
+            expr("timestampadd(MICROSECOND, cast(o_orderkey as int), " +
+              "timestampadd(DAY, cast(o_orderkey % 3 as int), timestamp'2024-01-04 00:00:00'))"))
+          .withColumn(RsrcAlias, lit("TPC_H/Orders"))
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("o_custkey"))))
+        NhSatLoader.records(src, "hk_customer_h", Seq("o_orderkey", "o_totalprice"), target = None)
+      },
+      Some(s"""WITH src AS (
+              |  SELECT ${O.hashkey("o_custkey")} AS hk_customer_h,
+              |         timestamp '2024-01-04 00:00:00' + (o_orderkey % 3) * INTERVAL 1 DAY
+              |           + o_orderkey * INTERVAL 1 MICROSECOND AS ldts,
+              |         'TPC_H/Orders' AS rsrc, o_orderkey, o_totalprice
+              |  FROM orders)
+              |SELECT hk_customer_h, ldts, rsrc, o_orderkey, o_totalprice FROM src
+              |QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_customer_h ORDER BY ldts) = 1""".stripMargin)),
+
+    // J7, J8 — effectivity satellite, multi-batch history matrix
+    Q("eff_sat_customer",
+      (s, dir) => {
+        val src = rd(s, dir, "orders")
+          .withColumn(LdtsAlias,
+            expr("timestampadd(DAY, cast(o_orderkey % 4 as int), timestamp'2024-04-01 00:00:00')"))
+          .withColumn(RsrcAlias, lit("TPC_H/Orders"))
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("o_custkey"))))
+        EffSatLoader.records(src, "hk_customer_h", target = None)
+      },
+      Some(s"""WITH src AS (
+              |  SELECT ${O.hashkey("o_custkey")} AS hk_customer_h,
+              |         timestamp '2024-04-01 00:00:00' + (o_orderkey % 4) * INTERVAL 1 DAY AS ldts,
+              |         'TPC_H/Orders' AS rsrc
+              |  FROM orders),
+              |hashkeys AS (SELECT hk_customer_h, MIN(ldts) AS first_appearance FROM src GROUP BY 1),
+              |load_dates AS (SELECT DISTINCT ldts FROM src),
+              |history AS (
+              |  SELECT hk.hk_customer_h, ld.ldts FROM hashkeys hk CROSS JOIN load_dates ld
+              |  WHERE ld.ldts >= hk.first_appearance),
+              |is_active_cte AS (
+              |  SELECT h.hk_customer_h, h.ldts,
+              |         COALESCE(s.rsrc, 'SYSTEM') AS rsrc,
+              |         CASE WHEN s.hk_customer_h IS NULL THEN 0 ELSE 1 END AS is_active
+              |  FROM history h LEFT JOIN src s
+              |    ON s.hk_customer_h = h.hk_customer_h AND s.ldts = h.ldts),
+              |dedup AS (
+              |  SELECT * FROM is_active_cte
+              |  QUALIFY CASE WHEN is_active = LAG(is_active)
+              |    OVER (PARTITION BY hk_customer_h ORDER BY ldts) THEN FALSE ELSE TRUE END)
+              |SELECT hk_customer_h, ldts, rsrc, cast(is_active AS boolean) AS is_active FROM dedup""".stripMargin)),
+
+    // rec-track sat: one row per key appearance, multi-source, rsrc_static
+    Q("rec_track_customer",
+      (s, dir) => {
+        val c = custStage(s, dir)
+        val sup = rd(s, dir, "supplier")
+          .withColumn(LdtsAlias,
+            expr("timestampadd(DAY, cast(s_suppkey % 3 as int), timestamp'2024-01-01 00:00:00')"))
+          .withColumn(RsrcAlias, lit("TPC_H/Supplier"))
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("s_suppkey"))))
+        RecTrackSatLoader.records(
+          Seq((c, "hk_customer_h", "stage_customer", Some("TPC_H/Customer/v1")),
+            (sup, "hk_customer_h", "stage_supplier", Some("TPC_H/Supplier/v1"))),
+          "hk_tracked", target = None)
+      },
+      Some(s"""WITH c AS (
+              |  SELECT DISTINCT ${O.hashkey("c_custkey")} AS hk_tracked,
+              |    timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
+              |    'TPC_H/Customer/v1' AS rsrc, 'STAGE_CUSTOMER' AS stg
+              |  FROM customer),
+              |s AS (
+              |  SELECT DISTINCT ${O.hashkey("s_suppkey")} AS hk_tracked,
+              |    timestamp '2024-01-01 00:00:00' + (s_suppkey % 3) * INTERVAL 1 DAY AS ldts,
+              |    'TPC_H/Supplier/v1' AS rsrc, 'STAGE_SUPPLIER' AS stg
+              |  FROM supplier)
+              |SELECT * FROM c UNION ALL SELECT * FROM s""".stripMargin)),
+
+    // ref hub: earliest row per ref-key combination
+    Q("ref_hub_nation",
+      (s, dir) => {
+        val n = rd(s, dir, "nation")
+          .withColumn(LdtsAlias,
+            expr("timestampadd(DAY, cast(n_nationkey % 2 as int), timestamp'2024-01-01 00:00:00')"))
+          .withColumn(RsrcAlias, lit("TPC_H/Nation"))
+        RefHubLoader.records(Seq(EntitySource(n, None, Seq("n_nationkey"))),
+          Seq("n_nationkey"), target = None)
+      },
+      Some(s"""SELECT n_nationkey,
+              |  timestamp '2024-01-01 00:00:00' + (n_nationkey % 2) * INTERVAL 1 DAY AS ldts,
+              |  'TPC_H/Nation' AS rsrc
+              |FROM nation
+              |QUALIFY ROW_NUMBER() OVER (PARTITION BY n_nationkey ORDER BY
+              |  timestamp '2024-01-01 00:00:00' + (n_nationkey % 2) * INTERVAL 1 DAY) = 1""".stripMargin)),
+
+    // ref sat v0: multi-column-key satellite (2 batches, %3 keys change)
+    Q("ref_sat_nation",
+      (s, dir) => {
+        val src = rd(s, dir, "nation")
+          .crossJoin(s.range(2).select(col("id").as("b")))
+          .withColumn(LdtsAlias,
+            expr("timestampadd(DAY, cast(b as int), timestamp'2024-01-01 00:00:00')"))
+          .withColumn(RsrcAlias, lit("TPC_H/Nation"))
+          .withColumn("n_name_v",
+            when(col("b") === 1 && col("n_nationkey") % 3 === 0,
+              concat(col("n_name"), lit("_v2"))).otherwise(col("n_name")))
+          .withColumn("hd_nation_rs", Hashing.hashdiff(Seq(col("n_name_v"), col("n_regionkey"))))
+        SatV0Loader.records(src, Seq("n_nationkey"), Some("hd_nation_rs"),
+          Seq("n_name_v", "n_regionkey"), target = None)
+      },
+      Some(s"""WITH src AS (
+              |  SELECT n_nationkey, n_regionkey,
+              |    timestamp '2024-01-01 00:00:00' + b * INTERVAL 1 DAY AS ldts,
+              |    'TPC_H/Nation' AS rsrc,
+              |    CASE WHEN b = 1 AND n_nationkey % 3 = 0 THEN n_name || '_v2' ELSE n_name END AS n_name_v
+              |  FROM nation CROSS JOIN (VALUES (0),(1)) AS batches(b)),
+              |hashed AS (SELECT *, ${O.hashdiff("n_name_v", "n_regionkey")} AS hd_nation_rs FROM src)
+              |SELECT n_nationkey, hd_nation_rs, rsrc, ldts, n_name_v, n_regionkey FROM hashed
+              |QUALIFY CASE WHEN hd_nation_rs = LAG(hd_nation_rs)
+              |  OVER (PARTITION BY n_nationkey ORDER BY ldts) THEN FALSE ELSE TRUE END""".stripMargin)),
+
+    // ref table: date-spine flattened view (U5 + temporal join)
+    Q("ref_table_nation",
+      (s, dir) => {
+        val src = rd(s, dir, "nation")
+          .crossJoin(s.range(2).select(col("id").as("b")))
+          .withColumn(LdtsAlias,
+            expr("timestampadd(DAY, cast(b as int), timestamp'2024-01-01 00:00:00')"))
+          .withColumn(RsrcAlias, lit("TPC_H/Nation"))
+          .withColumn("n_name_v",
+            when(col("b") === 1 && col("n_nationkey") % 3 === 0,
+              concat(col("n_name"), lit("_v2"))).otherwise(col("n_name")))
+          .withColumn("hd_nation_rs", Hashing.hashdiff(Seq(col("n_name_v"), col("n_regionkey"))))
+        val v0 = SatV0Loader.records(src, Seq("n_nationkey"), Some("hd_nation_rs"),
+          Seq("n_name_v", "n_regionkey"), target = None)
+        val v1 = Ops.endDate(v0, "n_nationkey")
+        val hub = RefHubLoader.records(
+          Seq(EntitySource(src.filter(col("b") === 0), None, Seq("n_nationkey"))),
+          Seq("n_nationkey"), target = None)
+        RefTableLoader.build(hub, Seq("n_nationkey"),
+          Seq(RefTableLoader.RefSat(v1, Seq("n_name_v", "n_regionkey"))))
+      },
+      Some(s"""WITH src AS (
+              |  SELECT n_nationkey, n_regionkey,
+              |    timestamp '2024-01-01 00:00:00' + b * INTERVAL 1 DAY AS ldts,
+              |    'TPC_H/Nation' AS rsrc,
+              |    CASE WHEN b = 1 AND n_nationkey % 3 = 0 THEN n_name || '_v2' ELSE n_name END AS n_name_v
+              |  FROM nation CROSS JOIN (VALUES (0),(1)) AS batches(b)),
+              |hashed AS (SELECT *, ${O.hashdiff("n_name_v", "n_regionkey")} AS hd_nation_rs FROM src),
+              |sat_v0 AS (
+              |  SELECT n_nationkey, hd_nation_rs, rsrc, ldts, n_name_v, n_regionkey FROM hashed
+              |  QUALIFY CASE WHEN hd_nation_rs = LAG(hd_nation_rs)
+              |    OVER (PARTITION BY n_nationkey ORDER BY ldts) THEN FALSE ELSE TRUE END),
+              |sat_v1 AS (
+              |  SELECT *, COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |    OVER (PARTITION BY n_nationkey ORDER BY ldts),
+              |    timestamp '8888-12-31 23:59:59') AS ledts FROM sat_v0),
+              |hub AS (
+              |  SELECT n_nationkey, timestamp '2024-01-01 00:00:00' AS ldts, 'TPC_H/Nation' AS rsrc
+              |  FROM nation
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY n_nationkey ORDER BY 1) = 1),
+              |dates AS (SELECT DISTINCT ldts FROM sat_v1 WHERE ldts != timestamp '8888-12-31 23:59:59')
+              |SELECT h.n_nationkey, d.ldts, h.rsrc, s.n_name_v, s.n_regionkey
+              |FROM hub h CROSS JOIN dates d
+              |LEFT JOIN sat_v1 s ON s.n_nationkey = h.n_nationkey
+              |  AND d.ldts BETWEEN s.ldts AND s.ledts
+              |WHERE h.ldts <= d.ldts""".stripMargin)),
+
+    // snapshot control v0: generated series + calendar flags
+    Q("snap_v0",
+      (s, _) => ControlSnapV0Loader.build(s, "2024-01-01", "07:30:00", Some("2024-03-31")),
+      Some(s"""WITH series AS (
+              |  SELECT unnest(generate_series(timestamp '2024-01-01 07:30:00',
+              |    timestamp '2024-04-01 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS s
+              |)
+              |SELECT s AS sdts, TRUE AS force_active, s AS replacement_sdts,
+              |  'Snapshot ' || cast(cast(s AS date) AS varchar) AS caption,
+              |  (minute(s) = 0 AND second(s) = 0) AS is_hourly,
+              |  (minute(s) = 0 AND second(s) = 0 AND hour(s) = 0) AS is_daily,
+              |  (isodow(s) = 1) AS is_beginning_of_week,
+              |  (isodow(s) = 7) AS is_end_of_week,
+              |  (day(s) = 1) AS is_beginning_of_month,
+              |  (last_day(cast(s AS date)) = cast(s AS date)) AS is_end_of_month,
+              |  (day(s) = 1 AND month(s) IN (1,4,7,10)) AS is_beginning_of_quarter,
+              |  (month(s) IN (3,6,9,12) AND day(s) = day(last_day(cast(s AS date)))) AS is_end_of_quarter,
+              |  (day(s) = 1 AND month(s) = 1) AS is_beginning_of_year,
+              |  (last_day(cast(s AS date)) = cast(s AS date) AND month(s) = 12) AS is_end_of_year,
+              |  cast(NULL AS varchar) AS comment
+              |FROM series WHERE s < timestamp '2024-04-01 00:00:00'""".stripMargin)),
+
+    // snapshot control v1: logarithmic retention flags (fixed reference ts)
+    Q("snap_v1",
+      (s, _) => {
+        val v0 = ControlSnapV0Loader.build(s, "2024-01-01", "07:30:00", Some("2024-03-31"))
+        ControlSnapV1Loader.build(v0,
+          Some(LogLogic(dailyDays = Some(30), weeklyWeeks = Some(8),
+            monthlyMonths = Some(12), yearlyYears = None)),
+          referenceTs = Some("2024-03-31 12:00:00"))
+          .select("sdts", "is_active", "is_beginning_of_week", "is_beginning_of_month")
+      },
+      Some(s"""WITH series AS (
+              |  SELECT unnest(generate_series(timestamp '2024-01-01 07:30:00',
+              |    timestamp '2024-04-01 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts
+              |),
+              |flags AS (
+              |  SELECT sdts, (isodow(sdts) = 1) AS is_beginning_of_week,
+              |         (day(sdts) = 1) AS is_beginning_of_month,
+              |         (day(sdts) = 1 AND month(sdts) = 1) AS is_beginning_of_year
+              |  FROM series WHERE sdts < timestamp '2024-04-01 00:00:00')
+              |SELECT sdts,
+              |  ((sdts BETWEEN timestamp '2024-03-31 12:00:00' - INTERVAL 30 DAY AND timestamp '2024-03-31 12:00:00')
+              |   OR (is_beginning_of_week AND sdts BETWEEN timestamp '2024-03-31 12:00:00' - INTERVAL 56 DAY AND timestamp '2024-03-31 12:00:00')
+              |   OR (is_beginning_of_month AND sdts BETWEEN timestamp '2024-03-31 12:00:00' - INTERVAL 12 MONTH AND timestamp '2024-03-31 12:00:00')
+              |   OR is_beginning_of_year) AS is_active,
+              |  is_beginning_of_week, is_beginning_of_month
+              |FROM flags""".stripMargin)),
+
+    // J5, J6 — PIT: entity × snapshot with point-in-time satellite pointers
+    Q("pit_customer",
+      (s, dir) => {
+        val v0 = SatV0Loader.records(cust3Batch(s, dir), Seq("hk_customer_h"),
+          Some("hd_customer_s"), Seq("c_name", "c_acctbal_v", "c_mktsegment"), target = None)
+        val v1 = SatV1Loader.build(v0, "hk_customer_h", Some("hd_customer_s"))
+        val hub = custStage(s, dir).select("hk_customer_h").distinct()
+        val snaps = ControlSnapV0Loader.build(s, "2024-02-01", "12:00:00", Some("2024-02-07"))
+          .withColumn("is_active", lit(true))
+        PitLoader.records(hub, "hk_customer_h",
+          Seq(PitSatellite("customer_s", v1)), snaps, "dim_key_customer")
+      },
+      Some(s"""WITH $satV0Sql,
+              |sat_v1 AS (
+              |  SELECT *, COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |    OVER (PARTITION BY hk_customer_h ORDER BY ldts),
+              |    timestamp '8888-12-31 23:59:59') AS ledts FROM sat_v0),
+              |hub AS (SELECT DISTINCT hk_customer_h FROM hashed),
+              |snaps AS (
+              |  SELECT unnest(generate_series(timestamp '2024-02-01 12:00:00',
+              |    timestamp '2024-02-08 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts),
+              |pit AS (
+              |  SELECT ${O.hashkey("te.hk_customer_h", "snap.sdts")} AS dim_key_customer,
+              |    te.hk_customer_h, snap.sdts,
+              |    COALESCE(s.hk_customer_h, '${O.ZeroKey}') AS hk_customer_s,
+              |    COALESCE(s.ldts, timestamp '0001-01-01 00:00:01') AS ldts_customer_s
+              |  FROM hub te CROSS JOIN (SELECT sdts FROM snaps WHERE sdts < timestamp '2024-02-08 00:00:00') snap
+              |  LEFT JOIN sat_v1 s ON s.hk_customer_h = te.hk_customer_h
+              |    AND snap.sdts BETWEEN s.ldts AND s.ledts)
+              |SELECT DISTINCT * FROM pit""".stripMargin)),
+
+    // P6, A2, S3, J1 — incremental hub load against an existing target
+    Q("hub_incremental",
+      (s, dir) => {
+        val full = custStage(s, dir)
+          .select(col("hk_customer_h"), col("c_custkey").as("custkey"),
+            col(LdtsAlias), col(RsrcAlias))
+        val target = full.filter(col(LdtsAlias) <= to_timestamp(lit("2024-01-02 00:00:00")))
+        HubLoader.records(
+          Seq(EntitySource(custStage(s, dir), Some("hk_customer_h"), Seq("c_custkey"))),
+          "hk_customer_h", Seq("custkey"), target = Some(target))
+      },
+      Some(s"""WITH $custStageSql,
+              |full_hub AS (
+              |  SELECT hk_customer_h, c_custkey AS custkey, ldts, rsrc FROM cust_stage),
+              |target AS (SELECT * FROM full_hub WHERE ldts <= timestamp '2024-01-02 00:00:00'),
+              |hwm AS (SELECT MAX(ldts) AS m FROM target WHERE ldts != timestamp '8888-12-31 23:59:59'),
+              |incoming AS (
+              |  SELECT f.* FROM full_hub f, hwm WHERE f.ldts > hwm.m),
+              |dedup AS (
+              |  SELECT * FROM incoming
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_customer_h ORDER BY ldts) = 1)
+              |SELECT d.* FROM dedup d WHERE NOT EXISTS (
+              |  SELECT 1 FROM target t WHERE t.hk_customer_h = d.hk_customer_h)""".stripMargin)),
+
+    // J3, A1, P8 — per-rsrc_static HWM with LIKE pattern
+    Q("hub_rsrc_static",
+      (s, dir) => {
+        val full = custStage(s, dir)
+          .withColumn(RsrcAlias, concat(lit("TPC_H/Customer/"),
+            date_format(col(LdtsAlias), "yyyy-MM-dd")))
+          .select(col("hk_customer_h"), col("c_custkey").as("custkey"),
+            col(LdtsAlias), col(RsrcAlias))
+        val target = full.filter(col(LdtsAlias) <= to_timestamp(lit("2024-01-02 00:00:00")))
+        HubLoader.records(
+          Seq(EntitySource(full, Some("hk_customer_h"), Seq("custkey"),
+            rsrcStatic = Some("TPC_H/Customer/%"))),
+          "hk_customer_h", Seq("custkey"), target = Some(target))
+      },
+      Some(s"""WITH $custStageSql,
+              |full_hub AS (
+              |  SELECT hk_customer_h, c_custkey AS custkey, ldts,
+              |         'TPC_H/Customer/' || strftime(ldts, '%Y-%m-%d') AS rsrc
+              |  FROM cust_stage),
+              |target AS (SELECT * FROM full_hub WHERE ldts <= timestamp '2024-01-02 00:00:00'),
+              |hwm AS (SELECT MAX(ldts) AS m FROM target
+              |        WHERE rsrc LIKE 'TPC_H/Customer/%' AND ldts != timestamp '8888-12-31 23:59:59'),
+              |incoming AS (SELECT f.* FROM full_hub f, hwm WHERE f.ldts > hwm.m),
+              |dedup AS (
+              |  SELECT * FROM incoming
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_customer_h ORDER BY ldts) = 1)
+              |SELECT d.* FROM dedup d WHERE NOT EXISTS (
+              |  SELECT 1 FROM target t WHERE t.hk_customer_h = d.hk_customer_h)""".stripMargin)),
+
+    // O1/O2 — latest-row probe
+    Q("snap_latest_row",
+      (s, _) => ControlSnapV0Loader.build(s, "2024-01-01", "07:30:00", Some("2024-03-31"))
+        .orderBy(col(SdtsAlias).desc).limit(1).select("sdts", "caption"),
+      Some(s"""WITH series AS (
+              |  SELECT unnest(generate_series(timestamp '2024-01-01 07:30:00',
+              |    timestamp '2024-04-01 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts)
+              |SELECT sdts, 'Snapshot ' || cast(cast(sdts AS date) AS varchar) AS caption
+              |FROM series WHERE sdts < timestamp '2024-04-01 00:00:00'
+              |ORDER BY sdts DESC LIMIT 1""".stripMargin))
+  )
+}

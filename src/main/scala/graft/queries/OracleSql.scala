@@ -1,0 +1,41 @@
+package graft.queries
+
+/** Emits DuckDB-dialect SQL implementing the exact hash semantics of
+  * `graft.expr.Hashing` (reference `hash_standardization.sql:549-612`), so
+  * the driver's DuckDB oracle can reproduce every hash byte-for-byte.
+  *
+  * DuckDB dialect notes (vs Spark SQL):
+  *  - string concat must use `||` (DuckDB's concat() SKIPS nulls, Spark's
+  *    concat() propagates them)
+  *  - replace() is literal (no regex) — same as our Column implementation
+  */
+object OracleSql {
+  val ZeroKey: String = "!" + "0" * 32
+
+  /** databricks__attribute_standardise in DuckDB SQL */
+  def std(e: String): String =
+    raw"""('"' || replace(replace(replace(replace(trim(cast($e as varchar)), '\', '\\'), '"', 'dv4dbt-quote-replacement'), '^^', 'dv4dbt-null-replacement'), '||', 'dv4dbt-concat-replacement') || '"')"""
+
+  def concatStd(cols: Seq[String], caseSensitive: Boolean): String = {
+    val parts = cols.map(c => s"coalesce(${std(c)}, '^^')").mkString(" || '||' || ")
+    val cased = if (caseSensitive) s"($parts)" else s"upper($parts)"
+    val stripped =
+      s"replace(replace(replace(replace($cased, chr(10), ''), chr(9), ''), chr(11), ''), chr(13), '')"
+    val allNull = cols.map(_ => "^^").mkString("||")
+    s"nullif($stripped, '$allNull')"
+  }
+
+  def hashkey(cols: String*): String =
+    s"coalesce(lower(md5(${concatStd(cols, caseSensitive = false)})), '$ZeroKey')"
+
+  def hashdiff(cols: String*): String =
+    s"coalesce(lower(md5(${concatStd(cols, caseSensitive = true)})), '$ZeroKey')"
+
+  /** aggregate expression: ordered LISTAGG + hash (H5). Ordering matches the
+    * Spark implementation: ma keys as strings, standardized row as tiebreak. */
+  def maHashdiff(payload: Seq[String], maKeys: Seq[String]): String = {
+    val row = concatStd(payload, caseSensitive = true)
+    val order = (maKeys.map(k => s"cast($k as varchar)") :+ row).mkString(", ")
+    s"coalesce(lower(md5(string_agg($row, ',' ORDER BY $order))), '$ZeroKey')"
+  }
+}

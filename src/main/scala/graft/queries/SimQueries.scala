@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Scores are computed element-wise in DOUBLE on both sides and rounded to
+  * 4 decimals before ranking: double-precision jitter between engines is
+  * ~1e-13, far below the rounding granularity, so ranks are deterministic
+  * (ties broken by neighbor id).
+  */
+object SimQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** dot(a,b) / (|a|*|b|) via zip_with + aggregate — stays in codegen */
+  private def cosine(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))
+       |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))))""".stripMargin
+
+  /** DuckDB 1.0 equivalent (list_transform/list_zip — no comprehensions);
+    * list_sum folds sequentially like Spark's aggregate(), so the doubles
+    * are bit-identical. */
+  private def cosDuck(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), s -> cast(s[1] as double) * cast(s[2] as double)))
+       | / (sqrt(list_sum(list_transform($a, x -> cast(x as double) * cast(x as double))))
+       |    * sqrt(list_sum(list_transform($b, x -> cast(x as double) * cast(x as double)))))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // brute-force cosine top-k: the exactness baseline for ANN
+    Q("cosine_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val scored = q.join(broadcast(e.filter(col("vec_id") >= 10)))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(expr(cosine("qv", "embedding")), 4).as("cos_sim"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    round(${cosDuck("a.embedding", "b.embedding")}, 4) AS cos_sim
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id >= 10),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
+              |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    // embedding-cosine near-duplicate pairs above a threshold (bounded
+    // neighborhood: same label partition — the IVF-style pruning)
+    Q("embed_near_dup",
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+        val e2 = e.select(col("vec_id").as("vec_id_2"), col("label").as("label_2"),
+          col("embedding").as("embedding_2"))
+        e.join(e2, col("label") === col("label_2") && col("vec_id") < col("vec_id_2"))
+          .select(col("vec_id"), col("vec_id_2"),
+            round(expr(cosine("embedding", "embedding_2")), 4).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.3)
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT a.vec_id, b.vec_id AS vec_id_2,
+              |    round(${cosDuck("a.embedding", "b.embedding")}, 4) AS cos_sim
+              |  FROM embeddings a JOIN embeddings b
+              |    ON a.label = b.label AND a.vec_id < b.vec_id)
+              |SELECT * FROM scored WHERE cos_sim >= 0.3""".stripMargin)),
+
+    // LSH-bucketed ANN (the scale path): deterministic sign-random-projection
+    // buckets from md5-derived hyperplanes; top-3 within bucket.
+    // Hyperplane p(j,d) ∈ {-1,+1} = parity of md5(j:d).
+    Q("ann_lsh_bucketed",
+      (s, dir) => {
+        val nPlanes = 6
+        val e = emb(s, dir)
+        val planeBit = (j: Int) =>
+          expr(s"""aggregate(zip_with(embedding,
+             | transform(sequence(0, 63), d -> cast(cast(conv(substr(md5(concat('$j', ':', d)), 1, 4), 16, 10) as long) % 2 as double) * 2 - 1),
+             | (x, p) -> cast(x as double) * p), 0D, (acc, v) -> acc + v)""".stripMargin)
+        val bucketed = e.withColumn("bucket",
+          (0 until nPlanes).map(j => when(planeBit(j) > 0, 1L << j).otherwise(0L)).reduce(_ + _))
+        val q = bucketed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+        val cands = q.join(bucketed.filter(col("vec_id") >= 10), Seq("bucket"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(expr(cosine("qv", "embedding")), 4).as("cos_sim"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        cands.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+      },
+      Some(s"""WITH planes AS (
+             |  SELECT j, list_transform(range(0, 64),
+             |    d -> cast(cast(('0x' || substr(md5(cast(j AS varchar) || ':' || cast(d AS varchar)), 1, 4)) AS BIGINT) % 2 AS double) * 2 - 1) AS p
+             |  FROM range(0, 6) AS r(j)),
+             |bucketed AS (
+             |  SELECT e.vec_id, e.embedding,
+             |    cast(sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, p.p),
+             |               s -> cast(s[1] AS double) * s[2])) > 0
+             |             THEN cast(pow(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM embeddings e, planes p GROUP BY e.vec_id, e.embedding),
+             |cands AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(${cosDuck("q.embedding", "c.embedding")}, 4) AS cos_sim
+             |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+             |    AND q.vec_id < 10 AND c.vec_id >= 10),
+             |ranked AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
+             |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin)),
+
+    // tumbling-window aggregation over the events stream table.
+    // The file carries TIMESTAMP(NANOS) which Spark's vectorized reader
+    // rejects — read nanos as long (legacy conf) and convert to micros.
+    Q("events_windowed",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+        ev.groupBy(date_trunc("hour", col("ts_us")).as("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data operators over the `documents` table: exact and
+  * near deduplication, fingerprinting, token statistics, quality scoring,
+  * language identification. All are pure Column-expression pipelines
+  * (codegen-friendly) with DuckDB oracles.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** word-3-gram shingles as an array column (Spark side); the CASE guards
+    * against sequence(1, 0) which would generate a DESCENDING range */
+  private val shinglesExpr =
+    "CASE WHEN size(split(text, '\\\\s+')) < 3 THEN array() " +
+      "ELSE transform(sequence(1, size(split(text, '\\\\s+')) - 2), " +
+      "i -> concat_ws(' ', slice(split(text, '\\\\s+'), i, 3))) END"
+
+  /** same shingles in DuckDB 1.0 (list_transform; range() stop-exclusive) */
+  private val shinglesSqlDuck =
+    """list_transform(range(1, greatest(len(words) - 1, 1)),
+      |      i -> array_to_string(words[i:i+2], ' '))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // exact dedup: hash-groupBy, keep lowest doc_id per content hash
+    Q("dedup_exact",
+      (s, dir) => docs(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+             |       count(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // document fingerprint: hash of whitespace-normalized, lowercased text
+    Q("doc_fingerprint",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint")),
+      Some("""SELECT doc_id,
+             |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+             |FROM documents""".stripMargin)),
+
+    // token counting: whitespace tokens + BPE-ish word/punct pieces + chars
+    Q("token_stats",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_ish_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured")),
+      Some("""SELECT doc_id,
+             |  cast(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+             |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+             |  cast(length(text) AS BIGINT) AS n_chars_measured
+             |FROM documents""".stripMargin)),
+
+    // quality scoring: structural ratios + keep/drop flag
+    Q("quality_score",
+      (s, dir) => {
+        val words = size(split(col("text"), "\\s+"))
+        val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]"))
+        val stop = regexp_count(lower(col("text")),
+          lit("\\b(the|a|of|and|to|in|is|it|that|for)\\b"))
+        docs(s, dir).select(
+          col("doc_id"),
+          words.cast("long").as("n_words"),
+          punct.cast("long").as("n_punct"),
+          stop.cast("long").as("n_stopwords"),
+          (length(col("text")).cast("double") / words).as("mean_word_len"),
+          (words >= 5 && punct * 4 < length(col("text"))).as("keep"))
+      },
+      Some("""SELECT doc_id,
+             |  cast(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
+             |  cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+             |  cast(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|for)\b')) AS BIGINT) AS n_stopwords,
+             |  cast(length(text) AS double) / len(regexp_split_to_array(text, '\s+')) AS mean_word_len,
+             |  (len(regexp_split_to_array(text, '\s+')) >= 5
+             |   AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 4 < length(text)) AS keep
+             |FROM documents""".stripMargin)),
+
+    // language ID: n-gram/stopword heuristic — argmax over per-language
+    // marker counts (deterministic tiebreak by language code)
+    Q("lang_id",
+      (s, dir) => {
+        val markers = Seq(
+          "en" -> "\\b(the|and|of|is|was|to)\\b",
+          "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+          "es" -> "\\b(el|la|los|que|es|de)\\b",
+          "fr" -> "\\b(le|la|les|est|et|une)\\b",
+          "zh" -> "[\\u4e00-\\u9fff]")
+        val scored = markers.foldLeft(docs(s, dir)) { case (d, (code, pat)) =>
+          d.withColumn(s"score_$code", regexp_count(lower(col("text")), lit(pat)))
+        }
+        val best = markers.map { case (code, _) =>
+          struct(col(s"score_$code").cast("long").as("score"),
+            lit(code).as("neg_code"))
+        }
+        // argmax: greatest by (score, code) — ties resolved by LAST code
+        scored.select(col("doc_id"),
+          greatest(best: _*).getField("neg_code").as("lang_guess"),
+          greatest(best: _*).getField("score").cast("long").as("marker_hits"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|to)\b')) AS s_en,
+             |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
+             |    len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|de)\b')) AS s_es,
+             |    len(regexp_extract_all(lower(text), '\b(le|la|les|est|et|une)\b')) AS s_fr,
+             |    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT doc_id, u.lang AS lang_guess, cast(u.score AS BIGINT) AS marker_hits,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.score DESC, u.lang DESC) AS rn
+             |  FROM scored, UNNEST([
+             |    {'lang': 'en', 'score': s_en}, {'lang': 'de', 'score': s_de},
+             |    {'lang': 'es', 'score': s_es}, {'lang': 'fr', 'score': s_fr},
+             |    {'lang': 'zh', 'score': s_zh}]) AS t(u))
+             |SELECT doc_id, lang_guess, marker_hits FROM ranked WHERE rn = 1""".stripMargin)),
+
+    // n-gram Jaccard near-dup: adjacent-doc pairs within a source bucket
+    Q("ngram_jaccard",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          array_distinct(expr(shinglesExpr)).as("sh"))
+        val d2 = d.select(col("doc_id").as("doc_id_2"), col("source").as("source_2"),
+          col("sh").as("sh2"))
+        d.join(d2, col("doc_id_2") === col("doc_id") + 1)
+          .select(col("doc_id"), col("doc_id_2"),
+            (size(array_intersect(col("sh"), col("sh2"))).cast("double") /
+              size(array_union(col("sh"), col("sh2")))).as("jaccard"))
+          .filter(col("jaccard") >= 0.0)
+      },
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS words FROM documents),
+              |sh AS (
+              |  SELECT doc_id, source, list_distinct($shinglesSqlDuck) AS sh FROM w)
+              |SELECT a.doc_id, b.doc_id AS doc_id_2,
+              |  cast(len(list_intersect(a.sh, b.sh)) AS double) /
+              |    len(list_distinct(a.sh || b.sh)) AS jaccard
+              |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
+    // SimHash (32-bit) near-dup fingerprint + hamming distance to next doc
+    Q("simhash",
+      (s, dir) => {
+        // per-token 32-bit hash from md5 hex; simhash bit j = sign of
+        // sum(+1/-1 over tokens) at bit j
+        val tok = docs(s, dir).select(col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .select(col("doc_id"),
+            conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+        val bits = (0 until 32).map(j =>
+          sum(when(((col("h") / math.pow(2, j).toLong).cast("long") % 2) === 1, 1)
+            .otherwise(-1)).as(s"b$j"))
+        val sh = tok.groupBy("doc_id").agg(bits.head, bits.tail: _*)
+        val simhash = (0 until 32).map(j =>
+          when(col(s"b$j") > 0, math.pow(2, j).toLong).otherwise(0L)).reduce(_ + _)
+        val fp = sh.select(col("doc_id"), simhash.as("simhash"))
+        val fp2 = fp.select(col("doc_id").as("doc_id_2"), col("simhash").as("simhash_2"))
+        fp.join(fp2, col("doc_id_2") === col("doc_id") + 1)
+          .select(col("doc_id"), col("simhash"),
+            bit_count(expr("simhash ^ simhash_2")).cast("long").as("hamming_next"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    cast(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT) AS h
+             |  FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) AS u(tok)
+             |  WHERE length(u.tok) > 0),
+             |bits AS (
+             |  SELECT doc_id, j,
+             |    sum(CASE WHEN (h // cast(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+             |  FROM tok, range(0, 32) AS r(j) GROUP BY doc_id, j),
+             |fp AS (
+             |  SELECT doc_id,
+             |    cast(sum(CASE WHEN s > 0 THEN cast(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+             |  FROM bits GROUP BY doc_id)
+             |SELECT a.doc_id, a.simhash,
+             |  cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming_next
+             |FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
+    // MinHash + LSH banding: 8 hash functions, 2 bands × 4 rows;
+    // emits candidate near-dup pairs sharing any band bucket
+    Q("minhash_lsh",
+      (s, dir) => {
+        val nHashes = 8
+        val sh = docs(s, dir).select(col("doc_id"),
+          explode(array_distinct(expr(shinglesExpr))).as("shingle"))
+        val hashed = sh.select(col("doc_id"),
+          explode(expr(s"sequence(0, ${nHashes - 1})")).as("j"),
+          col("shingle"))
+          .groupBy("doc_id", "j")
+          .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("shingle")))).as("mh"))
+        val sig = hashed.groupBy("doc_id")
+          .agg(concat_ws("|", expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")).as("sig"))
+        val bands = sig.select(col("doc_id"),
+          explode(array(lit(0), lit(1))).as("band"),
+          col("sig"))
+          .select(col("doc_id"), col("band"),
+            md5(concat(col("band").cast("string"), lit("#"),
+              expr("concat_ws('|', slice(split(sig, '\\\\|'), band * 4 + 1, 4))"))).as("bucket"))
+        val b2 = bands.select(col("doc_id").as("doc_id_2"), col("band").as("band_2"),
+          col("bucket").as("bucket_2"))
+        bands.join(b2, col("bucket") === col("bucket_2") && col("band") === col("band_2") &&
+            col("doc_id") < col("doc_id_2"))
+          .select(col("doc_id"), col("doc_id_2")).distinct()
+      },
+      Some(s"""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents),
+             |shl AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM w),
+             |sh AS (SELECT DISTINCT doc_id, u.shingle FROM shl, UNNEST(shs) AS u(shingle)),
+             |mh AS (
+             |  SELECT doc_id, j, min(md5(cast(j AS varchar) || ':' || shingle)) AS mh
+             |  FROM sh, range(0, 8) AS r(j) GROUP BY doc_id, j),
+             |sig AS (
+             |  SELECT doc_id, string_agg(mh, '|' ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, band,
+             |    md5(cast(band AS varchar) || '#' ||
+             |        array_to_string((regexp_split_to_array(sig, '\\|'))[band*4+1:band*4+4], '|')) AS bucket
+             |  FROM sig, UNNEST([0, 1]) AS b(band))
+             |SELECT DISTINCT a.doc_id, b.doc_id AS doc_id_2
+             |FROM bands a JOIN bands b
+             |  ON a.bucket = b.bucket AND a.band = b.band AND a.doc_id < b.doc_id""".stripMargin)),
+
+    // multimodal plumbing: opaque binary column + typed metadata extraction
+    // (decode step is a deterministic stand-in — real image/audio libs are
+    // intentionally out of scope; the schema/batch shape is the contract)
+    Q("multimodal_meta",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        col("text").cast("binary").as("blob"))
+        .select(col("doc_id"),
+          length(col("blob")).cast("long").as("n_bytes"),
+          lower(hex(substring(col("blob"), 1, 8))).as("header_hex"),
+          substring(col("blob"), 1, 4).cast("string").as("decoded_preview")),
+      Some("""SELECT doc_id, cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
+             |  substr(text, 1, 4) AS decoded_preview
+             |FROM documents""".stripMargin))
+  )
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables and compare against the Spark result
+parquet written by graft.Verify. Usage:
+  python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [only_query]
+"""
+import sys, os, json, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize for comparison: timestamps to iso strings, floats rounded
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            s = df[c]
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: v.isoformat() if hasattr(v, "isoformat") else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = sys.argv[3] if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name != only:
+            continue
+        spath = f"{out_dir}/{name}"
+        if not os.path.isdir(spath):
+            print(f"FAIL {name}: spark output missing"); n_fail += 1; continue
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        got = con.sql(f"SELECT * FROM '{spath}/*.parquet'").df()
+        try:
+            g, w = canon(got), canon(want)
+            if list(g.columns) != list(w.columns):
+                print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+                n_fail += 1; continue
+            if len(g) != len(w):
+                print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
+            # exact compare with float tolerance fallback
+            mism = []
+            for c in g.columns:
+                a, b = g[c], w[c]
+                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                    af = a.astype(float); bf = b.astype(float)
+                    bad = ~((af == bf) | (af.isna() & bf.isna()) |
+                            (abs(af - bf) <= 1e-9 * (1 + abs(bf))))
+                else:
+                    bad = ~((a == b) | (a.isna() & b.isna()))
+                if bad.any():
+                    i = bad.idxmax()
+                    mism.append(f"col {c} row {i}: spark={a[i]!r} oracle={b[i]!r} ({int(bad.sum())} diffs)")
+            if mism:
+                print(f"FAIL {name}: " + "; ".join(mism[:3])); n_fail += 1
+            else:
+                print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: compare error: {e}"); n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
