@@ -15,11 +15,20 @@ object SimQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** dot(a,b) / (|a|*|b|) via zip_with + aggregate — stays in codegen */
+  /** dot(a,b) / (|a|*|b|) via zip_with + aggregate */
   private def cosine(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)
        | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))
        |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))))""".stripMargin
+
+  /** norm as a per-row column so joins don't recompute it per PAIR — the
+    * arithmetic (sqrt of the sequential square-sum) is identical, so the
+    * resulting doubles match the naive formula bit-for-bit. */
+  private val normExpr =
+    "sqrt(aggregate(embedding, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+
+  private def dotOver(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
 
   /** DuckDB 1.0 equivalent (list_transform/list_zip — no comprehensions);
     * list_sum folds sequentially like Spark's aggregate(), so the doubles
@@ -34,12 +43,12 @@ object SimQueries {
     // brute-force cosine top-k: the exactness baseline for ANN
     Q("cosine_topk",
       (s, dir) => {
-        val e = emb(s, dir)
+        val e = emb(s, dir).withColumn("nrm", expr(normExpr))
         val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
         val scored = q.join(broadcast(e.filter(col("vec_id") >= 10)))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(expr(cosine("qv", "embedding")), 4).as("cos_sim"))
+            round(expr(dotOver("qv", "embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
@@ -60,11 +69,12 @@ object SimQueries {
     Q("embed_near_dup",
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+          .withColumn("nrm", expr(normExpr))
         val e2 = e.select(col("vec_id").as("vec_id_2"), col("label").as("label_2"),
-          col("embedding").as("embedding_2"))
-        e.join(e2, col("label") === col("label_2") && col("vec_id") < col("vec_id_2"))
+          col("embedding").as("embedding_2"), col("nrm").as("nrm_2"))
+        e.join(broadcast(e2), col("label") === col("label_2") && col("vec_id") < col("vec_id_2"))
           .select(col("vec_id"), col("vec_id_2"),
-            round(expr(cosine("embedding", "embedding_2")), 4).as("cos_sim"))
+            round(expr(dotOver("embedding", "embedding_2")) / (col("nrm") * col("nrm_2")), 4).as("cos_sim"))
           .filter(col("cos_sim") >= 0.3)
       },
       Some(s"""WITH scored AS (
@@ -87,11 +97,13 @@ object SimQueries {
              | (x, p) -> cast(x as double) * p), 0D, (acc, v) -> acc + v)""".stripMargin)
         val bucketed = e.withColumn("bucket",
           (0 until nPlanes).map(j => when(planeBit(j) > 0, 1L << j).otherwise(0L)).reduce(_ + _))
+          .withColumn("nrm", expr(normExpr))
         val q = bucketed.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
-        val cands = q.join(bucketed.filter(col("vec_id") >= 10), Seq("bucket"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"), col("bucket"))
+        val cands = q.join(broadcast(bucketed.filter(col("vec_id") >= 10)), Seq("bucket"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(expr(cosine("qv", "embedding")), 4).as("cos_sim"))
+            round(expr(dotOver("qv", "embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id").asc)

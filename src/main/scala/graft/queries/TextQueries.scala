@@ -16,9 +16,9 @@ object TextQueries {
   /** word-3-gram shingles as an array column (Spark side); the CASE guards
     * against sequence(1, 0) which would generate a DESCENDING range */
   private val shinglesExpr =
-    "CASE WHEN size(split(text, '\\\\s+')) < 3 THEN array() " +
-      "ELSE transform(sequence(1, size(split(text, '\\\\s+')) - 2), " +
-      "i -> concat_ws(' ', slice(split(text, '\\\\s+'), i, 3))) END"
+    "CASE WHEN size(words) < 3 THEN array() " +
+      "ELSE transform(sequence(1, size(words) - 2), " +
+      "i -> concat_ws(' ', slice(words, i, 3))) END"
 
   /** same shingles in DuckDB 1.0 (list_transform; range() stop-exclusive) */
   private val shinglesSqlDuck =
@@ -124,8 +124,9 @@ object TextQueries {
     // n-gram Jaccard near-dup: adjacent-doc pairs within a source bucket
     Q("ngram_jaccard",
       (s, dir) => {
-        val d = docs(s, dir).select(col("doc_id"), col("source"),
-          array_distinct(expr(shinglesExpr)).as("sh"))
+        val d = docs(s, dir)
+          .withColumn("words", split(col("text"), "\\s+"))
+          .select(col("doc_id"), col("source"), array_distinct(expr(shinglesExpr)).as("sh"))
         val d2 = d.select(col("doc_id").as("doc_id_2"), col("source").as("source_2"),
           col("sh").as("sh2"))
         d.join(d2, col("doc_id_2") === col("doc_id") + 1)
@@ -187,8 +188,9 @@ object TextQueries {
     Q("minhash_lsh",
       (s, dir) => {
         val nHashes = 8
-        val sh = docs(s, dir).select(col("doc_id"),
-          explode(array_distinct(expr(shinglesExpr))).as("shingle"))
+        val sh = docs(s, dir)
+          .withColumn("words", split(col("text"), "\\s+"))
+          .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("shingle"))
         val hashed = sh.select(col("doc_id"),
           explode(expr(s"sequence(0, ${nHashes - 1})")).as("j"),
           col("shingle"))
