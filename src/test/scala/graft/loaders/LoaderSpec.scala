@@ -1,0 +1,197 @@
+package graft.loaders
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expr.HashConfig
+import graft.runtime.TableStore
+
+/** Loader behavior on micro-fixtures (FIXTURES.md §3) plus the global
+  * invariants (§4): idempotence, batch-split ≡ full-load equivalence, and
+  * the soft-constraint tests the reference documents
+  * (`docs/26_general-usage-notes/40_testing-a-data-vault.md:47-71`).
+  */
+class LoaderSpec extends SparkSpec {
+  implicit val hc: HashConfig = HashConfig()
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** 3 batches of one key: value A → A → B (LAG-dedup fixture) */
+  private def aabSource: DataFrame = Seq(
+    ("k1", "2024-01-01 00:00:00", "A"),
+    ("k1", "2024-01-02 00:00:00", "A"),
+    ("k1", "2024-01-03 00:00:00", "B"),
+    ("k2", "2024-01-01 00:00:00", "X")
+  ).toDF("bk", "ldts_s", "payload")
+    .withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+    .withColumn("rsrc", lit("TEST"))
+    .withColumn("hk", graft.expr.Hashing.hashkey(Seq($"bk")))
+    .withColumn("hd", graft.expr.Hashing.hashdiff(Seq($"payload")))
+
+  test("sat v0 keeps intermediate changes, drops consecutive duplicates") {
+    val out = SatV0Loader.records(aabSource, Seq("hk"), Some("hd"), Seq("payload"), None)
+    val rows = out.select("payload", "ldts").collect().map(r => (r.getString(0), r.getTimestamp(1).toString)).toSet
+    assert(rows == Set(("A", "2024-01-01 00:00:00.0"), ("B", "2024-01-03 00:00:00.0"),
+      ("X", "2024-01-01 00:00:00.0")))
+  }
+
+  test("sat v0 incremental: batch-split equals full load (multi-batch replay)") {
+    val wh = Files.createTempDirectory("graft_t").toString
+    val store = new TableStore(spark, wh)
+    // full load in one go
+    val full = SatV0Loader.records(aabSource, Seq("hk"), Some("hd"), Seq("payload"), None)
+    // split: batch 1+2 first, then batch 3
+    val b12 = aabSource.filter($"ldts" <= ts("2024-01-02 00:00:00"))
+    store.append("s", SatV0Loader.records(b12, Seq("hk"), Some("hd"), Seq("payload"), None))
+    val b3 = aabSource // loader's HWM filter must ignore already-loaded rows
+    store.append("s", SatV0Loader.records(b3, Seq("hk"), Some("hd"), Seq("payload"),
+      Some(store.read("s"))))
+    val split = store.read("s")
+    assert(split.count() == full.count())
+    assert(split.exceptAll(full).isEmpty && full.exceptAll(split).isEmpty)
+    store.drop("s")
+  }
+
+  test("sat v0 idempotence: replaying the same batch inserts zero rows") {
+    val wh = Files.createTempDirectory("graft_t").toString
+    val store = new TableStore(spark, wh)
+    store.append("s", SatV0Loader.records(aabSource, Seq("hk"), Some("hd"), Seq("payload"), None))
+    val again = SatV0Loader.records(aabSource, Seq("hk"), Some("hd"), Seq("payload"),
+      Some(store.read("s")))
+    assert(again.count() == 0)
+    store.drop("s")
+  }
+
+  test("hub: (hashkey unique + not null) invariant and earliest-ldts wins") {
+    val hub = HubLoader.records(
+      Seq(EntitySource(aabSource, Some("hk"), Seq("bk"))), "hk", Seq("bk"), None)
+    assert(hub.count() == 2)
+    assert(hub.filter($"hk".isNull).count() == 0)
+    assert(hub.groupBy("hk").count().filter($"count" > 1).count() == 0)
+    // earliest ldts kept
+    assert(hub.agg(max("ldts")).head().getTimestamp(0) == ts("2024-01-01 00:00:00"))
+  }
+
+  test("hub incremental with two sources: positional bk mapping, no dup keys") {
+    val wh = Files.createTempDirectory("graft_t").toString
+    val store = new TableStore(spark, wh)
+    val src2 = Seq(("k2", "2024-01-05 00:00:00", "zzz"), ("k3", "2024-01-05 00:00:00", "yyy"))
+      .toDF("other_name", "ldts_s", "junk")
+      .withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("TEST2"))
+      .withColumn("hk", graft.expr.Hashing.hashkey(Seq($"other_name")))
+    store.append("h", HubLoader.records(
+      Seq(EntitySource(aabSource, Some("hk"), Seq("bk"))), "hk", Seq("bk"), None))
+    val delta = HubLoader.records(
+      Seq(EntitySource(src2, Some("hk"), Seq("other_name"))), "hk", Seq("bk"),
+      Some(store.read("h")))
+    // k2 already exists -> only k3 inserted, renamed positionally to bk
+    assert(delta.count() == 1)
+    assert(delta.head().getAs[String]("bk") == "k3")
+    store.drop("h")
+  }
+
+  test("sat v1 ledts chain: contiguous, ends at end-of-all-times") {
+    val v0 = SatV0Loader.records(aabSource, Seq("hk"), Some("hd"), Seq("payload"), None)
+    val v1 = SatV1Loader.build(v0, "hk", Some("hd"), addIsCurrentFlag = true)
+    val k1 = v1.filter($"payload".isin("A", "B")).orderBy("ldts").collect()
+    assert(k1(0).getAs[java.sql.Timestamp]("ledts").toString == "2024-01-02 23:59:59.999999")
+    assert(k1(1).getAs[java.sql.Timestamp]("ledts").toString == "8888-12-31 23:59:59.0")
+    assert(!k1(0).getAs[Boolean]("is_current") && k1(1).getAs[Boolean]("is_current"))
+  }
+
+  test("eff sat multi-batch: present 1,2,4 of 4 batches → active/inactive/active") {
+    val src = Seq(
+      ("k1", "2024-01-01 00:00:00"), ("k1", "2024-01-02 00:00:00"), ("k1", "2024-01-04 00:00:00"),
+      ("k2", "2024-01-01 00:00:00"), ("k2", "2024-01-02 00:00:00"),
+      ("k2", "2024-01-03 00:00:00"), ("k2", "2024-01-04 00:00:00"))
+      .toDF("hk", "ldts_s")
+      .withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("TEST"))
+    val out = EffSatLoader.records(src, "hk", None)
+    val k1 = out.filter($"hk" === "k1").orderBy("ldts")
+      .select("ldts", "is_active").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getBoolean(1))).toSeq
+    assert(k1 == Seq(("2024-01-01", true), ("2024-01-03", false), ("2024-01-04", true)))
+    // k2 continuously present -> single activation row
+    assert(out.filter($"hk" === "k2").count() == 1)
+  }
+
+  test("eff sat incremental: disappeared key gets SYSTEM deactivation row") {
+    val wh = Files.createTempDirectory("graft_t").toString
+    val store = new TableStore(spark, wh)
+    val b1 = Seq(("k1", "2024-01-01 00:00:00"), ("k2", "2024-01-01 00:00:00"))
+      .toDF("hk", "ldts_s").withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("TEST"))
+    store.append("e", EffSatLoader.records(b1, "hk", None))
+    // batch 2: k2 disappears
+    val b2 = Seq(("k1", "2024-01-02 00:00:00"))
+      .toDF("hk", "ldts_s").withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("TEST"))
+    val delta = EffSatLoader.records(b2, "hk", Some(store.read("e")))
+    val k2 = delta.filter($"hk" === "k2").collect()
+    assert(k2.length == 1 && !k2(0).getAs[Boolean]("is_active")
+      && k2(0).getAs[String]("rsrc") == "SYSTEM")
+    // k1 still active, unchanged status -> no new row
+    assert(delta.filter($"hk" === "k1").count() == 0)
+    store.drop("e")
+  }
+
+  test("ma sat: reordered multi-active set across batches is NOT a change") {
+    val src = Seq(
+      ("k1", "2024-01-01 00:00:00", "home", "111"), ("k1", "2024-01-01 00:00:00", "work", "222"),
+      ("k1", "2024-01-02 00:00:00", "work", "222"), ("k1", "2024-01-02 00:00:00", "home", "111"),
+      ("k1", "2024-01-03 00:00:00", "home", "999"), ("k1", "2024-01-03 00:00:00", "work", "222"))
+      .toDF("hk", "ldts_s", "ma", "phone")
+      .withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("TEST"))
+    val hashed = src.join(
+      src.groupBy("hk", "ldts").agg(
+        graft.expr.Hashing.maHashdiff(Seq($"phone"), Seq($"ma")).as("hd")),
+      Seq("hk", "ldts"))
+    val out = MaSatV0Loader.records(hashed, "hk", "hd", Seq("ma"), Seq("phone"), None)
+    // batch 2 is the same set -> dropped; batches 1 and 3 kept (2 rows each)
+    assert(out.count() == 4)
+    assert(out.select("ldts").distinct().count() == 2)
+  }
+
+  test("rehash entity MD5 -> SHA256 preserves ghost keys and row count") {
+    val wh = Files.createTempDirectory("graft_t").toString
+    val store = new TableStore(spark, wh)
+    val md5cfg = HashConfig()
+    val shacfg = HashConfig(algorithm = "SHA256")
+    val hub = HubLoader.records(
+      Seq(EntitySource(aabSource, Some("hk"), Seq("bk"))), "hk", Seq("bk"), None)
+      .unionByName(Seq((md5cfg.zeroKey, "(unknown)", "SYSTEM"))
+        .toDF("hk", "bk", "rsrc")
+        .withColumn("ldts", to_timestamp(lit("0001-01-01 00:00:01"))))
+    store.overwrite("h", hub.select("hk", "bk", "ldts", "rsrc"))
+    graft.runtime.Rehasher.rehashEntity(store, "h", "hk", Seq("bk"), md5cfg, shacfg)
+    val out = store.read("h")
+    assert(out.count() == 3)
+    assert(out.filter($"hk" === shacfg.zeroKey).count() == 1) // ghost preserved
+    assert(out.filter(length($"hk") === 64).count() == 2)     // business rows rehashed
+    store.drop("h")
+  }
+
+  test("pit cleanup deletes rows of deactivated snapshots") {
+    val wh = Files.createTempDirectory("graft_t").toString
+    val store = new TableStore(spark, wh)
+    val snaps = Seq(("2024-01-01 00:00:00", true), ("2024-01-02 00:00:00", false))
+      .toDF("sdts_s", "is_active")
+      .withColumn("sdts", to_timestamp($"sdts_s")).drop("sdts_s")
+    store.overwrite("snap", snaps)
+    val pit = Seq(("a", "2024-01-01 00:00:00"), ("a", "2024-01-02 00:00:00"),
+      ("b", "2024-01-02 00:00:00"))
+      .toDF("hk", "sdts_s").withColumn("sdts", to_timestamp($"sdts_s")).drop("sdts_s")
+    store.overwrite("pit", pit)
+    val kept = graft.runtime.PitCleaner.cleanUp(store, "pit", "snap")
+    assert(kept == 1)
+    assert(store.read("pit").select("hk").as[String].collect().toSeq == Seq("a"))
+    store.drop("pit"); store.drop("snap")
+  }
+}
