@@ -13,17 +13,30 @@ import graft.expr.SystemColumns._
 object Ops {
 
   /** W1 — keep the earliest row per key set
-    * (reference `tables/databricks/hub.sql:221-232`). */
-  def dedupEarliest(df: DataFrame, keys: Seq[String], ldts: String = LdtsAlias): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ldts).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+    * (reference `tables/databricks/hub.sql:221-232`, QUALIFY ROW_NUMBER()=1).
+    *
+    * Implemented as `min_by(struct(*), ldts)` instead of a row_number
+    * window: a window needs a full shuffle + per-partition SORT of every
+    * row, while min_by is an ordinary aggregate with map-side partial
+    * combine — at 100 TB the sort is the difference between a spilling
+    * stage and a streaming one. Ties on ldts are arbitrary in both forms
+    * (and in every reference warehouse). */
+  def dedupEarliest(df: DataFrame, keys: Seq[String], ldts: String = LdtsAlias): DataFrame =
+    dedupBy(df, keys, min_by(_, _), ldts)
 
   /** W2 — keep the latest row per key set
     * (reference `tables/databricks/sat_v0.sql:69-84`). */
-  def dedupLatest(df: DataFrame, keys: Seq[String], ldts: String = LdtsAlias): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ldts).desc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  def dedupLatest(df: DataFrame, keys: Seq[String], ldts: String = LdtsAlias): DataFrame =
+    dedupBy(df, keys, max_by(_, _), ldts)
+
+  private def dedupBy(df: DataFrame, keys: Seq[String],
+                      agg: (Column, Column) => Column, ldts: String): DataFrame = {
+    val others = df.columns.filterNot(keys.contains)
+    val packed = df.groupBy(keys.map(col): _*)
+      .agg(agg(struct(others.map(col).toIndexedSeq: _*), col(ldts)).as("__row"))
+    others.foldLeft(packed)((d, c) => d.withColumn(c, col(s"__row.$c")))
+      .drop("__row")
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** W3 — change-only dedup: drop rows whose dedup column equals the previous
