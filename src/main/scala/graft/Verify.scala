@@ -1,5 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -20,8 +22,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Oracle SQL yields naive TIMESTAMP in DuckDB; Spark's TimestampType
+    // writes parquet isAdjustedToUTC=true (read back as TIMESTAMPTZ), so the
+    // driver's schema compare fails. Session TZ is UTC, so the LTZ→NTZ cast
+    // is value-preserving and only fixes the parquet annotation.
+    def ntz(df: DataFrame): DataFrame = df.schema.fields.foldLeft(df) {
+      case (d, f) if f.dataType == TimestampType =>
+        d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+      case (d, _) => d
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

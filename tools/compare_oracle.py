@@ -11,15 +11,26 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def tz_schema_mismatch(got, want):
+    """Driver-faithful schema check: a tz-aware Spark column vs a naive
+    oracle column (or vice versa) fails schema_match; do NOT normalize."""
+    bad = []
+    for c in set(got.columns) & set(want.columns):
+        if (pd.api.types.is_datetime64_any_dtype(got[c])
+                and pd.api.types.is_datetime64_any_dtype(want[c])):
+            gtz = getattr(got[c].dtype, "tz", None)
+            wtz = getattr(want[c].dtype, "tz", None)
+            if (gtz is None) != (wtz is None):
+                bad.append(f"{c}: spark tz={gtz} oracle tz={wtz}")
+    return bad
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize for comparison: timestamps to iso strings, floats rounded
+    # timestamps to iso strings (tz-aware keeps its offset suffix — a tz
+    # mismatch must FAIL, like the driver's strict compare), floats rounded
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            s = df[c]
-            if getattr(s.dtype, "tz", None) is not None:
-                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            df[c] = s.astype("datetime64[us]").astype(str)
+            df[c] = df[c].astype(str)
         elif df[c].dtype == object:
             df[c] = df[c].apply(lambda v: v.isoformat() if hasattr(v, "isoformat") else v)
     return df.sort_values(by=list(df.columns), ignore_index=True)
@@ -46,6 +57,10 @@ def main():
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         got = con.sql(f"SELECT * FROM '{spath}/*.parquet'").df()
         try:
+            tzbad = tz_schema_mismatch(got, want)
+            if tzbad:
+                print(f"FAIL {name}: tz schema mismatch: " + "; ".join(tzbad))
+                n_fail += 1; continue
             g, w = canon(got), canon(want)
             if list(g.columns) != list(w.columns):
                 print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
