@@ -127,7 +127,10 @@ object Hashing {
       implicit cfg: HashConfig): Column = {
     val rowStr = concatenated(payloadCols, caseSensitive = cfg.hashdiffCaseSensitive,
       useTrim = cfg.hashdiffUseTrim)
-    val keyed = maKeys.zipWithIndex.map { case (k, i) => k.cast("string").as(s"k$i") }
+    // keep native key types in the sort struct: LISTAGG ... WITHIN GROUP
+    // (ORDER BY ma_keys) orders by the key's own type — casting numerics to
+    // string would order 10 before 2 and diverge from the reference bytes
+    val keyed = maKeys.zipWithIndex.map { case (k, i) => k.as(s"k$i") }
     val entry = when(rowStr.isNotNull, struct((keyed :+ rowStr.as("s")): _*))
     val agg = array_join(
       transform(array_sort(collect_list(entry)), e => e.getField("s")), ",")

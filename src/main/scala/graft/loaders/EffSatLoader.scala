@@ -33,7 +33,7 @@ object EffSatLoader {
 
     // source_data: ghost rows excluded + HWM (eff_sat_v0.sql:33-53)
     val src0 = Ops.excludeGhosts(source.select(hashkey, LdtsAlias, RsrcAlias))
-    val src = if (disableHwm) Ops.hwmFilter(src0, target) else Ops.hwmFilter(src0, target)
+    val src = if (disableHwm) src0 else Ops.hwmFilter(src0, target)
 
     // current_status: latest row per key in the existing sat (:58-73)
     val currentStatus = target.map(t =>
@@ -93,9 +93,14 @@ object EffSatLoader {
         val filtered =
           if (!singleBatch) {
             val hit = cs.select(col(hashkey), col(isActiveAlias).cast("int").as("__cs_active"))
+            // exclusion requires a current_status HIT: for a brand-new key
+            // __cs_active is NULL and the negated predicate would be NULL too,
+            // silently dropping its activation row — the reference's NOT
+            // EXISTS (eff_sat_v0.sql:270-316) keeps rows with no match.
             incoming.join(hit, Seq(hashkey), "left")
-              .filter(!(col("__cs_active") === col(isActiveAlias).cast("int") &&
-                col(LdtsAlias) === lit(minRow.get(0))))
+              .filter(col("__cs_active").isNull ||
+                !(col("__cs_active") === col(isActiveAlias).cast("int") &&
+                  col(LdtsAlias) === lit(minRow.get(0))))
               .drop("__cs_active")
           } else incoming
         filtered.select(outCols.map(col): _*)

@@ -45,17 +45,16 @@ object PitLoader {
     var df = te.crossJoin(broadcast(snapActive))
 
     val satCols: Seq[Column] = satellites.flatMap { sat =>
-      val satDf0 = sat.df.select(col(hashkey).as(s"__${sat.name}_hk"), col(LdtsAlias).as(s"__${sat.name}_ldts")) match {
-        case d if sat.hasLedts =>
+      // v0 sats without ledts get end-dated inline (pit.sql:90-96)
+      val satDf =
+        if (sat.hasLedts)
           sat.df.select(col(hashkey).as(s"__${sat.name}_hk"),
             col(LdtsAlias).as(s"__${sat.name}_ldts"),
             col(LedtsAlias).as(s"__${sat.name}_ledts"))
-        case d => d
-      }
-      // v0 sats without ledts get end-dated inline (pit.sql:90-96)
-      val satDf =
-        if (sat.hasLedts) satDf0
-        else Ops.endDate(satDf0, s"__${sat.name}_hk", s"__${sat.name}_ldts", s"__${sat.name}_ledts")
+        else Ops.endDate(
+          sat.df.select(col(hashkey).as(s"__${sat.name}_hk"),
+            col(LdtsAlias).as(s"__${sat.name}_ldts")),
+          s"__${sat.name}_hk", s"__${sat.name}_ldts", s"__${sat.name}_ledts")
       df = df.join(satDf,
         col(s"__${sat.name}_hk") === col(hashkey) &&
           col(sdtsAlias).between(col(s"__${sat.name}_ldts"), col(s"__${sat.name}_ledts")),

@@ -40,7 +40,9 @@ object SatV0Loader {
 
     // deduplicated_numbered_source (sat_v0.sql:93-114): LAG change-dedup + rn
     val deduped = if (doDedup) {
-      val d = Ops.dedupChanges(src, keys.head, dedupCol.get)
+      // partition the LAG by ALL keys (ref_sat_v0.sql does the same for
+      // composite ref keys) — keys.head alone interleaves distinct entities
+      val d = Ops.dedupChanges(src, keys, dedupCol.get)
       if (incremental) {
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(LdtsAlias).asc)
         d.withColumn("__rn", row_number().over(w))

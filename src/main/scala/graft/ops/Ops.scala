@@ -44,13 +44,19 @@ object Ops {
     * `tables/databricks/sat_v0.sql:93-114`: QUALIFY CASE WHEN hd = LAG(hd) ...).
     * NULL-safe exactly like the reference: `hd = LAG(hd)` is NULL (≠ TRUE)
     * when either side is NULL, so such rows are KEPT. */
-  def dedupChanges(df: DataFrame, key: String, dedupCol: String,
-                   ldts: String = LdtsAlias): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(ldts).asc)
+  def dedupChanges(df: DataFrame, keys: Seq[String], dedupCol: String,
+                   ldts: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ldts).asc)
     val isDup = col(dedupCol) === lag(col(dedupCol), 1).over(w)
     df.withColumn("__dup", coalesce(isDup, lit(false)))
       .filter(!col("__dup")).drop("__dup")
   }
+
+  def dedupChanges(df: DataFrame, key: String, dedupCol: String): DataFrame =
+    dedupChanges(df, Seq(key), dedupCol, LdtsAlias)
+
+  def dedupChanges(df: DataFrame, keys: Seq[String], dedupCol: String): DataFrame =
+    dedupChanges(df, keys, dedupCol, LdtsAlias)
 
   /** W4 — virtual end-dating: ledts = LEAD(ldts) - 1 microsecond, last row
     * gets end-of-all-times (reference `tables/databricks/sat_v1.sql:33-48`). */
@@ -102,17 +108,6 @@ object Ops {
     * `sat_v0.sql:131-142` NOT EXISTS). */
   def antiJoin(src: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
     src.join(target.select(keys.map(col): _*), keys, "left_anti")
-
-  /** J6 — temporal (point-in-time) join: for each (entity, sdts) pick the
-    * satellite version valid at sdts (reference `tables/databricks/pit.sql:85-101`). */
-  def temporalJoin(left: DataFrame, sat: DataFrame, key: String,
-                   sdts: String = SdtsAlias, ldts: String = LdtsAlias,
-                   ledts: String = LedtsAlias): DataFrame = {
-    val satCols = sat.columns.map(c => sat(c).as(s"sat_$c"))
-    left.join(sat,
-      left(key) === sat(key) && left(sdts).between(sat(ldts), sat(ledts)),
-      "left")
-  }
 
   /** U1 — union N sources by column name
     * (reference `tables/databricks/hub.sql:186-219`). */

@@ -32,10 +32,11 @@ object OracleSql {
     s"coalesce(lower(md5(${concatStd(cols, caseSensitive = true)})), '$ZeroKey')"
 
   /** aggregate expression: ordered LISTAGG + hash (H5). Ordering matches the
-    * Spark implementation: ma keys as strings, standardized row as tiebreak. */
+    * Spark implementation AND the reference's LISTAGG ... WITHIN GROUP
+    * (ORDER BY ma_keys): native-typed ma keys, standardized row as tiebreak. */
   def maHashdiff(payload: Seq[String], maKeys: Seq[String]): String = {
     val row = concatStd(payload, caseSensitive = true)
-    val order = (maKeys.map(k => s"cast($k as varchar)") :+ row).mkString(", ")
+    val order = (maKeys :+ row).mkString(", ")
     s"coalesce(lower(md5(string_agg($row, ',' ORDER BY $order))), '$ZeroKey')"
   }
 }

@@ -132,10 +132,11 @@ object SimQueries {
 
     // tumbling-window aggregation over the events stream table.
     // The file carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects — read nanos as long (legacy conf) and convert to micros.
+    // rejects — sessions must set spark.sql.legacy.parquet.nanosAsLong=true
+    // at build time (Verify and Bench both do) so ts reads as long;
+    // convert to micros here.
     Q("events_windowed",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val ev = s.read.parquet(s"$dir/events.parquet")
           .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
         ev.groupBy(date_trunc("hour", col("ts_us")).as("window_start"), col("event_type"))

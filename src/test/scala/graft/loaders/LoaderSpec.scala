@@ -141,6 +141,49 @@ class LoaderSpec extends SparkSpec {
     store.drop("e")
   }
 
+  test("eff sat incremental multi-batch: brand-new key gets its activation row") {
+    val wh = Files.createTempDirectory("graft_t").toString
+    val store = new TableStore(spark, wh)
+    val b1 = Seq(("k1", "2024-01-01 00:00:00"))
+      .toDF("hk", "ldts_s").withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("TEST"))
+    store.append("e", EffSatLoader.records(b1, "hk", None))
+    // multi-batch delta introduces k3 at the delta's min ldts — the
+    // current_status left join has no hit for it, and the exclusion
+    // predicate must not swallow the NULL (ADVICE r1, eff_sat_v0.sql NOT
+    // EXISTS keeps rows with no current_status match)
+    val b23 = Seq(("k1", "2024-01-02 00:00:00"), ("k3", "2024-01-02 00:00:00"),
+      ("k1", "2024-01-03 00:00:00"), ("k3", "2024-01-03 00:00:00"))
+      .toDF("hk", "ldts_s").withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("TEST"))
+    val delta = EffSatLoader.records(b23, "hk", Some(store.read("e")))
+    val k3 = delta.filter($"hk" === "k3").collect()
+    assert(k3.length == 1 && k3(0).getAs[Boolean]("is_active")
+      && k3(0).getTimestamp(1).toString == "2024-01-02 00:00:00.0")
+    // k1 stays continuously active -> no new row
+    assert(delta.filter($"hk" === "k1").count() == 0)
+    store.drop("e")
+  }
+
+  test("eff sat disableHwm=true processes rows at or below the target HWM") {
+    val wh = Files.createTempDirectory("graft_t").toString
+    val store = new TableStore(spark, wh)
+    val b1 = Seq(("k1", "2024-01-05 00:00:00"))
+      .toDF("hk", "ldts_s").withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("TEST"))
+    store.append("e", EffSatLoader.records(b1, "hk", None))
+    // backfill batch entirely OLDER than the target's HWM (2024-01-05)
+    val backfill = Seq(("k9", "2024-01-02 00:00:00"))
+      .toDF("hk", "ldts_s").withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("TEST"))
+    val t = store.read("e")
+    assert(EffSatLoader.records(backfill, "hk", Some(t)).filter($"hk" === "k9" &&
+      $"is_active").count() == 0) // HWM filter drops it
+    assert(EffSatLoader.records(backfill, "hk", Some(t), disableHwm = true)
+      .filter($"hk" === "k9" && $"is_active").count() == 1) // full re-scan keeps it
+    store.drop("e")
+  }
+
   test("ma sat: reordered multi-active set across batches is NOT a change") {
     val src = Seq(
       ("k1", "2024-01-01 00:00:00", "home", "111"), ("k1", "2024-01-01 00:00:00", "work", "222"),
