@@ -69,21 +69,31 @@ object SatV0Loader {
 }
 
 /** v1 satellite: virtual end-dating view over a v0 satellite.
-  * Reference `macros/tables/databricks/sat_v1.sql`. */
+  * Reference `macros/tables/databricks/sat_v1.sql`; with a composite
+  * `keys` set this is `ref_sat_v1.sql` (LEAD partitioned by ALL ref keys). */
 object SatV1Loader {
-  def build(satV0: DataFrame, hashkey: String, hashdiff: Option[String],
-            addIsCurrentFlag: Boolean = false, includePayload: Boolean = true,
-            ledtsAlias: String = LedtsAlias): DataFrame = {
+  def build(satV0: DataFrame, keys: Seq[String], hashdiff: Option[String],
+            addIsCurrentFlag: Boolean, includePayload: Boolean,
+            ledtsAlias: String): DataFrame = {
     val payload = satV0.columns.filterNot(c =>
-      c == hashkey || hashdiff.contains(c) || c == LdtsAlias || c == RsrcAlias)
-    val ordered = Seq(hashkey) ++ hashdiff.toSeq ++ Seq(RsrcAlias, LdtsAlias)
-    var df = Ops.endDate(satV0, hashkey, ledtsAlias = ledtsAlias)
+      keys.contains(c) || hashdiff.contains(c) || c == LdtsAlias || c == RsrcAlias)
+    val ordered = keys ++ hashdiff.toSeq ++ Seq(RsrcAlias, LdtsAlias)
+    var df = Ops.endDate(satV0, keys, LdtsAlias, ledtsAlias)
     if (addIsCurrentFlag) df = Ops.isCurrentFlag(df, ledtsAlias)
     val cols = ordered ++ Seq(ledtsAlias) ++
       (if (addIsCurrentFlag) Seq(IsCurrentAlias) else Nil) ++
       (if (includePayload) payload.toSeq else Nil)
     df.select(cols.map(col): _*)
   }
+
+  def build(satV0: DataFrame, hashkey: String, hashdiff: Option[String],
+            addIsCurrentFlag: Boolean = false, includePayload: Boolean = true,
+            ledtsAlias: String = LedtsAlias): DataFrame =
+    build(satV0, Seq(hashkey), hashdiff, addIsCurrentFlag, includePayload, ledtsAlias)
+
+  def build(satV0: DataFrame, keys: Seq[String], hashdiff: Option[String],
+            addIsCurrentFlag: Boolean): DataFrame =
+    build(satV0, keys, hashdiff, addIsCurrentFlag, includePayload = true, LedtsAlias)
 }
 
 /** Multi-active satellite v0: the hashdiff describes the whole active set

@@ -59,13 +59,19 @@ object Ops {
     dedupChanges(df, keys, dedupCol, LdtsAlias)
 
   /** W4 — virtual end-dating: ledts = LEAD(ldts) - 1 microsecond, last row
-    * gets end-of-all-times (reference `tables/databricks/sat_v1.sql:33-48`). */
-  def endDate(df: DataFrame, key: String, ldts: String = LdtsAlias,
-              ledtsAlias: String = LedtsAlias): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(ldts).asc)
+    * gets end-of-all-times (reference `tables/databricks/sat_v1.sql:33-48`).
+    * `keys` may be a composite ref-key set (ref_sat_v1.sql partitions the
+    * LEAD by all ref keys). */
+  def endDate(df: DataFrame, keys: Seq[String], ldts: String,
+              ledtsAlias: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ldts).asc)
     df.withColumn(ledtsAlias,
       coalesce(lead(col(ldts) - expr("interval 1 microsecond"), 1).over(w), endOfAllTimesTs))
   }
+
+  def endDate(df: DataFrame, key: String, ldts: String = LdtsAlias,
+              ledtsAlias: String = LedtsAlias): DataFrame =
+    endDate(df, Seq(key), ldts, ledtsAlias)
 
   /** W6 — is_current flag (reference `tables/databricks/sat_v1.sql:58-63`). */
   def isCurrentFlag(df: DataFrame, ledts: String = LedtsAlias,

@@ -55,6 +55,40 @@ object DvQueries {
       .withColumn("hd_customer_s",
         Hashing.hashdiff(Seq(col("c_name"), col("c_acctbal_v"), col("c_mktsegment"))))
 
+  /** Incremental-sat fixture: 3 batches; %5 keys change at b1 (and keep the
+    * value), %2 keys change at b2. Target built from b≤1 makes batch 2 the
+    * delta, where odd custkeys are unchanged vs the target's latest. */
+  private def custIncSource(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer")
+      .crossJoin(s.range(3).select(col("id").as("b")))
+      .withColumn(LdtsAlias,
+        expr("timestampadd(DAY, cast(b as int), timestamp'2024-05-01 00:00:00')"))
+      .withColumn(RsrcAlias, lit("TPC_H/Customer"))
+      .withColumn("c_acctbal_v",
+        col("c_acctbal")
+          + when(col("b") >= 1 && col("c_custkey") % 5 === 0, 1.5).otherwise(0.0)
+          + when(col("b") === 2 && col("c_custkey") % 2 === 0, 3.0).otherwise(0.0))
+      .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey"))))
+      .withColumn("hd_customer_s",
+        Hashing.hashdiff(Seq(col("c_name"), col("c_acctbal_v"), col("c_mktsegment"))))
+
+  /** MA-sat fixture: 2 load dates; even custkeys' order sets change at b1
+    * (one cent on every totalprice), odd custkeys' sets are identical. */
+  private def ordMaStage(s: SparkSession, dir: String): DataFrame = {
+    val src = rd(s, dir, "orders")
+      .crossJoin(s.range(2).select(col("id").as("b")))
+      .withColumn(LdtsAlias,
+        expr("timestampadd(DAY, cast(b as int), timestamp'2024-03-10 00:00:00')"))
+      .withColumn(RsrcAlias, lit("TPC_H/Orders"))
+      .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("o_custkey"))))
+      .withColumn("o_totalprice_v",
+        col("o_totalprice") + when(col("b") === 1 && col("o_custkey") % 2 === 0, 1.0).otherwise(0.0))
+    val grouped = src.groupBy(col("hk_customer_h"), col(LdtsAlias))
+      .agg(Hashing.maHashdiff(Seq(col("o_orderstatus"), col("o_totalprice_v")),
+        Seq(col("o_orderkey"))).as("hd_orders_ms"))
+    src.join(grouped, Seq("hk_customer_h", LdtsAlias), "left")
+  }
+
   // ---- shared oracle fragments -----------------------------------------
   private val custStageSql =
     s"""cust_stage AS (
@@ -77,6 +111,34 @@ object DvQueries {
        |hashed AS (
        |  SELECT *, ${O.hashdiff("c_name", "c_acctbal_v", "c_mktsegment")} AS hd_customer_s
        |  FROM src)""".stripMargin
+
+  private val custIncSql =
+    s"""src AS (
+       |  SELECT c_custkey, c_name, c_mktsegment, b,
+       |         timestamp '2024-05-01 00:00:00' + b * INTERVAL 1 DAY AS ldts,
+       |         'TPC_H/Customer' AS rsrc,
+       |         c_acctbal + CASE WHEN b >= 1 AND c_custkey % 5 = 0 THEN 1.5 ELSE 0.0 END
+       |                   + CASE WHEN b = 2 AND c_custkey % 2 = 0 THEN 3.0 ELSE 0.0 END AS c_acctbal_v,
+       |         ${O.hashkey("c_custkey")} AS hk_customer_h
+       |  FROM customer CROSS JOIN (VALUES (0),(1),(2)) AS batches(b)),
+       |hashed AS (
+       |  SELECT *, ${O.hashdiff("c_name", "c_acctbal_v", "c_mktsegment")} AS hd_customer_s
+       |  FROM src)""".stripMargin
+
+  private val ordMaSql =
+    s"""src AS (
+       |  SELECT ${O.hashkey("o_custkey")} AS hk_customer_h,
+       |         timestamp '2024-03-10 00:00:00' + b * INTERVAL 1 DAY AS ldts,
+       |         'TPC_H/Orders' AS rsrc, o_orderkey, o_orderstatus, b,
+       |         o_totalprice + CASE WHEN b = 1 AND o_custkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice_v
+       |  FROM orders CROSS JOIN (VALUES (0),(1)) AS batches(b)),
+       |grouped AS (
+       |  SELECT hk_customer_h, ldts,
+       |         ${O.maHashdiff(Seq("o_orderstatus", "o_totalprice_v"), Seq("o_orderkey"))} AS hd_orders_ms
+       |  FROM src GROUP BY hk_customer_h, ldts),
+       |staged AS (
+       |  SELECT s.*, g.hd_orders_ms FROM src s LEFT JOIN grouped g
+       |    ON s.hk_customer_h = g.hk_customer_h AND s.ldts = g.ldts)""".stripMargin
 
   private val satV0Sql = // change-only dedup over the 3-batch source (W3)
     s"""$cust3BatchSql,
@@ -557,6 +619,169 @@ object DvQueries {
               |  QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_customer_h ORDER BY ldts) = 1)
               |SELECT d.* FROM dedup d WHERE NOT EXISTS (
               |  SELECT 1 FROM target t WHERE t.hk_customer_h = d.hk_customer_h)""".stripMargin)),
+
+    // J2, W2, W5 — incremental sat v0: NOT-EXISTS rn=1 vs target latest
+    // (sat_v0.sql:131-142). Fixture: 3 batches; %5 keys change at b1 and
+    // keep the new value; %2 keys change at b2. Target = batches 0-1, so the
+    // delta is batch 2 and the NOT EXISTS must drop every odd custkey (its
+    // b2 value equals the target's latest hashdiff).
+    Q("sat_v0_incremental",
+      (s, dir) => {
+        val src = custIncSource(s, dir)
+        val payload = Seq("c_name", "c_acctbal_v", "c_mktsegment")
+        val target = SatV0Loader.records(src.filter(col("b") <= 1), Seq("hk_customer_h"),
+          Some("hd_customer_s"), payload, target = None)
+        SatV0Loader.records(src, Seq("hk_customer_h"), Some("hd_customer_s"), payload,
+          target = Some(target))
+      },
+      Some(s"""WITH $custIncSql,
+              |target AS (
+              |  SELECT hk_customer_h, hd_customer_s, rsrc, ldts, c_name, c_acctbal_v, c_mktsegment
+              |  FROM hashed WHERE b <= 1
+              |  QUALIFY CASE WHEN hd_customer_s = LAG(hd_customer_s)
+              |    OVER (PARTITION BY hk_customer_h ORDER BY ldts) THEN FALSE ELSE TRUE END),
+              |hwm AS (SELECT MAX(ldts) AS m FROM target WHERE ldts != timestamp '8888-12-31 23:59:59'),
+              |inc AS (SELECT h.* FROM hashed h, hwm WHERE h.ldts > hwm.m),
+              |dd AS (
+              |  SELECT * FROM inc
+              |  QUALIFY CASE WHEN hd_customer_s = LAG(hd_customer_s)
+              |    OVER (PARTITION BY hk_customer_h ORDER BY ldts) THEN FALSE ELSE TRUE END),
+              |numbered AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY hk_customer_h ORDER BY ldts) AS rn FROM dd),
+              |latest AS (
+              |  SELECT hk_customer_h, hd_customer_s FROM target
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_customer_h ORDER BY ldts DESC) = 1)
+              |SELECT n.hk_customer_h, n.hd_customer_s, n.rsrc, n.ldts,
+              |       n.c_name, n.c_acctbal_v, n.c_mktsegment
+              |FROM numbered n LEFT JOIN latest l
+              |  ON n.hk_customer_h = l.hk_customer_h AND n.hd_customer_s = l.hd_customer_s
+              |WHERE l.hk_customer_h IS NULL OR n.rn != 1""".stripMargin)),
+
+    // J10, U4 — eff sat single-batch mode: activate new keys, deactivate
+    // disappeared ones (eff_sat_v0.sql:174-264). Source day 1 = keys %4!=0,
+    // day 2 = keys %3!=0: expect activations for (%4=0 ∧ %3!=0) and SYSTEM
+    // deactivations for (%4!=0 ∧ %3=0).
+    Q("eff_sat_single_batch",
+      (s, dir) => {
+        def src(mod: Int, ts: String) = rd(s, dir, "customer")
+          .filter(col("c_custkey") % mod =!= 0)
+          .withColumn(LdtsAlias, to_timestamp(lit(ts)))
+          .withColumn(RsrcAlias, lit("TPC_H/Customer"))
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey"))))
+        val target = EffSatLoader.records(src(4, "2024-06-01 00:00:00"), "hk_customer_h",
+          target = None, singleBatch = true)
+        EffSatLoader.records(src(3, "2024-06-02 00:00:00"), "hk_customer_h",
+          target = Some(target), singleBatch = true)
+      },
+      Some(s"""WITH day1 AS (
+              |  SELECT DISTINCT ${O.hashkey("c_custkey")} AS hk_customer_h,
+              |    timestamp '2024-06-01 00:00:00' AS ldts, 'TPC_H/Customer' AS rsrc
+              |  FROM customer WHERE c_custkey % 4 != 0),
+              |day2 AS (
+              |  SELECT DISTINCT ${O.hashkey("c_custkey")} AS hk_customer_h,
+              |    timestamp '2024-06-02 00:00:00' AS ldts, 'TPC_H/Customer' AS rsrc
+              |  FROM customer WHERE c_custkey % 3 != 0),
+              |new_keys AS (
+              |  SELECT hk_customer_h, ldts, rsrc, TRUE AS is_active FROM day2
+              |  WHERE hk_customer_h NOT IN (SELECT hk_customer_h FROM day1)),
+              |disappeared AS (
+              |  SELECT hk_customer_h, timestamp '2024-06-02 00:00:00' AS ldts,
+              |         'SYSTEM' AS rsrc, FALSE AS is_active FROM day1
+              |  WHERE hk_customer_h NOT IN (SELECT hk_customer_h FROM day2))
+              |SELECT DISTINCT * FROM (
+              |  SELECT * FROM new_keys UNION ALL SELECT * FROM disappeared)""".stripMargin)),
+
+    // ma_sat_v0.sql:110-117 — incremental MA sat: groups whose set-hashdiff
+    // is unchanged vs the target's latest are dropped; changed groups insert
+    // ALL their multi-active rows.
+    Q("ma_sat_incremental",
+      (s, dir) => {
+        val staged = ordMaStage(s, dir)
+        val target = MaSatV0Loader.records(staged.filter(col("b") === 0), "hk_customer_h",
+          "hd_orders_ms", Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice_v"),
+          target = None, singleBatch = true)
+        MaSatV0Loader.records(staged, "hk_customer_h", "hd_orders_ms", Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice_v"), target = Some(target))
+      },
+      Some(s"""WITH $ordMaSql
+              |SELECT s.hk_customer_h, s.hd_orders_ms, s.rsrc, s.ldts,
+              |       s.o_orderkey, s.o_orderstatus, s.o_totalprice_v
+              |FROM staged s WHERE s.b = 1 AND NOT EXISTS (
+              |  SELECT 1 FROM staged t WHERE t.b = 0
+              |    AND t.hk_customer_h = s.hk_customer_h
+              |    AND t.hd_orders_ms = s.hd_orders_ms)""".stripMargin)),
+
+    // J9 — MA sat v1: end-date the distinct (hk, ldts) loads, join back to
+    // all multi-active rows (ma_sat_v1.sql:47-78).
+    Q("ma_sat_v1_order",
+      (s, dir) => {
+        val staged = ordMaStage(s, dir)
+        val v0 = MaSatV0Loader.records(staged, "hk_customer_h", "hd_orders_ms",
+          Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice_v"), target = None)
+        MaSatV1Loader.build(v0, "hk_customer_h", "hd_orders_ms", Seq("o_orderkey"),
+          addIsCurrentFlag = true)
+      },
+      Some(s"""WITH $ordMaSql,
+              |v0 AS (
+              |  SELECT s.* FROM staged s SEMI JOIN (
+              |    SELECT hk_customer_h, ldts FROM (
+              |      SELECT DISTINCT hk_customer_h, ldts, hd_orders_ms FROM staged)
+              |    QUALIFY CASE WHEN hd_orders_ms = LAG(hd_orders_ms)
+              |      OVER (PARTITION BY hk_customer_h ORDER BY ldts) THEN FALSE ELSE TRUE END
+              |  ) k ON s.hk_customer_h = k.hk_customer_h AND s.ldts = k.ldts),
+              |loads AS (SELECT DISTINCT hk_customer_h, ldts FROM v0),
+              |end_dated AS (
+              |  SELECT hk_customer_h, ldts,
+              |    COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |      OVER (PARTITION BY hk_customer_h ORDER BY ldts),
+              |      timestamp '8888-12-31 23:59:59') AS ledts
+              |  FROM loads)
+              |SELECT v0.hk_customer_h, v0.hd_orders_ms, v0.rsrc, v0.ldts, e.ledts,
+              |  (e.ledts = timestamp '8888-12-31 23:59:59') AS is_current,
+              |  v0.o_orderkey, v0.o_orderstatus, v0.o_totalprice_v
+              |FROM v0 LEFT JOIN end_dated e
+              |  ON v0.hk_customer_h = e.hk_customer_h AND v0.ldts = e.ldts""".stripMargin)),
+
+    // ref_sat_v1.sql — v1 end-dating over a COMPOSITE ref key: the LEAD and
+    // the change-dedup both partition by (n_regionkey, n_nationkey), not the
+    // first key column alone.
+    Q("ref_sat_v1_nation",
+      (s, dir) => {
+        val src = rd(s, dir, "nation")
+          .crossJoin(s.range(2).select(col("id").as("b")))
+          .withColumn(LdtsAlias,
+            expr("timestampadd(DAY, cast(b as int), timestamp'2024-01-01 00:00:00')"))
+          .withColumn(RsrcAlias, lit("TPC_H/Nation"))
+          .withColumn("n_name_v",
+            when(col("b") === 1 && col("n_nationkey") % 3 === 0,
+              concat(col("n_name"), lit("_v2"))).otherwise(col("n_name")))
+          .withColumn("hd_nation_rs", Hashing.hashdiff(Seq(col("n_name_v"))))
+        val v0 = SatV0Loader.records(src, Seq("n_regionkey", "n_nationkey"),
+          Some("hd_nation_rs"), Seq("n_name_v"), target = None)
+        SatV1Loader.build(v0, Seq("n_regionkey", "n_nationkey"), Some("hd_nation_rs"),
+          addIsCurrentFlag = true)
+      },
+      Some(s"""WITH src AS (
+              |  SELECT n_regionkey, n_nationkey,
+              |    timestamp '2024-01-01 00:00:00' + b * INTERVAL 1 DAY AS ldts,
+              |    'TPC_H/Nation' AS rsrc,
+              |    CASE WHEN b = 1 AND n_nationkey % 3 = 0 THEN n_name || '_v2' ELSE n_name END AS n_name_v
+              |  FROM nation CROSS JOIN (VALUES (0),(1)) AS batches(b)),
+              |hashed AS (SELECT *, ${O.hashdiff("n_name_v")} AS hd_nation_rs FROM src),
+              |sat_v0 AS (
+              |  SELECT n_regionkey, n_nationkey, hd_nation_rs, rsrc, ldts, n_name_v FROM hashed
+              |  QUALIFY CASE WHEN hd_nation_rs = LAG(hd_nation_rs)
+              |    OVER (PARTITION BY n_regionkey, n_nationkey ORDER BY ldts) THEN FALSE ELSE TRUE END)
+              |SELECT n_regionkey, n_nationkey, hd_nation_rs, rsrc, ldts,
+              |  COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |    OVER (PARTITION BY n_regionkey, n_nationkey ORDER BY ldts),
+              |    timestamp '8888-12-31 23:59:59') AS ledts,
+              |  CASE WHEN COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |    OVER (PARTITION BY n_regionkey, n_nationkey ORDER BY ldts),
+              |    timestamp '8888-12-31 23:59:59') = timestamp '8888-12-31 23:59:59'
+              |    THEN TRUE ELSE FALSE END AS is_current,
+              |  n_name_v
+              |FROM sat_v0""".stripMargin)),
 
     // O1/O2 — latest-row probe
     Q("snap_latest_row",
