@@ -40,13 +40,15 @@ object SimQueries {
 
   val all: Seq[Q] = Seq(
 
-    // brute-force cosine top-k: the exactness baseline for ANN
+    // brute-force cosine top-k: the exactness baseline for ANN.
+    // Scale shape: broadcast the QUERY set (small by construction) and
+    // stream the corpus — never the other way around.
     Q("cosine_topk",
       (s, dir) => {
         val e = emb(s, dir).withColumn("nrm", expr(normExpr))
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
-        val scored = q.join(broadcast(e.filter(col("vec_id") >= 10)))
+        val scored = broadcast(q).join(e.filter(col("vec_id") >= 10))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             round(expr(dotOver("qv", "embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
         import org.apache.spark.sql.expressions.Window
@@ -65,14 +67,18 @@ object SimQueries {
               |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin)),
 
     // embedding-cosine near-duplicate pairs above a threshold (bounded
-    // neighborhood: same label partition — the IVF-style pruning)
+    // neighborhood: same label partition — the IVF-style pruning).
+    // Both sides are the corpus, so this must be a SHUFFLED equi-join on
+    // label (both sides hash-partition by label; co-located pair generation,
+    // no full-corpus broadcast). AQE splits skewed label partitions.
     Q("embed_near_dup",
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
           .withColumn("nrm", expr(normExpr))
         val e2 = e.select(col("vec_id").as("vec_id_2"), col("label").as("label_2"),
           col("embedding").as("embedding_2"), col("nrm").as("nrm_2"))
-        e.join(broadcast(e2), col("label") === col("label_2") && col("vec_id") < col("vec_id_2"))
+        e.hint("shuffle_hash")
+          .join(e2, col("label") === col("label_2") && col("vec_id") < col("vec_id_2"))
           .select(col("vec_id"), col("vec_id_2"),
             round(expr(dotOver("embedding", "embedding_2")) / (col("nrm") * col("nrm_2")), 4).as("cos_sim"))
           .filter(col("cos_sim") >= 0.3)
@@ -91,17 +97,28 @@ object SimQueries {
       (s, dir) => {
         val nPlanes = 6
         val e = emb(s, dir)
+        // hyperplanes are DATA-INDEPENDENT — derive them ONCE on the driver
+        // (md5 parity per (plane, dim), same formula as the DuckDB oracle)
+        // and embed as constant array literals: the per-row work is just the
+        // 64-wide dot product, not 6×64 md5 calls.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def planeOf(j: Int): Seq[Double] = (0 until 64).map { d =>
+          val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 4)
+          (Integer.parseInt(hex, 16) % 2).toDouble * 2 - 1
+        }
         val planeBit = (j: Int) =>
-          expr(s"""aggregate(zip_with(embedding,
-             | transform(sequence(0, 63), d -> cast(cast(conv(substr(md5(concat('$j', ':', d)), 1, 4), 16, 10) as long) % 2 as double) * 2 - 1),
-             | (x, p) -> cast(x as double) * p), 0D, (acc, v) -> acc + v)""".stripMargin)
+          aggregate(
+            zip_with(col("embedding"), typedLit(planeOf(j)),
+              (x, p) => x.cast("double") * p),
+            lit(0.0), (acc, v) => acc + v)
         val bucketed = e.withColumn("bucket",
           (0 until nPlanes).map(j => when(planeBit(j) > 0, 1L << j).otherwise(0L)).reduce(_ + _))
           .withColumn("nrm", expr(normExpr))
         val q = bucketed.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
             col("nrm").as("qn"), col("bucket"))
-        val cands = q.join(broadcast(bucketed.filter(col("vec_id") >= 10)), Seq("bucket"))
+        val cands = broadcast(q).join(bucketed.filter(col("vec_id") >= 10), Seq("bucket"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             round(expr(dotOver("qv", "embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
         import org.apache.spark.sql.expressions.Window
