@@ -25,6 +25,56 @@ object TextQueries {
     """list_transform(range(1, greatest(len(words) - 1, 1)),
       |      i -> array_to_string(words[i:i+2], ' '))""".stripMargin
 
+  /** MinHash+LSH banded candidate pairs (8 hashes, 2 bands × 4 rows): the
+    * shared candidate generator for ALL near-dup verifies. Bucketed — pair
+    * generation is an equi-join on (band, bucket), never all-pairs; at scale
+    * a hot bucket is capped/salted before the self-join. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val nHashes = 8
+    val sh = docs(s, dir)
+      .withColumn("words", split(col("text"), "\\s+"))
+      .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("shingle"))
+    val hashed = sh.select(col("doc_id"),
+      explode(expr(s"sequence(0, ${nHashes - 1})")).as("j"),
+      col("shingle"))
+      .groupBy("doc_id", "j")
+      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("shingle")))).as("mh"))
+    val sig = hashed.groupBy("doc_id")
+      .agg(concat_ws("|", expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(array(lit(0), lit(1))).as("band"),
+      col("sig"))
+      .select(col("doc_id"), col("band"),
+        md5(concat(col("band").cast("string"), lit("#"),
+          expr("concat_ws('|', slice(split(sig, '\\\\|'), band * 4 + 1, 4))"))).as("bucket"))
+    val b2 = bands.select(col("doc_id").as("doc_id_2"), col("band").as("band_2"),
+      col("bucket").as("bucket_2"))
+    bands.join(b2, col("bucket") === col("bucket_2") && col("band") === col("band_2") &&
+        col("doc_id") < col("doc_id_2"))
+      .select(col("doc_id"), col("doc_id_2")).distinct()
+  }
+
+  /** the same candidate chain as DuckDB CTEs, ending in `cands` */
+  private val lshCandSql =
+    s"""w AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents),
+       |shl AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM w),
+       |sh AS (SELECT DISTINCT doc_id, u.shingle FROM shl, UNNEST(shs) AS u(shingle)),
+       |mh AS (
+       |  SELECT doc_id, j, min(md5(cast(j AS varchar) || ':' || shingle)) AS mh
+       |  FROM sh, range(0, 8) AS r(j) GROUP BY doc_id, j),
+       |sig AS (
+       |  SELECT doc_id, string_agg(mh, '|' ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, band,
+       |    md5(cast(band AS varchar) || '#' ||
+       |        array_to_string((regexp_split_to_array(sig, '\\|'))[band*4+1:band*4+4], '|')) AS bucket
+       |  FROM sig, UNNEST([0, 1]) AS b(band)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id, b.doc_id AS doc_id_2
+       |  FROM bands a JOIN bands b
+       |    ON a.bucket = b.bucket AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // exact dedup: hash-groupBy, keep lowest doc_id per content hash
@@ -121,28 +171,29 @@ object TextQueries {
              |    {'lang': 'zh', 'score': s_zh}]) AS t(u))
              |SELECT doc_id, lang_guess, marker_hits FROM ranked WHERE rn = 1""".stripMargin)),
 
-    // n-gram Jaccard near-dup: adjacent-doc pairs within a source bucket
+    // n-gram Jaccard near-dup verify: candidate pairs come from the MinHash
+    // LSH band buckets (bucketed generation, not all-pairs), then the exact
+    // Jaccard over distinct word-3-gram sets confirms/rejects each candidate.
     Q("ngram_jaccard",
       (s, dir) => {
         val d = docs(s, dir)
           .withColumn("words", split(col("text"), "\\s+"))
-          .select(col("doc_id"), col("source"), array_distinct(expr(shinglesExpr)).as("sh"))
-        val d2 = d.select(col("doc_id").as("doc_id_2"), col("source").as("source_2"),
-          col("sh").as("sh2"))
-        d.join(d2, col("doc_id_2") === col("doc_id") + 1)
+          .select(col("doc_id"), array_distinct(expr(shinglesExpr)).as("sh"))
+        val d2 = d.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2"))
+        lshCandidates(s, dir)
+          .join(d, Seq("doc_id"))
+          .join(d2, Seq("doc_id_2"))
           .select(col("doc_id"), col("doc_id_2"),
             (size(array_intersect(col("sh"), col("sh2"))).cast("double") /
               size(array_union(col("sh"), col("sh2")))).as("jaccard"))
-          .filter(col("jaccard") >= 0.0)
       },
-      Some(s"""WITH w AS (
-              |  SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS words FROM documents),
-              |sh AS (
-              |  SELECT doc_id, source, list_distinct($shinglesSqlDuck) AS sh FROM w)
-              |SELECT a.doc_id, b.doc_id AS doc_id_2,
+      Some(s"""WITH $lshCandSql,
+              |shd AS (SELECT doc_id, list(shingle) AS sh FROM sh GROUP BY doc_id)
+              |SELECT c.doc_id, c.doc_id_2,
               |  cast(len(list_intersect(a.sh, b.sh)) AS double) /
               |    len(list_distinct(a.sh || b.sh)) AS jaccard
-              |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+              |FROM cands c JOIN shd a ON a.doc_id = c.doc_id
+              |             JOIN shd b ON b.doc_id = c.doc_id_2""".stripMargin)),
 
     // SimHash (32-bit) near-dup fingerprint + hamming distance to next doc
     Q("simhash",
@@ -162,14 +213,17 @@ object TextQueries {
           when(col(s"b$j") > 0, math.pow(2, j).toLong).otherwise(0L)).reduce(_ + _)
         val fp = sh.select(col("doc_id"), simhash.as("simhash"))
         val fp2 = fp.select(col("doc_id").as("doc_id_2"), col("simhash").as("simhash_2"))
-        fp.join(fp2, col("doc_id_2") === col("doc_id") + 1)
-          .select(col("doc_id"), col("simhash"),
-            bit_count(expr("simhash ^ simhash_2")).cast("long").as("hamming_next"))
+        // hamming verify over the LSH band-bucket candidates (not adjacency)
+        lshCandidates(s, dir)
+          .join(fp, Seq("doc_id")).join(fp2, Seq("doc_id_2"))
+          .select(col("doc_id"), col("doc_id_2"), col("simhash"), col("simhash_2"),
+            bit_count(expr("simhash ^ simhash_2")).cast("long").as("hamming"))
       },
-      Some("""WITH tok AS (
+      Some(s"""WITH $lshCandSql,
+             |tok AS (
              |  SELECT doc_id,
              |    cast(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT) AS h
-             |  FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) AS u(tok)
+             |  FROM documents, UNNEST(regexp_split_to_array(text, '\\s+')) AS u(tok)
              |  WHERE length(u.tok) > 0),
              |bits AS (
              |  SELECT doc_id, j,
@@ -179,54 +233,17 @@ object TextQueries {
              |  SELECT doc_id,
              |    cast(sum(CASE WHEN s > 0 THEN cast(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
              |  FROM bits GROUP BY doc_id)
-             |SELECT a.doc_id, a.simhash,
-             |  cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming_next
-             |FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+             |SELECT c.doc_id, c.doc_id_2, a.simhash, b.simhash AS simhash_2,
+             |  cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+             |FROM cands c JOIN fp a ON a.doc_id = c.doc_id
+             |             JOIN fp b ON b.doc_id = c.doc_id_2""".stripMargin)),
 
     // MinHash + LSH banding: 8 hash functions, 2 bands × 4 rows;
     // emits candidate near-dup pairs sharing any band bucket
     Q("minhash_lsh",
-      (s, dir) => {
-        val nHashes = 8
-        val sh = docs(s, dir)
-          .withColumn("words", split(col("text"), "\\s+"))
-          .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("shingle"))
-        val hashed = sh.select(col("doc_id"),
-          explode(expr(s"sequence(0, ${nHashes - 1})")).as("j"),
-          col("shingle"))
-          .groupBy("doc_id", "j")
-          .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("shingle")))).as("mh"))
-        val sig = hashed.groupBy("doc_id")
-          .agg(concat_ws("|", expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")).as("sig"))
-        val bands = sig.select(col("doc_id"),
-          explode(array(lit(0), lit(1))).as("band"),
-          col("sig"))
-          .select(col("doc_id"), col("band"),
-            md5(concat(col("band").cast("string"), lit("#"),
-              expr("concat_ws('|', slice(split(sig, '\\\\|'), band * 4 + 1, 4))"))).as("bucket"))
-        val b2 = bands.select(col("doc_id").as("doc_id_2"), col("band").as("band_2"),
-          col("bucket").as("bucket_2"))
-        bands.join(b2, col("bucket") === col("bucket_2") && col("band") === col("band_2") &&
-            col("doc_id") < col("doc_id_2"))
-          .select(col("doc_id"), col("doc_id_2")).distinct()
-      },
-      Some(s"""WITH w AS (
-             |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents),
-             |shl AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM w),
-             |sh AS (SELECT DISTINCT doc_id, u.shingle FROM shl, UNNEST(shs) AS u(shingle)),
-             |mh AS (
-             |  SELECT doc_id, j, min(md5(cast(j AS varchar) || ':' || shingle)) AS mh
-             |  FROM sh, range(0, 8) AS r(j) GROUP BY doc_id, j),
-             |sig AS (
-             |  SELECT doc_id, string_agg(mh, '|' ORDER BY j) AS sig FROM mh GROUP BY doc_id),
-             |bands AS (
-             |  SELECT doc_id, band,
-             |    md5(cast(band AS varchar) || '#' ||
-             |        array_to_string((regexp_split_to_array(sig, '\\|'))[band*4+1:band*4+4], '|')) AS bucket
-             |  FROM sig, UNNEST([0, 1]) AS b(band))
-             |SELECT DISTINCT a.doc_id, b.doc_id AS doc_id_2
-             |FROM bands a JOIN bands b
-             |  ON a.bucket = b.bucket AND a.band = b.band AND a.doc_id < b.doc_id""".stripMargin)),
+      (s, dir) => lshCandidates(s, dir),
+      Some(s"""WITH $lshCandSql
+             |SELECT doc_id, doc_id_2 FROM cands""".stripMargin)),
 
     // multimodal plumbing: opaque binary column + typed metadata extraction
     // (decode step is a deterministic stand-in — real image/audio libs are
