@@ -1,7 +1,8 @@
 package graft.expr
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Data Vault hashing semantics, re-expressed as pure Catalyst `Column`
   * expressions (whole-stage-codegen friendly — no UDFs).
@@ -86,6 +87,22 @@ object Hashing {
     val allNull = cols.map(_ => cfg.nullPlaceholder).mkString(cfg.concatString)
     nullif(stripped.cast("string"), lit(allNull))
   }
+
+  /** H7 — datatype-aware hash-input normalization (reference
+    * `get_field_hash_by_datatype.sql:1-29`): BOOLEAN hashes as 1/0
+    * (DECODE(col, true, 1, false, 0)), semi-structured/nested values hash as
+    * their JSON serialization (SUPER → JSON_SERIALIZE). Everything else keeps
+    * the engine's plain string cast. Byte-stable across engines, unlike
+    * `cast(bool as string)` ('true' on Spark, 't' on Postgres, …). */
+  def normalizeInput(c: Column, dt: DataType): Column = dt match {
+    case BooleanType                               => c.cast("int")
+    case _: StructType | _: ArrayType | _: MapType => to_json(c)
+    case _                                         => c
+  }
+
+  /** resolve `names` against the frame's schema and H7-normalize each */
+  def hashInputs(df: DataFrame, names: Seq[String]): Seq[Column] =
+    names.map(n => normalizeInput(col(n), df.schema(n).dataType))
 
   /** H3 — hashkey: case-insensitive by default, always trimmed, all-null →
     * zero key (reference `hash.sql:31-96`, `dbt_project.yml:32`).

@@ -11,11 +11,16 @@ import graft.expr.SystemColumns._
   * metadata (reference `macros/staging/stage.sql:8-67`,
   * `macros/staging/databricks/stage.sql:190-634`).
   */
+/** One hashkey/hashdiff definition. With `excludeColumns = true` the spec
+  * inverts (reference `stage_processing_macros.sql:177-212`): hash ALL
+  * source columns except the listed ones (in source column order — order is
+  * part of the hash bytes). */
 final case class HashColumnSpec(
     alias: String,
     columns: Seq[String],
     isHashdiff: Boolean = false,
-    rtrimHashdiff: Boolean = false)
+    rtrimHashdiff: Boolean = false,
+    excludeColumns: Boolean = false)
 
 /** `!x` → literal, anything else → SQL expression / column name —
   * the reference's as_constant convention
@@ -90,19 +95,26 @@ object StageLoader {
     // P4 — derived columns (derive_columns.sql:7-66)
     cfg.derivedColumns.foreach { dc => df = df.withColumn(dc.name, dc.column) }
 
-    // hashed_columns (stage.sql:354-460)
+    // hashed_columns (stage.sql:354-460); exclude-specs resolve against the
+    // ORIGINAL source columns (stage_processing_macros.sql:177-212), and all
+    // inputs get H7 datatype normalization (get_field_hash_by_datatype.sql)
+    val sourceCols = source.columns.toSeq
+    def inputs(s: HashColumnSpec): Seq[Column] = {
+      val names = if (s.excludeColumns) sourceCols.filterNot(s.columns.contains) else s.columns
+      Hashing.hashInputs(df, names)
+    }
     val (maSpecs, plainSpecs) = cfg.hashedColumns.partition(s => s.isHashdiff && cfg.multiActive.isDefined)
     plainSpecs.foreach { s =>
       val c =
-        if (s.isHashdiff) Hashing.hashdiff(s.columns.map(col), s.rtrimHashdiff)
-        else Hashing.hashkey(s.columns.map(col))
+        if (s.isHashdiff) Hashing.hashdiff(inputs(s), s.rtrimHashdiff)
+        else Hashing.hashkey(inputs(s))
       df = df.withColumn(s.alias, c)
     }
     // multi-active hashdiffs: grouped agg + join back (stage.sql:402-444)
     cfg.multiActive.foreach { ma =>
       if (maSpecs.nonEmpty) {
         val aggs = maSpecs.map(s =>
-          Hashing.maHashdiff(s.columns.map(col), ma.maKeys.map(col)).as(s.alias))
+          Hashing.maHashdiff(inputs(s), ma.maKeys.map(col)).as(s.alias))
         val grouped = df.groupBy(col(ma.mainHashkey), col(LdtsAlias))
           .agg(aggs.head, aggs.tail: _*)
         df = df.join(grouped, Seq(ma.mainHashkey, LdtsAlias), "left")

@@ -783,6 +783,35 @@ object DvQueries {
               |  n_name_v
               |FROM sat_v0""".stripMargin)),
 
+    // exclude_columns + H7 — hashdiff over "all source columns minus a set"
+    // (stage_processing_macros.sql:177-212) and datatype-aware hash inputs
+    // (get_field_hash_by_datatype.sql): boolean → 1/0, nested → JSON.
+    Q("stage_exclude_hashdiff",
+      (s, dir) => {
+        val cfg = StageConfig(
+          ldts = "!2024-01-01 00:00:00", rsrc = "!TPC_H/Orders",
+          derivedColumns = Seq(
+            DerivedColumn("is_urgent", "o_orderpriority = '1-URGENT'"),
+            DerivedColumn("status_arr", "array(o_orderstatus, o_orderpriority)")),
+          hashedColumns = Seq(
+            HashColumnSpec("hk_order_h", Seq("o_orderkey")),
+            // hash every source column EXCEPT the two keys
+            HashColumnSpec("hd_order_s", Seq("o_orderkey", "o_custkey"),
+              isHashdiff = true, excludeColumns = true),
+            // boolean + array inputs take the H7 normalization path
+            HashColumnSpec("hd_flags_s", Seq("is_urgent", "status_arr"), isHashdiff = true)),
+          enableGhostRecords = false)
+        StageLoader.build(rd(s, dir, "orders"), cfg)
+          .select("o_orderkey", "is_urgent", "hd_order_s", "hd_flags_s", "hk_order_h")
+      },
+      Some(s"""SELECT o_orderkey,
+              |  (o_orderpriority = '1-URGENT') AS is_urgent,
+              |  ${O.hashdiff("o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")} AS hd_order_s,
+              |  ${O.hashdiff("CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END",
+                              "to_json([o_orderstatus, o_orderpriority])")} AS hd_flags_s,
+              |  ${O.hashkey("o_orderkey")} AS hk_order_h
+              |FROM orders""".stripMargin)),
+
     // O1/O2 — latest-row probe
     Q("snap_latest_row",
       (s, _) => ControlSnapV0Loader.build(s, "2024-01-01", "07:30:00", Some("2024-03-31"))

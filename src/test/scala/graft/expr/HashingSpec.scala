@@ -117,6 +117,24 @@ class HashingSpec extends SparkSpec {
     assert(zero == "!" + "0" * 64)
   }
 
+  test("H7: boolean hashes as 1/0, nested types as their JSON serialization") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq((true, false, Seq("a", "b||c"))).toDF("t", "f", "arr")
+    val got = df.select(
+      Hashing.hashdiff(Seq(
+        Hashing.normalizeInput(col("t"), BooleanType),
+        Hashing.normalizeInput(col("f"), BooleanType),
+        Hashing.normalizeInput(col("arr"), ArrayType(StringType))))).head().getString(0)
+    // oracle: DECODE(bool,true,1,false,0) and JSON text, then standard hashdiff
+    assert(got == hashdiffOracle(Seq(Some("1"), Some("0"), Some("""["a","b||c"]"""))))
+    // NULL boolean still propagates to the null placeholder
+    val gotNull = Seq((Option.empty[java.lang.Boolean], "x")).toDF("t", "p")
+      .select(Hashing.hashdiff(Seq(
+        Hashing.normalizeInput(col("t"), BooleanType), col("p")))).head().getString(0)
+    assert(gotNull == hashdiffOracle(Seq(None, Some("x"))))
+  }
+
   test("multi-active hashdiff is order-insensitive in input, ordered by ma key") {
     import spark.implicits._
     // same set {home, work} in different input order must give same hashdiff
