@@ -136,12 +136,14 @@ object Hashing {
     * order by the standardized string itself so ties are total
     * (SURVEY §7.5-5: determinism).
     *
-    * Implementation: collect_list(struct(maKeys…, row_str)) → sort_array →
-    * array_join. collect_list skips NULL structs, matching LISTAGG's
-    * null-skipping; a custom TypedImperativeAggregate is a later perf upgrade.
+    * Implementation: [[MaListAgg]], a native TypedImperativeAggregate that
+    * sorts the group once and emits the joined string directly (no
+    * array-of-structs intermediate); it skips NULL structs, matching
+    * LISTAGG's null-skipping, and returns NULL on an empty group.
     */
   def maHashdiff(payloadCols: Seq[Column], maKeys: Seq[Column])(
       implicit cfg: HashConfig): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
     val rowStr = concatenated(payloadCols, caseSensitive = cfg.hashdiffCaseSensitive,
       useTrim = cfg.hashdiffUseTrim)
     // keep native key types in the sort struct: LISTAGG ... WITHIN GROUP
@@ -149,10 +151,8 @@ object Hashing {
     // string would order 10 before 2 and diverge from the reference bytes
     val keyed = maKeys.zipWithIndex.map { case (k, i) => k.as(s"k$i") }
     val entry = when(rowStr.isNotNull, struct((keyed :+ rowStr.as("s")): _*))
-    val agg = array_join(
-      transform(array_sort(collect_list(entry)), e => e.getField("s")), ",")
-    // empty group (all rows null) -> array_join gives "", LISTAGG gives NULL
-    val pre = nullif(agg, lit(""))
+    val pre = GraftColumnBridge.column(
+      MaListAgg(GraftColumnBridge.expression(entry)).toAggregateExpression())
     coalesce(lower(cfg.hashFn(pre)), lit(cfg.zeroKey))
   }
 }

@@ -62,4 +62,20 @@ object PitCleaner {
     }
     kept
   }
+
+  /** Partition-pruned variant for a PIT stored `partitionBy(sdts)`: the
+    * DELETE drops whole `sdts=` directories — O(deactivated snapshots), no
+    * surviving row read or rewritten. This is the layout PITs should use at
+    * scale: every maintenance op (cleanup, snapshot rebuild) is keyed by
+    * sdts, and the snapshot count is O(log t) under logarithmic retention.
+    * Returns the number of partitions dropped. */
+  def cleanUpPartitioned(store: TableStore, pitTable: String, snapshotTable: String,
+                         sdts: String = "sdts", trigger: String = "is_active"): Long = {
+    import org.apache.spark.sql.functions.col
+    val active = store.read(snapshotTable).filter(col(trigger))
+      .select(col(sdts).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val doomed = store.partitionValues(pitTable, sdts).filterNot(active.contains)
+    store.dropPartitions(pitTable, sdts, doomed)
+  }
 }

@@ -59,4 +59,57 @@ final class TableStore(val spark: SparkSession, val baseDir: String) {
     drop(name)
     Files.move(Paths.get(tmp), Paths.get(pathOf(name)))
   }
+
+  // ---- partition-aware maintenance (S7/S8 at O(delta), not O(table)) -----
+  // Hive-style `pcol=value` directories make DELETE a metadata operation
+  // (drop directories) and rewrite partition-pruned — the parquet-store
+  // analogue of Delta's partition-level MERGE/DELETE/replaceWhere.
+
+  /** Partitioned materialization: one directory per `pcol` value. */
+  def overwritePartitioned(name: String, df: DataFrame, pcol: String): Unit =
+    df.write.mode("overwrite").partitionBy(pcol).parquet(pathOf(name))
+
+  /** Partitioned incremental insert. */
+  def appendPartitioned(name: String, df: DataFrame, pcol: String): Unit =
+    df.write.mode("append").partitionBy(pcol).parquet(pathOf(name))
+
+  /** Hive-escaped partition values present on disk (decoded). */
+  def partitionValues(name: String, pcol: String): Seq[String] = {
+    val dir = new java.io.File(pathOf(name))
+    val prefix = pcol + "="
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(f => unescapePathName(f.getName.stripPrefix(prefix)))
+  }
+
+  /** S8 — partition-level DELETE: removes whole `pcol=value` directories.
+    * O(deleted partitions); no surviving file is read or rewritten. */
+  def dropPartitions(name: String, pcol: String, values: Seq[String]): Long = {
+    val doomed = values.toSet
+    val dir = new java.io.File(pathOf(name))
+    val prefix = pcol + "="
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+        doomed.contains(unescapePathName(f.getName.stripPrefix(prefix))))
+      .map { f => rm(f); 1L }
+      .sum
+  }
+
+  /** inverse of Spark's ExternalCatalogUtils.escapePathName (%XX escapes) */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }

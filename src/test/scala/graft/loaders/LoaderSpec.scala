@@ -221,6 +221,35 @@ class LoaderSpec extends SparkSpec {
     store.drop("h")
   }
 
+  test("partitioned pit cleanup drops ONLY deactivated partitions (O(delta))") {
+    val wh = Files.createTempDirectory("graft_t").toString
+    val store = new TableStore(spark, wh)
+    val snaps = Seq(("2024-01-01 00:00:00", true), ("2024-01-02 00:00:00", false),
+      ("2024-01-03 00:00:00", true))
+      .toDF("sdts_s", "is_active")
+      .withColumn("sdts", to_timestamp($"sdts_s")).drop("sdts_s")
+    store.overwrite("snap", snaps)
+    val pit = Seq(("a", "2024-01-01 00:00:00"), ("a", "2024-01-02 00:00:00"),
+      ("b", "2024-01-02 00:00:00"), ("b", "2024-01-03 00:00:00"))
+      .toDF("hk", "sdts_s").withColumn("sdts", to_timestamp($"sdts_s")).drop("sdts_s")
+    store.overwritePartitioned("pit", pit, "sdts")
+    // snapshot survivors' files must be byte-untouched (same path + mtime)
+    def files(p: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).sortBy(_._1)
+    }
+    val before = files(store.pathOf("pit")).filterNot(_._1.contains("2024-01-02"))
+    val dropped = graft.runtime.PitCleaner.cleanUpPartitioned(store, "pit", "snap")
+    assert(dropped == 1)
+    assert(files(store.pathOf("pit")) == before) // survivors untouched
+    val left = store.read("pit")
+    assert(left.count() == 2) // a@01-01 and b@01-03 survive
+    assert(left.filter($"sdts" === ts("2024-01-02 00:00:00")).count() == 0)
+    store.drop("pit"); store.drop("snap")
+  }
+
   test("pit cleanup deletes rows of deactivated snapshots") {
     val wh = Files.createTempDirectory("graft_t").toString
     val store = new TableStore(spark, wh)
