@@ -14,8 +14,11 @@ final case class EntitySource(
     df: DataFrame,
     hkColumn: Option[String],       // hashkey column in this source (hubs/links)
     keyColumns: Seq[String],        // business keys (hub) / FK hashkeys (link) / ref keys — positional
-    rsrcStatic: Option[String] = None,
-    additionalColumns: Seq[String] = Nil)
+    rsrcStatic: Option[String] = None,   // single rsrc_static LIKE pattern …
+    rsrcStatics: Seq[String] = Nil,      // … or several (hub.sql supports a list per source)
+    additionalColumns: Seq[String] = Nil) {
+  def allRsrcStatics: Seq[String] = rsrcStatics ++ rsrcStatic.toSeq
+}
 
 /** Shared loading shape of hub / link / non-historized link / ref hub:
   * per-source rename → HWM → UNION ALL → earliest-per-key dedup → anti-join
@@ -48,15 +51,15 @@ object KeyedEntityLoader {
       val keys = s.keyColumns.zip(keyAliases).map { case (src, tgt) => col(src).as(tgt) }
       val adds = s.additionalColumns.map(col) ++ payloadAliases.map(col)
       val proj = s.df.select((keyed ++ keys ++ adds ++ Seq(col(LdtsAlias), col(RsrcAlias))): _*)
-      (target, s.rsrcStatic) match {
-        case _ if disableHwm     => proj
-        case (Some(t), Some(rs)) =>
-          // J3 — per-rsrc_static HWM; brand-new sources (no rows matching the
-          // pattern yet) load fully (reference hub.sql:53-98 COUNT probe)
-          val included = !t.filter(col(RsrcAlias).like(rs)).isEmpty
+      (target, s.allRsrcStatics) match {
+        case _ if disableHwm    => proj
+        case (Some(t), rs) if rs.nonEmpty =>
+          // J3 — per-rsrc_static HWM; brand-new sources (no rows matching any
+          // of their patterns yet) load fully (reference hub.sql:53-98 COUNT probe)
+          val included = !t.filter(rs.map(col(RsrcAlias).like).reduce(_ || _)).isEmpty
           if (included) Ops.hwmPerRsrcStatic(proj, t, rs) else proj
-        case (Some(t), None) if sources.size == 1 => Ops.hwmFilter(proj, Some(t))
-        case _                   => proj
+        case (Some(t), _) if sources.size == 1 => Ops.hwmFilter(proj, Some(t))
+        case _                  => proj
       }
     }
 

@@ -31,7 +31,7 @@ object RecTrackSatLoader {
         case _ if disableHwm => base
         case (Some(t), Some(rs)) =>
           val included = !t.filter(col(RsrcAlias).like(rs)).isEmpty
-          if (included) Ops.hwmPerRsrcStatic(base, t, rs) else base
+          if (included) Ops.hwmPerRsrcStatic(base, t, Seq(rs)) else base
         case (Some(t), None) if sources.size == 1 => Ops.hwmFilter(base, Some(t))
         case _ => base
       }

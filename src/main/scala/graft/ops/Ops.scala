@@ -96,18 +96,39 @@ object Ops {
   }
 
   /** J3/A1 — per-record-source high-water-marks (reference
-    * `tables/databricks/hub.sql:121-179`): max ldts per rsrc_static in the
-    * target, joined back as an inner broadcast join so each source only
-    * contributes rows newer than ITS OWN watermark. */
-  def hwmPerRsrcStatic(src: DataFrame, target: DataFrame, rsrcStatic: String,
+    * `tables/databricks/hub.sql:46-133`): the target is scanned once per
+    * rsrc_static LIKE pattern (the reference's rsrc_static_N UNION ALL; each
+    * scan's filter + MAX pushes into the parquet scan), giving a grouped
+    * (rsrc_static → max ldts) map that is broadcast-inner-joined so each
+    * source only contributes rows newer than ITS OWN watermark(s). A row
+    * newer than several patterns' marks duplicates, exactly like the
+    * reference's OR-join — the downstream earliest-per-key dedup absorbs it. */
+  def hwmPerRsrcStatic(src: DataFrame, target: DataFrame, rsrcStatics: Seq[String],
                        ldts: String = LdtsAlias): DataFrame = {
-    val maxPer = target
-      .filter(col(RsrcAlias).like(rsrcStatic) && col(ldts) =!= endOfAllTimesTs)
-      .agg(max(col(ldts)).as("__max_ldts"))
+    val maxPer = rsrcStatics.map { p =>
+      target
+        .filter(col(RsrcAlias).like(p) && col(ldts) =!= endOfAllTimesTs)
+        .agg(max(col(ldts)).as("__max_ldts"))
+    }.reduce(_.unionAll(_))
     src.join(broadcast(maxPer), col(ldts) > col("__max_ldts") || col("__max_ldts").isNull,
         "inner")
       .drop("__max_ldts")
   }
+
+  /** O2 — LIMIT-1 distinct probe (reference
+    * `supporting/get_distinct_value.sql`): one arbitrary distinct value of a
+    * column, optionally excluding given values. Driver-side scalar, like the
+    * reference's run_query at compile time. */
+  def distinctValue(df: DataFrame, column: String, exclude: Seq[Any] = Nil): Option[Any] = {
+    val d = df.select(col(column)).distinct()
+    val filtered = if (exclude.isEmpty) d else d.filter(!col(column).isin(exclude: _*))
+    filtered.limit(1).collect().headOption.map(_.get(0))
+  }
+
+  /** O3 — dev row limiter (reference `supporting/limit_rows.sql`: TOP 100
+    * outside the prod target). */
+  def limitRows(df: DataFrame, isProd: Boolean, n: Int = 100): DataFrame =
+    if (isProd) df else df.limit(n)
 
   /** J1 — anti-join: keep src rows whose keys do not exist in target
     * (reference `tables/databricks/hub.sql:234-256` NOT IN;

@@ -783,6 +783,65 @@ object DvQueries {
               |  n_name_v
               |FROM sat_v0""".stripMargin)),
 
+    // A1 — grouped per-pattern HWM map: ONE source declaring TWO rsrc_static
+    // patterns; each pattern gets its own max-ldts watermark (hub.sql:46-133
+    // rsrc_static_N UNION ALL + GROUP BY rsrc_static).
+    Q("hub_rsrc_static_multi",
+      (s, dir) => {
+        val full = custStage(s, dir)
+          .withColumn(RsrcAlias, concat(lit("TPC_H/Customer/"),
+            when(col("c_custkey") % 2 === 0, "A").otherwise("B")))
+          .select(col("hk_customer_h"), col("c_custkey").as("custkey"),
+            col(LdtsAlias), col(RsrcAlias))
+        val target = full.filter(col(LdtsAlias) <= to_timestamp(lit("2024-01-02 00:00:00")))
+        HubLoader.records(
+          Seq(EntitySource(full, Some("hk_customer_h"), Seq("custkey"),
+            rsrcStatics = Seq("TPC_H/Customer/A", "TPC_H/Customer/B"))),
+          "hk_customer_h", Seq("custkey"), target = Some(target))
+      },
+      Some(s"""WITH $custStageSql,
+              |full_hub AS (
+              |  SELECT hk_customer_h, c_custkey AS custkey, ldts,
+              |         'TPC_H/Customer/' || (CASE WHEN c_custkey % 2 = 0 THEN 'A' ELSE 'B' END) AS rsrc
+              |  FROM cust_stage),
+              |target AS (SELECT * FROM full_hub WHERE ldts <= timestamp '2024-01-02 00:00:00'),
+              |maxes AS (
+              |  SELECT MAX(ldts) AS m FROM target
+              |  WHERE rsrc LIKE 'TPC_H/Customer/A' AND ldts != timestamp '8888-12-31 23:59:59'
+              |  UNION ALL
+              |  SELECT MAX(ldts) AS m FROM target
+              |  WHERE rsrc LIKE 'TPC_H/Customer/B' AND ldts != timestamp '8888-12-31 23:59:59'),
+              |incoming AS (SELECT f.* FROM full_hub f JOIN maxes x ON f.ldts > x.m OR x.m IS NULL),
+              |dedup AS (
+              |  SELECT * FROM incoming
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_customer_h ORDER BY ldts) = 1)
+              |SELECT d.* FROM dedup d WHERE NOT EXISTS (
+              |  SELECT 1 FROM target t WHERE t.hk_customer_h = d.hk_customer_h)""".stripMargin)),
+
+    // O2 — LIMIT-1 distinct probe with exclusions (get_distinct_value.sql):
+    // the ghost rsrcs are excluded, leaving exactly one distinct value.
+    Q("distinct_value_probe",
+      (s, dir) => {
+        val staged = custStage(s, dir).select(col(RsrcAlias))
+          .unionAll(s.range(1).select(lit(UnknownRsrc).as(RsrcAlias)))
+          .unionAll(s.range(1).select(lit(ErrorRsrc).as(RsrcAlias)))
+        val v = Ops.distinctValue(staged, RsrcAlias, Seq(UnknownRsrc, ErrorRsrc))
+        s.range(1).select(lit(v.orNull.asInstanceOf[String]).as("rsrc_value"))
+      },
+      Some("""SELECT DISTINCT rsrc AS rsrc_value FROM (
+             |  SELECT 'TPC_H/Customer' AS rsrc FROM customer
+             |  UNION ALL SELECT 'SYSTEM' UNION ALL SELECT 'ERROR')
+             |WHERE rsrc NOT IN ('SYSTEM', 'ERROR') LIMIT 1""".stripMargin)),
+
+    // O3 — dev row limiter (limit_rows.sql TOP 100); ordered first so the
+    // limited set is deterministic.
+    Q("limit_rows_dev",
+      (s, dir) => Ops.limitRows(
+        custStage(s, dir).select("c_custkey", "c_name").orderBy("c_custkey"),
+        isProd = false),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |ORDER BY c_custkey LIMIT 100""".stripMargin)),
+
     // exclude_columns + H7 — hashdiff over "all source columns minus a set"
     // (stage_processing_macros.sql:177-212) and datatype-aware hash inputs
     // (get_field_hash_by_datatype.sql): boolean → 1/0, nested → JSON.
