@@ -783,6 +783,37 @@ object DvQueries {
               |  n_name_v
               |FROM sat_v0""".stripMargin)),
 
+    // yaml_metadata parity: the reference's YAML config documents drive the
+    // stage builder directly (yaml_metadata_parser.sql + stage.sql:8-67);
+    // same semantics as stage_prejoin_derived, configured via YAML.
+    Q("stage_yaml_meta",
+      (s, dir) => {
+        val yaml =
+          """ldts: '!2024-01-01 00:00:00'
+            |rsrc: '!CRM/Customer'
+            |source_model: customer
+            |enable_ghost_records: false
+            |hashed_columns:
+            |  hk_customer_h:
+            |    - c_custkey
+            |derived_columns:
+            |  segment_uc: "upper(c_mktsegment)"
+            |  src_system: '!CRM'
+            |prejoined_columns:
+            |  - ref_model: nation
+            |    this_column_name: c_nationkey
+            |    ref_column_name: n_nationkey
+            |    extract_columns:
+            |      - n_name
+            |""".stripMargin
+        graft.meta.MetadataBuilders.stage(yaml, name => rd(s, dir, name))
+          .select(col("c_custkey"), col("n_name").as("nation_name"),
+            col("segment_uc"), col("src_system"), col("hk_customer_h"))
+      },
+      Some(s"""SELECT c_custkey, n_name AS nation_name, upper(c_mktsegment) AS segment_uc,
+              |  'CRM' AS src_system, ${O.hashkey("c_custkey")} AS hk_customer_h
+              |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin)),
+
     // A1 — grouped per-pattern HWM map: ONE source declaring TWO rsrc_static
     // patterns; each pattern gets its own max-ldts watermark (hub.sql:46-133
     // rsrc_static_N UNION ALL + GROUP BY rsrc_static).
