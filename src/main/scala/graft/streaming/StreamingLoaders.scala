@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.loaders.{EntitySource, HubLoader, SatV0Loader}
 import graft.runtime.TableStore
@@ -64,4 +64,64 @@ object StreamingLoaders {
           payload, store.readIfExists(targetName), disableHwm = true)
         store.append(targetName, recs)
       }
+
+  /** Streaming-native satellite change detection: the per-key "latest
+    * hashdiff" lives in the STATE STORE (flatMapGroupsWithState) instead of
+    * being re-read from the target on every micro-batch. At scale this turns
+    * the satellite's NOT-EXISTS (an O(target) scan per delta) into an O(keys
+    * in batch) state lookup — the same contract as `sat_v0.sql:131-142`,
+    * continuously.
+    *
+    * Within a micro-batch, rows of one key are sorted by ldts and LAG-style
+    * change-deduped (W3); the state carries the last emitted hashdiff across
+    * batches. Memory: O(rows of one key in one micro-batch) per group.
+    */
+  def satV0ChangesStateful(staged: DataFrame, hashkey: String, hashdiff: String,
+                           ldts: String = "ldts"): DataFrame = {
+    val enc = Encoders.row(staged.schema)
+    staged
+      .groupByKey((r: Row) => r.getAs[String](hashkey))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[Row], state: GroupState[String]) => {
+          val sorted = rows.toSeq.sortBy(_.getAs[java.sql.Timestamp](ldts).getTime)
+          var last = state.getOption
+          val kept = sorted.filter { r =>
+            val hd = r.getAs[String](hashdiff)
+            val changed = !last.contains(hd)
+            if (changed) last = Some(hd)
+            changed
+          }
+          last.foreach(state.update)
+          kept.iterator
+        })(Encoders.STRING, enc)
+  }
+
+  /** Stateful satellite sink: change-detected rows append directly. */
+  def satV0StatefulSink(
+      staged: DataFrame,
+      store: TableStore,
+      targetName: String,
+      hashkey: String,
+      hashdiff: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    satV0ChangesStateful(staged, hashkey, hashdiff).writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.append(targetName, batch)
+      }
+
+  /** Watermarked tumbling-window aggregation over an event stream — the
+    * streaming form of the events_windowed batch query. Append mode emits a
+    * window only once the watermark passes its end: late events inside the
+    * allowed lateness still land in their window, older ones are dropped. */
+  def windowedEventCounts(events: DataFrame, tsCol: String,
+                          windowLength: String = "1 hour",
+                          lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 }

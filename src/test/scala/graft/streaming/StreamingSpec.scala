@@ -74,4 +74,65 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("sat_s").count() == 2)
     store.drop("sat_s")
   }
+
+  test("stateful sat sink: state store carries last hashdiff across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val store = new TableStore(spark, wh)
+    val input = MemoryStream[(String, String, String)]
+
+    val staged = input.toDF().toDF("bk", "ldts_s", "payload")
+      .withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("STREAM"))
+      .withColumn("hk", graft.expr.Hashing.hashkey(Seq($"bk")))
+      .withColumn("hd", graft.expr.Hashing.hashdiff(Seq($"payload")))
+
+    val query = StreamingLoaders.satV0StatefulSink(staged, store, "sat_st", "hk", "hd",
+      checkpoint = s"$wh/_cp",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+
+    // A -> A (same batch, LAG dedup) then A again (cross-batch, state dedup)
+    input.addData(("k1", "2024-01-01 00:00:00", "A"), ("k1", "2024-01-02 00:00:00", "A"))
+    query.processAllAvailable()
+    assert(store.read("sat_st").count() == 1)
+    input.addData(("k1", "2024-01-03 00:00:00", "A"))
+    query.processAllAvailable()
+    assert(store.read("sat_st").count() == 1)
+    // change -> emitted; second key independent
+    input.addData(("k1", "2024-01-04 00:00:00", "B"), ("k2", "2024-01-04 00:00:00", "X"))
+    query.processAllAvailable()
+    query.stop()
+    val out = store.read("sat_st")
+    assert(out.count() == 3)
+    assert(out.filter($"payload" === "B").count() == 1)
+    store.drop("sat_st")
+  }
+
+  test("watermarked windowed event counts emit finalized windows only") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(String, String)]
+    val events = input.toDF().toDF("ts_s", "event_type")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+    val agg = StreamingLoaders.windowedEventCounts(events, "ts", "1 hour", "30 minutes")
+    val query = agg.writeStream
+      .format("memory").queryName("win_counts").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    input.addData(("2024-01-01 10:05:00", "click"), ("2024-01-01 10:20:00", "click"),
+      ("2024-01-01 10:40:00", "view"))
+    query.processAllAvailable()
+    // watermark still at 10:40 - 30m => window [10:00,11:00) not final yet
+    assert(spark.sql("SELECT * FROM win_counts").count() == 0)
+    // event at 12:00 pushes watermark to 11:30 > 11:00 => finalize
+    input.addData(("2024-01-01 12:00:00", "click"))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.sql("SELECT event_type, n_events FROM win_counts ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("click", 2L), ("view", 1L)))
+  }
 }
