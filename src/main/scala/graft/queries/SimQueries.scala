@@ -9,26 +9,16 @@ import org.apache.spark.sql.functions._
   * 4 decimals before ranking: double-precision jitter between engines is
   * ~1e-13, far below the rounding granularity, so ranks are deterministic
   * (ties broken by neighbor id).
+  *
+  * The dot product / norm run as native codegen'd Catalyst expressions
+  * (graft.expr.VectorExpressions — fused loop, no zipped intermediate
+  * array), with the SAME sequential double fold as the DuckDB oracle.
   */
 object SimQueries {
+  import graft.expr.VectorExpressions.{dotProduct, vecNorm}
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
-
-  /** dot(a,b) / (|a|*|b|) via zip_with + aggregate */
-  private def cosine(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))
-       |    * sqrt(aggregate($b, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))))""".stripMargin
-
-  /** norm as a per-row column so joins don't recompute it per PAIR — the
-    * arithmetic (sqrt of the sequential square-sum) is identical, so the
-    * resulting doubles match the naive formula bit-for-bit. */
-  private val normExpr =
-    "sqrt(aggregate(embedding, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))"
-
-  private def dotOver(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
 
   /** DuckDB 1.0 equivalent (list_transform/list_zip — no comprehensions);
     * list_sum folds sequentially like Spark's aggregate(), so the doubles
@@ -45,12 +35,12 @@ object SimQueries {
     // stream the corpus — never the other way around.
     Q("cosine_topk",
       (s, dir) => {
-        val e = emb(s, dir).withColumn("nrm", expr(normExpr))
+        val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
         val scored = broadcast(q).join(e.filter(col("vec_id") >= 10))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(expr(dotOver("qv", "embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
+            round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
@@ -74,13 +64,13 @@ object SimQueries {
     Q("embed_near_dup",
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-          .withColumn("nrm", expr(normExpr))
+          .withColumn("nrm", vecNorm(col("embedding")))
         val e2 = e.select(col("vec_id").as("vec_id_2"), col("label").as("label_2"),
           col("embedding").as("embedding_2"), col("nrm").as("nrm_2"))
         e.hint("shuffle_hash")
           .join(e2, col("label") === col("label_2") && col("vec_id") < col("vec_id_2"))
           .select(col("vec_id"), col("vec_id_2"),
-            round(expr(dotOver("embedding", "embedding_2")) / (col("nrm") * col("nrm_2")), 4).as("cos_sim"))
+            round(dotProduct(col("embedding"), col("embedding_2")) / (col("nrm") * col("nrm_2")), 4).as("cos_sim"))
           .filter(col("cos_sim") >= 0.3)
       },
       Some(s"""WITH scored AS (
@@ -107,20 +97,16 @@ object SimQueries {
             .map("%02x".format(_)).mkString.substring(0, 4)
           (Integer.parseInt(hex, 16) % 2).toDouble * 2 - 1
         }
-        val planeBit = (j: Int) =>
-          aggregate(
-            zip_with(col("embedding"), typedLit(planeOf(j)),
-              (x, p) => x.cast("double") * p),
-            lit(0.0), (acc, v) => acc + v)
+        val planeBit = (j: Int) => dotProduct(col("embedding"), typedLit(planeOf(j)))
         val bucketed = e.withColumn("bucket",
           (0 until nPlanes).map(j => when(planeBit(j) > 0, 1L << j).otherwise(0L)).reduce(_ + _))
-          .withColumn("nrm", expr(normExpr))
+          .withColumn("nrm", vecNorm(col("embedding")))
         val q = bucketed.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
             col("nrm").as("qn"), col("bucket"))
         val cands = broadcast(q).join(bucketed.filter(col("vec_id") >= 10), Seq("bucket"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(expr(dotOver("qv", "embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
+            round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id").asc)

@@ -1,0 +1,50 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expr.VectorExpressions._
+
+/** The native codegen'd vector expressions must be BIT-IDENTICAL to the
+  * higher-order-function fold they replace (same sequential double
+  * accumulation) — the DuckDB oracles depend on it. */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (Array(1.0f, 2.5f, -3.25f), Array(0.5f, -1.0f, 2.0f)),
+    (Array(0.1f, 0.2f, 0.3f), Array(0.3f, 0.2f, 0.1f)),
+    (Array(1e-7f, 1e7f, -1e-7f), Array(1e7f, 1e-7f, 1e7f)),
+    (Array(0f, 0f, 0f), Array(1f, 1f, 1f)))
+
+  test("dot_product matches the aggregate(zip_with(...)) fold bit-for-bit") {
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      dotProduct($"a", $"b").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)").as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("vec_norm matches sqrt(aggregate(...)) bit-for-bit") {
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      vecNorm($"a").as("native"),
+      expr("sqrt(aggregate(a, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))").as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("mixed float/double arrays and NULL propagation") {
+    val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.25))).toDF("f", "d")
+    assert(df.select(dotProduct($"f", $"d")).head().getDouble(0) == 1.0)
+    val withNull = df.select(dotProduct(lit(null).cast("array<float>"), $"d"))
+    assert(withNull.head().isNullAt(0))
+  }
+}
