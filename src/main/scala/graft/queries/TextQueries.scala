@@ -245,6 +245,40 @@ object TextQueries {
       Some(s"""WITH $lshCandSql
              |SELECT doc_id, doc_id_2 FROM cands""".stripMargin)),
 
+    // multimodal decode pipeline: binary → typed Dataset[MediaMeta] via
+    // mapPartitions with per-partition codec init (graft.multimodal). The
+    // decode itself is a deterministic MD5-derived stand-in; the plumbing
+    // (typed schema, partition batching, codec lifecycle) is the contract.
+    Q("multimodal_decode",
+      (s, dir) => graft.multimodal.Multimodal
+        .decodeMeta(docs(s, dir).withColumn("blob", col("text").cast("binary")),
+          "doc_id", "blob")
+        .toDF(),
+      Some("""SELECT doc_id,
+             |  cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'image'
+             |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             |  cast(16 + cast(('0x' || substr(md5(text), 1, 2)) AS INT) % 112 AS INT) AS width,
+             |  cast(16 + cast(('0x' || substr(md5(text), 3, 2)) AS INT) % 112 AS INT) AS height,
+             |  cast(1 + octet_length(encode(text)) // 256 AS BIGINT) AS n_frames,
+             |  md5(md5(text)) AS thumb_hash
+             |FROM documents""".stripMargin)),
+
+    // frame sampling (video-pipeline flatMap shape): up to 3 evenly-indexed
+    // frames per document, one signature per frame.
+    Q("frame_sample",
+      (s, dir) => graft.multimodal.Multimodal
+        .sampleFrames(docs(s, dir).withColumn("blob", col("text").cast("binary")),
+          "doc_id", "blob", k = 3)
+        .toDF(),
+      Some("""WITH meta AS (
+             |  SELECT doc_id, md5(text) AS hex,
+             |    1 + octet_length(encode(text)) // 256 AS n_frames
+             |  FROM documents)
+             |SELECT doc_id, cast(u.idx AS BIGINT) AS frame_idx,
+             |  md5(hex || ':' || cast(u.idx AS varchar)) AS frame_sig
+             |FROM meta, UNNEST(range(0, cast(least(n_frames, 3) AS BIGINT))) AS u(idx)""".stripMargin)),
+
     // multimodal plumbing: opaque binary column + typed metadata extraction
     // (decode step is a deterministic stand-in — real image/audio libs are
     // intentionally out of scope; the schema/batch shape is the contract)
