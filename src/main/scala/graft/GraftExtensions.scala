@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expr.{DotProduct, MaListAgg, VecNorm}
+
+/** SparkSessionExtensions registration for graft's native expressions, so
+  * they are callable from SQL text as well as the Column API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT dot_product(a, b), vec_norm(a), ma_list_agg(s) ...")
+  * }}}
+  *
+  * (Or via `--conf spark.sql.extensions=graft.GraftExtensions` on a
+  * cluster.) This is the brief's preferred route for custom operators:
+  * native Expression + extension registration, no UDFs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product(a, b) takes two arrays")
+        DotProduct(children(0), children(1))
+      }),
+    (new FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "vec_norm(a) takes one array")
+        VecNorm(children.head)
+      }),
+    (new FunctionIdentifier("ma_list_agg"),
+      new ExpressionInfo(classOf[MaListAgg].getName, "ma_list_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "ma_list_agg(struct) takes one struct")
+        MaListAgg(children.head)
+      }))
+
+  /** Register into an already-built session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

@@ -902,6 +902,35 @@ object DvQueries {
               |  ${O.hashkey("o_orderkey")} AS hk_order_h
               |FROM orders""".stripMargin)),
 
+    // H4 use_rtrim — trailing null placeholders stripped before hashing, so
+    // a payload extended by a new (still-NULL) column keeps its old hashdiff
+    // (the reference's schema-evolution story for hashdiffs). The missing
+    // column is re-added as a typed NULL (P5) and participates in the hash.
+    Q("stage_rtrim_hashdiff",
+      (s, dir) => {
+        val cfg = StageConfig(
+          ldts = "!2024-01-01 00:00:00", rsrc = "!TPC_H/Customer",
+          missingColumns = Map("c_phone" -> org.apache.spark.sql.types.StringType),
+          hashedColumns = Seq(
+            HashColumnSpec("hd_plain", Seq("c_name", "c_phone"), isHashdiff = true),
+            HashColumnSpec("hd_rtrim", Seq("c_name", "c_phone"), isHashdiff = true,
+              rtrimHashdiff = true),
+            HashColumnSpec("hd_old", Seq("c_name"), isHashdiff = true, rtrimHashdiff = true)),
+          enableGhostRecords = false)
+        StageLoader.build(rd(s, dir, "customer"), cfg)
+          .select("c_custkey", "hd_plain", "hd_rtrim", "hd_old",
+            // rtrim makes the extended payload hash equal the pre-extension one
+            "c_phone")
+          .withColumn("stable_under_evolution", col("hd_rtrim") === col("hd_old"))
+      },
+      Some(s"""SELECT c_custkey,
+              |  ${O.hashdiff("c_name", "cast(NULL AS varchar)")} AS hd_plain,
+              |  ${O.hashdiffRtrim("c_name", "cast(NULL AS varchar)")} AS hd_rtrim,
+              |  ${O.hashdiffRtrim("c_name")} AS hd_old,
+              |  cast(NULL AS varchar) AS c_phone,
+              |  TRUE AS stable_under_evolution
+              |FROM customer""".stripMargin)),
+
     // O1/O2 — latest-row probe
     Q("snap_latest_row",
       (s, _) => ControlSnapV0Loader.build(s, "2024-01-01", "07:30:00", Some("2024-03-31"))

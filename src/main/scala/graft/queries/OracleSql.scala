@@ -31,6 +31,11 @@ object OracleSql {
   def hashdiff(cols: String*): String =
     s"coalesce(lower(md5(${concatStd(cols, caseSensitive = true)})), '$ZeroKey')"
 
+  /** H4 use_rtrim variant: trailing null-placeholder/concat chars stripped
+    * before hashing (hash_standardization.sql:562-568) */
+  def hashdiffRtrim(cols: String*): String =
+    s"coalesce(lower(md5(rtrim(${concatStd(cols, caseSensitive = true)}, '^|'))), '$ZeroKey')"
+
   /** aggregate expression: ordered LISTAGG + hash (H5). Ordering matches the
     * Spark implementation AND the reference's LISTAGG ... WITHIN GROUP
     * (ORDER BY ma_keys): native-typed ma keys, standardized row as tiebreak. */

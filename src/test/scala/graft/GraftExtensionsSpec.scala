@@ -1,0 +1,20 @@
+package graft
+
+import graft.SparkSpec
+
+/** SQL-text access to the native expressions via function registration. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("dot_product / vec_norm / ma_list_agg are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dp,
+        |       vec_norm(array(3.0F, 4.0F)) AS nrm""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 5.0)
+    val agg = spark.sql(
+      """SELECT ma_list_agg(struct(k, s)) AS l FROM VALUES (2, 'b'), (1, 'a') AS t(k, s)
+        |""".stripMargin).head()
+    assert(agg.getString(0) == "a,b")
+  }
+}
