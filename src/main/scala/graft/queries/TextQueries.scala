@@ -34,13 +34,12 @@ object TextQueries {
     val sh = docs(s, dir)
       .withColumn("words", split(col("text"), "\\s+"))
       .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("shingle"))
-    val hashed = sh.select(col("doc_id"),
-      explode(expr(s"sequence(0, ${nHashes - 1})")).as("j"),
-      col("shingle"))
-      .groupBy("doc_id", "j")
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("shingle")))).as("mh"))
-    val sig = hashed.groupBy("doc_id")
-      .agg(concat_ws("|", expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")).as("sig"))
+    // all 8 minhashes in ONE aggregation over the un-replicated shingle rows
+    // (8 parallel min-agg columns) — the j-explode variant multiplied the
+    // shuffle volume 8×; same signature bytes, ordered by j
+    val sig = sh.groupBy("doc_id")
+      .agg(concat_ws("|", (0 until nHashes).map(j =>
+        min(md5(concat(lit(s"$j:"), col("shingle"))))): _*).as("sig"))
     val bands = sig.select(col("doc_id"),
       explode(array(lit(0), lit(1))).as("band"),
       col("sig"))
@@ -205,8 +204,10 @@ object TextQueries {
           .filter(length(col("tok")) > 0)
           .select(col("doc_id"),
             conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+        // bit j via shift+mask (integral, no double division; same value as
+        // the oracle's h // 2^j % 2 for non-negative h)
         val bits = (0 until 32).map(j =>
-          sum(when(((col("h") / math.pow(2, j).toLong).cast("long") % 2) === 1, 1)
+          sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, 1)
             .otherwise(-1)).as(s"b$j"))
         val sh = tok.groupBy("doc_id").agg(bits.head, bits.tail: _*)
         val simhash = (0 until 32).map(j =>
