@@ -1,5 +1,6 @@
 package graft.runtime
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.expr.{HashConfig, Hashing}
@@ -43,6 +44,153 @@ object Rehasher {
   /** S9 — drop columns. */
   def dropColumns(store: TableStore, table: String, names: String*): Unit =
     store.rewrite(table)(_.drop(names: _*))
+
+  // ---- whole-vault rehash orchestration --------------------------------
+  // Reference `macros/rehashing/rehash_all_rdv_entities.sql`: hubs first,
+  // then links, then satellites. The reference keeps a `<hk>_deprecated`
+  // column on rehashed parents so children can still join on the old value
+  // (`rehash_single_satellite.sql` databricks `satellite_update_statement`);
+  // we express the same dependency as explicit (old_hk → new_hk [, bks])
+  // mapping frames captured BEFORE each parent is overwritten.
+
+  final case class HubRehash(name: String, hashkey: String, businessKeys: Seq[String])
+  final case class LinkHubRef(fkCol: String, hubName: String, businessKeys: Seq[String])
+  final case class LinkRehash(name: String, linkHashkey: String, hubRefs: Seq[LinkHubRef],
+                              additionalCols: Seq[String] = Nil)
+  /** maKeys non-empty ⇒ MA satellite (grouped hashdiff); hashdiff None ⇒
+    * NH satellite (hashkey only). */
+  final case class SatRehash(name: String, hashkey: String, hashdiff: Option[String],
+                             payload: Seq[String], parent: String, maKeys: Seq[String] = Nil)
+
+  private def ghostGuard(hashCol: String, oldCfg: HashConfig, newCfg: HashConfig)(
+      recompute: Column): Column =
+    when(col(hashCol) === oldCfg.zeroKey, lit(newCfg.zeroKey))
+      .when(col(hashCol) === oldCfg.errorKey, lit(newCfg.errorKey))
+      .otherwise(recompute)
+
+  /** Rehash the whole raw vault. Hub/link/sat specs mirror the reference's
+    * rehash_all YAML; see [[rehashAllFromYaml]] for the YAML front end. */
+  def rehashAll(store: TableStore, hubs: Seq[HubRehash], links: Seq[LinkRehash],
+                sats: Seq[SatRehash], oldCfg: HashConfig, newCfg: HashConfig): Unit = {
+
+    // 1. per-hub translate maps (old_hk, new_hk, business keys), captured
+    //    eagerly before the hub tables are rewritten
+    val hubMaps: Map[String, DataFrame] = hubs.map { h =>
+      val df = store.read(h.name)
+      val m = df
+        .withColumn("__new_hk",
+          ghostGuard(h.hashkey, oldCfg, newCfg)(
+            Hashing.hashkey(h.businessKeys.map(col))(newCfg)))
+        .select((col(h.hashkey).as("__old_hk") +: col("__new_hk") +:
+          h.businessKeys.map(col)): _*)
+        .cache()
+      m.count() // materialize BEFORE the parent rewrite drops its files
+      h.name -> m
+    }.toMap
+
+    // 2. hubs
+    hubs.foreach(h => rehashEntity(store, h.name, h.hashkey, h.businessKeys, oldCfg, newCfg))
+
+    // 3. links: each FK re-keyed via its hub map; the link hashkey is
+    //    recomputed from ALL parent business keys (+ additional cols) in
+    //    hub_config order (rehash_single_link semantics). Each link also
+    //    yields its own (old → new) map so NH sats can hang off links.
+    val linkMaps: Map[String, DataFrame] = links.map { l =>
+      val df0 = store.read(l.name)
+      var df = df0
+      var bkCols = Vector.empty[String]
+      l.hubRefs.zipWithIndex.foreach { case (ref, i) =>
+        val renamedBks = ref.businessKeys.zipWithIndex.map { case (bk, j) => (bk, s"__bk_${i}_$j") }
+        val mm = renamedBks.foldLeft(hubMaps(ref.hubName))((d, p) => d.withColumnRenamed(p._1, p._2))
+          .withColumnRenamed("__old_hk", s"__old_$i").withColumnRenamed("__new_hk", s"__new_$i")
+          .select((Seq(s"__old_$i", s"__new_$i") ++ renamedBks.map(_._2)).map(col): _*)
+        df = df.join(mm, df(ref.fkCol) === mm(s"__old_$i"), "left")
+        bkCols ++= renamedBks.map(_._2)
+      }
+      var next = df.withColumn("__new_lhk",
+        ghostGuard(l.linkHashkey, oldCfg, newCfg)(
+          Hashing.hashkey((bkCols.map(col) ++ l.additionalCols.map(col)))(newCfg)))
+      val m = next.select(col(l.linkHashkey).as("__old_hk"), col("__new_lhk").as("__new_hk"))
+        .distinct().cache()
+      m.count() // materialize before the link table is rewritten
+      next = next.withColumn(l.linkHashkey, col("__new_lhk"))
+      l.hubRefs.zipWithIndex.foreach { case (ref, i) =>
+        next = next.withColumn(ref.fkCol,
+          ghostGuard(ref.fkCol, oldCfg, newCfg)(coalesce(col(s"__new_$i"), col(ref.fkCol))))
+      }
+      val result = next.select(df0.columns.map(col).toIndexedSeq: _*)
+      store.rewrite(l.name)(_ => result)
+      l.name -> m
+    }.toMap
+
+    // 4. satellites: parent map (hub OR link) re-keys the hashkey; hashdiff
+    //    recomputed from the sat's own payload (grouped for MA sats)
+    val parentMaps = hubMaps.map { case (k, v) => k -> v.select("__old_hk", "__new_hk") } ++ linkMaps
+    sats.foreach { s =>
+      val parentMap = parentMaps.getOrElse(s.parent,
+        throw new IllegalArgumentException(
+          s"satellite ${s.name}: parent ${s.parent} not in the hub/link lists"))
+      store.rewrite(s.name) { df0 =>
+        var df = df0.join(parentMap, df0(s.hashkey) === parentMap("__old_hk"), "left")
+        s.hashdiff.foreach { hd =>
+          if (s.maKeys.nonEmpty) {
+            // MA: grouped hashdiff per (old hashkey, ldts), joined back
+            val grouped = df0.groupBy(col(s.hashkey).as("__g_hk"), col("ldts").as("__g_ldts"))
+              .agg(Hashing.maHashdiff(s.payload.map(col), s.maKeys.map(col))(newCfg).as("__new_hd"))
+            df = df.join(grouped,
+              df(s.hashkey) === col("__g_hk") && df("ldts") === col("__g_ldts"), "left")
+              .withColumn(hd, ghostGuard(hd, oldCfg, newCfg)(col("__new_hd")))
+              .drop("__g_hk", "__g_ldts", "__new_hd")
+          } else {
+            df = df.withColumn(hd,
+              ghostGuard(hd, oldCfg, newCfg)(Hashing.hashdiff(s.payload.map(col))(newCfg)))
+          }
+        }
+        df.withColumn(s.hashkey,
+            ghostGuard(s.hashkey, oldCfg, newCfg)(coalesce(col("__new_hk"), col(s.hashkey))))
+          .drop("__old_hk", "__new_hk")
+          .select(df0.columns.map(col).toIndexedSeq: _*)
+      }
+    }
+
+    hubMaps.values.foreach(_.unpersist())
+    linkMaps.values.foreach(_.unpersist())
+  }
+
+  /** YAML front end matching `rehash_all_rdv_entities.sql`'s document:
+    * sections hubs / links / satellites / ma_satellites / nh_satellites. */
+  def rehashAllFromYaml(store: TableStore, yaml: String,
+                        oldCfg: HashConfig, newCfg: HashConfig): Unit = {
+    val doc = graft.meta.YamlLite.parse(yaml).asInstanceOf[Map[String, Any]]
+    def list(k: String): Seq[Map[String, Any]] = doc.get(k) match {
+      case Some(l: List[_]) => l.map(_.asInstanceOf[Map[String, Any]])
+      case _ => Nil
+    }
+    def strs(v: Any): Seq[String] = v match {
+      case l: List[_] => l.map(_.toString)
+      case null => Nil
+      case s => Seq(s.toString)
+    }
+    val hubs = list("hubs").map(h =>
+      HubRehash(h("name").toString, h("hashkey").toString, strs(h("business_keys"))))
+    val links = list("links").map { l =>
+      LinkRehash(l("name").toString, l("link_hashkey").toString,
+        l("hub_config").asInstanceOf[List[Any]].map { hc =>
+          val m = hc.asInstanceOf[Map[String, Any]]
+          LinkHubRef(m("hub_hashkey").toString, m("hub_name").toString, strs(m("business_keys")))
+        },
+        strs(l.getOrElse("additional_hash_input_cols", Nil)))
+    }
+    val sats =
+      list("satellites").map(s => SatRehash(s("name").toString, s("hashkey").toString,
+        Some(s("hashdiff").toString), strs(s("payload")), s("parent_entity").toString)) ++
+      list("ma_satellites").map(s => SatRehash(s("name").toString, s("hashkey").toString,
+        Some(s("hashdiff").toString), strs(s("payload")), s("parent_entity").toString,
+        maKeys = strs(s("ma_keys")))) ++
+      list("nh_satellites").map(s => SatRehash(s("name").toString, s("hashkey").toString,
+        None, Nil, s("parent_entity").toString))
+    rehashAll(store, hubs, links, sats, oldCfg, newCfg)
+  }
 }
 
 /** S8 — PIT cleanup: delete PIT rows whose snapshot was deactivated in the

@@ -250,6 +250,88 @@ class LoaderSpec extends SparkSpec {
     store.drop("pit"); store.drop("snap")
   }
 
+  test("rehash_all: hubs -> links -> satellites, YAML-driven, MD5 -> SHA256") {
+    val wh = Files.createTempDirectory("graft_t").toString
+    val store = new TableStore(spark, wh)
+    val md5cfg = HashConfig()
+    val shacfg = HashConfig(algorithm = "SHA256")
+    def hkMd5(c: org.apache.spark.sql.Column) = graft.expr.Hashing.hashkey(Seq(c))(md5cfg)
+    def ldts1 = to_timestamp(lit("2024-01-01 00:00:00"))
+
+    val custHub = Seq("k1", "k2").toDF("c_custkey")
+      .withColumn("hk_customer_h", hkMd5($"c_custkey"))
+      .withColumn("ldts", ldts1).withColumn("rsrc", lit("T"))
+    val natHub = Seq("n1").toDF("n_nationkey")
+      .withColumn("hk_nation_h", hkMd5($"n_nationkey"))
+      .withColumn("ldts", ldts1).withColumn("rsrc", lit("T"))
+    val link = Seq(("k1", "n1"), ("k2", "n1")).toDF("c_custkey", "n_nationkey")
+      .withColumn("hk_customer_nation_l",
+        graft.expr.Hashing.hashkey(Seq($"c_custkey", $"n_nationkey"))(md5cfg))
+      .withColumn("hk_customer_h", hkMd5($"c_custkey"))
+      .withColumn("hk_nation_h", hkMd5($"n_nationkey"))
+      .select("hk_customer_nation_l", "hk_customer_h", "hk_nation_h")
+      .withColumn("ldts", ldts1).withColumn("rsrc", lit("T"))
+    val sat = Seq(("k1", "A"), ("k2", "B")).toDF("c_custkey", "payload")
+      .withColumn("hk_customer_h", hkMd5($"c_custkey"))
+      .withColumn("hd_customer_s", graft.expr.Hashing.hashdiff(Seq($"payload"))(md5cfg))
+      .select("hk_customer_h", "hd_customer_s", "payload")
+      .withColumn("ldts", ldts1).withColumn("rsrc", lit("T"))
+    store.overwrite("customer_h", custHub)
+    store.overwrite("nation_h", natHub)
+    store.overwrite("customer_nation_l", link)
+    store.overwrite("customer_s", sat)
+
+    graft.runtime.Rehasher.rehashAllFromYaml(store,
+      """hubs:
+        |  - name: customer_h
+        |    hashkey: hk_customer_h
+        |    business_keys:
+        |      - c_custkey
+        |  - name: nation_h
+        |    hashkey: hk_nation_h
+        |    business_keys:
+        |      - n_nationkey
+        |links:
+        |  - name: customer_nation_l
+        |    link_hashkey: hk_customer_nation_l
+        |    additional_hash_input_cols: []
+        |    hub_config:
+        |      - hub_hashkey: hk_customer_h
+        |        hub_name: customer_h
+        |        business_keys:
+        |          - c_custkey
+        |      - hub_hashkey: hk_nation_h
+        |        hub_name: nation_h
+        |        business_keys:
+        |          - n_nationkey
+        |satellites:
+        |  - name: customer_s
+        |    hashkey: hk_customer_h
+        |    hashdiff: hd_customer_s
+        |    payload:
+        |      - payload
+        |    parent_entity: customer_h
+        |""".stripMargin, md5cfg, shacfg)
+
+    def hkSha(v: String) = Seq(v).toDF("x")
+      .select(graft.expr.Hashing.hashkey(Seq($"x"))(shacfg)).head().getString(0)
+    val hub2 = store.read("customer_h")
+    assert(hub2.filter($"c_custkey" === "k1").head().getAs[String]("hk_customer_h") == hkSha("k1"))
+    val link2 = store.read("customer_nation_l").filter($"hk_customer_h" === hkSha("k1")).collect()
+    assert(link2.length == 1)
+    assert(link2(0).getAs[String]("hk_nation_h") == hkSha("n1"))
+    // link hashkey = sha-hashkey over BOTH parent business keys
+    val wantLhk = Seq(("k1", "n1")).toDF("a", "b")
+      .select(graft.expr.Hashing.hashkey(Seq($"a", $"b"))(shacfg)).head().getString(0)
+    assert(link2(0).getAs[String]("hk_customer_nation_l") == wantLhk)
+    // satellite re-keyed to the hub's new hashkey, hashdiff re-derived
+    val sat2 = store.read("customer_s").filter($"payload" === "A").head()
+    assert(sat2.getAs[String]("hk_customer_h") == hkSha("k1"))
+    assert(sat2.getAs[String]("hd_customer_s") ==
+      Seq("A").toDF("p").select(graft.expr.Hashing.hashdiff(Seq($"p"))(shacfg)).head().getString(0))
+    Seq("customer_h", "nation_h", "customer_nation_l", "customer_s").foreach(store.drop)
+  }
+
   test("pit cleanup deletes rows of deactivated snapshots") {
     val wh = Files.createTempDirectory("graft_t").toString
     val store = new TableStore(spark, wh)
