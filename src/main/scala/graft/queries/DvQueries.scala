@@ -567,6 +567,124 @@ object DvQueries {
               |    AND snap.sdts BETWEEN s.ldts AND s.ledts)
               |SELECT DISTINCT * FROM pit""".stripMargin)),
 
+    // J5/J6 with SEVERAL satellites: one v1 sat + one v0 sat end-dated
+    // inline by the PIT (pit.sql:90-96), present only for even custkeys so
+    // the ghost-record pointers (zero key / beginning-of-all-times) are
+    // actually produced for the odd ones.
+    Q("pit_multisat",
+      (s, dir) => {
+        val v0 = SatV0Loader.records(cust3Batch(s, dir), Seq("hk_customer_h"),
+          Some("hd_customer_s"), Seq("c_name", "c_acctbal_v", "c_mktsegment"), target = None)
+        val v1 = SatV1Loader.build(v0, "hk_customer_h", Some("hd_customer_s"))
+        val addr = custStage(s, dir).filter(col("c_custkey") % 2 === 0)
+          .select(col("hk_customer_h"), col(LdtsAlias))
+        val hub = custStage(s, dir).select("hk_customer_h").distinct()
+        val snaps = ControlSnapV0Loader.build(s, "2024-02-01", "12:00:00", Some("2024-02-07"))
+          .withColumn("is_active", lit(true))
+        PitLoader.records(hub, "hk_customer_h",
+          Seq(PitSatellite("customer_s", v1),
+            PitSatellite("address_s", addr, hasLedts = false)),
+          snaps, "dim_key_customer")
+      },
+      Some(s"""WITH $satV0Sql,
+              |sat_v1 AS (
+              |  SELECT *, COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |    OVER (PARTITION BY hk_customer_h ORDER BY ldts),
+              |    timestamp '8888-12-31 23:59:59') AS ledts FROM sat_v0),
+              |addr AS (
+              |  SELECT ${O.hashkey("c_custkey")} AS hk_customer_h,
+              |    timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
+              |    COALESCE(LEAD(timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY
+              |        - INTERVAL 1 MICROSECOND)
+              |      OVER (PARTITION BY ${O.hashkey("c_custkey")} ORDER BY
+              |        timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY),
+              |      timestamp '8888-12-31 23:59:59') AS ledts
+              |  FROM customer WHERE c_custkey % 2 = 0),
+              |hub AS (SELECT DISTINCT hk_customer_h FROM hashed),
+              |snaps AS (
+              |  SELECT unnest(generate_series(timestamp '2024-02-01 12:00:00',
+              |    timestamp '2024-02-08 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts),
+              |pit AS (
+              |  SELECT ${O.hashkey("te.hk_customer_h", "snap.sdts")} AS dim_key_customer,
+              |    te.hk_customer_h, snap.sdts,
+              |    COALESCE(s1.hk_customer_h, '${O.ZeroKey}') AS hk_customer_s,
+              |    COALESCE(s1.ldts, timestamp '0001-01-01 00:00:01') AS ldts_customer_s,
+              |    COALESCE(s2.hk_customer_h, '${O.ZeroKey}') AS hk_address_s,
+              |    COALESCE(s2.ldts, timestamp '0001-01-01 00:00:01') AS ldts_address_s
+              |  FROM hub te CROSS JOIN snaps snap
+              |  LEFT JOIN sat_v1 s1 ON s1.hk_customer_h = te.hk_customer_h
+              |    AND snap.sdts BETWEEN s1.ldts AND s1.ledts
+              |  LEFT JOIN addr s2 ON s2.hk_customer_h = te.hk_customer_h
+              |    AND snap.sdts BETWEEN s2.ldts AND s2.ledts)
+              |SELECT DISTINCT * FROM pit""".stripMargin)),
+
+    // U5 with several satellites: the ref_table date spine is the UNION of
+    // DISTINCT load dates across ALL ref sats (ref_table.sql:56-68), each
+    // sat temporally joined onto the shared spine.
+    Q("ref_table_multi",
+      (s, dir) => {
+        def natSrc(changeDay: Int, mod: Int, suffix: String, colName: String) =
+          rd(s, dir, "nation")
+            .crossJoin(s.range(2).select(col("id").as("b")))
+            .withColumn(LdtsAlias,
+              expr(s"timestampadd(DAY, cast(b * $changeDay as int), timestamp'2024-01-01 00:00:00')"))
+            .withColumn(RsrcAlias, lit("TPC_H/Nation"))
+            .withColumn(colName,
+              when(col("b") === 1 && col("n_nationkey") % mod === 0,
+                concat(col("n_name"), lit(suffix))).otherwise(col("n_name")))
+            .withColumn("hd", Hashing.hashdiff(Seq(col(colName))))
+        val v0a = SatV0Loader.records(natSrc(1, 3, "_v2", "n_name_v"),
+          Seq("n_nationkey"), Some("hd"), Seq("n_name_v"), target = None)
+        val v0b = SatV0Loader.records(natSrc(2, 2, "_alt", "n_alias_v"),
+          Seq("n_nationkey"), Some("hd"), Seq("n_alias_v"), target = None)
+        val hub = rd(s, dir, "nation")
+          .withColumn(LdtsAlias, to_timestamp(lit("2024-01-01 00:00:00")))
+          .withColumn(RsrcAlias, lit("TPC_H/Nation"))
+          .select("n_nationkey", LdtsAlias, RsrcAlias)
+        RefTableLoader.build(hub, Seq("n_nationkey"),
+          Seq(RefTableLoader.RefSat(Ops.endDate(v0a, "n_nationkey"), Seq("n_name_v")),
+            RefTableLoader.RefSat(Ops.endDate(v0b, "n_nationkey"), Seq("n_alias_v"))))
+      },
+      Some(s"""WITH satA AS (
+              |  SELECT n_nationkey, ldts, n_name_v,
+              |    COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |      OVER (PARTITION BY n_nationkey ORDER BY ldts),
+              |      timestamp '8888-12-31 23:59:59') AS ledts
+              |  FROM (
+              |    SELECT n_nationkey,
+              |      timestamp '2024-01-01 00:00:00' + b * INTERVAL 1 DAY AS ldts,
+              |      CASE WHEN b = 1 AND n_nationkey % 3 = 0 THEN n_name || '_v2' ELSE n_name END AS n_name_v,
+              |      ${O.hashdiff("CASE WHEN b = 1 AND n_nationkey % 3 = 0 THEN n_name || '_v2' ELSE n_name END")} AS hd
+              |    FROM nation CROSS JOIN (VALUES (0),(1)) AS batches(b)
+              |    QUALIFY CASE WHEN hd = LAG(hd)
+              |      OVER (PARTITION BY n_nationkey ORDER BY b) THEN FALSE ELSE TRUE END)),
+              |satB AS (
+              |  SELECT n_nationkey, ldts, n_alias_v,
+              |    COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |      OVER (PARTITION BY n_nationkey ORDER BY ldts),
+              |      timestamp '8888-12-31 23:59:59') AS ledts
+              |  FROM (
+              |    SELECT n_nationkey,
+              |      timestamp '2024-01-01 00:00:00' + b * 2 * INTERVAL 1 DAY AS ldts,
+              |      CASE WHEN b = 1 AND n_nationkey % 2 = 0 THEN n_name || '_alt' ELSE n_name END AS n_alias_v,
+              |      ${O.hashdiff("CASE WHEN b = 1 AND n_nationkey % 2 = 0 THEN n_name || '_alt' ELSE n_name END")} AS hd
+              |    FROM nation CROSS JOIN (VALUES (0),(1)) AS batches(b)
+              |    QUALIFY CASE WHEN hd = LAG(hd)
+              |      OVER (PARTITION BY n_nationkey ORDER BY b) THEN FALSE ELSE TRUE END)),
+              |spine AS (
+              |  SELECT DISTINCT ldts FROM (
+              |    SELECT ldts FROM satA WHERE ldts != timestamp '8888-12-31 23:59:59'
+              |    UNION SELECT ldts FROM satB WHERE ldts != timestamp '8888-12-31 23:59:59')),
+              |hub AS (
+              |  SELECT n_nationkey, timestamp '2024-01-01 00:00:00' AS hub_ldts,
+              |    'TPC_H/Nation' AS rsrc
+              |  FROM nation)
+              |SELECT h.n_nationkey, d.ldts, h.rsrc, a.n_name_v, b.n_alias_v
+              |FROM hub h CROSS JOIN spine d
+              |LEFT JOIN satA a ON a.n_nationkey = h.n_nationkey AND d.ldts BETWEEN a.ldts AND a.ledts
+              |LEFT JOIN satB b ON b.n_nationkey = h.n_nationkey AND d.ldts BETWEEN b.ldts AND b.ledts
+              |WHERE h.hub_ldts <= d.ldts""".stripMargin)),
+
     // P6, A2, S3, J1 — incremental hub load against an existing target
     Q("hub_incremental",
       (s, dir) => {
