@@ -27,8 +27,14 @@ object TextQueries {
 
   /** MinHash+LSH banded candidate pairs (8 hashes, 2 bands × 4 rows): the
     * shared candidate generator for ALL near-dup verifies. Bucketed — pair
-    * generation is an equi-join on (band, bucket), never all-pairs; at scale
-    * a hot bucket is capped/salted before the self-join. */
+    * generation is an equi-join on (band, bucket), never all-pairs — and
+    * capped: buckets holding more than [[MaxBucketSize]] docs are dropped
+    * before the self-join (a degenerate bucket of m docs would emit m²/2
+    * pairs; at corpus scale that single hot key IS the job's runtime, and
+    * its members are near-duplicates of everything, i.e. boilerplate the
+    * pipeline should treat separately). */
+  private val MaxBucketSize = 100
+
   private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val nHashes = 8
     val sh = docs(s, dir)
@@ -46,9 +52,13 @@ object TextQueries {
       .select(col("doc_id"), col("band"),
         md5(concat(col("band").cast("string"), lit("#"),
           expr("concat_ws('|', slice(split(sig, '\\\\|'), band * 4 + 1, 4))"))).as("bucket"))
-    val b2 = bands.select(col("doc_id").as("doc_id_2"), col("band").as("band_2"),
+    val capped = bands.join(
+      bands.groupBy("band", "bucket").count()
+        .filter(col("count") <= MaxBucketSize).drop("count"),
+      Seq("band", "bucket"), "left_semi")
+    val b2 = capped.select(col("doc_id").as("doc_id_2"), col("band").as("band_2"),
       col("bucket").as("bucket_2"))
-    bands.join(b2, col("bucket") === col("bucket_2") && col("band") === col("band_2") &&
+    capped.join(b2, col("bucket") === col("bucket_2") && col("band") === col("band_2") &&
         col("doc_id") < col("doc_id_2"))
       .select(col("doc_id"), col("doc_id_2")).distinct()
   }
@@ -69,9 +79,14 @@ object TextQueries {
        |    md5(cast(band AS varchar) || '#' ||
        |        array_to_string((regexp_split_to_array(sig, '\\|'))[band*4+1:band*4+4], '|')) AS bucket
        |  FROM sig, UNNEST([0, 1]) AS b(band)),
+       |capped AS (
+       |  SELECT b.* FROM bands b SEMI JOIN (
+       |    SELECT band, bucket FROM bands GROUP BY band, bucket
+       |    HAVING count(*) <= 100) s
+       |  ON b.band = s.band AND b.bucket = s.bucket),
        |cands AS (
        |  SELECT DISTINCT a.doc_id, b.doc_id AS doc_id_2
-       |  FROM bands a JOIN bands b
+       |  FROM capped a JOIN capped b
        |    ON a.bucket = b.bucket AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
 
   val all: Seq[Q] = Seq(
