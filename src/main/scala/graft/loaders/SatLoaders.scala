@@ -56,7 +56,14 @@ object SatV0Loader {
       case None => deduped.select(outCols.map(col): _*)
       case Some(t) =>
         val latestKeys = keys ++ dedupCol.toSeq
-        val latest = Ops.dedupLatest(t.select((keys ++ dedupCol.toSeq :+ LdtsAlias).distinct.map(col): _*), keys)
+        // performance_filter.sql (filter_latest_entries_in_sat): the target's
+        // latest-entry scan only needs keys PRESENT IN THIS DELTA — a
+        // left-semi restriction that turns an O(target) aggregate into
+        // O(delta keys) before the NOT-EXISTS compare
+        val srcKeys = deduped.select(keys.map(col): _*).distinct()
+        val latest = Ops.dedupLatest(
+            t.select((keys ++ dedupCol.toSeq :+ LdtsAlias).distinct.map(col): _*)
+              .join(srcKeys, keys, "left_semi"), keys)
           .select(latestKeys.map(col): _*)
           .withColumn("__hit", lit(1))
         val joined = deduped.join(latest, latestKeys, "left")
@@ -127,8 +134,12 @@ object MaSatV0Loader {
     target match {
       case None => grouped.select(outCols.map(col): _*)
       case Some(t) =>
-        // NOT EXISTS vs target's latest (hk, hashdiff) (ma_sat_v0.sql:110-117)
-        val latest = Ops.dedupLatest(t.select(hashkey, hashdiff, LdtsAlias), Seq(hashkey))
+        // NOT EXISTS vs target's latest (hk, hashdiff) (ma_sat_v0.sql:110-117);
+        // target scan semi-restricted to this delta's keys (performance_filter)
+        val latest = Ops.dedupLatest(
+            t.select(hashkey, hashdiff, LdtsAlias)
+              .join(grouped.select(hashkey).distinct(), Seq(hashkey), "left_semi"),
+            Seq(hashkey))
           .select(hashkey, hashdiff)
         grouped.join(latest, Seq(hashkey, hashdiff), "left_anti")
           .select(outCols.map(col): _*)
