@@ -809,6 +809,66 @@ object DvQueries {
               |SELECT DISTINCT * FROM (
               |  SELECT * FROM new_keys UNION ALL SELECT * FROM disappeared)""".stripMargin)),
 
+    // eff_sat_v0.sql multi-batch INCREMENTAL: history matrix over the delta,
+    // status-change dedup, exclusion vs current_status (the NOT-EXISTS that
+    // silently dropped brand-new keys in r1), disappeared-key deactivation,
+    // union distinct, final (hk, ldts) anti-join. Day 0 = %4 keys absent;
+    // delta day 1 = %3 absent, day 2 = %5 absent.
+    Q("eff_sat_incremental",
+      (s, dir) => {
+        def src(mod: Int, ts: String) = rd(s, dir, "customer")
+          .filter(col("c_custkey") % mod =!= 0)
+          .withColumn(LdtsAlias, to_timestamp(lit(ts)))
+          .withColumn(RsrcAlias, lit("TPC_H/Customer"))
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey"))))
+        val target = EffSatLoader.records(src(4, "2024-07-01 00:00:00"), "hk_customer_h",
+          target = None)
+        val delta = src(3, "2024-07-02 00:00:00").unionByName(src(5, "2024-07-03 00:00:00"))
+        EffSatLoader.records(delta, "hk_customer_h", target = Some(target))
+      },
+      Some(s"""WITH keys0 AS (
+              |  SELECT DISTINCT ${O.hashkey("c_custkey")} AS hk FROM customer WHERE c_custkey % 4 != 0),
+              |target AS (
+              |  SELECT hk, timestamp '2024-07-01 00:00:00' AS ldts, 'TPC_H/Customer' AS rsrc, 1 AS isa
+              |  FROM keys0),
+              |delta AS (
+              |  SELECT ${O.hashkey("c_custkey")} AS hk, timestamp '2024-07-02 00:00:00' AS ldts,
+              |         'TPC_H/Customer' AS rsrc
+              |  FROM customer WHERE c_custkey % 3 != 0
+              |  UNION ALL
+              |  SELECT ${O.hashkey("c_custkey")}, timestamp '2024-07-03 00:00:00', 'TPC_H/Customer'
+              |  FROM customer WHERE c_custkey % 5 != 0),
+              |hashkeys AS (SELECT hk, MIN(ldts) AS first FROM delta GROUP BY hk),
+              |load_dates AS (SELECT DISTINCT ldts FROM delta),
+              |history AS (
+              |  SELECT k.hk, d.ldts FROM hashkeys k CROSS JOIN load_dates d WHERE d.ldts >= k.first),
+              |act AS (
+              |  SELECT h.hk, h.ldts, COALESCE(s.rsrc, 'SYSTEM') AS rsrc,
+              |         CASE WHEN s.hk IS NULL THEN 0 ELSE 1 END AS isa
+              |  FROM history h LEFT JOIN (SELECT DISTINCT hk, ldts, rsrc FROM delta) s
+              |    ON s.hk = h.hk AND s.ldts = h.ldts),
+              |dedup AS (
+              |  SELECT * FROM act
+              |  QUALIFY CASE WHEN isa = LAG(isa) OVER (PARTITION BY hk ORDER BY ldts)
+              |    THEN FALSE ELSE TRUE END),
+              |mn AS (SELECT MIN(ldts) AS m FROM dedup),
+              |cs AS (
+              |  SELECT hk, isa FROM target
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY hk ORDER BY ldts DESC) = 1),
+              |filtered AS (
+              |  SELECT d.hk, d.ldts, d.rsrc, d.isa FROM dedup d LEFT JOIN cs ON cs.hk = d.hk, mn
+              |  WHERE cs.hk IS NULL OR NOT (cs.isa = d.isa AND d.ldts = mn.m)),
+              |disappeared AS (
+              |  SELECT cs.hk, mn.m AS ldts, 'SYSTEM' AS rsrc, 0 AS isa FROM cs, mn
+              |  WHERE cs.isa = 1
+              |    AND cs.hk NOT IN (SELECT hk FROM dedup WHERE ldts = (SELECT m FROM mn))),
+              |unioned AS (
+              |  SELECT DISTINCT * FROM (
+              |    SELECT * FROM filtered UNION ALL SELECT * FROM disappeared))
+              |SELECT u.hk AS hk_customer_h, u.ldts, u.rsrc, cast(u.isa AS boolean) AS is_active
+              |FROM unioned u WHERE NOT EXISTS (
+              |  SELECT 1 FROM target t WHERE t.hk = u.hk AND t.ldts = u.ldts)""".stripMargin)),
+
     // ma_sat_v0.sql:110-117 — incremental MA sat: groups whose set-hashdiff
     // is unchanged vs the target's latest are dropped; changed groups insert
     // ALL their multi-active rows.
