@@ -104,9 +104,16 @@ object Hashing {
     case _                                         => c
   }
 
-  /** resolve `names` against the frame's schema and H7-normalize each */
+  /** resolve `names` against the frame's schema (case-insensitively, like
+    * every other analyzer-resolved column reference) and H7-normalize each */
   def hashInputs(df: DataFrame, names: Seq[String]): Seq[Column] =
-    names.map(n => normalizeInput(col(n), df.schema(n).dataType))
+    names.map { n =>
+      val field = df.schema.fields.find(_.name == n)
+        .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(n)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"hash input column '$n' not found among ${df.columns.mkString(", ")}"))
+      normalizeInput(col(field.name), field.dataType)
+    }
 
   /** H3 — hashkey: case-insensitive by default, always trimmed, all-null →
     * zero key (reference `hash.sql:31-96`, `dbt_project.yml:32`).

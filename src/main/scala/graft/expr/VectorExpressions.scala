@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType}
 
 /** Native codegen'd vector arithmetic for the similarity-search operators.
   *
@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, N
   * so results are bit-for-bit the same as the higher-order-function form and
   * the DuckDB oracle's list_sum(list_transform(list_zip(...))).
   *
-  * NULL semantics: NULL if either input array is NULL (matching zip_with /
-  * aggregate); array elements are assumed non-null (embeddings).
+  * NULL semantics: NULL if either input array is NULL, and NULL on a length
+  * mismatch (zip_with null-pads the shorter side and the NULL poisons the
+  * whole fold — a partial dot product would be silently wrong); array
+  * elements are assumed non-null (embeddings).
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -40,44 +42,41 @@ case class DotProduct(left: Expression, right: Expression)
   @transient private lazy val rightElem =
     right.dataType.asInstanceOf[ArrayType].elementType
 
-  private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
-    case FloatType  => (a, i) => a.getFloat(i).toDouble
-    case DoubleType => (a, i) => a.getDouble(i)
-    case other      => (a, i) => a.get(i, other).asInstanceOf[Number].doubleValue()
-  }
-
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val gx = getter(leftElem)
-    val gy = getter(rightElem)
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += gx(x, i) * gy(y, i); i += 1 }
-    acc
-  }
-
-  private def genGetter(dt: DataType): (String, String) => String = dt match {
-    case FloatType  => (arr, i) => s"(double) $arr.getFloat($i)"
-    case DoubleType => (arr, i) => s"$arr.getDouble($i)"
-    case _          => (arr, i) => s"((Number) $arr.get($i, null)).doubleValue()"
+    // length mismatch: zip_with null-pads and the NULL poisons the whole
+    // fold — mirror that with a NULL result, never a partial dot product
+    if (x.numElements() != y.numElements()) null
+    else {
+      val gx = VectorExpressions.getter(leftElem)
+      val gy = VectorExpressions.getter(rightElem)
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += gx(x, i) * gy(y, i); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val gx = genGetter(leftElem)
-    val gy = genGetter(rightElem)
+    val gx = VectorExpressions.genGetter(leftElem)
+    val gy = VectorExpressions.genGetter(rightElem)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${gx(x, i)} * ${gy(y, i)};
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${gx(x, i)} * ${gy(y, i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }
@@ -106,28 +105,16 @@ case class VecNorm(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val g = VectorExpressions.getter(elemType)
     val n = x.numElements()
     var acc = 0.0
     var i = 0
-    elemType match {
-      case FloatType =>
-        while (i < n) { val v = x.getFloat(i).toDouble; acc += v * v; i += 1 }
-      case DoubleType =>
-        while (i < n) { val v = x.getDouble(i); acc += v * v; i += 1 }
-      case _ =>
-        while (i < n) {
-          val v = x.get(i, elemType).asInstanceOf[Number].doubleValue(); acc += v * v; i += 1
-        }
-    }
+    while (i < n) { val v = g(x, i); acc += v * v; i += 1 }
     math.sqrt(acc)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val get = elemType match {
-      case FloatType  => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
-      case DoubleType => (arr: String, i: String) => s"$arr.getDouble($i)"
-      case _          => (arr: String, i: String) => s"((Number) $arr.get($i, null)).doubleValue()"
-    }
+    val get = VectorExpressions.genGetter(elemType)
     nullSafeCodeGen(ctx, ev, x => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -150,6 +137,32 @@ case class VecNorm(child: Expression) extends UnaryExpression {
 }
 
 object VectorExpressions {
+
+  /** per-element accessor covering EVERY numeric array type the type check
+    * admits (the `get(i, null)` shortcut NPEs on int arrays, and Decimal is
+    * not a java.lang.Number) */
+  private[expr] def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case FloatType      => (a, i) => a.getFloat(i).toDouble
+    case DoubleType     => (a, i) => a.getDouble(i)
+    case IntegerType    => (a, i) => a.getInt(i).toDouble
+    case LongType       => (a, i) => a.getLong(i).toDouble
+    case ShortType      => (a, i) => a.getShort(i).toDouble
+    case ByteType       => (a, i) => a.getByte(i).toDouble
+    case d: DecimalType => (a, i) => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new IllegalStateException(s"unsupported vector element type $other")
+  }
+
+  private[expr] def genGetter(dt: DataType): (String, String) => String = dt match {
+    case FloatType      => (arr, i) => s"(double) $arr.getFloat($i)"
+    case DoubleType     => (arr, i) => s"$arr.getDouble($i)"
+    case IntegerType    => (arr, i) => s"(double) $arr.getInt($i)"
+    case LongType       => (arr, i) => s"(double) $arr.getLong($i)"
+    case ShortType      => (arr, i) => s"(double) $arr.getShort($i)"
+    case ByteType       => (arr, i) => s"(double) $arr.getByte($i)"
+    case d: DecimalType => (arr, i) => s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case other => throw new IllegalStateException(s"unsupported vector element type $other")
+  }
+
   /** Column API: dot product of two numeric-array columns. */
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(

@@ -59,9 +59,12 @@ object YamlLite {
     while (i < lines.length && lines(i).indent == indent && (lines(i).text.startsWith("- ") || lines(i).text == "-")) {
       val rest = if (lines(i).text == "-") "" else lines(i).text.drop(2).trim
       if (rest.isEmpty) {
-        // value is the following deeper block
-        val (v, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
-        out += v; i = next
+        // value is the following deeper block (if any — a trailing bare
+        // dash or a non-indented successor is an empty item, not a crash)
+        if (i + 1 < lines.length && lines(i + 1).indent > indent) {
+          val (v, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
+          out += v; i = next
+        } else { out += null; i += 1 }
       } else if (splitKey(rest).isDefined) {
         // `- key: …` starts a map item; re-root it at a virtual indent and
         // absorb following deeper lines
@@ -88,7 +91,9 @@ object YamlLite {
         out += unquote(k) -> v; i = next
       } else { out += unquote(k) -> null; i += 1 }
     }
-    (out.toMap, i)
+    // ListMap: immutable.Map drops insertion order past 4 entries, and
+    // document order matters (derived columns apply sequentially)
+    (scala.collection.immutable.ListMap(out.toSeq: _*), i)
   }
 
   /** split `key: value` at the first unquoted colon-space (or trailing colon) */
@@ -112,10 +117,11 @@ object YamlLite {
     if (s.startsWith("[") && s.endsWith("]"))
       splitTopLevel(s.substring(1, s.length - 1)).map(scalar)
     else if (s.startsWith("{") && s.endsWith("}"))
-      splitTopLevel(s.substring(1, s.length - 1)).map { kv =>
-        val Some((k, v)) = splitKey(kv): @unchecked
-        unquote(k) -> scalar(v)
-      }.toMap
+      scala.collection.immutable.ListMap(
+        splitTopLevel(s.substring(1, s.length - 1)).map { kv =>
+          val Some((k, v)) = splitKey(kv): @unchecked
+          unquote(k) -> scalar(v)
+        }: _*)
     else if (s == "null" || s == "~") null
     else if (s == "true" || s == "True") true
     else if (s == "false" || s == "False") false

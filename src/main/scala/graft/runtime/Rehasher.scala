@@ -27,9 +27,11 @@ object Rehasher {
       val ghost = col(hashCol) === oldCfg.zeroKey || col(hashCol) === oldCfg.errorKey
       val ghostValue = when(col(hashCol) === oldCfg.zeroKey, lit(newCfg.zeroKey))
         .otherwise(lit(newCfg.errorKey))
+      // hashInputs = the same H7 datatype normalization staging applies —
+      // a rehash must reproduce what the NEXT stage load will compute
       df.withColumn(hashCol,
         when(ghost, ghostValue)
-          .otherwise(Hashing.hashkey(keyColumns.map(col))(newCfg)))
+          .otherwise(Hashing.hashkey(Hashing.hashInputs(df, keyColumns))(newCfg)))
     }
 
   /** S9 — rename a column (reference ALTER TABLE ... RENAME COLUMN,
@@ -73,19 +75,21 @@ object Rehasher {
   def rehashAll(store: TableStore, hubs: Seq[HubRehash], links: Seq[LinkRehash],
                 sats: Seq[SatRehash], oldCfg: HashConfig, newCfg: HashConfig): Unit = {
 
-    // 1. per-hub translate maps (old_hk, new_hk, business keys), captured
-    //    eagerly before the hub tables are rewritten
+    // 1. per-hub translate maps (old_hk, new_hk, business keys), written
+    //    DURABLY to the store before the hub tables are rewritten: a mere
+    //    cache() could lose partitions after the rewrite and silently
+    //    recompute the map from the NEW hashes (executor loss / eviction is
+    //    routine at scale) — a checkpoint table cannot
     val hubMaps: Map[String, DataFrame] = hubs.map { h =>
       val df = store.read(h.name)
       val m = df
         .withColumn("__new_hk",
           ghostGuard(h.hashkey, oldCfg, newCfg)(
-            Hashing.hashkey(h.businessKeys.map(col))(newCfg)))
+            Hashing.hashkey(Hashing.hashInputs(df, h.businessKeys))(newCfg)))
         .select((col(h.hashkey).as("__old_hk") +: col("__new_hk") +:
           h.businessKeys.map(col)): _*)
-        .cache()
-      m.count() // materialize BEFORE the parent rewrite drops its files
-      h.name -> m
+      store.overwrite(s"__rehash_map_${h.name}", m)
+      h.name -> store.read(s"__rehash_map_${h.name}")
     }.toMap
 
     // 2. hubs
@@ -109,10 +113,11 @@ object Rehasher {
       }
       var next = df.withColumn("__new_lhk",
         ghostGuard(l.linkHashkey, oldCfg, newCfg)(
-          Hashing.hashkey((bkCols.map(col) ++ l.additionalCols.map(col)))(newCfg)))
-      val m = next.select(col(l.linkHashkey).as("__old_hk"), col("__new_lhk").as("__new_hk"))
-        .distinct().cache()
-      m.count() // materialize before the link table is rewritten
+          Hashing.hashkey(Hashing.hashInputs(df, bkCols ++ l.additionalCols))(newCfg)))
+      store.overwrite(s"__rehash_map_${l.name}",
+        next.select(col(l.linkHashkey).as("__old_hk"), col("__new_lhk").as("__new_hk"))
+          .distinct())
+      val m = store.read(s"__rehash_map_${l.name}")
       next = next.withColumn(l.linkHashkey, col("__new_lhk"))
       l.hubRefs.zipWithIndex.foreach { case (ref, i) =>
         next = next.withColumn(ref.fkCol,
@@ -133,17 +138,19 @@ object Rehasher {
       store.rewrite(s.name) { df0 =>
         var df = df0.join(parentMap, df0(s.hashkey) === parentMap("__old_hk"), "left")
         s.hashdiff.foreach { hd =>
+          // hashInputs = the same H7 normalization the stage applies
+          val payloadIn = Hashing.hashInputs(df0, s.payload)
           if (s.maKeys.nonEmpty) {
             // MA: grouped hashdiff per (old hashkey, ldts), joined back
             val grouped = df0.groupBy(col(s.hashkey).as("__g_hk"), col("ldts").as("__g_ldts"))
-              .agg(Hashing.maHashdiff(s.payload.map(col), s.maKeys.map(col))(newCfg).as("__new_hd"))
+              .agg(Hashing.maHashdiff(payloadIn, s.maKeys.map(col))(newCfg).as("__new_hd"))
             df = df.join(grouped,
               df(s.hashkey) === col("__g_hk") && df("ldts") === col("__g_ldts"), "left")
               .withColumn(hd, ghostGuard(hd, oldCfg, newCfg)(col("__new_hd")))
               .drop("__g_hk", "__g_ldts", "__new_hd")
           } else {
             df = df.withColumn(hd,
-              ghostGuard(hd, oldCfg, newCfg)(Hashing.hashdiff(s.payload.map(col))(newCfg)))
+              ghostGuard(hd, oldCfg, newCfg)(Hashing.hashdiff(payloadIn)(newCfg)))
           }
         }
         df.withColumn(s.hashkey,
@@ -153,8 +160,8 @@ object Rehasher {
       }
     }
 
-    hubMaps.values.foreach(_.unpersist())
-    linkMaps.values.foreach(_.unpersist())
+    // drop the checkpoint map tables
+    (hubs.map(_.name) ++ links.map(_.name)).foreach(n => store.drop(s"__rehash_map_$n"))
   }
 
   /** YAML front end matching `rehash_all_rdv_entities.sql`'s document:

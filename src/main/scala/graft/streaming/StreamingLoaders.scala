@@ -83,7 +83,16 @@ object StreamingLoaders {
       .groupByKey((r: Row) => r.getAs[String](hashkey))(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, rows: Iterator[Row], state: GroupState[String]) => {
-          val sorted = rows.toSeq.sortBy(_.getAs[java.sql.Timestamp](ldts).getTime)
+          // sort at FULL timestamp precision: getTime alone truncates to
+          // milliseconds and ldts carries microseconds (end-dating math is
+          // microsecond-granular), so same-millisecond changes would order
+          // nondeterministically
+          val sorted = rows.toSeq.sortBy { r =>
+            val t = r.getAs[java.sql.Timestamp](ldts)
+            // floorDiv: pre-epoch sentinels (year-0001 ghosts) have negative
+            // getTime, where plain division truncates the wrong way
+            Math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
+          }
           var last = state.getOption
           val kept = sorted.filter { r =>
             val hd = r.getAs[String](hashdiff)

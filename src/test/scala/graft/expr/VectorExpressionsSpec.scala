@@ -47,4 +47,18 @@ class VectorExpressionsSpec extends SparkSpec {
     val withNull = df.select(dotProduct(lit(null).cast("array<float>"), $"d"))
     assert(withNull.head().isNullAt(0))
   }
+
+  test("length mismatch yields NULL (zip_with null-padding semantics), not a partial sum") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(dotProduct($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("integer and long arrays work through the SQL registration") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1, 2, 3), array(4, 5, 6)) AS dp,
+        |       vec_norm(array(3L, 4L)) AS nrm""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 5.0)
+  }
 }

@@ -49,6 +49,22 @@ class MetadataSpec extends SparkSpec {
     assert(m("nothing") == null)
   }
 
+  test("map order is preserved past 4 entries; trailing bare dash is an empty item") {
+    val m = YamlLite.parse(
+      """a: 1
+        |b: 2
+        |c: 3
+        |d: 4
+        |e: 5
+        |f: 6
+        |items:
+        |  - x
+        |  -
+        |""".stripMargin).asInstanceOf[Map[String, Any]]
+    assert(m.keys.toSeq == Seq("a", "b", "c", "d", "e", "f", "items"))
+    assert(m("items") == List("x", null))
+  }
+
   test("stage built from YAML metadata equals the directly-configured stage") {
     val customer = Seq((1L, "Alice", 10, 5.0, "AUTO"), (2L, "Bob", 20, 6.0, "BIKE"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
