@@ -1,0 +1,119 @@
+package graft.loaders
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expr.{HashConfig, Hashing}
+import graft.runtime.TableStore
+
+/** Property-style invariants over randomized fixtures (seeded — failures
+  * reproduce). These are the contracts the reference's loading patterns
+  * promise for ANY source, not just the hand-written micro-fixtures:
+  *
+  *  1. batch-split ≡ full load (sat_v0 incremental protocol)
+  *  2. hub earliest-wins is row-order invariant
+  *  3. MA hashdiff is input-permutation invariant
+  *  4. the standardized pre-hash concat is injective on value tuples
+  *     (delimiter/quote/null collisions cannot alias two different rows)
+  */
+class PropertySpec extends SparkSpec {
+  implicit val hc: HashConfig = HashConfig()
+  import spark.implicits._
+
+  /** value alphabet biased toward the hash-standardization hazards.
+    * (The literal replacement tokens themselves — 'dv4dbt-null-replacement'
+    * etc. — are EXCLUDED: the reference's standardization does not escape
+    * them, so '^^' and the literal token alias by design; injectivity holds
+    * only outside that documented carve-out.) */
+  private val nasty = Vector(
+    "plain", "a||b", "x^^", "q\"uote", "back\\slash", "", "  padded  ",
+    "multi\nline", "tab\tsep", "^^", "||", "\\", "\"",
+    "UPPER", "upper", "ü日本", "0", "-1")
+
+  private def randomSource(r: Random, keys: Int, dates: Int): DataFrame = {
+    val rows = for {
+      k <- 0 until keys
+      d <- 0 until dates
+      if r.nextDouble() < 0.8 // holes: not every key in every batch
+    } yield (s"k$k", f"2024-03-${d + 1}%02d 00:00:00",
+      if (r.nextDouble() < 0.1) null else nasty(r.nextInt(nasty.size)))
+    rows.toDF("bk", "ldts_s", "payload")
+      .withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("PROP"))
+      .withColumn("hk", Hashing.hashkey(Seq($"bk")))
+      .withColumn("hd", Hashing.hashdiff(Seq($"payload")))
+  }
+
+  test("sat_v0: any sequential batch split equals the full load") {
+    val r = new Random(42)
+    for (iter <- 1 to 5) {
+      val dates = 2 + r.nextInt(3)
+      val src = randomSource(r, keys = 5 + r.nextInt(10), dates = dates)
+      val full = SatV0Loader.records(src, Seq("hk"), Some("hd"), Seq("payload"), None)
+      val wh = Files.createTempDirectory("graft_prop").toString
+      val store = new TableStore(spark, wh)
+      // random cut: first c dates, then the rest (loader re-sees ALL rows —
+      // the HWM filter must ignore the already-loaded prefix)
+      val c = 1 + r.nextInt(dates - 1)
+      val cutTs = f"2024-03-$c%02d 00:00:00"
+      store.append("s", SatV0Loader.records(
+        src.filter($"ldts" <= to_timestamp(lit(cutTs))), Seq("hk"), Some("hd"),
+        Seq("payload"), None))
+      store.append("s", SatV0Loader.records(src, Seq("hk"), Some("hd"),
+        Seq("payload"), Some(store.read("s"))))
+      val split = store.read("s")
+      assert(split.count() == full.count(), s"iter $iter (cut at $c/$dates)")
+      assert(split.exceptAll(full).isEmpty && full.exceptAll(split).isEmpty,
+        s"iter $iter: content diverged")
+      store.drop("s")
+    }
+  }
+
+  test("hub: earliest-wins dedup is invariant under row order") {
+    val r = new Random(43)
+    for (iter <- 1 to 3) {
+      val src = randomSource(r, keys = 8, dates = 3)
+      val shuffled = src.orderBy(rand(r.nextLong()))
+      val h1 = HubLoader.records(Seq(EntitySource(src, Some("hk"), Seq("bk"))),
+        "hk", Seq("bk"), None)
+      val h2 = HubLoader.records(Seq(EntitySource(shuffled, Some("hk"), Seq("bk"))),
+        "hk", Seq("bk"), None)
+      assert(h1.exceptAll(h2).isEmpty && h2.exceptAll(h1).isEmpty, s"iter $iter")
+    }
+  }
+
+  test("MA hashdiff: permutation of multi-active rows never changes the hash") {
+    val r = new Random(44)
+    for (iter <- 1 to 3) {
+      val rows = (0 until 6).map(i =>
+        ("k1", s"ma$i", nasty(r.nextInt(nasty.size))))
+      val perm = r.shuffle(rows)
+      def hd(data: Seq[(String, String, String)]): String =
+        data.toDF("hk", "ma", "v")
+          .groupBy("hk").agg(Hashing.maHashdiff(Seq($"v"), Seq($"ma")).as("hd"))
+          .select("hd").head().getString(0)
+      assert(hd(rows) == hd(perm), s"iter $iter")
+    }
+  }
+
+  test("pre-hash concat is injective: different value tuples never alias") {
+    val r = new Random(45)
+    val tuples = (1 to 40).map(_ =>
+      (if (r.nextDouble() < 0.15) null else nasty(r.nextInt(nasty.size)),
+       if (r.nextDouble() < 0.15) null else nasty(r.nextInt(nasty.size))))
+      .distinct
+    val pre = tuples.toDF("a", "b")
+      .select(Hashing.concatenated(Seq($"a", $"b"),
+        caseSensitive = true, useTrim = false).as("p"))
+      .collect().map(row => if (row.isNullAt(0)) null else row.getString(0))
+    // distinct tuples (modulo the documented trim/all-null equivalences)
+    // must produce distinct pre-hash strings
+    val byPre = tuples.zip(pre).groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1)
+    assert(byPre.isEmpty, s"pre-hash collisions: $byPre")
+  }
+}
