@@ -261,6 +261,47 @@ object TextQueries {
       Some(s"""WITH $lshCandSql
              |SELECT doc_id, doc_id_2 FROM cands""".stripMargin)),
 
+    // near-dup CLUSTERING: connected components over the LSH candidate
+    // pairs (iterative min-label propagation, O(component diameter)
+    // rounds, lineage truncated per round), then one canonical keep-doc
+    // per cluster — the step between candidate pairs and actual deletion.
+    Q("dedup_clusters",
+      (s, dir) => {
+        val pairs = lshCandidates(s, dir)
+        val edges = pairs.select(col("doc_id").as("a"), col("doc_id_2").as("b"))
+          .unionAll(pairs.select(col("doc_id_2").as("a"), col("doc_id").as("b")))
+          .localCheckpoint()
+        var labels = edges.select(col("a").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id"))
+        var converged = false
+        var i = 0
+        while (!converged && i < 20) {
+          val nbr = labels.withColumnRenamed("doc_id", "__l_doc")
+            .join(edges, col("__l_doc") === col("a"))
+            .select(col("b").as("doc_id"), col("cluster_id"))
+          val upd = labels.unionByName(nbr)
+            .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+            .localCheckpoint() // truncate lineage each round
+          converged = upd.join(labels.withColumnRenamed("cluster_id", "__prev"), "doc_id")
+            .filter(col("cluster_id") =!= col("__prev")).isEmpty
+          labels = upd
+          i += 1
+        }
+        labels.withColumn("keep", col("doc_id") === col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE $lshCandSql,
+             |edges AS (
+             |  SELECT doc_id AS a, doc_id_2 AS b FROM cands
+             |  UNION ALL SELECT doc_id_2, doc_id FROM cands),
+             |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+             |reach AS (
+             |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+             |SELECT src AS doc_id, MIN(dst) AS cluster_id,
+             |       (src = MIN(dst)) AS keep
+             |FROM reach GROUP BY src""".stripMargin)),
+
     // multimodal decode pipeline: binary → typed Dataset[MediaMeta] via
     // mapPartitions with per-partition codec init (graft.multimodal). The
     // decode itself is a deterministic MD5-derived stand-in; the plumbing
