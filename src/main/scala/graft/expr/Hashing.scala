@@ -108,10 +108,15 @@ object Hashing {
     * every other analyzer-resolved column reference) and H7-normalize each */
   def hashInputs(df: DataFrame, names: Seq[String]): Seq[Column] =
     names.map { n =>
-      val field = df.schema.fields.find(_.name == n)
-        .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(n)))
-        .getOrElse(throw new IllegalArgumentException(
-          s"hash input column '$n' not found among ${df.columns.mkString(", ")}"))
+      val field = df.schema.fields.find(_.name == n).getOrElse {
+        df.schema.fields.filter(_.name.equalsIgnoreCase(n)) match {
+          case Array(one) => one
+          case Array()    => throw new IllegalArgumentException(
+            s"hash input column '$n' not found among ${df.columns.mkString(", ")}")
+          case many       => throw new IllegalArgumentException(
+            s"hash input column '$n' is ambiguous: ${many.map(_.name).mkString(", ")}")
+        }
+      }
       normalizeInput(col(field.name), field.dataType)
     }
 

@@ -25,6 +25,10 @@ case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // ALWAYS nullable: a length mismatch yields NULL even when both children
+  // are non-nullable — without this override nullSafeCodeGen binds ev.isNull
+  // to the literal `false` and the generated `false = true;` cannot compile
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
       case ArrayType(_: NumericType, _) => true

@@ -275,7 +275,8 @@ object TextQueries {
           .withColumn("cluster_id", col("doc_id"))
         var converged = false
         var i = 0
-        while (!converged && i < 20) {
+        val maxRounds = 50
+        while (!converged && i < maxRounds) {
           val nbr = labels.withColumnRenamed("doc_id", "__l_doc")
             .join(edges, col("__l_doc") === col("a"))
             .select(col("b").as("doc_id"), col("cluster_id"))
@@ -287,6 +288,10 @@ object TextQueries {
           labels = upd
           i += 1
         }
+        // fail LOUDLY rather than emit partially-propagated labels that
+        // silently mismatch the oracle's full transitive closure
+        require(converged, s"dedup_clusters: min-label propagation did not " +
+          s"converge within $maxRounds rounds (component diameter too large)")
         labels.withColumn("keep", col("doc_id") === col("cluster_id"))
       },
       Some(s"""WITH RECURSIVE $lshCandSql,

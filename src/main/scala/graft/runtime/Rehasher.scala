@@ -73,7 +73,7 @@ object Rehasher {
   /** Rehash the whole raw vault. Hub/link/sat specs mirror the reference's
     * rehash_all YAML; see [[rehashAllFromYaml]] for the YAML front end. */
   def rehashAll(store: TableStore, hubs: Seq[HubRehash], links: Seq[LinkRehash],
-                sats: Seq[SatRehash], oldCfg: HashConfig, newCfg: HashConfig): Unit = {
+                sats: Seq[SatRehash], oldCfg: HashConfig, newCfg: HashConfig): Unit = try {
 
     // 1. per-hub translate maps (old_hk, new_hk, business keys), written
     //    DURABLY to the store before the hub tables are rewritten: a mere
@@ -160,7 +160,9 @@ object Rehasher {
       }
     }
 
-    // drop the checkpoint map tables
+  } finally {
+    // drop the checkpoint map tables even on a mid-rehash failure — stale
+    // maps must not pollute the warehouse or leak into a later run
     (hubs.map(_.name) ++ links.map(_.name)).foreach(n => store.drop(s"__rehash_map_$n"))
   }
 

@@ -87,11 +87,13 @@ object StreamingLoaders {
           // milliseconds and ldts carries microseconds (end-dating math is
           // microsecond-granular), so same-millisecond changes would order
           // nondeterministically
+          // sort key as (seconds, nanos) TUPLE: a single nano-scaled Long
+          // overflows outside ~1677-2262, wrapping the year-0001/8888
+          // sentinels to arbitrary positions; floorDiv keeps pre-epoch
+          // (negative getTime) seconds ordered correctly
           val sorted = rows.toSeq.sortBy { r =>
             val t = r.getAs[java.sql.Timestamp](ldts)
-            // floorDiv: pre-epoch sentinels (year-0001 ghosts) have negative
-            // getTime, where plain division truncates the wrong way
-            Math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
+            (Math.floorDiv(t.getTime, 1000L), t.getNanos)
           }
           var last = state.getOption
           val kept = sorted.filter { r =>

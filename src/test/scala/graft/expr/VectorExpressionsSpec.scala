@@ -53,6 +53,17 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.select(dotProduct($"a", $"b")).head().isNullAt(0))
   }
 
+  test("non-nullable, non-foldable children still codegen (nullable override)") {
+    // array(x, y) of non-null columns is non-nullable and NOT constant-
+    // foldable: without nullable=true the generated code was `false = true;`
+    val df = Seq((1.0f, 2.0f, 3.0f)).toDF("x", "y", "z")
+    val r = df.select(
+      dotProduct(array($"x", $"y"), array($"y", $"z")).as("dp"),
+      dotProduct(array($"x", $"y"), array($"z")).as("mismatch")).head()
+    assert(r.getDouble(0) == 8.0)
+    assert(r.isNullAt(1))
+  }
+
   test("integer and long arrays work through the SQL registration") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
