@@ -109,6 +109,44 @@ object TextQueries {
              |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
              |FROM documents""".stripMargin)),
 
+    // rolling-hash winnowing fingerprints (the MOSS scheme): hash every
+    // char 5-gram of the normalized prefix, then keep the MINIMUM hash of
+    // each sliding window of 8 positions — a deterministic, position-robust
+    // fingerprint SET per document. Guarantee: any shared substring of
+    // length >= 12 (w + k - 1) produces at least one shared fingerprint.
+    Q("winnow_fingerprint",
+      (s, dir) => {
+        val k = 5; val w = 8
+        val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+        val grams = docs(s, dir)
+          .select(col("doc_id"), substring(norm, 1, 200).as("t"))
+          .filter(length(col("t")) >= k)
+          .select(col("doc_id"),
+            explode(expr(s"transform(sequence(1, length(t) - ${k - 1}), i -> struct(i AS i, substr(t, i, $k) AS g))")).as("e"))
+          .select(col("doc_id"), col("e.i").as("i"), md5(col("e.g")).as("h"))
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+        grams
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+          .withColumn("fp", min(col("h")).over(win))
+          .filter(col("i") <= col("n") - (w - 1)) // only full windows
+          .select(col("doc_id"), col("fp")).distinct()
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 200) AS t
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, u.i, md5(substr(t, cast(u.i AS INT), 5)) AS h
+             |  FROM t, UNNEST(range(1, cast(length(t) AS BIGINT) - 3)) AS u(i)
+             |  WHERE length(t) >= 5),
+             |winnowed AS (
+             |  SELECT doc_id, i,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM grams)
+             |SELECT DISTINCT doc_id, fp FROM winnowed WHERE i <= n - 7""".stripMargin)),
+
     // token counting: whitespace tokens + BPE-ish word/punct pieces + chars
     Q("token_stats",
       (s, dir) => docs(s, dir).select(
