@@ -99,6 +99,37 @@ final class TableStore(val spark: SparkSession, val baseDir: String) {
       .sum
   }
 
+  // ---- bucketed tables (co-located joins at scale) ----------------------
+  // Hash-bucketing a satellite/hub by its hashkey and sorting by ldts makes
+  // every (hashkey, hashkey) join and every ldts window SHUFFLE-FREE when
+  // both sides share the layout: the sort-merge join reads co-located
+  // buckets directly (no Exchange in the plan). This is the Spark-native
+  // equivalent of the reference warehouses' cluster/distribution keys, and
+  // the layout a 100 TB vault should use for its big entities. Bucket
+  // metadata lives in the session catalog (external table at our path).
+
+  /** Create/replace a bucketed, sort-ordered materialization. */
+  def overwriteBucketed(name: String, df: DataFrame, bucketCol: String,
+                        nBuckets: Int, sortCol: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    drop(name)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(sortCol)
+      .option("path", pathOf(name))
+      .saveAsTable(name)
+  }
+
+  /** Append a delta preserving the bucket layout. */
+  def appendBucketed(name: String, df: DataFrame, bucketCol: String,
+                     nBuckets: Int, sortCol: String): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(sortCol)
+      .option("path", pathOf(name))
+      .saveAsTable(name)
+
+  /** Read WITH bucket metadata (path reads can't carry it). */
+  def readTable(name: String): DataFrame = spark.table(name)
+
   /** inverse of Spark's ExternalCatalogUtils.escapePathName (%XX escapes) */
   private def unescapePathName(s: String): String = {
     val sb = new StringBuilder
