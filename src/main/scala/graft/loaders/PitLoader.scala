@@ -81,4 +81,76 @@ object PitLoader {
       case None    => out
     }
   }
+
+  /** AS-OF strategy — same result as [[records]] for contiguously end-dated
+    * satellites (every SatV1Loader/MaSatV1Loader output: ledts chains have
+    * no gaps, so "version valid at sdts" ≡ "last version with ldts ≤ sdts").
+    *
+    * Instead of the hashkey-equi + BETWEEN range join — whose per-key cost
+    * is (#versions × #snapshots) comparisons — this unions version-start
+    * events with snapshot probes and takes a single running `last(...)
+    * ignoreNulls` window per hashkey: O((#versions + #snapshots) log) per
+    * key, one shuffle by hashkey for ALL satellites. The scale path when
+    * satellites are deep (many versions per key) and snapshot sets large.
+    */
+  def recordsAsOf(
+      trackedEntity: DataFrame,
+      hashkey: String,
+      satellites: Seq[PitSatellite],
+      snapshots: DataFrame,
+      dimensionKey: String,
+      target: Option[DataFrame] = None,
+      sdtsAlias: String = SdtsAlias,
+      snapshotTriggerColumn: Option[String] = Some("is_active"),
+      customRsrc: Option[String] = None)(
+      implicit hc: HashConfig = Hashing.Default): DataFrame = {
+
+    import org.apache.spark.sql.expressions.Window
+
+    val snapActive = snapshotTriggerColumn match {
+      case Some(c) => snapshots.filter(col(c)).select(col(sdtsAlias))
+      case None    => snapshots.select(col(sdtsAlias))
+    }
+    // probes: every (entity, snapshot) slot, one row per PIT output row
+    val probes = trackedEntity.select(col(hashkey)).crossJoin(broadcast(snapActive))
+
+    var df = probes
+    satellites.foreach { sat =>
+      val a = s"__${sat.name}"
+      // version-start events; probe events carry NULL version columns
+      val versions = sat.df.select(col(hashkey),
+        col(LdtsAlias).as("__ts"), lit(0).as("__probe"),
+        col(hashkey).as(s"${a}_vhk"), col(LdtsAlias).as(s"${a}_vldts"))
+      val probeEvents = probes.select(col(hashkey),
+        col(sdtsAlias).as("__ts"), lit(1).as("__probe"),
+        lit(null).cast("string").as(s"${a}_vhk"),
+        lit(null).cast("timestamp").as(s"${a}_vldts"))
+      // running as-of state: versions sort before probes at equal ts, so a
+      // version starting exactly at sdts is already visible to the probe
+      val w = Window.partitionBy(col(hashkey)).orderBy(col("__ts").asc, col("__probe").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val asOf = versions.unionByName(probeEvents)
+        .withColumn(s"${a}_hk", last(col(s"${a}_vhk"), ignoreNulls = true).over(w))
+        .withColumn(s"${a}_ldts", last(col(s"${a}_vldts"), ignoreNulls = true).over(w))
+        .filter(col("__probe") === 1)
+        .select(col(hashkey), col("__ts").as(sdtsAlias),
+          col(s"${a}_hk"), col(s"${a}_ldts"))
+      df = df.join(asOf, Seq(hashkey, sdtsAlias), "left")
+    }
+
+    val satCols: Seq[Column] = satellites.flatMap { sat =>
+      val a = s"__${sat.name}"
+      Seq(coalesce(col(s"${a}_hk"), lit(hc.zeroKey)).as(s"hk_${sat.name}"),
+        coalesce(col(s"${a}_ldts"), beginningOfAllTimesTs).as(s"${LdtsAlias}_${sat.name}"))
+    }
+    val dimKey = Hashing.hashkey(Seq(col(hashkey), col(sdtsAlias)))
+    val rsrcCols = customRsrc.map(r => lit(r).as(RsrcAlias)).toSeq
+    val out = df.select(
+      (rsrcCols ++ Seq(dimKey.as(dimensionKey), col(hashkey), col(sdtsAlias)) ++ satCols): _*)
+      .distinct()
+    target match {
+      case Some(t) => Ops.antiJoin(out, t, Seq(dimensionKey))
+      case None    => out
+    }
+  }
 }

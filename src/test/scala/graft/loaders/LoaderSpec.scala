@@ -250,6 +250,28 @@ class LoaderSpec extends SparkSpec {
     store.drop("pit"); store.drop("snap")
   }
 
+  test("PIT as-of strategy equals the range-join strategy") {
+    // v0 sat: k1 has 3 versions, k2 one, k3 none (ghost pointers)
+    val v0 = Seq(
+      ("k1", "2024-01-01 00:00:00", "A"), ("k1", "2024-01-03 00:00:00", "B"),
+      ("k1", "2024-01-05 00:00:00", "C"), ("k2", "2024-01-02 00:00:00", "X"))
+      .toDF("hk", "ldts_s", "payload")
+      .withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+    val v1 = graft.ops.Ops.endDate(v0, "hk")
+    val hub = Seq("k1", "k2", "k3").toDF("hk")
+    val snaps = Seq("2023-12-31 00:00:00", "2024-01-01 00:00:00", "2024-01-02 12:00:00",
+      "2024-01-04 00:00:00", "2024-01-06 00:00:00")
+      .toDF("sdts_s").withColumn("sdts", to_timestamp($"sdts_s")).drop("sdts_s")
+      .withColumn("is_active", lit(true))
+    val sats = Seq(PitSatellite("s", v1))
+    val viaRange = PitLoader.records(hub, "hk", sats, snaps, "dim_key")
+    val viaAsOf = PitLoader.recordsAsOf(hub, "hk", sats, snaps, "dim_key")
+    assert(viaRange.columns.toSeq == viaAsOf.columns.toSeq)
+    assert(viaRange.exceptAll(viaAsOf).isEmpty && viaAsOf.exceptAll(viaRange).isEmpty)
+    // 3 keys × 5 snapshots
+    assert(viaAsOf.count() == 15)
+  }
+
   test("rehash_all: hubs -> links -> satellites, YAML-driven, MD5 -> SHA256") {
     val wh = Files.createTempDirectory("graft_t").toString
     val store = new TableStore(spark, wh)
