@@ -1051,6 +1051,35 @@ object DvQueries {
       Some("""SELECT c_custkey, c_name FROM customer
              |ORDER BY c_custkey LIMIT 100""".stripMargin)),
 
+    // A6 via the STAGE API — multi_active_config: the grouped MA hashdiff is
+    // computed inside StageLoader (stage.sql:402-444) rather than hand-rolled
+    // in the query; hashkey + plain hashdiff coexist with the MA hashdiff.
+    Q("stage_multi_active",
+      (s, dir) => {
+        val cfg = StageConfig(
+          ldts = "!2024-03-01 00:00:00", rsrc = "!TPC_H/Orders",
+          hashedColumns = Seq(
+            HashColumnSpec("hk_customer_h", Seq("o_custkey")),
+            HashColumnSpec("hd_orders_ms", Seq("o_orderstatus", "o_totalprice"),
+              isHashdiff = true)),
+          multiActive = Some(MultiActiveConfig(Seq("o_orderkey"), "hk_customer_h")),
+          enableGhostRecords = false)
+        StageLoader.build(rd(s, dir, "orders"), cfg)
+          .select("o_orderkey", "o_custkey", "hk_customer_h", "hd_orders_ms")
+      },
+      Some(s"""WITH src AS (
+              |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              |         ${O.hashkey("o_custkey")} AS hk_customer_h,
+              |         timestamp '2024-03-01 00:00:00' AS ldts
+              |  FROM orders),
+              |grouped AS (
+              |  SELECT hk_customer_h, ldts,
+              |         ${O.maHashdiff(Seq("o_orderstatus", "o_totalprice"), Seq("o_orderkey"))} AS hd_orders_ms
+              |  FROM src GROUP BY hk_customer_h, ldts)
+              |SELECT s.o_orderkey, s.o_custkey, s.hk_customer_h, g.hd_orders_ms
+              |FROM src s LEFT JOIN grouped g
+              |  ON s.hk_customer_h = g.hk_customer_h AND s.ldts = g.ldts""".stripMargin)),
+
     // exclude_columns + H7 — hashdiff over "all source columns minus a set"
     // (stage_processing_macros.sql:177-212) and datatype-aware hash inputs
     // (get_field_hash_by_datatype.sql): boolean → 1/0, nested → JSON.
