@@ -397,6 +397,32 @@ object DvQueries {
               |  FROM supplier)
               |SELECT * FROM c UNION ALL SELECT * FROM s""".stripMargin)),
 
+    // rec-track incremental: the multi-column (hk, ldts, rsrc) anti-join —
+    // the reference's NOT IN on CONCAT(hk, ldts, rsrc)
+    // (rec_track_sat.sql:228-237) — actually drops already-tracked
+    // appearances; disableHwm re-feeds the full source so the anti-join,
+    // not the watermark, does the work.
+    Q("rec_track_incremental",
+      (s, dir) => {
+        val c = custStage(s, dir)
+        val full = RecTrackSatLoader.records(
+          Seq((c, "hk_customer_h", "stage_customer", Some("TPC_H/Customer/v1"))),
+          "hk_tracked", target = None)
+        val target = full.filter(col(LdtsAlias) <= to_timestamp(lit("2024-01-02 00:00:00")))
+        RecTrackSatLoader.records(
+          Seq((c, "hk_customer_h", "stage_customer", Some("TPC_H/Customer/v1"))),
+          "hk_tracked", target = Some(target), disableHwm = true)
+      },
+      Some(s"""WITH c AS (
+              |  SELECT DISTINCT ${O.hashkey("c_custkey")} AS hk_tracked,
+              |    timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
+              |    'TPC_H/Customer/v1' AS rsrc, 'STAGE_CUSTOMER' AS stg
+              |  FROM customer),
+              |target AS (SELECT * FROM c WHERE ldts <= timestamp '2024-01-02 00:00:00')
+              |SELECT c.* FROM c WHERE NOT EXISTS (
+              |  SELECT 1 FROM target t
+              |  WHERE t.hk_tracked = c.hk_tracked AND t.ldts = c.ldts AND t.rsrc = c.rsrc)""".stripMargin)),
+
     // ref hub: earliest row per ref-key combination
     Q("ref_hub_nation",
       (s, dir) => {
