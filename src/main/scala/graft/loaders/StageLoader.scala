@@ -100,7 +100,17 @@ object StageLoader {
     // inputs get H7 datatype normalization (get_field_hash_by_datatype.sql)
     val sourceCols = source.columns.toSeq
     def inputs(s: HashColumnSpec): Seq[Column] = {
-      val names = if (s.excludeColumns) sourceCols.filterNot(s.columns.contains) else s.columns
+      val names = if (s.excludeColumns) {
+        // exclusions resolve case-insensitively, like every other analyzer
+        // column reference; an exclusion matching nothing is a spec typo —
+        // fail loudly instead of silently hashing the column it meant to drop
+        s.columns.foreach { ex =>
+          if (!sourceCols.exists(_.equalsIgnoreCase(ex)))
+            throw new IllegalArgumentException(
+              s"exclude column '$ex' not found among ${sourceCols.mkString(", ")}")
+        }
+        sourceCols.filterNot(c => s.columns.exists(_.equalsIgnoreCase(c)))
+      } else s.columns
       Hashing.hashInputs(df, names)
     }
     val (maSpecs, plainSpecs) = cfg.hashedColumns.partition(s => s.isHashdiff && cfg.multiActive.isDefined)
@@ -119,6 +129,19 @@ object StageLoader {
           .agg(aggs.head, aggs.tail: _*)
         df = df.join(grouped, Seq(ma.mainHashkey, LdtsAlias), "left")
       }
+    }
+
+    // include_source_columns=false (stage.sql:109-155,610-612): keep only the
+    // added columns — system ldts/rsrc, missing, prejoined, derived, hashed —
+    // and drop the source-originated inputs from the final projection
+    if (!cfg.includeSourceColumns) {
+      val kept = Set(LdtsAlias, RsrcAlias) ++
+        cfg.missingColumns.keys ++
+        cfg.prejoins.flatMap(_.extract.map(_._2)) ++
+        cfg.derivedColumns.map(_.name) ++
+        cfg.hashedColumns.map(_.alias)
+      val keptLower = kept.map(_.toLowerCase)
+      df = df.select(df.columns.filter(c => keptLower.contains(c.toLowerCase)).map(col).toIndexedSeq: _*)
     }
 
     // U2 — ghost records on first build only (stage.sql:469-631)

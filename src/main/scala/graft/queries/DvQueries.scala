@@ -1164,6 +1164,35 @@ object DvQueries {
               |  TRUE AS stable_under_evolution
               |FROM customer""".stripMargin)),
 
+    // include_source_columns=false (stage.sql:109-155,610-612): only the
+    // ADDED columns — system ldts/rsrc, missing, prejoined, derived, hashed —
+    // survive the final projection; every source-originated input is dropped.
+    Q("stage_exclude_source_cols",
+      (s, dir) => {
+        val cfg = StageConfig(
+          ldts = "!2024-01-01 00:00:00", rsrc = "!TPC_H/Orders",
+          missingColumns = Map("o_channel" -> org.apache.spark.sql.types.StringType),
+          prejoins = Seq(Prejoin(
+            ref = rd(s, dir, "customer"),
+            extract = Seq(("c_mktsegment", "segment")),
+            on = Seq(("o_custkey", "c_custkey")))),
+          derivedColumns = Seq(DerivedColumn("order_year", "cast(year(o_orderdate) as int)")),
+          hashedColumns = Seq(
+            HashColumnSpec("hk_order_h", Seq("o_orderkey")),
+            HashColumnSpec("hd_order_s", Seq("o_orderstatus", "o_totalprice"), isHashdiff = true)),
+          enableGhostRecords = false,
+          includeSourceColumns = false)
+        StageLoader.build(rd(s, dir, "orders"), cfg)
+      },
+      Some(s"""SELECT timestamp '2024-01-01 00:00:00' AS ldts,
+              |  'TPC_H/Orders' AS rsrc,
+              |  cast(NULL AS varchar) AS o_channel,
+              |  c.c_mktsegment AS segment,
+              |  cast(year(o.o_orderdate) AS integer) AS order_year,
+              |  ${O.hashkey("o.o_orderkey")} AS hk_order_h,
+              |  ${O.hashdiff("o.o_orderstatus", "o.o_totalprice")} AS hd_order_s
+              |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin)),
+
     // O1/O2 — latest-row probe
     Q("snap_latest_row",
       (s, _) => ControlSnapV0Loader.build(s, "2024-01-01", "07:30:00", Some("2024-03-31"))

@@ -354,6 +354,38 @@ class LoaderSpec extends SparkSpec {
     Seq("customer_h", "nation_h", "customer_nation_l", "customer_s").foreach(store.drop)
   }
 
+  test("stage includeSourceColumns=false keeps only added columns (incl. ghosts)") {
+    val src = Seq(("k1", "A", 1.0), ("k2", "B", 2.0)).toDF("bk", "name", "bal")
+    val cfg = StageConfig(
+      ldts = "!2024-01-01 00:00:00", rsrc = "!TEST",
+      derivedColumns = Seq(DerivedColumn("name_up", "upper(name)")),
+      hashedColumns = Seq(
+        HashColumnSpec("hk", Seq("bk")),
+        HashColumnSpec("hd", Seq("name", "bal"), isHashdiff = true)),
+      includeSourceColumns = false)
+    val out = StageLoader.build(src, cfg)
+    assert(out.columns.sorted.toSeq == Seq("hd", "hk", "ldts", "name_up", "rsrc"))
+    // ghost records survive the projection with the stage schema
+    assert(out.count() == 4)
+  }
+
+  test("stage excludeColumns resolves case-insensitively and rejects typos") {
+    val src = Seq(("k1", "A")).toDF("BK", "name")
+    def cfg(ex: String) = StageConfig(
+      ldts = "!2024-01-01 00:00:00", rsrc = "!TEST",
+      hashedColumns = Seq(
+        HashColumnSpec("hd", Seq(ex), isHashdiff = true, excludeColumns = true)),
+      enableGhostRecords = false)
+    // 'bk' (lowercase) must exclude source column 'BK' → hash of name only
+    val got = StageLoader.build(src, cfg("bk")).select("hd").head().getString(0)
+    val want = src.select(graft.expr.Hashing.hashdiff(Seq($"name")).as("hd")).head().getString(0)
+    assert(got == want)
+    val e = intercept[IllegalArgumentException] {
+      StageLoader.build(src, cfg("not_a_col"))
+    }
+    assert(e.getMessage.contains("not_a_col"))
+  }
+
   test("pit cleanup deletes rows of deactivated snapshots") {
     val wh = Files.createTempDirectory("graft_t").toString
     val store = new TableStore(spark, wh)
