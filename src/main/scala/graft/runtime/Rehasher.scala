@@ -34,6 +34,29 @@ object Rehasher {
           .otherwise(Hashing.hashkey(Hashing.hashInputs(df, keyColumns))(newCfg)))
     }
 
+  /** Targeted rehash at O(affected partitions) on a `pcol`-partitioned
+    * entity: recompute `hashCol` only for rows matching `affected` (e.g. a
+    * corrected business-key subset, or a resume after a partial run), then
+    * MERGE the delta back touching only the partitions that contain it
+    * ([[TableStore.mergePartitioned]]). This is the parquet-store shape of
+    * the reference's `MERGE INTO` rehash (`rehash_single_hub.sql:84-111`)
+    * on a partitioned lake: a whole-vault rewrite at 100 TB cannot be
+    * O(table) × N entities, and with `affected` pinned to partition values
+    * the delta scan is partition-pruned too. */
+  def rehashEntityPartitioned(store: TableStore, table: String, pcol: String,
+                              hashCol: String, keyColumns: Seq[String],
+                              oldCfg: HashConfig, newCfg: HashConfig,
+                              affected: Column): Unit = {
+    val df = store.read(table).filter(affected)
+    val ghost = col(hashCol) === oldCfg.zeroKey || col(hashCol) === oldCfg.errorKey
+    val ghostValue = when(col(hashCol) === oldCfg.zeroKey, lit(newCfg.zeroKey))
+      .otherwise(lit(newCfg.errorKey))
+    val delta = df.withColumn(hashCol,
+      when(ghost, ghostValue)
+        .otherwise(Hashing.hashkey(Hashing.hashInputs(df, keyColumns))(newCfg)))
+    store.mergePartitioned(table, pcol, delta, keyColumns)
+  }
+
   /** S9 — rename a column (reference ALTER TABLE ... RENAME COLUMN,
     * `rehashing/internal_overwrites/get_rename_column_sql.sql`). */
   def renameColumn(store: TableStore, table: String, from: String, to: String): Unit =
@@ -70,10 +93,20 @@ object Rehasher {
       .when(col(hashCol) === oldCfg.errorKey, lit(newCfg.errorKey))
       .otherwise(recompute)
 
+  /** A child row whose parent-map join missed has NO valid new key: keeping
+    * the old one would commit a mixed-hash vault with no error raised.
+    * `raise_error` fails the rewrite job on the first orphan row — checked
+    * inline during the write, no extra counting pass. (The reference keeps
+    * `<hk>_deprecated` columns for the same recoverability concern.) */
+  private def requireMapped(mapped: Column, old: Column, entity: String,
+                            parent: String): Column =
+    coalesce(mapped, raise_error(concat(
+      lit(s"rehash $entity: no $parent map row for key '"), old, lit("'"))))
+
   /** Rehash the whole raw vault. Hub/link/sat specs mirror the reference's
     * rehash_all YAML; see [[rehashAllFromYaml]] for the YAML front end. */
   def rehashAll(store: TableStore, hubs: Seq[HubRehash], links: Seq[LinkRehash],
-                sats: Seq[SatRehash], oldCfg: HashConfig, newCfg: HashConfig): Unit = try {
+                sats: Seq[SatRehash], oldCfg: HashConfig, newCfg: HashConfig): Unit = {
 
     // 1. per-hub translate maps (old_hk, new_hk, business keys), written
     //    DURABLY to the store before the hub tables are rewritten: a mere
@@ -121,7 +154,8 @@ object Rehasher {
       next = next.withColumn(l.linkHashkey, col("__new_lhk"))
       l.hubRefs.zipWithIndex.foreach { case (ref, i) =>
         next = next.withColumn(ref.fkCol,
-          ghostGuard(ref.fkCol, oldCfg, newCfg)(coalesce(col(s"__new_$i"), col(ref.fkCol))))
+          ghostGuard(ref.fkCol, oldCfg, newCfg)(
+            requireMapped(col(s"__new_$i"), col(ref.fkCol), l.name, ref.hubName)))
       }
       val result = next.select(df0.columns.map(col).toIndexedSeq: _*)
       store.rewrite(l.name)(_ => result)
@@ -154,15 +188,17 @@ object Rehasher {
           }
         }
         df.withColumn(s.hashkey,
-            ghostGuard(s.hashkey, oldCfg, newCfg)(coalesce(col("__new_hk"), col(s.hashkey))))
+            ghostGuard(s.hashkey, oldCfg, newCfg)(
+              requireMapped(col("__new_hk"), col(s.hashkey), s.name, s.parent)))
           .drop("__old_hk", "__new_hk")
           .select(df0.columns.map(col).toIndexedSeq: _*)
       }
     }
 
-  } finally {
-    // drop the checkpoint map tables even on a mid-rehash failure — stale
-    // maps must not pollute the warehouse or leak into a later run
+    // success: drop the checkpoint map tables. On a mid-rehash FAILURE they
+    // are deliberately KEPT — they are the only durable old→new translation
+    // left once parents are rewritten; dropping them would strand children
+    // with stale keys and no recovery path.
     (hubs.map(_.name) ++ links.map(_.name)).foreach(n => store.drop(s"__rehash_map_$n"))
   }
 

@@ -21,7 +21,12 @@ final class TableStore(val spark: SparkSession, val baseDir: String) {
   /** dbt `is_incremental()` ⇔ target exists (reference `hub.sql:44`). */
   def exists(name: String): Boolean = {
     val p = Paths.get(pathOf(name))
-    Files.isDirectory(p) && Files.list(p).anyMatch(f => f.toString.endsWith(".parquet"))
+    if (!Files.isDirectory(p)) false
+    else {
+      val s = Files.list(p)
+      try s.anyMatch(f => f.toString.endsWith(".parquet"))
+      finally s.close()
+    }
   }
 
   /** dbt `{{ this }}` — the current target contents. */
@@ -82,6 +87,54 @@ final class TableStore(val spark: SparkSession, val baseDir: String) {
       .map(f => unescapePathName(f.getName.stripPrefix(prefix)))
   }
 
+  /** S7 — copy-on-write MERGE at O(affected partitions), the parquet-store
+    * analogue of Delta's partition-pruned `MERGE INTO` (reference
+    * `rehash_single_hub.sql:84-111` runs MERGE row-level; on a partitioned
+    * lake a MERGE rewrites only the files whose partitions hold matched
+    * keys). Semantics: rows of `name` whose `keyCols` match a `source` row
+    * are REPLACED by it; unmatched `source` rows are INSERTED. Only the
+    * `pcol` partitions present in `source` are read or rewritten — every
+    * other partition directory is untouched on disk.
+    *
+    * The merged result is fully materialized into a sibling tmp directory
+    * BEFORE any target file is deleted (crash-safe: a failure mid-write
+    * leaves the target intact; a failure mid-swap leaves recoverable
+    * per-partition tmp output). Spark writes the tmp tree with the same
+    * Hive `pcol=value` escaping as the target, so the swap matches
+    * directories by name — no value re-formatting.
+    */
+  def mergePartitioned(name: String, pcol: String, source: DataFrame,
+                       keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    // affected partitions: O(load dates / snapshots) values — a driver-side
+    // list here is partition METADATA, not data (same class as dbt's
+    // compile-time run_query probes), and buys static partition pruning on
+    // the target scan below
+    val affected = source.select(col(pcol)).distinct().collect().map(_.get(0))
+    val pruned = read(name).filter(col(pcol).isInCollection(affected))
+    val keep = pruned.join(
+      source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    val merged = keep.unionByName(source.select(pruned.columns.map(col).toIndexedSeq: _*))
+    val tmp = pathOf(name) + "__merge_tmp"
+    merged.write.mode("overwrite").partitionBy(pcol).parquet(tmp)
+    // swap only the partition dirs the merge produced
+    val prefix = pcol + "="
+    val tmpDir = new java.io.File(tmp)
+    val tgtDir = new java.io.File(pathOf(name))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    Option(tmpDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .foreach { pdir =>
+        val dst = new java.io.File(tgtDir, pdir.getName)
+        if (dst.exists()) rm(dst)
+        Files.move(pdir.toPath, dst.toPath): Unit
+      }
+    rm(tmpDir)
+  }
+
   /** S8 — partition-level DELETE: removes whole `pcol=value` directories.
     * O(deleted partitions); no surviving file is read or rewritten. */
   def dropPartitions(name: String, pcol: String, values: Seq[String]): Long = {
@@ -108,15 +161,29 @@ final class TableStore(val spark: SparkSession, val baseDir: String) {
   // the layout a 100 TB vault should use for its big entities. Bucket
   // metadata lives in the session catalog (external table at our path).
 
-  /** Create/replace a bucketed, sort-ordered materialization. */
+  /** Create/replace a bucketed, sort-ordered materialization.
+    * Writes to a sibling tmp table FIRST and swaps after full
+    * materialization: `df` may be derived from the table being replaced
+    * (the old drop-then-lazy-write lost the input), and a mid-write crash
+    * must leave either the old or the new table, never neither. */
   def overwriteBucketed(name: String, df: DataFrame, bucketCol: String,
                         nBuckets: Int, sortCol: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    drop(name)
+    val tmpName = name + "__bucket_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpName`")
+    drop(tmpName)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(sortCol)
-      .option("path", pathOf(name))
-      .saveAsTable(name)
+      .option("path", pathOf(tmpName))
+      .saveAsTable(tmpName)
+    val schemaDdl = spark.table(tmpName).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    drop(name)
+    Files.move(Paths.get(pathOf(tmpName)), Paths.get(pathOf(name)))
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpName`") // external: files already moved
+    spark.sql(
+      s"""CREATE TABLE `$name` ($schemaDdl) USING PARQUET
+         |CLUSTERED BY (`$bucketCol`) SORTED BY (`$sortCol`) INTO $nBuckets BUCKETS
+         |LOCATION '${pathOf(name)}'""".stripMargin)
   }
 
   /** Append a delta preserving the bucket layout. */
@@ -130,17 +197,26 @@ final class TableStore(val spark: SparkSession, val baseDir: String) {
   /** Read WITH bucket metadata (path reads can't carry it). */
   def readTable(name: String): DataFrame = spark.table(name)
 
-  /** inverse of Spark's ExternalCatalogUtils.escapePathName (%XX escapes) */
+  /** inverse of Spark's ExternalCatalogUtils.escapePathName. Consecutive
+    * %XX escapes are one UTF-8 byte EACH (a non-ASCII char escapes to
+    * several) — collect them into a byte run and decode as UTF-8, not as
+    * one char per escape. */
   private def unescapePathName(s: String): String = {
     val sb = new StringBuilder
+    val run = new java.io.ByteArrayOutputStream
+    def flushRun(): Unit = if (run.size > 0) {
+      sb.append(new String(run.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      run.reset()
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%' && i + 2 < s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        run.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
         i += 3
-      } else { sb.append(c); i += 1 }
+      } else { flushRun(); sb.append(c); i += 1 }
     }
+    flushRun()
     sb.toString
   }
 }
