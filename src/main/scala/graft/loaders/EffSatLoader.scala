@@ -26,13 +26,16 @@ object EffSatLoader {
       target: Option[DataFrame],
       isActiveAlias: String = "is_active",
       singleBatch: Boolean = false,
-      disableHwm: Boolean = false): DataFrame = {
+      disableHwm: Boolean = false,
+      additionalColumns: Seq[String] = Nil): DataFrame = {
 
-    val outCols = Seq(hashkey, LdtsAlias, RsrcAlias, isActiveAlias)
+    val outCols = Seq(hashkey) ++ additionalColumns ++ Seq(LdtsAlias, RsrcAlias, isActiveAlias)
     val incremental = target.isDefined
 
-    // source_data: ghost rows excluded + HWM (eff_sat_v0.sql:33-53)
-    val src0 = Ops.excludeGhosts(source.select(hashkey, LdtsAlias, RsrcAlias))
+    // source_data: ghost rows excluded + HWM (eff_sat_v0.sql:33-53);
+    // additional_columns ride along (eff_sat_v0.sql:37,62)
+    val src0 = Ops.excludeGhosts(
+      source.select((Seq(hashkey) ++ additionalColumns ++ Seq(LdtsAlias, RsrcAlias)).map(col): _*))
     val src = if (disableHwm) src0 else Ops.hwmFilter(src0, target)
 
     // current_status: latest row per key in the existing sat (:58-73)
@@ -46,21 +49,24 @@ object EffSatLoader {
         val loadDates = src.select(LdtsAlias).distinct()
         val history = hashkeys.join(broadcast(loadDates),
           col(LdtsAlias) >= col("__first")).drop("__first")
-        // is_active (:122-140)
+        // is_active (:122-140); additional columns come from the matched
+        // source row and stay NULL for inactive slots (:126-128)
         val isActive = history.join(
-            src.select(col(hashkey).as("__src_hk"), col(LdtsAlias).as("__src_ldts"),
-              col(RsrcAlias).as("__src_rsrc")),
+            src.select((Seq(col(hashkey).as("__src_hk"), col(LdtsAlias).as("__src_ldts"),
+              col(RsrcAlias).as("__src_rsrc")) ++
+              additionalColumns.map(c => col(c).as(s"__src_$c"))): _*),
             col(hashkey) === col("__src_hk") && col(LdtsAlias) === col("__src_ldts"),
             "left")
-          .select(col(hashkey), col(LdtsAlias),
+          .select((Seq(col(hashkey)) ++
+            additionalColumns.map(c => col(s"__src_$c").as(c)) ++ Seq(col(LdtsAlias),
             coalesce(col("__src_rsrc"), lit(UnknownRsrc)).as(RsrcAlias),
-            when(col("__src_hk").isNull, 0).otherwise(1).as(isActiveAlias))
+            when(col("__src_hk").isNull, 0).otherwise(1).as(isActiveAlias))): _*)
         // deduplicated_incoming (:146-163): status changes only
         Ops.dedupChanges(isActive, hashkey, isActiveAlias)
       } else {
         // new_hashkeys (:174-199): activate keys not currently active
-        val newKeys = src.select(col(hashkey), col(LdtsAlias), col(RsrcAlias),
-          lit(1).as(isActiveAlias)).distinct()
+        val newKeys = src.select((Seq(col(hashkey)) ++ additionalColumns.map(col) ++
+          Seq(col(LdtsAlias), col(RsrcAlias), lit(1).as(isActiveAlias))): _*).distinct()
         currentStatus match {
           case None => newKeys
           case Some(cs) =>
@@ -82,9 +88,12 @@ object EffSatLoader {
             val present =
               if (!singleBatch) pool.filter(col(LdtsAlias) === lit(minRow.getTimestamp(0))).select(hashkey)
               else src.select(hashkey)
+            // disappeared rows carry NULL additional columns (:215-217)
             activeNow.join(present, Seq(hashkey), "left_anti")
-              .select(col(hashkey), lit(minRow.getTimestamp(0)).as(LdtsAlias),
-                lit(UnknownRsrc).as(RsrcAlias), lit(0).as(isActiveAlias))
+              .select((Seq(col(hashkey)) ++
+                additionalColumns.map(c => lit(null).cast(src.schema(c).dataType).as(c)) ++
+                Seq(lit(minRow.getTimestamp(0)).as(LdtsAlias),
+                  lit(UnknownRsrc).as(RsrcAlias), lit(0).as(isActiveAlias))): _*)
               .distinct()
           }
 
@@ -113,7 +122,8 @@ object EffSatLoader {
       case Some(t) => Ops.antiJoin(withDisappeared, t, Seq(hashkey, LdtsAlias))
       case None    => withDisappeared
     }
-    result.select(col(hashkey), col(LdtsAlias), col(RsrcAlias),
-      col(isActiveAlias).cast("boolean").as(isActiveAlias))
+    result.select((Seq(col(hashkey)) ++ additionalColumns.map(col) ++
+      Seq(col(LdtsAlias), col(RsrcAlias),
+        col(isActiveAlias).cast("boolean").as(isActiveAlias))): _*)
   }
 }

@@ -58,7 +58,16 @@ object KeyedEntityLoader {
           // of their patterns yet) load fully (reference hub.sql:53-98 COUNT probe)
           val included = !t.filter(rs.map(col(RsrcAlias).like).reduce(_ || _)).isEmpty
           if (included) Ops.hwmPerRsrcStatic(proj, t, rs) else proj
-        case (Some(t), _) if sources.size == 1 => Ops.hwmFilter(proj, Some(t))
+        case (Some(t), _) =>
+          // P6 — global HWM applied to EVERY source, not only single-source
+          // loads (the reference guards on `source_models | length == 1`,
+          // hub.sql:173-179, and full-scans every source otherwise — at
+          // 100 TB that re-scan dominates the load). Safe because ldts is
+          // the BATCH load timestamp (shared by all sources of a load, the
+          // same monotonicity the single-source HWM already assumes); a
+          // source with genuinely non-monotonic ldts opts out via
+          // disable_hwm, the reference's own escape hatch.
+          Ops.hwmFilter(proj, Some(t))
         case _                  => proj
       }
     }

@@ -32,7 +32,9 @@ object RecTrackSatLoader {
         case (Some(t), Some(rs)) =>
           val included = !t.filter(col(RsrcAlias).like(rs)).isEmpty
           if (included) Ops.hwmPerRsrcStatic(base, t, Seq(rs)) else base
-        case (Some(t), None) if sources.size == 1 => Ops.hwmFilter(base, Some(t))
+        // global HWM for every source (not only single-source loads) — see
+        // KeyedEntityLoader: ldts is the batch load timestamp
+        case (Some(t), None) => Ops.hwmFilter(base, Some(t))
         case _ => base
       }
     }

@@ -1,6 +1,6 @@
 package graft.loaders
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.SystemColumns._
@@ -59,58 +59,109 @@ object ControlSnapV0Loader {
   * (virtual) view. Reference `macros/tables/databricks/control_snap_v1.sql`.
   *
   * The log logic: a snapshot stays active if it falls inside the configured
-  * rolling windows (daily for N days, weekly for N weeks on the
+  * rolling windows (daily for a duration, weekly for a duration on the
   * start-of-week snapshot, monthly on start-of-month, yearly on
   * start-of-year) — bounding PIT size to O(log t).
   */
+
+/** One interval's window (`control_snap_v1.sql:100-148`): `forever=true`
+  * drops the time bound entirely; otherwise the snapshot must lie within
+  * `now - INTERVAL duration unit`. Units: DAY / WEEK / MONTH / YEAR. */
+final case class IntervalLogic(duration: Int = 0, unit: String = "DAY",
+                               forever: Boolean = false) {
+  private val u = unit.trim.toLowerCase
+  require(IntervalLogic.Units.contains(u) || forever,
+    s"interval unit '$unit' not one of ${IntervalLogic.Units.mkString("/")}")
+  def bound(s: Column, now: Column): Column =
+    if (forever) lit(true)
+    else s.between(now - expr(s"interval $duration $u"), now)
+}
+object IntervalLogic {
+  val Units: Set[String] = Set("day", "week", "month", "year")
+  def forever: IntervalLogic = IntervalLogic(0, "DAY", forever = true)
+}
+
+/** One trigger column = OR over its configured intervals
+  * (`control_snap_v1.sql:4-18`: a single mapping produces the default
+  * `is_active` column; a LIST of {column: config} mappings produces one
+  * trigger column each). */
+final case class SnapshotTrigger(
+    column: String = "is_active",
+    daily: Option[IntervalLogic] = None,
+    weekly: Option[IntervalLogic] = None,
+    monthly: Option[IntervalLogic] = None,
+    yearly: Option[IntervalLogic] = None)
+
+/** Back-compat shorthand for the common fixed-unit windows; `None` on an
+  * interval means that interval applies forever. */
 final case class LogLogic(
     dailyDays: Option[Int] = Some(90),
     weeklyWeeks: Option[Int] = Some(52),
     monthlyMonths: Option[Int] = Some(60),
-    yearlyYears: Option[Int] = None) // None ⇒ forever
+    yearlyYears: Option[Int] = None) {
+  def toTrigger(column: String): SnapshotTrigger = SnapshotTrigger(
+    column,
+    daily = Some(dailyDays.map(IntervalLogic(_, "DAY")).getOrElse(IntervalLogic.forever)),
+    weekly = Some(weeklyWeeks.map(w => IntervalLogic(w * 7, "DAY")).getOrElse(IntervalLogic.forever)),
+    monthly = Some(monthlyMonths.map(IntervalLogic(_, "MONTH")).getOrElse(IntervalLogic.forever)),
+    yearly = Some(yearlyYears.map(IntervalLogic(_, "YEAR")).getOrElse(IntervalLogic.forever)))
+}
 
 object ControlSnapV1Loader {
 
   def build(snapV0: DataFrame, logLogic: Option[LogLogic] = None,
             sdtsAlias: String = SdtsAlias,
             snapshotTriggerAlias: String = "is_active",
-            referenceTs: Option[String] = None): DataFrame = {
+            referenceTs: Option[String] = None): DataFrame =
+    buildMulti(snapV0, logLogic.map(ll => Seq(ll.toTrigger(snapshotTriggerAlias))).getOrElse(Nil),
+      sdtsAlias, snapshotTriggerAlias, referenceTs)
+
+  /** Full reference semantics (`control_snap_v1.sql:80-232`): one OR-of-
+    * intervals CASE per trigger config; with no config the single trigger
+    * column reduces to `force_active`. Output schema mirrors the
+    * reference's `active_logic_combined` (is_latest + rolling-year flags
+    * included; `force_active` itself is folded in, not emitted). */
+  def buildMulti(snapV0: DataFrame, triggers: Seq[SnapshotTrigger],
+                 sdtsAlias: String = SdtsAlias,
+                 snapshotTriggerAlias: String = "is_active",
+                 referenceTs: Option[String] = None): DataFrame = {
     val s = col(sdtsAlias)
     val now = referenceTs.map(t => to_timestamp(lit(t))).getOrElse(current_timestamp())
 
-    val active = logLogic match {
-      case None => lit(true)
-      case Some(ll) =>
-        val daily = ll.dailyDays match {
-          case Some(d)  => s.between(now - expr(s"interval $d days"), now)
-          case None     => lit(true)
-        }
-        val weekly = ll.weeklyWeeks match {
-          case Some(w)  => col("is_beginning_of_week") && s.between(now - expr(s"interval ${w * 7} days"), now)
-          case None     => col("is_beginning_of_week")
-        }
-        val monthly = ll.monthlyMonths match {
-          case Some(m)  => col("is_beginning_of_month") && s.between(add_months(now, -m), now)
-          case None     => col("is_beginning_of_month")
-        }
-        val yearly = ll.yearlyYears match {
-          case Some(y)  => col("is_beginning_of_year") && s.between(add_months(now, -12 * y), now)
-          case None     => col("is_beginning_of_year")
-        }
-        daily || weekly || monthly || yearly
-    }
+    val triggerCols: Seq[Column] =
+      if (triggers.isEmpty) Seq(col("force_active").as(snapshotTriggerAlias))
+      else triggers.map { t =>
+        val parts =
+          t.daily.map(_.bound(s, now)).toSeq ++
+            t.weekly.map(il => col("is_beginning_of_week") && il.bound(s, now)) ++
+            t.monthly.map(il => col("is_beginning_of_month") && il.bound(s, now)) ++
+            t.yearly.map(il => col("is_beginning_of_year") && il.bound(s, now))
+        val active = if (parts.isEmpty) lit(false) else parts.reduce(_ || _)
+        coalesce(active, lit(false)).as(t.column)
+      }
+
+    // latest_row (:71-78): whole-frame max over the control table — tiny by
+    // construction (one row/day), so the single-partition window is free and
+    // keeps the build lazy (no driver-side action)
+    val latest = max(s).over(org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing))
 
     snapV0.select(
-      s,
-      col("replacement_sdts"),
-      col("force_active"),
-      (col("force_active") && active).as(snapshotTriggerAlias),
-      col("caption"),
-      col("is_hourly"), col("is_daily"),
-      col("is_beginning_of_week"), col("is_end_of_week"),
-      col("is_beginning_of_month"), col("is_end_of_month"),
-      col("is_beginning_of_quarter"), col("is_end_of_quarter"),
-      col("is_beginning_of_year"), col("is_end_of_year"),
-      col("comment"))
+      (Seq(s, col("replacement_sdts")) ++ triggerCols ++ Seq(
+        (s === latest).as("is_latest"),
+        col("caption"),
+        col("is_hourly"), col("is_daily"),
+        col("is_beginning_of_week"), col("is_end_of_week"),
+        col("is_beginning_of_month"), col("is_end_of_month"),
+        col("is_beginning_of_quarter"), col("is_end_of_quarter"),
+        col("is_beginning_of_year"), col("is_end_of_year"),
+        (year(s) === year(now)).as("is_current_year"),
+        (year(s) === year(now) - 1).as("is_last_year"),
+        s.between(now - expr("interval 1 year"), now).as("is_rolling_year"),
+        s.between(now - expr("interval 2 year"), now - expr("interval 1 year"))
+          .as("is_last_rolling_year"),
+        col("comment"))): _*)
   }
 }

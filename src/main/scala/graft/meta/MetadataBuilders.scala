@@ -98,21 +98,273 @@ object MetadataBuilders {
     StageLoader.build(resolve(sourceModel), cfg, isIncremental)
   }
 
-  /** `hub(yaml_metadata=…)` / `link(…)`: source_models + keys → records. */
+  private def bool(m: Map[String, Any], k: String): Boolean = m.get(k).exists {
+    case b: Boolean => b
+    case s          => s.toString.equalsIgnoreCase("true")
+  }
+
+  /** The reference accepts `source_models` as a mapping name→config, a list
+    * (of names or of configs carrying a `name` key), or one plain name
+    * (`macros/supporting/source_models.sql:11-36`). Normalized to
+    * (modelName, config) pairs in document order. */
+  private def sourceModelEntries(v: Any): Seq[(String, Map[String, Any])] = v match {
+    case null      => Nil
+    case s: String => Seq(s -> Map.empty)
+    case l: List[_] => l.map {
+      case s: String => s -> Map.empty[String, Any]
+      case other =>
+        val m = asMap(other)
+        m.getOrElse("name", throw new IllegalArgumentException(
+          "source_models list entry needs a 'name' key")).toString -> m
+    }
+    case mm: Map[_, _] =>
+      asMap(mm).toSeq.map { case (name, cfg) => name -> asMap(cfg) }
+    case other => throw new IllegalArgumentException(s"bad source_models: $other")
+  }
+
+  /** `hub(yaml_metadata=…)`: source_models + keys → records
+    * (reference `macros/tables/hub.sql`). */
   def hub(yaml: String, resolve: String => DataFrame,
           target: Option[DataFrame]): DataFrame = {
     val m = asMap(YamlLite.parse(yaml))
     val hashkey = m("hashkey").toString
     val businessKeys = strings(m("business_keys"))
-    val sources = asList(m("source_models")).map { sm =>
-      val s = asMap(sm)
+    val sources = sourceModelEntries(m("source_models")).map { case (name, s) =>
       EntitySource(
-        resolve(s("name").toString),
+        resolve(name),
         hkColumn = Some(s.getOrElse("hk_column", hashkey).toString),
         keyColumns = strings(s.getOrElse("bk_columns", businessKeys)),
         rsrcStatics = strings(s.getOrElse("rsrc_static", Nil)))
     }
     HubLoader.records(sources, hashkey, businessKeys, target,
-      disableHwm = m.get("disable_hwm").contains(true))
+      disableHwm = bool(m, "disable_hwm"))
+  }
+
+  /** `link(yaml_metadata=…)` (reference `macros/tables/link.sql:9`):
+    * link_hashkey + foreign_hashkeys, per-source `fk_columns`/`link_hk`. */
+  def link(yaml: String, resolve: String => DataFrame,
+           target: Option[DataFrame]): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    val linkHashkey = m("link_hashkey").toString
+    val fks = strings(m("foreign_hashkeys"))
+    val sources = sourceModelEntries(m("source_models")).map { case (name, s) =>
+      EntitySource(
+        resolve(name),
+        hkColumn = Some(s.getOrElse("link_hk", linkHashkey).toString),
+        keyColumns = strings(s.getOrElse("fk_columns", fks)),
+        rsrcStatics = strings(s.getOrElse("rsrc_static", Nil)))
+    }
+    LinkLoader.records(sources, linkHashkey, fks, target,
+      disableHwm = bool(m, "disable_hwm"))
+  }
+
+  /** `nh_link(yaml_metadata=…)` (reference `macros/tables/nh_link.sql:9`). */
+  def nhLink(yaml: String, resolve: String => DataFrame,
+             target: Option[DataFrame]): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    val linkHashkey = m("link_hashkey").toString
+    val fks = strings(m.getOrElse("foreign_hashkeys", Nil))
+    val sources = sourceModelEntries(m("source_models")).map { case (name, s) =>
+      EntitySource(
+        resolve(name),
+        hkColumn = Some(s.getOrElse("link_hk", linkHashkey).toString),
+        keyColumns = strings(s.getOrElse("fk_columns", fks)),
+        rsrcStatics = strings(s.getOrElse("rsrc_static", Nil)))
+    }
+    NhLinkLoader.records(sources, linkHashkey, fks,
+      payload = strings(m.getOrElse("payload", Nil)), target,
+      unionDistinct = m.get("union_strategy").exists(_.toString == "distinct"),
+      disableHwm = bool(m, "disable_hwm"))
+  }
+
+  /** `ref_hub(yaml_metadata=…)` (reference `macros/tables/ref_hub.sql`). */
+  def refHub(yaml: String, resolve: String => DataFrame,
+             target: Option[DataFrame]): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    val refKeys = strings(m("ref_keys"))
+    val sources = sourceModelEntries(m("source_models")).map { case (name, s) =>
+      EntitySource(resolve(name), hkColumn = None,
+        keyColumns = strings(s.getOrElse("ref_keys", refKeys)),
+        rsrcStatics = strings(s.getOrElse("rsrc_static", Nil)))
+    }
+    RefHubLoader.records(sources, refKeys, target)
+  }
+
+  /** `sat_v0(yaml_metadata=…)` (reference `macros/tables/sat_v0.sql:9`);
+    * with `parent_ref_keys` instead of `parent_hashkey` this is
+    * `ref_sat_v0.sql` (identical shape, composite keys). */
+  def satV0(yaml: String, resolve: String => DataFrame,
+            target: Option[DataFrame]): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    val keys = m.get("parent_hashkey").map(h => Seq(h.toString))
+      .getOrElse(strings(m("parent_ref_keys")))
+    SatV0Loader.records(
+      resolve(m("source_model").toString),
+      keys,
+      dedupCol = m.get("src_hashdiff").map(_.toString),
+      payload = strings(m.getOrElse("src_payload", Nil)),
+      target = target,
+      singleBatch = bool(m, "source_is_single_batch"),
+      disableHwm = bool(m, "disable_hwm"),
+      additionalColumns = strings(m.getOrElse("additional_columns", Nil)))
+  }
+
+  /** `sat_v1(yaml_metadata=…)` / `ref_sat_v1(…)` (reference
+    * `macros/tables/sat_v1.sql:9`, `ref_sat_v1.sql`). */
+  def satV1(yaml: String, resolve: String => DataFrame): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    val v0 = resolve(m.get("sat_v0").map(_.toString)
+      .getOrElse(m("ref_sat_v0").toString))
+    val keys = m.get("hashkey").map(h => Seq(h.toString))
+      .getOrElse(strings(m("ref_keys")))
+    SatV1Loader.build(v0, keys,
+      hashdiff = m.get("hashdiff").map(_.toString),
+      addIsCurrentFlag = bool(m, "add_is_current_flag"),
+      includePayload = !m.get("include_payload").contains(false),
+      ledtsAlias = m.getOrElse("ledts_alias", graft.expr.SystemColumns.LedtsAlias).toString)
+  }
+
+  /** `ma_sat_v0(yaml_metadata=…)` (reference `macros/tables/ma_sat_v0.sql:9`). */
+  def maSatV0(yaml: String, resolve: String => DataFrame,
+              target: Option[DataFrame]): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    MaSatV0Loader.records(
+      resolve(m("source_model").toString),
+      hashkey = m("parent_hashkey").toString,
+      hashdiff = m("src_hashdiff").toString,
+      maKeys = strings(m("src_ma_key")),
+      payload = strings(m.getOrElse("src_payload", Nil)),
+      target = target,
+      singleBatch = bool(m, "source_is_single_batch"),
+      disableHwm = bool(m, "disable_hwm"))
+  }
+
+  /** `ma_sat_v1(yaml_metadata=…)` (reference `macros/tables/ma_sat_v1.sql:9`). */
+  def maSatV1(yaml: String, resolve: String => DataFrame): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    MaSatV1Loader.build(
+      resolve(m("sat_v0").toString),
+      hashkey = m("hashkey").toString,
+      hashdiff = m("hashdiff").toString,
+      maKeys = strings(m("ma_attribute")),
+      addIsCurrentFlag = bool(m, "add_is_current_flag"),
+      ledtsAlias = m.getOrElse("ledts_alias", graft.expr.SystemColumns.LedtsAlias).toString)
+  }
+
+  /** `nh_sat(yaml_metadata=…)` (reference `macros/tables/nh_sat.sql:9`). */
+  def nhSat(yaml: String, resolve: String => DataFrame,
+            target: Option[DataFrame]): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    NhSatLoader.records(
+      resolve(m("source_model").toString),
+      hashkey = m("parent_hashkey").toString,
+      payload = strings(m.getOrElse("src_payload", Nil)),
+      target = target,
+      singleBatch = bool(m, "source_is_single_batch"))
+  }
+
+  /** `eff_sat_v0(yaml_metadata=…)` (reference `macros/tables/eff_sat_v0.sql:9`). */
+  def effSatV0(yaml: String, resolve: String => DataFrame,
+               target: Option[DataFrame]): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    EffSatLoader.records(
+      resolve(m("source_model").toString),
+      hashkey = m("tracked_hashkey").toString,
+      target = target,
+      isActiveAlias = m.getOrElse("is_active_alias", "is_active").toString,
+      singleBatch = bool(m, "source_is_single_batch"),
+      disableHwm = bool(m, "disable_hwm"),
+      additionalColumns = strings(m.getOrElse("additional_columns", Nil)))
+  }
+
+  /** `rec_track_sat(yaml_metadata=…)` (reference
+    * `macros/tables/rec_track_sat.sql:9`). */
+  def recTrackSat(yaml: String, resolve: String => DataFrame,
+                  target: Option[DataFrame]): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    val hashkey = m("tracked_hashkey").toString
+    val sources = sourceModelEntries(m("source_models")).map { case (name, s) =>
+      (resolve(name), s.getOrElse("hk_column", hashkey).toString, name,
+        s.get("rsrc_static").map(_.toString))
+    }
+    RecTrackSatLoader.records(sources, hashkey, target,
+      stgAlias = m.getOrElse("src_stg", "stg").toString,
+      disableHwm = bool(m, "disable_hwm"))
+  }
+
+  /** `pit(yaml_metadata=…)` (reference `macros/tables/pit.sql:9`): each
+    * sat_names entry resolves to a satellite relation; a satellite without
+    * the ledts column (a v0 sat) is end-dated inline, like the reference. */
+  def pit(yaml: String, resolve: String => DataFrame,
+          target: Option[DataFrame])(
+      implicit hc: HashConfig = Hashing.Default): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    val ledts = m.getOrElse("ledts", graft.expr.SystemColumns.LedtsAlias).toString
+    val sats = strings(m("sat_names")).map { name =>
+      val df = resolve(name)
+      PitSatellite(name, df, hasLedts = df.columns.contains(ledts))
+    }
+    PitLoader.records(
+      trackedEntity = resolve(m("tracked_entity").toString),
+      hashkey = m("hashkey").toString,
+      satellites = sats,
+      snapshots = resolve(m("snapshot_relation").toString),
+      dimensionKey = m("dimension_key").toString,
+      target = target,
+      sdtsAlias = m.getOrElse("sdts", graft.expr.SystemColumns.SdtsAlias).toString,
+      snapshotTriggerColumn = m.get("snapshot_trigger_column").map(_.toString)
+        .orElse(Some("is_active")),
+      customRsrc = m.get("custom_rsrc").map(_.toString))
+  }
+
+  /** `control_snap_v0(yaml_metadata=…)` (reference
+    * `macros/tables/control_snap_v0.sql:9`). */
+  def controlSnapV0(yaml: String, spark: org.apache.spark.sql.SparkSession,
+                    target: Option[DataFrame] = None): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    ControlSnapV0Loader.build(spark,
+      startDate = m("start_date").toString,
+      dailySnapshotTime = m.getOrElse("daily_snapshot_time", "00:00:00").toString,
+      endDate = m.get("end_date").map(_.toString),
+      sdtsAlias = m.getOrElse("sdts_alias", graft.expr.SystemColumns.SdtsAlias).toString,
+      target = target)
+  }
+
+  /** `control_snap_v1(yaml_metadata=…)` (reference
+    * `macros/tables/control_snap_v1.sql:9`): `log_logic` as one mapping →
+    * the default trigger column, or a list of {column: config} mappings →
+    * one trigger column each (`databricks/control_snap_v1.sql:4-18`). */
+  def controlSnapV1(yaml: String, resolve: String => DataFrame,
+                    referenceTs: Option[String] = None): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    val sdts = m.getOrElse("sdts_alias", graft.expr.SystemColumns.SdtsAlias).toString
+    def interval(v: Any): IntervalLogic = {
+      val im = asMap(v)
+      IntervalLogic(
+        duration = im.get("duration").map(_.toString.toInt).getOrElse(0),
+        unit = im.getOrElse("unit", "DAY").toString,
+        forever = im.get("forever").exists {
+          case b: Boolean => b
+          case s          => s.toString.equalsIgnoreCase("true")
+        })
+    }
+    def trigger(column: String, cfg: Map[String, Any]): SnapshotTrigger =
+      SnapshotTrigger(column,
+        daily = cfg.get("daily").map(interval),
+        weekly = cfg.get("weekly").map(interval),
+        monthly = cfg.get("monthly").map(interval),
+        yearly = cfg.get("yearly").map(interval))
+    val triggers = m.getOrElse("log_logic", null) match {
+      case null => Nil
+      case l: List[_] => l.map { item =>
+        val im = asMap(item)
+        require(im.size == 1, s"log_logic list entries must be {column: config}, got $im")
+        val (colName, cfg) = im.head
+        trigger(colName, asMap(cfg))
+      }
+      case mm => Seq(trigger("is_active", asMap(mm)))
+    }
+    ControlSnapV1Loader.buildMulti(resolve(m("control_snap_v0").toString),
+      triggers, sdtsAlias = sdts, referenceTs = referenceTs)
   }
 }

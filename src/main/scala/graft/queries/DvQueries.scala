@@ -371,6 +371,43 @@ object DvQueries {
               |    OVER (PARTITION BY hk_customer_h ORDER BY ldts) THEN FALSE ELSE TRUE END)
               |SELECT hk_customer_h, ldts, rsrc, cast(is_active AS boolean) AS is_active FROM dedup""".stripMargin)),
 
+    // eff-sat additional_columns (eff_sat_v0.sql:9,37-62): payload columns
+    // ride the history matrix from the matched source row, stay NULL on
+    // inactive slots, and are NULLed on disappeared-key deactivation rows
+    Q("eff_sat_additional_cols",
+      (s, dir) => {
+        val src = rd(s, dir, "orders")
+          .withColumn(LdtsAlias,
+            expr("timestampadd(DAY, cast(o_orderkey % 4 as int), timestamp'2024-04-01 00:00:00')"))
+          .withColumn(RsrcAlias, lit("TPC_H/Orders"))
+          .withColumn("hk_order_h", Hashing.hashkey(Seq(col("o_orderkey"))))
+        EffSatLoader.records(src, "hk_order_h", target = None,
+          additionalColumns = Seq("o_orderpriority", "o_orderstatus"))
+      },
+      Some(s"""WITH src AS (
+              |  SELECT ${O.hashkey("o_orderkey")} AS hk_order_h,
+              |         o_orderpriority, o_orderstatus,
+              |         timestamp '2024-04-01 00:00:00' + (o_orderkey % 4) * INTERVAL 1 DAY AS ldts,
+              |         'TPC_H/Orders' AS rsrc
+              |  FROM orders),
+              |hashkeys AS (SELECT hk_order_h, MIN(ldts) AS first_appearance FROM src GROUP BY 1),
+              |load_dates AS (SELECT DISTINCT ldts FROM src),
+              |history AS (
+              |  SELECT hk.hk_order_h, ld.ldts FROM hashkeys hk CROSS JOIN load_dates ld
+              |  WHERE ld.ldts >= hk.first_appearance),
+              |is_active_cte AS (
+              |  SELECT h.hk_order_h, s.o_orderpriority, s.o_orderstatus, h.ldts,
+              |         COALESCE(s.rsrc, 'SYSTEM') AS rsrc,
+              |         CASE WHEN s.hk_order_h IS NULL THEN 0 ELSE 1 END AS is_active
+              |  FROM history h LEFT JOIN src s
+              |    ON s.hk_order_h = h.hk_order_h AND s.ldts = h.ldts),
+              |dedup AS (
+              |  SELECT * FROM is_active_cte
+              |  QUALIFY CASE WHEN is_active = LAG(is_active)
+              |    OVER (PARTITION BY hk_order_h ORDER BY ldts) THEN FALSE ELSE TRUE END)
+              |SELECT hk_order_h, o_orderpriority, o_orderstatus, ldts, rsrc,
+              |  cast(is_active AS boolean) AS is_active FROM dedup""".stripMargin)),
+
     // rec-track sat: one row per key appearance, multi-source, rsrc_static
     Q("rec_track_customer",
       (s, dir) => {
@@ -561,6 +598,35 @@ object DvQueries {
               |   OR is_beginning_of_year) AS is_active,
               |  is_beginning_of_week, is_beginning_of_month
               |FROM flags""".stripMargin)),
+
+    // snapshot control v1, full log_logic parity: a LIST of configs yields
+    // one trigger column each, with per-interval `forever` flags and
+    // arbitrary duration units (control_snap_v1.sql:4-18,100-148)
+    Q("snap_v1_multi",
+      (s, _) => {
+        val v0 = ControlSnapV0Loader.build(s, "2024-01-01", "07:30:00", Some("2024-03-31"))
+        ControlSnapV1Loader.buildMulti(v0, Seq(
+          SnapshotTrigger("is_active_fine",
+            daily = Some(IntervalLogic(1, "MONTH")),
+            yearly = Some(IntervalLogic.forever)),
+          SnapshotTrigger("is_active_coarse",
+            weekly = Some(IntervalLogic(2, "MONTH")),
+            monthly = Some(IntervalLogic(1, "YEAR")))),
+          referenceTs = Some("2024-03-31 12:00:00"))
+          .select("sdts", "is_active_fine", "is_active_coarse", "is_latest", "is_rolling_year")
+      },
+      Some(s"""WITH series AS (
+              |  SELECT unnest(generate_series(timestamp '2024-01-01 07:30:00',
+              |    timestamp '2024-04-01 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts
+              |), bounded AS (SELECT sdts FROM series WHERE sdts < timestamp '2024-04-01 00:00:00')
+              |SELECT sdts,
+              |  ((sdts BETWEEN timestamp '2024-03-31 12:00:00' - INTERVAL 1 MONTH AND timestamp '2024-03-31 12:00:00')
+              |   OR (day(sdts) = 1 AND month(sdts) = 1)) AS is_active_fine,
+              |  ((isodow(sdts) = 1 AND sdts BETWEEN timestamp '2024-03-31 12:00:00' - INTERVAL 2 MONTH AND timestamp '2024-03-31 12:00:00')
+              |   OR (day(sdts) = 1 AND sdts BETWEEN timestamp '2024-03-31 12:00:00' - INTERVAL 1 YEAR AND timestamp '2024-03-31 12:00:00')) AS is_active_coarse,
+              |  (sdts = (SELECT max(sdts) FROM bounded)) AS is_latest,
+              |  (sdts BETWEEN timestamp '2024-03-31 12:00:00' - INTERVAL 1 YEAR AND timestamp '2024-03-31 12:00:00') AS is_rolling_year
+              |FROM bounded""".stripMargin)),
 
     // J5, J6 — PIT: entity × snapshot with point-in-time satellite pointers
     Q("pit_customer",
@@ -1017,6 +1083,137 @@ object DvQueries {
       Some(s"""SELECT c_custkey, n_name AS nation_name, upper(c_mktsegment) AS segment_uc,
               |  'CRM' AS src_system, ${O.hashkey("c_custkey")} AS hk_customer_h
               |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin)),
+
+    // Whole mini-vault (stage → hub → sat v0 → sat v1 → snapshot control v0
+    // → v1 → PIT) driven ENTIRELY by YAML metadata documents — the
+    // datavault4dbt migration path: every `yaml_metadata` block a reference
+    // user has drives the matching graft builder unchanged.
+    Q("yaml_vault",
+      (s, dir) => {
+        import graft.meta.MetadataBuilders
+        val built = scala.collection.mutable.Map.empty[String, DataFrame]
+        def resolve(n: String): DataFrame = built.getOrElse(n, rd(s, dir, n))
+        built("stage_customer") = MetadataBuilders.stage(
+          """ldts: "timestampadd(DAY, cast(c_custkey % 3 as int), timestamp'2024-01-01 00:00:00')"
+            |rsrc: '!TPC_H/Customer'
+            |source_model: customer
+            |enable_ghost_records: false
+            |hashed_columns:
+            |  hk_customer_h:
+            |    - c_custkey
+            |  hd_customer_s:
+            |    is_hashdiff: true
+            |    columns: [c_name, c_acctbal, c_mktsegment]
+            |""".stripMargin, resolve)
+        built("hub_customer") = MetadataBuilders.hub(
+          """hashkey: hk_customer_h
+            |business_keys:
+            |  - c_custkey
+            |source_models:
+            |  stage_customer:
+            |    rsrc_static: 'TPC_H/%'
+            |""".stripMargin, resolve, target = None)
+        built("sat_customer_v0") = MetadataBuilders.satV0(
+          """source_model: stage_customer
+            |parent_hashkey: hk_customer_h
+            |src_hashdiff: hd_customer_s
+            |src_payload: [c_name, c_acctbal, c_mktsegment]
+            |""".stripMargin, resolve, target = None)
+        built("sat_customer") = MetadataBuilders.satV1(
+          """sat_v0: sat_customer_v0
+            |hashkey: hk_customer_h
+            |hashdiff: hd_customer_s
+            |""".stripMargin, resolve)
+        built("snap_ctl_v0") = MetadataBuilders.controlSnapV0(
+          """start_date: 2024-02-01
+            |daily_snapshot_time: '12:00:00'
+            |end_date: 2024-02-07
+            |""".stripMargin, s)
+        built("snap_ctl") = MetadataBuilders.controlSnapV1(
+          """control_snap_v0: snap_ctl_v0
+            |log_logic:
+            |  daily:
+            |    forever: TRUE
+            |""".stripMargin, resolve)
+        MetadataBuilders.pit(
+          """tracked_entity: hub_customer
+            |hashkey: hk_customer_h
+            |sat_names: [sat_customer]
+            |snapshot_relation: snap_ctl
+            |dimension_key: dim_key_customer
+            |snapshot_trigger_column: is_active
+            |""".stripMargin, resolve, target = None)
+      },
+      Some(s"""WITH stage AS (
+              |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+              |         timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
+              |         ${O.hashkey("c_custkey")} AS hk_customer_h
+              |  FROM customer),
+              |hub AS (SELECT DISTINCT hk_customer_h FROM stage),
+              |sat_v1 AS (
+              |  SELECT hk_customer_h, ldts,
+              |         COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |           OVER (PARTITION BY hk_customer_h ORDER BY ldts),
+              |           timestamp '8888-12-31 23:59:59') AS ledts
+              |  FROM stage),
+              |snaps AS (
+              |  SELECT unnest(generate_series(timestamp '2024-02-01 12:00:00',
+              |    timestamp '2024-02-08 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts),
+              |pit AS (
+              |  SELECT ${O.hashkey("te.hk_customer_h", "snap.sdts")} AS dim_key_customer,
+              |    te.hk_customer_h, snap.sdts,
+              |    COALESCE(sv.hk_customer_h, '${O.ZeroKey}') AS hk_sat_customer,
+              |    COALESCE(sv.ldts, timestamp '0001-01-01 00:00:01') AS ldts_sat_customer
+              |  FROM hub te
+              |  CROSS JOIN (SELECT sdts FROM snaps WHERE sdts < timestamp '2024-02-08 00:00:00') snap
+              |  LEFT JOIN sat_v1 sv ON sv.hk_customer_h = te.hk_customer_h
+              |    AND snap.sdts BETWEEN sv.ldts AND sv.ledts)
+              |SELECT DISTINCT * FROM pit""".stripMargin)),
+
+    // P6 at scale — incremental MULTI-source hub WITHOUT rsrc_static: the
+    // global HWM applies per source (ldts is the batch load timestamp), so
+    // both parquet scans carry a pushed-down ldts > hwm predicate instead of
+    // re-scanning full sources every load (the reference full-scans here,
+    // hub.sql:173-179 guards on single-source)
+    Q("hub_incremental_multi",
+      (s, dir) => {
+        val c = custStage(s, dir)
+        val sup = rd(s, dir, "supplier")
+          .withColumn(LdtsAlias,
+            expr("timestampadd(DAY, cast(s_suppkey % 5 as int), timestamp'2024-01-01 00:00:00')"))
+          .withColumn(RsrcAlias, lit("TPC_H/Supplier"))
+          .withColumn("skey", col("s_suppkey") + 1000000)
+          .withColumn("hk_supplier_h", Hashing.hashkey(Seq(col("skey"))))
+        val sources = Seq(
+          EntitySource(c, Some("hk_customer_h"), Seq("c_custkey")),
+          EntitySource(sup, Some("hk_supplier_h"), Seq("skey")))
+        val full = HubLoader.records(sources, "hk_party_h", Seq("party_key"), None)
+        val target = full.filter(col(LdtsAlias) <= to_timestamp(lit("2024-01-02 00:00:00")))
+        HubLoader.records(sources, "hk_party_h", Seq("party_key"), Some(target))
+      },
+      Some(s"""WITH c AS (
+              |  SELECT ${O.hashkey("c_custkey")} AS hk_party_h, c_custkey AS party_key,
+              |         timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
+              |         'TPC_H/Customer' AS rsrc
+              |  FROM customer),
+              |sup AS (
+              |  SELECT ${O.hashkey("s_suppkey + 1000000")} AS hk_party_h,
+              |         s_suppkey + 1000000 AS party_key,
+              |         timestamp '2024-01-01 00:00:00' + (s_suppkey % 5) * INTERVAL 1 DAY AS ldts,
+              |         'TPC_H/Supplier' AS rsrc
+              |  FROM supplier),
+              |unioned AS (SELECT * FROM c UNION ALL SELECT * FROM sup),
+              |full_hub AS (
+              |  SELECT * FROM unioned
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_party_h ORDER BY ldts) = 1),
+              |target AS (SELECT * FROM full_hub WHERE ldts <= timestamp '2024-01-02 00:00:00'),
+              |delta AS (
+              |  SELECT * FROM unioned WHERE ldts > (SELECT max(ldts) FROM target)),
+              |dedup AS (
+              |  SELECT * FROM delta
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_party_h ORDER BY ldts) = 1)
+              |SELECT d.* FROM dedup d
+              |WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.hk_party_h = d.hk_party_h)""".stripMargin)),
 
     // A1 — grouped per-pattern HWM map: ONE source declaring TWO rsrc_static
     // patterns; each pattern gets its own max-ldts watermark (hub.sql:46-133

@@ -95,6 +95,33 @@ class LoaderSpec extends SparkSpec {
     store.drop("h")
   }
 
+  test("multi-source hub incremental pushes the HWM into BOTH parquet scans") {
+    val wh = Files.createTempDirectory("graft_hwm").toString
+    def staged(tag: String, keys: Seq[(String, String)]): DataFrame =
+      keys.toDF("bk", "ldts_s")
+        .withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+        .withColumn("rsrc", lit(tag))
+        .withColumn("hk", graft.expr.Hashing.hashkey(Seq($"bk")))
+    staged("A", Seq(("a1", "2024-01-01 00:00:00"), ("a2", "2024-01-03 00:00:00")))
+      .write.parquet(s"$wh/src_a")
+    staged("B", Seq(("b1", "2024-01-01 00:00:00"), ("b2", "2024-01-03 00:00:00")))
+      .write.parquet(s"$wh/src_b")
+    val srcA = spark.read.parquet(s"$wh/src_a")
+    val srcB = spark.read.parquet(s"$wh/src_b")
+    val target = staged("A", Seq(("a1", "2024-01-01 00:00:00")))
+      .unionByName(staged("B", Seq(("b1", "2024-01-01 00:00:00"))))
+    val delta = HubLoader.records(
+      Seq(EntitySource(srcA, Some("hk"), Seq("bk")),
+        EntitySource(srcB, Some("hk"), Seq("bk"))),
+      "hk", Seq("bk"), Some(target))
+    // only the two post-HWM keys come through
+    assert(delta.select("bk").as[String].collect().toSet == Set("a2", "b2"))
+    // and the ldts > hwm predicate reached BOTH parquet scans
+    val plan = delta.queryExecution.executedPlan.toString
+    val pushed = "GreaterThan\\(ldts".r.findAllIn(plan).size
+    assert(pushed >= 2, s"expected pushed-down ldts filters on both scans; plan:\n$plan")
+  }
+
   test("sat v1 ledts chain: contiguous, ends at end-of-all-times") {
     val v0 = SatV0Loader.records(aabSource, Seq("hk"), Some("hd"), Seq("payload"), None)
     val v1 = SatV1Loader.build(v0, "hk", Some("hd"), addIsCurrentFlag = true)

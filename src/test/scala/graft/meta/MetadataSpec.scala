@@ -128,4 +128,135 @@ class MetadataSpec extends SparkSpec {
     assert(hub.count() == 2)
     assert(hub.columns.toSeq == Seq("hk", "bk", "ldts", "rsrc"))
   }
+
+  /** shared staged fixture for the entity-builder equivalence tests */
+  private def staged: org.apache.spark.sql.DataFrame = Seq(
+    ("k1", "o1", "A", "2024-01-01 00:00:00"),
+    ("k1", "o2", "B", "2024-01-01 00:00:00"),
+    ("k2", "o3", "C", "2024-01-02 00:00:00"))
+    .toDF("bk", "ok", "payload", "ldts_s")
+    .withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+    .withColumn("rsrc", lit("SRC/A"))
+    .withColumn("hk_a", graft.expr.Hashing.hashkey(Seq($"bk")))
+    .withColumn("hk_b", graft.expr.Hashing.hashkey(Seq($"ok")))
+    .withColumn("hk_l", graft.expr.Hashing.hashkey(Seq($"bk", $"ok")))
+    .withColumn("hd", graft.expr.Hashing.hashdiff(Seq($"payload")))
+
+  private def sameFrame(a: org.apache.spark.sql.DataFrame,
+                        b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.columns.toSeq == b.columns.toSeq,
+      s"${a.columns.toSeq} vs ${b.columns.toSeq}")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("link/nh_link built from YAML equal the direct loaders") {
+    val resolve: String => org.apache.spark.sql.DataFrame = Map("staged" -> staged)
+    sameFrame(
+      MetadataBuilders.link(
+        """link_hashkey: hk_l
+          |foreign_hashkeys: [hk_a, hk_b]
+          |source_models: staged
+          |""".stripMargin, resolve, None),
+      LinkLoader.records(Seq(EntitySource(staged, Some("hk_l"), Seq("hk_a", "hk_b"))),
+        "hk_l", Seq("hk_a", "hk_b"), None))
+    sameFrame(
+      MetadataBuilders.nhLink(
+        """link_hashkey: hk_l
+          |foreign_hashkeys: [hk_a, hk_b]
+          |payload: [payload]
+          |union_strategy: distinct
+          |source_models:
+          |  staged:
+          |    fk_columns: [hk_a, hk_b]
+          |""".stripMargin, resolve, None),
+      NhLinkLoader.records(Seq(EntitySource(staged, Some("hk_l"), Seq("hk_a", "hk_b"))),
+        "hk_l", Seq("hk_a", "hk_b"), Seq("payload"), None, unionDistinct = true))
+  }
+
+  test("sat_v0/sat_v1/ma_sat/nh_sat built from YAML equal the direct loaders") {
+    val resolve0: String => org.apache.spark.sql.DataFrame = Map("staged" -> staged)
+    val v0yaml =
+      """source_model: staged
+        |parent_hashkey: hk_a
+        |src_hashdiff: hd
+        |src_payload: [payload]
+        |""".stripMargin
+    val v0 = MetadataBuilders.satV0(v0yaml, resolve0, None)
+    sameFrame(v0, SatV0Loader.records(staged, Seq("hk_a"), Some("hd"), Seq("payload"), None))
+    val resolve: String => org.apache.spark.sql.DataFrame =
+      Map("staged" -> staged, "v0" -> v0)
+    sameFrame(
+      MetadataBuilders.satV1(
+        """sat_v0: v0
+          |hashkey: hk_a
+          |hashdiff: hd
+          |add_is_current_flag: true
+          |""".stripMargin, resolve),
+      SatV1Loader.build(v0, "hk_a", Some("hd"), addIsCurrentFlag = true))
+    val maGrouped = staged.groupBy($"hk_a", $"ldts")
+      .agg(graft.expr.Hashing.maHashdiff(Seq($"payload"), Seq($"ok")).as("hd_ma"))
+    val maStaged = staged.join(maGrouped, Seq("hk_a", "ldts"))
+    val resolveMa: String => org.apache.spark.sql.DataFrame = Map("ma" -> maStaged)
+    sameFrame(
+      MetadataBuilders.maSatV0(
+        """source_model: ma
+          |parent_hashkey: hk_a
+          |src_hashdiff: hd_ma
+          |src_ma_key: [ok]
+          |src_payload: [payload]
+          |""".stripMargin, resolveMa, None),
+      MaSatV0Loader.records(maStaged, "hk_a", "hd_ma", Seq("ok"), Seq("payload"), None))
+    sameFrame(
+      MetadataBuilders.nhSat(
+        """source_model: staged
+          |parent_hashkey: hk_a
+          |src_payload: [payload]
+          |""".stripMargin, resolve0, None),
+      NhSatLoader.records(staged, "hk_a", Seq("payload"), None))
+  }
+
+  test("eff_sat/rec_track built from YAML equal the direct loaders") {
+    val resolve: String => org.apache.spark.sql.DataFrame = Map("staged" -> staged)
+    sameFrame(
+      MetadataBuilders.effSatV0(
+        """source_model: staged
+          |tracked_hashkey: hk_a
+          |additional_columns: [payload]
+          |""".stripMargin, resolve, None),
+      EffSatLoader.records(staged, "hk_a", None, additionalColumns = Seq("payload")))
+    sameFrame(
+      MetadataBuilders.recTrackSat(
+        """tracked_hashkey: hk_t
+          |source_models:
+          |  staged:
+          |    hk_column: hk_a
+          |    rsrc_static: 'SRC/%'
+          |""".stripMargin, resolve, None),
+      RecTrackSatLoader.records(Seq((staged, "hk_a", "staged", Some("SRC/%"))),
+        "hk_t", None))
+  }
+
+  test("control_snap_v1 YAML: list log_logic yields one trigger column each") {
+    val v0 = ControlSnapV0Loader.build(spark, "2024-01-01", "00:00:00", Some("2024-03-31"))
+    val resolve: String => org.apache.spark.sql.DataFrame = Map("v0" -> v0)
+    val v1 = MetadataBuilders.controlSnapV1(
+      """control_snap_v0: v0
+        |log_logic:
+        |  - is_active_fine:
+        |      daily:
+        |        duration: 30
+        |        unit: DAY
+        |  - is_active_coarse:
+        |      monthly:
+        |        forever: TRUE
+        |""".stripMargin, resolve, referenceTs = Some("2024-03-31 00:00:00"))
+    assert(v1.columns.contains("is_active_fine") && v1.columns.contains("is_active_coarse"))
+    // coarse = beginning-of-month forever → exactly Jan/Feb/Mar 1st
+    assert(v1.filter($"is_active_coarse").count() == 3)
+    // fine = 30 rolling days up to Mar 31
+    assert(v1.filter($"is_active_fine").count() == 31)
+    // exactly one is_latest row
+    assert(v1.filter($"is_latest").select("sdts").as[java.sql.Timestamp].head().toString
+      == "2024-03-31 00:00:00.0")
+  }
 }
