@@ -47,6 +47,23 @@ case class MaListAgg(
   override def nullable: Boolean = true
   override def prettyName: String = "ma_list_agg"
 
+  /** SQL users reach this via `ma_list_agg(...)` (GraftExtensions): a
+    * non-struct argument or a struct whose LAST field is not a string must
+    * fail analysis, not throw ClassCastException mid-execution.
+    *
+    * NULL ma-key fields sort FIRST (Spark's interpreted ordering); engines
+    * whose LISTAGG defaults to NULLS LAST diverge byte-wise on NULL ma
+    * keys — normalize NULL keys upstream if byte parity matters. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case st: StructType if st.nonEmpty && st.fields.last.dataType == StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ma_list_agg expects a struct((ma keys)*, payload string) argument " +
+            s"whose last field is STRING, got ${other.catalogString}")
+    }
+
   override def createAggregationBuffer(): mutable.ArrayBuffer[InternalRow] =
     mutable.ArrayBuffer.empty
 

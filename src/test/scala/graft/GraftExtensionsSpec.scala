@@ -17,4 +17,16 @@ class GraftExtensionsSpec extends SparkSpec {
         |""".stripMargin).head()
     assert(agg.getString(0) == "a,b")
   }
+
+  test("ma_list_agg rejects non-struct and non-string-tail arguments at analysis") {
+    GraftExtensions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT ma_list_agg(k) FROM VALUES (1) AS t(k)").head()
+    }
+    assert(e1.getMessage.contains("ma_list_agg"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT ma_list_agg(struct(s, k)) FROM VALUES (1, 'a') AS t(k, s)").head()
+    }
+    assert(e2.getMessage.contains("ma_list_agg"))
+  }
 }
