@@ -33,14 +33,43 @@ object PitLoader {
       sdtsAlias: String = SdtsAlias,
       snapshotTriggerColumn: Option[String] = Some("is_active"),
       referToGhostRecords: Boolean = true,
-      customRsrc: Option[String] = None)(
+      customRsrc: Option[String] = None,
+      pitType: Option[String] = None,
+      snapshotOptimization: Boolean = false)(
       implicit hc: HashConfig = Hashing.Default): DataFrame = {
 
     // active snapshots only; FOJ ON trigger=true ⇒ cross join (pit.sql:76-84)
-    val snapActive = snapshotTriggerColumn match {
+    val snapActive0 = snapshotTriggerColumn match {
       case Some(c) => snapshots.filter(col(c)).select(col(sdtsAlias))
       case None    => snapshots.select(col(sdtsAlias))
     }
+
+    // snapshot_optimization (reference snowflake/pit.sql:29-70): on an
+    // incremental run, only snapshots that are BRAND-NEW in the PIT or sit
+    // at a satellite's global max ldts (the only ones new versions can
+    // still change) get rebuilt — O(changed snapshots × entities) instead
+    // of O(all snapshots × entities). Unlike the reference we KEEP the
+    // dimension-key anti-join below (restricted to the relevant snapshots),
+    // so an unchanged re-emitted slot can never insert a duplicate.
+    val snapActive = (target, snapshotOptimization) match {
+      case (Some(t), true) =>
+        val maxCols = satellites.map(s =>
+          max(col(s"${LdtsAlias}_${s.name}")).as(s"__max_${s.name}"))
+        val perSnap = snapActive0.join(
+            t.select((col(sdtsAlias) +:
+              satellites.map(s => col(s"${LdtsAlias}_${s.name}"))): _*),
+            Seq(sdtsAlias), "left")
+          .groupBy(col(sdtsAlias)).agg(maxCols.head, maxCols.tail: _*)
+        val gCols = satellites.map(s =>
+          max(col(s"__max_${s.name}")).as(s"__g_${s.name}"))
+        val global = perSnap.agg(gCols.head, gCols.tail: _*)
+        val relevant = satellites.map(s =>
+          col(s"__max_${s.name}").isNull ||
+            col(s"__max_${s.name}") === col(s"__g_${s.name}")).reduce(_ || _)
+        perSnap.crossJoin(broadcast(global)).filter(relevant).select(col(sdtsAlias))
+      case _ => snapActive0
+    }
+
     val te = trackedEntity.select(col(hashkey))
     var df = te.crossJoin(broadcast(snapActive))
 
@@ -68,17 +97,27 @@ object PitLoader {
           col(s"__${sat.name}_ldts").as(s"${LdtsAlias}_${sat.name}"))
     }
 
-    // dimension key = hash(hashkey, sdts) (pit.sql:38-48,60-63)
-    val dimKey = Hashing.hashkey(Seq(col(hashkey), col(sdtsAlias)))
+    // dimension key = hash([pit_type,] hashkey, sdts) (pit.sql:23-28,38-48)
+    val dimKey = Hashing.hashkey(
+      pitType.map(t => lit(t): org.apache.spark.sql.Column).toSeq ++
+        Seq(col(hashkey), col(sdtsAlias)))
+    val typeCols = pitType.map(t => lit(t).as("type")).toSeq
     val rsrcCols = customRsrc.map(r => lit(r).as(RsrcAlias)).toSeq
 
     val out = df.select(
-      (rsrcCols ++ Seq(dimKey.as(dimensionKey), col(hashkey), col(sdtsAlias)) ++ satCols): _*)
+      (typeCols ++ rsrcCols ++
+        Seq(dimKey.as(dimensionKey), col(hashkey), col(sdtsAlias)) ++ satCols): _*)
       .distinct()
 
     target match {
-      case Some(t) => Ops.antiJoin(out, t, Seq(dimensionKey)) // pit.sql:108-114
-      case None    => out
+      case Some(t) =>
+        // with snapshot_optimization the anti-join target scan only needs
+        // the relevant snapshots' slots — semi-restrict before the compare
+        val tRestricted =
+          if (snapshotOptimization) t.join(snapActive, Seq(sdtsAlias), "left_semi")
+          else t
+        Ops.antiJoin(out, tRestricted, Seq(dimensionKey)) // pit.sql:108-114
+      case None => out
     }
   }
 

@@ -10,8 +10,9 @@ import graft.ops.Ops
   * ref satellites. Reference `macros/tables/databricks/ref_table.sql`.
   *
   * @param historized "full" (one row per ref key × known ldts), "latest"
-  *                   (only the newest load date), matching the reference's
-  *                   `historized` options (`ref_table.sql:56-68`).
+  *                   (only the newest load date), or "snapshot" (spine =
+  *                   the ACTIVE snapshots of `snapshots`), matching the
+  *                   reference's options (`ref_table.sql:48-85`).
   */
 object RefTableLoader {
 
@@ -22,15 +23,24 @@ object RefTableLoader {
       refKeys: Seq[String],
       satellites: Seq[RefSat],
       historized: String = "full",
-      includeBeforeAppearance: Boolean = false): DataFrame = {
+      includeBeforeAppearance: Boolean = false,
+      snapshots: Option[DataFrame] = None,
+      snapshotTrigger: String = "is_active",
+      sdtsAlias: String = SdtsAlias): DataFrame = {
 
-    // date spine: union of satellite load dates (U5, ref_table.sql:56-68)
-    val allDates = satellites.map(s =>
-        s.df.filter(col(LdtsAlias) =!= endOfAllTimesTs).select(col(LdtsAlias)).distinct())
-      .reduce(_.union(_)).distinct()
+    // date spine: union of satellite load dates (U5, ref_table.sql:56-68),
+    // or the active snapshots when historized='snapshot' (:71-85)
     val dates = historized match {
-      case "latest" => allDates.agg(max(col(LdtsAlias)).as(LdtsAlias))
-      case _        => allDates
+      case "snapshot" =>
+        val snap = snapshots.getOrElse(throw new IllegalArgumentException(
+          "historized='snapshot' requires a snapshot relation"))
+        snap.filter(col(snapshotTrigger)).select(col(sdtsAlias).as(LdtsAlias)).distinct()
+      case other =>
+        val allDates = satellites.map(s =>
+            s.df.filter(col(LdtsAlias) =!= endOfAllTimesTs).select(col(LdtsAlias)).distinct())
+          .reduce(_.union(_)).distinct()
+        if (other == "latest") allDates.agg(max(col(LdtsAlias)).as(LdtsAlias))
+        else allDates
     }
 
     val hub = refHub.select((refKeys.map(col) :+ col(RsrcAlias) :+ col(LdtsAlias).as("__hub_ldts")): _*)
@@ -50,7 +60,9 @@ object RefTableLoader {
 
     if (!includeBeforeAppearance) df = df.filter(col("__hub_ldts") <= col("__spine_ldts"))
 
-    val out = refKeys.map(col) ++ Seq(col("__spine_ldts").as(LdtsAlias), col(RsrcAlias)) ++
+    // snapshot mode names its date column sdts (reference date_column)
+    val dateAlias = if (historized == "snapshot") sdtsAlias else LdtsAlias
+    val out = refKeys.map(col) ++ Seq(col("__spine_ldts").as(dateAlias), col(RsrcAlias)) ++
       satellites.flatMap(_.include).map(col)
     df.select(out: _*)
   }

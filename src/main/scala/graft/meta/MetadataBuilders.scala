@@ -314,7 +314,53 @@ object MetadataBuilders {
       sdtsAlias = m.getOrElse("sdts", graft.expr.SystemColumns.SdtsAlias).toString,
       snapshotTriggerColumn = m.get("snapshot_trigger_column").map(_.toString)
         .orElse(Some("is_active")),
-      customRsrc = m.get("custom_rsrc").map(_.toString))
+      customRsrc = m.get("custom_rsrc").map(_.toString),
+      pitType = m.get("pit_type").map(_.toString),
+      snapshotOptimization = bool(m, "snapshot_optimization"))
+  }
+
+  /** `ref_table(yaml_metadata=…)` (reference `macros/tables/ref_table.sql:1`):
+    * ref_satellites as one name, a list of names, or a mapping
+    * name → {include: [...]} / {exclude: [...]} / [columns]. */
+  def refTable(yaml: String, resolve: String => DataFrame): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    val hubDf = resolve(m("ref_hub").toString)
+    // reference derives the ref keys from the hub relation (ref_table.sql:
+    // ref_key_cols = hub columns minus system); an explicit ref_keys wins
+    val refKeys = m.get("ref_keys").map(strings).getOrElse(
+      hubDf.columns.toSeq.filterNot(c =>
+        c == graft.expr.SystemColumns.LdtsAlias || c == graft.expr.SystemColumns.RsrcAlias))
+    val system = Set(graft.expr.SystemColumns.LdtsAlias, graft.expr.SystemColumns.RsrcAlias,
+      graft.expr.SystemColumns.LedtsAlias) ++ refKeys ++
+      strings(m.getOrElse("sat_columns_to_exclude", Nil))
+    def payload(df: DataFrame, spec: Any): Seq[String] = spec match {
+      case null => df.columns.toSeq.filterNot(c =>
+        system.exists(_.equalsIgnoreCase(c)) || c.startsWith("hd_") || c == "hashdiff")
+      case l: List[_] => l.map(_.toString)
+      case mm: Map[_, _] =>
+        val sm = asMap(mm)
+        sm.get("include").map(strings).getOrElse {
+          val excl = strings(sm.getOrElse("exclude", Nil)).map(_.toLowerCase).toSet
+          df.columns.toSeq.filterNot(c => excl.contains(c.toLowerCase) ||
+            system.exists(_.equalsIgnoreCase(c)))
+        }
+      case s => Seq(s.toString)
+    }
+    val sats = m("ref_satellites") match {
+      case s: String => Seq(RefTableLoader.RefSat(resolve(s), payload(resolve(s), null)))
+      case l: List[_] => l.map { n =>
+        val df = resolve(n.toString); RefTableLoader.RefSat(df, payload(df, null))
+      }
+      case mm: Map[_, _] => asMap(mm).toSeq.map { case (name, spec) =>
+        val df = resolve(name); RefTableLoader.RefSat(df, payload(df, spec))
+      }
+      case other => throw new IllegalArgumentException(s"bad ref_satellites: $other")
+    }
+    val historized = m.getOrElse("historized", "latest").toString
+    RefTableLoader.build(
+      hubDf, refKeys, sats, historized,
+      snapshots = m.get("snapshot_relation").map(r => resolve(r.toString)),
+      snapshotTrigger = m.getOrElse("snapshot_trigger_column", "is_active").toString)
   }
 
   /** `control_snap_v0(yaml_metadata=…)` (reference

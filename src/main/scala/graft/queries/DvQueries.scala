@@ -550,6 +550,67 @@ object DvQueries {
               |  AND d.ldts BETWEEN s.ldts AND s.ledts
               |WHERE h.ldts <= d.ldts""".stripMargin)),
 
+    // ref_table historized='snapshot' (ref_table.sql:71-85): the date spine
+    // is the ACTIVE snapshot set, not the satellites' load dates; built via
+    // the YAML front end (ref keys derived from the hub, per-sat include)
+    Q("ref_table_snapshot",
+      (s, dir) => {
+        val src = rd(s, dir, "nation")
+          .crossJoin(s.range(2).select(col("id").as("b")))
+          .withColumn(LdtsAlias,
+            expr("timestampadd(DAY, cast(b as int), timestamp'2024-01-01 00:00:00')"))
+          .withColumn(RsrcAlias, lit("TPC_H/Nation"))
+          .withColumn("n_name_v",
+            when(col("b") === 1 && col("n_nationkey") % 3 === 0,
+              concat(col("n_name"), lit("_v2"))).otherwise(col("n_name")))
+          .withColumn("hd_nation_rs", Hashing.hashdiff(Seq(col("n_name_v"), col("n_regionkey"))))
+        val v0 = SatV0Loader.records(src, Seq("n_nationkey"), Some("hd_nation_rs"),
+          Seq("n_name_v", "n_regionkey"), target = None)
+        val v1 = Ops.endDate(v0, "n_nationkey")
+        val hub = RefHubLoader.records(
+          Seq(EntitySource(src.filter(col("b") === 0), None, Seq("n_nationkey"))),
+          Seq("n_nationkey"), target = None)
+        val snaps = ControlSnapV0Loader.build(s, "2024-01-01", "18:00:00", Some("2024-01-04"))
+          .withColumn("is_active", lit(true))
+        val built = Map("nation_hub" -> hub, "nation_rs" -> v1, "snap" -> snaps)
+        graft.meta.MetadataBuilders.refTable(
+          """ref_hub: nation_hub
+            |ref_satellites:
+            |  nation_rs:
+            |    include: [n_name_v, n_regionkey]
+            |historized: snapshot
+            |snapshot_relation: snap
+            |""".stripMargin, built)
+      },
+      Some(s"""WITH src AS (
+              |  SELECT n_nationkey, n_regionkey,
+              |    timestamp '2024-01-01 00:00:00' + b * INTERVAL 1 DAY AS ldts,
+              |    'TPC_H/Nation' AS rsrc,
+              |    CASE WHEN b = 1 AND n_nationkey % 3 = 0 THEN n_name || '_v2' ELSE n_name END AS n_name_v
+              |  FROM nation CROSS JOIN (VALUES (0),(1)) AS batches(b)),
+              |hashed AS (SELECT *, ${O.hashdiff("n_name_v", "n_regionkey")} AS hd_nation_rs FROM src),
+              |sat_v0 AS (
+              |  SELECT n_nationkey, hd_nation_rs, rsrc, ldts, n_name_v, n_regionkey FROM hashed
+              |  QUALIFY CASE WHEN hd_nation_rs = LAG(hd_nation_rs)
+              |    OVER (PARTITION BY n_nationkey ORDER BY ldts) THEN FALSE ELSE TRUE END),
+              |sat_v1 AS (
+              |  SELECT *, COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |    OVER (PARTITION BY n_nationkey ORDER BY ldts),
+              |    timestamp '8888-12-31 23:59:59') AS ledts FROM sat_v0),
+              |hub AS (
+              |  SELECT n_nationkey, timestamp '2024-01-01 00:00:00' AS ldts, 'TPC_H/Nation' AS rsrc
+              |  FROM nation
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY n_nationkey ORDER BY 1) = 1),
+              |snaps AS (
+              |  SELECT unnest(generate_series(timestamp '2024-01-01 18:00:00',
+              |    timestamp '2024-01-05 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts)
+              |SELECT h.n_nationkey, d.sdts, h.rsrc, s.n_name_v, s.n_regionkey
+              |FROM hub h
+              |CROSS JOIN (SELECT sdts FROM snaps WHERE sdts < timestamp '2024-01-05 00:00:00') d
+              |LEFT JOIN sat_v1 s ON s.n_nationkey = h.n_nationkey
+              |  AND d.sdts BETWEEN s.ldts AND s.ledts
+              |WHERE h.ldts <= d.sdts""".stripMargin)),
+
     // snapshot control v0: generated series + calendar flags
     Q("snap_v0",
       (s, _) => ControlSnapV0Loader.build(s, "2024-01-01", "07:30:00", Some("2024-03-31")),

@@ -137,14 +137,16 @@ object TextQueries {
           .select(col("doc_id"), substring(norm, 1, 200).as("t"))
           .filter(length(col("t")) >= k)
           .select(col("doc_id"),
+            // gram count is length(t)-(k-1), known BEFORE the explode — no
+            // count() window pass needed; one window exec instead of two
+            (length(col("t")) - (k - 1)).as("__n"),
             explode(expr(s"transform(sequence(1, length(t) - ${k - 1}), i -> struct(i AS i, substr(t, i, $k) AS g))")).as("e"))
-          .select(col("doc_id"), col("e.i").as("i"), md5(col("e.g")).as("h"))
+          .select(col("doc_id"), col("__n"), col("e.i").as("i"), md5(col("e.g")).as("h"))
         import org.apache.spark.sql.expressions.Window
         val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
         grams
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
           .withColumn("fp", min(col("h")).over(win))
-          .filter(col("i") <= col("n") - (w - 1)) // only full windows
+          .filter(col("i") <= col("__n") - (w - 1)) // only full windows
           .select(col("doc_id"), col("fp")).distinct()
       },
       Some("""WITH t AS (

@@ -413,6 +413,47 @@ class LoaderSpec extends SparkSpec {
     assert(e.getMessage.contains("not_a_col"))
   }
 
+  test("pit snapshot_optimization: restricted rebuild equals full incremental") {
+    val sat = Seq(
+      ("k1", "2024-01-01 00:00:00", "2024-01-02 11:59:59"),
+      ("k1", "2024-01-02 12:00:00", "8888-12-31 23:59:59"),
+      ("k2", "2024-01-01 00:00:00", "8888-12-31 23:59:59"))
+      .toDF("hk", "ldts_s", "ledts_s")
+      .withColumn("ldts", to_timestamp($"ldts_s"))
+      .withColumn("ledts", to_timestamp($"ledts_s")).drop("ldts_s", "ledts_s")
+    val hub = Seq("k1", "k2").toDF("hk")
+    def snaps(days: Int) = (1 to days).map(d => (s"2024-01-0$d 18:00:00", true))
+      .toDF("sdts_s", "is_active")
+      .withColumn("sdts", to_timestamp($"sdts_s")).drop("sdts_s")
+    val target = PitLoader.records(hub, "hk", Seq(PitSatellite("s1", sat)),
+      snaps(2), "dim_key")
+    val optimized = PitLoader.records(hub, "hk", Seq(PitSatellite("s1", sat)),
+      snaps(3), "dim_key", target = Some(target), snapshotOptimization = true)
+    val plain = PitLoader.records(hub, "hk", Seq(PitSatellite("s1", sat)),
+      snaps(3), "dim_key", target = Some(target))
+    assert(optimized.exceptAll(plain).isEmpty && plain.exceptAll(optimized).isEmpty)
+    // only the new snapshot's slots are inserted
+    assert(optimized.select("sdts").distinct().as[java.sql.Timestamp].collect()
+      .map(_.toString).toSet == Set("2024-01-03 18:00:00.0"))
+  }
+
+  test("pit_type adds the type column and feeds the dimension-key hash") {
+    val sat = Seq(("k1", "2024-01-01 00:00:00", "8888-12-31 23:59:59"))
+      .toDF("hk", "ldts_s", "ledts_s")
+      .withColumn("ldts", to_timestamp($"ldts_s"))
+      .withColumn("ledts", to_timestamp($"ledts_s")).drop("ldts_s", "ledts_s")
+    val hub = Seq("k1").toDF("hk")
+    val snaps = Seq(("2024-01-01 18:00:00", true)).toDF("sdts_s", "is_active")
+      .withColumn("sdts", to_timestamp($"sdts_s")).drop("sdts_s")
+    val typed = PitLoader.records(hub, "hk", Seq(PitSatellite("s1", sat)), snaps,
+      "dim_key", pitType = Some("daily"))
+    val untyped = PitLoader.records(hub, "hk", Seq(PitSatellite("s1", sat)), snaps,
+      "dim_key")
+    assert(typed.columns.head == "type")
+    assert(typed.head().getAs[String]("type") == "daily")
+    assert(typed.head().getAs[String]("dim_key") != untyped.head().getAs[String]("dim_key"))
+  }
+
   test("pit cleanup deletes rows of deactivated snapshots") {
     val wh = Files.createTempDirectory("graft_t").toString
     val store = new TableStore(spark, wh)
