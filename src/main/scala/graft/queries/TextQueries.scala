@@ -50,6 +50,57 @@ object TextQueries {
       buildLshCandidates(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Connected-component labels over the LSH candidate graph (iterative
+    * min-label propagation, O(component diameter) rounds, lineage truncated
+    * per round). Memoized like the candidates: clustering and
+    * representative-selection both consume the same labels. */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val pairs = lshCandidates(s, dir)
+      val edges0 = pairs.select(col("doc_id").as("a"), col("doc_id_2").as("b"))
+        .unionAll(pairs.select(col("doc_id_2").as("a"), col("doc_id").as("b")))
+        .localCheckpoint()
+      // right-size the loop's parallelism to the CANDIDATE graph: near-dup
+      // members are a small fraction of the corpus, and an every-round
+      // 32-partition shuffle over a few hundred edges is pure scheduler
+      // overhead — the same expression picks more partitions as the edge
+      // count grows (~500k edges per partition)
+      val nParts = math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+        edges0.count() / 500000L)).toInt
+      val edges = edges0.repartition(nParts, col("a")).localCheckpoint()
+      var labels = edges.select(col("a").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+      var converged = false
+      var i = 0
+      val maxRounds = 50
+      while (!converged && i < maxRounds) {
+        val nbr = labels.withColumnRenamed("doc_id", "__l_doc")
+          .join(edges, col("__l_doc") === col("a"))
+          .select(col("b").as("doc_id"), col("cluster_id"))
+        // carry each doc's PREVIOUS label through the same aggregation
+        // (each doc occurs exactly once in `labels`, so min(__orig) is its
+        // old label) — the convergence probe becomes a filter over the
+        // already-checkpointed result instead of an extra shuffle join
+        val upd = labels.withColumn("__orig", col("cluster_id"))
+          .unionByName(nbr.withColumn("__orig",
+            lit(null).cast(labels.schema("cluster_id").dataType)))
+          .groupBy("doc_id")
+          .agg(min("cluster_id").as("cluster_id"), min("__orig").as("__prev"))
+          .localCheckpoint() // truncate lineage each round
+        converged = upd.filter(col("cluster_id") =!= col("__prev")).isEmpty
+        labels = upd.drop("__prev")
+        i += 1
+      }
+      // fail LOUDLY rather than emit partially-propagated labels that
+      // silently mismatch the oracle's full transitive closure
+      require(converged, s"dedup_clusters: min-label propagation did not " +
+        s"converge within $maxRounds rounds (component diameter too large)")
+      labels
+    })
+
   private def buildLshCandidates(s: SparkSession, dir: String): DataFrame = {
     val nHashes = 8
     val sh = docs(s, dir)
@@ -325,48 +376,8 @@ object TextQueries {
     // rounds, lineage truncated per round), then one canonical keep-doc
     // per cluster — the step between candidate pairs and actual deletion.
     Q("dedup_clusters",
-      (s, dir) => {
-        val pairs = lshCandidates(s, dir)
-        val edges0 = pairs.select(col("doc_id").as("a"), col("doc_id_2").as("b"))
-          .unionAll(pairs.select(col("doc_id_2").as("a"), col("doc_id").as("b")))
-          .localCheckpoint()
-        // right-size the loop's parallelism to the CANDIDATE graph: near-dup
-        // members are a small fraction of the corpus, and an every-round
-        // 32-partition shuffle over a few hundred edges is pure scheduler
-        // overhead — the same expression picks more partitions as the edge
-        // count grows (~500k edges per partition)
-        val nParts = math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
-          edges0.count() / 500000L)).toInt
-        val edges = edges0.repartition(nParts, col("a")).localCheckpoint()
-        var labels = edges.select(col("a").as("doc_id")).distinct()
-          .withColumn("cluster_id", col("doc_id"))
-        var converged = false
-        var i = 0
-        val maxRounds = 50
-        while (!converged && i < maxRounds) {
-          val nbr = labels.withColumnRenamed("doc_id", "__l_doc")
-            .join(edges, col("__l_doc") === col("a"))
-            .select(col("b").as("doc_id"), col("cluster_id"))
-          // carry each doc's PREVIOUS label through the same aggregation
-          // (each doc occurs exactly once in `labels`, so min(__orig) is its
-          // old label) — the convergence probe becomes a filter over the
-          // already-checkpointed result instead of an extra shuffle join
-          val upd = labels.withColumn("__orig", col("cluster_id"))
-            .unionByName(nbr.withColumn("__orig",
-              lit(null).cast(labels.schema("cluster_id").dataType)))
-            .groupBy("doc_id")
-            .agg(min("cluster_id").as("cluster_id"), min("__orig").as("__prev"))
-            .localCheckpoint() // truncate lineage each round
-          converged = upd.filter(col("cluster_id") =!= col("__prev")).isEmpty
-          labels = upd.drop("__prev")
-          i += 1
-        }
-        // fail LOUDLY rather than emit partially-propagated labels that
-        // silently mismatch the oracle's full transitive closure
-        require(converged, s"dedup_clusters: min-label propagation did not " +
-          s"converge within $maxRounds rounds (component diameter too large)")
-        labels.withColumn("keep", col("doc_id") === col("cluster_id"))
-      },
+      (s, dir) => clusterLabels(s, dir)
+        .withColumn("keep", col("doc_id") === col("cluster_id")),
       Some(s"""WITH RECURSIVE $lshCandSql,
              |edges AS (
              |  SELECT doc_id AS a, doc_id_2 AS b FROM cands
@@ -379,6 +390,72 @@ object TextQueries {
              |SELECT src AS doc_id, MIN(dst) AS cluster_id,
              |       (src = MIN(dst)) AS keep
              |FROM reach GROUP BY src""".stripMargin)),
+
+    // retention policy after clustering: keep ONE representative per
+    // near-dup cluster, chosen by QUALITY (longest doc, doc_id tiebreak) —
+    // the decision step a real dedup pipeline runs between clustering and
+    // deletion; a distributed argmax (one window over cluster_id), never a
+    // driver-side pick.
+    Q("dedup_keep_best",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val quality = docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_words"))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("n_words").desc, col("doc_id").asc)
+        clusterLabels(s, dir)
+          .join(quality, Seq("doc_id"))
+          .withColumn("rank_in_cluster", row_number().over(w).cast("long"))
+          .withColumn("keep", col("rank_in_cluster") === 1)
+      },
+      Some(s"""WITH RECURSIVE $lshCandSql,
+             |edges AS (
+             |  SELECT doc_id AS a, doc_id_2 AS b FROM cands
+             |  UNION ALL SELECT doc_id_2, doc_id FROM cands),
+             |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+             |reach AS (
+             |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+             |labels AS (
+             |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+             |quality AS (
+             |  SELECT doc_id, cast(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words
+             |  FROM documents)
+             |SELECT l.doc_id, l.cluster_id, q.n_words,
+             |  cast(ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+             |    ORDER BY q.n_words DESC, l.doc_id ASC) AS BIGINT) AS rank_in_cluster,
+             |  (ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+             |    ORDER BY q.n_words DESC, l.doc_id ASC) = 1) AS keep
+             |FROM labels l JOIN quality q ON q.doc_id = l.doc_id""".stripMargin)),
+
+    // token-budget packing: assign documents to contiguous training-context
+    // bins of ~512 whitespace tokens. Deterministic (doc_id order) and
+    // embarrassingly parallel: packing runs per SHARD (doc_id % 32), so the
+    // running-sum window never needs a global single-partition sort — the
+    // shape that survives a 100 TB corpus (one shard ≈ one task).
+    Q("token_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 512
+        val toks = docs(s, dir).select(col("doc_id"),
+          (col("doc_id") % 32).as("shard"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+        toks
+          .withColumn("pack_id",
+            floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("long"))
+          .select(col("doc_id"), col("shard").cast("long").as("shard"),
+            col("n_tokens"), col("pack_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, doc_id % 32 AS shard,
+             |    cast(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, cast(shard AS BIGINT) AS shard, n_tokens,
+             |  cast(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+             |    - n_tokens) / 512) AS BIGINT) AS pack_id
+             |FROM toks""".stripMargin)),
 
     // multimodal decode pipeline: binary → typed Dataset[MediaMeta] via
     // mapPartitions with per-partition codec init (graft.multimodal). The
