@@ -18,15 +18,28 @@ final class TableStore(val spark: SparkSession, val baseDir: String) {
 
   def pathOf(name: String): String = s"$baseDir/$name"
 
-  /** dbt `is_incremental()` ⇔ target exists (reference `hub.sql:44`). */
+  /** dbt `is_incremental()` ⇔ target exists (reference `hub.sql:44`).
+    * A partitioned table's data files live one level down in `pcol=value`
+    * directories — probe those too, or a partitioned target would silently
+    * full-refresh on every load. */
   def exists(name: String): Boolean = {
     val p = Paths.get(pathOf(name))
-    if (!Files.isDirectory(p)) false
-    else {
-      val s = Files.list(p)
+    def hasParquet(dir: java.nio.file.Path): Boolean = {
+      val s = Files.list(dir)
       try s.anyMatch(f => f.toString.endsWith(".parquet"))
       finally s.close()
     }
+    def partitionDirs(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.list(dir)
+      try {
+        val it = s.filter(f =>
+          Files.isDirectory(f) && f.getFileName.toString.contains("=")).iterator()
+        val buf = Seq.newBuilder[java.nio.file.Path]
+        while (it.hasNext) buf += it.next()
+        buf.result()
+      } finally s.close()
+    }
+    Files.isDirectory(p) && (hasParquet(p) || partitionDirs(p).exists(hasParquet))
   }
 
   /** dbt `{{ this }}` — the current target contents. */

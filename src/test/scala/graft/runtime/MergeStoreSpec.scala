@@ -111,6 +111,16 @@ class MergeStoreSpec extends SparkSpec {
     store.drop("hub_x"); store.drop("sat_x"); store.drop("__rehash_map_hub_x")
   }
 
+  test("exists() detects partitioned tables (data files one level down)") {
+    val wh = Files.createTempDirectory("graft_exists").toString
+    val store = new TableStore(spark, wh)
+    assert(!store.exists("p"))
+    store.overwritePartitioned("p",
+      Seq(("a", "2024-01-01")).toDF("v", "pday"), "pday")
+    assert(store.exists("p"))
+    store.drop("p")
+  }
+
   test("partitionValues decodes multi-byte UTF-8 escapes") {
     // Hive-escaped dir names are pure ASCII on disk (%XX per UTF-8 BYTE);
     // create them directly — the container locale can't host raw non-ASCII
