@@ -187,10 +187,11 @@ object TextQueries {
         val grams = docs(s, dir)
           .select(col("doc_id"), substring(norm, 1, 200).as("t"))
           .filter(length(col("t")) >= k)
-          .select(col("doc_id"),
-            // gram count is length(t)-(k-1), known BEFORE the explode — no
-            // count() window pass needed; one window exec instead of two
-            (length(col("t")) - (k - 1)).as("__n"),
+          // gram count is length(t)-(k-1), known BEFORE the explode — no
+          // count() window pass needed; computed pre-Generate so the 200-char
+          // codepoint count runs once per DOC, not once per exploded gram
+          .withColumn("__n", length(col("t")) - (k - 1))
+          .select(col("doc_id"), col("__n"),
             explode(expr(s"transform(sequence(1, length(t) - ${k - 1}), i -> struct(i AS i, substr(t, i, $k) AS g))")).as("e"))
           .select(col("doc_id"), col("__n"), col("e.i").as("i"), md5(col("e.g")).as("h"))
         import org.apache.spark.sql.expressions.Window
