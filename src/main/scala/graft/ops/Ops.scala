@@ -144,4 +144,26 @@ object Ops {
   /** P7 — exclude ghost-record rows (reference `eff_sat_v0.sql:43`). */
   def excludeGhosts(df: DataFrame, ldts: String = LdtsAlias): DataFrame =
     df.filter(col(ldts) =!= beginningOfAllTimesTs && col(ldts) =!= endOfAllTimesTs)
+
+  /** Skew-safe equi-join for hot keys AQE can't fully split (e.g. a
+    * boilerplate hashkey holding 1% of a 100 TB satellite): `right` is
+    * replicated into `buckets` salted copies and `left` rows scatter
+    * DETERMINISTICALLY across them (hash of the whole row, not the join
+    * key — the key alone would land every hot-key row in one bucket
+    * again), so one key's rows spread over `buckets` tasks instead of one
+    * straggler. Result ≡ `left.join(right, keys, joinType)` for
+    * inner/left_outer/left_semi; right-side row count is multiplied by
+    * `buckets`, so use when |right| ≪ |left| (dimension-shaped).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, "saltedJoin: buckets must be positive")
+    require(Seq("inner", "left", "left_outer", "left_semi").contains(joinType),
+      s"saltedJoin: join type '$joinType' would change semantics under replication")
+    val salted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(buckets)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

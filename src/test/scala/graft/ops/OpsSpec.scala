@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join and spreads a hot key across buckets") {
+    // one hot key (90% of rows) + a long tail
+    val left = ((1 to 900).map(i => ("hot", s"p$i")) ++
+      (1 to 100).map(i => (s"k$i", s"q$i"))).toDF("bk", "payload")
+    val right = (Seq("hot") ++ (1 to 50).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("bk", "dim")
+
+    for (jt <- Seq("inner", "left", "left_semi")) {
+      val plain = left.join(right, Seq("bk"), jt)
+      val salted = Ops.saltedJoin(left, right, Seq("bk"), buckets = 8, joinType = jt)
+      assert(salted.columns.toSeq == plain.columns.toSeq, jt)
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty, jt)
+    }
+
+    // the hot key's rows really do scatter over multiple salt buckets
+    val spread = left.withColumn("__salt",
+        pmod(hash(left.columns.map(col): _*), lit(8)))
+      .filter($"bk" === "hot").select("__salt").distinct().count()
+    assert(spread > 1, s"hot key should span several buckets, got $spread")
+  }
+
+  test("saltedJoin rejects join types that replication would corrupt") {
+    val df = Seq(("a", 1)).toDF("bk", "v")
+    intercept[IllegalArgumentException] {
+      Ops.saltedJoin(df, df, Seq("bk"), 4, "right")
+    }
+    intercept[IllegalArgumentException] {
+      Ops.saltedJoin(df, df, Seq("bk"), 4, "full_outer")
+    }
+  }
+}
