@@ -133,6 +133,79 @@ object SimQueries {
              |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
              |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    // IVF-cell ANN: the centroid index is DRIVER-HELD metadata (as in any
+    // real IVF index) — K deterministic centroid vectors, every corpus
+    // vector assigned to its nearest cell (argmax cosine, rounded to kill
+    // cross-engine double jitter), queries probe their nprobe best cells
+    // and score exactly within them. The corpus-side work is one codegen'd
+    // K-wide dot-product projection + an equi-join on cell — no all-pairs.
+    Q("ivf_ann",
+      (s, dir) => {
+        val k = 8; val nprobe = 2
+        val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
+        // deterministic centroids: the first K corpus vectors (centroid
+        // QUALITY is irrelevant to the mechanics; a trained index would
+        // swap in k-means means here)
+        val centroids: Seq[(Int, Seq[Double], Double)] =
+          e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + k)
+            .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
+            .zipWithIndex.map { case (r, i) =>
+              val v = r.getSeq[Float](1).map(_.toDouble)
+              (i, v, math.sqrt(v.map(x => x * x).sum))
+            }
+        def cellScore(cvec: Seq[Double], cn: Double) =
+          round(dotProduct(col("embedding"), typedLit(cvec)) / (col("nrm") * cn), 4)
+        val argmaxStructs = centroids.map { case (cid, v, n) =>
+          struct(cellScore(v, n).as("s"), lit(-cid).as("nc"))
+        }
+        val corpus = e.filter(col("vec_id") >= 10)
+          .withColumn("__best", greatest(argmaxStructs: _*))
+          .withColumn("cell", (-col("__best").getField("nc")).cast("long"))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        val scoreStructs = centroids.map { case (cid, v, n) =>
+          struct(cellScore(v, n).as("s"), lit(cid.toLong).as("cid"))
+        }
+        import org.apache.spark.sql.expressions.Window
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("c.s").desc, col("c.cid").asc)
+        val probed = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"), explode(array(scoreStructs: _*)).as("c"))
+          .withColumn("__rn", row_number().over(wq))
+          .filter(col("__rn") <= nprobe)
+          .select(col("query_id"), col("qv"), col("qn"), col("c.cid").as("cell"))
+        val cands = broadcast(probed).join(corpus, Seq("cell"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        cands.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id - 10 AS cid, embedding AS cvec
+              |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+              |scored AS (
+              |  SELECT e.vec_id, c.cid,
+              |    round(${cosDuck("e.embedding", "c.cvec")}, 4) AS s
+              |  FROM embeddings e, cent c),
+              |corpus_cell AS (
+              |  SELECT vec_id, cid AS cell FROM scored WHERE vec_id >= 10
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1),
+              |query_cells AS (
+              |  SELECT vec_id AS query_id, cid AS cell FROM scored WHERE vec_id < 10
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) <= 2),
+              |cands AS (
+              |  SELECT q.query_id, c.vec_id AS neighbor_id,
+              |    round(${cosDuck("qe.embedding", "ce.embedding")}, 4) AS cos_sim
+              |  FROM query_cells q JOIN corpus_cell c ON q.cell = c.cell
+              |  JOIN embeddings qe ON qe.vec_id = q.query_id
+              |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
+              |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin)),
+
     // tumbling-window aggregation over the events stream table.
     // The file carries TIMESTAMP(NANOS) which Spark's vectorized reader
     // rejects — sessions must set spark.sql.legacy.parquet.nanosAsLong=true

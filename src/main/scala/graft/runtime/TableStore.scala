@@ -109,6 +109,14 @@ final class TableStore(val spark: SparkSession, val baseDir: String) {
     * `pcol` partitions present in `source` are read or rewritten — every
     * other partition directory is untouched on disk.
     *
+    * CONTRACT (the same one Delta's partition-constrained MERGE /
+    * `replaceWhere` carries): a matched key's EXISTING row must live in the
+    * same partition as its replacement. That holds whenever `pcol` is a
+    * stable function of the key, and whenever the delta's rows were read
+    * from this table itself (targeted rehash does exactly that). A key
+    * relocating across partitions inserts the new row without deleting the
+    * old one — a full-scan MERGE is the tool for that case, not this one.
+    *
     * The merged result is fully materialized into a sibling tmp directory
     * BEFORE any target file is deleted (crash-safe: a failure mid-write
     * leaves the target intact; a failure mid-swap leaves recoverable

@@ -116,4 +116,31 @@ class PropertySpec extends SparkSpec {
     val byPre = tuples.zip(pre).groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1)
     assert(byPre.isEmpty, s"pre-hash collisions: $byPre")
   }
+
+  test("mergePartitioned: any random delta equals delete-matched-then-union") {
+    val r = new Random(1337)
+    for (iter <- 1 to 5) {
+      val wh = Files.createTempDirectory("graft_prop_m").toString
+      val store = new TableStore(spark, wh)
+      // pday is a STABLE function of the key — the partition-pruned-MERGE
+      // contract (a key never relocates across partitions)
+      def rows(n: Int, tag: String) = (0 until n).map { _ =>
+        val k = r.nextInt(20)
+        (s"k$k", s"$tag${r.nextInt(1000)}", f"2024-06-${1 + k % 4}%02d")
+      }
+      val base = rows(30, "b").toDF("bk", "payload", "pday")
+        .dropDuplicates("bk") // table keyed by bk
+      store.overwritePartitioned("t", base, "pday")
+      val delta = rows(10, "d").toDF("bk", "payload", "pday").dropDuplicates("bk")
+      store.mergePartitioned("t", "pday", delta, Seq("bk"))
+      // reference MERGE semantics: matched keys replaced, the rest inserted
+      val want = base.join(delta.select("bk"), Seq("bk"), "left_anti")
+        .unionByName(delta)
+        .select("bk", "payload", "pday").as[(String, String, String)].collect().toSet
+      val got = store.read("t").select("bk", "payload", "pday")
+        .as[(String, String, String)].collect().toSet
+      assert(got == want, s"iter $iter")
+      store.drop("t")
+    }
+  }
 }
