@@ -123,6 +123,52 @@ object StreamingLoaders {
         store.append(targetName, batch)
       }
 
+  /** One effectivity status row (activation or deactivation) — the
+    * streaming shape of the eff-sat record (hk, ldts, rsrc, is_active). */
+  final case class EffStatus(hk: String, ldts: java.sql.Timestamp,
+                             rsrc: String, is_active: Boolean)
+
+  /** Streaming effectivity tracking (the eff-sat, continuously): a key
+    * emits an activation row on first appearance or reactivation, and a
+    * SYSTEM deactivation row when NO event arrives for `inactivity` past
+    * the event-time watermark. Batch eff-sat detects disappearance by
+    * diffing the FULL source against current status every load
+    * (`eff_sat_v0.sql:208-264`) — in streaming, absence is an event-time
+    * TIMEOUT on the key's state, an O(keys-with-state) check the state
+    * store does for free. `staged` must carry a watermark on `ldts`.
+    */
+  def effSatStateful(staged: DataFrame, hashkey: String,
+                     inactivity: String = "1 hour",
+                     ldts: String = "ldts", rsrc: String = "rsrc"): DataFrame = {
+    val inactivityMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(inactivity))
+    val stepMs = inactivityMs.days.toLong * 86400000L + inactivityMs.microseconds / 1000L
+    staged
+      .groupByKey((r: Row) => r.getAs[String](hashkey))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[Row], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) {
+            // no event for `inactivity` past the watermark → deactivate
+            state.update(false)
+            Iterator.single(EffStatus(key,
+              new java.sql.Timestamp(state.getCurrentWatermarkMs()), "SYSTEM",
+              is_active = false))
+          } else {
+            val events = rows.toSeq
+            val first = events.minBy(_.getAs[java.sql.Timestamp](ldts).getTime)
+            val maxTs = events.map(_.getAs[java.sql.Timestamp](ldts).getTime).max
+            val wasActive = state.getOption.contains(true)
+            state.update(true)
+            state.setTimeoutTimestamp(maxTs + stepMs)
+            if (wasActive) Iterator.empty
+            else Iterator.single(EffStatus(key,
+              first.getAs[java.sql.Timestamp](ldts),
+              first.getAs[String](rsrc), is_active = true))
+          }
+        })(Encoders.scalaBoolean, Encoders.product[EffStatus])
+      .toDF()
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming form of the events_windowed batch query. Append mode emits a
     * window only once the watermark passes its end: late events inside the

@@ -108,6 +108,43 @@ class StreamingSpec extends SparkSpec {
     store.drop("sat_st")
   }
 
+  test("stateful eff-sat: activation once, deactivation via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(String, String)]
+    val staged = input.toDF().toDF("bk", "ldts_s")
+      .withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+      .withColumn("rsrc", lit("STREAM"))
+      .withWatermark("ldts", "0 seconds")
+
+    val statuses = StreamingLoaders.effSatStateful(staged, "bk", inactivity = "1 hour")
+    val query = statuses.writeStream
+      .format("memory").queryName("eff_status").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    // k1 and k2 appear; k1 again (no duplicate activation)
+    input.addData(("k1", "2024-01-01 10:00:00"), ("k2", "2024-01-01 10:10:00"))
+    query.processAllAvailable()
+    input.addData(("k1", "2024-01-01 10:30:00"))
+    query.processAllAvailable()
+    val afterActivation = spark.sql("SELECT hk, is_active FROM eff_status").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(afterActivation == Set(("k1", true), ("k2", true)))
+
+    // k1 keeps flowing, k2 goes silent: watermark moves past k2's timeout
+    // (10:10 + 1h) → SYSTEM deactivation for k2 only
+    input.addData(("k1", "2024-01-01 12:30:00"))
+    query.processAllAvailable()
+    input.addData(("k1", "2024-01-01 12:40:00")) // extra batch to fire timeouts
+    query.processAllAvailable()
+    query.stop()
+    val deact = spark.sql("SELECT hk, rsrc FROM eff_status WHERE NOT is_active").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(deact == Set(("k2", "SYSTEM")))
+  }
+
   test("watermarked windowed event counts emit finalized windows only") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
