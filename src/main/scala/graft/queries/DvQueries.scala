@@ -1422,6 +1422,68 @@ object DvQueries {
               |  TRUE AS stable_under_evolution
               |FROM customer""".stripMargin)),
 
+    // S7 driver-verified — copy-on-write partition-pruned MERGE: replace
+    // matched keys, insert new ones, touching only the partitions the delta
+    // occupies; the returned table IS the post-merge state, oracle-checked.
+    Q("merge_partitioned",
+      (s, dir) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_q_merge").toString
+        val store = new graft.runtime.TableStore(s, wh)
+        val base = rd(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderkey") % 4).cast("long").as("pday"))
+        store.overwritePartitioned("t", base, "pday")
+        // UPDATE every %10 key, INSERT a shifted copy of every %1000 key —
+        // pday is a stable function of the key (the pruned-MERGE contract)
+        val delta = base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+          .unionByName(
+            base.filter(col("o_orderkey") % 1000 === 0)
+              .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice"),
+                ((col("o_orderkey") + 10000000L) % 4).cast("long").as("pday")))
+        store.mergePartitioned("t", "pday", delta, Seq("o_orderkey"))
+        store.read("t").select(col("o_orderkey"), col("o_totalprice"),
+          col("pday").cast("long").as("pday"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 10.0
+             |       ELSE o_totalprice END AS o_totalprice,
+             |  o_orderkey % 4 AS pday
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 10000000, o_totalprice, (o_orderkey + 10000000) % 4
+             |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin)),
+
+    // S7/S9 driver-verified — whole-vault rehash MD5 → SHA256: hub map
+    // built, hub rewritten, satellite re-keyed via the map with its
+    // hashdiff recomputed under the new algorithm; the returned satellite
+    // is the post-rehash state, oracle-checked against directly-computed
+    // SHA256 hashes.
+    Q("rehash_vault",
+      (s, dir) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_q_rehash").toString
+        val store = new graft.runtime.TableStore(s, wh)
+        val sha = HashConfig(algorithm = "SHA256")
+        val c = custStage(s, dir)
+        store.overwrite("customer_h",
+          c.select(col("hk_customer_h"), col("c_custkey"), col(LdtsAlias), col(RsrcAlias)))
+        store.overwrite("customer_s",
+          c.withColumn("hd_customer_s",
+              Hashing.hashdiff(Seq(col("c_name"), col("c_acctbal"))))
+            .select(col("hk_customer_h"), col("hd_customer_s"), col(LdtsAlias),
+              col(RsrcAlias), col("c_name"), col("c_acctbal")))
+        graft.runtime.Rehasher.rehashAll(store,
+          hubs = Seq(graft.runtime.Rehasher.HubRehash("customer_h", "hk_customer_h", Seq("c_custkey"))),
+          links = Nil,
+          sats = Seq(graft.runtime.Rehasher.SatRehash("customer_s", "hk_customer_h",
+            Some("hd_customer_s"), Seq("c_name", "c_acctbal"), "customer_h")),
+          oldCfg = hc, newCfg = sha)
+        store.read("customer_s").select("hk_customer_h", "hd_customer_s", "c_name", "c_acctbal")
+      },
+      Some(s"""SELECT ${O.hashkeySha256("c_custkey")} AS hk_customer_h,
+              |  ${O.hashdiffSha256("c_name", "c_acctbal")} AS hd_customer_s,
+              |  c_name, c_acctbal
+              |FROM customer""".stripMargin)),
+
     // include_source_columns=false (stage.sql:109-155,610-612): only the
     // ADDED columns — system ldts/rsrc, missing, prejoined, derived, hashed —
     // survive the final projection; every source-originated input is dropped.

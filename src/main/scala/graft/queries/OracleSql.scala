@@ -36,6 +36,16 @@ object OracleSql {
   def hashdiffRtrim(cols: String*): String =
     s"coalesce(lower(md5(rtrim(${concatStd(cols, caseSensitive = true)}, '^|'))), '$ZeroKey')"
 
+  /** SHA256 variants (rehash-target algorithm; zero key = 64 zeros,
+    * `hash_default_values.sql:242-259`) */
+  val ZeroKeySha256: String = "!" + "0" * 64
+
+  def hashkeySha256(cols: String*): String =
+    s"coalesce(lower(sha256(${concatStd(cols, caseSensitive = false)})), '$ZeroKeySha256')"
+
+  def hashdiffSha256(cols: String*): String =
+    s"coalesce(lower(sha256(${concatStd(cols, caseSensitive = true)})), '$ZeroKeySha256')"
+
   /** aggregate expression: ordered LISTAGG + hash (H5). Ordering matches the
     * Spark implementation AND the reference's LISTAGG ... WITHIN GROUP
     * (ORDER BY ma_keys): native-typed ma keys, standardized row as tiebreak. */
