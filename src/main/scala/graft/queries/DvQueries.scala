@@ -1484,6 +1484,22 @@ object DvQueries {
               |  c_name, c_acctbal
               |FROM customer""".stripMargin)),
 
+    // S9 driver-verified — DDL lifecycle (rehash_single_hub.sql:17-26,51-69):
+    // add a typed column, rename, drop, returning the post-DDL table state.
+    Q("ddl_lifecycle",
+      (s, dir) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_q_ddl").toString
+        val store = new graft.runtime.TableStore(s, wh)
+        store.overwrite("t", rd(s, dir, "nation"))
+        graft.runtime.Rehasher.addColumn(store, "t", "n_comment_v2", "string")
+        graft.runtime.Rehasher.renameColumn(store, "t", "n_name", "nation_name")
+        graft.runtime.Rehasher.dropColumns(store, "t", "n_regionkey", "n_comment")
+        store.read("t")
+      },
+      Some("""SELECT n_nationkey, n_name AS nation_name,
+             |  cast(NULL AS varchar) AS n_comment_v2
+             |FROM nation""".stripMargin)),
+
     // include_source_columns=false (stage.sql:109-155,610-612): only the
     // ADDED columns — system ldts/rsrc, missing, prejoined, derived, hashed —
     // survive the final projection; every source-originated input is dropped.
