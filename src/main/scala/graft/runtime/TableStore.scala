@@ -65,15 +65,13 @@ final class TableStore(val spark: SparkSession, val baseDir: String) {
   }
 
   /** S7/S8 emulation without a transactional format: read-modify-overwrite.
-    * (With Delta/Iceberg on a cluster this is MERGE/DELETE.) */
+    * (With Delta/Iceberg on a cluster this is MERGE/DELETE.)
+    * The transformed result streams straight into a sibling tmp directory —
+    * the source files stay intact until the write commits, so no cache /
+    * pre-materialization pass is needed; the swap is the commit point. */
   def rewrite(name: String)(f: DataFrame => DataFrame): Unit = {
-    val cur = read(name).cache()
-    val next = f(cur).cache()
-    next.count() // force materialization before the overwrite clobbers input
     val tmp = pathOf(name) + "__rewrite_tmp"
-    next.write.mode("overwrite").parquet(tmp)
-    cur.unpersist()
-    next.unpersist()
+    f(read(name)).write.mode("overwrite").parquet(tmp)
     drop(name)
     Files.move(Paths.get(tmp), Paths.get(pathOf(name)))
   }
