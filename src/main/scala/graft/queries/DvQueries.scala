@@ -976,6 +976,7 @@ object DvQueries {
           .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey"))))
         val target = EffSatLoader.records(src(4, "2024-07-01 00:00:00"), "hk_customer_h",
           target = None)
+          .localCheckpoint() // the materialized table an incremental load reads
         val delta = src(3, "2024-07-02 00:00:00").unionByName(src(5, "2024-07-03 00:00:00"))
         EffSatLoader.records(delta, "hk_customer_h", target = Some(target))
       },
