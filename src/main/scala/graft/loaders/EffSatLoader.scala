@@ -61,15 +61,8 @@ object EffSatLoader {
             additionalColumns.map(c => col(s"__src_$c").as(c)) ++ Seq(col(LdtsAlias),
             coalesce(col("__src_rsrc"), lit(UnknownRsrc)).as(RsrcAlias),
             when(col("__src_hk").isNull, 0).otherwise(1).as(isActiveAlias))): _*)
-        // deduplicated_incoming (:146-163): status changes only.
-        // Incremental runs consume this frame THREE times (the min-ldts
-        // probe below is its own job, then the filtered and disappeared
-        // branches of the final plan) — persist so the history matrix +
-        // change-dedup window run once, spilling to disk if large.
-        val changes = Ops.dedupChanges(isActive, hashkey, isActiveAlias)
-        if (incremental)
-          changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else changes
+        // deduplicated_incoming (:146-163): status changes only
+        Ops.dedupChanges(isActive, hashkey, isActiveAlias)
       } else {
         // new_hashkeys (:174-199): activate keys not currently active
         val newKeys = src.select((Seq(col(hashkey)) ++ additionalColumns.map(col) ++
@@ -86,14 +79,18 @@ object EffSatLoader {
       case None => incoming
       case Some(cs) =>
         // disappeared_hashkeys (:208-264): active keys absent from this delta
-        val pool = if (!singleBatch) incoming else src
-        val minRow = pool.agg(min(col(LdtsAlias))).head()
+        // min-ldts probe runs on SRC, not the history matrix: the key with
+        // the globally earliest ldts always keeps its first matrix slot
+        // through the change-dedup (a first row per key is never dropped),
+        // so min(incoming.ldts) == min(src.ldts) — and the probe job then
+        // scans only the delta instead of computing the matrix + window
+        val minRow = src.agg(min(col(LdtsAlias))).head()
         val activeNow = cs.filter(col(isActiveAlias).cast("int") === 1).select(hashkey)
         val disappeared =
           if (minRow.isNullAt(0)) incoming.limit(0)
           else {
             val present =
-              if (!singleBatch) pool.filter(col(LdtsAlias) === lit(minRow.getTimestamp(0))).select(hashkey)
+              if (!singleBatch) incoming.filter(col(LdtsAlias) === lit(minRow.getTimestamp(0))).select(hashkey)
               else src.select(hashkey)
             // disappeared rows carry NULL additional columns (:215-217)
             activeNow.join(present, Seq(hashkey), "left_anti")

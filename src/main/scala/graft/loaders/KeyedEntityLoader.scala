@@ -31,6 +31,11 @@ object KeyedEntityLoader {
     * @param keyAliases    target-side names for the positional key columns
     * @param dedupKeys     the identity used for W1 dedup + anti-join
     */
+  /** @param multiSourceHwm apply the global HWM to every source of a
+    *   multi-source load (default; assumes ldts is the batch load
+    *   timestamp shared by all sources). `false` restores the reference's
+    *   exact guard (`hub.sql:173-179`: HWM only when a single source) —
+    *   use it when a source can lag or backfill behind the others. */
   def records(
       sources: Seq[EntitySource],
       hashkeyAlias: Option[String],
@@ -39,7 +44,8 @@ object KeyedEntityLoader {
       disableHwm: Boolean = false,
       unionDistinct: Boolean = false,
       payloadAliases: Seq[String] = Nil,
-      dedupEarliest: Boolean = true): DataFrame = {
+      dedupEarliest: Boolean = true,
+      multiSourceHwm: Boolean = true): DataFrame = {
 
     val dedupKeys = hashkeyAlias.map(Seq(_)).getOrElse(keyAliases)
 
@@ -58,15 +64,15 @@ object KeyedEntityLoader {
           // of their patterns yet) load fully (reference hub.sql:53-98 COUNT probe)
           val included = !t.filter(rs.map(col(RsrcAlias).like).reduce(_ || _)).isEmpty
           if (included) Ops.hwmPerRsrcStatic(proj, t, rs) else proj
-        case (Some(t), _) =>
+        case (Some(t), _) if sources.size == 1 || multiSourceHwm =>
           // P6 — global HWM applied to EVERY source, not only single-source
           // loads (the reference guards on `source_models | length == 1`,
           // hub.sql:173-179, and full-scans every source otherwise — at
-          // 100 TB that re-scan dominates the load). Safe because ldts is
-          // the BATCH load timestamp (shared by all sources of a load, the
-          // same monotonicity the single-source HWM already assumes); a
-          // source with genuinely non-monotonic ldts opts out via
-          // disable_hwm, the reference's own escape hatch.
+          // 100 TB that re-scan dominates the load). Safe when ldts is the
+          // BATCH load timestamp (shared by all sources of a load, the same
+          // monotonicity the single-source HWM already assumes); a lagging
+          // or backfilling source opts out via multiSourceHwm=false
+          // (reference-exact guard) or disableHwm.
           Ops.hwmFilter(proj, Some(t))
         case _                  => proj
       }
@@ -85,16 +91,20 @@ object KeyedEntityLoader {
 object HubLoader {
   /** Reference `macros/tables/databricks/hub.sql`. */
   def records(sources: Seq[EntitySource], hashkey: String, businessKeys: Seq[String],
-              target: Option[DataFrame], disableHwm: Boolean = false): DataFrame =
-    KeyedEntityLoader.records(sources, Some(hashkey), businessKeys, target, disableHwm)
+              target: Option[DataFrame], disableHwm: Boolean = false,
+              multiSourceHwm: Boolean = true): DataFrame =
+    KeyedEntityLoader.records(sources, Some(hashkey), businessKeys, target, disableHwm,
+      multiSourceHwm = multiSourceHwm)
 }
 
 object LinkLoader {
   /** Reference `macros/tables/databricks/link.sql` — identical shape to hub
     * with FK hashkeys in place of business keys. */
   def records(sources: Seq[EntitySource], linkHashkey: String, fkHashkeys: Seq[String],
-              target: Option[DataFrame], disableHwm: Boolean = false): DataFrame =
-    KeyedEntityLoader.records(sources, Some(linkHashkey), fkHashkeys, target, disableHwm)
+              target: Option[DataFrame], disableHwm: Boolean = false,
+              multiSourceHwm: Boolean = true): DataFrame =
+    KeyedEntityLoader.records(sources, Some(linkHashkey), fkHashkeys, target, disableHwm,
+      multiSourceHwm = multiSourceHwm)
 }
 
 object NhLinkLoader {

@@ -45,18 +45,25 @@ object PitLoader {
     }
 
     // snapshot_optimization (reference snowflake/pit.sql:29-70): on an
-    // incremental run, only snapshots that are BRAND-NEW in the PIT or sit
-    // at a satellite's global max ldts (the only ones new versions can
-    // still change) get rebuilt — O(changed snapshots × entities) instead
-    // of O(all snapshots × entities). Unlike the reference we KEEP the
-    // dimension-key anti-join below (restricted to the relevant snapshots),
-    // so an unchanged re-emitted slot can never insert a duplicate.
+    // incremental run, only snapshots that can still gain rows get rebuilt
+    // — O(changed snapshots × entities) instead of O(all snapshots ×
+    // entities). Relevant = brand-new in the PIT, OR at a satellite's
+    // global max ldts (new versions can still land there), OR holding
+    // fewer slots than there are tracked entities (a new entity appeared,
+    // or a cleaned/reactivated snapshot — a case the reference's two
+    // conditions MISS, leaving its slots permanently absent). Unlike the
+    // reference we also KEEP the dimension-key anti-join below (restricted
+    // to the relevant snapshots), so a re-emitted slot never duplicates.
+    // The relevant set is collected once — snapshot METADATA, same class
+    // as a partition listing — so the target is aggregated exactly once.
     val snapActive = (target, snapshotOptimization) match {
       case (Some(t), true) =>
+        val nEntities = trackedEntity.select(col(hashkey)).distinct().count()
         val maxCols = satellites.map(s =>
-          max(col(s"${LdtsAlias}_${s.name}")).as(s"__max_${s.name}"))
+          max(col(s"${LdtsAlias}_${s.name}")).as(s"__max_${s.name}")) :+
+          count(col("__t_one")).as("__cnt")
         val perSnap = snapActive0.join(
-            t.select((col(sdtsAlias) +:
+            t.select((col(sdtsAlias) +: lit(1).as("__t_one") +:
               satellites.map(s => col(s"${LdtsAlias}_${s.name}"))): _*),
             Seq(sdtsAlias), "left")
           .groupBy(col(sdtsAlias)).agg(maxCols.head, maxCols.tail: _*)
@@ -65,8 +72,11 @@ object PitLoader {
         val global = perSnap.agg(gCols.head, gCols.tail: _*)
         val relevant = satellites.map(s =>
           col(s"__max_${s.name}").isNull ||
-            col(s"__max_${s.name}") === col(s"__g_${s.name}")).reduce(_ || _)
-        perSnap.crossJoin(broadcast(global)).filter(relevant).select(col(sdtsAlias))
+            col(s"__max_${s.name}") === col(s"__g_${s.name}")).reduce(_ || _) ||
+          col("__cnt") < lit(nEntities)
+        val relevantSdts = perSnap.crossJoin(broadcast(global)).filter(relevant)
+          .select(col(sdtsAlias)).collect().map(_.get(0))
+        snapActive0.filter(col(sdtsAlias).isInCollection(relevantSdts.toSeq))
       case _ => snapActive0
     }
 

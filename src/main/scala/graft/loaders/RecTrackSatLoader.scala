@@ -12,30 +12,41 @@ import graft.ops.Ops
   */
 object RecTrackSatLoader {
 
-  /** @param sources (staged df, hk column, model name, optional rsrc_static) */
+  /** @param sources (staged df, hk column, model name, rsrc_static
+    *   patterns — empty keeps the real rsrc column; SEVERAL patterns emit
+    *   one row-set per pattern, each stamped with its pattern and
+    *   watermarked against it, like the reference's per-pattern UNION ALL
+    *   `rec_track_sat.sql:142-162`) */
   def records(
-      sources: Seq[(DataFrame, String, String, Option[String])],
+      sources: Seq[(DataFrame, String, String, Seq[String])],
       trackedHashkey: String,
       target: Option[DataFrame],
       stgAlias: String = "stg",
       disableHwm: Boolean = false): DataFrame = {
 
-    val perSource = sources.map { case (df, hkCol, modelName, rsrcStatic) =>
-      val base = df.select(
+    val perSource = sources.flatMap { case (df, hkCol, modelName, rsrcStatics) =>
+      def stamped(rsrc: org.apache.spark.sql.Column) = df.select(
         col(hkCol).as(trackedHashkey),
         col(LdtsAlias),
-        rsrcStatic.map(rs => lit(rs).cast("string")).getOrElse(col(RsrcAlias).cast("string")).as(RsrcAlias),
+        rsrc.cast("string").as(RsrcAlias),
         lit(modelName.toUpperCase).cast("string").as(stgAlias)
       ).distinct()
-      (target, rsrcStatic) match {
-        case _ if disableHwm => base
-        case (Some(t), Some(rs)) =>
-          val included = !t.filter(col(RsrcAlias).like(rs)).isEmpty
-          if (included) Ops.hwmPerRsrcStatic(base, t, Seq(rs)) else base
+      (target, rsrcStatics) match {
+        case _ if disableHwm =>
+          if (rsrcStatics.isEmpty) Seq(stamped(col(RsrcAlias)))
+          else rsrcStatics.map(rs => stamped(lit(rs)))
+        case (Some(t), rss) if rss.nonEmpty =>
+          val included = !t.filter(rss.map(col(RsrcAlias).like).reduce(_ || _)).isEmpty
+          rss.map { rs =>
+            val base = stamped(lit(rs))
+            if (included) Ops.hwmPerRsrcStatic(base, t, Seq(rs)) else base
+          }
         // global HWM for every source (not only single-source loads) — see
         // KeyedEntityLoader: ldts is the batch load timestamp
-        case (Some(t), None) => Ops.hwmFilter(base, Some(t))
-        case _ => base
+        case (Some(t), _) => Seq(Ops.hwmFilter(stamped(col(RsrcAlias)), Some(t)))
+        case _ =>
+          if (rsrcStatics.isEmpty) Seq(stamped(col(RsrcAlias)))
+          else rsrcStatics.map(rs => stamped(lit(rs)))
       }
     }
 

@@ -119,8 +119,13 @@ object ControlSnapV1Loader {
   /** Full reference semantics (`control_snap_v1.sql:80-232`): one OR-of-
     * intervals CASE per trigger config; with no config the single trigger
     * column reduces to `force_active`. Output schema mirrors the
-    * reference's `active_logic_combined` (is_latest + rolling-year flags
-    * included; `force_active` itself is folded in, not emitted). */
+    * reference's `active_logic_combined` — is_latest + rolling-year flags
+    * included, `force_active` not emitted. NOTE (reference-faithful): when
+    * log-logic configs ARE given, the trigger CASE ignores `force_active`
+    * entirely (`control_snap_v1.sql:100-148,196-202` — it participates
+    * only in the no-config branch), so a force-deactivated v0 row inside a
+    * configured window still triggers; deactivate via the v0 model or the
+    * PIT cleanup, not force_active, when log logic is on. */
   def buildMulti(snapV0: DataFrame, triggers: Seq[SnapshotTrigger],
                  sdtsAlias: String = SdtsAlias,
                  snapshotTriggerAlias: String = "is_active",

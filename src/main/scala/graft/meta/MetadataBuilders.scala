@@ -52,9 +52,9 @@ object MetadataBuilders {
         val sm = asMap(spec)
         HashColumnSpec(alias,
           strings(sm.getOrElse("columns", Nil)),
-          isHashdiff = sm.get("is_hashdiff").contains(true),
-          rtrimHashdiff = sm.get("use_rtrim").contains(true),
-          excludeColumns = sm.get("exclude_columns").contains(true))
+          isHashdiff = sm.get("is_hashdiff").exists(boolVal),
+          rtrimHashdiff = sm.get("use_rtrim").exists(boolVal),
+          excludeColumns = sm.get("exclude_columns").exists(boolVal))
     }
 
     val derived = asMap(m.getOrElse("derived_columns", null)).toSeq.map {
@@ -93,15 +93,24 @@ object MetadataBuilders {
       prejoins = prejoins,
       missingColumns = missing,
       multiActive = multiActive,
-      enableGhostRecords = !m.get("enable_ghost_records").contains(false),
-      includeSourceColumns = !m.get("include_source_columns").contains(false))
+      enableGhostRecords = boolDefaultTrue(m, "enable_ghost_records"),
+      includeSourceColumns = boolDefaultTrue(m, "include_source_columns"))
     StageLoader.build(resolve(sourceModel), cfg, isIncremental)
   }
 
-  private def bool(m: Map[String, Any], k: String): Boolean = m.get(k).exists {
+  /** YAML booleans survive quoting/casing as STRINGS ('FALSE', "True");
+    * every boolean-ish knob must parse them, not just bare true/false */
+  private def boolVal(v: Any): Boolean = v match {
     case b: Boolean => b
-    case s          => s.toString.equalsIgnoreCase("true")
+    case s          => s != null && s.toString.equalsIgnoreCase("true")
   }
+
+  private def bool(m: Map[String, Any], k: String): Boolean =
+    m.get(k).exists(boolVal)
+
+  /** true unless the key is present and explicitly false(-ish) */
+  private def boolDefaultTrue(m: Map[String, Any], k: String): Boolean =
+    m.get(k).forall(boolVal)
 
   /** The reference accepts `source_models` as a mapping name→config, a list
     * (of names or of configs carrying a `name` key), or one plain name
@@ -220,7 +229,7 @@ object MetadataBuilders {
     SatV1Loader.build(v0, keys,
       hashdiff = m.get("hashdiff").map(_.toString),
       addIsCurrentFlag = bool(m, "add_is_current_flag"),
-      includePayload = !m.get("include_payload").contains(false),
+      includePayload = boolDefaultTrue(m, "include_payload"),
       ledtsAlias = m.getOrElse("ledts_alias", graft.expr.SystemColumns.LedtsAlias).toString)
   }
 
@@ -284,8 +293,9 @@ object MetadataBuilders {
     val m = asMap(YamlLite.parse(yaml))
     val hashkey = m("tracked_hashkey").toString
     val sources = sourceModelEntries(m("source_models")).map { case (name, s) =>
+      // rsrc_static may be one pattern or a list (rec_track_sat.sql:142-162)
       (resolve(name), s.getOrElse("hk_column", hashkey).toString, name,
-        s.get("rsrc_static").map(_.toString))
+        strings(s.getOrElse("rsrc_static", Nil)))
     }
     RecTrackSatLoader.records(sources, hashkey, target,
       stgAlias = m.getOrElse("src_stg", "stg").toString,

@@ -418,8 +418,8 @@ object DvQueries {
           .withColumn(RsrcAlias, lit("TPC_H/Supplier"))
           .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("s_suppkey"))))
         RecTrackSatLoader.records(
-          Seq((c, "hk_customer_h", "stage_customer", Some("TPC_H/Customer/v1")),
-            (sup, "hk_customer_h", "stage_supplier", Some("TPC_H/Supplier/v1"))),
+          Seq((c, "hk_customer_h", "stage_customer", Seq("TPC_H/Customer/v1")),
+            (sup, "hk_customer_h", "stage_supplier", Seq("TPC_H/Supplier/v1"))),
           "hk_tracked", target = None)
       },
       Some(s"""WITH c AS (
@@ -443,11 +443,11 @@ object DvQueries {
       (s, dir) => {
         val c = custStage(s, dir)
         val full = RecTrackSatLoader.records(
-          Seq((c, "hk_customer_h", "stage_customer", Some("TPC_H/Customer/v1"))),
+          Seq((c, "hk_customer_h", "stage_customer", Seq("TPC_H/Customer/v1"))),
           "hk_tracked", target = None)
         val target = full.filter(col(LdtsAlias) <= to_timestamp(lit("2024-01-02 00:00:00")))
         RecTrackSatLoader.records(
-          Seq((c, "hk_customer_h", "stage_customer", Some("TPC_H/Customer/v1"))),
+          Seq((c, "hk_customer_h", "stage_customer", Seq("TPC_H/Customer/v1"))),
           "hk_tracked", target = Some(target), disableHwm = true)
       },
       Some(s"""WITH c AS (
@@ -459,6 +459,26 @@ object DvQueries {
               |SELECT c.* FROM c WHERE NOT EXISTS (
               |  SELECT 1 FROM target t
               |  WHERE t.hk_tracked = c.hk_tracked AND t.ldts = c.ldts AND t.rsrc = c.rsrc)""".stripMargin)),
+
+    // rec-track with a LIST of rsrc_static patterns: one stamped row-set
+    // per pattern, each with its own watermark (rec_track_sat.sql:142-162)
+    Q("rec_track_multi_pattern",
+      (s, dir) => {
+        val c = custStage(s, dir)
+        RecTrackSatLoader.records(
+          Seq((c, "hk_customer_h", "stage_customer",
+            Seq("TPC_H/Customer/A%", "TPC_H/Customer/B%"))),
+          "hk_tracked", target = None)
+      },
+      Some(s"""SELECT DISTINCT ${O.hashkey("c_custkey")} AS hk_tracked,
+              |  timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
+              |  'TPC_H/Customer/A%' AS rsrc, 'STAGE_CUSTOMER' AS stg
+              |FROM customer
+              |UNION ALL
+              |SELECT DISTINCT ${O.hashkey("c_custkey")},
+              |  timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY,
+              |  'TPC_H/Customer/B%', 'STAGE_CUSTOMER'
+              |FROM customer""".stripMargin)),
 
     // ref hub: earliest row per ref-key combination
     Q("ref_hub_nation",

@@ -40,13 +40,25 @@ object TextQueries {
     * the shingle+signature pass is the dominant cost of the near-dup
     * pipeline, and the production shape stores candidates as a table all
     * verifies join — recomputing it per verify would multiply the dominant
-    * cost 4×. Keyed by (session, dir); persisted MEMORY_AND_DISK so a
-    * too-big candidate set spills instead of recomputing. */
-  private val candCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    * cost 4×. Persisted MEMORY_AND_DISK so a too-big candidate set spills
+    * instead of recomputing.
+    *
+    * Cached in a WeakHashMap keyed by the SESSION OBJECT: a stopped
+    * session's entries (and their pinned persisted frames) become
+    * collectable with it, and a new session can never alias a dead one's
+    * cache (an identity-hash key could). */
+  private val sessionCaches =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
+  private def cachedPerSession(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = sessionCaches.synchronized {
+    val m = sessionCaches.computeIfAbsent(s,
+      _ => scala.collection.mutable.Map.empty[String, DataFrame])
+    m.getOrElseUpdate(key, build)
+  }
 
   private def lshCandidates(s: SparkSession, dir: String): DataFrame =
-    candCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    cachedPerSession(s, s"cands:$dir")(
       buildLshCandidates(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -54,11 +66,8 @@ object TextQueries {
     * min-label propagation, O(component diameter) rounds, lineage truncated
     * per round). Memoized like the candidates: clustering and
     * representative-selection both consume the same labels. */
-  private val labelCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    labelCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    cachedPerSession(s, s"labels:$dir") {
       val pairs = lshCandidates(s, dir)
       val edges0 = pairs.select(col("doc_id").as("a"), col("doc_id_2").as("b"))
         .unionAll(pairs.select(col("doc_id_2").as("a"), col("doc_id").as("b")))
@@ -99,7 +108,7 @@ object TextQueries {
       require(converged, s"dedup_clusters: min-label propagation did not " +
         s"converge within $maxRounds rounds (component diameter too large)")
       labels
-    })
+    }
 
   private def buildLshCandidates(s: SparkSession, dir: String): DataFrame = {
     val nHashes = 8

@@ -142,14 +142,21 @@ object StreamingLoaders {
                      ldts: String = "ldts", rsrc: String = "rsrc"): DataFrame = {
     val inactivityMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(inactivity))
+    require(inactivityMs.months == 0,
+      s"effSatStateful: month/year-denominated inactivity ('$inactivity') has no " +
+        "fixed millisecond length — use day/hour/minute units")
     val stepMs = inactivityMs.days.toLong * 86400000L + inactivityMs.microseconds / 1000L
+    require(stepMs > 0, s"effSatStateful: inactivity '$inactivity' must be positive")
     staged
       .groupByKey((r: Row) => r.getAs[String](hashkey))(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[Row], state: GroupState[Boolean]) => {
           if (state.hasTimedOut) {
-            // no event for `inactivity` past the watermark → deactivate
-            state.update(false)
+            // no event for `inactivity` past the watermark → deactivate.
+            // REMOVE the state rather than storing false: absent state
+            // already means inactive (reappearance re-activates), and kept
+            // entries would grow the state store unboundedly on churny keys
+            state.remove()
             Iterator.single(EffStatus(key,
               new java.sql.Timestamp(state.getCurrentWatermarkMs()), "SYSTEM",
               is_active = false))

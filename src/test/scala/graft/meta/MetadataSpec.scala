@@ -232,7 +232,7 @@ class MetadataSpec extends SparkSpec {
           |    hk_column: hk_a
           |    rsrc_static: 'SRC/%'
           |""".stripMargin, resolve, None),
-      RecTrackSatLoader.records(Seq((staged, "hk_a", "staged", Some("SRC/%"))),
+      RecTrackSatLoader.records(Seq((staged, "hk_a", "staged", Seq("SRC/%"))),
         "hk_t", None))
   }
 
