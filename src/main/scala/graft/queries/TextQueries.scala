@@ -515,6 +515,86 @@ object TextQueries {
       Some("""SELECT doc_id, cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |  lower(substr(hex(encode(text)), 1, 16)) AS header_hex,
              |  substr(text, 1, 4) AS decoded_preview
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // within-document repetition (the Gopher-style quality rule): the
+    // fraction of repeated words / word-bigrams. A pure per-row projection
+    // (array_distinct over an in-row array) — zero shuffles, codegen'd,
+    // trivially 100 TB-parallel.
+    Q("repetition_score",
+      (s, dir) => {
+        val words = split(col("text"), "\\s+")
+        docs(s, dir)
+          .select(col("doc_id"), words.as("words"))
+          .withColumn("bigrams", expr(
+            "CASE WHEN size(words) < 2 THEN array() " +
+              "ELSE transform(sequence(1, size(words) - 1), " +
+              "i -> concat_ws(' ', slice(words, i, 2))) END"))
+          .select(col("doc_id"),
+            size(col("words")).cast("long").as("n_words"),
+            (lit(1.0) - size(array_distinct(col("words"))).cast("double") /
+              size(col("words"))).as("dup_word_frac"),
+            when(size(col("bigrams")) === 0, lit(0.0)).otherwise(
+              lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+                size(col("bigrams"))).as("dup_bigram_frac"))
+          .withColumn("keep", col("dup_bigram_frac") <= 0.2)
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents),
+             |g AS (
+             |  SELECT doc_id, words,
+             |    CASE WHEN len(words) < 2 THEN [] ELSE
+             |      list_transform(range(1, len(words)), i -> array_to_string(words[i:i+1], ' '))
+             |    END AS bigrams
+             |  FROM w)
+             |SELECT doc_id, cast(len(words) AS BIGINT) AS n_words,
+             |  1.0 - len(list_distinct(words)) / cast(len(words) AS double) AS dup_word_frac,
+             |  CASE WHEN len(bigrams) = 0 THEN 0.0 ELSE
+             |    1.0 - len(list_distinct(bigrams)) / cast(len(bigrams) AS double)
+             |  END AS dup_bigram_frac,
+             |  (CASE WHEN len(bigrams) = 0 THEN 0.0 ELSE
+             |    1.0 - len(list_distinct(bigrams)) / cast(len(bigrams) AS double)
+             |  END) <= 0.2 AS keep
+             |FROM g""".stripMargin)),
+
+    // benchmark-contamination check (the decontamination step of a training
+    // pipeline): per corpus document, how many of its distinct word-5-grams
+    // appear in a held-out benchmark set (here: every 50th doc). The
+    // benchmark gram set is SMALL by construction → broadcast; the corpus
+    // side streams through one explode + one broadcast left join + one
+    // partial-aggregating groupBy — no corpus-sized shuffle of raw text,
+    // the only shape that survives 100 TB.
+    Q("contamination_check",
+      (s, dir) => {
+        val words = split(col("text"), "\\s+")
+        val grams = docs(s, dir)
+          .select(col("doc_id"), words.as("words"))
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "CASE WHEN size(words) < 5 THEN array() " +
+              "ELSE transform(sequence(1, size(words) - 4), " +
+              "i -> concat_ws(' ', slice(words, i, 5))) END"))).as("gram"))
+        val bench = grams.filter(col("doc_id") % 50 === 0)
+          .select(col("gram")).distinct().withColumn("__hit", lit(1L))
+        grams.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(bench), Seq("gram"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_hit_grams"))
+          .withColumn("contaminated", col("n_hit_grams") * 10 >= col("n_grams"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents),
+             |g AS (
+             |  SELECT DISTINCT doc_id, u.gram
+             |  FROM w, UNNEST(CASE WHEN len(words) < 5 THEN [] ELSE
+             |    list_transform(range(1, len(words) - 3), i -> array_to_string(words[i:i+4], ' '))
+             |    END) AS u(gram)),
+             |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+             |SELECT g.doc_id, cast(count(*) AS BIGINT) AS n_grams,
+             |  cast(count(b.gram) AS BIGINT) AS n_hit_grams,
+             |  count(b.gram) * 10 >= count(*) AS contaminated
+             |FROM g LEFT JOIN bench b ON g.gram = b.gram
+             |WHERE g.doc_id % 50 != 0
+             |GROUP BY g.doc_id""".stripMargin))
   )
 }
