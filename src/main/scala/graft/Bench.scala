@@ -33,7 +33,12 @@ object Bench {
     // same JSON we print, so keep the warmup query small)
     run("stage_hash")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // local iteration: SPARK_GRAFT_ONLY=q1,q2 restricts the run (and
+    // SPARK_GRAFT_REPEAT=n repeats it); the driver sets neither
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val names = Seq.fill(repeat)(SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))).flatten
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -62,10 +62,13 @@ object TextQueries {
       buildLshCandidates(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Connected-component labels over the LSH candidate graph (iterative
-    * min-label propagation, O(component diameter) rounds, lineage truncated
-    * per round). Memoized like the candidates: clustering and
-    * representative-selection both consume the same labels. */
+  /** Connected-component labels over the LSH candidate graph: min-label
+    * propagation with PATH HALVING — each round also replaces a doc's label
+    * by its label's label (pointer jumping), so a length-d chain collapses
+    * in O(log d) rounds instead of O(d). Same fixpoint (the component's min
+    * doc_id), so the DuckDB transitive-closure oracles verify it unchanged.
+    * Memoized like the candidates: clustering and representative-selection
+    * both consume the same labels. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     cachedPerSession(s, s"labels:$dir") {
       val pairs = lshCandidates(s, dir)
@@ -93,12 +96,25 @@ object TextQueries {
         // (each doc occurs exactly once in `labels`, so min(__orig) is its
         // old label) — the convergence probe becomes a filter over the
         // already-checkpointed result instead of an extra shuffle join
-        val upd = labels.withColumn("__orig", col("cluster_id"))
+        val propagated = labels.withColumn("__orig", col("cluster_id"))
           .unionByName(nbr.withColumn("__orig",
             lit(null).cast(labels.schema("cluster_id").dataType)))
           .groupBy("doc_id")
           .agg(min("cluster_id").as("cluster_id"), min("__orig").as("__prev"))
-          .localCheckpoint() // truncate lineage each round
+          .localCheckpoint() // materialized once: the halving self-join reads it twice
+        // path halving: label := label(label). cluster_id always names a
+        // node of the SAME component (it arrived via an edge walk), and
+        // that node's label is ≤ it — so the lookup can only move the label
+        // down within the component, preserving both invariants while
+        // collapsing label chains exponentially.
+        val short = propagated.alias("p")
+          .join(propagated.select(col("doc_id").as("__s_doc"),
+            col("cluster_id").as("__s_cid")).alias("s"),
+            col("p.cluster_id") === col("__s_doc"), "left")
+          .select(col("p.doc_id").as("doc_id"),
+            coalesce(col("__s_cid"), col("p.cluster_id")).as("cluster_id"),
+            col("p.__prev").as("__prev"))
+        val upd = short.localCheckpoint() // truncate lineage each round
         converged = upd.filter(col("cluster_id") =!= col("__prev")).isEmpty
         labels = upd.drop("__prev")
         i += 1
