@@ -1474,6 +1474,38 @@ object DvQueries {
              |SELECT o_orderkey + 10000000, o_totalprice, (o_orderkey + 10000000) % 4
              |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin)),
 
+    // S7 driver-verified on the TRANSACTIONAL log-table format: appends
+    // build versions, a file-pruned atomic MERGE replaces matched keys and
+    // inserts new ones, and the pre-merge snapshot stays readable (read
+    // BEFORE the merge, unioned in afterwards — snapshot isolation is part
+    // of the oracle-checked result, not just a unit test).
+    Q("txlog_merge",
+      (s, dir) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_q_txlog").toString
+        val t = new graft.runtime.TxLogTable(s, wh)
+        val base = rd(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        t.append("t", base.filter(col("o_orderkey") % 2 === 0))
+        t.append("t", base.filter(col("o_orderkey") % 2 =!= 0))
+        val preMerge = t.read("t") // snapshot resolved at v2
+        val delta = base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+          .unionByName(base.filter(col("o_orderkey") % 1000 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice")))
+        t.merge("t", delta, Seq("o_orderkey"))
+        t.read("t").withColumn("snapshot", lit("merged"))
+          .unionByName(preMerge.withColumn("snapshot", lit("pre_merge")))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 10.0
+             |       ELSE o_totalprice END AS o_totalprice,
+             |  'merged' AS snapshot
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 10000000, o_totalprice, 'merged'
+             |FROM orders WHERE o_orderkey % 1000 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, 'pre_merge' FROM orders""".stripMargin)),
+
     // S7/S9 driver-verified — whole-vault rehash MD5 → SHA256: hub map
     // built, hub rewritten, satellite re-keyed via the map with its
     // hashdiff recomputed under the new algorithm; the returned satellite

@@ -1,0 +1,149 @@
+package graft.runtime
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class TxLogTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): (TxLogTable, String) = {
+    val dir = Files.createTempDirectory("txlog").toString
+    (new TxLogTable(spark, dir), dir)
+  }
+
+  test("append then read: versions accumulate, contents union") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append("tbl", Seq((3, "c")).toDF("id", "v"))
+    assert(t.currentVersion("tbl").contains(2L))
+    assert(t.read("tbl").as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("snapshot isolation: a reader resolved before an overwrite keeps its rows") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1, "old")).toDF("id", "v"))
+    val before = t.read("tbl") // resolves v1's file list now
+    t.overwrite("tbl", Seq((1, "new")).toDF("id", "v"))
+    assert(t.read("tbl").as[(Int, String)].collect().toSet === Set((1, "new")))
+    assert(before.as[(Int, String)].collect().toSet === Set((1, "old")),
+      "pre-overwrite DataFrame must still see its snapshot")
+  }
+
+  test("time travel reads any retained version") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq(1).toDF("id"))
+    t.append("tbl", Seq(2).toDF("id"))
+    t.overwrite("tbl", Seq(9).toDF("id"))
+    assert(t.readVersion("tbl", 1).as[Int].collect().toSet === Set(1))
+    assert(t.readVersion("tbl", 2).as[Int].collect().toSet === Set(1, 2))
+    assert(t.readVersion("tbl", 3).as[Int].collect().toSet === Set(9))
+  }
+
+  test("optimistic concurrency: stale overwrite aborts loudly") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq(1).toDF("id"))
+    val derivedFrom = t.currentVersion("tbl").get
+    t.append("tbl", Seq(2).toDF("id")) // concurrent writer moves the head
+    val e = intercept[IllegalArgumentException] {
+      t.overwrite("tbl", Seq(99).toDF("id"), expectedVersion = Some(derivedFrom))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the concurrent append's result is intact
+    assert(t.read("tbl").as[Int].collect().toSet === Set(1, 2))
+  }
+
+  test("manifest CAS: a racing commit of the same version loses cleanly") {
+    val (t, dir) = freshStore()
+    t.append("tbl", Seq(1).toDF("id"))
+    // simulate the race: another writer publishes v2 out from under us…
+    t.append("tbl", Seq(2).toDF("id"))
+    // …then a retried append still lands (as v3) with nothing lost
+    t.append("tbl", Seq(3).toDF("id"))
+    assert(t.versions("tbl") === Seq(1L, 2L, 3L))
+    assert(t.read("tbl").as[Int].collect().toSet === Set(1, 2, 3))
+    // no stray tmp manifests survive
+    val logDir = Paths.get(dir, "tbl", "_log")
+    val s = Files.list(logDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(s.iterator().asScala.count(
+        _.getFileName.toString.startsWith(".tmp-")) === 0)
+    } finally s.close()
+  }
+
+  test("crash mid-commit: an orphaned tmp manifest is invisible") {
+    val (t, dir) = freshStore()
+    t.append("tbl", Seq(1).toDF("id"))
+    // a writer that died after staging but before the CAS
+    Files.write(Paths.get(dir, "tbl", "_log", ".tmp-dead"),
+      "d-bogus/part-0.parquet".getBytes("UTF-8"))
+    assert(t.versions("tbl") === Seq(1L))
+    assert(t.read("tbl").as[Int].collect().toSet === Set(1))
+  }
+
+  test("replaceFiles rewrites only touched files; untouched files survive by identity") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1, "a")).toDF("id", "v"))
+    t.append("tbl", Seq((2, "b")).toDF("id", "v"))
+    val v = t.currentVersion("tbl").get
+    val all = t.files("tbl", v)
+    val batch1 = all.filter(_.startsWith(t.files("tbl", 1).head.split("/")(0)))
+    t.replaceFiles("tbl", batch1)(df =>
+      df.withColumn("v", org.apache.spark.sql.functions.upper($"v")))
+    assert(t.read("tbl").as[(Int, String)].collect().toSet ===
+      Set((1, "A"), (2, "b")))
+    // the untouched file is the SAME path in the new manifest (no rewrite)
+    val untouched = all.filterNot(batch1.contains)
+    assert(untouched.forall(t.files("tbl", v + 1).contains))
+  }
+
+  test("replaceFiles over non-live files is rejected") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq(1).toDF("id"))
+    val e = intercept[IllegalArgumentException] {
+      t.replaceFiles("tbl", Seq("d-nope/part-0.parquet"))(identity)
+    }
+    assert(e.getMessage.contains("non-live"))
+  }
+
+  test("merge replaces matched rows, inserts new ones, and prunes untouched files") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append("tbl", Seq((3, "c"), (4, "d")).toDF("id", "v"))
+    val v = t.currentVersion("tbl").get
+    val batch2 = t.files("tbl", 2).filterNot(t.files("tbl", 1).contains)
+    // source matches only ids in batch 1 (1), plus a brand-new id (9)
+    t.merge("tbl", Seq((1, "A"), (9, "z")).toDF("id", "v"), Seq("id"))
+    assert(t.read("tbl").as[(Int, String)].collect().toSet ===
+      Set((1, "A"), (2, "b"), (3, "c"), (4, "d"), (9, "z")))
+    // batch-2 files held no matched keys — they carry over by identity
+    assert(batch2.forall(t.files("tbl", v + 1).contains),
+      "files without matched keys must not be rewritten")
+  }
+
+  test("merge into a table with no matched keys is a pure insert") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1, "a")).toDF("id", "v"))
+    val before = t.files("tbl", 1)
+    t.merge("tbl", Seq((2, "b")).toDF("id", "v"), Seq("id"))
+    assert(t.read("tbl").as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b")))
+    assert(before.forall(t.files("tbl", 2).contains))
+  }
+
+  test("vacuum drops expired versions and their unreferenced files, keeps the horizon") {
+    val (t, dir) = freshStore()
+    t.append("tbl", Seq(1).toDF("id"))
+    t.overwrite("tbl", Seq(2).toDF("id"))
+    t.overwrite("tbl", Seq(3).toDF("id"))
+    val v1Files = t.files("tbl", 1)
+    t.vacuum("tbl", retainVersions = 2)
+    assert(t.versions("tbl") === Seq(2L, 3L))
+    assert(v1Files.forall(f => !Files.exists(Paths.get(dir, "tbl", f))),
+      "v1's files are unreferenced by the retained horizon and must be gone")
+    assert(t.readVersion("tbl", 2).as[Int].collect().toSet === Set(2))
+    assert(t.read("tbl").as[Int].collect().toSet === Set(3))
+  }
+}
