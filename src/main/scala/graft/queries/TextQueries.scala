@@ -62,68 +62,18 @@ object TextQueries {
       buildLshCandidates(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Connected-component labels over the LSH candidate graph: min-label
-    * propagation with PATH HALVING — each round also replaces a doc's label
-    * by its label's label (pointer jumping), so a length-d chain collapses
-    * in O(log d) rounds instead of O(d). Same fixpoint (the component's min
-    * doc_id), so the DuckDB transitive-closure oracles verify it unchanged.
-    * Memoized like the candidates: clustering and representative-selection
-    * both consume the same labels. */
+  /** Connected-component labels over the LSH candidate graph
+    * ([[graft.ops.GraphOps.connectedComponents]]: min-label propagation
+    * with path halving, O(log diameter) rounds, loud on non-convergence).
+    * The fixpoint is the component's min doc_id, so the DuckDB
+    * transitive-closure oracles verify it unchanged. Memoized like the
+    * candidates: clustering and representative-selection both consume the
+    * same labels. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     cachedPerSession(s, s"labels:$dir") {
-      val pairs = lshCandidates(s, dir)
-      val edges0 = pairs.select(col("doc_id").as("a"), col("doc_id_2").as("b"))
-        .unionAll(pairs.select(col("doc_id_2").as("a"), col("doc_id").as("b")))
-        .localCheckpoint()
-      // right-size the loop's parallelism to the CANDIDATE graph: near-dup
-      // members are a small fraction of the corpus, and an every-round
-      // 32-partition shuffle over a few hundred edges is pure scheduler
-      // overhead — the same expression picks more partitions as the edge
-      // count grows (~500k edges per partition)
-      val nParts = math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
-        edges0.count() / 500000L)).toInt
-      val edges = edges0.repartition(nParts, col("a")).localCheckpoint()
-      var labels = edges.select(col("a").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id"))
-      var converged = false
-      var i = 0
-      val maxRounds = 50
-      while (!converged && i < maxRounds) {
-        val nbr = labels.withColumnRenamed("doc_id", "__l_doc")
-          .join(edges, col("__l_doc") === col("a"))
-          .select(col("b").as("doc_id"), col("cluster_id"))
-        // carry each doc's PREVIOUS label through the same aggregation
-        // (each doc occurs exactly once in `labels`, so min(__orig) is its
-        // old label) — the convergence probe becomes a filter over the
-        // already-checkpointed result instead of an extra shuffle join
-        val propagated = labels.withColumn("__orig", col("cluster_id"))
-          .unionByName(nbr.withColumn("__orig",
-            lit(null).cast(labels.schema("cluster_id").dataType)))
-          .groupBy("doc_id")
-          .agg(min("cluster_id").as("cluster_id"), min("__orig").as("__prev"))
-          .localCheckpoint() // materialized once: the halving self-join reads it twice
-        // path halving: label := label(label). cluster_id always names a
-        // node of the SAME component (it arrived via an edge walk), and
-        // that node's label is ≤ it — so the lookup can only move the label
-        // down within the component, preserving both invariants while
-        // collapsing label chains exponentially.
-        val short = propagated.alias("p")
-          .join(propagated.select(col("doc_id").as("__s_doc"),
-            col("cluster_id").as("__s_cid")).alias("s"),
-            col("p.cluster_id") === col("__s_doc"), "left")
-          .select(col("p.doc_id").as("doc_id"),
-            coalesce(col("__s_cid"), col("p.cluster_id")).as("cluster_id"),
-            col("p.__prev").as("__prev"))
-        val upd = short.localCheckpoint() // truncate lineage each round
-        converged = upd.filter(col("cluster_id") =!= col("__prev")).isEmpty
-        labels = upd.drop("__prev")
-        i += 1
-      }
-      // fail LOUDLY rather than emit partially-propagated labels that
-      // silently mismatch the oracle's full transitive closure
-      require(converged, s"dedup_clusters: min-label propagation did not " +
-        s"converge within $maxRounds rounds (component diameter too large)")
-      labels
+      graft.ops.GraphOps
+        .connectedComponents(lshCandidates(s, dir), "doc_id", "doc_id_2")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
     }
 
   private def buildLshCandidates(s: SparkSession, dir: String): DataFrame = {

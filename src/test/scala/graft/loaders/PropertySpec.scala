@@ -143,4 +143,34 @@ class PropertySpec extends SparkSpec {
       store.drop("t")
     }
   }
+
+  test("connectedComponents: path-halved labels equal union-find on random graphs") {
+    val r = new Random(4242)
+    for (iter <- 1 to 5) {
+      val n = 40 + r.nextInt(40)
+      // mix of sparse chains (long diameters — the case path halving is
+      // for) and random edges
+      val chain = (0 until n - 1).filter(_ => r.nextInt(3) > 0)
+        .map(i => (i.toLong, (i + 1).toLong))
+      val rand = (0 until n / 2).map(_ => (r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = (chain ++ rand).toDF("x", "y")
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(a: Int): Int = { var x = a; while (parent(x) != x) x = parent(x); x }
+      (chain ++ rand).foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = (chain ++ rand).flatMap(e => Seq(e._1, e._2)).toSet
+      val want = inGraph.map(v => v -> {
+        // component label = min node id: walk to the root, which IS the min
+        // because union always attaches the larger root under the smaller
+        find(v.toInt).toLong
+      }).toMap
+      val got = graft.ops.GraphOps.connectedComponents(pairs, "x", "y")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"iter $iter (n=$n, edges=${chain.size + rand.size})")
+    }
+  }
 }
