@@ -176,6 +176,22 @@ object StreamingLoaders {
       .toDF()
   }
 
+  /** Streaming exact deduplication — the continuous-ingest shape of the
+    * batch `dedup_exact` operator: one row survives per content
+    * fingerprint, duplicates arriving within the watermark horizon are
+    * dropped, and the fingerprint state is EVICTED once the watermark
+    * passes (`dropDuplicatesWithinWatermark`), so state stays bounded by
+    * the horizon instead of growing with the corpus. Exact-once dedup over
+    * an unbounded stream needs unbounded state by definition — the horizon
+    * is the production trade-off (re-ingested far-apart duplicates fall to
+    * the batch dedup pass downstream). */
+  def dedupExactStream(staged: DataFrame, textCol: String, tsCol: String,
+                       horizon: String = "1 hour"): DataFrame =
+    staged
+      .withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming form of the events_windowed batch query. Append mode emits a
     * window only once the watermark passes its end: late events inside the

@@ -172,4 +172,33 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows == Seq(("click", 2L), ("view", 1L)))
   }
+
+  test("streaming exact dedup: one survivor per content hash within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+    val deduped = StreamingLoaders.dedupExactStream(docs, "text", "ts", "1 hour")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    // same text arrives three times within the horizon, one distinct text
+    input.addData((1L, "2024-01-01 10:00:00", "same text"),
+      (2L, "2024-01-01 10:05:00", "same text"),
+      (3L, "2024-01-01 10:10:00", "other text"))
+    query.processAllAvailable()
+    // a second batch with yet another duplicate, still inside the horizon
+    input.addData((4L, "2024-01-01 10:20:00", "same text"))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.sql("SELECT doc_id, text FROM dedup_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "same text"), (3L, "other text")),
+      s"expected first-arrival survivors only, got $got")
+  }
 }
