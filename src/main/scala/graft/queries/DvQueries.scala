@@ -1506,6 +1506,29 @@ object DvQueries {
              |UNION ALL
              |SELECT o_orderkey, o_totalprice, 'pre_merge' FROM orders""".stripMargin)),
 
+    // S9 driver-verified on the transactional format — the same DDL
+    // lifecycle as ddl_lifecycle, but METADATA-ONLY: each ALTER commits a
+    // manifest with a remapped column header and zero data files touched
+    // (the O(1) property itself is asserted by TxLogTableSpec; this query
+    // oracle-checks the visible semantics, including the null-filled added
+    // column read through files that predate it).
+    Q("txlog_ddl",
+      (s, dir) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_q_txddl").toString
+        val t = new graft.runtime.TxLogTable(s, wh)
+        t.append("t", rd(s, dir, "nation"))
+        t.addColumn("t", "n_comment_v2", "string")
+        t.renameColumn("t", "n_name", "nation_name")
+        t.dropColumn("t", "n_regionkey")
+        // an append AFTER the DDL writes the evolved schema; pre-DDL files
+        // null-fill the added column through the mapping
+        t.append("t", t.read("t").limit(0)) // no-op append exercises the path
+        t.read("t")
+      },
+      Some("""SELECT n_nationkey, n_name AS nation_name,
+             |  cast(NULL AS varchar) AS n_comment_v2
+             |FROM nation""".stripMargin)),
+
     // S7/S9 driver-verified — whole-vault rehash MD5 → SHA256: hub map
     // built, hub rewritten, satellite re-keyed via the map with its
     // hashdiff recomputed under the new algorithm; the returned satellite

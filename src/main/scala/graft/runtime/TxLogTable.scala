@@ -6,16 +6,18 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** A minimal log-structured transactional table format over a Parquet
   * directory — the Spark-native answer to the reference's reliance on a
   * transactional warehouse (Databricks `MERGE INTO` / `ALTER TABLE` in
-  * `macros/rehashing/single_entities/databricks/rehash_single_hub.sql:84-111`)
+  * `macros/rehashing/single_entities/databricks/rehash_single_hub.sql:84-111,17-26`)
   * without requiring Delta/Iceberg jars.
   *
   * Layout:
   * {{{
-  *   <base>/<name>/_log/v00000001.manifest   # one line per live data file
+  *   <base>/<name>/_log/v00000001.manifest   # header: column mapping
+  *                                           # body: one line per live file
   *   <base>/<name>/d-<uuid>/part-*.parquet   # immutable data-file batches
   * }}}
   *
@@ -31,6 +33,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    version — one wins, the loser sees the CAS fail, re-reads the new
   *    state and retries (append) or aborts (overwrite of a stale snapshot).
   *  - **Time travel**: any retained version can be read back by number.
+  *  - **Metadata-only DDL**: add/rename/drop column commit a new manifest
+  *    and touch ZERO data files — logical names map to immutable physical
+  *    names (Delta's column mapping), files predating an added column
+  *    null-fill through the typed mapping.
   *  - **Vacuum**: unreferenced files are deleted only when older than the
   *    retained version horizon, so in-flight readers stay valid.
   *
@@ -39,10 +45,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class TxLogTable(val spark: SparkSession, val baseDir: String) {
 
+  import TxLogTable.ColMap
+
   def root(name: String): Path = Paths.get(baseDir, name)
   private def logDir(name: String): Path = root(name).resolve("_log")
 
   private val ManifestRe = raw"v(\d{8})\.manifest".r
+  private val ColHeader = "#col\t"
 
   /** committed versions, ascending (tmp/garbage ignored) */
   def versions(name: String): Seq[Long] = {
@@ -65,9 +74,25 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
   private def manifestPath(name: String, v: Long): Path =
     logDir(name).resolve(f"v$v%08d.manifest")
 
+  private def manifestLines(name: String, v: Long): Seq[String] =
+    Files.readAllLines(manifestPath(name, v)).asScala.toSeq.filter(_.nonEmpty)
+
   /** live data files of a version, relative to the table root */
   def files(name: String, v: Long): Seq[String] =
-    Files.readAllLines(manifestPath(name, v)).asScala.toSeq.filter(_.nonEmpty)
+    manifestLines(name, v).filterNot(_.startsWith("#"))
+
+  /** the version's logical→physical column mapping (empty: unmapped legacy
+    * manifest — raw parquet schema applies) */
+  def mapping(name: String, v: Long): Seq[ColMap] =
+    manifestLines(name, v).filter(_.startsWith(ColHeader)).map { l =>
+      // tab-separated: physical \t logical \t catalogString (type strings
+      // contain ':' and ',', so '\t' is the only safe delimiter)
+      val parts = l.stripPrefix(ColHeader).split('\t')
+      ColMap(parts(0), parts(1), parts(2))
+    }
+
+  private def render(cols: Seq[ColMap], fs: Seq[String]): Seq[String] =
+    cols.map(c => s"$ColHeader${c.physical}\t${c.logical}\t${c.typeDdl}") ++ fs
 
   /** Publish `lines` as version `v` of `name`. Returns false when `v` was
     * committed concurrently by another writer (CAS lost — re-read, retry). */
@@ -80,7 +105,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.delete(tmp); false
-      case e: UnsupportedOperationException =>
+      case _: UnsupportedOperationException =>
         // filesystem without hard links: fall back to create-new move (still
         // atomic-rename on POSIX; the exists-check narrows the race window)
         if (Files.exists(target)) { Files.delete(tmp); false }
@@ -92,15 +117,49 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
     }
   }
 
-  /** Write `df` as a new immutable data-file batch; returns relative paths. */
-  private def writeBatch(name: String, df: DataFrame): Seq[String] = {
+  /** identity mapping for a table born from `df`'s schema */
+  private def identityMapping(df: DataFrame): Seq[ColMap] =
+    df.schema.fields.toIndexedSeq.map(f =>
+      ColMap(f.name, f.name, f.dataType.catalogString))
+
+  /** Write `df` (LOGICAL names) as a new immutable data-file batch under
+    * the mapping's physical names; returns relative paths. */
+  private def writeBatch(name: String, df: DataFrame,
+                         cols: Seq[ColMap]): Seq[String] = {
+    val physical =
+      if (cols.isEmpty) df
+      else df.select(cols.map(c =>
+        col(c.logical).cast(c.typeDdl).as(c.physical)): _*)
     val batch = s"d-${UUID.randomUUID()}"
     val dir = root(name).resolve(batch)
-    df.write.mode("overwrite").parquet(dir.toString)
+    physical.write.mode("overwrite").parquet(dir.toString)
     val s = Files.list(dir)
     try s.iterator().asScala.map(_.getFileName.toString)
       .filter(_.endsWith(".parquet")).map(f => s"$batch/$f").toSeq
     finally s.close()
+  }
+
+  /** read `fs` through the mapping: files predating an added column
+    * null-fill (mergeSchema unions the physical schemas), renamed columns
+    * surface under their logical name */
+  private def readMapped(name: String, cols: Seq[ColMap],
+                         fs: Seq[String]): DataFrame = {
+    if (fs.isEmpty) {
+      require(cols.nonEmpty,
+        s"TxLogTable $name: empty unmapped table has no recoverable schema")
+      return spark.emptyDataFrame.select(cols.map(c =>
+        lit(null).cast(c.typeDdl).as(c.logical)): _*)
+    }
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(fs.map(f => root(name).resolve(f).toString): _*)
+    if (cols.isEmpty) raw
+    else {
+      val present = raw.columns.toSet
+      raw.select(cols.map { c =>
+        if (present(c.physical)) col(c.physical).cast(c.typeDdl).as(c.logical)
+        else lit(null).cast(c.typeDdl).as(c.logical)
+      }: _*)
+    }
   }
 
   /** read the current snapshot (resolves the manifest ONCE — concurrent
@@ -110,46 +169,52 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
       throw new IllegalStateException(s"TxLogTable $name does not exist")))
 
   /** time travel */
-  def readVersion(name: String, v: Long): DataFrame = {
-    val fs = files(name, v)
-    if (fs.isEmpty) { // empty table: schema is unrecoverable without files
-      throw new IllegalStateException(s"TxLogTable $name@$v holds no files")
-    } else spark.read.parquet(fs.map(f => root(name).resolve(f).toString): _*)
-  }
+  def readVersion(name: String, v: Long): DataFrame =
+    readMapped(name, mapping(name, v), files(name, v))
 
   /** S6 — incremental insert: appends never conflict semantically, so a
     * lost CAS re-reads the head and retries against it. */
   def append(name: String, df: DataFrame): Unit = {
-    val added = writeBatch(name, df)
     var done = false
+    var batch: Option[(Seq[ColMap], Seq[String])] = None
     while (!done) {
       val head = currentVersion(name)
+      val cols = head.map(mapping(name, _)).getOrElse(identityMapping(df))
+      val added = batch match {
+        // reuse the already-written batch on a lost CAS — unless the new
+        // head changed the mapping out from under us (DDL race): physical
+        // names could differ, so rewrite under the new mapping
+        case Some((c, fs)) if c == cols => fs
+        case _ => val fs = writeBatch(name, df, cols); batch = Some((cols, fs)); fs
+      }
       val base = head.map(files(name, _)).getOrElse(Seq.empty)
-      done = tryCommit(name, head.getOrElse(0L) + 1, base ++ added)
+      done = tryCommit(name, head.getOrElse(0L) + 1, render(cols, base ++ added))
     }
   }
 
-  /** S5 — table materialization / full refresh. `expectedVersion` (CAS
-    * guard) makes read-modify-overwrite safe: pass the version the new
-    * contents were derived from; a concurrent commit aborts loudly instead
-    * of silently clobbering it. */
+  /** S5 — table materialization / full refresh: the schema resets to `df`'s
+    * (a fresh identity mapping — prior DDL history does not constrain a
+    * full rebuild). `expectedVersion` (CAS guard) makes read-modify-
+    * overwrite safe: pass the version the new contents were derived from; a
+    * concurrent commit aborts loudly instead of silently clobbering it. */
   def overwrite(name: String, df: DataFrame,
                 expectedVersion: Option[Long] = None): Unit = {
-    val added = writeBatch(name, df)
+    val cols = identityMapping(df)
+    val added = writeBatch(name, df, cols)
     val head = currentVersion(name)
     expectedVersion.foreach { ev =>
       require(head.contains(ev) || (ev == 0L && head.isEmpty),
         s"TxLogTable $name: expected version $ev but head is $head — " +
           "concurrent commit detected, re-derive and retry")
     }
-    if (!tryCommit(name, head.getOrElse(0L) + 1, added))
+    if (!tryCommit(name, head.getOrElse(0L) + 1, render(cols, added)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on overwrite — re-derive and retry")
   }
 
   /** S7 — file-level MERGE, the primitive a row-level MERGE compiles to:
-    * `rewrite` maps the rows of the files it touches; files not in
-    * `touched` survive untouched. One version swaps (removed, added)
+    * `rewrite` maps the (logical) rows of the files it touches; files not
+    * in `touched` survive untouched. One version swaps (removed, added)
     * atomically; a concurrent commit aborts loudly (rewrites must re-derive
     * from the new head, same contract as Delta's conflict detection). */
   def replaceFiles(name: String, touched: Seq[String])
@@ -157,16 +222,15 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
     val live = files(name, v)
+    val cols = mapping(name, v)
     require(touched.forall(live.contains),
       s"TxLogTable $name: replaceFiles over non-live files " +
         s"${touched.filterNot(live.contains)}")
-    val added = if (touched.isEmpty) Seq.empty else {
-      val in = spark.read.parquet(
-        touched.map(f => root(name).resolve(f).toString): _*)
-      writeBatch(name, rewrite(in))
-    }
+    val added =
+      if (touched.isEmpty) Seq.empty
+      else writeBatch(name, rewrite(readMapped(name, cols, touched)), cols)
     val next = live.filterNot(touched.contains) ++ added
-    if (!tryCommit(name, v + 1, next))
+    if (!tryCommit(name, v + 1, render(cols, next)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on replaceFiles — " +
           "re-derive from the new head and retry")
@@ -183,28 +247,78 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
     * probe's collected output is file PATHS — metadata-scale, like a
     * partition listing. */
   def merge(name: String, source: DataFrame, keyCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.input_file_name
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
     val live = files(name, v)
+    val cols = mapping(name, v)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
-    val touchedAbs = readVersion(name, v)
+    val touchedAbs = readMapped(name, cols, live)
       .withColumn("__file", input_file_name())
       .join(srcKeys, keyCols, "left_semi")
       .select("__file").distinct().collect().map(_.getString(0))
     val touched = live.filter(f => touchedAbs.exists(_.endsWith("/" + f)))
-    val tableCols = readVersion(name, v).columns.toIndexedSeq
+    val tableCols = readMapped(name, cols, live).columns.toIndexedSeq
     val survivors =
       if (touched.isEmpty) source.select(tableCols.map(col): _*)
-      else spark.read.parquet(touched.map(f => root(name).resolve(f).toString): _*)
+      else readMapped(name, cols, touched)
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(source.select(tableCols.map(col): _*))
-    val added = writeBatch(name, survivors)
-    if (!tryCommit(name, v + 1, live.filterNot(touched.contains) ++ added))
+    val added = writeBatch(name, survivors, cols)
+    if (!tryCommit(name, v + 1, render(cols, live.filterNot(touched.contains) ++ added)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on merge — " +
           "re-derive from the new head and retry")
   }
+
+  // ---- S9: metadata-only DDL (rehash_single_hub.sql:17-26,51-69) ---------
+  // Each commits a new manifest and touches ZERO data files: logical names
+  // map onto immutable physical names, so a rename is a header edit, an
+  // added column null-fills older files through the typed mapping, and a
+  // dropped column's bytes become invisible (and reclaimable by a later
+  // rewrite). The reference needs warehouse ALTER TABLE for these — here
+  // they are O(1) regardless of table size.
+
+  private def alterMapping(name: String, op: String)
+                          (f: Seq[ColMap] => Seq[ColMap]): Unit = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    val cols = mapping(name, v)
+    require(cols.nonEmpty, s"TxLogTable $name: $op needs a mapped table " +
+      "(legacy unmapped manifest — overwrite once to initialize the mapping)")
+    if (!tryCommit(name, v + 1, render(f(cols), files(name, v))))
+      throw new IllegalStateException(
+        s"TxLogTable $name: lost commit race on $op — retry")
+  }
+
+  /** ALTER TABLE ADD COLUMN (typed NULL for all existing rows). The
+    * physical name is version-qualified so a dropped-then-readded logical
+    * name can never resurrect stale bytes from old files. */
+  def addColumn(name: String, colName: String, typeDdl: String): Unit =
+    alterMapping(name, "addColumn") { cols =>
+      require(!cols.exists(_.logical == colName),
+        s"TxLogTable $name: column $colName already exists")
+      val phys = s"${colName}__v${currentVersion(name).get + 1}"
+      cols :+ ColMap(phys, colName, typeDdl)
+    }
+
+  /** ALTER TABLE RENAME COLUMN — manifest-only. */
+  def renameColumn(name: String, from: String, to: String): Unit =
+    alterMapping(name, "renameColumn") { cols =>
+      require(cols.exists(_.logical == from),
+        s"TxLogTable $name: no column $from")
+      require(!cols.exists(_.logical == to),
+        s"TxLogTable $name: column $to already exists")
+      cols.map(c => if (c.logical == from) c.copy(logical = to) else c)
+    }
+
+  /** ALTER TABLE DROP COLUMN — manifest-only; bytes become invisible. */
+  def dropColumn(name: String, colName: String): Unit =
+    alterMapping(name, "dropColumn") { cols =>
+      require(cols.exists(_.logical == colName),
+        s"TxLogTable $name: no column $colName")
+      cols.filterNot(_.logical == colName)
+    }
 
   /** Drop versions older than the newest `retainVersions` and delete data
     * files no retained manifest references. Readers of retained versions
@@ -226,4 +340,14 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
       .foreach(d => try Files.delete(d) catch { case _: java.io.IOException => () })
     finally s.close()
   }
+}
+
+object TxLogTable {
+  /** One logical column of a table. `physical` is the IMMUTABLE name the
+    * column carries inside data files (Delta's column-mapping idea): a
+    * rename touches only the manifest, and a re-added name never collides
+    * with a dropped column's stale bytes because added columns get
+    * version-qualified physical names. `typeDdl` is the Catalyst
+    * catalogString, used to type NULLs for files that predate the column. */
+  final case class ColMap(physical: String, logical: String, typeDdl: String)
 }

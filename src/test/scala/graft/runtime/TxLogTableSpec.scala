@@ -133,6 +133,50 @@ class TxLogTableSpec extends SparkSpec {
     assert(before.forall(t.files("tbl", 2).contains))
   }
 
+  test("DDL is metadata-only: add/rename/drop column touch zero data files") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val dataFiles = t.files("tbl", 1)
+    t.addColumn("tbl", "score", "double")
+    t.renameColumn("tbl", "v", "payload")
+    t.dropColumn("tbl", "id")
+    // three DDL commits, identical file lists throughout
+    assert(t.versions("tbl") === Seq(1L, 2L, 3L, 4L))
+    (2L to 4L).foreach(v => assert(t.files("tbl", v) === dataFiles,
+      s"DDL version $v must reference the same data files"))
+    val out = t.read("tbl")
+    assert(out.columns.toSeq === Seq("payload", "score"))
+    assert(out.as[(String, Option[Double])].collect().toSet ===
+      Set(("a", None), ("b", None)), "pre-DDL rows null-fill the added column")
+  }
+
+  test("added column accepts appends; old files null-fill through the mapping") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1, "a")).toDF("id", "v"))
+    t.addColumn("tbl", "score", "double")
+    t.append("tbl", Seq((2, "b", 0.5)).toDF("id", "v", "score"))
+    assert(t.read("tbl").as[(Int, String, Option[Double])].collect().toSet ===
+      Set((1, "a", None), (2, "b", Some(0.5))))
+  }
+
+  test("drop-then-readd never resurrects the dropped column's bytes") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1, "secret")).toDF("id", "v"))
+    t.dropColumn("tbl", "v")
+    t.addColumn("tbl", "v", "string")
+    assert(t.read("tbl").as[(Int, Option[String])].collect().toSet ===
+      Set((1, None)), "re-added column must read NULL, not the old bytes")
+  }
+
+  test("renamed column round-trips through merge") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.renameColumn("tbl", "v", "payload")
+    t.merge("tbl", Seq((2, "B"), (3, "c")).toDF("id", "payload"), Seq("id"))
+    assert(t.read("tbl").as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "B"), (3, "c")))
+  }
+
   test("vacuum drops expired versions and their unreferenced files, keeps the horizon") {
     val (t, dir) = freshStore()
     t.append("tbl", Seq(1).toDF("id"))
