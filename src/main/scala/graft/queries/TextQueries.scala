@@ -561,6 +561,68 @@ object TextQueries {
              |  count(b.gram) * 10 >= count(*) AS contaminated
              |FROM g LEFT JOIN bench b ON g.gram = b.gram
              |WHERE g.doc_id % 50 != 0
-             |GROUP BY g.doc_id""".stripMargin))
+             |GROUP BY g.doc_id""".stripMargin)),
+
+    // deterministic data-mixture sampling: per-domain keep rates applied
+    // via a HASH threshold, not rand() — the same doc always gets the same
+    // verdict (reproducible mixtures, resumable jobs, no shuffled sampling
+    // state). A pure per-row projection: domain → rate, md5(doc_id) → a
+    // uniform in [0,1), keep iff u < rate. The production shape for
+    // composing a training mix at 100 TB: no sort, no shuffle, no state.
+    Q("mixture_sample",
+      (s, dir) => {
+        val domain = (col("doc_id") % 3).cast("long")
+        val rate = when(domain === 0, 1.0)
+          .when(domain === 1, 0.5)
+          .otherwise(0.1)
+        // top 8 hex chars of md5 → uniform over [0, 1)
+        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0))
+        docs(s, dir).select(
+          col("doc_id"),
+          domain.as("domain"),
+          rate.as("keep_rate"),
+          u.as("u"),
+          (u < rate).as("keep"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 3 AS domain,
+             |    CASE doc_id % 3 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.1 END AS keep_rate,
+             |    cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8)) AS UBIGINT)
+             |      / 4294967296.0 AS u
+             |  FROM documents)
+             |SELECT doc_id, cast(domain AS BIGINT) AS domain, keep_rate, u,
+             |  u < keep_rate AS keep
+             |FROM d""".stripMargin)),
+
+    // per-language corpus statistics: doc counts + EXACT token-count
+    // percentiles (p50/p90/p99). One partial-aggregating groupBy over a
+    // handful of language groups; at 100 TB swap `percentile` for
+    // `approx_percentile` (t-digest sketch, same plan shape) — kept exact
+    // here so the DuckDB oracle can match byte-for-byte.
+    Q("corpus_stats",
+      (s, dir) => {
+        val lang = (col("doc_id") % 4).cast("long")
+        val toks = size(split(col("text"), "\\s+")).cast("long")
+        docs(s, dir)
+          .select(lang.as("lang_bucket"), toks.as("n_tokens"))
+          .groupBy("lang_bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+            expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
+            expr("percentile(n_tokens, 0.99)").as("p99_tokens"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id % 4 AS lang_bucket,
+             |    cast(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT cast(lang_bucket AS BIGINT) AS lang_bucket,
+             |  cast(count(*) AS BIGINT) AS n_docs,
+             |  cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
+             |  quantile_cont(n_tokens, 0.9) AS p90_tokens,
+             |  quantile_cont(n_tokens, 0.99) AS p99_tokens
+             |FROM t GROUP BY lang_bucket""".stripMargin))
   )
 }
