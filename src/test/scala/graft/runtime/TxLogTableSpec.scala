@@ -177,6 +177,44 @@ class TxLogTableSpec extends SparkSpec {
       Set((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("TxRehash: one data pass, deprecated column kept, ghosts keep sentinel keys") {
+    import graft.expr.{HashConfig, Hashing}
+    val oldCfg = HashConfig()
+    val newCfg = HashConfig(algorithm = "SHA256")
+    val (t, _) = freshStore()
+    val rows = Seq("k1", "k2").toDF("bk")
+      .withColumn("hk", Hashing.hashkey(Seq($"bk"))(oldCfg))
+      .unionByName(Seq((oldCfg.zeroKey, null), (oldCfg.errorKey, null))
+        .toDF("hk", "bk").select($"bk", $"hk"))
+    t.append("hub", rows)
+    val versionsBefore = t.versions("hub").size
+    TxRehash.rehashEntity(t, "hub", "hk", Seq("bk"), oldCfg, newCfg)
+    // 4 commits: add, rewrite, rename, rename — only ONE changed data files
+    val vs = t.versions("hub")
+    assert(vs.size === versionsBefore + 4)
+    val fileLists = vs.takeRight(4).map(t.files("hub", _))
+    assert(fileLists.distinct.size === 2, "exactly one step rewrites data")
+    val out = t.read("hub").select("bk", "hk", "hk_deprecated")
+      .as[(Option[String], String, String)].collect().toSet
+    // expectations derived from the SAME hashing pipeline a stage load runs
+    val exp = Seq("k1", "k2").toDF("bk")
+      .withColumn("new_hk", Hashing.hashkey(Seq($"bk"))(newCfg))
+      .withColumn("old_hk", Hashing.hashkey(Seq($"bk"))(oldCfg))
+      .as[(String, String, String)].collect()
+      .map { case (bk, n, o) => (Some(bk): Option[String], n, o) }.toSet ++
+      Set((None: Option[String], newCfg.zeroKey, oldCfg.zeroKey),
+        (None: Option[String], newCfg.errorKey, oldCfg.errorKey))
+    assert(out === exp)
+    TxRehash.dropDeprecated(t, "hub", "hk")
+    assert(t.read("hub").columns.toSet === Set("bk", "hk"))
+    // a second rehash attempt with a lingering _deprecated column is refused
+    TxRehash.rehashEntity(t, "hub", "hk", Seq("bk"), newCfg, oldCfg)
+    val e = intercept[IllegalArgumentException] {
+      TxRehash.rehashEntity(t, "hub", "hk", Seq("bk"), newCfg, oldCfg)
+    }
+    assert(e.getMessage.contains("_deprecated"))
+  }
+
   test("vacuum drops expired versions and their unreferenced files, keeps the horizon") {
     val (t, dir) = freshStore()
     t.append("tbl", Seq(1).toDF("id"))
