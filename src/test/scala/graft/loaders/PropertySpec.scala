@@ -144,6 +144,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TxLogTable.merge: any random delta equals delete-matched-then-union") {
+    val r = new Random(90210)
+    for (iter <- 1 to 5) {
+      val wh = Files.createTempDirectory("graft_prop_tx").toString
+      val t = new graft.runtime.TxLogTable(spark, wh)
+      def rows(n: Int, tag: String) = (0 until n).map { _ =>
+        (s"k${r.nextInt(20)}", s"$tag${r.nextInt(1000)}")
+      }
+      val b1 = rows(15, "b").toDF("bk", "payload").dropDuplicates("bk")
+      val b2 = rows(15, "c").toDF("bk", "payload").dropDuplicates("bk")
+        .join(b1, Seq("bk"), "left_anti") // table keyed by bk across batches
+      t.append("t", b1)
+      t.append("t", b2)
+      val base = b1.unionByName(b2)
+      val delta = rows(8, "d").toDF("bk", "payload").dropDuplicates("bk")
+      t.merge("t", delta, Seq("bk"))
+      val want = base.join(delta.select("bk"), Seq("bk"), "left_anti")
+        .unionByName(delta)
+        .as[(String, String)].collect().toSet
+      val got = t.read("t").as[(String, String)].collect().toSet
+      assert(got == want, s"iter $iter")
+    }
+  }
+
   test("connectedComponents: path-halved labels equal union-find on random graphs") {
     val r = new Random(4242)
     for (iter <- 1 to 5) {
