@@ -52,6 +52,8 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
 
   private val ManifestRe = raw"v(\d{8})\.manifest".r
   private val ColHeader = "#col\t"
+  private val StatsColHeader = "#statscol\t"
+  private val FStatHeader = "#fstat\t"
 
   /** committed versions, ascending (tmp/garbage ignored) */
   def versions(name: String): Seq[Long] = {
@@ -91,8 +93,28 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
       ColMap(parts(0), parts(1), parts(2))
     }
 
-  private def render(cols: Seq[ColMap], fs: Seq[String]): Seq[String] =
-    cols.map(c => s"$ColHeader${c.physical}\t${c.logical}\t${c.typeDdl}") ++ fs
+  /** physical columns with per-file min/max stats collection enabled */
+  def statsColumns(name: String, v: Long): Seq[String] =
+    manifestLines(name, v).filter(_.startsWith(StatsColHeader))
+      .map(_.stripPrefix(StatsColHeader))
+
+  /** per-file min/max stats: (file, physicalCol) → (min, max), both rendered
+    * through CAST AS STRING. Files/columns without an entry are simply
+    * unprunable — the safe default. */
+  def fileStats(name: String, v: Long): Map[(String, String), (String, String)] =
+    manifestLines(name, v).filter(_.startsWith(FStatHeader)).map { l =>
+      val p = l.stripPrefix(FStatHeader).split('\t')
+      (p(0), p(1)) -> (p(2), p(3))
+    }.toMap
+
+  private def render(cols: Seq[ColMap], fs: Seq[String],
+                     statsCols: Seq[String] = Nil,
+                     stats: Map[(String, String), (String, String)] = Map.empty): Seq[String] =
+    cols.map(c => s"$ColHeader${c.physical}\t${c.logical}\t${c.typeDdl}") ++
+      statsCols.map(c => s"$StatsColHeader$c") ++
+      stats.toSeq.sortBy(_._1).map { case ((f, c), (mn, mx)) =>
+        s"$FStatHeader$f\t$c\t$mn\t$mx"
+      } ++ fs
 
   /** Publish `lines` as version `v` of `name`. Returns false when `v` was
     * committed concurrently by another writer (CAS lost — re-read, retry). */
@@ -121,6 +143,58 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
   private def identityMapping(df: DataFrame): Seq[ColMap] =
     df.schema.fields.toIndexedSeq.map(f =>
       ColMap(f.name, f.name, f.dataType.catalogString))
+
+  /** the full metadata of one version */
+  private case class Meta(cols: Seq[ColMap], statsCols: Seq[String],
+                          stats: Map[(String, String), (String, String)])
+
+  private def metaOf(name: String, v: Long): Meta =
+    Meta(mapping(name, v), statsColumns(name, v), fileStats(name, v))
+
+  private def renderM(m: Meta, fs: Seq[String]): Seq[String] = {
+    val liveSet = fs.toSet
+    render(m.cols, fs, m.statsCols,
+      m.stats.filter { case ((f, _), _) => liveSet(f) })
+  }
+
+  /** one pass over a just-written batch collecting per-file min/max of the
+    * stats columns (column-pruned scan of files that are page-cache-warm
+    * from the write — the ANALYZE cost of enabling data skipping) */
+  private def batchStats(name: String, batchFiles: Seq[String],
+                         statsCols: Seq[String]): Map[(String, String), (String, String)] = {
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    if (statsCols.isEmpty || batchFiles.isEmpty) return Map.empty
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(batchFiles.map(f => root(name).resolve(f).toString): _*)
+    val present = df.columns.toSet
+    val cols = statsCols.filter(present)
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c => Seq(
+      fmin(col(c)).cast("string").as(s"__mn_$c"),
+      fmax(col(c)).cast("string").as(s"__mx_$c")))
+    df.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.flatMap { r =>
+        val abs = r.getAs[String]("__f")
+        batchFiles.find(f => abs.endsWith("/" + f)).toSeq.flatMap { rel =>
+          cols.flatMap { c =>
+            (Option(r.getAs[String](s"__mn_$c")), Option(r.getAs[String](s"__mx_$c"))) match {
+              case (Some(mn), Some(mx)) => Some((rel, c) -> (mn, mx))
+              case _                    => None // all-NULL file: unprunable, safe
+            }
+          }
+        }
+      }.toMap
+  }
+
+  /** order stats values as their column's type: numerics numerically,
+    * everything else as rendered strings (CAST AS STRING of timestamps and
+    * dates is fixed-format, so lexicographic = chronological) */
+  private def statCompare(typeDdl: String): (String, String) => Int = {
+    val numeric = Set("tinyint", "smallint", "int", "bigint", "float", "double")
+    if (numeric(typeDdl) || typeDdl.startsWith("decimal"))
+      (a, b) => BigDecimal(a).compare(BigDecimal(b))
+    else (a, b) => a.compareTo(b)
+  }
 
   /** Write `df` (LOGICAL names) as a new immutable data-file batch under
     * the mapping's physical names; returns relative paths. */
@@ -179,16 +253,19 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
     var batch: Option[(Seq[ColMap], Seq[String])] = None
     while (!done) {
       val head = currentVersion(name)
-      val cols = head.map(mapping(name, _)).getOrElse(identityMapping(df))
+      val m = head.map(metaOf(name, _))
+        .getOrElse(Meta(identityMapping(df), Nil, Map.empty))
       val added = batch match {
         // reuse the already-written batch on a lost CAS — unless the new
         // head changed the mapping out from under us (DDL race): physical
         // names could differ, so rewrite under the new mapping
-        case Some((c, fs)) if c == cols => fs
-        case _ => val fs = writeBatch(name, df, cols); batch = Some((cols, fs)); fs
+        case Some((c, fs)) if c == m.cols => fs
+        case _ => val fs = writeBatch(name, df, m.cols); batch = Some((m.cols, fs)); fs
       }
       val base = head.map(files(name, _)).getOrElse(Seq.empty)
-      done = tryCommit(name, head.getOrElse(0L) + 1, render(cols, base ++ added))
+      val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols))
+      done = tryCommit(name, head.getOrElse(0L) + 1,
+        renderM(withStats, base ++ added))
     }
   }
 
@@ -200,14 +277,19 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
   def overwrite(name: String, df: DataFrame,
                 expectedVersion: Option[Long] = None): Unit = {
     val cols = identityMapping(df)
-    val added = writeBatch(name, df, cols)
     val head = currentVersion(name)
+    // stats columns survive a full refresh where the (reset, physical =
+    // logical) schema still carries them
+    val statsCols = head.map(statsColumns(name, _)).getOrElse(Nil)
+      .filter(sc => cols.exists(_.physical == sc))
+    val added = writeBatch(name, df, cols)
     expectedVersion.foreach { ev =>
       require(head.contains(ev) || (ev == 0L && head.isEmpty),
         s"TxLogTable $name: expected version $ev but head is $head — " +
           "concurrent commit detected, re-derive and retry")
     }
-    if (!tryCommit(name, head.getOrElse(0L) + 1, render(cols, added)))
+    val m = Meta(cols, statsCols, batchStats(name, added, statsCols))
+    if (!tryCommit(name, head.getOrElse(0L) + 1, renderM(m, added)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on overwrite — re-derive and retry")
   }
@@ -222,15 +304,16 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
     val live = files(name, v)
-    val cols = mapping(name, v)
+    val m = metaOf(name, v)
     require(touched.forall(live.contains),
       s"TxLogTable $name: replaceFiles over non-live files " +
         s"${touched.filterNot(live.contains)}")
     val added =
       if (touched.isEmpty) Seq.empty
-      else writeBatch(name, rewrite(readMapped(name, cols, touched)), cols)
+      else writeBatch(name, rewrite(readMapped(name, m.cols, touched)), m.cols)
     val next = live.filterNot(touched.contains) ++ added
-    if (!tryCommit(name, v + 1, render(cols, next)))
+    val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols))
+    if (!tryCommit(name, v + 1, renderM(withStats, next)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on replaceFiles — " +
           "re-derive from the new head and retry")
@@ -247,28 +330,110 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
     * probe's collected output is file PATHS — metadata-scale, like a
     * partition listing. */
   def merge(name: String, source: DataFrame, keyCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.input_file_name
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
     val live = files(name, v)
-    val cols = mapping(name, v)
+    val m = metaOf(name, v)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
-    val touchedAbs = readMapped(name, cols, live)
-      .withColumn("__file", input_file_name())
-      .join(srcKeys, keyCols, "left_semi")
-      .select("__file").distinct().collect().map(_.getString(0))
-    val touched = live.filter(f => touchedAbs.exists(_.endsWith("/" + f)))
-    val tableCols = readMapped(name, cols, live).columns.toIndexedSeq
+    // data skipping: the probe scans only files whose per-file [min,max]
+    // intersects the source's key range — with stats on the key column a
+    // clustered table turns the probe from O(table) into O(overlap)
+    val probeFiles = {
+      val statted = keyCols.flatMap(kc =>
+        m.cols.find(_.logical == kc).map(c => (kc, c))
+          .filter { case (_, c) => m.statsCols.contains(c.physical) })
+      if (statted.isEmpty) live
+      else {
+        val rangeAggs = statted.flatMap { case (kc, _) => Seq(
+          fmin(col(kc)).cast("string").as(s"__mn_$kc"),
+          fmax(col(kc)).cast("string").as(s"__mx_$kc")) }
+        val r = srcKeys.agg(rangeAggs.head, rangeAggs.tail: _*).head()
+        statted.foldLeft(live) { case (cand, (kc, c)) =>
+          val (srcMn, srcMx) = (r.getAs[String](s"__mn_$kc"), r.getAs[String](s"__mx_$kc"))
+          if (srcMn == null) cand
+          else {
+            val cmp = statCompare(c.typeDdl)
+            cand.filter { f =>
+              m.stats.get((f, c.physical)) match {
+                case Some((mn, mx)) => cmp(mx, srcMn) >= 0 && cmp(mn, srcMx) <= 0
+                case None           => true // no stats: unprunable, safe
+              }
+            }
+          }
+        }
+      }
+    }
+    val touchedAbs =
+      if (probeFiles.isEmpty) Array.empty[String]
+      else readMapped(name, m.cols, probeFiles)
+        .withColumn("__file", input_file_name())
+        .join(srcKeys, keyCols, "left_semi")
+        .select("__file").distinct().collect().map(_.getString(0))
+    val touched = probeFiles.filter(f => touchedAbs.exists(_.endsWith("/" + f)))
+    val tableCols = m.cols.map(_.logical).toIndexedSeq
     val survivors =
       if (touched.isEmpty) source.select(tableCols.map(col): _*)
-      else readMapped(name, cols, touched)
+      else readMapped(name, m.cols, touched)
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(source.select(tableCols.map(col): _*))
-    val added = writeBatch(name, survivors, cols)
-    if (!tryCommit(name, v + 1, render(cols, live.filterNot(touched.contains) ++ added)))
+    val added = writeBatch(name, survivors, m.cols)
+    val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols))
+    if (!tryCommit(name, v + 1,
+        renderM(withStats, live.filterNot(touched.contains) ++ added)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on merge — " +
           "re-derive from the new head and retry")
+  }
+
+  /** Enable per-file min/max stats on `logicalCols` (Delta/Iceberg-style
+    * data skipping) and backfill them for all live files in one
+    * column-pruned ANALYZE pass. Stats are keyed by PHYSICAL name, so they
+    * survive renames; files written before enablement that the backfill
+    * missed (or all-NULL files) simply stay unprunable. */
+  def setStatsColumns(name: String, logicalCols: Seq[String]): Unit = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    val m = metaOf(name, v)
+    val phys = logicalCols.map { lc =>
+      m.cols.find(_.logical == lc).getOrElse(
+        throw new IllegalArgumentException(
+          s"TxLogTable $name: no column $lc")).physical
+    }
+    val live = files(name, v)
+    val withStats = m.copy(statsCols = phys.distinct,
+      stats = batchStats(name, live, phys.distinct))
+    if (!tryCommit(name, v + 1, renderM(withStats, live)))
+      throw new IllegalStateException(
+        s"TxLogTable $name: lost commit race on setStatsColumns — retry")
+  }
+
+  /** The files of the current version possibly holding a `logicalCol` value
+    * in [lo, hi] (rendered as strings the way stats are: CAST AS STRING).
+    * Complete by construction: a file is only skipped when its recorded
+    * min/max range provably cannot intersect. */
+  def candidateFiles(name: String, logicalCol: String,
+                     lo: String, hi: String): Seq[String] = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    val m = metaOf(name, v)
+    val c = m.cols.find(_.logical == logicalCol).getOrElse(
+      throw new IllegalArgumentException(s"TxLogTable $name: no column $logicalCol"))
+    val cmp = statCompare(c.typeDdl)
+    files(name, v).filter { f =>
+      m.stats.get((f, c.physical)) match {
+        case Some((mn, mx)) => cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
+        case None           => true
+      }
+    }
+  }
+
+  /** Read only the files possibly relevant to `logicalCol` ∈ [lo, hi] — the
+    * caller still applies its exact predicate; this prunes the scan. */
+  def readPruned(name: String, logicalCol: String, lo: String, hi: String): DataFrame = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    readMapped(name, mapping(name, v), candidateFiles(name, logicalCol, lo, hi))
   }
 
   // ---- S9: metadata-only DDL (rehash_single_hub.sql:17-26,51-69) ---------
@@ -283,10 +448,17 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
                           (f: Seq[ColMap] => Seq[ColMap]): Unit = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
-    val cols = mapping(name, v)
-    require(cols.nonEmpty, s"TxLogTable $name: $op needs a mapped table " +
+    val m = metaOf(name, v)
+    require(m.cols.nonEmpty, s"TxLogTable $name: $op needs a mapped table " +
       "(legacy unmapped manifest — overwrite once to initialize the mapping)")
-    if (!tryCommit(name, v + 1, render(f(cols), files(name, v))))
+    val next = f(m.cols)
+    // stats are keyed by physical name (rename-proof); entries for columns
+    // no longer mapped (drops) fall away with the mapping
+    val phys = next.map(_.physical).toSet
+    val withStats = Meta(next,
+      m.statsCols.filter(phys),
+      m.stats.filter { case ((_, c), _) => phys(c) })
+    if (!tryCommit(name, v + 1, renderM(withStats, files(name, v))))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on $op — retry")
   }

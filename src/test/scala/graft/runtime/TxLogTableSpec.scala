@@ -215,6 +215,60 @@ class TxLogTableSpec extends SparkSpec {
     assert(e.getMessage.contains("_deprecated"))
   }
 
+  test("data skipping: candidateFiles prunes by per-file min/max, stays complete") {
+    val (t, _) = freshStore()
+    // three disjoint key ranges, one batch (→ file set) each
+    t.append("tbl", Seq((1L, "a"), (5L, "b")).toDF("id", "v"))
+    t.append("tbl", Seq((100L, "c"), (150L, "d")).toDF("id", "v"))
+    t.append("tbl", Seq((1000L, "e")).toDF("id", "v"))
+    t.setStatsColumns("tbl", Seq("id")) // backfills all live files
+    val v = t.currentVersion("tbl").get
+    val (b1, b2, b3) = (t.files("tbl", 1), t.files("tbl", 2).diff(t.files("tbl", 1)),
+      t.files("tbl", 3).diff(t.files("tbl", 2)))
+    val cand = t.candidateFiles("tbl", "id", "100", "200")
+    assert(b2.forall(cand.contains), "files overlapping the range must remain")
+    assert(!b1.exists(cand.contains) && !b3.exists(cand.contains),
+      s"disjoint-range files must be pruned: got $cand")
+    // the pruned read sees exactly the middle batch's rows
+    assert(t.readPruned("tbl", "id", "100", "200").as[(Long, String)]
+      .collect().toSet === Set((100L, "c"), (150L, "d")))
+    assert(t.read("tbl").count() === 5, "full read unaffected")
+    assert(t.files("tbl", v).toSet === (b1 ++ b2 ++ b3).toSet)
+  }
+
+  test("data skipping: merge probes only files in the source key range") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1L, "a"), (5L, "b")).toDF("id", "v"))
+    t.append("tbl", Seq((100L, "c")).toDF("id", "v"))
+    t.setStatsColumns("tbl", Seq("id"))
+    val farFile = t.files("tbl", 2).diff(t.files("tbl", 1))
+    // delta touches only the low range; the high-range file must survive
+    // by identity (merge's range pruning never even probes it)
+    t.merge("tbl", Seq((5L, "B")).toDF("id", "v"), Seq("id"))
+    val after = t.files("tbl", t.currentVersion("tbl").get)
+    assert(farFile.forall(after.contains))
+    assert(t.read("tbl").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (5L, "B"), (100L, "c")))
+    // stats were refreshed for the rewritten batch: a follow-up range read
+    // over the low range still finds the updated row
+    assert(t.readPruned("tbl", "id", "0", "10").as[(Long, String)]
+      .collect().toSet.contains((5L, "B")))
+  }
+
+  test("data skipping: stats survive renames and vanish with dropped columns") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1L, "a")).toDF("id", "v"))
+    t.setStatsColumns("tbl", Seq("id"))
+    t.renameColumn("tbl", "id", "key")
+    assert(t.candidateFiles("tbl", "key", "0", "2").nonEmpty)
+    assert(t.candidateFiles("tbl", "key", "5", "9").isEmpty,
+      "stats keyed by physical name must keep pruning after a rename")
+    t.dropColumn("tbl", "key")
+    val v = t.currentVersion("tbl").get
+    assert(t.statsColumns("tbl", v).isEmpty && t.fileStats("tbl", v).isEmpty,
+      "dropping the column drops its stats")
+  }
+
   test("vacuum drops expired versions and their unreferenced files, keeps the horizon") {
     val (t, dir) = freshStore()
     t.append("tbl", Seq(1).toDF("id"))
