@@ -76,17 +76,32 @@ object TextQueries {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
     }
 
+  /** the 8 universal-hash projections (a_j·u + b_j) mod p over one 30-bit
+    * base hash u per shingle: ONE md5 per shingle instead of eight — at
+    * 100 TB the signature pass is the dominant cost of near-dup dedup, and
+    * 8 md5+concat per shingle row was 8× the hashing work for the same
+    * minhash quality. a_j < 2^24 and u < 2^30 keep every product inside a
+    * signed 64-bit long; the DuckDB oracle mirrors the arithmetic exactly. */
+  private val HashFamily = Seq(
+    (1299721L, 11L), (2750159L, 103L), (4256233L, 1009L), (5800079L, 10007L),
+    (7368787L, 100003L), (8960453L, 1000003L), (10570841L, 233L), (12195257L, 377L))
+  private val HashPrime = 1073741789L // largest prime < 2^30
+
   private def buildLshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val nHashes = 8
     val sh = docs(s, dir)
       .withColumn("words", split(col("text"), "\\s+"))
       .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("shingle"))
+      // 30-bit base hash: top 15 hex digits of ONE md5, reduced mod 2^30
+      .select(col("doc_id"),
+        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+          % 1073741824L).as("u"))
     // all 8 minhashes in ONE aggregation over the un-replicated shingle rows
     // (8 parallel min-agg columns) — the j-explode variant multiplied the
     // shuffle volume 8×; same signature bytes, ordered by j
     val sig = sh.groupBy("doc_id")
-      .agg(concat_ws("|", (0 until nHashes).map(j =>
-        min(md5(concat(lit(s"$j:"), col("shingle"))))): _*).as("sig"))
+      .agg(concat_ws("|", HashFamily.map { case (a, b) =>
+        min((lit(a) * col("u") + lit(b)) % lit(HashPrime)).cast("string")
+      }: _*).as("sig"))
     val bands = sig.select(col("doc_id"),
       explode(array(lit(0), lit(1))).as("band"),
       col("sig"))
@@ -109,10 +124,17 @@ object TextQueries {
     s"""w AS (
        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents),
        |shl AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM w),
-       |sh AS (SELECT DISTINCT doc_id, u.shingle FROM shl, UNNEST(shs) AS u(shingle)),
+       |sh0 AS (SELECT DISTINCT doc_id, u.shingle FROM shl, UNNEST(shs) AS u(shingle)),
+       |sh AS (
+       |  SELECT doc_id,
+       |    cast(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT) % 1073741824 AS u
+       |  FROM sh0),
+       |fam(j, a, b) AS (VALUES (0, 1299721, 11), (1, 2750159, 103),
+       |  (2, 4256233, 1009), (3, 5800079, 10007), (4, 7368787, 100003),
+       |  (5, 8960453, 1000003), (6, 10570841, 233), (7, 12195257, 377)),
        |mh AS (
-       |  SELECT doc_id, j, min(md5(cast(j AS varchar) || ':' || shingle)) AS mh
-       |  FROM sh, range(0, 8) AS r(j) GROUP BY doc_id, j),
+       |  SELECT doc_id, j, cast(min((a * u + b) % 1073741789) AS VARCHAR) AS mh
+       |  FROM sh, fam GROUP BY doc_id, j),
        |sig AS (
        |  SELECT doc_id, string_agg(mh, '|' ORDER BY j) AS sig FROM mh GROUP BY doc_id),
        |bands AS (
@@ -288,7 +310,7 @@ object TextQueries {
               size(array_union(col("sh"), col("sh2")))).as("jaccard"))
       },
       Some(s"""WITH $lshCandSql,
-              |shd AS (SELECT doc_id, list(shingle) AS sh FROM sh GROUP BY doc_id)
+              |shd AS (SELECT doc_id, list(shingle) AS sh FROM sh0 GROUP BY doc_id)
               |SELECT c.doc_id, c.doc_id_2,
               |  cast(len(list_intersect(a.sh, b.sh)) AS double) /
               |    len(list_distinct(a.sh || b.sh)) AS jaccard
