@@ -492,6 +492,28 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
       cols.filterNot(_.logical == colName)
     }
 
+  /** OPTIMIZE — bin-pack small files into `targetFiles` outputs (the
+    * lakehouse answer to the small-file problem an append-per-micro-batch
+    * table accumulates). One atomic commit swaps the old files for the
+    * compacted ones; rows, schema, and stats semantics are unchanged, and
+    * concurrent readers keep their snapshot. Returns (filesBefore,
+    * filesAfter). */
+  def compact(name: String, targetFiles: Int = 1): (Int, Int) = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    val live = files(name, v)
+    if (live.size <= math.max(1, targetFiles)) return (live.size, live.size)
+    val m = metaOf(name, v)
+    val compacted = readMapped(name, m.cols, live)
+      .repartition(math.max(1, targetFiles))
+    val added = writeBatch(name, compacted, m.cols)
+    val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols))
+    if (!tryCommit(name, v + 1, renderM(withStats, added)))
+      throw new IllegalStateException(
+        s"TxLogTable $name: lost commit race on compact — retry")
+    (live.size, added.size)
+  }
+
   /** Drop versions older than the newest `retainVersions` and delete data
     * files no retained manifest references. Readers of retained versions
     * stay valid — that is the horizon contract. */

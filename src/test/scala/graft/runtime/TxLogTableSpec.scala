@@ -269,6 +269,24 @@ class TxLogTableSpec extends SparkSpec {
       "dropping the column drops its stats")
   }
 
+  test("compact bin-packs files in one atomic commit; rows and stats survive") {
+    val (t, _) = freshStore()
+    (1 to 5).foreach(i => t.append("tbl", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    t.setStatsColumns("tbl", Seq("id"))
+    val before = t.read("tbl") // snapshot over the small files
+    val (nBefore, nAfter) = t.compact("tbl", targetFiles = 1)
+    assert(nBefore >= 5 && nAfter === 1)
+    assert(t.read("tbl").as[(Long, String)].collect().toSet ===
+      (1 to 5).map(i => (i.toLong, s"v$i")).toSet)
+    assert(before.as[(Long, String)].collect().size === 5,
+      "pre-compact snapshot stays readable")
+    // stats were recomputed for the compacted file: range pruning still works
+    assert(t.readPruned("tbl", "id", "2", "2").as[(Long, String)]
+      .collect().toSet.contains((2L, "v2")))
+    // idempotent: already at target → no-op
+    assert(t.compact("tbl", 1) === (1, 1))
+  }
+
   test("vacuum drops expired versions and their unreferenced files, keeps the horizon") {
     val (t, dir) = freshStore()
     t.append("tbl", Seq(1).toDF("id"))
