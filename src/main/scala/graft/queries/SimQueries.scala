@@ -28,25 +28,60 @@ object SimQueries {
        | / (sqrt(list_sum(list_transform($a, x -> cast(x as double) * cast(x as double))))
        |    * sqrt(list_sum(list_transform($b, x -> cast(x as double) * cast(x as double)))))""".stripMargin
 
+  /** brute-force cosine top-k — the exactness baseline. Scale shape:
+    * broadcast the QUERY set (small by construction), stream the corpus. */
+  private def bruteTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(e.filter(col("vec_id") >= 10))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH ANN top-k: deterministic sign-random-projection buckets from
+    * md5-derived hyperplanes. Hyperplanes are DATA-INDEPENDENT — derived
+    * ONCE on the driver (md5 parity per (plane, dim), same formula as the
+    * DuckDB oracle) and embedded as constant array literals: the per-row
+    * work is just the 64-wide dot product, not 6×64 md5 calls. */
+  private def lshTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val nPlanes = 6
+    val e = emb(s, dir)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def planeOf(j: Int): Seq[Double] = (0 until 64).map { d =>
+      val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      (Integer.parseInt(hex, 16) % 2).toDouble * 2 - 1
+    }
+    val planeBit = (j: Int) => dotProduct(col("embedding"), typedLit(planeOf(j)))
+    val bucketed = e.withColumn("bucket",
+      (0 until nPlanes).map(j => when(planeBit(j) > 0, 1L << j).otherwise(0L)).reduce(_ + _))
+      .withColumn("nrm", vecNorm(col("embedding")))
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val cands = broadcast(q).join(bucketed.filter(col("vec_id") >= 10), Seq("bucket"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   val all: Seq[Q] = Seq(
 
     // brute-force cosine top-k: the exactness baseline for ANN.
     // Scale shape: broadcast the QUERY set (small by construction) and
     // stream the corpus — never the other way around.
     Q("cosine_topk",
-      (s, dir) => {
-        val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
-        val scored = broadcast(q).join(e.filter(col("vec_id") >= 10))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-        scored.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-      },
+      (s, dir) => bruteTopK(s, dir, 5),
       Some(s"""WITH scored AS (
               |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
               |    round(${cosDuck("a.embedding", "b.embedding")}, 4) AS cos_sim
@@ -84,35 +119,7 @@ object SimQueries {
     // buckets from md5-derived hyperplanes; top-3 within bucket.
     // Hyperplane p(j,d) ∈ {-1,+1} = parity of md5(j:d).
     Q("ann_lsh_bucketed",
-      (s, dir) => {
-        val nPlanes = 6
-        val e = emb(s, dir)
-        // hyperplanes are DATA-INDEPENDENT — derive them ONCE on the driver
-        // (md5 parity per (plane, dim), same formula as the DuckDB oracle)
-        // and embed as constant array literals: the per-row work is just the
-        // 64-wide dot product, not 6×64 md5 calls.
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def planeOf(j: Int): Seq[Double] = (0 until 64).map { d =>
-          val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.substring(0, 4)
-          (Integer.parseInt(hex, 16) % 2).toDouble * 2 - 1
-        }
-        val planeBit = (j: Int) => dotProduct(col("embedding"), typedLit(planeOf(j)))
-        val bucketed = e.withColumn("bucket",
-          (0 until nPlanes).map(j => when(planeBit(j) > 0, 1L << j).otherwise(0L)).reduce(_ + _))
-          .withColumn("nrm", vecNorm(col("embedding")))
-        val q = bucketed.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("nrm").as("qn"), col("bucket"))
-        val cands = broadcast(q).join(bucketed.filter(col("vec_id") >= 10), Seq("bucket"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-        cands.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
-      },
+      (s, dir) => lshTopK(s, dir, 3),
       Some(s"""WITH planes AS (
              |  SELECT j, list_transform(range(0, 64),
              |    d -> cast(cast(('0x' || substr(md5(cast(j AS varchar) || ':' || cast(d AS varchar)), 1, 4)) AS BIGINT) % 2 AS double) * 2 - 1) AS p
@@ -139,6 +146,58 @@ object SimQueries {
     // cross-engine double jitter), queries probe their nprobe best cells
     // and score exactly within them. The corpus-side work is one codegen'd
     // K-wide dot-product projection + an equi-join on cell — no all-pairs.
+    // recall@3 of the LSH ANN against brute-force ground truth — the
+    // evaluation step a real similarity pipeline runs before trusting an
+    // index. Per query: |approx ∩ true| / |true|. Both pipelines are
+    // deterministic, so the metric itself is oracle-checkable.
+    Q("ann_recall",
+      (s, dir) => {
+        val truth = bruteTopK(s, dir, 3).select(col("query_id"), col("neighbor_id"))
+        val approx = lshTopK(s, dir, 3).select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1L))
+        truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+          .withColumn("recall_at_3",
+            col("n_found").cast("double") / col("n_true"))
+      },
+      Some(s"""WITH planes AS (
+             |  SELECT j, list_transform(range(0, 64),
+             |    d -> cast(cast(('0x' || substr(md5(cast(j AS varchar) || ':' || cast(d AS varchar)), 1, 4)) AS BIGINT) % 2 AS double) * 2 - 1) AS p
+             |  FROM range(0, 6) AS r(j)),
+             |bucketed AS (
+             |  SELECT e.vec_id, e.embedding,
+             |    cast(sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, p.p),
+             |               s -> cast(s[1] AS double) * s[2])) > 0
+             |             THEN cast(pow(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM embeddings e, planes p GROUP BY e.vec_id, e.embedding),
+             |lsh_cands AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(${cosDuck("q.embedding", "c.embedding")}, 4) AS cos_sim
+             |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+             |    AND q.vec_id < 10 AND c.vec_id >= 10),
+             |lsh AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM lsh_cands)
+             |  WHERE rank <= 3),
+             |brute_scored AS (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    round(${cosDuck("a.embedding", "b.embedding")}, 4) AS cos_sim
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id >= 10),
+             |brute AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM brute_scored)
+             |  WHERE rank <= 3)
+             |SELECT b.query_id, cast(count(*) AS BIGINT) AS n_true,
+             |  cast(count(l.neighbor_id) AS BIGINT) AS n_found,
+             |  cast(count(l.neighbor_id) AS double) / count(*) AS recall_at_3
+             |FROM brute b LEFT JOIN lsh l
+             |  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+             |GROUP BY b.query_id""".stripMargin)),
+
     Q("ivf_ann",
       (s, dir) => {
         val k = 8; val nprobe = 2
