@@ -78,6 +78,20 @@ object Demo {
     val nCust = customer.count()
     val hub = store.read("customer_h")
     println(s"[demo] customers=$nCust hub=${hub.count()} (hub == customers + 2 ghosts?)")
+
+    // the same hub on the TRANSACTIONAL format: versioned appends, a
+    // file-pruned MERGE, time travel back to v1, and an O(1) metadata DDL
+    val tx = new graft.runtime.TxLogTable(spark, wh + "_tx")
+    tx.append("customer_h", hub.filter(col(SystemColumns.LdtsAlias) <= "2024-01-01 12:00:00"))
+    tx.append("customer_h", hub.filter(col(SystemColumns.LdtsAlias) > "2024-01-01 12:00:00"))
+    val preMergeCount = tx.read("customer_h").count()
+    tx.merge("customer_h",
+      tx.read("customer_h").limit(5).withColumn(SystemColumns.RsrcAlias, lit("TPC_H/Customer/fix")),
+      Seq("hk_customer_h"))
+    tx.addColumn("customer_h", "loaded_by", "string")
+    val v1Count = tx.readVersion("customer_h", 1).count()
+    println(s"[demo] txlog: versions=${tx.versions("customer_h").size} rows=${tx.read("customer_h").count()} " +
+      s"(want $preMergeCount) v1=$v1Count merged_rsrc=${tx.read("customer_h").filter(col(SystemColumns.RsrcAlias) === "TPC_H/Customer/fix").count()} (want 5)")
     spark.stop()
   }
 }
