@@ -1474,6 +1474,62 @@ object DvQueries {
              |SELECT o_orderkey + 10000000, o_totalprice, (o_orderkey + 10000000) % 4
              |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin)),
 
+    // §5 driver-verified — the reference's documented soft-constraint
+    // contract (40_testing-a-data-vault.md:47-71) as executable checks:
+    // a vault with SEEDED violations (duplicated hub key, null sat key,
+    // orphaned sat rows) must report exactly those counts — proving the
+    // battery detects what it claims to.
+    Q("vault_constraints",
+      (s, dir) => {
+        val c = custStage(s, dir)
+        val hub = c.select(col("hk_customer_h"), col("c_custkey"), col(LdtsAlias), col(RsrcAlias))
+          .groupBy(col("hk_customer_h")).agg(min(col(LdtsAlias)).as(LdtsAlias))
+          // seed: duplicate every 100th key
+          .unionByName(c.filter(col("c_custkey") % 100 === 0)
+            .groupBy(col("hk_customer_h")).agg(min(col(LdtsAlias)).as(LdtsAlias)))
+        val sat = c.select(col("hk_customer_h"), col(LdtsAlias), col("c_name"))
+          // seed: null the key on every 250th customer's row, orphan every 125th
+          .withColumn("hk_customer_h",
+            when(col("c_name").like("%0125"), lit("deadbeef"))
+              .when(col("c_name").like("%0250"), lit(null))
+              .otherwise(col("hk_customer_h")))
+        graft.quality.VaultConstraints.report(
+          graft.quality.VaultConstraints.keyedEntityChecks(hub, "hk_customer_h", "hub_customer") ++
+          graft.quality.VaultConstraints.satV0Checks(sat, "hk_customer_h", LdtsAlias,
+            hub, "hk_customer_h", "sat_customer"))
+      },
+      Some(s"""WITH c AS (
+              |  SELECT ${O.hashkey("c_custkey")} AS hk, c_custkey, c_name,
+              |    timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts
+              |  FROM customer),
+              |hub AS (
+              |  SELECT hk, min(ldts) AS ldts FROM c GROUP BY hk
+              |  UNION ALL
+              |  SELECT hk, min(ldts) FROM c WHERE c_custkey % 100 = 0 GROUP BY hk),
+              |sat AS (
+              |  SELECT CASE WHEN c_name LIKE '%0125' THEN 'deadbeef'
+              |              WHEN c_name LIKE '%0250' THEN NULL
+              |              ELSE hk END AS hk, ldts, c_name
+              |  FROM c)
+              |SELECT 'hub_customer.hk_customer_h_not_null' AS check,
+              |  cast(count(*) FILTER (hk IS NULL) AS BIGINT) AS violations FROM hub
+              |UNION ALL
+              |SELECT 'hub_customer.hk_customer_h_unique',
+              |  cast(coalesce(sum(n) FILTER (n > 1), 0) AS BIGINT)
+              |FROM (SELECT hk, count(*) AS n FROM hub GROUP BY hk)
+              |UNION ALL
+              |SELECT 'sat_customer.hk_customer_h_not_null',
+              |  cast(count(*) FILTER (hk IS NULL) AS BIGINT) FROM sat
+              |UNION ALL
+              |SELECT 'sat_customer.hk_ldts_unique',
+              |  cast(coalesce(sum(n) FILTER (n > 1), 0) AS BIGINT)
+              |FROM (SELECT hk, ldts, count(*) AS n FROM sat GROUP BY hk, ldts)
+              |UNION ALL
+              |SELECT 'sat_customer.fk_in_parent',
+              |  cast(count(*) AS BIGINT)
+              |FROM sat WHERE hk IS NOT NULL
+              |  AND hk NOT IN (SELECT hk FROM hub)""".stripMargin)),
+
     // S7 driver-verified on the TRANSACTIONAL log-table format: appends
     // build versions, a file-pruned atomic MERGE replaces matched keys and
     // inserts new ones, and the pre-merge snapshot stays readable (read
