@@ -423,4 +423,55 @@ object MetadataBuilders {
     ControlSnapV1Loader.buildMulti(resolve(m("control_snap_v0").toString),
       triggers, sdtsAlias = sdts, referenceTs = referenceTs)
   }
+
+  /** dbt schema.yml test definitions → one constraint report
+    * ([[graft.quality.VaultConstraints]]). Supports the three generic tests
+    * the reference's documented contract uses — `not_null`, `unique`,
+    * `relationships: {to: ref('model'), field: col}` — as column tests,
+    * plus model-level `unique: {columns: [...]}` for composite satellite
+    * keys. `ref('x')` / `source('a','b')` wrappers resolve by their last
+    * argument. */
+  def tests(yaml: String, resolve: String => DataFrame): DataFrame = {
+    val m = asMap(YamlLite.parse(yaml))
+    def deref(s: String): String = {
+      val r = raw"""(?:ref|source)\s*\(\s*(?:'[^']*'\s*,\s*)?'([^']*)'\s*\)""".r
+      s.trim match { case r(name) => name; case other => other }
+    }
+    val checks = asList(m.getOrElse("models", Nil)).flatMap { model =>
+      val mm = asMap(model)
+      val modelName = mm("name").toString
+      val df = resolve(modelName)
+      val columnChecks = asList(mm.getOrElse("columns", Nil)).flatMap { c =>
+        val cm = asMap(c)
+        val colName = cm("name").toString
+        asList(cm.getOrElse("tests", Nil)).map {
+          case "not_null" =>
+            graft.quality.VaultConstraints.notNullViolations(
+              df, Seq(colName), s"$modelName.${colName}_not_null")
+          case "unique" =>
+            graft.quality.VaultConstraints.uniqueViolations(
+              df, Seq(colName), s"$modelName.${colName}_unique")
+          case rel =>
+            val rm = asMap(rel)
+            require(rm.keySet == Set("relationships"),
+              s"unsupported column test $rel (want not_null/unique/relationships)")
+            val cfg = asMap(rm("relationships"))
+            graft.quality.VaultConstraints.subsetViolations(
+              df, colName, resolve(deref(cfg("to").toString)),
+              cfg("field").toString, s"$modelName.${colName}_relationships")
+        }
+      }
+      val modelChecks = asList(mm.getOrElse("tests", Nil)).map { t =>
+        val tm = asMap(t)
+        require(tm.keySet == Set("unique"),
+          s"unsupported model test $t (want unique: {columns: [...]})")
+        val cols = strings(asMap(tm("unique"))("columns"))
+        graft.quality.VaultConstraints.uniqueViolations(
+          df, cols, s"$modelName.${cols.mkString("_")}_unique")
+      }
+      columnChecks ++ modelChecks
+    }
+    require(checks.nonEmpty, "schema yaml declares no tests")
+    graft.quality.VaultConstraints.report(checks)
+  }
 }

@@ -259,4 +259,41 @@ class MetadataSpec extends SparkSpec {
     assert(v1.filter($"is_latest").select("sdts").as[java.sql.Timestamp].head().toString
       == "2024-03-31 00:00:00.0")
   }
+
+  test("tests: dbt schema.yml generic tests run as a constraint report") {
+    val hub = Seq(("h1", 1), ("h2", 2), ("h2", 3)).toDF("hk", "bk") // dup h2
+    val sat = Seq(("h1", "a"), (null, "b"), ("orphan", "c"), ("h1", "a2"))
+      .toDF("hk", "payload")
+    val resolve: String => org.apache.spark.sql.DataFrame = {
+      case "customer_hub" => hub
+      case "customer_sat" => sat
+    }
+    val report = MetadataBuilders.tests(
+      """models:
+        |  - name: customer_hub
+        |    columns:
+        |      - name: hk
+        |        tests:
+        |          - not_null
+        |          - unique
+        |  - name: customer_sat
+        |    columns:
+        |      - name: hk
+        |        tests:
+        |          - not_null
+        |          - relationships:
+        |              to: ref('customer_hub')
+        |              field: hk
+        |    tests:
+        |      - unique:
+        |          columns: [hk, payload]
+        |""".stripMargin, resolve)
+      .as[(String, Long)].collect().toMap
+    assert(report == Map(
+      "customer_hub.hk_not_null" -> 0L,
+      "customer_hub.hk_unique" -> 2L,
+      "customer_sat.hk_not_null" -> 1L,
+      "customer_sat.hk_relationships" -> 1L,
+      "customer_sat.hk_payload_unique" -> 0L))
+  }
 }
