@@ -494,18 +494,27 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
 
   /** OPTIMIZE — bin-pack small files into `targetFiles` outputs (the
     * lakehouse answer to the small-file problem an append-per-micro-batch
-    * table accumulates). One atomic commit swaps the old files for the
-    * compacted ones; rows, schema, and stats semantics are unchanged, and
-    * concurrent readers keep their snapshot. Returns (filesBefore,
-    * filesAfter). */
-  def compact(name: String, targetFiles: Int = 1): (Int, Int) = {
+    * table accumulates). With `clusterBy` the rewrite RANGE-partitions and
+    * sorts by those columns (the Z-ORDER/liquid-clustering analogue for a
+    * single sort dimension): each output file covers a tight, disjoint key
+    * range, which is what turns the per-file min/max stats into real
+    * pruning power — a point lookup or a key-ranged MERGE then touches one
+    * file instead of all of them. One atomic commit swaps the old files for
+    * the compacted ones; rows, schema, and snapshot readers are unchanged.
+    * Returns (filesBefore, filesAfter). */
+  def compact(name: String, targetFiles: Int = 1,
+              clusterBy: Seq[String] = Nil): (Int, Int) = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
     val live = files(name, v)
-    if (live.size <= math.max(1, targetFiles)) return (live.size, live.size)
+    if (live.size <= math.max(1, targetFiles) && clusterBy.isEmpty)
+      return (live.size, live.size)
     val m = metaOf(name, v)
-    val compacted = readMapped(name, m.cols, live)
-      .repartition(math.max(1, targetFiles))
+    val all = readMapped(name, m.cols, live)
+    val compacted =
+      if (clusterBy.isEmpty) all.repartition(math.max(1, targetFiles))
+      else all.repartitionByRange(math.max(1, targetFiles), clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     val added = writeBatch(name, compacted, m.cols)
     val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols))
     if (!tryCommit(name, v + 1, renderM(withStats, added)))

@@ -287,6 +287,27 @@ class TxLogTableSpec extends SparkSpec {
     assert(t.compact("tbl", 1) === (1, 1))
   }
 
+  test("clustered compaction makes stats prune to a single file") {
+    val (t, _) = freshStore()
+    // interleaved keys, one file per append: every file spans the WHOLE key
+    // range, so stats alone cannot prune anything
+    (0 until 4).foreach(i =>
+      t.append("tbl",
+        (0 until 25).map(j => (j * 4L + i, s"v$i-$j")).toDF("id", "v").coalesce(1)))
+    t.setStatsColumns("tbl", Seq("id"))
+    assert(t.candidateFiles("tbl", "id", "0", "3").size ===
+      t.files("tbl", t.currentVersion("tbl").get).size,
+      "interleaved files all overlap every range")
+    // cluster by key into 4 range-disjoint files
+    val (_, nAfter) = t.compact("tbl", targetFiles = 4, clusterBy = Seq("id"))
+    assert(nAfter === 4)
+    val cand = t.candidateFiles("tbl", "id", "0", "3")
+    assert(cand.size === 1, s"a 4-key range should hit one clustered file, got $cand")
+    assert(t.readPruned("tbl", "id", "0", "3").as[(Long, String)].collect()
+      .map(_._1).toSet.intersect(Set(0L, 1L, 2L, 3L)) === Set(0L, 1L, 2L, 3L))
+    assert(t.read("tbl").count() === 100)
+  }
+
   test("vacuum drops expired versions and their unreferenced files, keeps the horizon") {
     val (t, dir) = freshStore()
     t.append("tbl", Seq(1).toDF("id"))
