@@ -13,12 +13,8 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** word-3-gram shingles as an array column (Spark side); the CASE guards
-    * against sequence(1, 0) which would generate a DESCENDING range */
-  private val shinglesExpr =
-    "CASE WHEN size(words) < 3 THEN array() " +
-      "ELSE transform(sequence(1, size(words) - 2), " +
-      "i -> concat_ws(' ', slice(words, i, 3))) END"
+  /** word-3-gram shingles (shared with the streaming operator) */
+  private val shinglesExpr = graft.ops.MinHash.shinglesExpr
 
   /** same shingles in DuckDB 1.0 (list_transform; range() stop-exclusive) */
   private val shinglesSqlDuck =
@@ -80,12 +76,10 @@ object TextQueries {
     * base hash u per shingle: ONE md5 per shingle instead of eight — at
     * 100 TB the signature pass is the dominant cost of near-dup dedup, and
     * 8 md5+concat per shingle row was 8× the hashing work for the same
-    * minhash quality. a_j < 2^24 and u < 2^30 keep every product inside a
-    * signed 64-bit long; the DuckDB oracle mirrors the arithmetic exactly. */
-  private val HashFamily = Seq(
-    (1299721L, 11L), (2750159L, 103L), (4256233L, 1009L), (5800079L, 10007L),
-    (7368787L, 100003L), (8960453L, 1000003L), (10570841L, 233L), (12195257L, 377L))
-  private val HashPrime = 1073741789L // largest prime < 2^30
+    * minhash quality. Constants shared with the streaming operator; the
+    * DuckDB oracle mirrors the arithmetic exactly. */
+  private val HashFamily = graft.ops.MinHash.HashFamily
+  private val HashPrime = graft.ops.MinHash.HashPrime
 
   private def buildLshCandidates(s: SparkSession, dir: String): DataFrame = {
     val sh = docs(s, dir)

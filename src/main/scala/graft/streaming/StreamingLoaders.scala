@@ -192,6 +192,53 @@ object StreamingLoaders {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** One emitted near-duplicate candidate pair. */
+  final case class CandPair(doc_id: Long, doc_id_2: Long, bucket: String)
+
+  /** Streaming near-duplicate CANDIDATE generation — the continuous shape
+    * of the batch MinHash+LSH chain (same signatures, same band buckets):
+    * each document's per-row signature maps to 2 band buckets, and bucket
+    * membership lives in the STATE STORE (flatMapGroupsWithState keyed by
+    * bucket). A new arrival emits one pair per stored member, exactly what
+    * the batch bucket self-join produces, incrementally. Buckets are capped
+    * like the batch generator: once `maxBucketSize` members are stored, a
+    * bucket stops emitting (degenerate boilerplate buckets would emit m²/2
+    * pairs and their members are near-dups of everything — the batch cap's
+    * rationale, applied online). Downstream: the same Jaccard/SimHash
+    * verifies, per micro-batch. */
+  def lshCandidatesStream(staged: DataFrame, docId: String = "doc_id",
+                          textCol: String = "text",
+                          maxBucketSize: Int = 100): DataFrame = {
+    import graft.ops.MinHash
+    val bands = staged
+      .withColumn("words", split(col(textCol), "\\s+"))
+      .withColumn("shs", expr(MinHash.shinglesExpr))
+      .filter(size(col("shs")) > 0)
+      .withColumn("sig", MinHash.perRowSig)
+      .select(col(docId).cast("long").as("doc_id"),
+        explode(array(lit(0), lit(1))).as("band"), col("sig"))
+      .withColumn("bucket", MinHash.bucketExpr)
+      .select(col("doc_id"), col("bucket"))
+    bands
+      .groupByKey((r: Row) => r.getAs[String]("bucket"))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (bucket: String, rows: Iterator[Row], state: GroupState[Seq[Long]]) => {
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[CandPair]
+          rows.map(_.getAs[Long]("doc_id")).toSeq.distinct.sorted.foreach { d =>
+            if (!members.contains(d) && members.size < maxBucketSize) {
+              members.foreach { m =>
+                out += CandPair(math.min(m, d), math.max(m, d), bucket)
+              }
+              members = members :+ d
+            }
+          }
+          state.update(members)
+          out.result().iterator
+        })(Encoders.kryo[Seq[Long]], Encoders.product[CandPair])
+      .toDF()
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming form of the events_windowed batch query. Append mode emits a
     * window only once the watermark passes its end: late events inside the

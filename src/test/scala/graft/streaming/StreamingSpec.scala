@@ -201,4 +201,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "same text"), (3L, "other text")),
       s"expected first-arrival survivors only, got $got")
   }
+
+  test("streaming LSH candidates: bucket state emits pairs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+
+    val cands = StreamingLoaders.lshCandidatesStream(docs)
+    val query = cands.writeStream
+      .format("memory").queryName("lsh_stream").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    // batch 1: two identical docs (same signature → same buckets → pair),
+    // one unrelated doc
+    input.addData((1L, shared), (2L, shared),
+      (3L, "completely different words that share nothing at all here"))
+    query.processAllAvailable()
+    // batch 2: a third copy arrives LATER — pairs against the stored members
+    input.addData((4L, shared))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.sql("SELECT DISTINCT doc_id, doc_id_2 FROM lsh_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"expected the identical trio's pairs across batches, got $got")
+  }
 }
