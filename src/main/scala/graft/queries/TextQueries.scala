@@ -611,6 +611,41 @@ object TextQueries {
              |  u < keep_rate AS keep
              |FROM d""".stripMargin)),
 
+    // PII detection + scrubbing: count and mask email / phone-like / IPv4
+    // patterns — the content-safety pass a training pipeline runs before
+    // release. Stateless per-row regexes (codegen'd), zero shuffle; the
+    // scrubbed text round-trips through md5 so the oracle verifies the
+    // REPLACEMENT bytes, not just the counts.
+    Q("pii_scrub",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+        val phone = "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b"
+        val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>")
+        docs(s, dir).select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(ipv4)).cast("long").as("n_ips"),
+          regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+          md5(scrubbed).as("scrubbed_md5"),
+          (regexp_count(col("text"), lit(email)) +
+            regexp_count(col("text"), lit(ipv4)) +
+            regexp_count(col("text"), lit(phone)) > 0).as("has_pii"))
+      },
+      Some("""SELECT doc_id,
+             |  cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  cast(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |  cast(len(regexp_extract_all(text, '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) AS BIGINT) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5,
+             |  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |   + len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+             |   + len(regexp_extract_all(text, '\b\d{3}[- .]\d{3}[- .]\d{4}\b'))) > 0 AS has_pii
+             |FROM documents""".stripMargin)),
+
     // per-language corpus statistics: doc counts + EXACT token-count
     // percentiles (p50/p90/p99). One partial-aggregating groupBy over a
     // handful of language groups; at 100 TB swap `percentile` for
