@@ -61,8 +61,15 @@ object EffSatLoader {
             additionalColumns.map(c => col(s"__src_$c").as(c)) ++ Seq(col(LdtsAlias),
             coalesce(col("__src_rsrc"), lit(UnknownRsrc)).as(RsrcAlias),
             when(col("__src_hk").isNull, 0).otherwise(1).as(isActiveAlias))): _*)
-        // deduplicated_incoming (:146-163): status changes only
-        Ops.dedupChanges(isActive, hashkey, isActiveAlias)
+        // deduplicated_incoming (:146-163): status changes only. The
+        // incremental plan consumes this frame TWICE (the `filtered` branch
+        // and the disappeared `present` probe) — persist so the history
+        // matrix + change-dedup window run once per load, spilling to disk
+        // if large. (The min-ldts probe itself reads src, not this frame.)
+        val changes = Ops.dedupChanges(isActive, hashkey, isActiveAlias)
+        if (incremental)
+          changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else changes
       } else {
         // new_hashkeys (:174-199): activate keys not currently active
         val newKeys = src.select((Seq(col(hashkey)) ++ additionalColumns.map(col) ++

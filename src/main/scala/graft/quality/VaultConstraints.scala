@@ -25,11 +25,14 @@ object VaultConstraints {
       sum(when(cols.map(c => col(c).isNull).reduce(_ || _), 1L).otherwise(0L)),
       lit(0L)).as("violations")))
 
-  /** violation count: rows belonging to a duplicated key group (the dbt
-    * `unique` test counts rows, not groups — mirrored here) */
+  /** violation count: duplicated key VALUES, NULL keys excluded — dbt's
+    * generic `unique` test filters `where column is not null` and returns
+    * one failing row per duplicated value (NULL completeness is
+    * `not_null`'s job, reported separately) */
   def uniqueViolations(df: DataFrame, cols: Seq[String], check: String): DataFrame =
-    asRow(check, df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
-      .select(coalesce(sum(when(col("__n") > 1, col("__n")).otherwise(0L)), lit(0L))
+    asRow(check, df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .select(coalesce(sum(when(col("__n") > 1, 1L).otherwise(0L)), lit(0L))
         .as("violations")))
 
   /** violation count: child rows whose key has no parent row (dbt

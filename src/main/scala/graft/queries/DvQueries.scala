@@ -1515,15 +1515,16 @@ object DvQueries {
               |  cast(count(*) FILTER (hk IS NULL) AS BIGINT) AS violations FROM hub
               |UNION ALL
               |SELECT 'hub_customer.hk_customer_h_unique',
-              |  cast(coalesce(sum(n) FILTER (n > 1), 0) AS BIGINT)
-              |FROM (SELECT hk, count(*) AS n FROM hub GROUP BY hk)
+              |  cast(count(*) FILTER (n > 1) AS BIGINT)
+              |FROM (SELECT hk, count(*) AS n FROM hub WHERE hk IS NOT NULL GROUP BY hk)
               |UNION ALL
               |SELECT 'sat_customer.hk_customer_h_not_null',
               |  cast(count(*) FILTER (hk IS NULL) AS BIGINT) FROM sat
               |UNION ALL
               |SELECT 'sat_customer.hk_ldts_unique',
-              |  cast(coalesce(sum(n) FILTER (n > 1), 0) AS BIGINT)
-              |FROM (SELECT hk, ldts, count(*) AS n FROM sat GROUP BY hk, ldts)
+              |  cast(count(*) FILTER (n > 1) AS BIGINT)
+              |FROM (SELECT hk, ldts, count(*) AS n FROM sat
+              |      WHERE hk IS NOT NULL AND ldts IS NOT NULL GROUP BY hk, ldts)
               |UNION ALL
               |SELECT 'sat_customer.fk_in_parent',
               |  cast(count(*) AS BIGINT)

@@ -39,18 +39,20 @@ object TextQueries {
     * cost 4×. Persisted MEMORY_AND_DISK so a too-big candidate set spills
     * instead of recomputing.
     *
-    * Cached in a WeakHashMap keyed by the SESSION OBJECT: a stopped
-    * session's entries (and their pinned persisted frames) become
-    * collectable with it, and a new session can never alias a dead one's
-    * cache (an identity-hash key could). */
+    * Keyed by the SESSION OBJECT with EXPLICIT eviction of stopped
+    * sessions on every access (a WeakHashMap would never collect here: the
+    * cached DataFrames strongly reference their session, pinning the key).
+    * Object identity also means a new session can never alias a dead one's
+    * cache. */
   private val sessionCaches =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    scala.collection.mutable.Map.empty[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
 
   private def cachedPerSession(s: SparkSession, key: String)(
       build: => DataFrame): DataFrame = sessionCaches.synchronized {
-    val m = sessionCaches.computeIfAbsent(s,
-      _ => scala.collection.mutable.Map.empty[String, DataFrame])
-    m.getOrElseUpdate(key, build)
+    sessionCaches.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
+    sessionCaches.getOrElseUpdate(s,
+      scala.collection.mutable.Map.empty[String, DataFrame])
+      .getOrElseUpdate(key, build)
   }
 
   private def lshCandidates(s: SparkSession, dir: String): DataFrame =

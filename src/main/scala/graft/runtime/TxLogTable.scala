@@ -186,14 +186,35 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
       }.toMap
   }
 
+  /** UTF-8 byte ordering — Spark's min/max over strings is binary
+    * (UTF8String) order, NOT Java's UTF-16 compareTo: supplementary
+    * characters rank above ￿ in byte order but below it in UTF-16, so
+    * comparing stats with compareTo could prune a file that holds matching
+    * rows. Compare the same way the stats were computed. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** order stats values as their column's type: numerics numerically,
-    * everything else as rendered strings (CAST AS STRING of timestamps and
-    * dates is fixed-format, so lexicographic = chronological) */
+    * everything else as rendered strings in UTF-8 byte order (CAST AS
+    * STRING of timestamps and dates is fixed-format ASCII, so byte order =
+    * chronological). A value that fails to parse (NaN/Infinity renderings
+    * of a double column) compares as 0 = "ranges overlap" — the file stays
+    * a candidate, never wrongly pruned. */
   private def statCompare(typeDdl: String): (String, String) => Int = {
     val numeric = Set("tinyint", "smallint", "int", "bigint", "float", "double")
     if (numeric(typeDdl) || typeDdl.startsWith("decimal"))
-      (a, b) => BigDecimal(a).compare(BigDecimal(b))
-    else (a, b) => a.compareTo(b)
+      (a, b) => try BigDecimal(a).compare(BigDecimal(b))
+        catch { case _: NumberFormatException => 0 }
+    else (a, b) => utf8Compare(a, b)
   }
 
   /** Write `df` (LOGICAL names) as a new immutable data-file batch under
@@ -278,16 +299,18 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
                 expectedVersion: Option[Long] = None): Unit = {
     val cols = identityMapping(df)
     val head = currentVersion(name)
-    // stats columns survive a full refresh where the (reset, physical =
-    // logical) schema still carries them
-    val statsCols = head.map(statsColumns(name, _)).getOrElse(Nil)
-      .filter(sc => cols.exists(_.physical == sc))
-    val added = writeBatch(name, df, cols)
+    // CAS guard BEFORE the batch write: a stale overwrite aborts without
+    // having produced an orphaned table-sized batch
     expectedVersion.foreach { ev =>
       require(head.contains(ev) || (ev == 0L && head.isEmpty),
         s"TxLogTable $name: expected version $ev but head is $head — " +
           "concurrent commit detected, re-derive and retry")
     }
+    // stats columns survive a full refresh where the (reset, physical =
+    // logical) schema still carries them
+    val statsCols = head.map(statsColumns(name, _)).getOrElse(Nil)
+      .filter(sc => cols.exists(_.physical == sc))
+    val added = writeBatch(name, df, cols)
     val m = Meta(cols, statsCols, batchStats(name, added, statsCols))
     if (!tryCommit(name, head.getOrElse(0L) + 1, renderM(m, added)))
       throw new IllegalStateException(
@@ -335,7 +358,13 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
     val live = files(name, v)
     val m = metaOf(name, v)
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    // the source is evaluated by THREE jobs (key-range probe, touched-file
+    // probe, survivors write) — materialize it once so a nondeterministic
+    // input (limit without order, sampling, now()) cannot yield different
+    // key sets between the probe and the write, which would leave a matched
+    // key's old row alive next to its inserted replacement
+    val src = source.localCheckpoint()
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
     // data skipping: the probe scans only files whose per-file [min,max]
     // intersects the source's key range — with stats on the key column a
     // clustered table turns the probe from O(table) into O(overlap)
@@ -373,10 +402,10 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
     val touched = probeFiles.filter(f => touchedAbs.exists(_.endsWith("/" + f)))
     val tableCols = m.cols.map(_.logical).toIndexedSeq
     val survivors =
-      if (touched.isEmpty) source.select(tableCols.map(col): _*)
+      if (touched.isEmpty) src.select(tableCols.map(col): _*)
       else readMapped(name, m.cols, touched)
         .join(srcKeys, keyCols, "left_anti")
-        .unionByName(source.select(tableCols.map(col): _*))
+        .unionByName(src.select(tableCols.map(col): _*))
     val added = writeBatch(name, survivors, m.cols)
     val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols))
     if (!tryCommit(name, v + 1,
@@ -523,10 +552,16 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
     (live.size, added.size)
   }
 
-  /** Drop versions older than the newest `retainVersions` and delete data
-    * files no retained manifest references. Readers of retained versions
-    * stay valid — that is the horizon contract. */
-  def vacuum(name: String, retainVersions: Int = 2): Unit = {
+  /** Drop versions older than the newest `retainVersions`, delete data
+    * files no retained manifest references, and reclaim ORPHANED batches —
+    * directories written by an aborted overwrite/merge/rewrite (or a
+    * DDL-raced append) whose commit never landed. Orphans are only removed
+    * once older than `orphanGraceMs`, so a concurrent writer's
+    * just-written, not-yet-committed batch survives a racing vacuum (the
+    * same retention-window contract Delta's VACUUM carries). Readers of
+    * retained versions stay valid — that is the horizon contract. */
+  def vacuum(name: String, retainVersions: Int = 2,
+             orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     val vs = versions(name)
     val (expired, retained) = vs.splitAt(math.max(0, vs.size - math.max(1, retainVersions)))
     val keep = retained.flatMap(files(name, _)).toSet
@@ -536,11 +571,26 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
       }
       Files.deleteIfExists(manifestPath(name, v)): Unit
     }
-    // remove emptied batch directories (ignore non-empty: still referenced)
+    val referencedBatches = keep.map(_.split('/').head)
+    val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
+    def rmTree(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val c = Files.list(p)
+        try c.iterator().asScala.toSeq.foreach(rmTree) finally c.close()
+      }
+      Files.deleteIfExists(p): Unit
+    }
     val s = Files.list(root(name))
-    try s.iterator().asScala
+    try s.iterator().asScala.toSeq
       .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("d-"))
-      .foreach(d => try Files.delete(d) catch { case _: java.io.IOException => () })
+      .foreach { d =>
+        val batch = d.getFileName.toString
+        val isOrphan = !referencedBatches(batch) &&
+          Files.getLastModifiedTime(d).toMillis < cutoff
+        if (isOrphan) rmTree(d)
+        // referenced-but-emptied dirs: plain delete succeeds only when empty
+        else try Files.delete(d) catch { case _: java.io.IOException => () }
+      }
     finally s.close()
   }
 }

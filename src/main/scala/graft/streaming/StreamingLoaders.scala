@@ -199,42 +199,78 @@ object StreamingLoaders {
     * of the batch MinHash+LSH chain (same signatures, same band buckets):
     * each document's per-row signature maps to 2 band buckets, and bucket
     * membership lives in the STATE STORE (flatMapGroupsWithState keyed by
-    * bucket). A new arrival emits one pair per stored member, exactly what
-    * the batch bucket self-join produces, incrementally. Buckets are capped
-    * like the batch generator: once `maxBucketSize` members are stored, a
-    * bucket stops emitting (degenerate boilerplate buckets would emit m²/2
-    * pairs and their members are near-dups of everything — the batch cap's
-    * rationale, applied online). Downstream: the same Jaccard/SimHash
-    * verifies, per micro-batch. */
+    * bucket). A new arrival emits one pair per stored member — the batch
+    * bucket self-join, incrementally.
+    *
+    * Hot buckets are capped ONLINE: once `maxBucketSize` members are
+    * stored, later arrivals are suppressed. NOTE this is weaker than the
+    * batch generator, which sees the final bucket size and drops an
+    * over-cap bucket's pairs ENTIRELY — an append stream cannot retract
+    * already-emitted pairs, so a bucket that eventually goes degenerate
+    * keeps the ≤ m²/2 pairs its first m members produced. Boilerplate
+    * suppression at batch strength needs the downstream batch dedup pass.
+    *
+    * State is bounded by the event-time horizon when `tsCol` is set (the
+    * input must carry a watermark on it): a bucket idle for `inactivity`
+    * past the watermark is EVICTED, like `dedupExactStream` — far-apart
+    * re-occurrences then re-pair only among themselves. Without `tsCol`
+    * state grows with distinct buckets (acceptable for bounded backfills,
+    * not for unbounded streams). */
   def lshCandidatesStream(staged: DataFrame, docId: String = "doc_id",
                           textCol: String = "text",
-                          maxBucketSize: Int = 100): DataFrame = {
+                          maxBucketSize: Int = 100,
+                          tsCol: Option[String] = None,
+                          inactivity: String = "1 hour"): DataFrame = {
     import graft.ops.MinHash
+    val stepMs = tsCol.map { _ =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(inactivity))
+      require(iv.months == 0,
+        s"lshCandidatesStream: month/year-denominated inactivity ('$inactivity') " +
+          "has no fixed millisecond length — use day/hour/minute units")
+      val ms = iv.days.toLong * 86400000L + iv.microseconds / 1000L
+      require(ms > 0, s"lshCandidatesStream: inactivity '$inactivity' must be positive")
+      ms
+    }
     val bands = staged
       .withColumn("words", split(col(textCol), "\\s+"))
       .withColumn("shs", expr(MinHash.shinglesExpr))
       .filter(size(col("shs")) > 0)
       .withColumn("sig", MinHash.perRowSig)
-      .select(col(docId).cast("long").as("doc_id"),
-        explode(array(lit(0), lit(1))).as("band"), col("sig"))
+      .select((Seq(col(docId).cast("long").as("doc_id"),
+        explode(array(lit(0), lit(1))).as("band"), col("sig")) ++
+        tsCol.map(col)): _*)
       .withColumn("bucket", MinHash.bucketExpr)
-      .select(col("doc_id"), col("bucket"))
+      .select((Seq(col("doc_id"), col("bucket")) ++ tsCol.map(col)): _*)
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     bands
       .groupByKey((r: Row) => r.getAs[String]("bucket"))(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (bucket: String, rows: Iterator[Row], state: GroupState[Seq[Long]]) => {
-          var members = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[CandPair]
-          rows.map(_.getAs[Long]("doc_id")).toSeq.distinct.sorted.foreach { d =>
-            if (!members.contains(d) && members.size < maxBucketSize) {
-              members.foreach { m =>
-                out += CandPair(math.min(m, d), math.max(m, d), bucket)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[CandPair]
+            val events = rows.toSeq
+            events.map(_.getAs[Long]("doc_id")).distinct.sorted.foreach { d =>
+              if (!members.contains(d) && members.size < maxBucketSize) {
+                members.foreach { m =>
+                  out += CandPair(math.min(m, d), math.max(m, d), bucket)
+                }
+                members = members :+ d
               }
-              members = members :+ d
             }
+            state.update(members)
+            (tsCol, stepMs) match {
+              case (Some(tc), Some(ms)) =>
+                val maxTs = events.map(_.getAs[java.sql.Timestamp](tc).getTime).max
+                state.setTimeoutTimestamp(maxTs + ms)
+              case _ =>
+            }
+            out.result().iterator
           }
-          state.update(members)
-          out.result().iterator
         })(Encoders.kryo[Seq[Long]], Encoders.product[CandPair])
       .toDF()
   }

@@ -291,7 +291,7 @@ class MetadataSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(report == Map(
       "customer_hub.hk_not_null" -> 0L,
-      "customer_hub.hk_unique" -> 2L,
+      "customer_hub.hk_unique" -> 1L, // one duplicated VALUE (dbt semantics)
       "customer_sat.hk_not_null" -> 1L,
       "customer_sat.hk_relationships" -> 1L,
       "customer_sat.hk_payload_unique" -> 0L))

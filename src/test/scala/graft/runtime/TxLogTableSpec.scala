@@ -308,6 +308,29 @@ class TxLogTableSpec extends SparkSpec {
     assert(t.read("tbl").count() === 100)
   }
 
+  test("vacuum reclaims aged orphan batches but spares fresh uncommitted ones") {
+    val (t, dir) = freshStore()
+    t.append("tbl", Seq(1).toDF("id"))
+    val derivedFrom = t.currentVersion("tbl").get
+    t.append("tbl", Seq(2).toDF("id"))
+    // a stale overwrite aborts BEFORE writing its batch now — no orphan
+    intercept[IllegalArgumentException] {
+      t.overwrite("tbl", Seq(9).toDF("id"), expectedVersion = Some(derivedFrom))
+    }
+    // simulate an aborted writer's leftover batch (crash after write,
+    // before commit)
+    val orphan = Paths.get(dir, "tbl", "d-orphan")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    // fresh orphan survives a vacuum with the default grace…
+    t.vacuum("tbl", retainVersions = 2)
+    assert(Files.exists(orphan), "a fresh uncommitted batch must survive")
+    // …and is reclaimed once past the grace window
+    t.vacuum("tbl", retainVersions = 2, orphanGraceMs = 0L)
+    assert(!Files.exists(orphan), "an aged orphan batch must be reclaimed")
+    assert(t.read("tbl").as[Int].collect().toSet === Set(1, 2))
+  }
+
   test("vacuum drops expired versions and their unreferenced files, keeps the horizon") {
     val (t, dir) = freshStore()
     t.append("tbl", Seq(1).toDF("id"))

@@ -230,4 +230,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)),
       s"expected the identical trio's pairs across batches, got $got")
   }
+
+  test("streaming LSH candidates: idle buckets evict at the event-time horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .withWatermark("ts", "0 seconds")
+
+    val cands = StreamingLoaders.lshCandidatesStream(docs,
+      tsCol = Some("ts"), inactivity = "1 hour")
+    val query = cands.writeStream
+      .format("memory").queryName("lsh_evict").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    input.addData((1L, "2024-01-01 10:00:00", shared))
+    query.processAllAvailable()
+    // watermark sails far past 10:00 + 1h → doc 1's buckets evict
+    input.addData((9L, "2024-01-01 14:00:00",
+      "completely different words that share nothing at all here"))
+    query.processAllAvailable()
+    input.addData((9L, "2024-01-01 15:00:00",
+      "completely different words that share nothing at all here"))
+    query.processAllAvailable()
+    // doc 2 arrives AFTER eviction: same text as doc 1, but no pair — the
+    // horizon contract (far-apart duplicates are the batch pass's job)
+    input.addData((2L, "2024-01-01 16:00:00", shared))
+    query.processAllAvailable()
+    query.stop()
+    val pairs = spark.sql("SELECT doc_id, doc_id_2 FROM lsh_evict")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((1L, 2L)),
+      s"doc 1's bucket state must have been evicted, got $pairs")
+  }
 }
