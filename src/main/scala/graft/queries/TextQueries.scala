@@ -648,6 +648,84 @@ object TextQueries {
              |   + len(regexp_extract_all(text, '\b\d{3}[- .]\d{3}[- .]\d{4}\b'))) > 0 AS has_pii
              |FROM documents""".stripMargin)),
 
+    // context-window chunking: split each document into overlapping
+    // fixed-size token windows (stride < size ⇒ overlap), the shape
+    // training examples are actually cut to. Pure per-row explode of an
+    // in-row sequence — embarrassingly parallel, no shuffle; chunk count
+    // and offsets derive from the token count arithmetically.
+    Q("doc_chunks",
+      (s, dir) => {
+        val win = 64; val stride = 48
+        docs(s, dir)
+          .select(col("doc_id"), split(col("text"), "\\s+").as("words"))
+          .select(col("doc_id"), size(col("words")).as("n_tokens"),
+            explode(expr(
+              s"transform(sequence(0, greatest(cast(ceil((size(words) - $win) / $stride.0) as int), 0)), " +
+                s"i -> struct(i AS idx, i * $stride AS off, " +
+                s"concat_ws(' ', slice(words, i * $stride + 1, $win)) AS chunk))")).as("c"))
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("c.idx").cast("long").as("chunk_idx"),
+            col("c.off").cast("long").as("chunk_off"),
+            md5(col("c.chunk")).as("chunk_md5"),
+            size(split(col("c.chunk"), " ")).cast("long").as("chunk_tokens"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents),
+             |c AS (
+             |  SELECT doc_id, len(words) AS n_tokens, u.i AS chunk_idx,
+             |    u.i * 48 AS chunk_off,
+             |    array_to_string(words[u.i * 48 + 1 : u.i * 48 + 64], ' ') AS chunk
+             |  FROM w, UNNEST(range(0,
+             |    greatest(cast(ceil((len(words) - 64) / 48.0) AS BIGINT), 0) + 1)) AS u(i))
+             |SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+             |  cast(chunk_idx AS BIGINT) AS chunk_idx,
+             |  cast(chunk_off AS BIGINT) AS chunk_off,
+             |  md5(chunk) AS chunk_md5,
+             |  cast(len(regexp_split_to_array(chunk, ' ')) AS BIGINT) AS chunk_tokens
+             |FROM c""".stripMargin)),
+
+    // TF-IDF top-3 keywords per document — the classic two-phase corpus
+    // shape: one pass builds per-doc term frequencies (partial-aggregating
+    // groupBy), one tiny aggregate builds the document-frequency table
+    // (vocabulary-sized → broadcast), a broadcast join scores, a per-doc
+    // window takes the top-k. Scores round to 4 decimals before ranking so
+    // cross-engine libm jitter (~1e-13) cannot flip ranks; ties break by
+    // term.
+    Q("tfidf_keywords",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = docs(s, dir)
+          .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+          .filter(length(col("term")) >= 3)
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val nDocs = docs(s, dir).count()
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(df_), Seq("term"))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, u.term
+             |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS ts
+             |        FROM documents), UNNEST(ts) AS u(term)
+             |  WHERE len(u.term) >= 3),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |    round(tf.tf * ln(cast(n.n_docs AS double) / df.df), 4) AS tfidf
+             |  FROM tf JOIN df ON tf.term = df.term, n),
+             |ranked AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY tfidf DESC, term ASC) AS rank FROM scored)
+             |SELECT doc_id, term, tfidf, cast(rank AS BIGINT) AS rank
+             |FROM ranked WHERE rank <= 3""".stripMargin)),
+
     // per-language corpus statistics: doc counts + EXACT token-count
     // percentiles (p50/p90/p99). One partial-aggregating groupBy over a
     // handful of language groups; at 100 TB swap `percentile` for
