@@ -308,6 +308,31 @@ class TxLogTableSpec extends SparkSpec {
     assert(t.read("tbl").count() === 100)
   }
 
+  test("racing appenders: every row lands exactly once, versions stay dense") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((-1L, "seed")).toDF("id", "v"))
+    val threads = 4; val perThread = 3
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (0 until threads).map { tid =>
+      new Thread(() => {
+        try (0 until perThread).foreach { i =>
+          t.append("tbl", Seq((tid * 100L + i, s"t$tid-$i")).toDF("id", "v"))
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    assert(errors.isEmpty, s"appenders must retry through CAS losses: $errors")
+    val rows = t.read("tbl").as[(Long, String)].collect()
+    val want = Set((-1L, "seed")) ++
+      (for (tid <- 0 until threads; i <- 0 until perThread)
+        yield (tid * 100L + i, s"t$tid-$i")).toSet
+    assert(rows.toSet === want, "no append may be lost")
+    assert(rows.length === want.size, "no append may be duplicated")
+    // versions are dense 1..N — every commit landed on its own version
+    val vs = t.versions("tbl")
+    assert(vs === (1L to (threads * perThread + 1)).toSeq)
+  }
+
   test("vacuum reclaims aged orphan batches but spares fresh uncommitted ones") {
     val (t, dir) = freshStore()
     t.append("tbl", Seq(1).toDF("id"))
