@@ -166,4 +166,40 @@ object Ops {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** The reference lets a project rename every system column globally
+    * (`datavault4dbt.ldts_alias` / `rsrc_alias` / `ledts_alias` /
+    * `sdts_alias`, `dbt_project.yml:19-22`). The engine's loaders use the
+    * fixed standard names internally; a custom-alias project bridges at the
+    * two edges — `toStandardAliases` on anything it feeds in,
+    * `withSystemAliases` on anything it reads out — and gets full naming
+    * parity without threading configuration through every operator.
+    * Only columns actually present are renamed. */
+  def withSystemAliases(df: DataFrame,
+                        ldts: String = LdtsAlias, rsrc: String = RsrcAlias,
+                        ledts: String = graft.expr.SystemColumns.LedtsAlias,
+                        sdts: String = graft.expr.SystemColumns.SdtsAlias): DataFrame = {
+    val mapping = Seq(LdtsAlias -> ldts, RsrcAlias -> rsrc,
+      graft.expr.SystemColumns.LedtsAlias -> ledts,
+      graft.expr.SystemColumns.SdtsAlias -> sdts)
+    mapping.foldLeft(df) { case (d, (std, custom)) =>
+      if (std != custom && d.columns.contains(std)) d.withColumnRenamed(std, custom)
+      else d
+    }
+  }
+
+  /** inverse of [[withSystemAliases]]: custom names → the standard ones the
+    * loaders expect */
+  def toStandardAliases(df: DataFrame,
+                        ldts: String = LdtsAlias, rsrc: String = RsrcAlias,
+                        ledts: String = graft.expr.SystemColumns.LedtsAlias,
+                        sdts: String = graft.expr.SystemColumns.SdtsAlias): DataFrame = {
+    val mapping = Seq(ldts -> LdtsAlias, rsrc -> RsrcAlias,
+      ledts -> graft.expr.SystemColumns.LedtsAlias,
+      sdts -> graft.expr.SystemColumns.SdtsAlias)
+    mapping.foldLeft(df) { case (d, (custom, std)) =>
+      if (std != custom && d.columns.contains(custom)) d.withColumnRenamed(custom, std)
+      else d
+    }
+  }
 }

@@ -37,4 +37,20 @@ class OpsSpec extends SparkSpec {
       Ops.saltedJoin(df, df, Seq("bk"), 4, "full_outer")
     }
   }
+
+  test("system-alias bridge round-trips custom column names") {
+    val std = Seq(("h1", "2024-01-01 00:00:00", "SRC", "9999-01-01 00:00:00"))
+      .toDF("hk", "ldts", "rsrc", "ledts")
+    val custom = Ops.withSystemAliases(std,
+      ldts = "loaddate", rsrc = "record_source", ledts = "load_end_date")
+    assert(custom.columns.toSeq ===
+      Seq("hk", "loaddate", "record_source", "load_end_date"))
+    val back = Ops.toStandardAliases(custom,
+      ldts = "loaddate", rsrc = "record_source", ledts = "load_end_date")
+    assert(back.columns.toSeq === std.columns.toSeq)
+    assert(back.collect() === std.collect())
+    // absent columns are ignored, present non-system columns untouched
+    val partial = Ops.withSystemAliases(std.drop("ledts"), ldts = "lt")
+    assert(partial.columns.toSeq === Seq("hk", "lt", "rsrc"))
+  }
 }
