@@ -280,6 +280,52 @@ object SimQueries {
       },
       Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
              |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
-             |FROM events GROUP BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // gap-based sessionization: a session breaks when a user is idle for
+    // more than 30 minutes — LAG marks the breaks, a running SUM of break
+    // flags assigns session numbers, one aggregate emits per-session
+    // metrics. Everything partitions by user_id, so the whole operator is
+    // two windows and one groupBy over the same user-hash shuffle — one
+    // exchange total, embarrassingly parallel across users at any scale.
+    Q("event_sessions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapMin = 30
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"), col("event_id"),
+            expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        // event_id tiebreak: equal timestamps must order identically in
+        // both engines or the LAG sees different neighbors; gaps compare
+        // in MICROSECONDS so sub-second differences can't straddle the
+        // threshold differently under truncation
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val flagged = ev.withColumn("__brk",
+          when(unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(byUser) > gapMin * 60000000L, 1L)
+            .otherwise(0L))
+          .withColumn("session_no", sum(col("__brk")).over(byUser))
+        flagged.groupBy(col("user_id"), col("session_no"))
+          .agg(min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("session_value"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |numbered AS (
+             |  SELECT user_id, ts, value,
+             |    cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+             |  FROM flagged)
+             |SELECT user_id, session_no,
+             |  min(ts) AS session_start, max(ts) AS session_end,
+             |  cast(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 4) AS session_value
+             |FROM numbered GROUP BY user_id, session_no""".stripMargin))
   )
 }
