@@ -326,6 +326,30 @@ object SimQueries {
              |  min(ts) AS session_start, max(ts) AS session_end,
              |  cast(count(*) AS BIGINT) AS n_events,
              |  round(sum(value), 4) AS session_value
-             |FROM numbered GROUP BY user_id, session_no""".stripMargin))
+             |FROM numbered GROUP BY user_id, session_no""".stripMargin)),
+
+    // semi-structured props: typed JSON extraction (from_json with an
+    // explicit schema — codegen'd, no UDF) feeding an aggregation. The
+    // schema-on-read path every event pipeline needs: parse errors become
+    // typed NULLs, not exceptions.
+    Q("events_props_json",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        ev.select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+          .groupBy("event_type")
+          .agg(count(col("k")).as("n_parsed"),
+            sum(col("k")).as("k_total"),
+            min(col("k")).as("k_min"),
+            max(col("k")).as("k_max"))
+      },
+      Some("""SELECT event_type,
+             |  cast(count(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_parsed,
+             |  cast(sum(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_total,
+             |  cast(min(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+             |  cast(max(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }
