@@ -174,32 +174,38 @@ object Ops {
     * two edges — `toStandardAliases` on anything it feeds in,
     * `withSystemAliases` on anything it reads out — and gets full naming
     * parity without threading configuration through every operator.
-    * Only columns actually present are renamed. */
+    * Only columns actually present are renamed; a rename whose target name
+    * is already taken fails loudly (withColumnRenamed would silently
+    * produce duplicate columns and a later rename would hit both). */
   def withSystemAliases(df: DataFrame,
                         ldts: String = LdtsAlias, rsrc: String = RsrcAlias,
-                        ledts: String = graft.expr.SystemColumns.LedtsAlias,
-                        sdts: String = graft.expr.SystemColumns.SdtsAlias): DataFrame = {
-    val mapping = Seq(LdtsAlias -> ldts, RsrcAlias -> rsrc,
-      graft.expr.SystemColumns.LedtsAlias -> ledts,
-      graft.expr.SystemColumns.SdtsAlias -> sdts)
-    mapping.foldLeft(df) { case (d, (std, custom)) =>
-      if (std != custom && d.columns.contains(std)) d.withColumnRenamed(std, custom)
-      else d
-    }
-  }
+                        ledts: String = LedtsAlias,
+                        sdts: String = SdtsAlias): DataFrame =
+    renameAll(df, Seq(LdtsAlias -> ldts, RsrcAlias -> rsrc,
+      LedtsAlias -> ledts, SdtsAlias -> sdts))
 
   /** inverse of [[withSystemAliases]]: custom names → the standard ones the
     * loaders expect */
   def toStandardAliases(df: DataFrame,
                         ldts: String = LdtsAlias, rsrc: String = RsrcAlias,
-                        ledts: String = graft.expr.SystemColumns.LedtsAlias,
-                        sdts: String = graft.expr.SystemColumns.SdtsAlias): DataFrame = {
-    val mapping = Seq(ldts -> LdtsAlias, rsrc -> RsrcAlias,
-      ledts -> graft.expr.SystemColumns.LedtsAlias,
-      sdts -> graft.expr.SystemColumns.SdtsAlias)
-    mapping.foldLeft(df) { case (d, (custom, std)) =>
-      if (std != custom && d.columns.contains(custom)) d.withColumnRenamed(custom, std)
-      else d
+                        ledts: String = LedtsAlias,
+                        sdts: String = SdtsAlias): DataFrame =
+    renameAll(df, Seq(ldts -> LdtsAlias, rsrc -> RsrcAlias,
+      ledts -> LedtsAlias, sdts -> SdtsAlias))
+
+  private def renameAll(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val active = pairs.filter { case (from, to) =>
+      from != to && df.columns.contains(from)
     }
+    active.foreach { case (from, to) =>
+      val occupied = df.columns.contains(to) && !active.exists(_._1 == to)
+      require(!occupied && active.count(_._2 == to) == 1,
+        s"system-alias rename $from -> $to collides with an existing column")
+    }
+    // rename through collision-free temporaries so swaps (ldts<->rsrc)
+    // never transit a duplicate-name state
+    val tagged = active.zipWithIndex.map { case ((f, t), i) => (f, s"__ren_$i", t) }
+    val mid = tagged.foldLeft(df) { case (d, (f, tmp, _)) => d.withColumnRenamed(f, tmp) }
+    tagged.foldLeft(mid) { case (d, (_, tmp, t)) => d.withColumnRenamed(tmp, t) }
   }
 }

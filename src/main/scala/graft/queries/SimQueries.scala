@@ -311,11 +311,17 @@ object SimQueries {
             count(lit(1)).as("n_events"),
             round(sum(col("value")), 4).as("session_value"))
       },
-      Some("""WITH flagged AS (
+      Some("""WITH ev AS (
+             |  -- microsecond precision to match Spark's ts div 1000 read of
+             |  -- the TIMESTAMP(NANOS) column: emitted session bounds must
+             |  -- truncate identically, not only the gap comparison
+             |  SELECT user_id, event_id, cast(ts AS TIMESTAMP) AS ts, value
+             |  FROM events),
+             |flagged AS (
              |  SELECT user_id, event_id, ts, value,
              |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
              |         THEN 1 ELSE 0 END AS brk
-             |  FROM events
+             |  FROM ev
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |numbered AS (
              |  SELECT user_id, ts, value,
@@ -329,9 +335,13 @@ object SimQueries {
              |FROM numbered GROUP BY user_id, session_no""".stripMargin)),
 
     // semi-structured props: typed JSON extraction (from_json with an
-    // explicit schema — codegen'd, no UDF) feeding an aggregation. The
-    // schema-on-read path every event pipeline needs: parse errors become
-    // typed NULLs, not exceptions.
+    // explicit schema — codegen'd, no UDF) feeding an aggregation. On the
+    // Spark side parse errors become typed NULLs, not exceptions. NOTE the
+    // oracle equivalence is scoped to clean numeric props (the generator's
+    // format): engines coerce DIRTY values differently (a string-encoded
+    // "5" is NULL under from_json's strict LongType but 5 under a SQL
+    // CAST), so a dirty-data pipeline should assert Spark-side semantics
+    // in a spec rather than cross-engine.
     Q("events_props_json",
       (s, dir) => {
         val ev = s.read.parquet(s"$dir/events.parquet")
@@ -346,10 +356,10 @@ object SimQueries {
             max(col("k")).as("k_max"))
       },
       Some("""SELECT event_type,
-             |  cast(count(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_parsed,
-             |  cast(sum(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_total,
-             |  cast(min(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
-             |  cast(max(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max
+             |  cast(count(try_cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_parsed,
+             |  cast(sum(try_cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_total,
+             |  cast(min(try_cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+             |  cast(max(try_cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max
              |FROM events GROUP BY event_type""".stripMargin))
   )
 }

@@ -667,7 +667,10 @@ object TextQueries {
             col("c.idx").cast("long").as("chunk_idx"),
             col("c.off").cast("long").as("chunk_off"),
             md5(col("c.chunk")).as("chunk_md5"),
-            size(split(col("c.chunk"), " ")).cast("long").as("chunk_tokens"))
+            // arithmetic, not a re-split of the string just joined: the
+            // last window simply holds whatever tokens remain
+            least(lit(win), col("n_tokens") - col("c.off")).cast("long")
+              .as("chunk_tokens"))
       },
       Some("""WITH w AS (
              |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents),
@@ -681,7 +684,7 @@ object TextQueries {
              |  cast(chunk_idx AS BIGINT) AS chunk_idx,
              |  cast(chunk_off AS BIGINT) AS chunk_off,
              |  md5(chunk) AS chunk_md5,
-             |  cast(len(regexp_split_to_array(chunk, ' ')) AS BIGINT) AS chunk_tokens
+             |  cast(least(64, n_tokens - chunk_off) AS BIGINT) AS chunk_tokens
              |FROM c""".stripMargin)),
 
     // TF-IDF top-3 keywords per document — the classic two-phase corpus

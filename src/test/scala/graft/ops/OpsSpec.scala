@@ -52,5 +52,14 @@ class OpsSpec extends SparkSpec {
     // absent columns are ignored, present non-system columns untouched
     val partial = Ops.withSystemAliases(std.drop("ledts"), ldts = "lt")
     assert(partial.columns.toSeq === Seq("hk", "lt", "rsrc"))
+    // swapping two system names transits cleanly (no duplicate-name state)
+    val swapped = Ops.withSystemAliases(std, ldts = "rsrc", rsrc = "ldts")
+    assert(swapped.select("rsrc").as[String].head() === "2024-01-01 00:00:00")
+    assert(swapped.select("ldts").as[String].head() === "SRC")
+    // a rename onto an unrelated existing column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Ops.withSystemAliases(std, ldts = "hk")
+    }
+    assert(e.getMessage.contains("collides"))
   }
 }
