@@ -360,6 +360,35 @@ object SimQueries {
              |  cast(sum(try_cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_total,
              |  cast(min(try_cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
              |  cast(max(try_cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // retention cohorts: users grouped by first-seen week, activity counted
+    // per (cohort week, active week) cell. Two aggregations over the same
+    // user-hash shuffle — the first-seen table re-joins as a broadcast
+    // (users ≪ events at any scale).
+    Q("retention_cohorts",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"),
+            date_trunc("week", expr("timestamp_micros(ts div 1000)")).as("week"))
+        val firstSeen = ev.groupBy("user_id")
+          .agg(min(col("week")).as("cohort_week"))
+        ev.join(broadcast(firstSeen), Seq("user_id"))
+          .groupBy("cohort_week", "week")
+          .agg(countDistinct(col("user_id")).as("n_active_users"))
+          .withColumn("weeks_since_cohort",
+            datediff(col("week"), col("cohort_week")).cast("long") / 7L)
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, date_trunc('week', cast(ts AS TIMESTAMP)) AS week
+             |  FROM events),
+             |first_seen AS (
+             |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+             |SELECT f.cohort_week, e.week,
+             |  cast(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users,
+             |  cast(date_diff('day', cast(f.cohort_week AS DATE), cast(e.week AS DATE)) // 7
+             |    AS BIGINT) AS weeks_since_cohort
+             |FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+             |GROUP BY f.cohort_week, e.week""".stripMargin))
   )
 }
