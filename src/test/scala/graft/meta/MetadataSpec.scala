@@ -296,4 +296,27 @@ class MetadataSpec extends SparkSpec {
       "customer_sat.hk_relationships" -> 1L,
       "customer_sat.hk_payload_unique" -> 0L))
   }
+
+  test("tests: unsupported shapes and empty schemas fail loudly") {
+    val df = Seq(("a", 1)).toDF("hk", "v")
+    val resolve: String => org.apache.spark.sql.DataFrame = _ => df
+    // an unknown column test must not silently pass
+    val e1 = intercept[IllegalArgumentException] {
+      MetadataBuilders.tests(
+        """models:
+          |  - name: m
+          |    columns:
+          |      - name: hk
+          |        tests:
+          |          - accepted_values:
+          |              values: [a, b]
+          |""".stripMargin, resolve)
+    }
+    assert(e1.getMessage.contains("unsupported column test"))
+    // a schema declaring no tests is a configuration error, not a no-op
+    val e2 = intercept[IllegalArgumentException] {
+      MetadataBuilders.tests("models:\n  - name: m\n", resolve)
+    }
+    assert(e2.getMessage.contains("no tests"))
+  }
 }
