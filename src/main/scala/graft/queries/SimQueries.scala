@@ -389,6 +389,46 @@ object SimQueries {
              |  cast(date_diff('day', cast(f.cohort_week AS DATE), cast(e.week AS DATE)) // 7
              |    AS BIGINT) AS weeks_since_cohort
              |FROM ev e JOIN first_seen f ON e.user_id = f.user_id
-             |GROUP BY f.cohort_week, e.week""".stripMargin))
+             |GROUP BY f.cohort_week, e.week""".stripMargin)),
+
+    // ordered funnel: view → click → purchase, each step's first occurrence
+    // must FOLLOW the previous step's. One groupBy collapses each user to
+    // three first-occurrence timestamps (partial-aggregating min per step),
+    // then the step comparisons are a pure projection — no self-joins, no
+    // windows, one shuffle total for any number of steps.
+    Q("funnel_conversion",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"), col("event_type"),
+            expr("timestamp_micros(ts div 1000)").as("ts"))
+        def firstOf(t: String) = min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+        val perUser = ev.groupBy("user_id")
+          .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+        val step1 = col("t_view").isNotNull
+        val step2 = step1 && col("t_click") > col("t_view")
+        val step3 = step2 && col("t_purchase") > col("t_click")
+        perUser.agg(
+          count(lit(1)).as("n_users"),
+          sum(step1.cast("long")).as("n_viewed"),
+          sum(step2.cast("long")).as("n_clicked_after_view"),
+          sum(step3.cast("long")).as("n_purchased_after_click"))
+      },
+      Some("""WITH per_user AS (
+             |  -- microsecond cast mirrors Spark's ts div 1000 (see
+             |  -- event_sessions): step comparisons must truncate alike
+             |  SELECT user_id,
+             |    min(cast(ts AS TIMESTAMP)) FILTER (event_type = 'view') AS t_view,
+             |    min(cast(ts AS TIMESTAMP)) FILTER (event_type = 'click') AS t_click,
+             |    min(cast(ts AS TIMESTAMP)) FILTER (event_type = 'purchase') AS t_purchase
+             |  FROM events GROUP BY user_id)
+             |SELECT cast(count(*) AS BIGINT) AS n_users,
+             |  cast(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_viewed,
+             |  cast(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+             |  cast(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+             |    AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_purchased_after_click
+             |FROM per_user""".stripMargin))
   )
 }
