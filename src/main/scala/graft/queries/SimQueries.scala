@@ -377,7 +377,7 @@ object SimQueries {
           .groupBy("cohort_week", "week")
           .agg(countDistinct(col("user_id")).as("n_active_users"))
           .withColumn("weeks_since_cohort",
-            datediff(col("week"), col("cohort_week")).cast("long") / 7L)
+            expr("datediff(week, cohort_week) div 7").cast("long"))
       },
       Some("""WITH ev AS (
              |  SELECT user_id, date_trunc('week', cast(ts AS TIMESTAMP)) AS week
