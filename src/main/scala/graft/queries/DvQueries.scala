@@ -1617,6 +1617,69 @@ object DvQueries {
               |  c_name, c_acctbal
               |FROM customer""".stripMargin)),
 
+    // Whole-vault rehash on the TRANSACTIONAL format
+    // (rehash_all_rdv_entities.sql:139-151 on a live table): hubs, then the
+    // LINK — its hashkey recomputed from both parents' business keys and
+    // both FKs re-keyed through the hubs' (deprecated → current) columns —
+    // each entity through the metadata-only ADD/RENAME + one-atomic-rewrite
+    // lifecycle (TxRehash). The returned link is the post-rehash,
+    // post-cleanup state, oracle-checked against directly-computed SHA256.
+    Q("txlog_rehash_vault",
+      (s, dir) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_q_txrehash").toString
+        val t = new graft.runtime.TxLogTable(s, wh)
+        val cust = rd(s, dir, "customer")
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey"))))
+        val ord = rd(s, dir, "orders")
+          .withColumn("hk_order_h", Hashing.hashkey(Seq(col("o_orderkey"))))
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("o_custkey"))))
+          .withColumn("lk_customer_order_l",
+            Hashing.hashkey(Seq(col("o_custkey"), col("o_orderkey"))))
+        t.overwrite("customer_h", cust.select("hk_customer_h", "c_custkey"))
+        t.overwrite("order_h", ord.select("hk_order_h", "o_orderkey"))
+        t.overwrite("customer_order_l",
+          ord.select("lk_customer_order_l", "hk_customer_h", "hk_order_h"))
+        val hubs = Seq(
+          graft.runtime.Rehasher.HubRehash("customer_h", "hk_customer_h", Seq("c_custkey")),
+          graft.runtime.Rehasher.HubRehash("order_h", "hk_order_h", Seq("o_orderkey")))
+        val links = Seq(graft.runtime.Rehasher.LinkRehash(
+          "customer_order_l", "lk_customer_order_l", Seq(
+            graft.runtime.Rehasher.LinkHubRef("hk_customer_h", "customer_h", Seq("c_custkey")),
+            graft.runtime.Rehasher.LinkHubRef("hk_order_h", "order_h", Seq("o_orderkey")))))
+        graft.runtime.TxRehash.rehashAll(t, hubs, links, Nil,
+          oldCfg = hc, newCfg = HashConfig(algorithm = "SHA256"))
+        graft.runtime.TxRehash.dropDeprecatedAll(t, hubs, links, Nil)
+        t.read("customer_order_l")
+      },
+      Some(s"""SELECT ${O.hashkeySha256("o_custkey", "o_orderkey")} AS lk_customer_order_l,
+              |  ${O.hashkeySha256("o_custkey")} AS hk_customer_h,
+              |  ${O.hashkeySha256("o_orderkey")} AS hk_order_h
+              |FROM orders""".stripMargin)),
+
+    // S8 on the transactional format (clean_up_pits.sql:128-136): DELETE of
+    // deactivated snapshots compiled onto replaceFiles — only files holding
+    // doomed rows are rewritten (asserted by TxMaintenanceSpec); the
+    // returned PIT is the post-DELETE state.
+    Q("txlog_pit_cleanup",
+      (s, dir) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_q_txpit").toString
+        val t = new graft.runtime.TxLogTable(s, wh)
+        val hk = rd(s, dir, "customer")
+          .select(Hashing.hashkey(Seq(col("c_custkey"))).as("hk_customer_h"))
+        Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach { d =>
+          t.append("pit", hk.withColumn("sdts", lit(d).cast("timestamp")))
+        }
+        t.overwrite("snap", s.sql(
+          """SELECT timestamp'2024-01-01' AS sdts, true AS is_active
+            |UNION ALL SELECT timestamp'2024-01-02', false
+            |UNION ALL SELECT timestamp'2024-01-03', true""".stripMargin))
+        graft.runtime.TxPitCleaner.cleanUp(t, "pit", "snap")
+        t.read("pit")
+      },
+      Some(s"""SELECT ${O.hashkey("c_custkey")} AS hk_customer_h, s.sdts
+              |FROM customer, (SELECT timestamp '2024-01-01' AS sdts
+              |  UNION ALL SELECT timestamp '2024-01-03') s""".stripMargin)),
+
     // S9 driver-verified — DDL lifecycle (rehash_single_hub.sql:17-26,51-69):
     // add a typed column, rename, drop, returning the post-DDL table state.
     Q("ddl_lifecycle",

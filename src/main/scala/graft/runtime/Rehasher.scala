@@ -87,7 +87,7 @@ object Rehasher {
   final case class SatRehash(name: String, hashkey: String, hashdiff: Option[String],
                              payload: Seq[String], parent: String, maKeys: Seq[String] = Nil)
 
-  private def ghostGuard(hashCol: String, oldCfg: HashConfig, newCfg: HashConfig)(
+  private[runtime] def ghostGuard(hashCol: String, oldCfg: HashConfig, newCfg: HashConfig)(
       recompute: Column): Column =
     when(col(hashCol) === oldCfg.zeroKey, lit(newCfg.zeroKey))
       .when(col(hashCol) === oldCfg.errorKey, lit(newCfg.errorKey))
@@ -98,8 +98,8 @@ object Rehasher {
     * `raise_error` fails the rewrite job on the first orphan row — checked
     * inline during the write, no extra counting pass. (The reference keeps
     * `<hk>_deprecated` columns for the same recoverability concern.) */
-  private def requireMapped(mapped: Column, old: Column, entity: String,
-                            parent: String): Column =
+  private[runtime] def requireMapped(mapped: Column, old: Column, entity: String,
+                                     parent: String): Column =
     coalesce(mapped, raise_error(concat(
       lit(s"rehash $entity: no $parent map row for key '"), old, lit("'"))))
 

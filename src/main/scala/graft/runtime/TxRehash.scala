@@ -56,4 +56,160 @@ object TxRehash {
     * the reference's final cleanup step, metadata-only here. */
   def dropDeprecated(t: TxLogTable, table: String, hashCol: String): Unit =
     t.dropColumn(table, s"${hashCol}_deprecated")
+
+  // ---- whole-vault rehash on the transactional format --------------------
+  // Reference `macros/rehashing/rehash_all_rdv_entities.sql:139-151`: hubs,
+  // then links, then satellites, each through the single-entity MERGE + DDL
+  // lifecycle on a LIVE table. Unlike the plain-store `Rehasher.rehashAll`
+  // (which needs side checkpoint map tables because overwrite destroys the
+  // old hashes), the transactional lifecycle keeps every entity's old→new
+  // translation IN the entity itself as `<hk>_deprecated` — a crash between
+  // any two commits leaves a consistent, fully recoverable vault, and the
+  // children's re-key joins read the committed parent directly.
+
+  import Rehasher.{HubRehash, LinkRehash, SatRehash}
+
+  /** Rehash a whole raw vault on `t`. Per entity: one metadata-only ADD
+    * COLUMN, ONE atomic data rewrite, two metadata-only RENAMEs — the exact
+    * step sequence of [[rehashEntity]], so every intermediate state is
+    * committed and recoverable. Old hashes survive as `<hk>_deprecated` on
+    * every entity until [[dropDeprecatedAll]]. */
+  def rehashAll(t: TxLogTable, hubs: Seq[HubRehash], links: Seq[LinkRehash],
+                sats: Seq[SatRehash], oldCfg: HashConfig, newCfg: HashConfig): Unit = {
+
+    // 1. hubs — after this each hub carries its own durable old→new map
+    //    as (<hk>_deprecated, <hk>)
+    hubs.foreach(h => rehashEntity(t, h.name, h.hashkey, h.businessKeys, oldCfg, newCfg))
+
+    // 2. links: each FK re-keyed through its hub's (deprecated → current)
+    //    columns; the link hashkey recomputed from ALL parent business keys
+    //    (+ additional cols) in hub_config order (rehash_single_link
+    //    semantics). A missing parent-map row fails the rewrite loudly —
+    //    committing a mixed-hash vault silently is the one unrecoverable
+    //    outcome (Rehasher.requireMapped).
+    links.foreach { l =>
+      val updated = s"${l.linkHashkey}_updated"
+      val deprecated = s"${l.linkHashkey}_deprecated"
+      require(!t.read(l.name).columns.contains(deprecated),
+        s"TxRehash: ${l.name}.$deprecated already exists — " +
+          "finish or roll back the previous rehash first")
+      t.addColumn(l.name, updated, "string")
+      val v = t.currentVersion(l.name).get
+      t.replaceFiles(l.name, t.files(l.name, v)) { df0 =>
+        var df = df0
+        var bkCols = Vector.empty[String]
+        l.hubRefs.zipWithIndex.foreach { case (ref, i) =>
+          val hub = hubs.find(_.name == ref.hubName).getOrElse(
+            throw new IllegalArgumentException(
+              s"link ${l.name}: hub ${ref.hubName} not in the hub list"))
+          val renamedBks = ref.businessKeys.zipWithIndex.map { case (bk, j) => (bk, s"__bk_${i}_$j") }
+          val mm = renamedBks.foldLeft(
+            t.read(ref.hubName).select((col(s"${hub.hashkey}_deprecated").as(s"__old_$i") +:
+              col(hub.hashkey).as(s"__new_$i") +: ref.businessKeys.map(col)): _*))(
+            (d, p) => d.withColumnRenamed(p._1, p._2))
+          df = df.join(mm, df(ref.fkCol) === mm(s"__old_$i"), "left")
+          bkCols ++= renamedBks.map(_._2)
+        }
+        df = df.withColumn(updated,
+          Rehasher.ghostGuard(l.linkHashkey, oldCfg, newCfg)(
+            Hashing.hashkey(Hashing.hashInputs(df, bkCols ++ l.additionalCols))(newCfg)))
+        l.hubRefs.zipWithIndex.foreach { case (ref, i) =>
+          df = df.withColumn(ref.fkCol,
+            Rehasher.ghostGuard(ref.fkCol, oldCfg, newCfg)(
+              Rehasher.requireMapped(col(s"__new_$i"), col(ref.fkCol), l.name, ref.hubName)))
+        }
+        df.select(df0.columns.map(col).toIndexedSeq: _*)
+      }
+      t.renameColumn(l.name, l.linkHashkey, deprecated)
+      t.renameColumn(l.name, updated, l.linkHashkey)
+    }
+
+    // 3. satellites: re-keyed through the parent's (deprecated → current)
+    //    pair; hashdiff recomputed from the sat's own payload under the new
+    //    algorithm (grouped per (old hashkey, ldts) for MA sats — the
+    //    rewrite covers ALL live files in one commit, so groups are
+    //    complete by construction).
+    sats.foreach { s =>
+      val parentHk = hubs.find(_.name == s.parent).map(_.hashkey)
+        .orElse(links.find(_.name == s.parent).map(_.linkHashkey))
+        .getOrElse(throw new IllegalArgumentException(
+          s"satellite ${s.name}: parent ${s.parent} not in the hub/link lists"))
+      val updated = s"${s.hashkey}_updated"
+      val deprecated = s"${s.hashkey}_deprecated"
+      require(!t.read(s.name).columns.contains(deprecated),
+        s"TxRehash: ${s.name}.$deprecated already exists — " +
+          "finish or roll back the previous rehash first")
+      t.addColumn(s.name, updated, "string")
+      val v = t.currentVersion(s.name).get
+      t.replaceFiles(s.name, t.files(s.name, v)) { df0 =>
+        val pmap = t.read(s.parent)
+          .select(col(s"${parentHk}_deprecated").as("__old_hk"),
+            col(parentHk).as("__new_hk")).distinct()
+        var df = df0.join(pmap, df0(s.hashkey) === pmap("__old_hk"), "left")
+        s.hashdiff.foreach { hd =>
+          // hashInputs = the same H7 normalization the stage applies
+          val payloadIn = Hashing.hashInputs(df0, s.payload)
+          if (s.maKeys.nonEmpty) {
+            val grouped = df0.groupBy(col(s.hashkey).as("__g_hk"), col("ldts").as("__g_ldts"))
+              .agg(Hashing.maHashdiff(payloadIn, s.maKeys.map(col))(newCfg).as("__new_hd"))
+            df = df.join(grouped,
+              df(s.hashkey) === col("__g_hk") && df("ldts") === col("__g_ldts"), "left")
+              .withColumn(hd, Rehasher.ghostGuard(hd, oldCfg, newCfg)(col("__new_hd")))
+          } else {
+            df = df.withColumn(hd,
+              Rehasher.ghostGuard(hd, oldCfg, newCfg)(Hashing.hashdiff(payloadIn)(newCfg)))
+          }
+        }
+        df.withColumn(updated,
+            Rehasher.ghostGuard(s.hashkey, oldCfg, newCfg)(
+              Rehasher.requireMapped(col("__new_hk"), col(s.hashkey), s.name, s.parent)))
+          .select(df0.columns.map(col).toIndexedSeq: _*)
+      }
+      t.renameColumn(s.name, s.hashkey, deprecated)
+      t.renameColumn(s.name, updated, s.hashkey)
+    }
+  }
+
+  /** Final cleanup once the whole-vault rehash is validated: drop every
+    * entity's `_deprecated` recovery column — all metadata-only commits. */
+  def dropDeprecatedAll(t: TxLogTable, hubs: Seq[HubRehash], links: Seq[LinkRehash],
+                        sats: Seq[SatRehash]): Unit = {
+    hubs.foreach(h => dropDeprecated(t, h.name, h.hashkey))
+    links.foreach(l => dropDeprecated(t, l.name, l.linkHashkey))
+    sats.foreach(s => dropDeprecated(t, s.name, s.hashkey))
+  }
+}
+
+/** S8 — PIT cleanup on the TRANSACTIONAL format: the reference's
+  * `DELETE FROM pit WHERE sdts NOT IN (SELECT sdts FROM snap WHERE
+  * is_active)` (`macros/hooks/clean_up_pits.sql:128-136`) compiled onto
+  * [[TxLogTable.replaceFiles]]: a column-pruned probe (sdts + file name
+  * only) finds the files that actually hold deactivated rows; ONLY those
+  * are rewritten, every other live file carries over by identity in one
+  * atomic commit. On an sdts-clustered PIT ([[TxLogTable.compact]] with
+  * `clusterBy(sdts)`) each snapshot's rows sit in few files, so the DELETE
+  * touches O(deactivated snapshots) files — the transactional analogue of
+  * the partition-level `PitCleaner.cleanUpPartitioned`. */
+object TxPitCleaner {
+
+  /** Returns (files rewritten, live files before). */
+  def cleanUp(t: TxLogTable, pitTable: String, snapshotTable: String,
+              sdts: String = "sdts", trigger: String = "is_active"): (Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, input_file_name}
+    val active = t.read(snapshotTable).filter(col(trigger)).select(sdts).distinct()
+    val v = t.currentVersion(pitTable).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $pitTable does not exist"))
+    val live = t.files(pitTable, v)
+    // probe: reads only (sdts, file name); the active set is snapshot
+    // metadata — O(log t) rows under logarithmic retention — so broadcast
+    val doomedAbs = t.readVersion(pitTable, v)
+      .withColumn("__file", input_file_name())
+      .join(broadcast(active), Seq(sdts), "left_anti")
+      .select("__file").distinct().collect().map(_.getString(0))
+    val touched = live.filter(f => doomedAbs.exists(_.endsWith("/" + f)))
+    if (touched.nonEmpty)
+      t.replaceFiles(pitTable, touched)(df =>
+        df.join(broadcast(active), Seq(sdts), "left_semi"))
+    (touched.size, live.size)
+  }
 }

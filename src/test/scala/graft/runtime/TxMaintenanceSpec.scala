@@ -1,0 +1,164 @@
+package graft.runtime
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expr.{HashConfig, Hashing}
+import graft.runtime.Rehasher.{HubRehash, LinkHubRef, LinkRehash, SatRehash}
+
+/** Whole-vault rehash + PIT cleanup on the TRANSACTIONAL format
+  * (reference `rehash_all_rdv_entities.sql:139-151`, `clean_up_pits.sql:128-136`). */
+class TxMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val md5 = HashConfig()
+  private val sha = HashConfig(algorithm = "SHA256")
+
+  private def freshStore(): TxLogTable =
+    new TxLogTable(spark, Files.createTempDirectory("txmaint").toString)
+
+  /** 3-customer, 3-order vault: hub×2, link, sat-on-hub. */
+  private def buildVault(t: TxLogTable): Unit = {
+    val cust = Seq((1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+      .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey")))(md5))
+    val ord = Seq((101, 1), (102, 2), (103, 3))
+      .toDF("o_orderkey", "o_custkey")
+      .withColumn("hk_order_h", Hashing.hashkey(Seq(col("o_orderkey")))(md5))
+      .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("o_custkey")))(md5))
+      .withColumn("lk_customer_order_l",
+        Hashing.hashkey(Seq(col("o_custkey"), col("o_orderkey")))(md5))
+    t.overwrite("customer_h", cust.select("hk_customer_h", "c_custkey"))
+    t.overwrite("order_h", ord.select(col("hk_order_h"), col("o_orderkey")))
+    t.overwrite("customer_order_l",
+      ord.select("lk_customer_order_l", "hk_customer_h", "hk_order_h"))
+    t.overwrite("customer_s", cust
+      .withColumn("ldts", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("hd_customer_s",
+        Hashing.hashdiff(Seq(col("c_name"), col("c_acctbal")))(md5))
+      .select("hk_customer_h", "hd_customer_s", "ldts", "c_name", "c_acctbal"))
+  }
+
+  private val hubs = Seq(
+    HubRehash("customer_h", "hk_customer_h", Seq("c_custkey")),
+    HubRehash("order_h", "hk_order_h", Seq("o_orderkey")))
+  private val links = Seq(
+    LinkRehash("customer_order_l", "lk_customer_order_l", Seq(
+      LinkHubRef("hk_customer_h", "customer_h", Seq("c_custkey")),
+      LinkHubRef("hk_order_h", "order_h", Seq("o_orderkey")))))
+  private val sats = Seq(
+    SatRehash("customer_s", "hk_customer_h", Some("hd_customer_s"),
+      Seq("c_name", "c_acctbal"), "customer_h"))
+
+  test("rehashAll: every entity re-keyed MD5→SHA256, old hashes kept as _deprecated") {
+    val t = freshStore()
+    buildVault(t)
+    val oldLink = t.read("customer_order_l").collect().map(_.getString(0)).toSet
+
+    TxRehash.rehashAll(t, hubs, links, sats, md5, sha)
+
+    // hub: new key = sha256(bk), old key recoverable
+    val hub = t.read("customer_h")
+    assert(hub.columns.contains("hk_customer_h_deprecated"))
+    val expectHub = Seq(1, 2, 3).toDF("c_custkey")
+      .withColumn("hk", Hashing.hashkey(Seq(col("c_custkey")))(sha))
+      .as[(Int, String)].collect().toMap
+    hub.select("c_custkey", "hk_customer_h").as[(Int, String)].collect().foreach {
+      case (k, hk) => assert(hk === expectHub(k), s"hub key for $k")
+    }
+
+    // link: hashkey recomputed from BOTH parents' business keys; FKs re-keyed
+    val link = t.read("customer_order_l")
+    assert(link.columns.contains("lk_customer_order_l_deprecated"))
+    val expectLink = Seq((1, 101), (2, 102), (3, 103)).toDF("ck", "ok")
+      .select(
+        Hashing.hashkey(Seq(col("ck"), col("ok")))(sha).as("lk"),
+        Hashing.hashkey(Seq(col("ck")))(sha).as("fkc"),
+        Hashing.hashkey(Seq(col("ok")))(sha).as("fko"))
+      .as[(String, String, String)].collect().toSet
+    assert(link.select("lk_customer_order_l", "hk_customer_h", "hk_order_h")
+      .as[(String, String, String)].collect().toSet === expectLink)
+    assert(link.select("lk_customer_order_l_deprecated")
+      .as[String].collect().toSet === oldLink, "old link keys survive as _deprecated")
+
+    // sat: re-keyed via parent map, hashdiff recomputed under SHA256
+    val sat = t.read("customer_s")
+    val expectSat = Seq((1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0))
+      .toDF("k", "n", "b")
+      .select(
+        Hashing.hashkey(Seq(col("k")))(sha).as("hk"),
+        Hashing.hashdiff(Seq(col("n"), col("b")))(sha).as("hd"))
+      .as[(String, String)].collect().toSet
+    assert(sat.select("hk_customer_h", "hd_customer_s")
+      .as[(String, String)].collect().toSet === expectSat)
+
+    // cleanup drops every recovery column, metadata-only
+    TxRehash.dropDeprecatedAll(t, hubs, links, sats)
+    assert(!t.read("customer_h").columns.exists(_.endsWith("_deprecated")))
+    assert(!t.read("customer_order_l").columns.exists(_.endsWith("_deprecated")))
+    assert(!t.read("customer_s").columns.exists(_.endsWith("_deprecated")))
+  }
+
+  test("rehashAll: exactly one data rewrite per entity, DDL commits touch zero files") {
+    val t = freshStore()
+    buildVault(t)
+    TxRehash.rehashAll(t, hubs, links, sats, md5, sha)
+    // lifecycle per entity: add(+1) rewrite(+1) rename(+1) rename(+1) = 4
+    // commits on top of v1, and only the rewrite changes the file list
+    Seq("customer_h", "order_h", "customer_order_l", "customer_s").foreach { n =>
+      val vs = t.versions(n)
+      assert(vs === Seq(1L, 2L, 3L, 4L, 5L), s"$n commit count")
+      val fileLists = vs.map(v => t.files(n, v))
+      assert(fileLists(0) === fileLists(1), s"$n ADD COLUMN is metadata-only")
+      assert(fileLists(1) !== fileLists(2), s"$n rewrite replaces files")
+      assert(fileLists(2) === fileLists(3), s"$n RENAME is metadata-only")
+      assert(fileLists(3) === fileLists(4), s"$n RENAME is metadata-only")
+    }
+  }
+
+  test("rehashAll fails loudly on a satellite row with no parent map entry") {
+    val t = freshStore()
+    buildVault(t)
+    // orphan sat row: hashkey not present in the hub
+    t.append("customer_s", Seq(("deadbeef", "x", Timestamp.valueOf("2024-01-01 00:00:00"), "zed", 0.0))
+      .toDF("hk_customer_h", "hd_customer_s", "ldts", "c_name", "c_acctbal"))
+    val e = intercept[Exception] {
+      TxRehash.rehashAll(t, hubs, links, sats, md5, sha)
+    }
+    assert(e.getMessage.contains("no customer_h map row") ||
+      Option(e.getCause).exists(_.getMessage.contains("no customer_h map row")))
+  }
+
+  test("TxPitCleaner: only files holding deactivated rows are rewritten") {
+    val t = freshStore()
+    val s1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val s2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val s3 = Timestamp.valueOf("2024-01-03 00:00:00")
+    // three appends → three single-file batches, each one snapshot's rows
+    t.append("pit", Seq((s1, "a"), (s1, "b")).toDF("sdts", "hk").coalesce(1))
+    t.append("pit", Seq((s2, "a"), (s2, "b")).toDF("sdts", "hk").coalesce(1))
+    t.append("pit", Seq((s3, "a")).toDF("sdts", "hk").coalesce(1))
+    t.overwrite("snap", Seq((s1, true), (s2, false), (s3, true)).toDF("sdts", "is_active"))
+
+    val vBefore = t.currentVersion("pit").get
+    val filesBefore = t.files("pit", vBefore)
+    val (rewritten, total) = TxPitCleaner.cleanUp(t, "pit", "snap")
+    assert(total === filesBefore.size)
+    assert(rewritten === 1, "only the s2 batch holds deactivated rows")
+
+    val filesAfter = t.files("pit", t.currentVersion("pit").get)
+    // untouched files carry over by IDENTITY (same relative paths)
+    assert(filesBefore.toSet.intersect(filesAfter.toSet).size === filesBefore.size - 1)
+    assert(t.read("pit").as[(Timestamp, String)].collect().toSet ===
+      Set((s1, "a"), (s1, "b"), (s3, "a")))
+
+    // idempotent: a second pass rewrites nothing and commits nothing
+    val vAfter = t.currentVersion("pit").get
+    val (r2, _) = TxPitCleaner.cleanUp(t, "pit", "snap")
+    assert(r2 === 0)
+    assert(t.currentVersion("pit").get === vAfter, "no-op cleanup must not commit")
+  }
+}
