@@ -33,13 +33,19 @@ object Bench {
     // same JSON we print, so keep the warmup query small)
     run("stage_hash")
 
-    // local iteration: SPARK_GRAFT_ONLY=q1,q2 restricts the run (and
-    // SPARK_GRAFT_REPEAT=n repeats it); the driver sets neither
+    // local iteration: SPARK_GRAFT_ONLY=q1,q2 restricts the run;
+    // SPARK_GRAFT_REPEAT=n sets passes per query (default 3 — one-shot
+    // timings at sf0.1 can't distinguish a real regression from a noisy
+    // neighbor, so report the per-query MEDIAN of n back-to-back passes)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    val names = Seq.fill(repeat)(SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))).flatten
-    val results = names.map(n => n -> run(n))
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map(n => n -> median(Seq.fill(repeat)(run(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

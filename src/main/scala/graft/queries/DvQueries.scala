@@ -25,6 +25,20 @@ object DvQueries {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** Temp warehouse for the tx/store queries, deleted on JVM exit — these
+    * hold table-sized copies of customer/orders, so repeated Verify/Bench
+    * runs must not accumulate them. */
+  private def tmpWarehouse(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   // ---- shared Spark staging fragments ----------------------------------
   private def custStage(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "customer")
@@ -1448,7 +1462,7 @@ object DvQueries {
     // occupies; the returned table IS the post-merge state, oracle-checked.
     Q("merge_partitioned",
       (s, dir) => {
-        val wh = java.nio.file.Files.createTempDirectory("graft_q_merge").toString
+        val wh = tmpWarehouse("graft_q_merge")
         val store = new graft.runtime.TableStore(s, wh)
         val base = rd(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
           (col("o_orderkey") % 4).cast("long").as("pday"))
@@ -1538,7 +1552,7 @@ object DvQueries {
     // of the oracle-checked result, not just a unit test).
     Q("txlog_merge",
       (s, dir) => {
-        val wh = java.nio.file.Files.createTempDirectory("graft_q_txlog").toString
+        val wh = tmpWarehouse("graft_q_txlog")
         val t = new graft.runtime.TxLogTable(s, wh)
         val base = rd(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
         t.append("t", base.filter(col("o_orderkey") % 2 === 0))
@@ -1571,7 +1585,7 @@ object DvQueries {
     // column read through files that predate it).
     Q("txlog_ddl",
       (s, dir) => {
-        val wh = java.nio.file.Files.createTempDirectory("graft_q_txddl").toString
+        val wh = tmpWarehouse("graft_q_txddl")
         val t = new graft.runtime.TxLogTable(s, wh)
         t.append("t", rd(s, dir, "nation"))
         t.addColumn("t", "n_comment_v2", "string")
@@ -1593,7 +1607,7 @@ object DvQueries {
     // SHA256 hashes.
     Q("rehash_vault",
       (s, dir) => {
-        val wh = java.nio.file.Files.createTempDirectory("graft_q_rehash").toString
+        val wh = tmpWarehouse("graft_q_rehash")
         val store = new graft.runtime.TableStore(s, wh)
         val sha = HashConfig(algorithm = "SHA256")
         val c = custStage(s, dir)
@@ -1626,7 +1640,7 @@ object DvQueries {
     // post-cleanup state, oracle-checked against directly-computed SHA256.
     Q("txlog_rehash_vault",
       (s, dir) => {
-        val wh = java.nio.file.Files.createTempDirectory("graft_q_txrehash").toString
+        val wh = tmpWarehouse("graft_q_txrehash")
         val t = new graft.runtime.TxLogTable(s, wh)
         val cust = rd(s, dir, "customer")
           .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey"))))
@@ -1662,7 +1676,7 @@ object DvQueries {
     // returned PIT is the post-DELETE state.
     Q("txlog_pit_cleanup",
       (s, dir) => {
-        val wh = java.nio.file.Files.createTempDirectory("graft_q_txpit").toString
+        val wh = tmpWarehouse("graft_q_txpit")
         val t = new graft.runtime.TxLogTable(s, wh)
         val hk = rd(s, dir, "customer")
           .select(Hashing.hashkey(Seq(col("c_custkey"))).as("hk_customer_h"))
@@ -1684,7 +1698,7 @@ object DvQueries {
     // add a typed column, rename, drop, returning the post-DDL table state.
     Q("ddl_lifecycle",
       (s, dir) => {
-        val wh = java.nio.file.Files.createTempDirectory("graft_q_ddl").toString
+        val wh = tmpWarehouse("graft_q_ddl")
         val store = new graft.runtime.TableStore(s, wh)
         store.overwrite("t", rd(s, dir, "nation"))
         graft.runtime.Rehasher.addColumn(store, "t", "n_comment_v2", "string")

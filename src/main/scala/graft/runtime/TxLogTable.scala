@@ -267,6 +267,17 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) {
   def readVersion(name: String, v: Long): DataFrame =
     readMapped(name, mapping(name, v), files(name, v))
 
+  /** read a SUBSET of a version's live files under that version's column
+    * mapping — the primitive behind file-pruned probes (the caller still
+    * applies its exact predicate; this only shrinks the scan). */
+  def readFiles(name: String, v: Long, subset: Seq[String]): DataFrame = {
+    val live = files(name, v)
+    require(subset.forall(live.contains),
+      s"TxLogTable $name: readFiles over non-live files " +
+        s"${subset.filterNot(live.contains)}")
+    readMapped(name, mapping(name, v), subset)
+  }
+
   /** S6 — incremental insert: appends never conflict semantically, so a
     * lost CAS re-reads the head and retries against it. */
   def append(name: String, df: DataFrame): Unit = {

@@ -23,6 +23,20 @@ import graft.expr.{HashConfig, Hashing}
   */
 object TxRehash {
 
+  /** A leftover `_deprecated` OR `_updated` column means a previous rehash
+    * is mid-flight (crashed between its commits) — either is recoverable
+    * state that a blind retry would corrupt, so both fail with the
+    * rehash-specific message rather than a generic 'column exists' deep
+    * inside [[TxLogTable.addColumn]]. */
+  private def requireClean(t: TxLogTable, table: String,
+                           updated: String, deprecated: String): Unit = {
+    val cols = t.read(table).columns
+    Seq(deprecated, updated).foreach(c =>
+      require(!cols.contains(c),
+        s"TxRehash: $table.$c already exists — " +
+          "finish or roll back the previous rehash first"))
+  }
+
   /** Rehash a keyed entity's hash column from its key columns (hub business
     * keys, or a link's stored FK hashkeys pre-translated by the caller). */
   def rehashEntity(t: TxLogTable, table: String, hashCol: String,
@@ -30,9 +44,7 @@ object TxRehash {
                    oldCfg: HashConfig, newCfg: HashConfig): Unit = {
     val updated = s"${hashCol}_updated"
     val deprecated = s"${hashCol}_deprecated"
-    require(!t.read(table).columns.contains(deprecated),
-      s"TxRehash: $table.$deprecated already exists — " +
-        "finish or roll back the previous rehash first")
+    requireClean(t, table, updated, deprecated)
     // 1. typed NULL column, no data touched
     t.addColumn(table, updated, "string")
     // 2. the one data pass: every live file rewritten in one atomic commit
@@ -90,9 +102,7 @@ object TxRehash {
     links.foreach { l =>
       val updated = s"${l.linkHashkey}_updated"
       val deprecated = s"${l.linkHashkey}_deprecated"
-      require(!t.read(l.name).columns.contains(deprecated),
-        s"TxRehash: ${l.name}.$deprecated already exists — " +
-          "finish or roll back the previous rehash first")
+      requireClean(t, l.name, updated, deprecated)
       t.addColumn(l.name, updated, "string")
       val v = t.currentVersion(l.name).get
       t.replaceFiles(l.name, t.files(l.name, v)) { df0 =>
@@ -136,9 +146,7 @@ object TxRehash {
           s"satellite ${s.name}: parent ${s.parent} not in the hub/link lists"))
       val updated = s"${s.hashkey}_updated"
       val deprecated = s"${s.hashkey}_deprecated"
-      require(!t.read(s.name).columns.contains(deprecated),
-        s"TxRehash: ${s.name}.$deprecated already exists — " +
-          "finish or roll back the previous rehash first")
+      requireClean(t, s.name, updated, deprecated)
       t.addColumn(s.name, updated, "string")
       val v = t.currentVersion(s.name).get
       t.replaceFiles(s.name, t.files(s.name, v)) { df0 =>
@@ -183,33 +191,65 @@ object TxRehash {
 /** S8 — PIT cleanup on the TRANSACTIONAL format: the reference's
   * `DELETE FROM pit WHERE sdts NOT IN (SELECT sdts FROM snap WHERE
   * is_active)` (`macros/hooks/clean_up_pits.sql:128-136`) compiled onto
-  * [[TxLogTable.replaceFiles]]: a column-pruned probe (sdts + file name
-  * only) finds the files that actually hold deactivated rows; ONLY those
-  * are rewritten, every other live file carries over by identity in one
-  * atomic commit. On an sdts-clustered PIT ([[TxLogTable.compact]] with
-  * `clusterBy(sdts)`) each snapshot's rows sit in few files, so the DELETE
-  * touches O(deactivated snapshots) files — the transactional analogue of
-  * the partition-level `PitCleaner.cleanUpPartitioned`. */
+  * [[TxLogTable.replaceFiles]].
+  *
+  * Cost shape: the REWRITE is O(files holding doomed rows); the PROBE that
+  * finds them is column-pruned (sdts + file name only) and, when per-file
+  * sdts stats exist ([[TxLogTable.setStatsColumns]]), file-pruned too —
+  * a file whose recorded min == max is decided entirely from the manifest
+  * (single sdts value: doomed iff that value is inactive) and never read.
+  * On an sdts-clustered PIT ([[TxLogTable.compact]] with `clusterBy(sdts)`)
+  * that is every file, so BOTH phases touch O(deactivated snapshots) files
+  * — the transactional analogue of `PitCleaner.cleanUpPartitioned`. Without
+  * stats the probe falls back to scanning (sdts, file) of all live files.
+  *
+  * NULL semantics match the reference DELETE: `sdts NOT IN (...)` is never
+  * true for a NULL sdts, so NULL-sdts rows are always kept. */
 object TxPitCleaner {
 
   /** Returns (files rewritten, live files before). */
   def cleanUp(t: TxLogTable, pitTable: String, snapshotTable: String,
               sdts: String = "sdts", trigger: String = "is_active"): (Int, Int) = {
-    import org.apache.spark.sql.functions.{broadcast, input_file_name}
+    import org.apache.spark.sql.functions.{broadcast, input_file_name, lit}
     val active = t.read(snapshotTable).filter(col(trigger)).select(sdts).distinct()
     val v = t.currentVersion(pitTable).getOrElse(
       throw new IllegalStateException(s"TxLogTable $pitTable does not exist"))
     val live = t.files(pitTable, v)
-    // probe: reads only (sdts, file name); the active set is snapshot
-    // metadata — O(log t) rows under logarithmic retention — so broadcast
-    val doomedAbs = t.readVersion(pitTable, v)
-      .withColumn("__file", input_file_name())
-      .join(broadcast(active), Seq(sdts), "left_anti")
-      .select("__file").distinct().collect().map(_.getString(0))
-    val touched = live.filter(f => doomedAbs.exists(_.endsWith("/" + f)))
+    // the active set is snapshot metadata — O(log t) rows under logarithmic
+    // retention — so it is collected (for stat pruning) and broadcast (for
+    // the probe/rewrite). Values compare the way stats are rendered: CAST
+    // AS STRING.
+    val activeStr = active.select(col(sdts).cast("string")).collect()
+      .flatMap(r => Option(r.getString(0))).toSet
+    val physSdts = t.mapping(pitTable, v).find(_.logical == sdts)
+      .map(_.physical).getOrElse(sdts)
+    val stats = t.fileStats(pitTable, v)
+    // min == max is the only SOUND stat skip for a set-membership DELETE: a
+    // wider [min,max] can hide a doomed middle value even when both
+    // endpoints are active. (All-NULL files carry no stats entry → probed,
+    // then kept by the NULL rule.)
+    val (decided, unsure) = live.partition(f =>
+      stats.get((f, physSdts)).exists { case (mn, mx) => mn == mx })
+    val doomedByStats = decided.filter(f => !activeStr(stats((f, physSdts))._1))
+    val doomedByProbe =
+      if (unsure.isEmpty) Seq.empty[String]
+      else {
+        val abs = t.readFiles(pitTable, v, unsure)
+          .withColumn("__file", input_file_name())
+          .filter(col(sdts).isNotNull) // NOT IN never deletes NULL sdts
+          .join(broadcast(active), Seq(sdts), "left_anti")
+          .select("__file").distinct().collect().map(_.getString(0))
+        unsure.filter(f => abs.exists(_.endsWith("/" + f)))
+      }
+    val touched = doomedByStats ++ doomedByProbe
     if (touched.nonEmpty)
-      t.replaceFiles(pitTable, touched)(df =>
-        df.join(broadcast(active), Seq(sdts), "left_semi"))
+      t.replaceFiles(pitTable, touched) { df =>
+        // keep = active snapshots ∪ NULL-sdts rows (SQL NOT IN semantics)
+        val keep = broadcast(active.withColumn("__active", lit(true)))
+        df.join(keep, Seq(sdts), "left")
+          .filter(col(sdts).isNull || col("__active"))
+          .drop("__active")
+      }
     (touched.size, live.size)
   }
 }

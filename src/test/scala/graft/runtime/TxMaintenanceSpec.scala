@@ -161,4 +161,46 @@ class TxMaintenanceSpec extends SparkSpec {
     assert(r2 === 0)
     assert(t.currentVersion("pit").get === vAfter, "no-op cleanup must not commit")
   }
+
+  test("TxPitCleaner keeps NULL-sdts rows (SQL NOT IN is never true for NULL)") {
+    val t = freshStore()
+    val s1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val s2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    t.append("pit", Seq((Option(s1), "a"), (Option(s2), "b"),
+      (Option.empty[Timestamp], "c")).toDF("sdts", "hk").coalesce(1))
+    t.overwrite("snap", Seq((s1, true), (s2, false)).toDF("sdts", "is_active"))
+    val (rewritten, _) = TxPitCleaner.cleanUp(t, "pit", "snap")
+    assert(rewritten === 1)
+    assert(t.read("pit").as[(Option[Timestamp], String)].collect().toSet ===
+      Set((Some(s1), "a"), (None, "c")), "NULL-sdts row survives the DELETE")
+  }
+
+  test("TxPitCleaner: with sdts stats the probe is decided from the manifest") {
+    val t = freshStore()
+    val s1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val s2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val s3 = Timestamp.valueOf("2024-01-03 00:00:00")
+    Seq(s1, s2, s3).foreach { sd =>
+      t.append("pit", Seq((sd, "a"), (sd, "b")).toDF("sdts", "hk").coalesce(1))
+    }
+    t.setStatsColumns("pit", Seq("sdts"))
+    t.overwrite("snap", Seq((s1, true), (s2, false), (s3, true)).toDF("sdts", "is_active"))
+    // every file is single-sdts (min==max) → stats decide all of them; the
+    // s2 file is doomed straight from the manifest, nothing else is read
+    val (rewritten, total) = TxPitCleaner.cleanUp(t, "pit", "snap")
+    assert(total === 3 && rewritten === 1)
+    assert(t.read("pit").as[(Timestamp, String)].collect().toSet ===
+      Set((s1, "a"), (s1, "b"), (s3, "a"), (s3, "b")))
+  }
+
+  test("rehash pre-run guard catches a leftover _updated column from a crashed run") {
+    val t = freshStore()
+    buildVault(t)
+    // simulate a crash after addColumn but before the renames
+    t.addColumn("customer_h", "hk_customer_h_updated", "string")
+    val e = intercept[IllegalArgumentException] {
+      TxRehash.rehashAll(t, hubs, links, sats, md5, sha)
+    }
+    assert(e.getMessage.contains("finish or roll back the previous rehash"))
+  }
 }
