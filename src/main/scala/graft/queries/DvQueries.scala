@@ -1694,6 +1694,108 @@ object DvQueries {
               |FROM customer, (SELECT timestamp '2024-01-01' AS sdts
               |  UNION ALL SELECT timestamp '2024-01-03') s""".stripMargin)),
 
+    // Runner: DAG + dbt-style selection + execution-aware source pruning
+    // (SURVEY §7.1; source_models.sql:40-62, source_model_should_be_selected
+    // .sql:1-15). Two runs over a stage→hub→sat subgraph:
+    //  run A (full): hub unions BOTH stages — evens from customer, the rest
+    //    from orders (earliest ldts wins);
+    //  run B (select "stage_customer+"): stage_orders is NOT selected, so
+    //    the hub loads ONLY the customer stage — run B's orders batch
+    //    carries poisoned keys (+1 000 000) that must never appear, which
+    //    makes a pruning failure oracle-visible, not just slow.
+    // The returned frame joins the final hub with per-key satellite
+    // evolution (evens: 2 versions — balance drifted; odds: 1), proving the
+    // chain ran in dependency order on both passes.
+    Q("runner_vault",
+      (s, dir) => {
+        import graft.runtime.{Materialization, Runner, VaultModel}
+        val wh = tmpWarehouse("graft_q_runner")
+        val store = new graft.runtime.TableStore(s, wh)
+        val cust = rd(s, dir, "customer")
+        val ord = rd(s, dir, "orders")
+        def custBatch(base: String, evenOnly: Boolean, drift: Double) = {
+          val f = if (evenOnly) cust.filter(col("c_custkey") % 2 === 0) else cust
+          f.select(col("c_custkey"), col("c_name"),
+              (col("c_acctbal") + drift).as("c_acctbal"))
+            .withColumn(LdtsAlias,
+              expr(s"timestampadd(DAY, cast(c_custkey % 3 as int), timestamp'$base')"))
+        }
+        def ordBatch(base: String, keyShift: Int) =
+          ord.select((col("o_custkey") + keyShift).as("o_custkey"), col("o_orderkey"))
+            .withColumn(LdtsAlias,
+              expr(s"timestampadd(DAY, cast(o_orderkey % 3 as int), timestamp'$base')"))
+        val models = Seq(
+          VaultModel("stage_customer", deps = Seq("customer_src"),
+            materialization = Materialization.View)(ctx =>
+            ctx.resolve("customer_src")
+              .withColumn(RsrcAlias, lit("TPC_H/Customer"))
+              .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey"))))
+              .withColumn("hd_customer_s",
+                Hashing.hashdiff(Seq(col("c_name"), col("c_acctbal"))))),
+          VaultModel("stage_orders", deps = Seq("orders_src"),
+            materialization = Materialization.View)(ctx =>
+            ctx.resolve("orders_src")
+              .withColumn(RsrcAlias, lit("TPC_H/Orders"))
+              .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("o_custkey"))))),
+          VaultModel("customer_h",
+            sourceModels = Seq("stage_customer", "stage_orders"))(ctx =>
+            HubLoader.records(
+              ctx.sources.map {
+                case "stage_customer" => EntitySource(ctx.resolve("stage_customer"),
+                  Some("hk_customer_h"), Seq("c_custkey"))
+                case "stage_orders" => EntitySource(ctx.resolve("stage_orders"),
+                  Some("hk_customer_h"), Seq("o_custkey"))
+              },
+              "hk_customer_h", Seq("custkey"), ctx.target)),
+          VaultModel("customer_s", deps = Seq("stage_customer", "customer_h"))(ctx =>
+            SatV0Loader.records(ctx.resolve("stage_customer"), Seq("hk_customer_h"),
+              Some("hd_customer_s"), Seq("c_name", "c_acctbal"), ctx.target)))
+        new Runner(s, store, models, {
+          case "customer_src" => custBatch("2024-01-01 00:00:00", evenOnly = true, 0.0)
+          case "orders_src"   => ordBatch("2024-01-04 00:00:00", 0)
+          case other          => throw new IllegalArgumentException(other)
+        }).run()
+        new Runner(s, store, models, {
+          case "customer_src" => custBatch("2024-02-01 00:00:00", evenOnly = false, 5.0)
+          case "orders_src"   => ordBatch("2024-02-04 00:00:00", 1000000)
+          case other          => throw new IllegalArgumentException(other)
+        }).run("stage_customer+")
+        val sat = store.read("customer_s").groupBy("hk_customer_h")
+          .agg(count(lit(1)).as("sat_rows"), max("c_acctbal").as("max_bal"))
+        store.read("customer_h")
+          .join(sat, Seq("hk_customer_h"))
+          .select("hk_customer_h", "custkey", LdtsAlias, RsrcAlias, "sat_rows", "max_bal")
+      },
+      Some(s"""WITH cust_a AS (
+              |  SELECT c_custkey, ${O.hashkey("c_custkey")} AS hk,
+              |         timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
+              |         'TPC_H/Customer' AS rsrc
+              |  FROM customer WHERE c_custkey % 2 = 0),
+              |ord_a AS (
+              |  SELECT o_custkey AS c_custkey, ${O.hashkey("o_custkey")} AS hk,
+              |         timestamp '2024-01-04 00:00:00' + (o_orderkey % 3) * INTERVAL 1 DAY AS ldts,
+              |         'TPC_H/Orders' AS rsrc
+              |  FROM orders),
+              |hub_a AS (
+              |  SELECT hk, c_custkey, ldts, rsrc
+              |  FROM (SELECT * FROM cust_a UNION ALL SELECT * FROM ord_a)
+              |  QUALIFY row_number() OVER (PARTITION BY hk ORDER BY ldts) = 1),
+              |hub_b AS (
+              |  SELECT ${O.hashkey("c_custkey")} AS hk, c_custkey,
+              |         timestamp '2024-02-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
+              |         'TPC_H/Customer' AS rsrc
+              |  FROM customer
+              |  WHERE ${O.hashkey("c_custkey")} NOT IN (SELECT hk FROM hub_a)),
+              |hub AS (SELECT * FROM hub_a UNION ALL SELECT * FROM hub_b),
+              |sat AS (
+              |  SELECT ${O.hashkey("c_custkey")} AS hk,
+              |         CAST(CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS sat_rows,
+              |         c_acctbal + 5.0 AS max_bal
+              |  FROM customer)
+              |SELECT h.hk AS hk_customer_h, h.c_custkey AS custkey, h.ldts, h.rsrc,
+              |       s.sat_rows, s.max_bal
+              |FROM hub h JOIN sat s ON h.hk = s.hk""".stripMargin)),
+
     // S9 driver-verified — DDL lifecycle (rehash_single_hub.sql:17-26,51-69):
     // add a typed column, rename, drop, returning the post-DDL table state.
     Q("ddl_lifecycle",

@@ -1,15 +1,15 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.{HashConfig, SystemColumns}
 import graft.loaders._
-import graft.runtime.TableStore
+import graft.runtime.{Materialization, Runner, TableStore, VaultModel}
 
-/** End-to-end drive of the core pipeline over real test data:
-  * stage(customer) → hub → sat v0 → sat v1, two incremental batches,
-  * idempotence check. `sbt "runMain graft.tools.Demo"`.
+/** End-to-end drive of the core pipeline over real test data, scheduled by
+  * the DAG [[Runner]]: stage(customer) → hub → sat v0 → sat v1, two
+  * incremental batches, idempotence check. `sbt "runMain graft.tools.Demo"`.
   */
 object Demo {
   def main(args: Array[String]): Unit = {
@@ -42,36 +42,48 @@ object Demo {
         HashColumnSpec("hd_customer_s", Seq("c_name", "c_acctbal", "c_mktsegment"), isHashdiff = true)),
       enableGhostRecords = true)
 
-    Seq(1, 2).foreach { day =>
-      val isInc = store.exists("customer_h")
-      val staged = StageLoader.build(batch(day),
-        stageCfg.copy(ldts = s"!2024-01-0$day 00:00:00"), isIncremental = isInc)
+    // the vault DAG: one ephemeral stage view feeding an incremental hub
+    // and sat v0, with the v1 end-dated view rebuilt as a table on top
+    def models(day: Int): Seq[VaultModel] = Seq(
+      VaultModel("customer_stg", deps = Seq("customer_src"),
+        materialization = Materialization.View)(ctx =>
+        StageLoader.build(ctx.resolve("customer_src"),
+          stageCfg.copy(ldts = s"!2024-01-0$day 00:00:00"),
+          isIncremental = store.exists("customer_h"))),
+      VaultModel("customer_h", sourceModels = Seq("customer_stg"))(ctx =>
+        HubLoader.records(
+          ctx.sources.map(n =>
+            EntitySource(ctx.resolve(n), Some("hk_customer_h"), Seq("c_custkey"))),
+          "hk_customer_h", Seq("c_custkey"), ctx.target)),
+      VaultModel("customer_s0", deps = Seq("customer_stg", "customer_h"))(ctx =>
+        SatV0Loader.records(ctx.resolve("customer_stg"), Seq("hk_customer_h"),
+          Some("hd_customer_s"), Seq("c_name", "c_acctbal", "c_mktsegment"),
+          ctx.target)),
+      VaultModel("customer_s1", deps = Seq("customer_s0"),
+        materialization = Materialization.Table)(ctx =>
+        SatV1Loader.build(ctx.resolve("customer_s0"), "hk_customer_h",
+          Some("hd_customer_s"), addIsCurrentFlag = true)))
 
-      val hubRecs = HubLoader.records(
-        Seq(EntitySource(staged, Some("hk_customer_h"), Seq("c_custkey"))),
-        "hk_customer_h", Seq("c_custkey"), store.readIfExists("customer_h"))
-      store.append("customer_h", hubRecs)
-
-      val satRecs = SatV0Loader.records(staged, Seq("hk_customer_h"),
-        Some("hd_customer_s"), Seq("c_name", "c_acctbal", "c_mktsegment"),
-        store.readIfExists("customer_s0"))
-      store.append("customer_s0", satRecs)
-      println(s"[demo] day $day: hub+=${hubRecs.count()} sat+=${satRecs.count()}")
+    def externals(day: Int): String => DataFrame = {
+      case "customer_src" => batch(day)
+      case other          => throw new IllegalArgumentException(other)
     }
 
-    // idempotence: replay batch 2 → zero new rows
-    val staged2 = StageLoader.build(batch(2), stageCfg.copy(ldts = "!2024-01-02 00:00:00"),
-      isIncremental = true)
-    val hubAgain = HubLoader.records(
-      Seq(EntitySource(staged2, Some("hk_customer_h"), Seq("c_custkey"))),
-      "hk_customer_h", Seq("c_custkey"), store.readIfExists("customer_h")).count()
-    val satAgain = SatV0Loader.records(staged2, Seq("hk_customer_h"),
-      Some("hd_customer_s"), Seq("c_name", "c_acctbal", "c_mktsegment"),
-      store.readIfExists("customer_s0")).count()
-    println(s"[demo] replay day 2: hub+=$hubAgain sat+=$satAgain (want 0, 0)")
+    def count(name: String): Long =
+      store.readIfExists(name).map(_.count()).getOrElse(0L)
 
-    val v1 = SatV1Loader.build(store.read("customer_s0"), "hk_customer_h",
-      Some("hd_customer_s"), addIsCurrentFlag = true)
+    def load(day: Int, label: String): Unit = {
+      val (h0, s0) = (count("customer_h"), count("customer_s0"))
+      new Runner(spark, store, models(day), externals(day)).run()
+      println(s"[demo] $label: hub+=${count("customer_h") - h0} sat+=${count("customer_s0") - s0}" +
+        (if (label.startsWith("replay")) " (want 0, 0)" else ""))
+    }
+
+    load(1, "day 1")
+    load(2, "day 2")
+    load(2, "replay day 2") // idempotence: zero new rows
+
+    val v1 = store.read("customer_s1")
     println(s"[demo] sat v1 rows=${v1.count()} current=${v1.filter(col("is_current")).count()}")
     v1.orderBy("hk_customer_h", "ldts").show(6, truncate = false)
 

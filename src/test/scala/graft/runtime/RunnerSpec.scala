@@ -1,0 +1,169 @@
+package graft.runtime
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DAG runner: topological ordering, dbt-style selection, execution-aware
+  * source pruning (reference `macros/supporting/source_models.sql:40-62`,
+  * `source_model_should_be_selected.sql:1-15`). */
+class RunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("runner").toString)
+
+  /** diamond with two prunable sources:
+    *   src_a ─ stage_a ─┐
+    *                    hub ── sat
+    *   src_b ─ stage_b ─┘
+    * stage_* are ephemeral views over externals; hub is multi-source
+    * incremental; sat hangs off stage_a only. Rows are (k, ldts) with the
+    * source name stamped so pruning is visible in the data. */
+  private def vault(tag: String = ""): Seq[VaultModel] = Seq(
+    VaultModel("stage_a", deps = Seq("src_a"),
+      materialization = Materialization.View,
+      tags = if (tag.nonEmpty) Set(tag) else Set.empty)(
+      ctx => ctx.resolve("src_a").withColumn("src", lit("a"))),
+    VaultModel("stage_b", deps = Seq("src_b"),
+      materialization = Materialization.View)(
+      ctx => ctx.resolve("src_b").withColumn("src", lit("b"))),
+    VaultModel("hub", sourceModels = Seq("stage_a", "stage_b"))(
+      ctx => {
+        val unioned = ctx.sources.map(ctx.resolve).reduce(_ unionByName _)
+        val fresh = ctx.target match {
+          case Some(t) => unioned.join(t, Seq("k"), "left_anti")
+          case None    => unioned
+        }
+        fresh.groupBy("k").agg(min_by(struct("ldts", "src"), col("ldts")).as("s"))
+          .select(col("k"), col("s.ldts").as("ldts"), col("s.src").as("src"))
+      }),
+    VaultModel("sat", deps = Seq("stage_a", "hub"))(
+      ctx => {
+        val st = ctx.resolve("stage_a")
+          .join(ctx.resolve("hub").select("k"), Seq("k"), "left_semi")
+        ctx.target match {
+          case Some(t) => st.join(t, Seq("k", "ldts"), "left_anti")
+          case None    => st
+        }
+      })
+  )
+
+  private def externals(a: DataFrame, b: DataFrame): String => DataFrame = {
+    case "src_a" => a
+    case "src_b" => b
+    case other   => throw new IllegalArgumentException(other)
+  }
+
+  private def rows(ks: (Int, Int)*): DataFrame = ks.toSeq.toDF("k", "ldts")
+
+  test("topoOrder is dependency-correct and deterministic") {
+    val r = new Runner(spark, freshStore(), vault(),
+      externals(rows(1 -> 1), rows(2 -> 1)))
+    val order = r.topoOrder
+    assert(order.indexOf("stage_a") < order.indexOf("hub"))
+    assert(order.indexOf("stage_b") < order.indexOf("hub"))
+    assert(order.indexOf("hub") < order.indexOf("sat"))
+    assert(order === new Runner(spark, freshStore(), vault(),
+      externals(rows(1 -> 1), rows(2 -> 1))).topoOrder)
+  }
+
+  test("a dependency cycle fails loudly naming its members") {
+    val cyclic = Seq(
+      VaultModel("x", deps = Seq("y"))(_ => spark.emptyDataFrame),
+      VaultModel("y", deps = Seq("x"))(_ => spark.emptyDataFrame))
+    val e = intercept[IllegalArgumentException] {
+      new Runner(spark, freshStore(), cyclic)
+    }
+    assert(e.getMessage.contains("cycle") && e.getMessage.contains("x") &&
+      e.getMessage.contains("y"))
+  }
+
+  test("selection grammar: graph operators, depth, tag, glob, intersection, exclude") {
+    val r = new Runner(spark, freshStore(), vault(tag = "staging"),
+      externals(rows(1 -> 1), rows(2 -> 1)))
+    assert(r.plan() === r.topoOrder)
+    assert(r.plan("hub") === Seq("hub"))
+    assert(r.plan("+hub") === Seq("stage_a", "stage_b", "hub"))
+    assert(r.plan("stage_a+") === Seq("stage_a", "hub", "sat"))
+    assert(r.plan("+sat+").toSet === Set("stage_a", "stage_b", "hub", "sat"))
+    assert(r.plan("1+sat") === Seq("stage_a", "hub", "sat"), "depth-1 ancestors")
+    assert(r.plan("tag:staging") === Seq("stage_a"))
+    assert(r.plan("stage_*").toSet === Set("stage_a", "stage_b"))
+    assert(r.plan("stage_*,+hub").toSet === Set("stage_a", "stage_b"), "intersection")
+    assert(r.plan("stage_a hub").toSet === Set("stage_a", "hub"), "union")
+    assert(r.plan(exclude = "sat") === Seq("stage_a", "stage_b", "hub"))
+    intercept[IllegalArgumentException](r.plan("no_such_model"))
+  }
+
+  test("full run loads the DAG in order; incremental rerun appends the delta") {
+    val store = freshStore()
+    val r1 = new Runner(spark, store, vault(),
+      externals(rows(1 -> 1, 2 -> 1), rows(2 -> 2, 3 -> 2)))
+    val res1 = r1.run()
+    assert(res1.actions === Map("stage_a" -> "ephemeral", "stage_b" -> "ephemeral",
+      "hub" -> "create", "sat" -> "create"))
+    // hub: earliest per key across both sources
+    assert(store.read("hub").select("k", "src").as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "a"), (3, "b")))
+
+    // second batch: key 4 appears in both sources — earliest wins; key 1 is old
+    val r2 = new Runner(spark, store, vault(),
+      externals(rows(1 -> 1, 4 -> 3), rows(4 -> 4)))
+    val res2 = r2.run()
+    assert(res2.actions("hub") === "append")
+    assert(store.read("hub").select("k", "src").as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "a"), (3, "b"), (4, "a")))
+    assert(store.read("sat").select("k", "ldts").as[(Int, Int)].collect().toSet ===
+      Set((1, 1), (2, 1), (4, 3)))
+  }
+
+  test("execution-aware pruning: hub loads only the selected source") {
+    val store = freshStore()
+    new Runner(spark, store, vault(),
+      externals(rows(1 -> 1), rows(2 -> 1))).run()
+    // select stage_a and its descendants — stage_b is NOT in the selection,
+    // so the hub must skip it: key 9 (only in src_b) must NOT appear
+    val res = new Runner(spark, store, vault(),
+      externals(rows(3 -> 5), rows(9 -> 5))).run("stage_a+")
+    val hubStep = res.steps.find(_.model == "hub").get
+    assert(hubStep.skippedSources === Seq("stage_b"))
+    assert(store.read("hub").select("k").as[Int].collect().toSet === Set(1, 2, 3))
+  }
+
+  test("pruning fallbacks: no source selected, missing target, full refresh → all sources") {
+    val store = freshStore()
+    val mk = (a: DataFrame, b: DataFrame) =>
+      new Runner(spark, store, vault(), externals(a, b))
+    // target missing: selection names only stage_a, but the hub's first
+    // build must still read BOTH sources (source_models.sql:56-59)
+    val res1 = mk(rows(1 -> 1), rows(2 -> 1)).run("stage_a+ hub")
+    assert(res1.steps.find(_.model == "hub").get.skippedSources === Nil)
+    assert(store.read("hub").select("k").as[Int].collect().toSet === Set(1, 2))
+    // no source in the selection: revert to all (source_models.sql:51-54)
+    val res2 = mk(rows(3 -> 2), rows(4 -> 2)).run("hub")
+    assert(res2.steps.find(_.model == "hub").get.skippedSources === Nil)
+    assert(store.read("hub").select("k").as[Int].collect().toSet === Set(1, 2, 3, 4))
+    // full refresh: all sources, overwrite (source_models.sql:61-64)
+    val res3 = mk(rows(5 -> 3), rows(6 -> 3)).run("stage_a+", fullRefresh = true)
+    assert(res3.actions("hub") === "create")
+    assert(store.read("hub").select("k").as[Int].collect().toSet === Set(5, 6))
+  }
+
+  test("an unselected non-view dependency resolves to its stored state, or fails loudly") {
+    val store = freshStore()
+    val r = new Runner(spark, store, vault(),
+      externals(rows(1 -> 1), rows(2 -> 1)))
+    // sat selected alone before hub ever ran → hub unmaterialized → loud
+    val e = intercept[IllegalStateException](r.run("sat"))
+    assert(e.getMessage.contains("hub"))
+    r.run("+hub")
+    // now sat alone works: hub resolves from the store
+    val res = r.run("sat")
+    assert(res.actions === Map("sat" -> "create"))
+    assert(store.read("sat").select("k").as[Int].collect().toSet === Set(1))
+  }
+}
