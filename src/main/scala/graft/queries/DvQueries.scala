@@ -103,6 +103,23 @@ object DvQueries {
     src.join(grouped, Seq("hk_customer_h", LdtsAlias), "left")
   }
 
+  /** The MA staged frame MATERIALIZED once per sf dir and shared by every
+    * MA consumer — the staged groupBy+join chain is the dominant cost of
+    * the MA queries, and each used to recompute it 2-3× (target + delta in
+    * `ma_sat_incremental`, end-dating + join-back in `ma_sat_v1_order`).
+    * At scale staging IS a written table consumed by many entities;
+    * persist/localCheckpoint were measured dead ends, a parquet round-trip
+    * through [[graft.runtime.TableStore]] is not. */
+  private val maStageCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  private def ordMaStageMat(s: SparkSession, dir: String): DataFrame =
+    maStageCache.synchronized {
+      maStageCache.getOrElseUpdate(dir, {
+        val store = new graft.runtime.TableStore(s, tmpWarehouse("graft_q_mastage"))
+        store.overwrite("ord_ma_stage", ordMaStage(s, dir))
+        store.read("ord_ma_stage")
+      })
+    }
+
   // ---- shared oracle fragments -----------------------------------------
   private val custStageSql =
     s"""cust_stage AS (
@@ -1062,7 +1079,7 @@ object DvQueries {
     // ALL their multi-active rows.
     Q("ma_sat_incremental",
       (s, dir) => {
-        val staged = ordMaStage(s, dir)
+        val staged = ordMaStageMat(s, dir)
         val target = MaSatV0Loader.records(staged.filter(col("b") === 0), "hk_customer_h",
           "hd_orders_ms", Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice_v"),
           target = None, singleBatch = true)
@@ -1081,7 +1098,7 @@ object DvQueries {
     // all multi-active rows (ma_sat_v1.sql:47-78).
     Q("ma_sat_v1_order",
       (s, dir) => {
-        val staged = ordMaStage(s, dir)
+        val staged = ordMaStageMat(s, dir)
         val v0 = MaSatV0Loader.records(staged, "hk_customer_h", "hd_orders_ms",
           Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice_v"), target = None)
         MaSatV1Loader.build(v0, "hk_customer_h", "hd_orders_ms", Seq("o_orderkey"),
