@@ -1687,6 +1687,69 @@ object DvQueries {
               |  ${O.hashkeySha256("o_orderkey")} AS hk_order_h
               |FROM orders""".stripMargin)),
 
+    // Whole-vault rehash, SATELLITE leg (rehash_all_rdv_entities.sql:238-312
+    // satellite loop): a regular sat (hashdiff over its own payload) and an
+    // MA sat (grouped set-hashdiff per (hk, ldts), ma key o_orderkey) are
+    // re-keyed through the hub's (deprecated → current) map and their
+    // hashdiffs recomputed under SHA256 — the returned frame is the
+    // post-rehash, post-cleanup state of BOTH sats, hash-checked against
+    // directly-computed SHA256 (incl. the ordered-LISTAGG MA hashdiff).
+    Q("txlog_rehash_sats",
+      (s, dir) => {
+        val wh = tmpWarehouse("graft_q_txrsats")
+        val t = new graft.runtime.TxLogTable(s, wh)
+        val ldts = lit("2024-01-01 00:00:00").cast("timestamp")
+        val cust = rd(s, dir, "customer")
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey"))))
+        val ord = rd(s, dir, "orders")
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("o_custkey"))))
+        t.overwrite("customer_h", cust.select("hk_customer_h", "c_custkey"))
+        t.overwrite("customer_s", cust
+          .withColumn("ldts", ldts)
+          .withColumn("hd_customer_s",
+            Hashing.hashdiff(Seq(col("c_name"), col("c_acctbal"))))
+          .select("hk_customer_h", "hd_customer_s", "ldts", "c_name", "c_acctbal"))
+        val maGrouped = ord.groupBy("hk_customer_h")
+          .agg(Hashing.maHashdiff(Seq(col("o_orderstatus"), col("o_totalprice")),
+            Seq(col("o_orderkey"))).as("hd_orders_ms"))
+        t.overwrite("orders_ms", ord.join(maGrouped, Seq("hk_customer_h"))
+          .withColumn("ldts", ldts)
+          .select("hk_customer_h", "hd_orders_ms", "ldts",
+            "o_orderkey", "o_orderstatus", "o_totalprice"))
+        val hubs = Seq(graft.runtime.Rehasher.HubRehash(
+          "customer_h", "hk_customer_h", Seq("c_custkey")))
+        val sats = Seq(
+          graft.runtime.Rehasher.SatRehash("customer_s", "hk_customer_h",
+            Some("hd_customer_s"), Seq("c_name", "c_acctbal"), "customer_h"),
+          graft.runtime.Rehasher.SatRehash("orders_ms", "hk_customer_h",
+            Some("hd_orders_ms"), Seq("o_orderstatus", "o_totalprice"),
+            "customer_h", maKeys = Seq("o_orderkey")))
+        graft.runtime.TxRehash.rehashAll(t, hubs, Nil, sats,
+          oldCfg = hc, newCfg = HashConfig(algorithm = "SHA256"))
+        graft.runtime.TxRehash.dropDeprecatedAll(t, hubs, Nil, sats)
+        t.read("orders_ms")
+          .join(t.read("customer_s")
+            .select("hk_customer_h", "hd_customer_s", "c_name", "c_acctbal"),
+            Seq("hk_customer_h"))
+          .select("hk_customer_h", "hd_orders_ms", "o_orderkey", "o_orderstatus",
+            "o_totalprice", "hd_customer_s", "c_name", "c_acctbal")
+      },
+      Some(s"""WITH ms AS (
+              |  SELECT ${O.hashkeySha256("o_custkey")} AS hk_customer_h,
+              |         ${O.maHashdiffSha256(Seq("o_orderstatus", "o_totalprice"), Seq("o_orderkey"))} AS hd_orders_ms
+              |  FROM orders GROUP BY 1),
+              |cs AS (
+              |  SELECT ${O.hashkeySha256("c_custkey")} AS hk_customer_h,
+              |         ${O.hashdiffSha256("c_name", "c_acctbal")} AS hd_customer_s,
+              |         c_name, c_acctbal
+              |  FROM customer)
+              |SELECT o.hk_customer_h, m.hd_orders_ms, o.o_orderkey, o.o_orderstatus,
+              |       o.o_totalprice, c.hd_customer_s, c.c_name, c.c_acctbal
+              |FROM (SELECT ${O.hashkeySha256("o_custkey")} AS hk_customer_h,
+              |             o_orderkey, o_orderstatus, o_totalprice FROM orders) o
+              |JOIN ms m ON o.hk_customer_h = m.hk_customer_h
+              |JOIN cs c ON o.hk_customer_h = c.hk_customer_h""".stripMargin)),
+
     // S8 on the transactional format (clean_up_pits.sql:128-136): DELETE of
     // deactivated snapshots compiled onto replaceFiles — only files holding
     // doomed rows are rewritten (asserted by TxMaintenanceSpec); the

@@ -54,4 +54,12 @@ object OracleSql {
     val order = (maKeys :+ row).mkString(", ")
     s"coalesce(lower(md5(string_agg($row, ',' ORDER BY $order))), '$ZeroKey')"
   }
+
+  /** SHA256 variant of [[maHashdiff]] — the rehash-target algorithm for MA
+    * satellites (grouped set-hashdiff recomputation). */
+  def maHashdiffSha256(payload: Seq[String], maKeys: Seq[String]): String = {
+    val row = concatStd(payload, caseSensitive = true)
+    val order = (maKeys :+ row).mkString(", ")
+    s"coalesce(lower(sha256(string_agg($row, ',' ORDER BY $order))), '$ZeroKeySha256')"
+  }
 }
