@@ -20,6 +20,7 @@ import org.apache.spark.sql.types._
   */
 final case class HashConfig(
     algorithm: String = "MD5", // MD5 | SHA1 | SHA256 | SHA512
+    hashDatatype: String = "STRING", // STRING | BINARY (`hash_datatype` var, hash.sql:42,109,177)
     concatString: String = "||",
     quoteCharacter: String = "\"",
     nullPlaceholder: String = "^^",
@@ -30,17 +31,29 @@ final case class HashConfig(
     hashdiffCaseSensitive: Boolean = true,
     hashdiffUseTrim: Boolean = true
 ) {
-  private def keyOf(ch: Char): String = algorithm match {
-    case "MD5"            => "!" + (ch.toString * 32)
-    case "SHA" | "SHA1"   => "!" + (ch.toString * 40)
-    case "SHA2" | "SHA256" => "!" + (ch.toString * 64)
-    case "SHA512"         => "!" + (ch.toString * 128)
+  private def hexDigits: Int = algorithm match {
+    case "MD5"             => 32
+    case "SHA" | "SHA1"    => 40
+    case "SHA2" | "SHA256" => 64
+    case "SHA512"          => 128
     case other => throw new IllegalArgumentException(s"unknown hash algorithm $other")
   }
+  private def keyOf(ch: Char): String = "!" + (ch.toString * hexDigits)
+
+  /** BINARY hash columns store the raw digest bytes; zero/error keys become
+    * the all-00/all-ff byte constants WITHOUT the '!' sentinel (reference
+    * `hash_default_values.sql:49-52` — `TO_BINARY('00…')`/`TO_BINARY('ff…')`). */
+  val isBinary: Boolean = hashDatatype.toUpperCase.contains("BINARY")
+
   /** all-business-keys-null sentinel (reference: `hash_default_values.sql:242-259`) */
   def zeroKey: String = keyOf('0')
   /** error-ghost-record sentinel */
   def errorKey: String = keyOf('f')
+  def zeroKeyBytes: Array[Byte] = Array.fill(hexDigits / 2)(0x00.toByte)
+  def errorKeyBytes: Array[Byte] = Array.fill(hexDigits / 2)(0xff.toByte)
+  /** the sentinel as a typed literal of the configured hash datatype */
+  def zeroKeyLit: Column = if (isBinary) lit(zeroKeyBytes) else lit(zeroKey)
+  def errorKeyLit: Column = if (isBinary) lit(errorKeyBytes) else lit(errorKey)
 
   def hashFn(c: Column): Column = algorithm match {
     case "MD5"             => md5(c)
@@ -49,6 +62,11 @@ final case class HashConfig(
     case "SHA512"          => sha2(c, 512)
     case other => throw new IllegalArgumentException(s"unknown hash algorithm $other")
   }
+
+  /** the stored digest: lowercase hex string, or its bytes when BINARY —
+    * `unhex` keeps the whole expression inside whole-stage codegen */
+  def digest(pre: Column): Column =
+    if (isBinary) unhex(hashFn(pre)) else lower(hashFn(pre))
 }
 
 object Hashing {
@@ -125,7 +143,7 @@ object Hashing {
     */
   def hashkey(cols: Seq[Column])(implicit cfg: HashConfig): Column = {
     val pre = concatenated(cols, caseSensitive = cfg.hashkeyCaseSensitive, useTrim = true)
-    coalesce(lower(cfg.hashFn(pre)), lit(cfg.zeroKey))
+    coalesce(cfg.digest(pre), cfg.zeroKeyLit)
   }
 
   /** H4 — hashdiff: case-sensitive by default, trim configurable, optional
@@ -138,7 +156,7 @@ object Hashing {
     // databricks RTRIM(trimStr, str): strips trailing chars in the SET
     // {null_placeholder chars ∪ concat chars} — e.g. {'^','|'}
     val pre = if (rtrimHashdiff) rtrim(pre0, cfg.nullPlaceholder + cfg.concatString) else pre0
-    coalesce(lower(cfg.hashFn(pre)), lit(cfg.zeroKey))
+    coalesce(cfg.digest(pre), cfg.zeroKeyLit)
   }
 
   /** H5 — multi-active hashdiff: the per-row standardized concat, aggregated
@@ -169,6 +187,6 @@ object Hashing {
     val entry = when(rowStr.isNotNull, struct((keyed :+ rowStr.as("s")): _*))
     val pre = GraftColumnBridge.column(
       MaListAgg(GraftColumnBridge.expression(entry)).toAggregateExpression())
-    coalesce(lower(cfg.hashFn(pre)), lit(cfg.zeroKey))
+    coalesce(cfg.digest(pre), cfg.zeroKeyLit)
   }
 }

@@ -67,7 +67,7 @@ object GhostRecords {
   /** hash columns on ghost rows carry the zero/error key
     * (reference `staging/databricks/stage.sql:526-532,592-598`) */
   def hashValueFor(kind: Kind)(implicit cfg: HashConfig): Column = kind match {
-    case Unknown => lit(cfg.zeroKey)
-    case Error   => lit(cfg.errorKey)
+    case Unknown => cfg.zeroKeyLit
+    case Error   => cfg.errorKeyLit
   }
 }

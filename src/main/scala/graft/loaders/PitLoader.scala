@@ -100,17 +100,20 @@ object PitLoader {
         "left")
       if (referToGhostRecords)
         Seq(
-          coalesce(col(s"__${sat.name}_hk"), lit(hc.zeroKey)).as(s"hk_${sat.name}"),
+          coalesce(col(s"__${sat.name}_hk"), hc.zeroKeyLit).as(s"hk_${sat.name}"),
           coalesce(col(s"__${sat.name}_ldts"), beginningOfAllTimesTs).as(s"${LdtsAlias}_${sat.name}"))
       else
         Seq(col(s"__${sat.name}_hk").as(s"hk_${sat.name}"),
           col(s"__${sat.name}_ldts").as(s"${LdtsAlias}_${sat.name}"))
     }
 
-    // dimension key = hash([pit_type,] hashkey, sdts) (pit.sql:23-28,38-48)
+    // dimension key = hash([pit_type,] hashkey, sdts) (pit.sql:23-28,38-48);
+    // a BINARY hashkey enters the dimension-key hash input hex-cast, like
+    // the reference's TO_HEX(te.hashkey) (databricks/pit.sql:10-14)
+    val hkInput = if (hc.isBinary) lower(hex(col(hashkey))) else col(hashkey)
     val dimKey = Hashing.hashkey(
       pitType.map(t => lit(t): org.apache.spark.sql.Column).toSeq ++
-        Seq(col(hashkey), col(sdtsAlias)))
+        Seq(hkInput, col(sdtsAlias)))
     val typeCols = pitType.map(t => lit(t).as("type")).toSeq
     val rsrcCols = customRsrc.map(r => lit(r).as(RsrcAlias)).toSeq
 
@@ -189,10 +192,11 @@ object PitLoader {
 
     val satCols: Seq[Column] = satellites.flatMap { sat =>
       val a = s"__${sat.name}"
-      Seq(coalesce(col(s"${a}_hk"), lit(hc.zeroKey)).as(s"hk_${sat.name}"),
+      Seq(coalesce(col(s"${a}_hk"), hc.zeroKeyLit).as(s"hk_${sat.name}"),
         coalesce(col(s"${a}_ldts"), beginningOfAllTimesTs).as(s"${LdtsAlias}_${sat.name}"))
     }
-    val dimKey = Hashing.hashkey(Seq(col(hashkey), col(sdtsAlias)))
+    val hkInput = if (hc.isBinary) lower(hex(col(hashkey))) else col(hashkey)
+    val dimKey = Hashing.hashkey(Seq(hkInput, col(sdtsAlias)))
     val rsrcCols = customRsrc.map(r => lit(r).as(RsrcAlias)).toSeq
     val out = df.select(
       (rsrcCols ++ Seq(dimKey.as(dimensionKey), col(hashkey), col(sdtsAlias)) ++ satCols): _*)

@@ -1774,6 +1774,48 @@ object DvQueries {
               |FROM customer, (SELECT timestamp '2024-01-01' AS sdts
               |  UNION ALL SELECT timestamp '2024-01-03') s""".stripMargin)),
 
+    // hash_datatype=BINARY (hash.sql:42,109,177; hash_default_values.sql:
+    // 49-52): digests stored as raw bytes, zero key = 16 0x00 bytes (no '!'
+    // sentinel), and the PIT dimension key hashes the HEX-CAST binary
+    // hashkey (databricks/pit.sql:10-14 TO_HEX). The driver compares via
+    // lowercase hex so DuckDB sees strings: hex(unhex(md5)) == md5.
+    Q("hub_binary_hash",
+      (s, dir) => {
+        val bin = HashConfig(hashDatatype = "BINARY")
+        val src = rd(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .unionByName(s.sql(
+            """SELECT CAST(NULL AS BIGINT) c_custkey, CAST(NULL AS STRING) c_name,
+              |       CAST(NULL AS DOUBLE) c_acctbal""".stripMargin))
+        val sdts = lit("2024-02-01 00:00:00").cast("timestamp")
+        val withHk = src
+          .withColumn("hk_bin", Hashing.hashkey(Seq(col("c_custkey")))(bin))
+          .withColumn("hd_bin",
+            Hashing.hashdiff(Seq(col("c_name"), col("c_acctbal")))(bin))
+        withHk.select(
+          lower(hex(col("hk_bin"))).as("hk_hex"),
+          lower(hex(col("hd_bin"))).as("hd_hex"),
+          lower(hex(Hashing.hashkey(
+            Seq(lower(hex(col("hk_bin"))), sdts))(bin))).as("dim_key_hex"),
+          col("c_custkey"))
+      },
+      Some {
+        val z32 = "0" * 32
+        s"""WITH src AS (
+           |  SELECT c_custkey, c_name, c_acctbal FROM customer
+           |  UNION ALL SELECT NULL, NULL, NULL),
+           |hashed AS (
+           |  SELECT c_custkey,
+           |    coalesce(lower(md5(${O.concatStd(Seq("c_custkey"), caseSensitive = false)})), '$z32') AS hk_hex,
+           |    coalesce(lower(md5(${O.concatStd(Seq("c_name", "c_acctbal"), caseSensitive = true)})), '$z32') AS hd_hex,
+           |    timestamp '2024-02-01 00:00:00' AS sdts
+           |  FROM src)
+           |SELECT hk_hex, hd_hex,
+           |  coalesce(lower(md5(${O.concatStd(Seq("hk_hex", "sdts"), caseSensitive = false)})), '$z32') AS dim_key_hex,
+           |  c_custkey
+           |FROM hashed""".stripMargin
+      }),
+
     // Runner: DAG + dbt-style selection + execution-aware source pruning
     // (SURVEY §7.1; source_models.sql:40-62, source_model_should_be_selected
     // .sql:1-15). Two runs over a stage→hub→sat subgraph:

@@ -24,9 +24,9 @@ object Rehasher {
   def rehashEntity(store: TableStore, table: String, hashCol: String,
                    keyColumns: Seq[String], oldCfg: HashConfig, newCfg: HashConfig): Unit =
     store.rewrite(table) { df =>
-      val ghost = col(hashCol) === oldCfg.zeroKey || col(hashCol) === oldCfg.errorKey
-      val ghostValue = when(col(hashCol) === oldCfg.zeroKey, lit(newCfg.zeroKey))
-        .otherwise(lit(newCfg.errorKey))
+      val ghost = col(hashCol) === oldCfg.zeroKeyLit || col(hashCol) === oldCfg.errorKeyLit
+      val ghostValue = when(col(hashCol) === oldCfg.zeroKeyLit, newCfg.zeroKeyLit)
+        .otherwise(newCfg.errorKeyLit)
       // hashInputs = the same H7 datatype normalization staging applies —
       // a rehash must reproduce what the NEXT stage load will compute
       df.withColumn(hashCol,
@@ -48,9 +48,9 @@ object Rehasher {
                               oldCfg: HashConfig, newCfg: HashConfig,
                               affected: Column): Unit = {
     val df = store.read(table).filter(affected)
-    val ghost = col(hashCol) === oldCfg.zeroKey || col(hashCol) === oldCfg.errorKey
-    val ghostValue = when(col(hashCol) === oldCfg.zeroKey, lit(newCfg.zeroKey))
-      .otherwise(lit(newCfg.errorKey))
+    val ghost = col(hashCol) === oldCfg.zeroKeyLit || col(hashCol) === oldCfg.errorKeyLit
+    val ghostValue = when(col(hashCol) === oldCfg.zeroKeyLit, newCfg.zeroKeyLit)
+      .otherwise(newCfg.errorKeyLit)
     val delta = df.withColumn(hashCol,
       when(ghost, ghostValue)
         .otherwise(Hashing.hashkey(Hashing.hashInputs(df, keyColumns))(newCfg)))
@@ -89,8 +89,8 @@ object Rehasher {
 
   private[runtime] def ghostGuard(hashCol: String, oldCfg: HashConfig, newCfg: HashConfig)(
       recompute: Column): Column =
-    when(col(hashCol) === oldCfg.zeroKey, lit(newCfg.zeroKey))
-      .when(col(hashCol) === oldCfg.errorKey, lit(newCfg.errorKey))
+    when(col(hashCol) === oldCfg.zeroKeyLit, newCfg.zeroKeyLit)
+      .when(col(hashCol) === oldCfg.errorKeyLit, newCfg.errorKeyLit)
       .otherwise(recompute)
 
   /** A child row whose parent-map join missed has NO valid new key: keeping

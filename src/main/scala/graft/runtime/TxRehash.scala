@@ -46,13 +46,13 @@ object TxRehash {
     val deprecated = s"${hashCol}_deprecated"
     requireClean(t, table, updated, deprecated)
     // 1. typed NULL column, no data touched
-    t.addColumn(table, updated, "string")
+    t.addColumn(table, updated, if (newCfg.isBinary) "binary" else "string")
     // 2. the one data pass: every live file rewritten in one atomic commit
     val v = t.currentVersion(table).get
     t.replaceFiles(table, t.files(table, v)) { df =>
-      val ghost = col(hashCol) === oldCfg.zeroKey || col(hashCol) === oldCfg.errorKey
-      val ghostValue = when(col(hashCol) === oldCfg.zeroKey, lit(newCfg.zeroKey))
-        .otherwise(lit(newCfg.errorKey))
+      val ghost = col(hashCol) === oldCfg.zeroKeyLit || col(hashCol) === oldCfg.errorKeyLit
+      val ghostValue = when(col(hashCol) === oldCfg.zeroKeyLit, newCfg.zeroKeyLit)
+        .otherwise(newCfg.errorKeyLit)
       // hashInputs = the same H7 datatype normalization staging applies —
       // a rehash must reproduce what the NEXT stage load will compute
       df.withColumn(updated,
@@ -103,7 +103,7 @@ object TxRehash {
       val updated = s"${l.linkHashkey}_updated"
       val deprecated = s"${l.linkHashkey}_deprecated"
       requireClean(t, l.name, updated, deprecated)
-      t.addColumn(l.name, updated, "string")
+      t.addColumn(l.name, updated, if (newCfg.isBinary) "binary" else "string")
       val v = t.currentVersion(l.name).get
       t.replaceFiles(l.name, t.files(l.name, v)) { df0 =>
         var df = df0
@@ -147,7 +147,7 @@ object TxRehash {
       val updated = s"${s.hashkey}_updated"
       val deprecated = s"${s.hashkey}_deprecated"
       requireClean(t, s.name, updated, deprecated)
-      t.addColumn(s.name, updated, "string")
+      t.addColumn(s.name, updated, if (newCfg.isBinary) "binary" else "string")
       val v = t.currentVersion(s.name).get
       t.replaceFiles(s.name, t.files(s.name, v)) { df0 =>
         val pmap = t.read(s.parent)

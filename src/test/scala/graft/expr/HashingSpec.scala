@@ -135,6 +135,32 @@ class HashingSpec extends SparkSpec {
     assert(gotNull == hashdiffOracle(Seq(None, Some("x"))))
   }
 
+  test("BINARY hash_datatype stores digest bytes; zero/error keys are byte constants") {
+    implicit val bin: HashConfig = HashConfig(hashDatatype = "BINARY")
+    import spark.implicits._
+    // digest bytes == the raw MD5 of the same standardized pre-image
+    val got = Seq(("Alice", "Wonderland")).toDF("a", "b")
+      .select(Hashing.hashkey(Seq(col("a"), col("b")))(bin)).head().getAs[Array[Byte]](0)
+    val hexStr = hashkeyOracle(Seq(Some("Alice"), Some("Wonderland")))
+    assert(got.map("%02x".format(_)).mkString == hexStr, "bytes == unhex(string digest)")
+    assert(got.length == 16)
+    // all-null keys → 16 zero bytes, NOT a '!'-prefixed string
+    // (hash_default_values.sql:49-52 TO_BINARY('00..'))
+    val zero = Seq((Option.empty[String], Option.empty[String])).toDF("a", "b")
+      .select(Hashing.hashkey(Seq(col("a"), col("b")))(bin)).head().getAs[Array[Byte]](0)
+    assert(zero.toSeq == Array.fill(16)(0x00.toByte).toSeq)
+    assert(bin.errorKeyBytes.toSeq == Array.fill(16)(0xff.toByte).toSeq)
+    // SHA256 variant: 32 bytes
+    val sha = HashConfig(algorithm = "SHA256", hashDatatype = "BINARY")
+    val s = Seq(("x", "y")).toDF("a", "b")
+      .select(Hashing.hashkey(Seq(col("a"), col("b")))(sha)).head().getAs[Array[Byte]](0)
+    assert(s.length == 32)
+    // hashdiff honors the datatype too
+    val hd = Seq(("p", "q")).toDF("a", "b")
+      .select(Hashing.hashdiff(Seq(col("a"), col("b")))(bin)).head().getAs[Array[Byte]](0)
+    assert(hd.map("%02x".format(_)).mkString == hashdiffOracle(Seq(Some("p"), Some("q"))))
+  }
+
   test("multi-active hashdiff is order-insensitive in input, ordered by ma key") {
     import spark.implicits._
     // same set {home, work} in different input order must give same hashdiff
