@@ -192,8 +192,15 @@ object StreamingLoaders {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
-  /** One emitted near-duplicate candidate pair. */
-  final case class CandPair(doc_id: Long, doc_id_2: Long, bucket: String)
+  /** One emitted near-duplicate candidate pair — or, with `tombstone` set,
+    * a bucket-level RETRACTION: every pair previously emitted for `bucket`
+    * is void (the bucket crossed the size cap after they went out). */
+  final case class CandPair(doc_id: Long, doc_id_2: Long, bucket: String,
+                            tombstone: Boolean = false)
+
+  /** Per-bucket LSH state: stored members, and whether the bucket has gone
+    * degenerate (crossed the cap — members cleared, nothing more emitted). */
+  final case class BucketState(members: Seq[Long], overflowed: Boolean)
 
   /** Streaming near-duplicate CANDIDATE generation — the continuous shape
     * of the batch MinHash+LSH chain (same signatures, same band buckets):
@@ -202,13 +209,14 @@ object StreamingLoaders {
     * bucket). A new arrival emits one pair per stored member — the batch
     * bucket self-join, incrementally.
     *
-    * Hot buckets are capped ONLINE: once `maxBucketSize` members are
-    * stored, later arrivals are suppressed. NOTE this is weaker than the
-    * batch generator, which sees the final bucket size and drops an
-    * over-cap bucket's pairs ENTIRELY — an append stream cannot retract
-    * already-emitted pairs, so a bucket that eventually goes degenerate
-    * keeps the ≤ m²/2 pairs its first m members produced. Boilerplate
-    * suppression at batch strength needs the downstream batch dedup pass.
+    * Hot buckets are capped at BATCH strength: while a bucket holds ≤
+    * `maxBucketSize` members its pairs flow; the arrival that would exceed
+    * the cap emits ONE `tombstone` row for the bucket and clears its state
+    * — the append stream's encoding of the batch generator's retroactive
+    * drop (an over-cap bucket contributes NOTHING). Apply
+    * [[applyCandidateTombstones]] to the materialized pair table to get
+    * exactly the batch operator's candidate set; further arrivals in a
+    * tombstoned bucket are suppressed for free.
     *
     * State is bounded by the event-time horizon when `tsCol` is set (the
     * input must carry a watermark on it): a bucket idle for `inactivity`
@@ -248,21 +256,33 @@ object StreamingLoaders {
     bands
       .groupByKey((r: Row) => r.getAs[String]("bucket"))(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        (bucket: String, rows: Iterator[Row], state: GroupState[Seq[Long]]) => {
+        (bucket: String, rows: Iterator[Row], state: GroupState[BucketState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var members = state.getOption.getOrElse(Seq.empty)
+            val st = state.getOption.getOrElse(BucketState(Seq.empty, overflowed = false))
+            var members = st.members
+            var overflowed = st.overflowed
             val out = Seq.newBuilder[CandPair]
             val events = rows.toSeq
             events.map(_.getAs[Long]("doc_id")).distinct.sorted.foreach { d =>
-              if (!members.contains(d) && members.size < maxBucketSize) {
-                members.foreach { m =>
-                  out += CandPair(math.min(m, d), math.max(m, d), bucket)
+              if (!overflowed && !members.contains(d)) {
+                if (members.size >= maxBucketSize) {
+                  // batch parity (count ≤ cap keeps, above drops ENTIRELY):
+                  // void this batch's pairs and retract the earlier ones
+                  // with one bucket tombstone; drop the member list
+                  out.clear()
+                  out += CandPair(-1L, -1L, bucket, tombstone = true)
+                  members = Seq.empty
+                  overflowed = true
+                } else {
+                  members.foreach { m =>
+                    out += CandPair(math.min(m, d), math.max(m, d), bucket)
+                  }
+                  members = members :+ d
                 }
-                members = members :+ d
               }
             }
-            state.update(members)
+            state.update(BucketState(members, overflowed))
             (tsCol, stepMs) match {
               case (Some(tc), Some(ms)) =>
                 val maxTs = events.map(_.getAs[java.sql.Timestamp](tc).getTime).max
@@ -271,8 +291,22 @@ object StreamingLoaders {
             }
             out.result().iterator
           }
-        })(Encoders.kryo[Seq[Long]], Encoders.product[CandPair])
+        })(Encoders.product[BucketState], Encoders.product[CandPair])
       .toDF()
+  }
+
+  /** Resolve a MATERIALIZED stream-candidate table to the batch operator's
+    * candidate set: drop tombstone markers and every pair of a tombstoned
+    * bucket (pairs emitted before their bucket crossed the cap). Run over
+    * the sink table, or inside a `foreachBatch` compaction. */
+  def applyCandidateTombstones(pairs: DataFrame): DataFrame = {
+    // self-join over one plan: the rename mints a fresh attribute for the
+    // right side, so the join condition references distinct columns
+    val live = pairs.filter(!col("tombstone"))
+    val tombstoned = pairs.filter(col("tombstone"))
+      .select(col("bucket").as("tombstoned_bucket")).distinct()
+    live.join(tombstoned,
+      col("bucket") === col("tombstoned_bucket"), "left_anti")
   }
 
   /** Watermarked tumbling-window aggregation over an event stream — the

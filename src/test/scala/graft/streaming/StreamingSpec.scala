@@ -231,6 +231,51 @@ class StreamingSpec extends SparkSpec {
       s"expected the identical trio's pairs across batches, got $got")
   }
 
+  test("streaming LSH: a bucket crossing the cap mid-stream retracts to batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+
+    val cands = StreamingLoaders.lshCandidatesStream(docs, maxBucketSize = 2)
+    val query = cands.writeStream
+      .format("memory").queryName("lsh_cap").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    val hot = "the quick brown fox jumps over the lazy dog again and again"
+    val cold = "completely different words that share nothing at all here"
+    // batch 1: hot bucket fills to the cap (pair 1-2 EMITTED), cold pair 5-6
+    input.addData((1L, hot), (2L, hot), (5L, cold), (6L, cold))
+    query.processAllAvailable()
+    // batch 2: doc 3 pushes the hot bucket OVER the cap → tombstone
+    input.addData((3L, hot))
+    query.processAllAvailable()
+    // batch 3: post-overflow arrivals stay suppressed (no extra tombstones)
+    input.addData((4L, hot))
+    query.processAllAvailable()
+    query.stop()
+
+    val all = spark.table("lsh_cap")
+    // resolving tombstones must reproduce the batch operator exactly: the
+    // degenerate bucket contributes NOTHING, retroactively
+    val resolved = StreamingLoaders.applyCandidateTombstones(all)
+      .select("doc_id", "doc_id_2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resolved == Set((5L, 6L)),
+      s"over-cap bucket must contribute nothing after resolution, got $resolved")
+    // the raw stream DID emit the early hot pair — the retraction is real
+    val raw = all.filter(!col("tombstone")).select("doc_id", "doc_id_2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw.contains((1L, 2L)), s"pre-overflow pair should have been emitted, got $raw")
+    // exactly one tombstone per overflowed bucket
+    val tombs = all.filter(col("tombstone")).select("bucket")
+      .collect().map(_.getString(0)).toSeq
+    assert(tombs.nonEmpty && tombs.size == tombs.distinct.size,
+      s"one tombstone per bucket, got $tombs")
+  }
+
   test("streaming LSH candidates: idle buckets evict at the event-time horizon") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
