@@ -14,19 +14,19 @@ import graft.loaders._
   */
 object MetadataBuilders {
 
-  private def asMap(v: Any): Map[String, Any] = v match {
+  private[meta] def asMap(v: Any): Map[String, Any] = v match {
     case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
     case null         => Map.empty
     case other => throw new IllegalArgumentException(s"expected mapping, got $other")
   }
 
-  private def asList(v: Any): List[Any] = v match {
+  private[meta] def asList(v: Any): List[Any] = v match {
     case l: List[_] => l
     case null       => Nil
     case s          => List(s)
   }
 
-  private def strings(v: Any): Seq[String] = asList(v).map(_.toString)
+  private[meta] def strings(v: Any): Seq[String] = asList(v).map(_.toString)
 
   /** `stage(yaml_metadata=…)`: build the full stage DataFrame.
     * @param resolve  model name → DataFrame (dbt's ref()/source()) */
@@ -112,11 +112,27 @@ object MetadataBuilders {
   private def boolDefaultTrue(m: Map[String, Any], k: String): Boolean =
     m.get(k).forall(boolVal)
 
+  /** Restrict parsed source-model entries to the runner's effective
+    * selection (execution-aware loading, `source_models.sql:40-62`) —
+    * `None` = no restriction. Empty results fail loudly: the runner's
+    * fallbacks guarantee a non-empty effective list, so an empty filter
+    * means the caller passed names that do not match the YAML. */
+  private def restrict(entries: Seq[(String, Map[String, Any])],
+                       onlySources: Option[Set[String]]): Seq[(String, Map[String, Any])] =
+    onlySources match {
+      case None => entries
+      case Some(sel) =>
+        val kept = entries.filter(e => sel(e._1))
+        require(kept.nonEmpty,
+          s"onlySources ${sel.mkString(", ")} matches none of ${entries.map(_._1).mkString(", ")}")
+        kept
+    }
+
   /** The reference accepts `source_models` as a mapping name→config, a list
     * (of names or of configs carrying a `name` key), or one plain name
     * (`macros/supporting/source_models.sql:11-36`). Normalized to
     * (modelName, config) pairs in document order. */
-  private def sourceModelEntries(v: Any): Seq[(String, Map[String, Any])] = v match {
+  private[meta] def sourceModelEntries(v: Any): Seq[(String, Map[String, Any])] = v match {
     case null      => Nil
     case s: String => Seq(s -> Map.empty)
     case l: List[_] => l.map {
@@ -134,11 +150,12 @@ object MetadataBuilders {
   /** `hub(yaml_metadata=…)`: source_models + keys → records
     * (reference `macros/tables/hub.sql`). */
   def hub(yaml: String, resolve: String => DataFrame,
-          target: Option[DataFrame]): DataFrame = {
+          target: Option[DataFrame],
+          onlySources: Option[Set[String]] = None): DataFrame = {
     val m = asMap(YamlLite.parse(yaml))
     val hashkey = m("hashkey").toString
     val businessKeys = strings(m("business_keys"))
-    val sources = sourceModelEntries(m("source_models")).map { case (name, s) =>
+    val sources = restrict(sourceModelEntries(m("source_models")), onlySources).map { case (name, s) =>
       EntitySource(
         resolve(name),
         hkColumn = Some(s.getOrElse("hk_column", hashkey).toString),
@@ -152,11 +169,12 @@ object MetadataBuilders {
   /** `link(yaml_metadata=…)` (reference `macros/tables/link.sql:9`):
     * link_hashkey + foreign_hashkeys, per-source `fk_columns`/`link_hk`. */
   def link(yaml: String, resolve: String => DataFrame,
-           target: Option[DataFrame]): DataFrame = {
+           target: Option[DataFrame],
+           onlySources: Option[Set[String]] = None): DataFrame = {
     val m = asMap(YamlLite.parse(yaml))
     val linkHashkey = m("link_hashkey").toString
     val fks = strings(m("foreign_hashkeys"))
-    val sources = sourceModelEntries(m("source_models")).map { case (name, s) =>
+    val sources = restrict(sourceModelEntries(m("source_models")), onlySources).map { case (name, s) =>
       EntitySource(
         resolve(name),
         hkColumn = Some(s.getOrElse("link_hk", linkHashkey).toString),
@@ -169,11 +187,12 @@ object MetadataBuilders {
 
   /** `nh_link(yaml_metadata=…)` (reference `macros/tables/nh_link.sql:9`). */
   def nhLink(yaml: String, resolve: String => DataFrame,
-             target: Option[DataFrame]): DataFrame = {
+             target: Option[DataFrame],
+             onlySources: Option[Set[String]] = None): DataFrame = {
     val m = asMap(YamlLite.parse(yaml))
     val linkHashkey = m("link_hashkey").toString
     val fks = strings(m.getOrElse("foreign_hashkeys", Nil))
-    val sources = sourceModelEntries(m("source_models")).map { case (name, s) =>
+    val sources = restrict(sourceModelEntries(m("source_models")), onlySources).map { case (name, s) =>
       EntitySource(
         resolve(name),
         hkColumn = Some(s.getOrElse("link_hk", linkHashkey).toString),
@@ -188,10 +207,11 @@ object MetadataBuilders {
 
   /** `ref_hub(yaml_metadata=…)` (reference `macros/tables/ref_hub.sql`). */
   def refHub(yaml: String, resolve: String => DataFrame,
-             target: Option[DataFrame]): DataFrame = {
+             target: Option[DataFrame],
+             onlySources: Option[Set[String]] = None): DataFrame = {
     val m = asMap(YamlLite.parse(yaml))
     val refKeys = strings(m("ref_keys"))
-    val sources = sourceModelEntries(m("source_models")).map { case (name, s) =>
+    val sources = restrict(sourceModelEntries(m("source_models")), onlySources).map { case (name, s) =>
       EntitySource(resolve(name), hkColumn = None,
         keyColumns = strings(s.getOrElse("ref_keys", refKeys)),
         rsrcStatics = strings(s.getOrElse("rsrc_static", Nil)))
@@ -289,10 +309,11 @@ object MetadataBuilders {
   /** `rec_track_sat(yaml_metadata=…)` (reference
     * `macros/tables/rec_track_sat.sql:9`). */
   def recTrackSat(yaml: String, resolve: String => DataFrame,
-                  target: Option[DataFrame]): DataFrame = {
+                  target: Option[DataFrame],
+                  onlySources: Option[Set[String]] = None): DataFrame = {
     val m = asMap(YamlLite.parse(yaml))
     val hashkey = m("tracked_hashkey").toString
-    val sources = sourceModelEntries(m("source_models")).map { case (name, s) =>
+    val sources = restrict(sourceModelEntries(m("source_models")), onlySources).map { case (name, s) =>
       // rsrc_static may be one pattern or a list (rec_track_sat.sql:142-162)
       (resolve(name), s.getOrElse("hk_column", hashkey).toString, name,
         strings(s.getOrElse("rsrc_static", Nil)))

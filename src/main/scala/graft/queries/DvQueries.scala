@@ -121,6 +121,35 @@ object DvQueries {
     }
 
   // ---- shared oracle fragments -----------------------------------------
+  /** one oracle for BOTH yaml_vault and runner_yaml_vault — the runner-
+    * scheduled build must be byte-identical to the hand-wired chain */
+  private val yamlVaultOracle =
+    s"""WITH stage AS (
+       |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+       |         timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
+       |         ${O.hashkey("c_custkey")} AS hk_customer_h
+       |  FROM customer),
+       |hub AS (SELECT DISTINCT hk_customer_h FROM stage),
+       |sat_v1 AS (
+       |  SELECT hk_customer_h, ldts,
+       |         COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+       |           OVER (PARTITION BY hk_customer_h ORDER BY ldts),
+       |           timestamp '8888-12-31 23:59:59') AS ledts
+       |  FROM stage),
+       |snaps AS (
+       |  SELECT unnest(generate_series(timestamp '2024-02-01 12:00:00',
+       |    timestamp '2024-02-08 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts),
+       |pit AS (
+       |  SELECT ${O.hashkey("te.hk_customer_h", "snap.sdts")} AS dim_key_customer,
+       |    te.hk_customer_h, snap.sdts,
+       |    COALESCE(sv.hk_customer_h, '${O.ZeroKey}') AS hk_sat_customer,
+       |    COALESCE(sv.ldts, timestamp '0001-01-01 00:00:01') AS ldts_sat_customer
+       |  FROM hub te
+       |  CROSS JOIN (SELECT sdts FROM snaps WHERE sdts < timestamp '2024-02-08 00:00:00') snap
+       |  LEFT JOIN sat_v1 sv ON sv.hk_customer_h = te.hk_customer_h
+       |    AND snap.sdts BETWEEN sv.ldts AND sv.ledts)
+       |SELECT DISTINCT * FROM pit""".stripMargin
+
   private val custStageSql =
     s"""cust_stage AS (
        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
@@ -1257,31 +1286,76 @@ object DvQueries {
             |snapshot_trigger_column: is_active
             |""".stripMargin, resolve, target = None)
       },
-      Some(s"""WITH stage AS (
-              |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-              |         timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
-              |         ${O.hashkey("c_custkey")} AS hk_customer_h
-              |  FROM customer),
-              |hub AS (SELECT DISTINCT hk_customer_h FROM stage),
-              |sat_v1 AS (
-              |  SELECT hk_customer_h, ldts,
-              |         COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
-              |           OVER (PARTITION BY hk_customer_h ORDER BY ldts),
-              |           timestamp '8888-12-31 23:59:59') AS ledts
-              |  FROM stage),
-              |snaps AS (
-              |  SELECT unnest(generate_series(timestamp '2024-02-01 12:00:00',
-              |    timestamp '2024-02-08 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts),
-              |pit AS (
-              |  SELECT ${O.hashkey("te.hk_customer_h", "snap.sdts")} AS dim_key_customer,
-              |    te.hk_customer_h, snap.sdts,
-              |    COALESCE(sv.hk_customer_h, '${O.ZeroKey}') AS hk_sat_customer,
-              |    COALESCE(sv.ldts, timestamp '0001-01-01 00:00:01') AS ldts_sat_customer
-              |  FROM hub te
-              |  CROSS JOIN (SELECT sdts FROM snaps WHERE sdts < timestamp '2024-02-08 00:00:00') snap
-              |  LEFT JOIN sat_v1 sv ON sv.hk_customer_h = te.hk_customer_h
-              |    AND snap.sdts BETWEEN sv.ldts AND sv.ledts)
-              |SELECT DISTINCT * FROM pit""".stripMargin)),
+      Some(yamlVaultOracle)),
+
+    // The same YAML mini-vault, but scheduled by the DAG Runner through the
+    // YamlVault bridge (the dbt-manifest analogue): dependencies extracted
+    // from the yaml documents themselves, models topologically ordered and
+    // materialized through a TableStore, PIT read back — byte-identical to
+    // the hand-wired yaml_vault result (same oracle).
+    Q("runner_yaml_vault",
+      (s, dir) => {
+        import graft.meta.YamlVault
+        import graft.meta.YamlVault.ModelDef
+        val st = new graft.runtime.TableStore(s, tmpWarehouse("graft_q_ryaml"))
+        val defs = Seq(
+          ModelDef("stage_customer", "stage",
+            """ldts: "timestampadd(DAY, cast(c_custkey % 3 as int), timestamp'2024-01-01 00:00:00')"
+              |rsrc: '!TPC_H/Customer'
+              |source_model: customer
+              |enable_ghost_records: false
+              |hashed_columns:
+              |  hk_customer_h:
+              |    - c_custkey
+              |  hd_customer_s:
+              |    is_hashdiff: true
+              |    columns: [c_name, c_acctbal, c_mktsegment]
+              |""".stripMargin),
+          ModelDef("hub_customer", "hub",
+            """hashkey: hk_customer_h
+              |business_keys:
+              |  - c_custkey
+              |source_models:
+              |  stage_customer:
+              |    rsrc_static: 'TPC_H/%'
+              |""".stripMargin),
+          ModelDef("sat_customer_v0", "sat_v0",
+            """source_model: stage_customer
+              |parent_hashkey: hk_customer_h
+              |src_hashdiff: hd_customer_s
+              |src_payload: [c_name, c_acctbal, c_mktsegment]
+              |""".stripMargin),
+          ModelDef("sat_customer", "sat_v1",
+            """sat_v0: sat_customer_v0
+              |hashkey: hk_customer_h
+              |hashdiff: hd_customer_s
+              |""".stripMargin),
+          ModelDef("snap_ctl_v0", "control_snap_v0",
+            """start_date: 2024-02-01
+              |daily_snapshot_time: '12:00:00'
+              |end_date: 2024-02-07
+              |""".stripMargin),
+          ModelDef("snap_ctl", "control_snap_v1",
+            """control_snap_v0: snap_ctl_v0
+              |log_logic:
+              |  daily:
+              |    forever: TRUE
+              |""".stripMargin),
+          ModelDef("pit_customer", "pit",
+            """tracked_entity: hub_customer
+              |hashkey: hk_customer_h
+              |sat_names: [sat_customer]
+              |snapshot_relation: snap_ctl
+              |dimension_key: dim_key_customer
+              |snapshot_trigger_column: is_active
+              |""".stripMargin))
+        new graft.runtime.Runner(s, st, YamlVault.models(defs), {
+          case "customer" => rd(s, dir, "customer")
+          case other      => throw new IllegalArgumentException(other)
+        }).run()
+        st.read("pit_customer")
+      },
+      Some(yamlVaultOracle)),
 
     // P6 at scale — incremental MULTI-source hub WITHOUT rsrc_static: the
     // global HWM applies per source (ldts is the batch load timestamp), so
