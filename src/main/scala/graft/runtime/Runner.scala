@@ -204,16 +204,31 @@ final class Runner(spark: SparkSession, store: TableStore, models: Seq[VaultMode
 
   /** Load the selected subgraph in dependency order. Unselected models are
     * never rebuilt — a downstream ref reads their existing materialized
-    * state (views, being ephemeral, rebuild on demand regardless). */
+    * state (views, being ephemeral, rebuild on demand regardless).
+    *
+    * `threads > 1` executes independent DAG branches CONCURRENTLY (dbt's
+    * `--threads`): a model starts once every selected parent finished, so
+    * sibling entities of a wide vault (dozens of hubs/sats off one staging
+    * layer) load in parallel and keep the cluster busy instead of
+    * serializing driver-side. Spark schedules the concurrent jobs fairly;
+    * correctness is unchanged because two selected models never write the
+    * same table and cross-model reads go through the completed parents'
+    * materialized state. */
   def run(select: String = "", exclude: String = "",
-          fullRefresh: Boolean = false): Runner.Result = {
+          fullRefresh: Boolean = false, threads: Int = 1): Runner.Result = {
     val order = plan(select, exclude)
     val selected = order.toSet
-    val viewCache = mutable.Map.empty[String, DataFrame]
+    val viewCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
     def resolve(name: String): DataFrame = byName.get(name) match {
       case Some(m) if m.materialization == Materialization.View =>
-        viewCache.getOrElseUpdate(name, buildOne(m)._1)
+        // plain get-then-put, NOT computeIfAbsent: a view's build may
+        // resolve another view, and re-entrant computeIfAbsent on one map
+        // can deadlock; a rare duplicate build of a lazy plan is free
+        Option(viewCache.get(name)).getOrElse {
+          val df = buildOne(m)._1
+          Option(viewCache.putIfAbsent(name, df)).getOrElse(df)
+        }
       case Some(_) =>
         store.readIfExists(name).getOrElse(throw new IllegalStateException(
           s"Runner: model $name resolved before materialization — " +
@@ -236,7 +251,7 @@ final class Runner(spark: SparkSession, store: TableStore, models: Seq[VaultMode
         m.sourceModels.diff(effective))
     }
 
-    val steps = order.map { name =>
+    def runOne(name: String): Runner.Step = {
       val m = byName(name)
       m.materialization match {
         case Materialization.View =>
@@ -252,6 +267,60 @@ final class Runner(spark: SparkSession, store: TableStore, models: Seq[VaultMode
           Runner.Step(name, if (existed) "append" else "create", skipped)
       }
     }
-    Runner.Result(steps)
+
+    if (threads <= 1) Runner.Result(order.map(runOne))
+    else runConcurrent(order, threads, runOne)
+  }
+
+  /** Completion-driven scheduling: a node is submitted the moment its last
+    * selected parent completes. Dependency counting is over SELECTED nodes
+    * only — unselected parents are not run this pass, their state is read
+    * as-is. First failure stops new submissions and rethrows after
+    * in-flight work drains. */
+  private def runConcurrent(order: Seq[String], threads: Int,
+                            runOne: String => Runner.Step): Runner.Result = {
+    val selected = order.toSet
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val lock = new Object
+    val remaining = mutable.Map.from(
+      order.map(n => n -> parentsOf(n).count(selected)))
+    val steps = mutable.Map.empty[String, Runner.Step]
+    var failure: Option[Throwable] = None
+    var inFlight = 0
+
+    def submit(name: String): Unit = {
+      inFlight += 1
+      pool.execute(() => {
+        val result =
+          try Right(runOne(name))
+          catch { case t: Throwable => Left(t) }
+        lock.synchronized {
+          inFlight -= 1
+          result match {
+            case Right(step) =>
+              steps(name) = step
+              if (failure.isEmpty)
+                childrenOf(name).filter(selected).foreach { c =>
+                  remaining(c) -= 1
+                  if (remaining(c) == 0) submit(c)
+                }
+            case Left(t) => if (failure.isEmpty) failure = Some(t)
+          }
+          lock.notifyAll()
+        }
+      })
+    }
+
+    lock.synchronized {
+      order.filter(remaining(_) == 0).foreach(submit)
+      while (inFlight > 0) lock.wait()
+    }
+    pool.shutdown()
+    failure.foreach(throw _)
+    // every selected node must have run — a leftover means a dependency
+    // was only reachable through a failed/unselected parent chain
+    val missing = order.filterNot(steps.contains)
+    require(missing.isEmpty, s"Runner: models never became runnable: ${missing.mkString(", ")}")
+    Runner.Result(order.map(steps))
   }
 }

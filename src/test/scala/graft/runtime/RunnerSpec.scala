@@ -153,6 +153,45 @@ class RunnerSpec extends SparkSpec {
     assert(store.read("hub").select("k").as[Int].collect().toSet === Set(5, 6))
   }
 
+  test("threads>1: independent branches run concurrently with identical results") {
+    // wide fan-out: one staging view feeding 6 independent sats — the shape
+    // whose wall-clock parallel scheduling is for
+    val seqStore = freshStore()
+    val parStore = freshStore()
+    def wide(): Seq[VaultModel] =
+      VaultModel("stg", deps = Seq("src"), materialization = Materialization.View)(
+        ctx => ctx.resolve("src")) +:
+        (1 to 6).map(i => VaultModel(s"sat_$i", deps = Seq("stg"))(ctx =>
+          ctx.resolve("stg").filter(col("k") % 6 === i - 1)))
+    val src = rows(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 1, 5 -> 1, 6 -> 1)
+    val ext: String => DataFrame = { case "src" => src; case o => throw new IllegalArgumentException(o) }
+    new Runner(spark, seqStore, wide(), ext).run()
+    val res = new Runner(spark, parStore, wide(), ext).run(threads = 4)
+    assert(res.steps.map(_.model).toSet === (1 to 6).map(i => s"sat_$i").toSet + "stg")
+    (1 to 6).foreach { i =>
+      assert(parStore.read(s"sat_$i").collect().toSet ===
+        seqStore.read(s"sat_$i").collect().toSet, s"sat_$i parity")
+    }
+    // dependency order still holds through a chain under parallelism
+    val chainStore = freshStore()
+    val res2 = new Runner(spark, chainStore, vault(),
+      externals(rows(1 -> 1), rows(2 -> 1))).run(threads = 4)
+    assert(res2.actions("hub") === "create" && res2.actions("sat") === "create")
+    // sat = stage_a (key 1) semi-joined to the completed hub — dependency
+    // order held under parallelism
+    assert(chainStore.read("sat").select("k").as[Int].collect().toSet === Set(1))
+    assert(chainStore.read("hub").select("k").as[Int].collect().toSet === Set(1, 2))
+    // a failing model propagates and does not hang the pool
+    val bad = Seq(
+      VaultModel("ok")(_ => rows(1 -> 1)),
+      VaultModel("boom")(_ => throw new RuntimeException("kaput")),
+      VaultModel("after", deps = Seq("boom"))(ctx => ctx.resolve("boom")))
+    val e = intercept[RuntimeException] {
+      new Runner(spark, freshStore(), bad).run(threads = 3)
+    }
+    assert(e.getMessage.contains("kaput"))
+  }
+
   test("an unselected non-view dependency resolves to its stored state, or fails loudly") {
     val store = freshStore()
     val r = new Runner(spark, store, vault(),
