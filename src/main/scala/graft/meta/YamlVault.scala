@@ -58,7 +58,10 @@ object YamlVault {
       case "sat_v0" | "ref_sat_v0" | "ma_sat_v0" | "nh_sat" | "eff_sat_v0" =>
         (Seq(m("source_model").toString), Nil)
       case "sat_v1" | "ref_sat_v1" =>
-        (Seq(m.getOrElse("sat_v0", m.getOrElse("ref_sat_v0", null)).toString), Nil)
+        val v0 = m.get("sat_v0").orElse(m.get("ref_sat_v0")).getOrElse(
+          throw new IllegalArgumentException(
+            s"$kind metadata needs sat_v0 or ref_sat_v0"))
+        (Seq(v0.toString), Nil)
       case "ma_sat_v1" =>
         (Seq(m("sat_v0").toString), Nil)
       case "pit" =>
