@@ -32,6 +32,32 @@ class LoaderSpec extends SparkSpec {
     .withColumn("hk", graft.expr.Hashing.hashkey(Seq($"bk")))
     .withColumn("hd", graft.expr.Hashing.hashdiff(Seq($"payload")))
 
+  test("BINARY hash config end-to-end: stage ghosts -> hub -> sat carry byte keys") {
+    val bin = HashConfig(hashDatatype = "BINARY")
+    val src = Seq((1L, "alice"), (2L, "bob")).toDF("k", "name")
+    val staged = StageLoader.build(src, StageConfig(
+      ldts = "!2024-01-01 00:00:00", rsrc = "!TEST",
+      hashedColumns = Seq(
+        HashColumnSpec("hk", Seq("k")),
+        HashColumnSpec("hd", Seq("name"), isHashdiff = true)),
+      enableGhostRecords = true))(bin)
+    assert(staged.schema("hk").dataType === org.apache.spark.sql.types.BinaryType)
+    assert(staged.count() === 4, "2 rows + 2 ghosts")
+    val ghosts = staged.filter(col("rsrc") =!= "TEST")
+      .select("hk").collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    assert(ghosts === Set(bin.zeroKeyBytes.toSeq, bin.errorKeyBytes.toSeq),
+      "ghost hash columns carry the byte sentinels")
+    // hub + sat dedup/anti-join work on binary keys unchanged
+    val hub = HubLoader.records(
+      Seq(EntitySource(staged, Some("hk"), Seq("k"))), "hk", Seq("k"), None)
+    assert(hub.count() === 4)
+    val replay = HubLoader.records(
+      Seq(EntitySource(staged, Some("hk"), Seq("k"))), "hk", Seq("k"), Some(hub))
+    assert(replay.count() === 0, "binary-key anti-join idempotence")
+    val sat = SatV0Loader.records(staged, Seq("hk"), Some("hd"), Seq("name"), None)
+    assert(sat.count() === 4)
+  }
+
   test("sat v0 keeps intermediate changes, drops consecutive duplicates") {
     val out = SatV0Loader.records(aabSource, Seq("hk"), Some("hd"), Seq("payload"), None)
     val rows = out.select("payload", "ldts").collect().map(r => (r.getString(0), r.getTimestamp(1).toString)).toSet
