@@ -63,8 +63,10 @@ object Runner {
   }
 
   /** One executed step: the store action taken (`create` / `append` /
-    * `table` / `ephemeral`) and which declared sources were skipped. */
-  final case class Step(model: String, action: String, skippedSources: Seq[String])
+    * `table` / `ephemeral`), which declared sources were skipped, and the
+    * wall-clock the step took (dbt's per-model timing). */
+  final case class Step(model: String, action: String, skippedSources: Seq[String],
+                        seconds: Double = 0.0)
 
   final case class Result(steps: Seq[Step]) {
     def actions: Map[String, String] = steps.map(s => s.model -> s.action).toMap
@@ -252,6 +254,8 @@ final class Runner(spark: SparkSession, store: TableStore, models: Seq[VaultMode
     }
 
     def runOne(name: String): Runner.Step = {
+      val t0 = System.nanoTime()
+      def timed(s: Runner.Step) = s.copy(seconds = (System.nanoTime() - t0) / 1e9)
       val m = byName(name)
       m.materialization match {
         case Materialization.View =>
@@ -259,12 +263,12 @@ final class Runner(spark: SparkSession, store: TableStore, models: Seq[VaultMode
         case Materialization.Table =>
           val (df, skipped) = buildOne(m)
           store.overwrite(name, df)
-          Runner.Step(name, "table", skipped)
+          timed(Runner.Step(name, "table", skipped))
         case Materialization.Incremental =>
           val existed = !fullRefresh && store.exists(name)
           val (df, skipped) = buildOne(m)
           if (existed) store.append(name, df) else store.overwrite(name, df)
-          Runner.Step(name, if (existed) "append" else "create", skipped)
+          timed(Runner.Step(name, if (existed) "append" else "create", skipped))
       }
     }
 
