@@ -104,7 +104,7 @@ object Runner {
   * @param externals resolver for names that are NOT models — raw source
   *                  relations (dbt's `source()`); loud by default
   */
-final class Runner(spark: SparkSession, store: TableStore, models: Seq[VaultModel],
+final class Runner(spark: SparkSession, store: VaultStore, models: Seq[VaultModel],
                    externals: String => DataFrame = Runner.noExternals) {
 
   private val byName: Map[String, VaultModel] = models.map(m => m.name -> m).toMap

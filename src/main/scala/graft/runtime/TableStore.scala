@@ -4,6 +4,20 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** The materialization contract the [[Runner]] schedules against — dbt's
+  * {is_incremental(), {{ this }}, full-refresh} protocol, implemented by
+  * the plain-parquet [[TableStore]] and the transactional [[TxLogTable]].
+  */
+trait VaultStore {
+  def exists(name: String): Boolean
+  def read(name: String): DataFrame
+  def readIfExists(name: String): Option[DataFrame]
+  /** incremental insert (S6) */
+  def append(name: String, df: DataFrame): Unit
+  /** table materialization / full refresh (S5) */
+  def overwrite(name: String, df: DataFrame): Unit
+}
+
 /** Incremental materialization protocol over a Parquet warehouse directory —
   * the Spark-side equivalent of dbt's {is_incremental(), {{ this }},
   * full-refresh} contract that every reference macro leans on
@@ -14,7 +28,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * identical. Loads are insert-only by Data Vault design, so plain Parquet
   * appends are transactionally sufficient here.
   */
-final class TableStore(val spark: SparkSession, val baseDir: String) {
+final class TableStore(val spark: SparkSession, val baseDir: String) extends VaultStore {
 
   def pathOf(name: String): String = s"$baseDir/$name"
 

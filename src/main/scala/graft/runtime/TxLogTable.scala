@@ -43,7 +43,15 @@ import org.apache.spark.sql.functions.{col, lit}
   * File-level MERGE (`replaceFiles`) is the primitive Delta's MERGE compiles
   * to: rewrite the touched files, commit (removed, added) in one version.
   */
-final class TxLogTable(val spark: SparkSession, val baseDir: String) {
+final class TxLogTable(val spark: SparkSession, val baseDir: String) extends VaultStore {
+
+  // ---- VaultStore: the Runner schedules transactional vaults too --------
+  def readIfExists(name: String): Option[DataFrame] =
+    currentVersion(name).map(readVersion(name, _))
+  /** non-CAS overwrite (VaultStore form): last writer wins, like
+    * [[TableStore.overwrite]]; pass `expectedVersion` for the guarded
+    * read-modify-overwrite contract */
+  def overwrite(name: String, df: DataFrame): Unit = overwrite(name, df, None)
 
   import TxLogTable.ColMap
 

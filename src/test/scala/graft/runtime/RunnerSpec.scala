@@ -192,6 +192,20 @@ class RunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("kaput"))
   }
 
+  test("the Runner schedules a TRANSACTIONAL vault (TxLogTable as VaultStore)") {
+    val tx = new TxLogTable(spark, Files.createTempDirectory("runner_tx").toString)
+    val r1 = new Runner(spark, tx, vault(), externals(rows(1 -> 1, 2 -> 1), rows(3 -> 2)))
+    assert(r1.run().actions("hub") === "create")
+    // incremental pass: one commit per incremental table, versioned history
+    val r2 = new Runner(spark, tx, vault(), externals(rows(4 -> 3), rows(5 -> 4)))
+    assert(r2.run().actions("hub") === "append")
+    assert(tx.versions("hub") === Seq(1L, 2L), "create + append = two commits")
+    assert(tx.read("hub").select("k").as[Int].collect().toSet === Set(1, 2, 3, 4, 5))
+    // time travel back to the first load — the runner wrote through the
+    // transactional contract, so history is queryable
+    assert(tx.readVersion("hub", 1).select("k").as[Int].collect().toSet === Set(1, 2, 3))
+  }
+
   test("an unselected non-view dependency resolves to its stored state, or fails loudly") {
     val store = freshStore()
     val r = new Runner(spark, store, vault(),
