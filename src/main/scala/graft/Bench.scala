@@ -17,9 +17,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Shared artifacts (the LSH candidate chain, the materialized MA staged
+    // frame) are built once and consumed by several queries — the right
+    // production shape, but under median-of-N every median (and their sum)
+    // would report warm numbers and the dominant one-time cost would vanish
+    // from the round's artifact. One canonical builder query per artifact
+    // re-pays the cold build on EVERY pass so its median is the cold cost;
+    // the other consumers stay warm, mirroring a pipeline where the
+    // artifact already exists as a table.
+    val coldEvict: Map[String, () => Unit] = Map(
+      "minhash_lsh" -> (() => graft.queries.TextQueries.evictShared(spark)),
+      "dedup_clusters" ->
+        (() => graft.queries.TextQueries.evictShared(spark, labelsOnly = true)),
+      "ma_sat_incremental" -> (() => graft.queries.DvQueries.evictShared()))
+
     // force FULL computation of every output column (count() would let
     // Catalyst prune the projections we are benchmarking) — noop v2 sink
     def run(name: String): Double = {
+      coldEvict.get(name).foreach(_.apply())
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

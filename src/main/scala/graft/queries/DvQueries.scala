@@ -120,6 +120,11 @@ object DvQueries {
       })
     }
 
+  /** Bench hook: forget the materialized MA staged frame so the canonical
+    * MA query's timing includes the cold stage write+read (median-of-N
+    * would otherwise hide the shared one-time cost from every median). */
+  def evictShared(): Unit = maStageCache.synchronized { maStageCache.clear() }
+
   // ---- shared oracle fragments -----------------------------------------
   /** one oracle for BOTH yaml_vault and runner_yaml_vault — the runner-
     * scheduled build must be byte-identical to the hand-wired chain */
