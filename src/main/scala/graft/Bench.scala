@@ -29,7 +29,7 @@ object Bench {
       "minhash_lsh" -> (() => graft.queries.TextQueries.evictShared(spark)),
       "dedup_clusters" ->
         (() => graft.queries.TextQueries.evictShared(spark, labelsOnly = true)),
-      "ma_sat_incremental" -> (() => graft.queries.DvQueries.evictShared()))
+      "ma_stage_build" -> (() => graft.queries.DvQueries.evictShared()))
 
     // force FULL computation of every output column (count() would let
     // Catalyst prune the projections we are benchmarking) — noop v2 sink

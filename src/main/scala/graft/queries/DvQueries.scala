@@ -1108,6 +1108,21 @@ object DvQueries {
               |FROM unioned u WHERE NOT EXISTS (
               |  SELECT 1 FROM target t WHERE t.hk = u.hk AND t.ldts = u.ldts)""".stripMargin)),
 
+    // The MA staged frame as its own model — in the reference the stage IS
+    // a separate dbt model written once and consumed by every downstream
+    // entity (`macros/staging/stage.sql`). Exposing the build as a query
+    // makes the shared one-time cost a visible line in the bench (the MA
+    // consumers below measure warm, reading the materialized table).
+    Q("ma_stage_build",
+      (s, dir) => ordMaStageMat(s, dir)
+        .select(col("hk_customer_h"), col(LdtsAlias), col(RsrcAlias),
+          col("o_orderkey"), col("o_orderstatus"), col("b"),
+          col("o_totalprice_v"), col("hd_orders_ms")),
+      Some(s"""WITH $ordMaSql
+              |SELECT hk_customer_h, ldts, rsrc, o_orderkey, o_orderstatus,
+              |       CAST(b AS BIGINT) AS b, o_totalprice_v, hd_orders_ms
+              |FROM staged""".stripMargin)),
+
     // ma_sat_v0.sql:110-117 — incremental MA sat: groups whose set-hashdiff
     // is unchanged vs the target's latest are dropped; changed groups insert
     // ALL their multi-active rows.
