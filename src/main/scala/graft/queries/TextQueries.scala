@@ -721,7 +721,13 @@ object TextQueries {
           .filter(length(col("term")) >= 3)
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val nDocs = docs(s, dir).count()
-        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // count(tf) not count(*): tf is never NULL so the value is the same,
+        // but referencing the tf column stops column pruning from rewriting
+        // this branch into a distinct-style aggregate — both branches then
+        // canonicalize to the SAME partial-aggregate Exchange and
+        // ReuseExchange tokenizes the corpus ONCE instead of twice (the
+        // dominant cost at scale)
+        val df_ = tf.groupBy("term").agg(count(col("tf")).as("df"))
         val scored = tf.join(broadcast(df_), Seq("term"))
           .select(col("doc_id"), col("term"),
             round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf"))
