@@ -429,6 +429,73 @@ object SimQueries {
              |  cast(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
              |    AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_purchased_after_click
-             |FROM per_user""".stripMargin))
+             |FROM per_user""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+    // clustering — assign every vector to its nearest centroid, keep one
+    // representative per cluster (min vec_id), flag members whose cosine
+    // to the representative clears the threshold as semantic duplicates.
+    // Same deterministic centroid set as ivf_ann (the first 8 corpus
+    // vectors; a trained index swaps in k-means means). Scale shape:
+    // centroid argmax is a per-row projection against broadcast literals,
+    // the representative set is #cells rows (broadcast), so the only
+    // shuffle is the per-cell min — the all-pairs intra-cluster compare
+    // SemDeDup avoids is avoided here too (compare-to-keeper only).
+    Q("semdedup",
+      (s, dir) => {
+        val k = 8
+        val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
+        val centroids: Seq[(Int, Seq[Double], Double)] =
+          e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + k)
+            .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
+            .zipWithIndex.map { case (r, i) =>
+              val v = r.getSeq[Float](1).map(_.toDouble)
+              (i, v, math.sqrt(v.map(x => x * x).sum))
+            }
+        def cellScore(cvec: Seq[Double], cn: Double) =
+          round(dotProduct(col("embedding"), typedLit(cvec)) / (col("nrm") * cn), 4)
+        val argmaxStructs = centroids.map { case (cid, v, n) =>
+          struct(cellScore(v, n).as("s"), lit(-cid).as("nc"))
+        }
+        val assigned = e
+          .withColumn("__best", greatest(argmaxStructs: _*))
+          .withColumn("cell", (-col("__best").getField("nc")).cast("long"))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        // rename BEFORE the self-joins: keepers derives from assigned, so
+        // un-aliased grouping columns would share exprIds with the left side
+        val keepers = assigned.groupBy("cell").agg(min("vec_id").as("keeper_id"))
+          .withColumnRenamed("cell", "kcell")
+        val keeperVecs = assigned
+          .join(keepers, assigned("vec_id") === keepers("keeper_id"))
+          .select(col("kcell"), col("keeper_id"),
+            col("embedding").as("kvec"), col("nrm").as("knrm"))
+        assigned.join(broadcast(keeperVecs), col("cell") === col("kcell"))
+          .select(col("vec_id"), col("cell"), col("keeper_id"),
+            round(dotProduct(col("embedding"), col("kvec")) /
+              (col("nrm") * col("knrm")), 4).as("cos_to_keeper"))
+          .withColumn("is_dup",
+            col("vec_id") =!= col("keeper_id") && col("cos_to_keeper") >= 0.3)
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id - 10 AS cid, embedding AS cvec
+              |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+              |scored AS (
+              |  SELECT e.vec_id, c.cid,
+              |    round(${cosDuck("e.embedding", "c.cvec")}, 4) AS s
+              |  FROM embeddings e, cent c),
+              |assigned AS (
+              |  SELECT vec_id, cast(cid AS BIGINT) AS cell FROM scored
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+              |    ORDER BY s DESC, cid ASC) = 1),
+              |keepers AS (
+              |  SELECT cell, min(vec_id) AS keeper_id FROM assigned GROUP BY cell)
+              |SELECT a.vec_id, a.cell, k.keeper_id,
+              |  round(${cosDuck("e.embedding", "ke.embedding")}, 4) AS cos_to_keeper,
+              |  (a.vec_id <> k.keeper_id AND
+              |   round(${cosDuck("e.embedding", "ke.embedding")}, 4) >= 0.3) AS is_dup
+              |FROM assigned a
+              |JOIN keepers k ON k.cell = a.cell
+              |JOIN embeddings e ON e.vec_id = a.vec_id
+              |JOIN embeddings ke ON ke.vec_id = k.keeper_id""".stripMargin))
   )
 }

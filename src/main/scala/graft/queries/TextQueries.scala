@@ -782,6 +782,198 @@ object TextQueries {
              |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
              |  quantile_cont(n_tokens, 0.9) AS p90_tokens,
              |  quantile_cont(n_tokens, 0.99) AS p99_tokens
-             |FROM t GROUP BY lang_bucket""".stripMargin))
+             |FROM t GROUP BY lang_bucket""".stripMargin)),
+
+    // Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1, adapted
+    // word-level for single-line docs): word count bounds, mean word
+    // length, alphabetic-word fraction, stopword presence, symbol density.
+    // One stateless codegen'd projection — the rules run inside the scan's
+    // WholeStageCodegen span, so at 100 TB this is I/O-bound, not CPU-bound.
+    Q("gopher_rules",
+      (s, dir) => docs(s, dir)
+        .withColumn("words",
+          expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)"))
+        .select(
+          col("doc_id"),
+          size(col("words")).cast("long").as("n_words"),
+          round(expr("aggregate(words, 0, (a, w) -> a + length(w))")
+            .cast("double") / size(col("words")), 4).as("mean_word_len"),
+          round(expr("size(filter(words, w -> w rlike '^[A-Za-z]+$'))")
+            .cast("double") / size(col("words")), 4).as("frac_alpha"),
+          expr("size(filter(words, w -> lower(w) in ('the','a','and','of','to','in')))")
+            .cast("long").as("stopword_hits"),
+          round(regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+            size(col("words")), 4).as("symbol_ratio"))
+        .withColumn("keep",
+          col("n_words").between(10, 100000) &&
+            col("mean_word_len").between(2.0, 10.0) &&
+            col("frac_alpha") >= 0.8 && col("stopword_hits") >= 2 &&
+            col("symbol_ratio") <= 0.1),
+      Some("""WITH w AS (
+             |  SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |                x -> length(x) > 0) AS words
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    cast(len(words) AS BIGINT) AS n_words,
+             |    round(cast(list_sum(list_transform(words, x -> length(x))) AS double)
+             |          / len(words), 4) AS mean_word_len,
+             |    round(cast(len(list_filter(words,
+             |          x -> regexp_full_match(x, '[A-Za-z]+'))) AS double)
+             |          / len(words), 4) AS frac_alpha,
+             |    cast(len(list_filter(words,
+             |          x -> lower(x) IN ('the','a','and','of','to','in'))) AS BIGINT)
+             |      AS stopword_hits,
+             |    round(cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS double)
+             |          / len(words), 4) AS symbol_ratio
+             |  FROM w)
+             |SELECT *,
+             |  (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2 AND 10
+             |   AND frac_alpha >= 0.8 AND stopword_hits >= 2
+             |   AND symbol_ratio <= 0.1) AS keep
+             |FROM m""".stripMargin)),
+
+    // per-document unigram word entropy (gibberish / repetition proxy):
+    // H = log2(n) - (1/n)·Σ tf·log2(tf). The Σ folds over a SORTED term
+    // list sequentially (aggregate over array_sort), so the double sum is
+    // order-deterministic and bit-identical to the oracle's list_sum —
+    // a plain double SUM() would combine partials in shuffle order.
+    Q("word_entropy",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n"), count(lit(1)).as("n_unique"),
+          collect_list(struct(col("w"), col("tf"))).as("lst"))
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_tokens"),
+          col("n_unique").cast("long").as("n_unique"),
+          round(log2(col("n")) -
+            expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.tf * log2(x.tf))") /
+            col("n"), 4).as("entropy")),
+      Some("""WITH terms AS (
+             |  SELECT doc_id, u.w
+             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+             |        FROM documents), UNNEST(ws) AS u(w)
+             |  WHERE length(u.w) > 0),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM terms GROUP BY doc_id, w),
+             |agg AS (
+             |  SELECT doc_id, sum(tf) AS n, count(*) AS n_unique,
+             |    list(tf ORDER BY w, tf) AS tfs
+             |  FROM tf GROUP BY doc_id)
+             |SELECT doc_id, cast(n AS BIGINT) AS n_tokens,
+             |  cast(n_unique AS BIGINT) AS n_unique,
+             |  round(log2(n) - list_sum(list_transform(tfs,
+             |        t -> t * log2(t))) / n, 4) AS entropy
+             |FROM agg""".stripMargin)),
+
+    // cross-document boilerplate detection: word-3-grams appearing in many
+    // DISTINCT documents (headers, footers, license blurbs at corpus
+    // scale). Per-doc grams dedup BEFORE the global count (array_distinct
+    // pre-explode), so the aggregate counts documents, not occurrences,
+    // and map-side combine collapses each partition to its vocabulary.
+    Q("boilerplate_ngrams",
+      (s, dir) => docs(s, dir)
+        .withColumn("words", split(col("text"), "\\s+"))
+        .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("shingle"))
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("doc_freq"), min(col("doc_id")).as("first_doc_id"))
+        .filter(col("doc_freq") >= 4),
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words
+              |  FROM documents),
+              |shl AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM w),
+              |sh0 AS (SELECT DISTINCT doc_id, u.shingle FROM shl, UNNEST(shs) AS u(shingle))
+              |SELECT shingle, cast(count(*) AS BIGINT) AS doc_freq,
+              |  min(doc_id) AS first_doc_id
+              |FROM sh0 GROUP BY shingle HAVING count(*) >= 4""".stripMargin)),
+
+    // Bloom-filter incremental dedup: the membership pre-filter a NEW batch
+    // runs against the existing corpus before any expensive verify. The
+    // "bloom" is the distinct set of k=3 positions (h1 + i·h2 mod 4096)
+    // of each corpus fingerprint — at scale it collapses to an m-bit
+    // bitmap broadcast to every executor (m/8 bytes; here the position
+    // SET keeps the query engine-comparable). Emits the false-positive
+    // accounting (bloom hit without an exact match) that sizes m and k.
+    Q("bloom_dedup",
+      (s, dir) => {
+        val m = 4096
+        val h = docs(s, dir)
+          .select(col("doc_id"),
+            md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+          .select(col("doc_id"), col("fp"),
+            conv(substring(col("fp"), 1, 8), 16, 10).cast("long").as("h1"),
+            conv(substring(col("fp"), 9, 8), 16, 10).cast("long").as("h2"))
+        def positions(df: DataFrame) = df.select(col("doc_id"),
+          explode(array((0 until 3).map(i =>
+            (col("h1") + lit(i.toLong) * col("h2")) % m): _*)).as("pos"))
+        val corpus = h.filter(col("doc_id") % 5 =!= 0)
+        val incoming = h.filter(col("doc_id") % 5 === 0)
+        val corpusBits = positions(corpus).select("pos").distinct()
+        val incPos = positions(incoming).distinct()
+        val stat = incPos
+          .join(broadcast(corpusBits.withColumn("__hit", lit(1))), Seq("pos"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pos"), count(col("__hit")).as("n_hit"))
+        val exact = corpus.select(col("fp")).distinct().withColumn("__ex", lit(1))
+        incoming
+          .join(stat, Seq("doc_id"))
+          .join(broadcast(exact), Seq("fp"), "left")
+          .select(col("doc_id"),
+            (col("n_hit") === col("n_pos")).as("bloom_hit"),
+            col("__ex").isNotNull.as("exact_dup"),
+            (col("n_hit") === col("n_pos") && col("__ex").isNull).as("false_positive"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, fp,
+             |    cast(('0x' || substr(fp, 1, 8)) AS BIGINT) AS h1,
+             |    cast(('0x' || substr(fp, 9, 8)) AS BIGINT) AS h2
+             |  FROM f),
+             |p AS (
+             |  SELECT doc_id, (h1 + i.i * h2) % 4096 AS pos
+             |  FROM h, range(0, 3) AS i(i)),
+             |corpus_bits AS (SELECT DISTINCT pos FROM p WHERE doc_id % 5 <> 0),
+             |inc AS (SELECT DISTINCT doc_id, pos FROM p WHERE doc_id % 5 = 0),
+             |stat AS (
+             |  SELECT i.doc_id, count(*) AS n_pos, count(cb.pos) AS n_hit
+             |  FROM inc i LEFT JOIN corpus_bits cb ON cb.pos = i.pos
+             |  GROUP BY i.doc_id),
+             |ex AS (SELECT DISTINCT fp FROM h WHERE doc_id % 5 <> 0)
+             |SELECT h.doc_id,
+             |  s.n_hit = s.n_pos AS bloom_hit,
+             |  ex.fp IS NOT NULL AS exact_dup,
+             |  (s.n_hit = s.n_pos AND ex.fp IS NULL) AS false_positive
+             |FROM h JOIN stat s ON s.doc_id = h.doc_id
+             |LEFT JOIN ex ON ex.fp = h.fp
+             |WHERE h.doc_id % 5 = 0""".stripMargin)),
+
+    // deterministic stratified sampling: an exact per-stratum quota (40
+    // docs per language) drawn by hash order, so the sample is reproducible
+    // across runs and engines. One row_number window per stratum — the
+    // shuffle is by lang only; at 100 TB swap the exact window for a
+    // per-stratum hash THRESHOLD (like mixture_sample) once quotas are
+    // large enough that ±1% quota error is acceptable.
+    Q("stratified_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(concat(lit("strat:"), col("doc_id").cast("string"))).asc,
+            col("doc_id").asc)
+        docs(s, dir).select(col("doc_id"), col("lang"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 40)
+      },
+      Some("""SELECT doc_id, lang, cast(rk AS BIGINT) AS rk FROM (
+             |  SELECT doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY md5('strat:' || cast(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 40""".stripMargin))
   )
 }

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Invariant checks for the round-5 training-data operators (exact values
+  * are driver-verified against the DuckDB oracle; these pin the semantic
+  * properties a hash compare can't express). */
+class TrainingOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("bloom_dedup: no false negatives, FP accounting is consistent") {
+    val rows = run("bloom_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bloom, exact, fp) =
+        (r.getAs[Boolean]("bloom_hit"), r.getAs[Boolean]("exact_dup"),
+          r.getAs[Boolean]("false_positive"))
+      // a Bloom filter can lie positive, never negative
+      if (exact) assert(bloom, s"false negative at doc ${r.get(0)}")
+      assert(fp === (bloom && !exact))
+    }
+  }
+
+  test("gopher_rules: ratios bounded, keep implies every threshold") {
+    run("gopher_rules").collect().foreach { r =>
+      val frac = r.getAs[Double]("frac_alpha")
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (r.getAs[Boolean]("keep")) {
+        assert(r.getAs[Long]("n_words") >= 10)
+        assert(r.getAs[Long]("stopword_hits") >= 2)
+        assert(r.getAs[Double]("symbol_ratio") <= 0.1)
+      }
+    }
+  }
+
+  test("word_entropy: 0 <= H <= log2(n_unique)") {
+    run("word_entropy").collect().foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val maxH = math.log(r.getAs[Long]("n_unique").toDouble) / math.log(2)
+      assert(h >= -1e-9 && h <= maxH + 1e-6,
+        s"doc ${r.get(0)}: H=$h max=$maxH")
+    }
+  }
+
+  test("boilerplate_ngrams: every emitted gram clears the doc-freq floor") {
+    val rows = run("boilerplate_ngrams").collect()
+    assert(rows.nonEmpty, "threshold too high for the test corpus")
+    rows.foreach(r => assert(r.getAs[Long]("doc_freq") >= 4))
+  }
+
+  test("stratified_sample: exact per-stratum quota, reproducible") {
+    val a = run("stratified_sample").collect().map(_.toString).sorted
+    val b = run("stratified_sample").collect().map(_.toString).sorted
+    assert(a.sameElements(b), "sample not deterministic")
+    val perLang = run("stratified_sample").groupBy("lang").count().collect()
+    perLang.foreach(r => assert(r.getAs[Long]("count") <= 40))
+  }
+
+  test("semdedup: one keeper per cell, keeper self-similarity is 1") {
+    val rows = run("semdedup").collect()
+    val keepers = rows.filter(r => r.getAs[Long]("vec_id") == r.getAs[Long]("keeper_id"))
+    assert(keepers.map(_.getAs[Long]("cell")).distinct.length === keepers.length)
+    keepers.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cos_to_keeper") - 1.0) < 1e-9)
+      assert(!r.getAs[Boolean]("is_dup"))
+    }
+    // every cell's members reference that cell's keeper
+    val keeperOf = keepers.map(r => r.getAs[Long]("cell") -> r.getAs[Long]("keeper_id")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("keeper_id") === keeperOf(r.getAs[Long]("cell"))))
+  }
+}
