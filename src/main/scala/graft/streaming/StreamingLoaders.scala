@@ -309,6 +309,83 @@ object StreamingLoaders {
       col("bucket") === col("tombstoned_bucket"), "left_anti")
   }
 
+  /** One COMPLETED session (closed by a gap or by event-time timeout) —
+    * the streaming shape of the batch event_sessions row. */
+  final case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long,
+                              session_value: Double)
+
+  /** Open-session state: bounds, event count, value sum. */
+  final case class SessionState(start: java.sql.Timestamp,
+                                last: java.sql.Timestamp,
+                                n: Long, value: Double)
+
+  /** Streaming gap sessionization — the continuous form of the batch
+    * event_sessions query (two windows + a groupBy there; one state-store
+    * lookup per key here). A session closes when a user is idle for `gap`:
+    * intra-batch gaps close sessions immediately, cross-batch idleness is
+    * an EVENT-TIME TIMEOUT on the key's state (fires once the watermark
+    * passes last_event + gap — absence detection is O(keys-with-state),
+    * exactly like [[effSatStateful]]'s deactivation). Emits only COMPLETED
+    * sessions (append mode); the open tail of each user's activity stays in
+    * state. Late events inside the watermark that predate the open
+    * session's bounds extend it backwards rather than reordering history.
+    * `events` must carry a watermark on `tsCol`. State: one
+    * (start, last, n, sum) tuple per active user — O(active users), not
+    * O(events). */
+  def sessionizeStream(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", valueCol: String = "value",
+                       gap: String = "30 minutes"): DataFrame = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0,
+      s"sessionizeStream: month/year-denominated gap ('$gap') has no fixed " +
+        "millisecond length — use day/hour/minute units")
+    val gapMs = iv.days.toLong * 86400000L + iv.microseconds / 1000L
+    require(gapMs > 0, s"sessionizeStream: gap '$gap' must be positive")
+    events
+      .groupByKey((r: Row) => r.getAs[Long](userCol))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[Row], state: GroupState[SessionState]) => {
+          def done(s: SessionState) = SessionRow(user, s.start, s.last, s.n, s.value)
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(done).toSeq
+            state.remove()
+            closed.iterator
+          } else {
+            // full-precision sort (see satV0ChangesStateful): same-millisecond
+            // events must order identically across runs
+            val evs = rows.toSeq.sortBy { r =>
+              val t = r.getAs[java.sql.Timestamp](tsCol)
+              (Math.floorDiv(t.getTime, 1000L), t.getNanos)
+            }
+            val out = Seq.newBuilder[SessionRow]
+            var cur = state.getOption
+            evs.foreach { r =>
+              val t = r.getAs[java.sql.Timestamp](tsCol)
+              val v = r.getAs[Double](valueCol)
+              cur = cur match {
+                case Some(s) if t.getTime - s.last.getTime > gapMs =>
+                  out += done(s)
+                  Some(SessionState(t, t, 1L, v))
+                case Some(s) =>
+                  Some(SessionState(
+                    if (t.getTime < s.start.getTime) t else s.start,
+                    if (t.getTime > s.last.getTime) t else s.last,
+                    s.n + 1, s.value + v))
+                case None => Some(SessionState(t, t, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            out.result().iterator
+          }
+        })(Encoders.product[SessionState], Encoders.product[SessionRow])
+      .toDF()
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming form of the events_windowed batch query. Append mode emits a
     * window only once the watermark passes its end: late events inside the

@@ -312,4 +312,47 @@ class StreamingSpec extends SparkSpec {
     assert(!pairs.contains((1L, 2L)),
       s"doc 1's bucket state must have been evicted, got $pairs")
   }
+
+  test("streaming sessionization: intra-batch gaps close, timeout closes the tail") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, String, Double)]
+    val staged = input.toDF().toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .withWatermark("ts", "0 seconds")
+
+    val sessions = StreamingLoaders.sessionizeStream(staged, gap = "30 minutes")
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    // user 1: two events 10 min apart, then a 2-hour gap INSIDE one batch
+    // → first session closes immediately with n=2
+    input.addData((1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:10:00", 2.0), (1L, "2024-01-01 12:30:00", 4.0))
+    query.processAllAvailable()
+    val afterBatch = spark.sql(
+      "SELECT user_id, n_events, session_value FROM sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(afterBatch.toSet == Set((1L, 2L, 3.0)),
+      s"intra-batch gap must close the first session, got ${afterBatch.toSeq}")
+
+    // user 2 keeps the watermark moving; once it passes 12:30 + 30min,
+    // user 1's open tail times out and emits
+    input.addData((2L, "2024-01-01 14:00:00", 1.0))
+    query.processAllAvailable()
+    input.addData((2L, "2024-01-01 14:10:00", 1.0)) // extra batch fires timeouts
+    query.processAllAvailable()
+    query.stop()
+    val all = spark.sql(
+      "SELECT user_id, n_events, session_value FROM sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(all.contains((1L, 1L, 4.0)),
+      s"timeout must close user 1's single-event tail, got $all")
+    // user 2 is still active (no gap, watermark at its own last event):
+    // nothing emitted for it
+    assert(!all.exists(_._1 == 2L), s"user 2's session is still open, got $all")
+  }
 }
