@@ -73,4 +73,18 @@ class TrainingOpsSpec extends SparkSpec {
     rows.foreach(r =>
       assert(r.getAs[Long]("keeper_id") === keeperOf(r.getAs[Long]("cell"))))
   }
+
+  test("pq_ann: top-3 per query, approx cosine is a valid cosine") {
+    val rows = run("pq_ann").collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(Array(1L, 2L, 3L)),
+        s"query $q ranks ${rs.map(_.getAs[Long]("rank")).toSeq}")
+      // score is the cosine between the query and a RECONSTRUCTED vector,
+      // so it is bounded like any cosine (up to 4-decimal rounding)
+      rs.foreach(r =>
+        assert(math.abs(r.getAs[Double]("approx_cos")) <= 1.0001))
+    }
+  }
 }
