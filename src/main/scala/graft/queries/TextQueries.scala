@@ -974,6 +974,211 @@ object TextQueries {
              |    ROW_NUMBER() OVER (PARTITION BY lang
              |      ORDER BY md5('strat:' || cast(doc_id AS VARCHAR)), doc_id) AS rk
              |  FROM documents)
-             |WHERE rk <= 40""".stripMargin))
+             |WHERE rk <= 40""".stripMargin)),
+
+    // BM25 top-10 retrieval (Robertson/Lucene form, k1=1.2 b=0.75): the
+    // corpus-side pass is the same two partial-aggregating groupBys as
+    // tfidf_keywords (per-doc tf, vocab-sized df); the query set is a
+    // literal table, so df is semi-joined down to query terms and BOTH
+    // query-side tables broadcast — the only shuffles at 100 TB are the
+    // tf/dl aggregations. Per-(query,doc) term contributions fold over a
+    // SORTED term list so the double sum is order-deterministic; scores
+    // round to 4 decimals before ranking (libm ln jitter), ties break by
+    // doc_id.
+    Q("bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val qterms = Seq(
+          1L -> "table", 1L -> "scan", 1L -> "join",
+          2L -> "stream", 2L -> "window", 2L -> "agg",
+          3L -> "hash", 3L -> "merge", 3L -> "sort")
+          .toDF("query_id", "term")
+        val terms = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+          .filter(length(col("term")) > 0)
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val nDocs = docs(s, dir).count()
+        // exact long sum / long count — deterministic, mirrored by the
+        // oracle's cast(sum(dl) AS double)/count(*)
+        val avgdl = terms.count().toDouble / nDocs
+        val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .join(qterms.select("term").distinct(), Seq("term"), "left_semi")
+        val contrib = tf
+          .join(broadcast(qterms), Seq("term"))
+          .join(broadcast(dfq), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .select(col("query_id"), col("doc_id"), col("term"),
+            (log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / lit(avgdl))))
+              .as("c"))
+        val scored = contrib.groupBy("query_id", "doc_id")
+          .agg(collect_list(struct(col("term"), col("c"))).as("lst"))
+          .select(col("query_id"), col("doc_id"),
+            round(expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.c)"), 4)
+              .as("score"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+             |    (1, 'table'), (1, 'scan'), (1, 'join'),
+             |    (2, 'stream'), (2, 'window'), (2, 'agg'),
+             |    (3, 'hash'), (3, 'merge'), (3, 'sort')),
+             |terms AS (
+             |  SELECT doc_id, u.term
+             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+             |        FROM documents), UNNEST(ws) AS u(term)
+             |  WHERE length(u.term) > 0),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |ad AS (SELECT cast(sum(dl) AS double) / count(*) AS avgdl FROM dl),
+             |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |contrib AS (
+             |  SELECT q.query_id, tf.doc_id, tf.term,
+             |    ln((n.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0) *
+             |      (tf.tf * 2.2) /
+             |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS c
+             |  FROM tf JOIN q ON q.term = tf.term
+             |  JOIN dfr ON dfr.term = tf.term
+             |  JOIN dl ON dl.doc_id = tf.doc_id, n, ad),
+             |scored AS (
+             |  SELECT query_id, doc_id,
+             |    round(list_sum(list(c ORDER BY term)), 4) AS score
+             |  FROM contrib GROUP BY query_id, doc_id),
+             |ranked AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+             |SELECT cast(query_id AS BIGINT) AS query_id, doc_id, score,
+             |  cast(rank AS BIGINT) AS rank
+             |FROM ranked WHERE rank <= 10""".stripMargin)),
+
+    // corpus-unigram-LM perplexity scoring (the CCNet quality signal): one
+    // vocab-sized corpus frequency table (broadcast), per-doc cross-entropy
+    // H = -(1/n)·Σ tf·log2(cf/N) folded over a SORTED term list for an
+    // order-deterministic double sum, then head/middle/tail buckets on
+    // fixed thresholds. At 100 TB the LM table is built once and reused
+    // across datasets; thresholds come from a calibration percentile pass.
+    Q("unigram_perplexity",
+      (s, dir) => {
+        val terms = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+        val corpus = terms.groupBy("w").agg(count(lit(1)).as("cf"))
+        val total = terms.count()
+        val tf = terms.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        tf.join(broadcast(corpus), Seq("w"))
+          .select(col("doc_id"), col("tf"),
+            struct(col("w"), (col("tf") * log2(col("cf") / lit(total.toDouble))).as("c")).as("e"))
+          .groupBy("doc_id")
+          .agg(sum("tf").as("n"), collect_list(col("e")).as("lst"))
+          .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+            round(-expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.c)") /
+              col("n"), 4).as("cross_entropy"))
+          .withColumn("bucket",
+            when(col("cross_entropy") < 4.905, "head")
+              .when(col("cross_entropy") < 4.911, "middle")
+              .otherwise("tail"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, u.w
+             |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+             |        FROM documents), UNNEST(ws) AS u(w)
+             |  WHERE length(u.w) > 0),
+             |corpus AS (SELECT w, count(*) AS cf FROM terms GROUP BY w),
+             |tot AS (SELECT count(*) AS n FROM terms),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM terms GROUP BY doc_id, w),
+             |agg AS (
+             |  SELECT tf.doc_id, sum(tf.tf) AS n,
+             |    list(tf.tf * log2(c.cf / t.n) ORDER BY tf.w) AS cs
+             |  FROM tf JOIN corpus c ON c.w = tf.w, tot t
+             |  GROUP BY tf.doc_id),
+             |h AS (
+             |  SELECT doc_id, cast(n AS BIGINT) AS n_tokens,
+             |    round(-list_sum(cs) / n, 4) AS cross_entropy
+             |  FROM agg)
+             |SELECT *,
+             |  CASE WHEN cross_entropy < 4.905 THEN 'head'
+             |       WHEN cross_entropy < 4.911 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM h""".stripMargin)),
+
+    // exact-substring dedup at word-5-gram granularity (the suffix-array
+    // scheme of RefinedWeb/"Deduplicating Training Data Makes LMs Better",
+    // approximated span-wise so it stays a join + aggregate): a span is a
+    // duplicate if the SAME 5-gram first appeared in a lower doc_id. The
+    // gram→first-doc table is vocab-scale (NOT broadcast — equi-join, both
+    // sides shuffle-partitioned by gram); per-doc accounting is one
+    // partial-aggregating groupBy.
+    Q("dup_span_removal",
+      (s, dir) => {
+        val grams = docs(s, dir)
+          .withColumn("words",
+            expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)"))
+          .filter(size(col("words")) >= 5)
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(0, size(words) - 5), i -> concat_ws(' ', slice(words, i + 1, 5)))"))
+              .as("gram"))
+        val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+        grams.join(first, Seq("gram"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+            round(col("dup_spans").cast("double") / col("n_spans"), 4).as("dup_frac"),
+            (col("dup_spans").cast("double") / col("n_spans") <= 0.5).as("keep"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             |                             x -> length(x) > 0) AS words
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, array_to_string(words[i+1:i+5], ' ') AS gram
+             |  FROM w, UNNEST(range(0, greatest(len(words) - 4, 0))) AS u(i)),
+             |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+             |d AS (
+             |  SELECT g.doc_id, count(*) AS n_spans,
+             |    sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS dup_spans
+             |  FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+             |SELECT doc_id, cast(n_spans AS BIGINT) AS n_spans,
+             |  cast(dup_spans AS BIGINT) AS dup_spans,
+             |  round(cast(dup_spans AS double) / n_spans, 4) AS dup_frac,
+             |  cast(dup_spans AS double) / n_spans <= 0.5 AS keep
+             |FROM d""".stripMargin)),
+
+    // mixture reweighting (DoReMi-style uniform-target variant): per-source
+    // token shares and the resampling weight that would equalize them. One
+    // source-count-sized aggregate; the total and source count are exact
+    // integer scalars so every double division is deterministic.
+    Q("source_mix_weights",
+      (s, dir) => {
+        val per = docs(s, dir)
+          .select(col("source"),
+            size(split(col("text"), "\\s+")).cast("long").as("toks"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        val agg = per.agg(sum(col("n_tokens")), count(lit(1))).head()
+        val total = agg.getLong(0); val nSrc = agg.getLong(1)
+        per.select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / lit(total.toDouble), 6).as("token_share"),
+          round(lit(1.0 / nSrc) /
+            (col("n_tokens").cast("double") / lit(total.toDouble)), 4).as("weight"))
+      },
+      Some("""WITH per AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    sum(len(regexp_split_to_array(text, '\s+'))) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT cast(sum(n_tokens) AS double) AS total,
+             |               count(*) AS n_src FROM per)
+             |SELECT source, cast(n_docs AS BIGINT) AS n_docs,
+             |  cast(n_tokens AS BIGINT) AS n_tokens,
+             |  round(n_tokens / t.total, 6) AS token_share,
+             |  round((1.0 / t.n_src) / (n_tokens / t.total), 4) AS weight
+             |FROM per, tot t""".stripMargin))
   )
 }
