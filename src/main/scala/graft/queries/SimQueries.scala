@@ -596,6 +596,78 @@ object SimQueries {
              |FROM (
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              |    ORDER BY approx_cos DESC, neighbor_id ASC) AS rank FROM scored)
-             |WHERE rank <= 3""".stripMargin))
+             |WHERE rank <= 3""".stripMargin)),
+
+    // int8 scalar-quantization ANN: quantize every dimension to [0,255]
+    // against the global corpus min/max (driver-held scalars, like any real
+    // SQ index's trained range), coarse-score with the INTEGER quantized
+    // dot product — exact arithmetic, so the top-50 shortlist is fully
+    // deterministic with no rounding step at all — then rerank the
+    // shortlist with the exact float cosine. Scale story: int8 vectors are
+    // 4× smaller than float32 (memory-bandwidth-bound scan goes 4× faster);
+    // the float vectors are only touched for 50 rows per query. floor(),
+    // not round(): round() half-away ties break differently across engines.
+    Q("sq_ann",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+        val mm = e.agg(min(array_min(col("embedding"))), max(array_max(col("embedding")))).head()
+        val lo = mm.getFloat(0).toDouble; val hi = mm.getFloat(1).toDouble
+        val quantized = e
+          .withColumn("qv", transform(col("embedding"), v =>
+            least(floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(256.0)), lit(255.0))
+              .cast("long")))
+          .withColumn("nrm", vecNorm(col("embedding")))
+        val q = quantized.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+        val coarse = broadcast(q).join(quantized.filter(col("vec_id") >= 10))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as("approx_score"),
+            col("qe"), col("qn"), col("embedding"), col("nrm"))
+        val wc = Window.partitionBy(col("query_id"))
+          .orderBy(col("approx_score").desc, col("neighbor_id").asc)
+        val short = coarse.withColumn("__crn", row_number().over(wc))
+          .filter(col("__crn") <= 50)
+        val wr = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        short
+          .select(col("query_id"), col("neighbor_id"), col("approx_score"),
+            round(dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
+              .as("cos_sim"))
+          .withColumn("rank", row_number().over(wr).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some(s"""WITH mm AS (
+              |  SELECT cast(min(list_min(embedding)) AS double) AS lo,
+              |         cast(max(list_max(embedding)) AS double) AS hi
+              |  FROM embeddings),
+              |qz AS (
+              |  SELECT vec_id, embedding,
+              |    list_transform(embedding, v ->
+              |      cast(least(floor((cast(v AS double) - mm.lo) / (mm.hi - mm.lo) * 256.0),
+              |                 255.0) AS BIGINT)) AS qv
+              |  FROM embeddings, mm),
+              |coarse AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    cast(list_sum(list_transform(list_zip(a.qv, b.qv),
+              |      s -> s[1] * s[2])) AS BIGINT) AS approx_score
+              |  FROM qz a JOIN qz b ON a.vec_id < 10 AND b.vec_id >= 10),
+              |short AS (
+              |  SELECT * FROM coarse
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY approx_score DESC, neighbor_id ASC) <= 50),
+              |rer AS (
+              |  SELECT t.query_id, t.neighbor_id, t.approx_score,
+              |    round(${cosDuck("qa.embedding", "qb.embedding")}, 4) AS cos_sim
+              |  FROM short t JOIN embeddings qa ON qa.vec_id = t.query_id
+              |               JOIN embeddings qb ON qb.vec_id = t.neighbor_id)
+              |SELECT query_id, neighbor_id, approx_score, cos_sim,
+              |  cast(rank AS BIGINT) AS rank
+              |FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rer)
+              |WHERE rank <= 5""".stripMargin))
   )
 }

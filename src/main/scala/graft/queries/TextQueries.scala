@@ -102,8 +102,15 @@ object TextQueries {
   private val HashFamily = graft.ops.MinHash.HashFamily
   private val HashPrime = graft.ops.MinHash.HashPrime
 
-  private def buildLshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir)
+  /** 8-component minhash signature per doc ("m0|m1|…|m7"), optionally
+    * restricted to a (small) doc subset BEFORE the shingle explode — the
+    * verify-time consumer re-derives signatures for candidate members only,
+    * never re-shingling the whole corpus. */
+  private def minhashSignatures(s: SparkSession, dir: String,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
+    val base = restrictTo.foldLeft(docs(s, dir))((d, m) =>
+      d.join(broadcast(m), Seq("doc_id"), "left_semi"))
+    val sh = base
       .withColumn("words", split(col("text"), "\\s+"))
       .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("shingle"))
       // 30-bit base hash: top 15 hex digits of ONE md5, reduced mod 2^30
@@ -113,10 +120,14 @@ object TextQueries {
     // all 8 minhashes in ONE aggregation over the un-replicated shingle rows
     // (8 parallel min-agg columns) — the j-explode variant multiplied the
     // shuffle volume 8×; same signature bytes, ordered by j
-    val sig = sh.groupBy("doc_id")
+    sh.groupBy("doc_id")
       .agg(concat_ws("|", HashFamily.map { case (a, b) =>
         min((lit(a) * col("u") + lit(b)) % lit(HashPrime)).cast("string")
       }: _*).as("sig"))
+  }
+
+  private def buildLshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
     val bands = sig.select(col("doc_id"),
       explode(array(lit(0), lit(1))).as("band"),
       col("sig"))
@@ -789,26 +800,15 @@ object TextQueries {
     // length, alphabetic-word fraction, stopword presence, symbol density.
     // One stateless codegen'd projection — the rules run inside the scan's
     // WholeStageCodegen span, so at 100 TB this is I/O-bound, not CPU-bound.
+    // scoring projection shared with the streaming quality router
+    // (graft.quality.TextRules) — the in-flight gate and this batch audit
+    // apply byte-identical policy.
     Q("gopher_rules",
-      (s, dir) => docs(s, dir)
-        .withColumn("words",
-          expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)"))
-        .select(
-          col("doc_id"),
-          size(col("words")).cast("long").as("n_words"),
-          round(expr("aggregate(words, 0, (a, w) -> a + length(w))")
-            .cast("double") / size(col("words")), 4).as("mean_word_len"),
-          round(expr("size(filter(words, w -> w rlike '^[A-Za-z]+$'))")
-            .cast("double") / size(col("words")), 4).as("frac_alpha"),
-          expr("size(filter(words, w -> lower(w) in ('the','a','and','of','to','in')))")
-            .cast("long").as("stopword_hits"),
-          round(regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
-            size(col("words")), 4).as("symbol_ratio"))
-        .withColumn("keep",
-          col("n_words").between(10, 100000) &&
-            col("mean_word_len").between(2.0, 10.0) &&
-            col("frac_alpha") >= 0.8 && col("stopword_hits") >= 2 &&
-            col("symbol_ratio") <= 0.1),
+      (s, dir) => graft.quality.TextRules
+        .withGopherColumns(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("frac_alpha"), col("stopword_hits"), col("symbol_ratio"),
+          col("keep")),
       Some("""WITH w AS (
              |  SELECT doc_id, text,
              |    list_filter(regexp_split_to_array(text, '\s+'),
@@ -1179,6 +1179,100 @@ object TextQueries {
              |  cast(n_tokens AS BIGINT) AS n_tokens,
              |  round(n_tokens / t.total, 6) AS token_share,
              |  round((1.0 / t.n_src) / (n_tokens / t.total), 4) AS weight
-             |FROM per, tot t""".stripMargin))
+             |FROM per, tot t""".stripMargin)),
+
+    // sketch-accuracy eval: per LSH candidate pair, the MinHash ESTIMATE of
+    // Jaccard (fraction of equal signature components) next to the exact
+    // shingle-set Jaccard — the calibration a pipeline runs before trusting
+    // signature length k=8 at corpus scale. Signatures are re-derived for
+    // candidate MEMBERS only (left_semi before the shingle explode), so the
+    // verify never re-shingles the whole corpus; every arithmetic step is
+    // integer-exact, no rounding needed before the final abs-error.
+    Q("minhash_estimate",
+      (s, dir) => {
+        val cands = lshCandidates(s, dir)
+        val members = cands.select("doc_id")
+          .union(cands.select(col("doc_id_2").as("doc_id"))).distinct()
+        val sig = minhashSignatures(s, dir, Some(members))
+        val sig2 = sig.select(col("doc_id").as("doc_id_2"), col("sig").as("sig_2"))
+        val d = docs(s, dir)
+          .join(broadcast(members), Seq("doc_id"), "left_semi")
+          .withColumn("words", split(col("text"), "\\s+"))
+          .select(col("doc_id"), array_distinct(expr(shinglesExpr)).as("sh"))
+        val d2 = d.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2"))
+        cands
+          .join(sig, Seq("doc_id")).join(sig2, Seq("doc_id_2"))
+          .join(d, Seq("doc_id")).join(d2, Seq("doc_id_2"))
+          .select(col("doc_id"), col("doc_id_2"),
+            (size(expr("filter(zip_with(split(sig, '\\\\|'), split(sig_2, '\\\\|'), (a, b) -> a = b), x -> x)"))
+              .cast("double") / 8.0).as("est_jaccard"),
+            (size(array_intersect(col("sh"), col("sh2"))).cast("double") /
+              size(array_union(col("sh"), col("sh2")))).as("jaccard"))
+          .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 4))
+      },
+      Some(s"""WITH $lshCandSql,
+              |shd AS (SELECT doc_id, list(shingle) AS sh FROM sh0 GROUP BY doc_id),
+              |est AS (
+              |  SELECT c.doc_id, c.doc_id_2,
+              |    cast(len(list_filter(list_zip(
+              |        regexp_split_to_array(a.sig, '\\|'),
+              |        regexp_split_to_array(b.sig, '\\|')),
+              |      s -> s[1] = s[2])) AS double) / 8.0 AS est_jaccard
+              |  FROM cands c JOIN sig a ON a.doc_id = c.doc_id
+              |               JOIN sig b ON b.doc_id = c.doc_id_2)
+              |SELECT e.doc_id, e.doc_id_2, e.est_jaccard,
+              |  cast(len(list_intersect(x.sh, y.sh)) AS double) /
+              |    len(list_distinct(x.sh || y.sh)) AS jaccard,
+              |  round(abs(e.est_jaccard -
+              |    cast(len(list_intersect(x.sh, y.sh)) AS double) /
+              |      len(list_distinct(x.sh || y.sh))), 4) AS abs_err
+              |FROM est e JOIN shd x ON x.doc_id = e.doc_id
+              |           JOIN shd y ON y.doc_id = e.doc_id_2""".stripMargin)),
+
+    // fasttext-style linear quality classifier over HASHED bag-of-words
+    // features (64 buckets, frequency-normalized), sigmoid output. The
+    // weight vector is a deterministic literal here; a trained model would
+    // swap its weights in — the SHAPE is the production one: stateless
+    // hashed featurization (no vocabulary table at all), one per-doc
+    // aggregation, a sorted fold for an order-deterministic double sum.
+    Q("quality_classifier",
+      (s, dir) => {
+        val terms = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+          .select(col("doc_id"),
+            (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 64L).as("bucket"))
+        val byBucket = terms.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+        // w_b = ((37b + 11) mod 21 - 10) / 10 ∈ [-1, 1] — exact doubles
+        val weight = ((col("bucket") * 37L + 11L) % 21L - 10L).cast("double") / 10.0
+        byBucket
+          .select(col("doc_id"), col("cnt"),
+            struct(col("bucket"),
+              (col("cnt").cast("double") * weight).as("c")).as("e"))
+          .groupBy("doc_id")
+          .agg(sum("cnt").as("n"), collect_list(col("e")).as("lst"))
+          .select(col("doc_id"),
+            round(lit(1.0) / (lit(1.0) +
+              exp(-(expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.c)") /
+                col("n")))), 4).as("score"))
+          .withColumn("keep", col("score") >= 0.5)
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id,
+             |    cast(('0x' || substr(md5(u.w), 1, 8)) AS BIGINT) % 64 AS bucket
+             |  FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) AS u(w)
+             |  WHERE length(u.w) > 0),
+             |bb AS (SELECT doc_id, bucket, count(*) AS cnt
+             |       FROM terms GROUP BY doc_id, bucket),
+             |agg AS (
+             |  SELECT doc_id, sum(cnt) AS n,
+             |    list(cast(cnt AS double) *
+             |         (cast((bucket * 37 + 11) % 21 - 10 AS double) / 10.0)
+             |         ORDER BY bucket) AS cs
+             |  FROM bb GROUP BY doc_id)
+             |SELECT doc_id,
+             |  round(1.0 / (1.0 + exp(-(list_sum(cs) / n))), 4) AS score,
+             |  round(1.0 / (1.0 + exp(-(list_sum(cs) / n))), 4) >= 0.5 AS keep
+             |FROM agg""".stripMargin))
   )
 }

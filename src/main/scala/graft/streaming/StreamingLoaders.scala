@@ -398,4 +398,33 @@ object StreamingLoaders {
       .groupBy(window(col(tsCol), windowLength).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** In-flight quality gate + router: scores each document with the SAME
+    * stateless projection as the batch `gopher_rules` query
+    * ([[graft.quality.TextRules.withGopherColumns]]) and routes every row —
+    * with its score columns — to the keep or reject table in ONE
+    * foreachBatch pass. The scored batch is persisted so the two filtered
+    * appends don't recompute (or worse, re-read) the source; no state, no
+    * shuffle — a pure projection rides the source partitioning at any
+    * scale, and checkpointing alone makes replays exact. Rejects are KEPT,
+    * not dropped: a 100 TB ingest audits its filter decisions. */
+  def qualityRouterSink(
+      staged: DataFrame,
+      textCol: String,
+      store: TableStore,
+      keepTable: String,
+      rejectTable: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    staged.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = graft.quality.TextRules.withGopherColumns(batch, textCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          store.append(keepTable, scored.filter(col("keep")).drop("keep"))
+          store.append(rejectTable, scored.filter(!col("keep")).drop("keep"))
+        } finally { scored.unpersist(); () }
+      }
 }

@@ -355,4 +355,45 @@ class StreamingSpec extends SparkSpec {
     // nothing emitted for it
     assert(!all.exists(_._1 == 2L), s"user 2's session is still open, got $all")
   }
+
+  test("quality router: keep/reject partition matches the batch gopher gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val store = new TableStore(spark, wh)
+    val input = MemoryStream[(Long, String)]
+    val staged = input.toDF().toDF("doc_id", "text")
+
+    val query = StreamingLoaders.qualityRouterSink(staged, "text", store,
+      "docs_keep", "docs_reject", checkpoint = s"$wh/_cp",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+
+    val good = "the quick brown fox jumps over a lazy dog in front of the barn" // passes all rules
+    val tooShort = "too short to pass"                       // < 10 words
+    val symbols = "the $$$ a %%% and ### of @@@ to !!! in ^^^ the *** a (((" // symbol_ratio, frac_alpha
+    input.addData((1L, good), (2L, tooShort), (3L, symbols))
+    query.processAllAvailable()
+    // second micro-batch exercises the per-batch persist/append cycle
+    input.addData((4L, good + " and the cat sat on the mat of the house"))
+    query.processAllAvailable()
+    query.stop()
+
+    val keep = store.read("docs_keep")
+    val reject = store.read("docs_reject")
+    assert(keep.select("doc_id").as[Long].collect().toSet == Set(1L, 4L),
+      "rule-passing docs route to the keep table")
+    assert(reject.select("doc_id").as[Long].collect().toSet == Set(2L, 3L),
+      "rule-failing docs route to the reject table")
+
+    // scored columns must equal the BATCH projection on the same rows —
+    // the router provably applies the same policy as the batch audit
+    val batchScored = graft.quality.TextRules.withGopherColumns(
+      Seq((1L, good), (2L, tooShort), (3L, symbols)).toDF("doc_id", "text"), "text")
+    val streamed = keep.unionByName(reject)
+      .filter($"doc_id" <= 3).select("doc_id", "n_words", "mean_word_len",
+        "frac_alpha", "stopword_hits", "symbol_ratio")
+    assert(streamed.except(batchScored.select("doc_id", "n_words",
+      "mean_word_len", "frac_alpha", "stopword_hits", "symbol_ratio")).isEmpty,
+      "streamed scores equal the batch projection")
+    store.drop("docs_keep"); store.drop("docs_reject")
+  }
 }
