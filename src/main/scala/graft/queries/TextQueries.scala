@@ -989,22 +989,27 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val qterms = Seq(
+        val qpairs = Seq(
           1L -> "table", 1L -> "scan", 1L -> "join",
           2L -> "stream", 2L -> "window", 2L -> "agg",
           3L -> "hash", 3L -> "merge", 3L -> "sort")
-          .toDF("query_id", "term")
+        val qterms = qpairs.toDF("query_id", "term")
         val terms = docs(s, dir)
           .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
           .filter(length(col("term")) > 0)
-        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        // doc length needs EVERY token; tf/df only need QUERY-term tokens —
+        // filtering before the (doc, term) aggregation keeps the corpus-wide
+        // exchange down to |Q|-term occurrences (the full tf table would be
+        // the dominant shuffle at scale, then dropped on the next join)
         val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val qtoks = terms.filter(col("term").isin(qpairs.map(_._2).distinct: _*))
+        val tf = qtoks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val nDocs = docs(s, dir).count()
         // exact long sum / long count — deterministic, mirrored by the
         // oracle's cast(sum(dl) AS double)/count(*)
         val avgdl = terms.count().toDouble / nDocs
+        // df = docs containing the term; tf is already query-term-only
         val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-          .join(qterms.select("term").distinct(), Seq("term"), "left_semi")
         val contrib = tf
           .join(broadcast(qterms), Seq("term"))
           .join(broadcast(dfq), Seq("term"))
