@@ -75,6 +75,41 @@ object SimQueries {
       .filter(col("rank") <= k)
   }
 
+  /** int8 SQ index search (see the `sq_ann` Q for the full design notes):
+    * integer coarse top-50 on globally min/max-quantized vectors, float
+    * rerank to top-k. Shared by `sq_ann` and the `sq_recall` eval. */
+  private def sqTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val mm = e.agg(min(array_min(col("embedding"))), max(array_max(col("embedding")))).head()
+    val lo = mm.getFloat(0).toDouble; val hi = mm.getFloat(1).toDouble
+    val quantized = e
+      .withColumn("qv", transform(col("embedding"), v =>
+        least(floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(256.0)), lit(255.0))
+          .cast("long")))
+      .withColumn("nrm", vecNorm(col("embedding")))
+    val q = quantized.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val coarse = broadcast(q).join(quantized.filter(col("vec_id") >= 10))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("approx_score"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_score").desc, col("neighbor_id").asc)
+    val short = coarse.withColumn("__crn", row_number().over(wc))
+      .filter(col("__crn") <= 50)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    short
+      .select(col("query_id"), col("neighbor_id"), col("approx_score"),
+        round(dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   val all: Seq[Q] = Seq(
 
     // brute-force cosine top-k: the exactness baseline for ANN.
@@ -608,66 +643,80 @@ object SimQueries {
     // the float vectors are only touched for 50 rows per query. floor(),
     // not round(): round() half-away ties break differently across engines.
     Q("sq_ann",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val e = emb(s, dir)
-        val mm = e.agg(min(array_min(col("embedding"))), max(array_max(col("embedding")))).head()
-        val lo = mm.getFloat(0).toDouble; val hi = mm.getFloat(1).toDouble
-        val quantized = e
-          .withColumn("qv", transform(col("embedding"), v =>
-            least(floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(256.0)), lit(255.0))
-              .cast("long")))
-          .withColumn("nrm", vecNorm(col("embedding")))
-        val q = quantized.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("qv").as("qq"),
-            col("embedding").as("qe"), col("nrm").as("qn"))
-        val coarse = broadcast(q).join(quantized.filter(col("vec_id") >= 10))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
-              lit(0L), (acc, x) => acc + x).as("approx_score"),
-            col("qe"), col("qn"), col("embedding"), col("nrm"))
-        val wc = Window.partitionBy(col("query_id"))
-          .orderBy(col("approx_score").desc, col("neighbor_id").asc)
-        val short = coarse.withColumn("__crn", row_number().over(wc))
-          .filter(col("__crn") <= 50)
-        val wr = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-        short
-          .select(col("query_id"), col("neighbor_id"), col("approx_score"),
-            round(dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
-              .as("cos_sim"))
-          .withColumn("rank", row_number().over(wr).cast("long"))
-          .filter(col("rank") <= 5)
-      },
-      Some(s"""WITH mm AS (
-              |  SELECT cast(min(list_min(embedding)) AS double) AS lo,
-              |         cast(max(list_max(embedding)) AS double) AS hi
-              |  FROM embeddings),
-              |qz AS (
-              |  SELECT vec_id, embedding,
-              |    list_transform(embedding, v ->
-              |      cast(least(floor((cast(v AS double) - mm.lo) / (mm.hi - mm.lo) * 256.0),
-              |                 255.0) AS BIGINT)) AS qv
-              |  FROM embeddings, mm),
-              |coarse AS (
-              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-              |    cast(list_sum(list_transform(list_zip(a.qv, b.qv),
-              |      s -> s[1] * s[2])) AS BIGINT) AS approx_score
-              |  FROM qz a JOIN qz b ON a.vec_id < 10 AND b.vec_id >= 10),
-              |short AS (
-              |  SELECT * FROM coarse
-              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY approx_score DESC, neighbor_id ASC) <= 50),
-              |rer AS (
-              |  SELECT t.query_id, t.neighbor_id, t.approx_score,
-              |    round(${cosDuck("qa.embedding", "qb.embedding")}, 4) AS cos_sim
-              |  FROM short t JOIN embeddings qa ON qa.vec_id = t.query_id
-              |               JOIN embeddings qb ON qb.vec_id = t.neighbor_id)
+      (s, dir) => sqTopK(s, dir, 5),
+      Some(s"""WITH $sqDuckChain
               |SELECT query_id, neighbor_id, approx_score, cos_sim,
               |  cast(rank AS BIGINT) AS rank
               |FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rer)
-              |WHERE rank <= 5""".stripMargin))
+              |WHERE rank <= 5""".stripMargin)),
+
+    // recall@3 of the int8 SQ index against brute-force ground truth — the
+    // same acceptance eval as ann_recall, for the quantized index: how much
+    // the 4× bandwidth saving costs in result quality. Both pipelines are
+    // deterministic, so the metric itself is oracle-checkable.
+    Q("sq_recall",
+      (s, dir) => {
+        val truth = bruteTopK(s, dir, 3).select(col("query_id"), col("neighbor_id"))
+        val approx = sqTopK(s, dir, 3).select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1L))
+        truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+          .withColumn("recall_at_3",
+            col("n_found").cast("double") / col("n_true"))
+      },
+      Some(s"""WITH $sqDuckChain,
+              |sq AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rer)
+              |  WHERE rank <= 3),
+              |brute_scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    round(${cosDuck("a.embedding", "b.embedding")}, 4) AS cos_sim
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id >= 10),
+              |brute AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM brute_scored)
+              |  WHERE rank <= 3)
+              |SELECT b.query_id, cast(count(*) AS BIGINT) AS n_true,
+              |  cast(count(s.neighbor_id) AS BIGINT) AS n_found,
+              |  cast(count(s.neighbor_id) AS double) / count(*) AS recall_at_3
+              |FROM brute b LEFT JOIN sq s
+              |  ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+              |GROUP BY b.query_id""".stripMargin))
   )
+
+  /** the SQ index chain as DuckDB CTEs, ending in `rer`
+    * (query_id, neighbor_id, approx_score, cos_sim) — shared by the
+    * `sq_ann` and `sq_recall` oracles */
+  private lazy val sqDuckChain: String =
+    s"""mm AS (
+       |  SELECT cast(min(list_min(embedding)) AS double) AS lo,
+       |         cast(max(list_max(embedding)) AS double) AS hi
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, v ->
+       |      cast(least(floor((cast(v AS double) - mm.lo) / (mm.hi - mm.lo) * 256.0),
+       |                 255.0) AS BIGINT)) AS qv
+       |  FROM embeddings, mm),
+       |coarse AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    cast(list_sum(list_transform(list_zip(a.qv, b.qv),
+       |      s -> s[1] * s[2])) AS BIGINT) AS approx_score
+       |  FROM qz a JOIN qz b ON a.vec_id < 10 AND b.vec_id >= 10),
+       |short AS (
+       |  SELECT * FROM coarse
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx_score DESC, neighbor_id ASC) <= 50),
+       |rer AS (
+       |  SELECT t.query_id, t.neighbor_id, t.approx_score,
+       |    round(${cosDuck("qa.embedding", "qb.embedding")}, 4) AS cos_sim
+       |  FROM short t JOIN embeddings qa ON qa.vec_id = t.query_id
+       |               JOIN embeddings qb ON qb.vec_id = t.neighbor_id)""".stripMargin
 }
