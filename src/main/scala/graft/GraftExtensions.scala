@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{DotProduct, MaListAgg, VecNorm}
+import graft.expr.{DotProduct, IntDotProduct, MaListAgg, VecNorm}
 
 /** SparkSessionExtensions registration for graft's native expressions, so
   * they are callable from SQL text as well as the Column API:
@@ -36,6 +36,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "vec_norm(a) takes one array")
         VecNorm(children.head)
+      }),
+    (new FunctionIdentifier("int_dot_product"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "int_dot_product(a, b) takes two integral arrays")
+        IntDotProduct(children(0), children(1))
       }),
     (new FunctionIdentifier("ma_list_agg"),
       new ExpressionInfo(classOf[MaListAgg].getName, "ma_list_agg"),

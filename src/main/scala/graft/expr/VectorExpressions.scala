@@ -89,6 +89,76 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product over integral arrays (the quantized-index coarse
+  * scorer): exact long arithmetic — no rounding step exists downstream, so
+  * this MUST stay integral end-to-end. Same fused-loop/codegen rationale as
+  * [[DotProduct]]; higher-order `aggregate(zip_with(...))` evaluates lambda
+  * closures per element outside whole-stage codegen, which is the hot loop
+  * of an int8 index scan at corpus scale. NULL on NULL input or length
+  * mismatch, like [[DotProduct]]. */
+case class IntDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_dot_product expects integral arrays, got ${left.dataType} / ${right.dataType}")
+  }
+  override def prettyName: String = "int_dot_product"
+
+  @transient private lazy val leftElem =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val rightElem =
+    right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      val gx = VectorExpressions.longGetter(leftElem)
+      val gy = VectorExpressions.longGetter(rightElem)
+      val n = x.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += gx(x, i) * gy(y, i); i += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gx = VectorExpressions.genLongGetter(leftElem)
+    val gy = VectorExpressions.genLongGetter(rightElem)
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${gx(x, i)} * ${gy(y, i)};
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** sqrt(sum(x_i^2)) with the same sequential fold as
   * `sqrt(aggregate(a, 0D, (acc,v) -> acc + v*v))`. */
 case class VecNorm(child: Expression) extends UnaryExpression {
@@ -167,9 +237,31 @@ object VectorExpressions {
     case other => throw new IllegalStateException(s"unsupported vector element type $other")
   }
 
+  /** integral accessors for [[IntDotProduct]] — no doubles anywhere */
+  private[expr] def longGetter(dt: DataType): (ArrayData, Int) => Long = dt match {
+    case IntegerType => (a, i) => a.getInt(i).toLong
+    case LongType    => (a, i) => a.getLong(i)
+    case ShortType   => (a, i) => a.getShort(i).toLong
+    case ByteType    => (a, i) => a.getByte(i).toLong
+    case other => throw new IllegalStateException(s"unsupported integral element type $other")
+  }
+
+  private[expr] def genLongGetter(dt: DataType): (String, String) => String = dt match {
+    case IntegerType => (arr, i) => s"(long) $arr.getInt($i)"
+    case LongType    => (arr, i) => s"$arr.getLong($i)"
+    case ShortType   => (arr, i) => s"(long) $arr.getShort($i)"
+    case ByteType    => (arr, i) => s"(long) $arr.getByte($i)"
+    case other => throw new IllegalStateException(s"unsupported integral element type $other")
+  }
+
   /** Column API: dot product of two numeric-array columns. */
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API: exact integer dot product of two integral-array columns. */
+  def intDotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntDotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Column API: euclidean norm of a numeric-array column. */

@@ -91,10 +91,14 @@ object SimQueries {
     val q = quantized.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"),
         col("embedding").as("qe"), col("nrm").as("qn"))
+    // native codegen'd integer dot (graft.expr.IntDotProduct) — the HOF
+    // form aggregate(zip_with(...)) drops out of whole-stage codegen, and
+    // this is the hot loop of the quantized scan; values are identical
+    // (exact long arithmetic either way)
     val coarse = broadcast(q).join(quantized.filter(col("vec_id") >= 10))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(zip_with(col("qq"), col("qv"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("approx_score"),
+        graft.expr.VectorExpressions.intDotProduct(col("qq"), col("qv"))
+          .as("approx_score"),
         col("qe"), col("qn"), col("embedding"), col("nrm"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_score").desc, col("neighbor_id").asc)

@@ -72,4 +72,30 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 32.0)
     assert(r.getDouble(1) == 5.0)
   }
+
+  test("int_dot_product: exact long arithmetic equal to the HOF fold") {
+    val df = Seq(
+      (Array(255L, 0L, 128L), Array(255L, 255L, 2L)),
+      (Array(-5L, 7L, 11L), Array(3L, -2L, 1L)),
+      (Array(1000000L, 1000000L), Array(1000000L, 1000000L)))
+      .toDF("a", "b")
+    val rows = df.select(
+      intDotProduct($"a", $"b").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("int_dot_product: NULL on null input and length mismatch, rejects float arrays") {
+    val df = Seq((Array(1L, 2L, 3L), Array(1L, 1L))).toDF("a", "b")
+    assert(df.select(intDotProduct($"a", $"b")).head().isNullAt(0))
+    assert(df.select(intDotProduct(lit(null).cast("array<long>"), $"a"))
+      .head().isNullAt(0))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1.0f), Array(1L))).toDF("f", "l")
+        .select(intDotProduct($"f", $"l")).collect()
+    }
+    assert(err.getMessage.contains("int_dot_product") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
+  }
 }
