@@ -126,14 +126,17 @@ object TextQueries {
       }: _*).as("sig"))
   }
 
-  private def buildLshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
-    val bands = sig.select(col("doc_id"),
+  /** (doc_id, band, bucket) rows from a signature frame — 2 bands × 4 rows */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       explode(array(lit(0), lit(1))).as("band"),
       col("sig"))
       .select(col("doc_id"), col("band"),
         md5(concat(col("band").cast("string"), lit("#"),
           expr("concat_ws('|', slice(split(sig, '\\\\|'), band * 4 + 1, 4))"))).as("bucket"))
+
+  private def buildLshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandsOf(minhashSignatures(s, dir))
     val capped = bands.join(
       bands.groupBy("band", "bucket").count()
         .filter(col("count") <= MaxBucketSize).drop("count"),
@@ -1233,6 +1236,61 @@ object TextQueries {
               |      len(list_distinct(x.sh || y.sh))), 4) AS abs_err
               |FROM est e JOIN shd x ON x.doc_id = e.doc_id
               |           JOIN shd y ON y.doc_id = e.doc_id_2""".stripMargin)),
+
+    // incremental near-dup: a NEW batch (doc_id % 5 = 0) checked against the
+    // stored corpus signature index — the production shape for a corpus that
+    // grows continuously: corpus signatures/bands are a table built once
+    // (here re-derived; at scale they are read back), only the incoming
+    // batch is shingled+hashed fresh, and candidate generation is an
+    // equi-join of incoming bands against INDEX bands. Hot index buckets
+    // (> cap members) are skipped like the batch operator — they are
+    // boilerplate, not dup candidates. Shingle sets for the exact-Jaccard
+    // verify are re-derived for pair members only.
+    Q("lsh_incremental",
+      (s, dir) => {
+        val sig = minhashSignatures(s, dir)
+        val corpusB = bandsOf(sig.filter(col("doc_id") % 5 =!= 0))
+        val incB = bandsOf(sig.filter(col("doc_id") % 5 === 0))
+        val okCorpus = corpusB.join(
+          corpusB.groupBy("band", "bucket").count()
+            .filter(col("count") <= MaxBucketSize).drop("count"),
+          Seq("band", "bucket"), "left_semi")
+        val cands = incB.join(
+          okCorpus.select(col("doc_id").as("corpus_doc_id"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+          .select(col("doc_id"), col("corpus_doc_id")).distinct()
+        val members = cands.select("doc_id")
+          .union(cands.select(col("corpus_doc_id").as("doc_id"))).distinct()
+        val d = docs(s, dir).join(broadcast(members), Seq("doc_id"), "left_semi")
+          .withColumn("words", split(col("text"), "\\s+"))
+          .select(col("doc_id"), array_distinct(expr(shinglesExpr)).as("sh"))
+        val d2 = d.select(col("doc_id").as("corpus_doc_id"), col("sh").as("sh2"))
+        cands.join(d, Seq("doc_id")).join(d2, Seq("corpus_doc_id"))
+          .select(col("doc_id"), col("corpus_doc_id"),
+            (size(array_intersect(col("sh"), col("sh2"))).cast("double") /
+              size(array_union(col("sh"), col("sh2")))).as("jaccard"))
+          .withColumn("is_dup", col("jaccard") >= 0.7)
+      },
+      Some(s"""WITH $lshCandSql,
+              |corpus_b AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+              |inc_b AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+              |ok_corpus AS (
+              |  SELECT b.* FROM corpus_b b SEMI JOIN (
+              |    SELECT band, bucket FROM corpus_b GROUP BY band, bucket
+              |    HAVING count(*) <= 100) s
+              |  ON b.band = s.band AND b.bucket = s.bucket),
+              |cands2 AS (
+              |  SELECT DISTINCT i.doc_id, c.doc_id AS corpus_doc_id
+              |  FROM inc_b i JOIN ok_corpus c
+              |    ON i.band = c.band AND i.bucket = c.bucket),
+              |shd AS (SELECT doc_id, list(shingle) AS sh FROM sh0 GROUP BY doc_id)
+              |SELECT c.doc_id, c.corpus_doc_id,
+              |  cast(len(list_intersect(x.sh, y.sh)) AS double) /
+              |    len(list_distinct(x.sh || y.sh)) AS jaccard,
+              |  cast(len(list_intersect(x.sh, y.sh)) AS double) /
+              |    len(list_distinct(x.sh || y.sh)) >= 0.7 AS is_dup
+              |FROM cands2 c JOIN shd x ON x.doc_id = c.doc_id
+              |              JOIN shd y ON y.doc_id = c.corpus_doc_id""".stripMargin)),
 
     // fasttext-style linear quality classifier over HASHED bag-of-words
     // features (64 buckets, frequency-normalized), sigmoid output. The
