@@ -114,6 +114,99 @@ object SimQueries {
       .filter(col("rank") <= k)
   }
 
+  /** PQ (product-quantization) index search, M=4 subspaces × 16 dims,
+    * ksub=4 centroids per subspace (see the `pq_ann` Q for design notes):
+    * corpus vectors collapse to 4 small codes, queries build a per-subspace
+    * dot-product LUT against the codebook, scoring is LUT lookups only.
+    * Shared by `pq_ann` and the `pq_recall` eval. */
+  private def pqTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val M = 4; val dsub = 16; val ksub = 4
+    val e = emb(s, dir)
+    val cb: Array[Array[Seq[Double]]] = {
+      val rows = e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + ksub)
+        .orderBy("vec_id").select("embedding").collect()
+      Array.tabulate(M)(m => rows.map(_.getSeq[Float](0)
+        .slice(m * dsub, (m + 1) * dsub).map(_.toDouble).toSeq))
+    }
+    def sub(c: Column, m: Int) = slice(c, m * dsub + 1, dsub)
+    def l2(c: Column, cent: Seq[Double]): Column =
+      round(aggregate(
+        zip_with(c, typedLit(cent),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v), 4)
+    val coded = (0 until M).foldLeft(e.filter(col("vec_id") >= 10)) { (df, m) =>
+      val best = least((0 until ksub).map(j =>
+        struct(l2(sub(col("embedding"), m), cb(m)(j)).as("d"), lit(j).as("j"))): _*)
+      df.withColumn(s"code_$m", best.getField("j"))
+    }.select(col("vec_id").as("neighbor_id") +:
+      (0 until M).map(m => col(s"code_$m")): _*)
+    val cn2: Array[Array[Double]] = Array.tabulate(M)(m =>
+      Array.tabulate(ksub)(j => cb(m)(j).map(x => x * x).sum))
+    val lut = (0 until M).foldLeft(
+      e.filter(col("vec_id") < 10).withColumn("qn", vecNorm(col("embedding")))) {
+      (df, m) =>
+        (0 until ksub).foldLeft(df)((d2, j) => d2.withColumn(s"d_${m}_$j",
+          dotProduct(sub(col("embedding"), m), typedLit(cb(m)(j)))))
+    }.select(col("vec_id").as("query_id") +: col("qn") +:
+      (for (m <- 0 until M; j <- 0 until ksub) yield col(s"d_${m}_$j")): _*)
+    val approxDot = (0 until M).map(m =>
+      element_at(array((0 until ksub).map(j => col(s"d_${m}_$j")): _*),
+        col(s"code_$m") + 1)).reduce(_ + _)
+    val rn2 = (0 until M).map(m =>
+      element_at(typedLit(cn2(m).toSeq), col(s"code_$m") + 1)).reduce(_ + _)
+    val scored = broadcast(lut).crossJoin(coded)
+      .select(col("query_id"), col("neighbor_id"),
+        round(approxDot / (col("qn") * sqrt(rn2)), 4).as("approx_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** the PQ chain as DuckDB CTEs, ending in `scored`
+    * (query_id, neighbor_id, approx_cos) — shared by the `pq_ann` and
+    * `pq_recall` oracles */
+  private lazy val pqDuckChain: String =
+    """cent AS (
+      |  SELECT m.m, e.vec_id - 10 AS j,
+      |    list_slice(e.embedding, m.m*16+1, m.m*16+16) AS cv
+      |  FROM embeddings e, range(0, 4) AS m(m)
+      |  WHERE e.vec_id >= 10 AND e.vec_id < 14),
+      |cdist AS (
+      |  SELECT e.vec_id, c.m, c.j,
+      |    round(list_sum(list_transform(
+      |      list_zip(list_slice(e.embedding, c.m*16+1, c.m*16+16), c.cv),
+      |      s -> (cast(s[1] AS double) - cast(s[2] AS double))
+      |         * (cast(s[1] AS double) - cast(s[2] AS double)))), 4) AS d2,
+      |    list_sum(list_transform(c.cv,
+      |      x -> cast(x AS double) * cast(x AS double))) AS cn2
+      |  FROM embeddings e, cent c
+      |  WHERE e.vec_id >= 10),
+      |codes AS (
+      |  SELECT vec_id, m, j, cn2 FROM cdist
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+      |    ORDER BY d2, j) = 1),
+      |lut AS (
+      |  SELECT q.vec_id AS query_id, c.m, c.j,
+      |    list_sum(list_transform(
+      |      list_zip(list_slice(q.embedding, c.m*16+1, c.m*16+16), c.cv),
+      |      s -> cast(s[1] AS double) * cast(s[2] AS double))) AS d,
+      |    sqrt(list_sum(list_transform(q.embedding,
+      |      x -> cast(x AS double) * cast(x AS double)))) AS qn
+      |  FROM embeddings q, cent c WHERE q.vec_id < 10),
+      |scored AS (
+      |  SELECT l.query_id, co.vec_id AS neighbor_id,
+      |    round((((max(l.d) FILTER (l.m = 0) + max(l.d) FILTER (l.m = 1))
+      |          + max(l.d) FILTER (l.m = 2)) + max(l.d) FILTER (l.m = 3))
+      |      / (max(l.qn) * sqrt(
+      |        ((max(co.cn2) FILTER (co.m = 0) + max(co.cn2) FILTER (co.m = 1))
+      |          + max(co.cn2) FILTER (co.m = 2)) + max(co.cn2) FILTER (co.m = 3))),
+      |      4) AS approx_cos
+      |  FROM codes co JOIN lut l ON l.m = co.m AND l.j = co.j
+      |  GROUP BY l.query_id, co.vec_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // brute-force cosine top-k: the exactness baseline for ANN.
@@ -549,93 +642,50 @@ object SimQueries {
     // Every fold is sequential (aggregate / fused dotProduct), bit-matching
     // the oracle's list_sum.
     Q("pq_ann",
+      (s, dir) => pqTopK(s, dir, 3),
+      Some(s"""WITH $pqDuckChain
+              |SELECT query_id, neighbor_id, approx_cos, cast(rank AS BIGINT) AS rank
+              |FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY approx_cos DESC, neighbor_id ASC) AS rank FROM scored)
+              |WHERE rank <= 3""".stripMargin)),
+
+    // recall@3 of the PQ index against brute-force ground truth — completes
+    // the eval matrix: every index type in the suite (LSH, int8 SQ, PQ)
+    // ships with the acceptance eval a pipeline runs before trusting it.
+    Q("pq_recall",
       (s, dir) => {
-        import org.apache.spark.sql.Column
-        import org.apache.spark.sql.expressions.Window
-        val M = 4; val dsub = 16; val ksub = 4
-        val e = emb(s, dir)
-        val cb: Array[Array[Seq[Double]]] = {
-          val rows = e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + ksub)
-            .orderBy("vec_id").select("embedding").collect()
-          Array.tabulate(M)(m => rows.map(_.getSeq[Float](0)
-            .slice(m * dsub, (m + 1) * dsub).map(_.toDouble).toSeq))
-        }
-        def sub(c: Column, m: Int) = slice(c, m * dsub + 1, dsub)
-        def l2(c: Column, cent: Seq[Double]): Column =
-          round(aggregate(
-            zip_with(c, typedLit(cent),
-              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (acc, v) => acc + v), 4)
-        val coded = (0 until M).foldLeft(e.filter(col("vec_id") >= 10)) { (df, m) =>
-          val best = least((0 until ksub).map(j =>
-            struct(l2(sub(col("embedding"), m), cb(m)(j)).as("d"), lit(j).as("j"))): _*)
-          df.withColumn(s"code_$m", best.getField("j"))
-        }.select(col("vec_id").as("neighbor_id") +:
-          (0 until M).map(m => col(s"code_$m")): _*)
-        val cn2: Array[Array[Double]] = Array.tabulate(M)(m =>
-          Array.tabulate(ksub)(j => cb(m)(j).map(x => x * x).sum))
-        val lut = (0 until M).foldLeft(
-          e.filter(col("vec_id") < 10).withColumn("qn", vecNorm(col("embedding")))) {
-          (df, m) =>
-            (0 until ksub).foldLeft(df)((d2, j) => d2.withColumn(s"d_${m}_$j",
-              dotProduct(sub(col("embedding"), m), typedLit(cb(m)(j)))))
-        }.select(col("vec_id").as("query_id") +: col("qn") +:
-          (for (m <- 0 until M; j <- 0 until ksub) yield col(s"d_${m}_$j")): _*)
-        val approxDot = (0 until M).map(m =>
-          element_at(array((0 until ksub).map(j => col(s"d_${m}_$j")): _*),
-            col(s"code_$m") + 1)).reduce(_ + _)
-        val rn2 = (0 until M).map(m =>
-          element_at(typedLit(cn2(m).toSeq), col(s"code_$m") + 1)).reduce(_ + _)
-        val scored = broadcast(lut).crossJoin(coded)
-          .select(col("query_id"), col("neighbor_id"),
-            round(approxDot / (col("qn") * sqrt(rn2)), 4).as("approx_cos"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
-        scored.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
+        val truth = bruteTopK(s, dir, 3).select(col("query_id"), col("neighbor_id"))
+        val approx = pqTopK(s, dir, 3).select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1L))
+        truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+          .withColumn("recall_at_3",
+            col("n_found").cast("double") / col("n_true"))
       },
-      Some("""WITH cent AS (
-             |  SELECT m.m, e.vec_id - 10 AS j,
-             |    list_slice(e.embedding, m.m*16+1, m.m*16+16) AS cv
-             |  FROM embeddings e, range(0, 4) AS m(m)
-             |  WHERE e.vec_id >= 10 AND e.vec_id < 14),
-             |cdist AS (
-             |  SELECT e.vec_id, c.m, c.j,
-             |    round(list_sum(list_transform(
-             |      list_zip(list_slice(e.embedding, c.m*16+1, c.m*16+16), c.cv),
-             |      s -> (cast(s[1] AS double) - cast(s[2] AS double))
-             |         * (cast(s[1] AS double) - cast(s[2] AS double)))), 4) AS d2,
-             |    list_sum(list_transform(c.cv,
-             |      x -> cast(x AS double) * cast(x AS double))) AS cn2
-             |  FROM embeddings e, cent c
-             |  WHERE e.vec_id >= 10),
-             |codes AS (
-             |  SELECT vec_id, m, j, cn2 FROM cdist
-             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
-             |    ORDER BY d2, j) = 1),
-             |lut AS (
-             |  SELECT q.vec_id AS query_id, c.m, c.j,
-             |    list_sum(list_transform(
-             |      list_zip(list_slice(q.embedding, c.m*16+1, c.m*16+16), c.cv),
-             |      s -> cast(s[1] AS double) * cast(s[2] AS double))) AS d,
-             |    sqrt(list_sum(list_transform(q.embedding,
-             |      x -> cast(x AS double) * cast(x AS double)))) AS qn
-             |  FROM embeddings q, cent c WHERE q.vec_id < 10),
-             |scored AS (
-             |  SELECT l.query_id, co.vec_id AS neighbor_id,
-             |    round((((max(l.d) FILTER (l.m = 0) + max(l.d) FILTER (l.m = 1))
-             |          + max(l.d) FILTER (l.m = 2)) + max(l.d) FILTER (l.m = 3))
-             |      / (max(l.qn) * sqrt(
-             |        ((max(co.cn2) FILTER (co.m = 0) + max(co.cn2) FILTER (co.m = 1))
-             |          + max(co.cn2) FILTER (co.m = 2)) + max(co.cn2) FILTER (co.m = 3))),
-             |      4) AS approx_cos
-             |  FROM codes co JOIN lut l ON l.m = co.m AND l.j = co.j
-             |  GROUP BY l.query_id, co.vec_id)
-             |SELECT query_id, neighbor_id, approx_cos, cast(rank AS BIGINT) AS rank
-             |FROM (
-             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-             |    ORDER BY approx_cos DESC, neighbor_id ASC) AS rank FROM scored)
-             |WHERE rank <= 3""".stripMargin)),
+      Some(s"""WITH $pqDuckChain,
+              |pq AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY approx_cos DESC, neighbor_id ASC) AS rank FROM scored)
+              |  WHERE rank <= 3),
+              |brute_scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    round(${cosDuck("a.embedding", "b.embedding")}, 4) AS cos_sim
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id >= 10),
+              |brute AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM brute_scored)
+              |  WHERE rank <= 3)
+              |SELECT b.query_id, cast(count(*) AS BIGINT) AS n_true,
+              |  cast(count(p.neighbor_id) AS BIGINT) AS n_found,
+              |  cast(count(p.neighbor_id) AS double) / count(*) AS recall_at_3
+              |FROM brute b LEFT JOIN pq p
+              |  ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+              |GROUP BY b.query_id""".stripMargin)),
 
     // int8 scalar-quantization ANN: quantize every dimension to [0,255]
     // against the global corpus min/max (driver-held scalars, like any real
