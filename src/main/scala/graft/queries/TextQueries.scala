@@ -1336,6 +1336,131 @@ object TextQueries {
              |SELECT doc_id,
              |  round(1.0 / (1.0 + exp(-(list_sum(cs) / n))), 4) AS score,
              |  round(1.0 / (1.0 + exp(-(list_sum(cs) / n))), 4) >= 0.5 AS keep
+             |FROM agg""".stripMargin)),
+
+    // exact-substring dedup REWRITE — the other half of dup_span_removal's
+    // accounting: remove every word position covered by a 5-gram whose
+    // identical text first appeared in a lower doc_id, and emit the
+    // reassembled clean text (the actual corpus transformation of
+    // "Deduplicating Training Data Makes LMs Better", span-approximated).
+    // Gram→first-doc is an equi-join shuffled by gram (vocab-scale, never
+    // broadcast); coverage explodes 5 positions per duplicated gram, one
+    // collect_set per doc builds the keep mask, and the rewrite itself is a
+    // per-row array filter — no shuffle after the doc-level aggregate.
+    // Same-doc repeats of a gram inside its OWN first document are kept
+    // (within-doc repetition is repetition_score's axis, not dedup's).
+    Q("dup_span_rewrite",
+      (s, dir) => {
+        val ws = docs(s, dir)
+          .select(col("doc_id"),
+            expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)").as("words"))
+        val grams = ws.filter(size(col("words")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(words) - 5),
+              |  i -> struct(i AS pos, concat_ws(' ', slice(words, i + 1, 5)) AS gram))"""
+              .stripMargin)).as("g"))
+          .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+        val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+        val covered = grams.join(first, Seq("gram"))
+          .filter(col("first_doc") < col("doc_id"))
+          .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("p"))
+          .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+        ws.join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("words")).cast("long").as("n_words"),
+            coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+            concat_ws(" ", expr(
+              """filter(transform(words,
+                |  (w, i) -> IF(cov IS NOT NULL AND array_contains(cov, i), NULL, w)),
+                |  x -> x IS NOT NULL)""".stripMargin)).as("clean_text"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             |                             x -> length(x) > 0) AS words
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, i AS pos, array_to_string(words[i+1:i+5], ' ') AS gram
+             |  FROM w, UNNEST(range(0, greatest(len(words) - 4, 0))) AS u(i)),
+             |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+             |cov AS (
+             |  SELECT DISTINCT g.doc_id, c.p
+             |  FROM g JOIN f USING (gram), UNNEST(range(g.pos, g.pos + 5)) AS c(p)
+             |  WHERE f.first_doc < g.doc_id),
+             |wp AS (
+             |  SELECT doc_id, words[i + 1] AS word, i AS p
+             |  FROM w, UNNEST(range(0, len(words))) AS u(i)),
+             |kept AS (
+             |  SELECT wp.doc_id, wp.word, wp.p
+             |  FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.p = wp.p
+             |  WHERE cov.p IS NULL),
+             |agg AS (
+             |  SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text
+             |  FROM kept GROUP BY doc_id),
+             |nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+             |SELECT w.doc_id, cast(len(w.words) AS BIGINT) AS n_words,
+             |  cast(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed,
+             |  coalesce(a.clean_text, '') AS clean_text
+             |FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id
+             |       LEFT JOIN nrem n ON n.doc_id = w.doc_id""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for LMs via
+    // Importance Resampling"): hashed-unigram bag features; each doc's log
+    // importance weight is its log-likelihood ratio under the TARGET unigram
+    // distribution (the lang='en' slice standing in for the target domain)
+    // vs the RAW corpus distribution, Laplace-smoothed. Both distributions
+    // live in ONE 64-row aggregate (conditional count — a single shuffle,
+    // broadcast back regardless of corpus size); the per-doc sum folds in
+    // bucket-sorted order so the double result is engine-deterministic.
+    Q("dsir_weights",
+      (s, dir) => {
+        val B = 64L
+        val terms = docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % B).as("bucket"))
+        val dist = terms.groupBy("bucket").agg(
+          count(lit(1)).as("raw_cnt"),
+          count(when(col("lang") === "en", lit(1))).as("tgt_cnt"))
+        val tot = dist.agg(sum("raw_cnt"), sum("tgt_cnt")).head()
+        val (rawTot, tgtTot) = (tot.getLong(0), tot.getLong(1))
+        val contrib = (col("cnt").cast("double") *
+          (log((col("tgt_cnt") + 1L).cast("double") / lit((tgtTot + B).toDouble)) -
+           log((col("raw_cnt") + 1L).cast("double") / lit((rawTot + B).toDouble)))).as("c")
+        terms.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(dist), Seq("bucket"))
+          .select(col("doc_id"), col("cnt"), struct(col("bucket"), contrib).as("e"))
+          .groupBy("doc_id")
+          .agg(sum("cnt").as("n"), collect_list(col("e")).as("lst"))
+          .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+            round(expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.c)"),
+              4).as("log_weight"))
+          .withColumn("keep", col("log_weight") > 0.0)
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, lang,
+             |    cast(('0x' || substr(md5(u.w), 1, 8)) AS BIGINT) % 64 AS bucket
+             |  FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) AS u(w)
+             |  WHERE length(u.w) > 0),
+             |dist AS (
+             |  SELECT bucket, count(*) AS raw_cnt,
+             |    count(*) FILTER (WHERE lang = 'en') AS tgt_cnt
+             |  FROM terms GROUP BY bucket),
+             |tot AS (SELECT sum(raw_cnt) AS raw_tot, sum(tgt_cnt) AS tgt_tot FROM dist),
+             |bb AS (SELECT doc_id, bucket, count(*) AS cnt
+             |       FROM terms GROUP BY doc_id, bucket),
+             |agg AS (
+             |  SELECT bb.doc_id, sum(bb.cnt) AS n,
+             |    list(cast(bb.cnt AS double) *
+             |         (ln(cast(d.tgt_cnt + 1 AS double) / cast(t.tgt_tot + 64 AS double))
+             |        - ln(cast(d.raw_cnt + 1 AS double) / cast(t.raw_tot + 64 AS double)))
+             |         ORDER BY bb.bucket) AS cs
+             |  FROM bb JOIN dist d ON d.bucket = bb.bucket, tot t
+             |  GROUP BY bb.doc_id)
+             |SELECT doc_id, cast(n AS BIGINT) AS n_tokens,
+             |  round(list_sum(cs), 4) AS log_weight,
+             |  round(list_sum(cs), 4) > 0 AS keep
              |FROM agg""".stripMargin))
   )
 }

@@ -74,6 +74,37 @@ class TrainingOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("keeper_id") === keeperOf(r.getAs[Long]("cell"))))
   }
 
+  test("dup_span_rewrite: removal accounting matches the clean text") {
+    val rows = run("dup_span_rewrite").collect()
+    assert(rows.exists(_.getAs[Long]("n_removed") > 0), "corpus has no dup spans?")
+    rows.foreach { r =>
+      val kept = r.getAs[String]("clean_text")
+      val keptWords = if (kept.isEmpty) 0L else kept.split(" ").length.toLong
+      assert(keptWords === r.getAs[Long]("n_words") - r.getAs[Long]("n_removed"),
+        s"doc ${r.get(0)}: $keptWords kept vs ${r.getAs[Long]("n_words")}-${r.getAs[Long]("n_removed")}")
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_words"))
+    }
+    // the lowest doc_id can never lose a span to an earlier doc
+    val firstDoc = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(firstDoc.getAs[Long]("n_removed") === 0L)
+  }
+
+  test("dsir_weights: target-language docs score higher on average") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang")
+    val rows = run("dsir_weights").join(docs, "doc_id").collect()
+    val (en, rest) = rows.partition(_.getAs[String]("lang") == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("log_weight")).sum / rs.length
+    // the estimator's defining property: importance weights separate the
+    // target domain from the rest of the corpus in expectation
+    assert(mean(en) > mean(rest),
+      s"mean(en)=${mean(en)} !> mean(rest)=${mean(rest)}")
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("keep") === (r.getAs[Double]("log_weight") > 0.0)))
+  }
+
   test("pq_ann: top-3 per query, approx cosine is a valid cosine") {
     val rows = run("pq_ann").collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
