@@ -1711,6 +1711,53 @@ object DvQueries {
              |  cast(NULL AS varchar) AS n_comment_v2
              |FROM nation""".stripMargin)),
 
+    // Time travel on the transactional format, driver-verified: three
+    // version snapshots of one table read back side by side — v1 (initial
+    // append), v2 (after a row-level MERGE that updates even keys and
+    // inserts new ones), and current (after a metadata-only DROP COLUMN).
+    // Old versions resolve through their OWN manifest: v1/v2 still serve
+    // the later-dropped column, and every snapshot is a plain pruned file
+    // read — no log replay, cost O(live files of that version).
+    Q("txlog_time_travel",
+      (s, dir) => {
+        val wh = tmpWarehouse("graft_q_txtt")
+        val t = new graft.runtime.TxLogTable(s, wh)
+        val base = rd(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        t.append("t", base) // v1
+        val delta = base.filter(col("n_nationkey") % 2 === 0)
+          .withColumn("n_name", concat(col("n_name"), lit("!")))
+          .unionByName(base.filter(col("n_nationkey") % 5 === 0)
+            .select((col("n_nationkey") + lit(100L)).as("n_nationkey"),
+              lit("NEW").as("n_name"), lit(null).cast("long").as("n_regionkey")))
+        t.merge("t", delta, Seq("n_nationkey")) // v2
+        t.dropColumn("t", "n_regionkey") // v3, metadata-only
+        val v1 = t.readVersion("t", 1).withColumn("snapshot", lit("v1"))
+        val v2 = t.readVersion("t", 2).withColumn("snapshot", lit("v2"))
+        val cur = t.read("t")
+          .withColumn("n_regionkey", lit(null).cast("long"))
+          .withColumn("snapshot", lit("current"))
+        v1.unionByName(v2).unionByName(cur)
+          .select(col("snapshot"), col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      },
+      Some("""SELECT 'v1' AS snapshot, n_nationkey, n_name, n_regionkey FROM nation
+             |UNION ALL
+             |SELECT 'v2', n_nationkey,
+             |  CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END,
+             |  n_regionkey
+             |FROM nation
+             |UNION ALL
+             |SELECT 'v2', n_nationkey + 100, 'NEW', NULL
+             |FROM nation WHERE n_nationkey % 5 = 0
+             |UNION ALL
+             |SELECT 'current', n_nationkey,
+             |  CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END,
+             |  NULL
+             |FROM nation
+             |UNION ALL
+             |SELECT 'current', n_nationkey + 100, 'NEW', NULL
+             |FROM nation WHERE n_nationkey % 5 = 0""".stripMargin)),
+
     // S7/S9 driver-verified — whole-vault rehash MD5 → SHA256: hub map
     // built, hub rewritten, satellite re-keyed via the map with its
     // hashdiff recomputed under the new algorithm; the returned satellite

@@ -1461,6 +1461,80 @@ object TextQueries {
              |SELECT doc_id, cast(n AS BIGINT) AS n_tokens,
              |  round(list_sum(cs), 4) AS log_weight,
              |  round(list_sum(cs), 4) > 0 AS keep
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // END-TO-END PIPELINE FUNNEL: the composition a production corpus run
+    // actually executes — exact dedup (keep lowest doc_id per content
+    // hash), then the shared Gopher gate (graft.quality.TextRules, the
+    // SAME projection the streaming router applies), then PII scrub on the
+    // survivors — accounted per source as a funnel. ONE shuffle for the
+    // dedup first-doc join (equi-join on content hash, corpus-scale — not
+    // broadcast) and ONE for the final 20-group aggregate; every quality/
+    // scrub column is a stateless projection fused into the scan, and all
+    // funnel sums are integers (no float-order hazard).
+    Q("corpus_pipeline",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+        val phone = "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b"
+        val d = docs(s, dir).withColumn("h", md5(col("text")))
+        val first = d.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+        val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>")
+        graft.quality.TextRules.withGopherColumns(d.join(first, Seq("h")), "text")
+          .withColumn("surv_dedup", col("doc_id") === col("keep_id"))
+          .withColumn("q", col("surv_dedup") && col("keep"))
+          .withColumn("has_pii",
+            regexp_count(col("text"), lit(email)) +
+              regexp_count(col("text"), lit(ipv4)) +
+              regexp_count(col("text"), lit(phone)) > 0)
+          .withColumn("toks_out",
+            size(filter(split(scrubbed, "\\s+"), w => length(w) > 0)).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_in"),
+            sum(when(col("surv_dedup"), 1L).otherwise(0L)).as("n_after_dedup"),
+            sum(when(col("q"), 1L).otherwise(0L)).as("n_after_quality"),
+            sum(when(col("q") && col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"),
+            sum(when(col("q"), col("toks_out")).otherwise(0L)).as("n_tokens_out"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, text, md5(text) AS h FROM documents),
+             |f AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h),
+             |w AS (SELECT d.*, f.keep_id,
+             |        list_filter(regexp_split_to_array(text, '\s+'),
+             |                    x -> length(x) > 0) AS words
+             |      FROM d JOIN f USING (h)),
+             |m AS (SELECT doc_id, source, text, keep_id,
+             |        len(words) AS n_words,
+             |        round(cast(list_sum(list_transform(words, x -> length(x))) AS double)
+             |              / len(words), 4) AS mean_word_len,
+             |        round(cast(len(list_filter(words,
+             |              x -> regexp_full_match(x, '[A-Za-z]+'))) AS double)
+             |              / len(words), 4) AS frac_alpha,
+             |        len(list_filter(words,
+             |              x -> lower(x) IN ('the','a','and','of','to','in'))) AS stopword_hits,
+             |        round(cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS double)
+             |              / len(words), 4) AS symbol_ratio
+             |      FROM w),
+             |st AS (SELECT source,
+             |        doc_id = keep_id AS surv_dedup,
+             |        (doc_id = keep_id AND n_words BETWEEN 10 AND 100000
+             |         AND mean_word_len BETWEEN 2 AND 10 AND frac_alpha >= 0.8
+             |         AND stopword_hits >= 2 AND symbol_ratio <= 0.1) AS q,
+             |        (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |         + len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+             |         + len(regexp_extract_all(text, '\b\d{3}[- .]\d{3}[- .]\d{4}\b'))) > 0 AS has_pii,
+             |        len(list_filter(regexp_split_to_array(
+             |          regexp_replace(regexp_replace(regexp_replace(text,
+             |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             |            '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g'), '\s+'),
+             |          x -> length(x) > 0)) AS toks_out
+             |      FROM m)
+             |SELECT source, count(*) AS n_in,
+             |  cast(sum(CASE WHEN surv_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+             |  cast(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+             |  cast(sum(CASE WHEN q AND has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+             |  cast(sum(CASE WHEN q THEN toks_out ELSE 0 END) AS BIGINT) AS n_tokens_out
+             |FROM st GROUP BY source""".stripMargin))
   )
 }
