@@ -742,7 +742,72 @@ object SimQueries {
               |  cast(count(s.neighbor_id) AS double) / count(*) AS recall_at_3
               |FROM brute b LEFT JOIN sq s
               |  ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
-              |GROUP BY b.query_id""".stripMargin))
+              |GROUP BY b.query_id""".stripMargin)),
+
+    // Lloyd's k-means over the embedding corpus (K=4, 2 unrolled
+    // iterations, deterministic init = vec_id < K) — the clustering
+    // primitive behind SemDeDup / prototype-based curation and IVF cell
+    // training. Each iteration: assignment is a broadcast of K centroids
+    // against the streamed corpus (never the reverse); recomputation here
+    // folds each cell's members in vec_id order (collect_list → sorted
+    // fold) so the centroid doubles are bit-identical to the oracle's —
+    // the determinism variant for the compare. At corpus scale swap the
+    // fold for avg(): same plan shape (one partial-agg shuffle of K×64
+    // doubles), order-independent to FP ulps.
+    Q("kmeans_embed",
+      (s, dir) => {
+        val K = 4
+        val e = emb(s, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        def assign(cents: DataFrame): DataFrame = {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("k").asc)
+          e.crossJoin(broadcast(cents))
+            .withColumn("d2", expr(
+              "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), cast(0 AS double), (acc, x) -> acc + x)"))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .select(col("vec_id"), col("v"), col("k"), col("d2"))
+        }
+        val init = e.filter(col("vec_id") < K)
+          .select(col("vec_id").cast("int").as("k"), col("v").as("c"))
+        val c1 = assign(init).groupBy("k")
+          .agg(collect_list(struct(col("vec_id"), col("v"))).as("lst"))
+          .select(col("k"), expr(
+            """transform(
+              |  aggregate(array_sort(lst),
+              |    transform(sequence(1, 64), z -> cast(0 AS double)),
+              |    (acc, m) -> zip_with(acc, m.v, (a, b) -> a + b)),
+              |  x -> x / size(lst))""".stripMargin).as("c"))
+        assign(c1).select(col("vec_id"), col("k").as("cell"),
+          round(col("d2"), 4).as("d2"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+             |  FROM embeddings),
+             |init AS (SELECT cast(vec_id AS int) AS k, v AS c FROM e WHERE vec_id < 4),
+             |a1 AS (
+             |  SELECT vec_id, v, k, d2 FROM (
+             |    SELECT e.vec_id, e.v, i.k,
+             |      list_sum(list_transform(list_zip(e.v, i.c),
+             |        s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+             |    FROM e, init i)
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) = 1),
+             |parts AS (
+             |  SELECT k, d, vec_id, v[d + 1] AS x
+             |  FROM a1, UNNEST(range(0, 64)) AS u(d)),
+             |sums AS (
+             |  SELECT k, d, list_sum(list(x ORDER BY vec_id)) AS s, count(*) AS n
+             |  FROM parts GROUP BY k, d),
+             |c1 AS (SELECT k, list(s / n ORDER BY d) AS c FROM sums GROUP BY k),
+             |a2 AS (
+             |  SELECT vec_id, k, d2 FROM (
+             |    SELECT e.vec_id, c1.k,
+             |      list_sum(list_transform(list_zip(e.v, c1.c),
+             |        s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+             |    FROM e, c1)
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) = 1)
+             |SELECT vec_id, cast(k AS int) AS cell, round(d2, 4) AS d2 FROM a2""".stripMargin))
   )
 
   /** the SQ index chain as DuckDB CTEs, ending in `rer`

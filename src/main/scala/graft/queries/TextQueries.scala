@@ -1535,6 +1535,88 @@ object TextQueries {
              |  cast(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
              |  cast(sum(CASE WHEN q AND has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
              |  cast(sum(CASE WHEN q THEN toks_out ELSE 0 END) AS BIGINT) AS n_tokens_out
-             |FROM st GROUP BY source""".stripMargin))
+             |FROM st GROUP BY source""".stripMargin)),
+
+    // weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // key = ln(u)/w with u ~ Uniform(0,1] derived deterministically from
+    // md5(doc_id) and w = n_chars; the top-k keys ARE a w-weighted sample
+    // without replacement. orderBy+limit compiles to TakeOrderedAndProject
+    // — per-partition top-k heaps merged on the driver, never a global
+    // sort shuffle — so the op is one scan at any corpus size.
+    Q("weighted_sample",
+      (s, dir) => {
+        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") + lit(1.0)) / lit(4294967296.0)
+        docs(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(log(u) / col("n_chars"), 10).as("sample_key"))
+          .orderBy(col("sample_key").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""SELECT doc_id, source, n_chars,
+             |  round(ln((cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8)) AS BIGINT) + 1.0)
+             |        / 4294967296.0) / n_chars, 10) AS sample_key
+             |FROM documents
+             |ORDER BY sample_key DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // bigram-LM cross-entropy with unigram interpolation — the next-order
+    // refinement of unigram_perplexity (CCNet's filtering signal uses a
+    // 5-gram LM; same plan shape, deeper tables): P(w2|w1) is the
+    // Jelinek–Mercer mix 0.75·c(w1,w2)/c(w1·) + 0.25·c(w2)/N. The bigram
+    // count table is vocab²-scale — equi-joined (shuffled on its key),
+    // NEVER broadcast; the per-doc Σ tf·log2 P folds over a sorted term
+    // list so the double sum is engine-deterministic.
+    Q("bigram_perplexity",
+      (s, dir) => {
+        val ws = docs(s, dir)
+          .select(col("doc_id"),
+            expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)").as("words"))
+        val bi = ws.filter(size(col("words")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val uni = ws.select(explode(col("words")).as("w2"))
+          .groupBy("w2").agg(count(lit(1)).as("cw"))
+        val n = uni.agg(sum(col("cw"))).head().getLong(0)
+        val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val p = lit(0.75) * (col("c2").cast("double") / col("c1")) +
+          lit(0.25) * (col("cw").cast("double") / lit(n.toDouble))
+        bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+          .join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).join(uni, Seq("w2"))
+          .select(col("doc_id"), col("tf"),
+            struct(col("w1"), col("w2"), (col("tf") * log2(p)).as("c")).as("e"))
+          .groupBy("doc_id")
+          .agg(sum("tf").as("n"), collect_list(col("e")).as("lst"))
+          .select(col("doc_id"), col("n").cast("long").as("n_bigrams"),
+            round(-expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.c)") /
+              col("n"), 4).as("cross_entropy"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             |                             x -> length(x) > 0) AS words
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, words[i + 1] AS w1, words[i + 2] AS w2
+             |  FROM w, UNNEST(range(0, greatest(len(words) - 1, 0))) AS u(i)),
+             |uni AS (SELECT u.w2, count(*) AS cw
+             |        FROM w, UNNEST(words) AS u(w2) GROUP BY u.w2),
+             |tot AS (SELECT cast(sum(cw) AS double) AS n FROM uni),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+             |agg AS (
+             |  SELECT tf.doc_id, sum(tf.tf) AS n,
+             |    list(tf.tf * log2(0.75 * (cast(c2.c2 AS double) / c1.c1)
+             |                    + 0.25 * (cast(un.cw AS double) / t.n))
+             |         ORDER BY tf.w1, tf.w2) AS cs
+             |  FROM (SELECT doc_id, w1, w2, count(*) AS tf
+             |        FROM bi GROUP BY doc_id, w1, w2) tf
+             |  JOIN c2 ON c2.w1 = tf.w1 AND c2.w2 = tf.w2
+             |  JOIN c1 ON c1.w1 = tf.w1
+             |  JOIN uni un ON un.w2 = tf.w2, tot t
+             |  GROUP BY tf.doc_id)
+             |SELECT doc_id, cast(n AS BIGINT) AS n_bigrams,
+             |  round(-list_sum(cs) / n, 4) AS cross_entropy
+             |FROM agg""".stripMargin))
   )
 }

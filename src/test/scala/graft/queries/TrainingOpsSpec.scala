@@ -105,6 +105,44 @@ class TrainingOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("keep") === (r.getAs[Double]("log_weight") > 0.0)))
   }
 
+  test("kmeans_embed: total assignment, valid cells, within-cell distance sane") {
+    val rows = run("kmeans_embed").collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length.toLong === nVecs, "every vector must be assigned")
+    rows.foreach { r =>
+      assert((0 to 3).contains(r.getAs[Int]("cell")))
+      assert(r.getAs[Double]("d2") >= 0.0)
+    }
+    assert(rows.map(_.getAs[Int]("cell")).distinct.length > 1,
+      "degenerate clustering: everything in one cell")
+  }
+
+  test("weighted_sample: k rows, keys non-positive and descending") {
+    val rows = run("weighted_sample").collect()
+    assert(rows.length === 20)
+    val keys = rows.map(_.getAs[Double]("sample_key"))
+    assert(keys.forall(_ <= 0.0), "ln(u)/w must be <= 0")
+    assert(keys.sameElements(keys.sorted.reverse), "not ordered by key desc")
+    // higher weight (n_chars) biases toward inclusion: the sampled docs'
+    // mean length should beat the corpus mean
+    val corpusMean = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    val sampleMean = rows.map(_.getAs[Long]("n_chars").toDouble).sum / rows.length
+    assert(sampleMean > corpusMean * 0.9,
+      s"sample mean $sampleMean far below corpus mean $corpusMean")
+  }
+
+  test("bigram_perplexity: positive entropy, bigram count = words - 1") {
+    val wc = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        "size(filter(split(text, '\\\\s+'), w -> length(w) > 0)) AS nw")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("nw")).toMap
+    run("bigram_perplexity").collect().foreach { r =>
+      assert(r.getAs[Double]("cross_entropy") > 0.0)
+      assert(r.getAs[Long]("n_bigrams") === wc(r.getAs[Long]("doc_id")) - 1L)
+    }
+  }
+
   test("pq_ann: top-3 per query, approx cosine is a valid cosine") {
     val rows = run("pq_ann").collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
