@@ -759,16 +759,17 @@ object SimQueries {
         val K = 4
         val e = emb(s, dir).select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        def assign(cents: DataFrame): DataFrame = {
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("k").asc)
+        // argmin as min(struct(d2, k)) — a partial-aggregating groupBy, so
+        // the K× cross-join blowup collapses map-side BEFORE the shuffle
+        // (vs a Sort+Window per iteration, which shuffles all K rows per
+        // vector); first(v) is safe: v is constant within a vec_id group.
+        def assign(cents: DataFrame): DataFrame =
           e.crossJoin(broadcast(cents))
             .withColumn("d2", expr(
               "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), cast(0 AS double), (acc, x) -> acc + x)"))
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1)
-            .select(col("vec_id"), col("v"), col("k"), col("d2"))
-        }
+            .groupBy("vec_id")
+            .agg(min(struct(col("d2"), col("k"))).as("m"), first(col("v")).as("v"))
+            .select(col("vec_id"), col("v"), col("m.k").as("k"), col("m.d2").as("d2"))
         val init = e.filter(col("vec_id") < K)
           .select(col("vec_id").cast("int").as("k"), col("v").as("c"))
         val c1 = assign(init).groupBy("k")
