@@ -1758,6 +1758,50 @@ object DvQueries {
              |SELECT 'current', n_nationkey + 100, 'NEW', NULL
              |FROM nation WHERE n_nationkey % 5 = 0""".stripMargin)),
 
+    // OPTIMIZE + VACUUM lifecycle, driver-verified: four small appends
+    // (the small-file problem every incremental vault accretes), one
+    // compaction commit down to a single clustered file, then a vacuum
+    // that physically deletes the pre-compaction files of expired
+    // versions. `files_after` is emitted AS A COLUMN so the physical
+    // property — exactly one live file — is oracle-checked, and the row
+    // payload proves vacuum never touches files the current version
+    // references.
+    Q("txlog_compact",
+      (s, dir) => {
+        val wh = tmpWarehouse("graft_q_txcompact")
+        val t = new graft.runtime.TxLogTable(s, wh)
+        val base = rd(s, dir, "nation")
+        (0 to 3).foreach(i => t.append("t", base.filter(col("n_nationkey") % 4 === i)))
+        t.compact("t", targetFiles = 1)
+        t.vacuum("t", retainVersions = 1)
+        val after = t.files("t", t.currentVersion("t").get).size
+        t.read("t").withColumn("files_after", lit(after.toLong))
+      },
+      Some("SELECT nation.*, cast(1 AS BIGINT) AS files_after FROM nation")),
+
+    // The SQL-facing surface: a vault materialized through TableStore is
+    // queryable from plain spark.sql via registerViews — the dbt-user
+    // contract (models are tables you SELECT from). Views are lazy scans,
+    // so the SQL join plans identically to the DataFrame equivalent.
+    Q("vault_sql_views",
+      (s, dir) => {
+        val wh = tmpWarehouse("graft_q_sqlviews")
+        val store = new graft.runtime.TableStore(s, wh)
+        val c = custStage(s, dir)
+        store.overwrite("customer_h",
+          c.select(col("hk_customer_h"), col("c_custkey"), col(LdtsAlias), col(RsrcAlias)))
+        store.overwrite("customer_s",
+          c.withColumn("hd_customer_s",
+              Hashing.hashdiff(Seq(col("c_name"), col("c_acctbal"))))
+            .select(col("hk_customer_h"), col("hd_customer_s"),
+              col("c_name"), col("c_acctbal")))
+        store.registerViews("dv_")
+        s.sql("""SELECT h.c_custkey, s.c_name, s.c_acctbal
+                |FROM dv_customer_h h
+                |JOIN dv_customer_s s ON s.hk_customer_h = h.hk_customer_h""".stripMargin)
+      },
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer")),
+
     // S7/S9 driver-verified — whole-vault rehash MD5 → SHA256: hub map
     // built, hub rewritten, satellite re-keyed via the map with its
     // hashdiff recomputed under the new algorithm; the returned satellite

@@ -70,6 +70,29 @@ final class TableStore(val spark: SparkSession, val baseDir: String) extends Vau
   def overwrite(name: String, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(pathOf(name))
 
+  /** Table names present in the warehouse (directories that pass the
+    * [[exists]] probe). */
+  def tables: Seq[String] = {
+    val base = Paths.get(baseDir)
+    if (!Files.isDirectory(base)) Nil
+    else {
+      val s = Files.list(base)
+      try {
+        val it = s.filter(f => Files.isDirectory(f)).iterator()
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) buf += it.next().getFileName.toString
+        buf.result().filter(exists).sorted
+      } finally s.close()
+    }
+  }
+
+  /** Register every warehouse table as a session temp view (optionally
+    * prefixed) — the dbt-user surface: vault entities are tables you
+    * SELECT from, so the whole vault becomes queryable from plain
+    * `spark.sql`. Views are lazy scans; registration reads no data. */
+  def registerViews(prefix: String = ""): Unit =
+    tables.foreach(n => read(n).createOrReplaceTempView(prefix + n))
+
   def drop(name: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)

@@ -58,6 +58,28 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   def root(name: String): Path = Paths.get(baseDir, name)
   private def logDir(name: String): Path = root(name).resolve("_log")
 
+  /** Table names in this warehouse (directories with a committed _log). */
+  def tables: Seq[String] = {
+    val base = Paths.get(baseDir)
+    if (!Files.isDirectory(base)) Nil
+    else {
+      val s = Files.list(base)
+      try {
+        val it = s.filter(f => Files.isDirectory(f)).iterator()
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) buf += it.next().getFileName.toString
+        buf.result().filter(exists).sorted
+      } finally s.close()
+    }
+  }
+
+  /** Register every table as a session temp view (optionally prefixed) —
+    * each view is the table's CURRENT snapshot resolved at registration
+    * time (snapshot isolation: later commits are not seen through an
+    * already-registered view; re-register to advance). */
+  def registerViews(prefix: String = ""): Unit =
+    tables.foreach(n => read(n).createOrReplaceTempView(prefix + n))
+
   private val ManifestRe = raw"v(\d{8})\.manifest".r
   private val ColHeader = "#col\t"
   private val StatsColHeader = "#statscol\t"

@@ -369,4 +369,18 @@ class TxLogTableSpec extends SparkSpec {
     assert(t.readVersion("tbl", 2).as[Int].collect().toSet === Set(2))
     assert(t.read("tbl").as[Int].collect().toSet === Set(3))
   }
+
+  test("registerViews: snapshot semantics — a view pins its version until re-registered") {
+    val (t, _) = freshStore()
+    t.append("a", Seq(1).toDF("id"))
+    t.append("b", Seq(10).toDF("id"))
+    assert(t.tables === Seq("a", "b"))
+    t.registerViews("tx_")
+    t.append("a", Seq(2).toDF("id"))
+    assert(spark.sql("SELECT id FROM tx_a").as[Int].collect().toSet === Set(1),
+      "a registered view must keep its snapshot across later commits")
+    t.registerViews("tx_")
+    assert(spark.sql("SELECT id FROM tx_a").as[Int].collect().toSet === Set(1, 2))
+    assert(spark.sql("SELECT id FROM tx_b").as[Int].collect().toSet === Set(10))
+  }
 }
