@@ -1544,15 +1544,11 @@ object TextQueries {
     // — per-partition top-k heaps merged on the driver, never a global
     // sort shuffle — so the op is one scan at any corpus size.
     Q("weighted_sample",
-      (s, dir) => {
-        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("double") + lit(1.0)) / lit(4294967296.0)
-        docs(s, dir)
-          .select(col("doc_id"), col("source"), col("n_chars"),
-            round(log(u) / col("n_chars"), 10).as("sample_key"))
-          .orderBy(col("sample_key").desc, col("doc_id").asc)
-          .limit(20)
-      },
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          graft.ops.Sampling.aresKey(col("doc_id"), col("n_chars")).as("sample_key"))
+        .orderBy(col("sample_key").desc, col("doc_id").asc)
+        .limit(20),
       Some("""SELECT doc_id, source, n_chars,
              |  round(ln((cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8)) AS BIGINT) + 1.0)
              |        / 4294967296.0) / n_chars, 10) AS sample_key
@@ -1617,6 +1613,25 @@ object TextQueries {
              |  GROUP BY tf.doc_id)
              |SELECT doc_id, cast(n AS BIGINT) AS n_bigrams,
              |  round(-list_sum(cs) / n, 4) AS cross_entropy
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // skew-resistant dimension join, driver-verified: `lang` is the
+    // corpus's skewed key (en ≈ 43% of docs — at 100 TB that one key IS
+    // the straggler task), so the per-lang dimension joins through
+    // Ops.saltedJoin: the hot key's probe rows scatter across 8 salted
+    // buckets while the dimension replicates 8×. The oracle is the PLAIN
+    // join — proving the salted plan is semantically invisible.
+    Q("skew_join_salted",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("lang"))
+        val dim = docs(s, dir).groupBy("lang")
+          .agg(count(lit(1)).as("lang_docs"))
+        graft.ops.Ops.saltedJoin(d, dim, Seq("lang"), buckets = 8)
+          .select(col("doc_id"), col("lang"), col("lang_docs"))
+      },
+      Some("""WITH dim AS (SELECT lang, count(*) AS lang_docs
+             |            FROM documents GROUP BY lang)
+             |SELECT d.doc_id, d.lang, dim.lang_docs
+             |FROM documents d JOIN dim USING (lang)""".stripMargin))
   )
 }

@@ -399,6 +399,47 @@ object StreamingLoaders {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  final case class ReservoirRow(group: String, id: Long, weight: Long, key: Double)
+
+  /** Streaming weighted sampling without replacement: per group, the state
+    * store holds the k rows with the largest Efraimidis–Spirakis keys
+    * ([[graft.ops.Sampling.aresKey]] — the SAME key function as the batch
+    * `weighted_sample` query) — at any moment the state IS a
+    * weight-proportional without-replacement sample of everything the
+    * group has seen. A-ES keys make the reservoir mergeable: top-k of
+    * (state ∪ batch) = top-k of the union, so arrival order never matters,
+    * and deterministic keys make replays idempotent (a re-seen id
+    * deduplicates to the same key). Emits a group's FULL current reservoir
+    * whenever it changes (update semantics); state is O(k) per group.
+    */
+  def weightedReservoirStream(staged: DataFrame, k: Int,
+      groupCol: String = "source", idCol: String = "doc_id",
+      weightCol: String = "n_chars"): DataFrame = {
+    require(k > 0, "weightedReservoirStream: k must be positive")
+    val keyed = staged.select(
+      col(groupCol).cast("string").as("group"),
+      col(idCol).cast("long").as("id"),
+      col(weightCol).cast("long").as("weight"),
+      graft.ops.Sampling.aresKey(col(idCol), col(weightCol)).as("key"))
+    keyed
+      .groupByKey((r: Row) => r.getAs[String]("group"))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (g: String, rows: Iterator[Row], state: GroupState[List[(Long, Long, Double)]]) => {
+          val cur = state.getOption.getOrElse(Nil)
+          val merged = (cur ++ rows.map(r => (r.getAs[Long]("id"),
+              r.getAs[Long]("weight"), r.getAs[Double]("key"))))
+            .distinctBy(_._1)
+            .sortBy(t => (-t._3, t._1))
+            .take(k)
+          if (merged == cur) Iterator.empty
+          else {
+            state.update(merged)
+            merged.iterator.map { case (id, w, key) => ReservoirRow(g, id, w, key) }
+          }
+        })(Encoders.kryo[List[(Long, Long, Double)]], Encoders.product[ReservoirRow])
+      .toDF()
+  }
+
   /** In-flight quality gate + router: scores each document with the SAME
     * stateless projection as the batch `gopher_rules` query
     * ([[graft.quality.TextRules.withGopherColumns]]) and routes every row —

@@ -396,4 +396,41 @@ class StreamingSpec extends SparkSpec {
       "streamed scores equal the batch projection")
     store.drop("docs_keep"); store.drop("docs_reject")
   }
+
+  test("weighted reservoir: final state equals the batch A-ES top-k per group") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val staged = input.toDF().toDF("source", "doc_id", "n_chars")
+
+    val out = StreamingLoaders.weightedReservoirStream(staged, k = 3)
+      .writeStream.format("memory").queryName("reservoir_sink")
+      .outputMode("update").start()
+
+    // two micro-batches, arrival order scrambled vs id order; one replay
+    val batch1 = Seq(("s1", 5L, 100L), ("s1", 1L, 900L), ("s2", 7L, 50L), ("s1", 3L, 400L))
+    val batch2 = Seq(("s1", 2L, 700L), ("s1", 4L, 250L), ("s1", 1L, 900L), ("s2", 8L, 60L))
+    input.addData(batch1: _*); out.processAllAvailable()
+    input.addData(batch2: _*); out.processAllAvailable()
+    out.stop()
+
+    // The reservoir improves monotonically (an evicted id never returns),
+    // so the FINAL state per group = top-k by the same ordering over the
+    // distinct rows ever emitted. Compare that against the batch A-ES
+    // top-3 computed with the SAME shared key function over the union.
+    val emitted = spark.table("reservoir_sink").collect()
+      .map(r => (r.getAs[String]("group"), r.getAs[Long]("id"),
+        r.getAs[Double]("key"))).distinct
+    val got = emitted.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.sortBy(t => (-t._3, t._2)).take(3).map(_._2).toSet
+    }
+    val want = (batch1 ++ batch2).distinct.toDF("source", "doc_id", "n_chars")
+      .withColumn("key", graft.ops.Sampling.aresKey($"doc_id", $"n_chars"))
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (g, rs) =>
+        g -> rs.sortBy(r => (-r.getAs[Double]("key"), r.getAs[Long]("doc_id")))
+          .take(3).map(_.getAs[Long]("doc_id")).toSet
+      }
+    assert(got === want, s"streamed reservoirs $got != batch top-k $want")
+  }
 }
