@@ -1779,6 +1779,25 @@ object DvQueries {
       },
       Some("SELECT nation.*, cast(1 AS BIGINT) AS files_after FROM nation")),
 
+    // Exactly-once append contract, driver-verified: every batch is
+    // applied TWICE (the at-least-once replay foreachBatch alone cannot
+    // exclude) through appendOnce's (appId, batchVersion) manifest
+    // markers; the oracle is the plain un-duplicated table — any
+    // double-apply fails the row-count compare.
+    Q("txlog_exactly_once",
+      (s, dir) => {
+        val wh = tmpWarehouse("graft_q_txonce")
+        val t = new graft.runtime.TxLogTable(s, wh)
+        val base = rd(s, dir, "nation")
+        Seq(0L, 1L).foreach { b =>
+          val part = base.filter(col("n_nationkey") % 2 === b)
+          t.appendOnce("t", part, "loader", b)
+          t.appendOnce("t", part, "loader", b) // replay of the same batch
+        }
+        t.read("t")
+      },
+      Some("SELECT * FROM nation")),
+
     // The SQL-facing surface: a vault materialized through TableStore is
     // queryable from plain spark.sql via registerViews — the dbt-user
     // contract (models are tables you SELECT from). Views are lazy scans,

@@ -84,6 +84,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   private val ColHeader = "#col\t"
   private val StatsColHeader = "#statscol\t"
   private val FStatHeader = "#fstat\t"
+  private val TxnHeader = "#txn\t"
 
   /** committed versions, ascending (tmp/garbage ignored) */
   def versions(name: String): Seq[Long] = {
@@ -137,14 +138,29 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       (p(0), p(1)) -> (p(2), p(3))
     }.toMap
 
+  /** committed (appId → latest batchVersion) transaction markers — the
+    * exactly-once bookkeeping streaming sinks read (cf. Delta's
+    * txnAppId/txnVersion) */
+  def txnVersions(name: String, v: Long): Map[String, Long] =
+    manifestLines(name, v).filter(_.startsWith(TxnHeader)).map { l =>
+      val p = l.stripPrefix(TxnHeader).split('\t')
+      p(0) -> p(1).toLong
+    }.toMap
+
+  /** the latest committed batchVersion for `appId`, if any */
+  def txnVersion(name: String, appId: String): Option[Long] =
+    currentVersion(name).flatMap(v => txnVersions(name, v).get(appId))
+
   private def render(cols: Seq[ColMap], fs: Seq[String],
                      statsCols: Seq[String] = Nil,
-                     stats: Map[(String, String), (String, String)] = Map.empty): Seq[String] =
+                     stats: Map[(String, String), (String, String)] = Map.empty,
+                     txns: Map[String, Long] = Map.empty): Seq[String] =
     cols.map(c => s"$ColHeader${c.physical}\t${c.logical}\t${c.typeDdl}") ++
       statsCols.map(c => s"$StatsColHeader$c") ++
       stats.toSeq.sortBy(_._1).map { case ((f, c), (mn, mx)) =>
         s"$FStatHeader$f\t$c\t$mn\t$mx"
-      } ++ fs
+      } ++
+      txns.toSeq.sorted.map { case (a, bv) => s"$TxnHeader$a\t$bv" } ++ fs
 
   /** Publish `lines` as version `v` of `name`. Returns false when `v` was
     * committed concurrently by another writer (CAS lost — re-read, retry). */
@@ -176,15 +192,17 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
 
   /** the full metadata of one version */
   private case class Meta(cols: Seq[ColMap], statsCols: Seq[String],
-                          stats: Map[(String, String), (String, String)])
+                          stats: Map[(String, String), (String, String)],
+                          txns: Map[String, Long] = Map.empty)
 
   private def metaOf(name: String, v: Long): Meta =
-    Meta(mapping(name, v), statsColumns(name, v), fileStats(name, v))
+    Meta(mapping(name, v), statsColumns(name, v), fileStats(name, v),
+      txnVersions(name, v))
 
   private def renderM(m: Meta, fs: Seq[String]): Seq[String] = {
     val liveSet = fs.toSet
     render(m.cols, fs, m.statsCols,
-      m.stats.filter { case ((f, _), _) => liveSet(f) })
+      m.stats.filter { case ((f, _), _) => liveSet(f) }, m.txns)
   }
 
   /** one pass over a just-written batch collecting per-file min/max of the
@@ -310,13 +328,33 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
 
   /** S6 — incremental insert: appends never conflict semantically, so a
     * lost CAS re-reads the head and retries against it. */
-  def append(name: String, df: DataFrame): Unit = {
+  def append(name: String, df: DataFrame): Unit = { appendTxn(name, df, None); () }
+
+  /** Exactly-once append (the Delta txnAppId/txnVersion contract): the
+    * commit records (appId → batchVersion) in the manifest, and an append
+    * whose batchVersion is ≤ the appId's recorded marker is recognized as
+    * a REPLAY and skipped (returns false). With monotone batch versions
+    * per appId — Spark's foreachBatch batchId is exactly that — task
+    * retries, sink restarts, and checkpoint replays all collapse to one
+    * committed copy. The check re-runs inside the CAS retry loop, so a
+    * concurrent replayer racing this commit cannot double-apply. */
+  def appendOnce(name: String, df: DataFrame, appId: String,
+                 batchVersion: Long): Boolean =
+    appendTxn(name, df, Some(appId -> batchVersion))
+
+  private def appendTxn(name: String, df: DataFrame,
+                        txn: Option[(String, Long)]): Boolean = {
     var done = false
     var batch: Option[(Seq[ColMap], Seq[String])] = None
     while (!done) {
       val head = currentVersion(name)
       val m = head.map(metaOf(name, _))
         .getOrElse(Meta(identityMapping(df), Nil, Map.empty))
+      // a skipped replay can leave an already-written batch from a lost
+      // CAS iteration as orphan files — vacuum's orphan-grace sweep
+      // reclaims them, same as any crashed append
+      if (txn.exists { case (app, bv) => m.txns.get(app).exists(_ >= bv) })
+        return false // replay — skip
       val added = batch match {
         // reuse the already-written batch on a lost CAS — unless the new
         // head changed the mapping out from under us (DDL race): physical
@@ -325,10 +363,12 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
         case _ => val fs = writeBatch(name, df, m.cols); batch = Some((m.cols, fs)); fs
       }
       val base = head.map(files(name, _)).getOrElse(Seq.empty)
-      val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols))
+      val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols),
+        txns = m.txns ++ txn)
       done = tryCommit(name, head.getOrElse(0L) + 1,
         renderM(withStats, base ++ added))
     }
+    true
   }
 
   /** S5 — table materialization / full refresh: the schema resets to `df`'s
@@ -352,7 +392,10 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     val statsCols = head.map(statsColumns(name, _)).getOrElse(Nil)
       .filter(sc => cols.exists(_.physical == sc))
     val added = writeBatch(name, df, cols)
-    val m = Meta(cols, statsCols, batchStats(name, added, statsCols))
+    // txn markers survive a full refresh: a replayed streaming batch must
+    // still be recognized after someone rebuilds the table
+    val m = Meta(cols, statsCols, batchStats(name, added, statsCols),
+      head.map(txnVersions(name, _)).getOrElse(Map.empty))
     if (!tryCommit(name, head.getOrElse(0L) + 1, renderM(m, added)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on overwrite — re-derive and retry")
@@ -527,7 +570,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     val phys = next.map(_.physical).toSet
     val withStats = Meta(next,
       m.statsCols.filter(phys),
-      m.stats.filter { case ((_, c), _) => phys(c) })
+      m.stats.filter { case ((_, c), _) => phys(c) }, m.txns)
     if (!tryCommit(name, v + 1, renderM(withStats, files(name, v))))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on $op — retry")

@@ -399,6 +399,26 @@ object StreamingLoaders {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** EXACTLY-ONCE streaming append into a transactional table:
+    * `foreachBatch` alone is at-least-once (a batch can re-run after a
+    * sink write succeeded but the checkpoint commit didn't), so each
+    * micro-batch append goes through [[graft.runtime.TxLogTable.appendOnce]]
+    * with `(appId, batchId)` — the replayed batch is recognized in the
+    * table's OWN log and skipped, closing the duplication window the
+    * checkpoint can't. `appId` must be stable per (query, table) across
+    * restarts (default: the checkpoint path). */
+  def txLogSink(staged: DataFrame, table: graft.runtime.TxLogTable,
+                name: String, checkpoint: String, appId: Option[String] = None,
+                trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    val app = appId.getOrElse(s"txlog-sink:$checkpoint")
+    staged.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.appendOnce(name, batch, app, batchId): Unit
+      }
+  }
+
   final case class ReservoirRow(group: String, id: Long, weight: Long, key: Double)
 
   /** Streaming weighted sampling without replacement: per group, the state

@@ -370,6 +370,25 @@ class TxLogTableSpec extends SparkSpec {
     assert(t.read("tbl").as[Int].collect().toSet === Set(3))
   }
 
+  test("appendOnce: replays skip, markers survive DDL and full refresh") {
+    val (t, _) = freshStore()
+    assert(t.appendOnce("tbl", Seq(1).toDF("id"), "appA", 0L))
+    assert(!t.appendOnce("tbl", Seq(1).toDF("id"), "appA", 0L), "same batch replays")
+    assert(t.appendOnce("tbl", Seq(2).toDF("id"), "appA", 1L), "next batch commits")
+    assert(!t.appendOnce("tbl", Seq(9).toDF("id"), "appA", 0L), "older batch replays")
+    assert(t.appendOnce("tbl", Seq(3).toDF("id"), "appB", 0L),
+      "independent appId has its own sequence")
+    assert(t.read("tbl").as[Int].collect().sorted === Array(1, 2, 3))
+    assert(t.txnVersion("tbl", "appA").contains(1L))
+    assert(t.txnVersion("tbl", "appB").contains(0L))
+    // markers ride through DDL and a full refresh — a replay arriving
+    // after maintenance must still be recognized
+    t.renameColumn("tbl", "id", "id2")
+    t.overwrite("tbl", Seq(7).toDF("id2"))
+    assert(!t.appendOnce("tbl", Seq(1).toDF("id2"), "appA", 1L))
+    assert(t.read("tbl").as[Int].collect().toSeq === Seq(7))
+  }
+
   test("registerViews: snapshot semantics — a view pins its version until re-registered") {
     val (t, _) = freshStore()
     t.append("a", Seq(1).toDF("id"))

@@ -397,6 +397,30 @@ class StreamingSpec extends SparkSpec {
     store.drop("docs_keep"); store.drop("docs_reject")
   }
 
+  test("txlog sink: exactly-once across micro-batches and a simulated replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream_tx").toString
+    val t = new graft.runtime.TxLogTable(spark, wh)
+    val input = MemoryStream[Long]
+    val staged = input.toDF().toDF("id")
+
+    val q = StreamingLoaders.txLogSink(staged, t, "evts", s"$wh/_cp",
+      appId = Some("sinkA"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    input.addData(1L, 2L); q.processAllAvailable()
+    input.addData(3L); q.processAllAvailable()
+    q.stop()
+    assert(t.read("evts").as[Long].collect().sorted === Array(1L, 2L, 3L))
+
+    // simulate the at-least-once failure mode foreachBatch alone has: the
+    // sink wrote batch 1 but the engine replays it — appendOnce must skip
+    assert(!t.appendOnce("evts", Seq(3L).toDF("id"), "sinkA", 1L))
+    assert(t.read("evts").count() === 3)
+    // a NEW batch from the same app still lands
+    assert(t.appendOnce("evts", Seq(4L).toDF("id"), "sinkA", 2L))
+    assert(t.read("evts").count() === 4)
+  }
+
   test("weighted reservoir: final state equals the batch A-ES top-k per group") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Long)]
