@@ -1779,6 +1779,32 @@ object DvQueries {
       },
       Some("SELECT nation.*, cast(1 AS BIGINT) AS files_after FROM nation")),
 
+    // Per-file min/max data skipping, driver-verified: three
+    // key-range-disjoint single-file batches, a stats-pruned range read
+    // that provably scans ONE of the three files (`files_scanned` emitted
+    // as a column against the oracle's constant), and the exact predicate
+    // re-applied on top — the contract every lake format's skipping
+    // follows (prune is a superset, the filter is still yours).
+    Q("txlog_skipping",
+      (s, dir) => {
+        val wh = tmpWarehouse("graft_q_txskip")
+        val t = new graft.runtime.TxLogTable(s, wh)
+        val base = rd(s, dir, "orders")
+        t.append("t", base.filter(col("o_orderkey") < 5000).coalesce(1))
+        t.setStatsColumns("t", Seq("o_orderkey")) // backfills file 1; later
+        t.append("t", base.filter(col("o_orderkey").between(5000, 9999)).coalesce(1))
+        t.append("t", base.filter(col("o_orderkey") >= 10000).coalesce(1))
+        val live = t.files("t", t.currentVersion("t").get).size
+        val cand = t.candidateFiles("t", "o_orderkey", "6000", "7000").size
+        t.readPruned("t", "o_orderkey", "6000", "7000")
+          .filter(col("o_orderkey").between(6000, 7000))
+          .withColumn("files_live", lit(live.toLong))
+          .withColumn("files_scanned", lit(cand.toLong))
+      },
+      Some("""SELECT orders.*, cast(3 AS BIGINT) AS files_live,
+             |  cast(1 AS BIGINT) AS files_scanned
+             |FROM orders WHERE o_orderkey BETWEEN 6000 AND 7000""".stripMargin)),
+
     // Exactly-once append contract, driver-verified: every batch is
     // applied TWICE (the at-least-once replay foreachBatch alone cannot
     // exclude) through appendOnce's (appId, batchVersion) manifest
