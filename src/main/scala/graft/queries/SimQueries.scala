@@ -744,6 +744,103 @@ object SimQueries {
               |  ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
               |GROUP BY b.query_id""".stripMargin)),
 
+    // TRAINED IVF: the composition ivf_ann's comment promises — cells come
+    // from one Lloyd refinement over the corpus (same deterministic
+    // scheme as kmeans_embed) instead of raw seed vectors, then the
+    // standard IVF search: corpus assigned to nearest trained centroid,
+    // queries probe their nprobe=2 closest cells, exact cosine within the
+    // probed cells only. Centroids are K rows — broadcast everywhere; the
+    // only corpus-scale shuffles are the two assignment aggregates.
+    Q("ivf_kmeans_ann",
+      (s, dir) => {
+        val K = 4; val nprobe = 2
+        val e = emb(s, dir)
+          .withColumn("nrm", vecNorm(col("embedding")))
+          .withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
+        val corpus = e.filter(col("vec_id") >= 10)
+        val d2c = expr(
+          "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), cast(0 AS double), (acc, x) -> acc + x)")
+        val init = corpus.filter(col("vec_id") < 10 + K)
+          .select((col("vec_id") - 10).cast("int").as("k"), col("v").as("c"))
+        val a1 = corpus.crossJoin(broadcast(init)).withColumn("d2", d2c)
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("k"))).as("m"), first(col("v")).as("v"))
+          .select(col("vec_id"), col("v"), col("m.k").as("k"))
+        val c1 = a1.groupBy("k")
+          .agg(collect_list(struct(col("vec_id"), col("v"))).as("lst"))
+          .select(col("k"), expr(
+            """transform(
+              |  aggregate(array_sort(lst),
+              |    transform(sequence(1, 64), z -> cast(0 AS double)),
+              |    (acc, t) -> zip_with(acc, t.v, (a, b) -> a + b)),
+              |  x -> x / size(lst))""".stripMargin).as("c"))
+        val assigned = corpus.crossJoin(broadcast(c1)).withColumn("d2", d2c)
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("k"))).as("m"),
+            first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("m.k").as("cell"))
+        import org.apache.spark.sql.expressions.Window
+        val wq = Window.partitionBy("query_id").orderBy(col("d2").asc, col("k").asc)
+        val probed = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v"),
+            col("embedding").as("qv"), col("nrm").as("qn"))
+          .crossJoin(broadcast(c1)).withColumn("d2", d2c)
+          .withColumn("__rn", row_number().over(wq)).filter(col("__rn") <= nprobe)
+          .select(col("query_id"), col("qv"), col("qn"), col("k").as("cell"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        broadcast(probed).join(assigned, Seq("cell"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4)
+              .as("cos_sim"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding,
+              |    list_transform(embedding, x -> cast(x AS double)) AS v
+              |  FROM embeddings),
+              |init AS (SELECT cast(vec_id - 10 AS int) AS k, v AS c
+              |         FROM e WHERE vec_id >= 10 AND vec_id < 14),
+              |a1 AS (
+              |  SELECT vec_id, v, k FROM (
+              |    SELECT e.vec_id, e.v, i.k,
+              |      list_sum(list_transform(list_zip(e.v, i.c),
+              |        s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+              |    FROM e, init i WHERE e.vec_id >= 10)
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) = 1),
+              |parts AS (SELECT k, d, vec_id, v[d + 1] AS x
+              |          FROM a1, UNNEST(range(0, 64)) AS u(d)),
+              |sums AS (SELECT k, d, list_sum(list(x ORDER BY vec_id)) AS s2,
+              |                count(*) AS n
+              |         FROM parts GROUP BY k, d),
+              |c1 AS (SELECT k, list(s2 / n ORDER BY d) AS c FROM sums GROUP BY k),
+              |assigned AS (
+              |  SELECT vec_id, k AS cell FROM (
+              |    SELECT e.vec_id, c1.k,
+              |      list_sum(list_transform(list_zip(e.v, c1.c),
+              |        s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+              |    FROM e, c1 WHERE e.vec_id >= 10)
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) = 1),
+              |query_cells AS (
+              |  SELECT vec_id AS query_id, k AS cell FROM (
+              |    SELECT e.vec_id, c1.k,
+              |      list_sum(list_transform(list_zip(e.v, c1.c),
+              |        s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+              |    FROM e, c1 WHERE e.vec_id < 10)
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) <= 2),
+              |cands AS (
+              |  SELECT q.query_id, a.vec_id AS neighbor_id,
+              |    round(${cosDuck("qe.embedding", "ce.embedding")}, 4) AS cos_sim
+              |  FROM query_cells q JOIN assigned a ON a.cell = q.cell
+              |  JOIN embeddings qe ON qe.vec_id = q.query_id
+              |  JOIN embeddings ce ON ce.vec_id = a.vec_id)
+              |SELECT query_id, neighbor_id, cos_sim,
+              |  cast(rank AS BIGINT) AS rank
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
+              |WHERE rank <= 3""".stripMargin)),
+
     // Lloyd's k-means over the embedding corpus (K=4, 2 unrolled
     // iterations, deterministic init = vec_id < K) — the clustering
     // primitive behind SemDeDup / prototype-based curation and IVF cell
