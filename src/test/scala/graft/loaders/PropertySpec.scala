@@ -168,6 +168,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("appendOnce: any interleaving of batches and replays equals each batch once") {
+    val r = new Random(4711)
+    for (iter <- 1 to 5) {
+      val wh = Files.createTempDirectory("graft_prop_txn").toString
+      val t = new graft.runtime.TxLogTable(spark, wh)
+      val nBatches = 1 + r.nextInt(4)
+      val batches = (0 until nBatches).map { b =>
+        b.toLong -> (0 until 1 + r.nextInt(5)).map(i => (s"b$b-r$i", b)).toDF("id", "b")
+      }.toMap
+      // schedule: every batch at least once (in order), replays injected at
+      // random — including out-of-order replays of older batches
+      val schedule = batches.keys.toSeq.sorted.flatMap { b =>
+        Seq(b) ++ Seq.fill(r.nextInt(3))(r.nextLong(b + 1))
+      }
+      schedule.foreach(b => t.appendOnce("t", batches(b), "app", b))
+      val want = batches.values.reduce(_ unionByName _)
+        .as[(String, Long)].collect().toSet
+      val got = t.read("t").as[(String, Long)].collect().toSet
+      assert(got == want, s"iter $iter schedule=$schedule")
+      assert(t.txnVersion("t", "app").contains(nBatches - 1L), s"iter $iter")
+    }
+  }
+
   test("connectedComponents: path-halved labels equal union-find on random graphs") {
     val r = new Random(4242)
     for (iter <- 1 to 5) {
