@@ -23,7 +23,11 @@ object TextRules {
     * inside the scan's WholeStageCodegen span, preserves partitioning, and
     * is replay-safe by construction (same rows in → same rows out). */
   def withGopherColumns(df: DataFrame, textCol: String): DataFrame = {
-    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    // NULL text ⇒ empty doc, NOT a null row: size(split(NULL)) is -1 under
+    // the legacy sizeOfNull default, which would record n_words = -1 in the
+    // reject audit. Coalescing pins the disposition: n_words = 0, keep=false.
+    val txt = coalesce(col(textCol), lit(""))
+    val words = filter(split(txt, "\\s+"), w => length(w) > 0)
     val nw = size(col("__words"))
     df.withColumn("__words", words)
       .withColumn("n_words", nw.cast("long"))
@@ -36,7 +40,7 @@ object TextRules {
       .withColumn("stopword_hits",
         size(filter(col("__words"), w => lower(w).isin(Stopwords: _*))).cast("long"))
       .withColumn("symbol_ratio",
-        round(regexp_count(col(textCol), lit("[^A-Za-z0-9\\s]")).cast("double") / nw, 4))
+        round(regexp_count(txt, lit("[^A-Za-z0-9\\s]")).cast("double") / nw, 4))
       .withColumn("keep", keepExpr)
       .drop("__words")
   }

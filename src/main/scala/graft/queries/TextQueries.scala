@@ -813,8 +813,8 @@ object TextQueries {
           col("frac_alpha"), col("stopword_hits"), col("symbol_ratio"),
           col("keep")),
       Some("""WITH w AS (
-             |  SELECT doc_id, text,
-             |    list_filter(regexp_split_to_array(text, '\s+'),
+             |  SELECT doc_id, coalesce(text, '') AS text,
+             |    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
              |                x -> length(x) > 0) AS words
              |  FROM documents),
              |m AS (
@@ -1008,9 +1008,11 @@ object TextQueries {
         val qtoks = terms.filter(col("term").isin(qpairs.map(_._2).distinct: _*))
         val tf = qtoks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val nDocs = docs(s, dir).count()
-        // exact long sum / long count — deterministic, mirrored by the
-        // oracle's cast(sum(dl) AS double)/count(*)
-        val avgdl = terms.count().toDouble / nDocs
+        // exact long sum / long count over the dl table — deterministic,
+        // and the denominator is docs WITH ≥1 token (a whitespace-only doc
+        // has no dl row), mirroring the oracle's sum(dl)/count(*) FROM dl
+        val dlTot = dl.agg(sum(col("dl")).as("s"), count(lit(1)).as("c")).head()
+        val avgdl = dlTot.getLong(0).toDouble / dlTot.getLong(1)
         // df = docs containing the term; tf is already query-term-only
         val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val contrib = tf

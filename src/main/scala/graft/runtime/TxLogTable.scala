@@ -58,27 +58,10 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   def root(name: String): Path = Paths.get(baseDir, name)
   private def logDir(name: String): Path = root(name).resolve("_log")
 
-  /** Table names in this warehouse (directories with a committed _log). */
-  def tables: Seq[String] = {
-    val base = Paths.get(baseDir)
-    if (!Files.isDirectory(base)) Nil
-    else {
-      val s = Files.list(base)
-      try {
-        val it = s.filter(f => Files.isDirectory(f)).iterator()
-        val buf = Seq.newBuilder[String]
-        while (it.hasNext) buf += it.next().getFileName.toString
-        buf.result().filter(exists).sorted
-      } finally s.close()
-    }
-  }
-
-  /** Register every table as a session temp view (optionally prefixed) —
-    * each view is the table's CURRENT snapshot resolved at registration
-    * time (snapshot isolation: later commits are not seen through an
-    * already-registered view; re-register to advance). */
-  def registerViews(prefix: String = ""): Unit =
-    tables.foreach(n => read(n).createOrReplaceTempView(prefix + n))
+  // tables / registerViews inherit from VaultStore; here exists() demands a
+  // committed _log, and each registered view is the table's CURRENT snapshot
+  // resolved at registration time (snapshot isolation: re-register to
+  // advance past later commits).
 
   private val ManifestRe = raw"v(\d{8})\.manifest".r
   private val ColHeader = "#col\t"
@@ -339,8 +322,14 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     * committed copy. The check re-runs inside the CAS retry loop, so a
     * concurrent replayer racing this commit cannot double-apply. */
   def appendOnce(name: String, df: DataFrame, appId: String,
-                 batchVersion: Long): Boolean =
+                 batchVersion: Long): Boolean = {
+    // the marker is one tab-separated manifest line; a tab or line break
+    // inside appId would corrupt the manifest for ALL future readers
+    // (txnVersions split, or a bogus un-prefixed "file" line)
+    require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"appendOnce: appId must be non-empty and free of tabs/line breaks, got ${appId.map(c => if (c.isControl) f"\\u${c.toInt}%04x" else c.toString).mkString}")
     appendTxn(name, df, Some(appId -> batchVersion))
+  }
 
   private def appendTxn(name: String, df: DataFrame,
                         txn: Option[(String, Long)]): Boolean = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.loaders.{EntitySource, HubLoader, SatV0Loader}
-import graft.runtime.TableStore
+import graft.runtime.{TableStore, TxLogTable}
 
 /** Structured-Streaming front ends for the incremental loaders.
   *
@@ -441,6 +441,11 @@ object StreamingLoaders {
       col(idCol).cast("long").as("id"),
       col(weightCol).cast("long").as("weight"),
       graft.ops.Sampling.aresKey(col(idCol), col(weightCol)).as("key"))
+      // ln(u)/w is NULL for weight ≤ 0 (non-ANSI division); getAs[Double]
+      // would unbox that null to 0.0 — the MAXIMUM key, permanently
+      // occupying a slot. Drop such rows, matching the batch query where
+      // desc ordering (nulls last) keeps them out of the top-k.
+      .filter(col("key").isNotNull)
     keyed
       .groupByKey((r: Row) => r.getAs[String]("group"))(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
@@ -467,12 +472,16 @@ object StreamingLoaders {
     * foreachBatch pass. The scored batch is persisted so the two filtered
     * appends don't recompute (or worse, re-read) the source; no state, no
     * shuffle — a pure projection rides the source partitioning at any
-    * scale, and checkpointing alone makes replays exact. Rejects are KEPT,
-    * not dropped: a 100 TB ingest audits its filter decisions. */
+    * scale. Both appends go through [[TxLogTable.appendOnce]] with
+    * per-table txn markers keyed by the checkpoint path, so a crash
+    * between the keep append and the checkpoint commit (or between the
+    * two appends) replays to exactly one committed copy per table.
+    * Rejects are KEPT, not dropped: a 100 TB ingest audits its filter
+    * decisions. */
   def qualityRouterSink(
       staged: DataFrame,
       textCol: String,
-      store: TableStore,
+      store: TxLogTable,
       keepTable: String,
       rejectTable: String,
       checkpoint: String,
@@ -480,12 +489,15 @@ object StreamingLoaders {
     staged.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val scored = graft.quality.TextRules.withGopherColumns(batch, textCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          store.append(keepTable, scored.filter(col("keep")).drop("keep"))
-          store.append(rejectTable, scored.filter(!col("keep")).drop("keep"))
+          store.appendOnce(keepTable, scored.filter(col("keep")).drop("keep"),
+            s"router=$checkpoint/keep", batchId)
+          store.appendOnce(rejectTable, scored.filter(!col("keep")).drop("keep"),
+            s"router=$checkpoint/reject", batchId)
+          ()
         } finally { scored.unpersist(); () }
       }
 }

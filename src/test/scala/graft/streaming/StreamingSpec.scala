@@ -359,7 +359,7 @@ class StreamingSpec extends SparkSpec {
   test("quality router: keep/reject partition matches the batch gopher gate") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
-    val store = new TableStore(spark, wh)
+    val store = new graft.runtime.TxLogTable(spark, wh)
     val input = MemoryStream[(Long, String)]
     val staged = input.toDF().toDF("doc_id", "text")
 
@@ -394,7 +394,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batchScored.select("doc_id", "n_words",
       "mean_word_len", "frac_alpha", "stopword_hits", "symbol_ratio")).isEmpty,
       "streamed scores equal the batch projection")
-    store.drop("docs_keep"); store.drop("docs_reject")
+
+    // exactly-once: re-appending batch 0's keep rows with its already-
+    // committed (appId, batchId) — what a post-crash foreachBatch replay
+    // does — must be recognized and skipped, not duplicated
+    val replayed = store.appendOnce("docs_keep",
+      graft.quality.TextRules.withGopherColumns(
+        Seq((1L, good)).toDF("doc_id", "text"), "text")
+        .filter($"keep").drop("keep"),
+      s"router=$wh/_cp/keep", 0L)
+    assert(!replayed, "replay of a committed batch must be skipped")
+    assert(store.read("docs_keep").count() == 2,
+      "keep table must still hold exactly one copy per doc")
   }
 
   test("txlog sink: exactly-once across micro-batches and a simulated replay") {
