@@ -18,10 +18,16 @@ object Sampling {
 
   /** `round(ln(u)/w, 10)` with u = (md5₃₂(id)+1)/2³² ∈ (0,1], deterministic
     * per id. Rounded so the double is stable across engines (the batch
-    * query's DuckDB oracle computes the identical expression). */
+    * query's DuckDB oracle computes the identical expression). Weight 0
+    * yields NULL via try_divide — under ANSI mode (Spark 4's default) a
+    * plain `/` would abort the whole job on one degenerate row; NULL
+    * matches DuckDB's division-by-zero result, and both the batch top-k
+    * (desc ordering, nulls last) and the streaming reservoir (explicit
+    * NULL-key filter) keep such rows out of the sample. */
   def aresKey(id: Column, weight: Column): Column =
     round(
-      log((conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-        .cast("double") + lit(1.0)) / lit(4294967296.0)) / weight,
+      try_divide(
+        log((conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+          .cast("double") + lit(1.0)) / lit(4294967296.0)), weight),
       10)
 }

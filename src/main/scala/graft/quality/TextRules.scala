@@ -31,16 +31,20 @@ object TextRules {
     val nw = size(col("__words"))
     df.withColumn("__words", words)
       .withColumn("n_words", nw.cast("long"))
+      // try_divide: an empty doc (n_words = 0) yields NULL ratios — a plain
+      // `/` under ANSI mode (Spark 4's default) would abort the whole job
+      // on one degenerate row; NULL is also what DuckDB's /0 returns, so
+      // the oracle agrees. keep stays false (NULL fails every bound).
       .withColumn("mean_word_len",
-        round(aggregate(col("__words"), lit(0), (a, w) => a + length(w))
-          .cast("double") / nw, 4))
+        round(try_divide(aggregate(col("__words"), lit(0), (a, w) => a + length(w))
+          .cast("double"), nw), 4))
       .withColumn("frac_alpha",
-        round(size(filter(col("__words"), w => w.rlike("^[A-Za-z]+$")))
-          .cast("double") / nw, 4))
+        round(try_divide(size(filter(col("__words"), w => w.rlike("^[A-Za-z]+$")))
+          .cast("double"), nw), 4))
       .withColumn("stopword_hits",
         size(filter(col("__words"), w => lower(w).isin(Stopwords: _*))).cast("long"))
       .withColumn("symbol_ratio",
-        round(regexp_count(txt, lit("[^A-Za-z0-9\\s]")).cast("double") / nw, 4))
+        round(try_divide(regexp_count(txt, lit("[^A-Za-z0-9\\s]")).cast("double"), nw), 4))
       .withColumn("keep", keepExpr)
       .drop("__words")
   }

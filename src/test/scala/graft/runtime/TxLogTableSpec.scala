@@ -389,6 +389,15 @@ class TxLogTableSpec extends SparkSpec {
     assert(t.read("tbl").as[Int].collect().toSeq === Seq(7))
   }
 
+  test("appendOnce: appIds that would corrupt the tab-separated manifest are rejected") {
+    val (t, _) = freshStore()
+    for (bad <- Seq("", "a\tb", "a\nb", "a\rb"))
+      intercept[IllegalArgumentException] {
+        t.appendOnce("tbl", Seq(1).toDF("id"), bad, 0L)
+      }
+    assert(!t.exists("tbl"), "a rejected appId must not create the table")
+  }
+
   test("registerViews: snapshot semantics — a view pins its version until re-registered") {
     val (t, _) = freshStore()
     t.append("a", Seq(1).toDF("id"))

@@ -441,8 +441,10 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("reservoir_sink")
       .outputMode("update").start()
 
-    // two micro-batches, arrival order scrambled vs id order; one replay
-    val batch1 = Seq(("s1", 5L, 100L), ("s1", 1L, 900L), ("s2", 7L, 50L), ("s1", 3L, 400L))
+    // two micro-batches, arrival order scrambled vs id order; one replay;
+    // one zero-weight row (NULL A-ES key) that must never claim a slot
+    val batch1 = Seq(("s1", 5L, 100L), ("s1", 1L, 900L), ("s2", 7L, 50L),
+      ("s1", 3L, 400L), ("s1", 9L, 0L))
     val batch2 = Seq(("s1", 2L, 700L), ("s1", 4L, 250L), ("s1", 1L, 900L), ("s2", 8L, 60L))
     input.addData(batch1: _*); out.processAllAvailable()
     input.addData(batch2: _*); out.processAllAvailable()
@@ -458,8 +460,11 @@ class StreamingSpec extends SparkSpec {
     val got = emitted.groupBy(_._1).map { case (g, rs) =>
       g -> rs.sortBy(t => (-t._3, t._2)).take(3).map(_._2).toSet
     }
+    assert(!emitted.exists(_._2 == 9L),
+      "a zero-weight row (NULL key) must never enter the reservoir")
     val want = (batch1 ++ batch2).distinct.toDF("source", "doc_id", "n_chars")
       .withColumn("key", graft.ops.Sampling.aresKey($"doc_id", $"n_chars"))
+      .filter($"key".isNotNull)
       .collect()
       .groupBy(_.getAs[String]("source"))
       .map { case (g, rs) =>
