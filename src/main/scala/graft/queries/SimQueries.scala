@@ -563,6 +563,56 @@ object SimQueries {
              |    AS n_purchased_after_click
              |FROM per_user""".stripMargin)),
 
+    // last-touch click→purchase attribution: for each purchase, the most
+    // recent click by the same user within the preceding hour. Scale
+    // shape: an EQUI-join on user_id (both sides shuffle-partitioned by
+    // user — never a cross or theta-only join) with the time window as a
+    // residual join filter, then a per-purchase argmax via max(struct) —
+    // map-side combinable partial aggregation, no window sort. The same
+    // pair-generation predicate runs streaming as
+    // [[graft.streaming.StreamingLoaders.attributionJoinStream]].
+    Q("click_attribution",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("user_id"),
+            expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        purchases.join(clicks, Seq("user_id"))
+          .filter(col("click_ts") <= col("purchase_ts") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+          .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"))
+          .agg(max(struct(col("click_ts"), col("click_id"))).as("m"))
+          .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+            col("m.click_id").as("click_id"), col("m.click_ts").as("click_ts"),
+            (unix_micros(col("purchase_ts")) - unix_micros(col("m.click_ts")))
+              .as("us_before"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_id AS click_id,
+             |    cast(ts AS TIMESTAMP) AS click_ts
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT user_id, event_id AS purchase_id,
+             |    cast(ts AS TIMESTAMP) AS purchase_ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |j AS (
+             |  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id,
+             |    c.click_ts
+             |  FROM p JOIN c ON c.user_id = p.user_id
+             |  WHERE c.click_ts <= p.purchase_ts
+             |    AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR),
+             |r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY purchase_id
+             |    ORDER BY click_ts DESC, click_id DESC) AS rn FROM j)
+             |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
+             |  epoch_us(purchase_ts) - epoch_us(click_ts) AS us_before
+             |FROM r WHERE rn = 1""".stripMargin)),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup via embedding
     // clustering — assign every vector to its nearest centroid, keep one
     // representative per cluster (min vec_id), flag members whose cosine

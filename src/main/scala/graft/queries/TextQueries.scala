@@ -1634,6 +1634,73 @@ object TextQueries {
       Some("""WITH dim AS (SELECT lang, count(*) AS lang_docs
              |            FROM documents GROUP BY lang)
              |SELECT d.doc_id, d.lang, dim.lang_docs
-             |FROM documents d JOIN dim USING (lang)""".stripMargin))
+             |FROM documents d JOIN dim USING (lang)""".stripMargin)),
+
+    // sketch-based cardinality: per source, exact distinct docs next to
+    // the HyperLogLog++ estimate (rsd 1%). At 100 TB the exact path is a
+    // full shuffle of every distinct key; the sketch is a few KB per
+    // partition merged map-side — the only viable shape — so the query
+    // ASSERTS the sketch lands within 5% of truth as an oracle-checked
+    // column (the estimate itself is engine-specific and never compared).
+    Q("cardinality_sketch",
+      (s, dir) => docs(s, dir).groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_exact"),
+          approx_count_distinct(col("doc_id"), rsd = 0.01).as("n_approx"))
+        .select(col("source"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") <=
+            lit(0.05) * col("n_exact")).as("approx_within_5pct")),
+      Some("""SELECT source, count(DISTINCT doc_id) AS n_exact,
+             |  true AS approx_within_5pct
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // per-source distribution drift: KL(P_source ‖ P_corpus) over unigram
+    // distributions — the mixture-monitoring signal that catches a source
+    // whose content shifted between crawls. P_corpus ⊇ every source's
+    // vocabulary, so the divergence is finite by construction. Scale
+    // shape: two partial-aggregating groupBys (per-source tf, corpus tf)
+    // joined on the word — vocab-scale, equi-join, NEVER broadcast; the
+    // Σ P ln(P/Q) folds over a per-source SORTED word list so the double
+    // sum is engine-deterministic (same idiom as word_entropy).
+    Q("unigram_drift",
+      (s, dir) => {
+        val terms = docs(s, dir)
+          .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+        val srcTf = terms.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+        val srcTot = srcTf.groupBy("source").agg(sum(col("tf")).as("n_src"))
+        val corpTf = srcTf.groupBy("w").agg(sum(col("tf")).as("cf"))
+        val corpTot = terms.count()
+        srcTf.join(corpTf, Seq("w")).join(srcTot, Seq("source"))
+          .select(col("source"), col("n_src"), col("w"),
+            ((col("tf") / col("n_src")) *
+              log((col("tf") / col("n_src")) /
+                (col("cf") / lit(corpTot.toDouble)))).as("c"))
+          .groupBy("source", "n_src")
+          .agg(collect_list(struct(col("w"), col("c"))).as("lst"))
+          .select(col("source"), col("n_src").as("n_tokens"),
+            round(expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.c)"), 6)
+              .as("kl_nats"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT source, u.w
+             |  FROM (SELECT source, regexp_split_to_array(text, '\s+') AS ws
+             |        FROM documents), UNNEST(ws) AS u(w)
+             |  WHERE length(u.w) > 0),
+             |src_tf AS (SELECT source, w, count(*) AS tf
+             |           FROM terms GROUP BY source, w),
+             |src_tot AS (SELECT source, sum(tf) AS n_src
+             |            FROM src_tf GROUP BY source),
+             |corp_tf AS (SELECT w, sum(tf) AS cf FROM src_tf GROUP BY w),
+             |corp_tot AS (SELECT count(*) AS n FROM terms),
+             |contrib AS (
+             |  SELECT s.source, t.n_src, s.w,
+             |    (s.tf / t.n_src) *
+             |      ln((s.tf / t.n_src) / (c.cf / cast(ct.n AS double))) AS c
+             |  FROM src_tf s
+             |  JOIN corp_tf c ON c.w = s.w
+             |  JOIN src_tot t ON t.source = s.source, corp_tot ct)
+             |SELECT source, cast(n_src AS BIGINT) AS n_tokens,
+             |  round(list_sum(list(c ORDER BY w)), 6) AS kl_nats
+             |FROM contrib GROUP BY source, n_src""".stripMargin))
   )
 }

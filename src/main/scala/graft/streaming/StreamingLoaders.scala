@@ -386,6 +386,36 @@ object StreamingLoaders {
       .toDF()
   }
 
+  /** Stream-stream interval join: click→purchase candidate pairs, the
+    * streaming form of the batch `click_attribution` pair predicate —
+    * an EQUI-join on the user with the attribution window as a range
+    * condition. Both sides carry watermarks and the range condition
+    * bounds each side's state retention (Spark derives it from the
+    * interval): a click is held only until the watermark passes
+    * `click_ts + within`, so state is O(events inside the window), not
+    * O(stream). Emits ALL in-window pairs (append mode); the
+    * last-touch argmax is the batch groupBy downstream — an inner
+    * interval join is the only shape Structured Streaming can run
+    * incrementally without waiting out the window. */
+  def attributionJoinStream(clicks: DataFrame, purchases: DataFrame,
+                            within: String = "1 hour",
+                            lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    p.join(c,
+        col("user_id") === col("p_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $within"))
+      .select(col("purchase_id"), col("p_user_id").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming form of the events_windowed batch query. Append mode emits a
     * window only once the watermark passes its end: late events inside the

@@ -356,6 +356,66 @@ class StreamingSpec extends SparkSpec {
     assert(!all.exists(_._1 == 2L), s"user 2's session is still open, got $all")
   }
 
+  test("stream-stream interval join: in-window pairs emit, watermark-late clicks drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val clicksIn = MemoryStream[(Long, Long, String)]
+    val pursIn = MemoryStream[(Long, Long, String)]
+    def ev(in: MemoryStream[(Long, Long, String)]) =
+      in.toDF().toDF("user_id", "event_id", "ts_s")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+    val joined = StreamingLoaders.attributionJoinStream(
+      ev(clicksIn), ev(pursIn), within = "1 hour", lateness = "10 minutes")
+    val query = joined.writeStream
+      .format("memory").queryName("attrib").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    // user 1: two clicks inside the hour, one 2h stale; user 2: no click
+    clicksIn.addData((1L, 100L, "2024-01-01 09:30:00"),
+      (1L, 101L, "2024-01-01 09:50:00"), (1L, 102L, "2024-01-01 08:00:00"))
+    pursIn.addData((1L, 200L, "2024-01-01 10:00:00"),
+      (2L, 201L, "2024-01-01 10:00:00"))
+    query.processAllAvailable()
+    val got1 = spark.sql("SELECT purchase_id, click_id FROM attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got1 == Set((200L, 100L), (200L, 101L)),
+      s"only user 1's in-window clicks may pair, got $got1")
+
+    // advance BOTH watermarks well past 10:00, then replay an old click:
+    // it is behind the watermark and must not produce a pair
+    clicksIn.addData((9L, 900L, "2024-01-01 13:00:00"))
+    pursIn.addData((9L, 901L, "2024-01-01 13:00:00"))
+    query.processAllAvailable()
+    clicksIn.addData((1L, 103L, "2024-01-01 09:55:00"))
+    query.processAllAvailable()
+    query.stop()
+    val late = spark.sql("SELECT click_id FROM attrib WHERE click_id = 103")
+    assert(late.isEmpty, "a click behind the watermark must be dropped")
+
+    // the streamed pair set equals the batch predicate over the same rows
+    val clicks = Seq((1L, 100L, "2024-01-01 09:30:00"),
+      (1L, 101L, "2024-01-01 09:50:00"), (1L, 102L, "2024-01-01 08:00:00"),
+      (9L, 900L, "2024-01-01 13:00:00"))
+      .toDF("user_id", "click_id", "ts_s")
+      .withColumn("click_ts", to_timestamp($"ts_s")).drop("ts_s")
+    val purs = Seq((1L, 200L, "2024-01-01 10:00:00"),
+      (2L, 201L, "2024-01-01 10:00:00"), (9L, 901L, "2024-01-01 13:00:00"))
+      .toDF("user_id", "purchase_id", "ts_s")
+      .withColumn("purchase_ts", to_timestamp($"ts_s")).drop("ts_s")
+    val batch = purs.join(clicks, Seq("user_id"))
+      .filter($"click_ts" <= $"purchase_ts" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(streamed == batch,
+      s"streamed pairs $streamed must equal the batch predicate $batch")
+  }
+
   test("quality router: keep/reject partition matches the batch gopher gate") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
