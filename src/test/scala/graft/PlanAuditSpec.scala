@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Scale-design gate over the ENTIRE query registry: every SparkEntry query
+  * is planned (AQE off, so the physical tree is inspectable) and must not
+  * contain
+  *   - a CartesianProduct: every intentional cross join in the library is
+  *     `crossJoin(broadcast(tiny))` (PIT backbones, eff-sat history
+  *     matrices, date spines) and plans as BroadcastNestedLoopJoin — a
+  *     CartesianProduct means both sides were unbounded, which at 100 TB
+  *     is quadratic shuffle I/O, never intended;
+  *   - a partition-less Window (all rows to ONE task — the classic
+  *     silent-scale-killer) outside the whitelisted queries whose global
+  *     window runs over a bounded-by-construction frame (the snapshot
+  *     control table: one row per day).
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** global window over the snapshot control table — bounded by
+    * construction (one row/day), documented in SnapshotLoaders */
+  private val globalWindowOk: Set[String] =
+    Set("snap_latest_row", "snap_v1_customer", "snap_v1_multi",
+      "pit_customer", "pit_multisat", "snap_logarithmic")
+
+  test("no registry query plans a CartesianProduct or an undocumented global window") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val names = SparkEntry.queries.keys.toSeq.sorted
+      val problems = names.flatMap { name =>
+        try {
+          val plan = SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.executedPlan
+          val cart = plan.collect { case c: CartesianProductExec => c }
+          val gw = plan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+          }
+          (if (cart.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
+            (if (gw.nonEmpty && !globalWindowOk(name))
+              Seq(s"$name: partition-less Window") else Nil)
+        } catch {
+          case e: Throwable => Seq(s"$name: failed to plan — ${e.getMessage}")
+        }
+      }
+      assert(problems.isEmpty,
+        s"scale-hostile plans:\n  ${problems.mkString("\n  ")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+}
