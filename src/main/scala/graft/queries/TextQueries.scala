@@ -1643,12 +1643,25 @@ object TextQueries {
     // ASSERTS the sketch lands within 5% of truth as an oracle-checked
     // column (the estimate itself is engine-specific and never compared).
     Q("cardinality_sketch",
-      (s, dir) => docs(s, dir).groupBy("source")
-        .agg(countDistinct(col("doc_id")).as("n_exact"),
-          approx_count_distinct(col("doc_id"), rsd = 0.01).as("n_approx"))
-        .select(col("source"), col("n_exact"),
-          (abs(col("n_approx") - col("n_exact")).cast("double") <=
-            lit(0.05) * col("n_exact")).as("approx_within_5pct")),
+      (s, dir) => {
+        // exact and sketch in SEPARATE aggregations: mixed
+        // distinct + non-distinct aggs make Catalyst thread the partial
+        // HLL (rsd 0.01 = 1.6k long registers) through the per-(source,
+        // doc_id) dedup expansion — every distinct KEY would carry a
+        // 13 KB sketch into the shuffle. Split, each agg is its natural
+        // shape: the sketch merges map-side (one per partition × source),
+        // the exact path shuffles only the distinct keys; the 20-row
+        // results broadcast-join.
+        val d = docs(s, dir)
+        val exact = d.groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("n_exact"))
+        val approx = d.groupBy("source")
+          .agg(approx_count_distinct(col("doc_id"), rsd = 0.01).as("n_approx"))
+        exact.join(approx, Seq("source"))
+          .select(col("source"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")).cast("double") <=
+              lit(0.05) * col("n_exact")).as("approx_within_5pct"))
+      },
       Some("""SELECT source, count(DISTINCT doc_id) AS n_exact,
              |  true AS approx_within_5pct
              |FROM documents GROUP BY source""".stripMargin)),
