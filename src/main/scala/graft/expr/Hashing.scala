@@ -45,6 +45,9 @@ final case class HashConfig(
     * `hash_default_values.sql:49-52` — `TO_BINARY('00…')`/`TO_BINARY('ff…')`). */
   val isBinary: Boolean = hashDatatype.toUpperCase.contains("BINARY")
 
+  /** the DDL type a hash column of this config stores as */
+  val typeDdl: String = if (isBinary) "binary" else "string"
+
   /** all-business-keys-null sentinel (reference: `hash_default_values.sql:242-259`) */
   def zeroKey: String = keyOf('0')
   /** error-ghost-record sentinel */

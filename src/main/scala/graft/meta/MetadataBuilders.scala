@@ -28,6 +28,17 @@ object MetadataBuilders {
 
   private[meta] def strings(v: Any): Seq[String] = asList(v).map(_.toString)
 
+  /** `source_model` in either string form or the `{'source_name': 'table'}`
+    * source() map form → the resolvable name. ONE home for this rule: the
+    * YamlVault dependency extractor and the stage builder must agree on the
+    * external name or the DAG edge and the build's resolve() diverge. */
+  private[meta] def sourceModelName(v: Any): String = v match {
+    case mm: Map[_, _] =>
+      val (s, t) = mm.head.asInstanceOf[(String, Any)]
+      s"$s.$t"
+    case s => s.toString
+  }
+
   /** `stage(yaml_metadata=…)`: build the full stage DataFrame.
     * @param resolve  model name → DataFrame (dbt's ref()/source()) */
   def stage(yaml: String, resolve: String => DataFrame,
@@ -37,13 +48,7 @@ object MetadataBuilders {
     def req(k: String): Any =
       m.getOrElse(k, throw new IllegalArgumentException(s"stage metadata: required parameter '$k' missing"))
 
-    val sourceModel = req("source_model") match {
-      // {'source_name': 'table'} source() syntax → resolve "source_name.table"
-      case mm: Map[_, _] =>
-        val (s, t) = mm.head.asInstanceOf[(String, Any)]
-        s"$s.$t"
-      case s => s.toString
-    }
+    val sourceModel = sourceModelName(req("source_model"))
 
     val hashed = asMap(m.getOrElse("hashed_columns", null)).toSeq.map {
       case (alias, cols: List[_]) => HashColumnSpec(alias, cols.map(_.toString))

@@ -15,7 +15,7 @@ import graft.runtime.{Materialization, Runner, VaultModel}
   * (`source_models.sql:40-62` consumes `selected_resources` from it).
   */
 object YamlVault {
-  import MetadataBuilders.{asList, asMap, sourceModelEntries, strings}
+  import MetadataBuilders.{asList, asMap, sourceModelEntries, sourceModelName, strings}
 
   /** One model of the vault: the entity kind (= the reference macro name),
     * its yaml_metadata document, and how to materialize it. Defaults follow
@@ -40,11 +40,6 @@ object YamlVault {
       val pm = asMap(pj)
       pm.get("ref_model").orElse(pm.get("src_name")).map(_.toString)
     }
-
-  private def sourceModelName(v: Any): String = v match {
-    case mm: Map[_, _] => val (s, t) = mm.head.asInstanceOf[(String, Any)]; s"$s.$t"
-    case s             => s.toString
-  }
 
   /** `(deps, sourceModels)` of one document — sourceModels are the
     * PRUNABLE multi-source inputs, deps everything else. */
@@ -74,7 +69,10 @@ object YamlVault {
           case mm: Map[_, _] => asMap(mm).keys.toSeq
           case other => throw new IllegalArgumentException(s"bad ref_satellites: $other")
         }
-        (m("ref_hub").toString +: sats, Nil)
+        // historized ref tables resolve their snapshot relation too — the
+        // builder reads it, so the DAG must walk it (cf. the pit case)
+        (m("ref_hub").toString +: (sats ++
+          m.get("snapshot_relation").map(_.toString)), Nil)
       case "control_snap_v0" => (Nil, Nil)
       case "control_snap_v1" => (Seq(m("control_snap_v0").toString), Nil)
       case other =>

@@ -25,17 +25,24 @@ object DvQueries {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
-  /** Temp warehouse for the tx/store queries, deleted on JVM exit — these
-    * hold table-sized copies of customer/orders, so repeated Verify/Bench
-    * runs must not accumulate them. */
+  /** Temp warehouse for the tx/store queries — these hold table-sized
+    * copies of customer/orders, so disk use must stay bounded: a repeat
+    * invocation for the SAME prefix (Bench runs every query N passes)
+    * deletes the previous pass's directory first, capping the footprint at
+    * one live copy per query; whatever survives is removed on JVM exit. */
+  private val tmpDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tmpDirs.values.forEach(p => rmTree(p.toFile))
+    }))
+  }
   private def tmpWarehouse(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
+    Option(tmpDirs.put(prefix, p)).foreach(old => rmTree(old.toFile))
     p.toString
   }
 

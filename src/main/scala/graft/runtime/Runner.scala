@@ -239,7 +239,14 @@ final class Runner(spark: SparkSession, store: VaultStore, models: Seq[VaultMode
     }
 
     def buildOne(m: VaultModel): (DataFrame, Seq[String]) = {
-      val target = if (fullRefresh) None else store.readIfExists(m.name)
+      // only Incremental builds see the existing target (dbt: a table/
+      // ephemeral model has is_incremental() == false). Every loader
+      // treats a non-None target as "return only new rows" — handing a
+      // Table build its own previous state would make the overwrite
+      // replace the table with just the delta (silent data loss).
+      val target =
+        if (fullRefresh || m.materialization != Materialization.Incremental) None
+        else store.readIfExists(m.name)
       // execution-aware source pruning with the reference's fallbacks
       // (source_models.sql:40-62): all sources when the target is missing /
       // full refresh / nothing selected

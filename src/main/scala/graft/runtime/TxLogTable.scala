@@ -395,7 +395,8 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     * in `touched` survive untouched. One version swaps (removed, added)
     * atomically; a concurrent commit aborts loudly (rewrites must re-derive
     * from the new head, same contract as Delta's conflict detection). */
-  def replaceFiles(name: String, touched: Seq[String])
+  def replaceFiles(name: String, touched: Seq[String],
+                   retype: Map[String, String] = Map.empty)
                   (rewrite: DataFrame => DataFrame): Unit = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
@@ -404,11 +405,22 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     require(touched.forall(live.contains),
       s"TxLogTable $name: replaceFiles over non-live files " +
         s"${touched.filterNot(live.contains)}")
+    // retype commits a column's manifest type WITH the rewrite, atomically.
+    // Only sound when every live file is rewritten: a surviving old file
+    // would be read back through the new type's cast (e.g. a hex STRING
+    // UTF-8-mangled into BINARY), so a partial rewrite + retype refuses.
+    retype.keys.foreach(c => require(m.cols.exists(_.logical == c),
+      s"TxLogTable $name: retype of unknown column $c"))
+    require(retype.isEmpty || touched.toSet == live.toSet,
+      s"TxLogTable $name: retype requires rewriting ALL live files")
+    val newCols = m.cols.map(c =>
+      retype.get(c.logical).fold(c)(t => c.copy(typeDdl = t)))
     val added =
       if (touched.isEmpty) Seq.empty
-      else writeBatch(name, rewrite(readMapped(name, m.cols, touched)), m.cols)
+      else writeBatch(name, rewrite(readMapped(name, m.cols, touched)), newCols)
     val next = live.filterNot(touched.contains) ++ added
-    val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols))
+    val withStats = m.copy(cols = newCols,
+      stats = m.stats ++ batchStats(name, added, m.statsCols))
     if (!tryCommit(name, v + 1, renderM(withStats, next)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on replaceFiles — " +

@@ -46,7 +46,7 @@ object TxRehash {
     val deprecated = s"${hashCol}_deprecated"
     requireClean(t, table, updated, deprecated)
     // 1. typed NULL column, no data touched
-    t.addColumn(table, updated, if (newCfg.isBinary) "binary" else "string")
+    t.addColumn(table, updated, newCfg.typeDdl)
     // 2. the one data pass: every live file rewritten in one atomic commit
     val v = t.currentVersion(table).get
     t.replaceFiles(table, t.files(table, v)) { df =>
@@ -103,9 +103,14 @@ object TxRehash {
       val updated = s"${l.linkHashkey}_updated"
       val deprecated = s"${l.linkHashkey}_deprecated"
       requireClean(t, l.name, updated, deprecated)
-      t.addColumn(l.name, updated, if (newCfg.isBinary) "binary" else "string")
+      t.addColumn(l.name, updated, newCfg.typeDdl)
       val v = t.currentVersion(l.name).get
-      t.replaceFiles(l.name, t.files(l.name, v)) { df0 =>
+      // the FK columns now carry the hubs' NEW-config keys — their manifest
+      // type must follow (a binary digest written through a stale 'string'
+      // ColMap would be UTF-8-mangled by writeBatch's cast); replaceFiles
+      // commits the retype atomically with this all-live-files rewrite
+      t.replaceFiles(l.name, t.files(l.name, v),
+        retype = l.hubRefs.map(_.fkCol -> newCfg.typeDdl).toMap) { df0 =>
         var df = df0
         var bkCols = Vector.empty[String]
         l.hubRefs.zipWithIndex.foreach { case (ref, i) =>
@@ -147,9 +152,12 @@ object TxRehash {
       val updated = s"${s.hashkey}_updated"
       val deprecated = s"${s.hashkey}_deprecated"
       requireClean(t, s.name, updated, deprecated)
-      t.addColumn(s.name, updated, if (newCfg.isBinary) "binary" else "string")
+      t.addColumn(s.name, updated, newCfg.typeDdl)
       val v = t.currentVersion(s.name).get
-      t.replaceFiles(s.name, t.files(s.name, v)) { df0 =>
+      // hashdiffs are recomputed under newCfg — retype with the rewrite
+      // (see the link FK comment above)
+      t.replaceFiles(s.name, t.files(s.name, v),
+        retype = s.hashdiff.map(_ -> newCfg.typeDdl).toMap) { df0 =>
         val pmap = t.read(s.parent)
           .select(col(s"${parentHk}_deprecated").as("__old_hk"),
             col(parentHk).as("__new_hk")).distinct()

@@ -221,9 +221,19 @@ object StreamingLoaders {
     * State is bounded by the event-time horizon when `tsCol` is set (the
     * input must carry a watermark on it): a bucket idle for `inactivity`
     * past the watermark is EVICTED, like `dedupExactStream` — far-apart
-    * re-occurrences then re-pair only among themselves. Without `tsCol`
-    * state grows with distinct buckets (acceptable for bounded backfills,
-    * not for unbounded streams). */
+    * re-occurrences then re-pair only among themselves. EXCEPT tombstoned
+    * buckets: the tombstone's retraction is keyed by bucket alone, so an
+    * overflowed bucket keeps a permanent O(1) marker instead of evicting
+    * (post-eviction re-pairs would be wrongly retracted, and re-overflow
+    * would duplicate the tombstone). Without `tsCol` state grows with
+    * distinct buckets (acceptable for bounded backfills, not for unbounded
+    * streams).
+    *
+    * Checkpoint compatibility: the state schema is `BucketState` (product-
+    * encoded). Changing it — as the move from the earlier kryo `Seq[Long]`
+    * did — is a breaking change for EXISTING checkpoints: restart such a
+    * stream with a fresh checkpoint (and re-backfill or accept the lost
+    * bucket membership); there is no in-place state migration. */
   def lshCandidatesStream(staged: DataFrame, docId: String = "doc_id",
                           textCol: String = "text",
                           maxBucketSize: Int = 100,
@@ -257,7 +267,19 @@ object StreamingLoaders {
       .groupByKey((r: Row) => r.getAs[String]("bucket"))(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (bucket: String, rows: Iterator[Row], state: GroupState[BucketState]) => {
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          if (state.hasTimedOut) {
+            if (state.getOption.exists(_.overflowed)) {
+              // a tombstoned bucket stays dead PERMANENTLY: its tombstone
+              // already retracted every emitted pair, and the retraction
+              // is keyed by bucket alone — evicting the flag would let
+              // post-eviction arrivals emit pairs the old tombstone then
+              // wrongly kills (and re-overflow would duplicate the
+              // tombstone). Keep the O(1) overflow marker, set no further
+              // timeout; state stays bounded by #overflowed buckets.
+              state.update(BucketState(Seq.empty, overflowed = true))
+            } else state.remove()
+            Iterator.empty
+          }
           else {
             val st = state.getOption.getOrElse(BucketState(Seq.empty, overflowed = false))
             var members = st.members

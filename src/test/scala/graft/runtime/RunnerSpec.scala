@@ -153,6 +153,28 @@ class RunnerSpec extends SparkSpec {
     assert(store.read("hub").select("k").as[Int].collect().toSet === Set(5, 6))
   }
 
+  test("Table materialization never sees its own target: rerun must not lose rows") {
+    val store = freshStore()
+    // a delta-deriving build (anti-join vs target) declared as a TABLE —
+    // if the runner handed it its previous state, run 2 would overwrite
+    // the table with the empty delta (silent data loss)
+    val models = Seq(
+      VaultModel("dim", materialization = Materialization.Table)(ctx => {
+        assert(ctx.target.isEmpty && !ctx.isIncremental,
+          "a Table build must not receive its own target (is_incremental=false)")
+        val src = ctx.resolve("src_a")
+        ctx.target match {
+          case Some(t) => src.join(t, Seq("k"), "left_anti")
+          case None    => src
+        }
+      }))
+    val r = new Runner(spark, store, models, externals(rows(1 -> 1, 2 -> 1), rows()))
+    r.run()
+    r.run()
+    assert(store.read("dim").count() == 2,
+      "second Table run must rebuild the full table, not the delta")
+  }
+
   test("threads>1: independent branches run concurrently with identical results") {
     // wide fan-out: one staging view feeding 6 independent sats — the shape
     // whose wall-clock parallel scheduling is for

@@ -102,6 +102,51 @@ class TxMaintenanceSpec extends SparkSpec {
     assert(!t.read("customer_s").columns.exists(_.endsWith("_deprecated")))
   }
 
+  test("rehashAll to BINARY: link FKs and sat hashdiffs are raw digest bytes") {
+    val t = freshStore()
+    buildVault(t)
+    val shaBin = HashConfig(algorithm = "SHA256", hashDatatype = "BINARY")
+
+    TxRehash.rehashAll(t, hubs, links, sats, md5, shaBin)
+
+    // link: stored FK bytes must equal the hub's binary key — a stale
+    // 'string' manifest type would UTF-8-mangle the digest on write
+    val expectFk = Seq(1, 2, 3).toDF("k")
+      .select(Hashing.hashkey(Seq(col("k")))(shaBin).as("hk"))
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    val gotFk = t.read("customer_order_l").select("hk_customer_h")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(gotFk === expectFk, "binary FK bytes round-trip")
+
+    // sat: hashdiff is the 32-byte SHA256 digest of the payload
+    val expectHd = Seq(("alice", 10.0), ("bob", 20.0), ("carol", 30.0))
+      .toDF("n", "b")
+      .select(Hashing.hashdiff(Seq(col("n"), col("b")))(shaBin).as("hd"))
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    val gotHd = t.read("customer_s").select("hd_customer_s")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(gotHd === expectHd, "binary hashdiff bytes round-trip")
+    assert(gotHd.forall(_.length == 32), "SHA256 digest is 32 raw bytes")
+
+    // join-readiness: every sat key resolves against the hub's binary key
+    val hubKeys = t.read("customer_h").select("hk_customer_h")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    val satKeys = t.read("customer_s").select("hk_customer_h")
+      .as[Array[Byte]].collect().map(_.toSeq).toSet
+    assert(satKeys.subsetOf(hubKeys), "sat keys join the hub after rehash")
+  }
+
+  test("replaceFiles retype refuses a partial rewrite") {
+    val t = freshStore()
+    t.overwrite("tbl", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append("tbl", Seq((3, "c")).toDF("id", "v"))
+    val v = t.currentVersion("tbl").get
+    val one = t.files("tbl", v).take(1)
+    intercept[IllegalArgumentException] {
+      t.replaceFiles("tbl", one, retype = Map("v" -> "binary"))(identity)
+    }
+  }
+
   test("rehashAll: exactly one data rewrite per entity, DDL commits touch zero files") {
     val t = freshStore()
     buildVault(t)

@@ -313,6 +313,59 @@ class StreamingSpec extends SparkSpec {
       s"doc 1's bucket state must have been evicted, got $pairs")
   }
 
+  test("streaming LSH: a tombstoned bucket stays dead across the eviction horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .withWatermark("ts", "0 seconds")
+
+    val cands = StreamingLoaders.lshCandidatesStream(docs, maxBucketSize = 2,
+      tsCol = Some("ts"), inactivity = "1 hour")
+    val query = cands.writeStream
+      .format("memory").queryName("lsh_dead").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    val hot = "the quick brown fox jumps over the lazy dog again and again"
+    val cold = "completely different words that share nothing at all here"
+    // fill to the cap, then overflow → tombstone (doc 3 must sit ABOVE the
+    // 10:00 watermark batch 1 establishes, or it is dropped as late data)
+    input.addData((1L, "2024-01-01 10:00:00", hot), (2L, "2024-01-01 10:00:00", hot))
+    query.processAllAvailable()
+    input.addData((3L, "2024-01-01 10:30:00", hot))
+    query.processAllAvailable()
+    // watermark sails past 11:00 — a NON-overflowed bucket would evict
+    input.addData((9L, "2024-01-01 14:00:00", cold))
+    query.processAllAvailable()
+    input.addData((9L, "2024-01-01 15:00:00", cold))
+    query.processAllAvailable()
+    // re-arrivals in the tombstoned bucket after the horizon: the
+    // bucket-keyed tombstone would wrongly retract any new pair, so the
+    // bucket must emit NOTHING and must not re-tombstone
+    input.addData((10L, "2024-01-01 16:00:00", hot), (11L, "2024-01-01 16:00:00", hot))
+    query.processAllAvailable()
+    query.stop()
+
+    val all = spark.table("lsh_dead")
+    val postPairs = all.filter(!col("tombstone"))
+      .select("doc_id", "doc_id_2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!postPairs.contains((10L, 11L)),
+      s"tombstoned bucket must stay dead after the horizon, got $postPairs")
+    val tombs = all.filter(col("tombstone")).select("bucket")
+      .collect().map(_.getString(0)).toSeq
+    assert(tombs.size == tombs.distinct.size,
+      s"re-overflow must not duplicate tombstones, got $tombs")
+    val resolved = StreamingLoaders.applyCandidateTombstones(all)
+      .select("doc_id", "doc_id_2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!resolved.exists(p => Set(1L, 2L, 3L, 10L, 11L)(p._1)),
+      s"no hot-bucket pair survives resolution, got $resolved")
+  }
+
   test("streaming sessionization: intra-batch gaps close, timeout closes the tail") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
