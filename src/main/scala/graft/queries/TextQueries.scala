@@ -1714,6 +1714,69 @@ object TextQueries {
              |  JOIN src_tot t ON t.source = s.source, corp_tot ct)
              |SELECT source, cast(n_src AS BIGINT) AS n_tokens,
              |  round(list_sum(list(c ORDER BY w)), 6) AS kl_nats
-             |FROM contrib GROUP BY source, n_src""".stripMargin))
+             |FROM contrib GROUP BY source, n_src""".stripMargin)),
+
+    // cross-source vocabulary overlap via theta sketches: pairwise shingle-
+    // set intersection/union/Jaccard between every pair of sources — the
+    // corpus-composition signal (which crawls share boilerplate, which are
+    // near-disjoint). Scale shape: the EXACT pairwise overlap needs a
+    // vocab-scale self-join emitting a row per shared term per pair — at
+    // 100 TB with hundreds of sources that join is the job. The sketch
+    // path is one partial-aggregating groupBy producing |S| fixed-size
+    // (lgK=12 ⇒ ≤4096-entry) theta sketches; all |S|²/2 intersections and
+    // unions then run on those tiny blobs in a broadcast pair join
+    // (BNLJ over |S| rows, never a shuffle). Unlike HLL, theta supports
+    // INTERSECTION — this is the operator HLL cardinality can't express.
+    // Theta estimates are deterministic functions of the input SET (kept-
+    // minimum hash values; merge-order-independent), so the within-
+    // tolerance booleans are stable: measured worst error at sf0.1
+    // (≈10k vocab/source, sampling mode) is 4.6% inter / 1.7% union
+    // against 10% / 5% asserted; at sf0.01 the sketches are exact.
+    Q("theta_overlap",
+      (s, dir) => {
+        val grams = docs(s, dir)
+          .withColumn("words", split(col("text"), "\\s+"))
+          .select(col("source"), explode(array_distinct(expr(shinglesExpr))).as("sh"))
+          .distinct()
+        val sk = grams.groupBy("source")
+          .agg(expr("theta_sketch_agg(sh)").as("sk"), count(lit(1)).as("nv"))
+        val est = sk.select(col("source").as("src_a"), col("sk").as("sk_a"),
+            col("nv").as("nv_a"))
+          .join(sk.select(col("source").as("src_b"), col("sk").as("sk_b"),
+            col("nv").as("nv_b")), col("src_a") < col("src_b"))
+          .select(col("src_a"), col("src_b"), col("nv_a"), col("nv_b"),
+            expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").as("est_inter"),
+            expr("theta_sketch_estimate(theta_union(sk_a, sk_b))").as("est_union"))
+        val exact = grams.withColumnRenamed("source", "src_a")
+          .join(grams.withColumnRenamed("source", "src_b"), Seq("sh"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter_exact"))
+        val union = col("nv_a") + col("nv_b") - col("n_inter_exact")
+        est.join(exact, Seq("src_a", "src_b"))
+          .select(col("src_a"), col("src_b"), col("n_inter_exact"),
+            union.as("n_union_exact"),
+            round(col("n_inter_exact").cast("double") / union, 6).as("jaccard"),
+            (abs(col("est_inter") - col("n_inter_exact")) <=
+              lit(0.10) * col("n_inter_exact")).as("inter_est_ok"),
+            (abs(col("est_union") - union) <= lit(0.05) * union).as("union_est_ok"))
+      },
+      Some(s"""WITH w AS (
+              |  SELECT source, regexp_split_to_array(text, '\\s+') AS words
+              |  FROM documents),
+              |shl AS (SELECT source, $shinglesSqlDuck AS shs FROM w),
+              |g AS (SELECT DISTINCT source, sh
+              |      FROM (SELECT source, unnest(shs) AS sh FROM shl)),
+              |nv AS (SELECT source, count(*) AS nv FROM g GROUP BY source),
+              |inter AS (
+              |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_inter_exact
+              |  FROM g x JOIN g y ON x.sh = y.sh AND x.source < y.source
+              |  GROUP BY 1, 2)
+              |SELECT i.src_a, i.src_b, i.n_inter_exact,
+              |  na.nv + nb.nv - i.n_inter_exact AS n_union_exact,
+              |  round(i.n_inter_exact / (na.nv + nb.nv - i.n_inter_exact), 6) AS jaccard,
+              |  true AS inter_est_ok, true AS union_est_ok
+              |FROM inter i
+              |JOIN nv na ON na.source = i.src_a
+              |JOIN nv nb ON nb.source = i.src_b""".stripMargin))
   )
 }
