@@ -613,6 +613,41 @@ object SimQueries {
              |  epoch_us(purchase_ts) - epoch_us(click_ts) AS us_before
              |FROM r WHERE rn = 1""".stripMargin)),
 
+    // mergeable sketch table: per-(event_type, day) HLL sketches re-
+    // aggregated WITHOUT raw data — the incremental-monitoring shape at
+    // 100 TB, where a daily job persists one fixed-size blob per group and
+    // any rollup window (week, month, all-time) is a union over blobs
+    // instead of a rescan of the raw ids. Complements `cardinality_sketch`
+    // (a one-shot approx_count_distinct): here the sketch is DATA — built
+    // once, stored, merged later — which is what makes distinct-count
+    // monitoring O(groups) instead of O(events) per report. HLL register
+    // maxima are merge-order-independent, so the estimate is deterministic
+    // and the tolerance boolean is a stable oracle column.
+    Q("hll_sketch_rollup",
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+        // stage 1: the persisted artifact — one 2^12-register sketch per
+        // (event_type, day); partial-aggregates map-side like any agg
+        val daily = ev.groupBy("event_type", "day")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        // stage 2: the rollup a report would run — union over blobs only
+        val rolled = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_est"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        rolled.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_days"), col("n_exact"),
+            (abs(col("n_est") - col("n_exact")).cast("double") <=
+              lit(0.05) * col("n_exact")).as("est_within_5pct"))
+      },
+      Some("""SELECT event_type,
+             |  count(DISTINCT date_trunc('day', ts)) AS n_days,
+             |  count(DISTINCT user_id) AS n_exact,
+             |  true AS est_within_5pct
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup via embedding
     // clustering — assign every vector to its nearest centroid, keep one
     // representative per cluster (min vec_id), flag members whose cosine
