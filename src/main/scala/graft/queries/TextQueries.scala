@@ -1732,6 +1732,42 @@ object TextQueries {
     // tolerance booleans are stable: measured worst error at sf0.1
     // (≈10k vocab/source, sampling mode) is 4.6% inter / 1.7% union
     // against 10% / 5% asserted; at sf0.01 the sketches are exact.
+    // mergeable top-k: per-source frequent-items sketch states
+    // (DataSketches, via approx_top_k_accumulate) combined into the corpus
+    // top-k WITHOUT re-reading tokens — the rollup-friendly sibling of
+    // `hll_sketch_rollup` for the frequency dimension (hot tokens / hot
+    // domains per source, re-aggregated to any window over persisted
+    // states). Below the tracked-items capacity the sketch is exact by
+    // construction (no evictions), so the combined estimates are asserted
+    // EQUAL to the exact counts here; above capacity the same plan returns
+    // εN-bounded estimates — the 100 TB shape is unchanged: one partial
+    // aggregate to |S| fixed-size states, one tiny combine.
+    Q("topk_sketch_rollup",
+      (s, dir) => {
+        val k = 25
+        val terms = docs(s, dir)
+          .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+        val states = terms.groupBy("source")
+          .agg(expr("approx_top_k_accumulate(w, 1024)").as("st"))
+        val est = states.agg(expr("approx_top_k_combine(st)").as("st"))
+          .select(explode(expr(s"approx_top_k_estimate(st, $k)")).as("e"))
+          .select(col("e.item").as("w"), col("e.count").as("n_est"))
+        val exact = terms.groupBy("w").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("w")).limit(k)
+        exact.join(est, Seq("w"), "left")
+          .select(col("w"), col("n_exact"),
+            coalesce(col("n_est") === col("n_exact"), lit(false)).as("est_exact"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT u.w
+             |  FROM (SELECT regexp_split_to_array(text, '\s+') AS ws
+             |        FROM documents), UNNEST(ws) AS u(w)
+             |  WHERE length(u.w) > 0),
+             |c AS (SELECT w, count(*) AS n_exact FROM terms GROUP BY w)
+             |SELECT w, n_exact, true AS est_exact
+             |FROM c ORDER BY n_exact DESC, w LIMIT 25""".stripMargin)),
+
     Q("theta_overlap",
       (s, dir) => {
         val grams = docs(s, dir)
