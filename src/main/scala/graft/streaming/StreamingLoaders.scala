@@ -451,6 +451,28 @@ object StreamingLoaders {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Streaming windowed distinct-id monitor emitting MERGEABLE sketches:
+    * per finalized (window, event_type) group, the HLL sketch blob plus
+    * its estimate — the streaming PRODUCER of the sketch table that the
+    * batch `hll_sketch_rollup` re-aggregates (any rollup window is then a
+    * `hll_union_agg` over blobs, no raw-id rescan). Distinct-count state
+    * per open window is the sketch's fixed 2^lgK registers, vs exact
+    * countDistinct whose streaming state grows with every id seen — at
+    * production event rates the sketch is the only bounded-state option.
+    * Append mode emits each window once the watermark passes its end. */
+  def windowedUserSketches(events: DataFrame, tsCol: String,
+                           idCol: String = "user_id",
+                           windowLength: String = "1 hour",
+                           lateness: String = "1 hour",
+                           lgK: Int = 12): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLength).as("w"), col("event_type"))
+      .agg(expr(s"hll_sketch_agg($idCol, $lgK)").as("id_sketch"),
+        expr(s"hll_sketch_estimate(hll_sketch_agg($idCol, $lgK))").as("n_ids_approx"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("id_sketch"), col("n_ids_approx"))
+
   /** EXACTLY-ONCE streaming append into a transactional table:
     * `foreachBatch` alone is at-least-once (a batch can re-run after a
     * sink write succeeded but the checkpoint commit didn't), so each

@@ -173,6 +173,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("streaming windowed sketches: finalized blobs re-aggregate to the global distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(String, String, Long)]
+    val events = input.toDF().toDF("ts_s", "event_type", "user_id")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+    val agg = StreamingLoaders.windowedUserSketches(events, "ts",
+      windowLength = "1 hour", lateness = "30 minutes")
+    val query = agg.writeStream
+      .format("memory").queryName("win_sketch").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    // window [10:00,11:00): users 1,2,3 on click (3 distinct, one repeat),
+    // user 2 on view; window [11:00,12:00): users 2,4 on click
+    input.addData(("2024-01-01 10:05:00", "click", 1L),
+      ("2024-01-01 10:10:00", "click", 2L), ("2024-01-01 10:20:00", "click", 2L),
+      ("2024-01-01 10:40:00", "click", 3L), ("2024-01-01 10:45:00", "view", 2L),
+      ("2024-01-01 11:15:00", "click", 2L), ("2024-01-01 11:30:00", "click", 4L))
+    query.processAllAvailable()
+    // watermark 11:30 - 30m = 11:00 ⇒ only [10:00,11:00) finalized
+    val firstRows = spark.table("win_sketch")
+      .select("event_type", "n_ids_approx")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(firstRows == Set(("click", 3L), ("view", 1L)),
+      s"first window estimates must be exact at this cardinality, got $firstRows")
+    input.addData(("2024-01-01 13:00:00", "click", 9L))
+    query.processAllAvailable()
+    query.stop()
+
+    // the emitted blobs ARE the sketch table: a batch rollup over them
+    // must reproduce the stream-wide distinct count without the raw ids
+    val rolled = spark.table("win_sketch").filter($"event_type" === "click")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(id_sketch))"))
+      .collect().head.getLong(0)
+    assert(rolled == 4L, s"union over window blobs must see users 1,2,3,4, got $rolled")
+  }
+
   test("streaming exact dedup: one survivor per content hash within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
