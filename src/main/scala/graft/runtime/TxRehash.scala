@@ -99,7 +99,18 @@ object TxRehash {
     //    semantics). A missing parent-map row fails the rewrite loudly —
     //    committing a mixed-hash vault silently is the one unrecoverable
     //    outcome (Rehasher.requireMapped).
-    links.foreach { l =>
+    links.foreach(l => rehashLink(t, l, hubs, oldCfg, newCfg))
+
+    // 3. satellites: re-keyed through the parent's (deprecated → current)
+    //    pair; hashdiff recomputed from the sat's own payload under the new
+    //    algorithm (grouped per (old hashkey, ldts) for MA sats — the
+    //    rewrite covers ALL live files in one commit, so groups are
+    //    complete by construction).
+    sats.foreach(s => rehashSat(t, s, hubs, links, oldCfg, newCfg))
+  }
+
+  private def rehashLink(t: TxLogTable, l: LinkRehash, hubs: Seq[HubRehash],
+                         oldCfg: HashConfig, newCfg: HashConfig): Unit = {
       val updated = s"${l.linkHashkey}_updated"
       val deprecated = s"${l.linkHashkey}_deprecated"
       requireClean(t, l.name, updated, deprecated)
@@ -137,14 +148,11 @@ object TxRehash {
       }
       t.renameColumn(l.name, l.linkHashkey, deprecated)
       t.renameColumn(l.name, updated, l.linkHashkey)
-    }
+  }
 
-    // 3. satellites: re-keyed through the parent's (deprecated → current)
-    //    pair; hashdiff recomputed from the sat's own payload under the new
-    //    algorithm (grouped per (old hashkey, ldts) for MA sats — the
-    //    rewrite covers ALL live files in one commit, so groups are
-    //    complete by construction).
-    sats.foreach { s =>
+  private def rehashSat(t: TxLogTable, s: SatRehash, hubs: Seq[HubRehash],
+                        links: Seq[LinkRehash],
+                        oldCfg: HashConfig, newCfg: HashConfig): Unit = {
       val parentHk = hubs.find(_.name == s.parent).map(_.hashkey)
         .orElse(links.find(_.name == s.parent).map(_.linkHashkey))
         .getOrElse(throw new IllegalArgumentException(
@@ -183,7 +191,6 @@ object TxRehash {
       }
       t.renameColumn(s.name, s.hashkey, deprecated)
       t.renameColumn(s.name, updated, s.hashkey)
-    }
   }
 
   /** Final cleanup once the whole-vault rehash is validated: drop every
@@ -193,6 +200,87 @@ object TxRehash {
     hubs.foreach(h => dropDeprecated(t, h.name, h.hashkey))
     links.foreach(l => dropDeprecated(t, l.name, l.linkHashkey))
     sats.foreach(s => dropDeprecated(t, s.name, s.hashkey))
+  }
+
+  // ---- crash recovery ----------------------------------------------------
+
+  /** What [[recoverEntity]] found and did. */
+  sealed abstract class Recovery(val label: String)
+  object Recovery {
+    /** no rehash in flight — table is in its pre-rehash state */
+    case object Clean extends Recovery("clean")
+    /** rehash already complete (`_deprecated` present, hash column live) */
+    case object Done extends Recovery("done")
+    /** dropped an unpopulated `_updated` — the data pass never committed */
+    case object RolledBack extends Recovery("rolled_back")
+    /** completed the remaining metadata-only renames */
+    case object Finished extends Recovery("finished")
+  }
+
+  /** Recover a table from a rehash that crashed between commits. Sound
+    * because the lifecycle has exactly ONE data commit ([[TxLogTable
+    * .replaceFiles]] swaps all live files atomically): `_updated` is either
+    * fully NULL (the pass never committed — dropping the column restores
+    * the pre-rehash state exactly, including link FKs and sat hashdiffs,
+    * which are only touched in that same commit) or fully populated (the
+    * pass committed — the rest of the lifecycle is metadata-only renames,
+    * so finishing forward is safe regardless of which rename crashed).
+    * Every intermediate state maps to one of the four [[Recovery]] cases;
+    * anything else means outside interference and fails loudly. */
+  def recoverEntity(t: TxLogTable, table: String, hashCol: String): Recovery = {
+    val updated = s"${hashCol}_updated"
+    val deprecated = s"${hashCol}_deprecated"
+    val cols = t.read(table).columns.toSet
+    (cols(hashCol), cols(updated), cols(deprecated)) match {
+      case (true, false, false) => Recovery.Clean
+      case (true, false, true)  => Recovery.Done
+      case (false, true, true) => // crashed between the two renames
+        t.renameColumn(table, updated, hashCol)
+        Recovery.Finished
+      case (true, true, false) => // crashed around the data pass
+        if (t.read(table).filter(col(updated).isNotNull).isEmpty) {
+          t.dropColumn(table, updated)
+          Recovery.RolledBack
+        } else {
+          t.renameColumn(table, hashCol, deprecated)
+          t.renameColumn(table, updated, hashCol)
+          Recovery.Finished
+        }
+      case (hc, up, dep) => throw new IllegalStateException(
+        s"TxRehash: $table is not in any rehash lifecycle state " +
+          s"($hashCol=$hc, $updated=$up, $deprecated=$dep) — manual repair needed")
+    }
+  }
+
+  /** Resume a crashed [[rehashAll]] of the SAME (oldCfg, newCfg) run: per
+    * entity in hub → link → sat order, finish or roll back whatever the
+    * crash left ([[recoverEntity]]), skip entities already rehashed, and
+    * rehash the rest. After it returns the vault is exactly where a
+    * non-crashing rehashAll would have left it (old hashes on every entity
+    * as `_deprecated` until [[dropDeprecatedAll]]). Returns each entity's
+    * recovery finding. MUST be called with the original run's configs: a
+    * `Done` entity is trusted to carry `newCfg` hashes — resuming with a
+    * DIFFERENT target config would silently mix hash configurations, so
+    * clean up the previous rehash fully before starting a new one. */
+  def resumeAll(t: TxLogTable, hubs: Seq[HubRehash], links: Seq[LinkRehash],
+                sats: Seq[SatRehash], oldCfg: HashConfig,
+                newCfg: HashConfig): Map[String, Recovery] = {
+    var findings = Map.empty[String, Recovery]
+    def step(table: String, hashCol: String)(rehash: => Unit): Unit = {
+      val r = recoverEntity(t, table, hashCol)
+      findings += table -> r
+      r match {
+        case Recovery.Clean | Recovery.RolledBack => rehash
+        case Recovery.Done | Recovery.Finished    => () // already on newCfg
+      }
+    }
+    hubs.foreach(h => step(h.name, h.hashkey)(
+      rehashEntity(t, h.name, h.hashkey, h.businessKeys, oldCfg, newCfg)))
+    links.foreach(l => step(l.name, l.linkHashkey)(
+      rehashLink(t, l, hubs, oldCfg, newCfg)))
+    sats.foreach(s => step(s.name, s.hashkey)(
+      rehashSat(t, s, hubs, links, oldCfg, newCfg)))
+    findings
   }
 }
 

@@ -102,6 +102,79 @@ class TxMaintenanceSpec extends SparkSpec {
     assert(!t.read("customer_s").columns.exists(_.endsWith("_deprecated")))
   }
 
+  test("recoverEntity: each committed crash state maps to the right recovery") {
+    import TxRehash.Recovery
+
+    // crashed after ADD COLUMN, before the data pass: _updated is all NULL
+    // ⇒ rollback restores the exact pre-rehash state
+    val t1 = freshStore(); buildVault(t1)
+    t1.addColumn("customer_h", "hk_customer_h_updated", "string")
+    assert(TxRehash.recoverEntity(t1, "customer_h", "hk_customer_h") == Recovery.RolledBack)
+    assert(!t1.read("customer_h").columns.contains("hk_customer_h_updated"))
+    assert(TxRehash.recoverEntity(t1, "customer_h", "hk_customer_h") == Recovery.Clean)
+    TxRehash.rehashEntity(t1, "customer_h", "hk_customer_h", Seq("c_custkey"), md5, sha)
+    assert(TxRehash.recoverEntity(t1, "customer_h", "hk_customer_h") == Recovery.Done)
+
+    // crashed after the one data commit, before any rename ⇒ finish forward;
+    // result must be byte-identical to an uncrashed rehashEntity
+    val t2 = freshStore(); buildVault(t2)
+    t2.addColumn("customer_h", "hk_customer_h_updated", "string")
+    val v = t2.currentVersion("customer_h").get
+    t2.replaceFiles("customer_h", t2.files("customer_h", v)) { df =>
+      df.withColumn("hk_customer_h_updated",
+        Hashing.hashkey(Hashing.hashInputs(df, Seq("c_custkey")))(sha))
+    }
+    assert(TxRehash.recoverEntity(t2, "customer_h", "hk_customer_h") == Recovery.Finished)
+    val ref = freshStore(); buildVault(ref)
+    TxRehash.rehashEntity(ref, "customer_h", "hk_customer_h", Seq("c_custkey"), md5, sha)
+    def state(t: TxLogTable) = t.read("customer_h")
+      .select("hk_customer_h", "hk_customer_h_deprecated", "c_custkey")
+      .as[(String, String, Int)].collect().toSet
+    assert(state(t2) === state(ref), "finished-forward equals uncrashed rehash")
+
+    // crashed between the two renames (hash column temporarily absent)
+    val t3 = freshStore(); buildVault(t3)
+    t3.addColumn("customer_h", "hk_customer_h_updated", "string")
+    val v3 = t3.currentVersion("customer_h").get
+    t3.replaceFiles("customer_h", t3.files("customer_h", v3)) { df =>
+      df.withColumn("hk_customer_h_updated",
+        Hashing.hashkey(Hashing.hashInputs(df, Seq("c_custkey")))(sha))
+    }
+    t3.renameColumn("customer_h", "hk_customer_h", "hk_customer_h_deprecated")
+    assert(TxRehash.recoverEntity(t3, "customer_h", "hk_customer_h") == Recovery.Finished)
+    assert(state(t3) === state(ref), "mid-rename recovery equals uncrashed rehash")
+  }
+
+  test("resumeAll completes a whole-vault rehash crashed mid-run") {
+    import TxRehash.Recovery
+    val t = freshStore(); buildVault(t)
+    // crash scenario: both hubs done, link crashed right after ADD COLUMN,
+    // satellite untouched
+    hubs.foreach(h =>
+      TxRehash.rehashEntity(t, h.name, h.hashkey, h.businessKeys, md5, sha))
+    t.addColumn("customer_order_l", "lk_customer_order_l_updated", "string")
+
+    val findings = TxRehash.resumeAll(t, hubs, links, sats, md5, sha)
+    assert(findings === Map(
+      "customer_h" -> Recovery.Done, "order_h" -> Recovery.Done,
+      "customer_order_l" -> Recovery.RolledBack, "customer_s" -> Recovery.Clean))
+
+    // the resumed vault is exactly where an uncrashed rehashAll lands
+    val ref = freshStore(); buildVault(ref)
+    TxRehash.rehashAll(ref, hubs, links, sats, md5, sha)
+    def dump(t: TxLogTable, table: String, cols: String*) =
+      t.read(table).select(cols.head, cols.tail: _*).collect()
+        .map(_.toSeq).toSet
+    for ((table, cols) <- Seq(
+      "customer_h" -> Seq("hk_customer_h", "hk_customer_h_deprecated", "c_custkey"),
+      "customer_order_l" -> Seq("lk_customer_order_l",
+        "lk_customer_order_l_deprecated", "hk_customer_h", "hk_order_h"),
+      "customer_s" -> Seq("hk_customer_h", "hk_customer_h_deprecated",
+        "hd_customer_s", "c_name", "c_acctbal")))
+      assert(dump(t, table, cols: _*) === dump(ref, table, cols: _*),
+        s"$table after resume equals uncrashed rehashAll")
+  }
+
   test("rehashAll to BINARY: link FKs and sat hashdiffs are raw digest bytes") {
     val t = freshStore()
     buildVault(t)
