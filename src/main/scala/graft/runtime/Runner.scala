@@ -63,13 +63,19 @@ object Runner {
   }
 
   /** One executed step: the store action taken (`create` / `append` /
-    * `table` / `ephemeral`), which declared sources were skipped, and the
-    * wall-clock the step took (dbt's per-model timing). */
+    * `table` / `ephemeral`, or `error` / `skipped` under
+    * `continueOnError`), which declared sources were skipped, the
+    * wall-clock the step took (dbt's per-model timing), and the failure
+    * message for an `error` step. */
   final case class Step(model: String, action: String, skippedSources: Seq[String],
-                        seconds: Double = 0.0)
+                        seconds: Double = 0.0, error: Option[String] = None)
 
   final case class Result(steps: Seq[Step]) {
     def actions: Map[String, String] = steps.map(s => s.model -> s.action).toMap
+    /** models that failed (only possible under `continueOnError`) */
+    def errors: Seq[Step] = steps.filter(_.action == "error")
+    /** models never attempted because a selected ancestor failed */
+    def skipped: Seq[String] = steps.filter(_.action == "skipped").map(_.model)
   }
 
   private[runtime] val noExternals: String => DataFrame = name =>
@@ -216,8 +222,14 @@ final class Runner(spark: SparkSession, store: VaultStore, models: Seq[VaultMode
     * correctness is unchanged because two selected models never write the
     * same table and cross-model reads go through the completed parents'
     * materialized state. */
+  /** `continueOnError = true` is dbt's run semantics: a failing model is
+    * recorded as an `error` step, its selected descendants as `skipped`
+    * (never attempted — their inputs are missing or stale), and every
+    * OTHER branch still loads. The default remains fail-fast: first
+    * failure propagates after in-flight work drains. */
   def run(select: String = "", exclude: String = "",
-          fullRefresh: Boolean = false, threads: Int = 1): Runner.Result = {
+          fullRefresh: Boolean = false, threads: Int = 1,
+          continueOnError: Boolean = false): Runner.Result = {
     val order = plan(select, exclude)
     val selected = order.toSet
     val viewCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -279,8 +291,24 @@ final class Runner(spark: SparkSession, store: VaultStore, models: Seq[VaultMode
       }
     }
 
-    if (threads <= 1) Runner.Result(order.map(runOne))
-    else runConcurrent(order, threads, runOne)
+    if (threads <= 1 && !continueOnError) Runner.Result(order.map(runOne))
+    else if (threads <= 1) {
+      // sequential continue-on-error: a failed model poisons its selected
+      // descendants transitively; disjoint branches keep loading
+      val dead = mutable.Set.empty[String]
+      Runner.Result(order.map { name =>
+        if (parentsOf(name).exists(dead)) {
+          dead += name
+          Runner.Step(name, "skipped", Nil)
+        } else
+          try runOne(name)
+          catch {
+            case t: Throwable =>
+              dead += name
+              Runner.Step(name, "error", Nil, error = Some(t.getMessage))
+          }
+      })
+    } else runConcurrent(order, threads, runOne, continueOnError)
   }
 
   /** Completion-driven scheduling: a node is submitted the moment its last
@@ -289,7 +317,8 @@ final class Runner(spark: SparkSession, store: VaultStore, models: Seq[VaultMode
     * as-is. First failure stops new submissions and rethrows after
     * in-flight work drains. */
   private def runConcurrent(order: Seq[String], threads: Int,
-                            runOne: String => Runner.Step): Runner.Result = {
+                            runOne: String => Runner.Step,
+                            continueOnError: Boolean = false): Runner.Result = {
     val selected = order.toSet
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val lock = new Object
@@ -315,6 +344,12 @@ final class Runner(spark: SparkSession, store: VaultStore, models: Seq[VaultMode
                   remaining(c) -= 1
                   if (remaining(c) == 0) submit(c)
                 }
+            case Left(t) if continueOnError =>
+              // record the failure, submit no children: descendants stay
+              // un-runnable and are reported as skipped below; every other
+              // branch keeps loading
+              steps(name) = Runner.Step(name, "error", Nil,
+                error = Some(t.getMessage))
             case Left(t) => if (failure.isEmpty) failure = Some(t)
           }
           lock.notifyAll()
@@ -328,10 +363,14 @@ final class Runner(spark: SparkSession, store: VaultStore, models: Seq[VaultMode
     }
     pool.shutdown()
     failure.foreach(throw _)
-    // every selected node must have run — a leftover means a dependency
-    // was only reachable through a failed/unselected parent chain
     val missing = order.filterNot(steps.contains)
-    require(missing.isEmpty, s"Runner: models never became runnable: ${missing.mkString(", ")}")
+    if (continueOnError)
+      // un-runnable ⇒ a selected ancestor failed: report, don't throw
+      missing.foreach(n => steps(n) = Runner.Step(n, "skipped", Nil))
+    else
+      // every selected node must have run — a leftover means a dependency
+      // was only reachable through a failed/unselected parent chain
+      require(missing.isEmpty, s"Runner: models never became runnable: ${missing.mkString(", ")}")
     Runner.Result(order.map(steps))
   }
 }

@@ -175,6 +175,32 @@ class RunnerSpec extends SparkSpec {
       "second Table run must rebuild the full table, not the delta")
   }
 
+  test("continueOnError: failed branch reported, descendants skipped, others load") {
+    // bad → bad_child (must be skipped); good is a disjoint branch
+    def models: Seq[VaultModel] = Seq(
+      VaultModel("good")(ctx => ctx.resolve("src_a")),
+      VaultModel("bad")(_ => throw new RuntimeException("boom")),
+      VaultModel("bad_child", deps = Seq("bad"))(ctx => ctx.resolve("bad")),
+      VaultModel("bad_grandchild", deps = Seq("bad_child"))(ctx =>
+        ctx.resolve("bad_child")))
+    for (threads <- Seq(1, 3)) {
+      val store = freshStore()
+      val r = new Runner(spark, store, models, externals(rows(1 -> 1), rows()))
+      val res = r.run(threads = threads, continueOnError = true)
+      assert(res.actions("good") == "create", s"threads=$threads")
+      assert(res.errors.map(_.model) == Seq("bad"), s"threads=$threads")
+      assert(res.errors.head.error.exists(_.contains("boom")))
+      assert(res.skipped.toSet == Set("bad_child", "bad_grandchild"),
+        s"threads=$threads: failure must poison descendants transitively")
+      assert(store.exists("good") && !store.exists("bad") && !store.exists("bad_child"))
+      // default stays fail-fast
+      intercept[RuntimeException] {
+        new Runner(spark, freshStore(), models,
+          externals(rows(1 -> 1), rows())).run(threads = threads)
+      }
+    }
+  }
+
   test("threads>1: independent branches run concurrently with identical results") {
     // wide fan-out: one staging view feeding 6 independent sats — the shape
     // whose wall-clock parallel scheduling is for
