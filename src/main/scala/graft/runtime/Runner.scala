@@ -311,6 +311,20 @@ final class Runner(spark: SparkSession, store: VaultStore, models: Seq[VaultMode
     } else runConcurrent(order, threads, runOne, continueOnError)
   }
 
+  /** dbt's `--retry`: rerun EXACTLY the models a previous continue-on-error
+    * run failed or skipped — successful models are not rebuilt (their state
+    * is read as-is by any retried downstream). Returns an empty result when
+    * there is nothing to retry. */
+  def retry(prev: Runner.Result, fullRefresh: Boolean = false,
+            threads: Int = 1, continueOnError: Boolean = false): Runner.Result = {
+    val targets = prev.steps.collect {
+      case s if s.action == "error" || s.action == "skipped" => s.model
+    }
+    if (targets.isEmpty) Runner.Result(Nil)
+    else run(select = targets.mkString(" "), fullRefresh = fullRefresh,
+      threads = threads, continueOnError = continueOnError)
+  }
+
   /** Completion-driven scheduling: a node is submitted the moment its last
     * selected parent completes. Dependency counting is over SELECTED nodes
     * only — unselected parents are not run this pass, their state is read

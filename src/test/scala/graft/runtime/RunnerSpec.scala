@@ -198,6 +198,22 @@ class RunnerSpec extends SparkSpec {
         new Runner(spark, freshStore(), models,
           externals(rows(1 -> 1), rows())).run(threads = threads)
       }
+
+      // retry reruns exactly the failed+skipped subset once the cause is
+      // fixed; the successful branch is not rebuilt
+      val fixed = Seq(
+        VaultModel("good")(ctx => ctx.resolve("src_a")),
+        VaultModel("bad")(ctx => ctx.resolve("src_a")),
+        VaultModel("bad_child", deps = Seq("bad"))(ctx => ctx.resolve("bad")),
+        VaultModel("bad_grandchild", deps = Seq("bad_child"))(ctx =>
+          ctx.resolve("bad_child")))
+      val r2 = new Runner(spark, store, fixed, externals(rows(1 -> 1), rows()))
+      val res2 = r2.retry(res, threads = threads)
+      assert(res2.steps.map(_.model).toSet ==
+        Set("bad", "bad_child", "bad_grandchild"), s"threads=$threads")
+      assert(!res2.actions.contains("good"), "successful model must not rerun")
+      assert(store.exists("bad") && store.exists("bad_grandchild"))
+      assert(r2.retry(res2).steps.isEmpty, "clean result leaves nothing to retry")
     }
   }
 
