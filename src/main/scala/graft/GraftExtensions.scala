@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expr.{DotProduct, IntDotProduct, MaListAgg, VecNorm}
+import org.apache.spark.sql.GraftColumnBridge
+
+import graft.expr.{DotProduct, HashConfig, Hashing, IntDotProduct, MaListAgg, VecNorm}
 
 /** SparkSessionExtensions registration for graft's native expressions, so
   * they are callable from SQL text as well as the Column API:
@@ -48,6 +50,28 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "ma_list_agg(struct) takes one struct")
         MaListAgg(children.head)
+      }),
+    // the reference's hash semantics as plain SQL functions under the
+    // DEFAULT HashConfig (MD5, dv4dbt delimiters/null markers) — the
+    // registerViews plain-SQL surface can compute stage-identical keys:
+    //   SELECT dv_hashkey(c_custkey), dv_hashdiff(c_name, c_acctbal) ...
+    // Inputs are hashed as given (the H7 datatype normalization —
+    // bool→1/0, nested→to_json — is the stage's pre-cast, applied by
+    // Hashing.hashInputs at load time); non-default configs stay on the
+    // Column API, which carries HashConfig implicitly.
+    (new FunctionIdentifier("dv_hashkey"),
+      new ExpressionInfo(Hashing.getClass.getName, "dv_hashkey"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty, "dv_hashkey(col, ...) takes at least one column")
+        GraftColumnBridge.resolvedExpression(
+          Hashing.hashkey(children.map(GraftColumnBridge.column))(HashConfig()))
+      }),
+    (new FunctionIdentifier("dv_hashdiff"),
+      new ExpressionInfo(Hashing.getClass.getName, "dv_hashdiff"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty, "dv_hashdiff(col, ...) takes at least one column")
+        GraftColumnBridge.resolvedExpression(
+          Hashing.hashdiff(children.map(GraftColumnBridge.column))(HashConfig()))
       }))
 
   /** Register into an already-built session (tests, notebooks). */

@@ -18,6 +18,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(agg.getString(0) == "a,b")
   }
 
+  test("dv_hashkey / dv_hashdiff from SQL equal the Column-API hashes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(spark)
+    val df = Seq((1, "alice", 10.0), (2, null.asInstanceOf[String], 20.0))
+      .toDF("k", "n", "b")
+    df.createOrReplaceTempView("ext_hash_t")
+    val sql = spark.sql(
+      """SELECT dv_hashkey(k) AS hk, dv_hashdiff(n, b) AS hd
+        |FROM ext_hash_t ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    implicit val hc: graft.expr.HashConfig = graft.expr.HashConfig()
+    val api = df
+      .select(graft.expr.Hashing.hashkey(Seq(col("k"))).as("hk"),
+        graft.expr.Hashing.hashdiff(Seq(col("n"), col("b"))).as("hd"))
+      .orderBy(col("hk")) // same rows, order by content below
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(sql.toSet === api.toSet,
+      "SQL surface must produce stage-identical keys, incl. NULL handling")
+  }
+
   test("ma_list_agg rejects non-struct and non-string-tail arguments at analysis") {
     GraftExtensions.register(spark)
     val e1 = intercept[Exception] {
