@@ -217,6 +217,52 @@ class RunnerSpec extends SparkSpec {
     }
   }
 
+  test("property: continueOnError classification matches the graph, both schedulers") {
+    // invariant: error = fails AND every ancestor clean (it was attempted);
+    // skipped = some ancestor errored/skipped (never attempted); else
+    // success and materialized. Sequential and concurrent must agree.
+    val rnd = new scala.util.Random(7)
+    for (iter <- 1 to 8) {
+      val n = 10
+      val parents: Map[Int, Seq[Int]] = (0 until n).map { i =>
+        i -> (0 until i).filter(_ => rnd.nextDouble() < 0.3)
+      }.toMap
+      val failing = (0 until n).filter(_ => rnd.nextDouble() < 0.25).toSet
+      def name(i: Int) = s"m$i"
+      def models: Seq[VaultModel] = (0 until n).map { i =>
+        VaultModel(name(i), deps = parents(i).map(name))(ctx => {
+          if (failing(i)) throw new RuntimeException(s"fail-$i")
+          (ctx.resolve("src_a") +: parents(i).map(p => ctx.resolve(name(p))))
+            .reduce(_ unionByName _).distinct()
+        })
+      }
+      // reference classification by topological walk
+      val expected = scala.collection.mutable.Map.empty[String, String]
+      for (i <- 0 until n) {
+        val anc = parents(i).map(p => expected(name(p)))
+        expected(name(i)) =
+          if (anc.exists(a => a == "error" || a == "skipped")) "skipped"
+          else if (failing(i)) "error"
+          else "ok"
+      }
+      for (threads <- Seq(1, 4)) {
+        val store = freshStore()
+        val res = new Runner(spark, store, models, externals(rows(1 -> 1), rows()))
+          .run(threads = threads, continueOnError = true)
+        res.steps.foreach { s =>
+          val want = expected(s.model)
+          if (want == "ok")
+            assert(s.action != "error" && s.action != "skipped",
+              s"iter=$iter threads=$threads ${s.model}: wanted ok, got ${s.action}")
+          else assert(s.action == want,
+            s"iter=$iter threads=$threads ${s.model}: wanted $want, got ${s.action}")
+          assert(store.exists(s.model) == (want == "ok"))
+        }
+        assert(res.steps.map(_.model).toSet == (0 until n).map(name).toSet)
+      }
+    }
+  }
+
   test("threads>1: independent branches run concurrently with identical results") {
     // wide fan-out: one staging view feeding 6 independent sats — the shape
     // whose wall-clock parallel scheduling is for
