@@ -473,6 +473,43 @@ object StreamingLoaders {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("id_sketch"), col("n_ids_approx"))
 
+  /** Streaming distribution-drift monitor: per finalized window, the KL
+    * divergence of the window's unigram distribution against a BROADCAST
+    * baseline (the corpus distribution the batch `unigram_drift` computes)
+    * — the in-flight "did this crawl/source shift" alarm. Two CHAINED
+    * watermarked window aggregations (Spark's multiple-stateful-operator
+    * support): per-(window, word) counts, then per-window KL folded from
+    * the sufficient statistics Σtf, Σtf·ln(tf), Σtf·ln(q) — so state is
+    * the window's vocabulary, never its raw tokens, and no collect ever
+    * happens. Baseline words are looked up in a map literal; words absent
+    * from the baseline get `floorProb` (keeps KL finite, like the batch
+    * operator's corpus⊇source construction). */
+  def windowedDriftStream(docs: DataFrame, textCol: String, tsCol: String,
+                          baseline: Map[String, Double],
+                          windowLength: String = "1 hour",
+                          lateness: String = "1 hour",
+                          floorProb: Double = 1e-9): DataFrame = {
+    require(baseline.nonEmpty, "windowedDriftStream needs a baseline distribution")
+    val words = docs
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol), explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = words
+      .groupBy(window(col(tsCol), windowLength).as("win"), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val lnQ = log(coalesce(element_at(typedLit(baseline), col("w")), lit(floorProb)))
+    tf.select(col("win"), col("tf"), (col("tf") * log(col("tf"))).as("tflntf"),
+        (col("tf") * lnQ).as("tflnq"))
+      .groupBy(window(window_time(col("win")), windowLength).as("win2"))
+      .agg(sum(col("tf")).as("n"), sum(col("tflntf")).as("s2"),
+        sum(col("tflnq")).as("s3"))
+      .select(col("win2.start").as("window_start"),
+        col("n").cast("long").as("n_tokens"),
+        // Σ p·ln(p/q) = (Σtf·ln tf − n·ln n − Σtf·ln q) / n
+        ((col("s2") - col("n") * log(col("n")) - col("s3")) / col("n"))
+          .as("kl_nats"))
+  }
+
   /** EXACTLY-ONCE streaming append into a transactional table:
     * `foreachBatch` alone is at-least-once (a batch can re-run after a
     * sink write succeeded but the checkpoint commit didn't), so each

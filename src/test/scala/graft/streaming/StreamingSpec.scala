@@ -213,6 +213,45 @@ class StreamingSpec extends SparkSpec {
     assert(rolled == 4L, s"union over window blobs must see users 1,2,3,4, got $rolled")
   }
 
+  test("streaming drift: per-window KL against the baseline, zero when matching") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("ts_s", "text")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+    // baseline: a=0.5, b=0.25, c=0.25
+    val baseline = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val drift = StreamingLoaders.windowedDriftStream(docs, "text", "ts",
+      baseline, windowLength = "1 hour", lateness = "30 minutes")
+    val query = drift.writeStream
+      .format("memory").queryName("drift_stream").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    // window 1 matches the baseline exactly (KL = 0); window 2 is all-'b'
+    // (KL = ln(1/0.25) = ln 4)
+    input.addData(("2024-01-01 10:05:00", "a a b c"),
+      ("2024-01-01 10:40:00", "a a b c"),
+      ("2024-01-01 11:10:00", "b b b b"))
+    query.processAllAvailable()
+    input.addData(("2024-01-01 13:00:00", "a")) // watermark finalizes both
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("drift_stream")
+      .select("window_start", "n_tokens", "kl_nats")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.length == 2, s"both closed windows must emit, got ${rows.toSeq}")
+    val (w1, w2) = (rows(0), rows(1))
+    assert(w1._2 == 8 && math.abs(w1._3) < 1e-9,
+      s"matching window must have KL 0, got $w1")
+    assert(w2._2 == 4 && math.abs(w2._3 - math.log(4)) < 1e-9,
+      s"all-b window must have KL ln4, got $w2")
+  }
+
   test("streaming exact dedup: one survivor per content hash within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
