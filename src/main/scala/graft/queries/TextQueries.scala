@@ -456,6 +456,70 @@ object TextQueries {
              |    ORDER BY q.n_words DESC, l.doc_id ASC) = 1) AS keep
              |FROM labels l JOIN quality q ON q.doc_id = l.doc_id""".stripMargin)),
 
+    // PageRank over the near-dup candidate graph (3 power iterations,
+    // damping 0.85): centrality ranks a cluster's documents by how densely
+    // duplicated they are — the "template-ness" signal a boilerplate triage
+    // uses on top of the binary keep/drop from clustering. Fully
+    // distributed and iteration-bounded (no fixpoint probe needed): per
+    // iteration one equi-join (ranks→edges on src) and one partial
+    // aggregation (sum of shares by dst). The two scalar denominators ride
+    // a 1-row broadcast (BroadcastNestedLoopJoin), never a driver collect.
+    // At 100 TB scale: pre-partition `edges` by src once and the join side
+    // of every iteration reuses that exchange; the candidate graph is LSH
+    // output, i.e. orders of magnitude smaller than the corpus. The oracle
+    // unrolls the same three iterations as plain SQL.
+    Q("pagerank_sim",
+      (s, dir) => {
+        val cands = lshCandidates(s, dir)
+        val edges = cands
+          .select(col("doc_id").as("src"), col("doc_id_2").as("dst"))
+          .unionAll(cands
+            .select(col("doc_id_2").as("src"), col("doc_id").as("dst")))
+          .repartition(col("src")) // one exchange, reused by all 3 iterations
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val n = deg.select(count(lit(1)).cast("double").as("n"))
+        var ranks = deg.crossJoin(broadcast(n))
+          .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
+        for (_ <- 1 to 3) {
+          val inflow = ranks
+            .join(deg, col("node") === col("src"))
+            .select(col("node"), (col("pr") / col("deg")).as("share"))
+            .join(edges.withColumnRenamed("src", "e_src"),
+              col("node") === col("e_src"))
+            .groupBy(col("dst"))
+            .agg(sum(col("share")).as("inflow"))
+          ranks = inflow.crossJoin(broadcast(n))
+            .select(col("dst").as("node"),
+              (lit(0.15) / col("n") + lit(0.85) * col("inflow")).as("pr"))
+        }
+        ranks.select(col("node").as("doc_id"),
+          round(col("pr"), 4).as("pagerank"))
+      },
+      Some(s"""WITH $lshCandSql,
+             |edges AS (
+             |  SELECT doc_id AS src, doc_id_2 AS dst FROM cands
+             |  UNION ALL SELECT doc_id_2, doc_id FROM cands),
+             |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+             |n AS (SELECT cast(count(*) AS double) AS n FROM deg),
+             |r0 AS (SELECT src AS node,
+             |         cast(1.0 AS double) / (SELECT n FROM n) AS pr FROM deg),
+             |r1 AS (SELECT e.dst AS node,
+             |         cast(0.15 AS double) / (SELECT n FROM n)
+             |           + 0.85 * sum(r.pr / d.deg) AS pr
+             |       FROM r0 r JOIN deg d ON d.src = r.node
+             |       JOIN edges e ON e.src = r.node GROUP BY e.dst),
+             |r2 AS (SELECT e.dst AS node,
+             |         cast(0.15 AS double) / (SELECT n FROM n)
+             |           + 0.85 * sum(r.pr / d.deg) AS pr
+             |       FROM r1 r JOIN deg d ON d.src = r.node
+             |       JOIN edges e ON e.src = r.node GROUP BY e.dst),
+             |r3 AS (SELECT e.dst AS node,
+             |         cast(0.15 AS double) / (SELECT n FROM n)
+             |           + 0.85 * sum(r.pr / d.deg) AS pr
+             |       FROM r2 r JOIN deg d ON d.src = r.node
+             |       JOIN edges e ON e.src = r.node GROUP BY e.dst)
+             |SELECT node AS doc_id, round(pr, 4) AS pagerank FROM r3""".stripMargin)),
+
     // token-budget packing: assign documents to contiguous training-context
     // bins of ~512 whitespace tokens. Deterministic (doc_id order) and
     // embarrassingly parallel: packing runs per SHARD (doc_id % 32), so the
@@ -1190,6 +1254,38 @@ object TextQueries {
              |  round(n_tokens / t.total, 6) AS token_share,
              |  round((1.0 / t.n_src) / (n_tokens / t.total), 4) AS weight
              |FROM per, tot t""".stripMargin)),
+
+    // temperature-scaled source sampling (multilingual-LM mixture shaping):
+    // w_s ∝ p_s^α with α = 0.7 — upsamples low-resource sources relative to
+    // their natural share, the standard alternative to the uniform-target
+    // reweighting of source_mix_weights. Both scalar denominators (corpus
+    // total, Σ p^α over sources) ride 1-row broadcasts over the
+    // #sources-row frame; nothing driver-side, nothing shuffled twice.
+    Q("temperature_mix",
+      (s, dir) => {
+        val per = docs(s, dir).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+        val tot = per.select(sum(col("n_docs")).cast("double").as("total"))
+        val p = per.crossJoin(broadcast(tot))
+          .withColumn("p", col("n_docs").cast("double") / col("total"))
+          .withColumn("pa", pow(col("p"), lit(0.7)))
+        val z = p.select(sum(col("pa")).as("z"))
+        p.crossJoin(broadcast(z)).select(col("source"), col("n_docs"),
+          round(col("p"), 6).as("doc_share"),
+          round(col("pa") / col("z"), 6).as("sample_weight"),
+          round((col("pa") / col("z")) / col("p"), 4).as("upsample_factor"))
+      },
+      Some("""WITH per AS (
+             |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+             |tot AS (SELECT cast(sum(n_docs) AS double) AS total FROM per),
+             |p AS (SELECT source, n_docs, n_docs / t.total AS p,
+             |        pow(n_docs / t.total, 0.7) AS pa FROM per, tot t),
+             |z AS (SELECT sum(pa) AS z FROM p)
+             |SELECT source, cast(n_docs AS BIGINT) AS n_docs,
+             |  round(p, 6) AS doc_share,
+             |  round(pa / z.z, 6) AS sample_weight,
+             |  round((pa / z.z) / p, 4) AS upsample_factor
+             |FROM p, z""".stripMargin)),
 
     // sketch-accuracy eval: per LSH candidate pair, the MinHash ESTIMATE of
     // Jaccard (fraction of equal signature components) next to the exact

@@ -143,6 +143,42 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("pagerank_sim: mass conserved, every candidate-graph node ranked") {
+    val ranks = run("pagerank_sim").collect()
+    assert(ranks.nonEmpty)
+    // the candidate graph is symmetric, so every node has out-edges and
+    // total rank is conserved at 1 through every power iteration (up to
+    // the 4-dp output rounding × node count)
+    val total = ranks.map(_.getAs[Double]("pagerank")).sum
+    assert(math.abs(total - 1.0) <= 5e-5 * ranks.length,
+      s"rank mass $total over ${ranks.length} nodes")
+    ranks.foreach(r => assert(r.getAs[Double]("pagerank") > 0.0))
+    // node set = exactly the clustered (non-isolated) docs
+    val clustered = run("dedup_clusters").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ranks.map(_.getAs[Long]("doc_id")).toSet === clustered)
+  }
+
+  test("temperature_mix: weights sum to 1 and compress the source skew") {
+    val rows = run("temperature_mix").collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_.getAs[Double]("sample_weight")).sum - 1.0) <= 1e-3)
+    // α < 1 flattens: below-average sources are upsampled, above-average
+    // sources downsampled — factors must straddle 1 in a skewed corpus
+    val f = rows.map(_.getAs[Double]("upsample_factor"))
+    rows.foreach { r =>
+      val share = r.getAs[Double]("doc_share")
+      val factor = r.getAs[Double]("upsample_factor")
+      assert(factor > 0.0, s"source ${r.get(0)}")
+      // smaller share ⇒ larger upsample factor (monotone in p^(α-1))
+      rows.foreach { o =>
+        if (o.getAs[Double]("doc_share") < share - 1e-12)
+          assert(o.getAs[Double]("upsample_factor") >= factor - 1e-9)
+      }
+    }
+    assert(f.max >= f.min, "degenerate")
+  }
+
   test("pq_ann: top-3 per query, approx cosine is a valid cosine") {
     val rows = run("pq_ann").collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
