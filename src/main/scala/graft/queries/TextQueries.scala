@@ -520,6 +520,75 @@ object TextQueries {
              |       JOIN edges e ON e.src = r.node GROUP BY e.dst)
              |SELECT node AS doc_id, round(pr, 4) AS pagerank FROM r3""".stripMargin)),
 
+    // Degree-ordered triangle counting + local clustering coefficient over
+    // the candidate graph: how CLIQUE-LIKE each document's near-dup
+    // neighborhood is (mirror-cluster boilerplate closes its triangles;
+    // chain-shaped false-positive paths don't). The scale-critical trick is
+    // the ORIENTATION: every edge points toward its higher-(degree, id)
+    // endpoint, so wedges are enumerated only at each triangle's
+    // lowest-rank vertex — per-node wedge work is choose(out-deg, 2) with
+    // out-degree bounded by O(√|E|) (and here additionally by the LSH
+    // bucket cap), instead of choose(deg, 2) blowing up on hubs. The
+    // closure probe is an equi-join on the id-canonical edge key. The
+    // oracle enumerates the same triangle set by plain id-ordering —
+    // orientation changes the work, never the result.
+    Q("triangle_count",
+      (s, dir) => {
+        val cands = lshCandidates(s, dir) // distinct pairs, doc_id < doc_id_2
+        val deg = cands.select(col("doc_id").as("node"))
+          .unionAll(cands.select(col("doc_id_2").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+        val withDeg = cands
+          .join(deg.select(col("node").as("doc_id"), col("degree").as("da")),
+            Seq("doc_id"))
+          .join(deg.select(col("node").as("doc_id_2"), col("degree").as("db")),
+            Seq("doc_id_2"))
+        val aLower = (col("da") < col("db")) ||
+          (col("da") === col("db") && col("doc_id") < col("doc_id_2"))
+        val oriented = withDeg.select(
+          when(aLower, col("doc_id")).otherwise(col("doc_id_2")).as("src"),
+          when(aLower, col("doc_id_2")).otherwise(col("doc_id")).as("dst"))
+        val wedges = oriented
+          .join(oriented.select(col("src").as("src2"), col("dst").as("dst2")),
+            col("src") === col("src2") && col("dst") < col("dst2"))
+          .select(col("src"), col("dst").as("lo"), col("dst2").as("hi"))
+        val closure = oriented.select(
+          least(col("src"), col("dst")).as("lo"),
+          greatest(col("src"), col("dst")).as("hi"))
+        val tris = wedges.join(closure, Seq("lo", "hi")) // one row per triangle
+        val perNode = tris
+          .select(explode(array(col("src"), col("lo"), col("hi"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("triangles"))
+        deg.join(perNode, Seq("node"), "left")
+          .select(col("node").as("doc_id"), col("degree"),
+            coalesce(col("triangles"), lit(0L)).as("triangles"),
+            round(when(col("degree") > 1,
+              lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+                (col("degree") * (col("degree") - lit(1L))))
+              .otherwise(lit(0.0)), 4).as("clustering_coeff"))
+      },
+      Some(s"""WITH $lshCandSql,
+             |tris AS (
+             |  SELECT a.doc_id AS x, a.doc_id_2 AS y, b.doc_id_2 AS z
+             |  FROM cands a
+             |  JOIN cands b ON b.doc_id = a.doc_id AND b.doc_id_2 > a.doc_id_2
+             |  JOIN cands c ON c.doc_id = a.doc_id_2 AND c.doc_id_2 = b.doc_id_2),
+             |pern AS (
+             |  SELECT node, count(*) AS t FROM (
+             |    SELECT x AS node FROM tris
+             |    UNION ALL SELECT y FROM tris
+             |    UNION ALL SELECT z FROM tris) GROUP BY node),
+             |deg AS (
+             |  SELECT node, count(*) AS degree FROM (
+             |    SELECT doc_id AS node FROM cands
+             |    UNION ALL SELECT doc_id_2 FROM cands) GROUP BY node)
+             |SELECT d.node AS doc_id, cast(d.degree AS BIGINT) AS degree,
+             |  cast(coalesce(p.t, 0) AS BIGINT) AS triangles,
+             |  round(CASE WHEN d.degree > 1
+             |    THEN 2.0 * coalesce(p.t, 0) / (d.degree * (d.degree - 1))
+             |    ELSE 0.0 END, 4) AS clustering_coeff
+             |FROM deg d LEFT JOIN pern p ON p.node = d.node""".stripMargin)),
+
     // token-budget packing: assign documents to contiguous training-context
     // bins of ~512 whitespace tokens. Deterministic (doc_id order) and
     // embarrassingly parallel: packing runs per SHARD (doc_id % 32), so the
@@ -1286,6 +1355,81 @@ object TextQueries {
              |  round(pa / z.z, 6) AS sample_weight,
              |  round((pa / z.z) / p, 4) AS upsample_factor
              |FROM p, z""".stripMargin)),
+
+    // Naive Bayes language classifier — trained AND scored inside the
+    // engine. "Training" a multinomial NB is nothing but distributed
+    // counting: one groupBy for per-(lang, word) counts, one for per-lang
+    // totals, one distinct for |V| — the model is an aggregate, so it
+    // trains in a single pass over 100 TB with map-side combine and no
+    // parameter server. Scoring broadcasts the tiny lang-level totals and
+    // equi-joins the count table on (lang, word); add-1 smoothing keeps
+    // unseen words finite. Scores are rounded to 6 dp BEFORE the argmax so
+    // Spark and the oracle sort identical keys (FP sum order differs).
+    // Resubstitution fit on the corpus itself — the eval a pipeline runs
+    // to sanity-check the labeler before applying it to unlabeled data.
+    Q("nb_train_score",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+        val dw = d.select(col("doc_id"), col("lang"),
+            explode(split(col("text"), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+        val docWord = dw.groupBy("doc_id", "w").agg(count(lit(1)).as("n_dw"))
+        val classCounts = dw.groupBy("lang", "w").agg(count(lit(1)).as("c_lw"))
+          .select(col("lang").as("l"), col("w"), col("c_lw"))
+        val classTotals = dw.groupBy("lang").agg(count(lit(1)).as("t_l"))
+          .select(col("lang").as("l"), col("t_l"))
+        val vocab = dw.select("w").distinct().agg(count(lit(1)).as("v"))
+        val priors = d.groupBy("lang").agg(count(lit(1)).as("n_l"))
+          .crossJoin(broadcast(d.select(count(lit(1)).as("n_docs"))))
+          .select(col("lang").as("l"),
+            (log(col("n_l")) - log(col("n_docs"))).as("log_prior"))
+        val langs = classTotals.join(broadcast(priors), Seq("l"))
+          .crossJoin(broadcast(vocab)) // l, t_l, log_prior, v — #langs rows
+        val scored = docWord
+          .crossJoin(broadcast(langs))
+          .join(classCounts, Seq("l", "w"), "left")
+          .groupBy(col("doc_id"), col("l"))
+          .agg((first(col("log_prior")) + sum(col("n_dw") *
+            (log(coalesce(col("c_lw"), lit(0L)) + lit(1)) -
+              log(col("t_l") + col("v"))))).as("score"))
+          .withColumn("score_r", round(col("score"), 6))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score_r").desc, col("l").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("l").as("pred_lang"),
+            col("score_r").as("log_score"))
+          .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            (col("pred_lang") === col("lang")).as("correct"), col("log_score"))
+      },
+      Some("""WITH dw AS (
+             |  SELECT doc_id, lang, u.w
+             |  FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) AS u(w)
+             |  WHERE length(u.w) > 0),
+             |doc_word AS (SELECT doc_id, w, count(*) AS n_dw FROM dw GROUP BY doc_id, w),
+             |cc AS (SELECT lang AS l, w, count(*) AS c_lw FROM dw GROUP BY lang, w),
+             |ct AS (SELECT lang AS l, count(*) AS t_l FROM dw GROUP BY lang),
+             |v AS (SELECT count(DISTINCT w) AS v FROM dw),
+             |pri AS (SELECT lang AS l,
+             |          ln(count(*)) - ln((SELECT count(*) FROM documents)) AS log_prior
+             |        FROM documents GROUP BY lang),
+             |scored AS (
+             |  SELECT d.doc_id, ct.l,
+             |    round(any_value(pri.log_prior) + sum(d.n_dw *
+             |      (ln(coalesce(cc.c_lw, 0) + 1) - ln(ct.t_l + (SELECT v FROM v)))), 6)
+             |      AS score_r
+             |  FROM doc_word d
+             |  CROSS JOIN ct
+             |  JOIN pri ON pri.l = ct.l
+             |  LEFT JOIN cc ON cc.l = ct.l AND cc.w = d.w
+             |  GROUP BY d.doc_id, ct.l)
+             |SELECT s.doc_id, doc.lang, s.l AS pred_lang,
+             |  (s.l = doc.lang) AS correct, s.score_r AS log_score
+             |FROM scored s JOIN documents doc ON doc.doc_id = s.doc_id
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY s.doc_id
+             |  ORDER BY s.score_r DESC, s.l ASC) = 1""".stripMargin)),
 
     // sketch-accuracy eval: per LSH candidate pair, the MinHash ESTIMATE of
     // Jaccard (fraction of equal signature components) next to the exact

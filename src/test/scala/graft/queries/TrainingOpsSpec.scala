@@ -179,6 +179,40 @@ class TrainingOpsSpec extends SparkSpec {
     assert(f.max >= f.min, "degenerate")
   }
 
+  test("triangle_count: bounds, divisibility, node set = candidate graph") {
+    val rows = run("triangle_count").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, t) = (r.getAs[Long]("degree"), r.getAs[Long]("triangles"))
+      assert(t <= deg * (deg - 1) / 2, s"doc ${r.get(0)}: $t > C($deg,2)")
+      val c = r.getAs[Double]("clustering_coeff")
+      assert(c >= 0.0 && c <= 1.0 + 1e-9)
+    }
+    // every triangle contributes exactly 3 node-participations
+    assert(rows.map(_.getAs[Long]("triangles")).sum % 3 === 0)
+    val ranked = run("pagerank_sim").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === ranked,
+      "triangle/pagerank node sets must both equal the candidate graph")
+  }
+
+  test("nb_train_score: one prediction per doc, beats uniform random") {
+    val rows = run("nb_train_score").collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(rows.length === docs.count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === rows.length)
+    val langs = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+      // log of a product of probabilities ≤ 0 for any real document
+      assert(r.getAs[Double]("log_score") < 0.0)
+    }
+    val acc = rows.count(_.getAs[Boolean]("correct")).toDouble / rows.length
+    assert(acc > 1.0 / langs.size,
+      s"resubstitution accuracy $acc not above uniform ${1.0 / langs.size}")
+  }
+
   test("pq_ann: top-3 per query, approx cosine is a valid cosine") {
     val rows = run("pq_ann").collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
