@@ -414,6 +414,59 @@ object SimQueries {
              |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Volume-anomaly detection: each (event_type, hour) count is z-scored
+    // against its own TRAILING 24-hour window (mean + population stddev,
+    // rows -24..-1), flagged when z ≥ 3 — the monitoring shape that
+    // catches an ingest spike or a dead producer per stream. The window
+    // partitions by event_type, so after the one hourly pre-aggregation
+    // (map-side combined) the operator shuffles #types × #hours ROWS —
+    // independent of raw event volume; at 100 TB the window input is tiny.
+    // Warm-up rows (< 6 trailing hours) are suppressed: a 2-point baseline
+    // flagging everything as anomalous is noise, not monitoring. z is
+    // rounded before the ≥3 flag so Spark and the oracle gate on the same
+    // 4-dp value (stddev algorithms differ in final ulps).
+    Q("event_spike_detection",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+        val hourly = ev.groupBy(col("event_type"),
+            date_trunc("hour", col("ts_us")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(-24, -1)
+        hourly
+          .withColumn("baseline_n", count(col("n")).over(w))
+          .withColumn("baseline_mean", avg(col("n")).over(w))
+          .withColumn("baseline_std", stddev_pop(col("n")).over(w))
+          .filter(col("baseline_n") >= 6)
+          .withColumn("z", round(try_divide(
+            col("n") - col("baseline_mean"), col("baseline_std")), 4))
+          .select(col("event_type"), col("hour"), col("n"),
+            round(col("baseline_mean"), 4).as("baseline_mean"),
+            round(col("baseline_std"), 4).as("baseline_std"),
+            col("z"), (col("z") >= 3.0).as("spike"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |win AS (
+             |  SELECT event_type, hour, n,
+             |    count(n) OVER tw AS baseline_n,
+             |    avg(n) OVER tw AS baseline_mean,
+             |    stddev_pop(n) OVER tw AS baseline_std
+             |  FROM hourly
+             |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+             |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+             |z AS (
+             |  SELECT event_type, hour, cast(n AS BIGINT) AS n,
+             |    round(baseline_mean, 4) AS baseline_mean,
+             |    round(baseline_std, 4) AS baseline_std,
+             |    round((n - baseline_mean) / nullif(baseline_std, 0), 4) AS z
+             |  FROM win WHERE baseline_n >= 6)
+             |SELECT *, z >= 3.0 AS spike FROM z""".stripMargin)),
+
     // gap-based sessionization: a session breaks when a user is idle for
     // more than 30 minutes — LAG marks the breaks, a running SUM of break
     // flags assigns session numbers, one aggregate emits per-session

@@ -181,6 +181,55 @@ object TextQueries {
        |  FROM capped a JOIN capped b
        |    ON a.bucket = b.bucket AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** hashed-feature linear classifier score per doc — shared by
+    * `quality_classifier` (thresholded gate) and `classifier_pr_curve`
+    * (threshold sweep), so both evaluate ONE model definition. 64 hashed
+    * unigram buckets, fixed weights w_b = ((37b+11) mod 21 − 10)/10,
+    * sigmoid over the length-normalized dot product; the per-doc sum folds
+    * over a bucket-sorted list so Spark and the oracle add in the same
+    * order before the 4-dp rounding. */
+  private def classifierScored(s: SparkSession, dir: String): DataFrame = {
+    val terms = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 64L).as("bucket"))
+    val byBucket = terms.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    // w_b = ((37b + 11) mod 21 - 10) / 10 ∈ [-1, 1] — exact doubles
+    val weight = ((col("bucket") * 37L + 11L) % 21L - 10L).cast("double") / 10.0
+    byBucket
+      .select(col("doc_id"), col("cnt"),
+        struct(col("bucket"),
+          (col("cnt").cast("double") * weight).as("c")).as("e"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n"), collect_list(col("e")).as("lst"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.c)") /
+            col("n")))), 4).as("score"))
+  }
+
+  /** DuckDB mirror of [[classifierScored]]: CTE chain ending in
+    * `clf_scored(doc_id, score)` */
+  private val classifierScoreSql =
+    """clf_terms AS (
+      |  SELECT doc_id,
+      |    cast(('0x' || substr(md5(u.w), 1, 8)) AS BIGINT) % 64 AS bucket
+      |  FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) AS u(w)
+      |  WHERE length(u.w) > 0),
+      |clf_bb AS (SELECT doc_id, bucket, count(*) AS cnt
+      |           FROM clf_terms GROUP BY doc_id, bucket),
+      |clf_agg AS (
+      |  SELECT doc_id, sum(cnt) AS n,
+      |    list(cast(cnt AS double) *
+      |         (cast((bucket * 37 + 11) % 21 - 10 AS double) / 10.0)
+      |         ORDER BY bucket) AS cs
+      |  FROM clf_bb GROUP BY doc_id),
+      |clf_scored AS (
+      |  SELECT doc_id,
+      |    round(1.0 / (1.0 + exp(-(list_sum(cs) / n))), 4) AS score
+      |  FROM clf_agg)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // exact dedup: hash-groupBy, keep lowest doc_id per content hash
@@ -1541,44 +1590,89 @@ object TextQueries {
     // hashed featurization (no vocabulary table at all), one per-doc
     // aggregation, a sorted fold for an order-deterministic double sum.
     Q("quality_classifier",
+      (s, dir) => classifierScored(s, dir)
+        .withColumn("keep", col("score") >= 0.5),
+      Some(s"""WITH $classifierScoreSql
+             |SELECT doc_id, score, score >= 0.5 AS keep
+             |FROM clf_scored""".stripMargin)),
+
+    // threshold sweep of the hashed-feature classifier against the Gopher
+    // heuristic labels: precision/recall/F1 at 9 operating points — the
+    // calibration table that picks a production threshold before the
+    // classifier gates a 100 TB corpus. One scan computes scores, one the
+    // labels; the 9-row threshold spine rides a broadcast and the sweep is
+    // a single partial aggregation (every (threshold, doc) pair reduces
+    // map-side). Shares the score definition with quality_classifier and
+    // the label definition with gopher_rules/corpus_pipeline — a sweep
+    // over a DIFFERENT model than the one deployed would be meaningless.
+    Q("classifier_pr_curve",
       (s, dir) => {
-        val terms = docs(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
-          .filter(length(col("w")) > 0)
-          .select(col("doc_id"),
-            (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 64L).as("bucket"))
-        val byBucket = terms.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
-        // w_b = ((37b + 11) mod 21 - 10) / 10 ∈ [-1, 1] — exact doubles
-        val weight = ((col("bucket") * 37L + 11L) % 21L - 10L).cast("double") / 10.0
-        byBucket
-          .select(col("doc_id"), col("cnt"),
-            struct(col("bucket"),
-              (col("cnt").cast("double") * weight).as("c")).as("e"))
-          .groupBy("doc_id")
-          .agg(sum("cnt").as("n"), collect_list(col("e")).as("lst"))
-          .select(col("doc_id"),
-            round(lit(1.0) / (lit(1.0) +
-              exp(-(expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.c)") /
-                col("n")))), 4).as("score"))
-          .withColumn("keep", col("score") >= 0.5)
+        val scored = classifierScored(s, dir)
+        val labels = graft.quality.TextRules
+          .withGopherColumns(docs(s, dir), "text")
+          .select(col("doc_id"), col("keep").as("label"))
+        val spine = s.range(1, 10).select((col("id") / 10.0).as("threshold"))
+        scored.join(labels, Seq("doc_id"))
+          .crossJoin(broadcast(spine))
+          .groupBy("threshold")
+          .agg(
+            sum(when(col("score") >= col("threshold") && col("label"), 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("score") >= col("threshold") && !col("label"), 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("score") < col("threshold") && col("label"), 1L)
+              .otherwise(0L)).as("fn"))
+          .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+            round(try_divide(col("tp").cast("double"),
+              (col("tp") + col("fp")).cast("double")), 4).as("precision"),
+            round(try_divide(col("tp").cast("double"),
+              (col("tp") + col("fn")).cast("double")), 4).as("recall"),
+            round(try_divide((lit(2L) * col("tp")).cast("double"),
+              (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")), 4)
+              .as("f1"))
       },
-      Some("""WITH terms AS (
+      Some(s"""WITH $classifierScoreSql,
+             |gw AS (
+             |  SELECT doc_id, coalesce(text, '') AS text,
+             |    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+             |                x -> length(x) > 0) AS words
+             |  FROM documents),
+             |gm AS (
              |  SELECT doc_id,
-             |    cast(('0x' || substr(md5(u.w), 1, 8)) AS BIGINT) % 64 AS bucket
-             |  FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) AS u(w)
-             |  WHERE length(u.w) > 0),
-             |bb AS (SELECT doc_id, bucket, count(*) AS cnt
-             |       FROM terms GROUP BY doc_id, bucket),
-             |agg AS (
-             |  SELECT doc_id, sum(cnt) AS n,
-             |    list(cast(cnt AS double) *
-             |         (cast((bucket * 37 + 11) % 21 - 10 AS double) / 10.0)
-             |         ORDER BY bucket) AS cs
-             |  FROM bb GROUP BY doc_id)
-             |SELECT doc_id,
-             |  round(1.0 / (1.0 + exp(-(list_sum(cs) / n))), 4) AS score,
-             |  round(1.0 / (1.0 + exp(-(list_sum(cs) / n))), 4) >= 0.5 AS keep
-             |FROM agg""".stripMargin)),
+             |    cast(len(words) AS BIGINT) AS n_words,
+             |    round(cast(list_sum(list_transform(words, x -> length(x))) AS double)
+             |          / len(words), 4) AS mean_word_len,
+             |    round(cast(len(list_filter(words,
+             |          x -> regexp_full_match(x, '[A-Za-z]+'))) AS double)
+             |          / len(words), 4) AS frac_alpha,
+             |    cast(len(list_filter(words,
+             |          x -> lower(x) IN ('the','a','and','of','to','in'))) AS BIGINT)
+             |      AS stopword_hits,
+             |    round(cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS double)
+             |          / len(words), 4) AS symbol_ratio
+             |  FROM gw),
+             |lab AS (
+             |  SELECT doc_id,
+             |    coalesce(n_words BETWEEN 10 AND 100000
+             |      AND mean_word_len BETWEEN 2 AND 10 AND frac_alpha >= 0.8
+             |      AND stopword_hits >= 2 AND symbol_ratio <= 0.1, false) AS label
+             |  FROM gm),
+             |th AS (SELECT cast(i AS DOUBLE) / 10.0 AS threshold
+             |       FROM range(1, 10) t(i)),
+             |j AS (
+             |  SELECT th.threshold, s.score, l.label
+             |  FROM clf_scored s JOIN lab l USING (doc_id) CROSS JOIN th),
+             |cm AS (
+             |  SELECT threshold,
+             |    cast(sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |    cast(sum(CASE WHEN score >= threshold AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |    cast(sum(CASE WHEN score < threshold AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn
+             |  FROM j GROUP BY threshold)
+             |SELECT threshold, tp, fp, fn,
+             |  round(tp / nullif(tp + fp, 0), 4) AS precision,
+             |  round(tp / nullif(tp + fn, 0), 4) AS recall,
+             |  round(2 * tp / nullif(2 * tp + fp + fn, 0), 4) AS f1
+             |FROM cm""".stripMargin)),
 
     // exact-substring dedup REWRITE — the other half of dup_span_removal's
     // accounting: remove every word position covered by a 5-gram whose

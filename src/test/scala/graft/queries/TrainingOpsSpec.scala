@@ -213,6 +213,48 @@ class TrainingOpsSpec extends SparkSpec {
       s"resubstitution accuracy $acc not above uniform ${1.0 / langs.size}")
   }
 
+  test("classifier_pr_curve: label total invariant, recall monotone down") {
+    val rows = run("classifier_pr_curve").collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length === 9)
+    // tp + fn = total positive labels, independent of the threshold
+    val positives = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).distinct
+    assert(positives.length === 1, s"tp+fn varies: ${positives.toSeq}")
+    // raising the threshold can only lose true positives
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getAs[Long]("tp") <= lo.getAs[Long]("tp"))
+    }
+    rows.foreach { r =>
+      Seq("precision", "recall", "f1").foreach { c =>
+        val v = r.getAs[java.lang.Double](c)
+        if (v != null) assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+      }
+    }
+  }
+
+  test("event_spike_detection: flag agrees with the rounded z-score") {
+    // events.parquet stores ns timestamps (TESTDATA) — read as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows =
+      try run("event_spike_detection").collect()
+      finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[java.lang.Double]("z")
+      val spike = r.getAs[java.lang.Boolean]("spike")
+      if (z == null) assert(spike == null, "NULL z must not decide a flag")
+      else assert(spike === (z >= 3.0), s"z=$z spike=$spike")
+      // the baseline never sees the current row, so a constant-rate stream
+      // can't flag itself: zero std ⇒ z is NULL, handled above
+      val std = r.getAs[java.lang.Double]("baseline_std")
+      if (std != null && std > 0 && z != null) {
+        val recomputed = (r.getAs[Long]("n") - r.getAs[Double]("baseline_mean")) / std
+        assert(math.abs(recomputed - z) <= 0.01,
+          s"z=$z vs recomputed=$recomputed")
+      }
+    }
+  }
+
   test("pq_ann: top-3 per query, approx cosine is a valid cosine") {
     val rows = run("pq_ann").collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
