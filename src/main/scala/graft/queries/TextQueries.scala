@@ -1418,37 +1418,9 @@ object TextQueries {
     // to sanity-check the labeler before applying it to unlabeled data.
     Q("nb_train_score",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val d = docs(s, dir)
-        val dw = d.select(col("doc_id"), col("lang"),
-            explode(split(col("text"), "\\s+")).as("w"))
-          .filter(length(col("w")) > 0)
-        val docWord = dw.groupBy("doc_id", "w").agg(count(lit(1)).as("n_dw"))
-        val classCounts = dw.groupBy("lang", "w").agg(count(lit(1)).as("c_lw"))
-          .select(col("lang").as("l"), col("w"), col("c_lw"))
-        val classTotals = dw.groupBy("lang").agg(count(lit(1)).as("t_l"))
-          .select(col("lang").as("l"), col("t_l"))
-        val vocab = dw.select("w").distinct().agg(count(lit(1)).as("v"))
-        val priors = d.groupBy("lang").agg(count(lit(1)).as("n_l"))
-          .crossJoin(broadcast(d.select(count(lit(1)).as("n_docs"))))
-          .select(col("lang").as("l"),
-            (log(col("n_l")) - log(col("n_docs"))).as("log_prior"))
-        val langs = classTotals.join(broadcast(priors), Seq("l"))
-          .crossJoin(broadcast(vocab)) // l, t_l, log_prior, v — #langs rows
-        val scored = docWord
-          .crossJoin(broadcast(langs))
-          .join(classCounts, Seq("l", "w"), "left")
-          .groupBy(col("doc_id"), col("l"))
-          .agg((first(col("log_prior")) + sum(col("n_dw") *
-            (log(coalesce(col("c_lw"), lit(0L)) + lit(1)) -
-              log(col("t_l") + col("v"))))).as("score"))
-          .withColumn("score_r", round(col("score"), 6))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score_r").desc, col("l").asc)
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("doc_id"), col("l").as("pred_lang"),
-            col("score_r").as("log_score"))
+        val model = graft.quality.NaiveBayes.train(d)
+        graft.quality.NaiveBayes.score(d, model)
           .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
           .select(col("doc_id"), col("lang"), col("pred_lang"),
             (col("pred_lang") === col("lang")).as("correct"), col("log_score"))

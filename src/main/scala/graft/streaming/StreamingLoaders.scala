@@ -611,4 +611,36 @@ object StreamingLoaders {
           ()
         } finally { scored.unpersist(); () }
       }
+
+  /** Online application of the batch-trained Naive Bayes labeler
+    * ([[graft.quality.NaiveBayes]]): each micro-batch is scored against
+    * the STATIC model frames — the label-level stats ride a broadcast,
+    * the (label, word) count table is an ordinary stream-side equi-join —
+    * and lands with its `pred_lang`/`log_score` through
+    * [[TxLogTable.appendOnce]] (exactly-once under foreachBatch replay).
+    * Train offline, score in-flight, one model definition: the streamed
+    * predictions are byte-equal to [[graft.quality.NaiveBayes.score]] on
+    * the same rows, which `StreamingSpec` asserts. Docs whose text yields
+    * zero tokens keep a NULL prediction (left join) rather than being
+    * silently dropped. */
+  def nbScoreSink(
+      staged: DataFrame,
+      model: graft.quality.NaiveBayes.Model,
+      store: TxLogTable,
+      table: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    staged.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.appendOnce(table,
+          batch.join(
+            graft.quality.NaiveBayes.score(batch, model, idCol, textCol),
+            Seq(idCol), "left"),
+          s"nb=$checkpoint", batchId)
+        ()
+      }
 }

@@ -665,4 +665,44 @@ class StreamingSpec extends SparkSpec {
       }
     assert(got === want, s"streamed reservoirs $got != batch top-k $want")
   }
+
+  test("nb score sink: streamed predictions equal the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream_nb").toString
+    val store = new graft.runtime.TxLogTable(spark, wh)
+
+    // batch-train the model on a small labeled corpus
+    val corpus = Seq(
+      (1L, "en", "the cat and the dog in the house"),
+      (2L, "en", "a dog in a house of the cat"),
+      (3L, "de", "der hund und die katze im haus"),
+      (4L, "de", "die katze im haus und der hund"),
+      (5L, "fr", "le chat et le chien dans la maison"),
+      (6L, "fr", "la maison du chat et le chien")
+    ).toDF("doc_id", "lang", "text")
+    val model = graft.quality.NaiveBayes.train(corpus)
+
+    val input = MemoryStream[(Long, String)]
+    val staged = input.toDF().toDF("doc_id", "text")
+    val q = StreamingLoaders.nbScoreSink(staged, model, store, "scored",
+      checkpoint = s"$wh/_cp",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    val unseen = Seq((10L, "the dog and the cat"), (11L, "der hund im haus"),
+      (12L, "le chien et le chat"))
+    input.addData(unseen.take(2): _*); q.processAllAvailable()
+    input.addData(unseen.drop(2): _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = store.read("scored")
+      .select("doc_id", "pred_lang", "log_score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val batch = graft.quality.NaiveBayes
+      .score(unseen.toDF("doc_id", "text"), model).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed === batch,
+      s"streamed $streamed must equal batch scorer $batch")
+    // sanity: the model actually separates the languages it was trained on
+    assert(streamed.map(t => t._1 -> t._2).toMap ===
+      Map(10L -> "en", 11L -> "de", 12L -> "fr"))
+  }
 }
