@@ -8,7 +8,15 @@ import graft.queries.{DvQueries, SimQueries, TextQueries}
   * operator from SURVEY §2 plus the training-data operator suite).
   */
 object SparkEntry {
-  private lazy val registry = DvQueries.all ++ TextQueries.all ++ SimQueries.all
+  private lazy val registry = {
+    val r = DvQueries.all ++ TextQueries.all ++ SimQueries.all
+    // the maps below are keyed by name — a duplicate would SILENTLY shadow
+    // one query's fn/oracle with another's and the driver compare would
+    // green-light the survivor; fail loudly instead
+    val dup = r.groupBy(_.name).collect { case (n, qs) if qs.sizeIs > 1 => n }
+    require(dup.isEmpty, s"duplicate query names in registry: ${dup.mkString(", ")}")
+    r
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full PIT build (stage → sat v0 → v1 → hub × snapshots → temporal join). */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The shared MinHash+LSH signature scheme: word-3-gram shingles, one
@@ -43,4 +43,31 @@ object MinHash {
   def bucketExpr: Column =
     md5(concat(col("band").cast("string"), lit("#"),
       expr("concat_ws('|', slice(split(sig, '\\\\|'), band * 4 + 1, 4))")))
+
+  /** Batch-shape signatures: one row `(idCol, sig)` per document that has
+    * at least one shingle. 30-bit base hash = top 15 hex digits of ONE md5
+    * per distinct shingle, then all 8 minhashes in ONE aggregation over the
+    * un-replicated shingle rows (8 parallel codegen'd min columns) — the
+    * j-explode variant multiplied shuffle volume 8× for identical bytes.
+    * Shared by the one-shot corpus chain (`graft.queries.TextQueries`) and
+    * the incremental maintenance operator ([[IncrementalLsh]]), so both
+    * provably bucket by the same signature. */
+  def signatures(docsDf: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val sh = docsDf
+      .withColumn("words", split(col(textCol), "\\s+"))
+      .select(col(idCol), explode(array_distinct(expr(shinglesExpr))).as("shingle"))
+      .select(col(idCol),
+        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+          % 1073741824L).as("u"))
+    sh.groupBy(idCol)
+      .agg(concat_ws("|", HashFamily.map { case (a, b) =>
+        min((lit(a) * col("u") + lit(b)) % lit(HashPrime)).cast("string")
+      }: _*).as("sig"))
+  }
+
+  /** `(idCol, band, bucket)` rows from a signature frame — 2 bands × 4 rows */
+  def bands(sig: DataFrame, idCol: String = "doc_id"): DataFrame =
+    sig.select(col(idCol), explode(array(lit(0), lit(1))).as("band"), col("sig"))
+      .select(col(idCol), col("band"), bucketExpr.as("bucket"))
 }

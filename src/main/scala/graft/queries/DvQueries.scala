@@ -40,7 +40,7 @@ object DvQueries {
       tmpDirs.values.forEach(p => rmTree(p.toFile))
     }))
   }
-  private def tmpWarehouse(prefix: String): String = {
+  private[queries] def tmpWarehouse(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Option(tmpDirs.put(prefix, p)).foreach(old => rmTree(old.toFile))
     p.toString

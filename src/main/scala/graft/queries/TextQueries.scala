@@ -93,47 +93,18 @@ object TextQueries {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
     }
 
-  /** the 8 universal-hash projections (a_j·u + b_j) mod p over one 30-bit
-    * base hash u per shingle: ONE md5 per shingle instead of eight — at
-    * 100 TB the signature pass is the dominant cost of near-dup dedup, and
-    * 8 md5+concat per shingle row was 8× the hashing work for the same
-    * minhash quality. Constants shared with the streaming operator; the
-    * DuckDB oracle mirrors the arithmetic exactly. */
-  private val HashFamily = graft.ops.MinHash.HashFamily
-  private val HashPrime = graft.ops.MinHash.HashPrime
-
   /** 8-component minhash signature per doc ("m0|m1|…|m7"), optionally
     * restricted to a (small) doc subset BEFORE the shingle explode — the
     * verify-time consumer re-derives signatures for candidate members only,
     * never re-shingling the whole corpus. */
   private def minhashSignatures(s: SparkSession, dir: String,
-      restrictTo: Option[DataFrame] = None): DataFrame = {
-    val base = restrictTo.foldLeft(docs(s, dir))((d, m) =>
-      d.join(broadcast(m), Seq("doc_id"), "left_semi"))
-    val sh = base
-      .withColumn("words", split(col("text"), "\\s+"))
-      .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("shingle"))
-      // 30-bit base hash: top 15 hex digits of ONE md5, reduced mod 2^30
-      .select(col("doc_id"),
-        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
-          % 1073741824L).as("u"))
-    // all 8 minhashes in ONE aggregation over the un-replicated shingle rows
-    // (8 parallel min-agg columns) — the j-explode variant multiplied the
-    // shuffle volume 8×; same signature bytes, ordered by j
-    sh.groupBy("doc_id")
-      .agg(concat_ws("|", HashFamily.map { case (a, b) =>
-        min((lit(a) * col("u") + lit(b)) % lit(HashPrime)).cast("string")
-      }: _*).as("sig"))
-  }
+      restrictTo: Option[DataFrame] = None): DataFrame =
+    graft.ops.MinHash.signatures(restrictTo.foldLeft(docs(s, dir))((d, m) =>
+      d.join(broadcast(m), Seq("doc_id"), "left_semi")))
 
   /** (doc_id, band, bucket) rows from a signature frame — 2 bands × 4 rows */
   private def bandsOf(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"),
-      explode(array(lit(0), lit(1))).as("band"),
-      col("sig"))
-      .select(col("doc_id"), col("band"),
-        md5(concat(col("band").cast("string"), lit("#"),
-          expr("concat_ws('|', slice(split(sig, '\\\\|'), band * 4 + 1, 4))"))).as("bucket"))
+    graft.ops.MinHash.bands(sig)
 
   private def buildLshCandidates(s: SparkSession, dir: String): DataFrame = {
     val bands = bandsOf(minhashSignatures(s, dir))
@@ -444,6 +415,29 @@ object TextQueries {
     // emits candidate near-dup pairs sharing any band bucket
     Q("minhash_lsh",
       (s, dir) => lshCandidates(s, dir),
+      Some(s"""WITH $lshCandSql
+             |SELECT doc_id, doc_id_2 FROM cands""".stripMargin)),
+
+    // STATEFUL candidate maintenance (graft.ops.IncrementalLsh) — the
+    // multi-batch big sibling of the one-shot `lsh_incremental` delta
+    // check below: the corpus arrives in 3 batches; each ingest signatures
+    // only the new docs, probes the STORED membership of the touched band
+    // buckets, and appends pair/tombstone deltas exactly-once. The oracle
+    // is the ONE-SHOT chain over the whole corpus — the driver-checked
+    // invariant is accumulated-incremental == batch, the property that
+    // lets a growing corpus skip the O(corpus) re-shingle per arrival.
+    Q("lsh_maintain",
+      (s, dir) => {
+        val store = new graft.runtime.TxLogTable(
+          s, DvQueries.tmpWarehouse("graft_lsh_inc"))
+        val d = docs(s, dir)
+        (0L until 3L).foreach { i =>
+          graft.ops.IncrementalLsh.ingest(store, "docs",
+            d.filter(pmod(col("doc_id"), lit(3L)) === lit(i)),
+            batchId = i, cap = MaxBucketSize)
+        }
+        graft.ops.IncrementalLsh.candidates(store, "docs")
+      },
       Some(s"""WITH $lshCandSql
              |SELECT doc_id, doc_id_2 FROM cands""".stripMargin)),
 

@@ -1,0 +1,99 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.runtime.TxLogTable
+
+class IncrementalLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** the one-shot batch semantics, computed directly: pairs of co-bucketed
+    * docs restricted to buckets with final size <= cap */
+  private def batchCandidates(docs: DataFrame, cap: Int): Set[(Long, Long)] = {
+    val bands = MinHash.bands(MinHash.signatures(docs))
+    val capped = bands.join(
+      bands.groupBy("band", "bucket").count()
+        .filter(col("count") <= cap).drop("count"),
+      Seq("band", "bucket"), "left_semi")
+    val b2 = capped.select(col("doc_id").as("doc_id_2"),
+      col("band").as("band_2"), col("bucket").as("bucket_2"))
+    capped.join(b2, col("bucket") === col("bucket_2") &&
+        col("band") === col("band_2") && col("doc_id") < col("doc_id_2"))
+      .select("doc_id", "doc_id_2").distinct()
+      .as[(Long, Long)].collect().toSet
+  }
+
+  private def candSet(store: TxLogTable, prefix: String): Set[(Long, Long)] =
+    IncrementalLsh.candidates(store, prefix)
+      .as[(Long, Long)].collect().toSet
+
+  // near-dup family: shared sentence with small suffix edits, plus distinct
+  // background docs so buckets stay small
+  private val corpus: Seq[(Long, String)] = {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    (1L to 9L).map(i => i -> s"$base variant $i") ++
+      (10L to 30L).map(i =>
+        i -> (s"completely unrelated document number $i about topic ${i * 7} " +
+          s"with words ${i * 13} ${i * 17} ${i * 19} ${i * 23} ${i * 29}"))
+  }
+
+  test("incremental over 3 batches equals the one-shot batch candidate set") {
+    val docs = corpus.toDF("doc_id", "text")
+    val store = new TxLogTable(spark,
+      Files.createTempDirectory("graft_inc_lsh").toString)
+    (0L until 3L).foreach { i =>
+      IncrementalLsh.ingest(store, "d",
+        docs.filter(pmod(col("doc_id"), lit(3L)) === lit(i)), batchId = i)
+    }
+    val want = batchCandidates(docs, cap = 100)
+    assert(want.nonEmpty, "fixture must produce near-dup candidates")
+    assert(candSet(store, "d") === want)
+  }
+
+  test("a bucket crossing the cap retracts pairs emitted in earlier batches") {
+    val docs = corpus.toDF("doc_id", "text")
+    // pick the cap just under the LARGEST final bucket, so exactly the big
+    // family bucket overflows — and with the mod-3 batch split a ≥3-member
+    // bucket necessarily spans ≥2 batches, exercising the retroactive kill
+    val bands = MinHash.bands(MinHash.signatures(docs))
+    val maxBucket = bands.groupBy("band", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket >= 3, s"fixture too weak: max bucket size $maxBucket")
+    val cap = (maxBucket - 1).toInt
+    val store = new TxLogTable(spark,
+      Files.createTempDirectory("graft_inc_lsh_cap").toString)
+    (0L until 3L).foreach { i =>
+      IncrementalLsh.ingest(store, "d",
+        docs.filter(pmod(col("doc_id"), lit(3L)) === lit(i)),
+        batchId = i, cap = cap)
+    }
+    val want = batchCandidates(docs, cap = cap)
+    val got = candSet(store, "d")
+    assert(got === want)
+    // and the retraction actually fired: the dead bucket cost us pairs
+    assert(want.subsetOf(batchCandidates(docs, cap = 100)) &&
+      got.size < batchCandidates(docs, cap = 100).size)
+  }
+
+  test("replaying a batch is a no-op (exactly-once appends)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val store = new TxLogTable(spark,
+      Files.createTempDirectory("graft_inc_lsh_replay").toString)
+    (0L until 3L).foreach { i =>
+      IncrementalLsh.ingest(store, "d",
+        docs.filter(pmod(col("doc_id"), lit(3L)) === lit(i)), batchId = i)
+    }
+    val before = candSet(store, "d")
+    // replay the middle batch — all three appends must skip
+    IncrementalLsh.ingest(store, "d",
+      docs.filter(pmod(col("doc_id"), lit(3L)) === lit(1L)), batchId = 1L)
+    assert(candSet(store, "d") === before)
+    assert(store.read("d_pairs").count() ===
+      store.read("d_pairs").dropDuplicates("doc_id", "doc_id_2", "band", "bucket").count(),
+      "replay must not duplicate pair rows")
+  }
+}
