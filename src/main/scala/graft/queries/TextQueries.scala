@@ -262,6 +262,75 @@ object TextQueries {
              |  FROM grams)
              |SELECT DISTINCT doc_id, fp FROM winnowed WHERE i <= n - 7""".stripMargin)),
 
+    // exact SUBSTRING-level dedup (the "Deduplicating Training Data Makes
+    // Language Models Better" ExactSubstr shape, token-granular): every
+    // word-5-gram position is hashed, grams appearing in >= 2 DISTINCT
+    // docs are flagged (min(doc)<>max(doc) per gram — no count-distinct
+    // expansion), and flagged positions merge into MAXIMAL duplicated
+    // spans per doc by interval merge (break when a span starts past
+    // every previous end; windows partition by doc_id, never global).
+    // 100 TB shape: grams shuffle as 32-hex hashes, the dup-gram test is
+    // one map-side-combinable agg, the flag-back is an equi-join on the
+    // uniformly-distributed hash (no salting needed), and span assembly
+    // is per-doc. Output spans are what a scrubber would cut or a
+    // dup-ratio gate would meter.
+    Q("dup_spans",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val K = 5
+        val g = docs(s, dir)
+          .withColumn("words", split(col("text"), "\\s+"))
+          .filter(size(col("words")) >= K)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, size(words) - ${K - 1}), " +
+              s"i -> struct(i AS pos, md5(concat_ws(' ', slice(words, i, $K))) AS g))")).as("e"))
+          .select(col("doc_id"), col("e.pos").cast("long").as("pos"), col("e.g").as("g"))
+        val dupG = g.groupBy("g")
+          .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+          .filter(col("lo") =!= col("hi")).select("g")
+        val iv = g.join(dupG, Seq("g"), "left_semi")
+          .select(col("doc_id"), col("pos").as("s"),
+            (col("pos") + lit(K - 1)).as("e"))
+        val prev = Window.partitionBy("doc_id").orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ord = Window.partitionBy("doc_id").orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        iv.withColumn("brk",
+            when(col("s") > max(col("e")).over(prev), 1).otherwise(0))
+          .withColumn("grp", sum(col("brk")).over(ord))
+          .groupBy("doc_id", "grp")
+          .agg(min("s").as("span_start"), max("e").as("span_end"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, cast(u.i AS BIGINT) AS pos,
+             |    md5(array_to_string(words[cast(u.i AS INT):cast(u.i AS INT)+4], ' ')) AS g
+             |  FROM w, UNNEST(range(1, cast(len(words) AS BIGINT) - 3)) AS u(i)
+             |  WHERE len(words) >= 5),
+             |dup_g AS (
+             |  SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+             |iv AS (
+             |  SELECT doc_id, pos AS s, pos + 4 AS e
+             |  FROM g SEMI JOIN dup_g USING (g)),
+             |brks AS (
+             |  SELECT doc_id, s, e,
+             |    CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM iv),
+             |grps AS (
+             |  SELECT doc_id, s, e,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+             |      ROWS UNBOUNDED PRECEDING) AS grp
+             |  FROM brks)
+             |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+             |  max(e) - min(s) + 1 AS span_tokens
+             |FROM grps GROUP BY doc_id, grp""".stripMargin)),
+
     // token counting: whitespace tokens + BPE-ish word/punct pieces + chars
     Q("token_stats",
       (s, dir) => docs(s, dir).select(
