@@ -75,10 +75,14 @@ object IncrementalLsh {
       val existing = store.readIfExists(bandsT(prefix)).map(
         _.join(touched, Seq("band", "bucket"), "left_semi")
           .join(newIds, Seq("doc_id"), "left_anti"))
+      // three consumers (overflow count + both sides of the pair self-join)
+      // would each re-scan the stored bands — persist the touched-bucket
+      // membership once per ingest; it is O(touched buckets), not O(corpus)
       val members = existing
         .map(_.withColumn("is_new", lit(false))
           .unionByName(newBands.withColumn("is_new", lit(true))))
         .getOrElse(newBands.withColumn("is_new", lit(true)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val deadBefore = store.readIfExists(deadT(prefix))
       val overflowed = members.groupBy("band", "bucket")
         .agg(count(lit(1)).as("n")).filter(col("n") > cap)
@@ -96,10 +100,12 @@ object IncrementalLsh {
         .select("doc_id", "doc_id_2", "band", "bucket")
         .join(deadNow, Seq("band", "bucket"), "left_anti")
         .select("doc_id", "doc_id_2", "band", "bucket")
-      store.appendOnce(pairsT(prefix), emit, appId, batchId)
-      store.appendOnce(deadT(prefix), newlyDead, appId, batchId)
-      store.appendOnce(bandsT(prefix), newBands, appId, batchId)
-      ()
+      try {
+        store.appendOnce(pairsT(prefix), emit, appId, batchId)
+        store.appendOnce(deadT(prefix), newlyDead, appId, batchId)
+        store.appendOnce(bandsT(prefix), newBands, appId, batchId)
+        ()
+      } finally { members.unpersist(blocking = false); () }
     } finally { newBands.unpersist(blocking = false); () }
   }
 
