@@ -201,6 +201,70 @@ object TextQueries {
       |    round(1.0 / (1.0 + exp(-(list_sum(cs) / n))), 4) AS score
       |  FROM clf_agg)""".stripMargin
 
+  /** Maximal cross-doc duplicated token spans per document — see the
+    * `dup_spans` query comment for semantics and the 100 TB argument.
+    * One builder, two consumers (`dup_spans`, `dup_span_ratio`). */
+  private def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 5
+    val g = docs(s, dir)
+      .withColumn("words", split(col("text"), "\\s+"))
+      .filter(size(col("words")) >= K)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(words) - ${K - 1}), " +
+          s"i -> struct(i AS pos, md5(concat_ws(' ', slice(words, i, $K))) AS g))")).as("e"))
+      .select(col("doc_id"), col("e.pos").cast("long").as("pos"), col("e.g").as("g"))
+    val dupG = g.groupBy("g")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") =!= col("hi")).select("g")
+    val iv = g.join(dupG, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(K - 1)).as("e"))
+    val prev = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ord = Window.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    iv.withColumn("brk",
+        when(col("s") > max(col("e")).over(prev), 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(ord))
+      .groupBy("doc_id", "grp")
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** DuckDB mirror of [[dupSpans]]: CTE chain ending in
+    * `spans(doc_id, span_start, span_end, span_tokens)` */
+  private val dupSpanSql =
+    """dsw AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      |  FROM documents),
+      |dsg AS (
+      |  SELECT doc_id, cast(u.i AS BIGINT) AS pos,
+      |    md5(array_to_string(words[cast(u.i AS INT):cast(u.i AS INT)+4], ' ')) AS g
+      |  FROM dsw, UNNEST(range(1, cast(len(words) AS BIGINT) - 3)) AS u(i)
+      |  WHERE len(words) >= 5),
+      |dup_g AS (
+      |  SELECT g FROM dsg GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+      |ds_iv AS (
+      |  SELECT doc_id, pos AS s, pos + 4 AS e
+      |  FROM dsg SEMI JOIN dup_g USING (g)),
+      |ds_brks AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM ds_iv),
+      |ds_grps AS (
+      |  SELECT doc_id, s, e,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM ds_brks),
+      |spans AS (
+      |  SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+      |    max(e) - min(s) + 1 AS span_tokens
+      |  FROM ds_grps GROUP BY doc_id, grp)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // exact dedup: hash-groupBy, keep lowest doc_id per content hash
@@ -272,64 +336,45 @@ object TextQueries {
     // 100 TB shape: grams shuffle as 32-hex hashes, the dup-gram test is
     // one map-side-combinable agg, the flag-back is an equi-join on the
     // uniformly-distributed hash (no salting needed), and span assembly
-    // is per-doc. Output spans are what a scrubber would cut or a
-    // dup-ratio gate would meter.
+    // is per-doc. Output spans are what a scrubber would cut or the
+    // dup-ratio gate below meters.
     Q("dup_spans",
+      (s, dir) => dupSpans(s, dir),
+      Some(s"""WITH $dupSpanSql
+             |SELECT doc_id, span_start, span_end, span_tokens
+             |FROM spans""".stripMargin)),
+
+    // the METER over the spans: per-doc duplicated-token fraction and the
+    // keep/drop gate a pipeline applies before training (docs that are
+    // mostly duplicated text are boilerplate; docs under 5 tokens carry no
+    // gram and keep ratio 0 via the left join). Same span definition as
+    // dup_spans — one builder, two consumers.
+    Q("dup_span_ratio",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val K = 5
-        val g = docs(s, dir)
-          .withColumn("words", split(col("text"), "\\s+"))
-          .filter(size(col("words")) >= K)
-          .select(col("doc_id"), explode(expr(
-            s"transform(sequence(1, size(words) - ${K - 1}), " +
-              s"i -> struct(i AS pos, md5(concat_ws(' ', slice(words, i, $K))) AS g))")).as("e"))
-          .select(col("doc_id"), col("e.pos").cast("long").as("pos"), col("e.g").as("g"))
-        val dupG = g.groupBy("g")
-          .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-          .filter(col("lo") =!= col("hi")).select("g")
-        val iv = g.join(dupG, Seq("g"), "left_semi")
-          .select(col("doc_id"), col("pos").as("s"),
-            (col("pos") + lit(K - 1)).as("e"))
-        val prev = Window.partitionBy("doc_id").orderBy("s")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val ord = Window.partitionBy("doc_id").orderBy("s")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        iv.withColumn("brk",
-            when(col("s") > max(col("e")).over(prev), 1).otherwise(0))
-          .withColumn("grp", sum(col("brk")).over(ord))
-          .groupBy("doc_id", "grp")
-          .agg(min("s").as("span_start"), max("e").as("span_end"))
-          .select(col("doc_id"), col("span_start"), col("span_end"),
-            (col("span_end") - col("span_start") + 1).as("span_tokens"))
+        val perDoc = dupSpans(s, dir).groupBy("doc_id")
+          .agg(sum("span_tokens").as("dup_tokens"))
+        docs(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("ws_tokens"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+              col("ws_tokens"), 6).as("dup_ratio"))
+          .withColumn("keep", col("dup_ratio") < 0.5)
       },
-      Some("""WITH w AS (
-             |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
-             |  FROM documents),
-             |g AS (
-             |  SELECT doc_id, cast(u.i AS BIGINT) AS pos,
-             |    md5(array_to_string(words[cast(u.i AS INT):cast(u.i AS INT)+4], ' ')) AS g
-             |  FROM w, UNNEST(range(1, cast(len(words) AS BIGINT) - 3)) AS u(i)
-             |  WHERE len(words) >= 5),
-             |dup_g AS (
-             |  SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)),
-             |iv AS (
-             |  SELECT doc_id, pos AS s, pos + 4 AS e
-             |  FROM g SEMI JOIN dup_g USING (g)),
-             |brks AS (
-             |  SELECT doc_id, s, e,
-             |    CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-             |    THEN 1 ELSE 0 END AS brk
-             |  FROM iv),
-             |grps AS (
-             |  SELECT doc_id, s, e,
-             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
-             |      ROWS UNBOUNDED PRECEDING) AS grp
-             |  FROM brks)
-             |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
-             |  max(e) - min(s) + 1 AS span_tokens
-             |FROM grps GROUP BY doc_id, grp""".stripMargin)),
+      Some(s"""WITH $dupSpanSql,
+             |per_doc AS (
+             |  SELECT doc_id, sum(span_tokens) AS dup_tokens
+             |  FROM spans GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  cast(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS ws_tokens,
+             |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+             |  round(cast(coalesce(p.dup_tokens, 0) AS double) /
+             |    len(regexp_split_to_array(d.text, '\\s+')), 6) AS dup_ratio,
+             |  round(cast(coalesce(p.dup_tokens, 0) AS double) /
+             |    len(regexp_split_to_array(d.text, '\\s+')), 6) < 0.5 AS keep
+             |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin)),
 
     // token counting: whitespace tokens + BPE-ish word/punct pieces + chars
     Q("token_stats",
