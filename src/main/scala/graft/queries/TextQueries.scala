@@ -936,6 +936,51 @@ object TextQueries {
              |  u < keep_rate AS keep
              |FROM d""".stripMargin)),
 
+    // deterministic GLOBAL shuffle + train/val/test split + shard layout —
+    // the last step before a corpus becomes a training dataset. Order is
+    // by a seeded md5 of the doc id: reproducible (same corpus → same
+    // bytes in the same shard slots), incremental-friendly (a doc's split
+    // and shard never change as the corpus grows), and free of rand()
+    // state. The within-shard position is a per-(split, shard) window —
+    // 48 bounded sorts here; at 100 TB you raise the shard count so each
+    // shard's sort fits one task, which is exactly how shard files are
+    // sized anyway. No global sort anywhere.
+    Q("train_shard",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+          .select(col("doc_id"),
+            md5(concat(lit("ts#"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("p",
+            conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 100L)
+          .withColumn("split_name",
+            when(col("p") < 90, "train").when(col("p") < 95, "val")
+              .otherwise("test"))
+          .withColumn("shard",
+            conv(substring(col("h"), 9, 8), 16, 10).cast("long") % 16L)
+        d.withColumn("pos", row_number()
+            .over(Window.partitionBy("split_name", "shard")
+              .orderBy(col("h"), col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("split_name"), col("shard"), col("pos"))
+      },
+      Some("""WITH th AS (
+             |  SELECT doc_id, md5('ts#' || cast(doc_id AS VARCHAR)) AS h
+             |  FROM documents),
+             |ta AS (
+             |  SELECT doc_id, h,
+             |    cast(('0x' || substr(h, 1, 8)) AS BIGINT) % 100 AS p,
+             |    cast(('0x' || substr(h, 9, 8)) AS BIGINT) % 16 AS shard
+             |  FROM th),
+             |tb AS (
+             |  SELECT doc_id, h, shard,
+             |    CASE WHEN p < 90 THEN 'train' WHEN p < 95 THEN 'val'
+             |    ELSE 'test' END AS split_name
+             |  FROM ta)
+             |SELECT doc_id, split_name, shard,
+             |  cast(row_number() OVER (PARTITION BY split_name, shard
+             |    ORDER BY h, doc_id) AS BIGINT) AS pos
+             |FROM tb""".stripMargin)),
+
     // PII detection + scrubbing: count and mask email / phone-like / IPv4
     // patterns — the content-safety pass a training pipeline runs before
     // release. Stateless per-row regexes (codegen'd), zero shuffle; the
