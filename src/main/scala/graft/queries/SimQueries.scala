@@ -701,6 +701,48 @@ object SimQueries {
              |  true AS est_within_5pct
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // mergeable QUANTILE sketch table (KLL): per-(source, lang) sketches
+    // over document length, merged per source WITHOUT raw data — the
+    // distribution dimension of the sketch-table family (`hll_sketch_rollup`
+    // = distinct, `topk_sketch_rollup` = frequency). At 100 TB the daily
+    // artifact is one ~KB blob per group and any rollup is a merge over
+    // blobs, not a rescan + global sort (exact percentiles need one).
+    // KLL compaction is RANDOMIZED, so unlike HLL/theta the estimate is
+    // only a stable oracle constant while sketches stay below capacity —
+    // k=2048 holds every group at the verified scales exact (SketchSpec
+    // pins this), and the oracle-facing check is the sketch's own
+    // contract anyway: the RANK of the returned quantile, not its value,
+    // within ±5% (KLL's guarantee is rank error ~1.65% at k=200).
+    Q("kll_quantile_rollup",
+      (s, dir) => {
+        val d = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("source"), col("lang"), col("n_chars"))
+        val perGroup = d.groupBy("source", "lang")
+          .agg(expr("kll_sketch_agg_bigint(n_chars, 2048)").as("sk"))
+        // kll_sketch_merge_bigint is a two-sketch scalar (no merge-agg
+        // form exists): fold over the collected per-group blobs — groups
+        // per source are few, and below capacity the merged sketch holds
+        // the full multiset union, so fold order cannot matter
+        val rolled = perGroup.groupBy("source")
+          .agg(collect_list(col("sk")).as("ls"))
+          .withColumn("sk", expr("aggregate(slice(ls, 2, size(ls) - 1), " +
+            "ls[0], (a, x) -> kll_sketch_merge_bigint(a, x))"))
+          .select(col("source"),
+            expr("kll_sketch_get_quantile_bigint(sk, 0.5)").as("est_p50"),
+            expr("kll_sketch_get_quantile_bigint(sk, 0.9)").as("est_p90"))
+        d.join(rolled, Seq("source"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            avg(when(col("n_chars") <= col("est_p50"), 1.0).otherwise(0.0)).as("r50"),
+            avg(when(col("n_chars") <= col("est_p90"), 1.0).otherwise(0.0)).as("r90"))
+          .select(col("source"), col("n_docs"),
+            (abs(col("r50") - 0.5) <= 0.05).as("p50_rank_ok"),
+            (abs(col("r90") - 0.9) <= 0.05).as("p90_rank_ok"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  true AS p50_rank_ok, true AS p90_rank_ok
+             |FROM documents GROUP BY source""".stripMargin)),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup via embedding
     // clustering — assign every vector to its nearest centroid, keep one
     // representative per cluster (min vec_id), flag members whose cosine

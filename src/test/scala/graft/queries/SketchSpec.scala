@@ -61,4 +61,33 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(oneShot - exact).toDouble <= 0.05 * exact,
       s"estimate $oneShot outside 5% of $exact")
   }
+
+  test("kll below capacity: quantiles exact, partition/merge-order invariant") {
+    // kll_quantile_rollup relies on this: KLL compaction is randomized, so
+    // its oracle is only deterministic while every sketch retains all
+    // items — which k=2048 guarantees at the verified scales. Pin that a
+    // below-capacity sketch (a) returns a true data item at the exact
+    // inclusive rank, (b) is invariant under partitioning, and (c) a merge
+    // of grouped below-capacity sketches equals the one-shot sketch.
+    val vals = (1 to 1000).map(i => (i.toLong * 3, i % 7))
+    def q(parts: Int) =
+      vals.toDF("v", "g").repartition(parts)
+        .agg(expr("kll_sketch_get_quantile_bigint(kll_sketch_agg_bigint(v, 2048), 0.5)"))
+        .as[Long].head()
+    val qs = Seq(1, 4, 32).map(q)
+    assert(qs.distinct.size == 1, s"partitioning changed the quantile: $qs")
+    assert(qs.head == 1500L, s"p50 of 3..3000 step 3 must be 1500, got ${qs.head}")
+    // kll_sketch_merge_bigint is a two-sketch scalar, so the rollup folds
+    // over the collected group sketches; below capacity the merged sketch
+    // holds the full multiset union, so the fold order cannot matter
+    val merged = vals.toDF("v", "g").groupBy("g")
+      .agg(expr("kll_sketch_agg_bigint(v, 2048)").as("sk"))
+      .agg(collect_list(col("sk")).as("ls"))
+      .select(expr("kll_sketch_get_quantile_bigint(" +
+        "aggregate(slice(ls, 2, size(ls) - 1), ls[0], " +
+        "(a, x) -> kll_sketch_merge_bigint(a, x)), 0.5)"))
+      .as[Long].head()
+    assert(merged == qs.head,
+      s"grouped-then-merged ($merged) must equal one-shot (${qs.head})")
+  }
 }
