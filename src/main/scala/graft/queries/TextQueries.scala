@@ -337,7 +337,12 @@ object TextQueries {
     // one map-side-combinable agg, the flag-back is an equi-join on the
     // uniformly-distributed hash (no salting needed), and span assembly
     // is per-doc. Output spans are what a scrubber would cut or the
-    // dup-ratio gate below meters.
+    // dup-ratio gate below meters. Distinct from `dup_span_removal` /
+    // `dup_span_rewrite` (directional: a position is dup iff its gram
+    // FIRST appeared in a lower doc_id — who keeps the text): here
+    // duplication is SYMMETRIC (any gram shared across docs marks both
+    // sides) and the deliverable is the merged [start, end] boundaries,
+    // not per-position counts.
     Q("dup_spans",
       (s, dir) => dupSpans(s, dir),
       Some(s"""WITH $dupSpanSql
