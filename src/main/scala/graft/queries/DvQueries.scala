@@ -863,6 +863,59 @@ object DvQueries {
               |    AND snap.sdts BETWEEN s2.ldts AND s2.ledts)
               |SELECT DISTINCT * FROM pit""".stripMargin)),
 
+    // BRIDGE (Data Vault query-assistance sibling of the PIT, built from
+    // the same snapshot-spine machinery; the reference ships PIT only and
+    // its users assemble bridges by hand from hub+link+snaps): grain =
+    // snapshot × link instance alive as-of that snapshot, so a BI query
+    // walks hub→link→hub with ONE equi-join instead of re-running the
+    // as-of logic. The spine is tiny (broadcast-NLJ on ldts <= sdts —
+    // bounded by #links × #snapshots, the result's own cardinality, same
+    // shape as the eff-sat history matrix); the per-(customer, snapshot)
+    // order count is a window partitioned by the bridge's own grain.
+    // Dimension key = hash(hk, sdts) exactly like the PIT (pit.sql:23-28).
+    Q("bridge_order_customer",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val link = {
+          val st = ordStage(s, dir)
+            .withColumn("hk_order_customer_l",
+              Hashing.hashkey(Seq(col("o_orderkey"), col("o_custkey"))))
+            .withColumn("hk_order_h", Hashing.hashkey(Seq(col("o_orderkey"))))
+          LinkLoader.records(
+            Seq(EntitySource(st, Some("hk_order_customer_l"), Seq("hk_order_h", "hk_customer_h"))),
+            "hk_order_customer_l", Seq("hk_order_h", "hk_customer_h"), target = None)
+        }
+        val snaps = ControlSnapV0Loader
+          .build(s, "2024-01-04", "12:00:00", Some("2024-01-06"))
+          .select("sdts")
+        val alive = link.join(broadcast(snaps), col(LdtsAlias) <= col("sdts"))
+        alive
+          .withColumn("n_orders_asof",
+            count(lit(1)).over(Window.partitionBy("hk_customer_h", "sdts")))
+          .select(
+            Hashing.hashkey(Seq(col("hk_customer_h"), col("sdts")))
+              .as("dim_key_customer"),
+            col("sdts"), col("hk_customer_h"), col("hk_order_h"),
+            col("hk_order_customer_l"), col("n_orders_asof"))
+      },
+      Some(s"""WITH link AS (
+              |  SELECT ${O.hashkey("o_orderkey", "o_custkey")} AS hk_order_customer_l,
+              |         ${O.hashkey("o_orderkey")} AS hk_order_h,
+              |         ${O.hashkey("o_custkey")} AS hk_customer_h,
+              |         timestamp '2024-01-04 00:00:00' + (o_orderkey % 3) * INTERVAL 1 DAY AS ldts
+              |  FROM orders
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY ${O.hashkey("o_orderkey", "o_custkey")}
+              |    ORDER BY timestamp '2024-01-04 00:00:00' + (o_orderkey % 3) * INTERVAL 1 DAY) = 1),
+              |snaps AS (
+              |  SELECT unnest(generate_series(timestamp '2024-01-04 12:00:00',
+              |    timestamp '2024-01-07 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts),
+              |b AS (
+              |  SELECT l.*, s.sdts FROM link l JOIN snaps s ON l.ldts <= s.sdts)
+              |SELECT ${O.hashkey("hk_customer_h", "sdts")} AS dim_key_customer,
+              |  sdts, hk_customer_h, hk_order_h, hk_order_customer_l,
+              |  count(*) OVER (PARTITION BY hk_customer_h, sdts) AS n_orders_asof
+              |FROM b""".stripMargin)),
+
     // U5 with several satellites: the ref_table date spine is the UNION of
     // DISTINCT load dates across ALL ref sats (ref_table.sql:56-68), each
     // sat temporally joined onto the shared spine.
