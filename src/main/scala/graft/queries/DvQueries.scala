@@ -220,6 +220,28 @@ object DvQueries {
        |  QUALIFY CASE WHEN hd_customer_s = LAG(hd_customer_s)
        |      OVER (PARTITION BY hk_customer_h ORDER BY ldts) THEN FALSE ELSE TRUE END)""".stripMargin
 
+  /** one-shot customer PIT over the 7-day spine — the oracle for BOTH
+    * `pit_customer` and `pit_incremental` (incremental must byte-equal it) */
+  private val pitCustomerSql =
+    s"""WITH $satV0Sql,
+       |sat_v1 AS (
+       |  SELECT *, COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+       |    OVER (PARTITION BY hk_customer_h ORDER BY ldts),
+       |    timestamp '8888-12-31 23:59:59') AS ledts FROM sat_v0),
+       |hub AS (SELECT DISTINCT hk_customer_h FROM hashed),
+       |snaps AS (
+       |  SELECT unnest(generate_series(timestamp '2024-02-01 12:00:00',
+       |    timestamp '2024-02-08 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts),
+       |pit AS (
+       |  SELECT ${O.hashkey("te.hk_customer_h", "snap.sdts")} AS dim_key_customer,
+       |    te.hk_customer_h, snap.sdts,
+       |    COALESCE(s.hk_customer_h, '${O.ZeroKey}') AS hk_customer_s,
+       |    COALESCE(s.ldts, timestamp '0001-01-01 00:00:01') AS ldts_customer_s
+       |  FROM hub te CROSS JOIN (SELECT sdts FROM snaps WHERE sdts < timestamp '2024-02-08 00:00:00') snap
+       |  LEFT JOIN sat_v1 s ON s.hk_customer_h = te.hk_customer_h
+       |    AND snap.sdts BETWEEN s.ldts AND s.ledts)
+       |SELECT DISTINCT * FROM pit""".stripMargin
+
   // ======================================================================
   val all: Seq[Q] = Seq(
 
@@ -793,24 +815,32 @@ object DvQueries {
         PitLoader.records(hub, "hk_customer_h",
           Seq(PitSatellite("customer_s", v1)), snaps, "dim_key_customer")
       },
-      Some(s"""WITH $satV0Sql,
-              |sat_v1 AS (
-              |  SELECT *, COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
-              |    OVER (PARTITION BY hk_customer_h ORDER BY ldts),
-              |    timestamp '8888-12-31 23:59:59') AS ledts FROM sat_v0),
-              |hub AS (SELECT DISTINCT hk_customer_h FROM hashed),
-              |snaps AS (
-              |  SELECT unnest(generate_series(timestamp '2024-02-01 12:00:00',
-              |    timestamp '2024-02-08 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts),
-              |pit AS (
-              |  SELECT ${O.hashkey("te.hk_customer_h", "snap.sdts")} AS dim_key_customer,
-              |    te.hk_customer_h, snap.sdts,
-              |    COALESCE(s.hk_customer_h, '${O.ZeroKey}') AS hk_customer_s,
-              |    COALESCE(s.ldts, timestamp '0001-01-01 00:00:01') AS ldts_customer_s
-              |  FROM hub te CROSS JOIN (SELECT sdts FROM snaps WHERE sdts < timestamp '2024-02-08 00:00:00') snap
-              |  LEFT JOIN sat_v1 s ON s.hk_customer_h = te.hk_customer_h
-              |    AND snap.sdts BETWEEN s.ldts AND s.ledts)
-              |SELECT DISTINCT * FROM pit""".stripMargin)),
+      Some(pitCustomerSql)),
+
+    // pit.sql:108-114 + snowflake/pit.sql:29-70 — INCREMENTAL PIT,
+    // driver-visible: run 1 materializes the first 3 snapshots, run 2
+    // extends the spine to all 7 with `target` + snapshot_optimization
+    // (only relevant snapshots rebuilt, dimension-key anti-join restricted
+    // to them), and target ∪ delta must byte-equal the one-shot PIT —
+    // same oracle as `pit_customer`.
+    Q("pit_incremental",
+      (s, dir) => {
+        val v0 = SatV0Loader.records(cust3Batch(s, dir), Seq("hk_customer_h"),
+          Some("hd_customer_s"), Seq("c_name", "c_acctbal_v", "c_mktsegment"), target = None)
+        val v1 = SatV1Loader.build(v0, "hk_customer_h", Some("hd_customer_s"))
+        val hub = custStage(s, dir).select("hk_customer_h").distinct()
+        def spine(endDay: String) = ControlSnapV0Loader
+          .build(s, "2024-02-01", "12:00:00", Some(endDay))
+          .withColumn("is_active", lit(true))
+        val sats = Seq(PitSatellite("customer_s", v1))
+        val run1 = PitLoader.records(hub, "hk_customer_h", sats,
+          spine("2024-02-03"), "dim_key_customer")
+        val delta = PitLoader.records(hub, "hk_customer_h", sats,
+          spine("2024-02-07"), "dim_key_customer",
+          target = Some(run1), snapshotOptimization = true)
+        run1.unionByName(delta)
+      },
+      Some(pitCustomerSql)),
 
     // J5/J6 with SEVERAL satellites: one v1 sat + one v0 sat end-dated
     // inline by the PIT (pit.sql:90-96), present only for even custkeys so
