@@ -220,6 +220,24 @@ object DvQueries {
        |  QUALIFY CASE WHEN hd_customer_s = LAG(hd_customer_s)
        |      OVER (PARTITION BY hk_customer_h ORDER BY ldts) THEN FALSE ELSE TRUE END)""".stripMargin
 
+  /** one-shot customer hub — the oracle for `hub_customer` AND the
+    * warehouse round-trip `store_roundtrip` (write paths must byte-equal
+    * the direct computation) */
+  private lazy val hubCustomerSql =
+    s"""WITH $custStageSql,
+       |ord_stage AS (
+       |  SELECT o_custkey,
+       |         timestamp '2024-01-04 00:00:00' + (o_orderkey % 3) * INTERVAL 1 DAY AS ldts,
+       |         'TPC_H/Orders' AS rsrc,
+       |         ${O.hashkey("o_custkey")} AS hk_customer_h
+       |  FROM orders),
+       |unioned AS (
+       |  SELECT hk_customer_h, c_custkey AS custkey, ldts, rsrc FROM cust_stage
+       |  UNION ALL
+       |  SELECT hk_customer_h, o_custkey AS custkey, ldts, rsrc FROM ord_stage)
+       |SELECT hk_customer_h, custkey, ldts, rsrc FROM unioned
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_customer_h ORDER BY ldts) = 1""".stripMargin
+
   /** one-shot customer PIT over the 7-day spine — the oracle for BOTH
     * `pit_customer` and `pit_incremental` (incremental must byte-equal it) */
   private val pitCustomerSql =
@@ -300,19 +318,38 @@ object DvQueries {
           EntitySource(custStage(s, dir), Some("hk_customer_h"), Seq("c_custkey")),
           EntitySource(ordStage(s, dir), Some("hk_customer_h"), Seq("o_custkey"))),
         "hk_customer_h", Seq("custkey"), target = None),
-      Some(s"""WITH $custStageSql,
-              |ord_stage AS (
-              |  SELECT o_custkey,
-              |         timestamp '2024-01-04 00:00:00' + (o_orderkey % 3) * INTERVAL 1 DAY AS ldts,
-              |         'TPC_H/Orders' AS rsrc,
-              |         ${O.hashkey("o_custkey")} AS hk_customer_h
-              |  FROM orders),
-              |unioned AS (
-              |  SELECT hk_customer_h, c_custkey AS custkey, ldts, rsrc FROM cust_stage
-              |  UNION ALL
-              |  SELECT hk_customer_h, o_custkey AS custkey, ldts, rsrc FROM ord_stage)
-              |SELECT hk_customer_h, custkey, ldts, rsrc FROM unioned
-              |QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_customer_h ORDER BY ldts) = 1""".stripMargin)),
+      Some(hubCustomerSql)),
+
+    // S5 + S6 DRIVER-VISIBLE: the write paths the read-only compare
+    // otherwise can't see, exercised through a temp warehouse exactly like
+    // the txlog_* queries. Batch 1 (rows before the cut) materializes the
+    // hub; batch 2 replays the FULL sources against `{{ this }}` (HWM
+    // filter + key anti-join) and APPENDS the delta; the final hub is then
+    // rewritten as a bucketed, ldts-sorted table (the 100 TB layout) and
+    // read back THROUGH the bucket metadata, semi-joined on every column
+    // against the plain store read. Any write path that drops, duplicates,
+    // or mutates a row breaks the hash against the one-shot hub oracle.
+    Q("store_roundtrip",
+      (s, dir) => {
+        val store = new graft.runtime.TableStore(s, tmpWarehouse("graft_store_rt"))
+        def srcs(f: DataFrame => DataFrame) = Seq(
+          EntitySource(f(custStage(s, dir)), Some("hk_customer_h"), Seq("c_custkey")),
+          EntitySource(f(ordStage(s, dir)), Some("hk_customer_h"), Seq("o_custkey")))
+        val run1 = HubLoader.records(
+          srcs(_.filter(col(LdtsAlias) < to_timestamp(lit("2024-01-03 00:00:00")))),
+          "hk_customer_h", Seq("custkey"), target = None)
+        store.overwrite("hub_rt", run1)
+        val delta = HubLoader.records(srcs(identity),
+          "hk_customer_h", Seq("custkey"), target = Some(store.read("hub_rt")))
+        store.append("hub_rt", delta)
+        store.overwriteBucketed("graft_rt_hub_b", store.read("hub_rt"),
+          "hk_customer_h", 8, LdtsAlias)
+        val cols = Seq("hk_customer_h", "custkey", LdtsAlias, RsrcAlias)
+        store.readTable("graft_rt_hub_b")
+          .join(store.read("hub_rt"), cols, "left_semi")
+          .select(cols.map(col): _*)
+      },
+      Some(hubCustomerSql)),
 
     // link: distinct FK-hashkey combinations
     Q("link_order_customer",
