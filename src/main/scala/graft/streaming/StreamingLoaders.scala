@@ -473,6 +473,34 @@ object StreamingLoaders {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("id_sketch"), col("n_ids_approx"))
 
+  /** Streaming windowed VALUE-DISTRIBUTION monitor emitting mergeable KLL
+    * quantile sketches: per finalized (window, event_type) group, the
+    * sketch blob over `valCol` plus its p50/p90 — the streaming producer
+    * of the quantile-sketch table the batch `kll_quantile_rollup`
+    * re-aggregates (any rollup window is then a blob merge, no raw-value
+    * rescan or global sort). State per open window is the sketch's ~k
+    * retained items, vs exact percentiles whose state is the window's full
+    * value multiset. `k` defaults high enough that no sketch compacts at
+    * the scales this engine verifies, keeping estimates deterministic and
+    * stream ≡ batch (KLL compaction is randomized — SketchSpec pins the
+    * below-capacity contract). Append mode emits each window once the
+    * watermark passes its end. */
+  def windowedQuantileSketches(events: DataFrame, tsCol: String,
+                               valCol: String,
+                               windowLength: String = "1 hour",
+                               lateness: String = "1 hour",
+                               k: Int = 2048): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLength).as("w"), col("event_type"))
+      .agg(expr(s"kll_sketch_agg_bigint($valCol, $k)").as("val_sketch"),
+        expr(s"kll_sketch_get_quantile_bigint(kll_sketch_agg_bigint($valCol, $k), 0.5)")
+          .as("p50_approx"),
+        expr(s"kll_sketch_get_quantile_bigint(kll_sketch_agg_bigint($valCol, $k), 0.9)")
+          .as("p90_approx"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("val_sketch"), col("p50_approx"), col("p90_approx"))
+
   /** Streaming distribution-drift monitor: per finalized window, the KL
     * divergence of the window's unigram distribution against a BROADCAST
     * baseline (the corpus distribution the batch `unigram_drift` computes)

@@ -213,6 +213,46 @@ class StreamingSpec extends SparkSpec {
     assert(rolled == 4L, s"union over window blobs must see users 1,2,3,4, got $rolled")
   }
 
+  test("streaming windowed KLL: per-window quantiles exact, blobs merge to global") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(String, String, Long)]
+    val events = input.toDF().toDF("ts_s", "event_type", "latency_ms")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+    val agg = StreamingLoaders.windowedQuantileSketches(events, "ts",
+      "latency_ms", windowLength = "1 hour", lateness = "30 minutes")
+    val query = agg.writeStream
+      .format("memory").queryName("win_kll").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    // window [10:00,11:00): click latencies 10..90 (9 values, p50 = 50)
+    input.addData((1 to 9).map(i =>
+      (f"2024-01-01 10:0$i:00", "click", i * 10L)): _*)
+    // advance the watermark past 11:00 to finalize the first window
+    input.addData(("2024-01-01 11:45:00", "click", 1000L))
+    query.processAllAvailable()
+    val first = spark.table("win_kll")
+      .select("event_type", "p50_approx", "p90_approx")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(first == Set(("click", 50L, 90L)),
+      s"below capacity the window quantiles are exact, got $first")
+    query.stop()
+
+    // the emitted blobs ARE the sketch table: a batch merge over them must
+    // reproduce the global distribution without the raw values
+    val global = spark.table("win_kll")
+      .agg(collect_list($"val_sketch").as("ls"))
+      .select(expr("kll_sketch_get_quantile_bigint(" +
+        "aggregate(slice(ls, 2, size(ls) - 1), ls[0], " +
+        "(a, x) -> kll_sketch_merge_bigint(a, x)), 0.5)"))
+      .collect().head.getLong(0)
+    assert(global == 50L,
+      s"merged blobs over 9 small + 0 later values must keep p50=50, got $global")
+  }
+
   test("streaming drift: per-window KL against the baseline, zero when matching") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
