@@ -473,6 +473,41 @@ object SimQueries {
     // metrics. Everything partitions by user_id, so the whole operator is
     // two windows and one groupBy over the same user-hash shuffle — one
     // exchange total, embarrassingly parallel across users at any scale.
+    // first-order Markov TRANSITION matrix over per-user event sequences —
+    // the behavioral-model / anomaly-baseline primitive (which step
+    // follows which, with conditional probabilities). One lag window per
+    // user (ts + event_id tiebreak, same determinism contract as
+    // event_sessions), one count aggregate, one per-prev share window over
+    // the #event_types² matrix — raw events shuffle once by user_id and
+    // never again; the matrix itself is tiny at any corpus scale.
+    Q("event_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"), col("event_id"),
+            expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val t = ev.withColumn("prev_type",
+          coalesce(lag(col("event_type"), 1).over(byUser), lit("_start")))
+        t.groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n") /
+            sum(col("n")).over(Window.partitionBy("prev_type")), 6))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, cast(ts AS TIMESTAMP) AS ts, event_type
+             |  FROM events),
+             |t AS (
+             |  SELECT coalesce(lag(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id),
+             |    '_start') AS prev_type, event_type
+             |  FROM ev),
+             |c AS (
+             |  SELECT prev_type, event_type, count(*) AS n
+             |  FROM t GROUP BY prev_type, event_type)
+             |SELECT prev_type, event_type, n,
+             |  round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+             |FROM c""".stripMargin)),
+
     Q("event_sessions",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window

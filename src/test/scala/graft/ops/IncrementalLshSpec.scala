@@ -79,6 +79,38 @@ class IncrementalLshSpec extends SparkSpec {
       got.size < batchCandidates(docs, cap = 100).size)
   }
 
+  test("property: ANY batch split yields the one-shot candidate set (seeded random)") {
+    // the operator's core claim quantifies over arrival orders, not just
+    // the mod-3 fixture: random corpora, random number of batches, random
+    // assignment — accumulated incremental must equal one-shot, cap
+    // included. Seeded so a failure reproduces.
+    val rnd = new scala.util.Random(41)
+    (1 to 3).foreach { trial =>
+      val base = (s"shared boilerplate sentence repeated across the family " +
+        s"of trial $trial documents").trim
+      val docs = (1L to 24L).map { i =>
+        val text =
+          if (i <= 10) s"$base tail$i"
+          else s"unique doc ${trial * 1000 + i} " +
+            Seq.fill(8)(rnd.nextInt(100000)).mkString(" ")
+        (i, text)
+      }.toDF("doc_id", "text")
+      val nBatches = 2 + rnd.nextInt(3)
+      val assign = (1L to 24L).map(i => i -> rnd.nextInt(nBatches)).toMap
+      val assignCol = typedLit(assign)
+      val store = new TxLogTable(spark,
+        Files.createTempDirectory(s"graft_inc_lsh_prop$trial").toString)
+      val cap = 1 + rnd.nextInt(8)
+      (0 until nBatches).foreach { b =>
+        IncrementalLsh.ingest(store, "d",
+          docs.filter(assignCol(col("doc_id")) === lit(b)),
+          batchId = b.toLong, cap = cap)
+      }
+      assert(candSet(store, "d") === batchCandidates(docs, cap),
+        s"trial $trial: split into $nBatches batches with cap $cap diverged")
+    }
+  }
+
   test("replaying a batch is a no-op (exactly-once appends)") {
     val docs = corpus.toDF("doc_id", "text")
     val store = new TxLogTable(spark,
