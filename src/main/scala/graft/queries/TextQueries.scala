@@ -265,6 +265,37 @@ object TextQueries {
       |    max(e) - min(s) + 1 AS span_tokens
       |  FROM ds_grps GROUP BY doc_id, grp)""".stripMargin
 
+  /** DuckDB mirror of [[graft.quality.TextRules.withGopherColumns]] + keep:
+    * CTE chain ending in `gopher(doc_id, n_words, mean_word_len,
+    * frac_alpha, stopword_hits, symbol_ratio, keep)` — shared by
+    * `gopher_rules` and the `source_report` dataset card. */
+  private val gopherSql =
+    """gw AS (
+      |  SELECT doc_id, coalesce(text, '') AS text,
+      |    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+      |                x -> length(x) > 0) AS words
+      |  FROM documents),
+      |gm AS (
+      |  SELECT doc_id,
+      |    cast(len(words) AS BIGINT) AS n_words,
+      |    round(cast(list_sum(list_transform(words, x -> length(x))) AS double)
+      |          / len(words), 4) AS mean_word_len,
+      |    round(cast(len(list_filter(words,
+      |          x -> regexp_full_match(x, '[A-Za-z]+'))) AS double)
+      |          / len(words), 4) AS frac_alpha,
+      |    cast(len(list_filter(words,
+      |          x -> lower(x) IN ('the','a','and','of','to','in'))) AS BIGINT)
+      |      AS stopword_hits,
+      |    round(cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS double)
+      |          / len(words), 4) AS symbol_ratio
+      |  FROM gw),
+      |gopher AS (
+      |  SELECT *,
+      |    (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2 AND 10
+      |     AND frac_alpha >= 0.8 AND stopword_hits >= 2
+      |     AND symbol_ratio <= 0.1) AS keep
+      |  FROM gm)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // exact dedup: hash-groupBy, keep lowest doc_id per content hash
@@ -380,6 +411,67 @@ object TextQueries {
              |  round(cast(coalesce(p.dup_tokens, 0) AS double) /
              |    len(regexp_split_to_array(d.text, '\\s+')), 6) < 0.5 AS keep
              |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin)),
+
+    // the DATASET CARD: one per-source row a corpus release ships —
+    // volume (docs, tokens), the Gopher keep-rate (same rule definition
+    // the gate and the streaming router apply, via quality.TextRules),
+    // the duplicated-token ratio (same span definition as dup_spans), and
+    // the dominant language. Three shared builders, one report — the
+    // composite is joins over per-doc frames followed by a #sources-row
+    // aggregate, so its scale cost IS its components' cost; nothing here
+    // re-derives what a component already computed differently.
+    Q("source_report",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+        val base = d.select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), "\\s+")).cast("long").as("toks"))
+        val keep = graft.quality.TextRules.withGopherColumns(d, "text")
+          .select(col("doc_id"), col("keep"))
+        val dupTok = dupSpans(s, dir).groupBy("doc_id")
+          .agg(sum("span_tokens").as("dup_tokens"))
+        val rep = base.join(keep, Seq("doc_id"))
+          .join(dupTok, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("n_tokens"),
+            round(avg(when(col("keep"), 1.0).otherwise(0.0)), 6).as("keep_rate"),
+            round(sum(coalesce(col("dup_tokens"), lit(0L))).cast("double") /
+              sum(col("toks")), 6).as("dup_token_ratio"))
+        val topLang = base.groupBy("source", "lang")
+          .agg(count(lit(1)).as("nl"))
+          .withColumn("rn", row_number().over(Window.partitionBy("source")
+            .orderBy(col("nl").desc, col("lang").asc)))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"))
+        rep.join(topLang, Seq("source"))
+      },
+      Some(s"""WITH $gopherSql,
+             |$dupSpanSql,
+             |per_doc_dup AS (
+             |  SELECT doc_id, sum(span_tokens) AS dup_tokens
+             |  FROM spans GROUP BY doc_id),
+             |base AS (
+             |  SELECT doc_id, source, lang,
+             |    cast(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS toks
+             |  FROM documents),
+             |rep AS (
+             |  SELECT b.source, count(*) AS n_docs,
+             |    cast(sum(b.toks) AS BIGINT) AS n_tokens,
+             |    round(avg(CASE WHEN g.keep THEN 1.0 ELSE 0.0 END), 6) AS keep_rate,
+             |    round(sum(coalesce(p.dup_tokens, 0)) / cast(sum(b.toks) AS double), 6)
+             |      AS dup_token_ratio
+             |  FROM base b JOIN gopher g USING (doc_id)
+             |  LEFT JOIN per_doc_dup p USING (doc_id)
+             |  GROUP BY b.source),
+             |lang_rank AS (
+             |  SELECT source, lang, count(*) AS nl,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY count(*) DESC, lang ASC) AS rn
+             |  FROM base GROUP BY source, lang)
+             |SELECT r.source, r.n_docs, r.n_tokens, r.keep_rate,
+             |  r.dup_token_ratio, lr.lang AS top_lang
+             |FROM rep r JOIN lang_rank lr ON lr.source = r.source AND lr.rn = 1""".stripMargin)),
 
     // token counting: whitespace tokens + BPE-ish word/punct pieces + chars
     Q("token_stats",
@@ -1152,30 +1244,10 @@ object TextQueries {
         .select(col("doc_id"), col("n_words"), col("mean_word_len"),
           col("frac_alpha"), col("stopword_hits"), col("symbol_ratio"),
           col("keep")),
-      Some("""WITH w AS (
-             |  SELECT doc_id, coalesce(text, '') AS text,
-             |    list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
-             |                x -> length(x) > 0) AS words
-             |  FROM documents),
-             |m AS (
-             |  SELECT doc_id,
-             |    cast(len(words) AS BIGINT) AS n_words,
-             |    round(cast(list_sum(list_transform(words, x -> length(x))) AS double)
-             |          / len(words), 4) AS mean_word_len,
-             |    round(cast(len(list_filter(words,
-             |          x -> regexp_full_match(x, '[A-Za-z]+'))) AS double)
-             |          / len(words), 4) AS frac_alpha,
-             |    cast(len(list_filter(words,
-             |          x -> lower(x) IN ('the','a','and','of','to','in'))) AS BIGINT)
-             |      AS stopword_hits,
-             |    round(cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS double)
-             |          / len(words), 4) AS symbol_ratio
-             |  FROM w)
-             |SELECT *,
-             |  (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2 AND 10
-             |   AND frac_alpha >= 0.8 AND stopword_hits >= 2
-             |   AND symbol_ratio <= 0.1) AS keep
-             |FROM m""".stripMargin)),
+      Some(s"""WITH $gopherSql
+             |SELECT doc_id, n_words, mean_word_len, frac_alpha,
+             |  stopword_hits, symbol_ratio, keep
+             |FROM gopher""".stripMargin)),
 
     // per-document unigram word entropy (gibberish / repetition proxy):
     // H = log2(n) - (1/n)·Σ tf·log2(tf). The Σ folds over a SORTED term
