@@ -109,6 +109,23 @@ object IncrementalLsh {
     } finally { newBands.unpersist(blocking = false); () }
   }
 
+  /** OPTIMIZE the candidate state between ingests: range-clustered
+    * compaction of the append-accumulated tables ([[TxLogTable.compact]])
+    * with per-file `bucket` min/max stats registered first, so compacted
+    * files carry tight bucket-hash ranges — the layout that lets a future
+    * probe skip files whose range misses every touched bucket, and that
+    * keeps the per-ingest scan from degrading as small append batches
+    * accumulate. Readers are snapshot-isolated; results are unchanged by
+    * construction (same rows, new layout) and the spec asserts it. */
+  def optimize(store: TxLogTable, prefix: String, targetFiles: Int = 4): Unit =
+    Seq(bandsT(prefix), pairsT(prefix), deadT(prefix)).foreach { t =>
+      if (store.exists(t)) {
+        store.setStatsColumns(t, Seq("bucket"))
+        store.compact(t, targetFiles, Seq("bucket"))
+        ()
+      }
+    }
+
   /** The current candidate set: distinct (doc_id, doc_id_2) pairs with at
     * least one live generating bucket — equal to the one-shot batch
     * operator over everything ingested so far. */

@@ -646,6 +646,9 @@ object TextQueries {
           graft.ops.IncrementalLsh.ingest(store, "docs",
             d.filter(pmod(col("doc_id"), lit(3L)) === lit(i)),
             batchId = i, cap = MaxBucketSize)
+          // mid-stream clustered compaction: layout maintenance must never
+          // change the candidate set (the oracle would catch it)
+          if (i == 1L) graft.ops.IncrementalLsh.optimize(store, "docs")
         }
         graft.ops.IncrementalLsh.candidates(store, "docs")
       },

@@ -111,6 +111,30 @@ class IncrementalLshSpec extends SparkSpec {
     }
   }
 
+  test("optimize: clustered compaction changes layout, never the candidates") {
+    val docs = corpus.toDF("doc_id", "text")
+    val store = new TxLogTable(spark,
+      Files.createTempDirectory("graft_inc_lsh_opt").toString)
+    (0L until 3L).foreach { i =>
+      IncrementalLsh.ingest(store, "d",
+        docs.filter(pmod(col("doc_id"), lit(3L)) === lit(i)), batchId = i)
+    }
+    val before = candSet(store, "d")
+    val filesBefore = store.files("d_bands", store.currentVersion("d_bands").get).size
+    IncrementalLsh.optimize(store, "d", targetFiles = 2)
+    val filesAfter = store.files("d_bands", store.currentVersion("d_bands").get).size
+    assert(filesAfter <= 2 && filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    assert(candSet(store, "d") === before, "optimize must not change candidates")
+    // and ingestion continues against the compacted layout
+    IncrementalLsh.ingest(store, "d",
+      (100L to 102L).map(i =>
+          (i, (0 to 7).map(j => i * 100 + j * 19).mkString(" ")))
+        .toDF("doc_id", "text"), batchId = 3L)
+    assert(candSet(store, "d") === before,
+      "fresh unrelated docs must not add candidates")
+  }
+
   test("replaying a batch is a no-op (exactly-once appends)") {
     val docs = corpus.toDF("doc_id", "text")
     val store = new TxLogTable(spark,
