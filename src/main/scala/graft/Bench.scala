@@ -12,7 +12,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
-      // events.parquet carries TIMESTAMP(NANOS); vectorized reader needs this
+      // some events.parquet vintages carried TIMESTAMP(NANOS), readable only
+      // under this flag (as BIGINT nanos); no-op for the current
+      // timestamp[us] files. SimQueries.events adapts to either surface.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,16 +34,22 @@ object Bench {
       "ma_stage_build" -> (() => graft.queries.DvQueries.evictShared()))
 
     // force FULL computation of every output column (count() would let
-    // Catalyst prune the projections we are benchmarking) — noop v2 sink
-    def run(name: String): Double = {
+    // Catalyst prune the projections we are benchmarking) — noop v2 sink.
+    // A failed query yields Left(error), NOT a fail-fast wall time: round 5
+    // recorded ~0.06s "timings" for 8 analysis-broken queries, silently
+    // flattering the suite total.
+    def run(name: String): Either[String, Double] = {
       coldEvict.get(name).foreach(_.apply())
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(500)}"
+        System.err.println(s"[bench] $name FAILED: $msg")
+        Left(msg)
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // JIT/classloader warmup outside the measurement (driver measures the
@@ -67,11 +75,26 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val passes = Seq.fill(repeat)(names.map(n => n -> run(n)).toMap)
-    val results = names.map(n => n -> passes.map(_(n)).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // a query is FAILED if any pass threw: deterministic plans don't
+    // half-fail, so a partial failure means the number is untrustworthy.
+    // Failed queries are excluded from the timing map and the total and
+    // listed under "failed" — loud, never averaged in.
+    val failed = names.flatMap { n =>
+      passes.flatMap(_(n).left.toOption).headOption.map(n -> _)
+    }
+    val failedNames = failed.map(_._1).toSet
+    val results = names.filterNot(failedNames)
+      .map(n => n -> passes.map(_(n).toOption.get).min)
+    // 4-decimal (0.1ms) timings keep the one-line artifact well under the
+    // driver's stdout-capture truncation (r5 lost 77/141 tail entries)
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val fj = failed.map { case (k, v) =>
+      Verify.jsonQuote(k) + ":" + Verify.jsonQuote(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
     println(json)
     // stdout capture can truncate long lines; persist the full artifact too
     val out = java.nio.file.Paths.get("target/bench.json")

@@ -4,8 +4,71 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * FAILURES ARE LOUD: a query that throws still produces a parquet dump —
+  * a single row with one `__error` column — so the driver's compare shows
+  * a red row (schema/row mismatch against the oracle) instead of silently
+  * skipping the query. The name→error map is also written to
+  * `errors.json` in the out dir. Round 5 shipped 8 broken queries that
+  * vanished from CORRECTNESS because the old Verify swallowed exceptions.
+  */
 object Verify {
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private[graft] def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Oracle SQL yields naive TIMESTAMP in DuckDB; Spark's TimestampType
+    * writes parquet isAdjustedToUTC=true (read back as TIMESTAMPTZ), so the
+    * driver's schema compare fails. Session TZ is UTC, so the LTZ→NTZ cast
+    * is value-preserving and only fixes the parquet annotation. */
+  private def ntz(df: DataFrame): DataFrame = df.schema.fields.foldLeft(df) {
+    case (d, f) if f.dataType == TimestampType =>
+      d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+    case (d, _) => d
+  }
+
+  /** Dump every query's result under `outDir/<name>`; on failure dump the
+    * one-row `__error` artifact instead. Returns name→error for the
+    * failures (empty when all green). Factored out so a spec can drive it
+    * with a deliberately broken registry. */
+  private[graft] def dumpAll(
+      spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      sfDir: String,
+      outDir: String): Map[String, String] = {
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    queries.foreach { case (name, fn) =>
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(2000)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
+        import spark.implicits._
+        try Seq(msg).toDF("__error").coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-artifact write failed: ${e2.getMessage}")
+        }
+      }
+    }
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failures.map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
+        .mkString("{", ",", "}"))
+    failures.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (local iteration)
@@ -22,43 +85,21 @@ object Verify {
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // events.parquet carries TIMESTAMP(NANOS); vectorized reader needs this
+      // some events.parquet vintages carried TIMESTAMP(NANOS), readable only
+      // under this flag (as BIGINT nanos); no-op for the current
+      // timestamp[us] files. SimQueries.events adapts to either surface.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Oracle SQL yields naive TIMESTAMP in DuckDB; Spark's TimestampType
-    // writes parquet isAdjustedToUTC=true (read back as TIMESTAMPTZ), so the
-    // driver's schema compare fails. Session TZ is UTC, so the LTZ→NTZ cast
-    // is value-preserving and only fixes the parquet annotation.
-    def ntz(df: DataFrame): DataFrame = df.schema.fields.foldLeft(df) {
-      case (d, f) if f.dataType == TimestampType =>
-        d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
-      case (d, _) => d
-    }
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val failures = dumpAll(spark, selected, sfDir, outDir)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size}/${selected.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -20,6 +20,26 @@ object SimQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Schema-adaptive `events.parquet` reader. The generator has shipped
+    * `ts` both as TIMESTAMP(NANOS) — which Spark's vectorized reader only
+    * accepts under `spark.sql.legacy.parquet.nanosAsLong`, surfacing the
+    * column as BIGINT nanoseconds — and as plain timestamp[us], which
+    * surfaces as TIMESTAMP_NTZ. Normalize here to session-zone TIMESTAMP
+    * at microsecond precision so every event query sees ONE type
+    * regardless of the file vintage. All entry points run with session
+    * timezone UTC, so the NTZ→LTZ cast is value-preserving. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported parquet surface type $other")
+    }
+  }
+
   /** DuckDB 1.0 equivalent (list_transform/list_zip — no comprehensions);
     * list_sum folds sequentially like Spark's aggregate(), so the doubles
     * are bit-identical. */
@@ -397,16 +417,12 @@ object SimQueries {
               |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
               |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin)),
 
-    // tumbling-window aggregation over the events stream table.
-    // The file carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    // rejects — sessions must set spark.sql.legacy.parquet.nanosAsLong=true
-    // at build time (Verify and Bench both do) so ts reads as long;
-    // convert to micros here.
+    // tumbling-window aggregation over the events stream table (see
+    // `events` for the schema-adaptive ts normalization).
     Q("events_windowed",
       (s, dir) => {
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
-        ev.groupBy(date_trunc("hour", col("ts_us")).as("window_start"), col("event_type"))
+        val ev = events(s, dir)
+        ev.groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             countDistinct(col("user_id")).as("n_users"))
       },
@@ -428,10 +444,9 @@ object SimQueries {
     Q("event_spike_detection",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+        val ev = events(s, dir)
         val hourly = ev.groupBy(col("event_type"),
-            date_trunc("hour", col("ts_us")).as("hour"))
+            date_trunc("hour", col("ts")).as("hour"))
           .agg(count(lit(1)).as("n"))
         val w = Window.partitionBy("event_type").orderBy("hour")
           .rowsBetween(-24, -1)
@@ -483,9 +498,8 @@ object SimQueries {
     Q("event_transitions",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .select(col("user_id"), col("event_id"),
-            expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
         val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
         val t = ev.withColumn("prev_type",
           coalesce(lag(col("event_type"), 1).over(byUser), lit("_start")))
@@ -512,9 +526,8 @@ object SimQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val gapMin = 30
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .select(col("user_id"), col("event_id"),
-            expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         // event_id tiebreak: equal timestamps must order identically in
         // both engines or the LAG sees different neighbors; gaps compare
         // in MICROSECONDS so sub-second differences can't straddle the
@@ -532,8 +545,8 @@ object SimQueries {
             round(sum(col("value")), 4).as("session_value"))
       },
       Some("""WITH ev AS (
-             |  -- microsecond precision to match Spark's ts div 1000 read of
-             |  -- the TIMESTAMP(NANOS) column: emitted session bounds must
+             |  -- microsecond precision matches the normalized Spark ts
+             |  -- (SimQueries.events): emitted session bounds must
              |  -- truncate identically, not only the gap comparison
              |  SELECT user_id, event_id, cast(ts AS TIMESTAMP) AS ts, value
              |  FROM events),
@@ -564,7 +577,7 @@ object SimQueries {
     // in a spec rather than cross-engine.
     Q("events_props_json",
       (s, dir) => {
-        val ev = s.read.parquet(s"$dir/events.parquet")
+        val ev = events(s, dir)
         ev.select(col("event_type"),
           from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("k",
@@ -588,9 +601,8 @@ object SimQueries {
     // (users ≪ events at any scale).
     Q("retention_cohorts",
       (s, dir) => {
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .select(col("user_id"),
-            date_trunc("week", expr("timestamp_micros(ts div 1000)")).as("week"))
+        val ev = events(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
         val firstSeen = ev.groupBy("user_id")
           .agg(min(col("week")).as("cohort_week"))
         ev.join(broadcast(firstSeen), Seq("user_id"))
@@ -618,9 +630,8 @@ object SimQueries {
     // windows, one shuffle total for any number of steps.
     Q("funnel_conversion",
       (s, dir) => {
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .select(col("user_id"), col("event_type"),
-            expr("timestamp_micros(ts div 1000)").as("ts"))
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
         def firstOf(t: String) = min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
         val perUser = ev.groupBy("user_id")
           .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
@@ -634,7 +645,7 @@ object SimQueries {
           sum(step3.cast("long")).as("n_purchased_after_click"))
       },
       Some("""WITH per_user AS (
-             |  -- microsecond cast mirrors Spark's ts div 1000 (see
+             |  -- microsecond cast mirrors Spark's normalized ts (see
              |  -- event_sessions): step comparisons must truncate alike
              |  SELECT user_id,
              |    min(cast(ts AS TIMESTAMP)) FILTER (event_type = 'view') AS t_view,
@@ -661,9 +672,8 @@ object SimQueries {
     // [[graft.streaming.StreamingLoaders.attributionJoinStream]].
     Q("click_attribution",
       (s, dir) => {
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .select(col("event_id"), col("user_id"),
-            expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
+        val ev = events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"),
             col("ts").as("click_ts"))
@@ -713,8 +723,8 @@ object SimQueries {
     // and the tolerance boolean is a stable oracle column.
     Q("hll_sketch_rollup",
       (s, dir) => {
-        val ev = s.read.parquet(s"$dir/events.parquet")
-          .withColumn("day", to_date(expr("timestamp_micros(ts div 1000)")))
+        val ev = events(s, dir)
+          .withColumn("day", to_date(col("ts")))
         // stage 1: the persisted artifact — one 2^12-register sketch per
         // (event_type, day); partial-aggregates map-side like any agg
         val daily = ev.groupBy("event_type", "day")

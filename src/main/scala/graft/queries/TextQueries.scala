@@ -405,7 +405,9 @@ object TextQueries {
              |  FROM spans GROUP BY doc_id)
              |SELECT d.doc_id,
              |  cast(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS ws_tokens,
-             |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+             |  -- DuckDB sum(BIGINT) widens to HUGEINT (→ float64 in the
+             |  -- dump); Spark emits int64 — cast back or the hash differs
+             |  cast(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
              |  round(cast(coalesce(p.dup_tokens, 0) AS double) /
              |    len(regexp_split_to_array(d.text, '\\s+')), 6) AS dup_ratio,
              |  round(cast(coalesce(p.dup_tokens, 0) AS double) /

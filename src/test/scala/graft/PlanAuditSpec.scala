@@ -27,7 +27,6 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no registry query plans a CartesianProduct or an undocumented global window") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try {
       val names = SparkEntry.queries.keys.toSeq.sorted
       val problems = names.flatMap { name =>
@@ -49,7 +48,6 @@ class PlanAuditSpec extends SparkSpec {
         s"scale-hostile plans:\n  ${problems.mkString("\n  ")}")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     }
   }
 }

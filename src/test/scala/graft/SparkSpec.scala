@@ -20,6 +20,10 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+      // some events.parquet vintages carried TIMESTAMP(NANOS), readable only
+      // under this flag (as BIGINT nanos); no-op for the current
+      // timestamp[us] files. SimQueries.events adapts to either surface.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

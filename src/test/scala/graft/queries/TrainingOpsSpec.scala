@@ -233,11 +233,7 @@ class TrainingOpsSpec extends SparkSpec {
   }
 
   test("event_spike_detection: flag agrees with the rounded z-score") {
-    // events.parquet stores ns timestamps (TESTDATA) — read as long
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rows =
-      try run("event_spike_detection").collect()
-      finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val rows = run("event_spike_detection").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val z = r.getAs[java.lang.Double]("z")
