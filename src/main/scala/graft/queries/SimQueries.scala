@@ -746,6 +746,189 @@ object SimQueries {
              |  true AS est_within_5pct
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // SLIDING-window aggregation (1h window / 15min slide): each event
+    // lands in exactly window÷slide = 4 overlapping windows. Spark's
+    // window() expands the 4 window structs per row BEFORE the
+    // aggregation, so this is ONE exchange carrying 4× rows with map-side
+    // partial aggregation — no self-join, no window function, no
+    // per-window rescan; at 100 TB the cost is the same single shuffle as
+    // a tumbling groupBy, scaled by the overlap factor. The oracle
+    // replicates rows against range(4) with the same epoch-aligned
+    // bucket arithmetic Spark uses.
+    Q("event_sliding_window",
+      (s, dir) => {
+        val ev = events(s, dir)
+        ev.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("total_value"))
+          .select(col("w.start").as("window_start"),
+            col("w.end").as("window_end"), col("event_type"),
+            col("n_events"), col("total_value"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT cast(ts AS TIMESTAMP) AS ts, event_type, value
+             |  FROM events),
+             |wins AS (
+             |  SELECT make_timestamp((epoch_us(ts) // 900000000 - t.k)
+             |      * 900000000) AS window_start, event_type, value
+             |  FROM ev CROSS JOIN range(4) t(k))
+             |SELECT window_start,
+             |  window_start + INTERVAL 1 HOUR AS window_end,
+             |  event_type, cast(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 4) AS total_value
+             |FROM wins GROUP BY window_start, event_type""".stripMargin)),
+
+    // inter-event DWELL TIME per event type: gap from each event to the
+    // same user's previous event (any type), aggregated from EXACT
+    // integer microsecond sums — the mean is sum÷count over int64, so the
+    // result is order-independent and engine-exact (no floating
+    // accumulation). One user-hash shuffle for the LAG, one groupBy.
+    Q("event_dwell_time",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gaps = ev.withColumn("gap_us",
+            unix_micros(col("ts")) -
+              lag(unix_micros(col("ts")), 1).over(byUser))
+          .filter(col("gap_us").isNotNull)
+        gaps.groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("gap_us")).as("sum_us"),
+            min(col("gap_us")).as("min_gap_us"),
+            max(col("gap_us")).as("max_gap_us"))
+          .select(col("event_type"), col("n_gaps"),
+            round(col("sum_us").cast("double") / col("n_gaps") / 1e6, 4)
+              .as("mean_gap_s"),
+            col("min_gap_us"), col("max_gap_us"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, cast(ts AS TIMESTAMP) AS ts,
+             |    event_type
+             |  FROM events),
+             |g AS (
+             |  SELECT event_type,
+             |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+             |  FROM ev)
+             |SELECT event_type, cast(count(*) AS BIGINT) AS n_gaps,
+             |  round(cast(sum(gap_us) AS double) / count(*) / 1e6, 4)
+             |    AS mean_gap_s,
+             |  cast(min(gap_us) AS BIGINT) AS min_gap_us,
+             |  cast(max(gap_us) AS BIGINT) AS max_gap_us
+             |FROM g WHERE gap_us IS NOT NULL
+             |GROUP BY event_type""".stripMargin)),
+
+    // per-user lifetime-value EXACT quantiles — the calibration baseline
+    // for the mergeable-sketch path (`kll_quantile_rollup` is the 100 TB
+    // shape; exact interpolated percentiles need every per-user total on
+    // one reducer, O(distinct values) memory). The per-user totals are
+    // rounded to 6 dp BEFORE the quantile so both engines interpolate
+    // over identical inputs; Spark `percentile` and DuckDB
+    // `quantile_cont` share the p·(n−1) linear-interpolation definition.
+    Q("user_value_quantiles",
+      (s, dir) => {
+        val perUser = events(s, dir).groupBy("user_id")
+          .agg(round(sum(col("value")), 6).as("ltv"))
+        perUser
+          .agg(count(lit(1)).as("n_users"),
+            expr("percentile(ltv, array(0.25D,0.5D,0.75D,0.9D,0.99D))").as("ps"))
+          .select(col("n_users"),
+            round(col("ps")(0), 4).as("p25"), round(col("ps")(1), 4).as("p50"),
+            round(col("ps")(2), 4).as("p75"), round(col("ps")(3), 4).as("p90"),
+            round(col("ps")(4), 4).as("p99"))
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id, round(sum(value), 6) AS ltv
+             |  FROM events GROUP BY user_id)
+             |SELECT cast(count(*) AS BIGINT) AS n_users,
+             |  round(quantile_cont(ltv, 0.25), 4) AS p25,
+             |  round(quantile_cont(ltv, 0.5), 4) AS p50,
+             |  round(quantile_cont(ltv, 0.75), 4) AS p75,
+             |  round(quantile_cont(ltv, 0.9), 4) AS p90,
+             |  round(quantile_cont(ltv, 0.99), 4) AS p99
+             |FROM pu""".stripMargin)),
+
+    // top-k ENTRY PATHS: each user's first three event types (ts +
+    // event_id tiebreak, the registry-wide determinism contract) joined
+    // into a '>'-path, counted, top 20 by (count desc, path asc). Scale
+    // shape: the row_number window and first groupBy ride the SAME
+    // user-hash shuffle; the path table is bounded by #event_types³, so
+    // the final top-k is a TakeOrdered over a tiny frame — never a
+    // global sort of raw events.
+    Q("event_topk_paths",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val first3 = ev.withColumn("rn", row_number().over(byUser))
+          .filter(col("rn") <= 3)
+        // concat_ws skips NULLs, so a <3-event user gets a short path —
+        // same as the oracle's ordered string_agg
+        val paths = first3.groupBy("user_id").agg(
+          concat_ws(">",
+            max(when(col("rn") === 1, col("event_type"))),
+            max(when(col("rn") === 2, col("event_type"))),
+            max(when(col("rn") === 3, col("event_type")))).as("path"))
+        paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, cast(ts AS TIMESTAMP) AS ts,
+             |    event_type
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, event_type, ts, event_id FROM ev
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id) <= 3),
+             |p AS (
+             |  SELECT user_id,
+             |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             |  FROM f GROUP BY user_id),
+             |c AS (
+             |  SELECT path, cast(count(*) AS BIGINT) AS n_users
+             |  FROM p GROUP BY path)
+             |SELECT path, n_users FROM c
+             |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
+
+    // embedding-norm OUTLIER flags per label: a data-quality screen for
+    // an embedding corpus (a wrong-scale or all-zero vector shows up as
+    // |z| spikes against its label cohort). The L2 norm runs as the
+    // native codegen'd vecNorm expression; per-label stats are one
+    // groupBy over ≤#labels rows broadcast back — no window over the
+    // corpus, no second shuffle of the vectors.
+    Q("embed_norm_outliers",
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), col("label"),
+          round(vecNorm(col("embedding")), 6).as("nrm"))
+        val stats = e.groupBy("label").agg(
+          avg(col("nrm")).as("mu"), stddev_pop(col("nrm")).as("sd"))
+        e.join(broadcast(stats), Seq("label"))
+          .withColumn("z",
+            round(try_divide(col("nrm") - col("mu"), col("sd")), 4))
+          .select(col("vec_id"), col("label"), col("nrm"),
+            round(col("mu"), 4).as("label_mean"), col("z"),
+            (abs(col("z")) >= lit(2.5)).as("outlier"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, label,
+             |    round(sqrt(list_sum(list_transform(embedding,
+             |      x -> cast(x AS double) * cast(x AS double)))), 6) AS nrm
+             |  FROM embeddings),
+             |st AS (
+             |  SELECT label, avg(nrm) AS mu, stddev_pop(nrm) AS sd
+             |  FROM n GROUP BY label)
+             |SELECT n.vec_id, n.label, n.nrm,
+             |  round(st.mu, 4) AS label_mean,
+             |  round((n.nrm - st.mu) / nullif(st.sd, 0), 4) AS z,
+             |  abs(round((n.nrm - st.mu) / nullif(st.sd, 0), 4)) >= 2.5
+             |    AS outlier
+             |FROM n JOIN st USING (label)""".stripMargin)),
+
     // mergeable QUANTILE sketch table (KLL): per-(source, lang) sketches
     // over document length, merged per source WITHOUT raw data — the
     // distribution dimension of the sketch-table family (`hll_sketch_rollup`

@@ -512,6 +512,96 @@ object TextQueries {
              |   AND len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 4 < length(text)) AS keep
              |FROM documents""".stripMargin)),
 
+    // log2-bucketed LENGTH HISTOGRAM per source: the corpus-shape
+    // diagnostic a mixture designer reads before setting chunk sizes.
+    // Pure groupBy over derived int keys — one shuffle of #(source ×
+    // ~30 buckets) partial aggregates regardless of corpus size. floor ∘
+    // log2 only straddles a bucket boundary at exact powers of two,
+    // where log2 is exactly representable in both engines.
+    Q("doc_length_histogram",
+      (s, dir) => docs(s, dir)
+        .filter(col("n_chars") > 0)
+        .withColumn("bucket", floor(log2(col("n_chars"))).cast("long"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars")),
+      Some("""SELECT source,
+             |  cast(floor(log2(n_chars)) AS BIGINT) AS bucket,
+             |  cast(count(*) AS BIGINT) AS n_docs,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents WHERE n_chars > 0
+             |GROUP BY source, bucket""".stripMargin)),
+
+    // TOKENIZER FERTILITY per language: chars-per-token and
+    // tokens-per-doc under the BPE-ish token regex (same definition as
+    // token_stats — one tokenizer policy across the registry). The
+    // ratios are computed from EXACT integer sums, so the output is
+    // order-independent; one stateless projection + one tiny groupBy.
+    // Fertility differences per language are what decide per-language
+    // token budgets in a mixture.
+    Q("tokenizer_fertility",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("lang"),
+          length(col("text")).cast("long").as("nc"),
+          regexp_count(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe"))
+        d.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nc")).as("n_chars"),
+            sum(col("bpe")).as("n_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_chars"), col("n_tokens"),
+            round(col("n_chars").cast("double") / col("n_tokens"), 4)
+              .as("chars_per_token"),
+            round(col("n_tokens").cast("double") / col("n_docs"), 4)
+              .as("tokens_per_doc"))
+      },
+      Some("""WITH d AS (
+             |  SELECT lang, length(text) AS nc,
+             |    len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
+             |  FROM documents)
+             |SELECT lang, cast(count(*) AS BIGINT) AS n_docs,
+             |  cast(sum(nc) AS BIGINT) AS n_chars,
+             |  cast(sum(bpe) AS BIGINT) AS n_tokens,
+             |  round(cast(sum(nc) AS double) / sum(bpe), 4) AS chars_per_token,
+             |  round(cast(sum(bpe) AS double) / count(*), 4) AS tokens_per_doc
+             |FROM d GROUP BY lang""".stripMargin)),
+
+    // QUALITY DECILES per source: ntile(10) over a deterministic scalar
+    // score (mean word length, rounded to pin engine parity; doc_id
+    // tiebreak so equal scores rank identically). The decile boundary
+    // table is what calibrates a quality-threshold sweep before
+    // committing to a keep-rate. The window partitions by source —
+    // bounded per-partition sort, never a global one.
+    Q("quality_deciles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = size(split(col("text"), "\\s+"))
+        val d = docs(s, dir).select(col("doc_id"), col("source"),
+          round(length(col("text")).cast("double") / words, 6).as("score"))
+        val w = Window.partitionBy("source").orderBy("score", "doc_id")
+        d.withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("source", "decile")
+          .agg(count(lit(1)).as("n_docs"),
+            round(min(col("score")), 6).as("min_score"),
+            round(max(col("score")), 6).as("max_score"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    round(cast(length(text) AS double)
+             |      / len(regexp_split_to_array(text, '\s+')), 6) AS score
+             |  FROM documents),
+             |t AS (
+             |  SELECT source, score, ntile(10) OVER (
+             |    PARTITION BY source ORDER BY score, doc_id) AS decile
+             |  FROM d)
+             |SELECT source, cast(decile AS BIGINT) AS decile,
+             |  cast(count(*) AS BIGINT) AS n_docs,
+             |  round(min(score), 6) AS min_score,
+             |  round(max(score), 6) AS max_score
+             |FROM t GROUP BY source, decile""".stripMargin)),
+
     // language ID: n-gram/stopword heuristic — argmax over per-language
     // marker counts (deterministic tiebreak by language code)
     Q("lang_id",

@@ -251,6 +251,116 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("event_sliding_window: every event lands in exactly 4 windows") {
+    val slid = run("event_sliding_window").collect()
+    assert(slid.nonEmpty)
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    // 1h window / 15min slide ⇒ overlap factor 4: the window counts must
+    // sum to exactly 4× the raw event count
+    assert(slid.map(_.getAs[Long]("n_events")).sum === 4 * nEvents)
+    slid.foreach { r =>
+      val (s0, s1) = (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[java.sql.Timestamp]("window_end"))
+      assert(s1.getTime - s0.getTime === 3600000L, s"window span $s0..$s1")
+      assert(s0.getTime % 900000L === 0L, s"unaligned window start $s0")
+    }
+  }
+
+  test("event_dwell_time: gaps non-negative, mean within min/max") {
+    val rows = run("event_dwell_time").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("min_gap_us"), r.getAs[Long]("max_gap_us"))
+      val mean = r.getAs[Double]("mean_gap_s") * 1e6
+      assert(lo >= 0L, "time went backwards within a user")
+      assert(lo <= hi)
+      assert(mean >= lo - 1e2 && mean <= hi + 1e2, s"mean $mean outside [$lo,$hi]")
+    }
+  }
+
+  test("user_value_quantiles: monotone percentiles over all users") {
+    val r = run("user_value_quantiles").collect().head
+    val ps = Seq("p25", "p50", "p75", "p90", "p99").map(r.getAs[Double])
+    assert(ps === ps.sorted, s"non-monotone percentiles $ps")
+    val nUsers = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_users") === nUsers)
+  }
+
+  test("event_topk_paths: ≤20 rows, counts cover users, descending") {
+    val rows = run("event_topk_paths").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.sameElements(counts.sorted.reverse), "not count-descending")
+    val nUsers = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(counts.sum <= nUsers)
+    rows.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.nonEmpty && steps.length <= 3)
+    }
+  }
+
+  test("embed_norm_outliers: z recomputes from published stats") {
+    val rows = run("embed_norm_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[java.lang.Double]("z")
+      val out = r.getAs[java.lang.Boolean]("outlier")
+      if (z == null) assert(out == null)
+      else assert(out === (math.abs(z) >= 2.5), s"z=$z outlier=$out")
+    }
+    // a data-quality screen that flags everything is as useless as one
+    // that flags nothing: outliers must be a strict minority
+    val flagged = rows.count(r => Option(r.getAs[java.lang.Boolean]("outlier")).exists(_.booleanValue))
+    assert(flagged.toDouble / rows.length < 0.1, s"$flagged/${rows.length} flagged")
+  }
+
+  test("doc_length_histogram: buckets partition the corpus, bounds honor bucket") {
+    val rows = run("doc_length_histogram").collect()
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("n_chars > 0").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (lo, hi) = (r.getAs[Long]("min_chars"), r.getAs[Long]("max_chars"))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b holds [$lo,$hi]")
+    }
+  }
+
+  test("quality_deciles: 10 deciles per source, contiguous score ranges") {
+    val rows = run("quality_deciles").collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("decile")).sorted.sameElements(1L to 10L),
+        s"$src deciles ${rs.map(_.getAs[Long]("decile")).sorted.toSeq}")
+      // ntile balance: group sizes differ by at most 1
+      val sizes = rs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$src sizes ${sizes.toSeq}")
+      // decile k's max_score ≤ decile k+1's min_score (ties allowed)
+      val ordered = rs.sortBy(_.getAs[Long]("decile"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("max_score") <= b.getAs[Double]("min_score") + 1e-9)
+        case _ =>
+      }
+    }
+  }
+
+  test("tokenizer_fertility: ratios recompute from the published sums") {
+    val rows = run("tokenizer_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, nt, nd) = (r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_docs"))
+      assert(math.abs(r.getAs[Double]("chars_per_token") - nc.toDouble / nt) <= 1e-4)
+      assert(math.abs(r.getAs[Double]("tokens_per_doc") - nt.toDouble / nd) <= 1e-4)
+    }
+  }
+
   test("pq_ann: top-3 per query, approx cosine is a valid cosine") {
     val rows = run("pq_ann").collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
