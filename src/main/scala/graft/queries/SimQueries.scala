@@ -417,6 +417,69 @@ object SimQueries {
               |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
               |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    // IVF with the codebook as a broadcast TABLE, not plan literals —
+    // the real-nlist shape. `ivf_ann` inlines ≤8 centroid vectors as
+    // typedLit expressions, which is ideal at toy nlist but grows the
+    // PLAN (and codegen size) linearly with nlist; at a production
+    // nlist ≈ √N the codebook must be DATA. Here assignment is
+    // corpus × broadcast(centroid table) → per-pair cosine → per-vector
+    // argmax via one bounded window (nlist rows per vector, partitioned
+    // by vec_id — never global). Probing and re-ranking are unchanged.
+    // Same oracle chain as ivf_ann at nlist=32, nprobe=4.
+    Q("ivf_bcast_ann",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nlist = 32; val nprobe = 4
+        val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
+        val cent = e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + nlist)
+          .select((col("vec_id") - 10).as("cid"),
+            col("embedding").as("cvec"), col("nrm").as("cn"))
+        val paired = e.crossJoin(broadcast(cent))
+          .withColumn("s", round(dotProduct(col("embedding"), col("cvec")) /
+            (col("nrm") * col("cn")), 4))
+        val byVec = Window.partitionBy(col("vec_id"))
+          .orderBy(col("s").desc, col("cid").asc)
+        val ranked = paired
+          .withColumn("__rn", row_number().over(byVec))
+        val corpus = ranked.filter(col("vec_id") >= 10 && col("__rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("cid").as("cell"))
+        val probed = ranked.filter(col("vec_id") < 10 && col("__rn") <= nprobe)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"), col("cid").as("cell"))
+        val cands = broadcast(probed).join(corpus, Seq("cell"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dotProduct(col("qv"), col("embedding")) /
+              (col("qn") * col("nrm")), 4).as("cos_sim"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        cands.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id - 10 AS cid, embedding AS cvec
+              |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 42),
+              |scored AS (
+              |  SELECT e.vec_id, c.cid,
+              |    round(${cosDuck("e.embedding", "c.cvec")}, 4) AS s
+              |  FROM embeddings e, cent c),
+              |corpus_cell AS (
+              |  SELECT vec_id, cid AS cell FROM scored WHERE vec_id >= 10
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1),
+              |query_cells AS (
+              |  SELECT vec_id AS query_id, cid AS cell FROM scored WHERE vec_id < 10
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) <= 4),
+              |cands AS (
+              |  SELECT q.query_id, c.vec_id AS neighbor_id,
+              |    round(${cosDuck("qe.embedding", "ce.embedding")}, 4) AS cos_sim
+              |  FROM query_cells q JOIN corpus_cell c ON q.cell = c.cell
+              |  JOIN embeddings qe ON qe.vec_id = q.query_id
+              |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+              |ranked AS (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM cands)
+              |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin)),
+
     // tumbling-window aggregation over the events stream table (see
     // `events` for the schema-adaptive ts normalization).
     Q("events_windowed",
@@ -928,6 +991,132 @@ object SimQueries {
              |  abs(round((n.nrm - st.mu) / nullif(st.sd, 0), 4)) >= 2.5
              |    AS outlier
              |FROM n JOIN st USING (label)""".stripMargin)),
+
+    // MULTI-touch attribution: every click in the hour before a purchase
+    // shares the credit — linearly (1/n) and time-decayed (1/(1+minutes),
+    // a rational kernel chosen over exp() so both engines compute
+    // identical doubles with no libm variance). Same scale shape as
+    // click_attribution: an EQUI-join on user_id with the time window as
+    // a residual filter; the per-purchase normalizations are windows
+    // partitioned by purchase_id — bounded frames (touches per purchase),
+    // never a global sort.
+    Q("multi_touch_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        val byPurchase = Window.partitionBy("purchase_id")
+        val touches = purchases.join(clicks, Seq("user_id"))
+          .filter(col("click_ts") <= col("purchase_ts") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+          .withColumn("mins_before",
+            (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+              / lit(6e7))
+          .withColumn("raw_w", lit(1.0) / (lit(1.0) + col("mins_before")))
+          .withColumn("n_touch", count(lit(1)).over(byPurchase))
+          .withColumn("w_sum", sum(col("raw_w")).over(byPurchase))
+        touches.groupBy(col("click_id"), col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum(lit(1.0) / col("n_touch")), 4).as("linear_credit"),
+            round(sum(col("raw_w") / col("w_sum")), 4).as("decay_credit"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_id AS click_id,
+             |    cast(ts AS TIMESTAMP) AS click_ts
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT user_id, event_id AS purchase_id,
+             |    cast(ts AS TIMESTAMP) AS purchase_ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (
+             |  SELECT p.purchase_id, p.user_id, c.click_id,
+             |    (epoch_us(p.purchase_ts) - epoch_us(c.click_ts)) / 6e7
+             |      AS mins_before
+             |  FROM p JOIN c ON c.user_id = p.user_id
+             |  WHERE c.click_ts <= p.purchase_ts
+             |    AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR),
+             |w AS (
+             |  SELECT *, 1.0 / (1.0 + mins_before) AS raw_w,
+             |    count(*) OVER (PARTITION BY purchase_id) AS n_touch,
+             |    sum(1.0 / (1.0 + mins_before)) OVER (
+             |      PARTITION BY purchase_id) AS w_sum
+             |  FROM t)
+             |SELECT click_id, user_id,
+             |  cast(count(*) AS BIGINT) AS n_purchases,
+             |  round(sum(1.0 / n_touch), 4) AS linear_credit,
+             |  round(sum(raw_w / w_sum), 4) AS decay_credit
+             |FROM w GROUP BY click_id, user_id""".stripMargin)),
+
+    // audience OVERLAP between event types: exact pairwise Jaccard of
+    // user sets. The self-join is on user_id (equi, both sides hash-
+    // partitioned by user); a user active in T types expands to T(T−1)/2
+    // pair rows — bounded by #types², never by |users|². The per-type
+    // audience sizes re-join as a broadcast (≤#types rows).
+    Q("event_type_user_overlap",
+      (s, dir) => {
+        val ut = events(s, dir).select(col("event_type"), col("user_id")).distinct()
+        val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val pairs = ut.as("a").join(ut.as("b"), "user_id")
+          .filter(col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(sizes.select(col("event_type").as("type_a"),
+            col("n").as("n_a"))), Seq("type_a"))
+          .join(broadcast(sizes.select(col("event_type").as("type_b"),
+            col("n").as("n_b"))), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_both"),
+            round(col("n_both").cast("double") /
+              (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT event_type, user_id FROM events),
+             |sizes AS (
+             |  SELECT event_type, cast(count(*) AS BIGINT) AS n
+             |  FROM ut GROUP BY event_type),
+             |pairs AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    cast(count(*) AS BIGINT) AS n_both
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+             |  round(cast(p.n_both AS double) / (sa.n + sb.n - p.n_both), 6)
+             |    AS jaccard
+             |FROM pairs p
+             |JOIN sizes sa ON sa.event_type = p.type_a
+             |JOIN sizes sb ON sb.event_type = p.type_b""".stripMargin)),
+
+    // day-of-week × hour activity HEATMAP per event type — the seasonal
+    // baseline behind the spike detector's trailing window. One groupBy
+    // over derived int keys; output is bounded at 7×24×#types rows.
+    // Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday — the oracle
+    // shifts by one to agree.
+    Q("event_hour_heatmap",
+      (s, dir) => {
+        val ev = events(s, dir)
+        ev.groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hour_of_day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""SELECT cast(extract(dow FROM cast(ts AS TIMESTAMP)) + 1 AS BIGINT)
+             |    AS dow,
+             |  cast(extract(hour FROM cast(ts AS TIMESTAMP)) AS BIGINT)
+             |    AS hour_of_day,
+             |  event_type,
+             |  cast(count(*) AS BIGINT) AS n_events,
+             |  cast(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY 1, 2, 3""".stripMargin)),
 
     // mergeable QUANTILE sketch table (KLL): per-(source, lang) sketches
     // over document length, merged per source WITHOUT raw data — the

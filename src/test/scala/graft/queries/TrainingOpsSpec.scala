@@ -361,6 +361,68 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi_touch_attribution: credit conserves — one unit per purchase") {
+    val rows = run("multi_touch_attribution").collect()
+    assert(rows.nonEmpty)
+    // last-touch attribution emits exactly one row per attributed
+    // purchase, so its row count IS the number of purchases with ≥1
+    // touch — and each such purchase distributes exactly 1.0 of credit
+    // under both schemes
+    val nAttributed = run("click_attribution").count().toDouble
+    val linTotal = rows.map(_.getAs[Double]("linear_credit")).sum
+    val decTotal = rows.map(_.getAs[Double]("decay_credit")).sum
+    val tol = rows.length * 5e-5 + 1e-6 // 4-dp rounding per row
+    assert(math.abs(linTotal - nAttributed) <= tol, s"linear $linTotal vs $nAttributed")
+    assert(math.abs(decTotal - nAttributed) <= tol, s"decay $decTotal vs $nAttributed")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("linear_credit") > 0.0)
+      assert(r.getAs[Double]("decay_credit") > 0.0)
+    }
+  }
+
+  test("event_type_user_overlap: all pairs, Jaccard bounds, intersection caps") {
+    val rows = run("event_type_user_overlap").collect()
+    val nTypes = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_type").distinct().count().toInt
+    assert(rows.length === nTypes * (nTypes - 1) / 2, s"${rows.length} pairs")
+    rows.foreach { r =>
+      val (na, nb, both) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"))
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      assert(both <= math.min(na, nb))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - both.toDouble / (na + nb - both)) <= 1e-6)
+    }
+  }
+
+  test("event_hour_heatmap: cells partition all events, keys in range") {
+    val rows = run("event_hour_heatmap").collect()
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === nEvents)
+    rows.foreach { r =>
+      val (d, h) = (r.getAs[Long]("dow"), r.getAs[Long]("hour_of_day"))
+      assert(d >= 1L && d <= 7L, s"dow $d")
+      assert(h >= 0L && h <= 23L, s"hour $h")
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("ivf_bcast_ann: full top-3 per query, codebook-as-table plan has no cartesian") {
+    val rows = run("ivf_bcast_ann").collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 10)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(Array(1L, 2L, 3L)),
+        s"query $q ranks ${rs.map(_.getAs[Long]("rank")).toSeq}")
+      rs.foreach(r => assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0001))
+    }
+    // the centroid cross join must plan as a broadcast nested loop —
+    // a CartesianProduct here would shuffle corpus × nlist at scale
+    val plan = run("ivf_bcast_ann").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "centroid join not broadcast")
+  }
+
   test("pq_ann: top-3 per query, approx cosine is a valid cosine") {
     val rows = run("pq_ann").collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
