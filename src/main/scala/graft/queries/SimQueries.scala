@@ -1118,6 +1118,174 @@ object SimQueries {
              |  cast(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events GROUP BY 1, 2, 3""".stripMargin)),
 
+    // CONTRASTIVE PAIR MINING for embedding training: per anchor, the
+    // hardest positive (same label, max cosine) and hardest negative
+    // (different label, max cosine) plus the margin between them. Scale
+    // shape = bruteTopK's: the ANCHOR set is small by construction (a
+    // training batch) and broadcasts; the corpus streams past it once;
+    // both argmaxes are max(struct) aggregates — map-side combinable,
+    // no window, no all-pairs.
+    Q("contrastive_pairs",
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
+        val anchors = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("anchor_id"),
+            col("label").as("anchor_label"),
+            col("embedding").as("av"), col("nrm").as("an"))
+        val scored = broadcast(anchors).join(e.filter(col("vec_id") >= 20))
+          .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
+            col("label"),
+            round(dotProduct(col("av"), col("embedding")) /
+              (col("an") * col("nrm")), 4).as("cos"))
+        // max(struct(cos, -vec_id)): ties on cosine resolve to the LOWEST
+        // vector id in both engines
+        scored.groupBy("anchor_id", "anchor_label")
+          .agg(
+            max(when(col("label") === col("anchor_label"),
+              struct(col("cos"), (-col("vec_id")).as("nid")))).as("pos"),
+            max(when(col("label") =!= col("anchor_label"),
+              struct(col("cos"), (-col("vec_id")).as("nid")))).as("neg"))
+          .select(col("anchor_id"), col("anchor_label"),
+            (-col("pos.nid")).as("pos_id"), col("pos.cos").as("pos_cos"),
+            (-col("neg.nid")).as("neg_id"), col("neg.cos").as("neg_cos"),
+            round(col("pos.cos") - col("neg.cos"), 4).as("margin"))
+      },
+      Some(s"""WITH a AS (
+              |  SELECT vec_id AS anchor_id, label AS anchor_label,
+              |    embedding AS av
+              |  FROM embeddings WHERE vec_id < 20),
+              |sc AS (
+              |  SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+              |    round(${cosDuck("a.av", "e.embedding")}, 4) AS cos
+              |  FROM a JOIN embeddings e ON e.vec_id >= 20),
+              |pos AS (
+              |  SELECT anchor_id, vec_id AS pos_id, cos AS pos_cos FROM sc
+              |  WHERE label = anchor_label
+              |  QUALIFY row_number() OVER (PARTITION BY anchor_id
+              |    ORDER BY cos DESC, vec_id ASC) = 1),
+              |neg AS (
+              |  SELECT anchor_id, vec_id AS neg_id, cos AS neg_cos FROM sc
+              |  WHERE label <> anchor_label
+              |  QUALIFY row_number() OVER (PARTITION BY anchor_id
+              |    ORDER BY cos DESC, vec_id ASC) = 1),
+              |base AS (SELECT DISTINCT anchor_id, anchor_label FROM sc)
+              |SELECT b.anchor_id, b.anchor_label,
+              |  p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+              |  round(p.pos_cos - n.neg_cos, 4) AS margin
+              |FROM base b
+              |LEFT JOIN pos p ON p.anchor_id = b.anchor_id
+              |LEFT JOIN neg n ON n.anchor_id = b.anchor_id""".stripMargin)),
+
+    // inverse-frequency CLASS WEIGHTS over the label column — the
+    // balanced-sampling input a classifier trainer consumes. Everything
+    // derives from exact integer counts (one tiny groupBy + a broadcast
+    // one-row total), so the output is engine-exact.
+    Q("label_class_weights",
+      (s, dir) => {
+        val counts = emb(s, dir).groupBy("label").agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_labels"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("label"), col("n"), col("total"),
+            round(col("total").cast("double") /
+              (col("n_labels") * col("n")), 6).as("balanced_weight"),
+            round(col("n").cast("double") / col("total"), 6).as("freq"))
+      },
+      Some("""WITH c AS (
+             |  SELECT label, cast(count(*) AS BIGINT) AS n
+             |  FROM embeddings GROUP BY label),
+             |t AS (
+             |  SELECT cast(sum(n) AS BIGINT) AS total,
+             |    cast(count(*) AS BIGINT) AS n_labels
+             |  FROM c)
+             |SELECT c.label, c.n, t.total,
+             |  round(cast(t.total AS double) / (t.n_labels * c.n), 6)
+             |    AS balanced_weight,
+             |  round(cast(c.n AS double) / t.total, 6) AS freq
+             |FROM c, t""".stripMargin)),
+
+    // per-label CENTROID DRIFT between two corpus halves (even/odd
+    // vec_id — a deterministic stand-in for yesterday/today): cosine and
+    // L2 shift between the half-centroids. The centroid never
+    // materializes as an array — vectors explode to (label, dim) cells
+    // and every statistic is a plain aggregate, so the operator is two
+    // groupBys over #labels × 64 cells regardless of corpus size; the
+    // monitoring query a training pipeline runs to catch an embedding-
+    // space regression between snapshot builds.
+    Q("embed_centroid_drift",
+      (s, dir) => {
+        val cells = emb(s, dir)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+          .select(col("label"), col("pos").as("dim"),
+            col("col").cast("double").as("x"),
+            pmod(col("vec_id"), lit(2L)).as("half"))
+        val dims = cells.groupBy("label", "dim")
+          .agg(avg(when(col("half") === 0, col("x"))).as("a"),
+            avg(when(col("half") === 1, col("x"))).as("b"))
+        dims.groupBy("label")
+          .agg(sum(col("a") * col("b")).as("ab"),
+            sum(col("a") * col("a")).as("aa"),
+            sum(col("b") * col("b")).as("bb"),
+            sum((col("a") - col("b")) * (col("a") - col("b"))).as("d2"))
+          .select(col("label"),
+            round(col("ab") / (sqrt(col("aa")) * sqrt(col("bb"))), 4)
+              .as("centroid_cos"),
+            round(sqrt(col("d2")), 4).as("l2_shift"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT label, r.dim,
+             |    cast(embedding[r.dim] AS double) AS x,
+             |    vec_id % 2 AS half
+             |  FROM embeddings CROSS JOIN range(1, 65) r(dim)),
+             |dims AS (
+             |  SELECT label, dim,
+             |    avg(x) FILTER (half = 0) AS a,
+             |    avg(x) FILTER (half = 1) AS b
+             |  FROM ex GROUP BY label, dim)
+             |SELECT label,
+             |  round(sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))), 4)
+             |    AS centroid_cos,
+             |  round(sqrt(sum((a-b)*(a-b))), 4) AS l2_shift
+             |FROM dims GROUP BY label""".stripMargin)),
+
+    // KEY-SKEW diagnostic over a join/shuffle key: top heavy hitters,
+    // their share-vs-uniform ratio, and the salt factor the
+    // `skew_join_salted` escape hatch would need (ceil of the key's share
+    // of a 32-partition shuffle). This is the report a pipeline runs
+    // BEFORE a big join to decide between plain shuffle, AQE skew
+    // handling, and explicit salting. One groupBy over the key + a
+    // broadcast one-row total; the top-k is a TakeOrdered over per-key
+    // counts, never a sort of raw rows.
+    Q("key_skew_report",
+      (s, dir) => {
+        val counts = events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("n"))
+        val stats = counts.agg(count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"))
+        counts.orderBy(col("n").desc, col("user_id")).limit(10)
+          .crossJoin(broadcast(stats))
+          .select(col("user_id"), col("n"), col("n_keys"), col("n_rows"),
+            round(col("n").cast("double") * col("n_keys") / col("n_rows"), 4)
+              .as("skew_vs_uniform"),
+            greatest(lit(1L),
+              ceil(col("n").cast("double") * 32 / col("n_rows")).cast("long"))
+              .as("suggested_salt"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, cast(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY user_id),
+             |t AS (
+             |  SELECT cast(count(*) AS BIGINT) AS n_keys,
+             |    cast(sum(n) AS BIGINT) AS n_rows
+             |  FROM c)
+             |SELECT c.user_id, c.n, t.n_keys, t.n_rows,
+             |  round(cast(c.n AS double) * t.n_keys / t.n_rows, 4)
+             |    AS skew_vs_uniform,
+             |  greatest(1, cast(ceil(cast(c.n AS double) * 32 / t.n_rows)
+             |    AS BIGINT)) AS suggested_salt
+             |FROM c, t
+             |ORDER BY c.n DESC, c.user_id LIMIT 10""".stripMargin)),
+
     // mergeable QUANTILE sketch table (KLL): per-(source, lang) sketches
     // over document length, merged per source WITHOUT raw data — the
     // distribution dimension of the sketch-table family (`hll_sketch_rollup`

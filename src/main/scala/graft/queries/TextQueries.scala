@@ -721,6 +721,135 @@ object TextQueries {
       Some(s"""WITH $lshCandSql
              |SELECT doc_id, doc_id_2 FROM cands""".stripMargin)),
 
+    // LSH band-parameter SWEEP: precision/recall of every (bands ×
+    // rows-per-band) factorization of the 8-minhash signature, evaluated
+    // on a BOUNDED sample (doc_id < 100) against exact-Jaccard ≥ 0.5
+    // ground truth. This is the tuning table that picks (b, r) before
+    // committing a corpus-scale dedup run: more bands ⇒ higher recall,
+    // lower precision. The ground-truth all-pairs is legitimate ONLY
+    // because the sample is fixed-size by construction (the corpus-scale
+    // path stays bucketed); the sweep itself reuses the exact signature
+    // definition from graft.ops.MinHash, so the chosen config transfers.
+    Q("lsh_band_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val sample = docs(s, dir).filter(col("doc_id") < 100)
+        val sig = graft.ops.MinHash.signatures(sample)
+          .withColumn("cs", split(col("sig"), "\\|"))
+        val cfgs = Seq((1L, 8L), (2L, 4L), (4L, 2L), (8L, 1L))
+        val bands = cfgs.map { case (nb, r) =>
+          sig.select(lit(nb).as("n_bands"), lit(r).as("rows_per_band"),
+            col("doc_id"),
+            explode(array((0 until nb.toInt).map(b => lit(b)): _*)).as("band"),
+            col("cs"))
+            .withColumn("bucket", md5(concat(
+              col("band").cast("string"), lit("#"),
+              concat_ws("|",
+                slice(col("cs"), col("band") * r.toInt + lit(1), lit(r.toInt))))))
+            .select(col("n_bands"), col("rows_per_band"), col("doc_id"),
+              col("band"), col("bucket"))
+        }.reduce(_ unionByName _)
+        val b2 = bands.select(col("n_bands").as("nb2"),
+          col("rows_per_band").as("r2"), col("doc_id").as("doc_id_2"),
+          col("band").as("band_2"), col("bucket").as("bucket_2"))
+        val cands = bands.join(b2,
+            col("n_bands") === col("nb2") && col("rows_per_band") === col("r2") &&
+            col("band") === col("band_2") && col("bucket") === col("bucket_2") &&
+            col("doc_id") < col("doc_id_2"))
+          .select(col("n_bands"), col("rows_per_band"),
+            col("doc_id"), col("doc_id_2"))
+          .distinct()
+        val shingleSets = sample
+          .withColumn("words", split(col("text"), "\\s+"))
+          .select(col("doc_id"),
+            array_distinct(expr(graft.ops.MinHash.shinglesExpr)).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val t2 = shingleSets.select(col("doc_id").as("doc_id_2"),
+          col("sh").as("sh2"))
+        val truth = shingleSets.join(broadcast(t2),
+            col("doc_id") < col("doc_id_2"))
+          .filter(size(array_intersect(col("sh"), col("sh2"))).cast("double") /
+            size(array_union(col("sh"), col("sh2"))) >= 0.5)
+          .select(col("doc_id"), col("doc_id_2"))
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val keys = Seq("n_bands", "rows_per_band")
+        val perCfg = cands.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_cands"))
+        val hits = cands.join(truth, Seq("doc_id", "doc_id_2"))
+          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_hit"))
+        cfgs.toDF("n_bands", "rows_per_band")
+          .join(perCfg, keys, "left").join(hits, keys, "left")
+          .crossJoin(broadcast(nTruth))
+          .select(col("n_bands"), col("rows_per_band"),
+            coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_truth"),
+            round(try_divide(coalesce(col("n_hit"), lit(0L)),
+              coalesce(col("n_cands"), lit(0L))), 6).as("prec"),
+            round(try_divide(coalesce(col("n_hit"), lit(0L)),
+              col("n_truth")), 6).as("recall"))
+      },
+      Some(s"""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words
+             |  FROM documents WHERE doc_id < 100),
+             |shl AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM w),
+             |sh0 AS (SELECT DISTINCT doc_id, u.shingle
+             |        FROM shl, UNNEST(shs) AS u(shingle)),
+             |sh AS (
+             |  SELECT doc_id,
+             |    cast(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+             |      % 1073741824 AS u
+             |  FROM sh0),
+             |fam(j, a, b) AS (VALUES (0, 1299721, 11), (1, 2750159, 103),
+             |  (2, 4256233, 1009), (3, 5800079, 10007), (4, 7368787, 100003),
+             |  (5, 8960453, 1000003), (6, 10570841, 233), (7, 12195257, 377)),
+             |mh AS (
+             |  SELECT doc_id, j,
+             |    cast(min((a * u + b) % 1073741789) AS VARCHAR) AS mh
+             |  FROM sh, fam GROUP BY doc_id, j),
+             |sig AS (
+             |  SELECT doc_id, string_agg(mh, '|' ORDER BY j) AS sig
+             |  FROM mh GROUP BY doc_id),
+             |comp AS (
+             |  SELECT doc_id, regexp_split_to_array(sig, '\\|') AS cs FROM sig),
+             |cfg(nb, r) AS (VALUES (1, 8), (2, 4), (4, 2), (8, 1)),
+             |bands AS (
+             |  SELECT c.nb, c.r, doc_id, b.band,
+             |    md5(cast(b.band AS varchar) || '#' ||
+             |        array_to_string(cs[b.band*c.r+1:b.band*c.r+c.r], '|'))
+             |      AS bucket
+             |  FROM comp, cfg c, range(0, 8) b(band)
+             |  WHERE b.band < c.nb),
+             |cands AS (
+             |  SELECT DISTINCT a.nb, a.r, a.doc_id, b.doc_id AS doc_id_2
+             |  FROM bands a JOIN bands b ON a.nb = b.nb AND a.r = b.r
+             |    AND a.band = b.band AND a.bucket = b.bucket
+             |    AND a.doc_id < b.doc_id),
+             |shd AS (SELECT doc_id, list(shingle) AS sh FROM sh0 GROUP BY doc_id),
+             |truth AS (
+             |  SELECT a.doc_id, b.doc_id AS doc_id_2
+             |  FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+             |  WHERE cast(len(list_intersect(a.sh, b.sh)) AS double)
+             |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+             |tt AS (SELECT cast(count(*) AS BIGINT) AS n_truth FROM truth),
+             |pc AS (SELECT nb, r, cast(count(*) AS BIGINT) AS n_cands
+             |       FROM cands GROUP BY nb, r),
+             |ht AS (
+             |  SELECT c.nb, c.r, cast(count(*) AS BIGINT) AS n_hit
+             |  FROM cands c JOIN truth t
+             |    ON t.doc_id = c.doc_id AND t.doc_id_2 = c.doc_id_2
+             |  GROUP BY c.nb, c.r)
+             |SELECT cast(cfg.nb AS BIGINT) AS n_bands,
+             |  cast(cfg.r AS BIGINT) AS rows_per_band,
+             |  cast(coalesce(pc.n_cands, 0) AS BIGINT) AS n_cands,
+             |  cast(coalesce(ht.n_hit, 0) AS BIGINT) AS n_hit, tt.n_truth,
+             |  round(cast(coalesce(ht.n_hit, 0) AS double)
+             |    / nullif(coalesce(pc.n_cands, 0), 0), 6) AS prec,
+             |  round(cast(coalesce(ht.n_hit, 0) AS double)
+             |    / nullif(tt.n_truth, 0), 6) AS recall
+             |FROM cfg LEFT JOIN pc ON pc.nb = cfg.nb AND pc.r = cfg.r
+             |         LEFT JOIN ht ON ht.nb = cfg.nb AND ht.r = cfg.r
+             |         CROSS JOIN tt""".stripMargin)),
+
     // STATEFUL candidate maintenance (graft.ops.IncrementalLsh) — the
     // multi-batch big sibling of the one-shot `lsh_incremental` delta
     // check below: the corpus arrives in 3 batches; each ingest signatures

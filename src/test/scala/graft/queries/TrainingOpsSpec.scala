@@ -423,6 +423,92 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "centroid join not broadcast")
   }
 
+  test("contrastive_pairs: labels honored, valid cosines, margin recomputes") {
+    val rows = run("contrastive_pairs").collect()
+    assert(rows.nonEmpty)
+    val labelOf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.foreach { r =>
+      val aLabel = r.getAs[Int]("anchor_label")
+      Option(r.getAs[java.lang.Long]("pos_id")).foreach { p =>
+        assert(labelOf(p) === aLabel, s"positive $p label mismatch")
+        assert(math.abs(r.getAs[Double]("pos_cos")) <= 1.0001)
+      }
+      Option(r.getAs[java.lang.Long]("neg_id")).foreach { n =>
+        assert(labelOf(n) !== aLabel, s"negative $n shares the label")
+        assert(math.abs(r.getAs[Double]("neg_cos")) <= 1.0001)
+      }
+      val m = r.getAs[java.lang.Double]("margin")
+      if (m != null)
+        assert(math.abs(m - (r.getAs[Double]("pos_cos") -
+          r.getAs[Double]("neg_cos"))) <= 2e-4)
+    }
+  }
+
+  test("label_class_weights: frequencies sum to 1, weights are inverse-frequency") {
+    val rows = run("label_class_weights").collect()
+    assert(rows.nonEmpty)
+    val freqSum = rows.map(_.getAs[Double]("freq")).sum
+    assert(math.abs(freqSum - 1.0) <= rows.length * 1e-6)
+    // expected count under balanced sampling: sum over labels of
+    // n · weight = total for every label ⇒ weights × freq are constant
+    rows.foreach { r =>
+      val expected = r.getAs[Long]("total").toDouble /
+        (rows.length * r.getAs[Long]("n"))
+      assert(math.abs(r.getAs[Double]("balanced_weight") - expected) <= 1e-4)
+    }
+  }
+
+  test("embed_centroid_drift: cosine bounded, shift non-negative and consistent") {
+    val rows = run("embed_centroid_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cos = r.getAs[Double]("centroid_cos")
+      val shift = r.getAs[Double]("l2_shift")
+      // the synthetic embeddings are ~zero-mean, so the half-centroids are
+      // small residuals and their cosine can land anywhere in [-1, 1] —
+      // only the cosine bound and the metric's non-negativity are invariant
+      assert(math.abs(cos) <= 1.0001, s"cos $cos")
+      assert(shift >= 0.0)
+    }
+  }
+
+  test("lsh_band_sweep: recall rises and precision falls with band count") {
+    val rows = run("lsh_band_sweep").collect()
+      .sortBy(_.getAs[Long]("n_bands"))
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bands") * r.getAs[Long]("rows_per_band") === 8L)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cands"))
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth"))
+    }
+    // more bands ⇒ a pair collides on ≥1 band more easily: the candidate
+    // set (and so recall) is monotone non-decreasing in band count
+    val cands = rows.map(_.getAs[Long]("n_cands"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      s"candidate counts not monotone: ${cands.toSeq}")
+    val recalls = rows.map(r => Option(r.getAs[java.lang.Double]("recall"))
+      .map(_.doubleValue).getOrElse(0.0))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"recall not monotone: ${recalls.toSeq}")
+  }
+
+  test("key_skew_report: shares and salt recompute from counts") {
+    val rows = run("key_skew_report").collect()
+    assert(rows.length === 10)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sorted.reverse), "not ordered by count desc")
+    rows.foreach { r =>
+      val (n, keys, total) = (r.getAs[Long]("n"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("n_rows"))
+      assert(math.abs(r.getAs[Double]("skew_vs_uniform") -
+        n.toDouble * keys / total) <= 1e-3)
+      val salt = r.getAs[Long]("suggested_salt")
+      assert(salt >= 1L && salt <= 32L)
+      assert(salt === math.max(1L, math.ceil(n.toDouble * 32 / total).toLong))
+    }
+  }
+
   test("pq_ann: top-3 per query, approx cosine is a valid cosine") {
     val rows = run("pq_ann").collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
