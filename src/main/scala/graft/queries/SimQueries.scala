@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -227,7 +227,218 @@ object SimQueries {
       |  FROM codes co JOIN lut l ON l.m = co.m AND l.j = co.j
       |  GROUP BY l.query_id, co.vec_id)""".stripMargin
 
+  /** IVF-PQ composed index (the FAISS IVFPQ production shape): IVF coarse
+    * cells bound the candidate set (nlist=8, nprobe=2 — the same
+    * deterministic centroid assignment as `ivf_ann`), PQ asymmetric-
+    * distance LUT scoring ranks WITHIN the probed cells only (M=4
+    * subspaces × ksub=4, the same codebook as `pq_ann`), and only a
+    * top-20 shortlist per query is reranked with the exact float cosine.
+    * Scale story: at 100 TB the scan touches nprobe/nlist of the corpus,
+    * reads PQ codes (16× smaller than float32), and fetches original
+    * vectors for 20 rows per query — the composition is what makes
+    * billion-vector serving tractable; neither half alone suffices.
+    * Shared by `ivfpq_ann` and the `ivfpq_recall` eval. */
+  private def ivfpqTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 4; val dsub = 16; val ksub = 4; val nlist = 8; val nprobe = 2
+    val shortlist = 20
+    val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
+    val cb: Array[Array[Seq[Double]]] = {
+      val rows = e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + ksub)
+        .orderBy("vec_id").select("embedding").collect()
+      Array.tabulate(M)(m => rows.map(_.getSeq[Float](0)
+        .slice(m * dsub, (m + 1) * dsub).map(_.toDouble).toSeq))
+    }
+    val cn2: Array[Array[Double]] = Array.tabulate(M)(m =>
+      Array.tabulate(ksub)(j => cb(m)(j).map(x => x * x).sum))
+    val centroids: Seq[(Int, Seq[Double], Double)] =
+      e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + nlist)
+        .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
+        .zipWithIndex.map { case (r, i) =>
+          val v = r.getSeq[Float](1).map(_.toDouble)
+          (i, v, math.sqrt(v.map(x => x * x).sum))
+        }
+    def cellScore(cvec: Seq[Double], cn: Double) =
+      round(dotProduct(col("embedding"), typedLit(cvec)) / (col("nrm") * cn), 4)
+    def sub(c: Column, m: Int) = slice(c, m * dsub + 1, dsub)
+    def l2(c: Column, cent: Seq[Double]): Column =
+      round(aggregate(
+        zip_with(c, typedLit(cent),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v), 4)
+    val argmaxStructs = centroids.map { case (cid, v, n) =>
+      struct(cellScore(v, n).as("s"), lit(-cid).as("nc"))
+    }
+    // corpus side: ONE projection computes the IVF cell (argmax rounded
+    // cosine, tie → min cid) and the M PQ codes (argmin rounded L2², tie
+    // → min j); the float vector rides along only for the rerank fetch
+    val coded = (0 until M).foldLeft(
+        e.filter(col("vec_id") >= 10)
+          .withColumn("__best", greatest(argmaxStructs: _*))
+          .withColumn("cell", (-col("__best").getField("nc")).cast("long"))) {
+        (df, m) =>
+          val best = least((0 until ksub).map(j =>
+            struct(l2(sub(col("embedding"), m), cb(m)(j)).as("d"), lit(j).as("j"))): _*)
+          df.withColumn(s"code_$m", best.getField("j"))
+      }.select(col("vec_id").as("neighbor_id") +: col("embedding").as("nv") +:
+        col("nrm").as("nn") +: col("cell") +:
+        (0 until M).map(m => col(s"code_$m")): _*)
+    val scoreStructs = centroids.map { case (cid, v, n) =>
+      struct(cellScore(v, n).as("s"), lit(cid.toLong).as("cid"))
+    }
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("c.s").desc, col("c.cid").asc)
+    val probed0 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), explode(array(scoreStructs: _*)).as("c"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("c.cid").as("cell"))
+    val probed = (for (m <- 0 until M; j <- 0 until ksub) yield (m, j))
+      .foldLeft(probed0) { case (df, (m, j)) =>
+        df.withColumn(s"d_${m}_$j",
+          dotProduct(sub(col("qv"), m), typedLit(cb(m)(j))))
+      }
+    val approxDot = (0 until M).map(m =>
+      element_at(array((0 until ksub).map(j => col(s"d_${m}_$j")): _*),
+        col(s"code_$m") + 1)).reduce(_ + _)
+    val rn2 = (0 until M).map(m =>
+      element_at(typedLit(cn2(m).toSeq), col(s"code_$m") + 1)).reduce(_ + _)
+    val cands = broadcast(probed).join(coded, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(approxDot / (col("qn") * sqrt(rn2)), 4).as("approx_cos"),
+        col("qv"), col("qn"), col("nv"), col("nn"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    val short = cands.withColumn("__crn", row_number().over(wc))
+      .filter(col("__crn") <= shortlist)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    short.select(col("query_id"), col("neighbor_id"), col("approx_cos"),
+        round(dotProduct(col("qv"), col("nv")) / (col("qn") * col("nn")), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** the IVF-PQ chain as DuckDB CTEs, ending in `rer`
+    * (query_id, neighbor_id, approx_cos, cos_sim) — shared by the
+    * `ivfpq_ann` and `ivfpq_recall` oracles. IVF half = the `ivf_ann`
+    * oracle chain; PQ half = `pqDuckChain` restricted to probed cells. */
+  private lazy val ivfpqDuckChain: String =
+    s"""icent AS (
+       |  SELECT vec_id - 10 AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+       |iscored AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(${cosDuck("e.embedding", "c.cvec")}, 4) AS s
+       |  FROM embeddings e, icent c),
+       |corpus_cell AS (
+       |  SELECT vec_id, cid AS cell FROM iscored WHERE vec_id >= 10
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1),
+       |query_cells AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM iscored WHERE vec_id < 10
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) <= 2),
+       |cent AS (
+       |  SELECT m.m, e.vec_id - 10 AS j,
+       |    list_slice(e.embedding, m.m*16+1, m.m*16+16) AS cv
+       |  FROM embeddings e, range(0, 4) AS m(m)
+       |  WHERE e.vec_id >= 10 AND e.vec_id < 14),
+       |cdist AS (
+       |  SELECT e.vec_id, c.m, c.j,
+       |    round(list_sum(list_transform(
+       |      list_zip(list_slice(e.embedding, c.m*16+1, c.m*16+16), c.cv),
+       |      s -> (cast(s[1] AS double) - cast(s[2] AS double))
+       |         * (cast(s[1] AS double) - cast(s[2] AS double)))), 4) AS d2,
+       |    list_sum(list_transform(c.cv,
+       |      x -> cast(x AS double) * cast(x AS double))) AS cn2
+       |  FROM embeddings e, cent c
+       |  WHERE e.vec_id >= 10),
+       |codes AS (
+       |  SELECT vec_id, m, j, cn2 FROM cdist
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |    ORDER BY d2, j) = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.j,
+       |    list_sum(list_transform(
+       |      list_zip(list_slice(q.embedding, c.m*16+1, c.m*16+16), c.cv),
+       |      s -> cast(s[1] AS double) * cast(s[2] AS double))) AS d,
+       |    sqrt(list_sum(list_transform(q.embedding,
+       |      x -> cast(x AS double) * cast(x AS double)))) AS qn
+       |  FROM embeddings q, cent c WHERE q.vec_id < 10),
+       |pairs AS (
+       |  SELECT qc.query_id, cc.vec_id AS neighbor_id
+       |  FROM query_cells qc JOIN corpus_cell cc ON qc.cell = cc.cell),
+       |scored AS (
+       |  SELECT l.query_id, co.vec_id AS neighbor_id,
+       |    round((((max(l.d) FILTER (l.m = 0) + max(l.d) FILTER (l.m = 1))
+       |          + max(l.d) FILTER (l.m = 2)) + max(l.d) FILTER (l.m = 3))
+       |      / (max(l.qn) * sqrt(
+       |        ((max(co.cn2) FILTER (co.m = 0) + max(co.cn2) FILTER (co.m = 1))
+       |          + max(co.cn2) FILTER (co.m = 2)) + max(co.cn2) FILTER (co.m = 3))),
+       |      4) AS approx_cos
+       |  FROM pairs p
+       |  JOIN codes co ON co.vec_id = p.neighbor_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.m = co.m AND l.j = co.j
+       |  GROUP BY l.query_id, co.vec_id),
+       |short AS (
+       |  SELECT * FROM scored
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx_cos DESC, neighbor_id ASC) <= 20),
+       |rer AS (
+       |  SELECT t.query_id, t.neighbor_id, t.approx_cos,
+       |    round(${cosDuck("qa.embedding", "qb.embedding")}, 4) AS cos_sim
+       |  FROM short t JOIN embeddings qa ON qa.vec_id = t.query_id
+       |               JOIN embeddings qb ON qb.vec_id = t.neighbor_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
+
+    // IVF-PQ composed index + its acceptance eval — see ivfpqTopK for the
+    // design; this is the billion-vector serving shape (coarse cells ×
+    // 16×-compressed codes × bounded exact rerank).
+    Q("ivfpq_ann",
+      (s, dir) => ivfpqTopK(s, dir, 3),
+      Some(s"""WITH $ivfpqDuckChain
+              |SELECT query_id, neighbor_id, approx_cos, cos_sim,
+              |  cast(rank AS BIGINT) AS rank
+              |FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rer)
+              |WHERE rank <= 3""".stripMargin)),
+
+    Q("ivfpq_recall",
+      (s, dir) => {
+        val truth = bruteTopK(s, dir, 3).select(col("query_id"), col("neighbor_id"))
+        val approx = ivfpqTopK(s, dir, 3).select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1L))
+        truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+          .withColumn("recall_at_3",
+            col("n_found").cast("double") / col("n_true"))
+      },
+      Some(s"""WITH $ivfpqDuckChain,
+              |ivfpq AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rer)
+              |  WHERE rank <= 3),
+              |brute_scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    round(${cosDuck("a.embedding", "b.embedding")}, 4) AS cos_sim
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id >= 10),
+              |brute AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM brute_scored)
+              |  WHERE rank <= 3)
+              |SELECT b.query_id, cast(count(*) AS BIGINT) AS n_true,
+              |  cast(count(p.neighbor_id) AS BIGINT) AS n_found,
+              |  cast(count(p.neighbor_id) AS double) / count(*) AS recall_at_3
+              |FROM brute b LEFT JOIN ivfpq p
+              |  ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+              |GROUP BY b.query_id""".stripMargin)),
 
     // brute-force cosine top-k: the exactness baseline for ANN.
     // Scale shape: broadcast the QUERY set (small by construction) and
@@ -1117,6 +1328,176 @@ object SimQueries {
              |  cast(count(*) AS BIGINT) AS n_events,
              |  cast(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events GROUP BY 1, 2, 3""".stripMargin)),
+
+    // TIME-DECAYED ENGAGEMENT: per-user sum of event value weighted by
+    // exp(-ln2/7 · age_days) — the half-life feature a feature store
+    // materializes for ranking models. Scale shape: ONE groupBy(user_id)
+    // with a map-side-combinable sum; the corpus max-ts is a scalar probe
+    // (metadata-scale collect, same precedent as sqTopK's min/max).
+    // The decay constant is spelled as the same decimal literal in both
+    // engines so the doubles parse identically; the sum is rounded to 4
+    // decimals (double-addition order jitter ~1e-13 « 1e-4 granularity).
+    Q("time_decay_engagement",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val mx = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        ev.groupBy(col("user_id"))
+          .agg(
+            round(sum(col("value") * exp(lit(-0.0990210257942779) *
+              ((lit(mx) - unix_micros(col("ts"))).cast("double") / lit(86400000000.0)))), 4)
+              .as("decayed_value"),
+            round(sum(col("value")), 4).as("raw_value"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""WITH mx AS (
+             |  SELECT max(epoch_us(cast(ts AS TIMESTAMP))) AS m FROM events)
+             |SELECT user_id,
+             |  round(sum(value * exp(-0.0990210257942779 *
+             |    (cast(mx.m - epoch_us(cast(ts AS TIMESTAMP)) AS double)
+             |       / 86400000000.0))), 4) AS decayed_value,
+             |  round(sum(value), 4) AS raw_value,
+             |  cast(count(*) AS BIGINT) AS n_events
+             |FROM events, mx GROUP BY user_id""".stripMargin)),
+
+    // ROBUST DAILY-VOLUME ANOMALY DETECTION: per event type, flag days
+    // whose count deviates from the type's median by > 2 robust z
+    // (0.6745·|x−med|/MAD — the median/MAD estimator that, unlike the
+    // spike detector's trailing mean, is immune to the outliers it hunts).
+    // Scale shape: daily rollup is one groupBy; both medians are exact
+    // `median` aggregates over the BOUNDED daily table (days × types),
+    // broadcast back — the raw event table is scanned once.
+    Q("event_anomaly_mad",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val med = daily.groupBy("event_type")
+          .agg(median(col("n_events")).as("med"))
+        val dev = daily.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("n_events").cast("double") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(median(col("adev")).as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("robust_z",
+            round(lit(0.6745) * (col("n_events") - col("med")) /
+              nullif(col("mad"), lit(0.0)), 4))
+          .select(col("event_type"), col("day"), col("n_events"),
+            col("med"), col("mad"), col("robust_z"),
+            (abs(coalesce(col("robust_z"), lit(0.0))) > 2.0).as("is_anomaly"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, cast(ts AS DATE) AS day,
+             |    cast(count(*) AS BIGINT) AS n_events
+             |  FROM events GROUP BY 1, 2),
+             |med AS (
+             |  SELECT event_type, cast(median(n_events) AS double) AS med
+             |  FROM daily GROUP BY 1),
+             |dev AS (
+             |  SELECT d.*, m.med, abs(cast(d.n_events AS double) - m.med) AS adev
+             |  FROM daily d JOIN med m USING (event_type)),
+             |mad AS (
+             |  SELECT event_type, cast(median(adev) AS double) AS mad
+             |  FROM dev GROUP BY 1)
+             |SELECT d.event_type, d.day, d.n_events, d.med, a.mad,
+             |  round(0.6745 * (d.n_events - d.med) / nullif(a.mad, 0.0), 4)
+             |    AS robust_z,
+             |  abs(coalesce(round(0.6745 * (d.n_events - d.med)
+             |    / nullif(a.mad, 0.0), 4), 0.0)) > 2.0 AS is_anomaly
+             |FROM dev d JOIN mad a USING (event_type)""".stripMargin)),
+
+    // SEASONAL-NAIVE FORECAST BACKTEST: forecast each day's per-type
+    // volume as the count 7 calendar days earlier and report the error —
+    // the baseline every volume-forecasting pipeline must beat before a
+    // model earns its keep. Scale shape: one daily rollup, then a self
+    // equi-join of the BOUNDED daily table on (type, day−7) — calendar
+    // join, not row-lag, so missing days never misalign the season.
+    Q("event_seasonal_baseline",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val lagged = daily.select(col("event_type").as("lag_type"),
+          col("day").as("lag_day"), col("n").as("n_forecast"))
+        daily.join(lagged,
+            col("event_type") === col("lag_type") &&
+              col("lag_day") === date_sub(col("day"), 7))
+          .select(col("event_type"), col("day"), col("n").as("n_actual"),
+            col("n_forecast"),
+            abs(col("n") - col("n_forecast")).as("abs_err"),
+            round(abs(col("n") - col("n_forecast")).cast("double") /
+              col("n"), 4).as("rel_err"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, cast(ts AS DATE) AS day,
+             |    cast(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT a.event_type, a.day, a.n AS n_actual,
+             |  f.n AS n_forecast,
+             |  abs(a.n - f.n) AS abs_err,
+             |  round(cast(abs(a.n - f.n) AS double) / a.n, 4) AS rel_err
+             |FROM daily a JOIN daily f
+             |  ON f.event_type = a.event_type AND f.day = a.day - 7""".stripMargin)),
+
+    // RFM SEGMENTATION over purchase events: recency (days since last
+    // purchase vs corpus max day), frequency, monetary, each bucketed into
+    // quartiles 1..4 by comparison against exact type-7 percentile
+    // thresholds (computed once over the bounded per-user table and
+    // broadcast back — NO global ntile window, which would funnel every
+    // user through one task). Thresholds and monetary are rounded to 4
+    // decimals in both engines before comparison so bucket edges are
+    // bit-stable. Segment 1 = lowest value of the metric (most recent /
+    // fewest / least spent).
+    Q("user_rfm_segments",
+      (s, dir) => {
+        val ev = events(s, dir).filter(col("event_type") === "purchase")
+        // scalar probe as STRING: decoding a DateType scalar trips on the
+        // proleptic-rebase configs; the string round-trips exactly
+        val mx = ev.agg(max(to_date(col("ts"))).cast("string")).head().getString(0)
+        val rfm = ev.groupBy(col("user_id"))
+          .agg(datediff(to_date(lit(mx)), max(to_date(col("ts")))).cast("long").as("recency_days"),
+            count(lit(1)).as("frequency"),
+            round(sum(col("value")), 4).as("monetary"))
+        val th = rfm.agg(
+          expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("rt"),
+          expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("ft"),
+          expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mt"))
+        def seg(c: Column, t: Column): Column =
+          (lit(1) + (c > round(element_at(t, 1), 4)).cast("int")
+            + (c > round(element_at(t, 2), 4)).cast("int")
+            + (c > round(element_at(t, 3), 4)).cast("int")).cast("long")
+        rfm.crossJoin(broadcast(th))
+          .select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary"),
+            seg(col("recency_days"), col("rt")).as("r_seg"),
+            seg(col("frequency"), col("ft")).as("f_seg"),
+            seg(col("monetary"), col("mt")).as("m_seg"))
+      },
+      Some("""WITH p AS (
+             |  SELECT * FROM events WHERE event_type = 'purchase'),
+             |mx AS (SELECT max(cast(ts AS DATE)) AS d FROM p),
+             |rfm AS (
+             |  SELECT user_id,
+             |    cast(date_diff('day', max(cast(ts AS DATE)), mx.d) AS BIGINT)
+             |      AS recency_days,
+             |    cast(count(*) AS BIGINT) AS frequency,
+             |    round(sum(value), 4) AS monetary
+             |  FROM p, mx GROUP BY user_id, mx.d),
+             |th AS (
+             |  SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rt,
+             |    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS ft,
+             |    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mt
+             |  FROM rfm)
+             |SELECT user_id, recency_days, frequency, monetary,
+             |  cast(1 + (recency_days > round(rt[1], 4))::int
+             |    + (recency_days > round(rt[2], 4))::int
+             |    + (recency_days > round(rt[3], 4))::int AS BIGINT) AS r_seg,
+             |  cast(1 + (frequency > round(ft[1], 4))::int
+             |    + (frequency > round(ft[2], 4))::int
+             |    + (frequency > round(ft[3], 4))::int AS BIGINT) AS f_seg,
+             |  cast(1 + (monetary > round(mt[1], 4))::int
+             |    + (monetary > round(mt[2], 4))::int
+             |    + (monetary > round(mt[3], 4))::int AS BIGINT) AS m_seg
+             |FROM rfm, th""".stripMargin)),
 
     // CONTRASTIVE PAIR MINING for embedding training: per anchor, the
     // hardest positive (same label, max cosine) and hardest negative
