@@ -1885,6 +1885,48 @@ object DvQueries {
              |SELECT 'current', n_nationkey + 100, 'NEW', NULL
              |FROM nation WHERE n_nationkey % 5 = 0""".stripMargin)),
 
+    // CHANGE DATA FEED between two table versions, driver-verified:
+    // v1 (initial append) → v2 (MERGE: even keys updated, %5 keys
+    // inserted) → v3 (overwrite dropping %3 keys — deletes). The CDC
+    // v1→v3 is computed retroactively by graft.runtime.Cdc.diff — one
+    // full-outer key join over the two version snapshots, op ∈ I/U/D,
+    // unchanged keys dropped, NULL-safe value compare. Rows inserted at
+    // v2 and deleted again by v3 correctly never appear (net-zero across
+    // the diffed range). See Cdc.scala for the 100 TB cost argument.
+    Q("txlog_cdc",
+      (s, dir) => {
+        val wh = tmpWarehouse("graft_q_txcdc")
+        val t = new graft.runtime.TxLogTable(s, wh)
+        val base = rd(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        t.append("t", base) // v1
+        val delta = base.filter(col("n_nationkey") % 2 === 0)
+          .withColumn("n_name", concat(col("n_name"), lit("!")))
+          .unionByName(base.filter(col("n_nationkey") % 5 === 0)
+            .select((col("n_nationkey") + lit(100L)).as("n_nationkey"),
+              lit("NEW").as("n_name")))
+        t.merge("t", delta, Seq("n_nationkey")) // v2
+        t.overwrite("t", t.read("t").filter(col("n_nationkey") % 3 =!= 0)) // v3
+        graft.runtime.Cdc.diff(
+          t.readVersion("t", 1), t.readVersion("t", 3), Seq("n_nationkey"))
+      },
+      Some("""WITH v1 AS (SELECT n_nationkey, n_name FROM nation),
+             |v3 AS (
+             |  SELECT n_nationkey,
+             |    CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END
+             |      AS n_name
+             |  FROM nation WHERE n_nationkey % 3 <> 0
+             |  UNION ALL
+             |  SELECT n_nationkey + 100, 'NEW' FROM nation
+             |  WHERE n_nationkey % 5 = 0 AND (n_nationkey + 100) % 3 <> 0)
+             |SELECT CASE WHEN v1.n_nationkey IS NULL THEN 'I'
+             |            WHEN v3.n_nationkey IS NULL THEN 'D'
+             |            ELSE 'U' END AS op,
+             |  coalesce(v1.n_nationkey, v3.n_nationkey) AS n_nationkey,
+             |  v1.n_name AS old_n_name, v3.n_name AS new_n_name
+             |FROM v1 FULL JOIN v3 ON v1.n_nationkey = v3.n_nationkey
+             |WHERE v1.n_nationkey IS NULL OR v3.n_nationkey IS NULL
+             |   OR v1.n_name <> v3.n_name""".stripMargin)),
+
     // OPTIMIZE + VACUUM lifecycle, driver-verified: four small appends
     // (the small-file problem every incremental vault accretes), one
     // compaction commit down to a single clustered file, then a vacuum

@@ -1302,6 +1302,37 @@ object TextQueries {
              |    ORDER BY h, doc_id) AS BIGINT) AS pos
              |FROM tb""".stripMargin)),
 
+    // CURRICULUM ORDERING: lay training examples out easy→hard within
+    // deterministic shards — train_shard's layout with the hash order
+    // replaced by a difficulty proxy (mean word length, the same rounded
+    // scalar quality_deciles calibrates on). Per-(shard) window only —
+    // bounded sorts sized by shard count, no global sort; at 100 TB you
+    // raise the shard modulus exactly like train_shard.
+    Q("curriculum_order",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = size(split(col("text"), "\\s+"))
+        val d = docs(s, dir).select(col("doc_id"),
+          round(length(col("text")).cast("double") / words, 6).as("difficulty"),
+          (conv(substring(md5(concat(lit("cur#"), col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 8L).as("shard"))
+        d.withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy(col("difficulty"), col("doc_id")))
+            .cast("long"))
+          .select(col("doc_id"), col("shard"), col("difficulty"), col("pos"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    round(cast(length(text) AS double)
+             |      / len(regexp_split_to_array(text, '\s+')), 6) AS difficulty,
+             |    cast(('0x' || substr(md5('cur#' || cast(doc_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 8 AS shard
+             |  FROM documents)
+             |SELECT doc_id, shard, difficulty,
+             |  cast(row_number() OVER (PARTITION BY shard
+             |    ORDER BY difficulty, doc_id) AS BIGINT) AS pos
+             |FROM d""".stripMargin)),
+
     // PII detection + scrubbing: count and mask email / phone-like / IPv4
     // patterns — the content-safety pass a training pipeline runs before
     // release. Stateless per-row regexes (codegen'd), zero shuffle; the
