@@ -408,6 +408,59 @@ object StreamingLoaders {
       .toDF()
   }
 
+  /** Decayed-engagement state: last event time (µs), decayed sum, count. */
+  final case class DecayState(lastUs: Long, score: Double, n: Long)
+  final case class DecayRow(user_id: Long, last_event_us: Long,
+                            decayed_value: Double, n_events: Long)
+
+  /** Streaming time-decayed engagement — the continuous form of the batch
+    * time_decay_engagement query and the classic feature-store pattern:
+    * one (last_ts, score) pair per user, decayed lazily ON EVENT (never a
+    * timer per key), so idle users cost nothing until they return. For an
+    * event at t with state at last:
+    *   t ≥ last:  score ← score·exp(−λ(t−last)) + v   (decay forward)
+    *   t <  last: score ← score + v·exp(−λ(last−t))   (late event inside
+    *     the watermark discounts ITSELF to the state's clock instead of
+    *     rewinding it)
+    * Both branches keep the invariant score = Σ vᵢ·exp(−λ(last−tᵢ)) — the
+    * exact batch formula anchored at the user's latest event, which is
+    * what StreamingSpec asserts. Emits the running feature per user per
+    * micro-batch (Update mode). State: O(active users). */
+  def decayedEngagementStream(events: DataFrame, halfLifeDays: Double = 7.0,
+                              userCol: String = "user_id", tsCol: String = "ts",
+                              valueCol: String = "value"): DataFrame = {
+    require(halfLifeDays > 0, s"half-life must be positive, got $halfLifeDays")
+    val lambda = math.log(2) / (halfLifeDays * 86400e6) // per microsecond
+    events
+      .groupByKey((r: Row) => r.getAs[Long](userCol))(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Row], state: GroupState[DecayState]) => {
+          // full-precision sort (see satV0ChangesStateful): same-millisecond
+          // events must fold identically across runs
+          val evs = rows.toSeq.sortBy { r =>
+            val t = r.getAs[java.sql.Timestamp](tsCol)
+            (Math.floorDiv(t.getTime, 1000L), t.getNanos)
+          }
+          var st = state.getOption.getOrElse(DecayState(0L, 0.0, 0L))
+          evs.foreach { r =>
+            val t = r.getAs[java.sql.Timestamp](tsCol)
+            val us = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            val v = r.getAs[Double](valueCol)
+            st =
+              if (st.n == 0L) DecayState(us, v, 1L)
+              else if (us >= st.lastUs)
+                DecayState(us,
+                  st.score * math.exp(-lambda * (us - st.lastUs)) + v, st.n + 1)
+              else
+                DecayState(st.lastUs,
+                  st.score + v * math.exp(-lambda * (st.lastUs - us)), st.n + 1)
+          }
+          state.update(st)
+          DecayRow(user, st.lastUs, st.score, st.n)
+        })(Encoders.product[DecayState], Encoders.product[DecayRow])
+      .toDF()
+  }
+
   /** Stream-stream interval join: click→purchase candidate pairs, the
     * streaming form of the batch `click_attribution` pair predicate —
     * an EQUI-join on the user with the attribution window as a range

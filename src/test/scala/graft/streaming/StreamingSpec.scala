@@ -528,6 +528,54 @@ class StreamingSpec extends SparkSpec {
     assert(!all.exists(_._1 == 2L), s"user 2's session is still open, got $all")
   }
 
+  test("decayed engagement: stream state equals the batch half-life formula") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, String, Double)]
+    val staged = input.toDF().toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+    val feats = StreamingLoaders.decayedEngagementStream(staged, halfLifeDays = 7.0)
+    val query = feats.writeStream
+      .format("memory").queryName("decay").outputMode("update")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    // three micro-batches; user 2's second batch carries a LATE event
+    // (10:00, older than its 12:00 state) that must discount itself
+    val batches = Seq(
+      Seq((1L, "2024-01-01 10:00:00", 10.0), (2L, "2024-01-01 09:00:00", 4.0)),
+      Seq((1L, "2024-01-08 10:00:00", 6.0), (2L, "2024-01-01 12:00:00", 2.0)),
+      Seq((2L, "2024-01-01 10:00:00", 8.0)))
+    batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    query.stop()
+
+    // latest update per user = final state
+    val got = spark.sql(
+      """SELECT user_id, decayed_value, n_events FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY last_event_us DESC, n_events DESC) AS rn FROM decay)
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+    // batch formula: sum(v_i * exp(-ln2/7d * (t_last - t_i))) per user
+    val lambda = math.log(2) / (7.0 * 86400e6)
+    def us(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    def batchScore(evs: Seq[(String, Double)]): Double = {
+      val last = evs.map(e => us(e._1)).max
+      evs.map { case (t, v) => v * math.exp(-lambda * (last - us(t))) }.sum
+    }
+    val want1 = batchScore(Seq(("2024-01-01 10:00:00", 10.0), ("2024-01-08 10:00:00", 6.0)))
+    val want2 = batchScore(Seq(("2024-01-01 09:00:00", 4.0),
+      ("2024-01-01 12:00:00", 2.0), ("2024-01-01 10:00:00", 8.0)))
+    assert(got(1L)._2 == 2L && got(2L)._2 == 3L, s"event counts: $got")
+    assert(math.abs(got(1L)._1 - want1) < 1e-9,
+      s"user 1: got ${got(1L)._1}, want $want1 (one half-life → 10/2 + 6 = 11)")
+    assert(math.abs(got(2L)._1 - want2) < 1e-9,
+      s"user 2 (with late event): got ${got(2L)._1}, want $want2")
+  }
+
   test("stream-stream interval join: in-window pairs emit, watermark-late clicks drop") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
