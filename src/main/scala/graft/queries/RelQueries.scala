@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational-analytics operators over the TPC-H tables — the
+  * warehouse-side query patterns (market basket, storage-layout
+  * diagnostics, master-data survivorship) that sit NEXT to the Data Vault
+  * in the same platform. Every query is oracle-checked like the rest of
+  * the registry.
+  */
+object RelQueries {
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** the z-value bit-interleave over two 16-bit keys, as N explicit
+    * codegen-able terms: Σ_b ((x>>b)&1)<<2b | ((y>>b)&1)<<(2b+1).
+    * The SAME term list is rendered into the DuckDB oracle so both
+    * engines compute bit-identical longs. */
+  private def zVal(x: Column, y: Column): Column =
+    (0 until 16).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+
+  private def zValDuck(x: String, y: String): String =
+    (0 until 16).map { b =>
+      s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" + ")
+
+  val all: Seq[Q] = Seq(
+
+    // MARKET-BASKET association rules over lineitem: part pairs bought in
+    // the same order, with support / confidence / lift against the item
+    // marginals. Scale shape: the pair blow-up is a self EQUI-join on
+    // l_orderkey — fanout bounded by basket size (C(items,2) per order,
+    // never cross-order), then one groupBy(pair) with map-side combine;
+    // marginals and the order count are broadcast scalars. min-support 3
+    // prunes the long tail before the final join.
+    Q("basket_lift",
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val nOrders = li.select("l_orderkey").distinct().count()
+        val marg = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+        val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+        val pairs = li.join(b, Seq("l_orderkey"))
+          .filter(col("l_partkey") < col("part_b"))
+          .groupBy(col("l_partkey").as("part_a"), col("part_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .filter(col("n_both") >= 3)
+        pairs
+          .join(broadcast(marg.select(col("l_partkey").as("part_a"),
+            col("n_item").as("n_a"))), Seq("part_a"))
+          .join(broadcast(marg.select(col("l_partkey").as("part_b"),
+            col("n_item").as("n_b"))), Seq("part_b"))
+          .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
+            col("n_b"),
+            round(col("n_both").cast("double") / nOrders, 6).as("support"),
+            round(col("n_both").cast("double") / col("n_a"), 6).as("confidence"),
+            round(col("n_both").cast("double") * nOrders /
+              (col("n_a") * col("n_b")), 4).as("lift"))
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+             |marg AS (
+             |  SELECT l_partkey, cast(count(*) AS BIGINT) AS n_item
+             |  FROM li GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |    cast(count(*) AS BIGINT) AS n_both
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT p.part_a, p.part_b, p.n_both,
+             |  ma.n_item AS n_a, mb.n_item AS n_b,
+             |  round(cast(p.n_both AS double) / n.n_orders, 6) AS support,
+             |  round(cast(p.n_both AS double) / ma.n_item, 6) AS confidence,
+             |  round(cast(p.n_both AS double) * n.n_orders
+             |    / (ma.n_item * mb.n_item), 4) AS lift
+             |FROM pairs p
+             |JOIN marg ma ON ma.l_partkey = p.part_a
+             |JOIN marg mb ON mb.l_partkey = p.part_b, n""".stripMargin)),
+
+    // Z-ORDER LAYOUT DIAGNOSTIC: interleave two query dimensions
+    // (customer key × price) into one z-value, bucket the table by the
+    // top 5 z bits (32 would-be files), and emit each bucket's min/max
+    // range on BOTH dimensions — the per-file stats a lake format's
+    // skipping consults. Tight ranges on both dims in one layout is
+    // exactly the property z-order clustering buys at 100 TB (a filter
+    // on EITHER dim prunes most buckets; a single-column sort gives one
+    // tight dim and one full-range dim). Pure projection + one bounded
+    // groupBy; the interleave is 32 codegen'd bit terms, identical in
+    // the oracle.
+    Q("zorder_layout",
+      (s, dir) => {
+        val o = rd(s, dir, "orders").select(
+          (col("o_custkey") % 65536L).as("x"),
+          (floor(col("o_totalprice")).cast("long") % 65536L).as("y"))
+        o.withColumn("z", zVal(col("x"), col("y")))
+          .withColumn("bucket", shiftright(col("z"), 27))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT o_custkey % 65536 AS x,
+              |    cast(floor(o_totalprice) AS BIGINT) % 65536 AS y
+              |  FROM orders),
+              |z AS (
+              |  SELECT x, y, ${zValDuck("x", "y")} AS z FROM d)
+              |SELECT z >> 27 AS bucket, cast(count(*) AS BIGINT) AS n_rows,
+              |  min(x) AS min_x, max(x) AS max_x,
+              |  min(y) AS min_y, max(y) AS max_y
+              |FROM z GROUP BY 1""".stripMargin)),
+
+    // GOLDEN-RECORD SURVIVORSHIP (master data management): two source
+    // systems disagree on the customer — source 1 carries the
+    // authoritative name but no segment, source 2 a segment but a stale
+    // balance. Field-level survivorship picks, PER FIELD, the value from
+    // the highest-priority source that has one: min(struct(priority,
+    // field)) over non-null fields — one groupBy, no window, map-side
+    // combinable, the same shape at any scale. (The two variants are
+    // derived deterministically from `customer` so the oracle can state
+    // the expected golden record in closed form.)
+    Q("golden_record",
+      (s, dir) => {
+        val c = rd(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+        val src1 = c.select(col("c_custkey"), lit(1L).as("prio"),
+          upper(col("c_name")).as("name"),
+          lit(null).cast("string").as("segment"),
+          col("c_acctbal").as("acctbal"))
+        val src2 = c.select(col("c_custkey"), lit(2L).as("prio"),
+          lit(null).cast("string").as("name"),
+          col("c_mktsegment").as("segment"),
+          round(col("c_acctbal") + 100.0, 2).as("acctbal"))
+        def survive(f: String): Column =
+          min(when(col(f).isNotNull, struct(col("prio"), col(f).as("v"))))
+            .getField("v").as(f)
+        src1.unionByName(src2)
+          .groupBy("c_custkey")
+          .agg(survive("name"), survive("segment"), survive("acctbal"),
+            count(when(col("name").isNotNull, 1)).as("n_name_sources"))
+      },
+      Some("""SELECT c_custkey, upper(c_name) AS name, c_mktsegment AS segment,
+             |  c_acctbal AS acctbal, cast(1 AS BIGINT) AS n_name_sources
+             |FROM customer""".stripMargin))
+  )
+}
