@@ -117,6 +117,28 @@ object RelQueries {
               |  min(y) AS min_y, max(y) AS max_y
               |FROM z GROUP BY 1""".stripMargin)),
 
+    // CUBE ROLLUP with grouping_id: the OLAP subtotal lattice over
+    // status × priority (15 cells + 3 + 5 + 1 grand total). The money
+    // sum aggregates EXACTLY as DECIMAL(18,2) — double addition is
+    // order-dependent across partitions and a 2e10-magnitude sum's
+    // jitter would straddle cent rounding — then casts once to double.
+    // Spark's partial-aggregating cube expands grouping sets map-side;
+    // output is bounded by the dimension cardinalities.
+    Q("rollup_cube",
+      (s, dir) => rd(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          grouping_id().as("gid")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS double)
+             |    AS total_price,
+             |  cast(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders
+             |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
     // GOLDEN-RECORD SURVIVORSHIP (master data management): two source
     // systems disagree on the customer — source 1 carries the
     // authoritative name but no segment, source 2 a segment but a stale

@@ -1499,6 +1499,65 @@ object SimQueries {
              |    + (monetary > round(mt[3], 4))::int AS BIGINT) AS m_seg
              |FROM rfm, th""".stripMargin)),
 
+    // A/B-TEST Z-SCORE: deterministic hash split of users into variants,
+    // per-variant conversion (a high-value purchase), and the two-proportion
+    // pooled z statistic — the experiment readout every product pipeline
+    // computes. Scale shape: one groupBy(user) to the bounded per-user
+    // table, then a single global aggregate of four conditional sums
+    // (partial-aggregating, no window); everything downstream is scalar
+    // arithmetic on exact integers.
+    Q("ab_test_zscore",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val users = ev.groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" && col("value") > 90.0,
+            1L).otherwise(0L)).as("converted"))
+          .withColumn("variant",
+            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+        val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b"))
+        users.agg(
+            sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("variant") === "A", col("converted")).otherwise(0L))
+              .as("conv_a"),
+            sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("variant") === "B", col("converted")).otherwise(0L))
+              .as("conv_b"))
+          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+            round(col("conv_a").cast("double") / col("n_a"), 6).as("p_a"),
+            round(col("conv_b").cast("double") / col("n_b"), 6).as("p_b"),
+            round((col("conv_a").cast("double") / col("n_a") -
+                col("conv_b").cast("double") / col("n_b")) /
+              sqrt(pooled * (lit(1.0) - pooled) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)
+              .as("z_score"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' AND value > 90.0
+             |      THEN 1 ELSE 0 END) AS converted,
+             |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+             |  FROM events GROUP BY user_id),
+             |a AS (
+             |  SELECT
+             |    cast(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_a,
+             |    cast(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+             |      AS BIGINT) AS conv_a,
+             |    cast(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_b,
+             |    cast(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+             |      AS BIGINT) AS conv_b
+             |  FROM u)
+             |SELECT n_a, conv_a, n_b, conv_b,
+             |  round(cast(conv_a AS double) / n_a, 6) AS p_a,
+             |  round(cast(conv_b AS double) / n_b, 6) AS p_b,
+             |  round((cast(conv_a AS double) / n_a - cast(conv_b AS double) / n_b)
+             |    / sqrt((cast(conv_a + conv_b AS double) / (n_a + n_b))
+             |      * (1.0 - cast(conv_a + conv_b AS double) / (n_a + n_b))
+             |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+             |FROM a""".stripMargin)),
+
     // CONTRASTIVE PAIR MINING for embedding training: per anchor, the
     // hardest positive (same label, max cosine) and hardest negative
     // (different label, max cosine) plus the margin between them. Scale

@@ -1333,6 +1333,73 @@ object TextQueries {
              |    ORDER BY difficulty, doc_id) AS BIGINT) AS pos
              |FROM d""".stripMargin)),
 
+    // POISSON-BOOTSTRAP CONFIDENCE INTERVAL for a corpus statistic (mean
+    // difficulty): 32 deterministic resampling replicates — each doc's
+    // weight in replicate b is a Poisson(1) draw via inverse CDF over an
+    // md5(doc,b) uniform (the ONLY bootstrap that streams: no global
+    // resample pass, weights are computed row-local) — then the 2.5/97.5
+    // percentiles of the replicate means. The cumulative-probability
+    // constants are spelled identically in both engines. Scale shape:
+    // one 32× row explode (map-side), one groupBy(replicate) to 32 rows,
+    // one exact percentile over the bounded replicate table.
+    Q("bootstrap_ci",
+      (s, dir) => {
+        val words = size(split(col("text"), "\\s+"))
+        val d = docs(s, dir).select(col("doc_id"),
+          round(length(col("text")).cast("double") / words, 6).as("score"))
+        val reps = d.select(col("doc_id"), col("score"),
+            explode(sequence(lit(0), lit(31))).as("rep"))
+          .withColumn("u", conv(substring(md5(concat(lit("bs#"),
+            col("doc_id").cast("string"), lit(":"), col("rep").cast("string"))),
+            1, 8), 16, 10).cast("double") / 4294967296.0)
+          .withColumn("w",
+            when(col("u") < 0.36787944117144233, 0L)
+              .when(col("u") < 0.7357588823428847, 1L)
+              .when(col("u") < 0.9196986029286058, 2L)
+              .when(col("u") < 0.9810118431238462, 3L)
+              .when(col("u") < 0.9963401531726563, 4L)
+              .otherwise(5L))
+        val repMeans = reps.groupBy("rep")
+          .agg(round(sum(col("w") * col("score")) / sum(col("w")), 6)
+            .as("rep_mean"))
+        val full = d.agg(round(avg(col("score")), 6).as("mean_score"))
+        repMeans.agg(
+            count(lit(1)).as("n_replicates"),
+            round(expr("percentile(rep_mean, 0.025)"), 6).as("ci_lo"),
+            round(expr("percentile(rep_mean, 0.975)"), 6).as("ci_hi"))
+          .crossJoin(broadcast(full))
+          .select(col("mean_score"), col("n_replicates"),
+            col("ci_lo"), col("ci_hi"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    round(cast(length(text) AS double)
+             |      / len(regexp_split_to_array(text, '\s+')), 6) AS score
+             |  FROM documents),
+             |reps AS (
+             |  SELECT d.score, r.rep,
+             |    cast(('0x' || substr(md5('bs#' || cast(d.doc_id AS VARCHAR)
+             |      || ':' || cast(r.rep AS VARCHAR)), 1, 8)) AS BIGINT)
+             |      / 4294967296.0 AS u
+             |  FROM d, range(0, 32) AS r(rep)),
+             |wtab AS (
+             |  SELECT rep, score,
+             |    CASE WHEN u < 0.36787944117144233 THEN 0
+             |         WHEN u < 0.7357588823428847 THEN 1
+             |         WHEN u < 0.9196986029286058 THEN 2
+             |         WHEN u < 0.9810118431238462 THEN 3
+             |         WHEN u < 0.9963401531726563 THEN 4
+             |         ELSE 5 END AS w
+             |  FROM reps),
+             |rm AS (
+             |  SELECT rep, round(sum(w * score) / sum(w), 6) AS rep_mean
+             |  FROM wtab GROUP BY rep),
+             |f AS (SELECT round(avg(score), 6) AS mean_score FROM d)
+             |SELECT f.mean_score, cast(count(*) AS BIGINT) AS n_replicates,
+             |  round(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+             |  round(quantile_cont(rep_mean, 0.975), 6) AS ci_hi
+             |FROM rm, f GROUP BY f.mean_score""".stripMargin)),
+
     // PII detection + scrubbing: count and mask email / phone-like / IPv4
     // patterns — the content-safety pass a training pipeline runs before
     // release. Stateless per-row regexes (codegen'd), zero shuffle; the
