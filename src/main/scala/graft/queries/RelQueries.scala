@@ -117,6 +117,92 @@ object RelQueries {
               |  min(y) AS min_y, max(y) AS max_y
               |FROM z GROUP BY 1""".stripMargin)),
 
+    // TPC-H Q1 (pricing summary) — the canonical scan-heavy warehouse
+    // aggregate: one filtered pass over lineitem, 4-group output. Money
+    // sums run as exact DECIMAL chains (price × (1−disc) × (1+tax) stays
+    // exact through precision growth, one cast to double at the end);
+    // averages are rounded against sub-rounding double jitter. At 100 TB
+    // this is pure map-side partial aggregation behind a pushed-down
+    // date filter.
+    Q("tpch_q1_pricing",
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+        val qty = col("l_quantity").cast("decimal(18,2)")
+        val price = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = (lit(1.0) - col("l_discount")).cast("decimal(8,4)")
+        val tax = (lit(1.0) + col("l_tax")).cast("decimal(8,4)")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(qty).cast("double").as("sum_qty"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(price * disc).cast("double").as("sum_disc_price"),
+            sum(price * disc * tax).cast("double").as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS double) AS sum_qty,
+             |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS double)
+             |    AS sum_base_price,
+             |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))
+             |    * cast(1.0 - l_discount AS DECIMAL(8,4))) AS double)
+             |    AS sum_disc_price,
+             |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))
+             |    * cast(1.0 - l_discount AS DECIMAL(8,4))
+             |    * cast(1.0 + l_tax AS DECIMAL(8,4))) AS double) AS sum_charge,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 6) AS avg_disc,
+             |  cast(count(*) AS BIGINT) AS count_order
+             |FROM lineitem
+             |WHERE cast(l_shipdate AS DATE) <= DATE '1998-09-02'
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // TPC-H Q3 (shipping-priority top-k) — the canonical 3-way join +
+    // top-k: segment-filtered customers × date-filtered orders ×
+    // ship-date-filtered lineitems, revenue per order, top 10. No
+    // broadcast hints: at this SF AQE broadcasts the small sides, at
+    // 100 TB the same plan shuffles on the join keys — both correct.
+    // ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition
+    // top-k + merge), never a global sort; ranking uses the ROUNDED
+    // revenue with an order-key tiebreak so it is bit-deterministic.
+    Q("tpch_q3_topk",
+      (s, dir) => {
+        val cutoff = lit("1998-03-15").cast("date")
+        val c = rd(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = rd(s, dir, "orders")
+          .filter(to_date(col("o_orderdate")) < cutoff)
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+        val l = rd(s, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")) > cutoff)
+          .select(col("l_orderkey"),
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1.0) - col("l_discount")).cast("decimal(8,4)")).as("rev"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, cast(o_orderdate AS DATE) AS o_orderdate,
+             |  o_orderpriority,
+             |  round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))
+             |    * cast(1.0 - l_discount AS DECIMAL(8,4))) AS double), 2)
+             |    AS revenue
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |  AND l_orderkey = o_orderkey
+             |  AND cast(o_orderdate AS DATE) < DATE '1998-03-15'
+             |  AND cast(l_shipdate AS DATE) > DATE '1998-03-15'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
     // CUBE ROLLUP with grouping_id: the OLAP subtotal lattice over
     // status × priority (15 cells + 3 + 5 + 1 grand total). The money
     // sum aggregates EXACTLY as DECIMAL(18,2) — double addition is
