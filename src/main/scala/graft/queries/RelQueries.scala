@@ -225,6 +225,41 @@ object RelQueries {
              |FROM orders
              |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // K-ANONYMITY AUDIT: group the table by its quasi-identifiers
+    // (segment × nation) and flag equivalence classes smaller than k=5 —
+    // the re-identification check a privacy review runs before a dataset
+    // leaves the house. One groupBy to the bounded class table; corpus
+    // totals ride back on a broadcast.
+    Q("k_anonymity",
+      (s, dir) => {
+        val k = 5
+        val g = rd(s, dir, "customer")
+          .groupBy(col("c_mktsegment"), col("c_nationkey"))
+          .agg(count(lit(1)).as("group_size"))
+        val tot = g.agg(
+          sum(col("group_size")).as("n_total"),
+          sum(when(col("group_size") < k, col("group_size")).otherwise(0L))
+            .as("n_at_risk"))
+        g.crossJoin(broadcast(tot))
+          .select(col("c_mktsegment"), col("c_nationkey"), col("group_size"),
+            (col("group_size") < k).as("at_risk"),
+            round(col("n_at_risk").cast("double") / col("n_total"), 6)
+              .as("frac_at_risk"))
+      },
+      Some("""WITH g AS (
+             |  SELECT c_mktsegment, c_nationkey,
+             |    cast(count(*) AS BIGINT) AS group_size
+             |  FROM customer GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT cast(sum(group_size) AS BIGINT) AS n_total,
+             |    cast(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+             |      AS BIGINT) AS n_at_risk
+             |  FROM g)
+             |SELECT g.c_mktsegment, g.c_nationkey, g.group_size,
+             |  g.group_size < 5 AS at_risk,
+             |  round(cast(t.n_at_risk AS double) / t.n_total, 6) AS frac_at_risk
+             |FROM g, tot t""".stripMargin)),
+
     // GOLDEN-RECORD SURVIVORSHIP (master data management): two source
     // systems disagree on the customer — source 1 carries the
     // authoritative name but no segment, source 2 a segment but a stale

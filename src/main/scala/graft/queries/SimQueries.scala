@@ -2056,6 +2056,66 @@ object SimQueries {
     // the determinism variant for the compare. At corpus scale swap the
     // fold for avg(): same plan shape (one partial-agg shuffle of K×64
     // doubles), order-independent to FP ulps.
+    // PCA TOP COMPONENT by matrix-free power iteration: two in-plan
+    // iterations of v ← normalize(Xᵀ(Xv)) from the uniform unit vector.
+    // The 100 TB shape: the per-row projection s=x·v is a sequential
+    // fold; the back-projection Σᵢ s·xᵢ runs as posexplode →
+    // groupBy(dim) — 64 map-side-combinable groups, NEVER a
+    // collected corpus (collect_list here would funnel the matrix
+    // through one row); the 64-long intermediate vector re-attaches by
+    // broadcast. Per-stage rounding (s→6, w→4, v→6) pins both engines
+    // to identical folds so the iteration can't drift apart. λ estimate
+    // = ‖Xᵀ(Xv₁)‖, the Rayleigh numerator at a unit vector.
+    Q("pca_power_iteration",
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        val s1 = e.withColumn("s",
+          expr("round(aggregate(v, 0.0D, (acc, x) -> acc + x * 0.125D), 6)"))
+        val w1 = s1.select(col("s"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("d").agg(round(sum(col("x") * col("s")), 4).as("w"))
+        val v1arr = w1
+          .agg(expr("transform(array_sort(collect_list(struct(d, w))), z -> z.w)")
+            .as("wArr"), sqrt(sum(col("w") * col("w"))).as("nrm"))
+          .select(expr("transform(wArr, x -> round(x / nrm, 6))").as("v1"))
+        val s2 = e.crossJoin(broadcast(v1arr))
+          .withColumn("s", expr(
+            "round(aggregate(zip_with(v, v1, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x), 6)"))
+        val w2 = s2.select(col("s"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("d").agg(round(sum(col("x") * col("s")), 4).as("w"))
+        val n2 = w2.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        w2.crossJoin(broadcast(n2))
+          .select(col("d").cast("long").as("d"),
+            round(col("w") / col("nrm"), 6).as("loading"),
+            round(col("nrm"), 4).as("lambda"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+             |  FROM embeddings),
+             |s1 AS (
+             |  SELECT vec_id, v,
+             |    round(list_sum(list_transform(v, x -> x * 0.125)), 6) AS s
+             |  FROM e),
+             |w1 AS (
+             |  SELECT d.i AS d, round(sum(s1.v[d.i + 1] * s1.s), 4) AS w
+             |  FROM s1, range(0, 64) AS d(i) GROUP BY 1),
+             |n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+             |v1arr AS (
+             |  SELECT list(round(w / n1.nrm, 6) ORDER BY d) AS v1
+             |  FROM w1, n1 GROUP BY n1.nrm),
+             |s2 AS (
+             |  SELECT e.vec_id, e.v,
+             |    round(list_sum(list_transform(list_zip(e.v, a.v1),
+             |      z -> z[1] * z[2])), 6) AS s
+             |  FROM e, v1arr a),
+             |w2 AS (
+             |  SELECT d.i AS d, round(sum(s2.v[d.i + 1] * s2.s), 4) AS w
+             |  FROM s2, range(0, 64) AS d(i) GROUP BY 1),
+             |n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2)
+             |SELECT w2.d, round(w2.w / n2.nrm, 6) AS loading,
+             |  round(n2.nrm, 4) AS lambda
+             |FROM w2, n2""".stripMargin)),
+
     Q("kmeans_embed",
       (s, dir) => {
         val K = 4
