@@ -478,6 +478,71 @@ object SimQueries {
               |    ON a.label = b.label AND a.vec_id < b.vec_id)
               |SELECT * FROM scored WHERE cos_sim >= 0.3""".stripMargin)),
 
+    // LABEL-PROPAGATION COMMUNITIES over the near-dup graph: two
+    // synchronized rounds of "adopt the most frequent neighbor community,
+    // ties → min id" from self-labels — the community detector that
+    // complements connectedComponents (CC merges anything touching; LP
+    // needs a plurality, so weak bridges don't fuse dense groups). Scale
+    // shape per round: one equi-join of edges×labels + one
+    // count-groupBy + one argmax-groupBy (both map-side combinable), no
+    // window over unbounded partitions; isolated nodes keep their label
+    // via the left join. All-integer arithmetic — no rounding anywhere.
+    Q("label_propagation",
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+          .withColumn("nrm", vecNorm(col("embedding")))
+        val e2 = e.select(col("vec_id").as("vec_id_2"), col("label").as("label_2"),
+          col("embedding").as("embedding_2"), col("nrm").as("nrm_2"))
+        val pairs = e.hint("shuffle_hash")
+          .join(e2, col("label") === col("label_2") && col("vec_id") < col("vec_id_2"))
+          .filter(round(dotProduct(col("embedding"), col("embedding_2")) /
+            (col("nrm") * col("nrm_2")), 4) >= 0.3)
+          .select(col("vec_id").as("a"), col("vec_id_2").as("b"))
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val l0 = emb(s, dir).select(col("vec_id"), col("vec_id").as("comm"))
+        def step(l: DataFrame): DataFrame = {
+          val votes = edges
+            .join(l.select(col("vec_id").as("src"), col("comm")), Seq("src"))
+            .groupBy(col("dst"), col("comm")).agg(count(lit(1)).as("n"))
+            .groupBy(col("dst"))
+            .agg(max(struct(col("n"), (-col("comm")).as("nc"))).as("m"))
+            .select(col("dst").as("vec_id"), (-col("m.nc")).as("new_comm"))
+          l.join(votes, Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              coalesce(col("new_comm"), col("comm")).as("comm"))
+        }
+        step(step(l0)).select(col("vec_id"), col("comm").as("community"))
+      },
+      Some(s"""WITH e0 AS (
+              |  SELECT a.vec_id AS a, b.vec_id AS b
+              |  FROM embeddings a JOIN embeddings b
+              |    ON a.label = b.label AND a.vec_id < b.vec_id
+              |  WHERE round(${cosDuck("a.embedding", "b.embedding")}, 4) >= 0.3),
+              |edges AS (
+              |  SELECT a AS src, b AS dst FROM e0
+              |  UNION ALL SELECT b, a FROM e0),
+              |l0 AS (SELECT vec_id, vec_id AS comm FROM embeddings),
+              |c1 AS (
+              |  SELECT e.dst AS vec_id, l.comm, count(*) AS n
+              |  FROM edges e JOIN l0 l ON l.vec_id = e.src GROUP BY 1, 2),
+              |p1 AS (
+              |  SELECT vec_id, comm FROM c1
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+              |    ORDER BY n DESC, comm ASC) = 1),
+              |l1 AS (
+              |  SELECT l0.vec_id, coalesce(p1.comm, l0.comm) AS comm
+              |  FROM l0 LEFT JOIN p1 USING (vec_id)),
+              |c2 AS (
+              |  SELECT e.dst AS vec_id, l.comm, count(*) AS n
+              |  FROM edges e JOIN l1 l ON l.vec_id = e.src GROUP BY 1, 2),
+              |p2 AS (
+              |  SELECT vec_id, comm FROM c2
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+              |    ORDER BY n DESC, comm ASC) = 1)
+              |SELECT l1.vec_id, coalesce(p2.comm, l1.comm) AS community
+              |FROM l1 LEFT JOIN p2 USING (vec_id)""".stripMargin)),
+
     // LSH-bucketed ANN (the scale path): deterministic sign-random-projection
     // buckets from md5-derived hyperplanes; top-3 within bucket.
     // Hyperplane p(j,d) ∈ {-1,+1} = parity of md5(j:d).
