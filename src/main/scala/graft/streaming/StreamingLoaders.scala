@@ -461,6 +461,59 @@ object StreamingLoaders {
       .toDF()
   }
 
+  /** Spike-scorer state: the trailing window of finalized hourly counts. */
+  final case class SpikeState(hours: Seq[Long], ns: Seq[Long])
+  final case class SpikeRow(event_type: String, hour_ms: Long, n: Long,
+                            baseline_mean: Double, baseline_std: Double,
+                            z: Double, spike: Boolean)
+
+  /** Streaming spike detection — the continuous form of the batch
+    * event_spike_detection query, same policy constants (trailing ≤24
+    * finalized hours, ≥6 required, z = (n−mean)/stddev_pop rounded to 4,
+    * spike at z ≥ 3). Input is a stream of FINALIZED hourly counts
+    * (event_type, hour, n) — in production the upstream is
+    * [[windowedEventCounts]] emitting append-mode finalized windows into
+    * a sink this query reads, the standard two-query chain for
+    * stateful-after-aggregation. State per event type is one bounded
+    * (hour, count) deque — O(types × 24), independent of volume. Late or
+    * replayed hours at-or-before the newest state hour are ignored (the
+    * upstream append-mode window is already final exactly once). */
+  def spikeScoreStream(hourly: DataFrame, typeCol: String = "event_type",
+                       hourCol: String = "hour", nCol: String = "n",
+                       trailing: Int = 24, minBaseline: Int = 6,
+                       zThreshold: Double = 3.0): DataFrame = {
+    def round4(x: Double) = math.rint(x * 1e4) / 1e4
+    hourly
+      .groupByKey((r: Row) => r.getAs[String](typeCol))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (typ: String, rows: Iterator[Row], state: GroupState[SpikeState]) => {
+          val evs = rows.toSeq
+            .map(r => (r.getAs[java.sql.Timestamp](hourCol).getTime,
+              r.getAs[Long](nCol)))
+            .sortBy(_._1)
+          var st = state.getOption.getOrElse(SpikeState(Nil, Nil))
+          val out = Seq.newBuilder[SpikeRow]
+          evs.foreach { case (hourMs, n) =>
+            if (st.hours.isEmpty || hourMs > st.hours.last) {
+              if (st.hours.size >= minBaseline) {
+                val xs = st.ns.map(_.toDouble)
+                val mean = xs.sum / xs.size
+                val std = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.size)
+                val z = if (std == 0.0) Double.NaN else round4((n - mean) / std)
+                if (!z.isNaN)
+                  out += SpikeRow(typ, hourMs, n, round4(mean), round4(std), z,
+                    z >= zThreshold)
+              }
+              st = SpikeState((st.hours :+ hourMs).takeRight(trailing),
+                (st.ns :+ n).takeRight(trailing))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })(Encoders.product[SpikeState], Encoders.product[SpikeRow])
+      .toDF()
+  }
+
   /** Stream-stream interval join: click→purchase candidate pairs, the
     * streaming form of the batch `click_attribution` pair predicate —
     * an EQUI-join on the user with the attribution window as a range

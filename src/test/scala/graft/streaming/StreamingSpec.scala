@@ -576,6 +576,65 @@ class StreamingSpec extends SparkSpec {
       s"user 2 (with late event): got ${got(2L)._1}, want $want2")
   }
 
+  test("spike scorer: stream emissions equal the batch trailing-window z-score") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    // 30 finalized hourly counts for one type: flat ~10±2 with a burst at
+    // hour 28 — exactly the batch query's input grain
+    val ns: Seq[Long] = (0 until 30).map {
+      case 28 => 60L
+      case h  => 10L + (h % 5) - 2L
+    }
+    val hourTs = (h: Int) => f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:00:00"
+    val rows = ns.zipWithIndex.map { case (n, h) => ("click", hourTs(h), n) }
+
+    val input = MemoryStream[(String, String, Long)]
+    val staged = input.toDF().toDF("event_type", "hour_s", "n")
+      .withColumn("hour", to_timestamp($"hour_s")).drop("hour_s")
+    val scored = StreamingLoaders.spikeScoreStream(staged)
+    val query = scored.writeStream
+      .format("memory").queryName("spikes").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // three chunks, plus a REPLAY of the middle chunk that must be ignored
+    input.addData(rows.take(10): _*); query.processAllAvailable()
+    input.addData(rows.slice(10, 20): _*); query.processAllAvailable()
+    input.addData(rows.slice(10, 20): _*); query.processAllAvailable() // replay
+    input.addData(rows.drop(20): _*); query.processAllAvailable()
+    query.stop()
+    val got = spark.sql(
+      "SELECT hour_ms, n, baseline_mean, baseline_std, z, spike FROM spikes")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).sortBy(_._1)
+
+    // batch reference: the event_spike_detection window over the same rows
+    import org.apache.spark.sql.expressions.Window
+    val hourly = rows.toDF("event_type", "hour_s", "n")
+      .withColumn("hour", to_timestamp($"hour_s"))
+    val w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    val want = hourly
+      .withColumn("bn", count($"n").over(w))
+      .withColumn("bm", avg($"n").over(w))
+      .withColumn("bs", stddev_pop($"n").over(w))
+      .filter($"bn" >= 6)
+      .withColumn("z", round(($"n" - $"bm") / $"bs", 4))
+      .select(unix_millis($"hour"), $"n", round($"bm", 4), round($"bs", 4),
+        $"z", $"z" >= 3.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).sortBy(_._1)
+
+    assert(got.length == want.length, s"row counts: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._6 == e._6, s"$g vs $e")
+      assert(math.abs(g._3 - e._3) <= 1e-4 && math.abs(g._4 - e._4) <= 1e-4 &&
+        math.abs(g._5 - e._5) <= 1e-4, s"$g vs $e")
+    }
+    assert(got.exists(_._6), "the hour-28 burst must flag as a spike")
+  }
+
   test("stream-stream interval join: in-window pairs emit, watermark-late clicks drop") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
