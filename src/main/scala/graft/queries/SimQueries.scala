@@ -1623,6 +1623,158 @@ object SimQueries {
              |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
              |FROM a""".stripMargin)),
 
+    // KAPLAN-MEIER SURVIVAL CURVE for signup→purchase conversion: per
+    // user the duration to first purchase after signup (censored at the
+    // corpus horizon), then S(t) = Π_{i≤t}(1 − dᵢ/nᵢ). Scale shape: one
+    // groupBy(user) → one groupBy(duration) HISTOGRAM (bounded by the
+    // observation window, ~30 rows) — the at-risk counts nᵢ and the
+    // cumulative product (as exp∘Σln over rounded hazards) both come from
+    // TRIANGULAR joins over that bounded histogram, so the unbounded user
+    // table is touched exactly once and no global window exists.
+    Q("survival_curve",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val horizon = ev.agg(max(to_date(col("ts"))).cast("string")).head().getString(0)
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "signup", to_date(col("ts"))))
+            .as("signup_day"),
+            min(when(col("event_type") === "purchase", to_date(col("ts"))))
+              .as("purchase_day"))
+          .filter(col("signup_day").isNotNull)
+          .select(col("user_id"),
+            when(col("purchase_day") >= col("signup_day"),
+              datediff(col("purchase_day"), col("signup_day")))
+              .otherwise(lit(null)).cast("long").as("tte"),
+            datediff(to_date(lit(horizon)), col("signup_day")).cast("long")
+              .as("cens"))
+          .select(col("user_id"),
+            coalesce(col("tte"), col("cens")).as("duration"),
+            col("tte").isNotNull.as("converted"))
+        val hist = perUser.groupBy(col("duration"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("converted"), 1L).otherwise(0L)).as("d"))
+        val h2 = hist.select(col("duration").as("dur2"), col("n_total").as("nt2"),
+          col("d").as("d2"))
+        // n_at_risk(t) = users with duration >= t; hazard rounded to 6 so
+        // the downstream ln/exp folds stay bit-aligned across engines
+        val risk = hist.join(broadcast(h2), col("dur2") >= col("duration"))
+          .groupBy(col("duration"), col("d"))
+          .agg(sum(col("nt2")).as("n_at_risk"))
+          .withColumn("hazard",
+            round(col("d").cast("double") / col("n_at_risk"), 6))
+        val r2 = risk.select(col("duration").as("dur2"), col("hazard").as("hz2"))
+        risk.join(broadcast(r2), col("dur2") <= col("duration"))
+          .groupBy(col("duration"), col("n_at_risk"), col("d"))
+          .agg(round(exp(sum(log(lit(1.0) - col("hz2")))), 6).as("survival"))
+          .select(col("duration"), col("n_at_risk"), col("d").as("d_events"),
+            col("survival"))
+      },
+      Some("""WITH horizon AS (SELECT max(cast(ts AS DATE)) AS h FROM events),
+             |pu AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup' THEN cast(ts AS DATE) END)
+             |      AS signup_day,
+             |    min(CASE WHEN event_type = 'purchase' THEN cast(ts AS DATE) END)
+             |      AS purchase_day
+             |  FROM events GROUP BY user_id),
+             |du AS (
+             |  SELECT user_id,
+             |    coalesce(
+             |      CASE WHEN purchase_day >= signup_day
+             |        THEN date_diff('day', signup_day, purchase_day) END,
+             |      date_diff('day', signup_day, horizon.h)) AS duration,
+             |    (purchase_day >= signup_day) IS TRUE AS converted
+             |  FROM pu, horizon WHERE signup_day IS NOT NULL),
+             |hist AS (
+             |  SELECT cast(duration AS BIGINT) AS duration,
+             |    cast(count(*) AS BIGINT) AS n_total,
+             |    cast(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d
+             |  FROM du GROUP BY 1),
+             |risk AS (
+             |  SELECT a.duration, a.d,
+             |    cast(sum(b.n_total) AS BIGINT) AS n_at_risk,
+             |    round(cast(a.d AS double) / sum(b.n_total), 6) AS hazard
+             |  FROM hist a JOIN hist b ON b.duration >= a.duration
+             |  GROUP BY a.duration, a.d)
+             |SELECT a.duration, a.n_at_risk, a.d AS d_events,
+             |  round(exp(sum(ln(1.0 - b.hazard))), 6) AS survival
+             |FROM risk a JOIN risk b ON b.duration <= a.duration
+             |GROUP BY a.duration, a.n_at_risk, a.d""".stripMargin)),
+
+    // CHURN LABEL ENGINEERING: the supervised-training labels + features
+    // a retention model consumes — churned = silent for the last 7 days
+    // of the observation window. One groupBy(user) over one scan; the
+    // horizon is a scalar probe. Label logic and features are exact
+    // integer/date arithmetic; mean value rounds at 4.
+    Q("churn_labels",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val horizon = ev.agg(max(to_date(col("ts"))).cast("string")).head().getString(0)
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(to_date(col("ts"))).as("active_days"),
+            // value is 2-decimal: sum EXACT cents, divide once — the
+            // double avg() jitters onto .5 rounding boundaries
+            round(sum(round(col("value") * 100).cast("long"))
+              .cast("double") / (count(lit(1)) * 100), 4).as("mean_value"),
+            datediff(to_date(lit(horizon)), max(to_date(col("ts"))))
+              .cast("long").as("recency_days"))
+          .withColumn("churned", col("recency_days") > 7)
+      },
+      Some("""WITH horizon AS (SELECT max(cast(ts AS DATE)) AS h FROM events)
+             |SELECT user_id, cast(count(*) AS BIGINT) AS n_events,
+             |  cast(count(DISTINCT cast(ts AS DATE)) AS BIGINT) AS active_days,
+             |  round(cast(sum(cast(round(value * 100) AS BIGINT)) AS double)
+             |    / (count(*) * 100), 4) AS mean_value,
+             |  cast(date_diff('day', max(cast(ts AS DATE)), horizon.h) AS BIGINT)
+             |    AS recency_days,
+             |  date_diff('day', max(cast(ts AS DATE)), horizon.h) > 7 AS churned
+             |FROM events, horizon GROUP BY user_id, horizon.h""".stripMargin)),
+
+    // SAMPLE-RATIO-MISMATCH check for the A/B split: χ² against the
+    // designed 50/50 allocation (the guardrail run BEFORE reading
+    // ab_test_zscore — a skewed split invalidates the experiment).
+    // One bounded aggregate; χ² and the 95%/1-dof critical value are
+    // exact integer-derived arithmetic.
+    Q("srm_check",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val users = ev.select(col("user_id")).distinct()
+          .withColumn("variant",
+            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+        users.agg(
+            sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+          .withColumn("expected", (col("n_a") + col("n_b")).cast("double") / 2.0)
+          .select(col("n_a"), col("n_b"),
+            round((col("n_a") - col("expected")) * (col("n_a") - col("expected"))
+              / col("expected") +
+              (col("n_b") - col("expected")) * (col("n_b") - col("expected"))
+              / col("expected"), 6).as("chi2"))
+          .withColumn("srm_detected", col("chi2") > 3.841)
+      },
+      Some("""WITH u AS (
+             |  SELECT DISTINCT user_id,
+             |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+             |  FROM events),
+             |a AS (
+             |  SELECT
+             |    cast(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_a,
+             |    cast(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_b
+             |  FROM u)
+             |SELECT n_a, n_b,
+             |  round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+             |      / ((n_a + n_b) / 2.0)
+             |    + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+             |      / ((n_a + n_b) / 2.0), 6) AS chi2,
+             |  (round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+             |      / ((n_a + n_b) / 2.0)
+             |    + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+             |      / ((n_a + n_b) / 2.0), 6)) > 3.841 AS srm_detected
+             |FROM a""".stripMargin)),
+
     // CONTRASTIVE PAIR MINING for embedding training: per anchor, the
     // hardest positive (same label, max cosine) and hardest negative
     // (different label, max cosine) plus the margin between them. Scale
