@@ -1885,6 +1885,68 @@ object DvQueries {
              |SELECT 'current', n_nationkey + 100, 'NEW', NULL
              |FROM nation WHERE n_nationkey % 5 = 0""".stripMargin)),
 
+    // RIGHT-TO-BE-FORGOTTEN erasure across the vault, driver-verified:
+    // build hub + sat into a warehouse, then physically remove every row
+    // of the forget-set keys (%97) from BOTH tables via one broadcast
+    // anti-join rewrite per table — the GDPR path a hash-keyed vault
+    // makes cheap: the business key never appears in satellites, so
+    // erasing by hashkey sweeps every entity table without schema
+    // knowledge. Emits per-table before/forgotten/after counts plus a
+    // REMAINING-MATCHES probe re-scanning the store (must be 0) so the
+    // oracle checks the erasure actually happened, not just arithmetic.
+    Q("vault_forget",
+      (s, dir) => {
+        import s.implicits._
+        val store = new graft.runtime.TableStore(s, tmpWarehouse("graft_forget"))
+        val hub = HubLoader.records(
+          Seq(EntitySource(custStage(s, dir), Some("hk_customer_h"), Seq("c_custkey"))),
+          "hk_customer_h", Seq("custkey"), target = None)
+        store.overwrite("hub_customer", hub)
+        val sat = SatV0Loader.records(cust3Batch(s, dir), Seq("hk_customer_h"),
+          Some("hd_customer_s"), Seq("c_name", "c_acctbal_v", "c_mktsegment"),
+          target = None)
+        store.overwrite("sat_customer", sat)
+        val forgetKeys = rd(s, dir, "customer")
+          .filter(col("c_custkey") % 97 === 0)
+          .select(Hashing.hashkey(Seq(col("c_custkey"))).as("hk_customer_h"))
+          .distinct()
+        def forget(table: String): (Long, Long, Long) = {
+          val before = store.read(table).count()
+          store.rewrite(table)(df =>
+            df.join(broadcast(forgetKeys), Seq("hk_customer_h"), "left_anti"))
+          val after = store.read(table).count()
+          val remaining = store.read(table)
+            .join(broadcast(forgetKeys), Seq("hk_customer_h"), "left_semi").count()
+          (before, after, remaining)
+        }
+        val (hb, ha, hr) = forget("hub_customer")
+        val (sb, sa, sr) = forget("sat_customer")
+        Seq(("hub_customer", hb, hb - ha, ha, hr),
+          ("sat_customer", sb, sb - sa, sa, sr))
+          .toDF("table_name", "rows_before", "rows_forgotten", "rows_after",
+            "remaining_matches")
+      },
+      Some(s"""WITH $satV0Sql,
+              |fhk AS (
+              |  SELECT ${O.hashkey("c_custkey")} AS hk
+              |  FROM customer WHERE c_custkey % 97 = 0),
+              |hubc AS (
+              |  SELECT cast(count(*) AS BIGINT) AS nb,
+              |    cast(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS nf
+              |  FROM customer),
+              |satc AS (
+              |  SELECT cast(count(*) AS BIGINT) AS nb,
+              |    cast(sum(CASE WHEN hk_customer_h IN (SELECT hk FROM fhk)
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS nf
+              |  FROM sat_v0)
+              |SELECT 'hub_customer' AS table_name, nb AS rows_before,
+              |  nf AS rows_forgotten, nb - nf AS rows_after,
+              |  cast(0 AS BIGINT) AS remaining_matches FROM hubc
+              |UNION ALL
+              |SELECT 'sat_customer', nb, nf, nb - nf, cast(0 AS BIGINT)
+              |FROM satc""".stripMargin)),
+
     // CHANGE DATA FEED between two table versions, driver-verified:
     // v1 (initial append) → v2 (MERGE: even keys updated, %5 keys
     // inserted) → v3 (overwrite dropping %3 keys — deletes). The CDC
