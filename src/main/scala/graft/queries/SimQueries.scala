@@ -478,6 +478,69 @@ object SimQueries {
               |    ON a.label = b.label AND a.vec_id < b.vec_id)
               |SELECT * FROM scored WHERE cos_sim >= 0.3""".stripMargin)),
 
+    // NEGATIVE SAMPLING for retrieval training: per (query, hardest
+    // positive) pair, K=3 distinct pseudo-random negatives drawn by
+    // md5(query, draw) modulo the corpus — row-local, reproducible, and
+    // collision-safe (6 draws, drop hits on the positive and duplicate
+    // draws, keep the first 3 by draw index). Scale shape: the positive
+    // set is bounded (one per query); the draw explode is 6× that; the
+    // only windows partition by query over ≤6 rows.
+    Q("negative_sampling",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+        val corpusN = e.agg(max(col("vec_id"))).head().getLong(0) - 9L
+        val pos = bruteTopK(s, dir, 1)
+          .select(col("query_id"), col("neighbor_id").as("positive_id"))
+        val cand = pos.select(col("query_id"), col("positive_id"),
+            explode(sequence(lit(0), lit(5))).as("i"))
+          .withColumn("neg_id", lit(10L) +
+            pmod(conv(substring(md5(concat(lit("ns#"),
+              col("query_id").cast("string"), lit(":"),
+              col("i").cast("string"))), 1, 8), 16, 10).cast("long"),
+              lit(corpusN)))
+          .filter(col("neg_id") =!= col("positive_id"))
+        val dedup = Window.partitionBy("query_id", "neg_id").orderBy("i")
+        val rank = Window.partitionBy("query_id").orderBy("i")
+        cand.withColumn("__d", row_number().over(dedup)).filter(col("__d") === 1)
+          .withColumn("neg_rank", row_number().over(rank).cast("long"))
+          .filter(col("neg_rank") <= 3)
+          .select(col("query_id"), col("positive_id"), col("neg_rank"),
+            col("neg_id"))
+      },
+      Some(s"""WITH n AS (SELECT max(vec_id) - 9 AS corpus_n FROM embeddings),
+              |brute_scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    round(${cosDuck("a.embedding", "b.embedding")}, 4) AS cos_sim
+              |  FROM embeddings a JOIN embeddings b
+              |    ON a.vec_id < 10 AND b.vec_id >= 10),
+              |pos AS (
+              |  SELECT query_id, neighbor_id AS positive_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+              |    FROM brute_scored) WHERE rn = 1),
+              |cand AS (
+              |  SELECT p.query_id, p.positive_id, r.i,
+              |    10 + cast(('0x' || substr(md5('ns#'
+              |      || cast(p.query_id AS VARCHAR) || ':'
+              |      || cast(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % n.corpus_n
+              |      AS neg_id
+              |  FROM pos p, range(0, 6) AS r(i), n
+              |  WHERE 10 + cast(('0x' || substr(md5('ns#'
+              |      || cast(p.query_id AS VARCHAR) || ':'
+              |      || cast(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % n.corpus_n
+              |    <> p.positive_id),
+              |dedup AS (
+              |  SELECT * FROM cand
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id, neg_id
+              |    ORDER BY i) = 1)
+              |SELECT query_id, positive_id,
+              |  cast(neg_rank AS BIGINT) AS neg_rank, neg_id
+              |FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY i) AS neg_rank FROM dedup)
+              |WHERE neg_rank <= 3""".stripMargin)),
+
     // LABEL-PROPAGATION COMMUNITIES over the near-dup graph: two
     // synchronized rounds of "adopt the most frequent neighbor community,
     // ties → min id" from self-labels — the community detector that

@@ -13,6 +13,57 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** n-gram-marker language guess, appended as (lang_guess, marker_hits)
+    * — ONE policy shared by `lang_id`, `langid_confusion`, and the
+    * streaming scorer's batch parity. Argmax = greatest by (score, code),
+    * ties resolved by LAST code; the N-way greatest struct is computed
+    * ONCE and both fields projected from it (a separate projection step,
+    * so Catalyst cannot inline-duplicate the expression). */
+  private def langGuess(d: DataFrame): DataFrame = {
+    val markers = Seq(
+      "en" -> "\\b(the|and|of|is|was|to)\\b",
+      "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+      "es" -> "\\b(el|la|los|que|es|de)\\b",
+      "fr" -> "\\b(le|la|les|est|et|une)\\b",
+      "zh" -> "[\\u4e00-\\u9fff]")
+    val scored = markers.foldLeft(d) { case (acc, (code, pat)) =>
+      acc.withColumn(s"score_$code", regexp_count(lower(col("text")), lit(pat)))
+    }
+    val best = markers.map { case (code, _) =>
+      struct(col(s"score_$code").cast("long").as("score"),
+        lit(code).as("neg_code"))
+    }
+    scored.withColumn("__best", greatest(best: _*))
+      .withColumn("lang_guess", col("__best").getField("neg_code"))
+      .withColumn("marker_hits", col("__best").getField("score").cast("long"))
+      .drop("__best" +: markers.map { case (c, _) => s"score_$c" }: _*)
+  }
+
+  /** the language-guess chain as DuckDB CTEs ending in `guess`
+    * (doc_id, lang, lang_guess, marker_hits) — shared by the `lang_id`
+    * and `langid_confusion` oracles. */
+  private val langGuessSql: String =
+    """lg_scored AS (
+      |  SELECT doc_id, lang,
+      |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|to)\b')) AS s_en,
+      |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
+      |    len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|de)\b')) AS s_es,
+      |    len(regexp_extract_all(lower(text), '\b(le|la|les|est|et|une)\b')) AS s_fr,
+      |    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+      |  FROM documents),
+      |lg_ranked AS (
+      |  SELECT doc_id, lang, u.lang AS lang_guess,
+      |    cast(u.score AS BIGINT) AS marker_hits,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY u.score DESC, u.lang DESC) AS rn
+      |  FROM lg_scored, UNNEST([
+      |    {'lang': 'en', 'score': s_en}, {'lang': 'de', 'score': s_de},
+      |    {'lang': 'es', 'score': s_es}, {'lang': 'fr', 'score': s_fr},
+      |    {'lang': 'zh', 'score': s_zh}]) AS t(u)),
+      |guess AS (
+      |  SELECT doc_id, lang, lang_guess, marker_hits
+      |  FROM lg_ranked WHERE rn = 1)""".stripMargin
+
   /** word-3-gram shingles (shared with the streaming operator) */
   private val shinglesExpr = graft.ops.MinHash.shinglesExpr
 
@@ -605,45 +656,73 @@ object TextQueries {
     // language ID: n-gram/stopword heuristic — argmax over per-language
     // marker counts (deterministic tiebreak by language code)
     Q("lang_id",
+      (s, dir) => langGuess(docs(s, dir))
+        .select(col("doc_id"), col("lang_guess"), col("marker_hits")),
+      Some(s"""WITH $langGuessSql
+              |SELECT doc_id, lang_guess, marker_hits FROM guess""".stripMargin)),
+
+    // LANGUAGE-ID CONFUSION MATRIX + per-truth recall: the acceptance
+    // eval for the marker classifier against the corpus's ground-truth
+    // lang column — the same contract as ann_recall/pq_recall: every
+    // heuristic ships with the eval that decides whether to trust it.
+    // One scan through the shared langGuess policy, one bounded groupBy
+    // (langs × langs), truth totals ride back on a broadcast.
+    Q("langid_confusion",
       (s, dir) => {
-        val markers = Seq(
-          "en" -> "\\b(the|and|of|is|was|to)\\b",
-          "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
-          "es" -> "\\b(el|la|los|que|es|de)\\b",
-          "fr" -> "\\b(le|la|les|est|et|une)\\b",
-          "zh" -> "[\\u4e00-\\u9fff]")
-        val scored = markers.foldLeft(docs(s, dir)) { case (d, (code, pat)) =>
-          d.withColumn(s"score_$code", regexp_count(lower(col("text")), lit(pat)))
-        }
-        val best = markers.map { case (code, _) =>
-          struct(col(s"score_$code").cast("long").as("score"),
-            lit(code).as("neg_code"))
-        }
-        // argmax: greatest by (score, code) — ties resolved by LAST code;
-        // the N-way greatest struct is computed ONCE and both fields
-        // projected from it (a separate projection step, so Catalyst cannot
-        // inline-duplicate the expression)
-        scored.withColumn("__best", greatest(best: _*))
-          .select(col("doc_id"),
-            col("__best").getField("neg_code").as("lang_guess"),
-            col("__best").getField("score").cast("long").as("marker_hits"))
+        val g = langGuess(docs(s, dir))
+          .select(col("lang").as("lang_true"), col("lang_guess"))
+        val cells = g.groupBy(col("lang_true"), col("lang_guess"))
+          .agg(count(lit(1)).as("n"))
+        val totals = cells.groupBy(col("lang_true"))
+          .agg(sum(col("n")).as("n_true"))
+        cells.join(broadcast(totals), Seq("lang_true"))
+          .select(col("lang_true"), col("lang_guess"), col("n"), col("n_true"),
+            round(col("n").cast("double") / col("n_true"), 6).as("frac"),
+            (col("lang_true") === col("lang_guess")).as("correct"))
       },
-      Some("""WITH scored AS (
-             |  SELECT doc_id,
-             |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|to)\b')) AS s_en,
-             |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de,
-             |    len(regexp_extract_all(lower(text), '\b(el|la|los|que|es|de)\b')) AS s_es,
-             |    len(regexp_extract_all(lower(text), '\b(le|la|les|est|et|une)\b')) AS s_fr,
-             |    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
-             |  FROM documents),
-             |ranked AS (
-             |  SELECT doc_id, u.lang AS lang_guess, cast(u.score AS BIGINT) AS marker_hits,
-             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.score DESC, u.lang DESC) AS rn
-             |  FROM scored, UNNEST([
-             |    {'lang': 'en', 'score': s_en}, {'lang': 'de', 'score': s_de},
-             |    {'lang': 'es', 'score': s_es}, {'lang': 'fr', 'score': s_fr},
-             |    {'lang': 'zh', 'score': s_zh}]) AS t(u))
-             |SELECT doc_id, lang_guess, marker_hits FROM ranked WHERE rn = 1""".stripMargin)),
+      Some(s"""WITH $langGuessSql,
+              |cells AS (
+              |  SELECT lang AS lang_true, lang_guess,
+              |    cast(count(*) AS BIGINT) AS n
+              |  FROM guess GROUP BY 1, 2),
+              |totals AS (
+              |  SELECT lang_true, cast(sum(n) AS BIGINT) AS n_true
+              |  FROM cells GROUP BY 1)
+              |SELECT c.lang_true, c.lang_guess, c.n, t.n_true,
+              |  round(cast(c.n AS double) / t.n_true, 6) AS frac,
+              |  c.lang_true = c.lang_guess AS correct
+              |FROM cells c JOIN totals t USING (lang_true)""".stripMargin)),
+
+    // BPE MERGE CANDIDATES (the first iteration of byte-pair-encoding
+    // vocabulary induction): count adjacent CHARACTER pairs inside
+    // lowercase words across the corpus and emit the top 20 merges — the
+    // highest-count pair is exactly what BPE would merge first. Pure
+    // per-row explode of in-row bigrams (map-side), one groupBy(pair)
+    // with partial aggregation, TakeOrderedAndProject top-k — no global
+    // sort, no shuffle beyond the bounded pair domain.
+    Q("bpe_merge_candidates",
+      (s, dir) => docs(s, dir)
+        // filter single-char words FIRST: sequence(1, 0) DESCENDS in Spark
+        // while DuckDB's range(1, 1) is empty
+        .select(explode(expr(
+          """flatten(transform(
+            |  filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+            |         w -> length(w) > 1),
+            |  w -> transform(sequence(1, length(w) - 1),
+            |    i -> substring(w, i, 2))))""".stripMargin)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20),
+      Some("""WITH pairs AS (
+             |  SELECT unnest(flatten(list_transform(
+             |    list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             |                w -> length(w) > 1),
+             |    w -> list_transform(range(1, length(w)),
+             |      i -> substr(w, cast(i AS int), 2))))) AS pair
+             |  FROM documents)
+             |SELECT pair, cast(count(*) AS BIGINT) AS n
+             |FROM pairs GROUP BY pair
+             |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin)),
 
     // n-gram Jaccard near-dup verify: candidate pairs come from the MinHash
     // LSH band buckets (bucketed generation, not all-pairs), then the exact
