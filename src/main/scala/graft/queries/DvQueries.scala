@@ -1885,6 +1885,47 @@ object DvQueries {
              |SELECT 'current', n_nationkey + 100, 'NEW', NULL
              |FROM nation WHERE n_nationkey % 5 = 0""".stripMargin)),
 
+    // BUCKETED CO-LOCATED JOIN, driver-verified: hub and sat written
+    // bucketed on the hashkey, then joined with broadcast disabled — the
+    // physical plan's ShuffleExchange count is EMITTED AS A COLUMN and
+    // the oracle pins it to zero, promoting the scale-defining property
+    // (unit-held by BucketedStoreSpec) into the driver's CORRECTNESS
+    // artifact. At 100 TB this layout is what turns every hub⋈sat in the
+    // vault from a full shuffle into a local sort-merge.
+    Q("bucketed_join_zero_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val store = new graft.runtime.TableStore(s, tmpWarehouse("graft_bjoin"))
+        val hub = HubLoader.records(
+          Seq(EntitySource(custStage(s, dir), Some("hk_customer_h"), Seq("c_custkey"))),
+          "hk_customer_h", Seq("custkey"), target = None)
+        val sat = SatV0Loader.records(cust3Batch(s, dir), Seq("hk_customer_h"),
+          Some("hd_customer_s"), Seq("c_name", "c_acctbal_v", "c_mktsegment"),
+          target = None)
+        val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          store.overwriteBucketed("graft_q_bjoin_hub", hub, "hk_customer_h", 8, LdtsAlias)
+          store.overwriteBucketed("graft_q_bjoin_sat", sat, "hk_customer_h", 8, LdtsAlias)
+          val j = store.readTable("graft_q_bjoin_hub")
+            .select(col("hk_customer_h"), col("custkey"))
+            .join(store.readTable("graft_q_bjoin_sat"), Seq("hk_customer_h"))
+          val nExch = j.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+          Seq((store.readTable("graft_q_bjoin_hub").count(),
+            store.readTable("graft_q_bjoin_sat").count(),
+            j.count(), nExch.toLong))
+            .toDF("n_hub", "n_sat", "n_joined", "n_exchanges")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      },
+      Some(s"""WITH $satV0Sql,
+              |c AS (SELECT cast(count(*) AS BIGINT) AS n FROM customer),
+              |sv AS (SELECT cast(count(*) AS BIGINT) AS n FROM sat_v0)
+              |SELECT c.n AS n_hub, sv.n AS n_sat, sv.n AS n_joined,
+              |  cast(0 AS BIGINT) AS n_exchanges
+              |FROM c, sv""".stripMargin)),
+
     // RIGHT-TO-BE-FORGOTTEN erasure across the vault, driver-verified:
     // build hub + sat into a warehouse, then physically remove every row
     // of the forget-set keys (%97) from BOTH tables via one broadcast
