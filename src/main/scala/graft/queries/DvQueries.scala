@@ -1885,6 +1885,43 @@ object DvQueries {
              |SELECT 'current', n_nationkey + 100, 'NEW', NULL
              |FROM nation WHERE n_nationkey % 5 = 0""".stripMargin)),
 
+    // INCREMENTAL AGGREGATE MAINTENANCE (self-maintaining materialized
+    // view): a per-priority count/total table updated by three additive
+    // delta merges — each batch aggregates ONLY its own rows, then one
+    // full-outer join against the bounded current state folds the deltas
+    // in. The maintained table must equal the direct one-shot groupBy
+    // (the oracle). Money accumulates as exact integer cents, so the
+    // merge is associative and the batch split can never change a cent.
+    // At 100 TB each refresh costs O(batch) + O(groups), never O(table).
+    Q("incremental_agg_maintain",
+      (s, dir) => {
+        val store = new graft.runtime.TableStore(s, tmpWarehouse("graft_aggmv"))
+        val src = rd(s, dir, "orders")
+        (0 until 3).foreach { b =>
+          val delta = src.filter(col("o_orderkey") % 3 === b)
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          val merged = store.readIfExists("agg_mv") match {
+            case None => delta
+            case Some(cur) => cur
+              .select(col("o_orderpriority"), col("n").as("n0"), col("cents").as("c0"))
+              .join(delta.select(col("o_orderpriority"), col("n").as("n1"),
+                col("cents").as("c1")), Seq("o_orderpriority"), "full_outer")
+              .select(col("o_orderpriority"),
+                (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("n"),
+                (coalesce(col("c0"), lit(0L)) + coalesce(col("c1"), lit(0L))).as("cents"))
+          }
+          store.overwrite("agg_mv", merged)
+        }
+        store.read("agg_mv").select(col("o_orderpriority"), col("n"),
+          round(col("cents").cast("double") / 100.0, 2).as("total_price"))
+      },
+      Some("""SELECT o_orderpriority, cast(count(*) AS BIGINT) AS n,
+             |  round(cast(sum(cast(round(o_totalprice * 100) AS BIGINT))
+             |    AS double) / 100.0, 2) AS total_price
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // BUCKETED CO-LOCATED JOIN, driver-verified: hub and sat written
     // bucketed on the hashkey, then joined with broadcast disabled — the
     // physical plan's ShuffleExchange count is EMITTED AS A COLUMN and

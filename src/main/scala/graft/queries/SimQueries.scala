@@ -478,6 +478,48 @@ object SimQueries {
               |    ON a.label = b.label AND a.vec_id < b.vec_id)
               |SELECT * FROM scored WHERE cos_sim >= 0.3""".stripMargin)),
 
+    // POINT-IN-TIME-CORRECT FEATURE JOIN (the feature-store primitive):
+    // for every purchase (the training label), features computed from
+    // STRICTLY EARLIER events of the same user — prior-click count, prior
+    // click-value sum, seconds since the last click — so no label
+    // leakage. One window partitioned by user over (ts, event_id) with a
+    // rows-preceding frame; value sums in exact cents. At 100 TB this is
+    // one user-hash shuffle, the same cost as sessionization.
+    Q("pit_feature_join",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isClick = col("event_type") === "click"
+        ev.withColumn("n_prior_clicks",
+            count(when(isClick, 1)).over(w))
+          .withColumn("prior_click_cents",
+            coalesce(sum(when(isClick, round(col("value") * 100).cast("long")))
+              .over(w), lit(0L)))
+          .withColumn("last_click_ts", max(when(isClick, col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("n_prior_clicks"), col("prior_click_cents"),
+            (unix_micros(col("ts")) - unix_micros(col("last_click_ts")))
+              .cast("long").as("us_since_last_click"))
+      },
+      Some("""SELECT event_id, user_id, cast(ts AS TIMESTAMP) AS ts,
+             |  cast(count(CASE WHEN event_type = 'click' THEN 1 END)
+             |    OVER pw AS BIGINT) AS n_prior_clicks,
+             |  cast(coalesce(sum(CASE WHEN event_type = 'click'
+             |      THEN cast(round(value * 100) AS BIGINT) END) OVER pw, 0)
+             |    AS BIGINT) AS prior_click_cents,
+             |  cast(epoch_us(cast(ts AS TIMESTAMP))
+             |    - epoch_us(max(CASE WHEN event_type = 'click'
+             |        THEN cast(ts AS TIMESTAMP) END) OVER pw) AS BIGINT)
+             |    AS us_since_last_click
+             |FROM events
+             |WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |QUALIFY event_type = 'purchase'""".stripMargin)),
+
     // NEGATIVE SAMPLING for retrieval training: per (query, hardest
     // positive) pair, K=3 distinct pseudo-random negatives drawn by
     // md5(query, draw) modulo the corpus — row-local, reproducible, and
