@@ -225,6 +225,46 @@ object RelQueries {
              |FROM orders
              |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // BENFORD FIRST-DIGIT AUDIT on order totals — the forensic
+    // data-quality check for fabricated or truncated monetary columns.
+    // The first digit comes from the EXACT integer-cents string (never
+    // floor∘log10, whose 1-ulp jitter flips digits at powers of ten);
+    // expected frequencies are log10(1+1/d); χ² contributions per digit.
+    // One stateless projection + one 9-group aggregate.
+    Q("benford_check",
+      (s, dir) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val digit = substring(cents.cast("string"), 1, 1).cast("long")
+        val byDigit = rd(s, dir, "orders")
+          .select(digit.as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = byDigit.agg(sum(col("n_obs")).as("n"))
+        byDigit.crossJoin(broadcast(tot))
+          .withColumn("p_expected",
+            round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6))
+          .select(col("digit"), col("n_obs"),
+            col("p_expected"),
+            round(col("n") * col("p_expected"), 4).as("n_expected"),
+            round((col("n_obs") - col("n") * col("p_expected")) *
+              (col("n_obs") - col("n") * col("p_expected")) /
+              (col("n") * col("p_expected")), 4).as("chi2_contrib"))
+      },
+      Some("""WITH d AS (
+             |  SELECT cast(substr(cast(cast(round(o_totalprice * 100) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |  FROM orders),
+             |byd AS (
+             |  SELECT digit, cast(count(*) AS BIGINT) AS n_obs
+             |  FROM d GROUP BY 1),
+             |tot AS (SELECT cast(sum(n_obs) AS BIGINT) AS n FROM byd)
+             |SELECT digit, n_obs,
+             |  round(log10(1.0 + 1.0 / digit), 6) AS p_expected,
+             |  round(n * round(log10(1.0 + 1.0 / digit), 6), 4) AS n_expected,
+             |  round((n_obs - n * round(log10(1.0 + 1.0 / digit), 6))
+             |    * (n_obs - n * round(log10(1.0 + 1.0 / digit), 6))
+             |    / (n * round(log10(1.0 + 1.0 / digit), 6)), 4) AS chi2_contrib
+             |FROM byd, tot""".stripMargin)),
+
     // K-ANONYMITY AUDIT: group the table by its quasi-identifiers
     // (segment × nation) and flag equivalence classes smaller than k=5 —
     // the re-identification check a privacy review runs before a dataset

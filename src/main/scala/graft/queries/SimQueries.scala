@@ -478,6 +478,44 @@ object SimQueries {
               |    ON a.label = b.label AND a.vec_id < b.vec_id)
               |SELECT * FROM scored WHERE cos_sim >= 0.3""".stripMargin)),
 
+    // THEIL-SEN ROBUST TREND per event type: the median of all pairwise
+    // daily-count slopes — the trend estimator that, like the MAD
+    // detector, is immune to the spikes it coexists with (an OLS slope
+    // is dragged by one burst day). Scale shape: the pair blow-up is a
+    // self-join of the BOUNDED daily table (days² per type, ~400 rows),
+    // never the raw events; one exact median over it.
+    Q("theil_sen_trend",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("t", datediff(col("day"), lit("2024-01-01").cast("date"))
+            .cast("long"))
+        val b = daily.select(col("event_type").as("et2"), col("t").as("t2"),
+          col("n").as("n2"))
+        val slopes = daily.join(b,
+            col("event_type") === col("et2") && col("t") < col("t2"))
+          .select(col("event_type"),
+            round((col("n2") - col("n")).cast("double") / (col("t2") - col("t")), 6)
+              .as("slope"))
+        slopes.groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(median(col("slope")), 6).as("sen_slope"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, cast(ts AS DATE) AS day,
+             |    cast(count(*) AS BIGINT) AS n,
+             |    date_diff('day', DATE '2024-01-01', cast(ts AS DATE)) AS t
+             |  FROM events GROUP BY 1, 2),
+             |slopes AS (
+             |  SELECT a.event_type,
+             |    round(cast(b.n - a.n AS double) / (b.t - a.t), 6) AS slope
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.t < b.t)
+             |SELECT event_type, cast(count(*) AS BIGINT) AS n_pairs,
+             |  round(cast(median(slope) AS double), 6) AS sen_slope
+             |FROM slopes GROUP BY 1""".stripMargin)),
+
     // POINT-IN-TIME-CORRECT FEATURE JOIN (the feature-store primitive):
     // for every purchase (the training label), features computed from
     // STRICTLY EARLIER events of the same user — prior-click count, prior

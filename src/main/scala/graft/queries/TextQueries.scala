@@ -693,6 +693,55 @@ object TextQueries {
               |  c.lang_true = c.lang_guess AS correct
               |FROM cells c JOIN totals t USING (lang_true)""".stripMargin)),
 
+    // MUTUAL INFORMATION between the lang and source columns — the
+    // feature-redundancy diagnostic a mixture designer reads before
+    // stratifying on both (MI ≈ 0 ⇒ independent strata; NMI → 1 ⇒ one
+    // implies the other and double-stratification over-fragments).
+    // One groupBy to the bounded contingency table, marginals broadcast,
+    // entropies/MI as exact-count arithmetic summed over ≤ |langs|·
+    // |sources| cells.
+    Q("lang_source_mi",
+      (s, dir) => {
+        val cells = docs(s, dir).groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("nij"))
+        val ml = cells.groupBy("lang").agg(sum(col("nij")).as("ni"))
+        val ms = cells.groupBy("source").agg(sum(col("nij")).as("nj"))
+        val tot = cells.agg(sum(col("nij")).as("n"))
+        val joined = cells.join(broadcast(ml), "lang")
+          .join(broadcast(ms), "source").crossJoin(broadcast(tot))
+        val p = col("nij").cast("double") / col("n")
+        val term = p * log(p * col("n").cast("double") * col("n") /
+          (col("ni") * col("nj")))
+        val hl = -(col("ni").cast("double") / col("n")) *
+          log(col("ni").cast("double") / col("n"))
+        joined.agg(
+            count(lit(1)).as("n_cells"),
+            round(sum(term), 6).as("mi"))
+          .crossJoin(broadcast(
+            ml.crossJoin(broadcast(tot)).agg(round(sum(hl), 6).as("h_lang"))))
+          .select(col("n_cells"), col("mi"), col("h_lang"),
+            round(col("mi") / col("h_lang"), 6).as("nmi_vs_lang"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT lang, source, cast(count(*) AS BIGINT) AS nij
+             |  FROM documents GROUP BY 1, 2),
+             |ml AS (SELECT lang, cast(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+             |ms AS (SELECT source, cast(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1),
+             |tot AS (SELECT cast(sum(nij) AS BIGINT) AS n FROM cells),
+             |mi AS (
+             |  SELECT cast(count(*) AS BIGINT) AS n_cells,
+             |    round(sum((cast(nij AS double) / n)
+             |      * ln(cast(nij AS double) * n / (ni * cast(nj AS double)))), 6)
+             |      AS mi
+             |  FROM cells JOIN ml USING (lang) JOIN ms USING (source), tot),
+             |hl AS (
+             |  SELECT round(sum(-(cast(ni AS double) / n)
+             |    * ln(cast(ni AS double) / n)), 6) AS h_lang
+             |  FROM ml, tot)
+             |SELECT mi.n_cells, mi.mi, hl.h_lang,
+             |  round(mi.mi / hl.h_lang, 6) AS nmi_vs_lang
+             |FROM mi, hl""".stripMargin)),
+
     // BPE MERGE CANDIDATES (the first iteration of byte-pair-encoding
     // vocabulary induction): count adjacent CHARACTER pairs inside
     // lowercase words across the corpus and emit the top 20 merges — the
