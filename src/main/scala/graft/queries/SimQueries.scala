@@ -2476,6 +2476,171 @@ object SimQueries {
              |  round(n2.nrm, 4) AS lambda
              |FROM w2, n2""".stripMargin)),
 
+    // RECIPROCAL-RANK FUSION of two independent ANN indexes (PQ and int8
+    // SQ): score = Σ 1/(60+rank) over the lists a neighbor appears in —
+    // the standard zero-tuning ensemble that beats either list alone
+    // when their error modes differ (compressed-domain vs quantized-dot).
+    // One full-outer join of two bounded top-k lists per query; windows
+    // partition by query over ≤10 rows.
+    Q("rrf_fusion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val a = pqTopK(s, dir, 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_pq"))
+        val b = sqTopK(s, dir, 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_sq"))
+        val fused = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+          .withColumn("rrf_score", round(
+            coalesce(lit(1.0) / (lit(60.0) + col("rank_pq")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("rank_sq")), lit(0.0)), 6))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+        fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+          .filter(col("fused_rank") <= 3)
+          .select(col("query_id"), col("neighbor_id"), col("rank_pq"),
+            col("rank_sq"), col("rrf_score"), col("fused_rank"))
+      },
+      Some(s"""WITH $pqDuckChain,
+              |pqr AS (
+              |  SELECT query_id, neighbor_id, cast(rank AS BIGINT) AS rank_pq
+              |  FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY approx_cos DESC, neighbor_id ASC) AS rank FROM scored)
+              |  WHERE rank <= 5),
+              |$sqDuckChain,
+              |sqr AS (
+              |  SELECT query_id, neighbor_id, cast(rank AS BIGINT) AS rank_sq
+              |  FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rer)
+              |  WHERE rank <= 5),
+              |fused AS (
+              |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+              |    coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+              |    a.rank_pq, b.rank_sq,
+              |    round(coalesce(1.0 / (60.0 + a.rank_pq), 0.0)
+              |      + coalesce(1.0 / (60.0 + b.rank_sq), 0.0), 6) AS rrf_score
+              |  FROM pqr a FULL JOIN sqr b
+              |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
+              |SELECT query_id, neighbor_id, rank_pq, rank_sq, rrf_score,
+              |  cast(fused_rank AS BIGINT) AS fused_rank
+              |FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY rrf_score DESC, neighbor_id ASC) AS fused_rank
+              |  FROM fused)
+              |WHERE fused_rank <= 3""".stripMargin)),
+
+    // IVF NPROBE SWEEP: recall@3 against brute-force truth at nprobe ∈
+    // 1..4 from ONE corpus scan — the tuning curve that decides the
+    // recall/latency trade before an index ships (the IVF analogue of
+    // lsh_band_sweep). Cell ranks are computed once; the sweep is an
+    // explode + filter over the bounded candidate set.
+    Q("ivf_nprobe_sweep",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nlist = 8; val maxProbe = 4
+        val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
+        val centroids: Seq[(Int, Seq[Double], Double)] =
+          e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + nlist)
+            .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
+            .zipWithIndex.map { case (r, i) =>
+              val v = r.getSeq[Float](1).map(_.toDouble)
+              (i, v, math.sqrt(v.map(x => x * x).sum))
+            }
+        def cellScore(cvec: Seq[Double], cn: Double) =
+          round(dotProduct(col("embedding"), typedLit(cvec)) / (col("nrm") * cn), 4)
+        val argmaxStructs = centroids.map { case (cid, v, n) =>
+          struct(cellScore(v, n).as("s"), lit(-cid).as("nc"))
+        }
+        val corpus = e.filter(col("vec_id") >= 10)
+          .withColumn("__best", greatest(argmaxStructs: _*))
+          .withColumn("cell", (-col("__best").getField("nc")).cast("long"))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        val scoreStructs = centroids.map { case (cid, v, n) =>
+          struct(cellScore(v, n).as("s"), lit(cid.toLong).as("cid"))
+        }
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("c.s").desc, col("c.cid").asc)
+        val probed = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"), explode(array(scoreStructs: _*)).as("c"))
+          .withColumn("cell_rank", row_number().over(wq))
+          .filter(col("cell_rank") <= maxProbe)
+          .select(col("query_id"), col("qv"), col("qn"),
+            col("c.cid").as("cell"), col("cell_rank"))
+        val cands = broadcast(probed).join(corpus, Seq("cell"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("cell_rank"),
+            round(dotProduct(col("qv"), col("embedding")) /
+              (col("qn") * col("nrm")), 4).as("cos_sim"))
+        val swept = cands
+          .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+            explode(sequence(lit(1), lit(maxProbe))).as("nprobe"))
+          .filter(col("cell_rank") <= col("nprobe"))
+        val w = Window.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        val top3 = swept.withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+        val truth = bruteTopK(s, dir, 3)
+          .select(col("query_id"), col("neighbor_id")).withColumn("__t", lit(1L))
+        top3.join(truth, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("nprobe"), col("query_id"))
+          .agg((sum(coalesce(col("__t"), lit(0L))) / lit(3.0)).as("recall"))
+          .groupBy(col("nprobe"))
+          .agg(count(lit(1)).as("n_queries"),
+            round(avg(col("recall")), 6).as("mean_recall_at_3"))
+          .select(col("nprobe").cast("long").as("nprobe"), col("n_queries"),
+            col("mean_recall_at_3"))
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id - 10 AS cid, embedding AS cvec
+              |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+              |scored AS (
+              |  SELECT e.vec_id, c.cid,
+              |    round(${cosDuck("e.embedding", "c.cvec")}, 4) AS s
+              |  FROM embeddings e, cent c),
+              |corpus_cell AS (
+              |  SELECT vec_id, cid AS cell FROM scored WHERE vec_id >= 10
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) = 1),
+              |query_cells AS (
+              |  SELECT vec_id AS query_id, cid AS cell,
+              |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC)
+              |      AS cell_rank
+              |  FROM scored WHERE vec_id < 10
+              |  QUALIFY cell_rank <= 4),
+              |cands AS (
+              |  SELECT q.query_id, c.vec_id AS neighbor_id, q.cell_rank,
+              |    round(${cosDuck("qe.embedding", "ce.embedding")}, 4) AS cos_sim
+              |  FROM query_cells q JOIN corpus_cell c ON q.cell = c.cell
+              |  JOIN embeddings qe ON qe.vec_id = q.query_id
+              |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+              |swept AS (
+              |  SELECT np.np AS nprobe, s.query_id, s.neighbor_id, s.cos_sim
+              |  FROM cands s, range(1, 5) AS np(np)
+              |  WHERE s.cell_rank <= np.np),
+              |top3 AS (
+              |  SELECT * FROM swept
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+              |    ORDER BY cos_sim DESC, neighbor_id ASC) <= 3),
+              |brute_scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    round(${cosDuck("a.embedding", "b.embedding")}, 4) AS cos_sim
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id >= 10),
+              |brute AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM brute_scored)
+              |  WHERE rank <= 3),
+              |perq AS (
+              |  SELECT t.nprobe, t.query_id,
+              |    sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0
+              |      AS recall
+              |  FROM top3 t LEFT JOIN brute b
+              |    ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+              |  GROUP BY 1, 2)
+              |SELECT nprobe, cast(count(*) AS BIGINT) AS n_queries,
+              |  round(avg(recall), 6) AS mean_recall_at_3
+              |FROM perq GROUP BY 1""".stripMargin)),
+
     Q("kmeans_embed",
       (s, dir) => {
         val K = 4
