@@ -2416,6 +2416,38 @@ object SimQueries {
     // the determinism variant for the compare. At corpus scale swap the
     // fold for avg(): same plan shape (one partial-agg shuffle of K×64
     // doubles), order-independent to FP ulps.
+    // PER-DIMENSION EMBEDDING STATS (the whitening table): mean and
+    // population std per dimension, computed from EXACT sums of x and x²
+    // in one posexplode → groupBy(dim) pass (64 map-side groups — the
+    // same never-collect shape as pca_power_iteration; a z-score
+    // normalizer broadcasts this table back). Sums round at 4 before the
+    // derived stats so both engines divide identical numerators.
+    Q("embed_dim_stats",
+      (s, dir) => {
+        val e = emb(s, dir)
+        e.select(posexplode(col("embedding")).as(Seq("d", "x")))
+          .select(col("d"), col("x").cast("double").as("x"))
+          .groupBy("d")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("x")), 4).as("sum_x"),
+            round(sum(col("x") * col("x")), 4).as("sum_x2"))
+          .select(col("d").cast("long").as("d"), col("n"),
+            round(col("sum_x") / col("n"), 6).as("mean"),
+            round(sqrt(col("sum_x2") / col("n") -
+              (col("sum_x") / col("n")) * (col("sum_x") / col("n"))), 6)
+              .as("std_pop"))
+      },
+      Some("""WITH x AS (
+             |  SELECT d.i AS d, cast(e.embedding[d.i + 1] AS double) AS x
+             |  FROM embeddings e, range(0, 64) AS d(i)),
+             |s AS (
+             |  SELECT d, cast(count(*) AS BIGINT) AS n,
+             |    round(sum(x), 4) AS sum_x, round(sum(x * x), 4) AS sum_x2
+             |  FROM x GROUP BY 1)
+             |SELECT d, n, round(sum_x / n, 6) AS mean,
+             |  round(sqrt(sum_x2 / n - (sum_x / n) * (sum_x / n)), 6) AS std_pop
+             |FROM s""".stripMargin)),
+
     // PCA TOP COMPONENT by matrix-free power iteration: two in-plan
     // iterations of v ← normalize(Xᵀ(Xv)) from the uniform unit vector.
     // The 100 TB shape: the per-row projection s=x·v is a sequential

@@ -693,6 +693,39 @@ object TextQueries {
               |  c.lang_true = c.lang_guess AS correct
               |FROM cells c JOIN totals t USING (lang_true)""".stripMargin)),
 
+    // TEXT NORMALIZATION pass: casefold + collapse whitespace + strip a
+    // fixed accent map + drop control chars — the canonicalization that
+    // runs BEFORE hashing/dedup so near-identical bytes collide. The
+    // normalized text round-trips through md5 so the oracle verifies the
+    // exact output bytes; `changed` counts how much of the corpus the
+    // pass actually touches. Stateless codegen'd projection, zero
+    // shuffle.
+    Q("text_normalize",
+      (s, dir) => {
+        val folded = translate(lower(col("text")),
+          "àáâãäåèéêëìíîïòóôõöùúûüçñ", "aaaaaaeeeeiiiiooooouuuucn")
+        val squeezed = trim(regexp_replace(
+          // explicit ASCII control range: Java's \p{Cntrl} and RE2's
+          // \p{Cc} disagree on the C1 block
+          regexp_replace(folded, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+        docs(s, dir).select(
+          col("doc_id"),
+          md5(squeezed).as("norm_md5"),
+          length(squeezed).cast("long").as("norm_len"),
+          (squeezed =!= col("text")).as("changed"))
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id, text,
+             |    trim(regexp_replace(regexp_replace(
+             |      translate(lower(text),
+             |        'àáâãäåèéêëìíîïòóôõöùúûüçñ', 'aaaaaaeeeeiiiiooooouuuucn'),
+             |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+             |  FROM documents)
+             |SELECT doc_id, md5(norm) AS norm_md5,
+             |  cast(length(norm) AS BIGINT) AS norm_len,
+             |  norm <> text AS changed
+             |FROM n""".stripMargin)),
+
     // MUTUAL INFORMATION between the lang and source columns — the
     // feature-redundancy diagnostic a mixture designer reads before
     // stratifying on both (MI ≈ 0 ⇒ independent strata; NMI → 1 ⇒ one
