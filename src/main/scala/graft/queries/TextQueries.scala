@@ -693,6 +693,55 @@ object TextQueries {
               |  c.lang_true = c.lang_guess AS correct
               |FROM cells c JOIN totals t USING (lang_true)""".stripMargin)),
 
+    // BINARY → VECTOR → RETRIEVAL plumbing: "embed" each document blob
+    // into 8 fixed-width dims derived from the md5 of its BYTES (the
+    // deterministic stand-in for a real encoder — the container has no
+    // model libs; the Spark path being exercised is the real one: binary
+    // column → fixed-width vector → broadcast-probe cosine top-k). The
+    // probe is doc 0's vector, attached by broadcast; one corpus scan.
+    Q("blob_embed_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+          .withColumn("v", expr(
+            """transform(sequence(0, 7), i ->
+              |  cast(conv(substring(md5(blob), i * 4 + 1, 4), 16, 10) AS double)
+              |    / 65535.0)""".stripMargin))
+        val probe = d.filter(col("doc_id") === 0)
+          .select(col("v").as("pv"))
+        val scored = d.filter(col("doc_id") =!= 0).crossJoin(broadcast(probe))
+          .select(col("doc_id"), round(
+            expr("""aggregate(zip_with(v, pv, (a, b) -> a * b), 0.0D,
+                   |  (acc, x) -> acc + x)""".stripMargin) /
+              (sqrt(expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)")) *
+                sqrt(expr("aggregate(pv, 0.0D, (acc, x) -> acc + x * x)"))), 4)
+            .as("cos_sim"))
+        val w = Window.orderBy(col("cos_sim").desc, col("doc_id").asc)
+        scored.orderBy(col("cos_sim").desc, col("doc_id").asc).limit(10)
+          .withColumn("rank", row_number().over(w).cast("long"))
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 8), i ->
+             |      cast(('0x' || substr(md5(text), cast(i * 4 + 1 AS int), 4))
+             |        AS BIGINT) / 65535.0) AS v
+             |  FROM documents),
+             |probe AS (SELECT v AS pv FROM v WHERE doc_id = 0),
+             |scored AS (
+             |  SELECT v.doc_id,
+             |    round(list_sum(list_transform(list_zip(v.v, probe.pv),
+             |        z -> z[1] * z[2]))
+             |      / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+             |        * sqrt(list_sum(list_transform(probe.pv, x -> x * x)))), 4)
+             |      AS cos_sim
+             |  FROM v, probe WHERE v.doc_id <> 0)
+             |SELECT doc_id, cos_sim,
+             |  cast(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+             |    AS BIGINT) AS rank
+             |FROM scored
+             |ORDER BY cos_sim DESC, doc_id ASC LIMIT 10""".stripMargin)),
+
     // TEXT NORMALIZATION pass: casefold + collapse whitespace + strip a
     // fixed accent map + drop control chars — the canonicalization that
     // runs BEFORE hashing/dedup so near-identical bytes collide. The

@@ -19,11 +19,13 @@ import org.apache.spark.sql.execution.window.WindowExec
 class PlanAuditSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** global window over the snapshot control table — bounded by
-    * construction (one row/day), documented in SnapshotLoaders */
+  /** global window over a bounded-by-construction frame: the snapshot
+    * control table (one row/day, documented in SnapshotLoaders) and
+    * blob_embed_topk's rank over an already-LIMIT-10 result */
   private val globalWindowOk: Set[String] =
     Set("snap_latest_row", "snap_v1_customer", "snap_v1_multi",
-      "pit_customer", "pit_multisat", "snap_logarithmic")
+      "pit_customer", "pit_multisat", "snap_logarithmic",
+      "blob_embed_topk")
 
   test("no registry query plans a CartesianProduct or an undocumented global window") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
