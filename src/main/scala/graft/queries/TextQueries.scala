@@ -742,6 +742,36 @@ object TextQueries {
              |FROM scored
              |ORDER BY cos_sim DESC, doc_id ASC LIMIT 10""".stripMargin)),
 
+    // CROSS-SOURCE DUPLICATION MATRIX: how much of each source pair the
+    // MinHash-LSH candidate graph links — the diagnostic that decides
+    // which sources to dedup AGAINST each other before mixing (a corpus
+    // that heavily duplicates another contributes fewer effective
+    // tokens). Bounded join of the candidate pairs to the source column
+    // on both endpoints, one groupBy over the ≤ sources² matrix;
+    // within-source pairs keep the diagonal honest.
+    Q("cross_source_dup_matrix",
+      (s, dir) => {
+        val src = docs(s, dir).select(col("doc_id"), col("source"))
+        val pairs = lshCandidates(s, dir)
+          .join(src, Seq("doc_id"))
+          .join(src.select(col("doc_id").as("doc_id_2"),
+            col("source").as("source_2")), Seq("doc_id_2"))
+        pairs
+          .select(least(col("source"), col("source_2")).as("source_a"),
+            greatest(col("source"), col("source_2")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_candidate_pairs"))
+      },
+      Some(s"""WITH $lshCandSql,
+              |lab AS (
+              |  SELECT c.doc_id, c.doc_id_2, a.source AS sa, b.source AS sb
+              |  FROM cands c
+              |  JOIN documents a ON a.doc_id = c.doc_id
+              |  JOIN documents b ON b.doc_id = c.doc_id_2)
+              |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+              |  cast(count(*) AS BIGINT) AS n_candidate_pairs
+              |FROM lab GROUP BY 1, 2""".stripMargin)),
+
     // TEXT NORMALIZATION pass: casefold + collapse whitespace + strip a
     // fixed accent map + drop control chars — the canonicalization that
     // runs BEFORE hashing/dedup so near-identical bytes collide. The
