@@ -203,6 +203,52 @@ object RelQueries {
              |GROUP BY 1, 2, 3
              |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
 
+    // TPC-H Q5 (local-supplier volume) — the 6-table join tree: region →
+    // nation → customer → orders → lineitem → supplier, with the
+    // LOCAL-supplier constraint (c_nationkey = s_nationkey) closing the
+    // cycle. Exercises join ordering and filter pushdown at depth:
+    // region/date filters reach the scans, the small dimension chain
+    // broadcasts under AQE, and the revenue rolls up as exact decimals.
+    Q("tpch_q5_local_supplier",
+      (s, dir) => {
+        val region = rd(s, dir, "region").filter(col("r_name") === "ASIA")
+          .select("r_regionkey")
+        val nation = rd(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        val cust = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val ord = rd(s, dir, "orders")
+          .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+            to_date(col("o_orderdate")) < lit("1998-01-01").cast("date"))
+          .select("o_orderkey", "o_custkey")
+        val li = rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1.0) - col("l_discount")).cast("decimal(8,4)")).as("rev"))
+        val supp = rd(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(nation, col("s_nationkey") === col("n_nationkey"))
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
+            count(lit(1)).as("n_lineitems"))
+      },
+      Some("""SELECT n_name,
+             |  round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))
+             |    * cast(1.0 - l_discount AS DECIMAL(8,4))) AS double), 2)
+             |    AS revenue,
+             |  cast(count(*) AS BIGINT) AS n_lineitems
+             |FROM region, nation, customer, orders, lineitem, supplier
+             |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+             |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+             |  AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+             |  AND s_nationkey = c_nationkey
+             |  AND cast(o_orderdate AS DATE) >= DATE '1996-01-01'
+             |  AND cast(o_orderdate AS DATE) < DATE '1998-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
     // CUBE ROLLUP with grouping_id: the OLAP subtotal lattice over
     // status × priority (15 cells + 3 + 5 + 1 grand total). The money
     // sum aggregates EXACTLY as DECIMAL(18,2) — double addition is

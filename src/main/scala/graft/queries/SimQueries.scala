@@ -478,6 +478,41 @@ object SimQueries {
               |    ON a.label = b.label AND a.vec_id < b.vec_id)
               |SELECT * FROM scored WHERE cos_sim >= 0.3""".stripMargin)),
 
+    // SEASONAL DECOMPOSITION (DOW-means STL-lite): split each (type, day)
+    // count into the type's day-of-week seasonal mean and a residual —
+    // what the spike detector SHOULD baseline against when traffic has a
+    // weekly cycle (its trailing window conflates Monday with Sunday).
+    // Means come from exact integer sums over the bounded daily table
+    // and broadcast back; residuals are exact subtraction.
+    Q("seasonal_decompose",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dow", dayofweek(col("day")).cast("long"))
+        val seasonal = daily.groupBy(col("event_type"), col("dow"))
+          .agg(sum(col("n")).as("sum_n"), count(lit(1)).as("n_days"))
+          .withColumn("dow_mean",
+            round(col("sum_n").cast("double") / col("n_days"), 4))
+          .select(col("event_type"), col("dow"), col("dow_mean"))
+        daily.join(broadcast(seasonal), Seq("event_type", "dow"))
+          .select(col("event_type"), col("day"), col("dow"), col("n"),
+            col("dow_mean"),
+            round(col("n") - col("dow_mean"), 4).as("residual"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, cast(ts AS DATE) AS day,
+             |    cast(count(*) AS BIGINT) AS n,
+             |    cast(extract(dow FROM cast(ts AS DATE)) + 1 AS BIGINT) AS dow
+             |  FROM events GROUP BY 1, 2),
+             |seasonal AS (
+             |  SELECT event_type, dow,
+             |    round(cast(sum(n) AS double) / count(*), 4) AS dow_mean
+             |  FROM daily GROUP BY 1, 2)
+             |SELECT d.event_type, d.day, d.dow, d.n, s.dow_mean,
+             |  round(d.n - s.dow_mean, 4) AS residual
+             |FROM daily d JOIN seasonal s USING (event_type, dow)""".stripMargin)),
+
     // THEIL-SEN ROBUST TREND per event type: the median of all pairwise
     // daily-count slopes — the trend estimator that, like the MAD
     // detector, is immune to the spikes it coexists with (an OLS slope

@@ -742,6 +742,33 @@ object TextQueries {
              |FROM scored
              |ORDER BY cos_sim DESC, doc_id ASC LIMIT 10""".stripMargin)),
 
+    // DEDUP-GRAPH DEGREE DIAGNOSTICS: per-document candidate degree →
+    // log2 degree histogram — the hot-bucket early-warning for the LSH
+    // graph (a heavy-tailed degree distribution means the bucket cap is
+    // about to bite and CC components will chain). Symmetrized count per
+    // endpoint, one bounded histogram groupBy.
+    Q("dup_graph_degrees",
+      (s, dir) => {
+        val c = lshCandidates(s, dir)
+        val deg = c.select(col("doc_id"))
+          .unionByName(c.select(col("doc_id_2").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        deg.groupBy(floor(log2(col("degree"))).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("degree")).as("min_degree"),
+            max(col("degree")).as("max_degree"))
+      },
+      Some(s"""WITH $lshCandSql,
+              |deg AS (
+              |  SELECT doc_id, cast(count(*) AS BIGINT) AS degree FROM (
+              |    SELECT doc_id FROM cands
+              |    UNION ALL SELECT doc_id_2 FROM cands)
+              |  GROUP BY doc_id)
+              |SELECT cast(floor(log2(degree)) AS BIGINT) AS bucket,
+              |  cast(count(*) AS BIGINT) AS n_docs,
+              |  min(degree) AS min_degree, max(degree) AS max_degree
+              |FROM deg GROUP BY 1""".stripMargin)),
+
     // CROSS-SOURCE DUPLICATION MATRIX: how much of each source pair the
     // MinHash-LSH candidate graph links — the diagnostic that decides
     // which sources to dedup AGAINST each other before mixing (a corpus
