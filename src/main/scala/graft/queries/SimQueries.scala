@@ -1909,6 +1909,163 @@ object SimQueries {
              |  date_diff('day', max(cast(ts AS DATE)), horizon.h) > 7 AS churned
              |FROM events, horizon GROUP BY user_id, horizon.h""".stripMargin)),
 
+    // CUPED VARIANCE REDUCTION for the A/B readout: adjust each user's
+    // experiment-period value by θ·(pre-period value − pre-mean), with
+    // θ = cov(pre, post)/var(pre) — the standard trick that shrinks
+    // metric variance using pre-experiment behavior without biasing the
+    // delta. Everything derives from EXACT integer-cent sums over one
+    // groupBy(user) (covariance from Σxy, Σx, Σy — no second pass), so
+    // both engines compute identical moments; one bounded final
+    // aggregate per variant.
+    Q("cuped_adjustment",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val mid = lit("2024-01-16").cast("date")
+        val cents = round(col("value") * 100).cast("long")
+        val users = ev.groupBy(col("user_id"))
+          .agg(sum(when(to_date(col("ts")) < mid, cents).otherwise(0L)).as("pre_c"),
+            sum(when(to_date(col("ts")) >= mid, cents).otherwise(0L)).as("post_c"))
+          .withColumn("variant",
+            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+        val mom = users.agg(
+          count(lit(1)).as("n"), sum(col("pre_c")).as("sx"),
+          sum(col("post_c")).as("sy"),
+          sum(col("pre_c") * col("pre_c")).as("sxx"),
+          sum(col("pre_c") * col("post_c")).as("sxy"))
+        val theta = mom.select(col("n"), col("sx"), col("sy"),
+          round((col("sxy").cast("double") - col("sx").cast("double") *
+            col("sy") / col("n")) /
+            (col("sxx").cast("double") - col("sx").cast("double") *
+              col("sx") / col("n")), 6).as("theta"),
+          round(col("sx").cast("double") / col("n"), 6).as("mean_pre"))
+        users.crossJoin(broadcast(theta))
+          .withColumn("adj", col("post_c").cast("double") -
+            col("theta") * (col("pre_c").cast("double") - col("mean_pre")))
+          .groupBy(col("variant"))
+          .agg(count(lit(1)).as("n_users"),
+            round(sum(col("post_c")).cast("double") / count(lit(1)) / 100.0, 4)
+              .as("raw_mean"),
+            round(sum(col("adj")) / count(lit(1)) / 100.0, 4).as("cuped_mean"),
+            round(first(col("theta")), 6).as("theta"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    sum(CASE WHEN cast(ts AS DATE) < DATE '2024-01-16'
+             |      THEN cast(round(value * 100) AS BIGINT) ELSE 0 END) AS pre_c,
+             |    sum(CASE WHEN cast(ts AS DATE) >= DATE '2024-01-16'
+             |      THEN cast(round(value * 100) AS BIGINT) ELSE 0 END) AS post_c,
+             |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+             |  FROM events GROUP BY user_id),
+             |m AS (
+             |  SELECT count(*) AS n, sum(pre_c) AS sx, sum(post_c) AS sy,
+             |    sum(pre_c * pre_c) AS sxx, sum(pre_c * post_c) AS sxy
+             |  FROM u),
+             |t AS (
+             |  SELECT round((cast(sxy AS double) - cast(sx AS double) * sy / n)
+             |      / (cast(sxx AS double) - cast(sx AS double) * sx / n), 6)
+             |      AS theta,
+             |    round(cast(sx AS double) / n, 6) AS mean_pre
+             |  FROM m)
+             |SELECT variant, cast(count(*) AS BIGINT) AS n_users,
+             |  round(cast(sum(post_c) AS double) / count(*) / 100.0, 4)
+             |    AS raw_mean,
+             |  round(sum(cast(post_c AS double)
+             |    - t.theta * (cast(pre_c AS double) - t.mean_pre))
+             |    / count(*) / 100.0, 4) AS cuped_mean,
+             |  round(max(t.theta), 6) AS theta
+             |FROM u, t GROUP BY variant""".stripMargin)),
+
+    // POWER ANALYSIS for the experiment design: the minimum detectable
+    // effect at α=0.05 (two-sided) and 80% power given the observed
+    // split sizes and base conversion — MDE = (z_α + z_β)·√(2p̄(1−p̄)/n̄)
+    // with the textbook constants spelled identically in both engines.
+    // Pure scalar arithmetic over the srm_check aggregate.
+    Q("power_analysis",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val users = ev.groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" && col("value") > 90.0,
+            1L).otherwise(0L)).as("converted"))
+          .withColumn("variant",
+            when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+        users.agg(
+            sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+            sum(col("converted")).as("n_conv"), count(lit(1)).as("n"))
+          .select(col("n_a"), col("n_b"),
+            round(col("n_conv").cast("double") / col("n"), 6).as("p_base"),
+            round(lit(1.96 + 0.8416) *
+              sqrt(lit(2.0) * (col("n_conv").cast("double") / col("n")) *
+                (lit(1.0) - col("n_conv").cast("double") / col("n")) /
+                ((col("n_a") + col("n_b")).cast("double") / 2.0)), 6)
+              .as("mde_abs"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' AND value > 90.0
+             |      THEN 1 ELSE 0 END) AS converted,
+             |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+             |  FROM events GROUP BY user_id),
+             |a AS (
+             |  SELECT
+             |    cast(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_a,
+             |    cast(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_b,
+             |    cast(sum(converted) AS BIGINT) AS n_conv,
+             |    count(*) AS n
+             |  FROM u)
+             |SELECT n_a, n_b,
+             |  round(cast(n_conv AS double) / n, 6) AS p_base,
+             |  round((1.96 + 0.8416)
+             |    * sqrt(2.0 * (cast(n_conv AS double) / n)
+             |      * (1.0 - cast(n_conv AS double) / n)
+             |      / (cast(n_a + n_b AS double) / 2.0)), 6) AS mde_abs
+             |FROM a""".stripMargin)),
+
+    // CONVERSION-LAG QUANTILES: per converting user, the lag from first
+    // click to the first purchase AFTER it; exact percentiles over the
+    // bounded per-user table. One groupBy(user) with conditional
+    // min/max aggregates — the window-free form of time-to-convert.
+    Q("conversion_lag_quantiles",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val users = ev.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "click", unix_micros(col("ts"))))
+            .as("first_click_us"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        val lags = purch.join(broadcast(users), Seq("user_id"))
+          .filter(col("p_us") >= col("first_click_us"))
+          .groupBy(col("user_id"))
+          .agg(min(col("p_us")).as("mp"), first(col("first_click_us")).as("fc"))
+          // `div`, not `/`: Spark's / on longs is TRUE division (double),
+          // the oracle's // floors
+          .select(col("user_id"), expr("(mp - fc) div 1000000").as("lag_s"))
+        lags.agg(count(lit(1)).as("n_converters"),
+          round(expr("percentile(lag_s, 0.25)"), 4).as("p25_s"),
+          round(expr("percentile(lag_s, 0.5)"), 4).as("p50_s"),
+          round(expr("percentile(lag_s, 0.9)"), 4).as("p90_s"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'click'
+             |      THEN epoch_us(cast(ts AS TIMESTAMP)) END) AS first_click_us
+             |  FROM events GROUP BY user_id),
+             |lags AS (
+             |  SELECT p.user_id,
+             |    (min(epoch_us(cast(p.ts AS TIMESTAMP))) - max(u.first_click_us))
+             |      // 1000000 AS lag_s
+             |  FROM events p JOIN u ON u.user_id = p.user_id
+             |  WHERE p.event_type = 'purchase'
+             |    AND epoch_us(cast(p.ts AS TIMESTAMP)) >= u.first_click_us
+             |  GROUP BY p.user_id)
+             |SELECT cast(count(*) AS BIGINT) AS n_converters,
+             |  round(quantile_cont(lag_s, 0.25), 4) AS p25_s,
+             |  round(quantile_cont(lag_s, 0.5), 4) AS p50_s,
+             |  round(quantile_cont(lag_s, 0.9), 4) AS p90_s
+             |FROM lags""".stripMargin)),
+
     // SAMPLE-RATIO-MISMATCH check for the A/B split: χ² against the
     // designed 50/50 allocation (the guardrail run BEFORE reading
     // ab_test_zscore — a skewed split invalidates the experiment).
