@@ -1897,24 +1897,26 @@ object DvQueries {
       (s, dir) => {
         val store = new graft.runtime.TableStore(s, tmpWarehouse("graft_aggmv"))
         val src = rd(s, dir, "orders")
+        // each refresh WRITES A NEW VERSIONED TABLE: reading agg_mv while
+        // overwriting the same path is a read-under-overwrite race (the
+        // lazy merge plan scans files the write is deleting)
         (0 until 3).foreach { b =>
           val delta = src.filter(col("o_orderkey") % 3 === b)
             .groupBy(col("o_orderpriority"))
             .agg(count(lit(1)).as("n"),
               sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-          val merged = store.readIfExists("agg_mv") match {
-            case None => delta
-            case Some(cur) => cur
+          val merged =
+            if (b == 0) delta
+            else store.read(s"agg_mv_${b - 1}")
               .select(col("o_orderpriority"), col("n").as("n0"), col("cents").as("c0"))
               .join(delta.select(col("o_orderpriority"), col("n").as("n1"),
                 col("cents").as("c1")), Seq("o_orderpriority"), "full_outer")
               .select(col("o_orderpriority"),
                 (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("n"),
                 (coalesce(col("c0"), lit(0L)) + coalesce(col("c1"), lit(0L))).as("cents"))
-          }
-          store.overwrite("agg_mv", merged)
+          store.overwrite(s"agg_mv_$b", merged)
         }
-        store.read("agg_mv").select(col("o_orderpriority"), col("n"),
+        store.read("agg_mv_2").select(col("o_orderpriority"), col("n"),
           round(col("cents").cast("double") / 100.0, 2).as("total_price"))
       },
       Some("""SELECT o_orderpriority, cast(count(*) AS BIGINT) AS n,
