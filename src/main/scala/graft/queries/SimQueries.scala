@@ -2608,6 +2608,126 @@ object SimQueries {
     // the determinism variant for the compare. At corpus scale swap the
     // fold for avg(): same plan shape (one partial-agg shuffle of K×64
     // doubles), order-independent to FP ulps.
+    // CENTROID SILHOUETTE per IVF cell: s = (b−a)/max(a,b) with a = the
+    // cosine distance to the OWN cell centroid and b = to the best
+    // OTHER — the clustering-quality eval for the IVF index (cells with
+    // s ≈ 0 leak neighbors into other cells, which is what nprobe > 1
+    // compensates for; pairs with ivf_nprobe_sweep). One 8-wide scored
+    // explode per vector, a per-vector (bounded, partitioned) top-2
+    // window, one groupBy(cell).
+    Q("ivf_cell_silhouette",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nlist = 8
+        val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
+        val centroids: Seq[(Int, Seq[Double], Double)] =
+          e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + nlist)
+            .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
+            .zipWithIndex.map { case (r, i) =>
+              val v = r.getSeq[Float](1).map(_.toDouble)
+              (i, v, math.sqrt(v.map(x => x * x).sum))
+            }
+        val scoreStructs = centroids.map { case (cid, v, n) =>
+          struct(round(dotProduct(col("embedding"), typedLit(v)) /
+            (col("nrm") * n), 4).as("s"), lit(cid.toLong).as("cid"))
+        }
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c.s").desc, col("c.cid").asc)
+        val top2 = e.filter(col("vec_id") >= 10)
+          .select(col("vec_id"), explode(array(scoreStructs: _*)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+        val sil = top2.groupBy(col("vec_id"))
+          .agg(max(when(col("rn") === 1, col("c.cid"))).as("cell"),
+            max(when(col("rn") === 1, lit(1.0) - col("c.s"))).as("a"),
+            max(when(col("rn") === 2, lit(1.0) - col("c.s"))).as("b"))
+          .withColumn("sil",
+            round((col("b") - col("a")) / greatest(col("a"), col("b")), 4))
+        sil.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vectors"),
+            round(avg(col("sil")), 4).as("mean_silhouette"),
+            round(min(col("sil")), 4).as("min_silhouette"))
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id - 10 AS cid, embedding AS cvec
+              |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+              |scored AS (
+              |  SELECT e.vec_id, c.cid,
+              |    round(${cosDuck("e.embedding", "c.cvec")}, 4) AS s
+              |  FROM embeddings e, cent c WHERE e.vec_id >= 10),
+              |top2 AS (
+              |  SELECT vec_id, cid, s,
+              |    ROW_NUMBER() OVER (PARTITION BY vec_id
+              |      ORDER BY s DESC, cid ASC) AS rn
+              |  FROM scored QUALIFY rn <= 2),
+              |sil AS (
+              |  SELECT vec_id,
+              |    max(CASE WHEN rn = 1 THEN cid END) AS cell,
+              |    round((max(CASE WHEN rn = 2 THEN 1.0 - s END)
+              |         - max(CASE WHEN rn = 1 THEN 1.0 - s END))
+              |      / greatest(max(CASE WHEN rn = 1 THEN 1.0 - s END),
+              |                 max(CASE WHEN rn = 2 THEN 1.0 - s END)), 4) AS sil
+              |  FROM top2 GROUP BY vec_id)
+              |SELECT cast(cell AS BIGINT) AS cell,
+              |  cast(count(*) AS BIGINT) AS n_vectors,
+              |  round(avg(sil), 4) AS mean_silhouette,
+              |  round(min(sil), 4) AS min_silhouette
+              |FROM sil GROUP BY 1""".stripMargin)),
+
+    // DIAGONAL-MAHALANOBIS EMBEDDING OUTLIERS: per-vector Σ_d((x_d−μ_d)/
+    // σ_d)² against the corpus whitening stats — catches vectors that
+    // are extreme in FEW dimensions, which the norm-only outlier query
+    // misses (a normal-length vector can still be 10σ out on one axis).
+    // Stats come from the same exact-sum posexplode pass as
+    // embed_dim_stats, re-assembled into bounded 64-long arrays and
+    // broadcast; the per-vector fold is one sequential zip_with. Top 20
+    // by the rounded score, id tiebreak.
+    Q("embed_mahalanobis_diag",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val stats = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
+          .select(col("d"), col("x").cast("double").as("x"))
+          .groupBy("d")
+          .agg(count(lit(1)).as("n"), round(sum(col("x")), 4).as("sx"),
+            round(sum(col("x") * col("x")), 4).as("sx2"))
+          .select(col("d"),
+            round(col("sx") / col("n"), 6).as("mu"),
+            round(sqrt(col("sx2") / col("n") -
+              (col("sx") / col("n")) * (col("sx") / col("n"))), 6).as("sd"))
+        val arrs = stats
+          .agg(expr("transform(array_sort(collect_list(struct(d, mu))), z -> z.mu)")
+            .as("mus"),
+            expr("transform(array_sort(collect_list(struct(d, sd))), z -> z.sd)")
+              .as("sds"))
+        e.crossJoin(broadcast(arrs))
+          .select(col("vec_id"), round(expr(
+            """aggregate(
+              |  zip_with(zip_with(embedding, mus, (x, m) -> cast(x AS double) - m),
+              |           sds, (c, s) -> (c / s) * (c / s)),
+              |  0.0D, (acc, v) -> acc + v)""".stripMargin), 4).as("m2"))
+          .orderBy(col("m2").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some("""WITH x AS (
+             |  SELECT e.vec_id, d.i AS d,
+             |    cast(e.embedding[d.i + 1] AS double) AS x
+             |  FROM embeddings e, range(0, 64) AS d(i)),
+             |st AS (
+             |  SELECT d, count(*) AS n, round(sum(x), 4) AS sx,
+             |    round(sum(x * x), 4) AS sx2
+             |  FROM x GROUP BY 1),
+             |ms AS (
+             |  SELECT d, round(sx / n, 6) AS mu,
+             |    round(sqrt(sx2 / n - (sx / n) * (sx / n)), 6) AS sd
+             |  FROM st),
+             |scored AS (
+             |  SELECT x.vec_id,
+             |    round(sum(((x.x - ms.mu) / ms.sd) * ((x.x - ms.mu) / ms.sd)), 4)
+             |      AS m2
+             |  FROM x JOIN ms USING (d) GROUP BY x.vec_id)
+             |SELECT vec_id, m2 FROM scored
+             |ORDER BY m2 DESC, vec_id ASC LIMIT 20""".stripMargin)),
+
     // PER-DIMENSION EMBEDDING STATS (the whitening table): mean and
     // population std per dimension, computed from EXACT sums of x and x²
     // in one posexplode → groupBy(dim) pass (64 map-side groups — the

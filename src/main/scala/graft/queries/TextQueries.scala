@@ -742,6 +742,67 @@ object TextQueries {
              |FROM scored
              |ORDER BY cos_sim DESC, doc_id ASC LIMIT 10""".stripMargin)),
 
+    // ZIPF RANK-FREQUENCY SLOPE: least-squares fit of log(freq) vs
+    // log(rank) over the top-100 words — natural corpora sit near −1;
+    // a flat slope flags templated/synthetic text, a cliff flags
+    // boilerplate. The rank is computed WINDOWLESS on the bounded
+    // top-100 (count of strictly-ahead rows via one broadcast triangular
+    // join), so no partition-less window exists; the regression reduces
+    // exact rounded logs.
+    Q("zipf_slope",
+      (s, dir) => {
+        val words = docs(s, dir)
+          .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        val top = words.orderBy(col("f").desc, col("w").asc).limit(100)
+        val t2 = top.select(col("w").as("w2"), col("f").as("f2"))
+        val ranked = top.join(broadcast(t2),
+            col("f2") > col("f") ||
+              (col("f2") === col("f") && col("w2") < col("w")), "left")
+          .groupBy(col("w"), col("f"))
+          .agg((count(col("w2")) + 1L).as("rank"))
+        val pts = ranked.select(
+          round(log(col("rank").cast("double")), 6).as("lx"),
+          round(log(col("f").cast("double")), 6).as("ly"))
+        pts.agg(count(lit(1)).as("n_points"),
+            round(sum(col("lx")), 6).as("sx"), round(sum(col("ly")), 6).as("sy"),
+            round(sum(col("lx") * col("lx")), 6).as("sxx"),
+            round(sum(col("lx") * col("ly")), 6).as("sxy"))
+          .select(col("n_points"),
+            round((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_points") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("zipf_slope"),
+            round((col("sy") - ((col("n_points") * col("sxy") -
+              col("sx") * col("sy")) /
+              (col("n_points") * col("sxx") - col("sx") * col("sx"))) *
+              col("sx")) / col("n_points"), 6).as("intercept"))
+      },
+      Some("""WITH w AS (
+             |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+             |  FROM documents),
+             |f AS (
+             |  SELECT w, cast(count(*) AS BIGINT) AS f FROM w
+             |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+             |top AS (
+             |  SELECT w, f, cast(ROW_NUMBER() OVER (ORDER BY f DESC, w ASC)
+             |    AS BIGINT) AS rank
+             |  FROM f ORDER BY f DESC, w ASC LIMIT 100),
+             |pts AS (
+             |  SELECT round(ln(cast(rank AS double)), 6) AS lx,
+             |    round(ln(cast(f AS double)), 6) AS ly
+             |  FROM top),
+             |m AS (
+             |  SELECT cast(count(*) AS BIGINT) AS n, round(sum(lx), 6) AS sx,
+             |    round(sum(ly), 6) AS sy, round(sum(lx * lx), 6) AS sxx,
+             |    round(sum(lx * ly), 6) AS sxy
+             |  FROM pts)
+             |SELECT n AS n_points,
+             |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+             |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             |    AS intercept
+             |FROM m""".stripMargin)),
+
     // DEDUP-GRAPH DEGREE DIAGNOSTICS: per-document candidate degree →
     // log2 degree histogram — the hot-bucket early-warning for the LSH
     // graph (a heavy-tailed degree distribution means the bucket cap is
