@@ -50,11 +50,14 @@ object RelQueries {
           .groupBy(col("l_partkey").as("part_a"), col("part_b"))
           .agg(count(lit(1)).as("n_both"))
           .filter(col("n_both") >= 3)
+        // marginals join WITHOUT a broadcast hint: the item dimension is
+        // unbounded at catalog scale — keep it an equi-join and let AQE
+        // broadcast when the filtered side is actually small
         pairs
-          .join(broadcast(marg.select(col("l_partkey").as("part_a"),
-            col("n_item").as("n_a"))), Seq("part_a"))
-          .join(broadcast(marg.select(col("l_partkey").as("part_b"),
-            col("n_item").as("n_b"))), Seq("part_b"))
+          .join(marg.select(col("l_partkey").as("part_a"),
+            col("n_item").as("n_a")), Seq("part_a"))
+          .join(marg.select(col("l_partkey").as("part_b"),
+            col("n_item").as("n_b")), Seq("part_b"))
           .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
             col("n_b"),
             round(col("n_both").cast("double") / nOrders, 6).as("support"),

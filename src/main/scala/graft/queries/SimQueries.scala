@@ -2035,7 +2035,9 @@ object SimQueries {
             .as("first_click_us"))
         val purch = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
-        val lags = purch.join(broadcast(users), Seq("user_id"))
+        // no broadcast hint: the per-user table is unbounded at scale —
+        // this is an equi-join on the user hash (AQE broadcasts at small SF)
+        val lags = purch.join(users, Seq("user_id"))
           .filter(col("p_us") >= col("first_click_us"))
           .groupBy(col("user_id"))
           .agg(min(col("p_us")).as("mp"), first(col("first_click_us")).as("fc"))
