@@ -1885,6 +1885,59 @@ object DvQueries {
              |SELECT 'current', n_nationkey + 100, 'NEW', NULL
              |FROM nation WHERE n_nationkey % 5 = 0""".stripMargin)),
 
+    // WRITE-AUDIT-PUBLISH on the transactional format, driver-verified:
+    // the batch lands in a STAGING table, the audit runs against staged
+    // data (null keys, duplicate keys, out-of-range balances), and only
+    // a passing batch is published into the main table — a failing batch
+    // (injected here: nulled keys for %13) leaves main UNTOUCHED. The
+    // output carries the audit verdict per batch plus main's final
+    // row count; the oracle derives all of it from `customer` closed-form.
+    Q("txlog_write_audit_publish",
+      (s, dir) => {
+        import s.implicits._
+        val t = new graft.runtime.TxLogTable(s, tmpWarehouse("graft_wap"))
+        val base = rd(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        // batch 1: clean half — must publish; batch 2: %13 keys nulled —
+        // must be rejected by the audit and never reach main
+        val b1 = base.filter(col("c_custkey") % 2 === 0)
+        val b2 = base.filter(col("c_custkey") % 2 =!= 0)
+          .withColumn("c_custkey",
+            when(col("c_custkey") % 13 === 0, lit(null).cast("long"))
+              .otherwise(col("c_custkey")))
+        def audit(staged: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val nulls = staged.filter(col("c_custkey").isNull).count()
+          val dups = staged.groupBy("c_custkey").count()
+            .filter(col("count") > 1 && col("c_custkey").isNotNull).count()
+          (nulls, dups)
+        }
+        val results = Seq(("batch_1", b1), ("batch_2", b2)).map { case (name, b) =>
+          t.overwrite("staging", b)
+          val staged = t.read("staging")
+          val (nulls, dups) = audit(staged)
+          val pass = nulls == 0 && dups == 0
+          if (pass) t.append("main", staged)
+          (name, staged.count(), nulls, dups, pass)
+        }
+        val mainRows = t.read("main").count()
+        results.toDF("batch", "n_staged", "n_null_keys", "n_dup_keys", "published")
+          .withColumn("main_rows_final", lit(mainRows))
+      },
+      Some("""WITH c AS (SELECT * FROM customer),
+             |b1 AS (SELECT count(*) AS n FROM c WHERE c_custkey % 2 = 0),
+             |b2 AS (
+             |  SELECT count(*) AS n,
+             |    sum(CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END) AS nulls
+             |  FROM c WHERE c_custkey % 2 <> 0)
+             |SELECT 'batch_1' AS batch, cast(b1.n AS BIGINT) AS n_staged,
+             |  cast(0 AS BIGINT) AS n_null_keys, cast(0 AS BIGINT) AS n_dup_keys,
+             |  TRUE AS published, cast(b1.n AS BIGINT) AS main_rows_final
+             |FROM b1
+             |UNION ALL
+             |SELECT 'batch_2', cast(b2.n AS BIGINT), cast(b2.nulls AS BIGINT),
+             |  cast(0 AS BIGINT), FALSE, cast(b1.n AS BIGINT)
+             |FROM b1, b2""".stripMargin)),
+
     // INCREMENTAL AGGREGATE MAINTENANCE (self-maintaining materialized
     // view): a per-priority count/total table updated by three additive
     // delta merges — each batch aggregates ONLY its own rows, then one

@@ -349,6 +349,40 @@ object RelQueries {
              |  round(cast(t.n_at_risk AS double) / t.n_total, 6) AS frac_at_risk
              |FROM g, tot t""".stripMargin)),
 
+    // TPC-H Q18 (large-volume customers): aggregate-HAVING as a join
+    // filter — orders whose total lineitem quantity clears a threshold,
+    // joined back to customer, top 10 by value. The HAVING side reduces
+    // BEFORE joining (map-side combinable groupBy on the fact table),
+    // so the join input is the filtered order set, not the fact table.
+    Q("tpch_q18_topk",
+      (s, dir) => {
+        val big = rd(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .filter(col("sum_qty") > 212.0)
+        val o = rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"))
+        val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"),
+            col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+             |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 212.0)
+             |SELECT c_name, c_custkey, o_orderkey,
+             |  cast(o_orderdate AS DATE) AS o_orderdate,
+             |  round(o_totalprice, 2) AS o_totalprice, sum_qty
+             |FROM big
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
     // GOLDEN-RECORD SURVIVORSHIP (master data management): two source
     // systems disagree on the customer — source 1 carries the
     // authoritative name but no segment, source 2 a segment but a stale

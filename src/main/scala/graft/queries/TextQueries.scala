@@ -997,6 +997,40 @@ object TextQueries {
               |FROM cands c JOIN shd a ON a.doc_id = c.doc_id
               |             JOIN shd b ON b.doc_id = c.doc_id_2""".stripMargin)),
 
+    // N-GRAM CONTAINMENT over the LSH candidates: |A∩B|/|A| per
+    // direction — the ASYMMETRIC dup detector Jaccard can't express (a
+    // short doc fully embedded in a long one scores low Jaccard but
+    // containment 1.0; that's the quote/aggregation-page case). Same
+    // bounded candidate set and shingle join as ngram_jaccard; one extra
+    // projection emits both directions.
+    Q("ngram_containment",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("words", split(col("text"), "\\s+"))
+          .select(col("doc_id"), array_distinct(expr(shinglesExpr)).as("sh"))
+        val d2 = d.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2"))
+        lshCandidates(s, dir)
+          .join(d, Seq("doc_id"))
+          .join(d2, Seq("doc_id_2"))
+          .select(col("doc_id"), col("doc_id_2"),
+            size(array_intersect(col("sh"), col("sh2"))).cast("long")
+              .as("n_common"),
+            round(size(array_intersect(col("sh"), col("sh2"))).cast("double") /
+              size(col("sh")), 6).as("containment_a_in_b"),
+            round(size(array_intersect(col("sh"), col("sh2"))).cast("double") /
+              size(col("sh2")), 6).as("containment_b_in_a"))
+      },
+      Some(s"""WITH $lshCandSql,
+              |shd AS (SELECT doc_id, list(shingle) AS sh FROM sh0 GROUP BY doc_id)
+              |SELECT c.doc_id, c.doc_id_2,
+              |  cast(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+              |  round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+              |    / len(a.sh), 6) AS containment_a_in_b,
+              |  round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+              |    / len(b.sh), 6) AS containment_b_in_a
+              |FROM cands c JOIN shd a ON a.doc_id = c.doc_id
+              |             JOIN shd b ON b.doc_id = c.doc_id_2""".stripMargin)),
+
     // SimHash (32-bit) near-dup fingerprint + hamming distance to next doc
     Q("simhash",
       (s, dir) => {
