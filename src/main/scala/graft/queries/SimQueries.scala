@@ -478,6 +478,42 @@ object SimQueries {
               |    ON a.label = b.label AND a.vec_id < b.vec_id)
               |SELECT * FROM scored WHERE cos_sim >= 0.3""".stripMargin)),
 
+    // DAU / WAU / STICKINESS: exact daily actives and trailing-7-day
+    // actives per day, stickiness = DAU/WAU — the canonical engagement
+    // panel. The 7-day distinct is EXACT via a bounded range join of the
+    // (day, user) distinct table to the day spine (≤7× fanout, then one
+    // distinct-count groupBy) — no sliding-window approximation, no
+    // global window.
+    Q("dau_wau_stickiness",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val du = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val dau = du.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+        val spine = du.select(col("day").as("d")).distinct()
+        val wau = du.join(spine,
+            col("day") <= col("d") && col("day") >= date_sub(col("d"), 6))
+          .groupBy(col("d").as("day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT cast(ts AS DATE) AS day, user_id FROM events),
+             |dau AS (
+             |  SELECT day, cast(count(DISTINCT user_id) AS BIGINT) AS dau
+             |  FROM du GROUP BY 1),
+             |spine AS (SELECT DISTINCT day AS d FROM du),
+             |wau AS (
+             |  SELECT s.d AS day,
+             |    cast(count(DISTINCT du.user_id) AS BIGINT) AS wau
+             |  FROM du JOIN spine s
+             |    ON du.day <= s.d AND du.day >= s.d - 6
+             |  GROUP BY 1)
+             |SELECT day, dau, wau,
+             |  round(cast(dau AS double) / wau, 6) AS stickiness
+             |FROM dau JOIN wau USING (day)""".stripMargin)),
+
     // SEASONAL DECOMPOSITION (DOW-means STL-lite): split each (type, day)
     // count into the type's day-of-week seasonal mean and a residual —
     // what the spike detector SHOULD baseline against when traffic has a

@@ -742,6 +742,40 @@ object TextQueries {
              |FROM scored
              |ORDER BY cos_sim DESC, doc_id ASC LIMIT 10""".stripMargin)),
 
+    // CORPUS DIVERSITY: Shannon entropy of the source mix (in tokens,
+    // not docs — what the model actually sees) and the EFFECTIVE source
+    // count exp(H) — the one-number diversity summary a mixture report
+    // leads with. Exact integer token sums → bounded per-source table →
+    // one scalar aggregate.
+    Q("corpus_diversity",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("source"),
+          regexp_count(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("toks"))
+        val bySrc = d.groupBy("source").agg(sum(col("toks")).as("n_toks"))
+        val tot = bySrc.agg(sum(col("n_toks")).as("n"))
+        val p = col("n_toks").cast("double") / col("n")
+        bySrc.crossJoin(broadcast(tot))
+          .agg(count(lit(1)).as("n_sources"),
+            round(sum(-p * log(p)), 6).as("entropy"))
+          .withColumn("effective_sources", round(exp(col("entropy")), 4))
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT source, cast(sum(toks) AS BIGINT) AS n_toks
+             |  FROM d GROUP BY 1),
+             |t AS (SELECT cast(sum(n_toks) AS BIGINT) AS n FROM s)
+             |SELECT cast(count(*) AS BIGINT) AS n_sources,
+             |  round(sum(-(cast(n_toks AS double) / n)
+             |    * ln(cast(n_toks AS double) / n)), 6) AS entropy,
+             |  round(exp(round(sum(-(cast(n_toks AS double) / n)
+             |    * ln(cast(n_toks AS double) / n)), 6)), 4) AS effective_sources
+             |FROM s, t""".stripMargin)),
+
     // ZIPF RANK-FREQUENCY SLOPE: least-squares fit of log(freq) vs
     // log(rank) over the top-100 words — natural corpora sit near −1;
     // a flat slope flags templated/synthetic text, a cliff flags

@@ -461,6 +461,40 @@ object StreamingLoaders {
       .toDF()
   }
 
+  /** Streaming CHANGE-DATA-FEED materialization: each micro-batch is
+    * upserted into the maintained snapshot AND its I/U/D delta (computed
+    * by [[graft.runtime.Cdc.diff]] against the pre-merge snapshot) is
+    * appended to a `<table>_changes` feed — the continuous form of the
+    * batch txlog_cdc query, giving downstream consumers an incremental
+    * changelog without rescanning the table. Per batch: one full-outer
+    * diff + one merge, both O(batch + touched groups). Batch rows must
+    * carry the full row image (key + all value columns). */
+  def cdcSink(staged: DataFrame, store: graft.runtime.TableStore,
+              table: String, keys: Seq[String],
+              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    staged.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // dedup within the batch (last writer wins is not definable
+        // without order — require unique keys per micro-batch instead)
+        val current = store.readIfExists(table)
+        val old = current.getOrElse(batch.limit(0))
+        val changes = graft.runtime.Cdc.diff(old, batch, keys)
+          // D here only means "absent from this batch" — a batch is a
+          // partial upsert, not a full snapshot; drop the false deletes
+          .filter(org.apache.spark.sql.functions.col("op") =!= "D")
+        store.append(s"${table}_changes", changes)
+        val merged = current match {
+          case None => batch
+          case Some(cur) =>
+            cur.join(batch.select(keys.map(col): _*), keys, "left_anti")
+              .unionByName(batch)
+        }
+        store.overwrite(s"${table}_next", merged)
+        store.overwrite(table, store.read(s"${table}_next"))
+      }
+      .start()
+
   /** Spike-scorer state: the trailing window of finalized hourly counts. */
   final case class SpikeState(hours: Seq[Long], ns: Seq[Long])
   final case class SpikeRow(event_type: String, hour_ms: Long, n: Long,

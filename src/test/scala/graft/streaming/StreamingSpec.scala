@@ -576,6 +576,30 @@ class StreamingSpec extends SparkSpec {
       s"user 2 (with late event): got ${got(2L)._1}, want $want2")
   }
 
+  test("cdc sink: changes feed accumulates I/U history, snapshot converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val store = new graft.runtime.TableStore(spark, s"$wh/store")
+    val input = MemoryStream[(Long, String)]
+    val staged = input.toDF().toDF("k", "v")
+
+    val query = StreamingLoaders.cdcSink(staged, store, "t", Seq("k"), s"$wh/_cp")
+    input.addData((1L, "a"), (2L, "b")); query.processAllAvailable()
+    input.addData((2L, "B"), (3L, "c")); query.processAllAvailable()
+    input.addData((2L, "B")); query.processAllAvailable() // no-op update
+    query.stop()
+
+    val snap = store.read("t").as[(Long, String)].collect().toSet
+    assert(snap == Set((1L, "a"), (2L, "B"), (3L, "c")), s"snapshot: $snap")
+    val changes = store.read("t_changes")
+      .select("op", "k", "old_v", "new_v")
+      .as[(String, Long, Option[String], Option[String])].collect().toSet
+    assert(changes == Set(
+      ("I", 1L, None, Some("a")), ("I", 2L, None, Some("b")),
+      ("U", 2L, Some("b"), Some("B")), ("I", 3L, None, Some("c"))),
+      s"changes feed: $changes — the third batch must add NOTHING")
+  }
+
   test("spike scorer: stream emissions equal the batch trailing-window z-score") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
