@@ -28,6 +28,20 @@ object Cdc {
     * transitions count); unchanged keys are dropped. Value columns are
     * emitted as `old_<c>` / `new_<c>` pairs.
     */
+  /** Apply a change feed produced by [[diff]] to the old snapshot,
+    * reconstructing the new one: D keys drop, U keys take their `new_*`
+    * image, I rows insert. `apply(old, diff(old, new), keys) == new` —
+    * the patch law CdcSpec pins on random tables; it is what lets a
+    * downstream replica follow the feed instead of re-copying snapshots. */
+  def apply(oldDf: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    val valCols = oldDf.columns.filterNot(keys.contains).toSeq
+    val touched = changes.select(keys.map(col): _*)
+    val kept = oldDf.join(touched, keys, "left_anti")
+    val upserts = changes.filter(col("op") =!= "D")
+      .select(keys.map(col) ++ valCols.map(c => col(s"new_$c").as(c)): _*)
+    kept.unionByName(upserts)
+  }
+
   def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
     val valCols = oldDf.columns.filterNot(keys.contains).toSeq
     require(newDf.columns.filterNot(keys.contains).toSeq == valCols,

@@ -41,6 +41,22 @@ class CdcSpec extends SparkSpec {
     assert(got.head.getString(0) == "U" && got.head.getInt(2) == 1)
   }
 
+  test("patch law: apply(old, diff(old, new)) == new on random tables") {
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { _ =>
+      val oldRows = (1 to 40).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, rnd.nextInt(3).toString, rnd.nextInt(5)))
+      val newRows = (1 to 40).filter(_ => rnd.nextBoolean())
+        .map(k => (k.toLong, rnd.nextInt(3).toString, rnd.nextInt(5)))
+      val old = oldRows.toDF("k", "v", "n")
+      val neu = newRows.toDF("k", "v", "n")
+      val rebuilt = Cdc.apply(old, Cdc.diff(old, neu, Seq("k")), Seq("k"))
+        .as[(Long, String, Int)].collect().toSet
+      assert(rebuilt == newRows.toSet,
+        s"patch law violated: rebuilt=$rebuilt want=${newRows.toSet}")
+    }
+  }
+
   test("mismatched schemas are rejected") {
     val a = Seq((1L, "x")).toDF("k", "v")
     val b = Seq((1L, "x", 2)).toDF("k", "v", "extra")
