@@ -314,6 +314,37 @@ object RelQueries {
              |    / (n * round(log10(1.0 + 1.0 / digit), 6)), 4) AS chi2_contrib
              |FROM byd, tot""".stripMargin)),
 
+    // DECLARATIVE METRICS LAYER (meta.Metrics): three metric definitions
+    // — revenue (filtered sum of exact cents), orders (count), and the
+    // AOV ratio composed from both — compiled to plans and evaluated at
+    // the o_orderpriority grain. The definitions are DATA; each compiles
+    // to one partial-aggregating groupBy, the ratio to one grain join.
+    Q("metric_layer",
+      (s, dir) => {
+        import graft.meta.Metrics
+        import graft.meta.Metrics.MetricDef
+        val revenue = MetricDef("revenue_cents", Metrics.Sum,
+          "cast(round(o_totalprice * 100) AS BIGINT)",
+          filter = Some("o_orderstatus <> 'F'"),
+          dims = Seq("o_orderpriority"))
+        val nOrders = MetricDef("n_orders", Metrics.Count, "o_orderkey",
+          filter = Some("o_orderstatus <> 'F'"),
+          dims = Seq("o_orderpriority"))
+        Metrics.ratio(rd(s, dir, "orders"), "aov_cents",
+            revenue, nOrders, by = Seq("o_orderpriority"), scale = 4)
+      },
+      Some("""SELECT o_orderpriority,
+             |  cast(sum(CASE WHEN o_orderstatus <> 'F'
+             |    THEN cast(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+             |    AS revenue_cents,
+             |  cast(count(CASE WHEN o_orderstatus <> 'F'
+             |    THEN o_orderkey END) AS BIGINT) AS n_orders,
+             |  round(cast(sum(CASE WHEN o_orderstatus <> 'F'
+             |      THEN cast(round(o_totalprice * 100) AS BIGINT) END) AS double)
+             |    / count(CASE WHEN o_orderstatus <> 'F' THEN o_orderkey END), 4)
+             |    AS aov_cents
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // K-ANONYMITY AUDIT: group the table by its quasi-identifiers
     // (segment × nation) and flag equivalence classes smaller than k=5 —
     // the re-identification check a privacy review runs before a dataset
