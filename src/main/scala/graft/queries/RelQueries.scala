@@ -314,6 +314,60 @@ object RelQueries {
              |    / (n * round(log10(1.0 + 1.0 / digit), 6)), 4) AS chi2_contrib
              |FROM byd, tot""".stripMargin)),
 
+    // GENERIC DATA-QUALITY EXPECTATIONS (quality.Expectations): rules as
+    // data over `orders` — null keys, status domain, price range, date
+    // sanity, key uniqueness (with one violation INJECTED by unioning a
+    // duplicated row, so the red path is exercised, not just asserted
+    // green). All row-scan rules fold into ONE aggregate pass.
+    Q("expectations_report",
+      (s, dir) => {
+        import graft.quality.Expectations._
+        val o = rd(s, dir, "orders")
+        val withDup = o.unionByName(o.filter(col("o_orderkey") === 1L))
+        report(withDup, Seq(
+          NotNull("o_orderkey"),
+          NotNull("o_custkey"),
+          AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+          Holds("price_positive", "o_totalprice > 0"),
+          Holds("date_in_window",
+            "o_orderdate >= timestamp '1995-01-01 00:00:00'"),
+          Unique(Seq("o_orderkey"))))
+      },
+      Some("""WITH t AS (
+             |  SELECT * FROM orders
+             |  UNION ALL SELECT * FROM orders WHERE o_orderkey = 1),
+             |n AS (SELECT cast(count(*) AS BIGINT) AS n_rows FROM t),
+             |dups AS (
+             |  SELECT cast(coalesce(sum(c), 0) AS BIGINT) AS d FROM (
+             |    SELECT count(*) AS c FROM t GROUP BY o_orderkey
+             |    HAVING count(*) > 1))
+             |SELECT 'not_null:o_orderkey' AS rule, n.n_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM t WHERE o_orderkey IS NULL)
+             |    AS n_violations,
+             |  (SELECT count(*) FROM t WHERE o_orderkey IS NULL) = 0 AS passed
+             |FROM n
+             |UNION ALL SELECT 'not_null:o_custkey', n.n_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM t WHERE o_custkey IS NULL),
+             |  (SELECT count(*) FROM t WHERE o_custkey IS NULL) = 0 FROM n
+             |UNION ALL SELECT 'accepted_values:o_orderstatus', n.n_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM t
+             |   WHERE o_orderstatus NOT IN ('F', 'O', 'P')),
+             |  (SELECT count(*) FROM t
+             |   WHERE o_orderstatus NOT IN ('F', 'O', 'P')) = 0 FROM n
+             |UNION ALL SELECT 'price_positive', n.n_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM t
+             |   WHERE NOT coalesce(o_totalprice > 0, FALSE)),
+             |  (SELECT count(*) FROM t
+             |   WHERE NOT coalesce(o_totalprice > 0, FALSE)) = 0 FROM n
+             |UNION ALL SELECT 'date_in_window', n.n_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM t
+             |   WHERE NOT coalesce(o_orderdate >= TIMESTAMP '1995-01-01', FALSE)),
+             |  (SELECT count(*) FROM t
+             |   WHERE NOT coalesce(o_orderdate >= TIMESTAMP '1995-01-01', FALSE)) = 0
+             |FROM n
+             |UNION ALL SELECT 'unique:o_orderkey', n.n_rows, dups.d, dups.d = 0
+             |FROM n, dups""".stripMargin)),
+
     // DECLARATIVE METRICS LAYER (meta.Metrics): three metric definitions
     // — revenue (filtered sum of exact cents), orders (count), and the
     // AOV ratio composed from both — compiled to plans and evaluated at
