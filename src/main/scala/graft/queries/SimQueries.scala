@@ -549,6 +549,70 @@ object SimQueries {
              |  round(d.n - s.dow_mean, 4) AS residual
              |FROM daily d JOIN seasonal s USING (event_type, dow)""".stripMargin)),
 
+    // EWMA CONTROL CHART per event type (SPC): the exponentially
+    // weighted moving average of daily counts via its CLOSED FORM —
+    // ewma_t = Σ_{i≤t} w(i,t)·x_i with w = λ(1−λ)^(t−i) (+ the (1−λ)^t
+    // seed on x_0) — computed as a triangular join over the bounded
+    // daily table, so the sequential recurrence never serializes the
+    // plan. Control limits use the standard EWMA variance inflation;
+    // breach = |x − ewma_prev| beyond L·σ_ewma. λ=0.3, L=3.
+    Q("ewma_control_chart",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("t", datediff(col("day"), lit("2024-01-01").cast("date"))
+            .cast("long"))
+        val b = daily.select(col("event_type").as("et2"), col("t").as("t2"),
+          col("n").as("n2"))
+        val lam = 0.3
+        // weight of x_{t2} in ewma_t: λ(1-λ)^(t-t2), except the seed term
+        // (t2 = 0) which carries the full (1-λ)^t
+        val w = when(col("t2") === 0, pow(lit(1 - lam), col("t")))
+          .otherwise(lit(lam) * pow(lit(1 - lam), col("t") - col("t2")))
+        val ewma = daily.join(b,
+            col("event_type") === col("et2") && col("t2") <= col("t"))
+          .groupBy(col("event_type"), col("day"), col("t"), col("n"))
+          .agg(round(sum(col("n2") * w), 4).as("ewma"))
+        val stats = daily.groupBy("event_type")
+          .agg(stddev_pop(col("n")).as("sigma"))
+        ewma.join(broadcast(stats), Seq("event_type"))
+          .withColumn("ucl", round(col("ewma") + lit(3.0) * col("sigma") *
+            sqrt(lit(lam / (2 - lam)) *
+              (lit(1.0) - pow(lit(1 - lam), lit(2) * (col("t") + 1)))), 4))
+          .withColumn("lcl", round(col("ewma") - lit(3.0) * col("sigma") *
+            sqrt(lit(lam / (2 - lam)) *
+              (lit(1.0) - pow(lit(1 - lam), lit(2) * (col("t") + 1)))), 4))
+          .select(col("event_type"), col("day"), col("n"), col("ewma"),
+            col("ucl"), col("lcl"),
+            (col("n") > col("ucl") || col("n") < col("lcl")).as("breach"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, cast(ts AS DATE) AS day,
+             |    cast(count(*) AS BIGINT) AS n,
+             |    date_diff('day', DATE '2024-01-01', cast(ts AS DATE)) AS t
+             |  FROM events GROUP BY 1, 2),
+             |ew AS (
+             |  SELECT a.event_type, a.day, a.t, a.n,
+             |    round(sum(b.n * CASE WHEN b.t = 0 THEN pow(0.7, a.t)
+             |      ELSE 0.3 * pow(0.7, a.t - b.t) END), 4) AS ewma
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND b.t <= a.t
+             |  GROUP BY 1, 2, 3, 4),
+             |st AS (
+             |  SELECT event_type, stddev_pop(n) AS sigma
+             |  FROM daily GROUP BY 1)
+             |SELECT e.event_type, e.day, e.n, e.ewma,
+             |  round(e.ewma + 3.0 * st.sigma
+             |    * sqrt(0.3 / 1.7 * (1.0 - pow(0.7, 2 * (e.t + 1)))), 4) AS ucl,
+             |  round(e.ewma - 3.0 * st.sigma
+             |    * sqrt(0.3 / 1.7 * (1.0 - pow(0.7, 2 * (e.t + 1)))), 4) AS lcl,
+             |  e.n > round(e.ewma + 3.0 * st.sigma
+             |    * sqrt(0.3 / 1.7 * (1.0 - pow(0.7, 2 * (e.t + 1)))), 4)
+             |  OR e.n < round(e.ewma - 3.0 * st.sigma
+             |    * sqrt(0.3 / 1.7 * (1.0 - pow(0.7, 2 * (e.t + 1)))), 4) AS breach
+             |FROM ew e JOIN st USING (event_type)""".stripMargin)),
+
     // THEIL-SEN ROBUST TREND per event type: the median of all pairwise
     // daily-count slopes — the trend estimator that, like the MAD
     // detector, is immune to the spikes it coexists with (an OLS slope

@@ -742,6 +742,61 @@ object TextQueries {
              |FROM scored
              |ORDER BY cos_sim DESC, doc_id ASC LIMIT 10""".stripMargin)),
 
+    // CALIBRATION RELIABILITY BINS for the quality classifier: decile
+    // bins of predicted score vs the empirical positive rate (Gopher
+    // labels) — the diagram that says whether 0.8 MEANS 80% before the
+    // score gates a corpus (the PR curve picks a threshold; calibration
+    // decides if the scores are probabilities). One scan for scores, one
+    // for labels, one bounded 10-row groupBy; bin means divide exact
+    // rounded sums.
+    Q("calibration_bins",
+      (s, dir) => {
+        val scored = classifierScored(s, dir)
+        val labels = graft.quality.TextRules
+          .withGopherColumns(docs(s, dir), "text")
+          .select(col("doc_id"), col("keep").as("label"))
+        scored.join(labels, Seq("doc_id"))
+          .withColumn("bin", least(floor(col("score") * 10), lit(9.0)).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(round(sum(col("score")), 4) / count(lit(1)), 6).as("mean_score"),
+            round(sum(when(col("label"), 1L).otherwise(0L)).cast("double") /
+              count(lit(1)), 6).as("frac_positive"))
+      },
+      Some(s"""WITH $classifierScoreSql,
+             |gw AS (
+             |  SELECT doc_id, coalesce(text, '') AS text,
+             |    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+             |                x -> length(x) > 0) AS words
+             |  FROM documents),
+             |gm AS (
+             |  SELECT doc_id,
+             |    cast(len(words) AS BIGINT) AS n_words,
+             |    round(cast(list_sum(list_transform(words, x -> length(x))) AS double)
+             |          / len(words), 4) AS mean_word_len,
+             |    round(cast(len(list_filter(words,
+             |          x -> regexp_full_match(x, '[A-Za-z]+'))) AS double)
+             |          / len(words), 4) AS frac_alpha,
+             |    cast(len(list_filter(words,
+             |          x -> lower(x) IN ('the','a','and','of','to','in'))) AS BIGINT)
+             |      AS stopword_hits,
+             |    round(cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS double)
+             |          / len(words), 4) AS symbol_ratio
+             |  FROM gw),
+             |lab AS (
+             |  SELECT doc_id,
+             |    coalesce(n_words BETWEEN 10 AND 100000
+             |      AND mean_word_len BETWEEN 2 AND 10 AND frac_alpha >= 0.8
+             |      AND stopword_hits >= 2 AND symbol_ratio <= 0.1, false) AS label
+             |  FROM gm)
+             |SELECT cast(least(floor(score * 10), 9.0) AS BIGINT) AS bin,
+             |  cast(count(*) AS BIGINT) AS n,
+             |  round(round(sum(score), 4) / count(*), 6) AS mean_score,
+             |  round(cast(sum(CASE WHEN label THEN 1 ELSE 0 END) AS double)
+             |    / count(*), 6) AS frac_positive
+             |FROM clf_scored JOIN lab USING (doc_id)
+             |GROUP BY 1""".stripMargin)),
+
     // CORPUS DIVERSITY: Shannon entropy of the source mix (in tokens,
     // not docs — what the model actually sees) and the EFFECTIVE source
     // count exp(H) — the one-number diversity summary a mixture report
