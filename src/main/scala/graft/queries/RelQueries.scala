@@ -314,6 +314,41 @@ object RelQueries {
              |    / (n * round(log10(1.0 + 1.0 / digit), 6)), 4) AS chi2_contrib
              |FROM byd, tot""".stripMargin)),
 
+    // FILTER-PUSHDOWN PROOF, driver-gated: the predicate and the 2-column
+    // projection must reach the parquet scan — PushedFilters carries the
+    // range predicate and ReadSchema is exactly the 2 columns — and both
+    // facts are EMITTED AS COLUMNS the oracle pins to true (the
+    // scan-efficiency analogue of bucketed_join_zero_shuffle: at 100 TB
+    // an unpushed filter is a full-corpus read). The data result rides
+    // along so the proof can't pass on a wrong plan shape.
+    Q("filter_pushdown_proof",
+      (s, dir) => {
+        import s.implicits._
+        val q = rd(s, dir, "orders")
+          .filter(col("o_orderkey") > 1000L && col("o_orderkey") <= 2000L)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val plan = q.queryExecution.executedPlan.toString
+        val scanLine = plan.linesIterator
+          .find(_.contains("PushedFilters")).getOrElse("")
+        val pushed = scanLine.contains("GreaterThan(o_orderkey,1000)") &&
+          scanLine.contains("LessThanOrEqual(o_orderkey,2000)")
+        val readSchema = plan.linesIterator
+          .find(_.contains("ReadSchema")).getOrElse("")
+        val pruned = readSchema.contains("o_orderkey") &&
+          readSchema.contains("o_totalprice") &&
+          !readSchema.contains("o_orderdate") && !readSchema.contains("o_custkey")
+        val agg = q.agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+        agg.withColumn("filter_pushed", lit(pushed))
+          .withColumn("columns_pruned", lit(pruned))
+      },
+      Some("""SELECT cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS filter_pushed, TRUE AS columns_pruned
+             |FROM orders
+             |WHERE o_orderkey > 1000 AND o_orderkey <= 2000""".stripMargin)),
+
     // GENERIC DATA-QUALITY EXPECTATIONS (quality.Expectations): rules as
     // data over `orders` — null keys, status domain, price range, date
     // sanity, key uniqueness (with one violation INJECTED by unioning a
