@@ -314,6 +314,36 @@ object RelQueries {
              |    / (n * round(log10(1.0 + 1.0 / digit), 6)), 4) AS chi2_contrib
              |FROM byd, tot""".stripMargin)),
 
+    // CROSS-DATASET ENRICHMENT: event-stream purchases joined to the
+    // warehouse's customer dimension (user_id ⋈ c_custkey) and rolled up
+    // by market segment — the join that connects the behavioral and
+    // relational worlds in one plan. Exact-cent money; one equi-join +
+    // one bounded groupBy. The left join keeps purchases from users
+    // OUTSIDE the dimension visible under segment 'UNKNOWN' instead of
+    // silently dropping revenue.
+    Q("event_customer_enrichment",
+      (s, dir) => {
+        val p = s.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val c = rd(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        p.join(c, p("user_id") === c("c_custkey"), "left")
+          .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+          .agg(count(lit(1)).as("n_purchases"),
+            countDistinct(col("user_id")).as("n_buyers"),
+            round(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"))
+      },
+      Some("""SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+             |  cast(count(*) AS BIGINT) AS n_purchases,
+             |  cast(count(DISTINCT e.user_id) AS BIGINT) AS n_buyers,
+             |  round(cast(sum(cast(round(e.value * 100) AS BIGINT)) AS double)
+             |    / 100.0, 2) AS revenue
+             |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+             |WHERE e.event_type = 'purchase'
+             |GROUP BY 1""".stripMargin)),
+
     // FILTER-PUSHDOWN PROOF, driver-gated: the predicate and the 2-column
     // projection must reach the parquet scan — PushedFilters carries the
     // range predicate and ReadSchema is exactly the 2 columns — and both

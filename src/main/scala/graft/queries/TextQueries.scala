@@ -1086,6 +1086,32 @@ object TextQueries {
               |FROM cands c JOIN shd a ON a.doc_id = c.doc_id
               |             JOIN shd b ON b.doc_id = c.doc_id_2""".stripMargin)),
 
+    // EDIT-DISTANCE VERIFY over the LSH candidates: Levenshtein on the
+    // raw text, normalized by the longer side — the character-level
+    // confirmation pass that catches what set measures can't (shingle
+    // sets are order-blind; edit distance isn't). Bounded candidate set
+    // only — never all-pairs; levenshtein is exact integer DP in both
+    // engines.
+    Q("edit_distance_verify",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val d2 = d.select(col("doc_id").as("doc_id_2"), col("text").as("text_2"))
+        lshCandidates(s, dir)
+          .join(d, Seq("doc_id")).join(d2, Seq("doc_id_2"))
+          .select(col("doc_id"), col("doc_id_2"),
+            levenshtein(col("text"), col("text_2")).cast("long").as("edit_dist"),
+            round(lit(1.0) - levenshtein(col("text"), col("text_2")) /
+              greatest(length(col("text")), length(col("text_2")))
+                .cast("double"), 6).as("edit_sim"))
+      },
+      Some(s"""WITH $lshCandSql
+              |SELECT c.doc_id, c.doc_id_2,
+              |  cast(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+              |  round(1.0 - cast(levenshtein(a.text, b.text) AS double)
+              |    / greatest(length(a.text), length(b.text)), 6) AS edit_sim
+              |FROM cands c JOIN documents a ON a.doc_id = c.doc_id
+              |             JOIN documents b ON b.doc_id = c.doc_id_2""".stripMargin)),
+
     // N-GRAM CONTAINMENT over the LSH candidates: |A∩B|/|A| per
     // direction — the ASYMMETRIC dup detector Jaccard can't express (a
     // short doc fully embedded in a long one scores low Jaccard but
