@@ -742,6 +742,40 @@ object TextQueries {
              |FROM scored
              |ORDER BY cos_sim DESC, doc_id ASC LIMIT 10""".stripMargin)),
 
+    // STRATIFIED K-FOLD assignment: fold = md5(doc) mod 5 WITHIN each
+    // language stratum, so every fold carries every language at its
+    // corpus share — the CV-split layout that keeps per-fold eval
+    // distributions honest. Emits the (lang × fold) census with each
+    // stratum's per-fold share so balance is oracle-checked, not
+    // assumed. Stateless projection + one bounded groupBy.
+    Q("stratified_kfold",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("lang"),
+          (conv(substring(md5(concat(lit("kf#"), col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 5L).as("fold"))
+        val cells = d.groupBy(col("lang"), col("fold"))
+          .agg(count(lit(1)).as("n_docs"))
+        val strata = cells.groupBy("lang").agg(sum(col("n_docs")).as("n_lang"))
+        cells.join(broadcast(strata), Seq("lang"))
+          .select(col("lang"), col("fold"), col("n_docs"), col("n_lang"),
+            round(col("n_docs").cast("double") / col("n_lang"), 6)
+              .as("fold_share"))
+      },
+      Some("""WITH d AS (
+             |  SELECT lang,
+             |    cast(('0x' || substr(md5('kf#' || cast(doc_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 5 AS fold
+             |  FROM documents),
+             |cells AS (
+             |  SELECT lang, fold, cast(count(*) AS BIGINT) AS n_docs
+             |  FROM d GROUP BY 1, 2),
+             |strata AS (
+             |  SELECT lang, cast(sum(n_docs) AS BIGINT) AS n_lang
+             |  FROM cells GROUP BY 1)
+             |SELECT c.lang, c.fold, c.n_docs, s.n_lang,
+             |  round(cast(c.n_docs AS double) / s.n_lang, 6) AS fold_share
+             |FROM cells c JOIN strata s USING (lang)""".stripMargin)),
+
     // CALIBRATION RELIABILITY BINS for the quality classifier: decile
     // bins of predicted score vs the empirical positive rate (Gopher
     // labels) — the diagram that says whether 0.8 MEANS 80% before the

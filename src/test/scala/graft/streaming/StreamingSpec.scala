@@ -576,6 +576,52 @@ class StreamingSpec extends SparkSpec {
       s"user 2 (with late event): got ${got(2L)._1}, want $want2")
   }
 
+  test("sessionization parity: custom stream equals Spark's built-in session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    // two users, three sessions each, all gaps > 30m so every session
+    // closes; a final far-future row per user flushes the last timeout
+    // batches must be chronologically non-decreasing: the 0-second
+    // watermark drops anything older than the previous batch's max ts
+    val rows = Seq(
+      (2L, "2024-01-01 09:00:00", 5.0), (2L, "2024-01-01 09:20:00", 1.0),
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:10:00", 2.0), (1L, "2024-01-01 12:00:00", 3.0),
+      (2L, "2024-01-01 13:00:00", 2.0),
+      (1L, "2024-01-02 10:00:00", 9.0), (2L, "2024-01-02 10:00:00", 9.0))
+    val input = MemoryStream[(Long, String, Double)]
+    val staged = input.toDF().toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      .withWatermark("ts", "0 seconds")
+    val query = StreamingLoaders.sessionizeStream(staged, gap = "30 minutes")
+      .writeStream.format("memory").queryName("sw_sessions")
+      .outputMode("append").option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    rows.grouped(3).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    // one more watermark push so the 01-02 tails also time out
+    input.addData((3L, "2024-01-03 10:00:00", 0.0)); query.processAllAvailable()
+    input.addData((3L, "2024-01-03 11:00:00", 0.0)); query.processAllAvailable()
+    query.stop()
+    val got = spark.sql(
+      """SELECT user_id, session_start, n_events, session_value
+        |FROM sw_sessions WHERE user_id < 3""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+      .toSet
+    // Spark's BUILT-IN session_window over the same batch input is the
+    // reference semantics
+    val want = rows.toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s"))
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+      .select($"user_id", $"session_window.start", $"n", $"v")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want, s"custom stream $got\n  != built-in session_window $want")
+  }
+
   test("cdc sink: changes feed accumulates I/U history, snapshot converges") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
