@@ -549,6 +549,66 @@ object SimQueries {
              |  round(d.n - s.dow_mean, 4) AS residual
              |FROM daily d JOIN seasonal s USING (event_type, dow)""".stripMargin)),
 
+    // MARKOV NEXT-EVENT PREDICTION ACCURACY: train the first-order
+    // transition argmax on the FIRST half of the month, score it on the
+    // second — the acceptance eval that decides whether event_transitions
+    // is a usable behavioral model or just a pretty matrix. Per-user LAG
+    // windows build bigrams (one user-hash shuffle); train argmax is a
+    // bounded groupBy (types²); scoring is a broadcast join of the tiny
+    // model onto test bigrams. Ties break to the smaller event type.
+    Q("markov_prediction_accuracy",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir)
+        val mid = lit("2024-01-16").cast("date")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val bigrams = ev
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("next_day", lead(to_date(col("ts")), 1).over(w))
+          .filter(col("next_type").isNotNull)
+        val train = bigrams.filter(col("next_day") < mid)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(max(struct(col("n"), col("next_type"))).as("m"))
+          .select(col("event_type"), col("m.next_type").as("predicted"))
+        val test = bigrams.filter(col("next_day") >= mid)
+          .select(col("event_type"), col("next_type"))
+        test.join(broadcast(train), Seq("event_type"))
+          .groupBy(col("event_type"), col("predicted"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("accuracy",
+            round(col("n_correct").cast("double") / col("n_test"), 6))
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type,
+             |    LEAD(cast(ts AS DATE)) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_day
+             |  FROM events),
+             |bigrams AS (SELECT * FROM seq WHERE next_type IS NOT NULL),
+             |counts AS (
+             |  SELECT event_type, next_type, count(*) AS n
+             |  FROM bigrams WHERE next_day < DATE '2024-01-16' GROUP BY 1, 2),
+             |train AS (
+             |  SELECT event_type, next_type AS predicted FROM counts
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+             |    ORDER BY n DESC, next_type DESC) = 1),
+             |test AS (
+             |  SELECT event_type, next_type FROM bigrams
+             |  WHERE next_day >= DATE '2024-01-16')
+             |SELECT t.event_type, tr.predicted,
+             |  cast(count(*) AS BIGINT) AS n_test,
+             |  cast(sum(CASE WHEN t.next_type = tr.predicted THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  round(cast(sum(CASE WHEN t.next_type = tr.predicted
+             |    THEN 1 ELSE 0 END) AS double) / count(*), 6) AS accuracy
+             |FROM test t JOIN train tr USING (event_type)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // EWMA CONTROL CHART per event type (SPC): the exponentially
     // weighted moving average of daily counts via its CLOSED FORM —
     // ewma_t = Σ_{i≤t} w(i,t)·x_i with w = λ(1−λ)^(t−i) (+ the (1−λ)^t
