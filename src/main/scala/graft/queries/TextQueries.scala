@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data operators over the `documents` table: exact and
@@ -741,6 +741,70 @@ object TextQueries {
              |    AS BIGINT) AS rank
              |FROM scored
              |ORDER BY cos_sim DESC, doc_id ASC LIMIT 10""".stripMargin)),
+
+    // QUALITY-METRIC CORRELATIONS: Pearson r between document length,
+    // mean word length, and stopword ratio — the collinearity check run
+    // before stacking quality filters (two rules at r ≈ 1 are one rule
+    // double-counted). Exact integer/rounded sums in ONE aggregate pass;
+    // r assembled from the moments, no per-pair rescans.
+    Q("quality_correlations",
+      (s, dir) => {
+        val words = size(split(col("text"), "\\s+"))
+        val d = docs(s, dir).select(
+          words.cast("double").as("x"),
+          round(length(col("text")).cast("double") / words, 6).as("y"),
+          round(regexp_count(lower(col("text")),
+            lit("\\b(the|a|of|and|to|in|is|it|that|for)\\b")).cast("double") /
+            words, 6).as("z"))
+        val m = d.agg(count(lit(1)).as("n"),
+          round(sum(col("x")), 4).as("sx"), round(sum(col("y")), 4).as("sy"),
+          round(sum(col("z")), 4).as("sz"),
+          round(sum(col("x") * col("x")), 4).as("sxx"),
+          round(sum(col("y") * col("y")), 4).as("syy"),
+          round(sum(col("z") * col("z")), 4).as("szz"),
+          round(sum(col("x") * col("y")), 4).as("sxy"),
+          round(sum(col("x") * col("z")), 4).as("sxz"),
+          round(sum(col("y") * col("z")), 4).as("syz"))
+        def r(sab: Column, sa: Column, sb: Column,
+              saa: Column, sbb: Column): Column =
+          round((col("n") * sab - sa * sb) /
+            (sqrt(col("n") * saa - sa * sa) * sqrt(col("n") * sbb - sb * sb)), 6)
+        m.select(col("n"),
+          r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+            .as("r_len_wordlen"),
+          r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+            .as("r_len_stopword"),
+          r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+            .as("r_wordlen_stopword"))
+      },
+      Some("""WITH d AS (
+             |  SELECT cast(len(regexp_split_to_array(text, '\s+')) AS double) AS x,
+             |    round(cast(length(text) AS double)
+             |      / len(regexp_split_to_array(text, '\s+')), 6) AS y,
+             |    round(cast(len(regexp_extract_all(lower(text),
+             |      '\b(the|a|of|and|to|in|is|it|that|for)\b'))
+             |      AS double) / len(regexp_split_to_array(text, '\s+')), 6) AS z
+             |  FROM documents),
+             |m AS (
+             |  SELECT cast(count(*) AS BIGINT) AS n,
+             |    round(sum(x), 4) AS sx, round(sum(y), 4) AS sy,
+             |    round(sum(z), 4) AS sz,
+             |    round(sum(x * x), 4) AS sxx, round(sum(y * y), 4) AS syy,
+             |    round(sum(z * z), 4) AS szz,
+             |    round(sum(x * y), 4) AS sxy, round(sum(x * z), 4) AS sxz,
+             |    round(sum(y * z), 4) AS syz
+             |  FROM d)
+             |SELECT n,
+             |  round((n * sxy - sx * sy)
+             |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             |    AS r_len_wordlen,
+             |  round((n * sxz - sx * sz)
+             |    / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz)), 6)
+             |    AS r_len_stopword,
+             |  round((n * syz - sy * sz)
+             |    / (sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz)), 6)
+             |    AS r_wordlen_stopword
+             |FROM m""".stripMargin)),
 
     // STRATIFIED K-FOLD assignment: fold = md5(doc) mod 5 WITHIN each
     // language stratum, so every fold carries every language at its
