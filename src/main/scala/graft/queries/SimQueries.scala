@@ -549,6 +549,130 @@ object SimQueries {
              |  round(d.n - s.dow_mean, 4) AS residual
              |FROM daily d JOIN seasonal s USING (event_type, dow)""".stripMargin)),
 
+    // ANOMALY CONSENSUS: the three daily detectors — median/MAD robust z
+    // (event_anomaly_mad's policy), EWMA control-limit breach
+    // (ewma_control_chart's), and day-of-week seasonal residual beyond
+    // 2σ (seasonal_decompose's residual, scaled) — voted per (type, day);
+    // consensus at ≥2 votes. Ensembling matters because each detector
+    // has a blind spot (MAD ignores trend, EWMA lags level shifts, DOW
+    // misses within-day bursts); agreement is what pages a human. All
+    // three run from ONE bounded daily rollup; every comparison is on
+    // rounded values so the votes are bit-stable.
+    Q("anomaly_consensus",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("t", datediff(col("day"), lit("2024-01-01").cast("date"))
+            .cast("long"))
+          .withColumn("dow", dayofweek(col("day")).cast("long"))
+        // detector 1: median/MAD robust z
+        val med = daily.groupBy("event_type").agg(median(col("n")).as("med"))
+        val dev = daily.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("n").cast("double") - col("med")))
+        val mad = dev.groupBy("event_type").agg(median(col("adev")).as("mad"))
+        val d1 = dev.join(broadcast(mad), "event_type")
+          .withColumn("rz", round(lit(0.6745) * (col("n") - col("med")) /
+            nullif(col("mad"), lit(0.0)), 4))
+          .select(col("event_type"), col("day"),
+            (abs(coalesce(col("rz"), lit(0.0))) > 2.0).as("flag_mad"))
+        // detector 2: EWMA breach (λ=0.3, L=3) via closed-form weights
+        val lam = 0.3
+        val b = daily.select(col("event_type").as("et2"), col("t").as("t2"),
+          col("n").as("n2"))
+        val w = when(col("t2") === 0, pow(lit(1 - lam), col("t")))
+          .otherwise(lit(lam) * pow(lit(1 - lam), col("t") - col("t2")))
+        val ewma = daily.join(b,
+            col("event_type") === col("et2") && col("t2") <= col("t"))
+          .groupBy(col("event_type"), col("day"), col("t"), col("n"))
+          .agg(round(sum(col("n2") * w), 4).as("ewma"))
+        val sig = daily.groupBy("event_type")
+          .agg(stddev_pop(col("n")).as("sigma"))
+        val infl = sqrt(lit(lam / (2 - lam)) *
+          (lit(1.0) - pow(lit(1 - lam), lit(2) * (col("t") + 1))))
+        val d2 = ewma.join(broadcast(sig), Seq("event_type"))
+          .select(col("event_type"), col("day"),
+            (col("n") > round(col("ewma") + lit(3.0) * col("sigma") * infl, 4) ||
+              col("n") < round(col("ewma") - lit(3.0) * col("sigma") * infl, 4))
+              .as("flag_ewma"))
+        // detector 3: DOW seasonal residual beyond 2σ_resid
+        val seas = daily.groupBy(col("event_type"), col("dow"))
+          .agg(round(sum(col("n")).cast("double") / count(lit(1)), 4)
+            .as("dow_mean"))
+        val resid = daily.join(broadcast(seas), Seq("event_type", "dow"))
+          .withColumn("resid", round(col("n") - col("dow_mean"), 4))
+        val rsig = resid.groupBy("event_type")
+          .agg(round(stddev_pop(col("resid")), 4).as("sigma_r"))
+        val d3 = resid.join(broadcast(rsig), Seq("event_type"))
+          .select(col("event_type"), col("day"),
+            (abs(col("resid")) > lit(2.0) * col("sigma_r")).as("flag_seasonal"))
+        d1.join(d2, Seq("event_type", "day")).join(d3, Seq("event_type", "day"))
+          .withColumn("n_flags", (col("flag_mad").cast("int") +
+            col("flag_ewma").cast("int") + col("flag_seasonal").cast("int"))
+            .cast("long"))
+          .withColumn("consensus", col("n_flags") >= 2)
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, cast(ts AS DATE) AS day,
+             |    cast(count(*) AS BIGINT) AS n,
+             |    date_diff('day', DATE '2024-01-01', cast(ts AS DATE)) AS t,
+             |    cast(extract(dow FROM cast(ts AS DATE)) + 1 AS BIGINT) AS dow
+             |  FROM events GROUP BY 1, 2),
+             |med AS (
+             |  SELECT event_type, cast(median(n) AS double) AS med
+             |  FROM daily GROUP BY 1),
+             |dev AS (
+             |  SELECT d.*, m.med, abs(cast(d.n AS double) - m.med) AS adev
+             |  FROM daily d JOIN med m USING (event_type)),
+             |mad AS (
+             |  SELECT event_type, cast(median(adev) AS double) AS mad
+             |  FROM dev GROUP BY 1),
+             |d1 AS (
+             |  SELECT d.event_type, d.day,
+             |    abs(coalesce(round(0.6745 * (d.n - d.med)
+             |      / nullif(a.mad, 0.0), 4), 0.0)) > 2.0 AS flag_mad
+             |  FROM dev d JOIN mad a USING (event_type)),
+             |ew AS (
+             |  SELECT a.event_type, a.day, a.t, a.n,
+             |    round(sum(b.n * CASE WHEN b.t = 0 THEN pow(0.7, a.t)
+             |      ELSE 0.3 * pow(0.7, a.t - b.t) END), 4) AS ewma
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND b.t <= a.t
+             |  GROUP BY 1, 2, 3, 4),
+             |sig AS (
+             |  SELECT event_type, stddev_pop(n) AS sigma FROM daily GROUP BY 1),
+             |d2 AS (
+             |  SELECT e.event_type, e.day,
+             |    e.n > round(e.ewma + 3.0 * s.sigma
+             |      * sqrt(0.3 / 1.7 * (1.0 - pow(0.7, 2 * (e.t + 1)))), 4)
+             |    OR e.n < round(e.ewma - 3.0 * s.sigma
+             |      * sqrt(0.3 / 1.7 * (1.0 - pow(0.7, 2 * (e.t + 1)))), 4)
+             |      AS flag_ewma
+             |  FROM ew e JOIN sig s USING (event_type)),
+             |seas AS (
+             |  SELECT event_type, dow,
+             |    round(cast(sum(n) AS double) / count(*), 4) AS dow_mean
+             |  FROM daily GROUP BY 1, 2),
+             |resid AS (
+             |  SELECT d.event_type, d.day,
+             |    round(d.n - s.dow_mean, 4) AS resid
+             |  FROM daily d JOIN seas s USING (event_type, dow)),
+             |rsig AS (
+             |  SELECT event_type, round(stddev_pop(resid), 4) AS sigma_r
+             |  FROM resid GROUP BY 1),
+             |d3 AS (
+             |  SELECT r.event_type, r.day,
+             |    abs(r.resid) > 2.0 * g.sigma_r AS flag_seasonal
+             |  FROM resid r JOIN rsig g USING (event_type))
+             |SELECT d1.event_type, d1.day, d1.flag_mad, d2.flag_ewma,
+             |  d3.flag_seasonal,
+             |  cast(d1.flag_mad::int + d2.flag_ewma::int + d3.flag_seasonal::int
+             |    AS BIGINT) AS n_flags,
+             |  (d1.flag_mad::int + d2.flag_ewma::int + d3.flag_seasonal::int) >= 2
+             |    AS consensus
+             |FROM d1 JOIN d2 USING (event_type, day)
+             |JOIN d3 USING (event_type, day)""".stripMargin)),
+
     // MARKOV NEXT-EVENT PREDICTION ACCURACY: train the first-order
     // transition argmax on the FIRST half of the month, score it on the
     // second — the acceptance eval that decides whether event_transitions
