@@ -549,6 +549,66 @@ object SimQueries {
              |  round(d.n - s.dow_mean, 4) AS residual
              |FROM daily d JOIN seasonal s USING (event_type, dow)""".stripMargin)),
 
+    // SESSION ENTRY-POINT CONVERSION: which first-event-of-session leads
+    // to purchases — the "what's worth optimizing the landing for"
+    // readout. Gap sessionization (the event_sessions policy: 30-minute
+    // idle breaks) via two user-partitioned windows + one groupBy per
+    // grain; entry type and converted flag are min_by/max aggregates
+    // over the session, rates from exact integers.
+    Q("session_entry_conversion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir)
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val sessions = ev
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("brk",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+              1L).otherwise(0L))
+          .withColumn("session_id", sum(col("brk")).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+        val perSession = sessions
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("entry_type"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("converted"))
+        perSession.groupBy(col("entry_type"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("converted")).as("n_converted"))
+          .withColumn("conversion_rate",
+            round(col("n_converted").cast("double") / col("n_sessions"), 6))
+      },
+      Some("""WITH seq AS (
+             |  SELECT *,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(cast(ts AS TIMESTAMP))
+             |         - epoch_us(cast(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM seq),
+             |ranked AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+             |    ORDER BY ts, event_id) AS rn
+             |  FROM sess),
+             |per_session AS (
+             |  SELECT user_id, session_id,
+             |    max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS converted
+             |  FROM ranked GROUP BY 1, 2)
+             |SELECT entry_type, cast(count(*) AS BIGINT) AS n_sessions,
+             |  cast(sum(converted) AS BIGINT) AS n_converted,
+             |  round(cast(sum(converted) AS double) / count(*), 6)
+             |    AS conversion_rate
+             |FROM per_session GROUP BY 1""".stripMargin)),
+
     // ANOMALY CONSENSUS: the three daily detectors — median/MAD robust z
     // (event_anomaly_mad's policy), EWMA control-limit breach
     // (ewma_control_chart's), and day-of-week seasonal residual beyond

@@ -742,6 +742,63 @@ object TextQueries {
              |FROM scored
              |ORDER BY cos_sim DESC, doc_id ASC LIMIT 10""".stripMargin)),
 
+    // PMI COLLOCATIONS: top-20 adjacent word bigrams by pointwise mutual
+    // information (min count 5) — the collocation extractor that finds
+    // multi-word units ("new york") worth treating as single tokens.
+    // Bigram counts explode per row (bounded by token count, map-side),
+    // unigram marginals join back WITHOUT a forced broadcast (vocabulary
+    // is unbounded at corpus scale), PMI from exact counts, top-k via
+    // TakeOrderedAndProject.
+    Q("word_pmi_topk",
+      (s, dir) => {
+        val toks = docs(s, dir).select(
+          expr("""filter(split(lower(text), '\\s+'),
+                 |  w -> w rlike '^[a-z]+$')""".stripMargin).as("ws"))
+        val uni = toks.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("uf"))
+        val tot = uni.agg(sum(col("uf")).as("n_tokens"))
+        val big = toks.select(explode(expr(
+            """CASE WHEN size(ws) < 2 THEN array()
+              |ELSE transform(sequence(1, size(ws) - 1),
+              |  i -> struct(element_at(ws, i) AS w1,
+              |              element_at(ws, i + 1) AS w2)) END""".stripMargin))
+            .as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).as("bf"))
+          .filter(col("bf") >= 5)
+        big
+          .join(uni.select(col("w").as("w1"), col("uf").as("f1")), Seq("w1"))
+          .join(uni.select(col("w").as("w2"), col("uf").as("f2")), Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("bf"), col("f1"), col("f2"),
+            round(log(col("bf").cast("double") * col("n_tokens") /
+              (col("f1") * col("f2"))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |    w -> regexp_matches(w, '^[a-z]+$')) AS ws
+             |  FROM documents),
+             |uni AS (
+             |  SELECT unnest(ws) AS w FROM toks),
+             |uf AS (SELECT w, cast(count(*) AS BIGINT) AS uf FROM uni GROUP BY 1),
+             |tot AS (SELECT cast(sum(uf) AS BIGINT) AS n_tokens FROM uf),
+             |bl AS (
+             |  SELECT unnest(CASE WHEN len(ws) < 2 THEN []
+             |    ELSE list_transform(range(1, len(ws)),
+             |      i -> {'w1': ws[cast(i AS int)], 'w2': ws[cast(i AS int) + 1]})
+             |    END) AS b
+             |  FROM toks),
+             |bf AS (
+             |  SELECT b.w1 AS w1, b.w2 AS w2, cast(count(*) AS BIGINT) AS bf
+             |  FROM bl GROUP BY 1, 2 HAVING count(*) >= 5)
+             |SELECT b.w1, b.w2, b.bf, a1.uf AS f1, a2.uf AS f2,
+             |  round(ln(cast(b.bf AS double) * t.n_tokens
+             |    / (a1.uf * cast(a2.uf AS double))), 6) AS pmi
+             |FROM bf b JOIN uf a1 ON a1.w = b.w1 JOIN uf a2 ON a2.w = b.w2, tot t
+             |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin)),
+
     // QUALITY-METRIC CORRELATIONS: Pearson r between document length,
     // mean word length, and stopword ratio — the collinearity check run
     // before stacking quality filters (two rules at r ≈ 1 are one rule
