@@ -314,6 +314,54 @@ object RelQueries {
              |    / (n * round(log10(1.0 + 1.0 / digit), 6)), 4) AS chi2_contrib
              |FROM byd, tot""".stripMargin)),
 
+    // GENERIC TABLE PROFILE (the dataset-card stats block): per-column
+    // null count, distinct count, and min/max — ONE aggregate pass
+    // emitting a struct per column, exploded to (column, stats) rows.
+    // Doubles are excluded from min/max stringification (cross-engine
+    // float formatting is not contract-stable); keys/strings/dates are.
+    Q("table_profile",
+      (s, dir) => {
+        val o = rd(s, dir, "orders")
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority")
+        val agg = o.agg(count(lit(1)).as("n_rows"),
+          array(cols.map(c => struct(
+            lit(c).as("column_name"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_value"),
+            max(col(c)).cast("string").as("max_value"))): _*).as("profile"))
+        agg.select(col("n_rows"), explode(col("profile")).as("p"))
+          .select(col("p.column_name"), col("n_rows"), col("p.n_null"),
+            col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+      },
+      Some("""WITH n AS (SELECT cast(count(*) AS BIGINT) AS n_rows FROM orders)
+             |SELECT 'o_orderkey' AS column_name, n.n_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderkey IS NULL) AS n_null,
+             |  (SELECT cast(count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+             |    AS n_distinct,
+             |  (SELECT cast(min(o_orderkey) AS VARCHAR) FROM orders) AS min_value,
+             |  (SELECT cast(max(o_orderkey) AS VARCHAR) FROM orders) AS max_value
+             |FROM n
+             |UNION ALL SELECT 'o_custkey', n.n_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL),
+             |  (SELECT cast(count(DISTINCT o_custkey) AS BIGINT) FROM orders),
+             |  (SELECT cast(min(o_custkey) AS VARCHAR) FROM orders),
+             |  (SELECT cast(max(o_custkey) AS VARCHAR) FROM orders) FROM n
+             |UNION ALL SELECT 'o_orderstatus', n.n_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderstatus IS NULL),
+             |  (SELECT cast(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders),
+             |  (SELECT min(o_orderstatus) FROM orders),
+             |  (SELECT max(o_orderstatus) FROM orders) FROM n
+             |UNION ALL SELECT 'o_orderpriority', n.n_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderpriority IS NULL),
+             |  (SELECT cast(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders),
+             |  (SELECT min(o_orderpriority) FROM orders),
+             |  (SELECT max(o_orderpriority) FROM orders) FROM n""".stripMargin)),
+
     // CROSS-DATASET ENRICHMENT: event-stream purchases joined to the
     // warehouse's customer dimension (user_id ⋈ c_custkey) and rolled up
     // by market segment — the join that connects the behavioral and

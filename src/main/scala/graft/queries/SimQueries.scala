@@ -549,6 +549,76 @@ object SimQueries {
              |  round(d.n - s.dow_mean, 4) AS residual
              |FROM daily d JOIN seasonal s USING (event_type, dow)""".stripMargin)),
 
+    // JENSEN-SHANNON DAILY MIX DRIFT: JSD between consecutive days'
+    // event-type distributions — the bounded (≤ ln 2), symmetric drift
+    // score that pages when the traffic MIX shifts even if volume
+    // doesn't (volume detectors are blind to composition). Shares from
+    // exact integer counts over the bounded (day × type) table; the
+    // day-over-day join is calendar-keyed, missing types contribute
+    // their full mass via the 0-side convention (0·ln0 = 0).
+    Q("jsd_daily_drift",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val counts = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy("day").agg(sum(col("n")).as("nd"))
+        val shares = counts.join(broadcast(totals), Seq("day"))
+          .select(col("day"), col("event_type"),
+            round(col("n").cast("double") / col("nd"), 6).as("p"))
+        val prev = shares.select(date_add(col("day"), 1).as("day"),
+          col("event_type"), col("p").as("q"))
+        val joined = shares.join(prev, Seq("day", "event_type"), "full_outer")
+          .filter(col("day").isNotNull)
+          .select(col("day"), col("event_type"),
+            coalesce(col("p"), lit(0.0)).as("p"),
+            coalesce(col("q"), lit(0.0)).as("q"))
+          // full-outer artifacts: day 1 has no prev (all q=0), the day
+          // after the horizon has no current (all p=0) — keep only days
+          // where BOTH distributions exist
+          .withColumn("m", (col("p") + col("q")) / 2.0)
+        val valid = joined.groupBy("day")
+          .agg(sum(col("p")).as("sp"), sum(col("q")).as("sq"))
+          .filter(col("sp") > 0.5 && col("sq") > 0.5)
+          .select(col("day"))
+        joined.join(broadcast(valid), Seq("day"))
+          .groupBy("day")
+          .agg(round(sum(
+            when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / col("m")))
+              .otherwise(0.0) +
+            when(col("q") > 0, lit(0.5) * col("q") * log(col("q") / col("m")))
+              .otherwise(0.0)), 6).as("jsd"),
+            count(lit(1)).as("n_types"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT cast(ts AS DATE) AS day, event_type,
+             |    cast(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |totals AS (SELECT day, sum(n) AS nd FROM counts GROUP BY 1),
+             |shares AS (
+             |  SELECT c.day, c.event_type,
+             |    round(cast(c.n AS double) / t.nd, 6) AS p
+             |  FROM counts c JOIN totals t USING (day)),
+             |prev AS (
+             |  SELECT day + 1 AS day, event_type, p AS q FROM shares),
+             |joined AS (
+             |  SELECT coalesce(s.day, v.day) AS day,
+             |    coalesce(s.event_type, v.event_type) AS event_type,
+             |    coalesce(s.p, 0.0) AS p, coalesce(v.q, 0.0) AS q,
+             |    (coalesce(s.p, 0.0) + coalesce(v.q, 0.0)) / 2.0 AS m
+             |  FROM shares s FULL JOIN prev v
+             |    ON s.day = v.day AND s.event_type = v.event_type),
+             |valid AS (
+             |  SELECT day FROM joined GROUP BY day
+             |  HAVING sum(p) > 0.5 AND sum(q) > 0.5)
+             |SELECT j.day,
+             |  round(sum(
+             |    CASE WHEN j.p > 0 THEN 0.5 * j.p * ln(j.p / j.m) ELSE 0.0 END
+             |    + CASE WHEN j.q > 0 THEN 0.5 * j.q * ln(j.q / j.m) ELSE 0.0 END
+             |  ), 6) AS jsd,
+             |  cast(count(*) AS BIGINT) AS n_types
+             |FROM joined j JOIN valid USING (day)
+             |GROUP BY 1""".stripMargin)),
+
     // SESSION ENTRY-POINT CONVERSION: which first-event-of-session leads
     // to purchases — the "what's worth optimizing the landing for"
     // readout. Gap sessionization (the event_sessions policy: 30-minute
