@@ -549,6 +549,130 @@ object SimQueries {
              |  round(d.n - s.dow_mean, 4) AS residual
              |FROM daily d JOIN seasonal s USING (event_type, dow)""".stripMargin)),
 
+    // COHORT LTV CURVE: cumulative revenue per signup-week cohort by
+    // week-of-age — the payback readout behind retention_cohorts (that
+    // query counts RETURNING USERS; this one accumulates MONEY). Exact
+    // cents; the cumulative runs as a triangular join over the bounded
+    // (cohort × age) grid, never a window over raw events.
+    Q("cohort_ltv_curve",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_day"))
+          .select(col("user_id"),
+            expr("datediff(first_day, DATE '2024-01-01') div 7")
+              .as("cohort_week"))
+        val weekly = ev.filter(col("event_type") === "purchase")
+          .join(firstDay, Seq("user_id"))
+          .select(col("cohort_week"),
+            expr("datediff(to_date(ts), DATE '2024-01-01') div 7").as("week"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("age", col("week") - col("cohort_week"))
+          .filter(col("age") >= 0)
+          .groupBy(col("cohort_week"), col("age"))
+          .agg(sum(col("cents")).as("cents"))
+        val w2 = weekly.select(col("cohort_week").as("cw2"),
+          col("age").as("age2"), col("cents").as("c2"))
+        weekly.join(broadcast(w2),
+            col("cw2") === col("cohort_week") && col("age2") <= col("age"))
+          .groupBy(col("cohort_week"), col("age"), col("cents"))
+          .agg(round(sum(col("c2")).cast("double") / 100.0, 2).as("cum_revenue"))
+          .select(col("cohort_week"), col("age"),
+            round(col("cents").cast("double") / 100.0, 2).as("week_revenue"),
+            col("cum_revenue"))
+      },
+      Some("""WITH fd AS (
+             |  SELECT user_id,
+             |    date_diff('day', DATE '2024-01-01', min(cast(ts AS DATE))) // 7
+             |      AS cohort_week
+             |  FROM events GROUP BY user_id),
+             |weekly AS (
+             |  SELECT f.cohort_week,
+             |    (date_diff('day', DATE '2024-01-01', cast(e.ts AS DATE)) // 7)
+             |      - f.cohort_week AS age,
+             |    cast(sum(cast(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM events e JOIN fd f USING (user_id)
+             |  WHERE e.event_type = 'purchase'
+             |    AND (date_diff('day', DATE '2024-01-01', cast(e.ts AS DATE)) // 7)
+             |        >= f.cohort_week
+             |  GROUP BY 1, 2)
+             |SELECT a.cohort_week, a.age,
+             |  round(cast(a.cents AS double) / 100.0, 2) AS week_revenue,
+             |  round(cast(sum(b.cents) AS double) / 100.0, 2) AS cum_revenue
+             |FROM weekly a JOIN weekly b
+             |  ON b.cohort_week = a.cohort_week AND b.age <= a.age
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // BUCKETED TWO-SAMPLE KS TEST: sup |F_A − F_B| between the variants'
+    // purchase-value distributions at 100-bucket granularity — the
+    // nonparametric check that catches distribution shifts the mean
+    // tests miss (same mean, fatter tail). Exact integer-cent bucket
+    // counts; CDFs via a triangular join over the BOUNDED bucket table
+    // (100² pairs, never the raw values); the bucketing makes the
+    // statistic a documented lower bound of exact KS.
+    Q("ks_bucketed",
+      (s, dir) => {
+        val ev = events(s, dir).filter(col("event_type") === "purchase")
+          .select(when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+            .as("variant"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val mm = ev.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        val bucketed = ev.crossJoin(broadcast(mm))
+          // `div`, not `/`: Spark / on longs is true division
+          .select(col("variant"),
+            expr("least((cents - lo) * 100 div (hi - lo + 1), 99)").as("bucket"))
+          .groupBy(col("variant"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val totals = bucketed.groupBy("variant").agg(sum(col("n")).as("nt"))
+        val grid = bucketed.join(broadcast(totals), Seq("variant"))
+        val a = grid.filter(col("variant") === "A")
+          .select(col("bucket").as("ba"), (col("n").cast("double") / col("nt"))
+            .as("pa"))
+        val bq = grid.filter(col("variant") === "B")
+          .select(col("bucket").as("bb"), (col("n").cast("double") / col("nt"))
+            .as("pb"))
+        val spine = bucketed.select(col("bucket")).distinct()
+        val cdf = spine
+          .join(broadcast(a), col("ba") <= col("bucket"), "left")
+          .groupBy("bucket").agg(round(sum(coalesce(col("pa"), lit(0.0))), 6)
+            .as("fa"))
+          .join(broadcast(spine
+            .join(broadcast(bq), col("bb") <= col("bucket"), "left")
+            .groupBy("bucket").agg(round(sum(coalesce(col("pb"), lit(0.0))), 6)
+              .as("fb"))), Seq("bucket"))
+        cdf.agg(count(lit(1)).as("n_buckets"),
+          round(max(abs(col("fa") - col("fb"))), 6).as("ks_stat"))
+      },
+      Some("""WITH p AS (
+             |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             |    cast(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM p),
+             |b AS (
+             |  SELECT variant,
+             |    least((cents - mm.lo) * 100 // (mm.hi - mm.lo + 1), 99) AS bucket,
+             |    cast(count(*) AS BIGINT) AS n
+             |  FROM p, mm GROUP BY 1, 2),
+             |t AS (SELECT variant, sum(n) AS nt FROM b GROUP BY 1),
+             |g AS (SELECT b.*, t.nt FROM b JOIN t USING (variant)),
+             |spine AS (SELECT DISTINCT bucket FROM b),
+             |fa AS (
+             |  SELECT s.bucket,
+             |    round(sum(coalesce(CASE WHEN g.variant = 'A'
+             |      THEN cast(g.n AS double) / g.nt END, 0.0)), 6) AS fa
+             |  FROM spine s LEFT JOIN g ON g.bucket <= s.bucket
+             |  GROUP BY 1),
+             |fb AS (
+             |  SELECT s.bucket,
+             |    round(sum(coalesce(CASE WHEN g.variant = 'B'
+             |      THEN cast(g.n AS double) / g.nt END, 0.0)), 6) AS fb
+             |  FROM spine s LEFT JOIN g ON g.bucket <= s.bucket
+             |  GROUP BY 1)
+             |SELECT cast(count(*) AS BIGINT) AS n_buckets,
+             |  round(max(abs(fa.fa - fb.fb)), 6) AS ks_stat
+             |FROM fa JOIN fb USING (bucket)""".stripMargin)),
+
     // JENSEN-SHANNON DAILY MIX DRIFT: JSD between consecutive days'
     // event-type distributions — the bounded (≤ ln 2), symmetric drift
     // score that pages when the traffic MIX shifts even if volume
