@@ -549,6 +549,62 @@ object SimQueries {
              |  round(d.n - s.dow_mean, 4) AS residual
              |FROM daily d JOIN seasonal s USING (event_type, dow)""".stripMargin)),
 
+    // GINI REVENUE CONCENTRATION via a bucketed Lorenz curve: how much
+    // of the money the top users account for — the whale metric. An
+    // exact Gini needs a GLOBAL sort; bucketing per-user revenue into
+    // 100 exact-cent-range buckets makes the Lorenz cumulative a
+    // triangular join over the BOUNDED bucket table (the ks_bucketed
+    // trick), with the trapezoid term per bucket needing only its own
+    // share and its cumulative: Σ fᵢ·(2Lᵢ − lᵢ). Documented
+    // approximation: within-bucket ordering is lost (granularity 1/100).
+    Q("gini_user_revenue",
+      (s, dir) => {
+        val ev = events(s, dir).filter(col("event_type") === "purchase")
+        val users = ev.groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val mm = users.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        val byb = users.crossJoin(broadcast(mm))
+          .select(expr("least((cents - lo) * 100 div (hi - lo + 1), 99)")
+            .as("bucket"), col("cents"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+        val tot = byb.agg(sum(col("n_users")).as("n"), sum(col("cents")).as("c"))
+        val b2 = byb.select(col("bucket").as("b2"), col("n_users").as("nu2"),
+          col("cents").as("c2"))
+        val cum = byb.join(broadcast(b2), col("b2") <= col("bucket"))
+          .groupBy(col("bucket"), col("n_users"), col("cents"))
+          .agg(sum(col("nu2")).as("cum_n"), sum(col("c2")).as("cum_c"))
+        cum.crossJoin(broadcast(tot))
+          .select((col("n_users").cast("double") / col("n")).as("fi"),
+            (col("cents").cast("double") / col("c")).as("li"),
+            (col("cum_c").cast("double") / col("c")).as("bigL"))
+          .agg(count(lit(1)).as("n_buckets"),
+            round(lit(1.0) - sum(col("fi") * (lit(2.0) * col("bigL") - col("li"))),
+              6).as("gini"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM u),
+             |byb AS (
+             |  SELECT least((cents - mm.lo) * 100 // (mm.hi - mm.lo + 1), 99)
+             |    AS bucket,
+             |    cast(count(*) AS BIGINT) AS n_users,
+             |    cast(sum(cents) AS BIGINT) AS cents
+             |  FROM u, mm GROUP BY 1),
+             |tot AS (SELECT sum(n_users) AS n, sum(cents) AS c FROM byb),
+             |cum AS (
+             |  SELECT a.bucket, a.n_users, a.cents,
+             |    sum(b.n_users) AS cum_n, sum(b.cents) AS cum_c
+             |  FROM byb a JOIN byb b ON b.bucket <= a.bucket
+             |  GROUP BY 1, 2, 3)
+             |SELECT cast(count(*) AS BIGINT) AS n_buckets,
+             |  round(1.0 - sum((cast(n_users AS double) / t.n)
+             |    * (2.0 * (cast(cum_c AS double) / t.c)
+             |       - cast(cents AS double) / t.c)), 6) AS gini
+             |FROM cum, tot t""".stripMargin)),
+
     // COHORT LTV CURVE: cumulative revenue per signup-week cohort by
     // week-of-age — the payback readout behind retention_cohorts (that
     // query counts RETURNING USERS; this one accumulates MONEY). Exact
