@@ -549,6 +549,98 @@ object SimQueries {
              |  round(d.n - s.dow_mean, 4) AS residual
              |FROM daily d JOIN seasonal s USING (event_type, dow)""".stripMargin)),
 
+    // QUANTIZATION DISTORTION REPORT: reconstruction MSE of the int8 SQ
+    // and PQ codecs over the indexed corpus — the distortion axis of the
+    // compression trade-off (the recall evals give the retrieval axis;
+    // together they justify a codec choice). SQ error is the analytic
+    // midpoint-reconstruction residual per element; PQ error is the
+    // chosen code's L2² residual (exactly the argmin d2 the code
+    // assignment already computes). Per-vector folds are sequential and
+    // identical across engines; corpus means round at 6.
+    Q("quantization_distortion",
+      (s, dir) => {
+        val M = 4; val dsub = 16; val ksub = 4
+        val e = emb(s, dir).filter(col("vec_id") >= 10)
+        val mmr = emb(s, dir).agg(min(array_min(col("embedding"))),
+          max(array_max(col("embedding")))).head()
+        val lo = mmr.getFloat(0).toDouble; val hi = mmr.getFloat(1).toDouble
+        // interpolated bounds wrapped in CAST(... AS DOUBLE): a bare
+        // decimal literal parses as DECIMAL in Spark SQL and would drag
+        // the arithmetic into decimal ops
+        val (loS, hiS) = (s"CAST($lo AS DOUBLE)", s"CAST($hi AS DOUBLE)")
+        val sqErr = e.select(col("vec_id"), round(expr(
+          s"""aggregate(embedding, 0.0D, (acc, v) ->
+             |  acc + pow(cast(v AS double) - ($loS +
+             |    (least(floor((cast(v AS double) - $loS) / ($hiS - $loS) * 256.0),
+             |           255.0) + 0.5) * ($hiS - $loS) / 256.0), 2)) / 64.0"""
+            .stripMargin), 8).as("mse"))
+        val cb: Array[Array[Seq[Double]]] = {
+          val rows = emb(s, dir)
+            .filter(col("vec_id") >= 10 && col("vec_id") < 10 + ksub)
+            .orderBy("vec_id").select("embedding").collect()
+          Array.tabulate(M)(m => rows.map(_.getSeq[Float](0)
+            .slice(m * dsub, (m + 1) * dsub).map(_.toDouble).toSeq))
+        }
+        def sub(c: Column, m: Int) = slice(c, m * dsub + 1, dsub)
+        def l2(c: Column, cent: Seq[Double]): Column =
+          round(aggregate(
+            zip_with(c, typedLit(cent),
+              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, v) => acc + v), 4)
+        val pqResid = (0 until M).map(m =>
+          least((0 until ksub).map(j => l2(sub(col("embedding"), m), cb(m)(j))): _*))
+          .reduce(_ + _)
+        val pqErr = e.select(col("vec_id"),
+          round(pqResid / 64.0, 8).as("mse"))
+        def summarize(df: DataFrame, method: String) =
+          df.agg(lit(method).as("method"), count(lit(1)).as("n_vectors"),
+            round(avg(col("mse")), 6).as("mean_mse"),
+            round(max(col("mse")), 8).as("max_mse"))
+        summarize(sqErr, "sq_int8").unionByName(summarize(pqErr, "pq_m4x4"))
+      },
+      Some("""WITH mm AS (
+             |  SELECT cast(min(list_min(embedding)) AS double) AS lo,
+             |         cast(max(list_max(embedding)) AS double) AS hi
+             |  FROM embeddings),
+             |sqerr AS (
+             |  SELECT e.vec_id,
+             |    round(list_sum(list_transform(e.embedding, v ->
+             |      pow(cast(v AS double) - (mm.lo +
+             |        (least(floor((cast(v AS double) - mm.lo)
+             |           / (mm.hi - mm.lo) * 256.0), 255.0) + 0.5)
+             |        * (mm.hi - mm.lo) / 256.0), 2))) / 64.0, 8) AS mse
+             |  FROM embeddings e, mm WHERE e.vec_id >= 10),
+             |cent AS (
+             |  SELECT m.m, e.vec_id - 10 AS j,
+             |    list_slice(e.embedding, m.m*16+1, m.m*16+16) AS cv
+             |  FROM embeddings e, range(0, 4) AS m(m)
+             |  WHERE e.vec_id >= 10 AND e.vec_id < 14),
+             |cdist AS (
+             |  SELECT e.vec_id, c.m, c.j,
+             |    round(list_sum(list_transform(
+             |      list_zip(list_slice(e.embedding, c.m*16+1, c.m*16+16), c.cv),
+             |      s -> (cast(s[1] AS double) - cast(s[2] AS double))
+             |         * (cast(s[1] AS double) - cast(s[2] AS double)))), 4) AS d2
+             |  FROM embeddings e, cent c WHERE e.vec_id >= 10),
+             |chosen AS (
+             |  SELECT vec_id, m, d2 FROM cdist
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+             |    ORDER BY d2, j) = 1),
+             |pqerr AS (
+             |  SELECT vec_id,
+             |    round((((max(CASE WHEN m = 0 THEN d2 END)
+             |       + max(CASE WHEN m = 1 THEN d2 END))
+             |       + max(CASE WHEN m = 2 THEN d2 END))
+             |       + max(CASE WHEN m = 3 THEN d2 END)) / 64.0, 8) AS mse
+             |  FROM chosen GROUP BY vec_id)
+             |SELECT 'sq_int8' AS method, cast(count(*) AS BIGINT) AS n_vectors,
+             |  round(avg(mse), 6) AS mean_mse, round(max(mse), 8) AS max_mse
+             |FROM sqerr
+             |UNION ALL
+             |SELECT 'pq_m4x4', cast(count(*) AS BIGINT),
+             |  round(avg(mse), 6), round(max(mse), 8)
+             |FROM pqerr""".stripMargin)),
+
     // GINI REVENUE CONCENTRATION via a bucketed Lorenz curve: how much
     // of the money the top users account for — the whale metric. An
     // exact Gini needs a GLOBAL sort; bucketing per-user revenue into

@@ -742,6 +742,64 @@ object TextQueries {
              |FROM scored
              |ORDER BY cos_sim DESC, doc_id ASC LIMIT 10""".stripMargin)),
 
+    // LEXICAL DIVERSITY per document: type-token ratio, hapax fraction
+    // (words used once IN the doc), and rare-word ratio vs the CORPUS
+    // document frequency (df ≤ 2) — the novelty/fluency signals that
+    // separate generated boilerplate (low TTR) from natural prose and
+    // OOV-heavy noise (high rare ratio). Per-row array ops for the
+    // within-doc signals; one explode + df join for the corpus one.
+    Q("lexical_diversity",
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"),
+          expr("""filter(split(lower(text), '\\s+'),
+                 |  w -> w rlike '^[a-z]+$')""".stripMargin).as("ws"))
+        val inDoc = d.select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(array_distinct(col("ws"))).cast("long").as("n_types"),
+          expr("""size(filter(array_distinct(ws),
+                 |  w -> size(filter(ws, x -> x = w)) = 1))""".stripMargin)
+            .cast("long").as("n_hapax"))
+        val df = d.select(col("doc_id"), explode(array_distinct(col("ws"))).as("w"))
+          .groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+        val rare = d.select(col("doc_id"), explode(array_distinct(col("ws"))).as("w"))
+          .join(df, Seq("w"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("df") <= 2, 1L).otherwise(0L)).as("n_rare"))
+        inDoc.join(rare, Seq("doc_id"))
+          .select(col("doc_id"), col("n_words"), col("n_types"),
+            round(col("n_types").cast("double") / col("n_words"), 6).as("ttr"),
+            round(col("n_hapax").cast("double") / col("n_types"), 6)
+              .as("hapax_frac"),
+            round(col("n_rare").cast("double") / col("n_types"), 6)
+              .as("rare_frac"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |      w -> regexp_matches(w, '^[a-z]+$')) AS ws
+             |  FROM documents),
+             |indoc AS (
+             |  SELECT doc_id, cast(len(ws) AS BIGINT) AS n_words,
+             |    cast(len(list_distinct(ws)) AS BIGINT) AS n_types,
+             |    cast(len(list_filter(list_distinct(ws),
+             |      w -> len(list_filter(ws, x -> x = w)) = 1)) AS BIGINT)
+             |      AS n_hapax
+             |  FROM d),
+             |words AS (
+             |  SELECT DISTINCT doc_id, unnest(list_distinct(ws)) AS w FROM d),
+             |dfreq AS (
+             |  SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+             |rare AS (
+             |  SELECT doc_id,
+             |    cast(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_rare
+             |  FROM words JOIN dfreq USING (w) GROUP BY 1)
+             |SELECT i.doc_id, i.n_words, i.n_types,
+             |  round(cast(i.n_types AS double) / i.n_words, 6) AS ttr,
+             |  round(cast(i.n_hapax AS double) / i.n_types, 6) AS hapax_frac,
+             |  round(cast(r.n_rare AS double) / i.n_types, 6) AS rare_frac
+             |FROM indoc i JOIN rare r USING (doc_id)""".stripMargin)),
+
     // PMI COLLOCATIONS: top-20 adjacent word bigrams by pointwise mutual
     // information (min count 5) — the collocation extractor that finds
     // multi-word units ("new york") worth treating as single tokens.
