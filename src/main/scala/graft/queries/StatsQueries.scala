@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Profiling & reshaping operators: the CBO-style column statistics and
+  * the wide↔long / resampling transforms an analytics platform serves
+  * constantly — equi-depth histograms, pivot/unpivot, time-weighted
+  * averages, and regular-grid forward-fill resampling. All oracle-checked.
+  */
+object StatsQueries {
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val all: Seq[Q] = Seq(
+
+    // EQUI-DEPTH HISTOGRAM over o_totalprice — the optimizer's column
+    // statistic, built the distributed way: ONE exact-percentile
+    // aggregate produces the 31 interior boundaries (at 100 TB this
+    // becomes approx_percentile with a bounded error budget — same plan
+    // shape, sketch instead of exact), the boundary ARRAY rides to every
+    // row as a broadcast scalar, and bucket id = #boundaries below the
+    // value via a codegen'd aggregate over the array — no second shuffle
+    // besides the final 32-group count. Per-bucket ndv doubles as a
+    // uniqueness profile.
+    Q("equi_depth_histogram",
+      (s, dir) => {
+        val fracs = (1 until 32).map(i => i / 32.0)
+        val v = rd(s, dir, "orders").select(col("o_totalprice").as("v"))
+        val bounds = v.agg(
+          expr(s"percentile(v, array(${fracs.mkString(", ")}))").as("bs"))
+        v.crossJoin(broadcast(bounds))
+          .select(col("v"),
+            expr("aggregate(bs, 0, (acc, b) -> acc + CASE WHEN v > b THEN 1 ELSE 0 END)")
+              .as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("v")).as("ndv"),
+            round(min("v"), 2).as("lo"),
+            round(max("v"), 2).as("hi"))
+      },
+      Some(s"""WITH bounds AS (
+              |  SELECT quantile_cont(o_totalprice,
+              |    [${(1 until 32).map(i => s"$i/32.0").mkString(", ")}]) AS bs
+              |  FROM orders),
+              |b AS (
+              |  SELECT o.o_totalprice AS v,
+              |    len(list_filter(bounds.bs, x -> o.o_totalprice > x)) AS bucket
+              |  FROM orders o CROSS JOIN bounds)
+              |SELECT cast(bucket AS INT) AS bucket,
+              |  cast(count(*) AS BIGINT) AS n_rows,
+              |  cast(count(DISTINCT v) AS BIGINT) AS ndv,
+              |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
+              |FROM b GROUP BY 1""".stripMargin)),
+
+    // PIVOT (long → wide): the day × event_type count matrix via the
+    // DataFrame pivot API with an EXPLICIT value list — never the
+    // two-pass distinct-then-pivot, whose first pass is a full scan just
+    // to learn the columns; at 100 TB the domain is declared, not
+    // discovered. One shuffle on day; pivot folds to per-day conditional
+    // counts (map-side combined like any other agg).
+    Q("pivot_event_matrix",
+      (s, dir) => {
+        val wide = rd(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .pivot("event_type", EventTypes)
+          .agg(count(lit(1)))
+        EventTypes.foldLeft(wide) { (d, t) =>
+          d.withColumn(t, coalesce(col(t), lit(0L)))
+        }
+      },
+      Some(s"""SELECT cast(ts AS DATE) AS day,
+              |${EventTypes.map(t =>
+                 s"  cast(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+                 .mkString(",\n")}
+              |FROM events GROUP BY 1""".stripMargin)),
+
+    // UNPIVOT / MELT (wide → long): the inverse reshaping via
+    // Dataset.unpivot — per-priority order metrics melted to
+    // (priority, metric, value) rows. Stays narrow: the wide frame is
+    // an aggregate (5 rows), the melt is a local expand — the pattern's
+    // cost at scale is the aggregate, never the reshape.
+    Q("unpivot_order_metrics",
+      (s, dir) => {
+        val wide = rd(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).cast("double").as("n_orders"),
+            round(avg("o_totalprice"), 2).as("avg_price"),
+            round(max("o_totalprice"), 2).as("max_price"),
+            countDistinct("o_custkey").cast("double").as("n_custs"))
+        wide.unpivot(Array(col("priority")),
+          Array(col("n_orders"), col("avg_price"), col("max_price"), col("n_custs")),
+          "metric", "value")
+      },
+      Some("""WITH w AS (
+             |  SELECT o_orderpriority AS priority,
+             |    cast(count(*) AS double) AS n_orders,
+             |    round(avg(o_totalprice), 2) AS avg_price,
+             |    round(max(o_totalprice), 2) AS max_price,
+             |    cast(count(DISTINCT o_custkey) AS double) AS n_custs
+             |  FROM orders GROUP BY 1)
+             |SELECT priority, 'n_orders' AS metric, n_orders AS value FROM w
+             |UNION ALL SELECT priority, 'avg_price', avg_price FROM w
+             |UNION ALL SELECT priority, 'max_price', max_price FROM w
+             |UNION ALL SELECT priority, 'n_custs', n_custs FROM w""".stripMargin)),
+
+    // TIME-WEIGHTED AVERAGE per user: each observation weighted by its
+    // holding time (lead(ts) − ts), the irregular-sampling average that
+    // plain avg() gets wrong. One per-user window (total order:
+    // ts, event_id — simultaneous observations carry zero weight
+    // deterministically), one groupBy. Partitioned by user throughout —
+    // no global sort anywhere.
+    Q("twap_user_value",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        rd(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_id"), col("value"))
+          .withColumn("dt",
+            lead(col("ts"), 1).over(w).cast("double") - col("ts").cast("double"))
+          .filter(col("dt").isNotNull)
+          .groupBy("user_id")
+          .agg(round(sum(col("value") * col("dt")) / sum(col("dt")), 4).as("twap"),
+            round(avg(col("value")), 4).as("plain_avg"),
+            count(lit(1)).as("n_intervals"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, value,
+             |    epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             |      - epoch(ts) AS dt
+             |  FROM events)
+             |SELECT user_id,
+             |  round(sum(value * dt) / sum(dt), 4) AS twap,
+             |  round(avg(value), 4) AS plain_avg,
+             |  cast(count(*) AS BIGINT) AS n_intervals
+             |FROM d WHERE dt IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // REGULAR-GRID RESAMPLING with forward fill: each user's irregular
+    // event stream resampled to a daily grid over the user's own active
+    // span, gaps carrying the last observed value forward. The grid is
+    // GENERATED per user (sequence over the min..max day — bounded
+    // fanout, no calendar table shuffle), daily closing values come from
+    // one per-(user, day) window, and the fill is last(ignoreNulls) over
+    // the user partition — the Spark-native version of pandas
+    // resample().ffill() that never leaves the user's partition.
+    Q("time_grid_ffill",
+      (s, dir) => {
+        val e = rd(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_id"), col("value"), to_date(col("ts")).as("day"))
+        val wDay = Window.partitionBy("user_id", "day")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val daily = e.withColumn("rn", row_number().over(wDay))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("day"), col("value").as("close"))
+        val grid = e.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .withColumn("day", explode(expr("sequence(d0, d1, interval 1 day)")))
+          .select("user_id", "day")
+        val wFill = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            round(last(col("close"), ignoreNulls = true).over(wFill), 4).as("value"),
+            col("close").isNotNull.as("observed"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id, value, cast(ts AS DATE) AS day
+             |  FROM events),
+             |daily AS (
+             |  SELECT user_id, day, value AS close FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+             |      ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+             |  WHERE rn = 1),
+             |grid AS (
+             |  SELECT user_id, cast(unnest(generate_series(
+             |    cast(min(day) AS TIMESTAMP), cast(max(day) AS TIMESTAMP),
+             |    INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM e GROUP BY user_id)
+             |SELECT g.user_id, g.day,
+             |  round(last_value(d.close IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
+             |  d.close IS NOT NULL AS observed
+             |FROM grid g LEFT JOIN daily d
+             |  ON d.user_id = g.user_id AND d.day = g.day""".stripMargin))
+  )
+}
