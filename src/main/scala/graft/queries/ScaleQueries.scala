@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators: exact distinct counting via mergeable bitmap
+  * words (the Druid/ClickHouse trick), deterministic multi-epoch training
+  * shuffles, and dynamic partition overwrite — each a pattern whose value
+  * IS the 100 TB story, verified at test scale against an oracle.
+  */
+object ScaleQueries {
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** Portable multiplicative mix (same arithmetic both engines, every
+    * intermediate far below 2^63) used for the reproducible shuffle. */
+  private def mix(k: String, e: String): String =
+    s"(((($k % 1048573) * 2654435761 + CAST($e AS BIGINT) * 998244353)" +
+      " % 2147483647) * 69069 + 907633385) % 2147483647"
+
+  val all: Seq[Q] = Seq(
+
+    // EXACT DISTINCT-COUNT ROLLUP via bitmap words: user ids are packed
+    // into long words (word = id div 63, bit = id mod 63), each
+    // (event_type, word) folds to ONE bit_or'd long, and distinct = Σ
+    // bit_count(word). The per-word masks are MERGEABLE — the '__all'
+    // row is re-aggregated from the per-type masks by OR, never from the
+    // raw events — which is the whole point at 100 TB: exact distinct
+    // with O(id-range/64) state, partial-aggregated map-side, and
+    // rollup-able across dimensions after the single raw scan. The
+    // countDistinct cross-check column pins the bitmap math to the naive
+    // answer.
+    Q("bitmap_distinct_rollup",
+      (s, dir) => {
+        // 63-bit words, not 64: DuckDB rejects 1<<63 (signed overflow), so
+        // both sides pack 63 ids per word — same exactness, same merge law
+        val e = rd(s, dir, "events").select(col("event_type"),
+          expr("user_id div 63").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").as("m"))
+        val words = e.groupBy(col("event_type"), col("w"))
+          .agg(expr("bit_or(m)").as("mask"))
+        val perType = words.groupBy("event_type")
+          .agg(sum(expr("CAST(bit_count(mask) AS BIGINT)")).as("n_distinct_bitmap"))
+        val allRow = words.groupBy("w").agg(expr("bit_or(mask)").as("mask"))
+          .agg(sum(expr("CAST(bit_count(mask) AS BIGINT)")).as("n_distinct_bitmap"))
+          .withColumn("event_type", lit("__all"))
+        val naive = rd(s, dir, "events").groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_distinct_naive"))
+          .unionByName(rd(s, dir, "events")
+            .agg(countDistinct("user_id").as("n_distinct_naive"))
+            .withColumn("event_type", lit("__all")))
+        perType.unionByName(allRow.select("event_type", "n_distinct_bitmap"))
+          .join(naive, Seq("event_type"))
+      },
+      Some("""WITH words AS (
+             |  SELECT event_type, user_id // 63 AS w,
+             |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS mask
+             |  FROM events GROUP BY 1, 2),
+             |per_type AS (
+             |  SELECT event_type,
+             |    cast(sum(bit_count(mask)) AS BIGINT) AS n_distinct_bitmap
+             |  FROM words GROUP BY 1
+             |  UNION ALL
+             |  SELECT '__all', cast(sum(bit_count(mask)) AS BIGINT) FROM (
+             |    SELECT w, bit_or(mask) AS mask FROM words GROUP BY 1)),
+             |naive AS (
+             |  SELECT event_type,
+             |    cast(count(DISTINCT user_id) AS BIGINT) AS n_distinct_naive
+             |  FROM events GROUP BY 1
+             |  UNION ALL
+             |  SELECT '__all', cast(count(DISTINCT user_id) AS BIGINT) FROM events)
+             |SELECT p.event_type, p.n_distinct_bitmap, n.n_distinct_naive
+             |FROM per_type p JOIN naive n USING (event_type)""".stripMargin)),
+
+    // DETERMINISTIC MULTI-EPOCH SHUFFLE: reproducible training-data
+    // ordering — epoch e orders documents by a hash mixed with e, shard
+    // = hash mod 8. No randomness, no driver state: re-running ANY epoch
+    // on ANY cluster layout yields byte-identical shard assignment (the
+    // property that makes a 100 TB training run resumable). Emitted per
+    // epoch: permutation proof (docs == distinct docs == corpus size),
+    // shard-size spread, and payload (char) imbalance across shards.
+    Q("epoch_shuffle",
+      (s, dir) => {
+        val d = rd(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+          .withColumn("epoch", explode(expr("sequence(0, 2)")))
+          .withColumn("shard", expr(s"${mix("doc_id", "epoch")} % 8"))
+        val shards = d.groupBy("epoch", "shard")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        shards.groupBy("epoch")
+          .agg(sum("n").as("n_docs"),
+            count(lit(1)).as("n_shards"),
+            min("n").as("min_shard"), max("n").as("max_shard"),
+            round((max("chars") - min("chars")).cast("double") /
+              (sum("chars") / count(lit(1))) * 100.0, 2).as("char_imbalance_pct"))
+          .join(d.groupBy("epoch")
+            .agg(countDistinct("doc_id").as("n_distinct_docs")), Seq("epoch"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, n_chars, e.epoch,
+              |    (${mix("doc_id", "e.epoch")}) % 8 AS shard
+              |  FROM documents CROSS JOIN
+              |    (SELECT range AS epoch FROM range(0, 3)) e),
+              |sh AS (SELECT epoch, shard, cast(count(*) AS BIGINT) AS n,
+              |         cast(sum(n_chars) AS BIGINT) AS chars
+              |       FROM d GROUP BY 1, 2)
+              |SELECT epoch, cast(sum(n) AS BIGINT) AS n_docs,
+              |  cast(count(*) AS BIGINT) AS n_shards,
+              |  cast(min(n) AS BIGINT) AS min_shard,
+              |  cast(max(n) AS BIGINT) AS max_shard,
+              |  round(cast(max(chars) - min(chars) AS double) /
+              |    (cast(sum(chars) AS double) / count(*)) * 100.0, 2)
+              |    AS char_imbalance_pct,
+              |  (SELECT cast(count(DISTINCT doc_id) AS BIGINT) FROM d d2
+              |   WHERE d2.epoch = sh.epoch) AS n_distinct_docs
+              |FROM sh GROUP BY epoch""".stripMargin)),
+
+    // DYNAMIC PARTITION OVERWRITE: rewrite ONLY the partitions present
+    // in the incoming frame, leaving every other partition's files
+    // untouched — the idempotent daily-restatement write a 100 TB
+    // day-partitioned corpus depends on (static overwrite would drop
+    // all 30 days to restate 2). Proven by read-back: two days get
+    // doubled values, the other 28 must still byte-match the original
+    // load. Writer-local option, no session-level config mutation.
+    Q("dynamic_partition_overwrite",
+      (s, dir) => {
+        val path = DvQueries.tmpWarehouse("graft_dyn_part") + "/events_by_day"
+        val e = rd(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("ts").cast("timestamp").as("ts"))
+          .withColumn("day", to_date(col("ts")))
+        e.write.mode("overwrite").partitionBy("day").parquet(path)
+        val restate = e
+          .filter(col("day").isin(
+            java.sql.Date.valueOf("2024-01-05"), java.sql.Date.valueOf("2024-01-06")))
+          .withColumn("value", col("value") * 2)
+        restate.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("day").parquet(path)
+        s.read.parquet(path)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+      },
+      // NB: DuckDB 1.0.0 evaluates DATE IN (DATE-list) to false here —
+      // use OR'd equality, which behaves
+      Some("""SELECT cast(ts AS DATE) AS day,
+             |  cast(count(*) AS BIGINT) AS n_events,
+             |  cast(sum(CASE WHEN cast(ts AS DATE) = DATE '2024-01-05'
+             |               OR cast(ts AS DATE) = DATE '2024-01-06'
+             |    THEN cast(round(value * 200) AS BIGINT)
+             |    ELSE cast(round(value * 100) AS BIGINT) END) AS BIGINT) AS cents
+             |FROM events GROUP BY 1""".stripMargin))
+  )
+}
