@@ -187,6 +187,154 @@ object StatsQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
              |  d.close IS NOT NULL AS observed
              |FROM grid g LEFT JOIN daily d
-             |  ON d.user_id = g.user_id AND d.day = g.day""".stripMargin))
+             |  ON d.user_id = g.user_id AND d.day = g.day""".stripMargin)),
+
+    // YEAR-OVER-YEAR GROWTH: monthly revenue with the same-month-last-
+    // year comparison via lag(1) over a window PARTITIONED BY CALENDAR
+    // MONTH and ordered by year — 12 bounded partitions, never a global
+    // sort; the classic YoY window stays shuffle-partitioned however
+    // many years of history exist. Cents arithmetic keeps the sums
+    // exact.
+    Q("yoy_growth",
+      (s, dir) => {
+        val m = rd(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mon"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+            count(lit(1)).as("n_orders"))
+        val w = Window.partitionBy("mon").orderBy("yr")
+        m.withColumn("cents_prev", lag(col("cents"), 1).over(w))
+          .select(col("yr"), col("mon"),
+            round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+            col("n_orders"),
+            round((col("cents") - col("cents_prev")).cast("double") /
+              col("cents_prev") * 100.0, 2).as("yoy_pct"))
+      },
+      Some("""WITH m AS (
+             |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+             |    cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |    cast(count(*) AS BIGINT) AS n_orders
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT yr, mon, round(cast(cents AS double) / 100.0, 2) AS revenue,
+             |  n_orders,
+             |  round(cast(cents - lag(cents) OVER (PARTITION BY mon ORDER BY yr)
+             |    AS double) / lag(cents) OVER (PARTITION BY mon ORDER BY yr)
+             |    * 100.0, 2) AS yoy_pct
+             |FROM m""".stripMargin)),
+
+    // INFORMATION-GAIN SPLIT SCAN — the decision-stump / feature-binning
+    // primitive: which threshold on `value` best separates purchases
+    // from the rest. Candidate thresholds are ONE percentile aggregate
+    // (9 deciles), broadcast to the scan; per candidate the four split
+    // counts fold in a single conditional aggregate — the whole scan is
+    // one pass + a 9-group reduce regardless of data size, the shape a
+    // 100 TB feature search needs (candidates grow, scans don't).
+    Q("info_gain_split",
+      (s, dir) => {
+        val fracs = (1 to 9).map(i => i / 10.0)
+        val e = rd(s, dir, "events")
+          .select(col("value").as("x"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val cands = e.agg(
+          expr(s"percentile(x, array(${fracs.mkString(", ")}))").as("ts"))
+        def h(p: org.apache.spark.sql.Column) =
+          when(p <= 0.0 || p >= 1.0, 0.0)
+            .otherwise(-p * log2(p) - (lit(1.0) - p) * log2(lit(1.0) - p))
+        val split = e.crossJoin(broadcast(cands))
+          .select(col("x"), col("y"), posexplode(col("ts")).as(Seq("ci", "t")))
+          .groupBy(col("ci"), col("t"))
+          .agg(sum(when(col("x") <= col("t"), 1L).otherwise(0L)).as("nl"),
+            sum(when(col("x") <= col("t"), col("y")).otherwise(0L)).as("pl"),
+            sum(when(col("x") > col("t"), 1L).otherwise(0L)).as("nr"),
+            sum(when(col("x") > col("t"), col("y")).otherwise(0L)).as("pr"))
+        val n = col("nl") + col("nr")
+        val gain =
+          (h((col("pl") + col("pr")).cast("double") / n.cast("double"))
+            - col("nl").cast("double") / n.cast("double") *
+              h(col("pl").cast("double") / col("nl").cast("double"))
+            - col("nr").cast("double") / n.cast("double") *
+              h(col("pr").cast("double") / col("nr").cast("double")))
+        val scored = split.select(col("ci"), round(col("t"), 4).as("threshold"),
+          col("nl").as("n_left"), col("pl").as("pos_left"),
+          round(gain, 5).as("info_gain"))
+        scored.crossJoin(broadcast(
+            scored.agg(max("info_gain").as("best_gain"))))
+          .withColumn("is_best", col("info_gain") === col("best_gain"))
+          .drop("best_gain")
+      },
+      Some(s"""WITH cands AS (
+              |  SELECT quantile_cont(value,
+              |    [${(1 to 9).map(i => s"$i/10.0").mkString(", ")}]) AS ts
+              |  FROM events),
+              |c AS (SELECT r.range AS ci, cands.ts[CAST(r.range + 1 AS INT)] AS t
+              |      FROM cands CROSS JOIN range(0, 9) r),
+              |s AS (
+              |  SELECT c.ci, c.t,
+              |    sum(CASE WHEN e.value <= c.t THEN 1 ELSE 0 END) AS nl,
+              |    sum(CASE WHEN e.value <= c.t AND e.event_type = 'purchase'
+              |        THEN 1 ELSE 0 END) AS pl,
+              |    sum(CASE WHEN e.value > c.t THEN 1 ELSE 0 END) AS nr,
+              |    sum(CASE WHEN e.value > c.t AND e.event_type = 'purchase'
+              |        THEN 1 ELSE 0 END) AS pr
+              |  FROM events e CROSS JOIN c GROUP BY 1, 2),
+              |g AS (
+              |  SELECT ci, round(t, 4) AS threshold,
+              |    cast(nl AS BIGINT) AS n_left, cast(pl AS BIGINT) AS pos_left,
+              |    round(
+              |      (CASE WHEN (pl+pr) <= 0 OR (pl+pr) >= (nl+nr) THEN 0.0
+              |        ELSE -((pl+pr)/cast(nl+nr AS double))*log2((pl+pr)/cast(nl+nr AS double))
+              |          - (1.0-(pl+pr)/cast(nl+nr AS double))*log2(1.0-(pl+pr)/cast(nl+nr AS double)) END)
+              |      - (nl/cast(nl+nr AS double)) *
+              |        (CASE WHEN pl <= 0 OR pl >= nl THEN 0.0
+              |          ELSE -(pl/cast(nl AS double))*log2(pl/cast(nl AS double))
+              |            - (1.0-pl/cast(nl AS double))*log2(1.0-pl/cast(nl AS double)) END)
+              |      - (nr/cast(nl+nr AS double)) *
+              |        (CASE WHEN pr <= 0 OR pr >= nr THEN 0.0
+              |          ELSE -(pr/cast(nr AS double))*log2(pr/cast(nr AS double))
+              |            - (1.0-pr/cast(nr AS double))*log2(1.0-pr/cast(nr AS double)) END), 5)
+              |      AS info_gain
+              |  FROM s)
+              |SELECT ci, threshold, n_left, pos_left, info_gain,
+              |  info_gain = (SELECT max(info_gain) FROM g) AS is_best
+              |FROM g""".stripMargin)),
+
+    // PARETO FRONTIER (2D skyline) per market segment: orders not
+    // dominated on (newer date, higher price). Never the O(n²) dominance
+    // check: per segment, ONE window ordered by day with a
+    // strictly-later range frame gives max(price) over all newer orders
+    // — frontier = rows beating that and topping their own day. All
+    // windows are segment-partitioned; the oracle is the independent
+    // NOT EXISTS dominance formulation.
+    Q("pareto_frontier",
+      (s, dir) => {
+        val pts = rd(s, dir, "orders")
+          .join(rd(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("segment"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("day"),
+            datediff(to_date(col("o_orderdate")), lit("1990-01-01")).as("di"),
+            col("o_totalprice").as("price"))
+        val wLater = Window.partitionBy("segment").orderBy(col("di"))
+          .rangeBetween(1, Window.unboundedFollowing)
+        val wSameDay = Window.partitionBy("segment", "di")
+        pts
+          .withColumn("max_later", max(col("price")).over(wLater))
+          .withColumn("max_same", max(col("price")).over(wSameDay))
+          .filter((col("max_later").isNull || col("price") > col("max_later")) &&
+            col("price") === col("max_same"))
+          .select(col("segment"), col("o_orderkey"), col("day"),
+            round(col("price"), 2).as("price"))
+      },
+      Some("""SELECT c.c_mktsegment AS segment, o.o_orderkey,
+             |  cast(o.o_orderdate AS DATE) AS day,
+             |  round(o.o_totalprice, 2) AS price
+             |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders o2 JOIN customer c2 ON c2.c_custkey = o2.o_custkey
+             |  WHERE c2.c_mktsegment = c.c_mktsegment
+             |    AND o2.o_orderdate >= o.o_orderdate
+             |    AND o2.o_totalprice >= o.o_totalprice
+             |    AND (o2.o_orderdate > o.o_orderdate
+             |         OR o2.o_totalprice > o.o_totalprice))""".stripMargin))
   )
 }
