@@ -19,6 +19,17 @@ object ScaleQueries {
     s"(((($k % 1048573) * 2654435761 + CAST($e AS BIGINT) * 998244353)" +
       " % 2147483647) * 69069 + 907633385) % 2147483647"
 
+  /** xor-folded variant for BUCKETING uses (Bloom positions): the plain
+    * multiplicative mix has no avalanche in its low bits, so sequential
+    * ids land in correlated buckets (measured: 80× the theoretical Bloom
+    * fp rate). Folding the high bits down fixes it; only the xor/shift
+    * SYNTAX differs between engines. */
+  private def mixFold(k: String, e: String, spark: Boolean): String = {
+    val a = s"(${mix(k, e)})"
+    if (spark) s"($a ^ shiftright($a, 16) ^ shiftright($a, 27))"
+    else s"xor(xor($a, $a >> 16), $a >> 27)"
+  }
+
   val all: Seq[Q] = Seq(
 
     // EXACT DISTINCT-COUNT ROLLUP via bitmap words: user ids are packed
@@ -150,6 +161,113 @@ object ScaleQueries {
              |               OR cast(ts AS DATE) = DATE '2024-01-06'
              |    THEN cast(round(value * 200) AS BIGINT)
              |    ELSE cast(round(value * 100) AS BIGINT) END) AS BIGINT) AS cents
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // HASH-COLLISION AUDIT — the Data Vault operational check that the
+    // hashkey space is collision-free: every business key across the
+    // hub domains (prefixed, so customer 7 ≠ order 7) must map to a
+    // distinct MD5. The full-width column proves zero collisions; the
+    // 5-hex-truncated shadow column deliberately provokes birthday
+    // collisions (16.5k keys into a 2^20 space) so the AUDIT ITSELF is
+    // exercised — a check that can't fire is no check. One distinct-agg
+    // pass; at 100 TB this is the same single shuffle on the hash.
+    Q("hash_collision_audit",
+      (s, dir) => {
+        val keys = rd(s, dir, "customer")
+          .select(concat(lit("C"), col("c_custkey")).as("bk"))
+          .unionByName(rd(s, dir, "orders")
+            .select(concat(lit("O"), col("o_orderkey")).as("bk")))
+        keys.select(col("bk"), lower(md5(col("bk"))).as("hk"))
+          .withColumn("hk5", substring(col("hk"), 1, 5))
+          .agg(count(lit(1)).as("n_keys"),
+            countDistinct(col("hk")).as("n_distinct_md5"),
+            (count(lit(1)) - countDistinct(col("hk"))).as("n_collisions_md5"),
+            countDistinct(col("hk5")).as("n_distinct_trunc5"),
+            (count(lit(1)) - countDistinct(col("hk5"))).as("n_collisions_trunc5"))
+      },
+      Some("""WITH keys AS (
+             |  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS bk FROM customer
+             |  UNION ALL
+             |  SELECT 'O' || CAST(o_orderkey AS VARCHAR) FROM orders),
+             |h AS (SELECT bk, lower(md5(bk)) AS hk,
+             |        substring(lower(md5(bk)), 1, 5) AS hk5 FROM keys)
+             |SELECT cast(count(*) AS BIGINT) AS n_keys,
+             |  cast(count(DISTINCT hk) AS BIGINT) AS n_distinct_md5,
+             |  cast(count(*) - count(DISTINCT hk) AS BIGINT) AS n_collisions_md5,
+             |  cast(count(DISTINCT hk5) AS BIGINT) AS n_distinct_trunc5,
+             |  cast(count(*) - count(DISTINCT hk5) AS BIGINT) AS n_collisions_trunc5
+             |FROM h""".stripMargin)),
+
+    // BLOOM-FILTER JOIN PRUNING — semi-join reduction in its cheapest
+    // form: the selective dim-key set (high-balance customers) folds to
+    // a 4096-bit Bloom filter (65 packed longs, k=3 portable hashes),
+    // the ~1 KB filter rides to the fact scan as ONE broadcast row, and
+    // facts failing any probe never reach the join shuffle. At 100 TB
+    // this is the difference between shuffling the whole fact table and
+    // shuffling the ~matching slice + a provably-bounded false-positive
+    // tail — which this query MEASURES (n_false_positive, fp_rate) by
+    // re-checking survivors against the real key set.
+    Q("bloom_join_prune",
+      (s, dir) => {
+        val dim = rd(s, dir, "customer")
+          .filter(col("c_acctbal") > 9000.0)
+          .select(col("c_custkey").as("k"))
+        val words = dim
+          .withColumn("j", explode(expr("sequence(0, 2)")))
+          .select(expr(s"(${mixFold("k", "j", spark = true)}) % 4096").as("pos"))
+          .select(expr("pos div 63").as("w"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("m"))
+          .groupBy("w").agg(expr("bit_or(m)").as("mask"))
+        val bloom = words.agg(
+          sort_array(collect_list(struct(col("w"), col("mask")))).as("wm"))
+        val probed = rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("k"))
+          .crossJoin(broadcast(bloom))
+        val member = (0 to 2).map { j =>
+          val pos = s"((${mixFold("k", j.toString, spark = true)}) % 4096)"
+          expr(s"""exists(wm, x -> x.w = ($pos div 63) AND
+                  |  (x.mask & shiftleft(CAST(1 AS BIGINT), CAST($pos % 63 AS INT))) != 0)"""
+            .stripMargin)
+        }.reduce(_ && _)
+        val pass = probed.filter(member).select(col("o_orderkey"), col("k"))
+        val trueMatch = pass.join(broadcast(dim), Seq("k"), "leftsemi")
+        val stats = rd(s, dir, "orders").agg(count(lit(1)).as("n_facts"))
+          .crossJoin(broadcast(pass.agg(count(lit(1)).as("n_pass_bloom"))))
+          .crossJoin(broadcast(trueMatch.agg(count(lit(1)).as("n_true_match"))))
+          .crossJoin(broadcast(dim.agg(count(lit(1)).as("n_dim_keys"))))
+        stats.select(col("n_facts"), col("n_pass_bloom"), col("n_true_match"),
+          (col("n_pass_bloom") - col("n_true_match")).as("n_false_positive"),
+          round((col("n_pass_bloom") - col("n_true_match")).cast("double") /
+            (col("n_facts") - col("n_true_match")) * 100.0, 3).as("fp_rate_pct"),
+          col("n_dim_keys"))
+      },
+      Some(s"""WITH dim AS (
+              |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+              |pos AS (SELECT (${mixFold("dim.k", "r.range", spark = false)}) % 4096 AS pos
+              |        FROM dim CROSS JOIN range(0, 3) r),
+              |words AS (SELECT pos // 63 AS w,
+              |            bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS mask
+              |          FROM pos GROUP BY 1),
+              |fb AS (SELECT o.o_orderkey, o.o_custkey AS k,
+              |         (${mixFold("o.o_custkey", "r.range", spark = false)}) % 4096 AS pos
+              |       FROM orders o CROSS JOIN range(0, 3) r),
+              |pass AS (
+              |  SELECT fb.o_orderkey, fb.k FROM fb
+              |  JOIN words w ON w.w = fb.pos // 63
+              |    AND (w.mask & (CAST(1 AS BIGINT) << CAST(fb.pos % 63 AS INT))) != 0
+              |  GROUP BY 1, 2 HAVING count(*) = 3),
+              |tm AS (SELECT count(*) AS n_true_match FROM pass
+              |       WHERE k IN (SELECT k FROM dim)),
+              |np AS (SELECT count(*) AS n_pass_bloom FROM pass),
+              |nf AS (SELECT count(*) AS n_facts FROM orders),
+              |nd AS (SELECT count(*) AS n_dim_keys FROM dim)
+              |SELECT cast(nf.n_facts AS BIGINT) AS n_facts,
+              |  cast(np.n_pass_bloom AS BIGINT) AS n_pass_bloom,
+              |  cast(tm.n_true_match AS BIGINT) AS n_true_match,
+              |  cast(np.n_pass_bloom - tm.n_true_match AS BIGINT) AS n_false_positive,
+              |  round(cast(np.n_pass_bloom - tm.n_true_match AS double) /
+              |    (nf.n_facts - tm.n_true_match) * 100.0, 3) AS fp_rate_pct,
+              |  cast(nd.n_dim_keys AS BIGINT) AS n_dim_keys
+              |FROM nf, np, tm, nd""".stripMargin))
   )
 }
