@@ -2002,9 +2002,11 @@ object DvQueries {
           val j = store.readTable("graft_q_bjoin_hub")
             .select(col("hk_customer_h"), col("custkey"))
             .join(store.readTable("graft_q_bjoin_sat"), Seq("hk_customer_h"))
-          val nExch = j.queryExecution.executedPlan.collect {
-            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-          }.size
+          // count exchanges in the plan STRING: under AQE the executed plan
+          // is an AdaptiveSparkPlanExec whose inner tree collect() skips,
+          // which would make this proof vacuously pass with 0
+          val nExch = "ShuffleExchange".r
+            .findAllIn(j.queryExecution.executedPlan.toString).size
           Seq((store.readTable("graft_q_bjoin_hub").count(),
             store.readTable("graft_q_bjoin_sat").count(),
             j.count(), nExch.toLong))

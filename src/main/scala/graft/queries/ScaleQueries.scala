@@ -268,6 +268,75 @@ object ScaleQueries {
               |  round(cast(np.n_pass_bloom - tm.n_true_match AS double) /
               |    (nf.n_facts - tm.n_true_match) * 100.0, 3) AS fp_rate_pct,
               |  cast(nd.n_dim_keys AS BIGINT) AS n_dim_keys
-              |FROM nf, np, tm, nd""".stripMargin))
+              |FROM nf, np, tm, nd""".stripMargin)),
+
+    // INCREMENTAL VIEW MAINTENANCE for a JOIN mart (insert-only): the
+    // orders⋈customer mart is maintained from base state + deltas as
+    // A₀⋈B₀ ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — each term joins a DELTA
+    // against a base, never recomputing the full join. At 100 TB the
+    // full recompute reshuffles everything daily; the delta plan's cost
+    // is O(Δ · match-rate). The oracle IS the full recompute, so any
+    // missing/duplicated term shows up as a red row.
+    Q("ivm_join_delta",
+      (s, dir) => {
+        val cut = to_timestamp(lit("2000-01-01 00:00:00"))
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("od"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val c = rd(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        val (o0, dO) = (o.filter(col("od") < cut), o.filter(col("od") >= cut))
+        val (c0, dC) = (c.filter(col("c_custkey") <= 1200),
+          c.filter(col("c_custkey") > 1200))
+        def term(a: DataFrame, b: DataFrame) =
+          a.join(b, a("o_custkey") === b("c_custkey"))
+            .select(col("o_orderkey"), col("segment"), col("cents"))
+        val maintained = term(o0, c0).unionByName(term(dO, c0))
+          .unionByName(term(o0, dC)).unionByName(term(dO, dC))
+        maintained.groupBy("segment")
+          .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+      },
+      Some("""SELECT c.c_mktsegment AS segment,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS cents
+             |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             |GROUP BY 1""".stripMargin)),
+
+    // JOIN-STRATEGY PROOF, driver-gated like filter_pushdown_proof: the
+    // dim-chain join (region → nation → customer; small sides ≤ 25
+    // rows) must plan BROADCAST hash joins — zero nested-loop or
+    // cartesian operators anywhere — and the plan facts are emitted AS
+    // COLUMNS the oracle pins. At 100 TB a dim join that falls off the
+    // broadcast path reshuffles the whole fact side; this query turns
+    // that regression into a red correctness row, not a slow night.
+    Q("join_strategy_proof",
+      (s, dir) => {
+        val q = rd(s, dir, "customer")
+          .join(broadcast(rd(s, dir, "nation")
+            .join(broadcast(rd(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("r_name").as("region"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_cents"))
+        // string inspection, not collect(): under AQE the executed plan is
+        // an AdaptiveSparkPlanExec whose inner tree collect() won't visit
+        val plan = q.queryExecution.executedPlan.toString
+        val nBhj = "BroadcastHashJoin".r.findAllIn(plan).size
+        val nLoop = "BroadcastNestedLoopJoin".r.findAllIn(plan).size +
+          "CartesianProduct".r.findAllIn(plan).size
+        q.withColumn("both_joins_broadcast", lit(nBhj >= 2))
+          .withColumn("no_loop_joins", lit(nLoop == 0))
+      },
+      Some("""SELECT r.r_name AS region,
+             |  cast(count(*) AS BIGINT) AS n_customers,
+             |  cast(sum(cast(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS acctbal_cents,
+             |  TRUE AS both_joins_broadcast, TRUE AS no_loop_joins
+             |FROM customer c
+             |JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |JOIN region r ON r.r_regionkey = n.n_regionkey
+             |GROUP BY 1""".stripMargin))
   )
 }
