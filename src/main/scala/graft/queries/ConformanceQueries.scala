@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-surface conformance: the complex-type (array/map) processing
+  * and NULL-semantics corners where SQL engines classically diverge.
+  * Each query exercises the Spark surface (higher-order functions, map
+  * aggregation, null-safe joins) and is pinned to DuckDB's answer for
+  * the same relational content — if the engines disagree on semantics,
+  * the row goes red.
+  */
+object ConformanceQueries {
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  val all: Seq[Q] = Seq(
+
+    // ARRAY HIGHER-ORDER FUNCTIONS: each order's lineitems collected to
+    // ONE ordered array, then every metric computed inside the array via
+    // codegen'd HOFs — aggregate() for the rolling sum, exists() for the
+    // flag scan — never a second shuffle or a re-join. The shape matters
+    // at 100 TB: collect_list keeps the per-key payload in the one
+    // groupBy, and all downstream "per-group loops" are per-row
+    // expressions. The oracle computes the same metrics relationally, so
+    // the HOF arithmetic is pinned to plain SQL aggregation.
+    Q("array_hof_metrics",
+      (s, dir) => {
+        rd(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            struct(col("l_linenumber"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"),
+              (col("l_returnflag") === "R").as("ret")).as("it"))
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("it"))).as("items"))
+          .select(col("l_orderkey"),
+            size(col("items")).as("n_items"),
+            expr("aggregate(items, CAST(0 AS BIGINT), (acc, x) -> acc + x.cents)")
+              .as("gross_cents"),
+            round(expr("aggregate(items, CAST(0 AS BIGINT), " +
+              "(acc, x) -> CASE WHEN x.cents > acc THEN x.cents ELSE acc END)")
+              .cast("double") /
+              expr("aggregate(items, CAST(0 AS BIGINT), (acc, x) -> acc + x.cents)"),
+              4).as("top_share"),
+            expr("exists(items, x -> x.ret)").as("any_returned"))
+      },
+      Some("""SELECT l_orderkey,
+             |  cast(count(*) AS INT) AS n_items,
+             |  cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS gross_cents,
+             |  round(cast(max(cast(round(l_extendedprice * 100) AS BIGINT)) AS double)
+             |    / sum(cast(round(l_extendedprice * 100) AS BIGINT)), 4) AS top_share,
+             |  bool_or(l_returnflag = 'R') AS any_returned
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // MAP-TYPE AGGREGATION: per user the event_type→count MAP is built
+    // with map_from_entries after ONE pre-aggregation, then every output
+    // is a map lookup/fold — element_at for point reads,
+    // aggregate(map_values) for the total — keeping the per-user
+    // profile a single nested value, the layout a 100 TB feature store
+    // serves (one row per entity, nested features inside). Scalars only
+    // leave the query, pinned to the relational answer.
+    Q("map_type_roundtrip",
+      (s, dir) => {
+        rd(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(map_from_entries(
+            sort_array(collect_list(struct(col("event_type"), col("n")))))
+            .as("profile"))
+          .select(col("user_id"),
+            size(col("profile")).as("n_types"),
+            coalesce(element_at(col("profile"), "click"), lit(0L)).as("clicks"),
+            round(coalesce(element_at(col("profile"), "purchase"), lit(0L))
+              .cast("double") /
+              expr("aggregate(map_values(profile), CAST(0 AS BIGINT), (a, x) -> a + x)"),
+              4).as("purchase_share"))
+      },
+      Some("""SELECT user_id,
+             |  cast(count(DISTINCT event_type) AS INT) AS n_types,
+             |  cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS clicks,
+             |  round(cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |    AS double) / count(*), 4) AS purchase_share
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // NULL-SEMANTICS CONFORMANCE — the corners engines classically get
+    // wrong, pinned cross-engine in one row: `=` drops NULL keys while
+    // null-safe equality (`<=>` / IS NOT DISTINCT FROM) matches them;
+    // NOT IN over a set CONTAINING a NULL is three-valued-logic empty
+    // while NOT EXISTS still works; DISTINCT counts one NULL bucket;
+    // GROUP BY puts all NULLs in one group. The vault's anti-join
+    // loaders (J1/J2) rely on exactly these rules — this query keeps
+    // both engines honest about them.
+    Q("null_semantics_conformance",
+      (s, dir) => {
+        val n = rd(s, dir, "nation")
+          .select(col("n_nationkey").as("k"),
+            when(col("n_nationkey") % 5 === 0, lit(null).cast("long"))
+              .otherwise(col("n_regionkey")).as("rk"))
+        val a = n.select(col("k").as("ka"), col("rk").as("ra"))
+        val b = n.select(col("k").as("kb"), col("rk").as("rb"))
+        val eqJoin = a.join(b, col("ra") === col("rb"))
+          .agg(count(lit(1)).as("c")).select(col("c").as("eq_join_rows"))
+        val nsJoin = a.join(b, col("ra") <=> col("rb"))
+          .agg(count(lit(1)).as("c")).select(col("c").as("null_safe_join_rows"))
+        // NOT IN (set with NULL) via SQL to get true three-valued logic
+        n.createOrReplaceTempView("graft_null_conf")
+        val s2 = n.sparkSession
+        val notInRows = s2.sql(
+          """SELECT count(*) AS c FROM graft_null_conf
+            |WHERE k NOT IN (SELECT rk FROM graft_null_conf)""".stripMargin)
+          .select(col("c").as("not_in_with_null_rows"))
+        val notExistsRows = s2.sql(
+          """SELECT count(*) AS c FROM graft_null_conf t
+            |WHERE NOT EXISTS (SELECT 1 FROM graft_null_conf u WHERE u.rk = t.k)""".stripMargin)
+          .select(col("c").as("not_exists_rows"))
+        val distinctNulls = n.agg(
+          countDistinct(col("rk")).as("count_distinct_non_null"))
+        val groups = n.groupBy("rk").agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("group_by_buckets"),
+            sum(when(col("rk").isNull, col("cnt")).otherwise(0L)).as("null_bucket_rows"))
+        eqJoin.crossJoin(broadcast(nsJoin))
+          .crossJoin(broadcast(notInRows))
+          .crossJoin(broadcast(notExistsRows))
+          .crossJoin(broadcast(distinctNulls))
+          .crossJoin(broadcast(groups))
+      },
+      Some("""WITH n AS (
+             |  SELECT n_nationkey AS k,
+             |    CASE WHEN n_nationkey % 5 = 0 THEN NULL
+             |         ELSE n_regionkey END AS rk
+             |  FROM nation)
+             |SELECT
+             |  (SELECT cast(count(*) AS BIGINT) FROM n a JOIN n b ON a.rk = b.rk)
+             |    AS eq_join_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM n a JOIN n b
+             |     ON a.rk IS NOT DISTINCT FROM b.rk) AS null_safe_join_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM n
+             |     WHERE k NOT IN (SELECT rk FROM n)) AS not_in_with_null_rows,
+             |  (SELECT cast(count(*) AS BIGINT) FROM n t
+             |     WHERE NOT EXISTS (SELECT 1 FROM n u WHERE u.rk = t.k))
+             |    AS not_exists_rows,
+             |  (SELECT cast(count(DISTINCT rk) AS BIGINT) FROM n)
+             |    AS count_distinct_non_null,
+             |  (SELECT cast(count(*) AS BIGINT) FROM
+             |     (SELECT rk FROM n GROUP BY rk)) AS group_by_buckets,
+             |  (SELECT cast(count(*) AS BIGINT) FROM n WHERE rk IS NULL)
+             |    AS null_bucket_rows""".stripMargin))
+  )
+}
