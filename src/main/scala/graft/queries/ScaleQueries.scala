@@ -218,22 +218,36 @@ object ScaleQueries {
           .select(expr("pos div 63").as("w"),
             expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("m"))
           .groupBy("w").agg(expr("bit_or(m)").as("mask"))
-        val bloom = words.agg(
-          sort_array(collect_list(struct(col("w"), col("mask")))).as("wm"))
-        val probed = rd(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey").as("k"))
-          .crossJoin(broadcast(bloom))
+        // membership via THREE broadcast hash joins on word id — the whole
+        // probe stays in whole-stage codegen. (Earlier shapes measured at
+        // sf0.1: hash inlined in an array-exists lambda 8.7s, lambda with
+        // projected positions 4.3s — array HOFs are interpreted, not
+        // codegen'd — this plan ~1s.) Probe positions are projected once
+        // per row; a missing word joins to NULL and fails the bit test.
+        val withPos = (0 to 2).foldLeft(
+          rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey").as("k"))) {
+          (d, j) =>
+            d.withColumn(s"p$j",
+                expr(s"(${mixFold("k", j.toString, spark = true)}) % 4096"))
+              .withColumn(s"w$j", expr(s"p$j div 63"))
+              .withColumn(s"m$j",
+                expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p$j % 63 AS INT))"))
+        }
+        val probed = (0 to 2).foldLeft(withPos) { (d, j) =>
+          d.join(broadcast(words.select(col("w").as(s"w$j"),
+            col("mask").as(s"mask$j"))), Seq(s"w$j"), "left")
+        }
         val member = (0 to 2).map { j =>
-          val pos = s"((${mixFold("k", j.toString, spark = true)}) % 4096)"
-          expr(s"""exists(wm, x -> x.w = ($pos div 63) AND
-                  |  (x.mask & shiftleft(CAST(1 AS BIGINT), CAST($pos % 63 AS INT))) != 0)"""
-            .stripMargin)
+          col(s"mask$j").isNotNull &&
+            (col(s"mask$j").bitwiseAND(col(s"m$j")) =!= 0L)
         }.reduce(_ && _)
-        val pass = probed.filter(member).select(col("o_orderkey"), col("k"))
-        val trueMatch = pass.join(broadcast(dim), Seq("k"), "leftsemi")
-        val stats = rd(s, dir, "orders").agg(count(lit(1)).as("n_facts"))
-          .crossJoin(broadcast(pass.agg(count(lit(1)).as("n_pass_bloom"))))
-          .crossJoin(broadcast(trueMatch.agg(count(lit(1)).as("n_true_match"))))
+        val flagged = probed
+          .withColumn("pass_bloom", member)
+          .join(broadcast(dim.withColumn("in_dim", lit(true))), Seq("k"), "left")
+        val stats = flagged.agg(count(lit(1)).as("n_facts"),
+            sum(when(col("pass_bloom"), 1L).otherwise(0L)).as("n_pass_bloom"),
+            sum(when(col("pass_bloom") && col("in_dim").isNotNull, 1L)
+              .otherwise(0L)).as("n_true_match"))
           .crossJoin(broadcast(dim.agg(count(lit(1)).as("n_dim_keys"))))
         stats.select(col("n_facts"), col("n_pass_bloom"), col("n_true_match"),
           (col("n_pass_bloom") - col("n_true_match")).as("n_false_positive"),
@@ -337,6 +351,164 @@ object ScaleQueries {
              |FROM customer c
              |JOIN nation n ON n.n_nationkey = c.c_nationkey
              |JOIN region r ON r.r_regionkey = n.n_regionkey
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // SAMPLE-BASED QUERY ESTIMATION (AQUA-style): total purchase revenue
+    // estimated from a DETERMINISTIC 10% cluster sample of users —
+    // sampling unit = user, membership = portable hash, so every
+    // engine/run picks the identical sample and the estimate is
+    // reproducible. The scan touches 10% of the data; the Horvitz-
+    // Thompson scale-up and the between-user-variance 95% CI come from
+    // the sample alone. The exact answer rides along to expose the
+    // realized error. At 100 TB this is the interactive tier: a bounded
+    // scan with a calibrated error bar instead of the full pass.
+    Q("sampled_query_estimate",
+      (s, dir) => {
+        val perUser = rd(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val sample = perUser
+          .filter(expr(s"(${mixFold("user_id", "0", spark = true)}) % 100 < 10"))
+        val est = sample.agg(
+          count(lit(1)).as("n_users_sampled"),
+          sum("cents").as("sample_cents"),
+          stddev_samp(col("cents").cast("double")).as("sd"))
+        val exact = perUser.agg(sum("cents").as("exact_cents"),
+          count(lit(1)).as("n_users_total"))
+        exact.crossJoin(broadcast(est))
+          .select(col("exact_cents"), col("n_users_total"), col("n_users_sampled"),
+            (col("sample_cents") * 10).as("est_cents"),
+            round(abs(col("sample_cents") * 10 - col("exact_cents")).cast("double") /
+              col("exact_cents") * 100.0, 2).as("rel_err_pct"),
+            round(col("sample_cents") * 10 - lit(1.96) * lit(10.0) *
+              sqrt(col("n_users_sampled")) * col("sd"), 0).as("ci95_lo"),
+            round(col("sample_cents") * 10 + lit(1.96) * lit(10.0) *
+              sqrt(col("n_users_sampled")) * col("sd"), 0).as("ci95_hi"))
+      },
+      Some(s"""WITH pu AS (
+              |  SELECT user_id, cast(sum(cast(round(value * 100) AS BIGINT))
+              |    AS BIGINT) AS cents
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              |sam AS (SELECT * FROM pu
+              |        WHERE (${mixFold("user_id", "0", spark = false)}) % 100 < 10),
+              |est AS (SELECT cast(count(*) AS BIGINT) AS n_users_sampled,
+              |          cast(sum(cents) AS BIGINT) AS sample_cents,
+              |          stddev_samp(cast(cents AS double)) AS sd FROM sam),
+              |ex AS (SELECT cast(sum(cents) AS BIGINT) AS exact_cents,
+              |         cast(count(*) AS BIGINT) AS n_users_total FROM pu)
+              |SELECT ex.exact_cents, ex.n_users_total, est.n_users_sampled,
+              |  cast(est.sample_cents * 10 AS BIGINT) AS est_cents,
+              |  round(abs(cast(est.sample_cents * 10 - ex.exact_cents AS double))
+              |    / ex.exact_cents * 100.0, 2) AS rel_err_pct,
+              |  round(est.sample_cents * 10 - 1.96 * 10.0 *
+              |    sqrt(est.n_users_sampled) * est.sd, 0) AS ci95_lo,
+              |  round(est.sample_cents * 10 + 1.96 * 10.0 *
+              |    sqrt(est.n_users_sampled) * est.sd, 0) AS ci95_hi
+              |FROM ex CROSS JOIN est""".stripMargin)),
+
+    // MERKLE CONTENT CHECKSUM — order-independent table fingerprinting
+    // for cross-replica anti-entropy: every row folds to an md5 over a
+    // canonical string encoding (cents for floats, explicit timestamp
+    // format — never raw double/ts rendering, which engines print
+    // differently), rows bucket by their hash's first 2 hex chars
+    // (≤256 bounded groups), each bucket digests its SORTED row hashes,
+    // and the root digests the sorted bucket digests. Two replicas
+    // compare roots, then only the differing buckets — O(tree) repair
+    // traffic instead of re-shipping 100 TB. Tables differing in ANY
+    // row value produce different roots; row order never matters.
+    Q("content_checksum_manifest",
+      (s, dir) => {
+        def fingerprint(df: DataFrame, table: String, rowStr: org.apache.spark.sql.Column) = {
+          val rows = df.select(md5(rowStr).as("h"))
+          val buckets = rows.groupBy(substring(col("h"), 1, 2).as("b"))
+            .agg(md5(concat_ws("", sort_array(collect_list(col("h"))))).as("d"),
+              count(lit(1)).as("n"))
+          buckets.agg(
+            md5(concat_ws("", sort_array(collect_list(concat(col("b"), col("d"))))))
+              .as("merkle_root"),
+            sum("n").as("n_rows"))
+            .withColumn("table_name", lit(table))
+        }
+        val c = fingerprint(rd(s, dir, "customer"), "customer",
+          concat_ws("|", col("c_custkey"), col("c_name"),
+            round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment")))
+        val o = fingerprint(rd(s, dir, "orders"), "orders",
+          concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long"),
+            date_format(col("o_orderdate").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")))
+        val n = fingerprint(rd(s, dir, "nation"), "nation",
+          concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+        c.unionByName(o).unionByName(n)
+          .select(col("table_name"), col("n_rows"), col("merkle_root"))
+      },
+      Some("""WITH rows_c AS (SELECT md5(c_custkey || '|' || c_name || '|' ||
+             |    CAST(cast(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) || '|' ||
+             |    c_mktsegment) AS h FROM customer),
+             |rows_o AS (SELECT md5(o_orderkey || '|' || o_custkey || '|' ||
+             |    o_orderstatus || '|' ||
+             |    CAST(cast(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+             |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS h FROM orders),
+             |rows_n AS (SELECT md5(n_nationkey || '|' || n_name || '|' ||
+             |    CAST(n_regionkey AS VARCHAR)) AS h FROM nation),
+             |f AS (
+             |  SELECT 'customer' AS table_name, h FROM rows_c
+             |  UNION ALL SELECT 'orders', h FROM rows_o
+             |  UNION ALL SELECT 'nation', h FROM rows_n),
+             |b AS (SELECT table_name, substring(h, 1, 2) AS bk,
+             |        md5(string_agg(h, '' ORDER BY h)) AS d,
+             |        count(*) AS n
+             |      FROM f GROUP BY 1, 2)
+             |SELECT table_name, cast(sum(n) AS BIGINT) AS n_rows,
+             |  md5(string_agg(bk || d, '' ORDER BY bk || d)) AS merkle_root
+             |FROM b GROUP BY 1""".stripMargin)),
+
+    // WATERMARK DISORDER PROFILE: how late does data really arrive?
+    // Arrival order is simulated with a deterministic per-event network
+    // delay (portable hash, 0-299 s); lateness of an event = the max
+    // event-time already seen in its user's arrival stream minus its own
+    // event-time. The emitted quantiles are exactly the numbers that
+    // calibrate `withWatermark` — pick the p99 and the streaming
+    // pipeline drops <1% while bounding state. One per-user window +
+    // one global aggregate; no global sort.
+    Q("watermark_disorder_profile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = rd(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            col("ts").cast("timestamp").cast("double").as("ets"))
+          .withColumn("arrival",
+            col("ets") + expr(s"(${mixFold("event_id", "1", spark = true)}) % 300"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("arrival"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("late_s", max(col("ets")).over(w) - col("ets"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(when(col("late_s") > 0.0, 1L).otherwise(0L)).cast("double") /
+              count(lit(1)) * 100.0, 2).as("pct_late"),
+            round(expr("percentile(late_s, 0.5)"), 2).as("p50_late_s"),
+            round(expr("percentile(late_s, 0.95)"), 2).as("p95_late_s"),
+            round(expr("percentile(late_s, 0.99)"), 2).as("p99_late_s"),
+            round(max("late_s"), 2).as("max_late_s"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, epoch(ts) AS ets,
+              |    epoch(ts) + (${mixFold("event_id", "1", spark = false)}) % 300
+              |      AS arrival
+              |  FROM events),
+              |l AS (
+              |  SELECT ets, max(ets) OVER (PARTITION BY user_id
+              |    ORDER BY arrival, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ets
+              |    AS late_s
+              |  FROM e)
+              |SELECT cast(count(*) AS BIGINT) AS n_events,
+              |  round(cast(sum(CASE WHEN late_s > 0.0 THEN 1 ELSE 0 END) AS double)
+              |    / count(*) * 100.0, 2) AS pct_late,
+              |  round(quantile_cont(late_s, 0.5), 2) AS p50_late_s,
+              |  round(quantile_cont(late_s, 0.95), 2) AS p95_late_s,
+              |  round(quantile_cont(late_s, 0.99), 2) AS p99_late_s,
+              |  round(max(late_s), 2) AS max_late_s
+              |FROM l""".stripMargin))
   )
 }
