@@ -148,6 +148,64 @@ object ConformanceQueries {
              |  (SELECT cast(count(*) AS BIGINT) FROM
              |     (SELECT rk FROM n GROUP BY rk)) AS group_by_buckets,
              |  (SELECT cast(count(*) AS BIGINT) FROM n WHERE rk IS NULL)
-             |    AS null_bucket_rows""".stripMargin))
+             |    AS null_bucket_rows""".stripMargin)),
+
+    // TYPED AGGREGATOR (Dataset-native UDAF): geometric mean of order
+    // value per market segment through a case-class Dataset and a
+    // custom Aggregator whose (Σ ln x, n) buffer merges associatively —
+    // Spark runs it with map-side partial aggregation exactly like a
+    // built-in, and the typed fold can enforce domain invariants the
+    // Column API can't. Pinned to the relational exp(avg(ln x)).
+    Q("typed_geomean_agg",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.TypedOps
+        val ds = rd(s, dir, "orders")
+          .join(rd(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"),
+            col("o_totalprice").as("price"))
+          .as[TypedOps.SegPrice]
+        ds.groupByKey(_.segment)
+          .agg(TypedOps.GeoMean.toColumn.name("geomean"))
+          .select(col("key").as("segment"),
+            round(col("geomean"), 2).as("geomean_price"))
+      },
+      Some("""SELECT c.c_mktsegment AS segment,
+             |  round(exp(avg(ln(o.o_totalprice))), 2) AS geomean_price
+             |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             |GROUP BY 1""".stripMargin)),
+
+    // TYPED flatMapGroups: longest consecutive-day activity streak per
+    // user — genuinely imperative per-group logic (a linear scan over
+    // the user's sorted day list) expressed through groupByKey on a
+    // case-class Dataset. The input is pre-DISTINCTed to (user, day), so
+    // group state is bounded by calendar span, not event volume. The
+    // oracle recomputes the streak relationally via gaps-and-islands.
+    Q("typed_longest_streak",
+      (s, dir) => {
+        import s.implicits._
+        import graft.ops.TypedOps
+        rd(s, dir, "events")
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("2024-01-01")).as("epoch_day"))
+          .distinct()
+          .map(r => TypedOps.ActiveDay(r.getLong(0), r.getInt(1)))
+          .groupByKey(_.userId)
+          .mapGroups((k, it) => TypedOps.longestStreak(k, it.map(_.epochDay)))
+          .toDF()
+      },
+      Some("""WITH d AS (
+             |  SELECT DISTINCT user_id,
+             |    datediff('day', DATE '2024-01-01', cast(ts AS DATE)) AS ed
+             |  FROM events),
+             |r AS (SELECT user_id, ed, row_number() OVER
+             |        (PARTITION BY user_id ORDER BY ed) AS rn FROM d),
+             |isl AS (SELECT user_id, cast(count(*) AS INT) AS len
+             |        FROM r GROUP BY user_id, ed - rn)
+             |SELECT i.user_id, cast(max(i.len) AS INT) AS longest_streak,
+             |  (SELECT cast(count(*) AS INT) FROM d WHERE d.user_id = i.user_id)
+             |    AS n_active_days
+             |FROM isl i GROUP BY i.user_id""".stripMargin))
   )
 }
