@@ -206,6 +206,136 @@ object ConformanceQueries {
              |SELECT i.user_id, cast(max(i.len) AS INT) AS longest_streak,
              |  (SELECT cast(count(*) AS INT) FROM d WHERE d.user_id = i.user_id)
              |    AS n_active_days
-             |FROM isl i GROUP BY i.user_id""".stripMargin))
+             |FROM isl i GROUP BY i.user_id""".stripMargin)),
+
+    // RECURSIVE CTE (Spark 4.x WITH RECURSIVE): every key climbs a
+    // synthetic binary-tree hierarchy (parent = k div 2) to the root,
+    // and the recursion depth histogram is emitted. The iteration count
+    // is O(log maxKey) — recursion depth, not data volume, bounds the
+    // plan — the shape that makes hierarchy walks feasible at 100 TB.
+    // DuckDB runs the semantically identical recursion as the oracle.
+    Q("recursive_cte_hierarchy",
+      (s, dir) => {
+        rd(s, dir, "customer").select(col("c_custkey"))
+          .createOrReplaceTempView("graft_rec_keys")
+        s.sql("""WITH RECURSIVE anc AS (
+                |  SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth
+                |  FROM graft_rec_keys
+                |  UNION ALL
+                |  SELECT k, cur DIV 2, depth + 1 FROM anc WHERE cur > 1)
+                |SELECT depth, count(*) AS n_keys
+                |FROM anc WHERE cur = 1
+                |GROUP BY depth""".stripMargin)
+          .select(col("depth"), col("n_keys"))
+      },
+      Some("""WITH RECURSIVE anc AS (
+             |  SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth FROM customer
+             |  UNION ALL
+             |  SELECT k, cur // 2, depth + 1 FROM anc WHERE cur > 1)
+             |SELECT cast(depth AS INT) AS depth,
+             |  cast(count(*) AS BIGINT) AS n_keys
+             |FROM anc WHERE cur = 1 GROUP BY depth""".stripMargin)),
+
+    // SCHEMA EVOLUTION via mergeSchema: batch 1 lands WITHOUT the
+    // event_type column, batch 2 WITH it; one mergeSchema read serves
+    // the union schema, nulling the missing column for old files — the
+    // append-only schema-widening contract a long-lived 100 TB corpus
+    // needs (no rewrite of historical files). Null accounting per batch
+    // is pinned to the source-side oracle.
+    Q("schema_evolution_merge",
+      (s, dir) => {
+        val base = DvQueries.tmpWarehouse("graft_schevo") + "/t"
+        val e = rd(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"),
+            col("event_type"), to_date(col("ts").cast("timestamp")).as("day"))
+        e.filter(col("day") <= "2024-01-10")
+          .select("event_id", "user_id", "cents")
+          .write.mode("overwrite").parquet(s"$base/batch=1")
+        e.filter(col("day") > "2024-01-10")
+          .select("event_id", "user_id", "cents", "event_type")
+          .write.mode("overwrite").parquet(s"$base/batch=2")
+        s.read.option("mergeSchema", "true").parquet(base)
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_null_type"),
+            countDistinct(col("event_type")).as("n_types"),
+            sum("cents").as("cents"))
+      },
+      Some("""SELECT cast(1 AS INT) AS batch,
+             |  cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(count(*) AS BIGINT) AS n_null_type,
+             |  cast(0 AS BIGINT) AS n_types,
+             |  cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events WHERE cast(ts AS DATE) <= DATE '2024-01-10'
+             |UNION ALL
+             |SELECT cast(2 AS INT), cast(count(*) AS BIGINT),
+             |  cast(0 AS BIGINT),
+             |  cast(count(DISTINCT event_type) AS BIGINT),
+             |  cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT)
+             |FROM events WHERE cast(ts AS DATE) > DATE '2024-01-10'""".stripMargin)),
+
+    // CSV + JSON SOURCE ROUNDTRIP: the same frame writes through both
+    // text formats and reads back with an EXPLICIT schema (never
+    // inferSchema — a schema inference pass is a full extra scan at
+    // 100 TB), then proves value preservation against the parquet
+    // source. Doubles survive because both writers emit the shortest
+    // round-trippable decimal; timestamps travel as explicit micros.
+    Q("csv_json_source_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val base = DvQueries.tmpWarehouse("graft_textsrc")
+        val e = rd(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType),
+          StructField("ts_us", LongType)))
+        e.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+        e.write.mode("overwrite").json(s"$base/json")
+        def agg(df: org.apache.spark.sql.DataFrame, fmt: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+            countDistinct("user_id").as("n_users"),
+            sum(round(col("value") * 100).cast("long")).as("cents"),
+            max("ts_us").as("max_ts_us"))
+            .withColumn("format", lit(fmt))
+        agg(s.read.option("header", "true").schema(schema).csv(s"$base/csv"), "csv")
+          .unionByName(agg(s.read.schema(schema).json(s"$base/json"), "json"))
+      },
+      Some("""SELECT f.format, cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |  cast(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+             |FROM events CROSS JOIN (SELECT 'csv' AS format
+             |  UNION ALL SELECT 'json') f
+             |GROUP BY 1""".stripMargin)),
+
+    // COMPRESSION CODEC REPORT: identical data written uncompressed /
+    // snappy / zstd, sizes measured from the files — the storage-cost
+    // knob a 100 TB estate turns first (zstd over snappy is typically
+    // ~25-40% smaller at similar scan speed). Size ORDERING is asserted
+    // (byte counts are layout-dependent); row parity is proven by
+    // reading the zstd copy back.
+    Q("compression_codec_report",
+      (s, dir) => {
+        val base = DvQueries.tmpWarehouse("graft_codec")
+        val o = rd(s, dir, "orders")
+        def bytes(p: String): Long = {
+          val d = new java.io.File(p)
+          d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        }
+        o.write.mode("overwrite").option("compression", "none").parquet(s"$base/none")
+        o.write.mode("overwrite").option("compression", "snappy").parquet(s"$base/snappy")
+        o.write.mode("overwrite").option("compression", "zstd").parquet(s"$base/zstd")
+        val (bn, bs, bz) = (bytes(s"$base/none"), bytes(s"$base/snappy"), bytes(s"$base/zstd"))
+        s.read.parquet(s"$base/zstd")
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("zstd_lt_snappy", lit(bz < bs))
+          .withColumn("snappy_lt_none", lit(bs < bn))
+      },
+      Some("""SELECT cast(count(*) AS BIGINT) AS n_rows,
+             |  TRUE AS zstd_lt_snappy, TRUE AS snappy_lt_none
+             |FROM orders""".stripMargin))
   )
 }
