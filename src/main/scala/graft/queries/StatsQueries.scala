@@ -340,6 +340,131 @@ object StatsQueries {
              |    AND o2.o_orderdate >= o.o_orderdate
              |    AND o2.o_totalprice >= o.o_totalprice
              |    AND (o2.o_orderdate > o.o_orderdate
-             |         OR o2.o_totalprice > o.o_totalprice))""".stripMargin))
+             |         OR o2.o_totalprice > o.o_totalprice))""".stripMargin)),
+
+    // ABC (Pareto) CLASSIFICATION of parts by revenue, WITHIN brand: the
+    // cumulative-share scan runs per brand (bounded partitions — never
+    // the tempting global ORDER BY revenue), classing each part A/B/C at
+    // the 80%/95% cumulative boundaries. Ordering is total (revenue
+    // desc, partkey) so the class assignment is reproducible. Output is
+    // the per-brand class census an inventory policy consumes.
+    Q("abc_classification",
+      (s, dir) => {
+        val rev = rd(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+          .join(rd(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+        val w = Window.partitionBy("p_brand")
+          .orderBy(col("cents").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("p_brand")
+        val classed = rev
+          .withColumn("cum", sum("cents").over(w))
+          .withColumn("share", col("cum").cast("double") /
+            sum("cents").over(tot).cast("double"))
+          .withColumn("abc", when(col("share") <= 0.8, "A")
+            .when(col("share") <= 0.95, "B").otherwise("C"))
+        classed.groupBy("p_brand", "abc")
+          .agg(count(lit(1)).as("n_parts"),
+            round(sum("cents").cast("double") / 100.0, 2).as("revenue"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT p.p_brand, l.l_partkey,
+             |    cast(sum(cast(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |  GROUP BY 1, 2),
+             |c AS (
+             |  SELECT p_brand, cents,
+             |    cast(sum(cents) OVER (PARTITION BY p_brand
+             |      ORDER BY cents DESC, l_partkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) /
+             |    sum(cents) OVER (PARTITION BY p_brand) AS share
+             |  FROM rev)
+             |SELECT p_brand,
+             |  CASE WHEN share <= 0.8 THEN 'A'
+             |       WHEN share <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+             |  cast(count(*) AS BIGINT) AS n_parts,
+             |  round(cast(sum(cents) AS double) / 100.0, 2) AS revenue
+             |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    // HHI SUPPLY CONCENTRATION: Herfindahl-Hirschman index of supplier
+    // revenue share per nation — the supply-chain-risk rollup. Two
+    // bounded aggregations (supplier revenue, then Σ share² per nation);
+    // shares square inside the nation group, so the whole thing is
+    // shuffle-partitioned by nation with no window at all.
+    Q("hhi_concentration",
+      (s, dir) => {
+        val srev = rd(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+          .join(rd(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(rd(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+        val natTot = srev.groupBy("n_name")
+          .agg(sum("cents").as("nat_cents"), count(lit(1)).as("n_suppliers"))
+        srev.join(natTot, Seq("n_name"))
+          .groupBy(col("n_name").as("nation"), col("n_suppliers"))
+          .agg(round(sum(pow(col("cents").cast("double") /
+              col("nat_cents").cast("double"), 2.0)) * 10000.0, 1).as("hhi"),
+            round(max("cents").cast("double") /
+              max("nat_cents").cast("double") * 100.0, 2).as("top_share_pct"))
+      },
+      Some("""WITH srev AS (
+             |  SELECT n.n_name,
+             |    cast(sum(cast(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM lineitem l
+             |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |  GROUP BY n.n_name, l.l_suppkey),
+             |tot AS (SELECT n_name, cast(sum(cents) AS BIGINT) AS nat,
+             |          cast(count(*) AS BIGINT) AS ns
+             |        FROM srev GROUP BY 1)
+             |SELECT t.n_name AS nation, t.ns AS n_suppliers,
+             |  round(sum(pow(cast(s.cents AS double) / cast(t.nat AS double), 2))
+             |    * 10000.0, 1) AS hhi,
+             |  round(cast(max(s.cents) AS double) / cast(t.nat AS double) * 100.0, 2)
+             |    AS top_share_pct
+             |FROM srev s JOIN tot t USING (n_name)
+             |GROUP BY t.n_name, t.ns, t.nat""".stripMargin)),
+
+    // SHIP-LATENCY SLA REPORT: order→ship latency percentiles and the
+    // beyond-90-days breach share, per order priority — the operational
+    // SLA rollup. One equi-join on orderkey (both sides huge at scale —
+    // plain shuffle join, AQE handles skew), one grouped aggregate with
+    // exact percentiles (approx_percentile at real scale, same plan
+    // shape).
+    Q("ship_latency_sla",
+      (s, dir) => {
+        rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate").cast("timestamp").as("sd"))
+          .join(rd(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              col("o_orderdate").cast("timestamp").as("od")),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("lat_days", datediff(to_date(col("sd")), to_date(col("od"))))
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_lines"),
+            round(expr("percentile(lat_days, 0.5)"), 1).as("p50_days"),
+            round(expr("percentile(lat_days, 0.95)"), 1).as("p95_days"),
+            round(sum(when(col("lat_days") > 90, 1L).otherwise(0L)).cast("double") /
+              count(lit(1)) * 100.0, 2).as("breach_pct"))
+      },
+      Some("""SELECT o.o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_lines,
+             |  round(quantile_cont(datediff('day', cast(o.o_orderdate AS DATE),
+             |    cast(l.l_shipdate AS DATE)), 0.5), 1) AS p50_days,
+             |  round(quantile_cont(datediff('day', cast(o.o_orderdate AS DATE),
+             |    cast(l.l_shipdate AS DATE)), 0.95), 1) AS p95_days,
+             |  round(cast(sum(CASE WHEN datediff('day', cast(o.o_orderdate AS DATE),
+             |    cast(l.l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS double)
+             |    / count(*) * 100.0, 2) AS breach_pct
+             |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |GROUP BY 1""".stripMargin))
   )
 }
