@@ -3727,7 +3727,75 @@ object SimQueries {
              |        s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
              |    FROM e, c1)
              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) = 1)
-             |SELECT vec_id, cast(k AS int) AS cell, round(d2, 4) AS d2 FROM a2""".stripMargin))
+             |SELECT vec_id, cast(k AS int) AS cell, round(d2, 4) AS d2 FROM a2""".stripMargin)),
+
+    // kNN LABEL-NOISE AUDIT (confident-learning style): each vector's
+    // top-5 cosine neighbors vote; a strict majority (≥3) disagreeing
+    // with the vector's own label flags it as a suspected labeling
+    // error. Candidates come from SIGN-BUCKET blocking (first 3 dims'
+    // signs → 8 cells, equi-join) — never the all-pairs cross join; at
+    // 100 TB the cells become LSH/IVF buckets, same plan shape. Output
+    // is the per-label flag census a dataset-quality pass consumes.
+    Q("knn_label_noise",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def bucket(c: org.apache.spark.sql.Column) =
+          (when(element_at(c, 1) >= 0f, 4).otherwise(0) +
+            when(element_at(c, 2) >= 0f, 2).otherwise(0) +
+            when(element_at(c, 3) >= 0f, 1).otherwise(0))
+        val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
+          .withColumn("bkt", bucket(col("embedding")))
+        val n = e.select(col("vec_id").as("nb_id"), col("label").as("nb_label"),
+          col("embedding").as("nb_emb"), col("nrm").as("nb_nrm"), col("bkt"))
+        val scored = e.join(n, Seq("bkt"))
+          .filter(col("vec_id") =!= col("nb_id"))
+          .select(col("vec_id"), col("label"), col("nb_id"), col("nb_label"),
+            round(dotProduct(col("embedding"), col("nb_emb")) /
+              (col("nrm") * col("nb_nrm")), 4).as("cos_sim"))
+        val wTop = Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("nb_id"))
+        val top5 = scored.withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 5)
+        val votes = top5.groupBy("vec_id", "label", "nb_label")
+          .agg(count(lit(1)).as("v"))
+        val wMaj = Window.partitionBy("vec_id")
+          .orderBy(col("v").desc, col("nb_label"))
+        val flagged = votes.withColumn("rk", row_number().over(wMaj))
+          .filter(col("rk") === 1)
+          .withColumn("flag",
+            col("nb_label") =!= col("label") && col("v") >= 3)
+        flagged.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+            round(sum(when(col("flag"), 1L).otherwise(0L)).cast("double") /
+              count(lit(1)), 4).as("flag_rate"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, embedding,
+              |    (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END +
+              |     CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END +
+              |     CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bkt
+              |  FROM embeddings),
+              |scored AS (
+              |  SELECT a.vec_id, a.label, b.vec_id AS nb_id, b.label AS nb_label,
+              |    round(${cosDuck("a.embedding", "b.embedding")}, 4) AS cos_sim
+              |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id != b.vec_id),
+              |top5 AS (
+              |  SELECT * FROM scored
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+              |    ORDER BY cos_sim DESC, nb_id) <= 5),
+              |votes AS (
+              |  SELECT vec_id, label, nb_label, count(*) AS v
+              |  FROM top5 GROUP BY 1, 2, 3),
+              |maj AS (
+              |  SELECT *, nb_label != label AND v >= 3 AS flag FROM votes
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+              |    ORDER BY v DESC, nb_label) = 1)
+              |SELECT label, cast(count(*) AS BIGINT) AS n_vecs,
+              |  cast(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+              |  round(cast(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS double)
+              |    / count(*), 4) AS flag_rate
+              |FROM maj GROUP BY 1""".stripMargin))
   )
 
   /** the SQ index chain as DuckDB CTEs, ending in `rer`
