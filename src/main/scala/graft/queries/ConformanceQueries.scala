@@ -336,6 +336,112 @@ object ConformanceQueries {
       },
       Some("""SELECT cast(count(*) AS BIGINT) AS n_rows,
              |  TRUE AS zstd_lt_snappy, TRUE AS snappy_lt_none
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // ITERATIVE LINEAGE MANAGEMENT: a 12-step iterative computation
+    // (climbing the binary-tree hierarchy, accumulating the path sum)
+    // driven as a Scala loop with localCheckpoint() every 4 steps —
+    // without truncation the lineage (and closure serialization, and
+    // planning time) grows with every iteration, the classic failure of
+    // long iterative jobs at scale. The oracle recomputes the path sums
+    // in one recursive CTE, so truncation provably does not change
+    // results.
+    Q("lineage_checkpoint_parity",
+      (s, dir) => {
+        var frontier = rd(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_custkey").as("cur"),
+            col("c_custkey").as("path_sum"))
+        var done = frontier.filter(col("cur") === 1L)
+          .select(col("k"), col("path_sum"))
+        // loop to FIXPOINT (driver-side isEmpty probe per round, the
+        // standard iterative-driver pattern), hard-capped well above
+        // log2(maxKey); depth grows with the key domain, so a fixed
+        // iteration count would silently truncate at larger sf
+        var i = 0
+        while (i < 48 && !frontier.filter(col("cur") > 1L).isEmpty) {
+          frontier = frontier.filter(col("cur") > 1L)
+            .select(col("k"), expr("cur div 2").as("cur"),
+              (col("path_sum") + expr("cur div 2")).as("path_sum"))
+          if (i % 4 == 3) frontier = frontier.localCheckpoint()
+          done = done.unionByName(frontier.filter(col("cur") === 1L)
+            .select(col("k"), col("path_sum")))
+          i += 1
+        }
+        done.agg(count(lit(1)).as("n_keys"),
+          sum("path_sum").as("total_path_sum"),
+          max("path_sum").as("max_path_sum"))
+      },
+      Some("""WITH RECURSIVE anc AS (
+             |  SELECT c_custkey AS k, c_custkey AS cur,
+             |    c_custkey AS path_sum FROM customer
+             |  UNION ALL
+             |  SELECT k, cur // 2, path_sum + cur // 2 FROM anc WHERE cur > 1)
+             |SELECT cast(count(*) AS BIGINT) AS n_keys,
+             |  cast(sum(path_sum) AS BIGINT) AS total_path_sum,
+             |  cast(max(path_sum) AS BIGINT) AS max_path_sum
+             |FROM anc WHERE cur = 1""".stripMargin)),
+
+    // SEASONAL-NAIVE BACKTEST: forecast every day's per-type event count
+    // with the value from 7 days earlier (the baseline every real
+    // forecaster must beat) and score MAPE over the scored span — the
+    // standard backtesting protocol as one windowed query: lag(7) over
+    // (type) ordered by day, partitioned aggregation, no global sort.
+    Q("seasonal_naive_backtest",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = rd(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily.withColumn("pred", lag(col("n"), 7).over(w))
+          .filter(col("pred").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_scored_days"),
+            round(avg(abs(col("n") - col("pred")).cast("double") /
+              col("n").cast("double")) * 100.0, 2).as("mape_pct"),
+            round(max(abs(col("n") - col("pred"))).cast("double"), 1)
+              .as("max_abs_err"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, cast(ts AS DATE) AS day,
+             |    cast(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT *, lag(n, 7) OVER (PARTITION BY event_type
+             |        ORDER BY day) AS pred FROM daily)
+             |SELECT event_type, cast(count(*) AS BIGINT) AS n_scored_days,
+             |  round(avg(cast(abs(n - pred) AS double) / cast(n AS double))
+             |    * 100.0, 2) AS mape_pct,
+             |  round(cast(max(abs(n - pred)) AS double), 1) AS max_abs_err
+             |FROM p WHERE pred IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // WINDOW RANK FAMILY in one sweep: rank / dense_rank / ntile(4) /
+    // percent_rank / cume_dist over account balance within each market
+    // segment — the full ranking surface with its exact tie semantics
+    // (rank gaps, dense packing, ntile remainder-first distribution,
+    // (r−1)/(n−1) percent_rank, inclusive cume_dist) pinned cross-engine.
+    // All windows are segment-partitioned.
+    Q("window_rank_family",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        rd(s, dir, "customer")
+          .filter(col("c_custkey") <= 200)
+          .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 4).as("pct_rank"),
+            round(cume_dist().over(w), 4).as("cume"))
+      },
+      Some("""SELECT c_mktsegment AS segment, c_custkey,
+             |  cast(rank() OVER w AS INT) AS rnk,
+             |  cast(dense_rank() OVER w AS INT) AS drnk,
+             |  cast(ntile(4) OVER w AS INT) AS quartile,
+             |  round(percent_rank() OVER w, 4) AS pct_rank,
+             |  round(cume_dist() OVER w, 4) AS cume
+             |FROM customer WHERE c_custkey <= 200
+             |WINDOW w AS (PARTITION BY c_mktsegment
+             |  ORDER BY c_acctbal DESC, c_custkey)""".stripMargin))
   )
 }
