@@ -442,6 +442,137 @@ object ConformanceQueries {
              |  round(cume_dist() OVER w, 4) AS cume
              |FROM customer WHERE c_custkey <= 200
              |WINDOW w AS (PARTITION BY c_mktsegment
-             |  ORDER BY c_acctbal DESC, c_custkey)""".stripMargin))
+             |  ORDER BY c_acctbal DESC, c_custkey)""".stripMargin)),
+
+    // FUNCTIONAL-DEPENDENCY DISCOVERY: for each candidate lhs→rhs pair,
+    // count lhs values mapping to MORE than one rhs — the data-profiling
+    // primitive behind key detection and schema normalization. Each
+    // candidate is one (distinct-pair → group-count) aggregation; the
+    // candidate list is declared, so the scan count is bounded and each
+    // aggregation shuffle-partitions on its lhs.
+    Q("fd_discovery",
+      (s, dir) => {
+        val oc = rd(s, dir, "orders").join(rd(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        def fd(lhs: String, rhs: String): DataFrame =
+          oc.select(col(lhs).as("l"), col(rhs).as("r")).distinct()
+            .groupBy("l").agg(countDistinct("r").as("nr"))
+            .agg(count(lit(1)).as("n_lhs"),
+              sum(when(col("nr") > 1, 1L).otherwise(0L)).as("n_violating"))
+            .withColumn("fd", lit(s"$lhs->$rhs"))
+        fd("o_custkey", "c_mktsegment")
+          .unionByName(fd("o_orderkey", "o_orderpriority"))
+          .unionByName(fd("c_mktsegment", "o_orderpriority"))
+          .unionByName(fd("o_orderpriority", "o_orderstatus"))
+          .select(col("fd"), col("n_lhs"), col("n_violating"),
+            (col("n_violating") === 0L).as("holds"))
+      },
+      Some("""WITH oc AS (
+             |  SELECT * FROM orders o JOIN customer c
+             |  ON c.c_custkey = o.o_custkey),
+             |f1 AS (SELECT 'o_custkey->c_mktsegment' AS fd,
+             |  cast(count(*) AS BIGINT) AS n_lhs,
+             |  cast(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_violating
+             |  FROM (SELECT o_custkey, count(DISTINCT c_mktsegment) AS nr
+             |        FROM oc GROUP BY 1)),
+             |f2 AS (SELECT 'o_orderkey->o_orderpriority',
+             |  cast(count(*) AS BIGINT),
+             |  cast(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM (SELECT o_orderkey, count(DISTINCT o_orderpriority) AS nr
+             |        FROM oc GROUP BY 1)),
+             |f3 AS (SELECT 'c_mktsegment->o_orderpriority',
+             |  cast(count(*) AS BIGINT),
+             |  cast(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM (SELECT c_mktsegment, count(DISTINCT o_orderpriority) AS nr
+             |        FROM oc GROUP BY 1)),
+             |f4 AS (SELECT 'o_orderpriority->o_orderstatus',
+             |  cast(count(*) AS BIGINT),
+             |  cast(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM (SELECT o_orderpriority, count(DISTINCT o_orderstatus) AS nr
+             |        FROM oc GROUP BY 1)),
+             |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+             |      UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+             |SELECT fd, n_lhs, n_violating, n_violating = 0 AS holds FROM u""".stripMargin)),
+
+    // MALFORMED-RECORD HANDLING: a CSV landing zone with corrupt lines
+    // (injected) read under PERMISSIVE mode — bad rows surface in
+    // _corrupt_record instead of killing the job, and the dead-letter
+    // split (good vs corrupt counts, plus the good-row checksum) is the
+    // ingestion contract. DROPMALFORMED parity rides along. At 100 TB a
+    // fail-fast parse of dirty vendor feeds is an outage; this is the
+    // quarantine pattern.
+    Q("malformed_record_handling",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val base = DvQueries.tmpWarehouse("graft_badcsv")
+        val good = rd(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        good.coalesce(1).write.mode("overwrite").option("header", "true")
+          .csv(s"$base/csv")
+        // inject three corrupt lines into the landing file
+        val dirFile = new java.io.File(s"$base/csv")
+        val part = dirFile.listFiles().filter(_.getName.endsWith(".csv")).head
+        val w = new java.io.FileWriter(part, true)
+        w.write("not,a,number_here_extra,x\nBROKEN\n99,NoRegion,\n")
+        w.close()
+        // the append invalidates Hadoop's .crc sidecar — drop it, as any
+        // out-of-band landing-zone mutation would have no sidecar at all
+        dirFile.listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+        val schema = StructType(Seq(
+          StructField("n_nationkey", LongType), StructField("n_name", StringType),
+          StructField("n_regionkey", LongType),
+          StructField("_corrupt_record", StringType)))
+        val perm = s.read.option("header", "true").option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(schema).csv(s"$base/csv").cache()
+        val dropped = s.read.option("header", "true").option("mode", "DROPMALFORMED")
+          .schema(StructType(schema.fields.dropRight(1))).csv(s"$base/csv")
+        perm.agg(count(lit(1)).as("n_total"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+              .as("n_corrupt"),
+            sum(when(col("_corrupt_record").isNull, col("n_nationkey"))
+              .otherwise(0L)).as("good_key_sum"))
+          // count a REAL column: CSV column pruning means count(*) parses
+          // nothing, so DROPMALFORMED would silently drop nothing
+          .crossJoin(broadcast(dropped.agg(
+            count(col("n_nationkey")).as("n_dropmalformed"))))
+      },
+      // 25 good rows + 3 injected: '99,NoRegion,' parses with a NULL
+      // regionkey (CSV missing trailing field) — PERMISSIVE keeps it as
+      // a GOOD row; the other two are corrupt. DROPMALFORMED (schema
+      // without the corrupt column) keeps 26.
+      Some("""SELECT cast(count(*) + 3 AS BIGINT) AS n_total,
+             |  cast(2 AS BIGINT) AS n_corrupt,
+             |  cast(sum(n_nationkey) + 99 AS BIGINT) AS good_key_sum,
+             |  cast(count(*) + 1 AS BIGINT) AS n_dropmalformed
+             |FROM nation""".stripMargin)),
+
+    // VARIANT (Spark 4 semi-structured type): raw JSON props parse to
+    // VARIANT once, fields extract with variant_get at query time — the
+    // shred-on-read contract that replaces per-query string JSON parsing
+    // (parse once per row, typed access after; at 100 TB the parse is
+    // the cost, not the extraction). Aggregates pinned to DuckDB's JSON
+    // reading of the same strings.
+    Q("variant_json_shred",
+      (s, dir) => {
+        rd(s, dir, "events")
+          .select(col("event_type"), expr("parse_json(props)").as("v"))
+          .select(col("event_type"),
+            expr("variant_get(v, '$.k', 'long')").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("k").as("k_sum"),
+            countDistinct("k").as("k_distinct"),
+            max("k").as("k_max"))
+      },
+      Some("""SELECT event_type, cast(count(*) AS BIGINT) AS n,
+             |  cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS BIGINT) AS k_sum,
+             |  cast(count(DISTINCT cast(json_extract_string(props, '$.k')
+             |    AS BIGINT)) AS BIGINT) AS k_distinct,
+             |  cast(max(cast(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS BIGINT) AS k_max
+             |FROM events GROUP BY 1""".stripMargin))
   )
 }
