@@ -509,6 +509,76 @@ object ScaleQueries {
               |  round(quantile_cont(late_s, 0.95), 2) AS p95_late_s,
               |  round(quantile_cont(late_s, 0.99), 2) AS p99_late_s,
               |  round(max(late_s), 2) AS max_late_s
-              |FROM l""".stripMargin))
+              |FROM l""".stripMargin)),
+
+    // GLOBAL TOP-K PROOF, driver-gated: ORDER BY + LIMIT must plan as
+    // TakeOrderedAndProject (per-partition heaps + a k-row merge), never
+    // a full global Sort — the difference between O(n log k) with k rows
+    // moved and a total shuffle of 100 TB. The plan fact is an emitted
+    // column the oracle pins to true; the top-20 rows ride along so the
+    // proof can't pass on a wrong plan.
+    Q("global_topk_proof",
+      (s, dir) => {
+        val q = rd(s, dir, "orders")
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+          .orderBy(col("price").desc, col("o_orderkey"))
+          .limit(20)
+        val plan = q.queryExecution.executedPlan.toString
+        q.withColumn("uses_take_ordered",
+            lit(plan.contains("TakeOrderedAndProject")))
+          .withColumn("no_full_sort", lit(!plan.contains("Sort [")))
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price,
+             |  TRUE AS uses_take_ordered, TRUE AS no_full_sort
+             |FROM orders
+             |ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // PARTIAL-AGGREGATION PROOF, driver-gated: a grouped count must show
+    // the two-phase HashAggregate (partial_count before the exchange,
+    // final count after) — map-side combine is what turns a 100 TB
+    // group-by from shuffling every row into shuffling one row per
+    // (partition × group). Plan facts pinned as columns.
+    Q("partial_agg_proof",
+      (s, dir) => {
+        val q = rd(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"))
+        val plan = q.queryExecution.executedPlan.toString
+        val nHash = "HashAggregate".r.findAllIn(plan).size
+        q.withColumn("two_phase_agg", lit(nHash >= 2))
+          .withColumn("map_side_combine", lit(plan.contains("partial_count")))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n,
+             |  TRUE AS two_phase_agg, TRUE AS map_side_combine
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // EXCHANGE-REUSE PROOF, driver-gated: the same aggregate consumed
+    // twice (self-union) must REUSE its shuffle (ReusedExchange in the
+    // plan), not recompute it — Catalyst's common-subplan dedup, which
+    // at 100 TB halves the heaviest stage of any diamond-shaped DAG.
+    Q("exchange_reuse_proof",
+      (s, dir) => {
+        val base = rd(s, dir, "orders")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val q = base.withColumn("side", lit("a"))
+          .unionByName(base.withColumn("side", lit("b")))
+        // under AQE exchange reuse materializes at RUNTIME, and only on
+        // THIS dataset's own QueryExecution — execute q itself (a derived
+        // action like q.count() builds a different plan), then read the
+        // finalized adaptive plan
+        q.collect()
+        val plan = q.queryExecution.executedPlan.toString
+        q.withColumn("exchange_reused", lit(plan.contains("ReusedExchange")))
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderstatus AS status,
+             |    cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |      AS cents
+             |  FROM orders GROUP BY 1)
+             |SELECT status, cents, 'a' AS side, TRUE AS exchange_reused FROM a
+             |UNION ALL
+             |SELECT status, cents, 'b', TRUE FROM a""".stripMargin))
   )
 }
