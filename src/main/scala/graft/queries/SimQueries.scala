@@ -3795,7 +3795,48 @@ object SimQueries {
               |  cast(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
               |  round(cast(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS double)
               |    / count(*), 4) AS flag_rate
-              |FROM maj GROUP BY 1""".stripMargin))
+              |FROM maj GROUP BY 1""".stripMargin)),
+
+    // BUILT-IN session_window IN BATCH, driver-gated: Spark's native
+    // session aggregation (events merge while each arrives < 30 min
+    // after the session's current end) rolled up per user. The custom
+    // sessionizer is already pinned to session_window in unit tests;
+    // this row puts the BUILT-IN's exact merge semantics (strict <,
+    // same-timestamp merge) under the cross-engine oracle too. One
+    // shuffle on user; session state is per-key and bounded.
+    Q("session_window_batch",
+      (s, dir) => {
+        val per = events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"),
+            (max(col("ts")).cast("double") - min(col("ts")).cast("double"))
+              .as("span_s"))
+        per.groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum("n").as("n_events"),
+            round(avg("span_s"), 2).as("avg_span_s"),
+            max("n").as("max_session_events"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id,
+             |    epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id)) AS gap
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o),
+             |per AS (
+             |  SELECT user_id, sid, cast(count(*) AS BIGINT) AS n,
+             |    epoch(max(ts)) - epoch(min(ts)) AS span
+             |  FROM s GROUP BY 1, 2)
+             |SELECT user_id, cast(count(*) AS BIGINT) AS n_sessions,
+             |  cast(sum(n) AS BIGINT) AS n_events,
+             |  round(avg(span), 2) AS avg_span_s,
+             |  cast(max(n) AS BIGINT) AS max_session_events
+             |FROM per GROUP BY 1""".stripMargin))
   )
 
   /** the SQ index chain as DuckDB CTEs, ending in `rer`

@@ -811,4 +811,38 @@ object StreamingLoaders {
           s"nb=$checkpoint", batchId)
         ()
       }
+
+  /** output row of [[runningTotalsStream]] */
+  final case class UserTotal(user_id: Long, n_events: Long, cents: Long)
+
+  /** Arbitrary stateful streaming via the transformWithState API (the
+    * Spark 4 successor to flatMapGroupsWithState): per-user running
+    * event/cents totals in a typed ValueState, one updated row emitted
+    * per key per micro-batch. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). State is O(keys);
+    * a TTL would bound it for unbounded key spaces. */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Row, UserTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var tot: ValueState[(Long, Long)] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      tot = getHandle.getValueState[(Long, Long)]("tot",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Row],
+        timers: TimerValues): Iterator[UserTotal] = {
+      var (n, c) = if (tot.exists()) tot.get() else (0L, 0L)
+      rows.foreach { r => n += 1; c += r.getAs[Long]("cents") }
+      tot.update((n, c))
+      Iterator.single(UserTotal(key, n, c))
+    }
+  }
+
+  /** `staged` needs columns (user_id: long, cents: long). */
+  def runningTotalsStream(staged: DataFrame): org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    implicit val enc: org.apache.spark.sql.Encoder[UserTotal] =
+      Encoders.product[UserTotal]
+    staged.groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .transformWithState(new RunningTotalProcessor, TimeMode.None(), OM.Update())
+  }
 }

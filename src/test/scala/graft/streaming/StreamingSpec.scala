@@ -922,4 +922,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(t => t._1 -> t._2).toMap ===
       Map(10L -> "en", 11L -> "de", 12L -> "fr"))
   }
+
+  test("transformWithState running totals: final state equals batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream_tws").toString
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long)]
+      val staged = input.toDF().toDF("user_id", "cents")
+      val totals = StreamingLoaders.runningTotalsStream(staged)
+      val q = totals.toDF().writeStream
+        .format("memory").queryName("tws_totals").outputMode("update")
+        .option("checkpointLocation", s"$wh/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      val batches = Seq(
+        Seq((1L, 100L), (2L, 40L), (1L, 25L)),
+        Seq((2L, 60L), (3L, 7L)),
+        Seq((1L, 5L), (3L, 3L), (3L, 10L)))
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // latest update per user = final running state
+      val got = spark.sql(
+        """SELECT user_id, n_events, cents FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY n_events DESC) AS rn FROM tws_totals)
+          |WHERE rn = 1""".stripMargin)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = batches.flatten.groupBy(_._1).view
+        .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+      assert(got === want, s"stream state $got must equal batch totals $want")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
