@@ -612,6 +612,91 @@ object RelQueries {
       },
       Some("""SELECT c_custkey, upper(c_name) AS name, c_mktsegment AS segment,
              |  c_acctbal AS acctbal, cast(1 AS BIGINT) AS n_name_sources
-             |FROM customer""".stripMargin))
+             |FROM customer""".stripMargin)),
+
+    // TPC-H Q4 (order priority checking, adapted to this schema's
+    // columns: "late" = shipped more than 60 days after ordering):
+    // the EXISTS subquery decorrelates to a LEFT SEMI hash join —
+    // lineitem is touched once, never per order. Exact-count semantics
+    // (an order with five late lines counts once).
+    Q("tpch_q4_priority",
+      (s, dir) => {
+        val late = rd(s, dir, "lineitem")
+          .join(rd(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(to_date(col("l_shipdate")) >
+            date_add(to_date(col("o_orderdate")), 60))
+          .select(col("l_orderkey")).distinct()
+        rd(s, dir, "orders")
+          .join(late, col("o_orderkey") === col("l_orderkey"), "leftsemi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  cast(count(*) AS BIGINT) AS order_count
+             |FROM orders o
+             |WHERE EXISTS (
+             |  SELECT 1 FROM lineitem l
+             |  WHERE l.l_orderkey = o.o_orderkey
+             |    AND cast(l.l_shipdate AS DATE) >
+             |        cast(o.o_orderdate AS DATE) + 60)
+             |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    // customer, top 20 — the canonical 4-table star join ending in a
+    // TakeOrdered top-k, exact decimal-cents arithmetic for the money.
+    Q("tpch_q10_returns",
+      (s, dir) => {
+        rd(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .join(rd(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(rd(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(rd(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("rev_cents"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            round(col("rev_cents").cast("double") / 100.0, 2).as("revenue"))
+          .orderBy(col("rev_cents").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c.c_custkey, c.c_name, n.n_name,
+             |  round(cast(sum(cast(round(l.l_extendedprice * (1.0 - l.l_discount)
+             |    * 100) AS BIGINT)) AS double) / 100.0, 2) AS revenue
+             |FROM lineitem l
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |JOIN customer c ON c.c_custkey = o.o_custkey
+             |JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |WHERE l.l_returnflag = 'R'
+             |GROUP BY 1, 2, 3
+             |ORDER BY sum(cast(round(l.l_extendedprice * (1.0 - l.l_discount)
+             |  * 100) AS BIGINT)) DESC, c.c_custkey
+             |LIMIT 20""".stripMargin)),
+
+    // TPC-H Q14 (promotion effect): share of revenue from PROMO parts —
+    // one join, one conditional aggregate, exact cents; the classic
+    // numerator/denominator-in-one-pass shape (never two scans).
+    Q("tpch_q14_promo",
+      (s, dir) => {
+        rd(s, dir, "lineitem")
+          .join(rd(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .select((col("p_type") === "PROMO").as("is_promo"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+              .cast("long").as("cents"))
+          .agg(
+            round(sum(when(col("is_promo"), col("cents")).otherwise(0L))
+              .cast("double") * 100.0 / sum(col("cents")), 4).as("promo_revenue_pct"),
+            round(sum(col("cents")).cast("double") / 100.0, 2).as("total_revenue"))
+      },
+      Some("""SELECT
+             |  round(cast(sum(CASE WHEN p.p_type = 'PROMO'
+             |      THEN cast(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+             |        AS BIGINT) ELSE 0 END) AS double) * 100.0 /
+             |    sum(cast(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+             |      AS BIGINT)), 4) AS promo_revenue_pct,
+             |  round(cast(sum(cast(round(l.l_extendedprice * (1.0 - l.l_discount)
+             |    * 100) AS BIGINT)) AS double) / 100.0, 2) AS total_revenue
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey""".stripMargin))
   )
 }
