@@ -66,4 +66,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the corpus side must not sort-merge against a broadcastable set:\n$plan")
   }
+
+  test("bloom prune: fact table is scanned exactly once") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("bloom_join_prune")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    val nOrderScans = "orders\\.parquet".r.findAllIn(plan).size
+    // the single-pass audit: one orders scan feeds probe + flags + agg;
+    // a second scan would mean the pass_bloom/true-match stats recompute
+    // the pipeline (the 8.7s shape this query replaced)
+    assert(nOrderScans == 1,
+      s"expected exactly one orders scan, found $nOrderScans:\n$plan")
+  }
+
+  test("asof join: one shuffle per side, no range-join blow-up operators") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("asof_join_events")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"as-of must stay union+window, never a loop join:\n$plan")
+    // union + one window: at most the two scan-side exchanges
+    val nExch = "ShuffleExchange".r.findAllIn(plan).size
+    assert(nExch <= 2, s"expected <=2 exchanges, found $nExch:\n$plan")
+  }
 }
