@@ -90,6 +90,48 @@ object JoinQueries {
              |  WHERE od.o_custkey = e.user_id AND od.o_orderdate <= e.ts
              |  ORDER BY od.o_orderdate DESC, od.o_orderkey DESC LIMIT 1) o ON TRUE""".stripMargin)),
 
+    // FORWARD AS-OF JOIN (pandas merge_asof direction='forward'): each
+    // order is matched to the user's FIRST event at-or-after the order
+    // date — same union+window machinery as the backward join, scanned
+    // in DESCENDING time order so last(ignoreNulls) carries the nearest
+    // FUTURE event backward onto each order row. Ties: an event exactly
+    // at the order date counts; equal-timestamp events resolve to the
+    // MIN event_id (they sort last in the descending scan) — the
+    // oracle's ORDER BY ts ASC, event_id ASC LIMIT 1.
+    Q("asof_join_forward",
+      (s, dir) => {
+        val e = rd(s, dir, "events")
+          .select(col("user_id").as("k"), col("ts").cast("timestamp").as("t"),
+            lit(0).as("side"), col("event_id"), col("event_type"),
+            lit(null).cast("long").as("o_orderkey"))
+        val o = rd(s, dir, "orders")
+          .select(col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("t"),
+            lit(1).as("side"), lit(null).cast("long").as("event_id"),
+            lit(null).cast("string").as("event_type"), col("o_orderkey"))
+        val w = Window.partitionBy("k")
+          .orderBy(col("t").desc, col("side"), col("event_id").desc,
+            col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.unionByName(o)
+          .withColumn("next_event_id", last(col("event_id"), ignoreNulls = true).over(w))
+          .withColumn("next_event_type",
+            last(col("event_type"), ignoreNulls = true).over(w))
+          .withColumn("next_t",
+            last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("o_orderkey"), col("next_event_id"), col("next_event_type"),
+            floor((col("next_t").cast("double") - col("t").cast("double")) / 86400.0)
+              .cast("long").as("days_until_event"))
+      },
+      Some("""SELECT o.o_orderkey, e.event_id AS next_event_id,
+             |  e.event_type AS next_event_type,
+             |  CAST(floor((epoch(e.ts) - epoch(o.o_orderdate)) / 86400.0) AS BIGINT)
+             |    AS days_until_event
+             |FROM orders o LEFT JOIN LATERAL (
+             |  SELECT ev.event_id, ev.event_type, ev.ts FROM events ev
+             |  WHERE ev.user_id = o.o_custkey AND ev.ts >= o.o_orderdate
+             |  ORDER BY ev.ts ASC, ev.event_id ASC LIMIT 1) e ON TRUE""".stripMargin)),
+
     // BINNED RANGE JOIN — the KEYLESS interval×point case (as-of above
     // covers the keyed one). Promo windows (top-50 busiest order days,
     // each open for 4 days) × all events, no equi key at all. A naive

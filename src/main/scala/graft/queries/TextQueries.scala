@@ -1591,6 +1591,56 @@ object TextQueries {
     // the decision step a real dedup pipeline runs between clustering and
     // deletion; a distributed argmax (one window over cluster_id), never a
     // driver-side pick.
+    // DUPLICATE-AWARE MIXTURE WEIGHTS: training-data sampling that
+    // down-weights near-duplicate clusters — each doc carries weight
+    // 1/|its cluster| (singletons weight 1), so a story crawled 40×
+    // contributes one effective document. Rolled up per source:
+    // raw vs EFFECTIVE doc/char counts and the over-representation
+    // ratio the mixture sampler must correct for. Reuses the shared
+    // cluster builder; one extra groupBy for cluster sizes.
+    Q("dedup_weighted_mix",
+      (s, dir) => {
+        val lab = docs(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .join(clusterLabels(s, dir).select(col("doc_id"), col("cluster_id")),
+            Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        val csize = lab.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+        lab.join(csize, Seq("cluster_id"))
+          .withColumn("wt", lit(1.0) / col("csz"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("raw_docs"),
+            round(sum("wt"), 4).as("effective_docs"),
+            sum("n_chars").as("raw_chars"),
+            round(sum(col("n_chars") * col("wt")), 1).as("effective_chars"))
+          .withColumn("overrep_ratio",
+            round(col("raw_docs") / col("effective_docs"), 4))
+      },
+      Some(s"""WITH RECURSIVE $lshCandSql,
+              |edges AS (
+              |  SELECT doc_id AS a, doc_id_2 AS b FROM cands
+              |  UNION ALL SELECT doc_id_2, doc_id FROM cands),
+              |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+              |reach AS (
+              |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+              |  UNION
+              |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+              |labels AS (
+              |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+              |lab AS (
+              |  SELECT d.doc_id, d.source, d.n_chars,
+              |    coalesce(l.cluster_id, d.doc_id) AS cluster_id
+              |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+              |cs AS (SELECT cluster_id, count(*) AS csz FROM lab GROUP BY 1),
+              |wmix AS (SELECT lab.source, lab.n_chars, 1.0 / cs.csz AS wt
+              |      FROM lab JOIN cs USING (cluster_id))
+              |SELECT source, cast(count(*) AS BIGINT) AS raw_docs,
+              |  round(sum(wt), 4) AS effective_docs,
+              |  cast(sum(n_chars) AS BIGINT) AS raw_chars,
+              |  round(sum(n_chars * wt), 1) AS effective_chars,
+              |  round(count(*) / round(sum(wt), 4), 4) AS overrep_ratio
+              |FROM wmix GROUP BY 1""".stripMargin)),
+
     Q("dedup_keep_best",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
