@@ -573,6 +573,109 @@ object ConformanceQueries {
              |    AS BIGINT)) AS BIGINT) AS k_distinct,
              |  cast(max(cast(json_extract_string(props, '$.k') AS BIGINT))
              |    AS BIGINT) AS k_max
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // INLINE OBSERVED METRICS (Dataset.observe + Observation): audit
+    // counts collected DURING the main query's execution — zero extra
+    // scans, the accumulator piggybacks on the pass that computes the
+    // result. The batch-ingestion contract at 100 TB: row counts and
+    // quality tallies cost nothing, a separate audit query costs a full
+    // read. The observed values are re-emitted as columns and pinned to
+    // the oracle's recomputation.
+    Q("observe_metrics_inline",
+      (s, dir) => {
+        val obs = new org.apache.spark.sql.Observation("graft_obs")
+        val q = rd(s, dir, "orders")
+          .observe(obs,
+            count(lit(1)).as("obs_rows"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+              .as("obs_finished"),
+            max(round(col("o_totalprice") * 100).cast("long")).as("obs_max_cents"))
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"))
+        q.collect()  // drives the single pass that fills the observation
+        val m = obs.get
+        q.withColumn("obs_rows", lit(m("obs_rows").asInstanceOf[Long]))
+          .withColumn("obs_finished", lit(m("obs_finished").asInstanceOf[Long]))
+          .withColumn("obs_max_cents", lit(m("obs_max_cents").asInstanceOf[Long]))
+      },
+      Some("""SELECT o_orderstatus AS status, cast(count(*) AS BIGINT) AS n,
+             |  (SELECT cast(count(*) AS BIGINT) FROM orders) AS obs_rows,
+             |  (SELECT cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             |     AS BIGINT) FROM orders) AS obs_finished,
+             |  (SELECT cast(max(cast(round(o_totalprice * 100) AS BIGINT))
+             |     AS BIGINT) FROM orders) AS obs_max_cents
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // RANGE-PARTITIONED WRITE LAYOUT: repartitionByRange on the date key
+    // before writing produces files with DISJOINT key ranges — the
+    // layout that lets min/max file statistics prune a time-range scan
+    // to the few files that matter. Proven from the written files
+    // themselves (per-file min/max day via input_file_name, overlap
+    // pairs counted — must be zero); global extent and row count pin the
+    // data. Range boundaries come from sampling, so per-file extents may
+    // vary run to run — the DISJOINTNESS is the invariant, and is what
+    // the oracle checks.
+    Q("range_partitioned_layout",
+      (s, dir) => {
+        val base = DvQueries.tmpWarehouse("graft_rangepart") + "/orders_ranged"
+        rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("od"))
+          .withColumn("day", to_date(col("od")))
+          .repartitionByRange(8, col("day"))
+          .write.mode("overwrite").parquet(base)
+        val perFile = s.read.parquet(base)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("day").as("lo"), max("day").as("hi"), count(lit(1)).as("n"))
+        val files = perFile.select(col("f"), col("lo"), col("hi"))
+        val overlaps = files.as("a").join(files.as("b"),
+            col("a.f") < col("b.f") &&
+              col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+          .agg(count(lit(1)).as("overlapping_pairs"))
+        perFile.agg(count(lit(1)).as("n_files"), sum("n").as("n_rows"),
+            min("lo").as("min_day"), max("hi").as("max_day"))
+          .crossJoin(broadcast(overlaps))
+          .select(col("n_files"), col("n_rows"), col("min_day"), col("max_day"),
+            col("overlapping_pairs"))
+      },
+      Some("""SELECT cast(8 AS BIGINT) AS n_files,
+             |  cast(count(*) AS BIGINT) AS n_rows,
+             |  min(cast(o_orderdate AS DATE)) AS min_day,
+             |  max(cast(o_orderdate AS DATE)) AS max_day,
+             |  cast(0 AS BIGINT) AS overlapping_pairs
+             |FROM orders""".stripMargin)),
+
+    // EMPTY-INPUT SEMANTICS — the aggregate-over-nothing corners: a
+    // GLOBAL aggregate over zero rows returns ONE row (count 0, sums
+    // NULL), a GROUPED aggregate returns ZERO rows, and coalesce
+    // defaults apply after, not before. Pipelines hit this on quiet
+    // partitions and empty deltas; both engines must agree or
+    // incremental logic double-counts.
+    Q("empty_input_semantics",
+      (s, dir) => {
+        val none = rd(s, dir, "orders").filter(col("o_orderkey") < 0)
+        val global = none.agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice")).as("s"), max(col("o_orderdate")).as("m"))
+        val grouped = none.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n")).agg(count(lit(1)).as("grouped_rows"))
+        global.crossJoin(broadcast(grouped))
+          .select(col("cnt").as("global_count"),
+            col("s").isNull.as("sum_is_null"),
+            col("m").isNull.as("max_is_null"),
+            coalesce(col("s"), lit(0.0)).as("sum_defaulted"),
+            col("grouped_rows"))
+      },
+      Some("""SELECT
+             |  (SELECT cast(count(*) AS BIGINT) FROM orders WHERE o_orderkey < 0)
+             |    AS global_count,
+             |  (SELECT sum(o_totalprice) IS NULL FROM orders WHERE o_orderkey < 0)
+             |    AS sum_is_null,
+             |  (SELECT max(o_orderdate) IS NULL FROM orders WHERE o_orderkey < 0)
+             |    AS max_is_null,
+             |  (SELECT coalesce(sum(o_totalprice), 0.0) FROM orders
+             |   WHERE o_orderkey < 0) AS sum_defaulted,
+             |  (SELECT cast(count(*) AS BIGINT) FROM (
+             |     SELECT o_orderstatus FROM orders WHERE o_orderkey < 0
+             |     GROUP BY 1)) AS grouped_rows""".stripMargin))
   )
 }
