@@ -676,6 +676,31 @@ object ConformanceQueries {
              |   WHERE o_orderkey < 0) AS sum_defaulted,
              |  (SELECT cast(count(*) AS BIGINT) FROM (
              |     SELECT o_orderstatus FROM orders WHERE o_orderkey < 0
-             |     GROUP BY 1)) AS grouped_rows""".stripMargin))
+             |     GROUP BY 1)) AS grouped_rows""".stripMargin)),
+
+    // GROUPING SETS with grouping_id: three explicit aggregation levels
+    // (by status, by priority, grand total) in ONE pass — the engine
+    // expands the sets over a single shuffle instead of three scans —
+    // with grouping_id() disambiguating which level each row belongs to
+    // (the NULL a grouping set introduces vs a NULL in the data).
+    Q("grouping_sets_id",
+      (s, dir) => {
+        rd(s, dir, "orders").createOrReplaceTempView("graft_gs_orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  cast(grouping__id AS INT) AS gid,
+                |  count(*) AS n,
+                |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                |    AS cents
+                |FROM graft_gs_orders
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  cast(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+             |  cast(count(*) AS BIGINT) AS n,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS cents
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))
   )
 }

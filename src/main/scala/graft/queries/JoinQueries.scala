@@ -192,6 +192,94 @@ object JoinQueries {
              |  GROUP BY 1)
              |SELECT promo_start, n_events, n_users, total_value FROM hits""".stripMargin)),
 
+    // INTERVAL × INTERVAL OVERLAP JOIN, keyless and binned — the general
+    // case completing the family (asof = keyed point×interval, binned
+    // range = keyless point×interval). User sessions (30-min gap
+    // sessionization) against promo windows (top-10 purchase days, 2-day
+    // windows): BOTH interval sets explode into covered day-buckets
+    // (bounded fanout each), the equi-join runs on the bucket, duplicate
+    // bucket-hits dedup on the pair key, and the exact overlap length is
+    // the residual computation. No cross join at any size.
+    Q("interval_overlap_join",
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_id"))
+        val sess = ev
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), col("sw.start").as("ss"), col("sw.end").as("se"))
+        val promoWins = rd(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("pd")).agg(count(lit(1)).as("np"))
+          .orderBy(col("np").desc, col("pd")).limit(10)
+          .select(col("pd").as("promo_start"),
+            date_add(col("pd"), 2).as("promo_end"))
+        val sBins = sess.withColumn("bucket",
+          explode(expr("sequence(to_date(ss), to_date(se), interval 1 day)")))
+        val pBins = promoWins.withColumn("bucket",
+          explode(expr("sequence(promo_start, date_add(promo_end, -1), interval 1 day)")))
+        val pairs = sBins.join(pBins, Seq("bucket"))
+          .select(col("user_id"), col("ss"), col("se"),
+            col("promo_start"), col("promo_end"))
+          .distinct()
+          .withColumn("ov_s",
+            least(col("se").cast("double"),
+              col("promo_end").cast("timestamp").cast("double")) -
+              greatest(col("ss").cast("double"),
+                col("promo_start").cast("timestamp").cast("double")))
+          .filter(col("ov_s") > 0.0)
+        promoWins.join(pairs.groupBy("promo_start")
+            .agg(count(lit(1)).as("n_sessions"),
+              countDistinct("user_id").as("n_users"),
+              round(sum("ov_s"), 1).as("overlap_seconds")),
+            Seq("promo_start"), "left")
+          .select(col("promo_start"),
+            coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+            coalesce(col("n_users"), lit(0L)).as("n_users"),
+            coalesce(col("overlap_seconds"), lit(0.0)).as("overlap_seconds"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id,
+             |    epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id)) AS gap
+             |  FROM events),
+             |sx AS (
+             |  SELECT user_id, ts,
+             |    sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o),
+             |sess AS (
+             |  SELECT user_id, min(ts) AS ss,
+             |    max(ts) + INTERVAL 30 MINUTE AS se
+             |  FROM sx GROUP BY user_id, sid),
+             |days AS (
+             |  SELECT cast(ts AS DATE) AS pd, count(*) AS np
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |promos AS (
+             |  SELECT pd AS promo_start, pd + 2 AS promo_end FROM days
+             |  ORDER BY np DESC, pd LIMIT 10),
+             |pairs AS (
+             |  SELECT s.user_id, s.ss, s.se, p.promo_start, p.promo_end,
+             |    least(epoch(s.se), epoch(cast(p.promo_end AS TIMESTAMP))) -
+             |    greatest(epoch(s.ss), epoch(cast(p.promo_start AS TIMESTAMP)))
+             |      AS ov_s
+             |  FROM sess s JOIN promos p
+             |    ON s.ss < cast(p.promo_end AS TIMESTAMP)
+             |   AND cast(p.promo_start AS TIMESTAMP) < s.se),
+             |agg AS (
+             |  SELECT promo_start,
+             |    cast(count(*) AS BIGINT) AS n_sessions,
+             |    cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |    round(sum(ov_s), 1) AS overlap_seconds
+             |  FROM pairs WHERE ov_s > 0 GROUP BY 1)
+             |SELECT p.promo_start,
+             |  coalesce(a.n_sessions, 0) AS n_sessions,
+             |  coalesce(a.n_users, 0) AS n_users,
+             |  coalesce(a.overlap_seconds, 0.0) AS overlap_seconds
+             |FROM promos p LEFT JOIN agg a USING (promo_start)""".stripMargin)),
+
     // GAPS AND ISLANDS: maximal runs of consecutive active months per
     // customer (an island = months with >=1 order, no gap), the classic
     // row_number-difference technique — month_index − rn is constant
