@@ -701,6 +701,74 @@ object ConformanceQueries {
              |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              |    AS cents
              |FROM orders
-             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    // STRING-FUNCTION CONFORMANCE: the normalization toolkit
+    // (lower/translate/lpad/reverse/split/levenshtein) applied to
+    // customer names with every derived metric pinned cross-engine —
+    // the functions entity resolution and text cleaning lean on, where
+    // engine-specific edge behavior (padding, empty splits, distance on
+    // equal strings) silently skews match rates.
+    Q("string_functions_conformance",
+      (s, dir) => {
+        rd(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .withColumn("norm", translate(lower(col("c_name")), "#", "-"))
+          .withColumn("padded", lpad(col("c_custkey").cast("string"), 10, "0"))
+          .withColumn("toks", split(col("c_name"), "#"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("norm"))).as("norm_len_sum"),
+            sum(when(col("norm") === reverse(reverse(col("norm"))), 1L)
+              .otherwise(0L)).as("reverse_involution"),
+            sum(levenshtein(col("c_name"), col("norm"))).as("lev_sum"),
+            sum(size(col("toks"))).as("tok_count"),
+            sum(length(col("padded"))).as("padded_len_sum"))
+      },
+      Some("""SELECT c_mktsegment AS segment, cast(count(*) AS BIGINT) AS n,
+             |  cast(sum(length(translate(lower(c_name), '#', '-'))) AS BIGINT)
+             |    AS norm_len_sum,
+             |  cast(count(*) AS BIGINT) AS reverse_involution,
+             |  cast(sum(levenshtein(c_name, translate(lower(c_name), '#', '-')))
+             |    AS BIGINT) AS lev_sum,
+             |  cast(sum(len(string_split(c_name, '#'))) AS BIGINT) AS tok_count,
+             |  cast(sum(length(lpad(CAST(c_custkey AS VARCHAR), 10, '0')))
+             |    AS BIGINT) AS padded_len_sum
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    // ANSI-SAFE ARITHMETIC: this engine runs ANSI mode (overflow and bad
+    // casts THROW — silently-wrong numbers don't ship); the try_ family
+    // is the explicit opt-out that returns NULL instead. Pinned: bad
+    // casts null out, zero denominators null out (and are countable),
+    // long-overflow multiplies null out — the dirty-feed arithmetic
+    // contract.
+    Q("ansi_safe_arithmetic",
+      (s, dir) => {
+        rd(s, dir, "orders")
+          .withColumn("maybe_num",
+            when(col("o_orderkey") % 7 === 0, lit("oops"))
+              .otherwise(col("o_orderkey").cast("string")))
+          .withColumn("den", col("o_orderkey") % 5)
+          .select(
+            expr("try_cast(maybe_num AS BIGINT)").as("casted"),
+            expr("try_divide(o_totalprice, den)").as("divided"),
+            expr("try_multiply(o_orderkey + 2, 9223372036854775807L)").as("overflowed"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("casted").isNull, 1L).otherwise(0L)).as("n_bad_casts"),
+            sum(when(col("divided").isNull, 1L).otherwise(0L)).as("n_div_zero"),
+            sum(when(col("overflowed").isNull, 1L).otherwise(0L)).as("n_overflow"),
+            sum(col("casted")).as("casted_sum"))
+      },
+      Some("""SELECT cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(CASE WHEN TRY_CAST(CASE WHEN o_orderkey % 7 = 0
+             |    THEN 'oops' ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT)
+             |    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_casts,
+             |  cast(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_div_zero,
+             |  cast(count(*) AS BIGINT) AS n_overflow,
+             |  cast(sum(TRY_CAST(CASE WHEN o_orderkey % 7 = 0
+             |    THEN 'oops' ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT))
+             |    AS BIGINT) AS casted_sum
+             |FROM orders""".stripMargin))
   )
 }
