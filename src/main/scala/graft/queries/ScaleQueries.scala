@@ -579,6 +579,88 @@ object ScaleQueries {
              |  FROM orders GROUP BY 1)
              |SELECT status, cents, 'a' AS side, TRUE AS exchange_reused FROM a
              |UNION ALL
-             |SELECT status, cents, 'b', TRUE FROM a""".stripMargin))
+             |SELECT status, cents, 'b', TRUE FROM a""".stripMargin)),
+
+    // VERSION DATA-DIFF over the transaction log: two committed versions
+    // of a table diffed by key — rows added / removed / value-changed /
+    // unchanged — the ops tool behind "what did last night's load
+    // actually do". One full-outer join on the key between two
+    // time-travel reads; at 100 TB the manifest's file stats restrict
+    // both sides to files that could differ. Counts pinned to the
+    // oracle's reconstruction of the same two versions from source.
+    Q("txlog_version_diff",
+      (s, dir) => {
+        val store = new graft.runtime.TxLogTable(s,
+          DvQueries.tmpWarehouse("graft_vdiff"))
+        val c = rd(s, dir, "customer")
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"))
+        store.overwrite("cust_vd", c)
+        val v2 = c.filter(col("c_custkey") % 97 =!= 0)
+          .withColumn("cents",
+            when(col("c_custkey") % 10 === 0, col("cents") + 100)
+              .otherwise(col("cents")))
+          .unionByName(s.range(900001, 900006)
+            .select(col("id").as("c_custkey"), lit(0L).as("cents")))
+        store.overwrite("cust_vd", v2)
+        val vs = store.versions("cust_vd")
+        val a = store.readVersion("cust_vd", vs.head)
+          .select(col("c_custkey"), col("cents").as("cents_a"))
+        val b = store.readVersion("cust_vd", vs.last)
+          .select(col("c_custkey"), col("cents").as("cents_b"))
+        a.join(b, Seq("c_custkey"), "full_outer")
+          .agg(
+            sum(when(col("cents_a").isNull, 1L).otherwise(0L)).as("n_added"),
+            sum(when(col("cents_b").isNull, 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("cents_a").isNotNull && col("cents_b").isNotNull &&
+              col("cents_a") =!= col("cents_b"), 1L).otherwise(0L)).as("n_changed"),
+            sum(when(col("cents_a") === col("cents_b"), 1L).otherwise(0L))
+              .as("n_unchanged"))
+      },
+      Some("""SELECT
+             |  cast(5 AS BIGINT) AS n_added,
+             |  (SELECT cast(count(*) AS BIGINT) FROM customer
+             |   WHERE c_custkey % 97 = 0) AS n_removed,
+             |  (SELECT cast(count(*) AS BIGINT) FROM customer
+             |   WHERE c_custkey % 97 != 0 AND c_custkey % 10 = 0) AS n_changed,
+             |  (SELECT cast(count(*) AS BIGINT) FROM customer
+             |   WHERE c_custkey % 97 != 0 AND c_custkey % 10 != 0)
+             |    AS n_unchanged""".stripMargin)),
+
+    // CALENDAR DIMENSION GENERATION: the warehouse date spine (7 years
+    // daily) GENERATED, never loaded — year/quarter/month, day-of-week
+    // from explicit epoch-day arithmetic (engine dayofweek conventions
+    // differ; arithmetic doesn't), weekend flags, month boundaries. At
+    // any scale this is O(days) — the dimension every mart joins
+    // against, produced by sequence() + projections with no shuffle
+    // at all.
+    Q("calendar_dim",
+      (s, dir) => {
+        s.range(1).select(explode(expr(
+            "sequence(DATE '1995-01-01', DATE '2001-12-31', interval 1 day)"))
+            .as("day"))
+          .select(col("day"),
+            year(col("day")).as("yr"),
+            quarter(col("day")).as("qtr"),
+            month(col("day")).as("mon"),
+            // 1970-01-01 was a Thursday: (epochDay + 4) % 7 → 0=Sunday
+            expr("(datediff(day, DATE '1970-01-01') + 4) % 7").as("dow0"),
+            (expr("(datediff(day, DATE '1970-01-01') + 4) % 7") === 0 ||
+              expr("(datediff(day, DATE '1970-01-01') + 4) % 7") === 6)
+              .as("is_weekend"),
+            (col("day") === last_day(col("day"))).as("is_month_end"))
+      },
+      Some("""SELECT cast(u.d AS DATE) AS day,
+             |  cast(year(u.d) AS INT) AS yr,
+             |  cast(quarter(u.d) AS INT) AS qtr,
+             |  cast(month(u.d) AS INT) AS mon,
+             |  cast((datediff('day', DATE '1970-01-01', cast(u.d AS DATE)) + 4) % 7
+             |    AS INT) AS dow0,
+             |  ((datediff('day', DATE '1970-01-01', cast(u.d AS DATE)) + 4) % 7 = 0
+             |   OR (datediff('day', DATE '1970-01-01', cast(u.d AS DATE)) + 4) % 7 = 6)
+             |    AS is_weekend,
+             |  cast(u.d AS DATE) = last_day(cast(u.d AS DATE)) AS is_month_end
+             |FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+             |  DATE '2001-12-31', INTERVAL 1 DAY)) AS d) u""".stripMargin))
   )
 }
