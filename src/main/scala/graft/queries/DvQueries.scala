@@ -63,7 +63,7 @@ object DvQueries {
 
   /** 3-batch customer source: every key changes at b=2, keys %5=0 also at
     * b=1 — the A→A→B LAG-dedup fixture shape (FIXTURES §3). */
-  private def cust3Batch(s: SparkSession, dir: String): DataFrame =
+  private[queries] def cust3Batch(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "customer")
       .crossJoin(s.range(3).select(col("id").as("b")))
       .withColumn(LdtsAlias,
@@ -212,7 +212,7 @@ object DvQueries {
        |  SELECT s.*, g.hd_orders_ms FROM src s LEFT JOIN grouped g
        |    ON s.hk_customer_h = g.hk_customer_h AND s.ldts = g.ldts)""".stripMargin
 
-  private val satV0Sql = // change-only dedup over the 3-batch source (W3)
+  private[queries] val satV0Sql = // change-only dedup over the 3-batch source (W3)
     s"""$cust3BatchSql,
        |sat_v0 AS (
        |  SELECT hk_customer_h, hd_customer_s, rsrc, ldts, c_name, c_acctbal_v, c_mktsegment
