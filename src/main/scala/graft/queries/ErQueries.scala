@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ENTITY RESOLUTION / record linkage — the master-data sibling of the
+  * dedup suite: instead of near-identical *documents*, near-identical
+  * *records* (a CRM customer vs its slightly-mangled import twin) must
+  * be blocked, scored, thresholded, clustered and survived into one
+  * golden entity. Classic Fellegi–Sunter probabilistic linkage, run
+  * entirely as DataFrame ops:
+  *
+  *   block → candidate pairs (never all-pairs) → per-field agreement
+  *   vector → m/u probabilities estimated from the data → per-pair
+  *   likelihood ratio → threshold → connected components → survivorship.
+  *
+  * The fixture plants a deterministic "dirty twin" for every third
+  * customer (id + 1_000_000, name case/punct-mangled, balance off by one
+  * cent) so ground truth is known in closed form and the oracle can
+  * label pairs exactly.
+  *
+  * Determinism note: match weights are LIKELIHOOD RATIOS (products of
+  * per-field m/u divisions in a fixed order), not log-weights — IEEE
+  * division/multiplication is bit-identical across engines, libm log2 is
+  * not. Scale: blocking bounds pair fanout to C(block,2); m/u estimation
+  * is one grouped aggregate broadcast back; CC is the shared
+  * path-halving GraphOps used by the dedup clusters.
+  */
+object ErQueries {
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** customers ∪ dirty twins of every custkey % 3 == 0: twin id =
+    * id + 1_000_000, first letter lowercased and '#' → '-' (levenshtein
+    * 2 from the original), balance +1 cent, same nation/segment. */
+  private def records(s: SparkSession, dir: String): DataFrame = {
+    val c = rd(s, dir, "customer")
+    val orig = c.select(col("c_custkey").as("rec_id"), col("c_name").as("name"),
+      col("c_nationkey").as("nation"), col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("segment"), lit("crm").as("src"))
+    val twin = c.filter(col("c_custkey") % 3 === 0)
+      .select((col("c_custkey") + 1000000L).as("rec_id"),
+        translate(lower(col("c_name")), "#", "-").as("name"),
+        col("c_nationkey").as("nation"),
+        (col("c_acctbal") + 0.01).as("acctbal"),
+        col("c_mktsegment").as("segment"), lit("import").as("src"))
+    orig.unionByName(twin)
+  }
+
+  private val recordsSql =
+    """recs AS (
+      |  SELECT c_custkey AS rec_id, c_name AS name, c_nationkey AS nation,
+      |    c_acctbal AS acctbal, c_mktsegment AS segment, 'crm' AS src
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS rec_id,
+      |    translate(lower(c_name), '#', '-') AS name, c_nationkey AS nation,
+      |    c_acctbal + 0.01 AS acctbal, c_mktsegment AS segment,
+      |    'import' AS src
+      |  FROM customer WHERE c_custkey % 3 = 0)""".stripMargin
+
+  /** candidate pairs: equi-self-join on the (nation, segment) block key,
+    * a < b ordering, with per-field agreement flags and the ground-truth
+    * label (twin ⟺ id gap is exactly 1e6). */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val r = records(s, dir)
+    val a = r.select(col("rec_id").as("id_a"), col("name").as("name_a"),
+      col("nation"), col("acctbal").as("bal_a"), col("segment"))
+    val b = r.select(col("rec_id").as("id_b"), col("name").as("name_b"),
+      col("nation"), col("acctbal").as("bal_b"), col("segment"))
+    a.join(b, Seq("nation", "segment"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (levenshtein(col("name_a"), col("name_b")) <= 2).as("agree_name"),
+        (abs(col("bal_a") - col("bal_b")) <= 0.02).as("agree_bal"),
+        (col("id_b") - col("id_a") === 1000000L).as("is_match"))
+  }
+
+  private val pairsSql =
+    s"""$recordsSql,
+       |pairs AS (
+       |  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+       |    levenshtein(a.name, b.name) <= 2 AS agree_name,
+       |    abs(a.acctbal - b.acctbal) <= 0.02 AS agree_bal,
+       |    b.rec_id - a.rec_id = 1000000 AS is_match
+       |  FROM recs a JOIN recs b
+       |    ON a.nation = b.nation AND a.segment = b.segment
+       |    AND a.rec_id < b.rec_id)""".stripMargin
+
+  /** 1-row m/u stats + the per-pair likelihood ratio, fixed field order
+    * (name then balance). */
+  private def scoredPairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(s, dir)
+    val mu = pairs.agg(
+      (sum(when(col("is_match") && col("agree_name"), 1L).otherwise(0L))
+        .cast("double") / sum(when(col("is_match"), 1L).otherwise(0L)))
+        .as("m_name"),
+      (sum(when(!col("is_match") && col("agree_name"), 1L).otherwise(0L))
+        .cast("double") / sum(when(!col("is_match"), 1L).otherwise(0L)))
+        .as("u_name"),
+      (sum(when(col("is_match") && col("agree_bal"), 1L).otherwise(0L))
+        .cast("double") / sum(when(col("is_match"), 1L).otherwise(0L)))
+        .as("m_bal"),
+      (sum(when(!col("is_match") && col("agree_bal"), 1L).otherwise(0L))
+        .cast("double") / sum(when(!col("is_match"), 1L).otherwise(0L)))
+        .as("u_bal"))
+    def ratio(agree: Column, m: Column, u: Column): Column =
+      // u can be 0 in a clean corpus: clamp to 1/N-ish floor exactly as
+      // the oracle does, keeping the ratio finite
+      when(agree, m / greatest(u, lit(1e-6)))
+        .otherwise((lit(1.0) - m) / greatest(lit(1.0) - u, lit(1e-6)))
+    pairs.crossJoin(broadcast(mu))
+      .select(col("id_a"), col("id_b"), col("agree_name"), col("agree_bal"),
+        col("is_match"),
+        (ratio(col("agree_name"), col("m_name"), col("u_name")) *
+          ratio(col("agree_bal"), col("m_bal"), col("u_bal")))
+          .as("likelihood_ratio"))
+  }
+
+  private val scoredSql =
+    s"""$pairsSql,
+       |mu AS (
+       |  SELECT
+       |    cast(sum(CASE WHEN is_match AND agree_name THEN 1 ELSE 0 END)
+       |      AS double) / sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS m_name,
+       |    cast(sum(CASE WHEN NOT is_match AND agree_name THEN 1 ELSE 0 END)
+       |      AS double) / sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS u_name,
+       |    cast(sum(CASE WHEN is_match AND agree_bal THEN 1 ELSE 0 END)
+       |      AS double) / sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS m_bal,
+       |    cast(sum(CASE WHEN NOT is_match AND agree_bal THEN 1 ELSE 0 END)
+       |      AS double) / sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS u_bal
+       |  FROM pairs),
+       |scored AS (
+       |  SELECT p.id_a, p.id_b, p.agree_name, p.agree_bal, p.is_match,
+       |    (CASE WHEN p.agree_name THEN mu.m_name / greatest(mu.u_name, 1e-6)
+       |          ELSE (1.0 - mu.m_name) / greatest(1.0 - mu.u_name, 1e-6) END)
+       |    * (CASE WHEN p.agree_bal THEN mu.m_bal / greatest(mu.u_bal, 1e-6)
+       |            ELSE (1.0 - mu.m_bal) / greatest(1.0 - mu.u_bal, 1e-6) END)
+       |      AS likelihood_ratio
+       |  FROM pairs p, mu)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Blocking diagnostics: per-block record count and pair fanout —
+    // the number every ER run must look at BEFORE joining (a skewed
+    // block is quadratic). Emits the C(n,2) fanout and a cap flag at
+    // 10k pairs; at 100 TB an over-cap block falls back to a finer key
+    // (exactly like the LSH bucket caps in the dedup suite).
+    Q("er_blocking",
+      (s, dir) => {
+        records(s, dir)
+          .groupBy(col("nation"), col("segment"))
+          .agg(count(lit(1)).as("n_records"))
+          .select(col("nation"), col("segment"), col("n_records"),
+            (col("n_records") * (col("n_records") - 1) / 2).as("n_pairs"),
+            (col("n_records") * (col("n_records") - 1) / 2 > 10000)
+              .as("over_cap"))
+      },
+      Some(s"""WITH $recordsSql
+              |SELECT nation, segment, cast(count(*) AS BIGINT) AS n_records,
+              |  cast(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_pairs,
+              |  count(*) * (count(*) - 1) / 2 > 10000 AS over_cap
+              |FROM recs GROUP BY 1, 2""".stripMargin)),
+
+    // Fellegi–Sunter match weights with m/u estimated FROM the data
+    // (agreement rates among labeled matches vs non-matches — here the
+    // planted-twin label; in production a clerical sample). One grouped
+    // aggregate produces the 1-row m/u table, broadcast back over the
+    // pairs; the likelihood ratio multiplies per-field m/u ratios in a
+    // fixed order. Summary per (agreement-pattern, decision) cell keeps
+    // the output bounded while pinning every distinct weight value.
+    Q("er_match_weights",
+      (s, dir) => {
+        scoredPairs(s, dir)
+          .groupBy(col("agree_name"), col("agree_bal"), col("is_match"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(min(col("likelihood_ratio")), 6).as("weight"),
+            max(col("likelihood_ratio") > 100.0).as("decision_link"))
+      },
+      Some(s"""WITH $scoredSql
+              |SELECT agree_name, agree_bal, is_match,
+              |  cast(count(*) AS BIGINT) AS n_pairs,
+              |  round(min(likelihood_ratio), 6) AS weight,
+              |  max(likelihood_ratio > 100.0) AS decision_link
+              |FROM scored GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Threshold → entities → GOLDEN RECORD: pairs over the link
+    // threshold cluster into entities via the shared path-halving
+    // connected components (same GraphOps as the dedup clusters; the
+    // planted truth makes components = {original, twin} pairs, so the
+    // oracle's min-id closed form is exact), then survivorship picks
+    // per-field winners by source priority (crm beats import) and the
+    // entity keeps the twin's cent-corrected balance via max — the
+    // RelQueries golden_record rules applied at ER-cluster grain.
+    Q("er_entities_golden",
+      (s, dir) => {
+        val matched = scoredPairs(s, dir)
+          .filter(col("likelihood_ratio") > 100.0)
+          .select(col("id_a"), col("id_b"))
+        val cc = graft.ops.GraphOps.connectedComponents(matched, "id_a", "id_b")
+        val r = records(s, dir)
+        r.join(cc.select(col("node").as("rec_id"), col("component")),
+            Seq("rec_id"), "left")
+          .withColumn("entity_id", coalesce(col("component"), col("rec_id")))
+          .groupBy(col("entity_id"))
+          .agg(count(lit(1)).as("n_records"),
+            min(when(col("src") === "crm", col("name"))).as("name"),
+            round(max(col("acctbal")), 2).as("acctbal"),
+            min(col("segment")).as("segment"))
+      },
+      Some(s"""WITH $scoredSql,
+              |matched AS (
+              |  SELECT id_a, id_b FROM scored WHERE likelihood_ratio > 100.0),
+              |cc AS (
+              |  SELECT id_a AS rec_id, id_a AS entity_id FROM matched
+              |  UNION ALL
+              |  SELECT id_b AS rec_id, id_a AS entity_id FROM matched),
+              |labeled AS (
+              |  SELECT r.*, COALESCE(c.entity_id, r.rec_id) AS entity_id
+              |  FROM recs r LEFT JOIN cc c ON c.rec_id = r.rec_id)
+              |SELECT entity_id, cast(count(*) AS BIGINT) AS n_records,
+              |  min(CASE WHEN src = 'crm' THEN name END) AS name,
+              |  round(max(acctbal), 2) AS acctbal,
+              |  min(segment) AS segment
+              |FROM labeled GROUP BY 1""".stripMargin))
+  )
+}
