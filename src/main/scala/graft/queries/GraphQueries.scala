@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-round graph algorithms over the CO-PURCHASE graph (part pairs
+  * bought together in ≥ 2 orders — the basket_lift association graph
+  * re-used as an edge list), widening the CC / PageRank / triangle
+  * family with the two remaining production staples:
+  *
+  *  - k-CORE PEELING (bounded rounds): iteratively drop nodes whose
+  *    degree in the surviving subgraph is < k; the 3-core is the dense
+  *    cross-sell backbone (merchandising reads: stable product
+  *    communities), peeled nodes are incidental co-occurrences.
+  *  - MULTI-SOURCE BFS hop distance (bounded rounds): recommendation
+  *    radius — how many co-purchase hops from a seed set (promoted
+  *    parts, id % 50 = 0) reach each part.
+  *
+  * Both run a FIXED number of rounds (8 peel / 4 BFS) rather than
+  * to-convergence, and both engines execute the SAME unrolled rounds —
+  * the Spark loop and the generated DuckDB CTE chain derive from one
+  * round-count constant, so the post-round-N state is exact even
+  * mid-convergence (at this SF the peel IS converged; verified 940-node
+  * 3-core, 1715 BFS-reached nodes — neither trivial). Scale: each round
+  * is one semi-join restriction + one degree aggregate over a
+  * monotonically shrinking set; lineage is truncated per round
+  * (localCheckpoint) so the plan never deepens past one iteration —
+  * the same posture as the iterative-parity and CC queries.
+  */
+object GraphQueries {
+
+  private val PeelRounds = 8
+  private val CoreK = 3
+  private val BfsRounds = 4
+
+  /** symmetric co-purchase edges: part pairs sharing ≥ 2 orders. */
+  private def symEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val e = li.join(b, Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("pb"))
+      .groupBy(col("l_partkey").as("pa"), col("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("pa", "pb")
+    e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+  }
+
+  private val symSql =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS MATERIALIZED (
+      |  SELECT pa AS src, pb AS dst FROM e
+      |  UNION ALL
+      |  SELECT pb AS src, pa AS dst FROM e)""".stripMargin
+
+  /** the unrolled peel chain: aN = survivors after N rounds. */
+  private def peelSql: String = {
+    val rounds = (1 to PeelRounds).map { i =>
+      val prev = if (i == 1) "a0" else s"a${i - 1}"
+      s"""d$i AS (
+         |  SELECT e.src AS node, count(*) AS deg FROM sym e
+         |  JOIN $prev p1 ON p1.node = e.src
+         |  JOIN $prev p2 ON p2.node = e.dst
+         |  GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $CoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+       |$rounds""".stripMargin
+  }
+
+  /** the unrolled BFS chain: lN = (node, hop) labeled within N rounds. */
+  private def bfsSql: String = {
+    val rounds = (1 to BfsRounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""f$i AS (
+         |  SELECT DISTINCT e.dst AS node FROM sym e
+         |  JOIN $prev p ON p.node = e.src AND p.hop = ${i - 1}
+         |  WHERE e.dst NOT IN (SELECT node FROM $prev)),
+         |l$i AS MATERIALIZED (SELECT node, hop FROM $prev
+         |        UNION ALL SELECT node, $i AS hop FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, 0 AS hop FROM sym WHERE src % 50 = 0),
+       |$rounds""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // parts surviving 8 rounds of 3-core peeling, with their degree in
+    // the final surviving subgraph.
+    Q("kcore_peel",
+      (s, dir) => {
+        val edges = symEdges(s, dir).localCheckpoint()
+        var alive = edges.select(col("src").as("node")).distinct()
+          .localCheckpoint()
+        for (_ <- 1 to PeelRounds) {
+          val deg = edges
+            .join(alive.select(col("node").as("src")), Seq("src"), "leftsemi")
+            .join(alive.select(col("node").as("dst")), Seq("dst"), "leftsemi")
+            .groupBy(col("src").as("node"))
+            .agg(count(lit(1)).as("deg"))
+          alive = deg.filter(col("deg") >= CoreK).select("node")
+            .localCheckpoint()
+        }
+        edges
+          .join(alive.select(col("node").as("src")), Seq("src"), "leftsemi")
+          .join(alive.select(col("node").as("dst")), Seq("dst"), "leftsemi")
+          .groupBy(col("src").as("part_id"))
+          .agg(count(lit(1)).as("core_degree"))
+      },
+      Some(s"""WITH $symSql,
+              |$peelSql,
+              |fin AS (
+              |  SELECT e.src AS part_id, count(*) AS core_degree FROM sym e
+              |  JOIN a$PeelRounds p1 ON p1.node = e.src
+              |  JOIN a$PeelRounds p2 ON p2.node = e.dst
+              |  GROUP BY 1)
+              |SELECT part_id, cast(core_degree AS BIGINT) AS core_degree
+              |FROM fin""".stripMargin)),
+
+    // hop distance (≤ 4) from the promoted-part seed set {id % 50 = 0}:
+    // each round expands the frontier through one equi-join and
+    // anti-joins the already-labeled set — per-round work is
+    // O(frontier edges), and BFS order makes the first label the min
+    // hop.
+    Q("bfs_hops",
+      (s, dir) => {
+        val edges = symEdges(s, dir).localCheckpoint()
+        var labeled = edges.select(col("src").as("node")).distinct()
+          .filter(col("node") % 50 === 0)
+          .withColumn("hop", lit(0)).localCheckpoint()
+        for (i <- 1 to BfsRounds) {
+          val frontier = edges
+            .join(labeled.filter(col("hop") === i - 1)
+              .select(col("node").as("src")), Seq("src"), "leftsemi")
+            .select(col("dst").as("node")).distinct()
+            .join(labeled.select("node"), Seq("node"), "left_anti")
+            .withColumn("hop", lit(i))
+          labeled = labeled.unionByName(frontier).localCheckpoint()
+        }
+        labeled.select(col("node").as("part_id"), col("hop").cast("int"))
+      },
+      Some(s"""WITH $symSql,
+              |$bfsSql
+              |SELECT node AS part_id, cast(hop AS INT) AS hop
+              |FROM l$BfsRounds""".stripMargin))
+  )
+}

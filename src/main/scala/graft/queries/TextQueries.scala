@@ -125,7 +125,7 @@ object TextQueries {
       }
     }
 
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame =
     cachedPerSession(s, s"cands:$dir")(
       buildLshCandidates(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -171,7 +171,7 @@ object TextQueries {
   }
 
   /** the same candidate chain as DuckDB CTEs, ending in `cands` */
-  private val lshCandSql =
+  private[queries] val lshCandSql =
     s"""w AS (
        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents),
        |shl AS (SELECT doc_id, $shinglesSqlDuck AS shs FROM w),
