@@ -578,6 +578,34 @@ object StreamingLoaders {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** LEFT OUTER variant of [[attributionJoinStream]]: every purchase is
+    * emitted exactly once — matched purchases as soon as their in-window
+    * click pairs, UNMATCHED purchases with NULL click fields once the
+    * watermark has passed their join window (so no click can still
+    * arrive). The "direct purchase" accounting the inner join drops;
+    * state remains bounded by the interval + lateness exactly like the
+    * inner join, and the delayed null emission is the engine's proof
+    * obligation, pinned against the batch left join in StreamingSpec. */
+  def attributionLeftOuterStream(clicks: DataFrame, purchases: DataFrame,
+                                 within: String = "1 hour",
+                                 lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    p.join(c,
+        col("c_user_id") === col("p_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $within"),
+        "left_outer")
+      .select(col("purchase_id"), col("p_user_id").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * streaming form of the events_windowed batch query. Append mode emits a
     * window only once the watermark passes its end: late events inside the

@@ -765,6 +765,78 @@ class StreamingSpec extends SparkSpec {
       s"streamed pairs $streamed must equal the batch predicate $batch")
   }
 
+  test("stream-stream LEFT OUTER join: unmatched purchases emit NULL clicks after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream").toString
+    val clicksIn = MemoryStream[(Long, Long, String)]
+    val pursIn = MemoryStream[(Long, Long, String)]
+    def ev(in: MemoryStream[(Long, Long, String)]) =
+      in.toDF().toDF("user_id", "event_id", "ts_s")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+    val joined = StreamingLoaders.attributionLeftOuterStream(
+      ev(clicksIn), ev(pursIn), within = "1 hour", lateness = "10 minutes")
+    val query = joined.writeStream
+      .format("memory").queryName("attrib_lo").outputMode("append")
+      .option("checkpointLocation", s"$wh/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    // user 1 purchases with an in-window click; user 2 purchases with NO
+    // click at all — the row the inner join loses
+    clicksIn.addData((1L, 100L, "2024-01-01 09:30:00"))
+    pursIn.addData((1L, 200L, "2024-01-01 10:00:00"),
+      (2L, 201L, "2024-01-01 10:00:00"))
+    query.processAllAvailable()
+    val matched = spark.sql(
+      "SELECT purchase_id, click_id FROM attrib_lo WHERE click_id IS NOT NULL")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched == Set((200L, 100L)), s"matched pair first, got $matched")
+    assert(spark.sql(
+      "SELECT 1 FROM attrib_lo WHERE purchase_id = 201").isEmpty,
+      "the unmatched purchase must NOT emit while its window is open")
+
+    // advance both watermarks far past user 2's join window → the null
+    // row for purchase 201 must now be released
+    clicksIn.addData((9L, 900L, "2024-01-01 14:00:00"))
+    pursIn.addData((9L, 901L, "2024-01-01 14:00:00"))
+    query.processAllAvailable()
+    clicksIn.addData((9L, 902L, "2024-01-01 15:00:00"))
+    pursIn.addData((9L, 903L, "2024-01-01 15:00:00"))
+    query.processAllAvailable()
+    query.stop()
+
+    val nulls = spark.sql(
+      "SELECT purchase_id FROM attrib_lo WHERE click_id IS NULL")
+      .collect().map(_.getLong(0)).toSet
+    assert(nulls.contains(201L),
+      s"purchase 201 must emit with NULL click after watermark, got $nulls")
+
+    // parity: streamed rows for the CLOSED windows equal the batch left
+    // join over the same events
+    val clicks = Seq((1L, 100L, "2024-01-01 09:30:00"),
+      (9L, 900L, "2024-01-01 14:00:00"))
+      .toDF("user_id", "click_id", "ts_s")
+      .withColumn("click_ts", to_timestamp($"ts_s")).drop("ts_s")
+    val purs = Seq((1L, 200L, "2024-01-01 10:00:00"),
+      (2L, 201L, "2024-01-01 10:00:00"), (9L, 901L, "2024-01-01 14:00:00"))
+      .toDF("user_id", "purchase_id", "ts_s")
+      .withColumn("purchase_ts", to_timestamp($"ts_s")).drop("ts_s")
+    val batch = purs.join(clicks,
+        purs("user_id") === clicks("user_id") &&
+          $"click_ts" <= $"purchase_ts" &&
+          $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select($"purchase_id", $"click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val streamed = spark.table("attrib_lo")
+      .filter($"purchase_id".isin(200L, 201L, 901L)).collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        if (r.isNullAt(3)) -1L else r.getAs[Long]("click_id"))).toSet
+    assert(streamed == batch,
+      s"streamed left-outer rows $streamed must equal batch $batch")
+  }
+
   test("quality router: keep/reject partition matches the batch gopher gate") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
