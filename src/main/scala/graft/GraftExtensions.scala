@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.GraftColumnBridge
 
-import graft.expr.{DotProduct, HashConfig, Hashing, IntDotProduct, MaListAgg, VecNorm}
+import graft.expr.{DotProduct, HashConfig, Hashing, IntDotProduct, JaroWinklerSim, MaListAgg, VecNorm}
 
 /** SparkSessionExtensions registration for graft's native expressions, so
   * they are callable from SQL text as well as the Column API:
@@ -44,6 +44,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "int_dot_product(a, b) takes two integral arrays")
         IntDotProduct(children(0), children(1))
+      }),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaro_winkler(a, b) takes two strings")
+        JaroWinklerSim(children(0), children(1))
       }),
     (new FunctionIdentifier("ma_list_agg"),
       new ExpressionInfo(classOf[MaListAgg].getName, "ma_list_agg"),

@@ -185,6 +185,47 @@ object ErQueries {
               |  max(likelihood_ratio > 100.0) AS decision_link
               |FROM scored GROUP BY 1, 2, 3""".stripMargin)),
 
+    // The native codegen'd Jaro–Winkler expression (Spark has no
+    // built-in; expr/JaroWinkler.scala, registered as `jaro_winkler`
+    // through GraftExtensions) scored over every blocked candidate pair
+    // and pinned byte-for-byte against DuckDB's
+    // jaro_winkler_similarity — the record-linkage name comparator the
+    // levenshtein gate approximates. Summary grain: per (true-label,
+    // similarity-band) counts with min/max sims, so every distinct
+    // value participates in the hash without a 16k-row dump.
+    Q("er_jaro_similarity",
+      (s, dir) => {
+        val r = records(s, dir)
+        val a = r.select(col("rec_id").as("id_a"), col("name").as("name_a"),
+          col("nation"), col("segment"))
+        val b = r.select(col("rec_id").as("id_b"), col("name").as("name_b"),
+          col("nation"), col("segment"))
+        a.join(b, Seq("nation", "segment"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (col("id_b") - col("id_a") === 1000000L).as("is_match"),
+            graft.expr.JaroWinkler.sim(col("name_a"), col("name_b"))
+              .as("jw"))
+          .groupBy(col("is_match"), floor(col("jw") * 10).cast("int")
+            .as("sim_band"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(min(col("jw")), 6).as("min_sim"),
+            round(max(col("jw")), 6).as("max_sim"))
+      },
+      Some(s"""WITH $recordsSql,
+              |scored AS (
+              |  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+              |    b.rec_id - a.rec_id = 1000000 AS is_match,
+              |    jaro_winkler_similarity(a.name, b.name) AS jw
+              |  FROM recs a JOIN recs b
+              |    ON a.nation = b.nation AND a.segment = b.segment
+              |    AND a.rec_id < b.rec_id)
+              |SELECT is_match, cast(floor(jw * 10) AS INT) AS sim_band,
+              |  cast(count(*) AS BIGINT) AS n_pairs,
+              |  round(min(jw), 6) AS min_sim,
+              |  round(max(jw), 6) AS max_sim
+              |FROM scored GROUP BY 1, 2""".stripMargin)),
+
     // Threshold → entities → GOLDEN RECORD: pairs over the link
     // threshold cluster into entities via the shared path-halving
     // connected components (same GraphOps as the dedup clusters; the
