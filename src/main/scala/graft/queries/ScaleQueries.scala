@@ -627,6 +627,81 @@ object ScaleQueries {
              |   WHERE c_custkey % 97 != 0 AND c_custkey % 10 != 0)
              |    AS n_unchanged""".stripMargin)),
 
+    // DELETE-AWARE AGGREGATE IVM: the retract/insert generalization of
+    // `incremental_agg_maintain` (which is additive-only) and
+    // `ivm_join_delta` (insert-only). The maintained per-priority
+    // aggregate is updated from a Cdc.diff CHANGE FEED alone — U rows
+    // decompose into a retraction of the old image + an insertion of the
+    // new image (so even a group-key change maintains correctly), D rows
+    // retract, I rows insert; one bounded full-outer fold against the
+    // current MV, groups whose count hits 0 drop out. Cost per refresh:
+    // O(changes) + O(groups), never O(table) — the shape that keeps a
+    // 100 TB mart's aggregates fresh from last night's delta. The
+    // maintained MV must equal the one-shot aggregate of v2 (oracle),
+    // with the feed's op counts pinned alongside.
+    Q("ivm_cdc_agg",
+      (s, dir) => {
+        val v1 = rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("cents",
+            when(col("o_orderkey") % 10 === 0, col("cents") + 100)
+              .otherwise(col("cents")))
+          .unionByName(s.range(900001, 900006)
+            .select(col("id").as("o_orderkey"),
+              lit("1-URGENT").as("o_orderpriority"), lit(0L).as("cents")))
+        val mv1 = v1.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        val feed = graft.runtime.Cdc.diff(v1, v2, Seq("o_orderkey"))
+          .localCheckpoint()
+        // retract old images of D/U, insert new images of I/U
+        val retract = feed.filter(col("op").isin("D", "U"))
+          .select(col("old_o_orderpriority").as("o_orderpriority"),
+            lit(-1L).as("dn"), (-col("old_cents")).as("dc"))
+        val insert = feed.filter(col("op").isin("I", "U"))
+          .select(col("new_o_orderpriority").as("o_orderpriority"),
+            lit(1L).as("dn"), col("new_cents").as("dc"))
+        val delta = retract.unionByName(insert)
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+        val mv2 = mv1
+          .join(delta, Seq("o_orderpriority"), "full_outer")
+          .select(col("o_orderpriority"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .as("cents"))
+          .filter(col("n") > 0)
+        val ops = feed.groupBy().agg(
+          sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_feed_i"),
+          sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_feed_u"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_feed_d"))
+        mv2.crossJoin(broadcast(ops))
+          .select(col("o_orderpriority"), col("n"),
+            round(col("cents").cast("double") / 100.0, 2).as("total_price"),
+            col("n_feed_i"), col("n_feed_u"), col("n_feed_d"))
+      },
+      Some("""WITH v2 AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    cast(round(o_totalprice * 100) AS BIGINT)
+             |      + CASE WHEN o_orderkey % 10 = 0 THEN 100 ELSE 0 END AS cents
+             |  FROM orders WHERE o_orderkey % 97 <> 0
+             |  UNION ALL
+             |  SELECT 900000 + i, '1-URGENT', 0
+             |  FROM generate_series(1, 5) AS g(i)),
+             |ops AS (
+             |  SELECT cast(5 AS BIGINT) AS n_feed_i,
+             |    (SELECT cast(count(*) AS BIGINT) FROM orders
+             |     WHERE o_orderkey % 97 <> 0 AND o_orderkey % 10 = 0)
+             |      AS n_feed_u,
+             |    (SELECT cast(count(*) AS BIGINT) FROM orders
+             |     WHERE o_orderkey % 97 = 0) AS n_feed_d)
+             |SELECT v2.o_orderpriority, cast(count(*) AS BIGINT) AS n,
+             |  round(cast(sum(cents) AS double) / 100.0, 2) AS total_price,
+             |  ops.n_feed_i, ops.n_feed_u, ops.n_feed_d
+             |FROM v2, ops
+             |GROUP BY 1, ops.n_feed_i, ops.n_feed_u, ops.n_feed_d""".stripMargin)),
+
     // CALENDAR DIMENSION GENERATION: the warehouse date spine (7 years
     // daily) GENERATED, never loaded — year/quarter/month, day-of-week
     // from explicit epoch-day arithmetic (engine dayofweek conventions
