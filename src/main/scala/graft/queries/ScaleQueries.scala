@@ -627,6 +627,71 @@ object ScaleQueries {
              |   WHERE c_custkey % 97 != 0 AND c_custkey % 10 != 0)
              |    AS n_unchanged""".stripMargin)),
 
+    // MERGE-ON-READ ROW-LEVEL DELETE (equality deletion vectors): the
+    // modern lake-format delete path — `deleteWhere` writes ONE key file
+    // and touches zero data files (file count pinned unchanged across
+    // the delete as an oracle column), readers anti-join the tombstones,
+    // a later append RE-INSERTS deleted keys visibly (tombstones are
+    // scoped to the files live at delete time), time travel still sees
+    // the pre-delete rows, and `compact` materializes the tombstones
+    // away. At 100 TB this turns "purge these ids tonight" from a
+    // petabyte rewrite into O(keys) + one manifest commit — the
+    // rewrite-amplification escape hatch the COW merge path can't offer.
+    Q("txlog_deletion_vectors",
+      (s, dir) => {
+        val store = new graft.runtime.TxLogTable(s,
+          DvQueries.tmpWarehouse("graft_dv"))
+        val t = "orders_dv"
+        val base = rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartition(8)
+        store.overwrite(t, base)
+        val v1 = store.currentVersion(t).get
+        val filesBefore = store.files(t, v1).size
+        val nDeleted = store.deleteWhere(t, col("o_orderkey") % 7 === 0,
+          Seq("o_orderkey"))
+        val v2 = store.currentVersion(t).get
+        val filesAfterDelete = store.files(t, v2).size
+        val nAfterDelete = store.read(t).count()
+        val nTimeTravel = store.readVersion(t, v1).count()
+        // re-insert three previously-deleted keys — must be visible
+        store.append(t, s.range(3)
+          .select((col("id") * 7 + 7).as("o_orderkey"),
+            org.apache.spark.sql.functions.lit("REINSERT").as("o_orderpriority"),
+            org.apache.spark.sql.functions.lit(0L).as("cents")))
+        val nReinsertVisible = store.read(t)
+          .filter(col("o_orderpriority") === "REINSERT").count()
+        val tombsBefore = store.equalityDeletes(t,
+          store.currentVersion(t).get).size
+        store.compact(t, targetFiles = 2)
+        val tombsAfter = store.equalityDeletes(t,
+          store.currentVersion(t).get).size
+        val nAfterCompact = store.read(t).count()
+        s.range(1).select(
+          lit(nAfterDelete).as("n_after_delete"),
+          lit(nDeleted).as("n_deleted_keys"),
+          lit(nTimeTravel).as("n_time_travel_rows"),
+          lit(filesAfterDelete == filesBefore).as("delete_rewrote_nothing"),
+          lit(nReinsertVisible).as("n_reinserted_visible"),
+          lit(tombsBefore).cast("long").as("n_tombstones_before_compact"),
+          lit(tombsAfter).cast("long").as("n_tombstones_after_compact"),
+          lit(nAfterCompact).as("n_after_compact"))
+      },
+      Some("""SELECT
+             |  (SELECT cast(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderkey % 7 <> 0) AS n_after_delete,
+             |  (SELECT cast(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+             |   WHERE o_orderkey % 7 = 0) AS n_deleted_keys,
+             |  (SELECT cast(count(*) AS BIGINT) FROM orders)
+             |    AS n_time_travel_rows,
+             |  TRUE AS delete_rewrote_nothing,
+             |  cast(3 AS BIGINT) AS n_reinserted_visible,
+             |  cast(1 AS BIGINT) AS n_tombstones_before_compact,
+             |  cast(0 AS BIGINT) AS n_tombstones_after_compact,
+             |  (SELECT cast(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderkey % 7 <> 0) + 3 AS n_after_compact""".stripMargin)),
+
     // DELETE-AWARE AGGREGATE IVM: the retract/insert generalization of
     // `incremental_agg_maintain` (which is additive-only) and
     // `ivm_join_delta` (insert-only). The maintained per-priority

@@ -53,7 +53,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     * read-modify-overwrite contract */
   def overwrite(name: String, df: DataFrame): Unit = overwrite(name, df, None)
 
-  import TxLogTable.ColMap
+  import TxLogTable.{ColMap, EqDelete}
 
   def root(name: String): Path = Paths.get(baseDir, name)
   private def logDir(name: String): Path = root(name).resolve("_log")
@@ -68,6 +68,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   private val StatsColHeader = "#statscol\t"
   private val FStatHeader = "#fstat\t"
   private val TxnHeader = "#txn\t"
+  private val EDelHeader = "#edel\t"
 
   /** committed versions, ascending (tmp/garbage ignored) */
   def versions(name: String): Seq[Long] = {
@@ -121,6 +122,20 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       (p(0), p(1)) -> (p(2), p(3))
     }.toMap
 
+  /** the version's EQUALITY DELETE files (merge-on-read row-level deletes,
+    * Iceberg's equality-delete / Delta's deletion-vector idea): each holds
+    * the deleted KEYS (physical column names — immutable under renames)
+    * and is SCOPED to the data files live when the delete committed, so a
+    * later append that re-inserts a deleted key is visible. A delete
+    * commits one key file + one manifest line and rewrites ZERO data
+    * files — at 100 TB that turns "purge these ids" from a table rewrite
+    * into O(keys) + metadata. */
+  def equalityDeletes(name: String, v: Long): Seq[EqDelete] =
+    manifestLines(name, v).filter(_.startsWith(EDelHeader)).map { l =>
+      val p = l.stripPrefix(EDelHeader).split('\t')
+      EqDelete(p(0), p(1).split(',').toSeq, p(2).split(',').toSet)
+    }
+
   /** committed (appId → latest batchVersion) transaction markers — the
     * exactly-once bookkeeping streaming sinks read (cf. Delta's
     * txnAppId/txnVersion) */
@@ -137,13 +152,17 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   private def render(cols: Seq[ColMap], fs: Seq[String],
                      statsCols: Seq[String] = Nil,
                      stats: Map[(String, String), (String, String)] = Map.empty,
-                     txns: Map[String, Long] = Map.empty): Seq[String] =
+                     txns: Map[String, Long] = Map.empty,
+                     edels: Seq[EqDelete] = Nil): Seq[String] =
     cols.map(c => s"$ColHeader${c.physical}\t${c.logical}\t${c.typeDdl}") ++
       statsCols.map(c => s"$StatsColHeader$c") ++
       stats.toSeq.sortBy(_._1).map { case ((f, c), (mn, mx)) =>
         s"$FStatHeader$f\t$c\t$mn\t$mx"
       } ++
-      txns.toSeq.sorted.map { case (a, bv) => s"$TxnHeader$a\t$bv" } ++ fs
+      txns.toSeq.sorted.map { case (a, bv) => s"$TxnHeader$a\t$bv" } ++
+      edels.map(e =>
+        s"$EDelHeader${e.file}\t${e.keyPhys.mkString(",")}\t${e.scope.toSeq.sorted.mkString(",")}") ++
+      fs
 
   /** Publish `lines` as version `v` of `name`. Returns false when `v` was
     * committed concurrently by another writer (CAS lost — re-read, retry). */
@@ -176,16 +195,22 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   /** the full metadata of one version */
   private case class Meta(cols: Seq[ColMap], statsCols: Seq[String],
                           stats: Map[(String, String), (String, String)],
-                          txns: Map[String, Long] = Map.empty)
+                          txns: Map[String, Long] = Map.empty,
+                          edels: Seq[EqDelete] = Nil)
 
   private def metaOf(name: String, v: Long): Meta =
     Meta(mapping(name, v), statsColumns(name, v), fileStats(name, v),
-      txnVersions(name, v))
+      txnVersions(name, v), equalityDeletes(name, v))
 
   private def renderM(m: Meta, fs: Seq[String]): Seq[String] = {
     val liveSet = fs.toSet
+    // delete files scope-narrow to the surviving data files; a delete
+    // whose entire scope was rewritten/removed carries nothing and drops
+    val live = m.edels
+      .map(e => e.copy(scope = e.scope.intersect(liveSet)))
+      .filter(_.scope.nonEmpty)
     render(m.cols, fs, m.statsCols,
-      m.stats.filter { case ((f, _), _) => liveSet(f) }, m.txns)
+      m.stats.filter { case ((f, _), _) => liveSet(f) }, m.txns, live)
   }
 
   /** one pass over a just-written batch collecting per-file min/max of the
@@ -288,6 +313,43 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     }
   }
 
+  /** the deleted-key frame of one equality-delete file (physical key
+    * columns, as written at delete time) */
+  private def deleteKeys(name: String, e: EqDelete): DataFrame =
+    spark.read.parquet(root(name).resolve(e.file).toString)
+
+  /** read `fs` under `cols` with the applicable equality deletes
+    * anti-joined in. Files are grouped by their applicable delete-file
+    * SET (normally one group: everything pre-delete), each group
+    * anti-joins its deletes ON THE PHYSICAL key columns before the
+    * logical mapping applies — physical names are immutable, so deletes
+    * survive renames. */
+  private def readWithDeletes(name: String, cols: Seq[ColMap],
+                              fs: Seq[String], edels: Seq[EqDelete]): DataFrame = {
+    val applicable = edels.filter(_.scope.exists(fs.contains))
+    if (applicable.isEmpty) return readMapped(name, cols, fs)
+    val groups = fs.groupBy(f => applicable.filter(_.scope(f)).map(_.file))
+    groups.map { case (delFiles, groupFs) =>
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(groupFs.map(f => root(name).resolve(f).toString): _*)
+      val surviving = applicable.filter(e => delFiles.contains(e.file))
+        .foldLeft(raw) { (df, e) =>
+          // physical key columns are always present: delete files are only
+          // scoped to data files that were live (hence schema-complete for
+          // the keys) when the delete committed
+          df.join(deleteKeys(name, e), e.keyPhys, "left_anti")
+        }
+      if (cols.isEmpty) surviving
+      else {
+        val present = surviving.columns.toSet
+        surviving.select(cols.map { c =>
+          if (present(c.physical)) col(c.physical).cast(c.typeDdl).as(c.logical)
+          else lit(null).cast(c.typeDdl).as(c.logical)
+        }: _*)
+      }
+    }.reduce(_ unionByName _)
+  }
+
   /** read the current snapshot (resolves the manifest ONCE — concurrent
     * commits do not move this DataFrame's version) */
   def read(name: String): DataFrame = readVersion(name,
@@ -296,7 +358,8 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
 
   /** time travel */
   def readVersion(name: String, v: Long): DataFrame =
-    readMapped(name, mapping(name, v), files(name, v))
+    readWithDeletes(name, mapping(name, v), files(name, v),
+      equalityDeletes(name, v))
 
   /** read a SUBSET of a version's live files under that version's column
     * mapping — the primitive behind file-pruned probes (the caller still
@@ -306,7 +369,51 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     require(subset.forall(live.contains),
       s"TxLogTable $name: readFiles over non-live files " +
         s"${subset.filterNot(live.contains)}")
-    readMapped(name, mapping(name, v), subset)
+    readWithDeletes(name, mapping(name, v), subset, equalityDeletes(name, v))
+  }
+
+  /** MERGE-ON-READ row-level DELETE (Iceberg equality deletes / Delta
+    * deletion vectors): rows of the current snapshot matching `cond` have
+    * their `keyCols` written to ONE key file; no data file is touched.
+    * Readers anti-join the keys; `compact` (or any rewrite of the scoped
+    * files) materializes the delete and drops the tombstone. A later
+    * append may re-insert a deleted key and is visible — deletes are
+    * scoped to the files live at delete time. Returns the number of
+    * distinct deleted keys. */
+  def deleteWhere(name: String, cond: org.apache.spark.sql.Column,
+                  keyCols: Seq[String]): Long = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    val m = metaOf(name, v)
+    val live = files(name, v)
+    val phys = keyCols.map(kc => m.cols.find(_.logical == kc).getOrElse(
+      throw new IllegalArgumentException(
+        s"TxLogTable $name: no column $kc")))
+    // keys from the CURRENT snapshot (existing tombstones applied — a
+    // re-delete of an already-dead key would be a harmless no-op row)
+    val keys = readWithDeletes(name, m.cols, live, m.edels)
+      .filter(cond)
+      .select(phys.map(c => col(c.logical).cast(c.typeDdl).as(c.physical)): _*)
+      .distinct()
+      .localCheckpoint()
+    val n = keys.count()
+    if (n == 0) return 0L
+    val batch = s"ed-${UUID.randomUUID()}"
+    val dir = root(name).resolve(batch)
+    keys.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val delFile = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).map(f => s"$batch/$f").toSeq.head
+      finally s.close()
+    }
+    val withDel = m.copy(edels =
+      m.edels :+ EqDelete(delFile, phys.map(_.physical), live.toSet))
+    if (!tryCommit(name, v + 1, renderM(withDel, live)))
+      throw new IllegalStateException(
+        s"TxLogTable $name: lost commit race on deleteWhere — " +
+          "re-derive from the new head and retry")
+    n
   }
 
   /** S6 — incremental insert: appends never conflict semantically, so a
@@ -417,7 +524,11 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       retype.get(c.logical).fold(c)(t => c.copy(typeDdl = t)))
     val added =
       if (touched.isEmpty) Seq.empty
-      else writeBatch(name, rewrite(readMapped(name, m.cols, touched)), newCols)
+      // the rewrite sees the DELETE-APPLIED rows of the touched files (and
+      // its output files leave every delete's scope via renderM), so
+      // tombstoned rows can never be resurrected by a rewrite
+      else writeBatch(name,
+        rewrite(readWithDeletes(name, m.cols, touched, m.edels)), newCols)
     val next = live.filterNot(touched.contains) ++ added
     val withStats = m.copy(cols = newCols,
       stats = m.stats ++ batchStats(name, added, m.statsCols))
@@ -488,7 +599,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     val tableCols = m.cols.map(_.logical).toIndexedSeq
     val survivors =
       if (touched.isEmpty) src.select(tableCols.map(col): _*)
-      else readMapped(name, m.cols, touched)
+      else readWithDeletes(name, m.cols, touched, m.edels)
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(src.select(tableCols.map(col): _*))
     val added = writeBatch(name, survivors, m.cols)
@@ -569,9 +680,12 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     // stats are keyed by physical name (rename-proof); entries for columns
     // no longer mapped (drops) fall away with the mapping
     val phys = next.map(_.physical).toSet
+    // equality deletes carry through DDL untouched: they anti-join on
+    // PHYSICAL names inside the scoped files, which no mapping change
+    // moves (a renamed or even dropped key column still kills its rows)
     val withStats = Meta(next,
       m.statsCols.filter(phys),
-      m.stats.filter { case ((_, c), _) => phys(c) }, m.txns)
+      m.stats.filter { case ((_, c), _) => phys(c) }, m.txns, m.edels)
     if (!tryCommit(name, v + 1, renderM(withStats, files(name, v))))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on $op — retry")
@@ -621,16 +735,22 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
     val live = files(name, v)
-    if (live.size <= math.max(1, targetFiles) && clusterBy.isEmpty)
+    // pending equality deletes always warrant the rewrite (it materializes
+    // them), even when the file count is already at target
+    if (live.size <= math.max(1, targetFiles) && clusterBy.isEmpty &&
+        equalityDeletes(name, v).isEmpty)
       return (live.size, live.size)
     val m = metaOf(name, v)
-    val all = readMapped(name, m.cols, live)
+    // the rewrite MATERIALIZES pending equality deletes (tombstoned rows
+    // are dropped from the new files) — so the new meta clears them
+    val all = readWithDeletes(name, m.cols, live, m.edels)
     val compacted =
       if (clusterBy.isEmpty) all.repartition(math.max(1, targetFiles))
       else all.repartitionByRange(math.max(1, targetFiles), clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     val added = writeBatch(name, compacted, m.cols)
-    val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols))
+    val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols),
+      edels = Nil)
     if (!tryCommit(name, v + 1, renderM(withStats, added)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on compact — retry")
@@ -649,11 +769,15 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
              orphanGraceMs: Long = 24L * 3600 * 1000): Unit = {
     val vs = versions(name)
     val (expired, retained) = vs.splitAt(math.max(0, vs.size - math.max(1, retainVersions)))
-    val keep = retained.flatMap(files(name, _)).toSet
+    // retained manifests pin their data files AND their equality-delete
+    // key files — an in-horizon reader needs both to reconstruct rows
+    val keep = retained.flatMap(v => files(name, v) ++
+      equalityDeletes(name, v).map(_.file)).toSet
     expired.foreach { v =>
-      files(name, v).filterNot(keep).foreach { f =>
-        Files.deleteIfExists(root(name).resolve(f)): Unit
-      }
+      (files(name, v) ++ equalityDeletes(name, v).map(_.file))
+        .filterNot(keep).foreach { f =>
+          Files.deleteIfExists(root(name).resolve(f)): Unit
+        }
       Files.deleteIfExists(manifestPath(name, v)): Unit
     }
     val referencedBatches = keep.map(_.split('/').head)
@@ -667,7 +791,9 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     }
     val s = Files.list(root(name))
     try s.iterator().asScala.toSeq
-      .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("d-"))
+      .filter(d => Files.isDirectory(d) &&
+        (d.getFileName.toString.startsWith("d-") ||
+          d.getFileName.toString.startsWith("ed-")))
       .foreach { d =>
         val batch = d.getFileName.toString
         val isOrphan = !referencedBatches(batch) &&
@@ -688,4 +814,10 @@ object TxLogTable {
     * version-qualified physical names. `typeDdl` is the Catalyst
     * catalogString, used to type NULLs for files that predate the column. */
   final case class ColMap(physical: String, logical: String, typeDdl: String)
+
+  /** One equality-delete (merge-on-read) tombstone file: `file` holds the
+    * deleted keys under PHYSICAL column names `keyPhys`; it applies only
+    * to the data files in `scope` (those live when the delete committed),
+    * so later appends can re-insert a key visibly. */
+  final case class EqDelete(file: String, keyPhys: Seq[String], scope: Set[String])
 }

@@ -398,6 +398,87 @@ class TxLogTableSpec extends SparkSpec {
     assert(!t.exists("tbl"), "a rejected appId must not create the table")
   }
 
+  test("equality deletes: MOR delete touches no data files; re-insert and time travel work") {
+    val (t, _) = freshStore()
+    t.overwrite("tbl", (1 to 20).map(i => (i, s"v$i")).toDF("id", "v"))
+    val v1 = t.currentVersion("tbl").get
+    val filesBefore = t.files("tbl", v1)
+    val n = t.deleteWhere("tbl", $"id" % 5 === 0, Seq("id"))
+    assert(n === 4)
+    val v2 = t.currentVersion("tbl").get
+    assert(t.files("tbl", v2) === filesBefore,
+      "a MOR delete must not touch any data file")
+    assert(t.equalityDeletes("tbl", v2).size === 1)
+    assert(t.read("tbl").as[(Int, String)].collect().map(_._1).toSet ===
+      (1 to 20).filter(_ % 5 != 0).toSet)
+    assert(t.readVersion("tbl", v1).count() === 20,
+      "time travel before the delete must see every row")
+    // re-insert one deleted key: the tombstone is scoped to the old files
+    t.append("tbl", Seq((5, "back")).toDF("id", "v"))
+    assert(t.read("tbl").as[(Int, String)].collect().toSet
+      .contains((5, "back")), "a re-inserted deleted key must be visible")
+    assert(t.read("tbl").count() === 17)
+  }
+
+  test("equality deletes survive renames and are materialized by compact") {
+    val (t, _) = freshStore()
+    t.overwrite("tbl", (1 to 10).map(i => (i, i * 100)).toDF("id", "cents"))
+    t.deleteWhere("tbl", $"id" <= 3, Seq("id"))
+    // rename the KEY column after the delete: the tombstone anti-joins on
+    // the immutable physical name, so it keeps applying
+    t.renameColumn("tbl", "id", "order_id")
+    assert(t.read("tbl").select("order_id").as[Int].collect().toSet ===
+      (4 to 10).toSet)
+    val (before, after) = t.compact("tbl", targetFiles = 1)
+    assert(after === 1, s"compact must rewrite ($before -> $after)")
+    assert(t.equalityDeletes("tbl", t.currentVersion("tbl").get).isEmpty,
+      "compact must materialize tombstones away")
+    assert(t.read("tbl").select("order_id").as[Int].collect().toSet ===
+      (4 to 10).toSet)
+  }
+
+  test("merge into a table with pending deletes never resurrects dead rows") {
+    val (t, _) = freshStore()
+    t.overwrite("tbl", (1 to 10).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.deleteWhere("tbl", $"id" === 7, Seq("id"))
+    // merge touches the file holding id 7 (updates id 1): the rewrite must
+    // apply the tombstone, not resurrect row 7
+    t.merge("tbl", Seq((1, "updated")).toDF("id", "v"), Seq("id"))
+    val got = t.read("tbl").as[(Int, String)].collect().toMap
+    assert(!got.contains(7), "merge rewrite must not resurrect a deleted row")
+    assert(got(1) === "updated")
+  }
+
+  test("vacuum keeps delete files referenced by retained versions") {
+    val (t, _) = freshStore()
+    t.overwrite("tbl", (1 to 10).map(i => (i, s"v$i")).toDF("id", "v"))
+    t.deleteWhere("tbl", $"id" === 2, Seq("id"))
+    t.append("tbl", Seq((11, "x")).toDF("id", "v"))
+    t.vacuum("tbl", retainVersions = 2, orphanGraceMs = 0L)
+    // the delete file is referenced by both retained versions — reads work
+    assert(t.read("tbl").as[(Int, String)].collect().map(_._1).toSet ===
+      ((1 to 10).toSet - 2 + 11))
+    // compact away the tombstone, then vacuum down to 1 version: the
+    // delete file is unreferenced and must be reclaimed
+    t.compact("tbl", targetFiles = 1)
+    // grace cutoff is millisecond-granular (`mtime < now - 0`): give the
+    // just-written ed- dir a strictly older mtime than the sweep's `now`
+    Thread.sleep(20)
+    t.vacuum("tbl", retainVersions = 1, orphanGraceMs = 0L)
+    val root = t.root("tbl")
+    val edDirs = Files.list(root).iterator()
+    val hasEd = try {
+      var found = false
+      while (edDirs.hasNext) {
+        if (edDirs.next().getFileName.toString.startsWith("ed-")) found = true
+      }
+      found
+    } finally ()
+    assert(!hasEd, "an unreferenced delete-file batch must be vacuumed")
+    assert(t.read("tbl").as[(Int, String)].collect().map(_._1).toSet ===
+      ((1 to 10).toSet - 2 + 11))
+  }
+
   test("registerViews: snapshot semantics — a view pins its version until re-registered") {
     val (t, _) = freshStore()
     t.append("a", Seq(1).toDF("id"))
