@@ -2082,6 +2082,84 @@ object DvQueries {
               |SELECT 'sat_customer', nb, nf, nb - nf, cast(0 AS BIGINT)
               |FROM satc""".stripMargin)),
 
+    // RIGHT-TO-BE-FORGOTTEN, MERGE-ON-READ: the same GDPR erasure as
+    // `vault_forget` but through equality deletion vectors — each
+    // entity's forget is ONE key-file commit touching zero data files
+    // (pinned as a column), reads are immediately clean, and the
+    // follow-up compact PHYSICALLY erases the bytes (tombstones
+    // materialized away, also pinned). The two-phase posture is exactly
+    // how a 100 TB vault handles erasure SLAs: logical erasure in
+    // minutes (O(keys)), physical reclamation with the next maintenance
+    // window — instead of vault_forget's immediate full rewrite per
+    // table.
+    Q("vault_forget_mor",
+      (s, dir) => {
+        import s.implicits._
+        val store = new graft.runtime.TxLogTable(s, tmpWarehouse("graft_forgetm"))
+        val hub = HubLoader.records(
+          Seq(EntitySource(custStage(s, dir), Some("hk_customer_h"), Seq("c_custkey"))),
+          "hk_customer_h", Seq("custkey"), target = None)
+        store.overwrite("hub_customer", hub)
+        val sat = SatV0Loader.records(cust3Batch(s, dir), Seq("hk_customer_h"),
+          Some("hd_customer_s"), Seq("c_name", "c_acctbal_v", "c_mktsegment"),
+          target = None)
+        store.overwrite("sat_customer", sat)
+        val forgetHks = rd(s, dir, "customer")
+          .filter(col("c_custkey") % 97 === 0)
+          .select(Hashing.hashkey(Seq(col("c_custkey"))).as("hk"))
+          .as[String].collect().toSeq
+        def forget(table: String): (Long, Long, Long, Long, Boolean, Boolean) = {
+          val before = store.read(table).count()
+          val v0 = store.currentVersion(table).get
+          val filesBefore = store.files(table, v0)
+          val nDel = store.deleteWhere(table,
+            col("hk_customer_h").isin(forgetHks: _*), Seq("hk_customer_h"))
+          val v1 = store.currentVersion(table).get
+          val untouched = store.files(table, v1) == filesBefore
+          val after = store.read(table).count()
+          val remaining = store.read(table)
+            .filter(col("hk_customer_h").isin(forgetHks: _*)).count()
+          store.compact(table, targetFiles = 1)
+          val erased = store.equalityDeletes(table,
+            store.currentVersion(table).get).isEmpty &&
+            store.read(table).count() == after
+          (before, nDel, after, remaining, untouched, erased)
+        }
+        val (hb, hf, ha, hr, hu, he) = forget("hub_customer")
+        val (sb, sf, sa, sr, su, se) = forget("sat_customer")
+        Seq(("hub_customer", hb, hb - ha, ha, hr, hu, he),
+          ("sat_customer", sb, sb - sa, sa, sr, su, se))
+          .toDF("table_name", "rows_before", "rows_forgotten", "rows_after",
+            "remaining_matches", "delete_touched_no_files",
+            "physically_erased")
+          .withColumn("n_forgotten_keys",
+            when(col("table_name") === "hub_customer", lit(hf)).otherwise(lit(sf)))
+      },
+      Some(s"""WITH $satV0Sql,
+              |fhk AS (
+              |  SELECT ${O.hashkey("c_custkey")} AS hk
+              |  FROM customer WHERE c_custkey % 97 = 0),
+              |hubc AS (
+              |  SELECT cast(count(*) AS BIGINT) AS nb,
+              |    cast(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS nf
+              |  FROM customer),
+              |satc AS (
+              |  SELECT cast(count(*) AS BIGINT) AS nb,
+              |    cast(sum(CASE WHEN hk_customer_h IN (SELECT hk FROM fhk)
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS nf
+              |  FROM sat_v0)
+              |SELECT 'hub_customer' AS table_name, nb AS rows_before,
+              |  nf AS rows_forgotten, nb - nf AS rows_after,
+              |  cast(0 AS BIGINT) AS remaining_matches,
+              |  TRUE AS delete_touched_no_files, TRUE AS physically_erased,
+              |  (SELECT cast(count(*) AS BIGINT) FROM fhk) AS n_forgotten_keys
+              |FROM hubc
+              |UNION ALL
+              |SELECT 'sat_customer', nb, nf, nb - nf, cast(0 AS BIGINT),
+              |  TRUE, TRUE, (SELECT cast(count(*) AS BIGINT) FROM fhk)
+              |FROM satc""".stripMargin)),
+
     // CHANGE DATA FEED between two table versions, driver-verified:
     // v1 (initial append) → v2 (MERGE: even keys updated, %5 keys
     // inserted) → v3 (overwrite dropping %3 keys — deletes). The CDC
