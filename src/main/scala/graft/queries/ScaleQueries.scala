@@ -627,6 +627,58 @@ object ScaleQueries {
              |   WHERE c_custkey % 97 != 0 AND c_custkey % 10 != 0)
              |    AS n_unchanged""".stripMargin)),
 
+    // PER-FILE BLOOM-FILTER SKIPPING for point lookups: min/max stats
+    // prune ranges but are blind to equality probes into an UNCLUSTERED
+    // table (every file's [min,max] spans the key domain — candidateFiles
+    // returns everything). A per-file Bloom (Iceberg Puffin / Parquet
+    // footer idea; ~20 bits/key, 4 probes ≈ 0.1% fp) prunes the probe to
+    // the one file actually holding the key, layout-independent. 40
+    // present keys + 40 absent keys probed: every present key found in
+    // exactly its file's scan, absent keys scan (almost) nothing — the
+    // counts are pinned by the oracle, so a silent fp-rate regression or
+    // a false NEGATIVE (missed file ⇒ lost row) fails correctness.
+    Q("txlog_bloom_skipping",
+      (s, dir) => {
+        val store = new graft.runtime.TxLogTable(s,
+          DvQueries.tmpWarehouse("graft_bloomskip"))
+        val t = "orders_bloom"
+        val base = rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        (0 until 4).foreach { b =>
+          store.append(t, base.filter(col("o_orderkey") % 4 === b).coalesce(1))
+        }
+        store.setBloomColumn(t, "o_orderkey")
+        val v = store.currentVersion(t).get
+        val nFiles = store.files(t, v).size
+        val present = (0 until 40).map(i => 13L + 371L * i)
+        val absent = (0 until 40).map(i => 1000000L + 97L * i)
+        def probe(keys: Seq[Long]): (Long, Long) = {
+          var scanned = 0L
+          var found = 0L
+          keys.foreach { k =>
+            val cand = store.bloomCandidateFiles(t, "o_orderkey", k.toString)
+            scanned += cand.size
+            if (cand.nonEmpty)
+              found += store.readFiles(t, v, cand)
+                .filter(col("o_orderkey") === k).count()
+          }
+          (scanned, found)
+        }
+        val (ps, pf) = probe(present)
+        val (as_, af) = probe(absent)
+        s.range(1).select(
+          lit(nFiles.toLong).as("n_files"),
+          lit(ps).as("present_files_scanned"),
+          lit(pf).as("present_rows_found"),
+          lit(as_).as("absent_files_scanned"),
+          lit(af).as("absent_rows_found"))
+      },
+      Some("""SELECT cast(4 AS BIGINT) AS n_files,
+             |  cast(40 AS BIGINT) AS present_files_scanned,
+             |  cast(40 AS BIGINT) AS present_rows_found,
+             |  cast(0 AS BIGINT) AS absent_files_scanned,
+             |  cast(0 AS BIGINT) AS absent_rows_found""".stripMargin)),
+
     // MERGE-ON-READ ROW-LEVEL DELETE (equality deletion vectors): the
     // modern lake-format delete path — `deleteWhere` writes ONE key file
     // and touches zero data files (file count pinned unchanged across

@@ -465,6 +465,150 @@ object StatsQueries {
              |    cast(l.l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS double)
              |    / count(*) * 100.0, 2) AS breach_pct
              |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // HIERARCHICAL SHARE-OF-PARENT rollup: revenue at nation grain with
+    // each nation's share of its region and of the grand total — the
+    // drill-down tree every BI tool renders. One grouped aggregate at
+    // leaf grain, then two WINDOW sums over the (tiny) grouped result —
+    // the re-aggregation never touches the fact again. Exact cents
+    // throughout; shares are divisions of exact longs.
+    Q("rollup_share_of_parent",
+      (s, dir) => {
+        val leaf = rd(s, dir, "orders")
+          .join(rd(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(rd(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey").cast("long").as("region"),
+            col("n_name").as("nation"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val wR = Window.partitionBy("region")
+        val wAll = Window.partitionBy()
+        leaf
+          .withColumn("region_cents", sum(col("cents")).over(wR))
+          .withColumn("total_cents", sum(col("cents")).over(wAll))
+          .select(col("region"), col("nation"),
+            round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+            round(col("cents").cast("double") / col("region_cents"), 6)
+              .as("share_of_region"),
+            round(col("cents").cast("double") / col("total_cents"), 6)
+              .as("share_of_total"))
+      },
+      Some("""WITH leaf AS (
+             |  SELECT cast(n.n_regionkey AS BIGINT) AS region,
+             |    n.n_name AS nation,
+             |    sum(cast(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+             |  FROM orders o
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |  GROUP BY 1, 2)
+             |SELECT region, nation,
+             |  round(cast(cents AS double) / 100.0, 2) AS revenue,
+             |  round(cast(cents AS double) /
+             |    sum(cents) OVER (PARTITION BY region), 6) AS share_of_region,
+             |  round(cast(cents AS double) / sum(cents) OVER (), 6)
+             |    AS share_of_total
+             |FROM leaf""".stripMargin)),
+
+    // EXACT WEIGHTED MEDIAN per segment: the order price at which
+    // cumulative QUANTITY-weighted mass crosses half — computed by a
+    // cumulative-sum window over the per-(segment, price) pre-aggregate,
+    // keeping the first crossing row. Weights are exact integral sums,
+    // so the crossing row is bit-deterministic (no percentile
+    // interpolation ambiguity). The pre-aggregate bounds the window
+    // partition to distinct prices per segment, never raw lineitems.
+    Q("weighted_median",
+      (s, dir) => {
+        val pre = rd(s, dir, "lineitem")
+          .join(rd(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(rd(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+          .agg(sum(col("l_quantity").cast("long")).as("w"))
+        val wCum = Window.partitionBy("c_mktsegment").orderBy("price_cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy("c_mktsegment")
+        val ranked = pre
+          .withColumn("cum_w", sum(col("w")).over(wCum))
+          .withColumn("tot_w", sum(col("w")).over(wTot))
+          .filter(col("cum_w") * 2 >= col("tot_w"))
+        ranked.groupBy(col("c_mktsegment"))
+          .agg(min(col("price_cents")).as("median_cents"),
+            min(col("tot_w")).as("total_weight"))
+          .select(col("c_mktsegment"),
+            round(col("median_cents").cast("double") / 100.0, 2)
+              .as("weighted_median_price"),
+            col("total_weight"))
+      },
+      Some("""WITH pre AS (
+             |  SELECT c.c_mktsegment,
+             |    cast(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+             |    sum(cast(l.l_quantity AS BIGINT)) AS w
+             |  FROM lineitem l
+             |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT c_mktsegment, price_cents,
+             |    sum(w) OVER (PARTITION BY c_mktsegment ORDER BY price_cents
+             |      ROWS UNBOUNDED PRECEDING) AS cum_w,
+             |    sum(w) OVER (PARTITION BY c_mktsegment) AS tot_w
+             |  FROM pre)
+             |SELECT c_mktsegment,
+             |  round(cast(min(price_cents) AS double) / 100.0, 2)
+             |    AS weighted_median_price,
+             |  min(tot_w) AS total_weight
+             |FROM ranked WHERE cum_w * 2 >= tot_w
+             |GROUP BY 1""".stripMargin)),
+
+    // POPULATION STABILITY INDEX — the ML-ops drift metric beside the
+    // KL/JS monitors: Σ (p_cur − p_ref)·ln(p_cur/p_ref) over fixed value
+    // bins, reference = 1996 orders, current = 1999 orders. Deterministic
+    // fixed-width price bins (no quantile fitting), Laplace-smoothed
+    // proportions from exact counts; the per-bin terms are also emitted
+    // so the report shows WHICH bins drifted. ln() runs on identical
+    // smoothed ratios in both engines and rounds at 6 dp.
+    Q("psi_drift",
+      (s, dir) => {
+        def yearly(y: Int) = rd(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === y)
+          .groupBy(least(floor(col("o_totalprice") / 50000), lit(9L))
+            .cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"))
+        val ref = yearly(1996).select(col("bin"), col("n").as("n_ref"))
+        val cur = yearly(1999).select(col("bin"), col("n").as("n_cur"))
+        val j = ref.join(cur, Seq("bin"), "full_outer")
+          .select(col("bin"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        val tot = j.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+        j.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            round((((col("n_cur") + 1).cast("double") / (col("t_cur") + 10)) -
+              ((col("n_ref") + 1).cast("double") / (col("t_ref") + 10))) *
+              log(((col("n_cur") + 1).cast("double") / (col("t_cur") + 10)) /
+                ((col("n_ref") + 1).cast("double") / (col("t_ref") + 10))), 6)
+              .as("psi_term"))
+      },
+      Some("""WITH yr AS (
+             |  SELECT year(o_orderdate) AS y,
+             |    cast(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bin,
+             |    cast(count(*) AS BIGINT) AS n
+             |  FROM orders WHERE year(o_orderdate) IN (1996, 1999)
+             |  GROUP BY 1, 2),
+             |j AS (
+             |  SELECT coalesce(r.bin, c.bin) AS bin,
+             |    coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur
+             |  FROM (SELECT bin, n FROM yr WHERE y = 1996) r
+             |  FULL OUTER JOIN (SELECT bin, n FROM yr WHERE y = 1999) c
+             |    ON c.bin = r.bin),
+             |tot AS (
+             |  SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM j)
+             |SELECT bin, n_ref, n_cur,
+             |  round((cast(n_cur + 1 AS double) / (t_cur + 10) -
+             |         cast(n_ref + 1 AS double) / (t_ref + 10)) *
+             |    ln((cast(n_cur + 1 AS double) / (t_cur + 10)) /
+             |       (cast(n_ref + 1 AS double) / (t_ref + 10))), 6) AS psi_term
+             |FROM j, tot""".stripMargin))
   )
 }

@@ -196,11 +196,14 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   private case class Meta(cols: Seq[ColMap], statsCols: Seq[String],
                           stats: Map[(String, String), (String, String)],
                           txns: Map[String, Long] = Map.empty,
-                          edels: Seq[EqDelete] = Nil)
+                          edels: Seq[EqDelete] = Nil,
+                          bloomCols: Map[String, Int] = Map.empty,
+                          blooms: Map[(String, String), String] = Map.empty)
 
   private def metaOf(name: String, v: Long): Meta =
     Meta(mapping(name, v), statsColumns(name, v), fileStats(name, v),
-      txnVersions(name, v), equalityDeletes(name, v))
+      txnVersions(name, v), equalityDeletes(name, v),
+      bloomColumns(name, v), fileBlooms(name, v))
 
   private def renderM(m: Meta, fs: Seq[String]): Seq[String] = {
     val liveSet = fs.toSet
@@ -210,7 +213,11 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       .map(e => e.copy(scope = e.scope.intersect(liveSet)))
       .filter(_.scope.nonEmpty)
     render(m.cols, fs, m.statsCols,
-      m.stats.filter { case ((f, _), _) => liveSet(f) }, m.txns, live)
+      m.stats.filter { case ((f, _), _) => liveSet(f) }, m.txns, live) ++
+      m.bloomCols.toSeq.sorted.map { case (pc, n) => s"$BloomColHeader$pc\t$n" } ++
+      m.blooms.toSeq.sortBy(_._1).collect {
+        case ((f, pc), b64) if liveSet(f) => s"$FBloomHeader$f\t$pc\t$b64"
+      }
   }
 
   /** one pass over a just-written batch collecting per-file min/max of the
@@ -658,7 +665,124 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   def readPruned(name: String, logicalCol: String, lo: String, hi: String): DataFrame = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
-    readMapped(name, mapping(name, v), candidateFiles(name, logicalCol, lo, hi))
+    readWithDeletes(name, mapping(name, v),
+      candidateFiles(name, logicalCol, lo, hi), equalityDeletes(name, v))
+  }
+
+  // ---- per-file BLOOM FILTERS: point-lookup file skipping ----------------
+  // min/max stats prune RANGE predicates but are useless for equality
+  // probes into an unclustered table (every file's [min,max] spans the key
+  // domain). A per-file Bloom filter prunes point lookups regardless of
+  // layout — Iceberg keeps these in Puffin sidecars, Parquet in the
+  // footer; here the (base64) bitset lives on a manifest line, which is
+  // fine at demo scale and would move to a sidecar file at production
+  // manifest sizes. Missing blooms (files appended after enablement) are
+  // simply unprunable — the same safe default as missing stats.
+
+  private val BloomColHeader = "#bloomcol\t"
+  private val FBloomHeader = "#fbloom\t"
+  private val BloomSeeds = 4
+
+  /** enabled bloom columns: physical name → filter size in bits */
+  def bloomColumns(name: String, v: Long): Map[String, Int] =
+    manifestLines(name, v).filter(_.startsWith(BloomColHeader)).map { l =>
+      val p = l.stripPrefix(BloomColHeader).split('\t')
+      p(0) -> p(1).toInt
+    }.toMap
+
+  /** per-file bloom bitsets: (file, physicalCol) → base64 bitset */
+  def fileBlooms(name: String, v: Long): Map[(String, String), String] =
+    manifestLines(name, v).filter(_.startsWith(FBloomHeader)).map { l =>
+      val p = l.stripPrefix(FBloomHeader).split('\t')
+      (p(0), p(1)) -> p(2)
+    }.toMap
+
+  /** the BloomSeeds bit positions of a value — MUST match [[bloomPosCols]]
+    * (same md5-of-"value:seed" derivation on both the build expression and
+    * the driver probe) */
+  private def bloomPositions(value: String, nbits: Int): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until BloomSeeds).map { k =>
+      val hex = md.digest(s"$value:$k".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % nbits).toInt
+    }
+  }
+
+  /** the same positions as a codegen'd column expression over `c` */
+  private def bloomPosCols(c: org.apache.spark.sql.Column, nbits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array, concat, conv, lit, md5, pmod, substring}
+    array((0 until BloomSeeds).map { k =>
+      pmod(conv(substring(md5(concat(c.cast("string"), lit(s":$k"))), 1, 8), 16, 10)
+        .cast("long"), lit(nbits.toLong)).cast("int")
+    }: _*)
+  }
+
+  /** Enable a Bloom filter on `logicalCol` and build one per live file in
+    * a single pass (distinct bit positions per file, collected at
+    * metadata scale — ≤ nbits ints per file). `bitsPerKey` ≈ 20 gives
+    * ~0.1% false-positive rate at 4 probes. */
+  def setBloomColumn(name: String, logicalCol: String, bitsPerKey: Int = 20): Unit = {
+    import org.apache.spark.sql.functions.{col => fcol, countDistinct, explode, input_file_name, max => fmax}
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    val m = metaOf(name, v)
+    val c = m.cols.find(_.logical == logicalCol).getOrElse(
+      throw new IllegalArgumentException(s"TxLogTable $name: no column $logicalCol"))
+    val live = files(name, v)
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(f => root(name).resolve(f).toString): _*)
+      .select(input_file_name().as("__file"), fcol(c.physical))
+    val maxNdv = raw.agg(countDistinct(fcol(c.physical))).head().getLong(0)
+    val nbits = math.max(1024L,
+      java.lang.Long.highestOneBit(math.max(1L, maxNdv * bitsPerKey) * 2 - 1)).toInt
+    val posRows = raw.distinct()
+      .select(fcol("__file"), explode(bloomPosCols(fcol(c.physical), nbits)).as("pos"))
+      .distinct()
+      .collect()
+    val byFile = posRows.groupBy(_.getString(0)).map { case (abs, rows) =>
+      // data files are always <batch-dir>/<part-file>: the last two path
+      // segments ARE the manifest-relative name
+      val rel = abs.split('/').takeRight(2).mkString("/")
+      require(live.contains(rel), s"bloom build saw non-live file $rel")
+      val bits = new java.util.BitSet(nbits)
+      rows.foreach(r => bits.set(r.getInt(1)))
+      (rel, c.physical) ->
+        java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+    }
+    val m2 = m.copy(bloomCols = m.bloomCols + (c.physical -> nbits),
+      blooms = m.blooms ++ byFile)
+    if (!tryCommit(name, v + 1, renderM(m2, live)))
+      throw new IllegalStateException(
+        s"TxLogTable $name: lost commit race on setBloomColumn — retry")
+  }
+
+  /** The current version's files possibly containing `value` in
+    * `logicalCol`: a file is skipped only when its bloom provably lacks
+    * one of the value's bit positions — no false negatives by
+    * construction; files without a bloom stay candidates. */
+  def bloomCandidateFiles(name: String, logicalCol: String, value: String): Seq[String] = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    val m = metaOf(name, v)
+    val c = m.cols.find(_.logical == logicalCol).getOrElse(
+      throw new IllegalArgumentException(s"TxLogTable $name: no column $logicalCol"))
+    val nbitsOpt = bloomColumns(name, v).get(c.physical)
+    val blooms = fileBlooms(name, v)
+    nbitsOpt match {
+      case None => files(name, v)
+      case Some(nbits) =>
+        val pos = bloomPositions(value, nbits)
+        files(name, v).filter { f =>
+          blooms.get((f, c.physical)) match {
+            case None => true
+            case Some(b64) =>
+              val bits = java.util.BitSet.valueOf(
+                java.util.Base64.getDecoder.decode(b64))
+              pos.forall(bits.get)
+          }
+        }
+    }
   }
 
   // ---- S9: metadata-only DDL (rehash_single_hub.sql:17-26,51-69) ---------

@@ -479,6 +479,41 @@ class TxLogTableSpec extends SparkSpec {
       ((1 to 10).toSet - 2 + 11))
   }
 
+  test("bloom skipping: point probes prune files, appends stay candidates, no false negatives") {
+    val (t, _) = freshStore()
+    // three files with disjoint key thirds, unclustered as far as min/max
+    // CANNOT tell (each spans ~the full domain via the modulo split)
+    (0 until 3).foreach { b =>
+      t.append("tbl", (1 to 300).filter(_ % 3 == b)
+        .map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    t.setBloomColumn("tbl", "id")
+    val v = t.currentVersion("tbl").get
+    // every present key must be found through its candidate set
+    Seq(1, 50, 151, 299).foreach { k =>
+      val cand = t.bloomCandidateFiles("tbl", "id", k.toString)
+      assert(cand.nonEmpty, s"key $k must have candidates")
+      val hit = t.readFiles("tbl", v, cand).filter($"id" === k).count()
+      assert(hit === 1, s"key $k must be found via its bloom candidates")
+    }
+    // a file appended AFTER bloom enablement has no bloom: it must remain
+    // a candidate for any probe (safe default), and its rows reachable
+    t.append("tbl", Seq((9999, "new")).toDF("id", "v"))
+    val v2 = t.currentVersion("tbl").get
+    val cand2 = t.bloomCandidateFiles("tbl", "id", "9999")
+    assert(t.readFiles("tbl", v2, cand2).filter($"id" === 9999).count() === 1,
+      "a bloom-less appended file must stay a candidate")
+    // blooms survive unrelated commits (the append above) for old files
+    assert(t.fileBlooms("tbl", v2).size === 3)
+    // deleted rows stay dead even when the bloom still claims their file
+    t.deleteWhere("tbl", $"id" === 50, Seq("id"))
+    val v3 = t.currentVersion("tbl").get
+    val cand3 = t.bloomCandidateFiles("tbl", "id", "50")
+    assert(cand3.nonEmpty, "the bloom (built pre-delete) still flags the file")
+    assert(t.readFiles("tbl", v3, cand3).filter($"id" === 50).count() === 0,
+      "the tombstone must win over the stale bloom")
+  }
+
   test("registerViews: snapshot semantics — a view pins its version until re-registered") {
     val (t, _) = freshStore()
     t.append("a", Seq(1).toDF("id"))
