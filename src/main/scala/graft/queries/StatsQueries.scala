@@ -482,11 +482,15 @@ object StatsQueries {
           .groupBy(col("n_regionkey").cast("long").as("region"),
             col("n_name").as("nation"))
           .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        // region share via a PARTITIONED window; grand total via a 1-row
+        // broadcast aggregate — a global window would funnel every group
+        // into one task (and trips the PlanAuditSpec gate), while the
+        // scalar cross join costs one bounded exchange at any group count
         val wR = Window.partitionBy("region")
-        val wAll = Window.partitionBy()
+        val tot = leaf.agg(sum(col("cents")).as("total_cents"))
         leaf
           .withColumn("region_cents", sum(col("cents")).over(wR))
-          .withColumn("total_cents", sum(col("cents")).over(wAll))
+          .crossJoin(broadcast(tot))
           .select(col("region"), col("nation"),
             round(col("cents").cast("double") / 100.0, 2).as("revenue"),
             round(col("cents").cast("double") / col("region_cents"), 6)
