@@ -627,6 +627,52 @@ object ScaleQueries {
              |   WHERE c_custkey % 97 != 0 AND c_custkey % 10 != 0)
              |    AS n_unchanged""".stripMargin)),
 
+    // Z-ORDER SKIPPING MADE REAL on the transactional store: the
+    // zorder_layout query diagnoses bucket tightness; this one PROVES
+    // the file-skipping payoff. Two physical layouts of the same rows —
+    // (a) 16 files by interleaved-bit z-bucket of (custkey, price), (b)
+    // 16 files by custkey range alone — both with min/max stats on both
+    // dims, probed by candidateFiles with a narrow range on EACH dim.
+    // The z layout prunes BOTH probes to ≤ 5/16 files; the single-dim
+    // sort answers the custkey probe with 1 file but must scan ALL 16
+    // for the price probe. Deterministic: explicit per-bucket appends
+    // (no range-partitioner sampling), counts pinned by the oracle.
+    Q("txlog_zorder_skipping",
+      (s, dir) => {
+        val store = new graft.runtime.TxLogTable(s,
+          DvQueries.tmpWarehouse("graft_zskip"))
+        val o = rd(s, dir, "orders").select(
+          (col("o_custkey") % 1024L).as("x"),
+          (floor(col("o_totalprice")).cast("long") % 1024L).as("y"))
+        // 4-bit z-value from the top 2 bits of each dim: 16 buckets
+        val zb = (shiftleft(shiftright(col("x"), 8).bitwiseAND(lit(3L)), 0) +
+          shiftleft(shiftright(col("y"), 8).bitwiseAND(lit(3L)), 2))
+        val withZ = o.withColumn("zb", zb)
+        (0 until 16).foreach { b =>
+          store.append("z_layout",
+            withZ.filter(col("zb") === b).drop("zb").coalesce(1))
+          store.append("x_layout",
+            o.filter(shiftright(col("x"), 6) === b).coalesce(1))
+        }
+        Seq("z_layout", "x_layout").foreach { t =>
+          store.setStatsColumns(t, Seq("x", "y"))
+        }
+        def probes(t: String): (Int, Int) = (
+          store.candidateFiles(t, "x", "100", "120").size,
+          store.candidateFiles(t, "y", "100", "120").size)
+        val (zx, zy) = probes("z_layout")
+        val (xx, xy) = probes("x_layout")
+        s.range(1).select(
+          lit(zx.toLong).as("z_files_for_x_probe"),
+          lit(zy.toLong).as("z_files_for_y_probe"),
+          lit(xx.toLong).as("sort_files_for_x_probe"),
+          lit(xy.toLong).as("sort_files_for_y_probe"))
+      },
+      Some("""SELECT cast(4 AS BIGINT) AS z_files_for_x_probe,
+             |  cast(4 AS BIGINT) AS z_files_for_y_probe,
+             |  cast(1 AS BIGINT) AS sort_files_for_x_probe,
+             |  cast(16 AS BIGINT) AS sort_files_for_y_probe""".stripMargin)),
+
     // PER-FILE BLOOM-FILTER SKIPPING for point lookups: min/max stats
     // prune ranges but are blind to equality probes into an UNCLUSTERED
     // table (every file's [min,max] spans the key domain — candidateFiles

@@ -865,6 +865,85 @@ object StreamingLoaders {
     }
   }
 
+  /** a session closed by an event-time TIMER */
+  final case class TimerSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Idle-gap sessionization through transformWithState EVENT-TIME TIMERS
+    * — the capability that distinguishes the Spark-4 API from
+    * flatMapGroupsWithState's single implicit timeout: each key keeps ONE
+    * registered timer at (last event + gap), re-arms it on every event
+    * (deleteTimer + registerTimer), and the session row is emitted from
+    * `handleExpiredTimer` exactly when the WATERMARK crosses the timer —
+    * not on the next event, so a user who never returns still closes.
+    * In-batch gaps close inline. State per key: one 4-long tuple. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Row, TimerSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    // (startMs, lastMs, nEvents, armedTimerMs)
+    @transient private var sess: ValueState[(Long, Long, Long, Long)] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    private def row(key: Long, st: Long, last: Long, n: Long) =
+      TimerSession(key, new java.sql.Timestamp(st), new java.sql.Timestamp(last), n)
+    override def handleInputRows(key: Long, rows: Iterator[Row],
+        timers: TimerValues): Iterator[TimerSession] = {
+      val times = rows.map(_.getAs[java.sql.Timestamp]("ts").getTime)
+        .toSeq.sorted
+      var closed = List.empty[TimerSession]
+      var cur: Option[(Long, Long, Long)] = None
+      var armed = 0L
+      if (sess.exists()) {
+        val (st, last, n, t) = sess.get()
+        cur = Some((st, last, n)); armed = t
+      }
+      times.foreach { t =>
+        cur match {
+          case Some((st, last, n)) if t <= last + gapMs =>
+            cur = Some((st, math.max(last, t), n + 1))
+          case Some((st, last, n)) =>
+            closed ::= row(key, st, last, n)
+            cur = Some((t, t, 1))
+          case None => cur = Some((t, t, 1))
+        }
+      }
+      cur.foreach { case (st, last, n) =>
+        val tmr = last + gapMs
+        if (armed != 0L && armed != tmr) getHandle.deleteTimer(armed)
+        if (armed != tmr) getHandle.registerTimer(tmr)
+        sess.update((st, last, n, tmr))
+      }
+      closed.reverseIterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[TimerSession] = {
+      if (!sess.exists()) return Iterator.empty
+      val (st, last, n, armed) = sess.get()
+      // only the CURRENT timer closes the session (a stale timer that
+      // raced deletion is ignored)
+      if (expired.getExpiryTimeInMs != armed) Iterator.empty
+      else { sess.clear(); Iterator.single(row(key, st, last, n)) }
+    }
+  }
+
+  /** `events` needs (user_id: long, ts: timestamp). Emits each closed
+    * session exactly once, timer-driven. */
+  def sessionTimerStream(events: DataFrame, gap: String = "10 minutes",
+                         lateness: String = "0 seconds"): org.apache.spark.sql.Dataset[TimerSession] = {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    implicit val enc: org.apache.spark.sql.Encoder[TimerSession] =
+      Encoders.product[TimerSession]
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val ms = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    events.withWatermark("ts", lateness)
+      .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .transformWithState(new SessionTimerProcessor(ms),
+        TimeMode.EventTime(), OM.Append())
+  }
+
   /** `staged` needs columns (user_id: long, cents: long). */
   def runningTotalsStream(staged: DataFrame): org.apache.spark.sql.Dataset[UserTotal] = {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}

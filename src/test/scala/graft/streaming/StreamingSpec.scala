@@ -995,6 +995,62 @@ class StreamingSpec extends SparkSpec {
       Map(10L -> "en", 11L -> "de", 12L -> "fr"))
   }
 
+  test("transformWithState event-time timers close idle sessions without a next event") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream_tmr").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val events = input.toDF().toDF("user_id", "ts_s")
+        .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+      val sessions = StreamingLoaders.sessionTimerStream(events, gap = "10 minutes")
+      val q = sessions.toDF().writeStream
+        .format("memory").queryName("tmr_sessions").outputMode("append")
+        .option("checkpointLocation", s"$wh/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        .start()
+      def batch(rows: (Long, String)*): Unit = {
+        input.addData(rows: _*); q.processAllAvailable()
+      }
+      // user 1: two events 5m apart (one session); user 2: one event.
+      // NEITHER user ever sends again — only the timer can close them.
+      batch((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:05:00"),
+        (2L, "2024-01-01 10:00:00"))
+      assert(spark.table("tmr_sessions").isEmpty,
+        "no session may close before the watermark passes its gap")
+      // watermark rides user 9's clock past both timers (10:15 / 10:10)
+      batch((9L, "2024-01-01 11:00:00"))
+      batch((9L, "2024-01-01 11:00:01"))
+      val afterIdle = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM tmr_sessions")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      assert(afterIdle === Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 2L),
+        (2L, "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0", 1L)),
+        s"timers must close users 1 and 2 with no further events: $afterIdle")
+      // user 9 re-arms on each event; one more hop closes their first
+      // session (in-batch split also exercised: 13:00 is a new session)
+      batch((9L, "2024-01-01 13:00:00"), (9L, "2024-01-01 13:02:00"))
+      batch((9L, "2024-01-01 15:00:00"))
+      batch((9L, "2024-01-01 15:00:01"))
+      q.stop()
+      val all = spark.sql("SELECT user_id, n_events FROM tmr_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(all.count(_._1 == 9L) == 2,
+        s"user 9 must have closed exactly the 11:00 and 13:00 sessions: ${all.toSeq}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState running totals: final state equals batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream_tws").toString
