@@ -769,6 +769,75 @@ object ConformanceQueries {
              |  cast(sum(TRY_CAST(CASE WHEN o_orderkey % 7 = 0
              |    THEN 'oops' ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT))
              |    AS BIGINT) AS casted_sum
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // SET-OPERATION BAG SEMANTICS: INTERSECT ALL / EXCEPT ALL keep
+    // DUPLICATE MULTIPLICITY (min / difference of per-value counts) —
+    // subtly different from the DISTINCT forms and from joins, and a
+    // classic cross-engine divergence. Both engines run the same bag
+    // algebra over order-priority multisets from two year slices; the
+    // multiplicity per value is what the compare pins.
+    Q("setop_bag_semantics",
+      (s, dir) => {
+        val a = rd(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+          .filter(col("o_orderkey") % 100 < 3)
+          .select(col("o_orderpriority").as("p"))
+        val b = rd(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1997)
+          .filter(col("o_orderkey") % 100 < 2)
+          .select(col("o_orderpriority").as("p"))
+        val inter = a.intersectAll(b).groupBy(col("p"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val except = a.exceptAll(b).groupBy(col("p"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        inter.unionByName(except)
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderpriority AS p FROM orders
+             |  WHERE year(o_orderdate) = 1996 AND o_orderkey % 100 < 3),
+             |b AS (
+             |  SELECT o_orderpriority AS p FROM orders
+             |  WHERE year(o_orderdate) = 1997 AND o_orderkey % 100 < 2)
+             |SELECT p, cast(count(*) AS BIGINT) AS n, 'intersect_all' AS op
+             |FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+             |GROUP BY 1
+             |UNION ALL
+             |SELECT p, cast(count(*) AS BIGINT) AS n, 'except_all' AS op
+             |FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+             |GROUP BY 1""".stripMargin)),
+
+    // LATERAL correlated subquery (SQL surface): top-2 most expensive
+    // orders PER customer via LATERAL ... ORDER BY/LIMIT — the SQL form
+    // of a per-key top-k. Spark decorrelates the lateral into a
+    // partitioned window/join under the hood; DuckDB executes the same
+    // text natively. Restricted to a customer slice so the output stays
+    // bounded; exact-cents ordering with an orderkey tiebreak keeps the
+    // LIMIT deterministic.
+    Q("lateral_topk",
+      (s, dir) => {
+        rd(s, dir, "customer").createOrReplaceTempView("graft_lat_cust")
+        rd(s, dir, "orders").createOrReplaceTempView("graft_lat_ord")
+        s.sql("""SELECT c.c_custkey, t.o_orderkey,
+                |  round(t.cents / 100.0, 2) AS price
+                |FROM graft_lat_cust c,
+                |LATERAL (
+                |  SELECT o_orderkey, cast(round(o_totalprice * 100) AS BIGINT) AS cents
+                |  FROM graft_lat_ord o
+                |  WHERE o.o_custkey = c.c_custkey
+                |  ORDER BY cents DESC, o_orderkey
+                |  LIMIT 2) t
+                |WHERE c.c_custkey % 50 = 0""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey,
+             |  round(t.cents / 100.0, 2) AS price
+             |FROM customer c,
+             |LATERAL (
+             |  SELECT o_orderkey, cast(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY cents DESC, o_orderkey
+             |  LIMIT 2) t
+             |WHERE c.c_custkey % 50 = 0""".stripMargin))
   )
 }
