@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.GraftColumnBridge
 
-import graft.expr.{DotProduct, HashConfig, Hashing, IntDotProduct, JaroWinklerSim, MaListAgg, VecNorm}
+import graft.expr.{DotProduct, HashConfig, Hashing, IntDotProduct, JaroWinklerSim, MaListAgg, NGramsGenerator, VecNorm}
 
 /** SparkSessionExtensions registration for graft's native expressions, so
   * they are callable from SQL text as well as the Column API:
@@ -50,6 +50,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "jaro_winkler(a, b) takes two strings")
         JaroWinklerSim(children(0), children(1))
+      }),
+    (new FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NGramsGenerator].getName, "ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "ngrams(text, n) takes a string and an int")
+        NGramsGenerator(children(0), children(1))
       }),
     (new FunctionIdentifier("ma_list_agg"),
       new ExpressionInfo(classOf[MaListAgg].getName, "ma_list_agg"),

@@ -2351,6 +2351,34 @@ object TextQueries {
     // scale). Per-doc grams dedup BEFORE the global count (array_distinct
     // pre-explode), so the aggregate counts documents, not occurrences,
     // and map-side combine collapses each partition to its vocabulary.
+    // the native ngrams GENERATOR (expr/NGramsGenerator.scala — the third
+    // Catalyst extension kind after scalar exprs and the MA aggregate),
+    // driven through its SQL registration: LATERAL VIEW ngrams(text, 3)
+    // replaces the transform(sequence(...))+explode composition with one
+    // generate loop, no intermediate array-of-arrays. Top-20 corpus
+    // trigrams with a deterministic tiebreak.
+    Q("ngram_generator_topk",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        docs(s, dir).createOrReplaceTempView("graft_ng_docs")
+        s.sql("""SELECT g.ngram, count(*) AS n
+                |FROM graft_ng_docs
+                |LATERAL VIEW ngrams(text, 3) g AS pos, ngram
+                |GROUP BY 1
+                |ORDER BY n DESC, ngram
+                |LIMIT 20""".stripMargin)
+      },
+      Some("""WITH w AS (
+             |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+             |  FROM documents),
+             |g AS (
+             |  SELECT unnest(list_transform(range(1, len(ws) - 1),
+             |    i -> array_to_string(ws[i:i+2], ' '))) AS ngram
+             |  FROM w WHERE len(ws) >= 3)
+             |SELECT ngram, cast(count(*) AS BIGINT) AS n
+             |FROM g GROUP BY 1
+             |ORDER BY n DESC, ngram LIMIT 20""".stripMargin)),
+
     Q("boilerplate_ngrams",
       (s, dir) => docs(s, dir)
         .withColumn("words", split(col("text"), "\\s+"))

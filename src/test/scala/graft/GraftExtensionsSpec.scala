@@ -18,6 +18,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(agg.getString(0) == "a,b")
   }
 
+  test("ngrams generator: rows, positions, and empty/NULL/short edge cases") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT t.id, g.pos, g.ngram
+        |FROM VALUES (1, 'a b c d'), (2, 'x y'), (3, ''), (4, CAST(NULL AS STRING)),
+        |            (5, '  padded   words  here  ')
+        |  AS t(id, txt)
+        |LATERAL VIEW ngrams(txt, 3) g AS pos, ngram
+        |ORDER BY id, pos""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (1, 0, "a b c"), (1, 1, "b c d"),
+      (5, 0, "padded words here")),
+      s"short/empty/NULL docs must generate zero rows: $got")
+  }
+
   test("dv_hashkey / dv_hashdiff from SQL equal the Column-API hashes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
