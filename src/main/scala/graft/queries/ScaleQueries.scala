@@ -627,6 +627,59 @@ object ScaleQueries {
              |   WHERE c_custkey % 97 != 0 AND c_custkey % 10 != 0)
              |    AS n_unchanged""".stripMargin)),
 
+    // CHECK CONSTRAINTS (Delta ALTER TABLE ADD CONSTRAINT semantics):
+    // write-time data contracts on the transactional table. A constraint
+    // the existing rows violate is REFUSED with its violation count; an
+    // accepted constraint rejects every later violating batch atomically
+    // (the table is unchanged after a rejected append — version and
+    // row count pinned); NULL predicate results count as violations
+    // (unknown is not valid). Enforcement costs one pass over each
+    // BATCH, never the table — the write-side complement of the
+    // read-side Expectations layer.
+    Q("txlog_check_constraints",
+      (s, dir) => {
+        val store = new graft.runtime.TxLogTable(s,
+          DvQueries.tmpWarehouse("graft_check"))
+        val t = "cust_checked"
+        val c = rd(s, dir, "customer").select(col("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        store.overwrite(t, c.filter(col("c_custkey") % 2 === 0))
+        // refused: plenty of existing balances are below 5000
+        val refused =
+          try { store.addCheckConstraint(t, "bal_high", "c_acctbal >= 5000"); false }
+          catch { case _: IllegalArgumentException => true }
+        // accepted: balances are bounded and segment is never NULL
+        store.addCheckConstraint(t, "bal_range",
+          "c_acctbal >= -100000 AND c_acctbal <= 100000")
+        store.addCheckConstraint(t, "seg_nn", "c_mktsegment IS NOT NULL")
+        val vAfter = store.currentVersion(t).get
+        // clean append passes
+        store.append(t, c.filter(col("c_custkey") % 2 === 1))
+        val nClean = store.read(t).count()
+        // violating append (one NULL segment row) must reject atomically
+        val rejected =
+          try {
+            store.append(t, s.range(1).select(lit(900001L).as("c_custkey"),
+              lit(0.0).as("c_acctbal"),
+              lit(null).cast("string").as("c_mktsegment")))
+            false
+          } catch { case _: IllegalArgumentException => true }
+        val unchanged = store.read(t).count() == nClean
+        s.range(1).select(
+          lit(refused).as("bad_constraint_refused"),
+          lit(store.checkConstraints(t, vAfter).size.toLong)
+            .as("n_constraints"),
+          lit(nClean).as("n_rows_after_clean_append"),
+          lit(rejected).as("violating_append_rejected"),
+          lit(unchanged).as("table_unchanged_after_reject"))
+      },
+      Some("""SELECT TRUE AS bad_constraint_refused,
+             |  cast(2 AS BIGINT) AS n_constraints,
+             |  (SELECT cast(count(*) AS BIGINT) FROM customer)
+             |    AS n_rows_after_clean_append,
+             |  TRUE AS violating_append_rejected,
+             |  TRUE AS table_unchanged_after_reject""".stripMargin)),
+
     // Z-ORDER SKIPPING MADE REAL on the transactional store: the
     // zorder_layout query diagnoses bucket tightness; this one PROVES
     // the file-skipping payoff. Two physical layouts of the same rows —

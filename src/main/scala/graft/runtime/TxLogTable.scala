@@ -69,6 +69,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   private val FStatHeader = "#fstat\t"
   private val TxnHeader = "#txn\t"
   private val EDelHeader = "#edel\t"
+  private val CheckHeader = "#check\t"
 
   /** committed versions, ascending (tmp/garbage ignored) */
   def versions(name: String): Seq[Long] = {
@@ -136,6 +137,15 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       EqDelete(p(0), p(1).split(',').toSeq, p(2).split(',').toSet)
     }
 
+  /** the version's CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT`
+    * semantics): name → SQL predicate over LOGICAL column names, enforced
+    * on every row-adding write. */
+  def checkConstraints(name: String, v: Long): Map[String, String] =
+    manifestLines(name, v).filter(_.startsWith(CheckHeader)).map { l =>
+      val p = l.stripPrefix(CheckHeader).split('\t')
+      p(0) -> p(1)
+    }.toMap
+
   /** committed (appId → latest batchVersion) transaction markers — the
     * exactly-once bookkeeping streaming sinks read (cf. Delta's
     * txnAppId/txnVersion) */
@@ -198,12 +208,63 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
                           txns: Map[String, Long] = Map.empty,
                           edels: Seq[EqDelete] = Nil,
                           bloomCols: Map[String, Int] = Map.empty,
-                          blooms: Map[(String, String), String] = Map.empty)
+                          blooms: Map[(String, String), String] = Map.empty,
+                          checks: Map[String, String] = Map.empty)
 
   private def metaOf(name: String, v: Long): Meta =
     Meta(mapping(name, v), statsColumns(name, v), fileStats(name, v),
       txnVersions(name, v), equalityDeletes(name, v),
-      bloomColumns(name, v), fileBlooms(name, v))
+      bloomColumns(name, v), fileBlooms(name, v), checkConstraints(name, v))
+
+  /** enforce the version's CHECK constraints on rows about to be written:
+    * a row violates when the predicate is FALSE **or NULL** (Delta's
+    * constraint semantics — an unknown is not proof of validity). Throws
+    * with the per-constraint violation counts; costs one pass over the
+    * BATCH, never the table. */
+  private def requireChecks(m: Meta, df: DataFrame, what: String): Unit = {
+    if (m.checks.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, count => fcount, expr, lit => flit, sum => fsum, when => fwhen}
+    val aggs = m.checks.toSeq.sortBy(_._1).map { case (n, sql) =>
+      fsum(fwhen(!fcoalesce(expr(sql), flit(false)), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bad = m.checks.keys.toSeq.sorted.zipWithIndex
+      .map { case (n, i) => n -> row.getLong(i) }.filter(_._2 > 0)
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint violation on $what: " +
+          bad.map { case (n, c) => s"$n (${m.checks(n)}): $c rows" }.mkString("; "))
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT: validates the EXISTING rows first (a
+    * constraint the current data violates is refused with the count),
+    * then commits the manifest line; all later row-adding writes enforce
+    * it. */
+  def addCheckConstraint(name: String, constraintName: String, sql: String): Unit = {
+    require(!constraintName.exists(c => c == '\t' || c == '\n') &&
+      !sql.exists(c => c == '\t' || c == '\n'),
+      "constraint name/expression must be free of tabs and line breaks")
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    val m = metaOf(name, v)
+    requireChecks(m.copy(checks = Map(constraintName -> sql)),
+      readWithDeletes(name, m.cols, files(name, v), m.edels),
+      s"$name: existing rows reject new constraint")
+    val m2 = m.copy(checks = m.checks + (constraintName -> sql))
+    if (!tryCommit(name, v + 1, renderM(m2, files(name, v))))
+      throw new IllegalStateException(
+        s"TxLogTable $name: lost commit race on addCheckConstraint — retry")
+  }
+
+  def dropCheckConstraint(name: String, constraintName: String): Unit = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    val m = metaOf(name, v)
+    if (!tryCommit(name, v + 1,
+        renderM(m.copy(checks = m.checks - constraintName), files(name, v))))
+      throw new IllegalStateException(
+        s"TxLogTable $name: lost commit race on dropCheckConstraint — retry")
+  }
 
   private def renderM(m: Meta, fs: Seq[String]): Seq[String] = {
     val liveSet = fs.toSet
@@ -217,7 +278,8 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       m.bloomCols.toSeq.sorted.map { case (pc, n) => s"$BloomColHeader$pc\t$n" } ++
       m.blooms.toSeq.sortBy(_._1).collect {
         case ((f, pc), b64) if liveSet(f) => s"$FBloomHeader$f\t$pc\t$b64"
-      }
+      } ++
+      m.checks.toSeq.sorted.map { case (n, sql) => s"$CheckHeader$n\t$sql" }
   }
 
   /** one pass over a just-written batch collecting per-file min/max of the
@@ -458,6 +520,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       // reclaims them, same as any crashed append
       if (txn.exists { case (app, bv) => m.txns.get(app).exists(_ >= bv) })
         return false // replay — skip
+      requireChecks(m, df, s"$name append")
       val added = batch match {
         // reuse the already-written batch on a lost CAS — unless the new
         // head changed the mapping out from under us (DDL race): physical
@@ -494,11 +557,16 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     // logical) schema still carries them
     val statsCols = head.map(statsColumns(name, _)).getOrElse(Nil)
       .filter(sc => cols.exists(_.physical == sc))
+    // CHECK constraints survive a full refresh (Delta table-property
+    // semantics) and the replacement rows must already satisfy them
+    val checks = head.map(checkConstraints(name, _)).getOrElse(Map.empty)
+    requireChecks(Meta(cols, Nil, Map.empty, checks = checks), df,
+      s"$name overwrite")
     val added = writeBatch(name, df, cols)
     // txn markers survive a full refresh: a replayed streaming batch must
     // still be recognized after someone rebuilds the table
     val m = Meta(cols, statsCols, batchStats(name, added, statsCols),
-      head.map(txnVersions(name, _)).getOrElse(Map.empty))
+      head.map(txnVersions(name, _)).getOrElse(Map.empty), checks = checks)
     if (!tryCommit(name, head.getOrElse(0L) + 1, renderM(m, added)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on overwrite — re-derive and retry")
@@ -567,6 +635,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     // key sets between the probe and the write, which would leave a matched
     // key's old row alive next to its inserted replacement
     val src = source.localCheckpoint()
+    requireChecks(m, src, s"$name merge source")
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     // data skipping: the probe scans only files whose per-file [min,max]
     // intersects the source's key range — with stats on the key column a

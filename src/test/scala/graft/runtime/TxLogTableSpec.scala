@@ -514,6 +514,42 @@ class TxLogTableSpec extends SparkSpec {
       "the tombstone must win over the stale bloom")
   }
 
+  test("CHECK constraints: refuse-if-violated-now, enforce on append/overwrite/merge, NULL = violation") {
+    val (t, _) = freshStore()
+    t.overwrite("tbl", Seq((1, 10.0), (2, 20.0)).toDF("id", "bal"))
+    // existing data violates → refused with the table untouched
+    intercept[IllegalArgumentException] {
+      t.addCheckConstraint("tbl", "bal_big", "bal >= 15")
+    }
+    assert(t.checkConstraints("tbl", t.currentVersion("tbl").get).isEmpty)
+    t.addCheckConstraint("tbl", "bal_pos", "bal >= 0")
+    // clean append passes; violating append rejects atomically
+    t.append("tbl", Seq((3, 5.0)).toDF("id", "bal"))
+    intercept[IllegalArgumentException] {
+      t.append("tbl", Seq((4, -1.0)).toDF("id", "bal"))
+    }
+    assert(t.read("tbl").count() === 3)
+    // NULL predicate result is a violation, not a pass
+    intercept[IllegalArgumentException] {
+      t.append("tbl", Seq((5, null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "bal"))
+    }
+    // merge source enforced; constraint survives overwrite and still
+    // gates the replacement rows
+    intercept[IllegalArgumentException] {
+      t.merge("tbl", Seq((1, -9.0)).toDF("id", "bal"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      t.overwrite("tbl", Seq((9, -2.0)).toDF("id", "bal"))
+    }
+    t.overwrite("tbl", Seq((9, 2.0)).toDF("id", "bal"))
+    assert(t.checkConstraints("tbl", t.currentVersion("tbl").get)
+      .contains("bal_pos"), "constraints survive a full refresh")
+    t.dropCheckConstraint("tbl", "bal_pos")
+    t.append("tbl", Seq((4, -1.0)).toDF("id", "bal")) // now legal
+    assert(t.read("tbl").count() === 2)
+  }
+
   test("registerViews: snapshot semantics — a view pins its version until re-registered") {
     val (t, _) = freshStore()
     t.append("a", Seq(1).toDF("id"))
