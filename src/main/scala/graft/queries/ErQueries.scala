@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.queries.{OracleSql => O}
+
 /** ENTITY RESOLUTION / record linkage — the master-data sibling of the
   * dedup suite: instead of near-identical *documents*, near-identical
   * *records* (a CRM customer vs its slightly-mangled import twin) must
@@ -233,6 +235,43 @@ object ErQueries {
               |  round(min(jw), 6) AS min_sim,
               |  round(max(jw), 6) AS max_sim
               |FROM scored GROUP BY 1, 2""".stripMargin)),
+
+    // SAME-AS LINK: the Data Vault 2.0 construct that lands ER output IN
+    // THE VAULT — each over-threshold match becomes a link row between
+    // the master and duplicate customer hubs (link hashkey over both
+    // business keys, FK hashkeys per side, reference link-loader
+    // semantics incl. earliest-row dedup). datavault4dbt users assemble
+    // same-as links by hand from the generic link macro; here the ER
+    // pipeline FEEDS it: probabilistic matching upstream, auditable
+    // insert-only vault structure downstream. Oracle rebuilds the link
+    // from the planted-twin closed form through the shared hash SQL.
+    Q("same_as_link",
+      (s, dir) => {
+        implicit val hc: graft.expr.HashConfig = graft.expr.HashConfig()
+        val staged = scoredPairs(s, dir)
+          .filter(col("likelihood_ratio") > 100.0)
+          .select(
+            graft.expr.Hashing.hashkey(Seq(col("id_a"), col("id_b")))
+              .as("hk_customer_sal_l"),
+            graft.expr.Hashing.hashkey(Seq(col("id_a"))).as("hk_master"),
+            graft.expr.Hashing.hashkey(Seq(col("id_b"))).as("hk_duplicate"),
+            expr("timestamp'2024-06-01 00:00:00'").as(
+              graft.expr.SystemColumns.LdtsAlias),
+            lit("ER/SameAs").as(graft.expr.SystemColumns.RsrcAlias))
+        graft.loaders.LinkLoader.records(
+          Seq(graft.loaders.EntitySource(staged, Some("hk_customer_sal_l"),
+            Seq("hk_master", "hk_duplicate"))),
+          "hk_customer_sal_l", Seq("hk_master", "hk_duplicate"), target = None)
+      },
+      Some(s"""WITH twins AS (
+              |  SELECT c_custkey AS a, c_custkey + 1000000 AS b
+              |  FROM customer WHERE c_custkey % 3 = 0)
+              |SELECT ${O.hashkey("a", "b")} AS hk_customer_sal_l,
+              |  ${O.hashkey("a")} AS hk_master,
+              |  ${O.hashkey("b")} AS hk_duplicate,
+              |  timestamp '2024-06-01 00:00:00' AS ldts,
+              |  'ER/SameAs' AS rsrc
+              |FROM twins""".stripMargin)),
 
     // Threshold → entities → GOLDEN RECORD: pairs over the link
     // threshold cluster into entities via the shared path-halving

@@ -1442,6 +1442,66 @@ object SimQueries {
     // evaluation step a real similarity pipeline runs before trusting an
     // index. Per query: |approx ∩ true| / |true|. Both pipelines are
     // deterministic, so the metric itself is oracle-checkable.
+    // MATRYOSHKA truncation eval: retrieve with only the FIRST 16 of 64
+    // dims (the MRL deployment trick — prefix dims carry the coarse
+    // structure, so a truncated index is 4× cheaper) and measure
+    // recall@3 against full-dim ground truth. Same broadcast-queries /
+    // stream-corpus shape as the other recall evals; the slice is a
+    // zero-copy array prefix in both engines.
+    Q("matryoshka_recall",
+      (s, dir) => {
+        val prefix = 16
+        def topK(dims: Column => Column, k: Int): DataFrame = {
+          val e = emb(s, dir)
+            .select(col("vec_id"), dims(col("embedding")).as("v"))
+            .withColumn("nrm", vecNorm(col("v")))
+          val q = e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("nrm").as("qn"))
+          val scored = broadcast(q).join(e.filter(col("vec_id") >= 10))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(dotProduct(col("qv"), col("v")) / (col("qn") * col("nrm")), 4)
+                .as("cos_sim"))
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+          scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        }
+        val truth = topK(identity, 3)
+        val truncated = topK(v => slice(v, 1, prefix), 3)
+          .withColumn("__hit", lit(1L))
+        truth.join(truncated, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+          .withColumn("recall_at_3",
+            col("n_found").cast("double") / col("n_true"))
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    round(${cosDuck("a.embedding", "b.embedding")}, 4) AS cs_full,
+              |    round(${cosDuck("a.embedding[1:16]", "b.embedding[1:16]")}, 4)
+              |      AS cs_trunc
+              |  FROM embeddings a JOIN embeddings b
+              |    ON a.vec_id < 10 AND b.vec_id >= 10),
+              |truth AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cs_full DESC, neighbor_id ASC) AS r FROM scored)
+              |  WHERE r <= 3),
+              |trunc AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY cs_trunc DESC, neighbor_id ASC) AS r FROM scored)
+              |  WHERE r <= 3)
+              |SELECT t.query_id, cast(count(*) AS BIGINT) AS n_true,
+              |  cast(count(x.neighbor_id) AS BIGINT) AS n_found,
+              |  cast(count(x.neighbor_id) AS double) / count(*) AS recall_at_3
+              |FROM truth t LEFT JOIN trunc x
+              |  ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+              |GROUP BY t.query_id""".stripMargin)),
+
     Q("ann_recall",
       (s, dir) => {
         val truth = bruteTopK(s, dir, 3).select(col("query_id"), col("neighbor_id"))

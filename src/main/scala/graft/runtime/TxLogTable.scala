@@ -489,6 +489,39 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     * lost CAS re-reads the head and retries against it. */
   def append(name: String, df: DataFrame): Unit = { appendTxn(name, df, None); () }
 
+  /** Append with AUTOMATIC SCHEMA EVOLUTION (Delta's mergeSchema write
+    * option): columns in `df` the table lacks are added first as
+    * metadata-only DDL (older files null-fill), then the batch appends;
+    * columns the table has but `df` lacks null-fill the new batch.
+    * Existing columns must keep their type — a changed type is a real
+    * contract break and throws rather than silently casting. */
+  def appendEvolve(name: String, df: DataFrame): Unit = {
+    currentVersion(name) match {
+      case None => append(name, df)
+      case Some(v) =>
+        val m = metaOf(name, v)
+        require(m.cols.nonEmpty,
+          s"TxLogTable $name: appendEvolve needs a mapped table")
+        val incoming = df.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+        m.cols.foreach { c =>
+          incoming.get(c.logical).foreach { t =>
+            require(t == c.typeDdl,
+              s"TxLogTable $name: column ${c.logical} is ${c.typeDdl}, " +
+                s"incoming batch has $t — schema evolution never retypes")
+          }
+        }
+        val newCols = df.schema.fields
+          .filter(f => !m.cols.exists(_.logical == f.name))
+        newCols.foreach(f => addColumn(name, f.name, f.dataType.catalogString))
+        val after = metaOf(name, currentVersion(name).get)
+        val aligned = df.select(after.cols.map { c =>
+          if (incoming.contains(c.logical)) col(c.logical)
+          else lit(null).cast(c.typeDdl).as(c.logical)
+        }: _*)
+        append(name, aligned)
+    }
+  }
+
   /** Exactly-once append (the Delta txnAppId/txnVersion contract): the
     * commit records (appId → batchVersion) in the manifest, and an append
     * whose batchVersion is ≤ the appId's recorded marker is recognized as

@@ -514,6 +514,24 @@ class TxLogTableSpec extends SparkSpec {
       "the tombstone must win over the stale bloom")
   }
 
+  test("appendEvolve: new columns add as DDL, missing columns null-fill, retypes refuse") {
+    val (t, _) = freshStore()
+    t.overwrite("tbl", Seq((1, "a")).toDF("id", "v"))
+    // wider batch: new column `score` evolves the schema; old rows null-fill
+    t.appendEvolve("tbl", Seq((2, "b", 0.5)).toDF("id", "v", "score"))
+    // narrower batch: missing `v` and `score` null-fill the new rows
+    t.appendEvolve("tbl", Seq(Tuple1(3)).toDF("id"))
+    val got = t.read("tbl").select("id", "v", "score")
+      .collect().map(r => (r.getInt(0),
+        Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    assert(got === Set((1, Some("a"), None), (2, Some("b"), Some(0.5)),
+      (3, None, None)))
+    intercept[IllegalArgumentException] {
+      t.appendEvolve("tbl", Seq((4, 99)).toDF("id", "v")) // v: string → int
+    }
+  }
+
   test("CHECK constraints: refuse-if-violated-now, enforce on append/overwrite/merge, NULL = violation") {
     val (t, _) = freshStore()
     t.overwrite("tbl", Seq((1, 10.0), (2, 20.0)).toDF("id", "bal"))
