@@ -2351,6 +2351,87 @@ object TextQueries {
     // scale). Per-doc grams dedup BEFORE the global count (array_distinct
     // pre-explode), so the aggregate counts documents, not occurrences,
     // and map-side combine collapses each partition to its vocabulary.
+    // ITERATIVE BPE TRAINING, 5 merges (extends the single-step
+    // `bpe_merges` candidate scan to the real training loop): the word
+    // corpus is held as separator-joined symbol strings ("|h|e|r|e|"),
+    // each round (1) counts adjacent symbol pairs weighted by word
+    // frequency, (2) takes the max-count pair (lexicographic tiebreak),
+    // (3) merges it EVERYWHERE via literal string replace — whose
+    // left-to-right non-overlapping semantics are exactly BPE's greedy
+    // merge, and identical in Spark and DuckDB ("|a|a|a|" → "|aa|a|").
+    // No driver collect: the winning pair is a 1-row broadcast cross
+    // join; per-round cost is one explode + one bounded aggregate over
+    // DISTINCT words (frequencies carry multiplicity), lineage truncated
+    // per round. Words containing the separator are excluded up front.
+    // Output: the 5 (step, pair, weighted count) merge rules — the
+    // actual tokenizer artifact.
+    Q("bpe_train_merges",
+      (s, dir) => {
+        val rounds = 5
+        var words = docs(s, dir)
+          .select(explode(split(col("text"), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0 && !col("w").contains("|"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .select(concat(lit("|"), concat_ws("|",
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+            lit("|")).as("s"), col("freq"))
+          .localCheckpoint()
+        var rules = Seq.empty[DataFrame]
+        for (step <- 1 to rounds) {
+          // sequence(1, 0) DESCENDS in Spark — single-symbol words must
+          // short-circuit to an empty pair list
+          val top1 = words
+            .select(col("freq"), explode(expr(
+              """CASE WHEN size(filter(split(s, '\\|'), t -> t <> '')) < 2
+                |  THEN array()
+                |  ELSE transform(sequence(1, size(filter(split(s, '\\|'), t -> t <> '')) - 1),
+                |    i -> concat(element_at(filter(split(s, '\\|'), t -> t <> ''), i),
+                |                '|',
+                |                element_at(filter(split(s, '\\|'), t -> t <> ''), i + 1)))
+                |  END""".stripMargin)).as("pair"))
+            .groupBy("pair").agg(sum(col("freq")).as("n"))
+            .orderBy(col("n").desc, col("pair").asc).limit(1)
+          rules = rules :+ top1.withColumn("step", lit(step))
+          words = words.crossJoin(broadcast(top1.select(col("pair").as("__p"))))
+            .select(expr(
+              "replace(s, '|' || __p || '|', '|' || replace(__p, '|', '') || '|')")
+              .as("s"), col("freq"))
+            .localCheckpoint()
+        }
+        rules.reduce(_ unionByName _)
+          .select(col("step"), col("pair").as("merge_rule"), col("n"))
+      },
+      Some {
+        val stepsSql = (1 to 5).map { k =>
+          val prev = s"w${k - 1}"
+          s"""p$k AS MATERIALIZED (
+             |  SELECT pair, sum(freq) AS n FROM (
+             |    SELECT u.pair, freq FROM $prev,
+             |      UNNEST(list_transform(range(1, len(list_filter(
+             |        string_split(s, '|'), t -> t <> ''))),
+             |        i -> list_filter(string_split(s, '|'), t -> t <> '')[i] || '|' || list_filter(string_split(s, '|'), t -> t <> '')[i + 1]))
+             |      AS u(pair))
+             |  GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 1),
+             |w$k AS MATERIALIZED (
+             |  SELECT replace(s, '|' || p.pair || '|',
+             |    '|' || replace(p.pair, '|', '') || '|') AS s, freq
+             |  FROM $prev, p$k p)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH w0 AS MATERIALIZED (
+           |  SELECT '|' || array_to_string(list_transform(
+           |      range(1, length(w) + 1), i -> w[i:i]), '|') || '|' AS s,
+           |    cast(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+           |        FROM documents)
+           |  WHERE length(w) > 0 AND NOT contains(w, '|')
+           |  GROUP BY w),
+           |$stepsSql
+           |SELECT * FROM (
+           |  ${(1 to 5).map(k =>
+               s"SELECT $k AS step, pair AS merge_rule, n FROM p$k")
+               .mkString("\n  UNION ALL\n  ")})""".stripMargin
+      }),
+
     // the native ngrams GENERATOR (expr/NGramsGenerator.scala — the third
     // Catalyst extension kind after scalar exprs and the MA aggregate),
     // driven through its SQL registration: LATERAL VIEW ngrams(text, 3)
