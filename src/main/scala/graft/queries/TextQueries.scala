@@ -2432,6 +2432,79 @@ object TextQueries {
                .mkString("\n  UNION ALL\n  ")})""".stripMargin
       }),
 
+    // the ENCODE-side readout of the BPE trainer: corpus token count
+    // after each merge round — the compression curve that justifies a
+    // vocabulary (monotone decreasing by exactly the winning pair's
+    // count). Same round chain as bpe_train_merges; one bounded
+    // aggregate per round, nothing collected.
+    Q("bpe_compression_curve",
+      (s, dir) => {
+        val rounds = 5
+        var words = docs(s, dir)
+          .select(explode(split(col("text"), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0 && !col("w").contains("|"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .select(concat(lit("|"), concat_ws("|",
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+            lit("|")).as("s"), col("freq"))
+          .localCheckpoint()
+        def tokCount(w: DataFrame, step: Int): DataFrame =
+          w.agg(sum(col("freq") *
+            expr("size(filter(split(s, '\\\\|'), t -> t <> ''))")).as("corpus_tokens"))
+            .withColumn("step", lit(step))
+        var curve = Seq(tokCount(words, 0))
+        for (step <- 1 to rounds) {
+          val top1 = words
+            .select(col("freq"), explode(expr(
+              """CASE WHEN size(filter(split(s, '\\|'), t -> t <> '')) < 2
+                |  THEN array()
+                |  ELSE transform(sequence(1, size(filter(split(s, '\\|'), t -> t <> '')) - 1),
+                |    i -> concat(element_at(filter(split(s, '\\|'), t -> t <> ''), i),
+                |                '|',
+                |                element_at(filter(split(s, '\\|'), t -> t <> ''), i + 1)))
+                |  END""".stripMargin)).as("pair"))
+            .groupBy("pair").agg(sum(col("freq")).as("n"))
+            .orderBy(col("n").desc, col("pair").asc).limit(1)
+          words = words.crossJoin(broadcast(top1.select(col("pair").as("__p"))))
+            .select(expr(
+              "replace(s, '|' || __p || '|', '|' || replace(__p, '|', '') || '|')")
+              .as("s"), col("freq"))
+            .localCheckpoint()
+          curve = curve :+ tokCount(words, step)
+        }
+        curve.reduce(_ unionByName _).select(col("step"), col("corpus_tokens"))
+      },
+      Some {
+        val stepsSql = (1 to 5).map { k =>
+          val prev = s"w${k - 1}"
+          s"""p$k AS MATERIALIZED (
+             |  SELECT pair, sum(freq) AS n FROM (
+             |    SELECT u.pair, freq FROM $prev,
+             |      UNNEST(list_transform(range(1, len(list_filter(
+             |        string_split(s, '|'), t -> t <> ''))),
+             |        i -> list_filter(string_split(s, '|'), t -> t <> '')[i] || '|' || list_filter(string_split(s, '|'), t -> t <> '')[i + 1]))
+             |      AS u(pair))
+             |  GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 1),
+             |w$k AS MATERIALIZED (
+             |  SELECT replace(s, '|' || p.pair || '|',
+             |    '|' || replace(p.pair, '|', '') || '|') AS s, freq
+             |  FROM $prev, p$k p)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH w0 AS MATERIALIZED (
+           |  SELECT '|' || array_to_string(list_transform(
+           |      range(1, length(w) + 1), i -> w[i:i]), '|') || '|' AS s,
+           |    cast(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+           |        FROM documents)
+           |  WHERE length(w) > 0 AND NOT contains(w, '|')
+           |  GROUP BY w),
+           |$stepsSql
+           |SELECT * FROM (
+           |  ${(0 to 5).map(k =>
+               s"SELECT $k AS step, (SELECT sum(freq * len(list_filter(string_split(s, '|'), t -> t <> ''))) FROM w$k) AS corpus_tokens")
+               .mkString("\n  UNION ALL\n  ")})""".stripMargin
+      }),
+
     // the native ngrams GENERATOR (expr/NGramsGenerator.scala — the third
     // Catalyst extension kind after scalar exprs and the MA aggregate),
     // driven through its SQL registration: LATERAL VIEW ngrams(text, 3)
