@@ -771,6 +771,86 @@ object ConformanceQueries {
              |    AS BIGINT) AS casted_sum
              |FROM orders""".stripMargin)),
 
+    // INTERVAL RANGE FRAME: trailing-7-day revenue per day via RANGE
+    // BETWEEN INTERVAL ... PRECEDING — the time-based frame ROWS can't
+    // express (gaps in the date spine must still count calendar days).
+    // Computed over the per-day PRE-AGGREGATE (frame partitions hold one
+    // row per day, so the non-codegen range frame touches O(days), never
+    // raw orders — the posture the BENCHNOTES range-frame lesson
+    // demands). Exact cents in the frame sum.
+    Q("range_interval_window",
+      (s, dir) => {
+        rd(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .createOrReplaceTempView("graft_riw_daily")
+        s.sql("""SELECT d, round(cents / 100.0, 2) AS day_revenue,
+                |  round(sum(cents) OVER (
+                |    ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                |    AND CURRENT ROW) / 100.0, 2) AS trailing_7d_revenue
+                |FROM graft_riw_daily""".stripMargin)
+      },
+      Some("""WITH daily AS (
+             |  SELECT cast(o_orderdate AS DATE) AS d,
+             |    sum(cast(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+             |SELECT d, round(cents / 100.0, 2) AS day_revenue,
+             |  round(sum(cents) OVER (
+             |    ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+             |    AND CURRENT ROW) / 100.0, 2) AS trailing_7d_revenue
+             |FROM daily""".stripMargin)),
+
+    // EXACT PERCENTILE_CONT / PERCENTILE_DISC conformance: both engines
+    // must agree on the interpolated continuous percentile AND the
+    // discrete pick over integer cents — the disc/cont distinction
+    // (nearest actual value vs linear interpolation) is a classic
+    // cross-engine divergence. Grouped by priority; 4-dp rounding over
+    // arithmetic on exact integers.
+    Q("percentile_conformance",
+      (s, dir) => {
+        rd(s, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+          .createOrReplaceTempView("graft_pct_orders")
+        s.sql("""SELECT o_orderpriority,
+                |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)
+                |    / 100.0, 4) AS median_cont,
+                |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+                |    / 100.0, 4) AS median_disc,
+                |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY cents)
+                |    / 100.0, 4) AS p90_cont
+                |FROM graft_pct_orders GROUP BY 1""".stripMargin)
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority,
+             |    cast(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT o_orderpriority,
+             |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)
+             |    / 100.0, 4) AS median_cont,
+             |  round(cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+             |    AS double) / 100.0, 4) AS median_disc,
+             |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY cents)
+             |    / 100.0, 4) AS p90_cont
+             |FROM o GROUP BY 1""".stripMargin)),
+
+    // ORDERED STRING AGGREGATION: deterministic listagg via
+    // sort_array(collect_list(...)) + concat_ws against DuckDB's
+    // string_agg ... ORDER BY — the reference's LISTAGG WITHIN GROUP
+    // shape (H5) at plain query grain. Region-level nation rosters.
+    Q("listagg_ordered",
+      (s, dir) => {
+        rd(s, dir, "nation")
+          .groupBy(col("n_regionkey").cast("long").as("region"))
+          .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+            .as("nations"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT cast(n_regionkey AS BIGINT) AS region,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  cast(count(*) AS BIGINT) AS n
+             |FROM nation GROUP BY 1""".stripMargin)),
+
     // SET-OPERATION BAG SEMANTICS: INTERSECT ALL / EXCEPT ALL keep
     // DUPLICATE MULTIPLICITY (min / difference of per-value counts) —
     // subtly different from the DISTINCT forms and from joins, and a
