@@ -1142,6 +1142,135 @@ object SimQueries {
     // daily table, so the sequential recurrence never serializes the
     // plan. Control limits use the standard EWMA variance inflation;
     // breach = |x − ewma_prev| beyond L·σ_ewma. λ=0.3, L=3.
+    // CUSUM control chart — the sequential-shift detector beside EWMA
+    // and median/MAD. The textbook recursion C+_t = max(0, C+_{t-1} + x_t
+    // − μ − k) is NOT windowable, but its closed form is: with S_t =
+    // Σ(x_i − μ − k), C+_t = S_t − min(0, min_{i≤t} S_i) — one cumulative
+    // sum + one running min per partition (both deterministic sequential
+    // folds in either engine). Down-shifts mirror with a running max.
+    // Flags at 5σ — the hour-28-style burst plus any sustained drift.
+    Q("cusum_detector",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val stats = daily.groupBy("event_type").agg(
+          (sum(col("n")).cast("double") / count(lit(1))).as("mu"),
+          stddev_pop(col("n")).as("sigma"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(broadcast(stats), Seq("event_type"))
+          .withColumn("s_up", sum(col("n") - col("mu") - col("sigma") * 0.5).over(w))
+          .withColumn("s_dn", sum(col("n") - col("mu") + col("sigma") * 0.5).over(w))
+          .withColumn("cusum_up",
+            round(col("s_up") - least(lit(0.0), min(col("s_up")).over(w)), 4))
+          .withColumn("cusum_dn",
+            round(greatest(lit(0.0), max(col("s_dn")).over(w)) - col("s_dn"), 4))
+          .select(col("event_type"), col("day"), col("n"),
+            col("cusum_up"), col("cusum_dn"),
+            (col("cusum_up") > col("sigma") * 5 ||
+              col("cusum_dn") > col("sigma") * 5).as("shift_flag"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, cast(ts AS DATE) AS day,
+             |    cast(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |st AS (
+             |  SELECT event_type, cast(sum(n) AS double) / count(*) AS mu,
+             |    stddev_pop(n) AS sigma
+             |  FROM daily GROUP BY 1),
+             |cum AS (
+             |  SELECT d.event_type, d.day, d.n, st.sigma,
+             |    sum(d.n - st.mu - st.sigma * 0.5) OVER (
+             |      PARTITION BY d.event_type ORDER BY d.day
+             |      ROWS UNBOUNDED PRECEDING) AS s_up,
+             |    sum(d.n - st.mu + st.sigma * 0.5) OVER (
+             |      PARTITION BY d.event_type ORDER BY d.day
+             |      ROWS UNBOUNDED PRECEDING) AS s_dn
+             |  FROM daily d JOIN st USING (event_type)),
+             |cc AS (
+             |  SELECT event_type, day, n, sigma,
+             |    round(s_up - least(0.0, min(s_up) OVER (
+             |      PARTITION BY event_type ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING)), 4) AS cusum_up,
+             |    round(greatest(0.0, max(s_dn) OVER (
+             |      PARTITION BY event_type ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING)) - s_dn, 4) AS cusum_dn
+             |  FROM cum)
+             |SELECT event_type, day, n, cusum_up, cusum_dn,
+             |  cusum_up > sigma * 5 OR cusum_dn > sigma * 5 AS shift_flag
+             |FROM cc""".stripMargin)),
+
+    // SPEARMAN rank correlation per market segment — the robust sibling
+    // of the Pearson matrix (monotone association, outlier-immune).
+    // Midranks with tie handling come from per-(segment, value)
+    // PRE-AGGREGATES: rank_min = cumulative count of smaller values
+    // (one PARTITIONED window over distinct values — bounded by the
+    // value domain, not row count), avg_rank = rank_min + (ties−1)/2.
+    // Ranks are half-integers and all moment sums stay < 2^53, so every
+    // sum is exact in any order and the coefficient is deterministic.
+    Q("spearman_corr",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .join(s.read.parquet(s"$dir/orders.parquet"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(s.read.parquet(s"$dir/customer.parquet"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"),
+            col("l_quantity").cast("long").as("x"),
+            round(col("l_extendedprice") * 100).cast("long").as("y"))
+        def ranks(vcol: String, rname: String): DataFrame = {
+          val per = li.groupBy(col("seg"), col(vcol)).agg(count(lit(1)).as("cnt"))
+          val w = Window.partitionBy("seg").orderBy(vcol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          per.withColumn("cum", sum(col("cnt")).over(w))
+            .select(col("seg"), col(vcol),
+              (col("cum") - col("cnt") + (col("cnt") + 1).cast("double") / 2)
+                .as(rname))
+        }
+        li.join(ranks("x", "rx"), Seq("seg", "x"))
+          .join(ranks("y", "ry"), Seq("seg", "y"))
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n_rows"),
+            round((count(lit(1)) * sum(col("rx") * col("ry")) -
+              sum(col("rx")) * sum(col("ry"))) /
+              (sqrt(count(lit(1)) * sum(col("rx") * col("rx")) -
+                sum(col("rx")) * sum(col("rx"))) *
+                sqrt(count(lit(1)) * sum(col("ry") * col("ry")) -
+                  sum(col("ry")) * sum(col("ry")))), 6).as("spearman"))
+      },
+      Some("""WITH li AS (
+             |  SELECT c.c_mktsegment AS seg, cast(l.l_quantity AS BIGINT) AS x,
+             |    cast(round(l.l_extendedprice * 100) AS BIGINT) AS y
+             |  FROM lineitem l
+             |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |  JOIN customer c ON c.c_custkey = o.o_custkey),
+             |rxs AS (
+             |  SELECT seg, x,
+             |    sum(cnt) OVER (PARTITION BY seg ORDER BY x
+             |      ROWS UNBOUNDED PRECEDING) - cnt
+             |      + cast(cnt + 1 AS double) / 2 AS rx
+             |  FROM (SELECT seg, x, cast(count(*) AS BIGINT) AS cnt
+             |        FROM li GROUP BY 1, 2)),
+             |rys AS (
+             |  SELECT seg, y,
+             |    sum(cnt) OVER (PARTITION BY seg ORDER BY y
+             |      ROWS UNBOUNDED PRECEDING) - cnt
+             |      + cast(cnt + 1 AS double) / 2 AS ry
+             |  FROM (SELECT seg, y, cast(count(*) AS BIGINT) AS cnt
+             |        FROM li GROUP BY 1, 2))
+             |SELECT li.seg, cast(count(*) AS BIGINT) AS n_rows,
+             |  round((count(*) * sum(rx * ry) - sum(rx) * sum(ry)) /
+             |    (sqrt(count(*) * sum(rx * rx) - sum(rx) * sum(rx)) *
+             |     sqrt(count(*) * sum(ry * ry) - sum(ry) * sum(ry))), 6)
+             |    AS spearman
+             |FROM li
+             |JOIN rxs ON rxs.seg = li.seg AND rxs.x = li.x
+             |JOIN rys ON rys.seg = li.seg AND rys.y = li.y
+             |GROUP BY li.seg""".stripMargin)),
+
     Q("ewma_control_chart",
       (s, dir) => {
         val ev = events(s, dir)
