@@ -2160,6 +2160,70 @@ object DvQueries {
               |  TRUE, TRUE, (SELECT cast(count(*) AS BIGINT) FROM fhk)
               |FROM satc""".stripMargin)),
 
+    // DBT SNAPSHOT (check strategy): the OTHER SCD2 contract dbt users
+    // run beside the vault — `dbt snapshot` with check_cols compares two
+    // source states and maintains (dbt_valid_from, dbt_valid_to) with
+    // hard-delete invalidation. Composed from the SAME primitives as the
+    // vault: one Cdc.diff between the runs classifies I/U/D, then pure
+    // projections assemble the snapshot rows (changed/deleted rows close
+    // at run 2's timestamp, new versions/inserts open). Run-2 source:
+    // balances +5 for key%4=0, key%31=0 hard-deleted, 3 new keys.
+    Q("dbt_snapshot_check",
+      (s, dir) => {
+        val ts1 = "2024-07-01 00:00:00"
+        val ts2 = "2024-07-02 00:00:00"
+        val run1 = rd(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        val run2 = run1.filter(col("c_custkey") % 31 =!= 0)
+          .withColumn("bal_cents",
+            when(col("c_custkey") % 4 === 0, col("bal_cents") + 500)
+              .otherwise(col("bal_cents")))
+          .unionByName(s.range(900001, 900004)
+            .select(col("id").as("c_custkey"), lit("NEW").as("c_name"),
+              lit(0L).as("bal_cents")))
+        val feed = graft.runtime.Cdc.diff(run1, run2, Seq("c_custkey"))
+          .localCheckpoint()
+        val closedKeys = feed.filter(col("op").isin("U", "D"))
+          .select(col("c_custkey"), lit(ts2).cast("timestamp").as("vt"))
+        // run-1 versions: valid_to closes for changed/deleted keys
+        val v1rows = run1.join(closedKeys, Seq("c_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"), col("bal_cents"),
+            lit(ts1).cast("timestamp").as("dbt_valid_from"),
+            col("vt").as("dbt_valid_to"))
+        // run-2 versions: new images of U + I open at ts2
+        val v2rows = feed.filter(col("op").isin("U", "I"))
+          .select(col("c_custkey"), col("new_c_name").as("c_name"),
+            col("new_bal_cents").as("bal_cents"),
+            lit(ts2).cast("timestamp").as("dbt_valid_from"),
+            lit(null).cast("timestamp").as("dbt_valid_to"))
+        v1rows.unionByName(v2rows)
+          .select(col("c_custkey"), col("c_name"),
+            round(col("bal_cents").cast("double") / 100.0, 2).as("acctbal"),
+            col("dbt_valid_from"), col("dbt_valid_to"),
+            col("dbt_valid_to").isNull.as("is_current"))
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name,
+             |    cast(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+             |  FROM customer)
+             |SELECT c_custkey, c_name,
+             |  round(cast(bal_cents AS double) / 100.0, 2) AS acctbal,
+             |  timestamp '2024-07-01 00:00:00' AS dbt_valid_from,
+             |  CASE WHEN c_custkey % 31 = 0 OR c_custkey % 4 = 0
+             |    THEN timestamp '2024-07-02 00:00:00' END AS dbt_valid_to,
+             |  NOT (c_custkey % 31 = 0 OR c_custkey % 4 = 0) AS is_current
+             |FROM base
+             |UNION ALL
+             |SELECT c_custkey, c_name,
+             |  round(cast(bal_cents + 500 AS double) / 100.0, 2),
+             |  timestamp '2024-07-02 00:00:00', NULL, TRUE
+             |FROM base WHERE c_custkey % 4 = 0 AND c_custkey % 31 <> 0
+             |UNION ALL
+             |SELECT 900000 + i, 'NEW', 0.0,
+             |  timestamp '2024-07-02 00:00:00', NULL, TRUE
+             |FROM generate_series(1, 3) AS g(i)""".stripMargin)),
+
     // CHANGE DATA FEED between two table versions, driver-verified:
     // v1 (initial append) → v2 (MERGE: even keys updated, %5 keys
     // inserted) → v3 (overwrite dropping %3 keys — deletes). The CDC
