@@ -20,12 +20,14 @@ class PlanAuditSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** global window over a bounded-by-construction frame: the snapshot
-    * control table (one row/day, documented in SnapshotLoaders) and
-    * blob_embed_topk's rank over an already-LIMIT-10 result */
+    * control table (one row/day, documented in SnapshotLoaders),
+    * blob_embed_topk's rank over an already-LIMIT-10 result, and
+    * range_interval_window's RANGE frame over the per-day pre-aggregate
+    * (one row/day by construction — see ConformanceQueries) */
   private val globalWindowOk: Set[String] =
     Set("snap_latest_row", "snap_v1_customer", "snap_v1_multi",
       "pit_customer", "pit_multisat", "snap_logarithmic",
-      "blob_embed_topk")
+      "blob_embed_topk", "range_interval_window")
 
   test("no registry query plans a CartesianProduct or an undocumented global window") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
