@@ -785,20 +785,28 @@ object ConformanceQueries {
           .groupBy(to_date(col("o_orderdate")).as("d"))
           .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
           .createOrReplaceTempView("graft_riw_daily")
-        s.sql("""SELECT d, round(cents / 100.0, 2) AS day_revenue,
-                |  round(sum(cents) OVER (
+        // cast(... AS DOUBLE) before the division: a bare `/ 100.0` promotes
+        // BIGINT through Spark's DECIMAL literal typing to DECIMAL(24,2),
+        // which the driver's exact type-sensitive hash fails against the
+        // oracle's DOUBLE (round-6 red row)
+        s.sql("""SELECT d,
+                |  round(cast(cents AS DOUBLE) / 100.0, 2) AS day_revenue,
+                |  round(cast(sum(cents) OVER (
                 |    ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
-                |    AND CURRENT ROW) / 100.0, 2) AS trailing_7d_revenue
+                |    AND CURRENT ROW) AS DOUBLE) / 100.0, 2)
+                |    AS trailing_7d_revenue
                 |FROM graft_riw_daily""".stripMargin)
       },
       Some("""WITH daily AS (
              |  SELECT cast(o_orderdate AS DATE) AS d,
              |    sum(cast(round(o_totalprice * 100) AS BIGINT)) AS cents
              |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
-             |SELECT d, round(cents / 100.0, 2) AS day_revenue,
-             |  round(sum(cents) OVER (
+             |SELECT d,
+             |  round(cast(cents AS DOUBLE) / 100.0, 2) AS day_revenue,
+             |  round(cast(sum(cents) OVER (
              |    ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
-             |    AND CURRENT ROW) / 100.0, 2) AS trailing_7d_revenue
+             |    AND CURRENT ROW) AS DOUBLE) / 100.0, 2)
+             |    AS trailing_7d_revenue
              |FROM daily""".stripMargin)),
 
     // EXACT PERCENTILE_CONT / PERCENTILE_DISC conformance: both engines
@@ -898,8 +906,9 @@ object ConformanceQueries {
       (s, dir) => {
         rd(s, dir, "customer").createOrReplaceTempView("graft_lat_cust")
         rd(s, dir, "orders").createOrReplaceTempView("graft_lat_ord")
+        // cast before `/ 100.0` — see range_interval_window note
         s.sql("""SELECT c.c_custkey, t.o_orderkey,
-                |  round(t.cents / 100.0, 2) AS price
+                |  round(cast(t.cents AS DOUBLE) / 100.0, 2) AS price
                 |FROM graft_lat_cust c,
                 |LATERAL (
                 |  SELECT o_orderkey, cast(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -910,7 +919,7 @@ object ConformanceQueries {
                 |WHERE c.c_custkey % 50 = 0""".stripMargin)
       },
       Some("""SELECT c.c_custkey, t.o_orderkey,
-             |  round(t.cents / 100.0, 2) AS price
+             |  round(cast(t.cents AS DOUBLE) / 100.0, 2) AS price
              |FROM customer c,
              |LATERAL (
              |  SELECT o_orderkey, cast(round(o_totalprice * 100) AS BIGINT) AS cents

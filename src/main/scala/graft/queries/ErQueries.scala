@@ -163,7 +163,8 @@ object ErQueries {
           .groupBy(col("nation"), col("segment"))
           .agg(count(lit(1)).as("n_records"))
           .select(col("nation"), col("segment"), col("n_records"),
-            (col("n_records") * (col("n_records") - 1) / 2).as("n_pairs"),
+            (col("n_records") * (col("n_records") - 1) / 2).cast("long")
+              .as("n_pairs"),
             (col("n_records") * (col("n_records") - 1) / 2 > 10000)
               .as("over_cap"))
       },

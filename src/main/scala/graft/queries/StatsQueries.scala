@@ -561,7 +561,7 @@ object StatsQueries {
              |SELECT c_mktsegment,
              |  round(cast(min(price_cents) AS double) / 100.0, 2)
              |    AS weighted_median_price,
-             |  min(tot_w) AS total_weight
+             |  cast(min(tot_w) AS BIGINT) AS total_weight
              |FROM ranked WHERE cum_w * 2 >= tot_w
              |GROUP BY 1""".stripMargin)),
 

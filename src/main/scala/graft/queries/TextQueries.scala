@@ -2405,7 +2405,7 @@ object TextQueries {
         val stepsSql = (1 to 5).map { k =>
           val prev = s"w${k - 1}"
           s"""p$k AS MATERIALIZED (
-             |  SELECT pair, sum(freq) AS n FROM (
+             |  SELECT pair, cast(sum(freq) AS BIGINT) AS n FROM (
              |    SELECT u.pair, freq FROM $prev,
              |      UNNEST(list_transform(range(1, len(list_filter(
              |        string_split(s, '|'), t -> t <> ''))),
@@ -2501,7 +2501,7 @@ object TextQueries {
            |$stepsSql
            |SELECT * FROM (
            |  ${(0 to 5).map(k =>
-               s"SELECT $k AS step, (SELECT sum(freq * len(list_filter(string_split(s, '|'), t -> t <> ''))) FROM w$k) AS corpus_tokens")
+               s"SELECT $k AS step, cast((SELECT sum(freq * len(list_filter(string_split(s, '|'), t -> t <> ''))) FROM w$k) AS BIGINT) AS corpus_tokens")
                .mkString("\n  UNION ALL\n  ")})""".stripMargin
       }),
 

@@ -343,10 +343,10 @@ object TpchQueries {
              |  CASE WHEN date_diff('day', cast(o.o_orderdate AS DATE),
              |      cast(l.l_shipdate AS DATE)) <= 30
              |    THEN 'FAST' ELSE 'SLOW' END AS latency_class,
-             |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-             |    THEN 1 ELSE 0 END) AS high_line_count,
-             |  sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-             |    THEN 1 ELSE 0 END) AS low_line_count
+             |  cast(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  cast(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM lineitem l
              |JOIN orders o ON o.o_orderkey = l.l_orderkey
              |GROUP BY 1""".stripMargin)),

@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec}
 
 /** Scale-design gate over the ENTIRE query registry: every SparkEntry query
   * is planned (AQE off, so the physical tree is inspectable) and must not
@@ -29,6 +31,21 @@ class PlanAuditSpec extends SparkSpec {
       "pit_customer", "pit_multisat", "snap_logarithmic",
       "blob_embed_topk", "range_interval_window")
 
+  /** An allowlisted global window is only OK when its input is bounded by
+    * construction — every path from the window down to a leaf must pass
+    * through a row-collapsing operator (aggregate, limit, or a literal
+    * Range date spine) BEFORE reaching an unbounded scan. This keeps the
+    * allowlist from exempting a whole query: adding a second, genuinely
+    * unbounded global window to an allowlisted query still fails. */
+  private def boundedInput(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case _: GlobalLimitExec | _: LocalLimitExec |
+         _: TakeOrderedAndProjectExec => true
+    case _: RangeExec => true // sequence()/spine generators: bounded literal
+    case leaf if leaf.children.isEmpty => false // an unbounded scan reached
+    case other => other.children.forall(boundedInput)
+  }
+
   test("no registry query plans a CartesianProduct or an undocumented global window") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -43,7 +60,11 @@ class PlanAuditSpec extends SparkSpec {
           }
           (if (cart.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
             (if (gw.nonEmpty && !globalWindowOk(name))
-              Seq(s"$name: partition-less Window") else Nil)
+              Seq(s"$name: partition-less Window") else Nil) ++
+            (if (globalWindowOk(name))
+              gw.filterNot(w => boundedInput(w.child)).map(w =>
+                s"$name: allowlisted global window over UNBOUNDED input")
+            else Nil)
         } catch {
           case e: Throwable => Seq(s"$name: failed to plan — ${e.getMessage}")
         }
