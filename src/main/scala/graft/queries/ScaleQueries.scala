@@ -700,13 +700,11 @@ object ScaleQueries {
         // 4-bit z-value from the top 2 bits of each dim: 16 buckets
         val zb = (shiftleft(shiftright(col("x"), 8).bitwiseAND(lit(3L)), 0) +
           shiftleft(shiftright(col("y"), 8).bitwiseAND(lit(3L)), 2))
-        val withZ = o.withColumn("zb", zb)
-        (0 until 16).foreach { b =>
-          store.append("z_layout",
-            withZ.filter(col("zb") === b).drop("zb").coalesce(1))
-          store.append("x_layout",
-            o.filter(shiftright(col("x"), 6) === b).coalesce(1))
-        }
+        // each layout is ONE clustered write job producing its 16
+        // one-bucket files (round 6 ran 32 sequential append jobs here —
+        // a full job + commit per file)
+        store.appendClustered("z_layout", o, zb, 16)
+        store.appendClustered("x_layout", o, shiftright(col("x"), 6), 16)
         Seq("z_layout", "x_layout").foreach { t =>
           store.setStatsColumns(t, Seq("x", "y"))
         }
@@ -743,9 +741,8 @@ object ScaleQueries {
         val t = "orders_bloom"
         val base = rd(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
-        (0 until 4).foreach { b =>
-          store.append(t, base.filter(col("o_orderkey") % 4 === b).coalesce(1))
-        }
+        // one clustered write job lays out the 4 key-sliced files
+        store.appendClustered(t, base, col("o_orderkey") % 4, 4)
         store.setBloomColumn(t, "o_orderkey")
         val v = store.currentVersion(t).get
         val nFiles = store.files(t, v).size

@@ -5,7 +5,7 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
 /** A minimal log-structured transactional table format over a Parquet
@@ -92,8 +92,21 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   private def manifestPath(name: String, v: Long): Path =
     logDir(name).resolve(f"v$v%08d.manifest")
 
+  /** A committed manifest is immutable (writers only ever tryCommit a NEW
+    * version), so (name, v) → lines is a pure function — memoize it. A
+    * single metadata op reads the manifest several times (metaOf parses 8
+    * sections) and a point-probe workload calls metadata ops per key;
+    * uncached, 40 bloom probes re-read a multi-MB manifest ~400 times
+    * (round-6 bench: >7 s of the bloom query was manifest re-parsing).
+    * Bounded: manifests of old versions fall out once the cache grows. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+
   private def manifestLines(name: String, v: Long): Seq[String] =
-    Files.readAllLines(manifestPath(name, v)).asScala.toSeq.filter(_.nonEmpty)
+    manifestCache.computeIfAbsent((name, v), { _ =>
+      if (manifestCache.size > 64) manifestCache.clear()
+      Files.readAllLines(manifestPath(name, v)).asScala.toSeq.filter(_.nonEmpty)
+    })
 
   /** live data files of a version, relative to the table root */
   def files(name: String, v: Long): Seq[String] =
@@ -359,6 +372,36 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     finally s.close()
   }
 
+  /** Clustered batch write: ONE Spark job whose output files each hold
+    * exactly one value of `cluster` (hive-style `partitionBy` on a
+    * synthetic column that is dropped from the data pages but decides the
+    * directory), after consolidating each cluster value into a single task.
+    * This is the write path a Z-order/partition layout wants: per-file
+    * min/max stats and blooms get the tightest possible ranges WITHOUT a
+    * write job per bucket (the append-per-bucket loop it replaces costs a
+    * full job + commit per file — 32 sequential jobs for a 2×16-file
+    * layout). Reading individual files never sees `__cluster`: explicit
+    * file paths skip partition discovery. */
+  private def writeClusteredBatch(name: String, df: DataFrame,
+                                  cols: Seq[ColMap], cluster: Column,
+                                  buckets: Int): Seq[String] = {
+    val clustered = df.withColumn("__cluster", cluster)
+    val physical =
+      (if (cols.isEmpty) clustered
+       else clustered.select(cols.map(c =>
+         col(c.logical).cast(c.typeDdl).as(c.physical)) :+ col("__cluster"): _*))
+        .repartition(buckets, col("__cluster"))
+    val batch = s"d-${UUID.randomUUID()}"
+    val dir = root(name).resolve(batch)
+    physical.write.mode("overwrite").partitionBy("__cluster")
+      .parquet(dir.toString)
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => root(name).relativize(p).toString).toSeq.sorted
+    finally s.close()
+  }
+
   /** read `fs` through the mapping: files predating an added column
     * null-fill (mergeSchema unions the physical schemas), renamed columns
     * surface under their logical name */
@@ -488,6 +531,35 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   /** S6 — incremental insert: appends never conflict semantically, so a
     * lost CAS re-reads the head and retries against it. */
   def append(name: String, df: DataFrame): Unit = { appendTxn(name, df, None); () }
+
+  /** Append `df` as one CLUSTERED batch: a single write job that lays the
+    * rows out one-cluster-value-per-file (see writeClusteredBatch). The
+    * commit protocol is identical to `append`. Use after `setStatsColumns`
+    * /`setBloomColumn`-style skipping is in play: the layout is what makes
+    * per-file pruning bite. `cluster` is evaluated against `df`'s logical
+    * columns. */
+  def appendClustered(name: String, df: DataFrame, cluster: Column,
+                      buckets: Int): Unit = {
+    var done = false
+    var batch: Option[(Seq[ColMap], Seq[String])] = None
+    while (!done) {
+      val head = currentVersion(name)
+      val m = head.map(metaOf(name, _))
+        .getOrElse(Meta(identityMapping(df), Nil, Map.empty))
+      requireChecks(m, df, s"$name appendClustered")
+      val added = batch match {
+        case Some((c, fs)) if c == m.cols => fs
+        case _ =>
+          val fs = writeClusteredBatch(name, df, m.cols, cluster, buckets)
+          batch = Some((m.cols, fs)); fs
+      }
+      val base = head.map(files(name, _)).getOrElse(Seq.empty)
+      val withStats =
+        m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols))
+      done = tryCommit(name, head.getOrElse(0L) + 1,
+        renderM(withStats, base ++ added))
+    }
+  }
 
   /** Append with AUTOMATIC SCHEMA EVOLUTION (Delta's mergeSchema write
     * option): columns in `df` the table lacks are added first as
@@ -825,7 +897,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     * metadata scale — ≤ nbits ints per file). `bitsPerKey` ≈ 20 gives
     * ~0.1% false-positive rate at 4 probes. */
   def setBloomColumn(name: String, logicalCol: String, bitsPerKey: Int = 20): Unit = {
-    import org.apache.spark.sql.functions.{col => fcol, countDistinct, explode, input_file_name, max => fmax}
+    import org.apache.spark.sql.functions.{approx_count_distinct, col => fcol, collect_set, explode, input_file_name}
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
     val m = metaOf(name, v)
@@ -835,23 +907,33 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(live.map(f => root(name).resolve(f).toString): _*)
       .select(input_file_name().as("__file"), fcol(c.physical))
-    val maxNdv = raw.agg(countDistinct(fcol(c.physical))).head().getLong(0)
+    // sizing only needs an NDV ESTIMATE (an overshoot widens the filter, an
+    // undershoot mildly raises FPR): approx_count_distinct is one map-side
+    // HLL pass, where exact countDistinct shuffles every distinct key. The
+    // 1.2 margin covers HLL's ~2% error band with room to spare.
+    val maxNdv = (raw.agg(approx_count_distinct(fcol(c.physical)))
+      .head().getLong(0) * 1.2).toLong
     val nbits = math.max(1024L,
       java.lang.Long.highestOneBit(math.max(1L, maxNdv * bitsPerKey) * 2 - 1)).toInt
+    // ONE aggregated row per file (bit positions deduped map-side by
+    // collect_set) instead of collecting NDV×seeds individual position
+    // rows to the driver — at 10k files this moves file-count rows, not
+    // key-count rows
     val posRows = raw.distinct()
       .select(fcol("__file"), explode(bloomPosCols(fcol(c.physical), nbits)).as("pos"))
-      .distinct()
+      .groupBy(fcol("__file")).agg(collect_set(fcol("pos")).as("ps"))
       .collect()
-    val byFile = posRows.groupBy(_.getString(0)).map { case (abs, rows) =>
-      // data files are always <batch-dir>/<part-file>: the last two path
-      // segments ARE the manifest-relative name
-      val rel = abs.split('/').takeRight(2).mkString("/")
-      require(live.contains(rel), s"bloom build saw non-live file $rel")
+    val byFile = posRows.map { row =>
+      // map absolute → manifest-relative by suffix (clustered batches nest
+      // a partition dir, so the depth under the batch dir is not fixed)
+      val abs = row.getString(0)
+      val rel = live.find(f => abs.endsWith("/" + f)).getOrElse(
+        throw new IllegalStateException(s"bloom build saw non-live file $abs"))
       val bits = new java.util.BitSet(nbits)
-      rows.foreach(r => bits.set(r.getInt(1)))
+      row.getSeq[Int](1).foreach(bits.set)
       (rel, c.physical) ->
         java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
-    }
+    }.toMap
     val m2 = m.copy(bloomCols = m.bloomCols + (c.physical -> nbits),
       blooms = m.blooms ++ byFile)
     if (!tryCommit(name, v + 1, renderM(m2, live)))
@@ -879,13 +961,25 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
           blooms.get((f, c.physical)) match {
             case None => true
             case Some(b64) =>
-              val bits = java.util.BitSet.valueOf(
-                java.util.Base64.getDecoder.decode(b64))
+              val bits = decodedBloom(name, v, f, c.physical, b64)
               pos.forall(bits.get)
           }
         }
     }
   }
+
+  /** decoded bitsets, memoized per (table, version, file, column): a
+    * bitset is hundreds of KB of base64 — decoding it once per PROBE
+    * instead of once per VERSION dominated point-lookup cost */
+  private val bloomBitsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String, String), java.util.BitSet]()
+
+  private def decodedBloom(name: String, v: Long, file: String,
+                           col: String, b64: String): java.util.BitSet =
+    bloomBitsCache.computeIfAbsent((name, v, file, col), { _ =>
+      if (bloomBitsCache.size > 1024) bloomBitsCache.clear()
+      java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64))
+    })
 
   // ---- S9: metadata-only DDL (rehash_single_hub.sql:17-26,51-69) ---------
   // Each commits a new manifest and touches ZERO data files: logical names
