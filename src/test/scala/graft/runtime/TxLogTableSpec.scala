@@ -568,6 +568,32 @@ class TxLogTableSpec extends SparkSpec {
     assert(t.read("tbl").count() === 2)
   }
 
+  test("appendClustered: one job lays out one-cluster-value-per-file; stats prune to a single file") {
+    val (t, _) = freshStore()
+    val df = (0 until 400).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    t.appendClustered("tbl", df,
+      org.apache.spark.sql.functions.expr("id DIV 100"), 4)
+    val v = t.currentVersion("tbl").get
+    val fs = t.files("tbl", v)
+    assert(fs.size === 4, s"expected 4 one-bucket files, got $fs")
+    // each file holds exactly one id-range bucket
+    fs.foreach { f =>
+      val buckets = t.readFiles("tbl", v, Seq(f))
+        .selectExpr("id DIV 100 AS b").distinct().as[Long].collect().toSet
+      assert(buckets.size === 1, s"file $f spans buckets $buckets")
+    }
+    // read-back is the full input, __cluster never surfaces
+    assert(t.read("tbl").columns.toSeq === Seq("id", "v"))
+    assert(t.read("tbl").count() === 400)
+    // per-file min/max stats over the clustered layout prune point probes
+    t.setStatsColumns("tbl", Seq("id"))
+    assert(t.candidateFiles("tbl", "id", "8", "8").size === 1,
+      "a point probe on the cluster key must prune to one file")
+    // a later plain append composes (mixed flat + clustered batches)
+    t.append("tbl", Seq((1000L, "x")).toDF("id", "v"))
+    assert(t.read("tbl").count() === 401)
+  }
+
   test("registerViews: snapshot semantics — a view pins its version until re-registered") {
     val (t, _) = freshStore()
     t.append("a", Seq(1).toDF("id"))
