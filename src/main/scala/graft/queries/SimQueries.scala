@@ -2171,6 +2171,34 @@ object SimQueries {
              |  round(sum(value), 4) AS total_value
              |FROM wins GROUP BY window_start, event_type""".stripMargin)),
 
+    // SLIDING-window EXACT DISTINCT (trailing-7-day active users per
+    // day) — the aggregate sliding windows can't partial-aggregate and
+    // the naive shapes rescan the fact table per window (7-way self-join)
+    // or funnel everything into one task (global window + set state).
+    // Scale shape: dedup to (user, day) FIRST — the only full-data
+    // shuffle — then each (user, day) contributes to ≤7 output days via
+    // a bounded sequence-explode ON THE DEDUPED GRAIN, then one exact
+    // distinct-count per day. Output days pinned to observed event days
+    // (broadcast semi-join) so both engines agree on the domain.
+    Q("sliding_distinct_users",
+      (s, dir) => {
+        val ud = events(s, dir)
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val days = ud.select(col("d").as("day")).distinct()
+        ud.select(explode(expr("sequence(d, date_add(d, 6))")).as("day"),
+            col("user_id"))
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("active_users_7d"))
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT cast(ts AS DATE) AS d, user_id FROM events),
+             |days AS (SELECT DISTINCT d AS day FROM ud)
+             |SELECT dy.day, count(DISTINCT u.user_id) AS active_users_7d
+             |FROM days dy
+             |JOIN ud u ON u.d BETWEEN dy.day - INTERVAL 6 DAY AND dy.day
+             |GROUP BY 1""".stripMargin)),
+
     // inter-event DWELL TIME per event type: gap from each event to the
     // same user's previous event (any type), aggregated from EXACT
     // integer microsecond sums — the mean is sum÷count over int64, so the
