@@ -2199,6 +2199,47 @@ object SimQueries {
              |JOIN ud u ON u.d BETWEEN dy.day - INTERVAL 6 DAY AND dy.day
              |GROUP BY 1""".stripMargin)),
 
+    // sliding distinct via MERGEABLE SKETCHES — the 100 TB path beside
+    // the exact query above: one HLL sketch per day (O(day's users)
+    // once), then the trailing-7 merge unions 7 fixed-size sketches per
+    // output day (O(days × 7), independent of user count) —
+    // hll_union_agg over the same bounded day-explode. The oracle pins
+    // the day domain, the EXACT count, and a ±5% accuracy envelope on
+    // the estimate (the sketch itself is engine-specific, its accuracy
+    // contract is not).
+    Q("sliding_distinct_sketch",
+      (s, dir) => {
+        val ud = events(s, dir)
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val days = ud.select(col("d").as("day")).distinct()
+        val daily = ud.groupBy("d")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val est = daily
+          .select(explode(expr("sequence(d, date_add(d, 6))")).as("day"),
+            col("sk"))
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        val exact = ud
+          .select(explode(expr("sequence(d, date_add(d, 6))")).as("day"),
+            col("user_id"))
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("exact_users_7d"))
+        est.join(exact, Seq("day"))
+          .select(col("day"), col("exact_users_7d"),
+            (abs(col("est") - col("exact_users_7d")).cast("double") <=
+              lit(0.05) * col("exact_users_7d")).as("est_within_5pct"))
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT cast(ts AS DATE) AS d, user_id FROM events),
+             |days AS (SELECT DISTINCT d AS day FROM ud)
+             |SELECT dy.day, count(DISTINCT u.user_id) AS exact_users_7d,
+             |  true AS est_within_5pct
+             |FROM days dy
+             |JOIN ud u ON u.d BETWEEN dy.day - INTERVAL 6 DAY AND dy.day
+             |GROUP BY 1""".stripMargin)),
+
     // inter-event DWELL TIME per event type: gap from each event to the
     // same user's previous event (any type), aggregated from EXACT
     // integer microsecond sums — the mean is sum÷count over int64, so the

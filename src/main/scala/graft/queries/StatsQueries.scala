@@ -189,6 +189,86 @@ object StatsQueries {
              |FROM grid g LEFT JOIN daily d
              |  ON d.user_id = g.user_id AND d.day = g.day""".stripMargin)),
 
+    // REGULAR-GRID RESAMPLING with LINEAR INTERPOLATION — ffill's
+    // sibling for continuous signals: a gap day takes
+    // prev + (next − prev) · elapsed/gap_span between the surrounding
+    // observed closes (pandas interpolate('time')). Same per-user grid
+    // generation as time_grid_ffill; the surrounding observations come
+    // from two ignore-nulls windows over the user's partition (last
+    // before, first after — no self-join against observed rows). The
+    // grid spans each user's own min..max observed day, so interior gaps
+    // always have both neighbors; grid endpoints are observed rows.
+    Q("time_grid_interpolate",
+      (s, dir) => {
+        val e = rd(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_id"), col("value"), to_date(col("ts")).as("day"))
+        val wDay = Window.partitionBy("user_id", "day")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val daily = e.withColumn("rn", row_number().over(wDay))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("day"), col("value").as("close"))
+        val grid = e.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .withColumn("day", explode(expr("sequence(d0, d1, interval 1 day)")))
+          .select("user_id", "day")
+        val wPast = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wFuture = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"), col("close"),
+            last(col("close"), ignoreNulls = true).over(wPast).as("pv"),
+            last(when(col("close").isNotNull, col("day")), ignoreNulls = true)
+              .over(wPast).as("pd"),
+            first(col("close"), ignoreNulls = true).over(wFuture).as("nv"),
+            first(when(col("close").isNotNull, col("day")), ignoreNulls = true)
+              .over(wFuture).as("nd"))
+          .select(col("user_id"), col("day"),
+            round(when(col("close").isNotNull, col("close"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                datediff(col("day"), col("pd")) /
+                datediff(col("nd"), col("pd"))), 6).as("value"),
+            col("close").isNotNull.as("observed"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id, value, cast(ts AS DATE) AS day
+             |  FROM events),
+             |daily AS (
+             |  SELECT user_id, day, value AS close FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+             |      ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+             |  WHERE rn = 1),
+             |grid AS (
+             |  SELECT user_id, cast(unnest(generate_series(
+             |    cast(min(day) AS TIMESTAMP), cast(max(day) AS TIMESTAMP),
+             |    INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM e GROUP BY user_id),
+             |nb AS (
+             |  SELECT g.user_id, g.day, d.close,
+             |    last_value(d.close IGNORE NULLS) OVER (
+             |      PARTITION BY g.user_id ORDER BY g.day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |    last_value(CASE WHEN d.close IS NOT NULL THEN g.day END
+             |      IGNORE NULLS) OVER (
+             |      PARTITION BY g.user_id ORDER BY g.day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             |    first_value(d.close IGNORE NULLS) OVER (
+             |      PARTITION BY g.user_id ORDER BY g.day
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |    first_value(CASE WHEN d.close IS NOT NULL THEN g.day END
+             |      IGNORE NULLS) OVER (
+             |      PARTITION BY g.user_id ORDER BY g.day
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             |  FROM grid g LEFT JOIN daily d
+             |    ON d.user_id = g.user_id AND d.day = g.day)
+             |SELECT user_id, day,
+             |  round(CASE WHEN close IS NOT NULL THEN close
+             |    ELSE pv + (nv - pv) * date_diff('day', pd, day)
+             |      / date_diff('day', pd, nd) END, 6) AS value,
+             |  close IS NOT NULL AS observed
+             |FROM nb""".stripMargin)),
+
     // YEAR-OVER-YEAR GROWTH: monthly revenue with the same-month-last-
     // year comparison via lag(1) over a window PARTITIONED BY CALENDAR
     // MONTH and ordered by year — 12 bounded partitions, never a global
