@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -2239,6 +2240,54 @@ object SimQueries {
              |FROM days dy
              |JOIN ud u ON u.d BETWEEN dy.day - INTERVAL 6 DAY AND dy.day
              |GROUP BY 1""".stripMargin)),
+
+    // SWEEP-LINE PEAK CONCURRENCY: each event opens a 15-minute presence
+    // interval; the day's peak number of simultaneously-open intervals
+    // (among sessions STARTED that day — both boundaries attributed to
+    // the start day, so each day's sweep is self-contained and
+    // deterministic) is the classic +1/−1 boundary sweep: explode to 2
+    // boundary rows, collapse per instant (no tie-order ambiguity), one
+    // running sum per day partition, max. O(2n) rows and a partitioned
+    // window — never an interval self-join (quadratic on busy days).
+    Q("concurrent_sessions_peak",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("ts").cast("timestamp").as("a"))
+          .withColumn("b", col("a") + expr("INTERVAL 15 MINUTES"))
+          .withColumn("day", to_date(col("a")))
+        val bounds = ev.select(col("day"), col("a").as("t"),
+            lit(1L).as("st"), lit(0L).as("en"))
+          .unionByName(ev.select(col("day"), col("b").as("t"),
+            lit(0L).as("st"), lit(1L).as("en")))
+        val inst = bounds.groupBy("day", "t")
+          .agg(sum("st").as("starts"), sum("en").as("ends"))
+        val w = Window.partitionBy("day").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        inst.withColumn("conc", sum(col("starts") - col("ends")).over(w))
+          .groupBy("day")
+          .agg(max("conc").as("peak_concurrency"),
+            sum("starts").as("n_sessions"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT cast(ts AS TIMESTAMP) AS a,
+             |    cast(ts AS TIMESTAMP) + INTERVAL 15 MINUTE AS b,
+             |    cast(ts AS DATE) AS day
+             |  FROM events),
+             |bounds AS (
+             |  SELECT day, a AS t, 1 AS st, 0 AS en FROM iv
+             |  UNION ALL
+             |  SELECT day, b AS t, 0 AS st, 1 AS en FROM iv),
+             |inst AS (
+             |  SELECT day, t, sum(st) AS starts, sum(en) AS ends
+             |  FROM bounds GROUP BY 1, 2),
+             |swept AS (
+             |  SELECT day, starts, sum(starts - ends) OVER (
+             |    PARTITION BY day ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+             |  FROM inst)
+             |SELECT day, cast(max(conc) AS BIGINT) AS peak_concurrency,
+             |  cast(sum(starts) AS BIGINT) AS n_sessions
+             |FROM swept GROUP BY 1""".stripMargin)),
 
     // inter-event DWELL TIME per event type: gap from each event to the
     // same user's previous event (any type), aggregated from EXACT
