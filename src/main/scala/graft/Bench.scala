@@ -31,7 +31,11 @@ object Bench {
       "minhash_lsh" -> (() => graft.queries.TextQueries.evictShared(spark)),
       "dedup_clusters" ->
         (() => graft.queries.TextQueries.evictShared(spark, labelsOnly = true)),
-      "ma_stage_build" -> (() => graft.queries.DvQueries.evictShared()))
+      "ma_stage_build" -> (() => graft.queries.DvQueries.evictShared()),
+      // the blocked self-join + similarity kernel behind the ER suite:
+      // er_match_weights re-pays it cold each pass, other consumers read
+      // warm (candidates are a stored table in production)
+      "er_match_weights" -> (() => graft.queries.ErQueries.evictShared(spark)))
 
     // force FULL computation of every output column (count() would let
     // Catalyst prune the projections we are benchmarking) — noop v2 sink.

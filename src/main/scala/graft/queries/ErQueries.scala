@@ -99,9 +99,24 @@ object ErQueries {
     * chain's persist (an eager localCheckpoint measured 5× slower — the
     * disk round-trip dwarfs the recompute it saves). Measured at sf0.1:
     * er_match_weights 8.9s cold → 0.6s. */
+  /** one persisted copy per (session, sfDir), explicitly tracked so the
+    * bench's cold-evict hook can re-price the build (relying on
+    * CacheManager plan-dedup shares the data but leaves nothing to evict,
+    * so every min-of-N pass would read warm and the dominant build cost
+    * would vanish from the round's artifact — the MA-stage lesson). */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  def evictShared(s: SparkSession): Unit =
+    pairCache.keys.filter(_._1 eq s).foreach { k =>
+      pairCache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () })
+    }
+
   private def scoredPairs(s: SparkSession, dir: String): DataFrame = {
-    val pairs = candidatePairs(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = pairCache.getOrElseUpdate((s, dir), candidatePairs(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mu = pairs.agg(
       (sum(when(col("is_match") && col("agree_name"), 1L).otherwise(0L))
         .cast("double") / sum(when(col("is_match"), 1L).otherwise(0L)))
