@@ -1222,17 +1222,17 @@ object SimQueries {
           .select(col("c_mktsegment").as("seg"),
             col("l_quantity").cast("long").as("x"),
             round(col("l_extendedprice") * 100).cast("long").as("y"))
-        def ranks(vcol: String, rname: String): DataFrame = {
-          val per = li.groupBy(col("seg"), col(vcol)).agg(count(lit(1)).as("cnt"))
-          val w = Window.partitionBy("seg").orderBy(vcol)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          per.withColumn("cum", sum(col("cnt")).over(w))
-            .select(col("seg"), col(vcol),
-              (col("cum") - col("cnt") + (col("cnt") + 1).cast("double") / 2)
-                .as(rname))
-        }
-        li.join(ranks("x", "rx"), Seq("seg", "x"))
-          .join(ranks("y", "ry"), Seq("seg", "y"))
+        // average rank with ties straight from two windows on the joined
+        // frame: rank() + (tie_count − 1)/2 ≡ cum − cnt + (cnt+1)/2. Both
+        // windows and the final groupBy share the `seg` partitioning, so
+        // the whole query is ONE exchange + two in-partition sorts — the
+        // previous per-variable groupBy + join-back recomputed the 3-way
+        // join three times (3.5 s → ~1 s at sf0.1).
+        def rk(vcol: String): Column =
+          rank().over(Window.partitionBy("seg").orderBy(vcol)) +
+            (count(lit(1)).over(Window.partitionBy("seg", vcol)) - 1) / 2.0
+        li.withColumn("rx", rk("x"))
+          .withColumn("ry", rk("y"))
           .groupBy(col("seg"))
           .agg(count(lit(1)).as("n_rows"),
             round((count(lit(1)) * sum(col("rx") * col("ry")) -
