@@ -815,6 +815,39 @@ object ConformanceQueries {
              |    AS trailing_7d_revenue
              |FROM daily""".stripMargin)),
 
+    // ROLLING EXACT MEDIAN over the interval frame: the order-statistic
+    // sibling of range_interval_window's rolling sum — medians don't
+    // partial-aggregate, so the frame materializes as a bounded
+    // collect_list (≤7 elements by construction) over the same
+    // one-row-per-day pre-aggregate, sorted and picked exactly
+    // (even-count frames average the two middles, as quantile_cont(0.5)
+    // does). Exact integer cents in, one division out.
+    Q("rolling_median_7d",
+      (s, dir) => {
+        rd(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .createOrReplaceTempView("graft_rm_daily")
+        s.sql("""SELECT d, round(CASE WHEN size(fr) % 2 = 1
+                |    THEN cast(fr[size(fr) DIV 2] AS DOUBLE)
+                |    ELSE (fr[size(fr) DIV 2 - 1] + fr[size(fr) DIV 2]) / 2.0
+                |  END / 100.0, 4) AS rolling_median_revenue
+                |FROM (
+                |  SELECT d, sort_array(collect_list(cents) OVER (
+                |    ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                |    AND CURRENT ROW)) AS fr
+                |  FROM graft_rm_daily)""".stripMargin)
+      },
+      Some("""WITH daily AS (
+             |  SELECT cast(o_orderdate AS DATE) AS d,
+             |    sum(cast(round(o_totalprice * 100) AS BIGINT)) AS cents
+             |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+             |SELECT d, round(median(cents) OVER (
+             |    ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+             |    AND CURRENT ROW) / 100.0, 4) AS rolling_median_revenue
+             |FROM daily""".stripMargin)),
+
     // EXACT PERCENTILE_CONT / PERCENTILE_DISC conformance: both engines
     // must agree on the interpolated continuous percentile AND the
     // discrete pick over integer cents — the disc/cont distinction

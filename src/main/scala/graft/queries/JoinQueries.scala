@@ -132,6 +132,67 @@ object JoinQueries {
              |  WHERE ev.user_id = o.o_custkey AND ev.ts >= o.o_orderdate
              |  ORDER BY ev.ts ASC, ev.event_id ASC LIMIT 1) e ON TRUE""".stripMargin)),
 
+    // NEAREST AS-OF JOIN (pandas merge_asof direction='nearest'): each
+    // order takes the user's CLOSEST event in either direction —
+    // backward and forward candidates from the two existing window
+    // scans in ONE union pipeline, then an absolute-microsecond
+    // distance pick. Distance ties prefer the backward candidate
+    // (pandas' rule); within a side, equal-timestamp events resolve
+    // exactly as the backward/forward joins do (max event_id backward,
+    // min forward) — the oracle's lateral ORDER BY mirrors all three
+    // levels. Still sort(|A|+|B|) per key, no pair blow-up.
+    Q("asof_join_nearest",
+      (s, dir) => {
+        val e = rd(s, dir, "events")
+          .select(col("user_id").as("k"), col("ts").cast("timestamp").as("t"),
+            lit(1).as("is_event"), col("event_id"),
+            lit(null).cast("long").as("o_orderkey"))
+        val o = rd(s, dir, "orders")
+          .select(col("o_custkey").as("k"),
+            col("o_orderdate").cast("timestamp").as("t"),
+            lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+            col("o_orderkey"))
+        val u = e.unionByName(o)
+        val wB = Window.partitionBy("k")
+          .orderBy(col("t"), col("is_event").desc, col("event_id"),
+            col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = Window.partitionBy("k")
+          .orderBy(col("t").desc, col("is_event").desc, col("event_id").desc,
+            col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = when(col("is_event") === 1,
+          struct(col("t"), col("event_id")))
+        u.withColumn("prev", last(ev, ignoreNulls = true).over(wB))
+          .withColumn("next", last(ev, ignoreNulls = true).over(wF))
+          .filter(col("is_event") === 0)
+          .withColumn("d_prev",
+            unix_micros(col("t")) - unix_micros(col("prev.t")))
+          .withColumn("d_next",
+            unix_micros(col("next.t")) - unix_micros(col("t")))
+          .select(col("o_orderkey"),
+            when(col("prev").isNotNull &&
+                (col("next").isNull || col("d_prev") <= col("d_next")),
+                col("prev.event_id"))
+              .otherwise(col("next.event_id")).as("nearest_event_id"),
+            when(col("prev").isNotNull &&
+                (col("next").isNull || col("d_prev") <= col("d_next")),
+                col("d_prev"))
+              .otherwise(col("d_next")).as("distance_us"))
+      },
+      Some("""SELECT o.o_orderkey, e.event_id AS nearest_event_id,
+             |  abs(epoch_us(e.ts) - epoch_us(cast(o.o_orderdate AS TIMESTAMP)))
+             |    AS distance_us
+             |FROM orders o LEFT JOIN LATERAL (
+             |  SELECT ev.event_id, ev.ts FROM events ev
+             |  WHERE ev.user_id = o.o_custkey
+             |  ORDER BY abs(epoch_us(ev.ts)
+             |      - epoch_us(cast(o.o_orderdate AS TIMESTAMP))) ASC,
+             |    (ev.ts <= o.o_orderdate) DESC,
+             |    CASE WHEN ev.ts <= o.o_orderdate THEN -ev.event_id
+             |         ELSE ev.event_id END ASC
+             |  LIMIT 1) e ON TRUE""".stripMargin)),
+
     // BINNED RANGE JOIN — the KEYLESS interval×point case (as-of above
     // covers the keyed one). Promo windows (top-50 busiest order days,
     // each open for 4 days) × all events, no equi key at all. A naive

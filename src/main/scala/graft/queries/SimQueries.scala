@@ -2241,6 +2241,43 @@ object SimQueries {
              |JOIN ud u ON u.d BETWEEN dy.day - INTERVAL 6 DAY AND dy.day
              |GROUP BY 1""".stripMargin)),
 
+    // NEW vs RETURNING decomposition with lifetime running total: a
+    // user's first-ever active day marks them new; every later active
+    // day is returning. One (user, day) dedup, one per-user min, one
+    // per-day aggregate; the cumulative-users series is a global window
+    // over the day grain (~30 rows — bounded by construction, audited).
+    Q("new_vs_returning",
+      (s, dir) => {
+        val ud = events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+        val daily = ud.join(first, Seq("user_id"))
+          .groupBy("day")
+          .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"),
+            sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+              .as("n_returning"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.withColumn("cumulative_users", sum(col("n_new")).over(w))
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT cast(ts AS DATE) AS day, user_id FROM events),
+             |first AS (
+             |  SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+             |daily AS (
+             |  SELECT day,
+             |    cast(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_new,
+             |    cast(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_returning
+             |  FROM ud JOIN first USING (user_id) GROUP BY 1)
+             |SELECT day, n_new, n_returning,
+             |  cast(sum(n_new) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cumulative_users
+             |FROM daily""".stripMargin)),
+
     // SWEEP-LINE PEAK CONCURRENCY: each event opens a 15-minute presence
     // interval; the day's peak number of simultaneously-open intervals
     // (among sessions STARTED that day — both boundaries attributed to

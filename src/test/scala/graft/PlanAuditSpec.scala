@@ -29,7 +29,10 @@ class PlanAuditSpec extends SparkSpec {
   private val globalWindowOk: Set[String] =
     Set("snap_latest_row", "snap_v1_customer", "snap_v1_multi",
       "pit_customer", "pit_multisat", "snap_logarithmic",
-      "blob_embed_topk", "range_interval_window")
+      "blob_embed_topk", "range_interval_window",
+      // one-row-per-day pre-aggregates feed these (~366 and ~30 rows);
+      // boundedInput additionally asserts the collapse is in the plan
+      "rolling_median_7d", "new_vs_returning")
 
   /** An allowlisted global window is only OK when its input is bounded by
     * construction — every path from the window down to a leaf must pass
