@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Engine-surface conformance: the complex-type (array/map) processing
@@ -847,6 +847,85 @@ object ConformanceQueries {
              |    ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
              |    AND CURRENT ROW) / 100.0, 4) AS rolling_median_revenue
              |FROM daily""".stripMargin)),
+
+    // ARRAY SET-OPERATION conformance: intersect/except/union of per-order
+    // line-number sets — the jaccard queries use set-op SIZES, this pins
+    // the RESULT SETS themselves. Arrays are built as sets (collect_set /
+    // FILTERed DISTINCT list), sorted, and serialized to CSV strings:
+    // element order and dedup policy are exactly the cross-engine
+    // divergences, and string serialization keeps the compare away from
+    // engine-specific array encodings.
+    Q("array_setops_conformance",
+      (s, dir) => {
+        def csv(c: Column): Column =
+          concat_ws(",", sort_array(c).cast("array<string>"))
+        rd(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 97 === 0)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            collect_set(when(col("l_returnflag") === "R",
+              col("l_linenumber").cast("long"))).as("a"),
+            collect_set(when(col("l_quantity") > 25,
+              col("l_linenumber").cast("long"))).as("b"))
+          .select(col("l_orderkey"), csv(col("a")).as("set_a"),
+            csv(col("b")).as("set_b"),
+            csv(array_intersect(col("a"), col("b"))).as("a_and_b"),
+            csv(array_except(col("a"), col("b"))).as("a_minus_b"),
+            csv(array_union(col("a"), col("b"))).as("a_or_b"))
+      },
+      Some("""WITH sets AS (
+             |  SELECT l_orderkey,
+             |    -- list(...) FILTER over zero rows is NULL, Spark's
+             |    -- collect_set is an empty array: normalize to []
+             |    coalesce(list_sort(list(DISTINCT cast(l_linenumber AS BIGINT))
+             |      FILTER (WHERE l_returnflag = 'R')), []) AS a,
+             |    coalesce(list_sort(list(DISTINCT cast(l_linenumber AS BIGINT))
+             |      FILTER (WHERE l_quantity > 25)), []) AS b
+             |  FROM lineitem WHERE l_orderkey % 97 = 0 GROUP BY 1)
+             |SELECT l_orderkey,
+             |  -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+             |  -- concat_ws: normalize the rendering too
+             |  coalesce(array_to_string(a, ','), '') AS set_a,
+             |  coalesce(array_to_string(b, ','), '') AS set_b,
+             |  coalesce(array_to_string(list_sort(list_intersect(a, b)), ','),
+             |    '') AS a_and_b,
+             |  coalesce(array_to_string(list_sort(list_filter(a,
+             |    x -> NOT list_contains(b, x))), ','), '') AS a_minus_b,
+             |  coalesce(array_to_string(list_sort(list_distinct(
+             |    list_concat(a, b))), ','), '') AS a_or_b
+             |FROM sets""".stripMargin)),
+
+    // UNION BY NAME with MISSING COLUMNS (schema-drift union): two
+    // projections with divergent column sets union by name, absent
+    // columns null-filling — Spark's unionByName(allowMissingColumns)
+    // against DuckDB's UNION ALL BY NAME. The null-count fingerprint per
+    // column pins the fill semantics in one bounded row.
+    Q("union_missing_columns",
+      (s, dir) => {
+        val o = rd(s, dir, "orders")
+        val v1 = o.filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val v2 = o.filter(year(col("o_orderdate")) === 1997)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_orderpriority")).as("n_priority"),
+            count(col("cents")).as("n_cents"),
+            sum(col("cents")).as("cents_sum"))
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey, o_orderpriority FROM orders
+             |  WHERE year(o_orderdate) = 1996
+             |  UNION ALL BY NAME
+             |  SELECT o_orderkey, cast(round(o_totalprice * 100) AS BIGINT)
+             |    AS cents
+             |  FROM orders WHERE year(o_orderdate) = 1997)
+             |SELECT cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(count(o_orderpriority) AS BIGINT) AS n_priority,
+             |  cast(count(cents) AS BIGINT) AS n_cents,
+             |  cast(sum(cents) AS BIGINT) AS cents_sum
+             |FROM u""".stripMargin)),
 
     // EXACT PERCENTILE_CONT / PERCENTILE_DISC conformance: both engines
     // must agree on the interpolated continuous percentile AND the
