@@ -719,10 +719,33 @@ object ScaleQueries {
           lit(xx.toLong).as("sort_files_for_x_probe"),
           lit(xy.toLong).as("sort_files_for_y_probe"))
       },
-      Some("""SELECT cast(4 AS BIGINT) AS z_files_for_x_probe,
-             |  cast(4 AS BIGINT) AS z_files_for_y_probe,
-             |  cast(1 AS BIGINT) AS sort_files_for_x_probe,
-             |  cast(16 AS BIGINT) AS sort_files_for_y_probe""".stripMargin)),
+      // SF-independent oracle: a bucket's file is a probe candidate iff
+      // its OBSERVED per-file [min,max] of the probed column intersects
+      // [100,120] — recomputed from the same bucket assignment the write
+      // used (zb = top-2 bits of each dim; xb16 = x DIV 64), so empty
+      // buckets at tiny SFs fall out exactly as missing files do
+      Some("""WITH o AS (
+             |  SELECT o_custkey % 1024 AS x,
+             |    cast(floor(o_totalprice) AS BIGINT) % 1024 AS y
+             |  FROM orders),
+             |zf AS (
+             |  SELECT (x // 256) % 4 + 4 * ((y // 256) % 4) AS zb,
+             |    min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+             |  FROM o GROUP BY 1),
+             |xf AS (
+             |  SELECT x // 64 AS xb,
+             |    min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+             |  FROM o GROUP BY 1)
+             |SELECT
+             |  (SELECT cast(count(*) AS BIGINT) FROM zf
+             |   WHERE mxx >= 100 AND mnx <= 120) AS z_files_for_x_probe,
+             |  (SELECT cast(count(*) AS BIGINT) FROM zf
+             |   WHERE mxy >= 100 AND mny <= 120) AS z_files_for_y_probe,
+             |  (SELECT cast(count(*) AS BIGINT) FROM xf
+             |   WHERE mxx >= 100 AND mnx <= 120) AS sort_files_for_x_probe,
+             |  (SELECT cast(count(*) AS BIGINT) FROM xf
+             |   WHERE mxy >= 100 AND mny <= 120) AS sort_files_for_y_probe"""
+        .stripMargin)),
 
     // PER-FILE BLOOM-FILTER SKIPPING for point lookups: min/max stats
     // prune ranges but are blind to equality probes into an UNCLUSTERED
@@ -779,9 +802,19 @@ object ScaleQueries {
           lit(as_).as("absent_files_scanned"),
           lit(af).as("absent_rows_found"))
       },
-      Some("""SELECT cast(4 AS BIGINT) AS n_files,
-             |  cast(40 AS BIGINT) AS present_files_scanned,
-             |  cast(40 AS BIGINT) AS present_rows_found,
+      // SF-independent oracle: the probed-key list is fixed, which keys
+      // EXIST depends on the data — each present key is found in exactly
+      // its own file (scanned == found at the filter's ~1e-4 fp rate);
+      // absent keys scan nothing
+      Some("""SELECT
+             |  cast((SELECT count(DISTINCT o_orderkey % 4) FROM orders)
+             |    AS BIGINT) AS n_files,
+             |  (SELECT cast(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderkey IN (SELECT 13 + 371 * k FROM range(40) t(k)))
+             |    AS present_files_scanned,
+             |  (SELECT cast(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderkey IN (SELECT 13 + 371 * k FROM range(40) t(k)))
+             |    AS present_rows_found,
              |  cast(0 AS BIGINT) AS absent_files_scanned,
              |  cast(0 AS BIGINT) AS absent_rows_found""".stripMargin)),
 

@@ -1077,6 +1077,59 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     (live.size, added.size)
   }
 
+  /** OPTIMIZE ZORDER — multi-dimensional clustering rewrite (Delta's
+    * `OPTIMIZE ... ZORDER BY` analog). `compact(clusterBy)` sorts
+    * lexicographically, so per-file ranges are tight on the LEADING
+    * column only and probes on any other dimension scan every file. Here
+    * each clustered column is scaled to a 16-bit bucket over its observed
+    * [min, max] (one aggregate pass) and the bucket bits are INTERLEAVED
+    * into a z-value; range-partitioning + sorting by z gives every
+    * dimension locality — the space-filling curve's quadrant property —
+    * which per-file min/max stats turn into pruning on ANY clustered
+    * column. Columns must cast order-preservingly to DOUBLE (ints,
+    * floats, decimals, timestamps); NULLs share a partition. Materializes
+    * pending equality deletes like compact. Returns (before, after). */
+  def compactZOrder(name: String, targetFiles: Int,
+                    zorderBy: Seq[String]): (Int, Int) = {
+    require(zorderBy.nonEmpty && zorderBy.size <= 4,
+      s"compactZOrder: 1-4 z-order columns, got ${zorderBy.size}")
+    import org.apache.spark.sql.functions.{floor => ffloor, greatest, least, lit, max => fmax, min => fmin, shiftleft, shiftright}
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    val live = files(name, v)
+    val m = metaOf(name, v)
+    val all = readWithDeletes(name, m.cols, live, m.edels)
+    val aggs = zorderBy.flatMap(c => Seq(
+      fmin(col(c).cast("double")).as(s"__mn_$c"),
+      fmax(col(c).cast("double")).as(s"__mx_$c")))
+    val bounds = all.agg(aggs.head, aggs.tail: _*).head()
+    val n = zorderBy.size
+    val zBits = 16
+    val zExpr = zorderBy.zipWithIndex.map { case (c, i) =>
+      val mn = bounds.getDouble(i * 2)
+      val mx = bounds.getDouble(i * 2 + 1)
+      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+      val maxB = (1L << zBits) - 1
+      val bucket = least(greatest(
+        ffloor((col(c).cast("double") - lit(mn)) / lit(span) * lit(maxB.toDouble)),
+        lit(0L)), lit(maxB)).cast("long")
+      (0 until zBits).map(j =>
+        shiftleft(shiftright(bucket, j).bitwiseAND(lit(1L)), j * n + i))
+        .reduce(_ + _)
+    }.reduce(_ + _)
+    val compacted = all.withColumn("__zv", zExpr)
+      .repartitionByRange(math.max(1, targetFiles), col("__zv"))
+      .sortWithinPartitions(col("__zv"))
+      .drop("__zv")
+    val added = writeBatch(name, compacted, m.cols)
+    val withStats = m.copy(
+      stats = m.stats ++ batchStats(name, added, m.statsCols), edels = Nil)
+    if (!tryCommit(name, v + 1, renderM(withStats, added)))
+      throw new IllegalStateException(
+        s"TxLogTable $name: lost commit race on compactZOrder — retry")
+    (live.size, added.size)
+  }
+
   /** Drop versions older than the newest `retainVersions`, delete data
     * files no retained manifest references, and reclaim ORPHANED batches —
     * directories written by an aborted overwrite/merge/rewrite (or a

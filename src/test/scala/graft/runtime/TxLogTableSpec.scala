@@ -594,6 +594,35 @@ class TxLogTableSpec extends SparkSpec {
     assert(t.read("tbl").count() === 401)
   }
 
+  test("compactZOrder: both dimensions prune; lexicographic clusterBy only the leading one") {
+    import org.apache.spark.sql.functions.col
+    val grid = (0 until 4096).map(i => (i.toLong % 64, i.toLong / 64))
+    def probeCounts(t: TxLogTable, tbl: String): (Int, Int) = (
+      t.candidateFiles(tbl, "x", "0", "7").size,
+      t.candidateFiles(tbl, "y", "0", "7").size)
+
+    val (tz, _) = freshStore()
+    tz.overwrite("g", grid.toDF("x", "y"))
+    val (before, after) = tz.compactZOrder("g", 16, Seq("x", "y"))
+    tz.setStatsColumns("g", Seq("x", "y"))
+    assert(after === 16, s"expected 16 z-files, got $after (before=$before)")
+    val (zx, zy) = probeCounts(tz, "g")
+    assert(zx < 16 && zy < 16,
+      s"z-order must prune BOTH dimensions, got x=$zx y=$zy of 16")
+    // rewrite preserves contents
+    assert(tz.read("g").as[(Long, Long)].collect().toSet === grid.toSet)
+
+    val (tl, _) = freshStore()
+    tl.overwrite("g", grid.toDF("x", "y"))
+    tl.compact("g", 16, Seq("x", "y"))
+    tl.setStatsColumns("g", Seq("x", "y"))
+    val (lx, ly) = probeCounts(tl, "g")
+    assert(lx < 16, s"lexicographic prunes the leading column, got $lx")
+    assert(ly === 16,
+      s"lexicographic must NOT prune the trailing column, got $ly of 16")
+    assert(zy < ly, "z-order beats lexicographic on the second dimension")
+  }
+
   test("registerViews: snapshot semantics — a view pins its version until re-registered") {
     val (t, _) = freshStore()
     t.append("a", Seq(1).toDF("id"))
