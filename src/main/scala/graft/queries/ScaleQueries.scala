@@ -747,6 +747,55 @@ object ScaleQueries {
              |   WHERE mxy >= 100 AND mny <= 120) AS sort_files_for_y_probe"""
         .stripMargin)),
 
+    // OPTIMIZE ZORDER as a MAINTENANCE op (TxLogTable.compactZOrder —
+    // Delta's `OPTIMIZE ... ZORDER BY`): the append-accumulated table is
+    // REWRITTEN once into bit-interleaved z-order, after which probes on
+    // EITHER dimension prune files. The z-curve's range-partition
+    // boundaries come from sampling, so exact per-file counts can jitter
+    // by ±1 — the oracle pins the INVARIANTS instead: the rewrite hits
+    // the target file count, preserves every row (count + exact-cents
+    // sums on both dims), and prunes both probes to a minority of files
+    // (the pre-rewrite layout answers every probe with ALL files).
+    Q("txlog_zorder_optimize",
+      (s, dir) => {
+        val store = new graft.runtime.TxLogTable(s,
+          DvQueries.tmpWarehouse("graft_zopt"))
+        val o = rd(s, dir, "orders").select(
+          (col("o_custkey") % 1024L).as("x"),
+          (floor(col("o_totalprice")).cast("long") % 1024L).as("y"))
+        // unclustered arrival order: 4 row-hash batches in one job
+        store.appendClustered("t", o, pmod(hash(col("x"), col("y")), lit(4)), 4)
+        store.setStatsColumns("t", Seq("x", "y"))
+        val preX = store.candidateFiles("t", "x", "100", "120").size
+        val preY = store.candidateFiles("t", "y", "100", "120").size
+        val (before, after) = store.compactZOrder("t", 16, Seq("x", "y"))
+        store.setStatsColumns("t", Seq("x", "y"))
+        val postX = store.candidateFiles("t", "x", "100", "120").size
+        val postY = store.candidateFiles("t", "y", "100", "120").size
+        store.read("t")
+          .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sum_x"),
+            sum(col("y")).as("sum_y"))
+          .select(col("n_rows"), col("sum_x"), col("sum_y"),
+            lit(before.toLong).as("files_before"),
+            lit(after.toLong).as("files_after"),
+            lit(preX == before && preY == before)
+              .as("unclustered_scans_all"),
+            lit(postX <= after / 2 && postY <= after / 2)
+              .as("zorder_prunes_both"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey % 1024 AS x,
+             |    cast(floor(o_totalprice) AS BIGINT) % 1024 AS y
+             |  FROM orders)
+             |SELECT cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(x) AS BIGINT) AS sum_x,
+             |  cast(sum(y) AS BIGINT) AS sum_y,
+             |  cast(4 AS BIGINT) AS files_before,
+             |  cast(16 AS BIGINT) AS files_after,
+             |  TRUE AS unclustered_scans_all,
+             |  TRUE AS zorder_prunes_both
+             |FROM o""".stripMargin)),
+
     // PER-FILE BLOOM-FILTER SKIPPING for point lookups: min/max stats
     // prune ranges but are blind to equality probes into an UNCLUSTERED
     // table (every file's [min,max] spans the key domain — candidateFiles
