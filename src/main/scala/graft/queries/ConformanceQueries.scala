@@ -895,6 +895,62 @@ object ConformanceQueries {
              |    list_concat(a, b))), ','), '') AS a_or_b
              |FROM sets""".stripMargin)),
 
+    // EXPLODE_OUTER semantics: a row whose array is EMPTY must survive
+    // the lateral expansion with a NULL element (plain explode drops it —
+    // the silent row-loss bug in every "unnest the tags" pipeline).
+    // DuckDB's unnest() also drops empty lists, so the oracle expands a
+    // [NULL] stand-in for empties — the divergence IS the conformance
+    // point being pinned.
+    Q("explode_outer_semantics",
+      (s, dir) => {
+        rd(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 199 === 0)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(when(col("l_quantity") > 45,
+            col("l_linenumber").cast("long")))).as("big"))
+          .select(col("l_orderkey"), explode_outer(col("big")).as("big_line"))
+      },
+      Some("""WITH sets AS (
+             |  SELECT l_orderkey,
+             |    coalesce(list_sort(list(DISTINCT cast(l_linenumber AS BIGINT))
+             |      FILTER (WHERE l_quantity > 45)), []) AS big
+             |  FROM lineitem WHERE l_orderkey % 199 = 0 GROUP BY 1)
+             |SELECT l_orderkey,
+             |  unnest(CASE WHEN len(big) = 0 THEN [NULL]::BIGINT[]
+             |         ELSE big END) AS big_line
+             |FROM sets""".stripMargin)),
+
+    // DATE ARITHMETIC EDGE CONFORMANCE over a leap-year slice: add_months
+    // month-end clamping (Jan 31 + 1m → Feb 29), last_day, quarter
+    // truncation, and Spark's months_between day-31 convention — the
+    // last has NO DuckDB equivalent, so the oracle reimplements the
+    // documented rule ((y1−y2)·12 + m1−m2, plus (d1−d2)/31 unless the
+    // days match or both are month-ends) against a leap-day anchor:
+    // an independent derivation, not an echo.
+    Q("date_arith_conformance",
+      (s, dir) => {
+        rd(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+          .select(to_date(col("o_orderdate")).as("d")).distinct()
+          .select(col("d"),
+            add_months(col("d"), 1).as("plus_1m"),
+            last_day(col("d")).as("eom"),
+            to_date(date_trunc("quarter", col("d"))).as("qstart"),
+            round(months_between(col("d"), lit("1996-02-29")), 6)
+              .as("mb_from_leap_day"))
+      },
+      Some("""WITH d AS (
+             |  SELECT DISTINCT cast(o_orderdate AS DATE) AS d FROM orders
+             |  WHERE year(o_orderdate) = 1996)
+             |SELECT d,
+             |  cast(d + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+             |  last_day(d) AS eom,
+             |  cast(date_trunc('quarter', d) AS DATE) AS qstart,
+             |  round((year(d) - 1996) * 12 + (month(d) - 2) +
+             |    CASE WHEN day(d) = 29 OR d = last_day(d) THEN 0.0
+             |         ELSE (day(d) - 29) / 31.0 END, 6) AS mb_from_leap_day
+             |FROM d""".stripMargin)),
+
     // UNION BY NAME with MISSING COLUMNS (schema-drift union): two
     // projections with divergent column sets union by name, absent
     // columns null-filling — Spark's unionByName(allowMissingColumns)

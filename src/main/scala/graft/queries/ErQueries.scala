@@ -279,15 +279,19 @@ object ErQueries {
             Seq("hk_master", "hk_duplicate"))),
           "hk_customer_sal_l", Seq("hk_master", "hk_duplicate"), target = None)
       },
-      Some(s"""WITH twins AS (
-              |  SELECT c_custkey AS a, c_custkey + 1000000 AS b
-              |  FROM customer WHERE c_custkey % 3 = 0)
+      // derived from the SAME scored pairs + threshold as the query — the
+      // planted-twin closed form broke at sf0.1, where one coincidental
+      // non-twin pair also clears the likelihood threshold
+      Some(s"""WITH $scoredSql,
+              |matched AS (
+              |  SELECT id_a AS a, id_b AS b FROM scored
+              |  WHERE likelihood_ratio > 100.0)
               |SELECT ${O.hashkey("a", "b")} AS hk_customer_sal_l,
               |  ${O.hashkey("a")} AS hk_master,
               |  ${O.hashkey("b")} AS hk_duplicate,
               |  timestamp '2024-06-01 00:00:00' AS ldts,
               |  'ER/SameAs' AS rsrc
-              |FROM twins""".stripMargin)),
+              |FROM matched""".stripMargin)),
 
     // Threshold → entities → GOLDEN RECORD: pairs over the link
     // threshold cluster into entities via the shared path-halving
@@ -313,13 +317,24 @@ object ErQueries {
             round(max(col("acctbal")), 2).as("acctbal"),
             min(col("segment")).as("segment"))
       },
-      Some(s"""WITH $scoredSql,
+      // TRUE transitive closure (the dedup_clusters pattern) instead of
+      // the pairs-are-components closed form: at sf0.1 one extra
+      // above-threshold pair chains two planted pairs into a single
+      // component — Spark's CC merges them correctly, the closed form
+      // didn't
+      Some(s"""WITH RECURSIVE $scoredSql,
               |matched AS (
               |  SELECT id_a, id_b FROM scored WHERE likelihood_ratio > 100.0),
+              |edges AS (
+              |  SELECT id_a AS a, id_b AS b FROM matched
+              |  UNION ALL SELECT id_b, id_a FROM matched),
+              |reach AS (
+              |  SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM edges)
+              |  UNION
+              |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
               |cc AS (
-              |  SELECT id_a AS rec_id, id_a AS entity_id FROM matched
-              |  UNION ALL
-              |  SELECT id_b AS rec_id, id_a AS entity_id FROM matched),
+              |  SELECT src AS rec_id, MIN(dst) AS entity_id
+              |  FROM reach GROUP BY src),
               |labeled AS (
               |  SELECT r.*, COALESCE(c.entity_id, r.rec_id) AS entity_id
               |  FROM recs r LEFT JOIN cc c ON c.rec_id = r.rec_id)

@@ -2921,10 +2921,13 @@ object SimQueries {
         ev.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
             countDistinct(to_date(col("ts"))).as("active_days"),
-            // value is 2-decimal: sum EXACT cents, divide once — the
-            // double avg() jitters onto .5 rounding boundaries
-            round(sum(round(col("value") * 100).cast("long"))
-              .cast("double") / (count(lit(1)) * 100), 4).as("mean_value"),
+            // value is 2-decimal: sum EXACT cents and TRUNCATE at 4 dp via
+            // integer division — round() of the exact rational lands on
+            // .00005 ties that the two engines break differently (one row
+            // at sf0.1 did exactly that)
+            (expr("""(sum(cast(round(value * 100) AS BIGINT)) * 100)
+                    | DIV count(*)""".stripMargin) / 10000.0)
+              .as("mean_value"),
             datediff(to_date(lit(horizon)), max(to_date(col("ts"))))
               .cast("long").as("recency_days"))
           .withColumn("churned", col("recency_days") > 7)
@@ -2932,8 +2935,8 @@ object SimQueries {
       Some("""WITH horizon AS (SELECT max(cast(ts AS DATE)) AS h FROM events)
              |SELECT user_id, cast(count(*) AS BIGINT) AS n_events,
              |  cast(count(DISTINCT cast(ts AS DATE)) AS BIGINT) AS active_days,
-             |  round(cast(sum(cast(round(value * 100) AS BIGINT)) AS double)
-             |    / (count(*) * 100), 4) AS mean_value,
+             |  ((sum(cast(round(value * 100) AS BIGINT)) * 100) // count(*))
+             |    / 10000.0 AS mean_value,
              |  cast(date_diff('day', max(cast(ts AS DATE)), horizon.h) AS BIGINT)
              |    AS recency_days,
              |  date_diff('day', max(cast(ts AS DATE)), horizon.h) > 7 AS churned

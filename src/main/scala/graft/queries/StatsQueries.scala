@@ -125,7 +125,13 @@ object StatsQueries {
           .filter(col("dt").isNotNull)
           .groupBy("user_id")
           .agg(round(sum(col("value") * col("dt")) / sum(col("dt")), 4).as("twap"),
-            round(avg(col("value")), 4).as("plain_avg"),
+            // exact-cents truncating mean — round() of the exact rational
+            // hits .00005 ties the engines break differently (churn_labels
+            // note); the time-weighted twap stays a rounded double (its
+            // weights are not integral)
+            (expr("""(sum(cast(round(value * 100) AS BIGINT)) * 100)
+                    | DIV count(*)""".stripMargin) / 10000.0)
+              .as("plain_avg"),
             count(lit(1)).as("n_intervals"))
       },
       Some("""WITH d AS (
@@ -135,7 +141,8 @@ object StatsQueries {
              |  FROM events)
              |SELECT user_id,
              |  round(sum(value * dt) / sum(dt), 4) AS twap,
-             |  round(avg(value), 4) AS plain_avg,
+             |  ((sum(cast(round(value * 100) AS BIGINT)) * 100) // count(*))
+             |    / 10000.0 AS plain_avg,
              |  cast(count(*) AS BIGINT) AS n_intervals
              |FROM d WHERE dt IS NOT NULL GROUP BY 1""".stripMargin)),
 
