@@ -117,14 +117,20 @@ object IncrementalLsh {
     * keeps the per-ingest scan from degrading as small append batches
     * accumulate. Readers are snapshot-isolated; results are unchanged by
     * construction (same rows, new layout) and the spec asserts it. */
-  def optimize(store: TxLogTable, prefix: String, targetFiles: Int = 4): Unit =
-    Seq(bandsT(prefix), pairsT(prefix), deadT(prefix)).foreach { t =>
-      if (store.exists(t)) {
-        store.setStatsColumns(t, Seq("bucket"))
-        store.compact(t, targetFiles, Seq("bucket"))
-        ()
-      }
+  def optimize(store: TxLogTable, prefix: String, targetFiles: Int = 4): Unit = {
+    // only the bands INDEX is probed by (band, bucket) — it gets the
+    // clustered layout + per-file bucket stats; pairs/dead just bin-pack
+    // (a stats pass is a full scan per table, and nothing range-probes
+    // them)
+    if (store.exists(bandsT(prefix))) {
+      store.setStatsColumns(bandsT(prefix), Seq("bucket"))
+      store.compact(bandsT(prefix), targetFiles, Seq("bucket"))
+      ()
     }
+    Seq(pairsT(prefix), deadT(prefix)).foreach { t =>
+      if (store.exists(t)) { store.compact(t, targetFiles); () }
+    }
+  }
 
   /** The current candidate set: distinct (doc_id, doc_id_2) pairs with at
     * least one live generating bucket — equal to the one-shot batch
