@@ -736,6 +736,56 @@ object ConformanceQueries {
              |    AS BIGINT) AS padded_len_sum
              |FROM customer GROUP BY 1""".stripMargin)),
 
+    // REGEX CONFORMANCE on the Java-regex ∩ RE2 subset (\d-classes,
+    // quantifiers, groups, anchors): extract-group, replace — Spark
+    // replaces ALL matches by default where DuckDB needs the explicit
+    // 'g' flag (the classic silent divergence) — match-count via
+    // regexp_count vs len(regexp_extract_all), and an anchored rlike.
+    Q("regexp_conformance",
+      (s, dir) => {
+        rd(s, dir, "customer")
+          .filter(col("c_custkey") % 37 === 0)
+          .select(col("c_custkey"),
+            regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+            regexp_replace(col("c_name"), "0+", "0").as("collapsed"),
+            expr("regexp_count(c_name, '0{2,}')").cast("long")
+              .as("n_zero_runs"),
+            col("c_name").rlike("^Customer#[0-9]+$").as("canonical_form"))
+      },
+      Some("""SELECT c_custkey,
+             |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+             |  regexp_replace(c_name, '0+', '0', 'g') AS collapsed,
+             |  cast(len(regexp_extract_all(c_name, '0{2,}')) AS BIGINT)
+             |    AS n_zero_runs,
+             |  regexp_matches(c_name, '^Customer#[0-9]+$') AS canonical_form
+             |FROM customer WHERE c_custkey % 37 = 0""".stripMargin)),
+
+    // BITWISE CONFORMANCE: &, |, xor, shifts, bit_count over the key
+    // domain — the primitives hash partitioners and bloom/bitmap code
+    // are built on. Spark SQL's `^` IS xor but DuckDB's `^` is POWER
+    // (the divergence that motivates pinning these): the oracle spells
+    // xor() by name. Mod-masked inputs keep every value in int range.
+    Q("bitwise_conformance",
+      (s, dir) => {
+        rd(s, dir, "orders")
+          .select((col("o_orderkey") % 65536).as("x"))
+          .select(
+            sum(col("x").bitwiseAND(lit(255L))).as("sum_and"),
+            sum(col("x").bitwiseOR(lit(4096L))).as("sum_or"),
+            sum(col("x").bitwiseXOR(lit(1023L))).as("sum_xor"),
+            sum(shiftleft(col("x"), 3)).as("sum_shl"),
+            sum(shiftright(col("x"), 2)).as("sum_shr"),
+            sum(bit_count(col("x")).cast("long")).as("sum_popcount"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey % 65536 AS x FROM orders)
+             |SELECT cast(sum(x & 255) AS BIGINT) AS sum_and,
+             |  cast(sum(x | 4096) AS BIGINT) AS sum_or,
+             |  cast(sum(xor(x, 1023)) AS BIGINT) AS sum_xor,
+             |  cast(sum(x << 3) AS BIGINT) AS sum_shl,
+             |  cast(sum(x >> 2) AS BIGINT) AS sum_shr,
+             |  cast(sum(bit_count(x)) AS BIGINT) AS sum_popcount
+             |FROM o""".stripMargin)),
+
     // ANSI-SAFE ARITHMETIC: this engine runs ANSI mode (overflow and bad
     // casts THROW — silently-wrong numbers don't ship); the try_ family
     // is the explicit opt-out that returns NULL instead. Pinned: bad
