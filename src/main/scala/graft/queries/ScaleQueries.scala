@@ -747,6 +747,65 @@ object ScaleQueries {
              |   WHERE mxy >= 100 AND mny <= 120) AS sort_files_for_y_probe"""
         .stripMargin)),
 
+    // VACUUM (retention + orphan reclaim) driver-gated: three appends
+    // accumulate history, compact rewrites to one file (the three old
+    // files now live only in retained manifests), vacuum with a 1-version
+    // horizon deletes expired manifests AND the data files no retained
+    // manifest references, plus a planted orphan batch directory (a
+    // crashed writer's never-committed output) under a zero grace
+    // window. Pinned: manifest/data-file counts before/after on the
+    // actual filesystem, the head staying readable, and the exact-cents
+    // content fingerprint surviving the cleanup untouched.
+    Q("txlog_vacuum",
+      (s, dir) => {
+        val wh = DvQueries.tmpWarehouse("graft_vac")
+        val store = new graft.runtime.TxLogTable(s, wh)
+        val base = rd(s, dir, "orders").select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        (0 until 3).foreach { b =>
+          store.append("t", base.filter(col("o_orderkey") % 3 === b)
+            .coalesce(1))
+        }
+        store.compact("t", 1)
+        // a crashed writer's orphan: a batch dir no manifest references
+        val orphan = java.nio.file.Paths.get(wh, "t", "d-orphan-crashed")
+        java.nio.file.Files.createDirectories(orphan)
+        java.nio.file.Files.writeString(
+          orphan.resolve("part-00000.parquet"), "not really parquet")
+        def counts(): (Long, Long) = {
+          val root = java.nio.file.Paths.get(wh, "t")
+          val st = java.nio.file.Files.walk(root)
+          try {
+            val fs = st.iterator()
+            var manifests = 0L; var data = 0L
+            fs.forEachRemaining { p =>
+              val n = p.getFileName.toString
+              if (n.endsWith(".manifest")) manifests += 1
+              else if (n.endsWith(".parquet")) data += 1
+            }
+            (manifests, data)
+          } finally st.close()
+        }
+        val (mBefore, fBefore) = counts()
+        store.vacuum("t", retainVersions = 1, orphanGraceMs = 0L)
+        val (mAfter, fAfter) = counts()
+        store.read("t")
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+          .select(col("n_rows"), col("cents_sum"),
+            lit(mBefore).as("manifests_before"),
+            lit(fBefore).as("data_files_before"),
+            lit(mAfter).as("manifests_after"),
+            lit(fAfter).as("data_files_after"))
+      },
+      Some("""SELECT cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS cents_sum,
+             |  cast(4 AS BIGINT) AS manifests_before,
+             |  cast(5 AS BIGINT) AS data_files_before,
+             |  cast(1 AS BIGINT) AS manifests_after,
+             |  cast(1 AS BIGINT) AS data_files_after
+             |FROM orders""".stripMargin)),
+
     // OPTIMIZE ZORDER as a MAINTENANCE op (TxLogTable.compactZOrder —
     // Delta's `OPTIMIZE ... ZORDER BY`): the append-accumulated table is
     // REWRITTEN once into bit-interleaved z-order, after which probes on
