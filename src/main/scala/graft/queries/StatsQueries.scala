@@ -146,6 +146,58 @@ object StatsQueries {
              |  cast(count(*) AS BIGINT) AS n_intervals
              |FROM d WHERE dt IS NOT NULL GROUP BY 1""".stripMargin)),
 
+    // LEAKAGE-FREE TRAILING FEATURES: the training-data shape of a range
+    // frame — per customer, the trailing-7-day spend EXCLUDING the label
+    // day itself (RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING on the day
+    // ordinal), beside the naive inclusive frame; `label_leaks` pins that
+    // their difference is exactly the label day's own value — the
+    // target-leakage bug this frame exists to prevent. Runs over the
+    // per-(customer, day) pre-aggregate; partitioned windows, exact
+    // cents.
+    Q("leakage_free_features",
+      (s, dir) => {
+        val o = rd(s, dir, "orders")
+          .select(col("o_custkey").as("k"),
+            to_date(col("o_orderdate")).as("d"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("k", "d")
+          .agg(sum("cents").as("cents"), count(lit(1)).as("n_orders"))
+          .withColumn("d_ord",
+            datediff(col("d"), lit("1990-01-01")).cast("long"))
+        val wExcl = Window.partitionBy("k").orderBy("d_ord")
+          .rangeBetween(-7, -1)
+        val wIncl = Window.partitionBy("k").orderBy("d_ord")
+          .rangeBetween(-7, 0)
+        o.select(col("k"), col("d"), col("n_orders"),
+            coalesce(sum(col("cents")).over(wExcl), lit(0L))
+              .as("trail7_excl_cents"),
+            sum(col("cents")).over(wIncl).as("trail7_incl_cents"),
+            col("cents"))
+          .select(col("k"), col("d"), col("n_orders"),
+            col("trail7_excl_cents"),
+            (col("trail7_incl_cents") - col("trail7_excl_cents") ===
+              col("cents")).as("label_leaks"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS k, cast(o_orderdate AS DATE) AS d,
+             |    sum(cast(round(o_totalprice * 100) AS BIGINT)) AS cents,
+             |    cast(count(*) AS BIGINT) AS n_orders
+             |  FROM orders GROUP BY 1, 2),
+             |w AS (
+             |  SELECT k, d, n_orders, cents,
+             |    date_diff('day', DATE '1990-01-01', d) AS d_ord
+             |  FROM o)
+             |SELECT k, d, n_orders,
+             |  cast(coalesce(sum(cents) OVER (PARTITION BY k ORDER BY d_ord
+             |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |    AS trail7_excl_cents,
+             |  cast(sum(cents) OVER (PARTITION BY k ORDER BY d_ord
+             |    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    - cast(coalesce(sum(cents) OVER (PARTITION BY k ORDER BY d_ord
+             |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |    = cents AS label_leaks
+             |FROM w""".stripMargin)),
+
     // REGULAR-GRID RESAMPLING with forward fill: each user's irregular
     // event stream resampled to a daily grid over the user's own active
     // span, gaps carrying the last observed value forward. The grid is
