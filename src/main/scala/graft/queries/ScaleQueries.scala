@@ -747,6 +747,41 @@ object ScaleQueries {
              |   WHERE mxy >= 100 AND mny <= 120) AS sort_files_for_y_probe"""
         .stripMargin)),
 
+    // DYNAMIC PARTITION PRUNING proof: fact hive-partitioned by month,
+    // dim filtered on a DERIVED attribute (so the partition list is only
+    // knowable at runtime) — Catalyst injects a dynamicpruning expression
+    // into the fact scan's PartitionFilters, reusing the broadcast to
+    // skip non-matching partitions entirely. At 100 TB this is the
+    // difference between scanning 3 months and scanning 7 years when the
+    // filter lives on the dimension. Plan-asserted like the other _proof
+    // queries; values fingerprinted exactly.
+    Q("dpp_proof",
+      (s, dir) => {
+        val wh = DvQueries.tmpWarehouse("graft_dpp")
+        val o = rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            date_format(to_date(col("o_orderdate")), "yyyy-MM").as("mon"))
+        o.write.mode("overwrite").partitionBy("mon").parquet(s"$wh/fact")
+        val fact = s.read.parquet(s"$wh/fact")
+        val dim = o.select(col("mon")).distinct()
+          .withColumn("is_q1",
+            substring(col("mon"), 6, 2).isin("01", "02", "03"))
+        val joined = fact
+          .join(broadcast(dim.filter(col("is_q1")).select("mon")), Seq("mon"))
+        val plan = joined.queryExecution.executedPlan.toString
+        val dppInjected = plan.contains("dynamicpruning")
+        joined
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("total_cents"))
+          .withColumn("dpp_injected", lit(dppInjected))
+      },
+      Some("""SELECT cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS dpp_injected
+             |FROM orders WHERE month(o_orderdate) IN (1, 2, 3)""".stripMargin)),
+
     // VACUUM (retention + orphan reclaim) driver-gated: three appends
     // accumulate history, compact rewrites to one file (the three old
     // files now live only in retained manifests), vacuum with a 1-version
