@@ -311,6 +311,60 @@ object ConformanceQueries {
              |  UNION ALL SELECT 'json') f
              |GROUP BY 1""".stripMargin)),
 
+    // ORC SOURCE ROUNDTRIP: the csv/json pattern extended to the other
+    // columnar format Spark ships natively — events written as
+    // zlib-compressed ORC and read back must carry the identical
+    // fingerprint the oracle computes from the parquet truth (DuckDB
+    // cannot read ORC, so parity-through-fingerprint IS the check).
+    Q("orc_source_roundtrip",
+      (s, dir) => {
+        val base = DvQueries.tmpWarehouse("graft_orcsrc")
+        rd(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+          .write.mode("overwrite").option("compression", "zlib")
+          .orc(s"$base/orc")
+        s.read.orc(s"$base/orc")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct("user_id").as("n_users"),
+            sum(round(col("value") * 100).cast("long")).as("cents"),
+            max("ts_us").as("max_ts_us"))
+      },
+      Some("""SELECT cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             |  cast(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+             |FROM events""".stripMargin)),
+
+    // NESTED SCHEMA PRUNING proof: metadata lives in STRUCT columns (the
+    // multimodal pattern — a blob beside a typed meta struct); selecting
+    // one leaf must prune the parquet ReadSchema to THAT LEAF, not the
+    // whole struct (spark.sql.optimizer.nestedSchemaPruning, on by
+    // default). Plan-asserted like the other _proof queries; at 100 TB
+    // reading meta.lang instead of the full meta struct is the
+    // difference between KBs and the whole metadata payload per file.
+    Q("nested_pruning_proof",
+      (s, dir) => {
+        val base = DvQueries.tmpWarehouse("graft_nested")
+        rd(s, dir, "events")
+          .select(col("event_id"),
+            struct(col("event_type").as("etype"), col("value").as("v"),
+              col("props").as("raw")).as("meta"))
+          .write.mode("overwrite").parquet(s"$base/nested")
+        val q = s.read.parquet(s"$base/nested")
+          .select(col("event_id"), col("meta.etype").as("etype"))
+        val readSchema = q.queryExecution.executedPlan.toString
+          .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+        val pruned = readSchema.contains("etype") &&
+          !readSchema.contains("raw") && !readSchema.contains("v:")
+        q.groupBy(col("etype"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("nested_pruned", lit(pruned))
+      },
+      Some("""SELECT event_type AS etype, cast(count(*) AS BIGINT) AS n,
+             |  TRUE AS nested_pruned
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // COMPRESSION CODEC REPORT: identical data written uncompressed /
     // snappy / zstd, sizes measured from the files — the storage-cost
     // knob a 100 TB estate turns first (zstd over snappy is typically
