@@ -782,6 +782,40 @@ object ScaleQueries {
              |  TRUE AS dpp_injected
              |FROM orders WHERE month(o_orderdate) IN (1, 2, 3)""".stripMargin)),
 
+    // RESTORE (Delta RESTORE TABLE ... TO VERSION) driver-gated: the
+    // fat-finger recovery drill — good data, a corrupting overwrite,
+    // metadata-only restore (zero data files touched), then life
+    // continues with a delta append on the restored state. Pinned: the
+    // final contents equal good+delta exactly, the corrupt version stays
+    // time-travelable (history preserved), and the restore added ONE
+    // manifest (head advanced by one, not rewritten).
+    Q("txlog_restore",
+      (s, dir) => {
+        val store = new graft.runtime.TxLogTable(s,
+          DvQueries.tmpWarehouse("graft_restore"))
+        val base = rd(s, dir, "orders").select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val good = base.filter(col("o_orderkey") % 2 === 0)
+        store.append("t", good)                                       // v1
+        store.overwrite("t",                                          // v2
+          good.select(col("o_orderkey"), (col("cents") * 0).as("cents")))
+        store.restore("t", 1L)                                        // v3
+        store.append("t", base.filter(col("o_orderkey") % 2 === 1))   // v4
+        val corruptStillTravelable = store.readVersion("t", 2L)
+          .agg(sum(col("cents"))).head().getLong(0) == 0L
+        store.read("t")
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+          .select(col("n_rows"), col("cents_sum"),
+            lit(store.currentVersion("t").get).as("head_version"),
+            lit(corruptStillTravelable).as("corrupt_travelable"))
+      },
+      Some("""SELECT cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS cents_sum,
+             |  cast(4 AS BIGINT) AS head_version,
+             |  TRUE AS corrupt_travelable
+             |FROM orders""".stripMargin)),
+
     // VACUUM (retention + orphan reclaim) driver-gated: three appends
     // accumulate history, compact rewrites to one file (the three old
     // files now live only in retained manifests), vacuum with a 1-version

@@ -473,6 +473,25 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     readWithDeletes(name, mapping(name, v), files(name, v),
       equalityDeletes(name, v))
 
+  /** RESTORE TABLE ... TO VERSION (Delta RESTORE): re-commit an old
+    * version's manifest verbatim as the NEW head — a metadata-only undo
+    * that touches zero data files and preserves the full history (the
+    * bad versions stay time-travelable until vacuum's horizon reclaims
+    * them; data files of the restored version are re-referenced, so the
+    * same vacuum keeps them live). Roll-forward is equally possible:
+    * restore to any retained version, in either direction. */
+  def restore(name: String, toVersion: Long): Unit = {
+    val head = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    require(versions(name).contains(toVersion),
+      s"TxLogTable $name: version $toVersion is not retained " +
+        s"(have ${versions(name)})")
+    if (toVersion == head) return
+    if (!tryCommit(name, head + 1, manifestLines(name, toVersion)))
+      throw new IllegalStateException(
+        s"TxLogTable $name: lost commit race on restore — retry")
+  }
+
   /** read a SUBSET of a version's live files under that version's column
     * mapping — the primitive behind file-pruned probes (the caller still
     * applies its exact predicate; this only shrinks the scan). */

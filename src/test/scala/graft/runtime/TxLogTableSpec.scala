@@ -623,6 +623,33 @@ class TxLogTableSpec extends SparkSpec {
     assert(zy < ly, "z-order beats lexicographic on the second dimension")
   }
 
+  test("restore: metadata-only undo — old head re-committed, history intact, writes continue") {
+    val (t, _) = freshStore()
+    t.append("tbl", Seq((1, "good"), (2, "good")).toDF("id", "v"))   // v1
+    t.overwrite("tbl", Seq((9, "corrupt")).toDF("id", "v"))          // v2
+    t.restore("tbl", 1L)                                             // v3 == v1
+    assert(t.currentVersion("tbl").contains(3L))
+    assert(t.read("tbl").as[(Int, String)].collect().toSet ===
+      Set((1, "good"), (2, "good")))
+    // the bad version stays time-travelable (history preserved, not erased)
+    assert(t.readVersion("tbl", 2L).as[(Int, String)].collect().toSet ===
+      Set((9, "corrupt")))
+    // life goes on from the restored state
+    t.append("tbl", Seq((3, "new")).toDF("id", "v"))
+    assert(t.read("tbl").as[(Int, String)].collect().toSet ===
+      Set((1, "good"), (2, "good"), (3, "new")))
+    // restore FORWARD to the corrupt version also works (any retained v)
+    t.restore("tbl", 2L)
+    assert(t.read("tbl").as[(Int, String)].collect().toSet ===
+      Set((9, "corrupt")))
+    // vacuum keeps the head's (restored) files live
+    t.restore("tbl", 4L)
+    t.vacuum("tbl", retainVersions = 1, orphanGraceMs = 0L)
+    assert(t.read("tbl").as[(Int, String)].collect().toSet ===
+      Set((1, "good"), (2, "good"), (3, "new")))
+    intercept[IllegalArgumentException](t.restore("tbl", 99L))
+  }
+
   test("registerViews: snapshot semantics — a view pins its version until re-registered") {
     val (t, _) = freshStore()
     t.append("a", Seq(1).toDF("id"))
