@@ -782,6 +782,44 @@ object ScaleQueries {
              |  TRUE AS dpp_injected
              |FROM orders WHERE month(o_orderdate) IN (1, 2, 3)""".stripMargin)),
 
+    // WINDOW GROUP LIMIT proof: `row_number() ... WHERE rn <= k` — the
+    // universal per-group top-k — is rewritten by Catalyst into
+    // WindowGroupLimit, which keeps only k rows PER GROUP PER PARTITION
+    // map-side before the window's shuffle+sort. At 100 TB that bounds
+    // the exchange to k·groups·partitions rows instead of the whole
+    // fact table — the optimization that makes rank-filter top-k viable
+    // at scale. Plan-asserted (both the partial and final operators),
+    // values fingerprinted exactly with a total order.
+    Q("window_group_limit_proof",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("cents").desc, col("o_orderkey"))
+        val q = rd(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+        val plan = q.queryExecution.executedPlan.toString
+        val pushed = plan.contains("WindowGroupLimit")
+        q.agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("cents_sum"),
+            countDistinct(col("o_custkey")).as("n_customers"))
+          .withColumn("group_limit_pushed", lit(pushed))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT o_custkey,
+             |    cast(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY round(o_totalprice * 100) DESC, o_orderkey)
+             |      AS rn
+             |  FROM orders)
+             |SELECT cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cents) AS BIGINT) AS cents_sum,
+             |  cast(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             |  TRUE AS group_limit_pushed
+             |FROM ranked WHERE rn <= 2""".stripMargin)),
+
     // RESTORE (Delta RESTORE TABLE ... TO VERSION) driver-gated: the
     // fat-finger recovery drill — good data, a corrupting overwrite,
     // metadata-only restore (zero data files touched), then life
