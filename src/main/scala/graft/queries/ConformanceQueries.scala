@@ -311,6 +311,62 @@ object ConformanceQueries {
              |  UNION ALL SELECT 'json') f
              |GROUP BY 1""".stripMargin)),
 
+    // OFFSET PAGINATION (O-family completion): ORDER BY ... LIMIT k
+    // OFFSET n — page 3 of the balance leaderboard under a TOTAL order
+    // (balance cents desc, custkey tiebreak), so the page content is
+    // deterministic in both engines. Spark supports OFFSET since 3.4;
+    // the pinned rows prove limit+offset compose with the sort rather
+    // than sampling it.
+    Q("offset_pagination",
+      (s, dir) => {
+        rd(s, dir, "customer")
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+          .createOrReplaceTempView("graft_page_cust")
+        s.sql("""SELECT c_custkey, bal_cents FROM graft_page_cust
+                |ORDER BY bal_cents DESC, c_custkey
+                |LIMIT 20 OFFSET 40""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  cast(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+             |FROM customer
+             |ORDER BY bal_cents DESC, c_custkey
+             |LIMIT 20 OFFSET 40""".stripMargin)),
+
+    // NULL ORDERING conformance: engine DEFAULTS diverge (Spark sorts
+    // nulls first ascending / last descending, DuckDB nulls last) — so
+    // portable sorts must spell NULLS FIRST/LAST explicitly, and this
+    // pins that the EXPLICIT forms agree: a nullable key ranked under
+    // both explicit orderings, plus min/max (which ignore nulls in both
+    // engines) beside order-based first/last picks.
+    Q("null_ordering_conformance",
+      (s, dir) => {
+        rd(s, dir, "nation")
+          .select(col("n_nationkey").as("k"),
+            when(col("n_nationkey") % 5 === 0, lit(null).cast("long"))
+              .otherwise(col("n_regionkey")).as("rk"))
+          .createOrReplaceTempView("graft_nullord")
+        // LIMIT 1000 over the 25-row dimension is a no-op that leaves a
+        // plan-visible bound for the global-window audit
+        s.sql("""SELECT k, rk,
+                |  row_number() OVER (ORDER BY rk ASC NULLS FIRST, k)
+                |    AS rn_nulls_first,
+                |  row_number() OVER (ORDER BY rk DESC NULLS LAST, k)
+                |    AS rn_nulls_last
+                |FROM (SELECT * FROM graft_nullord LIMIT 1000)""".stripMargin)
+      },
+      Some("""WITH n AS (
+             |  SELECT n_nationkey AS k,
+             |    CASE WHEN n_nationkey % 5 = 0 THEN NULL
+             |         ELSE n_regionkey END AS rk
+             |  FROM nation LIMIT 1000)
+             |SELECT k, rk,
+             |  row_number() OVER (ORDER BY rk ASC NULLS FIRST, k)
+             |    AS rn_nulls_first,
+             |  row_number() OVER (ORDER BY rk DESC NULLS LAST, k)
+             |    AS rn_nulls_last
+             |FROM n""".stripMargin)),
+
     // ORC SOURCE ROUNDTRIP: the csv/json pattern extended to the other
     // columnar format Spark ships natively — events written as
     // zlib-compressed ORC and read back must carry the identical

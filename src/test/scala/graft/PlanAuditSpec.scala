@@ -32,7 +32,9 @@ class PlanAuditSpec extends SparkSpec {
       "blob_embed_topk", "range_interval_window",
       // one-row-per-day pre-aggregates feed these (~366 and ~30 rows);
       // boundedInput additionally asserts the collapse is in the plan
-      "rolling_median_7d", "new_vs_returning")
+      "rolling_median_7d", "new_vs_returning",
+      // 25-row nation dimension behind a plan-visible LIMIT
+      "null_ordering_conformance")
 
   /** An allowlisted global window is only OK when its input is bounded by
     * construction — every path from the window down to a leaf must pass
