@@ -98,7 +98,12 @@ object Bench {
       Verify.jsonQuote(k) + ":" + Verify.jsonQuote(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+    // Key order matters: the driver keeps only the LAST ~2000 chars of
+    // stdout, and the per-query map is the long part. Emit `queries`
+    // FIRST and the headline summary keys {metric,value,unit,n,failed,sf}
+    // LAST so a truncated tail still contains (and parses to) the
+    // headline number. (r6/r7 both lost "value" to the tail cut.)
+    val json = s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$fj,"sf":"$sfDir"}"""
     println(json)
     // stdout capture can truncate long lines; persist the full artifact too
     val out = java.nio.file.Paths.get("target/bench.json")

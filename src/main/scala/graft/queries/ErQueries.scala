@@ -115,6 +115,15 @@ object ErQueries {
     }
 
   private def scoredPairs(s: SparkSession, dir: String): DataFrame = {
+    // one live pair-frame per session: a caller that walks several sfDirs
+    // (the test suite does sf0.001→0.01→0.1) would otherwise accumulate
+    // persisted blocks for every dir with no release path outside the
+    // bench's evictShared hook — unpersist the stale dir's entry first
+    pairCache.keys.filter(k => (k._1 eq s) && k._2 != dir).foreach { k =>
+      pairCache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () })
+    }
     val pairs = pairCache.getOrElseUpdate((s, dir), candidatePairs(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mu = pairs.agg(

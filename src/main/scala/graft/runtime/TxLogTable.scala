@@ -102,11 +102,16 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
 
-  private def manifestLines(name: String, v: Long): Seq[String] =
+  private def manifestLines(name: String, v: Long): Seq[String] = {
+    // Eviction happens OUTSIDE the computeIfAbsent lambda: the CHM
+    // contract forbids the mapping function from mutating the map, and a
+    // clear() inside it can livelock/corrupt under concurrent metadata
+    // ops (exercised by concurrent appends, TxLogTableSpec).
+    if (manifestCache.size > 64) manifestCache.clear()
     manifestCache.computeIfAbsent((name, v), { _ =>
-      if (manifestCache.size > 64) manifestCache.clear()
       Files.readAllLines(manifestPath(name, v)).asScala.toSeq.filter(_.nonEmpty)
     })
+  }
 
   /** live data files of a version, relative to the table root */
   def files(name: String, v: Long): Seq[String] =
@@ -911,6 +916,50 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     }: _*)
   }
 
+  /** One pass over `fs` building a bloom bitset per file for `physCol`:
+    * ONE aggregated row per file (bit positions deduped map-side by
+    * collect_set) instead of collecting NDV×seeds individual position
+    * rows to the driver — at 10k files this moves file-count rows, not
+    * key-count rows. Shared by [[setBloomColumn]] and the compaction
+    * rewrites (which must re-bloom the files they emit, or the skipping
+    * property silently dies with the replaced files). */
+  private def buildFileBlooms(name: String, fs: Seq[String], physCol: String,
+                              nbits: Int): Map[(String, String), String] = {
+    import org.apache.spark.sql.functions.{col => fcol, collect_set, explode, input_file_name}
+    if (fs.isEmpty) return Map.empty
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(fs.map(f => root(name).resolve(f).toString): _*)
+      .select(input_file_name().as("__file"), fcol(physCol))
+    val posRows = raw.distinct()
+      .select(fcol("__file"), explode(bloomPosCols(fcol(physCol), nbits)).as("pos"))
+      .groupBy(fcol("__file")).agg(collect_set(fcol("pos")).as("ps"))
+      .collect()
+    posRows.map { row =>
+      // map absolute → manifest-relative by suffix (clustered batches nest
+      // a partition dir, so the depth under the batch dir is not fixed)
+      val abs = row.getString(0)
+      val rel = fs.find(f => abs.endsWith("/" + f)).getOrElse(
+        throw new IllegalStateException(s"bloom build saw non-live file $abs"))
+      val bits = new java.util.BitSet(nbits)
+      row.getSeq[Int](1).foreach(bits.set)
+      (rel, physCol) ->
+        java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+    }.toMap
+  }
+
+  /** Fresh blooms for every enabled bloom column over a rewrite's output
+    * files. Compaction replaces EVERY data file, so carrying the old
+    * per-file blooms forward would leave zero live bloom entries and
+    * [[bloomCandidateFiles]] would silently degrade to "all files" while
+    * bloomCols still advertises skipping. Same nbits as the original
+    * enablement (NDV is unchanged by a rewrite). */
+  private def rebuiltBlooms(name: String, m: Meta,
+                            added: Seq[String]): Map[(String, String), String] =
+    m.bloomCols.foldLeft(Map.empty[(String, String), String]) {
+      case (acc, (physCol, nbits)) =>
+        acc ++ buildFileBlooms(name, added, physCol, nbits)
+    }
+
   /** Enable a Bloom filter on `logicalCol` and build one per live file in
     * a single pass (distinct bit positions per file, collected at
     * metadata scale — ≤ nbits ints per file). `bitsPerKey` ≈ 20 gives
@@ -934,25 +983,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       .head().getLong(0) * 1.2).toLong
     val nbits = math.max(1024L,
       java.lang.Long.highestOneBit(math.max(1L, maxNdv * bitsPerKey) * 2 - 1)).toInt
-    // ONE aggregated row per file (bit positions deduped map-side by
-    // collect_set) instead of collecting NDV×seeds individual position
-    // rows to the driver — at 10k files this moves file-count rows, not
-    // key-count rows
-    val posRows = raw.distinct()
-      .select(fcol("__file"), explode(bloomPosCols(fcol(c.physical), nbits)).as("pos"))
-      .groupBy(fcol("__file")).agg(collect_set(fcol("pos")).as("ps"))
-      .collect()
-    val byFile = posRows.map { row =>
-      // map absolute → manifest-relative by suffix (clustered batches nest
-      // a partition dir, so the depth under the batch dir is not fixed)
-      val abs = row.getString(0)
-      val rel = live.find(f => abs.endsWith("/" + f)).getOrElse(
-        throw new IllegalStateException(s"bloom build saw non-live file $abs"))
-      val bits = new java.util.BitSet(nbits)
-      row.getSeq[Int](1).foreach(bits.set)
-      (rel, c.physical) ->
-        java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
-    }.toMap
+    val byFile = buildFileBlooms(name, live, c.physical, nbits)
     val m2 = m.copy(bloomCols = m.bloomCols + (c.physical -> nbits),
       blooms = m.blooms ++ byFile)
     if (!tryCommit(name, v + 1, renderM(m2, live)))
@@ -994,11 +1025,13 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     (String, Long, String, String), java.util.BitSet]()
 
   private def decodedBloom(name: String, v: Long, file: String,
-                           col: String, b64: String): java.util.BitSet =
+                           col: String, b64: String): java.util.BitSet = {
+    // eviction outside the lambda — CHM forbids self-mutation in compute
+    if (bloomBitsCache.size > 1024) bloomBitsCache.clear()
     bloomBitsCache.computeIfAbsent((name, v, file, col), { _ =>
-      if (bloomBitsCache.size > 1024) bloomBitsCache.clear()
       java.util.BitSet.valueOf(java.util.Base64.getDecoder.decode(b64))
     })
+  }
 
   // ---- S9: metadata-only DDL (rehash_single_hub.sql:17-26,51-69) ---------
   // Each commits a new manifest and touches ZERO data files: logical names
@@ -1089,7 +1122,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
         .sortWithinPartitions(clusterBy.map(col): _*)
     val added = writeBatch(name, compacted, m.cols)
     val withStats = m.copy(stats = m.stats ++ batchStats(name, added, m.statsCols),
-      edels = Nil)
+      blooms = rebuiltBlooms(name, m, added), edels = Nil)
     if (!tryCommit(name, v + 1, renderM(withStats, added)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on compact — retry")
@@ -1120,21 +1153,31 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     val all = readWithDeletes(name, m.cols, live, m.edels)
     val aggs = zorderBy.flatMap(c => Seq(
       fmin(col(c).cast("double")).as(s"__mn_$c"),
-      fmax(col(c).cast("double")).as(s"__mx_$c")))
+      fmax(col(c).cast("double")).as(s"__mx_$c"))) :+
+      org.apache.spark.sql.functions.count(lit(1)).as("__n")
     val bounds = all.agg(aggs.head, aggs.tail: _*).head()
+    // empty table: nothing to cluster — a rewrite would only churn the
+    // manifest (and min/max are NULL, so the z-math below has no input)
+    if (bounds.getLong(bounds.length - 1) == 0L) return (live.size, live.size)
     val n = zorderBy.size
     val zBits = 16
     val zExpr = zorderBy.zipWithIndex.map { case (c, i) =>
-      val mn = bounds.getDouble(i * 2)
-      val mx = bounds.getDouble(i * 2 + 1)
-      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
-      val maxB = (1L << zBits) - 1
-      val bucket = least(greatest(
-        ffloor((col(c).cast("double") - lit(mn)) / lit(span) * lit(maxB.toDouble)),
-        lit(0L)), lit(maxB)).cast("long")
-      (0 until zBits).map(j =>
-        shiftleft(shiftright(bucket, j).bitwiseAND(lit(1L)), j * n + i))
-        .reduce(_ + _)
+      // an entirely-NULL column also yields NULL min/max; degrade that
+      // dimension to constant bucket 0 (NULLs share a partition) instead
+      // of NPE-ing on getDouble
+      if (bounds.isNullAt(i * 2)) lit(0L)
+      else {
+        val mn = bounds.getDouble(i * 2)
+        val mx = bounds.getDouble(i * 2 + 1)
+        val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+        val maxB = (1L << zBits) - 1
+        val bucket = least(greatest(
+          ffloor((col(c).cast("double") - lit(mn)) / lit(span) * lit(maxB.toDouble)),
+          lit(0L)), lit(maxB)).cast("long")
+        (0 until zBits).map(j =>
+          shiftleft(shiftright(bucket, j).bitwiseAND(lit(1L)), j * n + i))
+          .reduce(_ + _)
+      }
     }.reduce(_ + _)
     val compacted = all.withColumn("__zv", zExpr)
       .repartitionByRange(math.max(1, targetFiles), col("__zv"))
@@ -1142,7 +1185,8 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       .drop("__zv")
     val added = writeBatch(name, compacted, m.cols)
     val withStats = m.copy(
-      stats = m.stats ++ batchStats(name, added, m.statsCols), edels = Nil)
+      stats = m.stats ++ batchStats(name, added, m.statsCols),
+      blooms = rebuiltBlooms(name, m, added), edels = Nil)
     if (!tryCommit(name, v + 1, renderM(withStats, added)))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on compactZOrder — retry")

@@ -514,6 +514,50 @@ class TxLogTableSpec extends SparkSpec {
       "the tombstone must win over the stale bloom")
   }
 
+  test("bloom skipping survives compaction: rewrites re-bloom their output files") {
+    val (t, _) = freshStore()
+    (0 until 6).foreach { b =>
+      t.append("tbl", (1 to 600).filter(_ % 6 == b)
+        .map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    t.setBloomColumn("tbl", "id")
+    // compact replaces EVERY data file — blooms must be rebuilt for the
+    // new files in the same commit, or bloomCols advertises skipping that
+    // silently returns all files
+    val (_, after) = t.compact("tbl", 3, Seq("id"))
+    val v = t.currentVersion("tbl").get
+    assert(t.fileBlooms("tbl", v).size === after,
+      "every compacted output file must carry a fresh bloom")
+    val candAbsent = t.bloomCandidateFiles("tbl", "id", "999999")
+    assert(candAbsent.size < after,
+      s"an absent key must prune post-compaction, got ${candAbsent.size} of $after")
+    Seq(1, 300, 600).foreach { k =>
+      val cand = t.bloomCandidateFiles("tbl", "id", k.toString)
+      assert(t.readFiles("tbl", v, cand).filter($"id" === k).count() === 1,
+        s"key $k must be found via post-compaction bloom candidates")
+    }
+    // compactZOrder re-blooms too
+    val (_, after2) = t.compactZOrder("tbl", 2, Seq("id"))
+    val v2 = t.currentVersion("tbl").get
+    assert(t.fileBlooms("tbl", v2).size === after2,
+      "z-order rewrite must also re-bloom its output files")
+  }
+
+  test("compactZOrder: empty table no-ops; all-NULL dimension degrades, not NPEs") {
+    val (t, _) = freshStore()
+    t.overwrite("e", Seq((1L, 1L)).toDF("x", "y").filter($"x" > 10))
+    assert(t.compactZOrder("e", 4, Seq("x", "y"))._2 ===
+      t.files("e", t.currentVersion("e").get).size,
+      "empty table: compactZOrder must be a no-op")
+    // y entirely NULL: that dimension collapses to one bucket, x still sorts
+    val (t2, _) = freshStore()
+    t2.overwrite("n",
+      (1L to 200L).map(i => (i, None: Option[Long])).toDF("x", "y"))
+    val (_, after) = t2.compactZOrder("n", 4, Seq("x", "y"))
+    assert(after === 4)
+    assert(t2.read("n").count() === 200)
+  }
+
   test("appendEvolve: new columns add as DDL, missing columns null-fill, retypes refuse") {
     val (t, _) = freshStore()
     t.overwrite("tbl", Seq((1, "a")).toDF("id", "v"))
