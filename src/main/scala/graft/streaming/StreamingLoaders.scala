@@ -726,6 +726,38 @@ object StreamingLoaders {
       }
   }
 
+  /** One streaming sink loading a hub AND a v0 satellite from the same
+    * staged stream — the reference's scheduled incremental run
+    * (`databricks/hub.sql:44,165-179` + `sat_v0.sql:131-142`) replayed
+    * per micro-batch. Each batch runs the SAME incremental loaders as the
+    * batch path (dedup → anti-join against the target-so-far) and lands
+    * through [[graft.runtime.TxLogTable.appendOnce]], so a replayed batch
+    * (task retry, sink restart, checkpoint loss) is recognized in each
+    * table's own transaction log and skipped — exactly-once per table
+    * even when the two appends of one batch straddle a crash. */
+  def vaultSink(staged: DataFrame, table: graft.runtime.TxLogTable,
+      hubName: String, satName: String,
+      hashkey: String, businessKeys: Seq[String], bkColumns: Seq[String],
+      hashdiff: String, payload: Seq[String],
+      checkpoint: String, appId: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    val app = appId.getOrElse(s"vault-sink:$checkpoint")
+    staged.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hubRecs = HubLoader.records(
+          Seq(EntitySource(batch, Some(hashkey), bkColumns)),
+          hashkey, businessKeys, table.readIfExists(hubName),
+          disableHwm = true)
+        table.appendOnce(hubName, hubRecs, app, batchId): Unit
+        val satRecs = SatV0Loader.records(batch, Seq(hashkey),
+          Some(hashdiff), payload, table.readIfExists(satName),
+          disableHwm = true)
+        table.appendOnce(satName, satRecs, app, batchId): Unit
+      }
+  }
+
   final case class ReservoirRow(group: String, id: Long, weight: Long, key: Double)
 
   /** Streaming weighted sampling without replacement: per group, the state
