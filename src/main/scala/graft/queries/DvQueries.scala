@@ -2512,6 +2512,120 @@ object DvQueries {
               |FROM customer, (SELECT timestamp '2024-01-01' AS sdts
               |  UNION ALL SELECT timestamp '2024-01-03') s""".stripMargin)),
 
+    // COMPOSED post-hook (clean_up_pits.sql:128-136 AFTER a
+    // control_snap_v1.sql:109,171-185 log_logic flip) — the exact sequence
+    // the reference runs on schedule: a PIT materialized while EVERY daily
+    // snapshot was active, then three weeks later the v1 control narrows
+    // retention (daily=7 DAY + monthly forever at referenceTs 2024-02-21
+    // 12:00), and the cleanup hook deletes every PIT row whose sdts is no
+    // longer an active snapshot. Both halves are individually green
+    // (txlog_pit_cleanup, snap_v1_multi); this row verifies the
+    // COMPOSITION: the flip's trigger column drives the DELETE.
+    Q("pit_cleanup_log_logic",
+      (s, dir) => {
+        val wh = tmpWarehouse("graft_q_pitll")
+        val t = new graft.runtime.TxLogTable(s, wh)
+        val v0 = SatV0Loader.records(cust3Batch(s, dir), Seq("hk_customer_h"),
+          Some("hd_customer_s"), Seq("c_name", "c_acctbal_v", "c_mktsegment"), target = None)
+        val v1 = SatV1Loader.build(v0, "hk_customer_h", Some("hd_customer_s"))
+        val hub = custStage(s, dir).select("hk_customer_h").distinct()
+        val spine = ControlSnapV0Loader.build(s, "2024-02-01", "12:00:00", Some("2024-02-21"))
+          .withColumn("is_active", lit(true))
+        val pit = PitLoader.records(hub, "hk_customer_h",
+          Seq(PitSatellite("customer_s", v1)), spine, "dim_key_customer")
+        // land the PIT in sdts-ranged chunks: the cleaner's file-stat
+        // pruning needs per-file sdts ranges, the layout a per-snapshot
+        // incremental PIT load produces naturally
+        Seq(("2024-02-01", "2024-02-08"), ("2024-02-08", "2024-02-15"),
+            ("2024-02-15", "2024-02-22")).foreach { case (lo, hi) =>
+          t.append("pit", pit.filter(col("sdts") >= lit(lo).cast("timestamp") &&
+            col("sdts") < lit(hi).cast("timestamp")))
+        }
+        // the log_logic FLIP: rebuild the v1 control with narrowed retention
+        val snapV1 = ControlSnapV1Loader.buildMulti(
+          ControlSnapV0Loader.build(s, "2024-02-01", "12:00:00", Some("2024-02-21")),
+          Seq(SnapshotTrigger("is_active", daily = Some(IntervalLogic(7, "DAY")),
+            monthly = Some(IntervalLogic.forever))),
+          referenceTs = Some("2024-02-21 12:00:00"))
+        t.overwrite("snap", snapV1.select("sdts", "is_active"))
+        // the post-hook DELETE (clean_up_pits.sql databricks__clean_up_pit)
+        graft.runtime.TxPitCleaner.cleanUp(t, "pit", "snap")
+        t.read("pit")
+      },
+      Some(s"""WITH $satV0Sql,
+              |sat_v1 AS (
+              |  SELECT *, COALESCE(LEAD(ldts - INTERVAL 1 MICROSECOND)
+              |    OVER (PARTITION BY hk_customer_h ORDER BY ldts),
+              |    timestamp '8888-12-31 23:59:59') AS ledts FROM sat_v0),
+              |hub AS (SELECT DISTINCT hk_customer_h FROM hashed),
+              |snaps AS (
+              |  SELECT unnest(generate_series(timestamp '2024-02-01 12:00:00',
+              |    timestamp '2024-02-22 00:00:00' - INTERVAL 1 MICROSECOND, INTERVAL 1 DAY)) AS sdts),
+              |active AS (
+              |  SELECT sdts FROM snaps
+              |  WHERE (sdts BETWEEN timestamp '2024-02-14 12:00:00' AND timestamp '2024-02-21 12:00:00')
+              |     OR day(sdts) = 1),
+              |pit AS (
+              |  SELECT ${O.hashkey("te.hk_customer_h", "snap.sdts")} AS dim_key_customer,
+              |    te.hk_customer_h, snap.sdts,
+              |    COALESCE(s.hk_customer_h, '${O.ZeroKey}') AS hk_customer_s,
+              |    COALESCE(s.ldts, timestamp '0001-01-01 00:00:01') AS ldts_customer_s
+              |  FROM hub te CROSS JOIN active snap
+              |  LEFT JOIN sat_v1 s ON s.hk_customer_h = te.hk_customer_h
+              |    AND snap.sdts BETWEEN s.ldts AND s.ledts)
+              |SELECT DISTINCT * FROM pit""".stripMargin)),
+
+    // MULTI-SOURCE LINK, POSITIONALLY-MAPPED FKs (link.sql:200-204:
+    // `{{ fk }} AS {{ foreign_hashkeys[loop.index - 1] }}` — each source's
+    // fk_columns rename to the link's foreign_hashkeys BY POSITION; SURVEY
+    // §7.5-3 names this the silent-wrong risk). Source B's columns are
+    // deliberately named MISLEADINGLY and listed in shuffled order: its
+    // column NAMED hk_customer_h holds the NATION hashkey and vice versa.
+    // A by-name union would swap B's foreign keys and still produce a
+    // plausible-looking link — only the positional contract (B's
+    // keyColumns list leads with the column holding the PARTY hashkey)
+    // yields the oracle's values.
+    Q("link_positional_multi_source",
+      (s, dir) => {
+        val a = rd(s, dir, "customer")
+          .withColumn(LdtsAlias,
+            expr("timestampadd(DAY, cast(c_custkey % 3 as int), timestamp'2024-01-01 00:00:00')"))
+          .withColumn(RsrcAlias, lit("SRC_A"))
+          .withColumn("hk_party_nation_l",
+            Hashing.hashkey(Seq(col("c_custkey"), col("c_nationkey"))))
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("c_custkey"))))
+          .withColumn("hk_nation_h", Hashing.hashkey(Seq(col("c_nationkey"))))
+        val b = rd(s, dir, "supplier")
+          .withColumn(LdtsAlias,
+            expr("timestampadd(DAY, cast(s_suppkey % 2 as int), timestamp'2024-01-04 00:00:00')"))
+          .withColumn(RsrcAlias, lit("SRC_B"))
+          .withColumn("hk_party_nation_l",
+            Hashing.hashkey(Seq(col("s_suppkey"), col("s_nationkey"))))
+          .withColumn("hk_customer_h", Hashing.hashkey(Seq(col("s_nationkey")))) // nation hk under a customer name
+          .withColumn("hk_nation_h", Hashing.hashkey(Seq(col("s_suppkey"))))     // party hk under a nation name
+        LinkLoader.records(Seq(
+          EntitySource(a, Some("hk_party_nation_l"), Seq("hk_customer_h", "hk_nation_h")),
+          EntitySource(b, Some("hk_party_nation_l"), Seq("hk_nation_h", "hk_customer_h"))),
+          "hk_party_nation_l", Seq("hk_party_h", "hk_nation_h"), target = None)
+      },
+      Some(s"""WITH a AS (
+              |  SELECT ${O.hashkey("c_custkey", "c_nationkey")} AS hk_party_nation_l,
+              |         ${O.hashkey("c_custkey")} AS hk_party_h,
+              |         ${O.hashkey("c_nationkey")} AS hk_nation_h,
+              |         timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
+              |         'SRC_A' AS rsrc
+              |  FROM customer),
+              |b AS (
+              |  SELECT ${O.hashkey("s_suppkey", "s_nationkey")} AS hk_party_nation_l,
+              |         ${O.hashkey("s_suppkey")} AS hk_party_h,
+              |         ${O.hashkey("s_nationkey")} AS hk_nation_h,
+              |         timestamp '2024-01-04 00:00:00' + (s_suppkey % 2) * INTERVAL 1 DAY AS ldts,
+              |         'SRC_B' AS rsrc
+              |  FROM supplier),
+              |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+              |SELECT hk_party_nation_l, hk_party_h, hk_nation_h, ldts, rsrc FROM u
+              |QUALIFY ROW_NUMBER() OVER (PARTITION BY hk_party_nation_l ORDER BY ldts) = 1""".stripMargin)),
+
     // hash_datatype=BINARY (hash.sql:42,109,177; hash_default_values.sql:
     // 49-52): digests stored as raw bytes, zero key = 16 0x00 bytes (no '!'
     // sentinel), and the PIT dimension key hashes the HEX-CAST binary
