@@ -2049,10 +2049,15 @@ object DvQueries {
           val before = store.read(table).count()
           store.rewrite(table)(df =>
             df.join(broadcast(forgetKeys), Seq("hk_customer_h"), "left_anti"))
-          val after = store.read(table).count()
-          val remaining = store.read(table)
-            .join(broadcast(forgetKeys), Seq("hk_customer_h"), "left_semi").count()
-          (before, after, remaining)
+          // ONE post-rewrite scan answers both "how many rows survive" and
+          // "do any forgotten keys remain" (the probe the oracle checks) —
+          // the separate count + left_semi pass was a second full scan
+          val row = store.read(table)
+            .join(broadcast(forgetKeys.withColumn("__m", lit(true))),
+              Seq("hk_customer_h"), "left")
+            .agg(count(lit(1)).as("after"), count(col("__m")).as("remaining"))
+            .head()
+          (before, row.getLong(0), row.getLong(1))
         }
         val (hb, ha, hr) = forget("hub_customer")
         val (sb, sa, sr) = forget("sat_customer")

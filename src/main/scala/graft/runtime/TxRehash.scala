@@ -327,13 +327,25 @@ object TxPitCleaner {
     val (decided, unsure) = live.partition(f =>
       stats.get((f, physSdts)).exists { case (mn, mx) => mn == mx })
     val doomedByStats = decided.filter(f => !activeStr(stats((f, physSdts))._1))
+    // membership predicate against the ALREADY-COLLECTED active set: the
+    // probe and the rewrite used to re-evaluate the snapshot scan (plus a
+    // broadcast) each — two extra jobs per cleanup for a frame that is
+    // already driver-side. An in-set literal keeps both single-scan. The
+    // string-cast comparison is 1:1 with timestamp equality (one render
+    // per value, the same form the stats use). Guarded: an unexpectedly
+    // huge active set falls back to the broadcast join rather than a
+    // million-literal predicate.
+    val inSet = activeStr.size <= 10000
+    def isActive(c: org.apache.spark.sql.Column) =
+      c.cast("string").isin(activeStr.toSeq: _*)
     val doomedByProbe =
       if (unsure.isEmpty) Seq.empty[String]
       else {
-        val abs = t.readFiles(pitTable, v, unsure)
+        val probed = t.readFiles(pitTable, v, unsure)
           .withColumn("__file", input_file_name())
           .filter(col(sdts).isNotNull) // NOT IN never deletes NULL sdts
-          .join(broadcast(active), Seq(sdts), "left_anti")
+        val abs = (if (inSet) probed.filter(!isActive(col(sdts)))
+                   else probed.join(broadcast(active), Seq(sdts), "left_anti"))
           .select("__file").distinct().collect().map(_.getString(0))
         unsure.filter(f => abs.exists(_.endsWith("/" + f)))
       }
@@ -341,10 +353,13 @@ object TxPitCleaner {
     if (touched.nonEmpty)
       t.replaceFiles(pitTable, touched) { df =>
         // keep = active snapshots ∪ NULL-sdts rows (SQL NOT IN semantics)
-        val keep = broadcast(active.withColumn("__active", lit(true)))
-        df.join(keep, Seq(sdts), "left")
-          .filter(col(sdts).isNull || col("__active"))
-          .drop("__active")
+        if (inSet) df.filter(col(sdts).isNull || isActive(col(sdts)))
+        else {
+          val keep = broadcast(active.withColumn("__active", lit(true)))
+          df.join(keep, Seq(sdts), "left")
+            .filter(col(sdts).isNull || col("__active"))
+            .drop("__active")
+        }
       }
     (touched.size, live.size)
   }
