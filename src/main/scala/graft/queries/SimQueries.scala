@@ -29,7 +29,7 @@ object SimQueries {
     * at microsecond precision so every event query sees ONE type
     * regardless of the file vintage. All entry points run with session
     * timezone UTC, so the NTZ→LTZ cast is value-preserving. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {

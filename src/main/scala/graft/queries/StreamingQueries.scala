@@ -39,32 +39,46 @@ object StreamingQueries {
     Files.deleteIfExists(p): Unit
   }
 
+  /** One single-file parquet "arrival" with an explicit, strictly
+    * increasing mtime: micro-batch ORDER is part of the incremental
+    * contract (a later batch may only add keys/changes), and the file
+    * stream source (`maxFilesPerTrigger=1`, oldest-first) orders its
+    * queue by modification time. */
+  private def writeOneFile(df: DataFrame, wh: String, stagingDir: String,
+                           idx: Int, t0: Long): Unit = {
+    val tmp = s"$wh/_b$idx"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val list = Files.list(Paths.get(tmp))
+    val src =
+      try list.iterator().asScalaLike
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+      finally list.close()
+    val dst = Paths.get(stagingDir, f"batch$idx%02d.parquet")
+    Files.move(src, dst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(t0 + idx * 60000))
+    rmTree(Paths.get(tmp))
+  }
+
+  private implicit class IterOps[A](private val it: java.util.Iterator[A]) {
+    def asScalaLike: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+
   /** Materialize the 3-batch staged customer source as THREE single-file
-    * parquet "arrival" files with strictly increasing mtimes, so the file
-    * stream source (`maxFilesPerTrigger=1`, oldest-first) delivers
-    * exactly one staged batch per micro-batch in load order — the shape a
-    * production landing zone has. Returns the staging dir. */
+    * parquet arrivals — the shape a production landing zone has. Returns
+    * the staging dir. */
   private def writeArrivals(s: SparkSession, dir: String, wh: String): String = {
     val staged = DvQueries.cust3Batch(s, dir)
     val stagingDir = s"$wh/staging"
     Files.createDirectories(Paths.get(stagingDir))
     val t0 = System.currentTimeMillis()
-    (0L to 2L).foreach { b =>
-      val tmp = s"$wh/_b$b"
-      staged.filter(col("b") === b).drop("b")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator()
-      val src = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
-      val dst = Paths.get(stagingDir, f"batch$b%02d.parquet")
-      Files.move(src, dst)
-      // explicit, strictly-increasing mtimes: micro-batch ORDER is part of
-      // the incremental contract (a later batch may only add keys/changes),
-      // and the source orders its file queue by modification time
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(t0 + b * 60000))
-      rmTree(Paths.get(tmp))
+    (0 to 2).foreach { b =>
+      writeOneFile(staged.filter(col("b") === b.toLong).drop("b"),
+        wh, stagingDir, b, t0)
     }
     stagingDir
   }
@@ -119,6 +133,104 @@ object StreamingQueries {
               |       s.hd_customer_s, s.rsrc, s.ldts,
               |       s.c_name, s.c_acctbal_v, s.c_mktsegment
               |FROM hub h JOIN sat_v0 s ON s.hk_customer_h = h.hk_customer_h""".stripMargin)),
+
+    // §2.10 STATE-STORE PATH: the stateful satellite sink — per-key latest
+    // hashdiff lives in flatMapGroupsWithState state (O(keys-in-batch)
+    // lookups, not the batch loader's O(target) NOT-EXISTS scan). The
+    // checkpoint wipe is the sharpest replay here: it resets the STATE
+    // too, so on the second run every batch-0 row looks brand-new to the
+    // change detector — only the txn markers stand between the replay and
+    // a tripled satellite.
+    Q("streaming_sat_stateful",
+      (s, dir) => {
+        val wh = DvQueries.tmpWarehouse("graft_stream_satst")
+        val schema = DvQueries.cust3Batch(s, dir).drop("b").schema
+        val stagingDir = writeArrivals(s, dir, wh)
+        val txlog = new TxLogTable(s, s"$wh/vault")
+        def runStream(): Unit = {
+          val q = StreamingLoaders.satV0StatefulTxSink(
+            arrivalStream(s, stagingDir, schema), txlog, "sat_customer",
+            hashkey = "hk_customer_h", hashdiff = "hd_customer_s",
+            checkpoint = s"$wh/_cp", appId = Some("stream_sat_stateful")).start()
+          q.processAllAvailable(); q.stop()
+        }
+        runStream()
+        rmTree(Paths.get(s"$wh/_cp"))
+        runStream()
+        txlog.read("sat_customer")
+          .select(col("hk_customer_h"), col("hd_customer_s"), col("rsrc"),
+            col("ldts"), col("c_name"), col("c_acctbal_v"), col("c_mktsegment"))
+      },
+      Some(s"""WITH ${DvQueries.satV0Sql}
+              |SELECT hk_customer_h, hd_customer_s, rsrc, ldts,
+              |       c_name, c_acctbal_v, c_mktsegment
+              |FROM sat_v0""".stripMargin)),
+
+    // §2.10 EVENT-TIME TIMERS: gap sessionization over the events table —
+    // the continuous form of the batch event_sessions query, same 30-min
+    // gap policy, byte-compared to the same gaps-and-islands oracle. A
+    // session closes EITHER by an in-key gap or by event-time TIMEOUT
+    // (idle key, no later event to observe the gap). Three ts-ordered
+    // arrival files drive the watermark forward; a final sentinel arrival
+    // (user −1, past every open timer) advances it far enough that every
+    // tail session flushes — without it the last session of every user
+    // would sit in the state store forever, which is exactly the
+    // driver-invisible failure mode this row exists to catch.
+    Q("streaming_sessionize",
+      (s, dir) => {
+        val wh = DvQueries.tmpWarehouse("graft_stream_sess")
+        val ev = SimQueries.events(s, dir)
+          .select(col("user_id").cast("long").as("user_id"),
+            col("ts"), col("value").cast("double").as("value"))
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val sentinel = new java.sql.Timestamp(maxTs.getTime + 4 * 3600 * 1000L)
+        val stagingDir = s"$wh/staging"
+        Files.createDirectories(Paths.get(stagingDir))
+        val cuts = Seq(
+          (lit("0001-01-01").cast("timestamp"), lit("2024-01-11").cast("timestamp")),
+          (lit("2024-01-11").cast("timestamp"), lit("2024-01-21").cast("timestamp")),
+          (lit("2024-01-21").cast("timestamp"), lit("9999-01-01").cast("timestamp")))
+        val t0 = System.currentTimeMillis()
+        cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+          writeOneFile(ev.filter(col("ts") >= lo && col("ts") < hi), wh,
+            stagingDir, i, t0)
+        }
+        import s.implicits._
+        writeOneFile(Seq((-1L, sentinel, 0.0)).toDF("user_id", "ts", "value"),
+          wh, stagingDir, cuts.size, t0)
+        val txlog = new TxLogTable(s, s"$wh/out")
+        val stream = arrivalStream(s, stagingDir, ev.schema)
+          .withWatermark("ts", "0 seconds")
+        val q = StreamingLoaders.sessionizeStream(stream, gap = "30 minutes")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$wh/_cp")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            txlog.appendOnce("sessions", batch, "stream_sessionize", batchId): Unit
+          }.start()
+        q.processAllAvailable(); q.stop()
+        txlog.read("sessions")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), round(col("session_value"), 4).as("session_value"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, cast(ts AS TIMESTAMP) AS ts, value
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |numbered AS (
+             |  SELECT user_id, ts, value,
+             |    cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+             |  FROM flagged)
+             |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             |  count(*) AS n_events, round(sum(value), 4) AS session_value
+             |FROM numbered GROUP BY user_id, session_no""".stripMargin)),
 
     // §2.10 + S7: the raw exactly-once landing sink (txLogSink). A plain
     // append sink has NO incremental anti-join to save it — without the

@@ -647,8 +647,19 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       // a skipped replay can leave an already-written batch from a lost
       // CAS iteration as orphan files — vacuum's orphan-grace sweep
       // reclaims them, same as any crashed append
-      if (txn.exists { case (app, bv) => m.txns.get(app).exists(_ >= bv) })
+      if (txn.exists { case (app, bv) => m.txns.get(app).exists(_ >= bv) }) {
+        // SKIPPED, but still CONSUMED: under foreachBatch the plan may
+        // carry stateful operators (flatMapGroupsWithState) whose state
+        // must advance through EVERY micro-batch — an unexecuted skip
+        // leaves a state hole for the first non-replayed batch, and
+        // Spark's state-store commit validation fails the query outright
+        // ("expected N commits but got 0"). A noop-sink write executes
+        // all partitions without landing data. Only on the first CAS
+        // iteration (batch == None): if a lost race already wrote the
+        // batch, the plan has been executed.
+        if (batch.isEmpty) df.write.format("noop").mode("overwrite").save()
         return false // replay — skip
+      }
       requireChecks(m, df, s"$name append")
       val added = batch match {
         // reuse the already-written batch on a lost CAS — unless the new

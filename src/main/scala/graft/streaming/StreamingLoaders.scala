@@ -123,6 +123,31 @@ object StreamingLoaders {
         store.append(targetName, batch)
       }
 
+  /** Stateful satellite sink, exactly-once: change rows from
+    * [[satV0ChangesStateful]] land through
+    * [[graft.runtime.TxLogTable.appendOnce]]. The state store carries the
+    * per-key latest hashdiff; the txn marker carries idempotence — a
+    * checkpoint loss replays with FRESH state (every batch-0 row looks
+    * new again) and only the (appId, batchId) markers stop the
+    * duplication, the same two-layer contract as [[vaultSink]]. */
+  def satV0StatefulTxSink(
+      staged: DataFrame,
+      table: graft.runtime.TxLogTable,
+      targetName: String,
+      hashkey: String,
+      hashdiff: String,
+      checkpoint: String,
+      appId: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    val app = appId.getOrElse(s"sat-stateful:$checkpoint")
+    satV0ChangesStateful(staged, hashkey, hashdiff).writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.appendOnce(targetName, batch, app, batchId): Unit
+      }
+  }
+
   /** One effectivity status row (activation or deactivation) — the
     * streaming shape of the eff-sat record (hk, ldts, rsrc, is_active). */
   final case class EffStatus(hk: String, ldts: java.sql.Timestamp,
@@ -365,6 +390,14 @@ object StreamingLoaders {
         "millisecond length — use day/hour/minute units")
     val gapMs = iv.days.toLong * 86400000L + iv.microseconds / 1000L
     require(gapMs > 0, s"sessionizeStream: gap '$gap' must be positive")
+    val gapUs = gapMs * 1000L
+    // ALL gap/order comparisons at full microsecond precision: getTime
+    // truncates to ms, so a gap in (gap, gap+1ms) would not break here
+    // while the batch event_sessions query (unix_micros) breaks — a
+    // same-policy divergence exactly at the threshold. (And same-ms
+    // events must pick session_end by their µs, not arrival.)
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .groupByKey((r: Row) => r.getAs[Long](userCol))(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
@@ -377,23 +410,20 @@ object StreamingLoaders {
           } else {
             // full-precision sort (see satV0ChangesStateful): same-millisecond
             // events must order identically across runs
-            val evs = rows.toSeq.sortBy { r =>
-              val t = r.getAs[java.sql.Timestamp](tsCol)
-              (Math.floorDiv(t.getTime, 1000L), t.getNanos)
-            }
+            val evs = rows.toSeq.sortBy(r => us(r.getAs[java.sql.Timestamp](tsCol)))
             val out = Seq.newBuilder[SessionRow]
             var cur = state.getOption
             evs.foreach { r =>
               val t = r.getAs[java.sql.Timestamp](tsCol)
               val v = r.getAs[Double](valueCol)
               cur = cur match {
-                case Some(s) if t.getTime - s.last.getTime > gapMs =>
+                case Some(s) if us(t) - us(s.last) > gapUs =>
                   out += done(s)
                   Some(SessionState(t, t, 1L, v))
                 case Some(s) =>
                   Some(SessionState(
-                    if (t.getTime < s.start.getTime) t else s.start,
-                    if (t.getTime > s.last.getTime) t else s.last,
+                    if (us(t) < us(s.start)) t else s.start,
+                    if (us(t) > us(s.last)) t else s.last,
                     s.n + 1, s.value + v))
                 case None => Some(SessionState(t, t, 1L, v))
               }
