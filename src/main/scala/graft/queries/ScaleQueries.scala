@@ -820,6 +820,75 @@ object ScaleQueries {
              |  TRUE AS group_limit_pushed
              |FROM ranked WHERE rn <= 2""".stripMargin)),
 
+    // AQE SKEW-JOIN proof: a hot key holding ~60% of the fact side would
+    // pin one reducer at 100 TB (the straggler that defines wall-clock).
+    // AQE's runtime skew handling splits the oversized partition into
+    // advisory-sized slices and replicates the matching build rows — no
+    // manual salting. Thresholds are lowered for the proof (the defaults
+    // are sized for 256 MB partitions; the fixture is MBs) and restored
+    // in a finally; broadcast is disabled so the join actually shuffles.
+    // The executed ADAPTIVE plan is asserted to contain the skew=true
+    // sort-merge join; values are fingerprinted exactly.
+    Q("aqe_skew_join_proof",
+      (s, dir) => {
+        val keep = Seq(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+          .map(k => k -> s.conf.getOption(k)).toMap
+        try {
+          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+          // with few shuffle partitions the hot partition also absorbs its
+          // share of uniform keys, so hot/median lands near the default
+          // factor 5 — 2 keeps the proof about the MECHANISM, not the
+          // fixture's partition count
+          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+          s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          val fact = rd(s, dir, "lineitem")
+            .select(
+              when(col("l_orderkey") % 10 < 6, lit(0L))
+                .otherwise(col("l_orderkey") % 1000).as("k"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"))
+            // a skewed REDUCE partition is split into per-MAPPER slices; a
+            // single-file local fixture has one map task, which makes the
+            // hot partition unsplittable no matter its size. A 100 TB scan
+            // has thousands of mappers — recreate that precondition.
+            .repartition(16)
+          val dim = s.range(1000).select(col("id").as("k"),
+            (col("id") % 7).as("grp"))
+          val agg = fact.join(dim, Seq("k"))
+            .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+              sum(col("grp") * col("cents")).as("weighted_sum"))
+          // collect() (NOT head(): head wraps a limit in a separate
+          // QueryExecution) drives THIS dataset's adaptive plan to its
+          // final form, which is where the skew annotation lives
+          val row = agg.collect()(0)
+          val plan = agg.queryExecution.executedPlan.toString
+          val skewHandled = plan.contains("skew=true") ||
+            plan.contains("isSkewJoin=true")
+          import s.implicits._
+          Seq((row.getLong(0), row.getLong(1), row.getLong(2), skewHandled))
+            .toDF("n_rows", "cents_sum", "weighted_sum", "skew_handled")
+        } finally keep.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _))
+        }
+      },
+      Some("""WITH fact AS (
+             |  SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
+             |              ELSE l_orderkey % 1000 END AS k,
+             |         cast(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |dim AS (SELECT range AS k, range % 7 AS grp FROM range(0, 1000))
+             |SELECT cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cents) AS BIGINT) AS cents_sum,
+             |  cast(sum(grp * cents) AS BIGINT) AS weighted_sum,
+             |  TRUE AS skew_handled
+             |FROM fact JOIN dim USING (k)""".stripMargin)),
+
     // RESTORE (Delta RESTORE TABLE ... TO VERSION) driver-gated: the
     // fat-finger recovery drill — good data, a corrupting overwrite,
     // metadata-only restore (zero data files touched), then life
