@@ -218,15 +218,25 @@ object ConformanceQueries {
       (s, dir) => {
         rd(s, dir, "customer").select(col("c_custkey"))
           .createOrReplaceTempView("graft_rec_keys")
-        s.sql("""WITH RECURSIVE anc AS (
-                |  SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth
-                |  FROM graft_rec_keys
-                |  UNION ALL
-                |  SELECT k, cur DIV 2, depth + 1 FROM anc WHERE cur > 1)
-                |SELECT depth, count(*) AS n_keys
-                |FROM anc WHERE cur = 1
-                |GROUP BY depth""".stripMargin)
-          .select(col("depth"), col("n_keys"))
+        // the recursion emits ~log2(maxKey) rows PER KEY — ~2.6M at sf1 —
+        // and Spark's cteRecursionRowLimit safety default (1M) is sized
+        // for accidental infinite recursion, not a keyset walk. Size the
+        // knob to the workload (keys × 64-bit max depth) and restore it;
+        // found by the sf1 scale drill (BENCHNOTES r8).
+        val keep = s.conf.getOption("spark.sql.cteRecursionRowLimit")
+        s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
+        try {
+          s.sql("""WITH RECURSIVE anc AS (
+                  |  SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth
+                  |  FROM graft_rec_keys
+                  |  UNION ALL
+                  |  SELECT k, cur DIV 2, depth + 1 FROM anc WHERE cur > 1)
+                  |SELECT depth, count(*) AS n_keys
+                  |FROM anc WHERE cur = 1
+                  |GROUP BY depth""".stripMargin)
+            .select(col("depth"), col("n_keys")).localCheckpoint()
+        } finally keep.fold(s.conf.unset("spark.sql.cteRecursionRowLimit"))(
+          s.conf.set("spark.sql.cteRecursionRowLimit", _))
       },
       Some("""WITH RECURSIVE anc AS (
              |  SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth FROM customer
