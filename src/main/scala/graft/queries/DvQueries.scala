@@ -2184,8 +2184,8 @@ object DvQueries {
           .withColumn("bal_cents",
             when(col("c_custkey") % 4 === 0, col("bal_cents") + 500)
               .otherwise(col("bal_cents")))
-          .unionByName(s.range(900001, 900004)
-            .select(col("id").as("c_custkey"), lit("NEW").as("c_name"),
+          .unionByName(s.range(1, 4)
+            .select((-col("id")).as("c_custkey"), lit("NEW").as("c_name"),
               lit(0L).as("bal_cents")))
         val feed = graft.runtime.Cdc.diff(run1, run2, Seq("c_custkey"))
           .localCheckpoint()
@@ -2225,7 +2225,7 @@ object DvQueries {
              |  timestamp '2024-07-02 00:00:00', NULL, TRUE
              |FROM base WHERE c_custkey % 4 = 0 AND c_custkey % 31 <> 0
              |UNION ALL
-             |SELECT 900000 + i, 'NEW', 0.0,
+             |SELECT -i, 'NEW', 0.0,
              |  timestamp '2024-07-02 00:00:00', NULL, TRUE
              |FROM generate_series(1, 3) AS g(i)""".stripMargin)),
 

@@ -600,8 +600,8 @@ object ScaleQueries {
           .withColumn("cents",
             when(col("c_custkey") % 10 === 0, col("cents") + 100)
               .otherwise(col("cents")))
-          .unionByName(s.range(900001, 900006)
-            .select(col("id").as("c_custkey"), lit(0L).as("cents")))
+          .unionByName(s.range(1, 6)
+            .select((-col("id")).as("c_custkey"), lit(0L).as("cents")))
         store.overwrite("cust_vd", v2)
         val vs = store.versions("cust_vd")
         val a = store.readVersion("cust_vd", vs.head)
@@ -1188,8 +1188,8 @@ object ScaleQueries {
           .withColumn("cents",
             when(col("o_orderkey") % 10 === 0, col("cents") + 100)
               .otherwise(col("cents")))
-          .unionByName(s.range(900001, 900006)
-            .select(col("id").as("o_orderkey"),
+          .unionByName(s.range(1, 6)
+            .select((-col("id")).as("o_orderkey"),
               lit("1-URGENT").as("o_orderpriority"), lit(0L).as("cents")))
         val mv1 = v1.groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
@@ -1227,7 +1227,7 @@ object ScaleQueries {
              |      + CASE WHEN o_orderkey % 10 = 0 THEN 100 ELSE 0 END AS cents
              |  FROM orders WHERE o_orderkey % 97 <> 0
              |  UNION ALL
-             |  SELECT 900000 + i, '1-URGENT', 0
+             |  SELECT -i, '1-URGENT', 0
              |  FROM generate_series(1, 5) AS g(i)),
              |ops AS (
              |  SELECT cast(5 AS BIGINT) AS n_feed_i,
