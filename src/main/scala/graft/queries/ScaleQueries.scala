@@ -680,6 +680,92 @@ object ScaleQueries {
              |  TRUE AS violating_append_rejected,
              |  TRUE AS table_unchanged_after_reject""".stripMargin)),
 
+    // SQL-SURFACE FILE SKIPPING: the FileIndex seam driver-proven. Eight
+    // explicit one-file custkey-range batches, min/max stats on c_custkey,
+    // a bloom on the UNCLUSTERED c_name — then every probe runs through
+    // plain `spark.sql` over a registered view (no store API anywhere in
+    // the read path), and the proof is the EXECUTED FileSourceScan's
+    // numFiles metric: the range probe schedules exactly the 2 covering
+    // files, the name point-probe survives only where the bloom admits it
+    // (≤ half of 8, typically 1), the unfiltered scan reads all 8 — while
+    // every returned VALUE stays oracle-exact. This is Delta/Iceberg's
+    // metadata economy (stats + blooms consulted BEFORE task scheduling)
+    // reached from the dbt-user surface: SELECT with a WHERE, nothing
+    // else. At 100 TB the same probe schedules O(candidate files) tasks.
+    Q("txlog_sql_pushdown",
+      (s, dir) => {
+        val store = new graft.runtime.TxLogTable(s,
+          DvQueries.tmpWarehouse("graft_sqlpd"))
+        val t = "cust_sql"
+        val c = rd(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val maxKey = c.agg(max(col("c_custkey"))).head().getLong(0)
+        val step = (maxKey + 7) / 8
+        store.overwrite(t, c.filter(col("c_custkey") <= step).coalesce(1))
+        (1 until 8).foreach { i =>
+          store.append(t, c.filter(col("c_custkey") > i * step &&
+            col("c_custkey") <= (i + 1) * step).coalesce(1))
+        }
+        store.setStatsColumns(t, Seq("c_custkey"))
+        store.setBloomColumn(t, "c_name")
+        store.registerViews("sqlpd_")
+        // executed-scan file count: AQE finalizes after the action
+        def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+          df.collect()
+          def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scans(a.executedPlan)
+            // materialized AQE stages hide their subtree from `children`
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              scans(q.plan)
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              Seq(f.metrics("numFiles").value)
+            case other => other.children.flatMap(scans)
+          }
+          scans(df.queryExecution.executedPlan).sum
+        }
+        val rangeQ = s.sql(
+          s"""SELECT count(*) AS n, sum(cents) AS cents FROM sqlpd_$t
+             |WHERE c_custkey > ${2 * step} AND c_custkey <= ${4 * step}""".stripMargin)
+        val nFilesRange = scanned(rangeQ)
+        val probeName = c.filter(col("c_custkey") === step + 1)
+          .select(col("c_name")).head().getString(0)
+        val pointQ = s.sql(
+          s"SELECT c_custkey, cents FROM sqlpd_$t WHERE c_name = '$probeName'")
+        val nFilesPoint = scanned(pointQ)
+        val fullQ = s.sql(s"SELECT count(*) AS n FROM sqlpd_$t")
+        val nFilesFull = scanned(fullQ)
+        val Array(rangeRow) = rangeQ.collect()
+        val Array(pointRow) = pointQ.collect()
+        s.range(1).select(
+          lit(rangeRow.getLong(0)).as("n_range"),
+          lit(rangeRow.getLong(1)).as("cents_range"),
+          lit(nFilesRange).as("n_files_range"),
+          lit(pointRow.getLong(0)).as("point_custkey"),
+          lit(pointRow.getLong(1)).as("point_cents"),
+          lit(nFilesPoint <= 4L).as("bloom_pruned_point"),
+          lit(nFilesFull).as("n_files_full"),
+          lit(fullQ.head().getLong(0)).as("n_full"))
+      },
+      Some("""WITH p AS (SELECT (max(c_custkey) + 7) // 8 AS step FROM customer)
+             |SELECT
+             |  (SELECT cast(count(*) AS BIGINT) FROM customer, p
+             |   WHERE c_custkey > 2 * p.step AND c_custkey <= 4 * p.step)
+             |    AS n_range,
+             |  (SELECT cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |   FROM customer, p
+             |   WHERE c_custkey > 2 * p.step AND c_custkey <= 4 * p.step)
+             |    AS cents_range,
+             |  cast(2 AS BIGINT) AS n_files_range,
+             |  (SELECT cast(c_custkey AS BIGINT) FROM customer, p
+             |   WHERE c_custkey = p.step + 1) AS point_custkey,
+             |  (SELECT cast(round(c_acctbal * 100) AS BIGINT) FROM customer, p
+             |   WHERE c_custkey = p.step + 1) AS point_cents,
+             |  TRUE AS bloom_pruned_point,
+             |  cast(8 AS BIGINT) AS n_files_full,
+             |  (SELECT cast(count(*) AS BIGINT) FROM customer) AS n_full""".stripMargin)),
+
     // Z-ORDER SKIPPING MADE REAL on the transactional store: the
     // zorder_layout query diagnoses bucket tightness; this one PROVES
     // the file-skipping payoff. Two physical layouts of the same rows —

@@ -1044,6 +1044,189 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     })
   }
 
+  // ---- SQL-surface file skipping (the FileIndex seam) --------------------
+  // registerViews makes vault tables queryable from plain `spark.sql`, but
+  // candidateFiles / bloomCandidateFiles were store-API-only: a
+  // `SELECT … FROM t WHERE k = …` over a registered view scanned every
+  // live file. The Spark-first fix is the seam Delta (TahoeFileIndex) and
+  // Iceberg use on Spark: FileSourceScanExec hands its pushed-down data
+  // filters to FileIndex.listFiles, so a manifest-aware index prunes files
+  // by min/max stats and per-file blooms BEFORE tasks are scheduled. At
+  // 100 TB a point probe schedules O(candidate files) tasks instead of
+  // O(table), and it composes with Catalyst for free — the predicate is
+  // still applied exactly row-wise; the index only shrinks the scan.
+
+  private final class ManifestFileIndex(name: String, v: Long, m: Meta,
+                                        live: Seq[String])
+      extends org.apache.spark.sql.execution.datasources.FileIndex {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.execution.datasources.{FileStatusWithMetadata, PartitionDirectory}
+    import org.apache.spark.sql.types._
+
+    private val hRoot = new org.apache.hadoop.fs.Path(root(name).toUri)
+    private val statuses: Map[String, org.apache.hadoop.fs.FileStatus] = {
+      val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      live.map(f => f -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root(name).resolve(f).toUri))).toMap
+    }
+
+    override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(hRoot)
+    override def partitionSchema: StructType = new StructType()
+    override def sizeInBytes: Long = statuses.values.map(_.getLen).sum
+    override def inputFiles: Array[String] =
+      live.map(f => root(name).resolve(f).toString).toArray
+    override def refresh(): Unit = ()
+
+    /** stats are stored CAST-AS-STRING; literals render the same way.
+      * None = unrenderable type → that conjunct never prunes (safe). */
+    private def render(value: Any, dt: DataType): Option[String] = dt match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | _: DecimalType => Option(value).map(_.toString)
+      case DateType => Option(value).map(d =>
+        java.time.LocalDate.ofEpochDay(d.asInstanceOf[Int].toLong).toString)
+      case _ => None
+    }
+
+    private def physCol(e: Expression): Option[ColMap] = e match {
+      case a: AttributeReference => m.cols.find(_.physical == a.name)
+      case _ => None
+    }
+
+    /** keep files whose [min,max] could intersect the probe interval;
+      * strict bounds prune the boundary file too (max == lo proves no row
+      * satisfies `col > lo`) */
+    private def rangeKeep(c: ColMap, lo: Option[String], hi: Option[String],
+                          loStrict: Boolean = false,
+                          hiStrict: Boolean = false): String => Boolean = {
+      val cmp = statCompare(c.typeDdl)
+      f => m.stats.get((f, c.physical)) match {
+        case Some((mn, mx)) =>
+          lo.forall(l => if (loStrict) cmp(mx, l) > 0 else cmp(mx, l) >= 0) &&
+            hi.forall(h => if (hiStrict) cmp(mn, h) < 0 else cmp(mn, h) <= 0)
+        case None => true
+      }
+    }
+
+    /** `col = value`: min/max AND bloom, both sound — a file is dropped
+      * only on proof of absence; missing stats/blooms stay candidates */
+    private def eqKeep(c: ColMap, s: String): String => Boolean = {
+      val byStats = rangeKeep(c, Some(s), Some(s))
+      m.bloomCols.get(c.physical) match {
+        case None => byStats
+        case Some(nbits) =>
+          val pos = bloomPositions(s, nbits)
+          f => byStats(f) && (m.blooms.get((f, c.physical)) match {
+            case None => true
+            case Some(b64) =>
+              pos.forall(decodedBloom(name, v, f, c.physical, b64).get)
+          })
+      }
+    }
+
+    private def eqFor(a: Expression, x: Any, dt: DataType): Option[String => Boolean] =
+      physCol(a).flatMap(c => render(x, dt).map(eqKeep(c, _)))
+    private def rgFor(a: Expression, x: Any, dt: DataType, isLo: Boolean,
+                      strict: Boolean): Option[String => Boolean] =
+      physCol(a).flatMap(c => render(x, dt).map(s =>
+        if (isLo) rangeKeep(c, Some(s), None, loStrict = strict)
+        else rangeKeep(c, None, Some(s), hiStrict = strict)))
+
+    /** one pushed conjunct → a sound file-keep predicate; IN keeps a file
+      * when ANY value could be present; OR prunes only when both arms can;
+      * unsupported shapes never prune. */
+    private def keepFor(e: Expression): Option[String => Boolean] = e match {
+      case EqualTo(a, Literal(x, dt)) => eqFor(a, x, dt)
+      case EqualTo(Literal(x, dt), a) => eqFor(a, x, dt)
+      case EqualNullSafe(a, Literal(x, dt)) if x != null => eqFor(a, x, dt)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val ks = vs.map { case Literal(x, dt) => eqFor(a, x, dt) }
+        if (ks.exists(_.isEmpty)) None
+        else Some(f => ks.flatten.exists(_(f)))
+      case InSet(a, vs) if vs.nonEmpty =>
+        val ks = vs.toSeq.map(x => eqFor(a, x, a.dataType))
+        if (ks.exists(_.isEmpty)) None
+        else Some(f => ks.flatten.exists(_(f)))
+      case GreaterThan(a, Literal(x, dt))          => rgFor(a, x, dt, isLo = true,  strict = true)
+      case GreaterThanOrEqual(a, Literal(x, dt))   => rgFor(a, x, dt, isLo = true,  strict = false)
+      case LessThan(a, Literal(x, dt))             => rgFor(a, x, dt, isLo = false, strict = true)
+      case LessThanOrEqual(a, Literal(x, dt))      => rgFor(a, x, dt, isLo = false, strict = false)
+      case GreaterThan(Literal(x, dt), a)          => rgFor(a, x, dt, isLo = false, strict = true)
+      case GreaterThanOrEqual(Literal(x, dt), a)   => rgFor(a, x, dt, isLo = false, strict = false)
+      case LessThan(Literal(x, dt), a)             => rgFor(a, x, dt, isLo = true,  strict = true)
+      case LessThanOrEqual(Literal(x, dt), a)      => rgFor(a, x, dt, isLo = true,  strict = false)
+      case And(l, r) => (keepFor(l), keepFor(r)) match {
+        case (Some(a), Some(b)) => Some(f => a(f) && b(f))
+        case (one, other)       => one.orElse(other)
+      }
+      case Or(l, r) => (keepFor(l), keepFor(r)) match {
+        case (Some(a), Some(b)) => Some(f => a(f) || b(f))
+        case _                  => None
+      }
+      case _ => None
+    }
+
+    override def listFiles(partitionFilters: Seq[Expression],
+                           dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val keeps = dataFilters.flatMap(keepFor)
+      val cand = if (keeps.isEmpty) live else live.filter(f => keeps.forall(_(f)))
+      Seq(PartitionDirectory(InternalRow.empty,
+        cand.map(f => FileStatusWithMetadata(statuses(f), Map.empty))))
+    }
+  }
+
+  /** The current snapshot as a DataFrame whose SCAN prunes files from the
+    * manifest's min/max stats and per-file blooms whenever Catalyst pushes
+    * a predicate down — [[read]]'s exact semantics (typed column mapping +
+    * delete-time-scoped equality deletes) over a skipping-capable
+    * FileIndex. [[registerViews]] registers THIS, so a plain
+    * `spark.sql("SELECT … FROM t WHERE k = 42")` schedules only candidate
+    * files — the store-API `candidateFiles`/`bloomCandidateFiles` economy
+    * reached from the dbt-user SQL surface. */
+  def sqlScan(name: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"TxLogTable $name does not exist"))
+    val m = metaOf(name, v)
+    val live = files(name, v)
+    // legacy unmapped manifests and empty tables declare no physical
+    // schema — serve the plain snapshot read (nothing to prune anyway)
+    if (m.cols.isEmpty || live.isEmpty) return readVersion(name, v)
+    val idx = new ManifestFileIndex(name, v, m, live)
+    val dataSchema = StructType(m.cols.map(c =>
+      StructField(c.physical, DataType.fromDDL(c.typeDdl))))
+    val rel = HadoopFsRelation(idx, new StructType(), dataSchema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    val base = spark.baseRelationToDataFrame(rel)
+    // equality deletes, scoped exactly as readWithDeletes: a tombstone
+    // kills a key only inside the files live at delete time, so a later
+    // re-insert of the key survives. File identity comes from
+    // input_file_name, made manifest-relative by a suffix extract (the
+    // table dir name is matched greedily, i.e. at its LAST occurrence).
+    val cleaned =
+      if (m.edels.isEmpty) base
+      else {
+        import org.apache.spark.sql.functions.{broadcast, input_file_name, regexp_extract}
+        val relCol = regexp_extract(input_file_name(),
+          ".*/" + java.util.regex.Pattern.quote(name) + "/(.+)$", 1)
+        m.edels.foldLeft(base.withColumn("__rel", relCol)) { (df, e) =>
+          val keys = deleteKeys(name, e).select(e.keyPhys.map(col): _*)
+          val cond = e.keyPhys.map(k => df(k) === keys(k)).reduce(_ && _) &&
+            df("__rel").isInCollection(e.scope)
+          df.join(broadcast(keys), cond, "left_anti")
+        }.drop("__rel")
+      }
+    cleaned.select(m.cols.map(c =>
+      col(c.physical).cast(c.typeDdl).as(c.logical)): _*)
+  }
+
+  /** vault-as-SQL surface over the skipping scan: every registered view's
+    * WHERE clause prunes files through [[sqlScan]]'s FileIndex */
+  override def registerViews(prefix: String = ""): Unit =
+    tables.foreach(n => sqlScan(n).createOrReplaceTempView(prefix + n))
+
   // ---- S9: metadata-only DDL (rehash_single_hub.sql:17-26,51-69) ---------
   // Each commits a new manifest and touches ZERO data files: logical names
   // map onto immutable physical names, so a rename is a header edit, an
@@ -1065,10 +1248,18 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     val phys = next.map(_.physical).toSet
     // equality deletes carry through DDL untouched: they anti-join on
     // PHYSICAL names inside the scoped files, which no mapping change
-    // moves (a renamed or even dropped key column still kills its rows)
+    // moves (a renamed or even dropped key column still kills its rows).
+    // Blooms (physical-keyed, rename-proof like stats) and CHECK
+    // constraints survive too — constraints reference LOGICAL names, so
+    // renaming/dropping a constrained column leaves a constraint later
+    // appends fail loudly on (drop it first); silently shedding the
+    // contract on every DDL would be worse.
     val withStats = Meta(next,
       m.statsCols.filter(phys),
-      m.stats.filter { case ((_, c), _) => phys(c) }, m.txns, m.edels)
+      m.stats.filter { case ((_, c), _) => phys(c) }, m.txns, m.edels,
+      m.bloomCols.filter { case (c, _) => phys(c) },
+      m.blooms.filter { case ((_, c), _) => phys(c) },
+      m.checks)
     if (!tryCommit(name, v + 1, renderM(withStats, files(name, v))))
       throw new IllegalStateException(
         s"TxLogTable $name: lost commit race on $op — retry")
