@@ -442,7 +442,10 @@ object StatsQueries {
     // strictly-later range frame gives max(price) over all newer orders
     // — frontier = rows beating that and topping their own day. All
     // windows are segment-partitioned; the oracle is the independent
-    // NOT EXISTS dominance formulation.
+    // NOT EXISTS dominance formulation, stated against per-(segment,
+    // day) maxima — dominance is decidable from day maxima alone, which
+    // keeps the oracle O(segment·days) at any SF (the raw all-pairs
+    // NOT EXISTS was still grinding after 6 CPU-hours at sf1).
     Q("pareto_frontier",
       (s, dir) => {
         val pts = rd(s, dir, "orders")
@@ -469,17 +472,21 @@ object StatsQueries {
           .select(col("segment"), col("o_orderkey"), col("day"),
             round(col("price"), 2).as("price"))
       },
-      Some("""SELECT c.c_mktsegment AS segment, o.o_orderkey,
-             |  cast(o.o_orderdate AS DATE) AS day,
-             |  round(o.o_totalprice, 2) AS price
-             |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      Some("""WITH pts AS (
+             |  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+             |    cast(o.o_orderdate AS DATE) AS day, o.o_totalprice AS price
+             |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+             |dmax AS (
+             |  SELECT segment, day, max(price) AS mp FROM pts GROUP BY 1, 2)
+             |SELECT p.segment, p.o_orderkey, p.day, round(p.price, 2) AS price
+             |FROM pts p
+             |JOIN dmax d ON d.segment = p.segment AND d.day = p.day
+             |           AND p.price = d.mp
              |WHERE NOT EXISTS (
-             |  SELECT 1 FROM orders o2 JOIN customer c2 ON c2.c_custkey = o2.o_custkey
-             |  WHERE c2.c_mktsegment = c.c_mktsegment
-             |    AND o2.o_orderdate >= o.o_orderdate
-             |    AND o2.o_totalprice >= o.o_totalprice
-             |    AND (o2.o_orderdate > o.o_orderdate
-             |         OR o2.o_totalprice > o.o_totalprice))""".stripMargin)),
+             |  SELECT 1 FROM dmax d2
+             |  WHERE d2.segment = p.segment AND d2.day >= p.day
+             |    AND d2.mp >= p.price
+             |    AND (d2.day > p.day OR d2.mp > p.price))""".stripMargin)),
 
     // ABC (Pareto) CLASSIFICATION of parts by revenue, WITHIN brand: the
     // cumulative-share scan runs per brand (bounded partitions — never
