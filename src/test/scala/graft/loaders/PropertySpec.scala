@@ -74,6 +74,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental protocol: 20 random multi-way splits build identical hub/sat/PIT") {
+    val r = new Random(46)
+    for (iter <- 1 to 20) {
+      val dates = 3 + r.nextInt(4) // 3..6 load days
+      val src = randomSource(r, keys = 6 + r.nextInt(8), dates = dates)
+      val fullHub = HubLoader.records(
+        Seq(EntitySource(src, Some("hk"), Seq("bk"))), "hk", Seq("bk"), None)
+      val fullSat = SatV0Loader.records(src, Seq("hk"), Some("hd"),
+        Seq("payload"), None)
+      // random multi-way timeline split: k batches at random day cuts, each
+      // load re-seeing every earlier row (HWM must shrug the prefix off)
+      val k = 2 + r.nextInt(dates - 1)
+      val cuts = r.shuffle((1 until dates).toList).take(k - 1).sorted
+      val bounds = (cuts :+ dates).map(d => f"2024-03-$d%02d 23:59:59")
+      val wh = Files.createTempDirectory("graft_prop_proto").toString
+      val store = new TableStore(spark, wh)
+      bounds.foreach { hi =>
+        val batch = src.filter($"ldts" <= to_timestamp(lit(hi)))
+        store.append("hub", HubLoader.records(
+          Seq(EntitySource(batch, Some("hk"), Seq("bk"))), "hk", Seq("bk"),
+          store.readIfExists("hub")))
+        store.append("sat", SatV0Loader.records(batch, Seq("hk"), Some("hd"),
+          Seq("payload"), store.readIfExists("sat")))
+      }
+      val (hub, sat) = (store.read("hub"), store.read("sat"))
+      assert(hub.exceptAll(fullHub).isEmpty && fullHub.exceptAll(hub).isEmpty,
+        s"iter $iter: hub diverged (cuts=$cuts/$dates)")
+      assert(sat.exceptAll(fullSat).isEmpty && fullSat.exceptAll(sat).isEmpty,
+        s"iter $iter: sat diverged (cuts=$cuts/$dates)")
+      // the PIT is a pure function of (hub, end-dated sat, snapshots): the
+      // split-built vault must produce the same PIT as the one-shot build
+      val snaps = (1 to dates).map(d => f"2024-03-$d%02d 12:00:00")
+        .toDF("sdts_s").withColumn("sdts", to_timestamp($"sdts_s"))
+        .drop("sdts_s").withColumn("is_active", lit(true))
+      def pit(h: DataFrame, s0: DataFrame): DataFrame = PitLoader.records(
+        h.select("hk").distinct(), "hk",
+        Seq(PitSatellite("s", graft.ops.Ops.endDate(s0, "hk"))), snaps,
+        "dim_key", referToGhostRecords = false)
+      val (p1, p2) = (pit(hub, sat), pit(fullHub, fullSat))
+      assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty,
+        s"iter $iter: PIT diverged (cuts=$cuts/$dates)")
+      store.drop("hub"); store.drop("sat")
+    }
+  }
+
   test("hub: earliest-wins dedup is invariant under row order") {
     val r = new Random(43)
     for (iter <- 1 to 3) {
