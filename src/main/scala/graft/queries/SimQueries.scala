@@ -1680,6 +1680,68 @@ object SimQueries {
              |  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
              |GROUP BY b.query_id""".stripMargin)),
 
+    // CODEBOOK AS DATA, NOT PLAN: the other IVF/PQ queries drive their
+    // centroids through driver-collected typedLit literals — exact, and
+    // right at nlist=8, but the expression tree grows with the codebook,
+    // and at the production nlist ≈ √N (thousands of centroids × 64
+    // floats) plan size becomes the limit. This query runs the SAME
+    // deterministic cell assignment with the codebook kept as a DATAFRAME
+    // end to end: corpus ⋈ broadcast(centroids) (tiny build side), one
+    // rounded cosine per pair, argmax via max(struct) — zero driver
+    // collects, plan size O(1) in nlist, the shape that survives a
+    // trained 4096-cell index. The emitted census (cell cardinality +
+    // how many queries probe each cell at nprobe=2) pins the assignment
+    // exactly against the oracle's QUALIFY formulation.
+    Q("ann_codebook_join",
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
+        val cents = e.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+          .select((col("vec_id") - 10).as("cid"), col("embedding").as("cvec"),
+            col("nrm").as("cnrm"))
+        val scored = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            round(dotProduct(col("embedding"), col("cvec")) /
+              (col("nrm") * col("cnrm")), 4).as("s"))
+        val corpusCell = scored.filter(col("vec_id") >= 10)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("s"), (-col("cid")).as("nc"))).as("b"))
+          .select(col("vec_id"), (-col("b.nc")).cast("long").as("cell"))
+        val wq = Window.partitionBy(col("vec_id"))
+          .orderBy(col("s").desc, col("cid").asc)
+        val queryCells = scored.filter(col("vec_id") < 10)
+          .withColumn("__rn", row_number().over(wq)).filter(col("__rn") <= 2)
+          .select(col("vec_id").as("query_id"), col("cid").cast("long").as("cell"))
+        corpusCell.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_members"))
+          .join(queryCells.groupBy(col("cell")).agg(count(lit(1)).as("n_probes")),
+            Seq("cell"), "left")
+          .select(col("cell"), col("n_members"),
+            coalesce(col("n_probes"), lit(0L)).as("n_probes"))
+      },
+      Some(s"""WITH icent AS (
+             |  SELECT vec_id - 10 AS cid, embedding AS cvec
+             |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+             |iscored AS (
+             |  SELECT e.vec_id, c.cid,
+             |    round(${cosDuck("e.embedding", "c.cvec")}, 4) AS s
+             |  FROM embeddings e, icent c),
+             |corpus_cell AS (
+             |  SELECT vec_id, cid AS cell FROM iscored WHERE vec_id >= 10
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+             |    ORDER BY s DESC, cid ASC) = 1),
+             |query_cells AS (
+             |  SELECT vec_id AS query_id, cid AS cell FROM iscored
+             |  WHERE vec_id < 10
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+             |    ORDER BY s DESC, cid ASC) <= 2)
+             |SELECT m.cell, m.n_members, coalesce(q.n_probes, 0) AS n_probes
+             |FROM (SELECT cast(cell AS BIGINT) AS cell,
+             |        cast(count(*) AS BIGINT) AS n_members
+             |      FROM corpus_cell GROUP BY 1) m
+             |LEFT JOIN (SELECT cast(cell AS BIGINT) AS cell,
+             |             cast(count(*) AS BIGINT) AS n_probes
+             |           FROM query_cells GROUP BY 1) q USING (cell)""".stripMargin)),
+
     Q("ivf_ann",
       (s, dir) => {
         val k = 8; val nprobe = 2
