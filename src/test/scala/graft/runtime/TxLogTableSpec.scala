@@ -742,6 +742,41 @@ class TxLogTableSpec extends SparkSpec {
       .toSeq === Seq(99L))
   }
 
+  test("sqlScan pruning is sound under random predicates (seeded sweep)") {
+    import org.apache.spark.sql.functions.{col => fc}
+    val r = new scala.util.Random(47)
+    val (t, _) = freshStore()
+    // 6 appended batches, skewed key ranges with overlap + some all-NULL
+    // stretches; stats on k, bloom on tag
+    (0 until 6).foreach { b =>
+      val lo = b * 80 + r.nextInt(40)
+      val rows = (0 until 60).map { i =>
+        val k: java.lang.Long = if (r.nextInt(10) == 0) null else (lo + i).toLong
+        (k, s"t${r.nextInt(25)}", b)
+      }
+      t.append("tbl", rows.toDF("k", "tag", "b"))
+    }
+    t.setStatsColumns("tbl", Seq("k"))
+    t.setBloomColumn("tbl", "tag")
+    t.deleteWhere("tbl", fc("b") === 2 && fc("k") % 3 === 0, Seq("k", "tag"))
+    t.registerViews("rp_")
+    val plain = t.read("tbl")
+    for (iter <- 1 to 25) {
+      val pred = r.nextInt(5) match {
+        case 0 => s"k = ${r.nextInt(520)}"
+        case 1 => s"k > ${r.nextInt(400)} AND k <= ${400 + r.nextInt(200)}"
+        case 2 => s"tag = 't${r.nextInt(25)}'"
+        case 3 => s"k IN (${Seq.fill(3)(r.nextInt(520)).mkString(", ")})"
+        case 4 => s"k < ${r.nextInt(200)} OR tag = 't${r.nextInt(25)}'"
+      }
+      val got = spark.sql(s"SELECT k, tag, b FROM rp_tbl WHERE $pred")
+        .collect().map(_.toString).sorted.toSeq
+      val want = plain.filter(pred).select("k", "tag", "b")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, s"iter $iter: pruning dropped rows for [$pred]")
+    }
+  }
+
   test("DDL carries blooms and CHECK constraints through (physical-keyed)") {
     val (t, _) = freshStore()
     t.append("tbl", (1 to 20).map(i => (i, s"x$i")).toDF("id", "v"))
