@@ -198,10 +198,14 @@ object TextQueries {
        |    SELECT band, bucket FROM bands GROUP BY band, bucket
        |    HAVING count(*) <= 100) s
        |  ON b.band = s.band AND b.bucket = s.bucket),
-       |cands AS (
+       |cands AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id, b.doc_id AS doc_id_2
        |  FROM capped a JOIN capped b
        |    ON a.bucket = b.bucket AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+  // ^ MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so an
+  // oracle referencing `cands` k times recomputes the whole minhash chain
+  // k ways — pagerank_sim and triangle_count (5 references) each burned
+  // >70 CPU-minutes at sf1 before this; materialized, the chain runs once.
 
   /** hashed-feature linear classifier score per doc — shared by
     * `quality_classifier` (thresholded gate) and `classifier_pr_curve`
