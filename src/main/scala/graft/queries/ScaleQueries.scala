@@ -1140,7 +1140,9 @@ object ScaleQueries {
         val v = store.currentVersion(t).get
         val nFiles = store.files(t, v).size
         val present = (0 until 40).map(i => 13L + 371L * i)
-        val absent = (0 until 40).map(i => 1000000L + 97L * i)
+        // negative keys are outside the TPC-H keyspace at EVERY sf
+        // (1000000 + 97i collided at sf1, where orderkeys reach 6M)
+        val absent = (0 until 40).map(i => -(13L + 97L * i))
         // bloom checks are driver-side manifest reads (cheap); the ROW
         // probe is ONE Spark job over the union of candidate files
         // semi-joined with the key set — a bloom filter has no false
