@@ -1155,6 +1155,12 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       case GreaterThanOrEqual(Literal(x, dt), a)   => rgFor(a, x, dt, isLo = false, strict = false)
       case LessThan(Literal(x, dt), a)             => rgFor(a, x, dt, isLo = true,  strict = true)
       case LessThanOrEqual(Literal(x, dt), a)      => rgFor(a, x, dt, isLo = true,  strict = false)
+      // prefix probe: every p-prefixed string sorts >= p, so the lower
+      // bound alone prunes files whose max < p — sound without the
+      // fiddly next-after-prefix upper bound (utf8 byte order vs string
+      // order makes a tight hi unsafe to hand-roll)
+      case StartsWith(a, Literal(x, StringType)) if x != null =>
+        physCol(a).map(c => rangeKeep(c, Some(x.toString), None))
       case And(l, r) => (keepFor(l), keepFor(r)) match {
         case (Some(a), Some(b)) => Some(f => a(f) && b(f))
         case (one, other)       => one.orElse(other)

@@ -762,12 +762,13 @@ class TxLogTableSpec extends SparkSpec {
     t.registerViews("rp_")
     val plain = t.read("tbl")
     for (iter <- 1 to 25) {
-      val pred = r.nextInt(5) match {
+      val pred = r.nextInt(6) match {
         case 0 => s"k = ${r.nextInt(520)}"
         case 1 => s"k > ${r.nextInt(400)} AND k <= ${400 + r.nextInt(200)}"
         case 2 => s"tag = 't${r.nextInt(25)}'"
         case 3 => s"k IN (${Seq.fill(3)(r.nextInt(520)).mkString(", ")})"
         case 4 => s"k < ${r.nextInt(200)} OR tag = 't${r.nextInt(25)}'"
+        case 5 => s"tag LIKE 't${r.nextInt(3)}%'"
       }
       val got = spark.sql(s"SELECT k, tag, b FROM rp_tbl WHERE $pred")
         .collect().map(_.toString).sorted.toSeq
