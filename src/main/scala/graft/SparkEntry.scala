@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ConformanceQueries, DvQueries, ErQueries, GraphQueries, JoinQueries, MartQueries, PrivacyQueries, RelQueries, ScaleQueries, SimQueries, StatsQueries, StreamingQueries, TextQueries, TpchQueries}
+import graft.queries.{ConformanceQueries, DvQueries, ErQueries, GeoQueries, GraphQueries, JoinQueries, MartQueries, PrivacyQueries, RelQueries, ScaleQueries, SimQueries, StatsQueries, StreamingQueries, TextQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query registry lives in graft.queries.* (one entry per implemented
@@ -11,7 +11,7 @@ object SparkEntry {
   private lazy val registry = {
     val r = DvQueries.all ++ TextQueries.all ++ SimQueries.all ++ RelQueries.all ++
       JoinQueries.all ++ StatsQueries.all ++ ScaleQueries.all ++
-      ConformanceQueries.all ++ TpchQueries.all ++ MartQueries.all ++ ErQueries.all ++ GraphQueries.all ++ PrivacyQueries.all ++ StreamingQueries.all
+      ConformanceQueries.all ++ TpchQueries.all ++ MartQueries.all ++ ErQueries.all ++ GraphQueries.all ++ PrivacyQueries.all ++ StreamingQueries.all ++ GeoQueries.all
     // the maps below are keyed by name — a duplicate would SILENTLY shadow
     // one query's fn/oracle with another's and the driver compare would
     // green-light the survivor; fail loudly instead

@@ -1271,6 +1271,55 @@ object ConformanceQueries {
              |  WHERE o.o_custkey = c.c_custkey
              |  ORDER BY cents DESC, o_orderkey
              |  LIMIT 2) t
-             |WHERE c.c_custkey % 50 = 0""".stripMargin))
+             |WHERE c.c_custkey % 50 = 0""".stripMargin)),
+
+    // Case-insensitive COLLATION semantics (Spark 4 collated strings vs
+    // DuckDB COLLATE NOCASE): grouping under UTF8_LCASE merges case
+    // variants of the same segment; ordering under the collation sorts by
+    // the case-folded value (binary tiebreak keeps ranks deterministic).
+    // The collated column itself never reaches the output — the group is
+    // reported as min(lower(v)) (constant within a case-insensitive
+    // group) and ranks as BIGINT — so the parquet/oracle surface stays
+    // collation-free. ASCII-only input keeps Spark's UTF8_LCASE
+    // (case-fold + binary) and DuckDB's ICU NOCASE in agreement.
+    Q("collation_conformance",
+      (s, dir) => {
+        val mixed = rd(s, dir, "customer")
+          .withColumn("variant", expr(
+            """CASE c_custkey % 3
+              |  WHEN 0 THEN lower(c_mktsegment)
+              |  WHEN 1 THEN c_mktsegment
+              |  ELSE upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+              |END""".stripMargin))
+        val grouped = mixed
+          .groupBy(collate(col("variant"), "UTF8_LCASE").as("k"))
+          .agg(min(lower(col("variant"))).as("segment"),
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("variant")).as("n_case_variants"))
+          .drop("k")
+        import org.apache.spark.sql.expressions.Window
+        grouped
+          .withColumn("lcase_rank", row_number().over(
+            Window.orderBy(collate(col("segment"), "UTF8_LCASE"), col("segment")))
+            .cast("long"))
+          .orderBy("segment")
+      },
+      Some("""WITH mixed AS (
+             |  SELECT CASE c_custkey % 3
+             |    WHEN 0 THEN lower(c_mktsegment)
+             |    WHEN 1 THEN c_mktsegment
+             |    ELSE upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+             |  END AS variant
+             |  FROM customer),
+             |grouped AS (
+             |  SELECT min(lower(variant)) AS segment,
+             |    cast(count(*) AS BIGINT) AS n_rows,
+             |    cast(count(DISTINCT variant) AS BIGINT) AS n_case_variants
+             |  FROM mixed
+             |  GROUP BY variant COLLATE NOCASE)
+             |SELECT segment, n_rows, n_case_variants,
+             |  cast(row_number() OVER (ORDER BY segment COLLATE NOCASE, segment)
+             |    AS BIGINT) AS lcase_rank
+             |FROM grouped ORDER BY segment""".stripMargin))
   )
 }

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geospatial operators over grid-bucketed points — the missing spatial
+  * family (hotspot density, radius join, kNN, nearest-facility
+  * assignment, trajectory length).
+  *
+  * Points are synthesized DETERMINISTICALLY from the driver tables
+  * (integer milli-degree coordinates derived from keys via LCG-style
+  * multipliers), so both engines derive the identical point set at every
+  * SF with pure int64 arithmetic — no float in any coordinate or any
+  * join/selection decision:
+  *
+  *   lat_md = (key * 48271) % 10000        -- 0..10°N in milli-degrees
+  *   lon_md = (key * 16807) % 20000        -- 0..20°E in milli-degrees
+  *
+  * Scale design (the part that survives 100 TB): every spatial join here
+  * is GRID-BUCKETED — points carry a cell id (md DIV cellSize) and
+  * candidates come from an equi-join on the 3×3 neighbor cells (probe
+  * side exploded ×9), never a cross join — the same band/bucket shape as
+  * the MinHash LSH family. Cell size ≥ radius, so the 3×3 ring is
+  * exhaustive for the radius; proximity DECISIONS (within-radius, argmin)
+  * use exact integer squared distance in md², so parity cannot hinge on
+  * libm ulps. Haversine meters appear only in reported measures, where
+  * the driver's float tolerance absorbs last-ulp engine differences.
+  */
+object GeoQueries {
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** radius for the radius join / kNN ring, in milli-degrees. */
+  private val RadiusMd = 1500L
+  private val R2 = RadiusMd * RadiusMd
+  /** bucket size — must be ≥ RadiusMd so 3×3 neighbor cells cover it. */
+  private val Cell = 2000L
+
+  // ---- shared point derivations (Spark + identical DuckDB SQL) --------
+
+  private def withCoords(df: DataFrame, key: String): DataFrame =
+    df.withColumn("lat_md", (col(key) * 48271L) % 10000L)
+      .withColumn("lon_md", (col(key) * 16807L) % 20000L)
+
+  private def coordsSql(key: String): String =
+    s"($key * 48271) % 10000 AS lat_md, ($key * 16807) % 20000 AS lon_md"
+
+  private def withCells(df: DataFrame): DataFrame =
+    df.withColumn("cla", expr(s"lat_md div $Cell"))
+      .withColumn("clo", expr(s"lon_md div $Cell"))
+
+  /** exact haversine meters — IDENTICAL formula text on both engines;
+    * only ever a reported measure, never a join/ordering key. */
+  private def havExpr(la1: String, lo1: String, la2: String, lo2: String): String =
+    s"""2.0 * 6371000.0 * asin(sqrt(
+       |  pow(sin(radians(($la2 - $la1) / 1000.0) / 2), 2)
+       |  + cos(radians($la1 / 1000.0)) * cos(radians($la2 / 1000.0))
+       |    * pow(sin(radians(($lo2 - $lo1) / 1000.0) / 2), 2)))""".stripMargin
+
+  private def d2(aLat: Column, aLon: Column, bLat: Column, bLon: Column): Column =
+    (aLat - bLat) * (aLat - bLat) + (aLon - bLon) * (aLon - bLon)
+
+  /** probe side exploded to its 3×3 neighbor cells. */
+  private def explodeRing(probe: DataFrame): DataFrame =
+    probe
+      .withColumn("dla", explode(typedLit(Seq(-1L, 0L, 1L))))
+      .withColumn("dlo", explode(typedLit(Seq(-1L, 0L, 1L))))
+      .withColumn("jla", col("cla") + col("dla"))
+      .withColumn("jlo", col("clo") + col("dlo"))
+
+  private val ringSql =
+    "CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dla) CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlo)"
+
+  val all: Seq[Q] = Seq(
+
+    // Hotspot density: 1°×1° grid cells ranked by customer count —
+    // single partial-aggregating groupBy, top-20 with deterministic
+    // tiebreak. The canonical first pass of any spatial pipeline.
+    Q("geo_grid_hotspots",
+      (s, dir) => {
+        withCoords(rd(s, dir, "customer"), "c_custkey")
+          .groupBy(expr("lat_md div 1000").as("cell_lat"),
+            expr("lon_md div 1000").as("cell_lon"))
+          .agg(count(lit(1)).as("n_points"))
+          .orderBy(col("n_points").desc, col("cell_lat"), col("cell_lon"))
+          .limit(20)
+      },
+      Some(s"""WITH pts AS (SELECT ${coordsSql("c_custkey")} FROM customer)
+              |SELECT lat_md // 1000 AS cell_lat, lon_md // 1000 AS cell_lon,
+              |  cast(count(*) AS BIGINT) AS n_points
+              |FROM pts GROUP BY 1, 2
+              |ORDER BY n_points DESC, cell_lat, cell_lon LIMIT 20""".stripMargin)),
+
+    // Radius join: for each probe point (1/97 sample), neighbors within
+    // 1.5° — candidates from the 3×3 cell ring equi-join (probe side
+    // exploded ×9), exact integer-d² filter, never a cross join. The
+    // nearest neighbor is chosen by an integer-packed (d², key) argmin so
+    // tie-break and parity are exact.
+    Q("geo_radius_join",
+      (s, dir) => {
+        val pts = withCells(withCoords(rd(s, dir, "customer"), "c_custkey"))
+          .select(col("c_custkey").as("pk"), col("lat_md"), col("lon_md"),
+            col("cla"), col("clo"))
+        val probes = explodeRing(pts.filter(col("pk") % 97 === 0)
+          .select(col("pk").as("qk"), col("lat_md").as("qlat"),
+            col("lon_md").as("qlon"), col("cla"), col("clo")))
+          .select("qk", "qlat", "qlon", "jla", "jlo")
+        probes.as("q")
+          .join(pts.as("p"),
+            col("q.jla") === col("p.cla") && col("q.jlo") === col("p.clo"))
+          .filter(col("pk") =!= col("qk") &&
+            d2(col("qlat"), col("qlon"), col("lat_md"), col("lon_md")) <= R2)
+          .groupBy(col("qk").as("probe_key"))
+          .agg(count(lit(1)).as("n_neighbors"),
+            min(d2(col("qlat"), col("qlon"), col("lat_md"), col("lon_md")) *
+              100000000L + col("pk")).as("code"))
+          .select(col("probe_key"), col("n_neighbors"),
+            expr("code div 100000000").as("min_d2"),
+            (col("code") % 100000000L).as("nearest_key"))
+          .orderBy("probe_key")
+      },
+      Some(s"""WITH pts AS (
+              |  SELECT c_custkey AS pk, ${coordsSql("c_custkey")},
+              |    (c_custkey * 48271) % 10000 // $Cell AS cla,
+              |    (c_custkey * 16807) % 20000 // $Cell AS clo
+              |  FROM customer),
+              |probes AS (
+              |  SELECT pk AS qk, lat_md AS qlat, lon_md AS qlon,
+              |    cla + dla AS jla, clo + dlo AS jlo
+              |  FROM pts $ringSql
+              |  WHERE pk % 97 = 0),
+              |hits AS (
+              |  SELECT qk, pk,
+              |    (qlat - lat_md) * (qlat - lat_md)
+              |      + (qlon - lon_md) * (qlon - lon_md) AS dd
+              |  FROM probes JOIN pts ON jla = cla AND jlo = clo
+              |  WHERE pk <> qk)
+              |SELECT qk AS probe_key, cast(count(*) AS BIGINT) AS n_neighbors,
+              |  min(dd * 100000000 + pk) // 100000000 AS min_d2,
+              |  min(dd * 100000000 + pk) % 100000000 AS nearest_key
+              |FROM hits WHERE dd <= $R2
+              |GROUP BY 1 ORDER BY probe_key""".stripMargin)),
+
+    // Grid-bounded kNN: 5 nearest neighbors per probe among the 3×3 cell
+    // ring candidates, ranked by exact (d², key). The per-probe top-k is
+    // a window over the ring candidates only — Catalyst's
+    // WindowGroupLimit bounds the exchange, and the candidate set is
+    // O(ring density), not O(N).
+    Q("geo_knn",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pts = withCells(withCoords(rd(s, dir, "customer"), "c_custkey"))
+          .select(col("c_custkey").as("pk"), col("lat_md"), col("lon_md"),
+            col("cla"), col("clo"))
+        val probes = explodeRing(pts.filter(col("pk") % 97 === 1)
+          .select(col("pk").as("qk"), col("lat_md").as("qlat"),
+            col("lon_md").as("qlon"), col("cla"), col("clo")))
+          .select("qk", "qlat", "qlon", "jla", "jlo")
+        val w = Window.partitionBy("qk").orderBy(col("dd"), col("pk"))
+        probes.as("q")
+          .join(pts.as("p"),
+            col("q.jla") === col("p.cla") && col("q.jlo") === col("p.clo"))
+          .filter(col("pk") =!= col("qk"))
+          .withColumn("dd",
+            d2(col("qlat"), col("qlon"), col("lat_md"), col("lon_md")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qk").as("probe_key"), col("rn").cast("long").as("rn"),
+            col("pk").as("neighbor_key"), col("dd").as("d2"))
+          .orderBy("probe_key", "rn")
+      },
+      Some(s"""WITH pts AS (
+              |  SELECT c_custkey AS pk, ${coordsSql("c_custkey")},
+              |    (c_custkey * 48271) % 10000 // $Cell AS cla,
+              |    (c_custkey * 16807) % 20000 // $Cell AS clo
+              |  FROM customer),
+              |probes AS (
+              |  SELECT pk AS qk, lat_md AS qlat, lon_md AS qlon,
+              |    cla + dla AS jla, clo + dlo AS jlo
+              |  FROM pts $ringSql
+              |  WHERE pk % 97 = 1),
+              |cand AS (
+              |  SELECT qk, pk,
+              |    (qlat - lat_md) * (qlat - lat_md)
+              |      + (qlon - lon_md) * (qlon - lon_md) AS dd
+              |  FROM probes JOIN pts ON jla = cla AND jlo = clo
+              |  WHERE pk <> qk),
+              |ranked AS (
+              |  SELECT qk, pk, dd,
+              |    row_number() OVER (PARTITION BY qk ORDER BY dd, pk) AS rn
+              |  FROM cand)
+              |SELECT qk AS probe_key, cast(rn AS BIGINT) AS rn,
+              |  pk AS neighbor_key, dd AS d2
+              |FROM ranked WHERE rn <= 5 ORDER BY probe_key, rn""".stripMargin)),
+
+    // Nearest-facility assignment: every customer assigned to its
+    // closest distribution center (1/7 of suppliers) — the classic
+    // broadcast-NN: the DC dimension is broadcast, per-customer argmin by
+    // exact integer (d², key) packing, then a per-DC rollup. Haversine km
+    // appears only as the reported mean.
+    Q("geo_nearest_dc",
+      (s, dir) => {
+        val cust = withCoords(rd(s, dir, "customer"), "c_custkey")
+          .select(col("c_custkey").as("ck"),
+            col("lat_md").as("clat"), col("lon_md").as("clon"))
+        val dcs = withCoords(
+          rd(s, dir, "supplier").filter(col("s_suppkey") % 7 === 0),
+          "s_suppkey")
+          .select(col("s_suppkey").as("dc"),
+            col("lat_md").as("dlat"), col("lon_md").as("dlon"))
+        cust.join(broadcast(dcs))
+          .withColumn("code",
+            d2(col("clat"), col("clon"), col("dlat"), col("dlon")) *
+              100000000L + col("dc"))
+          .groupBy("ck", "clat", "clon")
+          .agg(min(col("code")).as("mincode"))
+          .withColumn("dc", col("mincode") % 100000000L)
+          .join(broadcast(dcs), Seq("dc"))
+          .groupBy(col("dc").as("dc_key"))
+          .agg(count(lit(1)).as("n_customers"),
+            (sum(expr(havExpr("clat", "clon", "dlat", "dlon"))) /
+              count(lit(1)) / 1000.0).as("avg_km"))
+          .orderBy("dc_key")
+      },
+      Some(s"""WITH cust AS (
+              |  SELECT c_custkey AS ck,
+              |    (c_custkey * 48271) % 10000 AS clat,
+              |    (c_custkey * 16807) % 20000 AS clon
+              |  FROM customer),
+              |dcs AS (
+              |  SELECT s_suppkey AS dc,
+              |    (s_suppkey * 48271) % 10000 AS dlat,
+              |    (s_suppkey * 16807) % 20000 AS dlon
+              |  FROM supplier WHERE s_suppkey % 7 = 0),
+              |assigned AS (
+              |  SELECT ck, clat, clon,
+              |    min(((clat - dlat) * (clat - dlat)
+              |      + (clon - dlon) * (clon - dlon)) * 100000000 + dc)
+              |      % 100000000 AS dc
+              |  FROM cust CROSS JOIN dcs
+              |  GROUP BY 1, 2, 3)
+              |SELECT a.dc AS dc_key, cast(count(*) AS BIGINT) AS n_customers,
+              |  sum(${havExpr("clat", "clon", "dlat", "dlon")})
+              |    / count(*) / 1000.0 AS avg_km
+              |FROM assigned a JOIN dcs ON dcs.dc = a.dc
+              |GROUP BY 1 ORDER BY dc_key""".stripMargin)),
+
+    // Trajectory length: per-user path over time-ordered events, one LAG
+    // window per user partition, each segment's haversine rounded to
+    // whole meters BEFORE the sum so the per-user total is an exact
+    // integer (a float sum over a parallel reduction would be
+    // order-dependent). Top 50 by distance with deterministic tiebreak.
+    Q("geo_trajectory_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = withCoords(rd(s, dir, "events"), "event_id")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("lat_md"), col("lon_md"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        ev.withColumn("plat", lag("lat_md", 1).over(w))
+          .withColumn("plon", lag("lon_md", 1).over(w))
+          .filter(col("plat").isNotNull)
+          .withColumn("seg_m",
+            expr(s"cast(round(${havExpr("plat", "plon", "lat_md", "lon_md")}) AS BIGINT)"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_segments"),
+            sum(col("seg_m")).as("total_m"),
+            max(col("seg_m")).as("max_seg_m"))
+          .orderBy(col("total_m").desc, col("user_id"))
+          .limit(50)
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, ts, event_id, ${coordsSql("event_id")}
+              |  FROM events),
+              |seg AS (
+              |  SELECT user_id,
+              |    lag(lat_md) OVER w AS plat, lag(lon_md) OVER w AS plon,
+              |    lat_md, lon_md
+              |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              |SELECT user_id, cast(count(*) AS BIGINT) AS n_segments,
+              |  cast(sum(cast(round(${havExpr("plat", "plon", "lat_md", "lon_md")}) AS BIGINT)) AS BIGINT) AS total_m,
+              |  cast(max(cast(round(${havExpr("plat", "plon", "lat_md", "lon_md")}) AS BIGINT)) AS BIGINT) AS max_seg_m
+              |FROM seg WHERE plat IS NOT NULL
+              |GROUP BY 1 ORDER BY total_m DESC, user_id LIMIT 50""".stripMargin))
+  )
+}

@@ -150,6 +150,57 @@ object GraphQueries {
       Some(s"""WITH $symSql,
               |$bfsSql
               |SELECT node AS part_id, cast(hop AS INT) AS hop
-              |FROM l$BfsRounds""".stripMargin))
+              |FROM l$BfsRounds""".stripMargin)),
+
+    // Link prediction by the Resource-Allocation index (Zhou/Lü/Zhang
+    // 2009): candidate pair (a,b) scores Σ 1/deg(n) over shared
+    // neighbors n. Two scale decisions: (1) pair generation goes through
+    // LOW-DEGREE nodes only (deg ≤ 32) — the standard hub-suppression
+    // cap that bounds the per-node pair fan-out at deg² ≤ 1024 while
+    // discarding only near-zero 1/deg contributions; (2) the score is
+    // kept EXACT-INTEGER as Σ lcm(1..32)/deg(n) (every term divides
+    // evenly), so the top-50 ranking can never hinge on float summation
+    // order or libm ulps. Existing edges are anti-joined out.
+    Q("ra_link_prediction",
+      (s, dir) => {
+        val lcm = 144403552893600L // lcm(1..32): exact 1/deg scaling
+        val sym = symEdges(s, dir).localCheckpoint()
+        val low = sym.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= 32)
+        val nbrs = sym
+          .join(low.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("src").as("via"), col("dst").as("nbr"), col("deg"))
+        val pairs = nbrs.as("a")
+          .join(nbrs.as("b"),
+            col("a.via") === col("b.via") && col("a.nbr") < col("b.nbr"))
+          .groupBy(col("a.nbr").as("pa"), col("b.nbr").as("pb"))
+          .agg(sum(expr(s"$lcm div a.deg")).as("ra_scaled"),
+            count(lit(1)).as("n_shared"))
+        pairs
+          .join(sym.select(col("src").as("pa"), col("dst").as("pb")),
+            Seq("pa", "pb"), "left_anti")
+          .orderBy(col("ra_scaled").desc, col("pa"), col("pb"))
+          .limit(50)
+      },
+      Some(s"""WITH $symSql,
+              |low AS (
+              |  SELECT src AS node, count(*) AS deg FROM sym
+              |  GROUP BY 1 HAVING count(*) <= 32),
+              |nbrs AS MATERIALIZED (
+              |  SELECT e.src AS via, e.dst AS nbr, low.deg
+              |  FROM sym e JOIN low ON low.node = e.src),
+              |pairs AS (
+              |  SELECT a.nbr AS pa, b.nbr AS pb,
+              |    cast(sum(144403552893600 // a.deg) AS BIGINT) AS ra_scaled,
+              |    cast(count(*) AS BIGINT) AS n_shared
+              |  FROM nbrs a JOIN nbrs b
+              |    ON a.via = b.via AND a.nbr < b.nbr
+              |  GROUP BY 1, 2)
+              |SELECT pa, pb, ra_scaled, n_shared
+              |FROM pairs
+              |WHERE NOT EXISTS (SELECT 1 FROM sym
+              |  WHERE sym.src = pairs.pa AND sym.dst = pairs.pb)
+              |ORDER BY ra_scaled DESC, pa, pb LIMIT 50""".stripMargin))
   )
 }

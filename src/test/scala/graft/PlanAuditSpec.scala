@@ -34,7 +34,9 @@ class PlanAuditSpec extends SparkSpec {
       // boundedInput additionally asserts the collapse is in the plan
       "rolling_median_7d", "new_vs_returning",
       // 25-row nation dimension behind a plan-visible LIMIT
-      "null_ordering_conformance")
+      "null_ordering_conformance",
+      // 5-row segment aggregate feeds the collated rank window
+      "collation_conformance")
 
   /** An allowlisted global window is only OK when its input is bounded by
     * construction — every path from the window down to a leaf must pass
