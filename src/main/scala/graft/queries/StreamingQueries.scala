@@ -258,5 +258,55 @@ object StreamingQueries {
       Some(s"""WITH ${DvQueries.satV0Sql}
               |SELECT c_custkey, c_name, c_mktsegment, ldts, rsrc, c_acctbal_v,
               |       hk_customer_h, hd_customer_s
-              |FROM hashed""".stripMargin)))
+              |FROM hashed""".stripMargin)),
+
+    // §2.10 STREAMING DEDUP: `dropDuplicatesWithinWatermark` over an
+    // event stream where later micro-batches RE-DELIVER a slice of
+    // earlier ones (the at-least-once upstream every landing zone has).
+    // Dedup state is keyed by event_id and bounded by the watermark
+    // delay — the production contract is "duplicates arrive within D of
+    // the original", and state is dropped once the watermark passes,
+    // unlike an unbounded dropDuplicates. Here the delay exceeds the
+    // 30-day event span so the dedup is exact, and the result must equal
+    // the plain events table (each id exactly once) through BOTH the
+    // first run and a checkpoint-wipe replay (fresh state + re-delivered
+    // batches absorbed by the appendOnce txn markers).
+    Q("streaming_dedup_watermark",
+      (s, dir) => {
+        val wh = DvQueries.tmpWarehouse("graft_stream_dedup")
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val stagingDir = s"$wh/staging"
+        Files.createDirectories(Paths.get(stagingDir))
+        val t0 = System.currentTimeMillis()
+        val batches = Seq(
+          ev.filter(col("event_id") % 3 === 0),
+          ev.filter(col("event_id") % 3 === 1)
+            .unionByName(ev.filter(col("event_id") % 3 === 0 &&
+              col("event_id") % 5 === 0)),
+          ev.filter(col("event_id") % 3 === 2)
+            .unionByName(ev.filter(col("event_id") % 3 === 1 &&
+              col("event_id") % 5 === 1)))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          writeOneFile(b, wh, stagingDir, i, t0)
+        }
+        val txlog = new TxLogTable(s, s"$wh/vault")
+        def runStream(): Unit = {
+          val deduped = arrivalStream(s, stagingDir, ev.schema)
+            // the driver parquet is timestamp[us] NTZ; watermarks need LTZ
+            // (session TZ is UTC, so the cast is value-preserving)
+            .withColumn("ts", col("ts").cast("timestamp"))
+            .withWatermark("ts", "90 days")
+            .dropDuplicatesWithinWatermark("event_id")
+          val q = StreamingLoaders.txLogSink(deduped, txlog, "events_dedup",
+            checkpoint = s"$wh/_cp", appId = Some("stream_dedup_wm")).start()
+          q.processAllAvailable(); q.stop()
+        }
+        runStream()
+        rmTree(Paths.get(s"$wh/_cp"))
+        runStream()
+        txlog.read("events_dedup")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events")))
 }
