@@ -3597,6 +3597,74 @@ object TextQueries {
               |  true AS inter_est_ok, true AS union_est_ok
               |FROM inter i
               |JOIN nv na ON na.source = i.src_a
-              |JOIN nv nb ON nb.source = i.src_b""".stripMargin))
+              |JOIN nv nb ON nb.source = i.src_b""".stripMargin)),
+
+    // Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+    // Goodman 1998 §2.7) — the production smoothing the Jelinek–Mercer
+    // mix in `bigram_perplexity` approximates: absolute discount
+    // D = 0.75 on the bigram count, mass redistributed via CONTINUATION
+    // counts (in how many distinct contexts does w2 appear), not raw
+    // unigram frequency:
+    //   P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+    //            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    // Every model table is a shuffled groupBy aggregate over the bigram
+    // frame (vocab²-scale, never broadcast, never collected); the
+    // per-doc Σ tf·log2 P folds over a SORTED term list so the double
+    // sum is engine-deterministic.
+    Q("kneser_ney_bigram",
+      (s, dir) => {
+        val ws = docs(s, dir)
+          .select(col("doc_id"),
+            expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)").as("words"))
+        val bi = ws.filter(size(col("words")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"),
+          count(lit(1)).as("n1p_fwd"))
+        val back = c2.groupBy("w2").agg(count(lit(1)).as("n1p_back"))
+        val n1pTotal = c2.count()
+        val d = lit(0.75)
+        val p = greatest(col("c2") - d, lit(0.0)) / col("c1") +
+          d * col("n1p_fwd") / col("c1") *
+            (col("n1p_back") / lit(n1pTotal.toDouble))
+        bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+          .join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).join(back, Seq("w2"))
+          .select(col("doc_id"), col("tf"),
+            struct(col("w1"), col("w2"), (col("tf") * log2(p)).as("c")).as("e"))
+          .groupBy("doc_id")
+          .agg(sum("tf").as("n"), collect_list(col("e")).as("lst"))
+          .select(col("doc_id"), col("n").cast("long").as("n_bigrams"),
+            round(-expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.c)") /
+              col("n"), 4).as("kn_cross_entropy"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+             |                             x -> length(x) > 0) AS words
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, words[i + 1] AS w1, words[i + 2] AS w2
+             |  FROM w, UNNEST(range(0, greatest(len(words) - 1, 0))) AS u(i)),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+             |c1 AS (SELECT w1, sum(c2) AS c1, count(*) AS n1p_fwd
+             |       FROM c2 GROUP BY w1),
+             |back AS (SELECT w2, count(*) AS n1p_back FROM c2 GROUP BY w2),
+             |tot AS (SELECT cast(count(*) AS double) AS n1p_total FROM c2),
+             |agg AS (
+             |  SELECT tf.doc_id, sum(tf.tf) AS n,
+             |    list(tf.tf * log2(
+             |        greatest(cast(c2.c2 AS double) - 0.75, 0.0) / c1.c1
+             |        + 0.75 * c1.n1p_fwd / c1.c1 * (back.n1p_back / t.n1p_total))
+             |      ORDER BY tf.w1, tf.w2) AS cs
+             |  FROM (SELECT doc_id, w1, w2, count(*) AS tf
+             |        FROM bi GROUP BY doc_id, w1, w2) tf
+             |  JOIN c2 ON c2.w1 = tf.w1 AND c2.w2 = tf.w2
+             |  JOIN c1 ON c1.w1 = tf.w1
+             |  JOIN back ON back.w2 = tf.w2, tot t
+             |  GROUP BY tf.doc_id)
+             |SELECT doc_id, cast(n AS BIGINT) AS n_bigrams,
+             |  round(-list_sum(cs) / n, 4) AS kn_cross_entropy
+             |FROM agg""".stripMargin))
   )
 }
