@@ -3665,6 +3665,118 @@ object TextQueries {
              |  GROUP BY tf.doc_id)
              |SELECT doc_id, cast(n AS BIGINT) AS n_bigrams,
              |  round(-list_sum(cs) / n, 4) AS kn_cross_entropy
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // PREFIX-FILTER SET-SIMILARITY SELF-JOIN (the AllPairs/PPJoin family:
+    // Bayardo et al. WWW'07, Xiao et al. WWW'08) — EXACT Jaccard ≥ 0.7
+    // pairs over distinct-word sets. A different algorithmic contract from
+    // minhash_lsh: no false negatives by THEOREM, not by band-count
+    // tuning. Sort each doc's tokens by ascending global document
+    // frequency (rarest first); any two sets with J ≥ t must share a
+    // token inside their first |x| − ⌈t·|x|⌉ + 1 tokens, so candidate
+    // generation is an equi-join on prefix tokens — never all-pairs, and
+    // the prefix join keys are the RAREST tokens, which keeps per-key
+    // fan-out small at 100 TB (stop-word-like keys never enter a prefix).
+    // A symmetric size filter (⌊t·max⌋ ≤ min) prunes before the verify
+    // join. Every DECISION is integer arithmetic: prefix length uses
+    // (7·sz+9) div 10 = ⌈0.7·sz⌉ (never float ceil), the size filter is
+    // 10·min ≥ 7·max, the final threshold 10·|∩| ≥ 7·|∪| — parity cannot
+    // hinge on float rounding; `jaccard` is a reported measure only.
+    // PrefixFilterSpec pins COMPLETENESS against an O(n²) brute force at
+    // sf0.001 (parity alone can't prove both engines miss the same pair).
+    //
+    // EXPLICIT INPUT BOUND (not a silent cap): the synthetic corpus is one
+    // ~70%-of-docs template near-clique, so the TRUE pair set grows
+    // quadratically with SF (≈600M pairs at sf1) — a property of the
+    // data, not the algorithm. The exact join's production seat is the
+    // verify stage AFTER blocking (minhash_lsh/dedup_clusters are the
+    // corpus-scale front end); this row pins its semantics on the
+    // deterministic doc_id < 500 slice (sf0.01's full corpus), identical
+    // work at every SF ≥ 0.01, the same fixture-bounding used by the codebook/ANN rows.
+    Q("setsim_prefix_join",
+      (s, dir) => {
+        val t10 = 7 // Jaccard threshold in tenths (0.7)
+        val toks = docs(s, dir)
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+          .filter(length(col("term")) >= 3)
+          .distinct()
+        val df_ = toks.groupBy("term").agg(count(lit(1)).as("df"))
+        val ordered = toks.join(df_, Seq("term"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("term"))))
+            .as("ord"))
+          .select(col("doc_id"), col("ord"), size(col("ord")).as("sz"))
+        val pref = ordered
+          .select(col("doc_id"), col("sz"),
+            expr(s"slice(ord, 1, sz - (($t10 * sz + 9) div 10) + 1)").as("p"))
+          .select(col("doc_id"), col("sz"), explode(col("p")).as("pt"))
+          .select(col("doc_id"), col("sz"), col("pt.term").as("term"))
+        val pref2 = pref.select(col("term"), col("doc_id").as("doc_id_2"),
+          col("sz").as("sz2"))
+        val cand = pref.join(pref2, Seq("term"))
+          .filter(col("doc_id") < col("doc_id_2") &&
+            least(col("sz"), col("sz2")) * 10 >=
+              greatest(col("sz"), col("sz2")) * t10)
+          .select("doc_id", "doc_id_2").distinct()
+        val sets = ordered.select(col("doc_id"),
+          expr("transform(ord, x -> x.term)").as("ts"), col("sz"))
+        val sets2 = sets.select(col("doc_id").as("doc_id_2"),
+          col("ts").as("ts2"), col("sz").as("sz2"))
+        cand.join(sets, Seq("doc_id")).join(sets2, Seq("doc_id_2"))
+          .select(col("doc_id"), col("doc_id_2"),
+            size(array_intersect(col("ts"), col("ts2"))).cast("long")
+              .as("n_inter"),
+            (col("sz") + col("sz2")).cast("long").as("szsum"))
+          .withColumn("n_union", col("szsum") - col("n_inter"))
+          .filter(col("n_inter") * 10 >= col("n_union") * t10)
+          .select(col("doc_id"), col("doc_id_2"), col("n_inter"),
+            col("n_union"),
+            round(col("n_inter").cast("double") / col("n_union"), 4)
+              .as("jaccard"))
+      },
+      // Same prefix-filter candidate generation restated relationally
+      // (window functions, not array slices) so the oracle stays
+      // O(candidates) at every SF — the round-8 sf1 drill killed two
+      // quadratic oracles; this one never goes all-pairs. Intersections
+      // are computed by an independent token-level join, not list ops.
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT doc_id, u.term
+             |  FROM (SELECT doc_id,
+             |          regexp_split_to_array(lower(text), '[^a-z]+') AS ts
+             |        FROM documents WHERE doc_id < 500),
+             |       UNNEST(ts) AS u(term)
+             |  WHERE len(u.term) >= 3),
+             |df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+             |ordered AS (
+             |  SELECT t.doc_id, t.term,
+             |    row_number() OVER (PARTITION BY t.doc_id
+             |                       ORDER BY d.df, t.term) AS pos,
+             |    count(*) OVER (PARTITION BY t.doc_id) AS sz
+             |  FROM toks t JOIN df d USING (term)),
+             |pref AS (SELECT * FROM ordered
+             |         WHERE pos <= sz - ((7 * sz + 9) // 10) + 1),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id, b.doc_id AS doc_id_2
+             |  FROM pref a JOIN pref b
+             |    ON a.term = b.term AND a.doc_id < b.doc_id
+             |  WHERE least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 7),
+             |inter AS (
+             |  SELECT c.doc_id, c.doc_id_2, count(*) AS n_inter
+             |  FROM cand c
+             |  JOIN toks x ON x.doc_id = c.doc_id
+             |  JOIN toks y ON y.doc_id = c.doc_id_2 AND y.term = x.term
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id)
+             |SELECT i.doc_id, i.doc_id_2,
+             |  cast(i.n_inter AS BIGINT) AS n_inter,
+             |  cast(s1.sz + s2.sz - i.n_inter AS BIGINT) AS n_union,
+             |  round(cast(i.n_inter AS double)
+             |    / (s1.sz + s2.sz - i.n_inter), 4) AS jaccard
+             |FROM inter i
+             |JOIN sz s1 ON s1.doc_id = i.doc_id
+             |JOIN sz s2 ON s2.doc_id = i.doc_id_2
+             |WHERE i.n_inter * 10 >= (s1.sz + s2.sz - i.n_inter) * 7""".stripMargin))
   )
 }
