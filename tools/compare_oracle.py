@@ -61,7 +61,8 @@ def canon(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = sys.argv[3] if len(sys.argv) > 3 else None
+    # comma-separated list of query names (single name still works)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -70,7 +71,7 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
-        if only and name != only:
+        if only and name not in only:
             continue
         spath = f"{out_dir}/{name}"
         if not os.path.isdir(spath):
