@@ -308,5 +308,74 @@ object StreamingQueries {
         txlog.read("events_dedup")
           .select("event_id", "ts", "user_id", "event_type", "value")
       },
-      Some("SELECT event_id, ts, user_id, event_type, value FROM events")))
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events")),
+
+    // §2.10 STREAM-STREAM JOIN: click→purchase attribution as Spark's
+    // built-in watermarked stream-stream inner join with a time-range
+    // condition (`click_ts ∈ [purchase_ts − 1 day, purchase_ts]`). Both
+    // sides are independent file streams (separate landing zones, three
+    // ts-ranged arrivals each); the range condition + watermarks are what
+    // bound the join STATE in production — a click older than
+    // watermark − 1 day can never match and is evicted. Here the delay
+    // exceeds the 30-day event span so the result is exact and must equal
+    // the batch interval join, through both the first run and a
+    // checkpoint-wipe replay (fresh join state; re-emitted matches
+    // absorbed by the appendOnce txn markers).
+    Q("streaming_interval_join",
+      (s, dir) => {
+        val wh = DvQueries.tmpWarehouse("graft_stream_ij")
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        val clickDir = s"$wh/clicks"
+        val purchDir = s"$wh/purchases"
+        Files.createDirectories(Paths.get(clickDir))
+        Files.createDirectories(Paths.get(purchDir))
+        val cuts = Seq(
+          (lit("0001-01-01").cast("timestamp"), lit("2024-01-11").cast("timestamp")),
+          (lit("2024-01-11").cast("timestamp"), lit("2024-01-21").cast("timestamp")),
+          (lit("2024-01-21").cast("timestamp"), lit("9999-01-01").cast("timestamp")))
+        val t0 = System.currentTimeMillis()
+        cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+          val slice = ev.filter(col("ts") >= lo && col("ts") < hi)
+          writeOneFile(slice.filter(col("event_type") === "click"),
+            wh, clickDir, i, t0)
+          writeOneFile(slice.filter(col("event_type") === "purchase"),
+            wh, purchDir, i, t0)
+        }
+        val txlog = new TxLogTable(s, s"$wh/vault")
+        def runStream(): Unit = {
+          val clicks = arrivalStream(s, clickDir, ev.schema)
+            .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+              col("user_id"))
+            .withWatermark("click_ts", "90 days")
+          val purchases = arrivalStream(s, purchDir, ev.schema)
+            .select(col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"), col("user_id").as("p_user"),
+              col("value").as("pvalue"))
+            .withWatermark("purchase_ts", "90 days")
+          val joined = clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("click_ts") <= col("purchase_ts") &&
+              col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 DAY"))
+            .select(col("click_id"), col("purchase_id"), col("user_id"),
+              col("click_ts"), col("purchase_ts"),
+              round(col("pvalue"), 4).as("purchase_value"))
+          val q = StreamingLoaders.txLogSink(joined, txlog, "attributed",
+            checkpoint = s"$wh/_cp", appId = Some("stream_interval_join")).start()
+          q.processAllAvailable(); q.stop()
+        }
+        runStream()
+        rmTree(Paths.get(s"$wh/_cp"))
+        runStream()
+        txlog.read("attributed")
+          .select("click_id", "purchase_id", "user_id", "click_ts",
+            "purchase_ts", "purchase_value")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             |       c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+             |       round(p.value, 4) AS purchase_value
+             |FROM events c JOIN events p ON c.user_id = p.user_id
+             |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY""".stripMargin)))
 }
