@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -16,6 +16,12 @@ object Bench {
       // under this flag (as BIGINT nanos); no-op for the current
       // timestamp[us] files. SimQueries.events adapts to either surface.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ad-hoc scale-drill overrides (same contract as Verify), e.g.
+    // SPARK_GRAFT_CONF="spark.sql.files.maxPartitionBytes=33554432"
+    val spark = sys.env.get("SPARK_GRAFT_CONF").iterator
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map(_.split("=", 2))
+      .foldLeft(builder) { (b, kv) => b.config(kv(0), kv(1)) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -75,11 +75,20 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Some query families persist a shared artifact (the LSH candidate
+      // chain, the ER pair kernel) that later consumers reread. Verify runs
+      // the whole registry in one session, so at large SFs those cached
+      // blocks would otherwise pin up to storageFraction of the unified
+      // pool while an unrelated query's sort is starving and spill-thrashing
+      // (observed at sf10: a window top-k at 30+ min CPU in
+      // UnsafeExternalSorter.spill). Correctness runs prefer execution
+      // memory over cache residency — let eviction reclaim down to 5%.
+      .config("spark.memory.storageFraction", "0.05")
       // year-0001/8888 sentinel timestamps need proleptic-Gregorian parquet
       // (matches DuckDB's reading) — see SURVEY §7.5-4
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
@@ -89,6 +98,12 @@ object Verify {
       // under this flag (as BIGINT nanos); no-op for the current
       // timestamp[us] files. SimQueries.events adapts to either surface.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ad-hoc scale-drill overrides, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.files.maxPartitionBytes=33554432;spark.memory.storageFraction=0.05"
+    val spark = sys.env.get("SPARK_GRAFT_CONF").iterator
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map(_.split("=", 2))
+      .foldLeft(builder) { (b, kv) => b.config(kv(0), kv(1)) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
