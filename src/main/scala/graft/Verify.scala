@@ -49,8 +49,16 @@ object Verify {
       outDir: String): Map[String, String] = {
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     queries.foreach { case (name, fn) =>
-      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // progress goes to stderr so long runs (scale drills especially) show
+      // WHICH query a stall belongs to — the dump dir only reveals it after
+      // the fact
+      System.err.println(s"[verify] start $name")
+      val t0 = System.nanoTime()
+      try {
+        ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify] done  $name (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(2000)}"
         System.err.println(s"[verify] $name FAILED: $msg")

@@ -31,11 +31,31 @@ object GeoQueries {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
-  /** radius for the radius join / kNN ring, in milli-degrees. */
-  private val RadiusMd = 1500L
-  private val R2 = RadiusMd * RadiusMd
-  /** bucket size — must be ≥ RadiusMd so 3×3 neighbor cells cover it. */
-  private val Cell = 2000L
+  /** Density-adaptive bucket size for the ring-join family (radius join,
+    * kNN): the coordinate space is FIXED (10°×20°), so with a fixed cell
+    * the per-cell occupancy — and with it the ring-join fan-out — grows
+    * linearly with the point count and the candidate relation grows
+    * quadratically (measured at sf10: 1.5M points over a 50-cell grid
+    * put ~4.2e9 rows under geo_knn's window sort). Shrinking the cell as
+    * the table grows keeps expected occupancy (≈ n·cell²/2e8) bounded at
+    * a few thousand per cell. Tier bounds are integer CASE arms so
+    * DuckDB derives the IDENTICAL grid from its own count(*); the ring
+    * radius is (3/4)·cell, always ≤ cell, so the 3×3 ring stays
+    * exhaustive at every tier. All driver gate SFs (≤250k customers)
+    * land in the first tier — identical grid to the original constants. */
+  private def adaptiveCell(n: Long): Long =
+    if (n <= 250000L) 2000L
+    else if (n <= 1000000L) 1000L
+    else if (n <= 4000000L) 500L
+    else if (n <= 16000000L) 250L
+    else 125L
+
+  /** the same tier table as [[adaptiveCell]], as a DuckDB scalar over a
+    * count column named n. */
+  private val cellSqlCase =
+    """CASE WHEN n <= 250000 THEN 2000 WHEN n <= 1000000 THEN 1000
+      |     WHEN n <= 4000000 THEN 500 WHEN n <= 16000000 THEN 250
+      |     ELSE 125 END""".stripMargin
 
   // ---- shared point derivations (Spark + identical DuckDB SQL) --------
 
@@ -46,9 +66,9 @@ object GeoQueries {
   private def coordsSql(key: String): String =
     s"($key * 48271) % 10000 AS lat_md, ($key * 16807) % 20000 AS lon_md"
 
-  private def withCells(df: DataFrame): DataFrame =
-    df.withColumn("cla", expr(s"lat_md div $Cell"))
-      .withColumn("clo", expr(s"lon_md div $Cell"))
+  private def withCells(df: DataFrame, cell: Long): DataFrame =
+    df.withColumn("cla", expr(s"lat_md div $cell"))
+      .withColumn("clo", expr(s"lon_md div $cell"))
 
   /** exact haversine meters — IDENTICAL formula text on both engines;
     * only ever a reported measure, never a join/ordering key. */
@@ -99,9 +119,17 @@ object GeoQueries {
     // tie-break and parity are exact.
     Q("geo_radius_join",
       (s, dir) => {
-        val pts = withCells(withCoords(rd(s, dir, "customer"), "c_custkey"))
+        val n = rd(s, dir, "customer").count()
+        val cell = adaptiveCell(n)
+        val radius = cell * 3 / 4
+        // the candidate fan-out is ~9·occupancy per point regardless of
+        // source file layout, so decouple parallelism from the scan's
+        // split count (a single-row-group file would otherwise funnel the
+        // whole candidate relation through a couple of tasks)
+        val pts = withCells(withCoords(rd(s, dir, "customer"), "c_custkey"), cell)
           .select(col("c_custkey").as("pk"), col("lat_md"), col("lon_md"),
             col("cla"), col("clo"))
+          .repartition()
         val probes = explodeRing(pts.filter(col("pk") % 97 === 0)
           .select(col("pk").as("qk"), col("lat_md").as("qlat"),
             col("lon_md").as("qlon"), col("cla"), col("clo")))
@@ -110,7 +138,7 @@ object GeoQueries {
           .join(pts.as("p"),
             col("q.jla") === col("p.cla") && col("q.jlo") === col("p.clo"))
           .filter(col("pk") =!= col("qk") &&
-            d2(col("qlat"), col("qlon"), col("lat_md"), col("lon_md")) <= R2)
+            d2(col("qlat"), col("qlon"), col("lat_md"), col("lon_md")) <= radius * radius)
           .groupBy(col("qk").as("probe_key"))
           .agg(count(lit(1)).as("n_neighbors"),
             min(d2(col("qlat"), col("qlon"), col("lat_md"), col("lon_md")) *
@@ -120,11 +148,15 @@ object GeoQueries {
             (col("code") % 100000000L).as("nearest_key"))
           .orderBy("probe_key")
       },
-      Some(s"""WITH pts AS (
+      Some(s"""WITH g AS (
+              |  SELECT $cellSqlCase AS cell,
+              |         (($cellSqlCase) * 3) // 4 AS radius
+              |  FROM (SELECT count(*) AS n FROM customer)),
+              |pts AS (
               |  SELECT c_custkey AS pk, ${coordsSql("c_custkey")},
-              |    (c_custkey * 48271) % 10000 // $Cell AS cla,
-              |    (c_custkey * 16807) % 20000 // $Cell AS clo
-              |  FROM customer),
+              |    (c_custkey * 48271) % 10000 // g.cell AS cla,
+              |    (c_custkey * 16807) % 20000 // g.cell AS clo
+              |  FROM customer, g),
               |probes AS (
               |  SELECT pk AS qk, lat_md AS qlat, lon_md AS qlon,
               |    cla + dla AS jla, clo + dlo AS jlo
@@ -139,20 +171,22 @@ object GeoQueries {
               |SELECT qk AS probe_key, cast(count(*) AS BIGINT) AS n_neighbors,
               |  min(dd * 100000000 + pk) // 100000000 AS min_d2,
               |  min(dd * 100000000 + pk) % 100000000 AS nearest_key
-              |FROM hits WHERE dd <= $R2
+              |FROM hits, g WHERE dd <= g.radius * g.radius
               |GROUP BY 1 ORDER BY probe_key""".stripMargin)),
 
     // Grid-bounded kNN: 5 nearest neighbors per probe among the 3×3 cell
     // ring candidates, ranked by exact (d², key). The per-probe top-k is
     // a window over the ring candidates only — Catalyst's
-    // WindowGroupLimit bounds the exchange, and the candidate set is
-    // O(ring density), not O(N).
+    // WindowGroupLimit bounds the exchange, and with the density-adaptive
+    // cell the candidate set is O(ring occupancy), not O(N).
     Q("geo_knn",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val pts = withCells(withCoords(rd(s, dir, "customer"), "c_custkey"))
+        val cell = adaptiveCell(rd(s, dir, "customer").count())
+        val pts = withCells(withCoords(rd(s, dir, "customer"), "c_custkey"), cell)
           .select(col("c_custkey").as("pk"), col("lat_md"), col("lon_md"),
             col("cla"), col("clo"))
+          .repartition()
         val probes = explodeRing(pts.filter(col("pk") % 97 === 1)
           .select(col("pk").as("qk"), col("lat_md").as("qlat"),
             col("lon_md").as("qlon"), col("cla"), col("clo")))
@@ -170,11 +204,14 @@ object GeoQueries {
             col("pk").as("neighbor_key"), col("dd").as("d2"))
           .orderBy("probe_key", "rn")
       },
-      Some(s"""WITH pts AS (
+      Some(s"""WITH g AS (
+              |  SELECT $cellSqlCase AS cell
+              |  FROM (SELECT count(*) AS n FROM customer)),
+              |pts AS (
               |  SELECT c_custkey AS pk, ${coordsSql("c_custkey")},
-              |    (c_custkey * 48271) % 10000 // $Cell AS cla,
-              |    (c_custkey * 16807) % 20000 // $Cell AS clo
-              |  FROM customer),
+              |    (c_custkey * 48271) % 10000 // g.cell AS cla,
+              |    (c_custkey * 16807) % 20000 // g.cell AS clo
+              |  FROM customer, g),
               |probes AS (
               |  SELECT pk AS qk, lat_md AS qlat, lon_md AS qlon,
               |    cla + dla AS jla, clo + dlo AS jlo
