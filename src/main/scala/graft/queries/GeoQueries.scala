@@ -232,17 +232,28 @@ object GeoQueries {
               |FROM ranked WHERE rn <= 5 ORDER BY probe_key, rn""".stripMargin)),
 
     // Nearest-facility assignment: every customer assigned to its
-    // closest distribution center (1/7 of suppliers) — the classic
-    // broadcast-NN: the DC dimension is broadcast, per-customer argmin by
-    // exact integer (d², key) packing, then a per-DC rollup. Haversine km
-    // appears only as the reported mean.
+    // closest distribution center — the classic broadcast-NN: the DC
+    // dimension is broadcast, per-customer argmin by exact integer
+    // (d², key) packing, then a per-DC rollup. Haversine km appears only
+    // as the reported mean. The DC SAMPLE is density-adaptive: a real
+    // facility network is ~constant-size, and a rate fixed at 1/7 of
+    // suppliers makes the broadcast-NN product quadratic in SF (measured
+    // at sf10: 1.5M × 14.3k ≈ 2.1e10 pairs through a nested-loop join).
+    // stride = greatest(7, |supplier| / 150) keeps |DCs| ≈ 150 at any
+    // scale; both engines derive it from their own count(*), and all
+    // driver gate SFs (≤1k suppliers) keep the original stride 7.
     Q("geo_nearest_dc",
       (s, dir) => {
+        val nSupp = rd(s, dir, "supplier").count()
+        val stride = math.max(7L, nSupp / 150L)
+        // parallelism decoupled from the scan layout (single-row-group
+        // file ⇒ one task under the broadcast product otherwise)
         val cust = withCoords(rd(s, dir, "customer"), "c_custkey")
           .select(col("c_custkey").as("ck"),
             col("lat_md").as("clat"), col("lon_md").as("clon"))
+          .repartition()
         val dcs = withCoords(
-          rd(s, dir, "supplier").filter(col("s_suppkey") % 7 === 0),
+          rd(s, dir, "supplier").filter(col("s_suppkey") % stride === 0),
           "s_suppkey")
           .select(col("s_suppkey").as("dc"),
             col("lat_md").as("dlat"), col("lon_md").as("dlon"))
@@ -260,7 +271,9 @@ object GeoQueries {
               count(lit(1)) / 1000.0).as("avg_km"))
           .orderBy("dc_key")
       },
-      Some(s"""WITH cust AS (
+      Some(s"""WITH st AS (
+              |  SELECT greatest(7, count(*) // 150) AS stride FROM supplier),
+              |cust AS (
               |  SELECT c_custkey AS ck,
               |    (c_custkey * 48271) % 10000 AS clat,
               |    (c_custkey * 16807) % 20000 AS clon
@@ -269,7 +282,7 @@ object GeoQueries {
               |  SELECT s_suppkey AS dc,
               |    (s_suppkey * 48271) % 10000 AS dlat,
               |    (s_suppkey * 16807) % 20000 AS dlon
-              |  FROM supplier WHERE s_suppkey % 7 = 0),
+              |  FROM supplier, st WHERE s_suppkey % st.stride = 0),
               |assigned AS (
               |  SELECT ck, clat, clon,
               |    min(((clat - dlat) * (clat - dlat)
