@@ -2320,19 +2320,30 @@ object TextQueries {
     // list sequentially (aggregate over array_sort), so the double sum is
     // order-deterministic and bit-identical to the oracle's list_sum —
     // a plain double SUM() would combine partials in shuffle order.
+    // entropy folds over per-doc DISTINCT tf VALUES, not the vocabulary:
+    // log2(tf) depends only on tf, so Σ tf·log2(tf) = Σ_{distinct tf}
+    // c·tf·log2(tf) with c = how many terms share that tf. Each term of the
+    // outer sum is one float expression over ints (order-free), and the
+    // outer fold is over a tf-sorted list of ≤ ~40 entries per doc — the
+    // prior form list-aggregated the whole per-doc VOCABULARY, which is
+    // exact but O(corpus tokens) of aggregate state (DuckDB's list agg
+    // cannot spill it: OOM at sf10's 500k docs).
     Q("word_entropy",
       (s, dir) => docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id", "tf")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("contrib", col("c") * (col("tf") * log2(col("tf"))))
         .groupBy("doc_id")
-        .agg(sum("tf").as("n"), count(lit(1)).as("n_unique"),
-          collect_list(struct(col("w"), col("tf"))).as("lst"))
+        .agg(sum(col("tf") * col("c")).as("n"), sum("c").as("n_unique"),
+          collect_list(struct(col("tf"), col("contrib"))).as("lst"))
         .select(col("doc_id"),
           col("n").cast("long").as("n_tokens"),
           col("n_unique").cast("long").as("n_unique"),
           round(log2(col("n")) -
-            expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.tf * log2(x.tf))") /
+            expr("aggregate(array_sort(lst), cast(0 AS double), (a, x) -> a + x.contrib)") /
             col("n"), 4).as("entropy")),
       Some("""WITH terms AS (
              |  SELECT doc_id, u.w
@@ -2340,14 +2351,16 @@ object TextQueries {
              |        FROM documents), UNNEST(ws) AS u(w)
              |  WHERE length(u.w) > 0),
              |tf AS (SELECT doc_id, w, count(*) AS tf FROM terms GROUP BY doc_id, w),
+             |tfc AS (
+             |  SELECT doc_id, tf, count(*) AS c, count(*) * (tf * log2(tf)) AS contrib
+             |  FROM tf GROUP BY doc_id, tf),
              |agg AS (
-             |  SELECT doc_id, sum(tf) AS n, count(*) AS n_unique,
-             |    list(tf ORDER BY w, tf) AS tfs
-             |  FROM tf GROUP BY doc_id)
+             |  SELECT doc_id, sum(tf * c) AS n, sum(c) AS n_unique,
+             |    list(contrib ORDER BY tf) AS contribs
+             |  FROM tfc GROUP BY doc_id)
              |SELECT doc_id, cast(n AS BIGINT) AS n_tokens,
              |  cast(n_unique AS BIGINT) AS n_unique,
-             |  round(log2(n) - list_sum(list_transform(tfs,
-             |        t -> t * log2(t))) / n, 4) AS entropy
+             |  round(log2(n) - list_sum(contribs) / n, 4) AS entropy
              |FROM agg""".stripMargin)),
 
     // cross-document boilerplate detection: word-3-grams appearing in many

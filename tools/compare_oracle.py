@@ -64,6 +64,12 @@ def main():
     # comma-separated list of query names (single name still works)
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
+    # out-of-core for scale drills: an in-memory duckdb has no temp dir and
+    # a memory-bound hash agg dies with "Failed to allocate block" instead
+    # of spilling (hit by word_entropy's 500k-doc token explosion at sf10)
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
