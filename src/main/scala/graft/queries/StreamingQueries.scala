@@ -344,6 +344,14 @@ object StreamingQueries {
             wh, purchDir, i, t0)
         }
         val txlog = new TxLogTable(s, s"$wh/vault")
+        // a stream-stream join materializes FOUR state stores per shuffle
+        // partition per micro-batch (left/right keyToNumValues +
+        // keyWithIndexToValue); at the session's 32 partitions that is
+        // 128 store lifecycles × 6 batches of pure fixed cost. State shard
+        // count is a checkpoint property, not a data-volume property —
+        // scope it to the stream's actual scale. (Restored in finally;
+        // batch queries are unaffected.)
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
         def runStream(): Unit = {
           val clicks = arrivalStream(s, clickDir, ev.schema)
             .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
@@ -365,9 +373,12 @@ object StreamingQueries {
             checkpoint = s"$wh/_cp", appId = Some("stream_interval_join")).start()
           q.processAllAvailable(); q.stop()
         }
-        runStream()
-        rmTree(Paths.get(s"$wh/_cp"))
-        runStream()
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          runStream()
+          rmTree(Paths.get(s"$wh/_cp"))
+          runStream()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         txlog.read("attributed")
           .select("click_id", "purchase_id", "user_id", "click_ts",
             "purchase_ts", "purchase_value")
