@@ -18,11 +18,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // ad-hoc scale-drill overrides (same contract as Verify), e.g.
     // SPARK_GRAFT_CONF="spark.sql.files.maxPartitionBytes=33554432"
-    val spark = sys.env.get("SPARK_GRAFT_CONF").iterator
-      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
-      .map(_.split("=", 2))
-      .foldLeft(builder) { (b, kv) => b.config(kv(0), kv(1)) }
-      .getOrCreate()
+    val spark = Verify.applyEnvConf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Shared artifacts (the LSH candidate chain, the materialized MA staged

@@ -28,6 +28,22 @@ object Verify {
     case c => c.toString
   } + "\""
 
+  /** `SPARK_GRAFT_CONF` ("k1=v1;k2=v2") parsed to pairs — shared by
+    * Verify and Bench. An entry without '=' fails loudly naming the bad
+    * token (previously both mains indexed split()(1) and died with an
+    * opaque ArrayIndexOutOfBoundsException at session build). */
+  private[graft] def parseConf(raw: String): Seq[(String, String)] =
+    raw.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
+      val kv = entry.split("=", 2)
+      require(kv.length == 2 && kv(0).nonEmpty,
+        s"SPARK_GRAFT_CONF entry '$entry' is not key=value")
+      (kv(0), kv(1))
+    }.toSeq
+
+  private[graft] def applyEnvConf(builder: SparkSession.Builder): SparkSession.Builder =
+    sys.env.get("SPARK_GRAFT_CONF").iterator.flatMap(parseConf)
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+
   /** Oracle SQL yields naive TIMESTAMP in DuckDB; Spark's TimestampType
     * writes parquet isAdjustedToUTC=true (read back as TIMESTAMPTZ), so the
     * driver's schema compare fails. Session TZ is UTC, so the LTZ→NTZ cast
@@ -108,11 +124,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // ad-hoc scale-drill overrides, e.g.
     // SPARK_GRAFT_CONF="spark.sql.files.maxPartitionBytes=33554432;spark.memory.storageFraction=0.05"
-    val spark = sys.env.get("SPARK_GRAFT_CONF").iterator
-      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
-      .map(_.split("=", 2))
-      .foldLeft(builder) { (b, kv) => b.config(kv(0), kv(1)) }
-      .getOrCreate()
+    val spark = applyEnvConf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries

@@ -2109,21 +2109,23 @@ object DvQueries {
           Some("hd_customer_s"), Seq("c_name", "c_acctbal_v", "c_mktsegment"),
           target = None)
         store.overwrite("sat_customer", sat)
+        // the forget set stays a DATAFRAME end to end (deleteWhereKeys
+        // semi-joins it into the tombstone build) — a production GDPR
+        // batch is millions of keys, which breaks an `isin` literal plan
+        // long before it breaks the driver
         val forgetHks = rd(s, dir, "customer")
           .filter(col("c_custkey") % 97 === 0)
-          .select(Hashing.hashkey(Seq(col("c_custkey"))).as("hk"))
-          .as[String].collect().toSeq
+          .select(Hashing.hashkey(Seq(col("c_custkey"))).as("hk_customer_h"))
         def forget(table: String): (Long, Long, Long, Long, Boolean, Boolean) = {
           val before = store.read(table).count()
           val v0 = store.currentVersion(table).get
           val filesBefore = store.files(table, v0)
-          val nDel = store.deleteWhere(table,
-            col("hk_customer_h").isin(forgetHks: _*), Seq("hk_customer_h"))
+          val nDel = store.deleteWhereKeys(table, forgetHks, Seq("hk_customer_h"))
           val v1 = store.currentVersion(table).get
           val untouched = store.files(table, v1) == filesBefore
           val after = store.read(table).count()
           val remaining = store.read(table)
-            .filter(col("hk_customer_h").isin(forgetHks: _*)).count()
+            .join(forgetHks, Seq("hk_customer_h"), "leftsemi").count()
           store.compact(table, targetFiles = 1)
           val erased = store.equalityDeletes(table,
             store.currentVersion(table).get).isEmpty &&

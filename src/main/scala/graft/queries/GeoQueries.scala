@@ -32,30 +32,38 @@ object GeoQueries {
     s.read.parquet(s"$dir/$t.parquet")
 
   /** Density-adaptive bucket size for the ring-join family (radius join,
-    * kNN): the coordinate space is FIXED (10°×20°), so with a fixed cell
-    * the per-cell occupancy — and with it the ring-join fan-out — grows
-    * linearly with the point count and the candidate relation grows
-    * quadratically (measured at sf10: 1.5M points over a 50-cell grid
-    * put ~4.2e9 rows under geo_knn's window sort). Shrinking the cell as
-    * the table grows keeps expected occupancy (≈ n·cell²/2e8) bounded at
-    * a few thousand per cell. Tier bounds are integer CASE arms so
-    * DuckDB derives the IDENTICAL grid from its own count(*); the ring
+    * kNN): the coordinate space is FIXED (10°×20°, 2e8 md²), so with a
+    * fixed cell the per-cell occupancy — and with it the ring-join
+    * fan-out — grows linearly with the point count and the candidate
+    * relation grows quadratically (measured at sf10: 1.5M points over a
+    * 50-cell grid put ~4.2e9 rows under geo_knn's window sort).
+    *
+    * The cell halves while expected occupancy n·cell²/2e8 exceeds 5000,
+    * i.e. while n > 1e12/cell² — an UNSATURATED chain (2000, 1000, 500,
+    * 250, 125, 62, 31, 15, 7, 3, 1) valid at any n, unlike the previous
+    * five-tier table that stopped at 125 and went quadratic again past
+    * ~64M points. Pure integer arithmetic (the bound is compared as
+    * n ≤ 1e12 div cell², no n·cell² product to overflow), and the DuckDB
+    * CASE below is GENERATED from the same chain, so both engines derive
+    * the identical grid from their own count(*) by construction. The ring
     * radius is (3/4)·cell, always ≤ cell, so the 3×3 ring stays
     * exhaustive at every tier. All driver gate SFs (≤250k customers)
     * land in the first tier — identical grid to the original constants. */
-  private def adaptiveCell(n: Long): Long =
-    if (n <= 250000L) 2000L
-    else if (n <= 1000000L) 1000L
-    else if (n <= 4000000L) 500L
-    else if (n <= 16000000L) 250L
-    else 125L
+  private[graft] val cellTiers: Seq[(Long, Long)] = {
+    val cells = Iterator.iterate(2000L)(_ / 2L).takeWhile(_ >= 1L).toSeq
+    cells.map(c => (1000000000000L / (c * c), c)) // (max n for this cell, cell)
+  }
 
-  /** the same tier table as [[adaptiveCell]], as a DuckDB scalar over a
-    * count column named n. */
-  private val cellSqlCase =
-    """CASE WHEN n <= 250000 THEN 2000 WHEN n <= 1000000 THEN 1000
-      |     WHEN n <= 4000000 THEN 500 WHEN n <= 16000000 THEN 250
-      |     ELSE 125 END""".stripMargin
+  private[graft] def adaptiveCell(n: Long): Long =
+    cellTiers.collectFirst { case (maxN, c) if n <= maxN => c }
+      .getOrElse(cellTiers.last._2)
+
+  /** the same halving chain as [[adaptiveCell]], as a DuckDB scalar over
+    * a count column named n — emitted FROM the chain, not hand-kept. */
+  private val cellSqlCase = {
+    val arms = cellTiers.init.map { case (maxN, c) => s"WHEN n <= $maxN THEN $c" }
+    s"CASE ${arms.mkString(" ")} ELSE ${cellTiers.last._2} END"
+  }
 
   // ---- shared point derivations (Spark + identical DuckDB SQL) --------
 
@@ -116,10 +124,16 @@ object GeoQueries {
     // 1.5° — candidates from the 3×3 cell ring equi-join (probe side
     // exploded ×9), exact integer-d² filter, never a cross join. The
     // nearest neighbor is chosen by an integer-packed (d², key) argmin so
-    // tie-break and parity are exact.
+    // tie-break and parity are exact. The packing multiplier is
+    // max(key)+1 DERIVED FROM THE TABLE (a fixed 1e8 lets key bits bleed
+    // into the d² ordering once keys pass 1e8, ~sf667); headroom is
+    // ample: d² ≤ 2·radius² ≤ 4.5e6 and shrinks with the adaptive cell,
+    // so code = d²·m + key stays under 2^63 for max(key) up to ~2e12.
     Q("geo_radius_join",
       (s, dir) => {
-        val n = rd(s, dir, "customer").count()
+        val stats = rd(s, dir, "customer")
+          .agg(count(lit(1)), max(col("c_custkey"))).head()
+        val (n, m) = (stats.getLong(0), stats.getLong(1) + 1L)
         val cell = adaptiveCell(n)
         val radius = cell * 3 / 4
         // the candidate fan-out is ~9·occupancy per point regardless of
@@ -142,16 +156,17 @@ object GeoQueries {
           .groupBy(col("qk").as("probe_key"))
           .agg(count(lit(1)).as("n_neighbors"),
             min(d2(col("qlat"), col("qlon"), col("lat_md"), col("lon_md")) *
-              100000000L + col("pk")).as("code"))
+              m + col("pk")).as("code"))
           .select(col("probe_key"), col("n_neighbors"),
-            expr("code div 100000000").as("min_d2"),
-            (col("code") % 100000000L).as("nearest_key"))
+            expr(s"code div $m").as("min_d2"),
+            (col("code") % m).as("nearest_key"))
           .orderBy("probe_key")
       },
       Some(s"""WITH g AS (
               |  SELECT $cellSqlCase AS cell,
-              |         (($cellSqlCase) * 3) // 4 AS radius
-              |  FROM (SELECT count(*) AS n FROM customer)),
+              |         (($cellSqlCase) * 3) // 4 AS radius,
+              |         m
+              |  FROM (SELECT count(*) AS n, max(c_custkey) + 1 AS m FROM customer)),
               |pts AS (
               |  SELECT c_custkey AS pk, ${coordsSql("c_custkey")},
               |    (c_custkey * 48271) % 10000 // g.cell AS cla,
@@ -169,10 +184,10 @@ object GeoQueries {
               |  FROM probes JOIN pts ON jla = cla AND jlo = clo
               |  WHERE pk <> qk)
               |SELECT qk AS probe_key, cast(count(*) AS BIGINT) AS n_neighbors,
-              |  min(dd * 100000000 + pk) // 100000000 AS min_d2,
-              |  min(dd * 100000000 + pk) % 100000000 AS nearest_key
+              |  min(dd * g.m + pk) // g.m AS min_d2,
+              |  min(dd * g.m + pk) % g.m AS nearest_key
               |FROM hits, g WHERE dd <= g.radius * g.radius
-              |GROUP BY 1 ORDER BY probe_key""".stripMargin)),
+              |GROUP BY 1, g.m ORDER BY probe_key""".stripMargin)),
 
     // Grid-bounded kNN: 5 nearest neighbors per probe among the 3×3 cell
     // ring candidates, ranked by exact (d², key). The per-probe top-k is
@@ -242,9 +257,16 @@ object GeoQueries {
     // stride = greatest(7, |supplier| / 150) keeps |DCs| ≈ 150 at any
     // scale; both engines derive it from their own count(*), and all
     // driver gate SFs (≤1k suppliers) keep the original stride 7.
+    // Argmin packing multiplier = max(s_suppkey)+1, derived from the
+    // table on both engines (not a fixed 1e8 that keys outgrow). Here d²
+    // is unbounded by a radius (max 10000²+20000² = 5e8), so the packed
+    // code stays in int64 for max(key) up to ~1.8e10 — 18× past the
+    // 100 TB supplier keyspace.
     Q("geo_nearest_dc",
       (s, dir) => {
-        val nSupp = rd(s, dir, "supplier").count()
+        val stats = rd(s, dir, "supplier")
+          .agg(count(lit(1)), max(col("s_suppkey"))).head()
+        val (nSupp, m) = (stats.getLong(0), stats.getLong(1) + 1L)
         val stride = math.max(7L, nSupp / 150L)
         // parallelism decoupled from the scan layout (single-row-group
         // file ⇒ one task under the broadcast product otherwise)
@@ -260,10 +282,10 @@ object GeoQueries {
         cust.join(broadcast(dcs))
           .withColumn("code",
             d2(col("clat"), col("clon"), col("dlat"), col("dlon")) *
-              100000000L + col("dc"))
+              m + col("dc"))
           .groupBy("ck", "clat", "clon")
           .agg(min(col("code")).as("mincode"))
-          .withColumn("dc", col("mincode") % 100000000L)
+          .withColumn("dc", col("mincode") % m)
           .join(broadcast(dcs), Seq("dc"))
           .groupBy(col("dc").as("dc_key"))
           .agg(count(lit(1)).as("n_customers"),
@@ -272,7 +294,9 @@ object GeoQueries {
           .orderBy("dc_key")
       },
       Some(s"""WITH st AS (
-              |  SELECT greatest(7, count(*) // 150) AS stride FROM supplier),
+              |  SELECT greatest(7, count(*) // 150) AS stride,
+              |         max(s_suppkey) + 1 AS m
+              |  FROM supplier),
               |cust AS (
               |  SELECT c_custkey AS ck,
               |    (c_custkey * 48271) % 10000 AS clat,
@@ -286,10 +310,10 @@ object GeoQueries {
               |assigned AS (
               |  SELECT ck, clat, clon,
               |    min(((clat - dlat) * (clat - dlat)
-              |      + (clon - dlon) * (clon - dlon)) * 100000000 + dc)
-              |      % 100000000 AS dc
-              |  FROM cust CROSS JOIN dcs
-              |  GROUP BY 1, 2, 3)
+              |      + (clon - dlon) * (clon - dlon)) * st.m + dc)
+              |      % st.m AS dc
+              |  FROM cust CROSS JOIN dcs, st
+              |  GROUP BY 1, 2, 3, st.m)
               |SELECT a.dc AS dc_key, cast(count(*) AS BIGINT) AS n_customers,
               |  sum(${havExpr("clat", "clon", "dlat", "dlon")})
               |    / count(*) / 1000.0 AS avg_km
@@ -297,10 +321,17 @@ object GeoQueries {
               |GROUP BY 1 ORDER BY dc_key""".stripMargin)),
 
     // Trajectory length: per-user path over time-ordered events, one LAG
-    // window per user partition, each segment's haversine rounded to
-    // whole meters BEFORE the sum so the per-user total is an exact
-    // integer (a float sum over a parallel reduction would be
-    // order-dependent). Top 50 by distance with deterministic tiebreak.
+    // window per user partition. Per-segment length is round(sqrt(d²))
+    // of the INTEGER squared milli-degree distance — sqrt is correctly
+    // rounded per IEEE 754 on both engines (unlike asin/pow), so the
+    // same int64 input yields the bit-identical double and the rounded
+    // BIGINT segment length has exact cross-engine parity; totals/max
+    // are exact integer aggregates and the TOP-50 ordering key. The
+    // haversine total appears only as a double measure under the
+    // driver's float tolerance (a rounded-to-whole-meters haversine
+    // BIGINT, as previously written, let a half-ulp asin difference flip
+    // an x.5 segment by ±1 m and fail the exact compare — the file's own
+    // rule is that libm results never decide orderings or exact values).
     Q("geo_trajectory_stats",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -311,13 +342,16 @@ object GeoQueries {
         ev.withColumn("plat", lag("lat_md", 1).over(w))
           .withColumn("plon", lag("lon_md", 1).over(w))
           .filter(col("plat").isNotNull)
-          .withColumn("seg_m",
-            expr(s"cast(round(${havExpr("plat", "plon", "lat_md", "lon_md")}) AS BIGINT)"))
+          .withColumn("seg_md",
+            expr("cast(round(sqrt((plat - lat_md) * (plat - lat_md) " +
+              "+ (plon - lon_md) * (plon - lon_md))) AS BIGINT)"))
+          .withColumn("seg_m", expr(havExpr("plat", "plon", "lat_md", "lon_md")))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_segments"),
-            sum(col("seg_m")).as("total_m"),
-            max(col("seg_m")).as("max_seg_m"))
-          .orderBy(col("total_m").desc, col("user_id"))
+            sum(col("seg_md")).as("total_md"),
+            max(col("seg_md")).as("max_seg_md"),
+            sum(col("seg_m")).as("total_m"))
+          .orderBy(col("total_md").desc, col("user_id"))
           .limit(50)
       },
       Some(s"""WITH ev AS (
@@ -327,11 +361,18 @@ object GeoQueries {
               |  SELECT user_id,
               |    lag(lat_md) OVER w AS plat, lag(lon_md) OVER w AS plon,
               |    lat_md, lon_md
-              |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |lens AS (
+              |  SELECT user_id,
+              |    cast(round(sqrt((plat - lat_md) * (plat - lat_md)
+              |      + (plon - lon_md) * (plon - lon_md))) AS BIGINT) AS seg_md,
+              |    ${havExpr("plat", "plon", "lat_md", "lon_md")} AS seg_m
+              |  FROM seg WHERE plat IS NOT NULL)
               |SELECT user_id, cast(count(*) AS BIGINT) AS n_segments,
-              |  cast(sum(cast(round(${havExpr("plat", "plon", "lat_md", "lon_md")}) AS BIGINT)) AS BIGINT) AS total_m,
-              |  cast(max(cast(round(${havExpr("plat", "plon", "lat_md", "lon_md")}) AS BIGINT)) AS BIGINT) AS max_seg_m
-              |FROM seg WHERE plat IS NOT NULL
-              |GROUP BY 1 ORDER BY total_m DESC, user_id LIMIT 50""".stripMargin))
+              |  cast(sum(seg_md) AS BIGINT) AS total_md,
+              |  cast(max(seg_md) AS BIGINT) AS max_seg_md,
+              |  sum(seg_m) AS total_m
+              |FROM lens
+              |GROUP BY 1 ORDER BY total_md DESC, user_id LIMIT 50""".stripMargin))
   )
 }

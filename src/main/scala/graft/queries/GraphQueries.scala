@@ -154,16 +154,22 @@ object GraphQueries {
 
     // Link prediction by the Resource-Allocation index (Zhou/Lü/Zhang
     // 2009): candidate pair (a,b) scores Σ 1/deg(n) over shared
-    // neighbors n. Two scale decisions: (1) pair generation goes through
+    // neighbors n. Scale decisions: (1) pair generation goes through
     // LOW-DEGREE nodes only (deg ≤ 32) — the standard hub-suppression
     // cap that bounds the per-node pair fan-out at deg² ≤ 1024 while
     // discarding only near-zero 1/deg contributions; (2) the score is
-    // kept EXACT-INTEGER as Σ lcm(1..32)/deg(n) (every term divides
-    // evenly), so the top-50 ranking can never hinge on float summation
-    // order or libm ulps. Existing edges are anti-joined out.
+    // Σ_d count_d/d over 32 EXACT integer per-degree counts, combined in
+    // one fixed-order arithmetic expression — each term is an exact
+    // int64 divided by a small int (correctly rounded IEEE division) and
+    // the 32-term sum is evaluated in identical textual order on both
+    // engines, so the double is bit-identical cross-engine and the
+    // top-50 ranking can never hinge on distributed summation order.
+    // (The previous exact-integer Σ lcm(1..32)/deg overflowed int64 once
+    // a hub pair shared ≳128k deg-2 neighbors — Spark wraps silently
+    // while DuckDB errors, a silent divergence at scale.) Existing edges
+    // are anti-joined out.
     Q("ra_link_prediction",
       (s, dir) => {
-        val lcm = 144403552893600L // lcm(1..32): exact 1/deg scaling
         val sym = symEdges(s, dir).localCheckpoint()
         val low = sym.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg"))
@@ -171,16 +177,22 @@ object GraphQueries {
         val nbrs = sym
           .join(low.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("src").as("via"), col("dst").as("nbr"), col("deg"))
+        val degCounts = (1 to 32).map(d =>
+          sum(when(col("a.deg") === d, 1L).otherwise(0L)).as(s"c$d"))
+        val aggs = degCounts :+ count(lit(1)).as("n_shared")
+        val score = (1 to 32).map(d => col(s"c$d").cast("double") / lit(d))
+          .reduce(_ + _)
         val pairs = nbrs.as("a")
           .join(nbrs.as("b"),
             col("a.via") === col("b.via") && col("a.nbr") < col("b.nbr"))
           .groupBy(col("a.nbr").as("pa"), col("b.nbr").as("pb"))
-          .agg(sum(expr(s"$lcm div a.deg")).as("ra_scaled"),
-            count(lit(1)).as("n_shared"))
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumn("ra_score", score)
+          .select("pa", "pb", "ra_score", "n_shared")
         pairs
           .join(sym.select(col("src").as("pa"), col("dst").as("pb")),
             Seq("pa", "pb"), "left_anti")
-          .orderBy(col("ra_scaled").desc, col("pa"), col("pb"))
+          .orderBy(col("ra_score").desc, col("pa"), col("pb"))
           .limit(50)
       },
       Some(s"""WITH $symSql,
@@ -192,15 +204,23 @@ object GraphQueries {
               |  FROM sym e JOIN low ON low.node = e.src),
               |pairs AS (
               |  SELECT a.nbr AS pa, b.nbr AS pb,
-              |    cast(sum(144403552893600 // a.deg) AS BIGINT) AS ra_scaled,
+              |    ${(1 to 32).map(d =>
+                     s"sum(CASE WHEN a.deg = $d THEN 1 ELSE 0 END) AS c$d")
+                     .mkString(",\n              |    ")},
               |    cast(count(*) AS BIGINT) AS n_shared
               |  FROM nbrs a JOIN nbrs b
               |    ON a.via = b.via AND a.nbr < b.nbr
-              |  GROUP BY 1, 2)
-              |SELECT pa, pb, ra_scaled, n_shared
-              |FROM pairs
+              |  GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT pa, pb,
+              |    ${(1 to 32).map(d => s"cast(c$d AS DOUBLE) / $d")
+                     .mkString(" + ")} AS ra_score,
+              |    n_shared
+              |  FROM pairs)
+              |SELECT pa, pb, ra_score, n_shared
+              |FROM scored
               |WHERE NOT EXISTS (SELECT 1 FROM sym
-              |  WHERE sym.src = pairs.pa AND sym.dst = pairs.pb)
-              |ORDER BY ra_scaled DESC, pa, pb LIMIT 50""".stripMargin))
+              |  WHERE sym.src = scored.pa AND sym.dst = scored.pb)
+              |ORDER BY ra_score DESC, pa, pb LIMIT 50""".stripMargin))
   )
 }

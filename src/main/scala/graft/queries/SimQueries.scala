@@ -96,6 +96,95 @@ object SimQueries {
       .filter(col("rank") <= k)
   }
 
+  /** CODEBOOK AS DATA, shared by the IVF family (`ivf_ann`, `semdedup`,
+    * `ivf_cell_silhouette`, `ivf_nprobe_sweep`, `ivfpqTopK`): the first
+    * `nlist` corpus vectors as a (cid, cvec, cnrm) DATAFRAME. Previously
+    * each site collected the centroids and drove them through typedLit
+    * argmax chains — exact, but the expression tree grew with nlist and
+    * at the production nlist ≈ √N (thousands of centroids) plan size
+    * becomes the limit. Kept as data the codebook broadcasts (tiny build
+    * side) and the plan is O(1) in nlist; values are unchanged because
+    * dot/norm are the same sequential folds over the same floats. */
+  private def ivfCents(e: DataFrame, nlist: Int): DataFrame =
+    e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + nlist)
+      .select((col("vec_id") - 10).cast("long").as("cid"),
+        col("embedding").as("cvec"), vecNorm(col("embedding")).as("cnrm"))
+
+  /** every input vector × centroid, scored with the rounded cosine — the
+    * one primitive behind cell assignment (argmax via max(struct)),
+    * probing (per-vector top-nprobe window) and silhouette (top-2).
+    * Requires `e` to carry `nrm`. */
+  private def ivfScores(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("s", round(dotProduct(col("embedding"), col("cvec")) /
+        (col("nrm") * col("cnrm")), 4))
+
+  /** nearest-centroid assignment from [[ivfScores]] rows: argmax rounded
+    * cosine, tie → min cid (max(struct(s, −cid)) — the same ordering the
+    * old greatest(struct…) literal chain produced), carrying the float
+    * vector and its norm through for downstream scoring. */
+  private def ivfAssign(scores: DataFrame): DataFrame =
+    scores.groupBy(col("vec_id"))
+      .agg(max(struct(col("s"), (-col("cid")).as("nc"))).as("__b"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("__b.nc")).cast("long").as("cell"))
+
+  /** PQ CODEBOOK AS DATA (shared by `pqTopK`, `ivfpqTopK`,
+    * `quantization_distortion`): one row per (subspace m, centroid j) —
+    * cv = the m-th dsub-wide slice of corpus vector 10+j, cn2 = its
+    * squared norm (sequential fold, matching the old Scala-side sum). */
+  private def pqCents(e: DataFrame, M: Int, dsub: Int, ksub: Int): DataFrame =
+    e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + ksub)
+      .select((col("vec_id") - 10).cast("int").as("j"), col("embedding"))
+      .withColumn("m", explode(typedLit((0 until M).toList)))
+      .select(col("m"), col("j"),
+        slice(col("embedding"), col("m") * dsub + 1, lit(dsub)).as("cv"))
+      .withColumn("cn2", aggregate(col("cv"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** per-(vector, subspace) PQ code from [[pqCents]]: argmin rounded L2²,
+    * tie → min j — identical to the old least(struct…) literal chain.
+    * Emits (vec_id, m, j, cn2, d2) — d2 is the chosen code's residual,
+    * which is exactly the distortion term `quantization_distortion`
+    * reports. */
+  private def pqCodes(corpus: DataFrame, cents: DataFrame, dsub: Int): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("d2", round(aggregate(
+        zip_with(slice(col("embedding"), col("m") * dsub + 1, lit(dsub)), col("cv"),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v), 4))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("j"), col("cn2"))).as("__c"))
+      .select(col("vec_id"), col("m"), col("__c.j").as("j"),
+        col("__c.cn2").as("cn2"), col("__c.d2").as("d2"))
+
+  /** per-(query, subspace, centroid) asymmetric-distance LUT rows from
+    * [[pqCents]]: d = dot(q_m, centroid(m,j)), plus the query norm.
+    * Emits (query_id, m, j, d, qn). Requires `queries` to carry `nrm`. */
+  private def pqLut(queries: DataFrame, cents: DataFrame, dsub: Int): DataFrame =
+    queries.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("m"), col("j"),
+        dotProduct(slice(col("embedding"), col("m") * dsub + 1, lit(dsub)),
+          col("cv")).as("d"),
+        col("nrm").as("qn"))
+
+  /** asymmetric-distance score per (query, neighbor) from LUT ⋈ codes:
+    * approx_cos = (Σ_m d_{m,code_m}) / (qn · sqrt(Σ_m cn2_{m,code_m})),
+    * both sums in FIXED m order (max-per-m then a literal left-assoc
+    * chain) so the doubles bit-match the old element_at chain and the
+    * oracle's FILTER formulation. */
+  private def pqScore(codes: DataFrame, lut: DataFrame, M: Int): DataFrame = {
+    val joined = codes.join(broadcast(lut), Seq("m", "j"))
+    val dSum = (0 until M).map(m => max(when(col("m") === m, col("d"))))
+      .reduce(_ + _)
+    val n2Sum = (0 until M).map(m => max(when(col("m") === m, col("cn2"))))
+      .reduce(_ + _)
+    joined.groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(dSum / (max(col("qn")) * sqrt(n2Sum)), 4).as("approx_cos"))
+  }
+
   /** int8 SQ index search (see the `sq_ann` Q for the full design notes):
     * integer coarse top-50 on globally min/max-quantized vectors, float
     * rerank to top-k. Shared by `sq_ann` and the `sq_recall` eval. */
@@ -141,45 +230,14 @@ object SimQueries {
     * dot-product LUT against the codebook, scoring is LUT lookups only.
     * Shared by `pq_ann` and the `pq_recall` eval. */
   private def pqTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.Column
     import org.apache.spark.sql.expressions.Window
     val M = 4; val dsub = 16; val ksub = 4
     val e = emb(s, dir)
-    val cb: Array[Array[Seq[Double]]] = {
-      val rows = e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + ksub)
-        .orderBy("vec_id").select("embedding").collect()
-      Array.tabulate(M)(m => rows.map(_.getSeq[Float](0)
-        .slice(m * dsub, (m + 1) * dsub).map(_.toDouble).toSeq))
-    }
-    def sub(c: Column, m: Int) = slice(c, m * dsub + 1, dsub)
-    def l2(c: Column, cent: Seq[Double]): Column =
-      round(aggregate(
-        zip_with(c, typedLit(cent),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v), 4)
-    val coded = (0 until M).foldLeft(e.filter(col("vec_id") >= 10)) { (df, m) =>
-      val best = least((0 until ksub).map(j =>
-        struct(l2(sub(col("embedding"), m), cb(m)(j)).as("d"), lit(j).as("j"))): _*)
-      df.withColumn(s"code_$m", best.getField("j"))
-    }.select(col("vec_id").as("neighbor_id") +:
-      (0 until M).map(m => col(s"code_$m")): _*)
-    val cn2: Array[Array[Double]] = Array.tabulate(M)(m =>
-      Array.tabulate(ksub)(j => cb(m)(j).map(x => x * x).sum))
-    val lut = (0 until M).foldLeft(
-      e.filter(col("vec_id") < 10).withColumn("qn", vecNorm(col("embedding")))) {
-      (df, m) =>
-        (0 until ksub).foldLeft(df)((d2, j) => d2.withColumn(s"d_${m}_$j",
-          dotProduct(sub(col("embedding"), m), typedLit(cb(m)(j)))))
-    }.select(col("vec_id").as("query_id") +: col("qn") +:
-      (for (m <- 0 until M; j <- 0 until ksub) yield col(s"d_${m}_$j")): _*)
-    val approxDot = (0 until M).map(m =>
-      element_at(array((0 until ksub).map(j => col(s"d_${m}_$j")): _*),
-        col(s"code_$m") + 1)).reduce(_ + _)
-    val rn2 = (0 until M).map(m =>
-      element_at(typedLit(cn2(m).toSeq), col(s"code_$m") + 1)).reduce(_ + _)
-    val scored = broadcast(lut).crossJoin(coded)
-      .select(col("query_id"), col("neighbor_id"),
-        round(approxDot / (col("qn") * sqrt(rn2)), 4).as("approx_cos"))
+    val cents = pqCents(e, M, dsub, ksub)
+    val codes = pqCodes(e.filter(col("vec_id") >= 10), cents, dsub)
+    val lut = pqLut(e.filter(col("vec_id") < 10)
+      .withColumn("nrm", vecNorm(col("embedding"))), cents, dsub)
+    val scored = pqScore(codes, lut, M)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -244,75 +302,43 @@ object SimQueries {
     val M = 4; val dsub = 16; val ksub = 4; val nlist = 8; val nprobe = 2
     val shortlist = 20
     val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
-    val cb: Array[Array[Seq[Double]]] = {
-      val rows = e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + ksub)
-        .orderBy("vec_id").select("embedding").collect()
-      Array.tabulate(M)(m => rows.map(_.getSeq[Float](0)
-        .slice(m * dsub, (m + 1) * dsub).map(_.toDouble).toSeq))
-    }
-    val cn2: Array[Array[Double]] = Array.tabulate(M)(m =>
-      Array.tabulate(ksub)(j => cb(m)(j).map(x => x * x).sum))
-    val centroids: Seq[(Int, Seq[Double], Double)] =
-      e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + nlist)
-        .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
-        .zipWithIndex.map { case (r, i) =>
-          val v = r.getSeq[Float](1).map(_.toDouble)
-          (i, v, math.sqrt(v.map(x => x * x).sum))
-        }
-    def cellScore(cvec: Seq[Double], cn: Double) =
-      round(dotProduct(col("embedding"), typedLit(cvec)) / (col("nrm") * cn), 4)
-    def sub(c: Column, m: Int) = slice(c, m * dsub + 1, dsub)
-    def l2(c: Column, cent: Seq[Double]): Column =
-      round(aggregate(
-        zip_with(c, typedLit(cent),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v), 4)
-    val argmaxStructs = centroids.map { case (cid, v, n) =>
-      struct(cellScore(v, n).as("s"), lit(-cid).as("nc"))
-    }
-    // corpus side: ONE projection computes the IVF cell (argmax rounded
-    // cosine, tie → min cid) and the M PQ codes (argmin rounded L2², tie
-    // → min j); the float vector rides along only for the rerank fetch
-    val coded = (0 until M).foldLeft(
-        e.filter(col("vec_id") >= 10)
-          .withColumn("__best", greatest(argmaxStructs: _*))
-          .withColumn("cell", (-col("__best").getField("nc")).cast("long"))) {
-        (df, m) =>
-          val best = least((0 until ksub).map(j =>
-            struct(l2(sub(col("embedding"), m), cb(m)(j)).as("d"), lit(j).as("j"))): _*)
-          df.withColumn(s"code_$m", best.getField("j"))
-      }.select(col("vec_id").as("neighbor_id") +: col("embedding").as("nv") +:
-        col("nrm").as("nn") +: col("cell") +:
-        (0 until M).map(m => col(s"code_$m")): _*)
-    val scoreStructs = centroids.map { case (cid, v, n) =>
-      struct(cellScore(v, n).as("s"), lit(cid.toLong).as("cid"))
-    }
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("c.s").desc, col("c.cid").asc)
-    val probed0 = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"), explode(array(scoreStructs: _*)).as("c"))
+    val icents = ivfCents(e, nlist)
+    val pcents = pqCents(e, M, dsub, ksub)
+    val scoredAll = ivfScores(e, icents)
+    // corpus side: IVF cell (argmax rounded cosine, tie → min cid) and
+    // the M PQ codes (argmin rounded L2², tie → min j); the float vector
+    // rides along only for the rerank fetch
+    val corpus = ivfAssign(scoredAll.filter(col("vec_id") >= 10))
+    val codes = pqCodes(e.filter(col("vec_id") >= 10), pcents, dsub)
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s").desc, col("cid").asc)
+    val probed = scoredAll.filter(col("vec_id") < 10)
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("c.cid").as("cell"))
-    val probed = (for (m <- 0 until M; j <- 0 until ksub) yield (m, j))
-      .foldLeft(probed0) { case (df, (m, j)) =>
-        df.withColumn(s"d_${m}_$j",
-          dotProduct(sub(col("qv"), m), typedLit(cb(m)(j))))
-      }
-    val approxDot = (0 until M).map(m =>
-      element_at(array((0 until ksub).map(j => col(s"d_${m}_$j")): _*),
-        col(s"code_$m") + 1)).reduce(_ + _)
-    val rn2 = (0 until M).map(m =>
-      element_at(typedLit(cn2(m).toSeq), col(s"code_$m") + 1)).reduce(_ + _)
-    val cands = broadcast(probed).join(coded, Seq("cell"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(approxDot / (col("qn") * sqrt(rn2)), 4).as("approx_cos"),
-        col("qv"), col("qn"), col("nv"), col("nn"))
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val lut = pqLut(e.filter(col("vec_id") < 10), pcents, dsub)
+    // candidates bounded by the probed cells; the scoring scan reads PQ
+    // codes + the broadcast LUT, never the original vectors
+    val pairs = broadcast(probed).join(corpus, Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        col("embedding").as("nv"), col("nrm").as("nn"))
+    val dSum = (0 until M).map(m => max(when(col("m") === m, col("d"))))
+      .reduce(_ + _)
+    val n2Sum = (0 until M).map(m => max(when(col("m") === m, col("cn2"))))
+      .reduce(_ + _)
+    val cands = pairs.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "j"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(dSum / (max(col("qn")) * sqrt(n2Sum)), 4).as("approx_cos"),
+        first(col("nv")).as("nv"), first(col("nn")).as("nn"))
+    val qvecs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
     val short = cands.withColumn("__crn", row_number().over(wc))
       .filter(col("__crn") <= shortlist)
+      .join(broadcast(qvecs), Seq("query_id"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     short.select(col("query_id"), col("neighbor_id"), col("approx_cos"),
@@ -575,24 +601,14 @@ object SimQueries {
              |    (least(floor((cast(v AS double) - $loS) / ($hiS - $loS) * 256.0),
              |           255.0) + 0.5) * ($hiS - $loS) / 256.0), 2)) / 64.0"""
             .stripMargin), 8).as("mse"))
-        val cb: Array[Array[Seq[Double]]] = {
-          val rows = emb(s, dir)
-            .filter(col("vec_id") >= 10 && col("vec_id") < 10 + ksub)
-            .orderBy("vec_id").select("embedding").collect()
-          Array.tabulate(M)(m => rows.map(_.getSeq[Float](0)
-            .slice(m * dsub, (m + 1) * dsub).map(_.toDouble).toSeq))
-        }
-        def sub(c: Column, m: Int) = slice(c, m * dsub + 1, dsub)
-        def l2(c: Column, cent: Seq[Double]): Column =
-          round(aggregate(
-            zip_with(c, typedLit(cent),
-              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (acc, v) => acc + v), 4)
-        val pqResid = (0 until M).map(m =>
-          least((0 until ksub).map(j => l2(sub(col("embedding"), m), cb(m)(j))): _*))
+        // PQ codebook AS DATA (pqCents/pqCodes): the per-(vector, m)
+        // argmin residual is the distortion term; the Σ over m runs in
+        // fixed m order so the double bit-matches the old literal chain
+        val codes = pqCodes(e, pqCents(emb(s, dir), M, dsub, ksub), dsub)
+        val resid = (0 until M).map(m => max(when(col("m") === m, col("d2"))))
           .reduce(_ + _)
-        val pqErr = e.select(col("vec_id"),
-          round(pqResid / 64.0, 8).as("mse"))
+        val pqErr = codes.groupBy(col("vec_id"))
+          .agg(round(resid / 64.0, 8).as("mse"))
         def summarize(df: DataFrame, method: String) =
           df.agg(lit(method).as("method"), count(lit(1)).as("n_vectors"),
             round(avg(col("mse")), 6).as("mean_mse"),
@@ -1748,35 +1764,19 @@ object SimQueries {
         val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
         // deterministic centroids: the first K corpus vectors (centroid
         // QUALITY is irrelevant to the mechanics; a trained index would
-        // swap in k-means means here)
-        val centroids: Seq[(Int, Seq[Double], Double)] =
-          e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + k)
-            .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
-            .zipWithIndex.map { case (r, i) =>
-              val v = r.getSeq[Float](1).map(_.toDouble)
-              (i, v, math.sqrt(v.map(x => x * x).sum))
-            }
-        def cellScore(cvec: Seq[Double], cn: Double) =
-          round(dotProduct(col("embedding"), typedLit(cvec)) / (col("nrm") * cn), 4)
-        val argmaxStructs = centroids.map { case (cid, v, n) =>
-          struct(cellScore(v, n).as("s"), lit(-cid).as("nc"))
-        }
-        val corpus = e.filter(col("vec_id") >= 10)
-          .withColumn("__best", greatest(argmaxStructs: _*))
-          .withColumn("cell", (-col("__best").getField("nc")).cast("long"))
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-        val scoreStructs = centroids.map { case (cid, v, n) =>
-          struct(cellScore(v, n).as("s"), lit(cid.toLong).as("cid"))
-        }
+        // swap in k-means means here), kept AS DATA (ivfCents) so the
+        // plan is O(1) in nlist — see ann_codebook_join for the rationale
+        val cents = ivfCents(e, k)
+        val scoredAll = ivfScores(e, cents)
+        val corpus = ivfAssign(scoredAll.filter(col("vec_id") >= 10))
         import org.apache.spark.sql.expressions.Window
-        val wq = Window.partitionBy(col("query_id"))
-          .orderBy(col("c.s").desc, col("c.cid").asc)
-        val probed = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("nrm").as("qn"), explode(array(scoreStructs: _*)).as("c"))
+        val wq = Window.partitionBy(col("vec_id"))
+          .orderBy(col("s").desc, col("cid").asc)
+        val probed = scoredAll.filter(col("vec_id") < 10)
           .withColumn("__rn", row_number().over(wq))
           .filter(col("__rn") <= nprobe)
-          .select(col("query_id"), col("qv"), col("qn"), col("c.cid").as("cell"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"), col("cid").as("cell"))
         val cands = broadcast(probed).join(corpus, Seq("cell"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
@@ -3431,22 +3431,9 @@ object SimQueries {
       (s, dir) => {
         val k = 8
         val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
-        val centroids: Seq[(Int, Seq[Double], Double)] =
-          e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + k)
-            .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
-            .zipWithIndex.map { case (r, i) =>
-              val v = r.getSeq[Float](1).map(_.toDouble)
-              (i, v, math.sqrt(v.map(x => x * x).sum))
-            }
-        def cellScore(cvec: Seq[Double], cn: Double) =
-          round(dotProduct(col("embedding"), typedLit(cvec)) / (col("nrm") * cn), 4)
-        val argmaxStructs = centroids.map { case (cid, v, n) =>
-          struct(cellScore(v, n).as("s"), lit(-cid).as("nc"))
-        }
-        val assigned = e
-          .withColumn("__best", greatest(argmaxStructs: _*))
-          .withColumn("cell", (-col("__best").getField("nc")).cast("long"))
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        // centroids AS DATA (ivfCents/ivfAssign): broadcast-join argmax,
+        // plan size O(1) in k — see ann_codebook_join for the rationale
+        val assigned = ivfAssign(ivfScores(e, ivfCents(e, k)))
         // rename BEFORE the self-joins: keepers derives from assigned, so
         // un-aliased grouping columns would share exprIds with the left side
         val keepers = assigned.groupBy("cell").agg(min("vec_id").as("keeper_id"))
@@ -3717,27 +3704,17 @@ object SimQueries {
         import org.apache.spark.sql.expressions.Window
         val nlist = 8
         val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
-        val centroids: Seq[(Int, Seq[Double], Double)] =
-          e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + nlist)
-            .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
-            .zipWithIndex.map { case (r, i) =>
-              val v = r.getSeq[Float](1).map(_.toDouble)
-              (i, v, math.sqrt(v.map(x => x * x).sum))
-            }
-        val scoreStructs = centroids.map { case (cid, v, n) =>
-          struct(round(dotProduct(col("embedding"), typedLit(v)) /
-            (col("nrm") * n), 4).as("s"), lit(cid.toLong).as("cid"))
-        }
+        // centroids AS DATA (ivfCents/ivfScores): broadcast-join scoring,
+        // plan size O(1) in nlist — see ann_codebook_join
         val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("c.s").desc, col("c.cid").asc)
-        val top2 = e.filter(col("vec_id") >= 10)
-          .select(col("vec_id"), explode(array(scoreStructs: _*)).as("c"))
+          .orderBy(col("s").desc, col("cid").asc)
+        val top2 = ivfScores(e.filter(col("vec_id") >= 10), ivfCents(e, nlist))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 2)
         val sil = top2.groupBy(col("vec_id"))
-          .agg(max(when(col("rn") === 1, col("c.cid"))).as("cell"),
-            max(when(col("rn") === 1, lit(1.0) - col("c.s"))).as("a"),
-            max(when(col("rn") === 2, lit(1.0) - col("c.s"))).as("b"))
+          .agg(max(when(col("rn") === 1, col("cid"))).as("cell"),
+            max(when(col("rn") === 1, lit(1.0) - col("s"))).as("a"),
+            max(when(col("rn") === 2, lit(1.0) - col("s"))).as("b"))
           .withColumn("sil",
             round((col("b") - col("a")) / greatest(col("a"), col("b")), 4))
         sil.groupBy(col("cell"))
@@ -3981,34 +3958,17 @@ object SimQueries {
         import org.apache.spark.sql.expressions.Window
         val nlist = 8; val maxProbe = 4
         val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
-        val centroids: Seq[(Int, Seq[Double], Double)] =
-          e.filter(col("vec_id") >= 10 && col("vec_id") < 10 + nlist)
-            .orderBy("vec_id").select("vec_id", "embedding").collect().toSeq
-            .zipWithIndex.map { case (r, i) =>
-              val v = r.getSeq[Float](1).map(_.toDouble)
-              (i, v, math.sqrt(v.map(x => x * x).sum))
-            }
-        def cellScore(cvec: Seq[Double], cn: Double) =
-          round(dotProduct(col("embedding"), typedLit(cvec)) / (col("nrm") * cn), 4)
-        val argmaxStructs = centroids.map { case (cid, v, n) =>
-          struct(cellScore(v, n).as("s"), lit(-cid).as("nc"))
-        }
-        val corpus = e.filter(col("vec_id") >= 10)
-          .withColumn("__best", greatest(argmaxStructs: _*))
-          .withColumn("cell", (-col("__best").getField("nc")).cast("long"))
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-        val scoreStructs = centroids.map { case (cid, v, n) =>
-          struct(cellScore(v, n).as("s"), lit(cid.toLong).as("cid"))
-        }
-        val wq = Window.partitionBy(col("query_id"))
-          .orderBy(col("c.s").desc, col("c.cid").asc)
-        val probed = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-            col("nrm").as("qn"), explode(array(scoreStructs: _*)).as("c"))
+        // centroids AS DATA (ivfCents/ivfScores/ivfAssign): plan size
+        // O(1) in nlist — see ann_codebook_join
+        val scoredAll = ivfScores(e, ivfCents(e, nlist))
+        val corpus = ivfAssign(scoredAll.filter(col("vec_id") >= 10))
+        val wq = Window.partitionBy(col("vec_id"))
+          .orderBy(col("s").desc, col("cid").asc)
+        val probed = scoredAll.filter(col("vec_id") < 10)
           .withColumn("cell_rank", row_number().over(wq))
           .filter(col("cell_rank") <= maxProbe)
-          .select(col("query_id"), col("qv"), col("qn"),
-            col("c.cid").as("cell"), col("cell_rank"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("nrm").as("qn"), col("cid").as("cell"), col("cell_rank"))
         val cands = broadcast(probed).join(corpus, Seq("cell"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             col("cell_rank"),

@@ -111,11 +111,15 @@ object StreamingQueries {
             checkpoint = s"$wh/_cp", appId = Some("stream_vault_rt")).start()
           q.processAllAvailable(); q.stop()
         }
-        runStream()
-        // checkpoint gone → the source re-delivers ALL batches from batchId
-        // 0; the tables' (appId, batchId) markers must absorb every one
-        rmTree(Paths.get(s"$wh/_cp"))
-        runStream()
+        // 3-batch harness stream: state/shuffle shards scoped to its scale
+        // (see StreamingLoaders.withStateShards — a checkpoint property)
+        StreamingLoaders.withStateShards(s, 4) {
+          runStream()
+          // checkpoint gone → the source re-delivers ALL batches from batchId
+          // 0; the tables' (appId, batchId) markers must absorb every one
+          rmTree(Paths.get(s"$wh/_cp"))
+          runStream()
+        }
         val hub = txlog.read("hub_customer")
           .select(col("hk_customer_h"), col("custkey"),
             col("ldts").as("hub_ldts"))
@@ -154,9 +158,11 @@ object StreamingQueries {
             checkpoint = s"$wh/_cp", appId = Some("stream_sat_stateful")).start()
           q.processAllAvailable(); q.stop()
         }
-        runStream()
-        rmTree(Paths.get(s"$wh/_cp"))
-        runStream()
+        StreamingLoaders.withStateShards(s, 4) {
+          runStream()
+          rmTree(Paths.get(s"$wh/_cp"))
+          runStream()
+        }
         txlog.read("sat_customer")
           .select(col("hk_customer_h"), col("hd_customer_s"), col("rsrc"),
             col("ldts"), col("c_name"), col("c_acctbal_v"), col("c_mktsegment"))
@@ -199,16 +205,18 @@ object StreamingQueries {
         writeOneFile(Seq((-1L, sentinel, 0.0)).toDF("user_id", "ts", "value"),
           wh, stagingDir, cuts.size, t0)
         val txlog = new TxLogTable(s, s"$wh/out")
-        val stream = arrivalStream(s, stagingDir, ev.schema)
-          .withWatermark("ts", "0 seconds")
-        val q = StreamingLoaders.sessionizeStream(stream, gap = "30 minutes")
-          .writeStream
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"$wh/_cp")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            txlog.appendOnce("sessions", batch, "stream_sessionize", batchId): Unit
-          }.start()
-        q.processAllAvailable(); q.stop()
+        StreamingLoaders.withStateShards(s, 4) {
+          val stream = arrivalStream(s, stagingDir, ev.schema)
+            .withWatermark("ts", "0 seconds")
+          val q = StreamingLoaders.sessionizeStream(stream, gap = "30 minutes")
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"$wh/_cp")
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              txlog.appendOnce("sessions", batch, "stream_sessionize", batchId): Unit
+            }.start()
+          q.processAllAvailable(); q.stop()
+        }
         txlog.read("sessions")
           .filter(col("user_id") >= 0)
           .select(col("user_id"), col("session_start"), col("session_end"),
@@ -247,9 +255,11 @@ object StreamingQueries {
             checkpoint = s"$wh/_cp", appId = Some("stream_txlog_eo")).start()
           q.processAllAvailable(); q.stop()
         }
-        runStream()
-        rmTree(Paths.get(s"$wh/_cp"))
-        runStream()
+        StreamingLoaders.withStateShards(s, 4) {
+          runStream()
+          rmTree(Paths.get(s"$wh/_cp"))
+          runStream()
+        }
         txlog.read("staged_customer")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
             col("ldts"), col("rsrc"), col("c_acctbal_v"),
@@ -302,9 +312,11 @@ object StreamingQueries {
             checkpoint = s"$wh/_cp", appId = Some("stream_dedup_wm")).start()
           q.processAllAvailable(); q.stop()
         }
-        runStream()
-        rmTree(Paths.get(s"$wh/_cp"))
-        runStream()
+        StreamingLoaders.withStateShards(s, 4) {
+          runStream()
+          rmTree(Paths.get(s"$wh/_cp"))
+          runStream()
+        }
         txlog.read("events_dedup")
           .select("event_id", "ts", "user_id", "event_type", "value")
       },
@@ -347,11 +359,8 @@ object StreamingQueries {
         // a stream-stream join materializes FOUR state stores per shuffle
         // partition per micro-batch (left/right keyToNumValues +
         // keyWithIndexToValue); at the session's 32 partitions that is
-        // 128 store lifecycles × 6 batches of pure fixed cost. State shard
-        // count is a checkpoint property, not a data-volume property —
-        // scope it to the stream's actual scale. (Restored in finally;
-        // batch queries are unaffected.)
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        // 128 store lifecycles × 6 batches of pure fixed cost — scope the
+        // shard count to the stream's scale (withStateShards).
         def runStream(): Unit = {
           val clicks = arrivalStream(s, clickDir, ev.schema)
             .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
@@ -373,12 +382,11 @@ object StreamingQueries {
             checkpoint = s"$wh/_cp", appId = Some("stream_interval_join")).start()
           q.processAllAvailable(); q.stop()
         }
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "4")
+        StreamingLoaders.withStateShards(s, 4) {
           runStream()
           rmTree(Paths.get(s"$wh/_cp"))
           runStream()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
         txlog.read("attributed")
           .select("click_id", "purchase_id", "user_id", "click_ts",
             "purchase_ts", "purchase_value")

@@ -517,7 +517,30 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     * scoped to the files live at delete time. Returns the number of
     * distinct deleted keys. */
   def deleteWhere(name: String, cond: org.apache.spark.sql.Column,
-                  keyCols: Seq[String]): Long = {
+                  keyCols: Seq[String]): Long =
+    deleteKeysOf(name, keyCols) { (snapshot, _) => snapshot.filter(cond) }
+
+  /** [[deleteWhere]] with the doomed keys given as a DATAFRAME instead of
+    * a `Column` predicate — the shape a production GDPR/forget batch has
+    * (millions of subject keys). The key set stays distributed end to
+    * end: it is semi-joined against the current snapshot (so the
+    * tombstone only carries keys that exist; a driver-side
+    * `isin(keys: _*)` literal breaks the PLAN at ~thousands of keys,
+    * long before it breaks the driver). `keyDf` must carry the logical
+    * `keyCols`. */
+  def deleteWhereKeys(name: String, keyDf: DataFrame,
+                      keyCols: Seq[String]): Long =
+    deleteKeysOf(name, keyCols) { (snapshot, _) =>
+      snapshot.join(keyDf.select(keyCols.map(col): _*), keyCols, "leftsemi")
+    }
+
+  /** shared MoR-delete tail: derive doomed keys from the current snapshot
+    * (existing tombstones applied — a re-delete of an already-dead key is
+    * a harmless no-op row), write them as ONE key file, commit the
+    * equality-delete scoped to the files live now. Returns the number of
+    * distinct deleted keys. */
+  private def deleteKeysOf(name: String, keyCols: Seq[String])
+      (restrict: (DataFrame, Seq[ColMap]) => DataFrame): Long = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
     val m = metaOf(name, v)
@@ -525,10 +548,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     val phys = keyCols.map(kc => m.cols.find(_.logical == kc).getOrElse(
       throw new IllegalArgumentException(
         s"TxLogTable $name: no column $kc")))
-    // keys from the CURRENT snapshot (existing tombstones applied — a
-    // re-delete of an already-dead key would be a harmless no-op row)
-    val keys = readWithDeletes(name, m.cols, live, m.edels)
-      .filter(cond)
+    val keys = restrict(readWithDeletes(name, m.cols, live, m.edels), m.cols)
       .select(phys.map(c => col(c.logical).cast(c.typeDdl).as(c.physical)): _*)
       .distinct()
       .localCheckpoint()

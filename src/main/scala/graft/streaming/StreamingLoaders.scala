@@ -18,6 +18,27 @@ import graft.runtime.{TableStore, TxLogTable}
   */
 object StreamingLoaders {
 
+  /** Run `body` with the stream's state/shuffle shard count scoped to
+    * `shards`, restoring the session's setting afterwards.
+    *
+    * A stateful streaming operator materializes one state store PER
+    * SHUFFLE PARTITION per micro-batch (a stream-stream join: four), so
+    * the shard count is pure fixed cost at low volume and the parallelism
+    * ceiling at high volume. It is a property of the STREAM (its key
+    * cardinality and volume), not of the batch session — Spark pins it
+    * into the checkpoint at first start, so it must be chosen when the
+    * stream is born. Production callers size `shards` to stream volume
+    * (e.g. keys/10⁶ or executor-core count); harness-scale streams want
+    * single digits. The reference has no streaming surface; its analogue
+    * is sizing the scheduler's micro-batch window (SURVEY §2.10).
+    */
+  def withStateShards[A](spark: org.apache.spark.sql.SparkSession, shards: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, shards.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Continuously load a hub from a streaming staged source.
     * Usage: `hubSink(staged.writeStream, store, ...).start()` */
   def hubSink(

@@ -81,4 +81,36 @@ class GeoSpec extends SparkSpec {
     }
     assert(knn.nonEmpty)
   }
+
+  test("adaptiveCell keeps expected occupancy bounded at ANY n (no tier saturation)") {
+    import graft.queries.GeoQueries.{adaptiveCell, cellTiers}
+    // the coordinate space is 2e8 md²; expected per-cell occupancy is
+    // n·cell²/2e8. The halving chain must hold occupancy ≤ 5000 up to the
+    // last tier's bound (1e12 points ≈ far past a 100 TB point table) —
+    // the round-9 five-tier table saturated at cell=125 and went
+    // quadratic past 64M points.
+    val probes = Seq(1L, 150L, 250000L, 250001L, 1000000L, 16000000L,
+      16000001L, 64000000L, 64000001L, 100000000L, 1000000000L,
+      10000000000L, 100000000000L, 1000000000000L)
+    probes.foreach { n =>
+      val cell = adaptiveCell(n)
+      val occ = n.toDouble * cell * cell / 2e8
+      assert(occ <= 5000.0 + 1e-6, s"n=$n cell=$cell occupancy=$occ")
+      assert(cell >= 1L, s"n=$n cell degenerate")
+    }
+    // driver gate SFs stay on the original grid (hash stability)
+    assert(adaptiveCell(150L) == 2000L)
+    assert(adaptiveCell(15000L) == 2000L)
+    assert(adaptiveCell(250000L) == 2000L)
+    // chain is monotone (cells only shrink as n grows) and each tier's
+    // bound is tight: one more point than the bound drops the cell
+    cellTiers.sliding(2).foreach { case Seq((n1, c1), (n2, c2)) =>
+      assert(n1 < n2 && c1 > c2, s"chain not monotone: ($n1,$c1) ($n2,$c2)")
+      assert(adaptiveCell(n1) == c1 && adaptiveCell(n1 + 1) == c2)
+    case _ => ()
+    }
+    // the ring radius (3/4 of cell) never exceeds the cell, so the 3×3
+    // ring stays exhaustive at every tier
+    cellTiers.foreach { case (_, c) => assert(c * 3 / 4 <= c) }
+  }
 }

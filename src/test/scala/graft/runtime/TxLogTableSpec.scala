@@ -420,6 +420,29 @@ class TxLogTableSpec extends SparkSpec {
     assert(t.read("tbl").count() === 17)
   }
 
+  test("deleteWhereKeys: a 100k-key DataFrame forget set, zero driver-side keys") {
+    val (t, _) = freshStore()
+    t.overwrite("tbl", (1 to 200000).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val v1 = t.currentVersion("tbl").get
+    val filesBefore = t.files("tbl", v1)
+    // 100k doomed keys + 50k keys NOT in the table (a real GDPR batch
+    // carries subjects that were already purged): the semi-join must keep
+    // the tombstone to keys that exist, and the whole set stays a
+    // DataFrame — an isin literal of this size breaks plan compilation
+    val doomed = spark.range(1, 300001, 3).select($"id") // 1,4,7,… 100k in-table…
+    val n = t.deleteWhereKeys("tbl", doomed, Seq("id"))
+    val expected = (1 to 200000).count(i => (i - 1) % 3 == 0)
+    assert(n === expected.toLong, s"deleted-key count $n vs $expected")
+    val v2 = t.currentVersion("tbl").get
+    assert(t.files("tbl", v2) === filesBefore,
+      "a MOR delete must not touch any data file")
+    assert(t.read("tbl").count() === (200000L - expected))
+    assert(t.read("tbl").filter(($"id" - 1) % 3 === 0).count() === 0L)
+    // keys can re-insert (tombstone scoped to old files), same as deleteWhere
+    t.append("tbl", Seq((1L, "back")).toDF("id", "v"))
+    assert(t.read("tbl").filter($"id" === 1L).count() === 1L)
+  }
+
   test("equality deletes survive renames and are materialized by compact") {
     val (t, _) = freshStore()
     t.overwrite("tbl", (1 to 10).map(i => (i, i * 100)).toDF("id", "cents"))

@@ -45,6 +45,44 @@ class StreamingSpec extends SparkSpec {
     store.drop("hub_s")
   }
 
+  test("withStateShards: shard count scopes the stream, restores the session, results identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAt(shards: Int): Seq[(String, Long)] = {
+      val wh = Files.createTempDirectory("graft_shards").toString
+      val store = new TableStore(spark, wh)
+      val input = MemoryStream[(String, String)]
+      val staged = input.toDF().toDF("bk", "ldts_s")
+        .withColumn("ldts", to_timestamp($"ldts_s")).drop("ldts_s")
+        .withColumn("rsrc", lit("STREAM"))
+        .withColumn("hk", graft.expr.Hashing.hashkey(Seq($"bk")))
+      StreamingLoaders.withStateShards(spark, shards) {
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == shards.toString)
+        val q = StreamingLoaders.hubSink(staged, store, "hub_s", "hk", "hk",
+          Seq("bk"), Seq("bk"), checkpoint = s"$wh/_cp",
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+        input.addData(("k1", "2024-01-01 00:00:00"), ("k2", "2024-01-01 00:00:00"))
+        q.processAllAvailable()
+        input.addData(("k2", "2024-01-02 00:00:00"), ("k3", "2024-01-02 00:00:00"))
+        q.processAllAvailable(); q.stop()
+      }
+      val out = store.read("hub_s").select("bk", "ldts")
+        .as[(String, java.sql.Timestamp)].collect().toSeq
+        .map { case (bk, ts) => (bk, ts.getTime) }.sorted
+      store.drop("hub_s")
+      out
+    }
+    // the production knob: the same stream at two shard settings yields
+    // identical tables — shard count is a throughput property, never a
+    // correctness property
+    val at2 = runAt(2)
+    val at8 = runAt(8)
+    assert(at2 == at8)
+    assert(at2.map(_._1) == Seq("k1", "k2", "k3"))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "session setting must be restored")
+  }
+
   test("streaming sat v0 sink: cross-batch change detection holds") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString
