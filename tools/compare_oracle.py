@@ -59,21 +59,29 @@ def canon(df):
             df[c] = df[c].apply(lambda v: v.isoformat() if hasattr(v, "isoformat") else v)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    # comma-separated list of query names (single name still works)
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+def connect(sf_dir):
     con = duckdb.connect()
     # out-of-core for scale drills: an in-memory duckdb has no temp dir and
     # a memory-bound hash agg dies with "Failed to allocate block" instead
     # of spilling (hit by word_entropy's 500k-doc token explosion at sf10)
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    con.sql("SET max_temp_directory_size='60GiB'")
+    con.sql("SET max_temp_directory_size='120GiB'")
+    # scale drills run this concurrently with a Spark JVM on the same box:
+    # cap duckdb so the pair fits in RAM (spills instead of ballooning)
+    if os.environ.get("DUCKDB_MEM"):
+        con.sql(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # comma-separated list of query names (single name still works)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
@@ -82,11 +90,35 @@ def main():
         spath = f"{out_dir}/{name}"
         if not os.path.isdir(spath):
             print(f"FAIL {name}: spark output missing"); n_fail += 1; continue
+        def reconnect(old):
+            import gc, time
+            try:
+                old.close()
+            except Exception:
+                pass
+            gc.collect()
+            for backoff in (1, 5, 15):
+                try:
+                    return connect(sf_dir)
+                except Exception:
+                    time.sleep(backoff)
+                    gc.collect()
+            return connect(sf_dir)
         try:
-            wrel = con.sql(sql)
-            want = wrel.df()
+            try:
+                wrel = con.sql(sql)
+                want = wrel.df()
+            except duckdb.OutOfMemoryException:
+                # a spilled-then-failed big oracle can leave the connection
+                # pinning buffers, poisoning every later (tiny) allocation:
+                # reconnect and retry once on a clean slate
+                con = reconnect(con)
+                wrel = con.sql(sql)
+                want = wrel.df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle error: {e}", flush=True); n_fail += 1
+            con = reconnect(con)
+            continue
         grel = con.sql(f"SELECT * FROM '{spath}/*.parquet'")
         got = grel.df()
         try:
