@@ -1508,15 +1508,22 @@ object DvQueries {
     // global HWM applies per source (ldts is the batch load timestamp), so
     // both parquet scans carry a pushed-down ldts > hwm predicate instead of
     // re-scanning full sources every load (the reference full-scans here,
-    // hub.sql:173-179 guards on single-source)
+    // hub.sql:173-179 guards on single-source). The supplier keyspace is
+    // offset by max(c_custkey)+1 DERIVED FROM THE DATA on both engines —
+    // a fixed +1e6 collided with real custkeys at sf10 (custkey reaches
+    // 1.5e6), and a collided key with tied ldts made the earliest-row
+    // winner engine-arbitrary (caught by the r10 sf10 full-registry
+    // drill: 3435 rsrc diffs).
     Q("hub_incremental_multi",
       (s, dir) => {
         val c = custStage(s, dir)
+        val skeyOff = rd(s, dir, "customer")
+          .agg(max(col("c_custkey"))).head().getLong(0) + 1L
         val sup = rd(s, dir, "supplier")
           .withColumn(LdtsAlias,
             expr("timestampadd(DAY, cast(s_suppkey % 5 as int), timestamp'2024-01-01 00:00:00')"))
           .withColumn(RsrcAlias, lit("TPC_H/Supplier"))
-          .withColumn("skey", col("s_suppkey") + 1000000)
+          .withColumn("skey", col("s_suppkey") + skeyOff)
           .withColumn("hk_supplier_h", Hashing.hashkey(Seq(col("skey"))))
         val sources = Seq(
           EntitySource(c, Some("hk_customer_h"), Seq("c_custkey")),
@@ -1525,17 +1532,18 @@ object DvQueries {
         val target = full.filter(col(LdtsAlias) <= to_timestamp(lit("2024-01-02 00:00:00")))
         HubLoader.records(sources, "hk_party_h", Seq("party_key"), Some(target))
       },
-      Some(s"""WITH c AS (
+      Some(s"""WITH ko AS (SELECT max(c_custkey) + 1 AS off FROM customer),
+              |c AS (
               |  SELECT ${O.hashkey("c_custkey")} AS hk_party_h, c_custkey AS party_key,
               |         timestamp '2024-01-01 00:00:00' + (c_custkey % 3) * INTERVAL 1 DAY AS ldts,
               |         'TPC_H/Customer' AS rsrc
               |  FROM customer),
               |sup AS (
-              |  SELECT ${O.hashkey("s_suppkey + 1000000")} AS hk_party_h,
-              |         s_suppkey + 1000000 AS party_key,
+              |  SELECT ${O.hashkey("s_suppkey + ko.off")} AS hk_party_h,
+              |         s_suppkey + ko.off AS party_key,
               |         timestamp '2024-01-01 00:00:00' + (s_suppkey % 5) * INTERVAL 1 DAY AS ldts,
               |         'TPC_H/Supplier' AS rsrc
-              |  FROM supplier),
+              |  FROM supplier, ko),
               |unioned AS (SELECT * FROM c UNION ALL SELECT * FROM sup),
               |full_hub AS (
               |  SELECT * FROM unioned
@@ -1698,10 +1706,16 @@ object DvQueries {
     // S7 driver-verified — copy-on-write partition-pruned MERGE: replace
     // matched keys, insert new ones, touching only the partitions the delta
     // occupies; the returned table IS the post-merge state, oracle-checked.
+    // The INSERT keys are shifted by max(o_orderkey)+1 derived from the
+    // data on both engines — a fixed +1e7 collided with real orderkeys at
+    // sf10 (dense keys reach 1.5e7), turning intended inserts into
+    // updates on the Spark side while the oracle's UNION ALL kept both.
     Q("merge_partitioned",
       (s, dir) => {
         val wh = tmpWarehouse("graft_q_merge")
         val store = new graft.runtime.TableStore(s, wh)
+        val keyOff = rd(s, dir, "orders")
+          .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
         val base = rd(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
           (col("o_orderkey") % 4).cast("long").as("pday"))
         store.overwritePartitioned("t", base, "pday")
@@ -1711,20 +1725,21 @@ object DvQueries {
           .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
           .unionByName(
             base.filter(col("o_orderkey") % 1000 === 0)
-              .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice"),
-                ((col("o_orderkey") + 10000000L) % 4).cast("long").as("pday")))
+              .select((col("o_orderkey") + keyOff).as("o_orderkey"), col("o_totalprice"),
+                ((col("o_orderkey") + keyOff) % 4).cast("long").as("pday")))
         store.mergePartitioned("t", "pday", delta, Seq("o_orderkey"))
         store.read("t").select(col("o_orderkey"), col("o_totalprice"),
           col("pday").cast("long").as("pday"))
       },
-      Some("""SELECT o_orderkey,
+      Some("""WITH ko AS (SELECT max(o_orderkey) + 1 AS off FROM orders)
+             |SELECT o_orderkey,
              |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 10.0
              |       ELSE o_totalprice END AS o_totalprice,
              |  o_orderkey % 4 AS pday
              |FROM orders
              |UNION ALL
-             |SELECT o_orderkey + 10000000, o_totalprice, (o_orderkey + 10000000) % 4
-             |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin)),
+             |SELECT o_orderkey + ko.off, o_totalprice, (o_orderkey + ko.off) % 4
+             |FROM orders, ko WHERE o_orderkey % 1000 = 0""".stripMargin)),
 
     // §5 driver-verified — the reference's documented soft-constraint
     // contract (40_testing-a-data-vault.md:47-71) as executable checks:
@@ -1788,30 +1803,36 @@ object DvQueries {
     // inserts new ones, and the pre-merge snapshot stays readable (read
     // BEFORE the merge, unioned in afterwards — snapshot isolation is part
     // of the oracle-checked result, not just a unit test).
+    // INSERT keys shifted by max(o_orderkey)+1 derived from the data on
+    // both engines (a fixed +1e7 collided with real orderkeys at sf10 —
+    // same defect class as merge_partitioned, caught by the r10 drill).
     Q("txlog_merge",
       (s, dir) => {
         val wh = tmpWarehouse("graft_q_txlog")
         val t = new graft.runtime.TxLogTable(s, wh)
         val base = rd(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val keyOff = rd(s, dir, "orders")
+          .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
         t.append("t", base.filter(col("o_orderkey") % 2 === 0))
         t.append("t", base.filter(col("o_orderkey") % 2 =!= 0))
         val preMerge = t.read("t") // snapshot resolved at v2
         val delta = base.filter(col("o_orderkey") % 10 === 0)
           .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
           .unionByName(base.filter(col("o_orderkey") % 1000 === 0)
-            .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice")))
+            .select((col("o_orderkey") + keyOff).as("o_orderkey"), col("o_totalprice")))
         t.merge("t", delta, Seq("o_orderkey"))
         t.read("t").withColumn("snapshot", lit("merged"))
           .unionByName(preMerge.withColumn("snapshot", lit("pre_merge")))
       },
-      Some("""SELECT o_orderkey,
+      Some("""WITH ko AS (SELECT max(o_orderkey) + 1 AS off FROM orders)
+             |SELECT o_orderkey,
              |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 10.0
              |       ELSE o_totalprice END AS o_totalprice,
              |  'merged' AS snapshot
              |FROM orders
              |UNION ALL
-             |SELECT o_orderkey + 10000000, o_totalprice, 'merged'
-             |FROM orders WHERE o_orderkey % 1000 = 0
+             |SELECT o_orderkey + ko.off, o_totalprice, 'merged'
+             |FROM orders, ko WHERE o_orderkey % 1000 = 0
              |UNION ALL
              |SELECT o_orderkey, o_totalprice, 'pre_merge' FROM orders""".stripMargin)),
 
@@ -2738,7 +2759,11 @@ object DvQueries {
         }).run()
         new Runner(s, store, models, {
           case "customer_src" => custBatch("2024-02-01 00:00:00", evenOnly = false, 5.0)
-          case "orders_src"   => ordBatch("2024-02-04 00:00:00", 1000000)
+          // poison keys NEGATIVE: a positive shift overlaps real custkeys
+          // once the SF grows past the shift (sf10 reaches 1.5e6), which
+          // silently weakens the pruning-failure detection this batch is
+          // for — no real key is ever negative, at any SF
+          case "orders_src"   => ordBatch("2024-02-04 00:00:00", -10000000)
           case other          => throw new IllegalArgumentException(other)
         }).run("stage_customer+")
         val sat = store.read("customer_s").groupBy("hk_customer_h")

@@ -89,7 +89,7 @@ def main():
             continue
         spath = f"{out_dir}/{name}"
         if not os.path.isdir(spath):
-            print(f"FAIL {name}: spark output missing"); n_fail += 1; continue
+            print(f"FAIL {name}: spark output missing", flush=True); n_fail += 1; continue
         def reconnect(old):
             import gc, time
             try:
@@ -156,7 +156,7 @@ def main():
                 print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
                 n_fail += 1; continue
             if len(g) != len(w):
-                print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
+                print(f"FAIL {name}: rows {len(g)} vs {len(w)}", flush=True); n_fail += 1; continue
             # value compare: exact for non-floats; floats keep a tight
             # relative tolerance — the driver itself passed r06 rows whose
             # float sums differ in the last ulp (tpch_q1 sum_charge), so
@@ -174,11 +174,11 @@ def main():
                     i = bad.idxmax()
                     mism.append(f"col {c} row {i}: spark={a[i]!r} oracle={b[i]!r} ({int(bad.sum())} diffs)")
             if mism:
-                print(f"FAIL {name}: " + "; ".join(mism[:3])); n_fail += 1
+                print(f"FAIL {name}: " + "; ".join(mism[:3]), flush=True); n_fail += 1
             else:
-                print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+                print(f"PASS {name} ({len(g)} rows)", flush=True); n_pass += 1
         except Exception as e:
-            print(f"FAIL {name}: compare error: {e}"); n_fail += 1
+            print(f"FAIL {name}: compare error: {e}", flush=True); n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 

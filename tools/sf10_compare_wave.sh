@@ -10,11 +10,11 @@ touch "$LOG"
 cp -f target/r10_check/oracle_sql.json "$OUT/oracle_sql.json" 2>/dev/null
 # oracles too heavy to run beside the Spark JVM — compared in a solo
 # pass after the Verify batches finish (SKIP is a regex alternation)
-SKIP="${SKIP:-bigram_perplexity}"
+SKIP="${SKIP:-bigram_perplexity|calibration_bins}"
 done_q=$(grep -hE "\[verify\] done" "$@" | sed 's/.*done  //' | awk '{print $1}' | grep -vE "^(${SKIP})$" | sort -u)
 compared=$(grep -hoE "^(PASS|FAIL) [A-Za-z0-9_]+" "$LOG" | awk '{print $2}' | tr -d ':' | sort -u)
 pending=$(comm -23 <(echo "$done_q") <(echo "$compared") | paste -sd, -)
 if [ -z "$pending" ]; then echo "nothing pending"; exit 0; fi
 echo "comparing: $pending"
 DUCKDB_MEM=${DUCKDB_MEM:-30GiB} python3 tools/compare_oracle.py target/sf10 "$OUT" "$pending" \
-  | grep -vE "spark output missing" | tee -a "$LOG"
+  | grep --line-buffered -vE "spark output missing" | tee -a "$LOG"
