@@ -35,9 +35,11 @@ object Verify {
   private[graft] def parseConf(raw: String): Seq[(String, String)] =
     raw.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
       val kv = entry.split("=", 2)
-      require(kv.length == 2 && kv(0).nonEmpty,
+      require(kv.length == 2 && kv(0).trim.nonEmpty,
         s"SPARK_GRAFT_CONF entry '$entry' is not key=value")
-      (kv(0), kv(1))
+      // trim both halves: "c.d = 2" must set key "c.d" (not "c.d ") —
+      // a trailing space makes the conf silently inert
+      (kv(0).trim, kv(1).trim)
     }.toSeq
 
   private[graft] def applyEnvConf(builder: SparkSession.Builder): SparkSession.Builder =

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.{HashConfig, Hashing}
@@ -2722,8 +2722,8 @@ object DvQueries {
             .withColumn(LdtsAlias,
               expr(s"timestampadd(DAY, cast(c_custkey % 3 as int), timestamp'$base')"))
         }
-        def ordBatch(base: String, keyShift: Int) =
-          ord.select((col("o_custkey") + keyShift).as("o_custkey"), col("o_orderkey"))
+        def ordBatch(base: String, key: Column => Column) =
+          ord.select(key(col("o_custkey")).as("o_custkey"), col("o_orderkey"))
             .withColumn(LdtsAlias,
               expr(s"timestampadd(DAY, cast(o_orderkey % 3 as int), timestamp'$base')"))
         val models = Seq(
@@ -2754,16 +2754,16 @@ object DvQueries {
               Some("hd_customer_s"), Seq("c_name", "c_acctbal"), ctx.target)))
         new Runner(s, store, models, {
           case "customer_src" => custBatch("2024-01-01 00:00:00", evenOnly = true, 0.0)
-          case "orders_src"   => ordBatch("2024-01-04 00:00:00", 0)
+          case "orders_src"   => ordBatch("2024-01-04 00:00:00", identity)
           case other          => throw new IllegalArgumentException(other)
         }).run()
         new Runner(s, store, models, {
           case "customer_src" => custBatch("2024-02-01 00:00:00", evenOnly = false, 5.0)
-          // poison keys NEGATIVE: a positive shift overlaps real custkeys
-          // once the SF grows past the shift (sf10 reaches 1.5e6), which
-          // silently weakens the pruning-failure detection this batch is
-          // for — no real key is ever negative, at any SF
-          case "orders_src"   => ordBatch("2024-02-04 00:00:00", -10000000)
+          // poison keys NEGATIVE by pure negation: any fixed shift (even a
+          // negative one) re-enters the real keyspace once custkeys outgrow
+          // it, silently weakening the pruning-failure detection this batch
+          // is for — -k - 1 is out-of-domain at EVERY SF (keys are ≥ 0)
+          case "orders_src"   => ordBatch("2024-02-04 00:00:00", k => -k - 1)
           case other          => throw new IllegalArgumentException(other)
         }).run("stage_customer+")
         val sat = store.read("customer_s").groupBy("hk_customer_h")

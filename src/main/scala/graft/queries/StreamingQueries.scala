@@ -70,8 +70,9 @@ object StreamingQueries {
 
   /** Materialize the 3-batch staged customer source as THREE single-file
     * parquet arrivals — the shape a production landing zone has. Returns
-    * the staging dir. */
-  private def writeArrivals(s: SparkSession, dir: String, wh: String): String = {
+    * the staging dir and the staged row count (the state-volume hint for
+    * `StreamingLoaders.shardsFor`). */
+  private def writeArrivals(s: SparkSession, dir: String, wh: String): (String, Long) = {
     val staged = DvQueries.cust3Batch(s, dir)
     val stagingDir = s"$wh/staging"
     Files.createDirectories(Paths.get(stagingDir))
@@ -80,7 +81,7 @@ object StreamingQueries {
       writeOneFile(staged.filter(col("b") === b.toLong).drop("b"),
         wh, stagingDir, b, t0)
     }
-    stagingDir
+    (stagingDir, staged.count())
   }
 
   private def arrivalStream(s: SparkSession, stagingDir: String,
@@ -98,7 +99,7 @@ object StreamingQueries {
       (s, dir) => {
         val wh = DvQueries.tmpWarehouse("graft_stream_vault")
         val schema = DvQueries.cust3Batch(s, dir).drop("b").schema
-        val stagingDir = writeArrivals(s, dir, wh)
+        val (stagingDir, stagedRows) = writeArrivals(s, dir, wh)
         val txlog = new TxLogTable(s, s"$wh/vault")
         def runStream(): Unit = {
           val q = StreamingLoaders.vaultSink(
@@ -111,9 +112,9 @@ object StreamingQueries {
             checkpoint = s"$wh/_cp", appId = Some("stream_vault_rt")).start()
           q.processAllAvailable(); q.stop()
         }
-        // 3-batch harness stream: state/shuffle shards scoped to its scale
-        // (see StreamingLoaders.withStateShards — a checkpoint property)
-        StreamingLoaders.withStateShards(s, 4) {
+        // 3-batch harness stream: state/shuffle shards scoped to its
+        // volume (see StreamingLoaders.shardsFor — a checkpoint property)
+        StreamingLoaders.withStateShards(s, StreamingLoaders.shardsFor(stagedRows)) {
           runStream()
           // checkpoint gone → the source re-delivers ALL batches from batchId
           // 0; the tables' (appId, batchId) markers must absorb every one
@@ -149,7 +150,7 @@ object StreamingQueries {
       (s, dir) => {
         val wh = DvQueries.tmpWarehouse("graft_stream_satst")
         val schema = DvQueries.cust3Batch(s, dir).drop("b").schema
-        val stagingDir = writeArrivals(s, dir, wh)
+        val (stagingDir, stagedRows) = writeArrivals(s, dir, wh)
         val txlog = new TxLogTable(s, s"$wh/vault")
         def runStream(): Unit = {
           val q = StreamingLoaders.satV0StatefulTxSink(
@@ -158,7 +159,7 @@ object StreamingQueries {
             checkpoint = s"$wh/_cp", appId = Some("stream_sat_stateful")).start()
           q.processAllAvailable(); q.stop()
         }
-        StreamingLoaders.withStateShards(s, 4) {
+        StreamingLoaders.withStateShards(s, StreamingLoaders.shardsFor(stagedRows)) {
           runStream()
           rmTree(Paths.get(s"$wh/_cp"))
           runStream()
@@ -188,7 +189,10 @@ object StreamingQueries {
         val ev = SimQueries.events(s, dir)
           .select(col("user_id").cast("long").as("user_id"),
             col("ts"), col("value").cast("double").as("value"))
-        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        // one agg pass for the sentinel ts AND the state-volume hint
+        val evHead = ev.agg(max(col("ts")), count(lit(1))).head()
+        val maxTs = evHead.getTimestamp(0)
+        val evRows = evHead.getLong(1)
         val sentinel = new java.sql.Timestamp(maxTs.getTime + 4 * 3600 * 1000L)
         val stagingDir = s"$wh/staging"
         Files.createDirectories(Paths.get(stagingDir))
@@ -205,7 +209,7 @@ object StreamingQueries {
         writeOneFile(Seq((-1L, sentinel, 0.0)).toDF("user_id", "ts", "value"),
           wh, stagingDir, cuts.size, t0)
         val txlog = new TxLogTable(s, s"$wh/out")
-        StreamingLoaders.withStateShards(s, 4) {
+        StreamingLoaders.withStateShards(s, StreamingLoaders.shardsFor(evRows)) {
           val stream = arrivalStream(s, stagingDir, ev.schema)
             .withWatermark("ts", "0 seconds")
           val q = StreamingLoaders.sessionizeStream(stream, gap = "30 minutes")
@@ -247,7 +251,7 @@ object StreamingQueries {
       (s, dir) => {
         val wh = DvQueries.tmpWarehouse("graft_stream_txlog")
         val schema = DvQueries.cust3Batch(s, dir).drop("b").schema
-        val stagingDir = writeArrivals(s, dir, wh)
+        val (stagingDir, stagedRows) = writeArrivals(s, dir, wh)
         val txlog = new TxLogTable(s, s"$wh/vault")
         def runStream(): Unit = {
           val q = StreamingLoaders.txLogSink(
@@ -255,7 +259,7 @@ object StreamingQueries {
             checkpoint = s"$wh/_cp", appId = Some("stream_txlog_eo")).start()
           q.processAllAvailable(); q.stop()
         }
-        StreamingLoaders.withStateShards(s, 4) {
+        StreamingLoaders.withStateShards(s, StreamingLoaders.shardsFor(stagedRows)) {
           runStream()
           rmTree(Paths.get(s"$wh/_cp"))
           runStream()
@@ -300,6 +304,9 @@ object StreamingQueries {
         batches.zipWithIndex.foreach { case (b, i) =>
           writeOneFile(b, wh, stagingDir, i, t0)
         }
+        // dedup state holds every event_id inside the watermark — here the
+        // delay exceeds the span, so the hint is the full event count
+        val evRows = ev.count()
         val txlog = new TxLogTable(s, s"$wh/vault")
         def runStream(): Unit = {
           val deduped = arrivalStream(s, stagingDir, ev.schema)
@@ -312,7 +319,7 @@ object StreamingQueries {
             checkpoint = s"$wh/_cp", appId = Some("stream_dedup_wm")).start()
           q.processAllAvailable(); q.stop()
         }
-        StreamingLoaders.withStateShards(s, 4) {
+        StreamingLoaders.withStateShards(s, StreamingLoaders.shardsFor(evRows)) {
           runStream()
           rmTree(Paths.get(s"$wh/_cp"))
           runStream()
@@ -355,12 +362,15 @@ object StreamingQueries {
           writeOneFile(slice.filter(col("event_type") === "purchase"),
             wh, purchDir, i, t0)
         }
+        // join state holds both sides' rows inside the watermark — the
+        // delay exceeds the span, so the hint is the full event count
+        val evRows = ev.count()
         val txlog = new TxLogTable(s, s"$wh/vault")
         // a stream-stream join materializes FOUR state stores per shuffle
         // partition per micro-batch (left/right keyToNumValues +
         // keyWithIndexToValue); at the session's 32 partitions that is
         // 128 store lifecycles × 6 batches of pure fixed cost — scope the
-        // shard count to the stream's scale (withStateShards).
+        // shard count to the stream's volume (shardsFor).
         def runStream(): Unit = {
           val clicks = arrivalStream(s, clickDir, ev.schema)
             .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
@@ -382,7 +392,7 @@ object StreamingQueries {
             checkpoint = s"$wh/_cp", appId = Some("stream_interval_join")).start()
           q.processAllAvailable(); q.stop()
         }
-        StreamingLoaders.withStateShards(s, 4) {
+        StreamingLoaders.withStateShards(s, StreamingLoaders.shardsFor(evRows)) {
           runStream()
           rmTree(Paths.get(s"$wh/_cp"))
           runStream()

@@ -39,6 +39,29 @@ object StreamingLoaders {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Floor for [[shardsFor]]: even a tiny stream keeps a few shards so
+    * replay/merge paths still cross shard boundaries in tests. */
+  val MinStateShards = 4
+  /** Ceiling for [[shardsFor]] — wider than any state store fleet a single
+    * streaming query meaningfully drives. */
+  val MaxStateShards = 4096
+  /** Sizing rule: one state shard per ~2M keyed state rows. Below this a
+    * shard is pure store-lifecycle overhead (open/commit/snapshot per
+    * micro-batch); above it the shard becomes the parallelism ceiling and
+    * its store outgrows executor memory. */
+  val StateRowsPerShard = 2L * 1000 * 1000
+
+  /** State/shuffle shard count for a stream whose keyed state is expected
+    * to hold ~`approxStateRows` rows (dedup keys, open sessions, join rows
+    * inside the watermark — an upper bound such as the staged input row
+    * count is fine). Clamped to [[MinStateShards]]..[[MaxStateShards]];
+    * harness-scale fixtures land on the floor, a 100 TB stream with 10⁹
+    * keyed rows gets ~500 shards. Pass the result to [[withStateShards]]
+    * when the stream is born — Spark pins the count into the checkpoint. */
+  def shardsFor(approxStateRows: Long): Int =
+    math.min(MaxStateShards.toLong,
+      math.max(MinStateShards.toLong, approxStateRows / StateRowsPerShard)).toInt
+
   /** Continuously load a hub from a streaming staged source.
     * Usage: `hubSink(staged.writeStream, store, ...).start()` */
   def hubSink(

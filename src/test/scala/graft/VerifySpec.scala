@@ -55,7 +55,7 @@ class VerifySpec extends SparkSpec {
 
   test("parseConf: k=v pairs, tolerant of whitespace/empties, loud on a bad token") {
     assert(Verify.parseConf("a=1;b=x=y; c.d = 2 ;;") ===
-      Seq(("a", "1"), ("b", "x=y"), ("c.d ", " 2")))
+      Seq(("a", "1"), ("b", "x=y"), ("c.d", "2")))
     assert(Verify.parseConf("") === Seq.empty)
     val e1 = intercept[IllegalArgumentException](Verify.parseConf("a=1;oops"))
     assert(e1.getMessage.contains("oops"))

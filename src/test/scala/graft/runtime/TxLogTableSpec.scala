@@ -425,11 +425,11 @@ class TxLogTableSpec extends SparkSpec {
     t.overwrite("tbl", (1 to 200000).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
     val v1 = t.currentVersion("tbl").get
     val filesBefore = t.files("tbl", v1)
-    // 100k doomed keys + 50k keys NOT in the table (a real GDPR batch
+    // 100k doomed keys, ~66.7k in-table + ~33.3k NOT in it (a real GDPR batch
     // carries subjects that were already purged): the semi-join must keep
     // the tombstone to keys that exist, and the whole set stays a
     // DataFrame — an isin literal of this size breaks plan compilation
-    val doomed = spark.range(1, 300001, 3).select($"id") // 1,4,7,… 100k in-table…
+    val doomed = spark.range(1, 300001, 3).select($"id") // 1,4,7,…,299998: 100k keys, ~2/3 in-table
     val n = t.deleteWhereKeys("tbl", doomed, Seq("id"))
     val expected = (1 to 200000).count(i => (i - 1) % 3 == 0)
     assert(n === expected.toLong, s"deleted-key count $n vs $expected")

@@ -83,6 +83,21 @@ class StreamingSpec extends SparkSpec {
       "session setting must be restored")
   }
 
+  test("shardsFor: floor at harness scale, ~rows/2M in the middle, capped wide") {
+    import StreamingLoaders._
+    // harness fixtures (hundreds..hundreds of thousands of rows) → floor
+    assert(shardsFor(0) == MinStateShards)
+    assert(shardsFor(4500) == MinStateShards)
+    assert(shardsFor(1999999) == MinStateShards)
+    // production volumes follow the rows-per-shard rule
+    assert(shardsFor(100L * 1000 * 1000) == 50)
+    assert(shardsFor(1000L * 1000 * 1000) == 500)
+    // never wider than the ceiling, monotone non-decreasing along the way
+    assert(shardsFor(Long.MaxValue) == MaxStateShards)
+    val samples = Seq(0L, 1L << 20, 1L << 24, 1L << 30, 1L << 40, Long.MaxValue)
+    assert(samples.map(shardsFor) == samples.map(shardsFor).sorted)
+  }
+
   test("streaming sat v0 sink: cross-batch change detection holds") {
     implicit val sqlCtx = spark.sqlContext
     val wh = Files.createTempDirectory("graft_stream").toString

@@ -7,7 +7,14 @@ set -u
 OUT=target/verify_sf10_r10
 LOG=target/compare_sf10_r10.log
 touch "$LOG"
-cp -f target/r10_check/oracle_sql.json "$OUT/oracle_sql.json" 2>/dev/null
+# seed the oracle file ONLY if the running Verify hasn't written one yet —
+# unconditionally clobbering could silently compare against stale SQL
+if [ ! -f "$OUT/oracle_sql.json" ]; then
+  cp target/r10_check/oracle_sql.json "$OUT/oracle_sql.json" 2>/dev/null
+elif [ -f target/r10_check/oracle_sql.json ] && \
+     ! cmp -s target/r10_check/oracle_sql.json "$OUT/oracle_sql.json"; then
+  echo "NOTE: $OUT/oracle_sql.json differs from target/r10_check copy; using $OUT's" >&2
+fi
 # oracles too heavy to run beside the Spark JVM — compared in a solo
 # pass after the Verify batches finish (SKIP is a regex alternation)
 SKIP="${SKIP:-bigram_perplexity|calibration_bins}"
