@@ -402,6 +402,63 @@ object ConformanceQueries {
              |  cast(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
              |FROM events""".stripMargin)),
 
+    // DELTA LAKE READ INTEROP: a real corpus usually already sits in an
+    // open table format; this row proves the engine reads one AS a table
+    // — schema from the log, tombstoned files excluded, partition
+    // predicates pruned at the FileIndex (sources/DeltaRead, open-spec
+    // _delta_log replay per delta-io PROTOCOL.md; no Delta library). The
+    // fixture is a 2-commit table the row itself authors from `orders`:
+    // commit 0 adds one even-orderkey file per o_orderpriority partition,
+    // commit 1 adds odd-orderkey files for URGENT/LOW and REMOVES the
+    // even 5-LOW file — so a reader that misses the remove, misses the
+    // second commit, or scans dead files goes red on values, and the
+    // pinned file counts go red if pruning or replay miscounts.
+    Q("delta_read_interop",
+      (s, dir) => {
+        import graft.sources.{DeltaFixture, DeltaRead}
+        val wh = DvQueries.tmpWarehouse("graft_delta_interop")
+        val tbl = s"$wh/orders_delta"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val partCols = Seq("o_orderpriority")
+        val c0 = DeltaFixture.commit(s, tbl, o.schema, partCols, 0L,
+          prios.map(p => Map("o_orderpriority" -> p) ->
+            o.filter(col("o_orderpriority") === p && col("o_orderkey") % 2 === 0)))
+        DeltaFixture.commit(s, tbl, o.schema, partCols, 1L,
+          Seq("1-URGENT", "5-LOW").map(p => Map("o_orderpriority" -> p) ->
+            o.filter(col("o_orderpriority") === p && col("o_orderkey") % 2 === 1)),
+          removes = Seq(c0(prios.indexOf("5-LOW"))))
+        val snap = DeltaRead.snapshot(tbl)
+        // the same pruning arithmetic listFiles applies to pushed
+        // predicates, pinned as a count the oracle hardcodes
+        val scanned = DeltaRead.candidateFiles(snap,
+          Map("o_orderpriority" -> Set("1-URGENT", "5-LOW"))).size
+        val df = DeltaRead.read(s, tbl)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        // seam proof: the predicate must reach the scan as a PARTITION
+        // filter over the custom index, not a post-scan row filter
+        val plan = df.queryExecution.executedPlan.toString
+        val pruningPlanned = plan.contains("Location: DeltaFileIndex") &&
+          "PartitionFilters: \\[[^\\]]*1-URGENT".r.findFirstIn(plan).nonEmpty &&
+          plan.contains("DataFilters: []")
+        df.groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("files_live", lit(snap.files.size))
+          .withColumn("files_scanned", lit(scanned))
+          .withColumn("partition_pruned", lit(pruningPlanned))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  6 AS files_live, 3 AS files_scanned, TRUE AS partition_pruned
+             |FROM orders
+             |WHERE o_orderpriority = '1-URGENT'
+             |   OR (o_orderpriority = '5-LOW' AND o_orderkey % 2 = 1)
+             |GROUP BY 1""".stripMargin)),
+
     // NESTED SCHEMA PRUNING proof: metadata lives in STRUCT columns (the
     // multimodal pattern — a blob beside a typed meta struct); selecting
     // one leaf must prune the parquet ReadSchema to THAT LEAF, not the

@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Emits a PROTOCOL.md-conformant Delta table for the read-interop row and
+  * its spec — harness scaffolding, not a write path: the engine's own
+  * storage is TxLogTable; this exists so `DeltaRead` can be proven against
+  * a table whose log the test itself authored (no Delta library in the
+  * container). Shapes follow the published Delta Transaction Log Protocol
+  * (github.com/delta-io/delta PROTOCOL.md): JSON commits `%020d.json`
+  * (protocol+metaData in commit 0, `add`/`remove` actions after),
+  * percent-encoded relative paths, partition values OUT of the data files,
+  * single-part parquet checkpoint + `_last_checkpoint` pointer. */
+object DeltaFixture {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Deterministic log-relative path for commit `version`'s `idx`-th add
+    * under partition values `pv` (hive-style dirs for realism; the log, not
+    * the layout, is authoritative). Decoded form — [[pathEnc]] is what the
+    * log stores. */
+  def pathFor(partCols: Seq[String], pv: Map[String, String], version: Long,
+              idx: Int): String = {
+    val dirs = partCols.map(c => s"$c=${pv(c)}")
+    (dirs :+ f"part-$version%05d-$idx%03d.snappy.parquet").mkString("/")
+  }
+
+  private def pathEnc(decoded: String): String =
+    new java.net.URI(null, null, decoded, null).getRawPath
+
+  /** Append one commit. `adds` are (partitionValues, rows) — rows must
+    * contain the full table schema; partition columns are dropped from the
+    * data file per the protocol. `removes` are decoded paths (see
+    * [[pathFor]]). Commit 0 carries protocol+metaData. */
+  def commit(spark: SparkSession, tableDir: String, schema: StructType,
+             partCols: Seq[String], version: Long,
+             adds: Seq[(Map[String, String], DataFrame)],
+             removes: Seq[String] = Nil): Seq[String] = {
+    val root = Paths.get(tableDir)
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    if (version == 0L) {
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      val m = mapper.createObjectNode()
+      val md = m.putObject("metaData")
+      md.put("id", "graft-delta-fixture")
+      md.putObject("format").put("provider", "parquet")
+      md.put("schemaString", schema.json)
+      val pc = md.putArray("partitionColumns")
+      partCols.foreach(pc.add)
+      md.putObject("configuration")
+      md.put("createdTime", 0L)
+      lines += mapper.writeValueAsString(m)
+    }
+    val written = adds.zipWithIndex.map { case ((pv, rows), i) =>
+      val rel = pathFor(partCols, pv, version, i)
+      val target = root.resolve(rel)
+      Files.createDirectories(target.getParent)
+      val tmp = Files.createTempDirectory("graft_delta_add").toString
+      rows.select(schema.fieldNames.filterNot(partCols.contains)
+          .map(org.apache.spark.sql.functions.col).toSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet written in $tmp"))
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", pathEnc(rel))
+      val pvn = add.putObject("partitionValues")
+      pv.foreach { case (k, v) => pvn.put(k, v) }
+      add.put("size", Files.size(target))
+      add.put("modificationTime", 0L)
+      add.put("dataChange", true)
+      lines += mapper.writeValueAsString(n)
+      rel
+    }
+    removes.foreach { rel =>
+      val n = mapper.createObjectNode()
+      val rm = n.putObject("remove")
+      rm.put("path", pathEnc(rel))
+      rm.put("deletionTimestamp", 0L)
+      rm.put("dataChange", true)
+      lines += mapper.writeValueAsString(n)
+    }
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    written
+  }
+
+  /** Compact the table's CURRENT head into a single-part parquet
+    * checkpoint + `_last_checkpoint`, the form [[DeltaRead.snapshot]]
+    * resumes from. Call after the last [[commit]]. */
+  def checkpoint(spark: SparkSession, tableDir: String): Long = {
+    val snap = DeltaRead.snapshot(tableDir)
+    val logDir = Paths.get(tableDir, "_delta_log")
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val m = mapper.createObjectNode()
+    val md = m.putObject("metaData")
+    md.put("id", "graft-delta-fixture")
+    md.putObject("format").put("provider", "parquet")
+    md.put("schemaString", snap.schema.json)
+    val pc = md.putArray("partitionColumns")
+    snap.partitionColumns.foreach(pc.add)
+    md.putObject("configuration")
+    md.put("createdTime", 0L)
+    actions += mapper.writeValueAsString(m)
+    snap.files.foreach { f =>
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", pathEnc(f.path))
+      val pvn = add.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) => pvn.put(k, v) }
+      add.put("size", f.size)
+      add.put("modificationTime", 0L)
+      add.put("dataChange", false)
+      actions += mapper.writeValueAsString(n)
+    }
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_delta_cp").toString
+    spark.read.json(actions.toSeq.toDS).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      s"""{"version":${snap.version},"size":${actions.size}}""")
+    snap.version
+  }
+}
