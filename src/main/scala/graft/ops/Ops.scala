@@ -161,7 +161,7 @@ object Ops {
     require(Seq("inner", "left", "left_outer", "left_semi").contains(joinType),
       s"saltedJoin: join type '$joinType' would change semantics under replication")
     val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(buckets)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

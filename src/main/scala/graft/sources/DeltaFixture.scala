@@ -125,7 +125,7 @@ object DeltaFixture {
     }
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_delta_cp").toString
-    spark.read.json(actions.toSeq.toDS).coalesce(1)
+    spark.read.json(actions.toSeq.toDS()).coalesce(1)
       .write.mode("overwrite").parquet(tmp)
     val part = Files.list(Paths.get(tmp)).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet")).get

@@ -167,8 +167,11 @@ object DeltaRead {
     val v = j.get("version").asLong
     val file = logDir.resolve(f"$v%020d.checkpoint.parquet")
     require(Files.exists(file), s"checkpoint $file named by _last_checkpoint is missing")
-    // a checkpoint is small relative to the table (one row per live file);
-    // json-ify rows so checkpoint and commit replay share one code path
+    // driver-side collect, bounded by checkpoint size (one row per live
+    // file + a handful of metadata rows) — NOT by table data. Inherent to
+    // the FileIndex seam: the planner must hold live-file metadata to
+    // schedule tasks (Delta's TahoeFileIndex materializes the same state).
+    // json-ified so checkpoint and commit replay share one action decoder.
     val spark = SparkSession.active
     val rows = spark.read.parquet(file.toString).toJSON.collect()
     Some((v, rows.toSeq.map(mapper.readTree)))

@@ -1029,7 +1029,7 @@ object StreamingLoaders {
       val (st, last, n, armed) = sess.get()
       // only the CURRENT timer closes the session (a stale timer that
       // raced deletion is ignored)
-      if (expired.getExpiryTimeInMs != armed) Iterator.empty
+      if (expired.getExpiryTimeInMs() != armed) Iterator.empty
       else { sess.clear(); Iterator.single(row(key, st, last, n)) }
     }
   }

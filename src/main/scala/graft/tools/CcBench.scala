@@ -63,7 +63,7 @@ object CcBench {
       }).localCheckpoint() // build cost out of the measurement
       val t0 = System.nanoTime()
       val labels = graft.ops.GraphOps.connectedComponents(edges, "a", "b")
-      val nComp = labels.agg(countDistinct("component")).head.getLong(0)
+      val nComp = labels.agg(countDistinct("component")).head().getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"CCBENCH shape=$shape%-8s nodes=$n edges=${edges.count()} " +
         f"components=$nComp time=$sec%.2fs")
