@@ -459,6 +459,60 @@ object ConformanceQueries {
              |   OR (o_orderpriority = '5-LOW' AND o_orderkey % 2 = 1)
              |GROUP BY 1""".stripMargin)),
 
+    // ICEBERG READ INTEROP: the other open table format a real corpus
+    // lives in (sources/IcebergRead — versioned metadata JSON + avro
+    // manifest parsing per the published Iceberg Table Spec; no Iceberg
+    // library). Iceberg's twist vs Delta: data files CONTAIN the
+    // partition source columns, so the scan has no Spark partition
+    // schema and pruning rides the pushed DATA filters over the
+    // identity-transform tuple. Fixture: 2-snapshot table from
+    // `customer` — snapshot 1 adds one even-custkey file per
+    // c_mktsegment, snapshot 2 adds odd files for two segments and
+    // status=2-deletes the even AUTOMOBILE file. Values + pinned
+    // live/scanned file counts + plan proof, oracle-gated.
+    Q("iceberg_read_interop",
+      (s, dir) => {
+        import graft.sources.{IcebergFixture, IcebergRead}
+        val wh = DvQueries.tmpWarehouse("graft_iceberg_interop")
+        val tbl = s"$wh/customer_iceberg"
+        val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val partCols = Seq("c_mktsegment")
+        val s1 = IcebergFixture.snapshot(s, tbl, c.schema, partCols, 1L,
+          segs.map(g => Map("c_mktsegment" -> g) ->
+            c.filter(col("c_mktsegment") === g && col("c_custkey") % 2 === 0)))
+        IcebergFixture.snapshot(s, tbl, c.schema, partCols, 2L,
+          Seq("AUTOMOBILE", "BUILDING").map(g => Map("c_mktsegment" -> g) ->
+            c.filter(col("c_mktsegment") === g && col("c_custkey") % 2 === 1)),
+          removes = Seq(s1(segs.indexOf("AUTOMOBILE"))))
+        val snap = IcebergRead.snapshot(tbl)
+        val scanned = IcebergRead.candidateFiles(snap,
+          Map("c_mktsegment" -> Set("AUTOMOBILE", "BUILDING"))).size
+        val df = IcebergRead.read(s, tbl)
+          .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        // seam proof: custom index serving the scan, predicate pushed as
+        // a data filter (Iceberg has no Spark partition columns)
+        val plan = df.queryExecution.executedPlan.toString
+        val pruningPlanned = plan.contains("Location: IcebergFileIndex") &&
+          "DataFilters: \\[[^\\]]*AUTOMOBILE".r.findFirstIn(plan).nonEmpty
+        df.groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_cents"))
+          .withColumn("files_live", lit(snap.files.size))
+          .withColumn("files_scanned", lit(scanned))
+          .withColumn("partition_pruned", lit(pruningPlanned))
+      },
+      Some("""SELECT c_mktsegment AS segment,
+             |  cast(count(*) AS BIGINT) AS n_customers,
+             |  cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS acctbal_cents,
+             |  6 AS files_live, 3 AS files_scanned, TRUE AS partition_pruned
+             |FROM customer
+             |WHERE c_mktsegment = 'BUILDING'
+             |   OR (c_mktsegment = 'AUTOMOBILE' AND c_custkey % 2 = 1)
+             |GROUP BY 1""".stripMargin)),
+
     // NESTED SCHEMA PRUNING proof: metadata lives in STRUCT columns (the
     // multimodal pattern — a blob beside a typed meta struct); selecting
     // one leaf must prune the parquet ReadSchema to THAT LEAF, not the

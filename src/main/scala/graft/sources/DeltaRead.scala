@@ -7,11 +7,10 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Read-path interop for Delta Lake tables — open-spec `_delta_log`
   * parsing, no Delta library and no write path.
@@ -203,21 +202,10 @@ final class DeltaFileIndex(spark: SparkSession, tableRoot: Path,
     FileStatusWithMetadata(fs.getFileStatus(hPath))
   }
 
-  /** partitionValues (raw log strings) → typed InternalRow, via Cast so
-    * date/int/… partition columns compare natively. */
-  private def partRow(pv: Map[String, String]): InternalRow =
-    InternalRow.fromSeq(partSchema.fields.toSeq.map { f =>
-      pv.get(f.name).filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__") match {
-        case None => null
-        case Some(raw) =>
-          Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
-            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
-      }
-    })
-
   private lazy val groups: Seq[(InternalRow, Seq[DeltaRead.AddFile])] =
     snap.files.groupBy(f => partSchema.fieldNames.toSeq.map(f.partitionValues.get))
-      .values.toSeq.map(fs => (partRow(fs.head.partitionValues), fs))
+      .values.toSeq.map(fs => (PartitionPrune.partRow(partSchema,
+        fs.head.partitionValues, spark.sessionState.conf.sessionLocalTimeZone), fs))
 
   override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
     Seq(new org.apache.hadoop.fs.Path(tableRoot.toUri))
@@ -228,21 +216,7 @@ final class DeltaFileIndex(spark: SparkSession, tableRoot: Path,
   override def refresh(): Unit = ()
 
   override def listFiles(partitionFilters: Seq[Expression],
-                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // bind by NAME against the partition schema — the standard custom-
-    // FileIndex binding (pushed filters reference the relation's attrs)
-    val kept = partitionFilters.reduceOption(And) match {
-      case None => groups
-      case Some(e) =>
-        val bound = e.transform {
-          case a: AttributeReference =>
-            val i = partSchema.fieldIndex(a.name)
-            BoundReference(i, partSchema(i).dataType, nullable = true)
-        }
-        val pred = Predicate.createInterpreted(bound)
-        pred.initialize(0)
-        groups.filter { case (row, _) => pred.eval(row) }
-    }
-    kept.map { case (row, fs) => PartitionDirectory(row, fs.map(statusOf)) }
-  }
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    PartitionPrune.prune(partSchema, groups, partitionFilters)
+      .map { case (row, fs) => PartitionDirectory(row, fs.map(statusOf)) }
 }

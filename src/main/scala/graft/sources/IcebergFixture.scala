@@ -1,0 +1,208 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Emits a Table-Spec-conformant Iceberg table for the read-interop row
+  * and its spec — fixture scaffolding, not a write path (the engine's
+  * storage is TxLogTable; see [[DeltaFixture]] for the same stance).
+  * Shapes follow iceberg.apache.org/spec, format v2: versioned
+  * `metadata/v<N>.metadata.json` + `version-hint.text`, avro manifest
+  * lists (`manifest_file` rows) and manifests (`manifest_entry` rows with
+  * status 1 added / 0 existing / 2 deleted), data files that CONTAIN the
+  * partition source columns, identity partition transforms. */
+object IcebergFixture {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def icebergType(dt: DataType, at: String): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case other => throw new IllegalArgumentException(
+      s"fixture does not emit Iceberg type for $other at '$at'")
+  }
+
+  private def avroPartType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case _ => "string"
+  }
+
+  private def manifestSchema(schema: StructType, partCols: Seq[String]): Schema = {
+    val partFields = partCols.map { c =>
+      val t = avroPartType(schema(c).dataType)
+      s"""{"name":"$c","type":["null","$t"],"default":null,"field-id":${1000 + partCols.indexOf(c)}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |  {"name":"content","type":"int","default":0,"field-id":134},
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}""".stripMargin)
+  }
+
+  private val manifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","default":0,"field-id":517},
+      |{"name":"added_snapshot_id","type":"long","field-id":503}]}""".stripMargin)
+
+  private def writeAvro(file: java.nio.file.Path, schema: Schema,
+                        rows: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, file.toFile)
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  /** Append one snapshot. `adds` are (partitionValues, rows) with rows
+    * carrying the FULL schema (data files keep partition columns);
+    * `removes` are absolute data-file paths from an earlier snapshot's
+    * return value. Snapshot 1 creates the table. Returns the absolute
+    * paths of the added files. */
+  def snapshot(spark: SparkSession, tableDir: String, schema: StructType,
+               partCols: Seq[String], snapshotId: Long,
+               adds: Seq[(Map[String, String], DataFrame)],
+               removes: Seq[String] = Nil): Seq[String] = {
+    val root = Paths.get(tableDir)
+    val metaDir = root.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val prev: Option[IcebergRead.Snapshot] =
+      if (Files.exists(metaDir.resolve("version-hint.text")))
+        Some(IcebergRead.snapshot(tableDir)) else None
+    val prevMetaNode = prev.map { _ =>
+      val v = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+      mapper.readTree(Files.readString(metaDir.resolve(s"v$v.metadata.json")))
+    }
+
+    // ---- data files -------------------------------------------------
+    val written = adds.zipWithIndex.map { case ((pv, rows), i) =>
+      val dirs = partCols.map(c => s"$c=${pv(c)}")
+      val rel = ("data" +: dirs).mkString("/") + f"/part-$snapshotId%05d-$i%03d.parquet"
+      val target = root.resolve(rel)
+      Files.createDirectories(target.getParent)
+      val tmp = Files.createTempDirectory("graft_ice_add").toString
+      rows.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      (target.toString, pv, rows.count())
+    }
+
+    // ---- manifest: carried-forward state + this snapshot's changes ---
+    val mSchema = manifestSchema(schema, partCols)
+    val dfSchema = mSchema.getField("data_file").schema()
+    val pSchema = dfSchema.getField("partition").schema()
+    def entry(status: Int, path: String, pv: Map[String, String], n: Long,
+              size: Long): GenericRecord = {
+      val e = new GenericData.Record(mSchema)
+      e.put("status", status)
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 0)
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      val p = new GenericData.Record(pSchema)
+      partCols.foreach { c =>
+        val v = pv(c)
+        p.put(c, schema(c).dataType match {
+          case LongType => java.lang.Long.valueOf(v)
+          case IntegerType => Integer.valueOf(v)
+          case _ => v
+        })
+      }
+      d.put("partition", p)
+      d.put("record_count", n)
+      d.put("file_size_in_bytes", size)
+      e.put("data_file", d)
+      e
+    }
+    val removed = removes.toSet
+    val carried = prev.toSeq.flatMap(_.files).map { f =>
+      entry(if (removed.contains(f.path)) 2 else 0, f.path, f.partitionValues,
+        0L, f.size)
+    }
+    val added = written.map { case (p, pv, n) =>
+      entry(1, p, pv, n, Files.size(Paths.get(p)))
+    }
+    val manifestPath = metaDir.resolve(f"m-$snapshotId%05d.avro")
+    writeAvro(manifestPath, mSchema, carried ++ added)
+
+    val ml = new GenericData.Record(manifestListSchema)
+    ml.put("manifest_path", manifestPath.toString)
+    ml.put("manifest_length", Files.size(manifestPath))
+    ml.put("partition_spec_id", 0)
+    ml.put("content", 0)
+    ml.put("added_snapshot_id", snapshotId)
+    val mlPath = metaDir.resolve(f"snap-$snapshotId%05d.avro")
+    writeAvro(mlPath, manifestListSchema, Seq(ml))
+
+    // ---- versioned table metadata ------------------------------------
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 2)
+    meta.put("table-uuid", "graft-iceberg-fixture")
+    meta.put("location", tableDir)
+    meta.put("last-sequence-number", snapshotId)
+    meta.put("last-updated-ms", 0L)
+    meta.put("last-column-id", schema.fields.length)
+    meta.put("current-schema-id", 0)
+    val schemas = meta.putArray("schemas")
+    val sn = schemas.addObject()
+    sn.put("type", "struct"); sn.put("schema-id", 0)
+    val fieldsArr = sn.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fieldsArr.addObject()
+      fn.put("id", i + 1); fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", icebergType(f.dataType, f.name))
+    }
+    meta.put("default-spec-id", 0)
+    val specs = meta.putArray("partition-specs")
+    val spec = specs.addObject()
+    spec.put("spec-id", 0)
+    val specFields = spec.putArray("fields")
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      val f = specFields.addObject()
+      f.put("name", c); f.put("transform", "identity")
+      f.put("source-id", schema.fieldIndex(c) + 1); f.put("field-id", 1000 + i)
+    }
+    meta.put("default-sort-order-id", 0)
+    meta.putArray("sort-orders").addObject().put("order-id", 0)
+      .putArray("fields")
+    meta.put("current-snapshot-id", snapshotId)
+    val snaps = meta.putArray("snapshots")
+    prevMetaNode.foreach(_.get("snapshots").elements().asScala.foreach(snaps.add))
+    val s2 = snaps.addObject()
+    s2.put("snapshot-id", snapshotId)
+    s2.put("timestamp-ms", 0L)
+    s2.put("sequence-number", snapshotId)
+    s2.putObject("summary").put("operation", "append")
+    s2.put("manifest-list", mlPath.toString)
+
+    val newVersion = prevMetaNode.map(_ =>
+      Files.readString(metaDir.resolve("version-hint.text")).trim.toInt + 1).getOrElse(1)
+    Files.writeString(metaDir.resolve(s"v$newVersion.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    Files.write(metaDir.resolve("version-hint.text"),
+      newVersion.toString.getBytes(StandardCharsets.UTF_8))
+    written.map(_._1)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.SparkSpec
+
+/** Contract of the open-spec Iceberg read adapter: current-snapshot
+  * manifest resolution, status=2 deletion, dataFilter-channel partition
+  * pruning (data files contain the partition columns), loud rejection of
+  * delete manifests / unsupported types. */
+class IcebergReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(): (String, Seq[String]) = {
+    val tbl = Files.createTempDirectory("graft_ice_spec").resolve("t").toString
+    val df = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"), (4L, "b", "y"))
+      .toDF("id", "p", "v")
+    val s1 = IcebergFixture.snapshot(spark, tbl, df.schema, Seq("p"), 1L,
+      Seq("a", "b").map(p => Map("p" -> p) -> df.filter($"p" === p)))
+    val s2 = IcebergFixture.snapshot(spark, tbl, df.schema, Seq("p"), 2L,
+      Seq(Map("p" -> "a") -> Seq((10L, "a", "z")).toDF("id", "p", "v")),
+      removes = Seq(s1.head))
+    (tbl, s1 ++ s2)
+  }
+
+  test("current snapshot wins: status=2 file gone, snapshot-2 file visible, schema from metadata") {
+    val (tbl, _) = fixture()
+    val snap = IcebergRead.snapshot(tbl)
+    assert(snap.snapshotId == 2L)
+    assert(snap.identityPartitionCols == Seq("p"))
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "p", "v"))
+    assert(snap.files.size == 2)
+    val rows = IcebergRead.read(spark, tbl).as[(Long, String, String)].collect().toSet
+    assert(rows == Set((10L, "a", "z"), (3L, "b", "x"), (4L, "b", "y")))
+  }
+
+  test("older metadata versions stay readable history: v1 still points at snapshot 1") {
+    val (tbl, _) = fixture()
+    // drop the hint → newest v*.metadata.json must be found by number
+    Files.delete(Paths.get(tbl, "metadata", "version-hint.text"))
+    assert(IcebergRead.snapshot(tbl).snapshotId == 2L)
+  }
+
+  test("pruning rides dataFilters over identity tuple columns; non-tuple conjuncts never prune") {
+    val (tbl, _) = fixture()
+    val snap = IcebergRead.snapshot(tbl)
+    val idx = new IcebergFileIndex(spark, snap)
+    val p = AttributeReference("p", StringType)()
+    val v = AttributeReference("v", StringType)()
+    assert(idx.listFiles(Nil, Nil).map(_.files.size).sum == 2)
+    assert(idx.listFiles(Nil, Seq(EqualTo(p, Literal("b"))))
+      .map(_.files.size).sum == 1)
+    // a filter on a NON-partition column cannot be evaluated per-file and
+    // must be ignored by pruning (rows still filtered after the scan)
+    assert(idx.listFiles(Nil, Seq(EqualTo(v, Literal("x")), EqualTo(p, Literal("b"))))
+      .map(_.files.size).sum == 1)
+    assert(IcebergRead.candidateFiles(snap, Map("p" -> Set("b"))).size == 1)
+    val plan = IcebergRead.read(spark, tbl).filter($"p" === "b")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Location: IcebergFileIndex"), plan)
+    // end-to-end: the filtered scan returns only partition-b rows
+    assert(IcebergRead.read(spark, tbl).filter($"p" === "b").count() == 2)
+  }
+
+  test("nested schema types are rejected, not silently mis-read") {
+    val (tbl, _) = fixture()
+    val metaDir = Paths.get(tbl, "metadata")
+    val v = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val meta = Files.readString(metaDir.resolve(s"v$v.metadata.json"))
+    val forged = meta.replace("\"type\" : \"string\"",
+      "\"type\" : {\"type\":\"list\",\"element-id\":9,\"element\":\"string\",\"element-required\":false}")
+    assert(forged != meta, "forge must hit the schema")
+    Files.writeString(metaDir.resolve(s"v${v + 1}.metadata.json"), forged)
+    Files.writeString(metaDir.resolve("version-hint.text"), (v + 1).toString)
+    val e = intercept[IllegalArgumentException](IcebergRead.snapshot(tbl))
+    assert(e.getMessage.contains("nested Iceberg types"))
+  }
+
+  test("delete manifests (content=1) are rejected — ignoring them would resurrect deleted rows") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val (tbl, _) = fixture()
+    val metaDir = Paths.get(tbl, "metadata")
+    // rewrite the current snapshot's manifest list with content=1 rows
+    val v = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val meta = Files.readString(metaDir.resolve(s"v$v.metadata.json"))
+    val mlPath = """"manifest-list" : "([^"]+)"""".r
+      .findAllMatchIn(meta).map(_.group(1)).toSeq.last
+    val reader = DataFileReader.openReader(new java.io.File(mlPath),
+      new GenericDatumReader[GenericRecord]())
+    val (schema, rows) =
+      try (reader.getSchema,
+        Iterator.continually(reader).takeWhile(_.hasNext).map(_.next()).toVector)
+      finally reader.close()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(mlPath))
+    try rows.foreach { r =>
+      val c = new GenericData.Record(schema)
+      schema.getFields.forEach(f => c.put(f.name, r.get(f.name)))
+      c.put("content", 1)
+      w.append(c)
+    } finally w.close()
+    val e = intercept[IllegalArgumentException](IcebergRead.snapshot(tbl))
+    assert(e.getMessage.contains("delete manifests"))
+  }
+}
