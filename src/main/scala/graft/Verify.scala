@@ -73,7 +73,12 @@ object Verify {
       System.err.println(s"[verify] start $name")
       val t0 = System.nanoTime()
       try {
-        ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): both yield one part file, but
+        // coalesce(1) on a shuffle-free plan collapses the WHOLE upstream
+        // into a single task (a scan→project→explode query measured 268 s
+        // at sf10 where the parallel plan takes ~20 s); repartition adds a
+        // shuffle barrier so only the write is single-task
+        ntz(fn(spark, sfDir)).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] done  $name (${(System.nanoTime() - t0) / 1e9}%.1f s)")
       }

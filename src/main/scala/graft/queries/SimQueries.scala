@@ -1238,17 +1238,40 @@ object SimQueries {
           .select(col("c_mktsegment").as("seg"),
             col("l_quantity").cast("long").as("x"),
             round(col("l_extendedprice") * 100).cast("long").as("y"))
-        // average rank with ties straight from two windows on the joined
-        // frame: rank() + (tie_count − 1)/2 ≡ cum − cnt + (cnt+1)/2. Both
-        // windows and the final groupBy share the `seg` partitioning, so
-        // the whole query is ONE exchange + two in-partition sorts — the
-        // previous per-variable groupBy + join-back recomputed the 3-way
-        // join three times (3.5 s → ~1 s at sf0.1).
-        def rk(vcol: String): Column =
-          rank().over(Window.partitionBy("seg").orderBy(vcol)) +
-            (count(lit(1)).over(Window.partitionBy("seg", vcol)) - 1) / 2.0
-        li.withColumn("rx", rk("x"))
-          .withColumn("ry", rk("y"))
+        // Average rank with ties from per-(seg, value) PRE-AGGREGATES via
+        // a TWO-LEVEL prefix sum: values bucket by floor(v/4096), the
+        // cumulative count runs per (seg, bucket) over DISTINCT values
+        // (thousands of small window partitions), and per-seg bucket
+        // OFFSETS come from one window over the ~2.5k bucket-total rows.
+        // rank_avg = bucket_offset + within_bucket_cum − cnt + (cnt+1)/2.
+        // This replaces a rank() window partitioned by `seg` alone over
+        // RAW rows — |seg| = 5, so that plan degenerated to five
+        // single-task 12M-row sorts at sf10 (287 s) and would be a
+        // straight scale-killer at 100 TB. Here no window partition ever
+        // exceeds the value-domain slice in a bucket, regardless of SF.
+        def ranks(vcol: String, rname: String): DataFrame = {
+          val W = 4096L
+          val cnts = li.groupBy(col("seg"), col(vcol))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("b", floor(col(vcol) / W))
+          val wwin = Window.partitionBy("seg", "b").orderBy(vcol)
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val bwin = Window.partitionBy("seg").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val boff = cnts.groupBy("seg", "b").agg(sum("cnt").as("btot"))
+            .withColumn("boff", coalesce(sum(col("btot")).over(bwin), lit(0L)))
+            .select("seg", "b", "boff")
+          cnts.withColumn("wcum", sum(col("cnt")).over(wwin))
+            .join(boff, Seq("seg", "b"))
+            .select(col("seg"), col(vcol),
+              (col("boff") + col("wcum") - col("cnt") +
+                (col("cnt") + 1) / 2.0).as(rname))
+        }
+        // x = l_quantity: domain-bounded (1..50 × 5 segments), so its rank
+        // table broadcasts and rx attaches map-side; only the y ranks
+        // (unbounded price domain) cost a shuffle join on (seg, y).
+        li.join(broadcast(ranks("x", "rx")), Seq("seg", "x"))
+          .join(ranks("y", "ry"), Seq("seg", "y"))
           .groupBy(col("seg"))
           .agg(count(lit(1)).as("n_rows"),
             round((count(lit(1)) * sum(col("rx") * col("ry")) -

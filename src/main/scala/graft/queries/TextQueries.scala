@@ -265,9 +265,11 @@ object TextQueries {
     val g = docs(s, dir)
       .withColumn("words", split(col("text"), "\\s+"))
       .filter(size(col("words")) >= K)
+      // grams travel as 16-byte md5 BINARY — the group key and semi-join
+      // key never shuffle raw gram text (or its 32-char hex form)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(words) - ${K - 1}), " +
-          s"i -> struct(i AS pos, md5(concat_ws(' ', slice(words, i, $K))) AS g))")).as("e"))
+          s"i -> struct(i AS pos, unhex(md5(concat_ws(' ', slice(words, i, $K)))) AS g))")).as("e"))
       .select(col("doc_id"), col("e.pos").cast("long").as("pos"), col("e.g").as("g"))
     val dupG = g.groupBy("g")
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
@@ -380,22 +382,31 @@ object TextQueries {
       (s, dir) => {
         val k = 5; val w = 8
         val norm = lower(regexp_replace(col("text"), "\\s+", " "))
-        val grams = docs(s, dir)
+        // The whole winnow is per-document over a bounded prefix, so it
+        // never needs to leave the row: hash every gram into an array,
+        // take the min of each w-slice with array_min, and dedup the
+        // fingerprints with array_distinct BEFORE exploding. (doc_id, fp)
+        // pairs are unique across docs, so per-array dedup IS global
+        // distinct — the query is scan → project → explode with ZERO
+        // exchanges. The previous shape exploded 196 grams/doc into a
+        // per-doc window (shuffle + sort of ~100M rows at sf10, 265 s);
+        // this one is embarrassingly parallel at any SF.
+        // The gram-hash array is LET-BOUND as the lambda argument of a
+        // single-element transform: `transform(array(<hs>), hs -> ...)[0]`
+        // evaluates <hs> once per row. Referencing it as a projected
+        // column instead lets Catalyst inline the 196-md5 expression into
+        // every lambda reference — re-evaluated per slice element, which
+        // measured ~50× slower than the windowed plan it replaces.
+        docs(s, dir)
           .select(col("doc_id"), substring(norm, 1, 200).as("t"))
           .filter(length(col("t")) >= k)
-          // gram count is length(t)-(k-1), known BEFORE the explode — no
-          // count() window pass needed; computed pre-Generate so the 200-char
-          // codepoint count runs once per DOC, not once per exploded gram
-          .withColumn("__n", length(col("t")) - (k - 1))
-          .select(col("doc_id"), col("__n"),
-            explode(expr(s"transform(sequence(1, length(t) - ${k - 1}), i -> struct(i AS i, substr(t, i, $k) AS g))")).as("e"))
-          .select(col("doc_id"), col("__n"), col("e.i").as("i"), md5(col("e.g")).as("h"))
-        import org.apache.spark.sql.expressions.Window
-        val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
-        grams
-          .withColumn("fp", min(col("h")).over(win))
-          .filter(col("i") <= col("__n") - (w - 1)) // only full windows
-          .select(col("doc_id"), col("fp")).distinct()
+          // only full windows exist: positions 1 .. n-(w-1); guard n >= w
+          // because sequence(1, 0) would DESCEND, not return empty
+          .select(col("doc_id"), explode(expr(
+            s"""transform(array(transform(sequence(1, length(t) - ${k - 1}), i -> md5(substr(t, i, $k)))),
+               |  hs -> IF(size(hs) >= $w,
+               |           array_distinct(transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)))),
+               |           cast(array() AS array<string>)))[0]""".stripMargin)).as("fp"))
       },
       Some("""WITH t AS (
              |  SELECT doc_id, substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 200) AS t
@@ -2799,19 +2810,29 @@ object TextQueries {
     // partial-aggregating groupBy.
     Q("dup_span_removal",
       (s, dir) => {
-        val grams = docs(s, dir)
+        // Grams shuffle as 16-byte md5 BINARY, never as raw 5-gram text
+        // (~3× fewer shuffle bytes), and the join back is restricted to
+        // grams seen in ≥2 DISTINCT docs (min≠max — single-doc grams can
+        // never satisfy first_doc < doc_id, and they are the vast
+        // majority): the join output is only the duplicated occurrences.
+        // n_spans needs no join at all — it is size(words) − 4 exactly.
+        val ws = docs(s, dir)
           .withColumn("words",
             expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)"))
           .filter(size(col("words")) >= 5)
-          .select(col("doc_id"),
-            explode(expr(
-              "transform(sequence(0, size(words) - 5), i -> concat_ws(' ', slice(words, i + 1, 5)))"))
-              .as("gram"))
-        val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
-        grams.join(first, Seq("gram"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_spans"),
-            sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("dup_spans"))
+        val grams = ws.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(words) - 5), i -> unhex(md5(concat_ws(' ', slice(words, i + 1, 5)))))"))
+            .as("h"))
+        val dupFirst = grams.groupBy("h")
+          .agg(min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .filter(col("first_doc") =!= col("last_doc")).select("h", "first_doc")
+        val dups = grams.join(dupFirst, Seq("h"))
+          .filter(col("first_doc") < col("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+        ws.select(col("doc_id"), (size(col("words")) - 4).cast("long").as("n_spans"))
+          .join(dups, Seq("doc_id"), "left")
+          .withColumn("dup_spans", coalesce(col("dup_spans"), lit(0L)))
           .select(col("doc_id"), col("n_spans"), col("dup_spans"),
             round(col("dup_spans").cast("double") / col("n_spans"), 4).as("dup_frac"),
             (col("dup_spans").cast("double") / col("n_spans") <= 0.5).as("keep"))
@@ -3142,10 +3163,11 @@ object TextQueries {
     // identical text first appeared in a lower doc_id, and emit the
     // reassembled clean text (the actual corpus transformation of
     // "Deduplicating Training Data Makes LMs Better", span-approximated).
-    // Gram→first-doc is an equi-join shuffled by gram (vocab-scale, never
-    // broadcast); coverage explodes 5 positions per duplicated gram, one
-    // collect_set per doc builds the keep mask, and the rewrite itself is a
-    // per-row array filter — no shuffle after the doc-level aggregate.
+    // Gram→first-doc is an equi-join shuffled by gram hash (vocab-scale,
+    // never broadcast); one collect_set of duplicated START positions per
+    // doc builds the keep mask (coverage expands in-array), and the
+    // rewrite itself is a per-row array filter — no shuffle after the
+    // doc-level aggregate.
     // Same-doc repeats of a gram inside its OWN first document are kept
     // (within-doc repetition is repetition_score's axis, not dedup's).
     Q("dup_span_rewrite",
@@ -3153,17 +3175,26 @@ object TextQueries {
         val ws = docs(s, dir)
           .select(col("doc_id"),
             expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)").as("words"))
+        // grams shuffle as 16-byte md5 BINARY (not raw 5-gram text), the
+        // join back is restricted to grams in ≥2 distinct docs (min≠max
+        // — the only ones that can be covered), and coverage expands
+        // pos → [pos, pos+4] INSIDE the per-doc array after collecting
+        // duplicated start positions, so the groupBy shuffles 1× the
+        // duplicated occurrences instead of exploding 5× position rows.
         val grams = ws.filter(size(col("words")) >= 5)
           .select(col("doc_id"), explode(expr(
             """transform(sequence(0, size(words) - 5),
-              |  i -> struct(i AS pos, concat_ws(' ', slice(words, i + 1, 5)) AS gram))"""
+              |  i -> struct(i AS pos, unhex(md5(concat_ws(' ', slice(words, i + 1, 5)))) AS h))"""
               .stripMargin)).as("g"))
-          .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-        val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
-        val covered = grams.join(first, Seq("gram"))
+          .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+        val dupFirst = grams.groupBy("h")
+          .agg(min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .filter(col("first_doc") =!= col("last_doc")).select("h", "first_doc")
+        val covered = grams.join(dupFirst, Seq("h"))
           .filter(col("first_doc") < col("doc_id"))
-          .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("p"))
-          .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+          .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+          .select(col("doc_id"), expr(
+            "array_distinct(flatten(transform(starts, p -> sequence(p, p + 4))))").as("cov"))
         ws.join(covered, Seq("doc_id"), "left")
           .select(col("doc_id"),
             size(col("words")).cast("long").as("n_words"),

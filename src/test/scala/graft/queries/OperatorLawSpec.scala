@@ -108,4 +108,98 @@ class OperatorLawSpec extends SparkSpec {
     val sizes = res.map(r => (r.getAs[Long]("min_shard"), r.getAs[Long]("max_shard"))).toSet
     assert(sizes.size >= 2 || res.map(_.getAs[Double]("char_imbalance_pct")).toSet.size >= 2)
   }
+
+  test("spearman ranks: bucketed two-level prefix sum equals rank() + tie " +
+    "midpoint on adversarial synthetic data") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // values straddle bucket boundaries (4095/4096/4097), repeat heavily,
+    // and include 0 — every seam of the bucket decomposition
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(5000) { i =>
+      val seg = s"s${i % 3}"
+      val v: Long = rng.nextInt(10) match {
+        case 0 => 4095L + rng.nextInt(3)      // boundary straddle
+        case 1 => 0L                          // min edge
+        case 2 => 8192L                       // exact 2nd boundary
+        case _ => rng.nextInt(20000).toLong   // bulk
+      }
+      (seg, v)
+    }
+    val df = rows.toDF("seg", "x")
+    // naive definition: rank() + (ties - 1) / 2, windowed per seg over RAW
+    // rows — correct at any size, degenerate at scale (|seg| partitions)
+    val naive = df.withColumn("r",
+        rank().over(Window.partitionBy("seg").orderBy("x")) +
+          (count(lit(1)).over(Window.partitionBy("seg", "x")) - 1) / 2.0)
+      .select("seg", "x", "r").distinct()
+    // distributed definition: the spearman_corr two-level prefix sum
+    val W = 4096L
+    val cnts = df.groupBy(col("seg"), col("x")).agg(count(lit(1)).as("cnt"))
+      .withColumn("b", floor(col("x") / W))
+    val wwin = Window.partitionBy("seg", "b").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bwin = Window.partitionBy("seg").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = cnts.groupBy("seg", "b").agg(sum("cnt").as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(bwin), lit(0L)))
+      .select("seg", "b", "boff")
+    val bucketed = cnts.withColumn("wcum", sum(col("cnt")).over(wwin))
+      .join(boff, Seq("seg", "b"))
+      .select(col("seg"), col("x"),
+        (col("boff") + col("wcum") - col("cnt") + (col("cnt") + 1) / 2.0).as("r"))
+    assert(naive.except(bucketed).isEmpty && bucketed.except(naive).isEmpty)
+    // rank sum invariant: sum of avg ranks per seg = n(n+1)/2
+    val per = bucketed.join(df.groupBy("seg", "x").count(), Seq("seg", "x"))
+      .groupBy("seg").agg(sum(col("r") * col("count")).as("srk"),
+        sum("count").as("n")).collect()
+    per.foreach { row =>
+      val n = row.getAs[Long]("n").toDouble
+      assert(math.abs(row.getAs[Double]("srk") - n * (n + 1) / 2.0) < 1e-6)
+    }
+  }
+
+  test("winnow fingerprints: in-array formulation equals the windowed " +
+    "definition and honors the shared-substring guarantee") {
+    import spark.implicits._
+    val k = 5; val w = 8
+    // short doc (< k), doc with exactly one window, and two docs sharing
+    // a 12-char substring (w + k - 1 — the winnowing guarantee threshold)
+    val shared = "quick brown fox!"
+    val docsDf = Seq(
+      (0L, "abc"),                                 // below k: no grams
+      (1L, "abcdefghijkl"),                        // exactly one window
+      (2L, s"XX $shared YY padding padding more"),
+      (3L, s"zz $shared qq other tail here too")).toDF("doc_id", "text")
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val base = docsDf.select(col("doc_id"), substring(norm, 1, 200).as("t"))
+      .filter(length(col("t")) >= k)
+    // the let-binding shape the query uses: transform(array(<hs>), ...)
+    // evaluates the gram-hash array ONCE per row (a projected column
+    // would be inlined into every lambda reference by Catalyst)
+    val inArray = base.select(col("doc_id"), explode(expr(
+      s"""transform(array(transform(sequence(1, length(t) - ${k - 1}), i -> md5(substr(t, i, $k)))),
+         |  hs -> IF(size(hs) >= $w,
+         |           array_distinct(transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)))),
+         |           cast(array() AS array<string>)))[0]""".stripMargin)).as("fp"))
+    // reference: the exploded + windowed definition
+    import org.apache.spark.sql.expressions.Window
+    val grams = base.withColumn("__n", length(col("t")) - (k - 1))
+      .select(col("doc_id"), col("__n"),
+        explode(expr(s"transform(sequence(1, length(t) - ${k - 1}), i -> struct(i AS i, substr(t, i, $k) AS g))")).as("e"))
+      .select(col("doc_id"), col("__n"), col("e.i").as("i"), md5(col("e.g")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    val windowed = grams.withColumn("fp", min(col("h")).over(win))
+      .filter(col("i") <= col("__n") - (w - 1))
+      .select(col("doc_id"), col("fp")).distinct()
+    assert(inArray.except(windowed).isEmpty && windowed.except(inArray).isEmpty)
+    // guarantee: docs 2 and 3 share a substring of length >= w + k - 1,
+    // so they must share at least one fingerprint
+    val f2 = inArray.filter(col("doc_id") === 2).select("fp")
+    val f3 = inArray.filter(col("doc_id") === 3).select("fp")
+    assert(f2.intersect(f3).count() >= 1)
+    // doc 0 emits nothing; doc 1 emits exactly one fingerprint
+    assert(inArray.filter(col("doc_id") === 0).count() === 0)
+    assert(inArray.filter(col("doc_id") === 1).count() === 1)
+  }
 }
