@@ -459,6 +459,69 @@ object ConformanceQueries {
              |   OR (o_orderpriority = '5-LOW' AND o_orderkey % 2 = 1)
              |GROUP BY 1""".stripMargin)),
 
+    // DELTA WRITE ROUNDTRIP: the distributed write-path complement of the
+    // read interop (sources/DeltaWrite — one partitionBy write per commit,
+    // protocol-conformant log, append / overwrite / dynamic-partition
+    // overwrite). The row authors a 3-commit table from `orders` with the
+    // write path itself, checkpoints mid-history, and reads the head back
+    // through DeltaRead: v0 appends even orderkeys across all priorities,
+    // v1 appends odd orderkeys for URGENT/LOW, [checkpoint], v2
+    // dynamic-overwrites the 2-HIGH partition with the %3==0 subset. The
+    // oracle recomputes that final state straight from `orders`, so a
+    // write path that drops a commit, mis-tombstones on the partition
+    // overwrite, or mis-encodes partition values (`4-NOT SPECIFIED` has a
+    // space) goes red on values; the booleans pin checkpoint resume,
+    // FileIndex pruning, and pruning-arithmetic/actual-scan agreement
+    // (file COUNTS aren't pinned — they vary with input split counts).
+    Q("delta_write_roundtrip",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        val wh = DvQueries.tmpWarehouse("graft_delta_write")
+        val tbl = s"$wh/orders_delta"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val v0 = DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl,
+          Seq("o_orderpriority"))
+        val v1 = DeltaWrite.write(
+          o.filter(col("o_orderkey") % 2 === 1 &&
+            col("o_orderpriority").isin("1-URGENT", "5-LOW")), tbl)
+        DeltaWrite.checkpoint(s, tbl)
+        val v2 = DeltaWrite.write(
+          o.filter(col("o_orderpriority") === "2-HIGH" && col("o_orderkey") % 3 === 0),
+          tbl, mode = "overwritePartitions")
+        val snap = DeltaRead.snapshot(tbl)
+        val versionsOk = v0 == 0L && v1 == 1L && v2 == 2L && snap.version == 2L
+        // pruning arithmetic vs the files the pruned scan actually touches
+        val filtered = DeltaRead.read(s, tbl)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        val plan = filtered.queryExecution.executedPlan.toString
+        val pruningPlanned = plan.contains("Location: DeltaFileIndex") &&
+          "PartitionFilters: \\[[^\\]]*1-URGENT".r.findFirstIn(plan).nonEmpty &&
+          plan.contains("DataFilters: []")
+        val expectFiles = DeltaRead.candidateFiles(snap,
+          Map("o_orderpriority" -> Set("1-URGENT", "2-HIGH"))).size.toLong
+        val scannedFiles = filtered.select(input_file_name()).distinct().count()
+        DeltaRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("versions_ok", lit(versionsOk))
+          .withColumn("partition_pruned", lit(pruningPlanned))
+          .withColumn("scan_consistent", lit(scannedFiles == expectFiles))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS versions_ok, TRUE AS partition_pruned,
+             |  TRUE AS scan_consistent
+             |FROM orders
+             |WHERE (o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |   OR (o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0)
+             |   OR (o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED')
+             |       AND o_orderkey % 2 = 0)
+             |GROUP BY 1""".stripMargin)),
+
     // ICEBERG READ INTEROP: the other open table format a real corpus
     // lives in (sources/IcebergRead — versioned metadata JSON + avro
     // manifest parsing per the published Iceberg Table Spec; no Iceberg

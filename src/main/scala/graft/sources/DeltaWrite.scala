@@ -1,0 +1,216 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Write-path interop for Delta Lake tables — the distributed complement
+  * of [[DeltaRead]] (which replays `_delta_log`s other engines wrote).
+  * Everything derives from the published Delta Transaction Log Protocol
+  * (github.com/delta-io/delta PROTOCOL.md); no Delta library.
+  *
+  * The DATA write is one distributed `df.write.partitionBy(...)` into a
+  * per-commit staging directory — every executor writes its own files in
+  * parallel, exactly like a native parquet sink (the per-partition
+  * `coalesce(1)` loop in [[DeltaFixture]] is test scaffolding, not this).
+  * Hive-style `col=value` directories come out of the writer already
+  * matching the protocol's recommended layout, with the partition columns
+  * dropped from the data files; the staged files are then MOVED (same
+  * filesystem, metadata-only) under the table root and recorded as `add`
+  * actions. The commit JSON is written last, to a temp name renamed into
+  * `%020d.json` — readers replaying the log can never observe a commit
+  * whose data files are not in place.
+  *
+  * Three modes, mirroring the writer semantics a Delta user relies on:
+  *  - `append`        — add actions only.
+  *  - `overwrite`     — `remove` every previously-live file, then add.
+  *  - `overwritePartitions` — dynamic partition overwrite (Delta's
+  *    `replaceWhere` on partition values / Spark's
+  *    `partitionOverwriteMode=dynamic`): remove only the live files whose
+  *    partitionValues tuple is among the tuples being written.
+  *
+  * Scope (declared): single-writer (version = head + 1, no optimistic
+  * concurrency loop — the engine's own multi-writer story is TxLogTable);
+  * `add.stats` are not emitted (optional in the spec — readers must stay
+  * correct without them); appends require the incoming schema to match
+  * the table's log schema exactly (no evolution). NULL partition values
+  * round-trip: the writer's `__HIVE_DEFAULT_PARTITION__` directory is
+  * decoded back to a JSON null partitionValue as the protocol stores it.
+  */
+object DeltaWrite {
+
+  private val mapper = new ObjectMapper()
+
+  /** Commit `df` to `tableDir` in `mode`; returns the committed version.
+    * `partCols` is only consulted when CREATING the table (version 0) —
+    * later commits reuse (and enforce) the log's partitioning. */
+  def write(df: DataFrame, tableDir: String, partCols: Seq[String] = Nil,
+            mode: String = "append"): Long = {
+    require(Set("append", "overwrite", "overwritePartitions")(mode),
+      s"unknown Delta write mode '$mode'")
+    val spark = df.sparkSession
+    val root = Paths.get(tableDir)
+    val logDir = root.resolve("_delta_log")
+    val existing =
+      if (Files.isDirectory(logDir)) Some(DeltaRead.snapshot(tableDir)) else None
+    val version = existing.map(_.version + 1).getOrElse(0L)
+    val cols = existing.map(_.partitionColumns).getOrElse(partCols)
+    existing.foreach { snap =>
+      // same (name, type) list in the same order: a lax match here writes
+      // files later commits' readers decode with the wrong schema
+      val want = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      require(got == want,
+        s"schema mismatch vs $tableDir log: got ${got.mkString(",")}, table has ${want.mkString(",")}")
+    }
+
+    // distributed data write into a staging dir the log never references
+    val staging = root.resolve(f"_staging_$version%020d")
+    val writer = df.write.mode("overwrite")
+    (if (cols.nonEmpty) writer.partitionBy(cols: _*) else writer)
+      .parquet(staging.toString)
+
+    val staged = listParquet(staging)
+    val adds = staged.map { p =>
+      val rel = staging.relativize(p)
+      val segs = (0 until rel.getNameCount).map(rel.getName(_).toString)
+      val pv = segs.dropRight(1).map { seg =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"staged path $rel is not hive-layout under partitionBy")
+        val raw = ExternalCatalogUtils.unescapePathName(seg.substring(eq + 1))
+        seg.substring(0, eq) ->
+          (if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else raw)
+      }.toMap
+      require(pv.keySet == cols.toSet,
+        s"staged path $rel carries partitions ${pv.keySet}, expected $cols")
+      val target = root.resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+      DeltaRead.AddFile(segs.mkString("/"), pv, Files.size(target))
+    }
+    deleteRecursively(staging)
+
+    val removes: Seq[String] = mode match {
+      case "append" => Nil
+      case "overwrite" => existing.toSeq.flatMap(_.files.map(_.path))
+      case "overwritePartitions" =>
+        val touched = adds.map(_.partitionValues).toSet
+        existing.toSeq.flatMap(_.files.filter(f => touched(f.partitionValues)).map(_.path))
+    }
+
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    if (version == 0L) {
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      lines += metaDataJson(df.schema, cols)
+    }
+    val ci = mapper.createObjectNode()
+    val info = ci.putObject("commitInfo")
+    info.put("operation",
+      if (mode == "append") "WRITE" else "OVERWRITE")
+    info.put("engineInfo", "graft-delta-write")
+    lines += mapper.writeValueAsString(ci)
+    removes.foreach { rel =>
+      val n = mapper.createObjectNode()
+      val rm = n.putObject("remove")
+      rm.put("path", pathEnc(rel))
+      rm.put("deletionTimestamp", 0L)
+      rm.put("dataChange", true)
+      lines += mapper.writeValueAsString(n)
+    }
+    adds.foreach { a =>
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", pathEnc(a.path))
+      val pvn = add.putObject("partitionValues")
+      a.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvn.putNull(k) else pvn.put(k, v)
+      }
+      add.put("size", a.size)
+      add.put("modificationTime", 0L)
+      add.put("dataChange", true)
+      lines += mapper.writeValueAsString(n)
+    }
+    Files.createDirectories(logDir)
+    // commit visibility is the rename, after every data file is in place
+    val tmp = Files.createTempFile(logDir, s".commit_$version", ".tmp")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, logDir.resolve(f"$version%020d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    version
+  }
+
+  /** Compact the table's current head into a single-part parquet
+    * checkpoint + `_last_checkpoint` pointer — the state
+    * [[DeltaRead.snapshot]] resumes from instead of replaying the full
+    * JSON history. One row per action, per the protocol's checkpoint
+    * schema (struct columns named after the action kinds). */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, tableDir: String): Long = {
+    val snap = DeltaRead.snapshot(tableDir)
+    val logDir = Paths.get(tableDir, "_delta_log")
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    actions += metaDataJson(snap.schema, snap.partitionColumns)
+    snap.files.foreach { f =>
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", pathEnc(f.path))
+      val pvn = add.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvn.putNull(k) else pvn.put(k, v)
+      }
+      add.put("size", f.size)
+      add.put("modificationTime", 0L)
+      add.put("dataChange", false)
+      actions += mapper.writeValueAsString(n)
+    }
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_delta_cp").toString
+    spark.read.json(actions.toSeq.toDS()).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = listParquet(Paths.get(tmp)).head
+    Files.move(part, logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(Paths.get(tmp))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      s"""{"version":${snap.version},"size":${actions.size}}""")
+    snap.version
+  }
+
+  private def metaDataJson(schema: StructType, partCols: Seq[String]): String = {
+    val m = mapper.createObjectNode()
+    val md = m.putObject("metaData")
+    md.put("id", "graft-delta-write")
+    md.putObject("format").put("provider", "parquet")
+    md.put("schemaString", schema.json)
+    val pc = md.putArray("partitionColumns")
+    partCols.foreach(pc.add)
+    md.putObject("configuration")
+    md.put("createdTime", 0L)
+    mapper.writeValueAsString(m)
+  }
+
+  /** Log paths are RFC 2396 percent-encoded relative paths. */
+  private def pathEnc(decoded: String): String =
+    new java.net.URI(null, null, decoded, null).getRawPath
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    finally s.close()
+  }
+
+  private def deleteRecursively(dir: Path): Unit = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+}
