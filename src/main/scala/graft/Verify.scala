@@ -77,8 +77,13 @@ object Verify {
         // coalesce(1) on a shuffle-free plan collapses the WHOLE upstream
         // into a single task (a scan→project→explode query measured 268 s
         // at sf10 where the parallel plan takes ~20 s); repartition adds a
-        // shuffle barrier so only the write is single-task
-        ntz(fn(spark, sfDir)).repartition(1).write.mode("overwrite")
+        // shuffle barrier so only the write is single-task.
+        // SPARK_GRAFT_DUMP_PARTS>1 (scale drills only — the driver's gate
+        // never sets it) parallelizes the dump write so a multi-GB result's
+        // wall reflects the PLAN cost, not a single-task parquet encode;
+        // DuckDB compares read the dump as a directory glob either way.
+        val parts = sys.env.getOrElse("SPARK_GRAFT_DUMP_PARTS", "1").toInt
+        ntz(fn(spark, sfDir)).repartition(parts).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] done  $name (${(System.nanoTime() - t0) / 1e9}%.1f s)")
       }

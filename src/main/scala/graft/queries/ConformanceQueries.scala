@@ -522,6 +522,54 @@ object ConformanceQueries {
              |       AND o_orderkey % 2 = 0)
              |GROUP BY 1""".stripMargin)),
 
+    // DELTA STATS SKIPPING: the second scan-economy channel beside
+    // partition pruning — DeltaWrite records per-file min/max/nullCount
+    // from the parquet footers into add.stats, and DeltaFileIndex tests
+    // each live file's interval against the pushed DATA predicates
+    // (sources/StatsSkip), so a range-clustered table answers a key-range
+    // query touching O(matching files), not O(table). The row writes
+    // orders range-clustered by o_orderkey into an UNPARTITIONED Delta
+    // table (isolating stats skipping from partition pruning), filters to
+    // the bottom decile of the key domain, and pins: values vs DuckDB,
+    // all-files-carry-stats, skipping engaged (scanned < live), and
+    // scanned == the stats arithmetic's own prediction (robust to the
+    // sampled range boundaries — no absolute file counts pinned).
+    Q("delta_stats_skipping",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        val wh = DvQueries.tmpWarehouse("graft_delta_stats")
+        val tbl = s"$wh/orders_clustered"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        DeltaWrite.write(o.repartitionByRange(8, col("o_orderkey")), tbl)
+        val snap = DeltaRead.snapshot(tbl)
+        val statsPresent = snap.files.nonEmpty && snap.files.forall(_.stats.nonEmpty)
+        val cutoff = o.agg(max(col("o_orderkey"))).head().getLong(0) / 10L
+        val filtered = DeltaRead.read(s, tbl).filter(col("o_orderkey") <= cutoff)
+        val plan = filtered.queryExecution.executedPlan.toString
+        val pushed = plan.contains("Location: DeltaFileIndex") &&
+          "DataFilters: \\[[^\\]]*o_orderkey".r.findFirstIn(plan).nonEmpty
+        val scanned = filtered.select(input_file_name()).distinct().count()
+        val expected = snap.files.count(_.stats.exists(st =>
+          st.min.get("o_orderkey").exists(_.asLong <= cutoff))).toLong
+        filtered
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+            countDistinct(col("o_orderpriority")).as("n_prios"))
+          .withColumn("stats_present", lit(statsPresent))
+          .withColumn("filter_pushed", lit(pushed))
+          .withColumn("skipping_effective", lit(scanned < snap.files.size))
+          .withColumn("scan_consistent", lit(scanned == expected))
+      },
+      Some("""SELECT cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  cast(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+             |  TRUE AS stats_present, TRUE AS filter_pushed,
+             |  TRUE AS skipping_effective, TRUE AS scan_consistent
+             |FROM orders
+             |WHERE o_orderkey <= (SELECT max(o_orderkey) // 10 FROM orders)""".stripMargin)),
+
     // ICEBERG READ INTEROP: the other open table format a real corpus
     // lives in (sources/IcebergRead — versioned metadata JSON + avro
     // manifest parsing per the published Iceberg Table Spec; no Iceberg
@@ -574,6 +622,62 @@ object ConformanceQueries {
              |FROM customer
              |WHERE c_mktsegment = 'BUILDING'
              |   OR (c_mktsegment = 'AUTOMOBILE' AND c_custkey % 2 = 1)
+             |GROUP BY 1""".stripMargin)),
+
+    // ICEBERG WRITE ROUNDTRIP: the distributed write-path complement of
+    // the Iceberg read interop (sources/IcebergWrite — one partitionBy
+    // stage over shadow partition columns so data files RETAIN the source
+    // columns as the spec requires, then a shared metadata commit with
+    // the fixture's manifest core). 3-snapshot history from `customer`:
+    // s1 appends even custkeys across all segments, s2 appends odd keys
+    // for AUTOMOBILE/BUILDING, s3 dynamic-overwrites FURNITURE with its
+    // %3==0 subset. The oracle recomputes the final state from `customer`;
+    // booleans pin snapshot numbering, data-filter pushdown through
+    // IcebergFileIndex, and pruning-arithmetic/actual-scan agreement.
+    Q("iceberg_write_roundtrip",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_ice_write")
+        val tbl = s"$wh/customer_iceberg"
+        val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+        val s1 = IcebergWrite.write(c.filter(col("c_custkey") % 2 === 0), tbl,
+          Seq("c_mktsegment"))
+        val s2 = IcebergWrite.write(
+          c.filter(col("c_custkey") % 2 === 1 &&
+            col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")), tbl)
+        val s3 = IcebergWrite.write(
+          c.filter(col("c_mktsegment") === "FURNITURE" && col("c_custkey") % 3 === 0),
+          tbl, mode = "overwritePartitions")
+        val snap = IcebergRead.snapshot(tbl)
+        val versionsOk = s1 == 1L && s2 == 2L && s3 == 3L && snap.snapshotId == 3L
+        val filtered = IcebergRead.read(s, tbl)
+          .filter(col("c_mktsegment").isin("AUTOMOBILE", "FURNITURE"))
+        val plan = filtered.queryExecution.executedPlan.toString
+        val pushed = plan.contains("Location: IcebergFileIndex") &&
+          "DataFilters: \\[[^\\]]*AUTOMOBILE".r.findFirstIn(plan).nonEmpty
+        val expected = IcebergRead.candidateFiles(snap,
+          Map("c_mktsegment" -> Set("AUTOMOBILE", "FURNITURE"))).size.toLong
+        val scanned = filtered.select(input_file_name()).distinct().count()
+        IcebergRead.read(s, tbl)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_cents"))
+          .withColumn("versions_ok", lit(versionsOk))
+          .withColumn("filter_pushed", lit(pushed))
+          .withColumn("scan_consistent", lit(scanned == expected))
+      },
+      Some("""SELECT c_mktsegment AS segment,
+             |  cast(count(*) AS BIGINT) AS n_customers,
+             |  cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS acctbal_cents,
+             |  TRUE AS versions_ok, TRUE AS filter_pushed,
+             |  TRUE AS scan_consistent
+             |FROM customer
+             |WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+             |   OR (c_mktsegment = 'FURNITURE' AND c_custkey % 3 = 0)
+             |   OR (c_mktsegment IN ('HOUSEHOLD', 'MACHINERY')
+             |       AND c_custkey % 2 = 0)
              |GROUP BY 1""".stripMargin)),
 
     // NESTED SCHEMA PRUNING proof: metadata lives in STRUCT columns (the

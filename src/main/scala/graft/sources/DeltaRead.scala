@@ -41,20 +41,26 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * 100 TB that is the difference between touching 3 of 3000 date
   * partitions and touching all of them.
   *
+  * `add.stats`, when a writer recorded them, feed a second skipping
+  * channel beside partition pruning: [[DeltaFileIndex.listFiles]] tests
+  * each surviving file's min/max/nullCount against the pushed data
+  * predicates ([[StatsSkip]] — conservative, stats are optional in the
+  * spec so absence only costs economy, never correctness).
+  *
   * Scope (declared, not accidental): reads a static snapshot at the
-  * log's head; single-part checkpoints only; `add.stats`-based data
-  * skipping is not consulted (stats are optional in the spec — a reader
-  * must stay correct without them; partition pruning carries the scan
-  * economy here). Deletion vectors / column mapping (reader features
-  * gated by `protocol.minReaderVersion` 3) are rejected loudly rather
-  * than read wrongly.
+  * log's head; single-part checkpoints only. Deletion vectors / column
+  * mapping (reader features gated by `protocol.minReaderVersion` 3) are
+  * rejected loudly rather than read wrongly.
   */
 object DeltaRead {
 
   /** One live data file: log-relative decoded path + its partition values
-    * (raw strings, as the log stores them) and size. */
+    * (raw strings, as the log stores them), size, and the optional
+    * per-file column stats ([[StatsSkip.FileStats]]) a stats-emitting
+    * writer ([[DeltaWrite]] included) recorded in `add.stats`. */
   final case class AddFile(path: String, partitionValues: Map[String, String],
-                           size: Long)
+                           size: Long,
+                           stats: Option[StatsSkip.FileStats] = None)
 
   /** The reconstructed head state of a Delta table. */
   final case class Snapshot(version: Long, schema: StructType,
@@ -113,7 +119,13 @@ object DeltaRead {
             k -> (if (o.get(k).isNull) null else o.get(k).asText())).toMap
         }.getOrElse(Map.empty[String, String])
         val path = decodePath(a.get("path").asText)
-        live(path) = AddFile(path, pv, Option(a.get("size")).map(_.asLong).getOrElse(0L))
+        // add.stats is a JSON STRING per the protocol; unparseable or
+        // absent stats degrade to "no skipping", never to an error
+        val stats = Option(a.get("stats")).filter(_.isTextual).flatMap { s =>
+          scala.util.Try(mapper.readTree(s.asText)).toOption.flatMap(parseStats)
+        }
+        live(path) = AddFile(path, pv,
+          Option(a.get("size")).map(_.asLong).getOrElse(0L), stats)
       }
       if (node.has("remove")) live.remove(decodePath(node.get("remove").get("path").asText))
     }
@@ -150,6 +162,17 @@ object DeltaRead {
     snap.files.filter(f => keep.forall { case (c, vs) =>
       f.partitionValues.get(c).exists(vs.contains)
     })
+
+  private def parseStats(n: JsonNode): Option[StatsSkip.FileStats] = {
+    if (!n.has("numRecords")) return None
+    def objMap(field: String): Map[String, JsonNode] =
+      Option(n.get(field)).filter(_.isObject).toSeq.flatMap { o =>
+        o.fieldNames().asScala.map(k => k -> o.get(k)).toSeq
+      }.toMap
+    Some(StatsSkip.FileStats(n.get("numRecords").asLong,
+      objMap("minValues"), objMap("maxValues"),
+      objMap("nullCount").collect { case (k, v) if v.isIntegralNumber => k -> v.asLong }))
+  }
 
   private def versionOf(p: Path): Long =
     p.getFileName.toString.stripSuffix(".json").toLong
@@ -217,6 +240,16 @@ final class DeltaFileIndex(spark: SparkSession, tableRoot: Path,
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    // two independent skipping channels, matching Delta's own planner:
+    // partition predicates prune whole partitionValues groups, then each
+    // surviving file is tested against the pushed data predicates over its
+    // add.stats min/max/nullCount (StatsSkip is conservative — a file
+    // without stats is always scheduled)
     PartitionPrune.prune(partSchema, groups, partitionFilters)
-      .map { case (row, fs) => PartitionDirectory(row, fs.map(statusOf)) }
+      .map { case (row, fs) =>
+        PartitionDirectory(row,
+          fs.filter(f => StatsSkip.keep(f.stats, dataFilters, snap.dataSchema))
+            .map(statusOf))
+      }
+      .filter(_.files.nonEmpty)
 }

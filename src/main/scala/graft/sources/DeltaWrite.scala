@@ -7,8 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** Write-path interop for Delta Lake tables — the distributed complement
   * of [[DeltaRead]] (which replays `_delta_log`s other engines wrote).
@@ -35,13 +34,17 @@ import org.apache.spark.sql.types.StructType
   *    `partitionOverwriteMode=dynamic`): remove only the live files whose
   *    partitionValues tuple is among the tuples being written.
   *
+  * Per-file `add.stats` (numRecords / minValues / maxValues / nullCount)
+  * are extracted from each written file's parquet footer and carried
+  * through checkpoints, feeding [[StatsSkip]]'s file skipping on the read
+  * side — see [[footerStats]] for the emitted type coverage.
+  *
   * Scope (declared): single-writer (version = head + 1, no optimistic
   * concurrency loop — the engine's own multi-writer story is TxLogTable);
-  * `add.stats` are not emitted (optional in the spec — readers must stay
-  * correct without them); appends require the incoming schema to match
-  * the table's log schema exactly (no evolution). NULL partition values
-  * round-trip: the writer's `__HIVE_DEFAULT_PARTITION__` directory is
-  * decoded back to a JSON null partitionValue as the protocol stores it.
+  * appends require the incoming schema to match the table's log schema
+  * exactly (no evolution). NULL partition values round-trip: the writer's
+  * `__HIVE_DEFAULT_PARTITION__` directory is decoded back to a JSON null
+  * partitionValue as the protocol stores it.
   */
 object DeltaWrite {
 
@@ -77,6 +80,9 @@ object DeltaWrite {
       .parquet(staging.toString)
 
     val staged = listParquet(staging)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dataSchema = StructType(
+      df.schema.fields.filterNot(f => cols.contains(f.name)))
     val adds = staged.map { p =>
       val rel = staging.relativize(p)
       val segs = (0 until rel.getNameCount).map(rel.getName(_).toString)
@@ -92,7 +98,8 @@ object DeltaWrite {
       val target = root.resolve(rel)
       Files.createDirectories(target.getParent)
       Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
-      DeltaRead.AddFile(segs.mkString("/"), pv, Files.size(target))
+      (DeltaRead.AddFile(segs.mkString("/"), pv, Files.size(target)),
+        footerStats(hadoopConf, target, dataSchema))
     }
     deleteRecursively(staging)
 
@@ -100,7 +107,7 @@ object DeltaWrite {
       case "append" => Nil
       case "overwrite" => existing.toSeq.flatMap(_.files.map(_.path))
       case "overwritePartitions" =>
-        val touched = adds.map(_.partitionValues).toSet
+        val touched = adds.map(_._1.partitionValues).toSet
         existing.toSeq.flatMap(_.files.filter(f => touched(f.partitionValues)).map(_.path))
     }
 
@@ -123,7 +130,7 @@ object DeltaWrite {
       rm.put("dataChange", true)
       lines += mapper.writeValueAsString(n)
     }
-    adds.foreach { a =>
+    adds.foreach { case (a, stats) =>
       val n = mapper.createObjectNode()
       val add = n.putObject("add")
       add.put("path", pathEnc(a.path))
@@ -134,6 +141,7 @@ object DeltaWrite {
       add.put("size", a.size)
       add.put("modificationTime", 0L)
       add.put("dataChange", true)
+      stats.foreach(add.put("stats", _)) // a JSON STRING, per the protocol
       lines += mapper.writeValueAsString(n)
     }
     Files.createDirectories(logDir)
@@ -167,6 +175,9 @@ object DeltaWrite {
       add.put("size", f.size)
       add.put("modificationTime", 0L)
       add.put("dataChange", false)
+      // stats survive compaction — skipping must not degrade after a
+      // checkpoint truncates the JSON history
+      f.stats.foreach(st => add.put("stats", statsJson(st)))
       actions += mapper.writeValueAsString(n)
     }
     import spark.implicits._
@@ -193,6 +204,122 @@ object DeltaWrite {
     md.putObject("configuration")
     md.put("createdTime", 0L)
     mapper.writeValueAsString(m)
+  }
+
+  /** Per-file `add.stats` JSON from the written file's parquet footer —
+    * driver-side, bounded by #files-per-commit, the same seam Delta's own
+    * writers use when stats collection is on. Row-group chunk statistics
+    * are VALID BOUNDS by the parquet spec even when the writer truncated
+    * them (min rounds down, max rounds up), so [[StatsSkip]]'s interval
+    * tests stay sound. Emitted types: integral, float/double, string,
+    * boolean, date (ISO). Timestamps/decimals/binary/nested are omitted —
+    * a missing stat never skips. A column that is all-null in the file
+    * gets no min/max but a full nullCount, which is exactly what IsNotNull
+    * skipping needs. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          file: Path, dataSchema: StructType): Option[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val supported = dataSchema.fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | BooleanType | DateType => true
+      case _ => false
+    })
+    val hPath = new org.apache.hadoop.fs.Path(file.toUri)
+    val rdr = try ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    catch { case _: Exception => return None }
+    try {
+      val blocks = rdr.getFooter.getBlocks
+      val numRecords = blocks.asScala.map(_.getRowCount).sum
+      val mins = scala.collection.mutable.LinkedHashMap[String, Any]()
+      val maxs = scala.collection.mutable.LinkedHashMap[String, Any]()
+      val nulls = scala.collection.mutable.LinkedHashMap[String, Long]()
+      supported.foreach { f =>
+        var nullCount = 0L
+        var nullsKnown = true
+        var lo: Any = null
+        var hi: Any = null
+        var rangeKnown = true
+        blocks.asScala.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == f.name) match {
+            case None => nullsKnown = false; rangeKnown = false
+            case Some(c) =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty) { nullsKnown = false; rangeKnown = false }
+              else {
+                if (st.isNumNullsSet) nullCount += st.getNumNulls else nullsKnown = false
+                if (st.hasNonNullValue) {
+                  val (mn, mx) = (st.genericGetMin, st.genericGetMax)
+                  if (lo == null || cmpStat(mn, lo) < 0) lo = mn
+                  if (hi == null || cmpStat(mx, hi) > 0) hi = mx
+                } else if (!st.isNumNullsSet || st.getNumNulls < b.getRowCount)
+                  rangeKnown = false // values exist but no bounds — unusable
+              }
+          }
+        }
+        if (rangeKnown && lo != null) {
+          mins(f.name) = statToJsonValue(lo, f.dataType)
+          maxs(f.name) = statToJsonValue(hi, f.dataType)
+        }
+        if (nullsKnown) nulls(f.name) = nullCount
+      }
+      val n = mapper.createObjectNode()
+      n.put("numRecords", numRecords)
+      val minN = n.putObject("minValues"); val maxN = n.putObject("maxValues")
+      def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode,
+                 k: String, v: Any): Unit = v match {
+        case l: java.lang.Long => o.put(k, l.longValue)
+        case d: java.lang.Double => o.put(k, d.doubleValue)
+        case b: java.lang.Boolean => o.put(k, b.booleanValue)
+        case s: String => o.put(k, s)
+        case _ => ()
+      }
+      mins.foreach { case (k, v) => putVal(minN, k, v) }
+      maxs.foreach { case (k, v) => putVal(maxN, k, v) }
+      val nullN = n.putObject("nullCount")
+      nulls.foreach { case (k, v) => nullN.put(k, v) }
+      Some(mapper.writeValueAsString(n))
+    } catch { case _: Exception => None }
+    finally rdr.close()
+  }
+
+  /** parquet footer min/max values are Comparable within a column's
+    * physical type — except Binary, which must combine in UNSIGNED
+    * lexicographic order (Spark's string order; Binary.compareTo has had
+    * signed-byte history across parquet-mr versions). */
+  private def cmpStat(a: Any, b: Any): Int = (a, b) match {
+    case (x: org.apache.parquet.io.api.Binary, y: org.apache.parquet.io.api.Binary) =>
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(x.getBytes)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromBytes(y.getBytes))
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
+  /** footer value → the JSON-friendly domain [[StatsSkip]] parses back:
+    * integrals widen to Long, fractionals to Double, strings decode UTF8,
+    * dates become ISO text. */
+  private def statToJsonValue(v: Any, dt: DataType): Any = (dt, v) match {
+    case (DateType, i: Number) =>
+      java.time.LocalDate.ofEpochDay(i.longValue).toString
+    case (StringType, b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
+    case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+      java.lang.Long.valueOf(n.longValue)
+    case (FloatType | DoubleType, n: Number) =>
+      java.lang.Double.valueOf(n.doubleValue)
+    case (BooleanType, b: java.lang.Boolean) => b
+    case _ => null
+  }
+
+  /** re-serialize parsed stats for checkpoint rows. */
+  private def statsJson(st: StatsSkip.FileStats): String = {
+    val n = mapper.createObjectNode()
+    n.put("numRecords", st.numRecords)
+    val mn = n.putObject("minValues")
+    st.min.foreach { case (k, v) => mn.set[com.fasterxml.jackson.databind.JsonNode](k, v) }
+    val mx = n.putObject("maxValues")
+    st.max.foreach { case (k, v) => mx.set[com.fasterxml.jackson.databind.JsonNode](k, v) }
+    val nc = n.putObject("nullCount"); st.nullCount.foreach { case (k, v) => nc.put(k, v) }
+    mapper.writeValueAsString(n)
   }
 
   /** Log paths are RFC 2396 percent-encoded relative paths. */

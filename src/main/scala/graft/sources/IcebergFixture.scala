@@ -82,15 +82,6 @@ object IcebergFixture {
                adds: Seq[(Map[String, String], DataFrame)],
                removes: Seq[String] = Nil): Seq[String] = {
     val root = Paths.get(tableDir)
-    val metaDir = root.resolve("metadata")
-    Files.createDirectories(metaDir)
-    val prev: Option[IcebergRead.Snapshot] =
-      if (Files.exists(metaDir.resolve("version-hint.text")))
-        Some(IcebergRead.snapshot(tableDir)) else None
-    val prevMetaNode = prev.map { _ =>
-      val v = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
-      mapper.readTree(Files.readString(metaDir.resolve(s"v$v.metadata.json")))
-    }
 
     // ---- data files -------------------------------------------------
     val written = adds.zipWithIndex.map { case ((pv, rows), i) =>
@@ -104,8 +95,33 @@ object IcebergFixture {
       val part = Files.list(Paths.get(tmp)).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
       Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-      (target.toString, pv, rows.count())
+      (target.toString, pv, rows.count(), Files.size(target))
     }
+
+    commitSnapshot(tableDir, schema, partCols, snapshotId, written,
+      removes.toSet)
+    written.map(_._1)
+  }
+
+  /** Metadata-side commit shared with [[IcebergWrite]]: carried-forward
+    * manifest entries + this snapshot's adds/removes, manifest list, and
+    * the next versioned metadata JSON. `added` rows are
+    * (absolutePath, partitionValues, recordCount, sizeBytes). */
+  private[sources] def commitSnapshot(tableDir: String, schema: StructType,
+      partCols: Seq[String], snapshotId: Long,
+      added0: Seq[(String, Map[String, String], Long, Long)],
+      removePaths: Set[String]): Unit = {
+    val root = Paths.get(tableDir)
+    val metaDir = root.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val prev: Option[IcebergRead.Snapshot] =
+      if (Files.exists(metaDir.resolve("version-hint.text")))
+        Some(IcebergRead.snapshot(tableDir)) else None
+    val prevMetaNode = prev.map { _ =>
+      val v = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+      mapper.readTree(Files.readString(metaDir.resolve(s"v$v.metadata.json")))
+    }
+    val written = added0
 
     // ---- manifest: carried-forward state + this snapshot's changes ---
     val mSchema = manifestSchema(schema, partCols)
@@ -135,13 +151,12 @@ object IcebergFixture {
       e.put("data_file", d)
       e
     }
-    val removed = removes.toSet
     val carried = prev.toSeq.flatMap(_.files).map { f =>
-      entry(if (removed.contains(f.path)) 2 else 0, f.path, f.partitionValues,
+      entry(if (removePaths.contains(f.path)) 2 else 0, f.path, f.partitionValues,
         0L, f.size)
     }
-    val added = written.map { case (p, pv, n) =>
-      entry(1, p, pv, n, Files.size(Paths.get(p)))
+    val added = written.map { case (p, pv, n, size) =>
+      entry(1, p, pv, n, size)
     }
     val manifestPath = metaDir.resolve(f"m-$snapshotId%05d.avro")
     writeAvro(manifestPath, mSchema, carried ++ added)
@@ -203,6 +218,5 @@ object IcebergFixture {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
     Files.write(metaDir.resolve("version-hint.text"),
       newVersion.toString.getBytes(StandardCharsets.UTF_8))
-    written.map(_._1)
   }
 }

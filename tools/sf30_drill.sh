@@ -21,8 +21,15 @@ ann_recall semdedup kmeans_embed cosine_topk geo_knn geo_grid_hotspots \
 geo_radius_join geo_nearest_dc kcore_peel bfs_hops pagerank_sim \
 triangle_count ra_link_prediction asof_join_events asof_join_nearest \
 spearman_corr equi_depth_histogram"
+# the DV family's sf10 heavies (history matrix, PIT spine, bridge window,
+# MA hashdiff) — not in the original drill set; their sf10/sf0.1 ratios
+# looked superlinear but mixed Verify walls with Bench min-of-3, so this
+# batch gives them a like-for-like sf10→sf30 reading
+BATCH3="eff_sat_additional_cols pit_customer pit_incremental \
+bridge_order_customer stage_exclude_hashdiff stage_multi_active \
+mart_fact_orders percentile_conformance"
 
-for b in 1 2; do
+for b in 1 2 3; do
   v="BATCH$b"
   SPARK_DRIVER_MEM=80g SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_CONF="spark.sql.files.maxPartitionBytes=33554432" \
@@ -31,7 +38,7 @@ for b in 1 2; do
 done
 
 : > "$LOG"
-for q in $BATCH1 $BATCH2; do
+for q in $BATCH1 $BATCH2 $BATCH3; do
   if [ -d "$OUT/$q" ]; then
     DUCKDB_MEM=${DUCKDB_MEM:-60GiB} timeout 3600 \
       python3 tools/compare_oracle.py "$SF" "$OUT" "$q" >> "$LOG" 2>&1 \
