@@ -1230,6 +1230,11 @@ object SimQueries {
     Q("spearman_corr",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // persisted: the plan reads this frame THREE times (x-rank counts,
+        // y-rank counts, final rank attach) — without it the 3-way
+        // lineitem⋈orders⋈customer join re-executes per consumer (measured
+        // 344 s at sf30, ~1/3 of it repeated join work). Spills to disk if
+        // big; Verify's storageFraction=0.05 lets execution evict it.
         val li = s.read.parquet(s"$dir/lineitem.parquet")
           .join(s.read.parquet(s"$dir/orders.parquet"),
             col("l_orderkey") === col("o_orderkey"))
@@ -1238,6 +1243,7 @@ object SimQueries {
           .select(col("c_mktsegment").as("seg"),
             col("l_quantity").cast("long").as("x"),
             round(col("l_extendedprice") * 100).cast("long").as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // Average rank with ties from per-(seg, value) PRE-AGGREGATES via
         // a TWO-LEVEL prefix sum: values bucket by floor(v/4096), the
         // cumulative count runs per (seg, bucket) over DISTINCT values
