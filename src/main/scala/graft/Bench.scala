@@ -37,7 +37,10 @@ object Bench {
       // the blocked self-join + similarity kernel behind the ER suite:
       // er_match_weights re-pays it cold each pass, other consumers read
       // warm (candidates are a stored table in production)
-      "er_match_weights" -> (() => graft.queries.ErQueries.evictShared(spark)))
+      "er_match_weights" -> (() => graft.queries.ErQueries.evictShared(spark)),
+      // the persisted 3-way join behind spearman_corr — release + re-price
+      // per pass so the cached blocks never outlive the query's passes
+      "spearman_corr" -> (() => graft.queries.SimQueries.evictShared(spark)))
 
     // force FULL computation of every output column (count() would let
     // Catalyst prune the projections we are benchmarking) — noop v2 sink.

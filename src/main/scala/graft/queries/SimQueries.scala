@@ -41,6 +41,46 @@ object SimQueries {
     }
   }
 
+  /** One persisted lineitem⋈orders⋈customer frame per (session, sfDir) for
+    * spearman_corr: its plan reads the joined frame THREE times (x-rank
+    * counts, y-rank counts, final rank attach) — uncached, the 3-way join
+    * re-executes per consumer (measured 344 s at sf30, ~1/3 repeated join
+    * work). Tracked in a map — not an inline `.persist` — so there is
+    * exactly ONE live copy per session (not one per invocation) and the
+    * bench's cold-evict hook can release it and re-price the build each
+    * pass; same convention as [[ErQueries]]'s pairCache. MEMORY_AND_DISK:
+    * spills rather than recomputes; Verify's storageFraction=0.05 lets
+    * execution evict it under pressure. */
+  private val spearmanCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  def evictShared(s: SparkSession): Unit =
+    spearmanCache.keys.filter(_._1 eq s).foreach { k =>
+      spearmanCache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () })
+    }
+
+  private def spearmanJoined(s: SparkSession, dir: String): DataFrame = {
+    // one live frame per session: a caller walking several sfDirs (the
+    // test suite does) would otherwise strand persisted blocks per dir
+    spearmanCache.keys.filter(k => (k._1 eq s) && k._2 != dir).foreach { k =>
+      spearmanCache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () })
+    }
+    spearmanCache.getOrElseUpdate((s, dir),
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .join(s.read.parquet(s"$dir/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(s.read.parquet(s"$dir/customer.parquet"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** DuckDB 1.0 equivalent (list_transform/list_zip — no comprehensions);
     * list_sum folds sequentially like Spark's aggregate(), so the doubles
     * are bit-identical. */
@@ -1220,6 +1260,7 @@ object SimQueries {
              |FROM cc""".stripMargin)),
 
     // SPEARMAN rank correlation per market segment — the robust sibling
+    // (shared joined-frame cache: see spearmanJoined / evictShared below)
     // of the Pearson matrix (monotone association, outlier-immune).
     // Midranks with tie handling come from per-(segment, value)
     // PRE-AGGREGATES: rank_min = cumulative count of smaller values
@@ -1230,20 +1271,7 @@ object SimQueries {
     Q("spearman_corr",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        // persisted: the plan reads this frame THREE times (x-rank counts,
-        // y-rank counts, final rank attach) — without it the 3-way
-        // lineitem⋈orders⋈customer join re-executes per consumer (measured
-        // 344 s at sf30, ~1/3 of it repeated join work). Spills to disk if
-        // big; Verify's storageFraction=0.05 lets execution evict it.
-        val li = s.read.parquet(s"$dir/lineitem.parquet")
-          .join(s.read.parquet(s"$dir/orders.parquet"),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(s.read.parquet(s"$dir/customer.parquet"),
-            col("o_custkey") === col("c_custkey"))
-          .select(col("c_mktsegment").as("seg"),
-            col("l_quantity").cast("long").as("x"),
-            round(col("l_extendedprice") * 100).cast("long").as("y"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val li = spearmanJoined(s, dir)
         // Average rank with ties from per-(seg, value) PRE-AGGREGATES via
         // a TWO-LEVEL prefix sum: values bucket by floor(v/4096), the
         // cumulative count runs per (seg, bucket) over DISTINCT values

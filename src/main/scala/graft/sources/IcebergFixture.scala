@@ -151,9 +151,12 @@ object IcebergFixture {
       e.put("data_file", d)
       e
     }
+    // carry the ORIGINAL record_count forward (the spec requires actual
+    // counts; conformant readers use them, e.g. count(*) pushdown — a 0
+    // here would make every 2+-snapshot table miscount in real engines)
     val carried = prev.toSeq.flatMap(_.files).map { f =>
       entry(if (removePaths.contains(f.path)) 2 else 0, f.path, f.partitionValues,
-        0L, f.size)
+        f.recordCount, f.size)
     }
     val added = written.map { case (p, pv, n, size) =>
       entry(1, p, pv, n, size)

@@ -50,7 +50,7 @@ import org.apache.spark.sql.types._
 object IcebergRead {
 
   final case class DataFile(path: String, partitionValues: Map[String, String],
-                            size: Long)
+                            size: Long, recordCount: Long)
 
   final case class Snapshot(snapshotId: Long, schema: StructType,
                             identityPartitionCols: Seq[String],
@@ -207,7 +207,8 @@ object IcebergRead {
             case _ => Map.empty[String, String]
           }
           live += DataFile(resolve(tableDir, df.get("file_path").toString).toString,
-            pv, longField(df, "file_size_in_bytes").getOrElse(0L))
+            pv, longField(df, "file_size_in_bytes").getOrElse(0L),
+            longField(df, "record_count").getOrElse(0L))
         }
       }
     }

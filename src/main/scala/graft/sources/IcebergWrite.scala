@@ -73,7 +73,12 @@ object IcebergWrite {
       }.toMap
       require(pv.keySet == cols.toSet,
         s"staged path $rel carries partitions ${pv.keySet}, expected $cols")
-      val dirs = cols.map(c => s"$c=${pv(c)}")
+      // re-escape when composing the target path: pv holds UNESCAPED
+      // values, and a raw '/' (or '..') in a value would nest extra
+      // directories / escape the table root. Same hive escaping the
+      // staged writer used, so the layout matches what DeltaWrite keeps.
+      val dirs = cols.map(c =>
+        s"$c=${ExternalCatalogUtils.escapePathName(pv(c))}")
       val relOut = ("data" +: dirs).mkString("/") +
         f"/part-$snapshotId%05d-$i%05d.parquet"
       val target = root.resolve(relOut)

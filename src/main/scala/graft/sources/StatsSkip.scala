@@ -124,7 +124,11 @@ object StatsSkip {
           if stat.isIntegralNumber =>
         Some(java.lang.Long.compare(stat.asLong, n.longValue))
       case (FloatType | DoubleType, n: Number) if stat.isNumber =>
-        Some(java.lang.Double.compare(stat.asDouble, n.doubleValue))
+        // SQL comparison semantics: -0.0 = 0.0 (Double.compare's total
+        // order says -0.0 < 0.0, which would wrongly skip a file with
+        // min=max=0.0 for a pushed `x = -0.0`). Normalize both sides.
+        def norm(d: Double): Double = if (d == 0.0d) 0.0d else d
+        Some(java.lang.Double.compare(norm(stat.asDouble), norm(n.doubleValue)))
       case (StringType, u: UTF8String) if stat.isTextual =>
         Some(Integer.signum(UTF8String.fromString(stat.asText).compareTo(u)))
       case (BooleanType, b: java.lang.Boolean) if stat.isBoolean =>

@@ -55,6 +55,28 @@ class DeltaStatsSpec extends SparkSpec {
     assert(st.nullCount("val") > 0L)
   }
 
+  test("signed zero: x = -0.0 keeps a file whose bounds are [0.0, 0.0]") {
+    // SQL semantics: -0.0 = 0.0. Double.compare's total order would call
+    // -0.0 < min and wrongly skip the file, silently dropping rows.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val zero = mapper.readTree("0.0")
+    val st = StatsSkip.FileStats(10L,
+      Map("x" -> zero), Map("x" -> zero), Map("x" -> 0L))
+    val sch = StructType(Seq(StructField("x", DoubleType)))
+    val a = attr("x", DoubleType)
+    def kept(e: Expression) = StatsSkip.keep(Some(st), Seq(e), sch)
+    assert(kept(EqualTo(a, Literal(-0.0d, DoubleType))))
+    assert(kept(LessThanOrEqual(a, Literal(-0.0d, DoubleType))))
+    assert(kept(GreaterThanOrEqual(a, Literal(-0.0d, DoubleType))))
+    // and the converse: bounds [-0.0, -0.0] keep x = 0.0
+    val nzero = mapper.readTree("-0.0")
+    val st2 = st.copy(min = Map("x" -> nzero), max = Map("x" -> nzero))
+    assert(StatsSkip.keep(Some(st2),
+      Seq(EqualTo(a, Literal(0.0d, DoubleType))), sch))
+    // strictly-outside values still skip
+    assert(!kept(EqualTo(a, Literal(1.0d, DoubleType))))
+  }
+
   test("range predicate schedules only overlapping files") {
     val (t, snap) = rangeTable()
     assert(listedFiles(spark, t, snap,

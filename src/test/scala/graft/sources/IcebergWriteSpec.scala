@@ -66,6 +66,20 @@ class IcebergWriteSpec extends SparkSpec {
     assert(counts.sum == 4L && counts.forall(_ > 0L))
   }
 
+  test("carried-forward manifest entries keep their ORIGINAL record counts") {
+    val t = tbl()
+    IcebergWrite.write(base, t, Seq("p"))            // snapshot 1: 4 rows
+    IcebergWrite.write(Seq((5L, "c", "z")).toDF("id", "p", "v"), t) // snap 2
+    // snapshot 2's manifest re-lists snapshot 1's files as status=0
+    // entries; the spec requires the ACTUAL record count there (real
+    // engines use it for count(*) pushdown), not a placeholder 0
+    val snap = IcebergRead.snapshot(t)
+    assert(snap.files.map(_.recordCount).sum == 5L,
+      s"total record_count must be 5, got ${snap.files.map(f => f.path -> f.recordCount)}")
+    assert(snap.files.forall(_.recordCount > 0L),
+      "no carried-forward entry may report record_count=0")
+  }
+
   test("schema mismatch on append is rejected loudly") {
     val t = tbl()
     IcebergWrite.write(base, t, Seq("p"))
@@ -80,6 +94,29 @@ class IcebergWriteSpec extends SparkSpec {
     val withNull = Seq((1L, Some("a"), "x"), (2L, None, "y")).toDF("id", "p", "v")
     val e = intercept[Exception] { IcebergWrite.write(withNull, t, Seq("p")) }
     assert(e.getMessage.contains("NULL partition value"))
+  }
+
+  test("partition values with path metacharacters stay hive-escaped in the layout") {
+    val t = tbl()
+    // '/' would nest an extra directory and '..' could escape the table
+    // root if the target path were composed from the UNESCAPED value
+    val df = Seq((1L, "x/y", "a"), (2L, "..", "b")).toDF("id", "p", "v")
+    IcebergWrite.write(df, t, Seq("p"))
+    val snap = IcebergRead.snapshot(t)
+    val root = java.nio.file.Paths.get(t).toRealPath()
+    snap.files.foreach { f =>
+      val p = java.nio.file.Paths.get(f.path).toRealPath()
+      assert(p.startsWith(root.resolve("data")),
+        s"data file $p escaped the table's data/ dir")
+      // exactly data/<c>=<v>/<file>: one partition directory level
+      assert(root.resolve("data").relativize(p).getNameCount == 2,
+        s"unescaped value nested extra directories: $p")
+    }
+    // values round-trip unescaped through the manifest
+    assert(snap.files.map(_.partitionValues("p")).toSet == Set("x/y", ".."))
+    val back = IcebergRead.read(spark, t).select($"id", $"p")
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "x/y"), (2L, "..")))
   }
 
   test("distributed write: multi-partition input yields multiple files per tuple") {
