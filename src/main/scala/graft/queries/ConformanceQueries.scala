@@ -570,6 +570,54 @@ object ConformanceQueries {
              |FROM orders
              |WHERE o_orderkey <= (SELECT max(o_orderkey) // 10 FROM orders)""".stripMargin)),
 
+    // DELTA DELETION VECTORS: merge-on-read row suppression — the reader
+    // feature modern Databricks writers enable BY DEFAULT, so it is the
+    // likeliest reason a real customer table fails to open. The row
+    // authors an unpartitioned table from even-orderkey `orders`, issues
+    // two OVERLAPPING DV deletes through DeltaWrite.deleteWhere (roaring
+    // bitmaps per PROTOCOL.md §Deletion Vectors, no Delta/RoaringBitmap
+    // library; the second delete must MERGE into each file's existing
+    // vector, not replace it), checkpoints, and reads back. Values are oracle-gated; the booleans pin (a) DVs
+    // actually engaged, (b) scanned-vs-suppressed row accounting
+    // (logical == physical stats rows − DV cardinality), (c) checkpoint
+    // round-trip of the vectors, and (d) zero data files rewritten — the
+    // copy-free property that makes MoR deletes cheap at 100 TB.
+    Q("delta_read_dv",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        val wh = DvQueries.tmpWarehouse("graft_delta_dv")
+        val tbl = s"$wh/orders_dv"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")), tbl)
+        val filesBefore = DeltaRead.snapshot(tbl).files.map(_.path).toSet
+        DeltaWrite.deleteWhere(s, tbl, col("o_orderkey") % 10 === 0)
+        DeltaWrite.deleteWhere(s, tbl, col("o_custkey") % 7 === 0)
+        val snap = DeltaRead.snapshot(tbl)
+        val physRows = snap.files.flatMap(_.stats).map(_.numRecords).sum
+        val dvCard = snap.files.flatMap(_.deletionVector).map(_.cardinality).sum
+        val logical = DeltaRead.read(s, tbl).count()
+        DeltaWrite.checkpoint(s, tbl)
+        val afterCp = DeltaRead.read(s, tbl).count()
+        DeltaRead.read(s, tbl)
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("dv_applied", lit(dvCard > 0L))
+          .withColumn("accounting_ok", lit(logical == physRows - dvCard))
+          .withColumn("checkpoint_ok", lit(afterCp == logical))
+          .withColumn("no_rewrite", lit(snap.files.map(_.path).toSet == filesBefore))
+      },
+      Some("""SELECT cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS dv_applied, TRUE AS accounting_ok,
+             |  TRUE AS checkpoint_ok, TRUE AS no_rewrite
+             |FROM orders
+             |WHERE o_orderkey % 2 = 0
+             |  AND o_orderkey % 10 <> 0
+             |  AND o_custkey % 7 <> 0""".stripMargin)),
+
     // ICEBERG READ INTEROP: the other open table format a real corpus
     // lives in (sources/IcebergRead — versioned metadata JSON + avro
     // manifest parsing per the published Iceberg Table Spec; no Iceberg

@@ -55,16 +55,32 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object DeltaRead {
 
   /** One live data file: log-relative decoded path + its partition values
-    * (raw strings, as the log stores them), size, and the optional
-    * per-file column stats ([[StatsSkip.FileStats]]) a stats-emitting
-    * writer ([[DeltaWrite]] included) recorded in `add.stats`. */
+    * (raw strings, as the log stores them), size, the optional per-file
+    * column stats ([[StatsSkip.FileStats]]) a stats-emitting writer
+    * ([[DeltaWrite]] included) recorded in `add.stats`, and the optional
+    * deletion vector suppressing rows of this file (merge-on-read). */
   final case class AddFile(path: String, partitionValues: Map[String, String],
                            size: Long,
-                           stats: Option[StatsSkip.FileStats] = None)
+                           stats: Option[StatsSkip.FileStats] = None,
+                           deletionVector: Option[DeletionVectors.Descriptor] = None)
+
+  /** The table's protocol action, tracked so checkpoints re-emit what the
+    * log declared (a DV table must keep its reader/writer feature gates). */
+  final case class Protocol(minReaderVersion: Int, minWriterVersion: Int,
+                            readerFeatures: Seq[String] = Nil,
+                            writerFeatures: Seq[String] = Nil)
+
+  /** A `remove` tombstone still present in the log state — the protocol
+    * requires checkpoints to RETAIN these (they fence concurrent readers
+    * and drive VACUUM retention); dropping them at checkpoint time would
+    * silently break both for any engine resuming from our checkpoint. */
+  final case class RemoveFile(path: String, deletionTimestamp: Long)
 
   /** The reconstructed head state of a Delta table. */
   final case class Snapshot(version: Long, schema: StructType,
-                            partitionColumns: Seq[String], files: Seq[AddFile]) {
+                            partitionColumns: Seq[String], files: Seq[AddFile],
+                            tombstones: Seq[RemoveFile] = Nil,
+                            protocol: Protocol = Protocol(1, 2)) {
     def dataSchema: StructType =
       StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
     def partitionSchema: StructType =
@@ -90,19 +106,28 @@ object DeltaRead {
 
     var schema: StructType = null
     var partCols: Seq[String] = Nil
+    var protocol: Protocol = Protocol(1, 2)
     // last action per path wins — LinkedHashMap keeps add order stable
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val tomb = scala.collection.mutable.LinkedHashMap[String, RemoveFile]()
     def applyAction(node: JsonNode): Unit = {
       if (node.has("protocol")) {
         val p = node.get("protocol")
         val rv = p.get("minReaderVersion").asInt
-        // readerFeatures (v3) may demand deletionVectors/columnMapping —
-        // silently ignoring them returns deleted or mis-mapped rows
+        // readerFeatures (v3) may demand columnMapping etc. — silently
+        // ignoring an unknown feature returns wrong rows. deletionVectors
+        // IS implemented (applied in read(); see DeletionVectors).
         val feats = Option(p.get("readerFeatures")).toSeq
           .flatMap(_.elements().asScala.map(_.asText()))
-        val unsupported = feats.filterNot(Set("timestampNtz", "v2Checkpoint"))
+        val unsupported = feats.filterNot(
+          Set("timestampNtz", "v2Checkpoint", "deletionVectors"))
         require(rv <= 2 || unsupported.isEmpty,
           s"unsupported Delta reader features: ${unsupported.mkString(",")}")
+        val wfeats = Option(p.get("writerFeatures")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText()))
+        protocol = Protocol(rv,
+          Option(p.get("minWriterVersion")).map(_.asInt).getOrElse(2),
+          feats, wfeats)
       }
       if (node.has("metaData")) {
         val m = node.get("metaData")
@@ -124,10 +149,23 @@ object DeltaRead {
         val stats = Option(a.get("stats")).filter(_.isTextual).flatMap { s =>
           scala.util.Try(mapper.readTree(s.asText)).toOption.flatMap(parseStats)
         }
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+          DeletionVectors.Descriptor(d.get("storageType").asText,
+            d.get("pathOrInlineDv").asText,
+            Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+            d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+        }
         live(path) = AddFile(path, pv,
-          Option(a.get("size")).map(_.asLong).getOrElse(0L), stats)
+          Option(a.get("size")).map(_.asLong).getOrElse(0L), stats, dv)
+        tomb.remove(path)
       }
-      if (node.has("remove")) live.remove(decodePath(node.get("remove").get("path").asText))
+      if (node.has("remove")) {
+        val r = node.get("remove")
+        val path = decodePath(r.get("path").asText)
+        live.remove(path)
+        tomb(path) = RemoveFile(path,
+          Option(r.get("deletionTimestamp")).map(_.asLong).getOrElse(0L))
+      }
     }
 
     checkpoint.foreach { case (_, actions) => actions.foreach(applyAction) }
@@ -137,21 +175,81 @@ object DeltaRead {
     }
     require(schema != null, s"no metaData action found in $tableDir/_delta_log")
     val version = (commits.lastOption.map(versionOf).toSeq ++ checkpoint.map(_._1)).max
-    Snapshot(version, schema, partCols, live.values.toSeq)
+    Snapshot(version, schema, partCols, live.values.toSeq, tomb.values.toSeq,
+      protocol)
   }
 
   /** Scan the table at its head snapshot, dead files excluded, partition
     * columns restored from the log's partitionValues, partition predicates
-    * pruned at the FileIndex. */
+    * pruned at the FileIndex, deletion vectors applied (rows a DV flags
+    * never reach the caller — merge-on-read, no file rewrite). */
   def read(spark: SparkSession, tableDir: String): DataFrame = {
     val snap = snapshot(tableDir)
-    val idx = new DeltaFileIndex(spark, Paths.get(tableDir), snap)
+    readSnapshot(spark, tableDir, snap)
+      .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
+  private[sources] def readSnapshot(spark: SparkSession, tableDir: String,
+                                    snap: Snapshot): DataFrame =
+    if (snap.files.forall(_.deletionVector.isEmpty)) {
+      val idx = new DeltaFileIndex(spark, Paths.get(tableDir), snap)
+      val rel = HadoopFsRelation(idx, snap.partitionSchema, snap.dataSchema, None,
+        new ParquetFileFormat(), Map.empty[String, String])(spark)
+      spark.baseRelationToDataFrame(rel)
+    } else readWithPositions(spark, tableDir, snap).drop("__fp", "__ri")
+
+  /** The snapshot scan with two extra columns — `__fp` (qualified file
+    * path) and `__ri` (physical row index in that file) — and deletion
+    * vectors already applied. The physical-position channel both the DV
+    * read path and [[DeltaWrite.deleteWhere]] build on. */
+  private[sources] def readWithPositions(spark: SparkSession, tableDir: String,
+                                         snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableRoot = Paths.get(tableDir)
+    val idx = new DeltaFileIndex(spark, tableRoot, snap)
     val rel = HadoopFsRelation(idx, snap.partitionSchema, snap.dataSchema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
-    // restore the log's column order (HadoopFsRelation appends partition
-    // columns after data columns)
-    spark.baseRelationToDataFrame(rel)
-      .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val base = spark.baseRelationToDataFrame(rel)
+      .withColumn("__fp", col("_metadata.file_path"))
+      .withColumn("__ri", col("_metadata.row_index"))
+    if (snap.files.forall(_.deletionVector.isEmpty)) base
+    else applyDeletionVectors(spark, tableRoot, snap, base)
+  }
+
+  /** Qualified scan path of a live file — the exact string
+    * `_metadata.file_path` reports for its rows. */
+  private[sources] def qualifiedPath(spark: SparkSession, tableRoot: Path,
+                                     f: AddFile): String = {
+    val hPath = new org.apache.hadoop.fs.Path(tableRoot.resolve(f.path).toUri)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(hPath).toString
+  }
+
+  /** Suppress DV-flagged rows: an anti-join of (file, physical row index)
+    * against the decoded vectors. The DRIVER only ever holds the
+    * descriptors and serialized bitmaps (O(live files with DVs), the same
+    * state any Delta planner materializes); bitmaps are DECODED ON
+    * EXECUTORS via flatMap, so a billion-row delete never materializes
+    * its index list on the driver. Files without a DV pass through the
+    * anti-join untouched (no matching build rows). Broadcast when total
+    * cardinality is bounded; above that the shuffle anti-join is the
+    * right 100 TB shape and AQE picks the strategy. */
+  private def applyDeletionVectors(spark: SparkSession, tableRoot: Path,
+                                   snap: Snapshot, base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dvs: Seq[(String, Array[Byte])] = snap.files.flatMap(f =>
+      f.deletionVector.map(d =>
+        qualifiedPath(spark, tableRoot, f) -> DeletionVectors.resolve(tableRoot, d)))
+    val totalCard = snap.files.flatMap(_.deletionVector).map(_.cardinality).sum
+    val deleted = spark.createDataset(dvs)
+      .flatMap { case (p, bytes) =>
+        DeletionVectors.deserialize(bytes).iterator.map(ri => (p, ri))
+      }
+      .toDF("__dv_fp", "__dv_ri")
+    val build = if (totalCard <= 10_000_000L) broadcast(deleted) else deleted
+    base.join(build, col("__fp") === col("__dv_fp") &&
+        col("__ri") === col("__dv_ri"), "left_anti")
   }
 
   /** The live files a scan filtered by `partitionCol -> allowed values`

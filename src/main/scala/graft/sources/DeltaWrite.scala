@@ -153,43 +153,207 @@ object DeltaWrite {
     version
   }
 
-  /** Compact the table's current head into a single-part parquet
-    * checkpoint + `_last_checkpoint` pointer — the state
-    * [[DeltaRead.snapshot]] resumes from instead of replaying the full
-    * JSON history. One row per action, per the protocol's checkpoint
-    * schema (struct columns named after the action kinds). */
-  def checkpoint(spark: org.apache.spark.sql.SparkSession, tableDir: String): Long = {
+  /** Merge-on-read DELETE via deletion vectors: rows matching `condition`
+    * are suppressed WITHOUT rewriting any data file — each touched file
+    * gets (remove, re-add-with-DV) actions and one shared DV file holds
+    * all the commit's bitmaps, exactly the protocol's copy-free delete.
+    *
+    * Scale shape: matching (file, row-index) pairs are computed by the
+    * DISTRIBUTED scan (physical positions from `_metadata.row_index`,
+    * existing DVs pre-applied so re-deletes merge instead of resurrect),
+    * grouped per file, UNIONED with the file's existing vector and
+    * serialized to roaring bytes ON EXECUTORS — the driver only collects
+    * one (path, bitmap-bytes, cardinality) row per touched file, bounded
+    * by compressed bitmap size, never by deleted-row count.
+    *
+    * Returns the committed version (head version unchanged if nothing
+    * matched — an empty DELETE is a no-op, not an empty commit). */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                  condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
     val snap = DeltaRead.snapshot(tableDir)
-    val logDir = Paths.get(tableDir, "_delta_log")
-    val actions = scala.collection.mutable.ArrayBuffer[String]()
-    actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    actions += metaDataJson(snap.schema, snap.partitionColumns)
-    snap.files.foreach { f =>
-      val n = mapper.createObjectNode()
-      val add = n.putObject("add")
-      add.put("path", pathEnc(f.path))
-      val pvn = add.putObject("partitionValues")
+    val root = Paths.get(tableDir)
+    val byQualified: Map[String, DeltaRead.AddFile] =
+      snap.files.map(f => DeltaRead.qualifiedPath(spark, root, f) -> f).toMap
+    // existing serialized vectors, captured into the executor closure
+    // (O(files-with-DVs) bitmap blobs — small, same state the planner holds)
+    val existing: Map[String, Array[Byte]] = snap.files.flatMap(f =>
+      f.deletionVector.map(d => DeltaRead.qualifiedPath(spark, root, f) ->
+        DeletionVectors.resolve(root, d))).toMap
+    val touched: Array[(String, Array[Byte], Long)] =
+      DeltaRead.readWithPositions(spark, tableDir, snap)
+        .filter(condition)
+        .groupBy(col("__fp"))
+        .agg(sort_array(collect_set(col("__ri"))).as("idx"))
+        .as[(String, Seq[Long])]
+        .map { case (fp, newIdx) =>
+          val merged = existing.get(fp) match {
+            case Some(old) =>
+              (DeletionVectors.deserialize(old) ++ newIdx).distinct.sorted
+            case None => newIdx.toArray
+          }
+          (fp, DeletionVectors.serialize(merged), merged.length.toLong)
+        }
+        .collect()
+    if (touched.isEmpty) return snap.version
+
+    val uuid = java.util.UUID.randomUUID()
+    val dvRel = s"deletion_vector_$uuid.bin"
+    val offsets = DeletionVectors.writeFile(root.resolve(dvRel),
+      touched.map(_._2).toSeq)
+    val encUuid = DeletionVectors.encodeUuid(uuid)
+
+    val version = snap.version + 1
+    val logDir = root.resolve("_delta_log")
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    // first DV on the table gates the protocol up (readerFeatures is how
+    // a conformant engine knows it MUST apply the vectors)
+    if (!snap.protocol.readerFeatures.contains("deletionVectors")) {
+      val p = mapper.createObjectNode()
+      val pn = p.putObject("protocol")
+      pn.put("minReaderVersion", 3)
+      pn.put("minWriterVersion", 7)
+      val rf = pn.putArray("readerFeatures")
+      (snap.protocol.readerFeatures :+ "deletionVectors").distinct.foreach(rf.add)
+      val wf = pn.putArray("writerFeatures")
+      (snap.protocol.writerFeatures :+ "deletionVectors").distinct.foreach(wf.add)
+      lines += mapper.writeValueAsString(p)
+    }
+    val ci = mapper.createObjectNode()
+    ci.putObject("commitInfo").put("operation", "DELETE")
+      .put("engineInfo", "graft-delta-write")
+    lines += mapper.writeValueAsString(ci)
+    touched.zipWithIndex.foreach { case ((fp, bytes, card), i) =>
+      val f = byQualified.getOrElse(fp,
+        throw new IllegalStateException(s"scan surfaced unknown file $fp"))
+      val rm = mapper.createObjectNode()
+      val rmn = rm.putObject("remove")
+      rmn.put("path", pathEnc(f.path))
+      rmn.put("deletionTimestamp", 0L)
+      rmn.put("dataChange", true)
+      lines += mapper.writeValueAsString(rm)
+      val ad = mapper.createObjectNode()
+      val an = ad.putObject("add")
+      an.put("path", pathEnc(f.path))
+      val pvn = an.putObject("partitionValues")
       f.partitionValues.foreach { case (k, v) =>
         if (v == null) pvn.putNull(k) else pvn.put(k, v)
       }
-      add.put("size", f.size)
-      add.put("modificationTime", 0L)
-      add.put("dataChange", false)
+      an.put("size", f.size)
+      an.put("modificationTime", 0L)
+      an.put("dataChange", true)
+      f.stats.foreach(st => an.put("stats", statsJson(st)))
+      val dvn = an.putObject("deletionVector")
+      dvn.put("storageType", "u")
+      dvn.put("pathOrInlineDv", encUuid)
+      dvn.put("offset", offsets(i))
+      dvn.put("sizeInBytes", bytes.length)
+      dvn.put("cardinality", card)
+      lines += mapper.writeValueAsString(ad)
+    }
+    Files.createDirectories(logDir)
+    val tmp = Files.createTempFile(logDir, s".commit_$version", ".tmp")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, logDir.resolve(f"$version%020d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    version
+  }
+
+  /** The protocol's checkpoint row shape (PROTOCOL.md §Checkpoints —
+    * "Checkpoint Schema"): one row per action, struct columns named after
+    * the action kinds, with the EXACT physical types a conformant engine
+    * expects — `partitionValues` as map<string,string> (NOT a struct keyed
+    * by column names, which schema inference would produce), protocol
+    * versions as int, `stats` a JSON string. Hand-declared so checkpoint
+    * layout never depends on which fields happen to occur in this table. */
+  private val checkpointSchema: StructType = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType,
+        valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType))))))
+
+  /** Compact the table's current head into a single-part parquet
+    * checkpoint + `_last_checkpoint` pointer — the state
+    * [[DeltaRead.snapshot]] resumes from instead of replaying the full
+    * JSON history. Rows are built against [[checkpointSchema]] (never
+    * JSON-inferred: inference turns partitionValues into a per-table
+    * struct, widens protocol ints to long, and can only emit fields the
+    * data happens to exercise — a layout real Delta engines reject).
+    * Remove tombstones are RETAINED per the protocol, so VACUUM/streaming
+    * consumers resuming from our checkpoint still see them. */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, tableDir: String): Long = {
+    import org.apache.spark.sql.Row
+    val snap = DeltaRead.snapshot(tableDir)
+    val logDir = Paths.get(tableDir, "_delta_log")
+    def row(protocol: Row = null, metaData: Row = null, add: Row = null,
+            remove: Row = null): Row = Row(protocol, metaData, add, remove)
+    val rows = scala.collection.mutable.ArrayBuffer[Row]()
+    // re-emit the protocol the log declared: a DV table's feature gates
+    // must survive compaction or a resuming engine under-checks itself
+    val proto = snap.protocol
+    rows += row(protocol = Row(Integer.valueOf(proto.minReaderVersion),
+      Integer.valueOf(proto.minWriterVersion),
+      if (proto.readerFeatures.isEmpty) null else proto.readerFeatures,
+      if (proto.writerFeatures.isEmpty) null else proto.writerFeatures))
+    rows += row(metaData = Row("graft-delta-write", null, null,
+      Row("parquet", Map.empty[String, String]), snap.schema.json,
+      snap.partitionColumns, Map.empty[String, String],
+      java.lang.Long.valueOf(0L)))
+    snap.files.foreach { f =>
       // stats survive compaction — skipping must not degrade after a
       // checkpoint truncates the JSON history
-      f.stats.foreach(st => add.put("stats", statsJson(st)))
-      actions += mapper.writeValueAsString(n)
+      rows += row(add = Row(pathEnc(f.path), f.partitionValues,
+        java.lang.Long.valueOf(f.size), java.lang.Long.valueOf(0L),
+        java.lang.Boolean.FALSE, f.stats.map(statsJson).orNull,
+        f.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Integer.valueOf).orNull,
+          Integer.valueOf(d.sizeInBytes),
+          java.lang.Long.valueOf(d.cardinality))).orNull))
     }
-    import spark.implicits._
+    snap.tombstones.foreach { t =>
+      rows += row(remove = Row(pathEnc(t.path),
+        java.lang.Long.valueOf(t.deletionTimestamp), java.lang.Boolean.TRUE))
+    }
     val tmp = Files.createTempDirectory("graft_delta_cp").toString
-    spark.read.json(actions.toSeq.toDS()).coalesce(1)
+    spark.createDataFrame(rows.toSeq.asJava, checkpointSchema).coalesce(1)
       .write.mode("overwrite").parquet(tmp)
     val part = listParquet(Paths.get(tmp)).head
     Files.move(part, logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(Paths.get(tmp))
     Files.writeString(logDir.resolve("_last_checkpoint"),
-      s"""{"version":${snap.version},"size":${actions.size}}""")
+      s"""{"version":${snap.version},"size":${rows.size}}""")
     snap.version
   }
 

@@ -93,6 +93,57 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaRead.read(spark, t).count() == 6)
   }
 
+  test("checkpoint parquet carries the protocol's fixed physical schema + tombstones") {
+    import org.apache.spark.sql.types._
+    val t = tbl()
+    DeltaWrite.write(base, t, Seq("p"))
+    // overwrite partition 'a' → two remove tombstones in the log state
+    DeltaWrite.write(Seq((10L, "a", "new")).toDF("id", "p", "v"), t,
+      mode = "overwritePartitions")
+    DeltaWrite.checkpoint(spark, t)
+    val cp = spark.read.parquet(
+      Paths.get(t, "_delta_log", f"${1L}%020d.checkpoint.parquet").toString)
+    val sch = cp.schema
+    // partitionValues MUST be map<string,string> (inference would emit a
+    // struct keyed by this table's column names — real engines reject it)
+    val addT = sch("add").dataType.asInstanceOf[StructType]
+    assert(addT("partitionValues").dataType ==
+      MapType(StringType, StringType, valueContainsNull = true))
+    assert(addT("stats").dataType == StringType)
+    val protoT = sch("protocol").dataType.asInstanceOf[StructType]
+    assert(protoT("minReaderVersion").dataType == IntegerType)
+    assert(protoT("minWriterVersion").dataType == IntegerType)
+    val metaT = sch("metaData").dataType.asInstanceOf[StructType]
+    assert(metaT("partitionColumns").dataType == ArrayType(StringType))
+    assert(metaT("configuration").dataType == MapType(StringType, StringType))
+    // remove tombstones are retained through compaction
+    val removed = cp.filter($"remove".isNotNull).select($"remove.path")
+      .as[String].collect()
+    assert(removed.length == 2, s"expected 2 tombstones, got ${removed.toSeq}")
+    assert(removed.forall(_.startsWith("p=a")))
+    // and the post-checkpoint snapshot still resumes correctly
+    val snap = DeltaRead.snapshot(t)
+    assert(snap.tombstones.map(_.path).toSet == removed.toSet)
+    assert(DeltaRead.read(spark, t).count() == 3)
+  }
+
+  test("re-adding a removed path clears its tombstone") {
+    val t = tbl()
+    DeltaWrite.write(base, t, Seq("p"))
+    DeltaWrite.write(Seq((10L, "a", "n")).toDF("id", "p", "v"), t,
+      mode = "overwritePartitions")
+    assert(DeltaRead.snapshot(t).tombstones.nonEmpty)
+    // full overwrite re-adds fresh files and tombstones the rest; a
+    // subsequent checkpoint+read stays consistent
+    DeltaWrite.write(base, t, mode = "overwrite")
+    DeltaWrite.checkpoint(spark, t)
+    assert(DeltaRead.read(spark, t).count() == 4)
+    val snap = DeltaRead.snapshot(t)
+    assert(snap.files.map(_.path).toSet.intersect(
+      snap.tombstones.map(_.path).toSet).isEmpty,
+      "a path must never be both live and tombstoned")
+  }
+
   test("distributed write: multi-partition input yields multiple files per hive partition") {
     val t = tbl()
     val df = spark.range(0, 1000, 1, 8)
