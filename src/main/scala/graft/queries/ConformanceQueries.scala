@@ -618,6 +618,103 @@ object ConformanceQueries {
              |  AND o_orderkey % 10 <> 0
              |  AND o_custkey % 7 <> 0""".stripMargin)),
 
+    // DELTA MULTI-PART CHECKPOINT: large production tables checkpoint in
+    // parts (`%020d.checkpoint.%010d.%010d.parquet` + a `parts` field in
+    // `_last_checkpoint`) so no single file bottlenecks the log. The row
+    // writes a 2-commit table, compacts it into a 3-part checkpoint,
+    // DELETES the JSON commits so the snapshot can only come from the
+    // parts, and reads back — values oracle-gated, booleans pin the
+    // naming scheme on disk and version/partitioning resume.
+    Q("delta_multipart_checkpoint",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        import java.nio.file.{Files, Paths}
+        val wh = DvQueries.tmpWarehouse("graft_delta_mp")
+        val tbl = s"$wh/orders_mp"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl,
+          Seq("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW")), tbl)
+        DeltaWrite.checkpoint(s, tbl, parts = 3)
+        val logDir = Paths.get(tbl, "_delta_log")
+        val partsPresent = (1 to 3).forall(p => Files.exists(
+          logDir.resolve(f"${1L}%020d.checkpoint.$p%010d.${3}%010d.parquet")))
+        // force resume-from-parts: the replayed JSON history is gone
+        Seq(0L, 1L).foreach(v =>
+          Files.deleteIfExists(logDir.resolve(f"$v%020d.json")))
+        val snap = DeltaRead.snapshot(tbl)
+        DeltaRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("parts_present", lit(partsPresent))
+          .withColumn("resume_ok",
+            lit(snap.version == 1L && snap.partitionColumns == Seq("o_orderpriority")))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS parts_present, TRUE AS resume_ok
+             |FROM orders
+             |WHERE o_orderkey % 2 = 0
+             |   OR o_orderpriority IN ('1-URGENT', '5-LOW')
+             |GROUP BY 1""".stripMargin)),
+
+    // ICEBERG V2 ROW-LEVEL DELETES: merge-on-read tables are routine in
+    // production lakes (CDC pipelines write equality deletes; compaction
+    // writes position deletes). 4-snapshot history over `customer`:
+    // s1 adds every customer (one sorted file per segment, so physical
+    // positions are pinned), s2 EQUALITY-deletes c_custkey % 5 = 0,
+    // s3 re-appends the % 10 = 0 subset — the spec's sequence rule says
+    // the s2 delete (seq 2) must NOT touch these seq-3 rows — and s4
+    // POSITION-deletes row 0 of the s1 AUTOMOBILE file (its minimum
+    // custkey). The oracle recomputes the visible set from `customer`
+    // alone, so mis-sequenced equality deletes, resurrection of carried
+    // deletes, or off-by-one positions all go red on values.
+    Q("iceberg_read_deletes",
+      (s, dir) => {
+        import graft.sources.{IcebergFixture, IcebergRead}
+        val wh = DvQueries.tmpWarehouse("graft_ice_deletes")
+        val tbl = s"$wh/customer_mor"
+        val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val files = IcebergFixture.snapshot(s, tbl, c.schema, Seq("c_mktsegment"), 1L,
+          segs.map(g => Map("c_mktsegment" -> g) ->
+            c.filter(col("c_mktsegment") === g).orderBy("c_custkey")))
+        IcebergFixture.equalityDeleteSnapshot(s, tbl, 2L, Seq("c_custkey"),
+          c.filter(col("c_custkey") % 5 === 0).select("c_custkey"))
+        val re = c.filter(col("c_custkey") % 10 === 0)
+        IcebergFixture.snapshot(s, tbl, c.schema, Seq("c_mktsegment"), 3L,
+          segs.map(g => Map("c_mktsegment" -> g) ->
+            re.filter(col("c_mktsegment") === g).orderBy("c_custkey")))
+        IcebergFixture.positionDeleteSnapshot(s, tbl, 4L, Seq(files.head -> 0L))
+        val snap = IcebergRead.snapshot(tbl)
+        IcebergRead.read(s, tbl)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_cents"))
+          .withColumn("delete_files_live", lit(snap.deletes.size))
+          .withColumn("kinds_ok", lit(snap.deletes.count(_.isEquality) == 1 &&
+            snap.deletes.count(!_.isEquality) == 1))
+      },
+      Some("""WITH mk AS (SELECT min(c_custkey) AS m FROM customer
+             |            WHERE c_mktsegment = 'AUTOMOBILE'),
+             |vis AS (
+             |  SELECT * FROM customer
+             |  WHERE c_custkey % 5 <> 0 AND c_custkey <> (SELECT m FROM mk)
+             |  UNION ALL
+             |  SELECT * FROM customer WHERE c_custkey % 10 = 0)
+             |SELECT c_mktsegment AS segment,
+             |  cast(count(*) AS BIGINT) AS n_customers,
+             |  cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS acctbal_cents,
+             |  2 AS delete_files_live, TRUE AS kinds_ok
+             |FROM vis GROUP BY 1""".stripMargin)),
+
     // ICEBERG READ INTEROP: the other open table format a real corpus
     // lives in (sources/IcebergRead — versioned metadata JSON + avro
     // manifest parsing per the published Iceberg Table Spec; no Iceberg

@@ -275,25 +275,30 @@ object DeltaRead {
   private def versionOf(p: Path): Long =
     p.getFileName.toString.stripSuffix(".json").toLong
 
-  /** `_last_checkpoint` → (version, checkpoint actions). Single-part only;
-    * a multi-part checkpoint (`parts` field) fails loudly. The checkpoint
-    * parquet holds one action per row in struct columns. */
+  /** `_last_checkpoint` → (version, checkpoint actions). Single-part
+    * (`%020d.checkpoint.parquet`) and multi-part (`parts` field,
+    * `%020d.checkpoint.%010d.%010d.parquet` — large production tables
+    * checkpoint this way) are both read; every named part must exist.
+    * The checkpoint parquet holds one action per row in struct columns. */
   private def lastCheckpoint(logDir: Path): Option[(Long, Seq[JsonNode])] = {
     val ptr = logDir.resolve("_last_checkpoint")
     if (!Files.exists(ptr)) return None
     val j = mapper.readTree(Files.readString(ptr))
-    require(!j.has("parts") || j.get("parts").asInt <= 1,
-      "multi-part Delta checkpoints are not supported")
     val v = j.get("version").asLong
-    val file = logDir.resolve(f"$v%020d.checkpoint.parquet")
-    require(Files.exists(file), s"checkpoint $file named by _last_checkpoint is missing")
+    val parts = Option(j.get("parts")).map(_.asInt).getOrElse(1)
+    val files =
+      if (parts <= 1) Seq(logDir.resolve(f"$v%020d.checkpoint.parquet"))
+      else (1 to parts).map(p =>
+        logDir.resolve(f"$v%020d.checkpoint.$p%010d.$parts%010d.parquet"))
+    files.foreach(f => require(Files.exists(f),
+      s"checkpoint part $f named by _last_checkpoint is missing"))
     // driver-side collect, bounded by checkpoint size (one row per live
     // file + a handful of metadata rows) — NOT by table data. Inherent to
     // the FileIndex seam: the planner must hold live-file metadata to
     // schedule tasks (Delta's TahoeFileIndex materializes the same state).
     // json-ified so checkpoint and commit replay share one action decoder.
     val spark = SparkSession.active
-    val rows = spark.read.parquet(file.toString).toJSON.collect()
+    val rows = spark.read.parquet(files.map(_.toString): _*).toJSON.collect()
     Some((v, rows.toSeq.map(mapper.readTree)))
   }
 

@@ -311,8 +311,16 @@ object DeltaWrite {
     * struct, widens protocol ints to long, and can only emit fields the
     * data happens to exercise — a layout real Delta engines reject).
     * Remove tombstones are RETAINED per the protocol, so VACUUM/streaming
-    * consumers resuming from our checkpoint still see them. */
-  def checkpoint(spark: org.apache.spark.sql.SparkSession, tableDir: String): Long = {
+    * consumers resuming from our checkpoint still see them.
+    *
+    * `parts > 1` writes a multi-part checkpoint
+    * (`%020d.checkpoint.%010d.%010d.parquet` + a `parts` field in
+    * `_last_checkpoint`) — the layout large production tables use so no
+    * single checkpoint file becomes a write/read bottleneck; actions are
+    * split round-robin, which is legal because checkpoint rows are
+    * unordered state (one action per path). */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                 parts: Int = 1): Long = {
     import org.apache.spark.sql.Row
     val snap = DeltaRead.snapshot(tableDir)
     val logDir = Paths.get(tableDir, "_delta_log")
@@ -345,15 +353,27 @@ object DeltaWrite {
       rows += row(remove = Row(pathEnc(t.path),
         java.lang.Long.valueOf(t.deletionTimestamp), java.lang.Boolean.TRUE))
     }
-    val tmp = Files.createTempDirectory("graft_delta_cp").toString
-    spark.createDataFrame(rows.toSeq.asJava, checkpointSchema).coalesce(1)
-      .write.mode("overwrite").parquet(tmp)
-    val part = listParquet(Paths.get(tmp)).head
-    Files.move(part, logDir.resolve(f"${snap.version}%020d.checkpoint.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    deleteRecursively(Paths.get(tmp))
+    require(parts >= 1, s"parts must be >= 1, got $parts")
+    val groups: Seq[Seq[Row]] =
+      if (parts == 1) Seq(rows.toSeq)
+      else (0 until parts).map(p => rows.toSeq.zipWithIndex.collect {
+        case (r, i) if i % parts == p => r
+      })
+    groups.zipWithIndex.foreach { case (g, i) =>
+      val target =
+        if (parts == 1) logDir.resolve(f"${snap.version}%020d.checkpoint.parquet")
+        else logDir.resolve(
+          f"${snap.version}%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet")
+      val tmp = Files.createTempDirectory("graft_delta_cp").toString
+      spark.createDataFrame(g.asJava, checkpointSchema).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      Files.move(listParquet(Paths.get(tmp)).head, target,
+        StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(Paths.get(tmp))
+    }
+    val partsField = if (parts == 1) "" else s""","parts":$parts"""
     Files.writeString(logDir.resolve("_last_checkpoint"),
-      s"""{"version":${snap.version},"size":${rows.size}}""")
+      s"""{"version":${snap.version},"size":${rows.size}$partsField}""")
     snap.version
   }
 

@@ -48,13 +48,15 @@ object IcebergFixture {
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
          |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
          |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
          |  {"name":"content","type":"int","default":0,"field-id":134},
          |  {"name":"file_path","type":"string","field-id":100},
          |  {"name":"file_format","type":"string","field-id":101},
          |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
          |  {"name":"record_count","type":"long","field-id":103},
-         |  {"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}""".stripMargin)
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}]}}]}""".stripMargin)
   }
 
   private val manifestListSchema: Schema = new Schema.Parser().parse(
@@ -63,6 +65,7 @@ object IcebergFixture {
       |{"name":"manifest_length","type":"long","field-id":501},
       |{"name":"partition_spec_id","type":"int","field-id":502},
       |{"name":"content","type":"int","default":0,"field-id":517},
+      |{"name":"sequence_number","type":"long","default":0,"field-id":515},
       |{"name":"added_snapshot_id","type":"long","field-id":503}]}""".stripMargin)
 
   private def writeAvro(file: java.nio.file.Path, schema: Schema,
@@ -103,14 +106,72 @@ object IcebergFixture {
     written.map(_._1)
   }
 
+  private def writeOneParquet(df: DataFrame,
+                              target: java.nio.file.Path): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempDirectory("graft_ice_del").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Commit a v2 POSITION-delete snapshot: `deletes` are (absolute
+    * data-file path, 0-based physical row position) pairs, written as the
+    * spec's `file_path`/`pos` parquet and registered through a content=1
+    * delete manifest. */
+  def positionDeleteSnapshot(spark: SparkSession, tableDir: String,
+                             snapshotId: Long,
+                             deletes: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    val prev = IcebergRead.snapshot(tableDir)
+    val target = Paths.get(tableDir)
+      .resolve(f"data/delete-$snapshotId%05d-pos.parquet")
+    writeOneParquet(deletes.toDF("file_path", "pos"), target)
+    commitSnapshot(tableDir, prev.schema, prev.identityPartitionCols,
+      snapshotId, Nil, Set.empty,
+      Seq(DeleteSpec(target.toString, isEquality = false, Nil,
+        deletes.size.toLong, Files.size(target))))
+  }
+
+  /** Commit a v2 EQUALITY-delete snapshot: rows whose `eqCols` values
+    * match any row of `rows` are suppressed in data files with sequence
+    * number < this snapshot's (the spec's MoR rule — files added in the
+    * same or a later snapshot are untouched). */
+  def equalityDeleteSnapshot(spark: SparkSession, tableDir: String,
+                             snapshotId: Long, eqCols: Seq[String],
+                             rows: DataFrame): Unit = {
+    val prev = IcebergRead.snapshot(tableDir)
+    val ids = eqCols.map(c => prev.schema.fieldIndex(c) + 1)
+    val target = Paths.get(tableDir)
+      .resolve(f"data/delete-$snapshotId%05d-eq.parquet")
+    val proj = rows.select(eqCols.map(org.apache.spark.sql.functions.col): _*)
+    val n = proj.count()
+    writeOneParquet(proj, target)
+    commitSnapshot(tableDir, prev.schema, prev.identityPartitionCols,
+      snapshotId, Nil, Set.empty,
+      Seq(DeleteSpec(target.toString, isEquality = true, ids, n,
+        Files.size(target))))
+  }
+
+  /** A v2 delete file to register: absolute path, kind, equality field
+    * ids (equality deletes only), record count, size. */
+  private[sources] final case class DeleteSpec(path: String, isEquality: Boolean,
+      equalityIds: Seq[Int], recordCount: Long, sizeBytes: Long)
+
   /** Metadata-side commit shared with [[IcebergWrite]]: carried-forward
-    * manifest entries + this snapshot's adds/removes, manifest list, and
-    * the next versioned metadata JSON. `added` rows are
-    * (absolutePath, partitionValues, recordCount, sizeBytes). */
+    * manifest entries + this snapshot's adds/removes (+ optional v2
+    * delete files in a content=1 manifest), manifest list, and the next
+    * versioned metadata JSON. `added` rows are
+    * (absolutePath, partitionValues, recordCount, sizeBytes). Sequence
+    * numbers follow the spec: this snapshot's manifests carry
+    * sequence_number = snapshotId; ADDED entries inherit it, carried
+    * (EXISTING) entries keep their ORIGINAL sequence explicitly. */
   private[sources] def commitSnapshot(tableDir: String, schema: StructType,
       partCols: Seq[String], snapshotId: Long,
       added0: Seq[(String, Map[String, String], Long, Long)],
-      removePaths: Set[String]): Unit = {
+      removePaths: Set[String],
+      deleteAdds: Seq[DeleteSpec] = Nil): Unit = {
     val root = Paths.get(tableDir)
     val metaDir = root.resolve("metadata")
     Files.createDirectories(metaDir)
@@ -128,18 +189,20 @@ object IcebergFixture {
     val dfSchema = mSchema.getField("data_file").schema()
     val pSchema = dfSchema.getField("partition").schema()
     def entry(status: Int, path: String, pv: Map[String, String], n: Long,
-              size: Long): GenericRecord = {
+              size: Long, seq: Option[Long] = None, content: Int = 0,
+              eqIds: Seq[Int] = Nil): GenericRecord = {
       val e = new GenericData.Record(mSchema)
       e.put("status", status)
       e.put("snapshot_id", snapshotId)
+      seq.foreach(s => e.put("sequence_number", java.lang.Long.valueOf(s)))
       val d = new GenericData.Record(dfSchema)
-      d.put("content", 0)
+      d.put("content", content)
       d.put("file_path", path)
       d.put("file_format", "PARQUET")
       val p = new GenericData.Record(pSchema)
       partCols.foreach { c =>
-        val v = pv(c)
-        p.put(c, schema(c).dataType match {
+        val v = pv.get(c).orNull
+        if (v != null) p.put(c, schema(c).dataType match {
           case LongType => java.lang.Long.valueOf(v)
           case IntegerType => Integer.valueOf(v)
           case _ => v
@@ -148,6 +211,11 @@ object IcebergFixture {
       d.put("partition", p)
       d.put("record_count", n)
       d.put("file_size_in_bytes", size)
+      if (eqIds.nonEmpty) {
+        val l = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => l.add(Integer.valueOf(i)))
+        d.put("equality_ids", l)
+      }
       e.put("data_file", d)
       e
     }
@@ -156,7 +224,7 @@ object IcebergFixture {
     // here would make every 2+-snapshot table miscount in real engines)
     val carried = prev.toSeq.flatMap(_.files).map { f =>
       entry(if (removePaths.contains(f.path)) 2 else 0, f.path, f.partitionValues,
-        f.recordCount, f.size)
+        f.recordCount, f.size, seq = Some(f.seq))
     }
     val added = written.map { case (p, pv, n, size) =>
       entry(1, p, pv, n, size)
@@ -164,14 +232,35 @@ object IcebergFixture {
     val manifestPath = metaDir.resolve(f"m-$snapshotId%05d.avro")
     writeAvro(manifestPath, mSchema, carried ++ added)
 
-    val ml = new GenericData.Record(manifestListSchema)
-    ml.put("manifest_path", manifestPath.toString)
-    ml.put("manifest_length", Files.size(manifestPath))
-    ml.put("partition_spec_id", 0)
-    ml.put("content", 0)
-    ml.put("added_snapshot_id", snapshotId)
+    def mlEntry(path: java.nio.file.Path, content: Int): GenericRecord = {
+      val ml = new GenericData.Record(manifestListSchema)
+      ml.put("manifest_path", path.toString)
+      ml.put("manifest_length", Files.size(path))
+      ml.put("partition_spec_id", 0)
+      ml.put("content", content)
+      ml.put("sequence_number", snapshotId)
+      ml.put("added_snapshot_id", snapshotId)
+      ml
+    }
+    val mlEntries = scala.collection.mutable.ArrayBuffer(mlEntry(manifestPath, 0))
+
+    // ---- delete manifest: carried delete files + this snapshot's -----
+    val carriedDels = prev.toSeq.flatMap(_.deletes).map { d =>
+      entry(0, d.path, Map.empty, d.recordCount, 0L, seq = Some(d.seq),
+        content = if (d.isEquality) 2 else 1, eqIds = d.equalityIds)
+    }
+    val addedDels = deleteAdds.map { d =>
+      entry(1, d.path, Map.empty, d.recordCount, d.sizeBytes,
+        content = if (d.isEquality) 2 else 1, eqIds = d.equalityIds)
+    }
+    if ((carriedDels ++ addedDels).nonEmpty) {
+      val delManifestPath = metaDir.resolve(f"md-$snapshotId%05d.avro")
+      writeAvro(delManifestPath, mSchema, carriedDels ++ addedDels)
+      mlEntries += mlEntry(delManifestPath, 1)
+    }
+
     val mlPath = metaDir.resolve(f"snap-$snapshotId%05d.avro")
-    writeAvro(mlPath, manifestListSchema, Seq(ml))
+    writeAvro(mlPath, manifestListSchema, mlEntries.toSeq)
 
     // ---- versioned table metadata ------------------------------------
     val meta = mapper.createObjectNode()

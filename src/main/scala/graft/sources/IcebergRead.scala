@@ -40,21 +40,38 @@ import org.apache.spark.sql.types._
   * source columns — same arithmetic as the Delta index, different filter
   * channel, both through [[PartitionPrune]].
   *
+  * Format v2 row-level deletes (merge-on-read) are APPLIED, not rejected:
+  * delete manifests (content=1) contribute position-delete files
+  * (file_path + pos rows naming suppressed physical positions) and
+  * equality-delete files (rows whose `equality_ids` columns match are
+  * gone). Sequence numbers follow the spec's MoR rules — an equality
+  * delete at sequence S applies only to data files with sequence < S
+  * (position deletes bind to exact file paths, which pins their scope);
+  * entry-level sequence numbers override the manifest's inherited one.
+  *
   * Scope (declared): reads the current snapshot; format v1/v2; parquet
-  * data files; identity partition transforms (bucket/truncate/date
-  * transforms prune nothing — correct, just unpruned — since transformed
-  * values can't be compared to source-column literals without the
-  * transform itself); delete manifests / delete data files (v2 row-level
-  * deletes) and non-primitive schema fields are rejected loudly rather
-  * than read wrongly. */
+  * data and delete files; identity partition transforms (bucket/
+  * truncate/date transforms prune nothing — correct, just unpruned —
+  * since transformed values can't be compared to source-column literals
+  * without the transform itself); non-primitive schema fields and
+  * mixed equality_ids sets are rejected loudly rather than read
+  * wrongly. */
 object IcebergRead {
 
   final case class DataFile(path: String, partitionValues: Map[String, String],
-                            size: Long, recordCount: Long)
+                            size: Long, recordCount: Long, seq: Long = 0L)
+
+  /** A live v2 delete file: position (`file_path`+`pos` parquet rows) or
+    * equality (rows over the `equalityIds` columns). */
+  final case class DeleteFile(path: String, isEquality: Boolean,
+                              equalityIds: Seq[Int], seq: Long,
+                              recordCount: Long)
 
   final case class Snapshot(snapshotId: Long, schema: StructType,
                             identityPartitionCols: Seq[String],
-                            files: Seq[DataFile]) {
+                            files: Seq[DataFile],
+                            deletes: Seq[DeleteFile] = Nil,
+                            fieldIdToName: Map[Int, String] = Map.empty) {
     def partitionTupleSchema: StructType =
       StructType(identityPartitionCols.map(c => schema.fields(schema.fieldIndex(c))))
   }
@@ -103,19 +120,85 @@ object IcebergRead {
       .getOrElse(throw new IllegalArgumentException(s"current-snapshot-id $curId not in snapshots"))
     val manifestList = resolve(tableDir, snapNode.get("manifest-list").asText)
 
-    val files = readManifestList(tableDir, manifestList, identityCols)
-    Snapshot(curId, schema, identityCols, files)
+    val (files, deletes) = readManifestList(tableDir, manifestList)
+    Snapshot(curId, schema, identityCols, files, deletes, idToName)
   }
 
   /** Scan the current snapshot, dead files excluded, identity-partition
-    * predicates pruned at the FileIndex. */
+    * predicates pruned at the FileIndex, v2 row-level deletes applied. */
   def read(spark: SparkSession, tableDir: String): DataFrame = {
     val snap = snapshot(tableDir)
     val idx = new IcebergFileIndex(spark, snap)
     // data files CONTAIN partition columns → no Spark-side partition schema
     val rel = HadoopFsRelation(idx, new StructType(), snap.schema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
-    spark.baseRelationToDataFrame(rel)
+    val base = spark.baseRelationToDataFrame(rel)
+    if (snap.deletes.isEmpty) base
+    else applyDeletes(spark, snap, base)
+      .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
+  /** The qualified scan path `_metadata.file_path` reports for `abs`. */
+  private def qualifiedPath(spark: SparkSession, abs: String): String = {
+    val hPath = new org.apache.hadoop.fs.Path(Paths.get(abs).toUri)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(hPath).toString
+  }
+
+  /** Merge-on-read: suppress rows named by position deletes (anti-join on
+    * (file, physical row index)) and by equality deletes (null-safe
+    * anti-join on the equality columns, gated on data-file sequence <
+    * delete sequence). The driver holds only file METADATA; the delete
+    * parquet content streams through distributed joins — broadcast when
+    * the manifests' record counts say the build side is small, shuffle
+    * otherwise (the correct 100 TB shape either way). */
+  private def applyDeletes(spark: SparkSession, snap: Snapshot,
+                           base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val BroadcastRows = 10_000_000L
+    val qual: Map[String, String] =
+      snap.files.map(f => f.path -> qualifiedPath(spark, f.path)).toMap
+    var cur = base
+      .withColumn("__fp", col("_metadata.file_path"))
+      .withColumn("__ri", col("_metadata.row_index"))
+
+    val pos = snap.deletes.filterNot(_.isEquality)
+    if (pos.nonEmpty) {
+      // manifest paths are absolute; translate to the scan's qualified
+      // form through a tiny broadcast lookup (O(live files))
+      val lk = qual.toSeq.toDF("__abs", "__qual")
+      val pd = spark.read.parquet(pos.map(_.path): _*)
+        .select(col("file_path"), col("pos"))
+        .join(broadcast(lk), col("file_path") === col("__abs"))
+        .select(col("__qual").as("__del_fp"), col("pos").as("__del_ri"))
+      val build = if (pos.map(_.recordCount).sum <= BroadcastRows) broadcast(pd) else pd
+      cur = cur.join(build,
+        col("__fp") === col("__del_fp") && col("__ri") === col("__del_ri"),
+        "left_anti")
+    }
+
+    val eqs = snap.deletes.filter(_.isEquality)
+    if (eqs.nonEmpty) {
+      val idSets = eqs.map(_.equalityIds).distinct
+      require(idSets.size == 1,
+        s"multiple distinct equality_ids sets are not supported: $idSets")
+      val names = idSets.head.map(id => snap.fieldIdToName.getOrElse(id,
+        throw new IllegalArgumentException(s"equality_ids field $id not in schema")))
+      val ed = eqs.map(f => spark.read.parquet(f.path)
+          .select(names.map(n => col(n).as(s"__del_$n")): _*)
+          .withColumn("__del_seq", lit(f.seq)))
+        .reduce(_ unionByName _)
+      val seqDf = snap.files.map(f => (qual(f.path), f.seq))
+        .toDF("__sq_fp", "__data_seq")
+      val cond = names.map(n => col(n) <=> col(s"__del_$n")).reduce(_ && _) &&
+        col("__data_seq") < col("__del_seq")
+      val build = if (eqs.map(_.recordCount).sum <= BroadcastRows) broadcast(ed) else ed
+      cur = cur.join(broadcast(seqDf), col("__fp") === col("__sq_fp"))
+        .join(build, cond, "left_anti")
+        .drop("__sq_fp", "__data_seq")
+    }
+    cur.drop("__fp", "__ri")
   }
 
   /** Files a scan filtered to `col -> allowed values` must touch — the
@@ -181,38 +264,57 @@ object IcebergRead {
     }
   }
 
-  private def readManifestList(tableDir: String, manifestList: Path,
-                               identityCols: Seq[String]): Seq[DataFile] = {
+  private def readManifestList(tableDir: String,
+                               manifestList: Path): (Seq[DataFile], Seq[DeleteFile]) = {
     val live = scala.collection.mutable.ArrayBuffer[DataFile]()
+    val dels = scala.collection.mutable.ArrayBuffer[DeleteFile]()
     avroRows(manifestList).foreach { m =>
       val content = intField(m, "content").getOrElse(0)
-      require(content == 0,
-        s"delete manifests (content=$content) are not supported — " +
-          "row-level deletes would be silently ignored")
+      require(content == 0 || content == 1,
+        s"unknown manifest content=$content")
+      val mSeq = longField(m, "sequence_number").getOrElse(0L)
       val mPath = resolve(tableDir, m.get("manifest_path").toString)
       avroRows(mPath).foreach { e =>
         val status = intField(e, "status").getOrElse(0)
         if (status != 2) {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
+          // spec: ADDED entries inherit the manifest's sequence number,
+          // EXISTING (carried) entries carry their original explicitly
+          val eSeq = longField(e, "sequence_number").getOrElse(mSeq)
           val fContent = intField(df, "content").getOrElse(0)
-          require(fContent == 0,
-            s"delete files (data_file.content=$fContent) are not supported")
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("parquet"), s"unsupported file_format $fmt")
-          val pv = Option(df.get("partition")) match {
-            case Some(rec: GenericRecord) =>
-              rec.getSchema.getFields.asScala.map { f =>
-                f.name -> Option(rec.get(f.name)).map(_.toString).orNull
-              }.toMap
-            case _ => Map.empty[String, String]
+          val path = resolve(tableDir, df.get("file_path").toString).toString
+          val size = longField(df, "file_size_in_bytes").getOrElse(0L)
+          val rc = longField(df, "record_count").getOrElse(0L)
+          if (content == 0) {
+            require(fContent == 0,
+              s"data manifest entry with delete content=$fContent")
+            val pv = Option(df.get("partition")) match {
+              case Some(rec: GenericRecord) =>
+                rec.getSchema.getFields.asScala.map { f =>
+                  f.name -> Option(rec.get(f.name)).map(_.toString).orNull
+                }.toMap
+              case _ => Map.empty[String, String]
+            }
+            live += DataFile(path, pv, size, rc, eSeq)
+          } else {
+            require(fContent == 1 || fContent == 2,
+              s"delete manifest entry with content=$fContent (want 1=position, 2=equality)")
+            val eqIds = Option(df.getSchema.getField("equality_ids"))
+              .flatMap(_ => Option(df.get("equality_ids"))).toSeq.flatMap {
+                case l: java.util.List[_] =>
+                  l.asScala.map(_.asInstanceOf[Number].intValue).toSeq
+                case _ => Nil
+              }
+            require(fContent == 1 || eqIds.nonEmpty,
+              s"equality delete file $path has no equality_ids")
+            dels += DeleteFile(path, fContent == 2, eqIds, eSeq, rc)
           }
-          live += DataFile(resolve(tableDir, df.get("file_path").toString).toString,
-            pv, longField(df, "file_size_in_bytes").getOrElse(0L),
-            longField(df, "record_count").getOrElse(0L))
         }
       }
     }
-    live.toSeq
+    (live.toSeq, dels.toSeq)
   }
 
   private def avroRows(p: Path): Seq[GenericRecord] = {

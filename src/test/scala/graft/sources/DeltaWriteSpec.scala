@@ -127,6 +127,31 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaRead.read(spark, t).count() == 3)
   }
 
+  test("multi-part checkpoint: parts written per the naming scheme, resume identical") {
+    val t = tbl()
+    DeltaWrite.write(base, t, Seq("p"))
+    DeltaWrite.write(Seq((5L, "c", "z")).toDF("id", "p", "v"), t)
+    val beforeRows = DeltaRead.read(spark, t)
+      .as[(Long, String, String)].collect().toSet
+    DeltaWrite.checkpoint(spark, t, parts = 3)
+    val logDir = Paths.get(t, "_delta_log")
+    (1 to 3).foreach(p => assert(Files.exists(
+      logDir.resolve(f"${1L}%020d.checkpoint.$p%010d.${3}%010d.parquet"))))
+    assert(Files.readString(logDir.resolve("_last_checkpoint"))
+      .contains("\"parts\":3"))
+    // truncate the JSON history: the snapshot must resume from parts alone
+    Seq(0L, 1L).foreach(v =>
+      Files.deleteIfExists(logDir.resolve(f"$v%020d.json")))
+    val snap = DeltaRead.snapshot(t)
+    assert(snap.version == 1L && snap.partitionColumns == Seq("p"))
+    assert(DeltaRead.read(spark, t)
+      .as[(Long, String, String)].collect().toSet == beforeRows)
+    // a missing part fails loudly instead of silently under-reading
+    Files.delete(logDir.resolve(f"${1L}%020d.checkpoint.${2}%010d.${3}%010d.parquet"))
+    val e = intercept[IllegalArgumentException] { DeltaRead.snapshot(t) }
+    assert(e.getMessage.contains("part"))
+  }
+
   test("re-adding a removed path clears its tombstone") {
     val t = tbl()
     DeltaWrite.write(base, t, Seq("p"))
