@@ -39,9 +39,12 @@ import org.apache.spark.sql.types._
   * through checkpoints, feeding [[StatsSkip]]'s file skipping on the read
   * side — see [[footerStats]] for the emitted type coverage.
   *
-  * Scope (declared): single-writer (version = head + 1, no optimistic
-  * concurrency loop — the engine's own multi-writer story is TxLogTable);
-  * appends require the incoming schema to match the table's log schema
+  * Scope (declared): optimistic single-attempt writer — version =
+  * head + 1 published through a hard-link CAS, so a racing writer LOSES
+  * LOUDLY (`ConcurrentModificationException`, log intact) instead of
+  * tearing the history; the retry loop is the caller's (the engine's own
+  * multi-writer story is TxLogTable).
+  * Appends require the incoming schema to match the table's log schema
   * exactly (no evolution). NULL partition values round-trip: the writer's
   * `__HIVE_DEFAULT_PARTITION__` directory is decoded back to a JSON null
   * partitionValue as the protocol stores it.
@@ -74,7 +77,11 @@ object DeltaWrite {
     }
 
     // distributed data write into a staging dir the log never references
-    val staging = root.resolve(f"_staging_$version%020d")
+    // (uuid: racing writers must not stage into / sweep each other's dir;
+    // staged part names carry Spark's task uuids, so the moved data files
+    // never collide either)
+    val staging = root.resolve(
+      f"_staging_$version%020d-${java.util.UUID.randomUUID().toString.take(8)}")
     val writer = df.write.mode("overwrite")
     (if (cols.nonEmpty) writer.partitionBy(cols: _*) else writer)
       .parquet(staging.toString)
@@ -144,13 +151,39 @@ object DeltaWrite {
       stats.foreach(add.put("stats", _)) // a JSON STRING, per the protocol
       lines += mapper.writeValueAsString(n)
     }
+    commitCas(logDir, version, lines.toSeq)
+    version
+  }
+
+  /** Publish `lines` as commit `version` iff no other writer claimed it —
+    * the hard-link CAS TxLogTable.tryCommit uses (createLink fails when
+    * the target exists, where a rename would silently REPLACE the
+    * winner's commit and tear the history). Commit visibility is this
+    * link, after every data file is in place. A losing writer gets a
+    * loud ConcurrentModificationException with the log intact — re-read
+    * the head and retry with a fresh version. */
+  private[sources] def commitCas(logDir: Path, version: Long,
+                                 lines: Seq[String]): Unit = {
     Files.createDirectories(logDir)
-    // commit visibility is the rename, after every data file is in place
+    val target = logDir.resolve(f"$version%020d.json")
     val tmp = Files.createTempFile(logDir, s".commit_$version", ".tmp")
     Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, logDir.resolve(f"$version%020d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-    version
+    def lost(): Nothing = {
+      Files.deleteIfExists(tmp)
+      throw new java.util.ConcurrentModificationException(
+        s"Delta version $version was committed concurrently ($target exists) — " +
+          "re-read the head and retry")
+    }
+    try { Files.createLink(target, tmp); Files.delete(tmp) }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => lost()
+      case _: UnsupportedOperationException =>
+        // no hard links on this filesystem: exists-check + atomic rename
+        // (POSIX rename still replaces, so the check is the best fence)
+        if (Files.exists(target)) lost()
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => lost() }
+    }
   }
 
   /** Merge-on-read DELETE via deletion vectors: rows matching `condition`
@@ -252,11 +285,7 @@ object DeltaWrite {
       dvn.put("cardinality", card)
       lines += mapper.writeValueAsString(ad)
     }
-    Files.createDirectories(logDir)
-    val tmp = Files.createTempFile(logDir, s".commit_$version", ".tmp")
-    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, logDir.resolve(f"$version%020d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    commitCas(logDir, version, lines.toSeq)
     version
   }
 

@@ -229,7 +229,10 @@ object IcebergFixture {
     val added = written.map { case (p, pv, n, size) =>
       entry(1, p, pv, n, size)
     }
-    val manifestPath = metaDir.resolve(f"m-$snapshotId%05d.avro")
+    // per-attempt unique side-file names: a racing writer must never
+    // overwrite the winner's manifests before losing the metadata CAS
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val manifestPath = metaDir.resolve(f"m-$snapshotId%05d-$attempt.avro")
     writeAvro(manifestPath, mSchema, carried ++ added)
 
     def mlEntry(path: java.nio.file.Path, content: Int): GenericRecord = {
@@ -254,12 +257,12 @@ object IcebergFixture {
         content = if (d.isEquality) 2 else 1, eqIds = d.equalityIds)
     }
     if ((carriedDels ++ addedDels).nonEmpty) {
-      val delManifestPath = metaDir.resolve(f"md-$snapshotId%05d.avro")
+      val delManifestPath = metaDir.resolve(f"md-$snapshotId%05d-$attempt.avro")
       writeAvro(delManifestPath, mSchema, carriedDels ++ addedDels)
       mlEntries += mlEntry(delManifestPath, 1)
     }
 
-    val mlPath = metaDir.resolve(f"snap-$snapshotId%05d.avro")
+    val mlPath = metaDir.resolve(f"snap-$snapshotId%05d-$attempt.avro")
     writeAvro(mlPath, manifestListSchema, mlEntries.toSeq)
 
     // ---- versioned table metadata ------------------------------------
@@ -304,10 +307,33 @@ object IcebergFixture {
     s2.putObject("summary").put("operation", "append")
     s2.put("manifest-list", mlPath.toString)
 
+    // versioned-metadata CAS: the commit point is creating
+    // v<N>.metadata.json, which a hard link makes exclusive — a racing
+    // writer that computed the same N fails loudly here with both its
+    // side files (unique names) and the winner's state intact. The
+    // version hint is advisory (readers fall back to the max v* scan),
+    // so the winner updating it after the CAS is safe.
     val newVersion = prevMetaNode.map(_ =>
       Files.readString(metaDir.resolve("version-hint.text")).trim.toInt + 1).getOrElse(1)
-    Files.writeString(metaDir.resolve(s"v$newVersion.metadata.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    val target = metaDir.resolve(s"v$newVersion.metadata.json")
+    val tmp = Files.createTempFile(metaDir, ".meta", ".tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(meta).getBytes(StandardCharsets.UTF_8))
+    def lost(): Nothing = {
+      Files.deleteIfExists(tmp)
+      throw new java.util.ConcurrentModificationException(
+        s"Iceberg metadata version $newVersion was committed concurrently " +
+          s"($target exists) — re-read the table and retry")
+    }
+    try { Files.createLink(target, tmp); Files.delete(tmp) }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => lost()
+      case _: UnsupportedOperationException =>
+        if (Files.exists(target)) lost()
+        try Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => lost() }
+    }
     Files.write(metaDir.resolve("version-hint.text"),
       newVersion.toString.getBytes(StandardCharsets.UTF_8))
   }

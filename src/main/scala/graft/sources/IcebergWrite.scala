@@ -51,7 +51,10 @@ object IcebergWrite {
 
     // distributed stage: shadow partition columns keep the real ones in
     // the data files, as the spec requires
-    val staging = root.resolve(f"_staging_$snapshotId%05d")
+    // per-attempt staging dir (racing writers must not stage into — or
+    // sweep — each other's directory)
+    val staging = root.resolve(
+      f"_staging_$snapshotId%05d-${java.util.UUID.randomUUID().toString.take(8)}")
     val shadows = cols.map(c => s"__part_$c")
     val staged0 = cols.foldLeft(df)((d, c) => d.withColumn(s"__part_$c", col(c)))
     val writer = staged0.write.mode("overwrite")
@@ -79,8 +82,11 @@ object IcebergWrite {
       // staged writer used, so the layout matches what DeltaWrite keeps.
       val dirs = cols.map(c =>
         s"$c=${ExternalCatalogUtils.escapePathName(pv(c))}")
+      // uuid in the name: racing writers that both computed snapshotId
+      // must not overwrite each other's data files before the metadata
+      // CAS decides the winner
       val relOut = ("data" +: dirs).mkString("/") +
-        f"/part-$snapshotId%05d-$i%05d.parquet"
+        f"/part-$snapshotId%05d-$i%05d-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
       val target = root.resolve(relOut)
       Files.createDirectories(target.getParent)
       Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
