@@ -406,5 +406,65 @@ object StreamingQueries {
              |       round(p.value, 4) AS purchase_value
              |FROM events c JOIN events p ON c.user_id = p.user_id
              |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-             |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY""".stripMargin)))
+             |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 DAY""".stripMargin)),
+
+    // STREAMING SOURCE OVER THE INTEROP SEAM (§2.18 stretch): tail a
+    // GROWING Delta table's _delta_log as a Structured Streaming source
+    // (streaming/DeltaTail — Spark's file stream over the commit JSONs,
+    // one micro-batch per committed version, adds resolved to distributed
+    // parquet reads with partition values restored). Exactly-once lands
+    // on the Delta VERSION through TxLogTable.appendOnce: run 1 tails
+    // v0+v1, the fixture GROWS by v2, run 2 resumes from the stream
+    // checkpoint and picks up only v2, then the checkpoint is wiped and
+    // run 3 redelivers everything — the version markers must absorb all
+    // of it. The streamed table must equal the batch DeltaRead of the
+    // head byte-for-byte (parity boolean) and the values are oracle-gated
+    // against `orders` directly.
+    Q("streaming_delta_tail",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        import graft.streaming.DeltaTail
+        val wh = DvQueries.tmpWarehouse("graft_delta_tail")
+        val tbl = s"$wh/orders_delta"
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        // disjoint append commits, so the final state is a clean union
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl,
+          Seq("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW")), tbl)
+        val txlog = new TxLogTable(s, s"$wh/t")
+        def runTail(): Unit = {
+          val q = DeltaTail.stream(s, tbl, s"$wh/_cp",
+            (df, v) => { txlog.appendOnce("orders_tail", df, "delta_tail", v): Unit })
+          q.processAllAvailable(); q.stop()
+        }
+        runTail()                        // v0 + v1
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority") === "2-HIGH" && col("o_orderkey") % 3 === 0), tbl)
+        runTail()                        // resumes, picks up v2 only
+        rmTree(Paths.get(s"$wh/_cp"))
+        runTail()                        // full redelivery — markers absorb
+        val streamed = txlog.read("orders_tail")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        val batch = DeltaRead.read(s, tbl)
+        val parity = streamed.exceptAll(batch).isEmpty &&
+          batch.exceptAll(streamed).isEmpty
+        streamed.groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("batch_parity", lit(parity))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS batch_parity
+             |FROM orders
+             |WHERE o_orderkey % 2 = 0
+             |   OR (o_orderkey % 2 = 1 AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |   OR (o_orderkey % 2 = 1 AND o_orderpriority = '2-HIGH'
+             |       AND o_orderkey % 3 = 0)
+             |GROUP BY 1""".stripMargin)))
 }
