@@ -618,6 +618,64 @@ object ConformanceQueries {
              |  AND o_orderkey % 10 <> 0
              |  AND o_custkey % 7 <> 0""".stripMargin)),
 
+    // DELTA COLUMN MAPPING (name mode): with deletion vectors, the other
+    // v3 reader feature modern Databricks writers enable by default —
+    // parquet files store uuid-ish PHYSICAL column names and the log keys
+    // partitionValues by them; only the field metadata in schemaString
+    // ties them to logical names. The row authors a mapped `orders` table
+    // (fixture emits physical-named files + mode=name configuration),
+    // DV-deletes through it, checkpoints, and reads back with LOGICAL
+    // predicates. Values oracle-gated; booleans pin that the raw files
+    // really are physical-named (the mapping is load-bearing, not
+    // decorative), that partition pruning still engages on the logical
+    // predicate, and that the mapping survives checkpoint compaction.
+    Q("delta_read_column_mapping",
+      (s, dir) => {
+        import graft.sources.{DeltaFixture, DeltaRead, DeltaWrite}
+        import java.nio.file.{Files, Paths}
+        val wh = DvQueries.tmpWarehouse("graft_delta_cm")
+        val tbl = s"$wh/orders_cm"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val mapping = Map("o_orderkey" -> "col-11a0", "o_custkey" -> "col-2bf3",
+          "o_totalprice" -> "col-3c77", "o_orderpriority" -> "col-4d09")
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        DeltaFixture.commitMapped(s, tbl, o.schema, Seq("o_orderpriority"), 0L,
+          mapping, prios.map(p => Map("o_orderpriority" -> p) ->
+            o.filter(col("o_orderpriority") === p)))
+        DeltaWrite.deleteWhere(s, tbl, col("o_orderkey") % 10 === 0)
+        DeltaWrite.checkpoint(s, tbl)
+        Files.deleteIfExists(Paths.get(tbl, "_delta_log", f"${0L}%020d.json"))
+        Files.deleteIfExists(Paths.get(tbl, "_delta_log", f"${1L}%020d.json"))
+        val snap = DeltaRead.snapshot(tbl)
+        val physNamed = snap.files.headOption.exists { f =>
+          s.read.parquet(Paths.get(tbl).resolve(f.path).toString)
+            .columns.toSet == Set("col-11a0", "col-2bf3", "col-3c77")
+        }
+        val df = DeltaRead.read(s, tbl)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        val plan = df.queryExecution.executedPlan.toString
+        val pruned = plan.contains("Location: DeltaFileIndex") &&
+          "PartitionFilters: \\[[^\\]]*1-URGENT".r.findFirstIn(plan).nonEmpty
+        df.groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("files_physical_named", lit(physNamed))
+          .withColumn("partition_pruned", lit(pruned))
+          .withColumn("mapping_survives_checkpoint",
+            lit(snap.columnMapping == mapping))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS files_physical_named, TRUE AS partition_pruned,
+             |  TRUE AS mapping_survives_checkpoint
+             |FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+             |  AND o_orderkey % 10 <> 0
+             |GROUP BY 1""".stripMargin)),
+
     // DELTA MULTI-PART CHECKPOINT: large production tables checkpoint in
     // parts (`%020d.checkpoint.%010d.%010d.parquet` + a `parts` field in
     // `_last_checkpoint`) so no single file bottlenecks the log. The row

@@ -94,6 +94,74 @@ object DeltaFixture {
     written
   }
 
+  /** Append one commit to a NAME-mode column-mapped table (the layout a
+    * modern Databricks writer produces by default): schemaString fields
+    * carry `delta.columnMapping.id`/`physicalName` metadata, data files
+    * store the PHYSICAL column names, and partitionValues (+ stats, were
+    * they emitted) are keyed physically. `mapping` is logical → physical
+    * and must cover every schema field. */
+  def commitMapped(spark: SparkSession, tableDir: String, schema: StructType,
+                   partCols: Seq[String], version: Long,
+                   mapping: Map[String, String],
+                   adds: Seq[(Map[String, String], DataFrame)]): Seq[String] = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField}
+    require(schema.fieldNames.forall(mapping.contains),
+      s"mapping must cover all fields, missing ${schema.fieldNames.filterNot(mapping.contains).mkString(",")}")
+    val root = Paths.get(tableDir)
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    if (version == 0L) {
+      lines += """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}"""
+      val mappedSchema = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+        StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", i + 1L)
+            .putString("delta.columnMapping.physicalName", mapping(f.name))
+            .build())
+      })
+      val m = mapper.createObjectNode()
+      val md = m.putObject("metaData")
+      md.put("id", "graft-delta-fixture-cm")
+      md.putObject("format").put("provider", "parquet")
+      md.put("schemaString", mappedSchema.json)
+      val pc = md.putArray("partitionColumns")
+      partCols.foreach(pc.add)
+      val cfg = md.putObject("configuration")
+      cfg.put("delta.columnMapping.mode", "name")
+      cfg.put("delta.columnMapping.maxColumnId", schema.fields.length.toString)
+      md.put("createdTime", 0L)
+      lines += mapper.writeValueAsString(m)
+    }
+    val written = adds.zipWithIndex.map { case ((pv, rows), i) =>
+      val rel = pathFor(partCols.map(mapping), pv.map { case (k, v) => mapping(k) -> v },
+        version, i)
+      val target = root.resolve(rel)
+      Files.createDirectories(target.getParent)
+      val tmp = Files.createTempDirectory("graft_delta_cm").toString
+      rows.select(schema.fieldNames.filterNot(partCols.contains)
+          .map(n => org.apache.spark.sql.functions.col(n).as(mapping(n))).toSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet written in $tmp"))
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", pathEnc(rel))
+      val pvn = add.putObject("partitionValues")
+      pv.foreach { case (k, v) => pvn.put(mapping(k), v) } // PHYSICAL keys
+      add.put("size", Files.size(target))
+      add.put("modificationTime", 0L)
+      add.put("dataChange", true)
+      lines += mapper.writeValueAsString(n)
+      rel
+    }
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    written
+  }
+
   /** Compact the table's CURRENT head into a single-part parquet
     * checkpoint + `_last_checkpoint`, the form [[DeltaRead.snapshot]]
     * resumes from. Call after the last [[commit]]. */

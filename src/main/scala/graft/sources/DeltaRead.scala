@@ -48,9 +48,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * spec so absence only costs economy, never correctness).
   *
   * Scope (declared, not accidental): reads a static snapshot at the
-  * log's head; single-part checkpoints only. Deletion vectors / column
-  * mapping (reader features gated by `protocol.minReaderVersion` 3) are
-  * rejected loudly rather than read wrongly.
+  * log's head. The v3 reader features a modern Databricks writer enables
+  * by default are implemented: deletion vectors (suppressed via a
+  * row-position anti-join, see [[DeletionVectors]]) and NAME-mode column
+  * mapping (physical parquet names aliased back to logical; stats and
+  * partitionValues keys normalized at replay). Id-mode column mapping is
+  * rejected loudly rather than mis-mapped.
   */
 object DeltaRead {
 
@@ -76,11 +79,17 @@ object DeltaRead {
     * silently break both for any engine resuming from our checkpoint. */
   final case class RemoveFile(path: String, deletionTimestamp: Long)
 
-  /** The reconstructed head state of a Delta table. */
+  /** The reconstructed head state of a Delta table. `columnMapping` is
+    * logical → physical column name (name-mode column mapping; empty when
+    * the table has none): add.partitionValues and add.stats keys arrive
+    * PHYSICAL and are normalized to logical during replay, so only the
+    * parquet scan itself ever sees physical names. */
   final case class Snapshot(version: Long, schema: StructType,
                             partitionColumns: Seq[String], files: Seq[AddFile],
                             tombstones: Seq[RemoveFile] = Nil,
-                            protocol: Protocol = Protocol(1, 2)) {
+                            protocol: Protocol = Protocol(1, 2),
+                            columnMapping: Map[String, String] = Map.empty,
+                            configuration: Map[String, String] = Map.empty) {
     def dataSchema: StructType =
       StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
     def partitionSchema: StructType =
@@ -107,6 +116,8 @@ object DeltaRead {
     var schema: StructType = null
     var partCols: Seq[String] = Nil
     var protocol: Protocol = Protocol(1, 2)
+    var colMap: Map[String, String] = Map.empty // logical -> physical
+    var configuration: Map[String, String] = Map.empty
     // last action per path wins — LinkedHashMap keeps add order stable
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val tomb = scala.collection.mutable.LinkedHashMap[String, RemoveFile]()
@@ -120,7 +131,7 @@ object DeltaRead {
         val feats = Option(p.get("readerFeatures")).toSeq
           .flatMap(_.elements().asScala.map(_.asText()))
         val unsupported = feats.filterNot(
-          Set("timestampNtz", "v2Checkpoint", "deletionVectors"))
+          Set("timestampNtz", "v2Checkpoint", "deletionVectors", "columnMapping"))
         require(rv <= 2 || unsupported.isEmpty,
           s"unsupported Delta reader features: ${unsupported.mkString(",")}")
         val wfeats = Option(p.get("writerFeatures")).toSeq
@@ -136,19 +147,47 @@ object DeltaRead {
         schema = DataType.fromJson(m.get("schemaString").asText).asInstanceOf[StructType]
         partCols = Option(m.get("partitionColumns")).toSeq
           .flatMap(_.elements().asScala.map(_.asText()))
+        configuration = Option(m.get("configuration")).filter(_.isObject)
+          .map(c => c.fieldNames().asScala.map(k => k -> c.get(k).asText()).toMap)
+          .getOrElse(Map.empty)
+        val mode = configuration.getOrElse("delta.columnMapping.mode", "none")
+        mode match {
+          case "none" => colMap = Map.empty
+          case "name" =>
+            // physical names live in each field's metadata; files store
+            // columns (and the log keys partitionValues/stats) by them
+            colMap = schema.fields.map { f =>
+              require(f.metadata.contains("delta.columnMapping.physicalName"),
+                s"columnMapping.mode=name but field '${f.name}' has no physicalName")
+              f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+            }.toMap
+          case other =>
+            // id mode matches parquet field-id metadata, a channel this
+            // reader does not implement — reject, never mis-map
+            throw new IllegalArgumentException(
+              s"unsupported delta.columnMapping.mode '$other' (supported: none, name)")
+        }
       }
       if (node.has("add")) {
         val a = node.get("add")
+        // with column mapping, partitionValues and stats keys are the
+        // PHYSICAL names — normalize to logical here so every downstream
+        // consumer (pruning, stats skipping, candidateFiles) stays logical
+        val toLogical: Map[String, String] = colMap.map(_.swap)
+        def logicalKey(k: String): String = toLogical.getOrElse(k, k)
         val pv = Option(a.get("partitionValues")).map { o =>
           o.fieldNames().asScala.map(k =>
-            k -> (if (o.get(k).isNull) null else o.get(k).asText())).toMap
+            logicalKey(k) -> (if (o.get(k).isNull) null else o.get(k).asText())).toMap
         }.getOrElse(Map.empty[String, String])
         val path = decodePath(a.get("path").asText)
         // add.stats is a JSON STRING per the protocol; unparseable or
         // absent stats degrade to "no skipping", never to an error
         val stats = Option(a.get("stats")).filter(_.isTextual).flatMap { s =>
           scala.util.Try(mapper.readTree(s.asText)).toOption.flatMap(parseStats)
-        }
+        }.map(st => st.copy(
+          min = st.min.map { case (k, v) => logicalKey(k) -> v },
+          max = st.max.map { case (k, v) => logicalKey(k) -> v },
+          nullCount = st.nullCount.map { case (k, v) => logicalKey(k) -> v }))
         val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
           DeletionVectors.Descriptor(d.get("storageType").asText,
             d.get("pathOrInlineDv").asText,
@@ -168,7 +207,16 @@ object DeltaRead {
       }
     }
 
-    checkpoint.foreach { case (_, actions) => actions.foreach(applyAction) }
+    // checkpoint rows carry NO ordering guarantee, so replay its
+    // protocol/metaData rows first — add normalization (column mapping)
+    // depends on metaData being known. JSON commits are ordered by the
+    // protocol (metaData precedes adds), so they stream as-is.
+    checkpoint.foreach { case (_, actions) =>
+      val (meta, rest) = actions.partition(n =>
+        n.has("metaData") || n.has("protocol"))
+      meta.foreach(applyAction)
+      rest.foreach(applyAction)
+    }
     tail.foreach { p =>
       Files.readAllLines(p, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty).foreach(l => applyAction(mapper.readTree(l)))
@@ -176,7 +224,7 @@ object DeltaRead {
     require(schema != null, s"no metaData action found in $tableDir/_delta_log")
     val version = (commits.lastOption.map(versionOf).toSeq ++ checkpoint.map(_._1)).max
     Snapshot(version, schema, partCols, live.values.toSeq, tomb.values.toSeq,
-      protocol)
+      protocol, colMap, configuration)
   }
 
   /** Scan the table at its head snapshot, dead files excluded, partition
@@ -191,12 +239,38 @@ object DeltaRead {
 
   private[sources] def readSnapshot(spark: SparkSession, tableDir: String,
                                     snap: Snapshot): DataFrame =
-    if (snap.files.forall(_.deletionVector.isEmpty)) {
-      val idx = new DeltaFileIndex(spark, Paths.get(tableDir), snap)
-      val rel = HadoopFsRelation(idx, snap.partitionSchema, snap.dataSchema, None,
-        new ParquetFileFormat(), Map.empty[String, String])(spark)
-      spark.baseRelationToDataFrame(rel)
-    } else readWithPositions(spark, tableDir, snap).drop("__fp", "__ri")
+    if (snap.files.forall(_.deletionVector.isEmpty))
+      scanRelation(spark, tableDir, snap, withPositions = false)
+    else readWithPositions(spark, tableDir, snap).drop("__fp", "__ri")
+
+  /** The raw FileIndex-backed scan. With column mapping the parquet files
+    * store PHYSICAL column names, so the relation's data schema is the
+    * physical one and the result is aliased back to logical — user
+    * predicates push through the aliases down to the physical scan.
+    * `withPositions` adds `__fp`/`__ri` from the file-source metadata
+    * column (grabbed in the SAME projection — `_metadata` does not
+    * survive an intervening Project). */
+  private def scanRelation(spark: SparkSession, tableDir: String,
+                           snap: Snapshot, withPositions: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idx = new DeltaFileIndex(spark, Paths.get(tableDir), snap)
+    def phys(n: String): String = snap.columnMapping.getOrElse(n, n)
+    val physData = StructType(snap.dataSchema.fields.map(f =>
+      f.copy(name = phys(f.name))))
+    val rel = HadoopFsRelation(idx, snap.partitionSchema, physData, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    val base = spark.baseRelationToDataFrame(rel)
+    if (snap.columnMapping.isEmpty && !withPositions) base
+    else {
+      val dataCols = snap.dataSchema.fields.toSeq.map(f => col(phys(f.name)).as(f.name))
+      val partCols = snap.partitionSchema.fieldNames.toSeq.map(col)
+      val posCols =
+        if (withPositions) Seq(col("_metadata.file_path").as("__fp"),
+          col("_metadata.row_index").as("__ri"))
+        else Nil
+      base.select(dataCols ++ partCols ++ posCols: _*)
+    }
+  }
 
   /** The snapshot scan with two extra columns — `__fp` (qualified file
     * path) and `__ri` (physical row index in that file) — and deletion
@@ -204,25 +278,29 @@ object DeltaRead {
     * read path and [[DeltaWrite.deleteWhere]] build on. */
   private[sources] def readWithPositions(spark: SparkSession, tableDir: String,
                                          snap: Snapshot): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val tableRoot = Paths.get(tableDir)
-    val idx = new DeltaFileIndex(spark, tableRoot, snap)
-    val rel = HadoopFsRelation(idx, snap.partitionSchema, snap.dataSchema, None,
-      new ParquetFileFormat(), Map.empty[String, String])(spark)
-    val base = spark.baseRelationToDataFrame(rel)
-      .withColumn("__fp", col("_metadata.file_path"))
-      .withColumn("__ri", col("_metadata.row_index"))
+    val base = scanRelation(spark, tableDir, snap, withPositions = true)
     if (snap.files.forall(_.deletionVector.isEmpty)) base
-    else applyDeletionVectors(spark, tableRoot, snap, base)
+    else applyDeletionVectors(spark, Paths.get(tableDir), snap, base)
   }
 
   /** Qualified scan path of a live file — the exact string
-    * `_metadata.file_path` reports for its rows. */
+    * `_metadata.file_path` reports for its rows: scheme + (non-empty)
+    * authority + PERCENT-ENCODED path, e.g. `file:/tmp/a%20b/x.parquet`
+    * (probed empirically — neither Hadoop's decoded `Path.toString` nor
+    * `toUri.toString`'s `file:///` triple-slash form matches). */
   private[sources] def qualifiedPath(spark: SparkSession, tableRoot: Path,
                                      f: AddFile): String = {
     val hPath = new org.apache.hadoop.fs.Path(tableRoot.resolve(f.path).toUri)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.makeQualified(hPath).toString
+    scanPathForm(fs.makeQualified(hPath))
+  }
+
+  /** Render a Hadoop path in the `_metadata.file_path` string form. */
+  private[sources] def scanPathForm(p: org.apache.hadoop.fs.Path): String = {
+    val u = p.toUri
+    val auth = Option(u.getAuthority).filter(_.nonEmpty).orNull
+    new java.net.URI(u.getScheme, auth, u.getPath, u.getQuery, u.getFragment)
+      .toString
   }
 
   /** Suppress DV-flagged rows: an anti-join of (file, physical row index)
@@ -342,17 +420,27 @@ final class DeltaFileIndex(spark: SparkSession, tableRoot: Path,
   override def refresh(): Unit = ()
 
   override def listFiles(partitionFilters: Seq[Expression],
-                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // two independent skipping channels, matching Delta's own planner:
     // partition predicates prune whole partitionValues groups, then each
     // surviving file is tested against the pushed data predicates over its
     // add.stats min/max/nullCount (StatsSkip is conservative — a file
-    // without stats is always scheduled)
+    // without stats is always scheduled). With column mapping the pushed
+    // filters reference PHYSICAL attribute names (the scan's schema);
+    // stats were normalized to logical at replay, so translate back.
+    val toLogical = snap.columnMapping.map(_.swap)
+    val logicalFilters =
+      if (toLogical.isEmpty) dataFilters
+      else dataFilters.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if toLogical.contains(a.name) => a.withName(toLogical(a.name))
+      })
     PartitionPrune.prune(partSchema, groups, partitionFilters)
       .map { case (row, fs) =>
         PartitionDirectory(row,
-          fs.filter(f => StatsSkip.keep(f.stats, dataFilters, snap.dataSchema))
+          fs.filter(f => StatsSkip.keep(f.stats, logicalFilters, snap.dataSchema))
             .map(statusOf))
       }
       .filter(_.files.nonEmpty)
+  }
 }

@@ -68,6 +68,11 @@ object DeltaWrite {
     val version = existing.map(_.version + 1).getOrElse(0L)
     val cols = existing.map(_.partitionColumns).getOrElse(partCols)
     existing.foreach { snap =>
+      // this writer stages files under LOGICAL names — appending them to
+      // a physical-named (column-mapped) table would write unreadable
+      // files. DV deletes (deleteWhere) remain available on such tables.
+      require(snap.columnMapping.isEmpty,
+        s"appending to a column-mapped table is not supported ($tableDir)")
       // same (name, type) list in the same order: a lax match here writes
       // files later commits' readers decode with the wrong schema
       val want = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -236,6 +241,9 @@ object DeltaWrite {
     val offsets = DeletionVectors.writeFile(root.resolve(dvRel),
       touched.map(_._2).toSeq)
     val encUuid = DeletionVectors.encodeUuid(uuid)
+    // the snapshot's pv/stats keys are LOGICAL (normalized at replay);
+    // a column-mapped table's log stores them PHYSICAL — map back
+    def physKey(k: String): String = snap.columnMapping.getOrElse(k, k)
 
     val version = snap.version + 1
     val logDir = root.resolve("_delta_log")
@@ -271,12 +279,15 @@ object DeltaWrite {
       an.put("path", pathEnc(f.path))
       val pvn = an.putObject("partitionValues")
       f.partitionValues.foreach { case (k, v) =>
-        if (v == null) pvn.putNull(k) else pvn.put(k, v)
+        if (v == null) pvn.putNull(physKey(k)) else pvn.put(physKey(k), v)
       }
       an.put("size", f.size)
       an.put("modificationTime", 0L)
       an.put("dataChange", true)
-      f.stats.foreach(st => an.put("stats", statsJson(st)))
+      f.stats.foreach(st => an.put("stats", statsJson(st.copy(
+        min = st.min.map { case (k, v) => physKey(k) -> v },
+        max = st.max.map { case (k, v) => physKey(k) -> v },
+        nullCount = st.nullCount.map { case (k, v) => physKey(k) -> v }))))
       val dvn = an.putObject("deletionVector")
       dvn.put("storageType", "u")
       dvn.put("pathOrInlineDv", encUuid)
@@ -363,9 +374,12 @@ object DeltaWrite {
       Integer.valueOf(proto.minWriterVersion),
       if (proto.readerFeatures.isEmpty) null else proto.readerFeatures,
       if (proto.writerFeatures.isEmpty) null else proto.writerFeatures))
+    // configuration must survive compaction — dropping e.g.
+    // delta.columnMapping.mode would flip a mapped table to mode=none
+    // for any reader resuming from this checkpoint
     rows += row(metaData = Row("graft-delta-write", null, null,
       Row("parquet", Map.empty[String, String]), snap.schema.json,
-      snap.partitionColumns, Map.empty[String, String],
+      snap.partitionColumns, snap.configuration,
       java.lang.Long.valueOf(0L)))
     snap.files.foreach { f =>
       // stats survive compaction — skipping must not degrade after a

@@ -138,11 +138,12 @@ object IcebergRead {
       .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
-  /** The qualified scan path `_metadata.file_path` reports for `abs`. */
+  /** The qualified scan path `_metadata.file_path` reports for `abs` —
+    * scheme + percent-encoded path (see [[DeltaRead.scanPathForm]]). */
   private def qualifiedPath(spark: SparkSession, abs: String): String = {
     val hPath = new org.apache.hadoop.fs.Path(Paths.get(abs).toUri)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.makeQualified(hPath).toString
+    DeltaRead.scanPathForm(fs.makeQualified(hPath))
   }
 
   /** Merge-on-read: suppress rows named by position deletes (anti-join on

@@ -94,17 +94,24 @@ class DeltaReadSpec extends SparkSpec {
     assert(DeltaRead.read(spark, tbl).count() == 4)
   }
 
-  test("unsupported reader features (deletion vectors) are rejected, not mis-read") {
-    val tbl = Files.createTempDirectory("graft_delta_dv").resolve("t").toString
+  test("unknown reader features are rejected, not mis-read; known v3 ones pass") {
+    val tbl = Files.createTempDirectory("graft_delta_feat").resolve("t").toString
     val df = Seq((1L, "a")).toDF("id", "p")
     DeltaFixture.commit(spark, tbl, df.schema, Seq("p"), 0L,
       Seq(Map("p" -> "a") -> df))
     val logDir = Paths.get(tbl, "_delta_log")
+    // deletionVectors/columnMapping are IMPLEMENTED now — they must pass
     Files.write(logDir.resolve(f"${1L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"]}}""" + "\n")
+        """"readerFeatures":["deletionVectors","columnMapping"]}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    assert(DeltaRead.snapshot(tbl).protocol.minReaderVersion == 3)
+    // an unknown feature (here: variant values) still fails loudly
+    Files.write(logDir.resolve(f"${2L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["variantType-preview"]}}""" + "\n")
         .getBytes(StandardCharsets.UTF_8))
     val e = intercept[IllegalArgumentException](DeltaRead.snapshot(tbl))
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("variantType-preview"))
   }
 }

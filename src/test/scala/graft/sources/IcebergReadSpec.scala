@@ -80,7 +80,11 @@ class IcebergReadSpec extends SparkSpec {
     assert(e.getMessage.contains("nested Iceberg types"))
   }
 
-  test("delete manifests (content=1) are rejected — ignoring them would resurrect deleted rows") {
+  // delete manifests are APPLIED since r12 (IcebergDeleteSpec covers the
+  // semantics); what must still fail loudly is a MALFORMED one — a
+  // content=1 manifest whose entries claim data content, which a lax
+  // reader would silently treat as deletes of nothing
+  test("a delete manifest carrying data-content entries is rejected as malformed") {
     import org.apache.avro.Schema
     import org.apache.avro.file.{DataFileReader, DataFileWriter}
     import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
@@ -106,6 +110,6 @@ class IcebergReadSpec extends SparkSpec {
       w.append(c)
     } finally w.close()
     val e = intercept[IllegalArgumentException](IcebergRead.snapshot(tbl))
-    assert(e.getMessage.contains("delete manifests"))
+    assert(e.getMessage.contains("delete manifest entry with content=0"))
   }
 }
