@@ -773,6 +773,76 @@ object ConformanceQueries {
              |  2 AS delete_files_live, TRUE AS kinds_ok
              |FROM vis GROUP BY 1""".stripMargin)),
 
+    // INTEROP TIME TRAVEL: any retained historical version/snapshot of an
+    // open-format table reconstructs exactly — the parity story the
+    // engine already tells for its own tx log (`txlog_time_travel`)
+    // extended over both interop formats. Delta: replay truncated at the
+    // target version (a checkpoint is only used when it does not
+    // overshoot); Iceberg: the metadata's snapshots array resolves any
+    // retained id to its own manifest list. The row authors a 3-commit
+    // Delta history (append/append/dynamic-overwrite) and a 2-snapshot
+    // Iceberg history, then reads EVERY point in both histories; the
+    // oracle recomputes each point from the raw tables, so a replay that
+    // leaks a later commit into an earlier version (or vice versa) goes
+    // red on that point's values.
+    Q("interop_time_travel",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite, IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_interop_tt")
+        val dTbl = s"$wh/orders_delta"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 0), dTbl,
+          Seq("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW")), dTbl)
+        DeltaWrite.write(o.filter(col("o_orderpriority") === "2-HIGH" &&
+          col("o_orderkey") % 3 === 0), dTbl, mode = "overwritePartitions")
+        val iTbl = s"$wh/customer_ice"
+        val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+        IcebergWrite.write(c.filter(col("c_custkey") % 2 === 0), iTbl,
+          Seq("c_mktsegment"))
+        IcebergWrite.write(c.filter(col("c_custkey") % 2 === 1 &&
+          col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")), iTbl)
+        def m(df: DataFrame, src: String, pt: String, value: Column): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+            sum(round(value * 100).cast("long")).as("cents"))
+            .withColumn("src", lit(src)).withColumn("pt", lit(pt))
+        Seq(
+          m(DeltaRead.readAt(s, dTbl, 0), "delta", "v0", col("o_totalprice")),
+          m(DeltaRead.readAt(s, dTbl, 1), "delta", "v1", col("o_totalprice")),
+          m(DeltaRead.read(s, dTbl), "delta", "head", col("o_totalprice")),
+          m(IcebergRead.readAt(s, iTbl, 1L), "iceberg", "s1", col("c_acctbal")),
+          m(IcebergRead.read(s, iTbl), "iceberg", "head", col("c_acctbal")))
+          .reduce(_ unionByName _)
+          .select("src", "pt", "n_rows", "cents")
+      },
+      Some("""SELECT 'delta' AS src, 'v0' AS pt, cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT 'delta', 'v1', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |   OR o_orderpriority IN ('1-URGENT', '5-LOW')
+             |UNION ALL
+             |SELECT 'delta', 'head', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |FROM orders
+             |WHERE (o_orderpriority <> '2-HIGH'
+             |       AND (o_orderkey % 2 = 0 OR o_orderpriority IN ('1-URGENT', '5-LOW')))
+             |   OR (o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0)
+             |UNION ALL
+             |SELECT 'iceberg', 's1', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |FROM customer WHERE c_custkey % 2 = 0
+             |UNION ALL
+             |SELECT 'iceberg', 'head', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |FROM customer WHERE c_custkey % 2 = 0
+             |   OR c_mktsegment IN ('AUTOMOBILE', 'BUILDING')""".stripMargin)),
+
     // ICEBERG READ INTEROP: the other open table format a real corpus
     // lives in (sources/IcebergRead — versioned metadata JSON + avro
     // manifest parsing per the published Iceberg Table Spec; no Iceberg

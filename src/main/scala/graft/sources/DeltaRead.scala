@@ -99,16 +99,52 @@ object DeltaRead {
   private val mapper = new ObjectMapper()
 
   /** Replay `_delta_log` and return the table's head snapshot. */
-  def snapshot(tableDir: String): Snapshot = {
+  def snapshot(tableDir: String): Snapshot = snapshotImpl(tableDir, None)
+
+  /** Time travel: the snapshot AS OF `version` (replay truncated there;
+    * a checkpoint is only used when it does not overshoot the target).
+    * Fails loudly when the version's commit file is gone (vacuumed). */
+  def snapshotAt(tableDir: String, version: Long): Snapshot =
+    snapshotImpl(tableDir, Some(version))
+
+  /** Scan the table as of `version` — same pruning/DV machinery as the
+    * head read, on the historical file set. */
+  def readAt(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    val snap = snapshotAt(tableDir, version)
+    readSnapshot(spark, tableDir, snap)
+      .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
+  private def snapshotImpl(tableDir: String, asOf: Option[Long]): Snapshot = {
     val logDir = Paths.get(tableDir, "_delta_log")
     require(Files.isDirectory(logDir), s"$tableDir has no _delta_log — not a Delta table")
     val listing = Files.list(logDir)
-    val commits =
+    val allCommits =
       try listing.iterator().asScala
         .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
         .toSeq.sortBy(_.getFileName.toString)
       finally listing.close()
-    val checkpoint = lastCheckpoint(logDir)
+    val commits = asOf match {
+      case None => allCommits
+      case Some(v) =>
+        require(allCommits.exists(_ => true) || lastCheckpoint(logDir).nonEmpty,
+          s"empty _delta_log in $tableDir")
+        require(allCommits.exists(p => versionOf(p) == v) ||
+          lastCheckpoint(logDir).exists(_._1 == v),
+          s"version $v of $tableDir is not in the log (vacuumed or never committed)")
+        allCommits.filter(p => versionOf(p) <= v)
+    }
+    // time travel may only resume from a checkpoint at or below the target
+    val checkpoint = lastCheckpoint(logDir).filter(cp =>
+      asOf.forall(cp._1 <= _))
+    asOf.foreach { v =>
+      // every commit in (checkpointVersion, v] must still exist, or the
+      // replayed state would silently skip changes
+      val have = commits.map(versionOf).toSet
+      val start = checkpoint.map(_._1).getOrElse(-1L)
+      ((start + 1) to v).foreach(i => require(have.contains(i),
+        s"commit $i of $tableDir is missing — cannot reconstruct version $v"))
+    }
     val startAfter = checkpoint.map(_._1).getOrElse(-1L)
     val tail = commits.filter(p => versionOf(p) > startAfter)
     require(checkpoint.nonEmpty || commits.nonEmpty, s"empty _delta_log in $tableDir")

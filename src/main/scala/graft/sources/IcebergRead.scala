@@ -79,7 +79,20 @@ object IcebergRead {
   private val mapper = new ObjectMapper()
 
   /** Parse the newest table metadata and resolve the current snapshot. */
-  def snapshot(tableDir: String): Snapshot = {
+  def snapshot(tableDir: String): Snapshot = snapshotImpl(tableDir, None)
+
+  /** Time travel: resolve a HISTORICAL snapshot by id — the metadata's
+    * `snapshots` array keeps the whole history, so any retained snapshot
+    * is readable; an expired/unknown id fails loudly. */
+  def snapshotAt(tableDir: String, snapshotId: Long): Snapshot =
+    snapshotImpl(tableDir, Some(snapshotId))
+
+  /** Scan the table as of snapshot `snapshotId` — same pruning and
+    * row-level-delete machinery as the current-snapshot read. */
+  def readAt(spark: SparkSession, tableDir: String, snapshotId: Long): DataFrame =
+    readSnap(spark, snapshotAt(tableDir, snapshotId))
+
+  private def snapshotImpl(tableDir: String, asOf: Option[Long]): Snapshot = {
     val metaDir = Paths.get(tableDir, "metadata")
     require(Files.isDirectory(metaDir), s"$tableDir has no metadata/ — not an Iceberg table")
     val meta = mapper.readTree(Files.readString(currentMetadataFile(metaDir)))
@@ -112,12 +125,15 @@ object IcebergRead {
             s"partition source-id ${f.get("source-id").asInt} not in schema"))
     }
 
-    val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
-      .filter(_ != -1L)
-      .getOrElse(throw new IllegalArgumentException(s"$tableDir has no current snapshot"))
+    val curId = asOf.getOrElse(
+      Option(meta.get("current-snapshot-id")).map(_.asLong)
+        .filter(_ != -1L)
+        .getOrElse(throw new IllegalArgumentException(s"$tableDir has no current snapshot")))
     val snapNode = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == curId)
-      .getOrElse(throw new IllegalArgumentException(s"current-snapshot-id $curId not in snapshots"))
+      .getOrElse(throw new IllegalArgumentException(
+        if (asOf.isDefined) s"snapshot $curId of $tableDir is not retained (expired or never committed)"
+        else s"current-snapshot-id $curId not in snapshots"))
     val manifestList = resolve(tableDir, snapNode.get("manifest-list").asText)
 
     val (files, deletes) = readManifestList(tableDir, manifestList)
@@ -126,8 +142,10 @@ object IcebergRead {
 
   /** Scan the current snapshot, dead files excluded, identity-partition
     * predicates pruned at the FileIndex, v2 row-level deletes applied. */
-  def read(spark: SparkSession, tableDir: String): DataFrame = {
-    val snap = snapshot(tableDir)
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    readSnap(spark, snapshot(tableDir))
+
+  private def readSnap(spark: SparkSession, snap: Snapshot): DataFrame = {
     val idx = new IcebergFileIndex(spark, snap)
     // data files CONTAIN partition columns → no Spark-side partition schema
     val rel = HadoopFsRelation(idx, new StructType(), snap.schema, None,
