@@ -22,7 +22,7 @@ object IcebergFixture {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def icebergType(dt: DataType, at: String): String = dt match {
+  private def primitiveName(dt: DataType, at: String): String = dt match {
     case LongType => "long"
     case IntegerType => "int"
     case DoubleType => "double"
@@ -32,6 +32,48 @@ object IcebergFixture {
     case other => throw new IllegalArgumentException(
       s"fixture does not emit Iceberg type for $other at '$at'")
   }
+
+  /** Spark type → Iceberg schema-JSON type node (primitive string or the
+    * spec's nested struct/list/map object; nested field ids allocated
+    * from `nextId`). */
+  private def icebergTypeNode(dt: DataType, at: String,
+                              nextId: () => Int): com.fasterxml.jackson.databind.JsonNode =
+    dt match {
+      case StructType(fields) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "struct")
+        val fa = n.putArray("fields")
+        fields.foreach { f =>
+          val fn = fa.addObject()
+          fn.put("id", nextId())
+          fn.put("name", f.name)
+          fn.put("required", !f.nullable)
+          fn.set[com.fasterxml.jackson.databind.JsonNode]("type",
+            icebergTypeNode(f.dataType, s"$at.${f.name}", nextId))
+        }
+        n
+      case ArrayType(et, containsNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", nextId())
+        n.set[com.fasterxml.jackson.databind.JsonNode]("element",
+          icebergTypeNode(et, s"$at.element", nextId))
+        n.put("element-required", !containsNull)
+        n
+      case MapType(kt, vt, valueContainsNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", nextId())
+        n.set[com.fasterxml.jackson.databind.JsonNode]("key",
+          icebergTypeNode(kt, s"$at.key", nextId))
+        n.put("value-id", nextId())
+        n.set[com.fasterxml.jackson.databind.JsonNode]("value",
+          icebergTypeNode(vt, s"$at.value", nextId))
+        n.put("value-required", !valueContainsNull)
+        n
+      case prim =>
+        new com.fasterxml.jackson.databind.node.TextNode(primitiveName(prim, at))
+    }
 
   private def avroPartType(dt: DataType): String = dt match {
     case LongType => "long"
@@ -278,12 +320,18 @@ object IcebergFixture {
     val sn = schemas.addObject()
     sn.put("type", "struct"); sn.put("schema-id", 0)
     val fieldsArr = sn.putArray("fields")
+    // top-level field ids 1..N (partition source-ids bind to these);
+    // nested ids allocated after them
+    var idCursor = schema.fields.length
+    val nextId = () => { idCursor += 1; idCursor }
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val fn = fieldsArr.addObject()
       fn.put("id", i + 1); fn.put("name", f.name)
       fn.put("required", !f.nullable)
-      fn.put("type", icebergType(f.dataType, f.name))
+      fn.set[com.fasterxml.jackson.databind.JsonNode]("type",
+        icebergTypeNode(f.dataType, f.name, nextId))
     }
+    meta.put("last-column-id", idCursor) // includes nested ids
     meta.put("default-spec-id", 0)
     val specs = meta.putArray("partition-specs")
     val spec = specs.addObject()

@@ -248,22 +248,51 @@ object IcebergRead {
     }
   }
 
-  /** Iceberg schema JSON → Spark StructType + field-id→name map. */
+  /** Iceberg schema JSON → Spark StructType + field-id→name map (top
+    * level only — identity partition transforms and equality_ids bind to
+    * top-level source columns in this reader's scope). */
   private def parseSchema(node: JsonNode): (StructType, Map[Int, String]) = {
     require(node.get("type").asText == "struct", "top-level schema must be a struct")
     val ids = scala.collection.mutable.Map[Int, String]()
     val fields = node.get("fields").elements().asScala.map { f =>
       val name = f.get("name").asText
       ids(f.get("id").asInt) = name
-      StructField(name, primitiveType(f.get("type"), name),
+      StructField(name, icebergType(f.get("type"), name),
         nullable = !f.get("required").asBoolean)
     }.toSeq
     (StructType(fields), ids.toMap)
   }
 
+  /** Any Iceberg type JSON → Spark type: primitives, plus the nested
+    * struct / list / map shapes (spec "Schemas and Data Types" — nested
+    * types are objects with their own `type` discriminator). */
+  private def icebergType(t: JsonNode, at: String): DataType = {
+    if (t.isTextual) return primitiveType(t, at)
+    require(t.isObject && t.has("type"),
+      s"field '$at': malformed Iceberg type node $t")
+    t.get("type").asText match {
+      case "struct" =>
+        StructType(t.get("fields").elements().asScala.map { f =>
+          val name = f.get("name").asText
+          StructField(name, icebergType(f.get("type"), s"$at.$name"),
+            nullable = !f.get("required").asBoolean)
+        }.toSeq)
+      case "list" =>
+        ArrayType(icebergType(t.get("element"), s"$at.element"),
+          containsNull = !t.get("element-required").asBoolean)
+      case "map" =>
+        MapType(icebergType(t.get("key"), s"$at.key"),
+          icebergType(t.get("value"), s"$at.value"),
+          valueContainsNull = !t.get("value-required").asBoolean)
+      case other =>
+        throw new IllegalArgumentException(
+          s"field '$at': unsupported Iceberg nested type '$other'")
+    }
+  }
+
   private def primitiveType(t: JsonNode, at: String): DataType = {
     require(t.isTextual,
-      s"field '$at': nested Iceberg types (struct/list/map) are not supported")
+      s"field '$at': expected a primitive Iceberg type, got $t")
     t.asText match {
       case "boolean" => BooleanType
       case "int" => IntegerType

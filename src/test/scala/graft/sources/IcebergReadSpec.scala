@@ -66,18 +66,36 @@ class IcebergReadSpec extends SparkSpec {
     assert(IcebergRead.read(spark, tbl).filter($"p" === "b").count() == 2)
   }
 
-  test("nested schema types are rejected, not silently mis-read") {
+  test("nested schema types (struct/list/map) round-trip end-to-end") {
+    val tbl = Files.createTempDirectory("graft_ice_nested").resolve("t").toString
+    val df = Seq(
+      (1L, Seq("a", "b"), Map("k" -> 1L), ("x", 10L)),
+      (2L, Seq("c"), Map("k" -> 2L, "j" -> 3L), ("y", 20L)))
+      .toDF("id", "tags", "counts", "pair")
+    IcebergFixture.snapshot(spark, tbl, df.schema, Nil, 1L,
+      Seq(Map.empty[String, String] -> df))
+    val snap = IcebergRead.snapshot(tbl)
+    assert(snap.schema("tags").dataType.typeName == "array")
+    assert(snap.schema("counts").dataType.typeName == "map")
+    assert(snap.schema("pair").dataType.typeName == "struct")
+    val back = IcebergRead.read(spark, tbl)
+    assert(back.select($"id", $"pair._2", element_at($"counts", "k"))
+      .as[(Long, Long, Long)].collect().toSet == Set((1L, 10L, 1L), (2L, 20L, 2L)))
+    assert(back.select(explode($"tags")).count() == 3)
+  }
+
+  test("unknown nested type kinds are rejected, not silently mis-read") {
     val (tbl, _) = fixture()
     val metaDir = Paths.get(tbl, "metadata")
     val v = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
     val meta = Files.readString(metaDir.resolve(s"v$v.metadata.json"))
     val forged = meta.replace("\"type\" : \"string\"",
-      "\"type\" : {\"type\":\"list\",\"element-id\":9,\"element\":\"string\",\"element-required\":false}")
+      "\"type\" : {\"type\":\"variant\",\"element-id\":9}")
     assert(forged != meta, "forge must hit the schema")
     Files.writeString(metaDir.resolve(s"v${v + 1}.metadata.json"), forged)
     Files.writeString(metaDir.resolve("version-hint.text"), (v + 1).toString)
     val e = intercept[IllegalArgumentException](IcebergRead.snapshot(tbl))
-    assert(e.getMessage.contains("nested Iceberg types"))
+    assert(e.getMessage.contains("variant"))
   }
 
   // delete manifests are APPLIED since r12 (IcebergDeleteSpec covers the
