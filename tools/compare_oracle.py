@@ -66,7 +66,12 @@ def connect(sf_dir):
     # of spilling (hit by word_entropy's 500k-doc token explosion at sf10)
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    con.sql("SET max_temp_directory_size='120GiB'")
+    # spill cap must leave the box usable: r12 saw an lsh_incremental
+    # oracle spill 72G+ and drive / to 100%, starving every concurrent
+    # job. 50GiB makes an over-budget oracle FAIL FAST (documented skip)
+    # instead of wedging the machine; override per-run when the disk
+    # genuinely has room.
+    con.sql(f"SET max_temp_directory_size='{os.environ.get('DUCKDB_TMP_MAX', '50GiB')}'")
     # scale drills run this concurrently with a Spark JVM on the same box:
     # cap duckdb so the pair fits in RAM (spills instead of ballooning)
     if os.environ.get("DUCKDB_MEM"):
