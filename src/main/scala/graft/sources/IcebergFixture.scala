@@ -125,26 +125,30 @@ object IcebergFixture {
   def snapshot(spark: SparkSession, tableDir: String, schema: StructType,
                partCols: Seq[String], snapshotId: Long,
                adds: Seq[(Map[String, String], DataFrame)],
-               removes: Seq[String] = Nil): Seq[String] = {
+               removes: Seq[String] = Nil,
+               format: String = "parquet"): Seq[String] = {
+    require(Set("parquet", "orc")(format), s"unsupported fixture format $format")
     val root = Paths.get(tableDir)
 
     // ---- data files -------------------------------------------------
     val written = adds.zipWithIndex.map { case ((pv, rows), i) =>
       val dirs = partCols.map(c => s"$c=${pv(c)}")
-      val rel = ("data" +: dirs).mkString("/") + f"/part-$snapshotId%05d-$i%03d.parquet"
+      val rel = ("data" +: dirs).mkString("/") +
+        f"/part-$snapshotId%05d-$i%03d.$format"
       val target = root.resolve(rel)
       Files.createDirectories(target.getParent)
       val tmp = Files.createTempDirectory("graft_ice_add").toString
-      rows.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val w = rows.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        .coalesce(1).write.mode("overwrite")
+      if (format == "orc") w.orc(tmp) else w.parquet(tmp)
       val part = Files.list(Paths.get(tmp)).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .find(_.getFileName.toString.endsWith(s".$format")).get
       Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
       (target.toString, pv, rows.count(), Files.size(target))
     }
 
     commitSnapshot(tableDir, schema, partCols, snapshotId, written,
-      removes.toSet)
+      removes.toSet, addFormat = format)
     written.map(_._1)
   }
 
@@ -213,7 +217,8 @@ object IcebergFixture {
       partCols: Seq[String], snapshotId: Long,
       added0: Seq[(String, Map[String, String], Long, Long)],
       removePaths: Set[String],
-      deleteAdds: Seq[DeleteSpec] = Nil): Unit = {
+      deleteAdds: Seq[DeleteSpec] = Nil,
+      addFormat: String = "parquet"): Unit = {
     val root = Paths.get(tableDir)
     val metaDir = root.resolve("metadata")
     Files.createDirectories(metaDir)
@@ -232,7 +237,7 @@ object IcebergFixture {
     val pSchema = dfSchema.getField("partition").schema()
     def entry(status: Int, path: String, pv: Map[String, String], n: Long,
               size: Long, seq: Option[Long] = None, content: Int = 0,
-              eqIds: Seq[Int] = Nil): GenericRecord = {
+              eqIds: Seq[Int] = Nil, fmt: String = "parquet"): GenericRecord = {
       val e = new GenericData.Record(mSchema)
       e.put("status", status)
       e.put("snapshot_id", snapshotId)
@@ -240,7 +245,7 @@ object IcebergFixture {
       val d = new GenericData.Record(dfSchema)
       d.put("content", content)
       d.put("file_path", path)
-      d.put("file_format", "PARQUET")
+      d.put("file_format", fmt.toUpperCase)
       val p = new GenericData.Record(pSchema)
       partCols.foreach { c =>
         val v = pv.get(c).orNull
@@ -266,10 +271,10 @@ object IcebergFixture {
     // here would make every 2+-snapshot table miscount in real engines)
     val carried = prev.toSeq.flatMap(_.files).map { f =>
       entry(if (removePaths.contains(f.path)) 2 else 0, f.path, f.partitionValues,
-        f.recordCount, f.size, seq = Some(f.seq))
+        f.recordCount, f.size, seq = Some(f.seq), fmt = f.format)
     }
     val added = written.map { case (p, pv, n, size) =>
-      entry(1, p, pv, n, size)
+      entry(1, p, pv, n, size, fmt = addFormat)
     }
     // per-attempt unique side-file names: a racing writer must never
     // overwrite the winner's manifests before losing the metadata CAS

@@ -59,7 +59,8 @@ import org.apache.spark.sql.types._
 object IcebergRead {
 
   final case class DataFile(path: String, partitionValues: Map[String, String],
-                            size: Long, recordCount: Long, seq: Long = 0L)
+                            size: Long, recordCount: Long, seq: Long = 0L,
+                            format: String = "parquet")
 
   /** A live v2 delete file: position (`file_path`+`pos` parquet rows) or
     * equality (rows over the `equalityIds` columns). */
@@ -147,9 +148,18 @@ object IcebergRead {
 
   private def readSnap(spark: SparkSession, snap: Snapshot): DataFrame = {
     val idx = new IcebergFileIndex(spark, snap)
+    // one FileFormat per snapshot: mixed-format snapshots (legal in the
+    // spec, rare in practice) are rejected loudly rather than mis-read
+    val fmts = snap.files.map(_.format).distinct
+    require(fmts.size <= 1,
+      s"mixed data-file formats in one snapshot are not supported: $fmts")
+    val fileFormat: org.apache.spark.sql.execution.datasources.FileFormat =
+      if (fmts.headOption.contains("orc"))
+        new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
+      else new ParquetFileFormat()
     // data files CONTAIN partition columns → no Spark-side partition schema
     val rel = HadoopFsRelation(idx, new StructType(), snap.schema, None,
-      new ParquetFileFormat(), Map.empty[String, String])(spark)
+      fileFormat, Map.empty[String, String])(spark)
     val base = spark.baseRelationToDataFrame(rel)
     if (snap.deletes.isEmpty) base
     else applyDeletes(spark, snap, base)
@@ -330,8 +340,9 @@ object IcebergRead {
           // EXISTING (carried) entries carry their original explicitly
           val eSeq = longField(e, "sequence_number").getOrElse(mSeq)
           val fContent = intField(df, "content").getOrElse(0)
-          val fmt = df.get("file_format").toString
-          require(fmt.equalsIgnoreCase("parquet"), s"unsupported file_format $fmt")
+          val fmt = df.get("file_format").toString.toLowerCase
+          require(fmt == "parquet" || (fmt == "orc" && content == 0),
+            s"unsupported file_format $fmt (parquet everywhere, orc for data files)")
           val path = resolve(tableDir, df.get("file_path").toString).toString
           val size = longField(df, "file_size_in_bytes").getOrElse(0L)
           val rc = longField(df, "record_count").getOrElse(0L)
@@ -345,7 +356,7 @@ object IcebergRead {
                 }.toMap
               case _ => Map.empty[String, String]
             }
-            live += DataFile(path, pv, size, rc, eSeq)
+            live += DataFile(path, pv, size, rc, eSeq, fmt)
           } else {
             require(fContent == 1 || fContent == 2,
               s"delete manifest entry with content=$fContent (want 1=position, 2=equality)")

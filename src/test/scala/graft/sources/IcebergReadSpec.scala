@@ -84,6 +84,22 @@ class IcebergReadSpec extends SparkSpec {
     assert(back.select(explode($"tags")).count() == 3)
   }
 
+  test("ORC data files read through the same snapshot machinery; mixed formats reject") {
+    val tbl = Files.createTempDirectory("graft_ice_orc").resolve("t").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    IcebergFixture.snapshot(spark, tbl, df.schema, Nil, 1L,
+      Seq(Map.empty[String, String] -> df), format = "orc")
+    val snap = IcebergRead.snapshot(tbl)
+    assert(snap.files.nonEmpty && snap.files.forall(_.format == "orc"))
+    assert(IcebergRead.read(spark, tbl).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // a parquet snapshot stacked on top makes the head MIXED → loud
+    IcebergFixture.snapshot(spark, tbl, df.schema, Nil, 2L,
+      Seq(Map.empty[String, String] -> Seq((3L, "c")).toDF("id", "v")))
+    val e = intercept[IllegalArgumentException] { IcebergRead.read(spark, tbl) }
+    assert(e.getMessage.contains("mixed"))
+  }
+
   test("unknown nested type kinds are rejected, not silently mis-read") {
     val (tbl, _) = fixture()
     val metaDir = Paths.get(tbl, "metadata")
