@@ -196,7 +196,15 @@ object GeoQueries {
     // cell the candidate set is O(ring occupancy), not O(N).
     Q("geo_knn",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        // top-5 via graft.expr.TopKPairs (bounded-heap aggregate), NOT a
+        // row_number window: the window plan shuffles AND sorts every
+        // ring-join candidate (~590M rows at sf30 — the sort spilled and
+        // the sf10→sf30 wall ratio drifted to 4.6× for 3× data). The
+        // aggregate's partial step reduces each map task to ≤5 rows per
+        // local probe key before the exchange, so the shuffle carries
+        // O(probes × 5) rows regardless of candidate volume — the 100 TB
+        // top-k shape. (ord, payload) = (dd, pk): exact integer md², ties
+        // on pk — the identical (dd, pk) ordering the oracle's window uses.
         val cell = adaptiveCell(rd(s, dir, "customer").count())
         val pts = withCells(withCoords(rd(s, dir, "customer"), "c_custkey"), cell)
           .select(col("c_custkey").as("pk"), col("lat_md"), col("lon_md"),
@@ -206,17 +214,18 @@ object GeoQueries {
           .select(col("pk").as("qk"), col("lat_md").as("qlat"),
             col("lon_md").as("qlon"), col("cla"), col("clo")))
           .select("qk", "qlat", "qlon", "jla", "jlo")
-        val w = Window.partitionBy("qk").orderBy(col("dd"), col("pk"))
         probes.as("q")
           .join(pts.as("p"),
             col("q.jla") === col("p.cla") && col("q.jlo") === col("p.clo"))
           .filter(col("pk") =!= col("qk"))
           .withColumn("dd",
             d2(col("qlat"), col("qlon"), col("lat_md"), col("lon_md")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select(col("qk").as("probe_key"), col("rn").cast("long").as("rn"),
-            col("pk").as("neighbor_key"), col("dd").as("d2"))
+          .groupBy(col("qk"))
+          .agg(graft.expr.TopKPairs.topKPairs(
+            struct(col("dd"), col("pk")), 5).as("top"))
+          .select(col("qk"), posexplode(col("top")))
+          .select(col("qk").as("probe_key"), (col("pos") + 1L).as("rn"),
+            col("col.payload").as("neighbor_key"), col("col.ord").as("d2"))
           .orderBy("probe_key", "rn")
       },
       Some(s"""WITH g AS (
