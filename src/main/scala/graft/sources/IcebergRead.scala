@@ -146,7 +146,23 @@ object IcebergRead {
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readSnap(spark, snapshot(tableDir))
 
-  private def readSnap(spark: SparkSession, snap: Snapshot): DataFrame = {
+  private def readSnap(spark: SparkSession, snap: Snapshot): DataFrame =
+    if (snap.deletes.isEmpty) scanRelation(spark, snap, withPositions = false)
+    else readWithPositions(spark, snap).drop("__fp", "__ri")
+      .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+
+  /** The snapshot scan with `__fp` (qualified path) / `__ri` (physical
+    * row index) columns and row-level deletes applied — the
+    * position channel [[IcebergWrite.deleteWhere]] builds on. */
+  private[sources] def readWithPositions(spark: SparkSession,
+                                         snap: Snapshot): DataFrame = {
+    val base = scanRelation(spark, snap, withPositions = true)
+    if (snap.deletes.isEmpty) base else applyDeletes(spark, snap, base)
+  }
+
+  private def scanRelation(spark: SparkSession, snap: Snapshot,
+                           withPositions: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
     val idx = new IcebergFileIndex(spark, snap)
     // one FileFormat per snapshot: mixed-format snapshots (legal in the
     // spec, rare in practice) are rejected loudly rather than mis-read
@@ -161,14 +177,14 @@ object IcebergRead {
     val rel = HadoopFsRelation(idx, new StructType(), snap.schema, None,
       fileFormat, Map.empty[String, String])(spark)
     val base = spark.baseRelationToDataFrame(rel)
-    if (snap.deletes.isEmpty) base
-    else applyDeletes(spark, snap, base)
-      .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    if (!withPositions) base
+    else base.withColumn("__fp", col("_metadata.file_path"))
+      .withColumn("__ri", col("_metadata.row_index"))
   }
 
   /** The qualified scan path `_metadata.file_path` reports for `abs` —
     * scheme + percent-encoded path (see [[DeltaRead.scanPathForm]]). */
-  private def qualifiedPath(spark: SparkSession, abs: String): String = {
+  private[sources] def qualifiedPath(spark: SparkSession, abs: String): String = {
     val hPath = new org.apache.hadoop.fs.Path(Paths.get(abs).toUri)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     DeltaRead.scanPathForm(fs.makeQualified(hPath))
@@ -188,9 +204,7 @@ object IcebergRead {
     val BroadcastRows = 10_000_000L
     val qual: Map[String, String] =
       snap.files.map(f => f.path -> qualifiedPath(spark, f.path)).toMap
-    var cur = base
-      .withColumn("__fp", col("_metadata.file_path"))
-      .withColumn("__ri", col("_metadata.row_index"))
+    var cur = base // arrives WITH __fp/__ri (scanRelation withPositions)
 
     val pos = snap.deletes.filterNot(_.isEquality)
     if (pos.nonEmpty) {
@@ -227,7 +241,7 @@ object IcebergRead {
         .join(build, cond, "left_anti")
         .drop("__sq_fp", "__data_seq")
     }
-    cur.drop("__fp", "__ri")
+    cur // positions retained; readSnap drops them
   }
 
   /** Files a scan filtered to `col -> allowed values` must touch — the

@@ -108,6 +108,60 @@ object IcebergWrite {
     snapshotId
   }
 
+  /** Merge-on-read DELETE via v2 POSITION-delete files: rows matching
+    * `condition` are suppressed without rewriting any data file — the
+    * next snapshot carries a content=1 delete manifest naming a
+    * `file_path`/`pos` parquet, exactly the spec's copy-free delete.
+    *
+    * Scale shape, mirroring [[DeltaWrite.deleteWhere]]: matching
+    * (file, position) pairs come from the DISTRIBUTED scan (physical
+    * positions via `_metadata.row_index`, existing deletes pre-applied so
+    * re-deletes accumulate instead of resurrect), and the delete parquet
+    * is written by the cluster — the driver never materializes deleted
+    * positions, only the file metadata for the commit.
+    *
+    * Returns the committed snapshot id (head unchanged when nothing
+    * matched — an empty DELETE is a no-op, not an empty snapshot). */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                  condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = IcebergRead.snapshot(tableDir)
+    // reverse map: qualified scan path → the manifest's absolute path
+    // (delete files reference data files by their manifest path form)
+    val toAbs: Map[String, String] =
+      snap.files.map(f => IcebergRead.qualifiedPath(spark, f.path) -> f.path).toMap
+    val absLk = {
+      import spark.implicits._
+      toAbs.toSeq.toDF("__q", "file_path")
+    }
+    val matches = IcebergRead.readWithPositions(spark, snap)
+      .filter(condition)
+      .join(org.apache.spark.sql.functions.broadcast(absLk),
+        col("__fp") === col("__q"))
+      .select(col("file_path"), col("__ri").as("pos"))
+    val n = matches.count()
+    if (n == 0L) return snap.snapshotId
+
+    val snapshotId = snap.snapshotId + 1
+    val root = Paths.get(tableDir)
+    val target = root.resolve(f"data/delete-$snapshotId%05d-pos.parquet")
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempDirectory("graft_ice_delw").toString
+    // spec recommendation: sort position deletes by (file_path, pos) so
+    // readers can merge-scan them
+    matches.orderBy("file_path", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = listParquet(Paths.get(tmp)).head
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(Paths.get(tmp))
+
+    IcebergFixture.commitSnapshot(tableDir, snap.schema,
+      snap.identityPartitionCols, snapshotId, Nil, Set.empty,
+      Seq(IcebergFixture.DeleteSpec(target.toString, isEquality = false, Nil,
+        n, Files.size(target))))
+    snapshotId
+  }
+
   private def rowCount(conf: org.apache.hadoop.conf.Configuration,
                        file: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader

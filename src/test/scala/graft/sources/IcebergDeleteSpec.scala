@@ -72,6 +72,28 @@ class IcebergDeleteSpec extends SparkSpec {
       phys - snap.deletes.map(_.recordCount).sum)
   }
 
+  test("IcebergWrite.deleteWhere: distributed MoR delete; re-delete accumulates") {
+    val t = tbl()
+    IcebergWrite.write(spark.range(0, 100, 1, 2).select($"id"), t)
+    val files0 = IcebergRead.snapshot(t).files.map(_.path).toSet
+    val v = IcebergWrite.deleteWhere(spark, t, col("id") < 10)
+    assert(v == 2L)
+    val snap = IcebergRead.snapshot(t)
+    assert(snap.files.map(_.path).toSet == files0,
+      "MoR delete must not rewrite or drop data files")
+    assert(snap.deletes.size == 1 && !snap.deletes.head.isEquality)
+    assert(IcebergRead.read(spark, t).count() == 90L)
+    // overlapping re-delete: both delete files stay live, union semantics
+    IcebergWrite.deleteWhere(spark, t, col("id") < 20)
+    assert(IcebergRead.read(spark, t).count() == 80L)
+    assert(IcebergRead.read(spark, t).agg(min(col("id"))).head().getLong(0) == 20L)
+    // empty delete is a no-op, not an empty snapshot
+    assert(IcebergWrite.deleteWhere(spark, t, col("id") > 5000) == 3L)
+    // appends after deletes coexist (delete files carried forward)
+    IcebergWrite.write(spark.range(1000, 1010).select($"id"), t)
+    assert(IcebergRead.read(spark, t).count() == 90L)
+  }
+
   test("mixed equality_ids sets are rejected loudly") {
     val (t, _) = seeded()
     IcebergFixture.equalityDeleteSnapshot(spark, t, 2L, Seq("id"),
