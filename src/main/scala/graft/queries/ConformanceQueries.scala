@@ -843,6 +843,45 @@ object ConformanceQueries {
              |FROM customer WHERE c_custkey % 2 = 0
              |   OR c_mktsegment IN ('AUTOMOBILE', 'BUILDING')""".stripMargin)),
 
+    // DELTA INCREMENTAL READ: the batch consume-new-data half of a CDC
+    // pipeline over an append-only table — readAppends((from, to]) must
+    // return EXACTLY the rows the version range added (partition values
+    // restored from the log), the shape a catch-up/backfill job needs
+    // when the streaming tail (streaming_delta_tail) was down. The
+    // oracle recomputes commits 1..2's row sets from `orders` directly,
+    // so a range that leaks v0 rows (off-by-one on `from`) or drops a
+    // partition tuple goes red on values.
+    Q("delta_incremental_read",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        val wh = DvQueries.tmpWarehouse("graft_delta_incr")
+        val tbl = s"$wh/orders_incr"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl,
+          Seq("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW")), tbl)
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority") === "2-HIGH" && col("o_orderkey") % 3 === 0), tbl)
+        val emptyOk = DeltaRead.readAppends(s, tbl, 2, 2).isEmpty
+        DeltaRead.readAppends(s, tbl, 0, 2)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("empty_range_ok", lit(emptyOk))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS empty_range_ok
+             |FROM orders
+             |WHERE o_orderkey % 2 = 1
+             |  AND (o_orderpriority IN ('1-URGENT', '5-LOW')
+             |       OR (o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0))
+             |GROUP BY 1""".stripMargin)),
+
     // ICEBERG READ INTEROP: the other open table format a real corpus
     // lives in (sources/IcebergRead — versioned metadata JSON + avro
     // manifest parsing per the published Iceberg Table Spec; no Iceberg

@@ -115,6 +115,64 @@ object DeltaRead {
       .select(snap.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
+  /** Batch INCREMENTAL read: the rows appended in versions
+    * `(fromVersion, toVersion]` — the consume-new-data half of a CDC
+    * pipeline for append-only tables ([[graft.streaming.DeltaTail]] is
+    * the streaming sibling; this is the catch-up/backfill form). Each
+    * commit's add actions resolve to one distributed parquet read per
+    * partition tuple with the log's partition values restored. A commit
+    * in the range that REMOVES files or adds deletion vectors fails
+    * loudly — "the appends since v" is not well-defined across a
+    * rewrite, and silently returning them would double-count. */
+  def readAppends(spark: SparkSession, tableDir: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion <= toVersion,
+      s"readAppends: fromVersion $fromVersion > toVersion $toVersion")
+    val snap = snapshotAt(tableDir, toVersion)
+    val logDir = Paths.get(tableDir, "_delta_log")
+    val adds = scala.collection.mutable.ArrayBuffer[(String, Map[String, String])]()
+    val toLogical: Map[String, String] = snap.columnMapping.map(_.swap)
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val f = logDir.resolve(f"$v%020d.json")
+      require(Files.exists(f),
+        s"commit $v of $tableDir is missing — cannot enumerate its appends")
+      Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).foreach { l =>
+          val node = mapper.readTree(l)
+          require(!node.has("remove"),
+            s"readAppends: version $v carries a remove action (overwrite/delete) — " +
+              "appends-since is not well-defined across a rewrite")
+          if (node.has("add")) {
+            val a = node.get("add")
+            require(!a.has("deletionVector") || a.get("deletionVector").isNull,
+              s"readAppends: version $v adds a deletion vector")
+            val pv = Option(a.get("partitionValues")).map { o =>
+              o.fieldNames().asScala.map(k =>
+                toLogical.getOrElse(k, k) ->
+                  (if (o.get(k).isNull) null else o.get(k).asText())).toMap
+            }.getOrElse(Map.empty[String, String])
+            adds += ((decodePath(a.get("path").asText), pv))
+          }
+        }
+    }
+    val root = Paths.get(tableDir)
+    def phys(n: String): String = snap.columnMapping.getOrElse(n, n)
+    val physData = StructType(snap.dataSchema.fields.map(f => f.copy(name = phys(f.name))))
+    if (adds.isEmpty) {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        snap.schema)
+    }
+    adds.groupBy(_._2).map { case (pv, fs) =>
+      val base = spark.read.schema(physData)
+        .parquet(fs.map(f => root.resolve(f._1).toString).toSeq: _*)
+        .select(snap.dataSchema.fields.toSeq.map(f => col(phys(f.name)).as(f.name)): _*)
+      snap.partitionColumns.foldLeft(base)((d, c) =>
+        d.withColumn(c, lit(pv.get(c).orNull).cast(snap.schema(c).dataType)))
+    }.reduce(_ unionByName _)
+      .select(snap.schema.fieldNames.map(col).toSeq: _*)
+  }
+
   private def snapshotImpl(tableDir: String, asOf: Option[Long]): Snapshot = {
     val logDir = Paths.get(tableDir, "_delta_log")
     require(Files.isDirectory(logDir), s"$tableDir has no _delta_log — not a Delta table")

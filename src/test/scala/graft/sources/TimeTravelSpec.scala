@@ -46,6 +46,27 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("version 0"))
   }
 
+  test("Delta readAppends: exactly the version range's rows; rewrites fail loudly") {
+    val t = tbl("graft_tt_appends")
+    DeltaWrite.write(spark.range(0, 10).select($"id"), t)   // v0
+    DeltaWrite.write(spark.range(10, 20).select($"id"), t)  // v1
+    DeltaWrite.write(spark.range(20, 25).select($"id"), t)  // v2
+    def ids(from: Long, to: Long): Set[Long] =
+      DeltaRead.readAppends(spark, t, from, to).as[Long].collect().toSet
+    assert(ids(0, 2) == (10L until 25L).toSet)
+    assert(ids(1, 2) == (20L until 25L).toSet)
+    assert(ids(2, 2) == Set.empty[Long])
+    DeltaWrite.deleteWhere(spark, t, col("id") < 5)          // v3: DV
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.readAppends(spark, t, 0, 3)
+    }
+    // the DV commit carries remove+re-add actions; either guard is loud
+    assert(e.getMessage.contains("remove action") ||
+      e.getMessage.contains("deletion vector"))
+    // ranges before the rewrite stay readable
+    assert(ids(0, 2).size == 15)
+  }
+
   test("Iceberg: snapshots resolve by id; expired ids fail loudly") {
     val t = tbl("graft_tt_ice")
     IcebergWrite.write(spark.range(0, 10).select($"id"), t)               // s1
