@@ -1039,12 +1039,17 @@ object SimQueries {
         val lam = 0.3
         val b = daily.select(col("event_type").as("et2"), col("t").as("t2"),
           col("n").as("n2"))
-        val w = when(col("t2") === 0, pow(lit(1 - lam), col("t")))
-          .otherwise(lit(lam) * pow(lit(1 - lam), col("t") - col("t2")))
+        // sequential t2-ordered fold, not sum() — see ewma_control_chart
+        // (order-dependent double summation flipped a rounding boundary)
         val ewma = daily.join(b,
             col("event_type") === col("et2") && col("t2") <= col("t"))
           .groupBy(col("event_type"), col("day"), col("t"), col("n"))
-          .agg(round(sum(col("n2") * w), 4).as("ewma"))
+          .agg(array_sort(collect_list(struct(col("t2"), col("n2")))).as("terms"))
+          .withColumn("ewma", round(expr(
+            """aggregate(terms, 0D, (acc, e) -> acc + e.n2 *
+              |  (CASE WHEN e.t2 = 0 THEN pow(0.7, t)
+              |        ELSE 0.3 * pow(0.7, t - e.t2) END))""".stripMargin), 4))
+          .drop("terms")
         val sig = daily.groupBy("event_type")
           .agg(stddev_pop(col("n")).as("sigma"))
         val infl = sqrt(lit(lam / (2 - lam)) *
@@ -1091,13 +1096,18 @@ object SimQueries {
              |    abs(coalesce(round(0.6745 * (d.n - d.med)
              |      / nullif(a.mad, 0.0), 4), 0.0)) > 2.0 AS flag_mad
              |  FROM dev d JOIN mad a USING (event_type)),
-             |ew AS (
+             |ewt AS (
              |  SELECT a.event_type, a.day, a.t, a.n,
-             |    round(sum(b.n * CASE WHEN b.t = 0 THEN pow(0.7, a.t)
-             |      ELSE 0.3 * pow(0.7, a.t - b.t) END), 4) AS ewma
+             |    list(ROW(b.t, b.n) ORDER BY b.t) AS terms
              |  FROM daily a JOIN daily b
              |    ON a.event_type = b.event_type AND b.t <= a.t
              |  GROUP BY 1, 2, 3, 4),
+             |ew AS (
+             |  SELECT event_type, day, t, n,
+             |    round(list_sum(list_transform(terms, e ->
+             |      e[2] * CASE WHEN e[1] = 0 THEN pow(0.7, t)
+             |        ELSE 0.3 * pow(0.7, t - e[1]) END)), 4) AS ewma
+             |  FROM ewt),
              |sig AS (
              |  SELECT event_type, stddev_pop(n) AS sigma FROM daily GROUP BY 1),
              |d2 AS (
@@ -1356,13 +1366,22 @@ object SimQueries {
           col("n").as("n2"))
         val lam = 0.3
         // weight of x_{t2} in ewma_t: λ(1-λ)^(t-t2), except the seed term
-        // (t2 = 0) which carries the full (1-λ)^t
-        val w = when(col("t2") === 0, pow(lit(1 - lam), col("t")))
-          .otherwise(lit(lam) * pow(lit(1 - lam), col("t") - col("t2")))
+        // (t2 = 0) which carries the full (1-λ)^t. The weighted sum runs
+        // as a SEQUENTIAL fold over the t2-sorted terms (identical order
+        // on both engines — the cosine-similarity convention) instead of
+        // sum(): distributive double summation is order-dependent under
+        // partial aggregation, and one row's true value sat within a ulp
+        // of the 1e-4 rounding boundary — the compare flipped with the
+        // session's partitioning (caught round 12).
         val ewma = daily.join(b,
             col("event_type") === col("et2") && col("t2") <= col("t"))
           .groupBy(col("event_type"), col("day"), col("t"), col("n"))
-          .agg(round(sum(col("n2") * w), 4).as("ewma"))
+          .agg(array_sort(collect_list(struct(col("t2"), col("n2")))).as("terms"))
+          .withColumn("ewma", round(expr(
+            """aggregate(terms, 0D, (acc, e) -> acc + e.n2 *
+              |  (CASE WHEN e.t2 = 0 THEN pow(0.7, t)
+              |        ELSE 0.3 * pow(0.7, t - e.t2) END))""".stripMargin), 4))
+          .drop("terms")
         val stats = daily.groupBy("event_type")
           .agg(stddev_pop(col("n")).as("sigma"))
         ewma.join(broadcast(stats), Seq("event_type"))
@@ -1381,13 +1400,18 @@ object SimQueries {
              |    cast(count(*) AS BIGINT) AS n,
              |    date_diff('day', DATE '2024-01-01', cast(ts AS DATE)) AS t
              |  FROM events GROUP BY 1, 2),
-             |ew AS (
+             |ewt AS (
              |  SELECT a.event_type, a.day, a.t, a.n,
-             |    round(sum(b.n * CASE WHEN b.t = 0 THEN pow(0.7, a.t)
-             |      ELSE 0.3 * pow(0.7, a.t - b.t) END), 4) AS ewma
+             |    list(ROW(b.t, b.n) ORDER BY b.t) AS terms
              |  FROM daily a JOIN daily b
              |    ON a.event_type = b.event_type AND b.t <= a.t
              |  GROUP BY 1, 2, 3, 4),
+             |ew AS (
+             |  SELECT event_type, day, t, n,
+             |    round(list_sum(list_transform(terms, e ->
+             |      e[2] * CASE WHEN e[1] = 0 THEN pow(0.7, t)
+             |        ELSE 0.3 * pow(0.7, t - e[1]) END)), 4) AS ewma
+             |  FROM ewt),
              |st AS (
              |  SELECT event_type, stddev_pop(n) AS sigma
              |  FROM daily GROUP BY 1)
