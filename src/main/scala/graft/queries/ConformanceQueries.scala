@@ -882,6 +882,63 @@ object ConformanceQueries {
              |       OR (o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0))
              |GROUP BY 1""".stripMargin)),
 
+    // DELTA CHANGE DATA FEED: row-level change capture over the interop
+    // seam (PROTOCOL.md §Add CDC File). 3-commit history from `orders`:
+    // v0 appends evens, v1 appends odd URGENT/LOW, v2 deletes the whole
+    // 5-LOW partition THROUGH A CDC COMMIT the fixture authors — cdc
+    // files under _change_data/ carry the deleted rows + _change_type,
+    // and the reader must treat them as the commit's authoritative
+    // change set while synthesizing insert changes for the cdc-less
+    // v0/v1 from their add actions. The oracle recomputes each
+    // (version, change_type) group from `orders`; the boolean pins the
+    // insert−delete row-count identity against the head read.
+    Q("delta_change_feed",
+      (s, dir) => {
+        import graft.sources.{DeltaFixture, DeltaRead, DeltaWrite}
+        val wh = DvQueries.tmpWarehouse("graft_delta_cdf")
+        val tbl = s"$wh/orders_cdf"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl,
+          Seq("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW")), tbl)
+        val snap = DeltaRead.snapshot(tbl)
+        val lowFiles = DeltaRead.candidateFiles(snap,
+          Map("o_orderpriority" -> Set("5-LOW"))).map(_.path)
+        // the 5-LOW partition holds evens (v0) + odds (v1) = ALL 5-LOW rows
+        val lowRows = o.filter(col("o_orderpriority") === "5-LOW")
+          .withColumn("_change_type", lit("delete"))
+        DeltaFixture.cdcCommit(s, tbl, 2L, Seq("o_orderpriority"),
+          cdc = Seq(Map("o_orderpriority" -> "5-LOW") -> lowRows),
+          removes = lowFiles)
+        val feed = DeltaRead.readChangeFeed(s, tbl, -1, 2)
+        val inserts = feed.filter(col("_change_type") === "insert").count()
+        val deletes = feed.filter(col("_change_type") === "delete").count()
+        val headOk = DeltaRead.read(s, tbl).count() == inserts - deletes
+        feed.groupBy(col("_commit_version").as("commit_version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .withColumn("head_consistent", lit(headOk))
+      },
+      Some("""SELECT 0 AS commit_version, 'insert' AS change_type,
+             |  cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS cents, TRUE AS head_consistent
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT 1, 'insert', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |  AND o_orderpriority IN ('1-URGENT', '5-LOW')
+             |UNION ALL
+             |SELECT 2, 'delete', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin)),
+
     // ICEBERG READ INTEROP: the other open table format a real corpus
     // lives in (sources/IcebergRead — versioned metadata JSON + avro
     // manifest parsing per the published Iceberg Table Spec; no Iceberg

@@ -94,6 +94,73 @@ object DeltaFixture {
     written
   }
 
+  /** Append one commit whose row-level changes are described by CDC
+    * files (PROTOCOL.md §Add CDC File): `cdc` rows carry the data
+    * columns + `_change_type` and land under `_change_data/`, recorded
+    * as `cdc` actions (dataChange=false — they are DESCRIPTIVE; the
+    * table state change itself is the removes/adds also committed here).
+    * A CDF reader must treat the cdc files as the commit's authoritative
+    * change set and ignore the adds/removes. */
+  def cdcCommit(spark: SparkSession, tableDir: String, version: Long,
+                partCols: Seq[String],
+                cdc: Seq[(Map[String, String], DataFrame)],
+                removes: Seq[String] = Nil,
+                adds: Seq[(Map[String, String], DataFrame)] = Nil): Unit = {
+    val root = Paths.get(tableDir)
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    def writeOne(rows: DataFrame, rel: String, dropPart: Boolean): Long = {
+      val target = root.resolve(rel)
+      Files.createDirectories(target.getParent)
+      val tmp = Files.createTempDirectory("graft_delta_cdc").toString
+      val cols = rows.columns.filterNot(c => dropPart && partCols.contains(c))
+      rows.select(cols.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.size(target)
+    }
+    cdc.zipWithIndex.foreach { case ((pv, rows), i) =>
+      require(rows.columns.contains("_change_type"),
+        "cdc rows must carry a _change_type column")
+      val rel = f"_change_data/cdc-$version%05d-$i%03d.parquet"
+      val size = writeOne(rows, rel, dropPart = true)
+      val n = mapper.createObjectNode()
+      val c = n.putObject("cdc")
+      c.put("path", pathEnc(rel))
+      val pvn = c.putObject("partitionValues")
+      pv.foreach { case (k, v) => pvn.put(k, v) }
+      c.put("size", size)
+      c.put("dataChange", false)
+      lines += mapper.writeValueAsString(n)
+    }
+    adds.zipWithIndex.foreach { case ((pv, rows), i) =>
+      val rel = pathFor(partCols, pv, version, i)
+      val size = writeOne(rows, rel, dropPart = true)
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", pathEnc(rel))
+      val pvn = add.putObject("partitionValues")
+      pv.foreach { case (k, v) => pvn.put(k, v) }
+      add.put("size", size)
+      add.put("modificationTime", 0L)
+      add.put("dataChange", true)
+      lines += mapper.writeValueAsString(n)
+    }
+    removes.foreach { rel =>
+      val n = mapper.createObjectNode()
+      val rm = n.putObject("remove")
+      rm.put("path", pathEnc(rel))
+      rm.put("deletionTimestamp", 0L)
+      rm.put("dataChange", true)
+      lines += mapper.writeValueAsString(n)
+    }
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Append one commit to a NAME-mode column-mapped table (the layout a
     * modern Databricks writer produces by default): schemaString fields
     * carry `delta.columnMapping.id`/`physicalName` metadata, data files

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 /** Read-path interop for Delta Lake tables — open-spec `_delta_log`
   * parsing, no Delta library and no write path.
@@ -171,6 +171,108 @@ object DeltaRead {
         d.withColumn(c, lit(pv.get(c).orNull).cast(snap.schema(c).dataType)))
     }.reduce(_ unionByName _)
       .select(snap.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Change Data Feed read: every row-level change committed in versions
+    * `(fromVersion, toVersion]`, with the protocol's CDF columns
+    * `_change_type` (insert / delete / update_preimage /
+    * update_postimage) and `_commit_version`.
+    *
+    * Per PROTOCOL.md §Change Data Files: a commit that wrote `cdc`
+    * actions describes its changes EXCLUSIVELY through them (the
+    * `_change_data/` files carry the data columns + `_change_type`);
+    * a commit without cdc actions synthesizes changes from its
+    * add/remove actions — adds are inserts, removes are deletes read
+    * back from the (still-present, pre-vacuum) removed file. A DV
+    * commit without cdc actions is rejected loudly — the suppressed
+    * rows cannot be reconstructed from the log alone. */
+  def readChangeFeed(spark: SparkSession, tableDir: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion <= toVersion,
+      s"readChangeFeed: fromVersion $fromVersion > toVersion $toVersion")
+    val snap = snapshotAt(tableDir, toVersion)
+    val logDir = Paths.get(tableDir, "_delta_log")
+    val root = Paths.get(tableDir)
+    // remove actions carry no partitionValues — track each live file's
+    // tuple through a forward replay so a synthesized delete can restore
+    // them (fromVersion = -1 reads the feed from table creation)
+    val pvByPath = scala.collection.mutable.Map[String, Map[String, String]]()
+    if (fromVersion >= 0)
+      snapshotAt(tableDir, fromVersion).files
+        .foreach(f => pvByPath(f.path) = f.partitionValues)
+    val toLogical: Map[String, String] = snap.columnMapping.map(_.swap)
+    def phys(n: String): String = snap.columnMapping.getOrElse(n, n)
+    val physData = StructType(snap.dataSchema.fields.map(f => f.copy(name = phys(f.name))))
+    val physCdc = StructType(physData.fields :+ StructField("_change_type", StringType))
+
+    def parsePv(a: JsonNode): Map[String, String] =
+      Option(a.get("partitionValues")).map { o =>
+        o.fieldNames().asScala.map(k =>
+          toLogical.getOrElse(k, k) ->
+            (if (o.get(k).isNull) null else o.get(k).asText())).toMap
+      }.getOrElse(Map.empty[String, String])
+
+    // (path, pv, changeTypeOrNull) groups per version; null changeType =
+    // a cdc file carrying its own _change_type column
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val f = logDir.resolve(f"$v%020d.json")
+      require(Files.exists(f),
+        s"commit $v of $tableDir is missing — cannot enumerate its changes")
+      val nodes = Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).map(mapper.readTree)
+      val cdcs = nodes.flatMap(n => Option(n.get("cdc")))
+      def buildFrames(files: Seq[(String, Map[String, String])],
+                      schema: StructType, changeType: Option[String]): Seq[DataFrame] =
+        files.groupBy(_._2).map { case (pv, fs) =>
+          val base = spark.read.schema(schema)
+            .parquet(fs.map(x => root.resolve(x._1).toString): _*)
+          val logical = snap.dataSchema.fields.toSeq
+            .map(fd => col(phys(fd.name)).as(fd.name)) ++
+            (if (changeType.isEmpty) Seq(col("_change_type")) else Nil)
+          val withCols = base.select(logical: _*)
+          val withPv = snap.partitionColumns.foldLeft(withCols)((d, c) =>
+            d.withColumn(c, lit(pv.get(c).orNull).cast(snap.schema(c).dataType)))
+          changeType.map(ct => withPv.withColumn("_change_type", lit(ct)))
+            .getOrElse(withPv)
+            .withColumn("_commit_version", lit(v))
+        }.toSeq
+      val adds = nodes.flatMap(n => Option(n.get("add")))
+      val removes = nodes.flatMap(n => Option(n.get("remove")))
+      if (cdcs.nonEmpty) {
+        // cdc actions are authoritative for this commit's changes
+        frames ++= buildFrames(
+          cdcs.map(c => (decodePath(c.get("path").asText), parsePv(c))).toSeq,
+          physCdc, changeType = None)
+      } else {
+        adds.foreach(a => require(
+          !a.has("deletionVector") || a.get("deletionVector").isNull,
+          s"readChangeFeed: version $v adds a deletion vector without cdc " +
+            "actions — its suppressed rows cannot be reconstructed"))
+        frames ++= buildFrames(
+          adds.map(a => (decodePath(a.get("path").asText), parsePv(a))).toSeq,
+          physData, changeType = Some("insert"))
+        frames ++= buildFrames(
+          removes.map { r =>
+            val p = decodePath(r.get("path").asText)
+            (p, pvByPath.getOrElse(p, parsePv(r)))
+          }.toSeq,
+          physData, changeType = Some("delete"))
+      }
+      // keep the live-file tuple map current for later versions' removes
+      adds.foreach(a =>
+        pvByPath(decodePath(a.get("path").asText)) = parsePv(a))
+      removes.foreach(r => pvByPath.remove(decodePath(r.get("path").asText)))
+    }
+    val outSchema = StructType(snap.schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+    if (frames.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        outSchema)
+    else frames.reduce(_ unionByName _)
+      .select(outSchema.fieldNames.map(col).toSeq: _*)
   }
 
   private def snapshotImpl(tableDir: String, asOf: Option[Long]): Snapshot = {
