@@ -300,6 +300,43 @@ object DeltaWrite {
     version
   }
 
+  /** VACUUM: physically delete data files the CURRENT snapshot no longer
+    * references — tombstoned files plus superseded deletion-vector files
+    * (each deleteWhere writes a fresh DV file; the replaced one goes
+    * unreferenced). The log is untouched: tombstones are metadata and
+    * checkpoints retain them per the protocol. After a vacuum,
+    * time-traveling into the removed files fails at scan time — exactly
+    * Delta's own trade (retention here is caller-controlled: run vacuum
+    * only when history older than the head is expendable).
+    * Returns the deleted file count. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, tableDir: String): Int = {
+    val snap = DeltaRead.snapshot(tableDir)
+    val root = Paths.get(tableDir)
+    val liveData = snap.files.map(_.path).toSet
+    val liveDv = snap.files.flatMap(_.deletionVector)
+      .filter(_.storageType == "u")
+      .map(d => DeletionVectors.relativePathOf(d.pathOrInlineDv)).toSet
+    var removed = 0
+    // tombstoned data files (not re-added since — the replay guarantees
+    // a path is never both live and tombstoned)
+    snap.tombstones.foreach { t =>
+      if (!liveData.contains(t.path) &&
+        Files.deleteIfExists(root.resolve(t.path))) removed += 1
+    }
+    // unreferenced DV files: deletion_vector_*.bin at the table root not
+    // named by any live add's descriptor
+    val listing = Files.list(root)
+    try listing.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("deletion_vector_") &&
+        p.getFileName.toString.endsWith(".bin"))
+      .foreach { p =>
+        if (!liveDv.contains(root.relativize(p).toString) &&
+          Files.deleteIfExists(p)) removed += 1
+      }
+    finally listing.close()
+    removed
+  }
+
   /** The protocol's checkpoint row shape (PROTOCOL.md §Checkpoints —
     * "Checkpoint Schema"): one row per action, struct columns named after
     * the action kinds, with the EXACT physical types a conformant engine

@@ -181,6 +181,38 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaRead.read(spark, t).count() == 1000)
   }
 
+  test("vacuum removes tombstoned data files and superseded DV files, head intact") {
+    val t = tbl()
+    // coalesce(1): ONE file per partition, so the second delete provably
+    // supersedes the first file's DV instead of landing in a sibling file
+    DeltaWrite.write(base.coalesce(1), t, Seq("p"))
+    DeltaWrite.write(Seq((10L, "a", "n")).toDF("id", "p", "v"), t,
+      mode = "overwritePartitions")                 // tombstones the a-file
+    DeltaWrite.deleteWhere(spark, t, $"id" === 3L)  // DV #1 on the b-file
+    DeltaWrite.deleteWhere(spark, t, $"id" === 4L)  // DV #2 supersedes it
+    val headBefore = DeltaRead.read(spark, t).as[(Long, String, String)]
+      .collect().toSet
+    val snap = DeltaRead.snapshot(t)
+    val tombPaths = snap.tombstones.map(_.path)
+    assert(tombPaths.nonEmpty)
+    val dvFiles = Files.list(Paths.get(t)).iterator().asScala
+      .count(_.getFileName.toString.startsWith("deletion_vector_"))
+    assert(dvFiles == 2, s"expected 2 DV files before vacuum, got $dvFiles")
+    val removed = DeltaWrite.vacuum(spark, t)
+    assert(removed == tombPaths.size + 1,
+      s"want ${tombPaths.size} tombstoned data files + 1 superseded DV, got $removed")
+    tombPaths.foreach(p => assert(!Files.exists(Paths.get(t).resolve(p)),
+      s"tombstoned $p must be gone"))
+    assert(Files.list(Paths.get(t)).iterator().asScala
+      .count(_.getFileName.toString.startsWith("deletion_vector_")) == 1,
+      "only the CURRENT DV file survives")
+    // head read byte-identical after vacuum
+    assert(DeltaRead.read(spark, t).as[(Long, String, String)]
+      .collect().toSet == headBefore)
+    // idempotent
+    assert(DeltaWrite.vacuum(spark, t) == 0)
+  }
+
   test("interop both ways: DeltaRead reads fixture-authored logs and write-path logs identically") {
     // fixture-authored table appended to by the write path
     val t = tbl()
