@@ -1407,10 +1407,67 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
           .reduce(_ + _)
       }
     }.reduce(_ + _)
-    val compacted = all.withColumn("__zv", zExpr)
-      .repartitionByRange(math.max(1, targetFiles), col("__zv"))
+    // DETERMINISTIC layout: repartitionByRange SAMPLES its boundaries
+    // (RangePartitioner's reservoir seed varies with the RDD id), so two
+    // OPTIMIZE runs over identical data could pack z-quadrants into files
+    // differently and flip downstream pruning counts. Instead: one EXACT
+    // coarse histogram over the top ≤16 z-bits (≤65536 cells — a bounded
+    // map-side-combined aggregate at any scale), equal-count boundaries
+    // from its cumulative sum, and an exact fid→partition route via
+    // precomputed murmur3-representative keys (repartition(P, rep) sends
+    // fid i to partition i with zero collisions). Skew-aware like range
+    // partitioning, but run-invariant.
+    val zdf = all.withColumn("__zv", zExpr)
+    val coarseShift = math.max(0, zBits * n - 16)
+    val cellCol = shiftright(col("__zv"), coarseShift)
+    val hist = zdf.groupBy(cellCol.as("__cell"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__c"))
+      .orderBy(col("__cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val totalRows = hist.map(_._2).sum
+    val t = math.max(1, targetFiles)
+    val boundaries = {
+      val bs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cum = 0L
+      var j = 1
+      var i = 0
+      while (i < hist.length && j < t) {
+        cum += hist(i)._2
+        while (j < t && cum >= math.ceil(j.toDouble * totalRows / t).toLong) {
+          if (i + 1 < hist.length &&
+              (bs.isEmpty || hist(i + 1)._1 > bs.last)) bs += hist(i + 1)._1
+          j += 1
+        }
+        i += 1
+      }
+      bs.toSeq
+    }
+    val parts = boundaries.length + 1
+    val fid = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + (cellCol >= lit(b)).cast("int")
+    }
+    // rep(i) = smallest non-negative int whose murmur3(seed 42) lands in
+    // partition i of `parts` — so repartition(parts, __rep) is an exact
+    // identity partitioner over fid. Found in a few probes per slot.
+    val reps: Array[Int] = {
+      val out = new Array[Int](parts)
+      val found = new Array[Boolean](parts)
+      var left = parts
+      var v = 0
+      while (left > 0) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+        val p = ((h % parts) + parts) % parts
+        if (!found(p)) { found(p) = true; out(p) = v; left -= 1 }
+        v += 1
+      }
+      out
+    }
+    val compacted = zdf
+      .withColumn("__rep",
+        org.apache.spark.sql.functions.element_at(lit(reps), fid + 1))
+      .repartition(parts, col("__rep"))
       .sortWithinPartitions(col("__zv"))
-      .drop("__zv")
+      .drop("__zv", "__rep")
     val added = writeBatch(name, compacted, m.cols)
     val withStats = m.copy(
       stats = m.stats ++ batchStats(name, added, m.statsCols),

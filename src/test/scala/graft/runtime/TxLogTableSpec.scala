@@ -690,6 +690,42 @@ class TxLogTableSpec extends SparkSpec {
     assert(zy < ly, "z-order beats lexicographic on the second dimension")
   }
 
+  test("compactZOrder: layout is run-invariant — 5 rewrites of the same data, identical files") {
+    // Regression guard for the r12 gate flake: repartitionByRange samples
+    // its boundaries (seed varies with the RDD id), so the old plan could
+    // pack z-quadrants differently across runs and flip pruning counts.
+    // The exact-histogram + representative-key route must yield the SAME
+    // per-file [min,max] stats and candidate counts on every run.
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    val rows = (0 until 5000).map(i =>
+      ((i * 2654435761L) % 1024, (i * 40503L) % 1024)) // decorrelated dims
+    def layout(): (Seq[Int], Int, Int) = {
+      val (t, _) = freshStore()
+      t.appendClustered("z", rows.toDF("x", "y"),
+        pmod(hash(col("x"), col("y")), lit(4)), 4)
+      t.setStatsColumns("z", Seq("x", "y"))
+      val (_, after) = t.compactZOrder("z", 16, Seq("x", "y"))
+      t.setStatsColumns("z", Seq("x", "y"))
+      assert(after === 16)
+      // layout fingerprint: candidate-file counts over a sweep of probe
+      // slabs on both dimensions (pure metadata — no Spark jobs). File
+      // names are UUIDs, so counts are the cross-store-comparable signal.
+      val sweep = (0 until 16).flatMap { s =>
+        val (lo, hi) = (s * 64, s * 64 + 63)
+        Seq(t.candidateFiles("z", "x", lo.toString, hi.toString).size,
+          t.candidateFiles("z", "y", lo.toString, hi.toString).size)
+      }
+      (sweep, t.candidateFiles("z", "x", "100", "120").size,
+        t.candidateFiles("z", "y", "100", "120").size)
+    }
+    val first = layout()
+    (1 to 4).foreach { i =>
+      assert(layout() === first, s"run $i produced a different z-layout")
+    }
+    assert(first._2 <= 8 && first._3 <= 8,
+      s"z-order must prune both dims to ≤ half the files, got ${(first._2, first._3)}")
+  }
+
   test("restore: metadata-only undo — old head re-committed, history intact, writes continue") {
     val (t, _) = freshStore()
     t.append("tbl", Seq((1, "good"), (2, "good")).toDF("id", "v"))   // v1
