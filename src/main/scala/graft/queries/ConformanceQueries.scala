@@ -676,6 +676,57 @@ object ConformanceQueries {
              |  AND o_orderkey % 10 <> 0
              |GROUP BY 1""".stripMargin)),
 
+    // DELTA COLUMN MAPPING (id mode): the OTHER mapping mode — tables
+    // converted from Iceberg (or upgraded in place on Databricks) resolve
+    // parquet columns by FIELD ID, not by any name: the fixture's data
+    // files keep their ORIGINAL logical column names and carry parquet
+    // field ids, so physical-NAME matching would project nulls and only
+    // id resolution reads the rows (the boolean pins that the raw files
+    // really are logical-named). Composes with a DV delete and a
+    // checkpoint exactly like the name-mode row.
+    Q("delta_read_column_mapping_id",
+      (s, dir) => {
+        import graft.sources.{DeltaFixture, DeltaRead, DeltaWrite}
+        import java.nio.file.{Files, Paths}
+        val wh = DvQueries.tmpWarehouse("graft_delta_cmid")
+        val tbl = s"$wh/orders_cmid"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val mapping = Map("o_orderkey" -> "col-11a0", "o_custkey" -> "col-2bf3",
+          "o_totalprice" -> "col-3c77", "o_orderpriority" -> "col-4d09")
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        DeltaFixture.commitMappedId(s, tbl, o.schema, Seq("o_orderpriority"), 0L,
+          mapping, prios.map(p => Map("o_orderpriority" -> p) ->
+            o.filter(col("o_orderpriority") === p)))
+        DeltaWrite.deleteWhere(s, tbl, col("o_orderkey") % 10 === 0)
+        DeltaWrite.checkpoint(s, tbl)
+        Files.deleteIfExists(Paths.get(tbl, "_delta_log", f"${0L}%020d.json"))
+        Files.deleteIfExists(Paths.get(tbl, "_delta_log", f"${1L}%020d.json"))
+        val snap = DeltaRead.snapshot(tbl)
+        val logicalNamed = snap.files.headOption.exists { f =>
+          s.read.parquet(Paths.get(tbl).resolve(f.path).toString)
+            .columns.toSet == Set("o_orderkey", "o_custkey", "o_totalprice")
+        }
+        val idMode = snap.fieldIds == Map("o_orderkey" -> 1L, "o_custkey" -> 2L,
+          "o_totalprice" -> 3L, "o_orderpriority" -> 4L)
+        val df = DeltaRead.read(s, tbl)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        df.groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("files_logical_named", lit(logicalNamed))
+          .withColumn("id_mode_survives_checkpoint", lit(idMode))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS files_logical_named, TRUE AS id_mode_survives_checkpoint
+             |FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+             |  AND o_orderkey % 10 <> 0
+             |GROUP BY 1""".stripMargin)),
+
     // DELTA MULTI-PART CHECKPOINT: large production tables checkpoint in
     // parts (`%020d.checkpoint.%010d.%010d.parquet` + a `parts` field in
     // `_last_checkpoint`) so no single file bottlenecks the log. The row
@@ -938,6 +989,97 @@ object ConformanceQueries {
              |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
              |  TRUE
              |FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin)),
+
+    // CDF EMISSION ON THE WRITE PATH: with delta.enableChangeDataFeed=true
+    // (DeltaWrite.setProperties — ALTER TABLE SET TBLPROPERTIES as a
+    // metaData commit), a deleteWhere DV commit persists its deleted rows
+    // under _change_data/ and records cdc actions, so readChangeFeed —
+    // or any conformant engine — serves the commit as changes instead of
+    // rejecting a DV-without-cdc commit. The feed over the full history
+    // composes synthesis (v0's inserts from add actions) with the
+    // graft-authored cdc deletes (v2); the boolean pins head == inserts
+    // − deletes. Oracle recomputes both groups from `orders`.
+    Q("delta_cdf_dv_write",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        val wh = DvQueries.tmpWarehouse("graft_delta_cdfw")
+        val tbl = s"$wh/orders_cdfw"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        DeltaWrite.write(o, tbl, Seq("o_orderpriority"))              // v0
+        DeltaWrite.setProperties(s, tbl,
+          Map("delta.enableChangeDataFeed" -> "true"))                // v1
+        DeltaWrite.deleteWhere(s, tbl, col("o_orderkey") % 7 === 0)   // v2
+        val feed = DeltaRead.readChangeFeed(s, tbl, -1, 2)
+        val inserts = feed.filter(col("_change_type") === "insert").count()
+        val deletes = feed.filter(col("_change_type") === "delete").count()
+        val headOk = DeltaRead.read(s, tbl).count() == inserts - deletes
+        feed.groupBy(col("_commit_version").as("commit_version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .withColumn("head_consistent", lit(headOk))
+      },
+      Some("""SELECT 0 AS commit_version, 'insert' AS change_type,
+             |  cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS cents, TRUE AS head_consistent
+             |FROM orders
+             |UNION ALL
+             |SELECT 2, 'delete', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin)),
+
+    // ICEBERG MANIFEST COLUMN-BOUNDS SKIPPING: the second scan-economy
+    // channel beside identity-partition pruning — manifests carry
+    // per-field-id lower_bounds/upper_bounds (single-value binary
+    // serialization, Table Spec Appendix D) that IcebergFileIndex tests
+    // against the pushed data predicates through the SAME StatsSkip
+    // arithmetic Delta's add.stats uses. Fixture: an UNPARTITIONED table
+    // whose 8 files are orderkey-range-clustered, so only bounds (not
+    // partition tuples) can prune. scanned == predicted is pinned the
+    // same way delta_stats_skipping pins it.
+    Q("iceberg_stats_skipping",
+      (s, dir) => {
+        import graft.sources.{IcebergFixture, IcebergRead}
+        val wh = DvQueries.tmpWarehouse("graft_iceberg_stats")
+        val tbl = s"$wh/orders_ice_stats"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val step = math.max(1L, maxKey / 8L + 1L)
+        IcebergFixture.snapshot(s, tbl, o.schema, Nil, 1L,
+          (0L until 8L).map(i => Map.empty[String, String] ->
+            o.filter(col("o_orderkey") >= i * step &&
+              col("o_orderkey") < (i + 1) * step)))
+        val snap = IcebergRead.snapshot(tbl)
+        val statsPresent = snap.files.nonEmpty && snap.files.forall(_.stats.nonEmpty)
+        val cutoff = maxKey / 10L
+        val filtered = IcebergRead.read(s, tbl).filter(col("o_orderkey") <= cutoff)
+        val plan = filtered.queryExecution.executedPlan.toString
+        val pushed = plan.contains("Location: IcebergFileIndex") &&
+          "DataFilters: \\[[^\\]]*o_orderkey".r.findFirstIn(plan).nonEmpty
+        val scanned = filtered.select(input_file_name()).distinct().count()
+        val expected = snap.files.count(_.stats.exists(st =>
+          st.min.get("o_orderkey").exists(_.asLong <= cutoff))).toLong
+        filtered
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+            countDistinct(col("o_orderpriority")).as("n_prios"))
+          .withColumn("stats_present", lit(statsPresent))
+          .withColumn("filter_pushed", lit(pushed))
+          .withColumn("skipping_effective", lit(scanned < snap.files.size))
+          .withColumn("scan_consistent", lit(scanned == expected))
+      },
+      Some("""SELECT cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  cast(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+             |  TRUE AS stats_present, TRUE AS filter_pushed,
+             |  TRUE AS skipping_effective, TRUE AS scan_consistent
+             |FROM orders
+             |WHERE o_orderkey <= (SELECT max(o_orderkey) // 10 FROM orders)""".stripMargin)),
 
     // ICEBERG READ INTEROP: the other open table format a real corpus
     // lives in (sources/IcebergRead — versioned metadata JSON + avro

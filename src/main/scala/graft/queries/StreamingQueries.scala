@@ -466,5 +466,72 @@ object StreamingQueries {
              |   OR (o_orderkey % 2 = 1 AND o_orderpriority IN ('1-URGENT', '5-LOW'))
              |   OR (o_orderkey % 2 = 1 AND o_orderpriority = '2-HIGH'
              |       AND o_orderkey % 3 = 0)
-             |GROUP BY 1""".stripMargin)))
+             |GROUP BY 1""".stripMargin)),
+
+    // CDF STREAMING TAIL (DeltaTail.streamChanges): the MoR completion of
+    // streaming_delta_tail — a downstream that must MIRROR a table with
+    // deletes cannot use the append-only tail (it fails loudly at the
+    // first DV commit); the CDF tail serves every version as CHANGE
+    // batches (_change_type / _commit_version) through readChangeFeed's
+    // per-version synthesis + cdc machinery. Exactly-once lands on the
+    // commit version via TxLogTable.appendOnce across a resume AND a
+    // checkpoint wipe + full redelivery. The mirror identity (inserts
+    // exceptAll deletes == batch head read) and the per-type aggregates
+    // are oracle-gated against `orders` directly.
+    Q("streaming_delta_cdf",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        import graft.streaming.DeltaTail
+        val wh = DvQueries.tmpWarehouse("graft_delta_cdf_tail")
+        val tbl = s"$wh/orders_delta"
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl,
+          Seq("o_orderpriority"))                                        // v0
+        DeltaWrite.setProperties(s, tbl,
+          Map("delta.enableChangeDataFeed" -> "true"))                   // v1
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW")), tbl)        // v2
+        val txlog = new TxLogTable(s, s"$wh/t")
+        def runTail(): Unit = {
+          val q = DeltaTail.streamChanges(s, tbl, s"$wh/_cp",
+            (df, v) => { txlog.appendOnce("orders_changes", df, "cdf_tail", v): Unit })
+          q.processAllAvailable(); q.stop()
+        }
+        runTail()                                    // v0 + v2 (v1 is empty)
+        DeltaWrite.deleteWhere(s, tbl, col("o_orderkey") % 5 === 0)      // v3
+        runTail()                                    // resumes: v3's deletes
+        rmTree(Paths.get(s"$wh/_cp"))
+        runTail()                                    // redelivery — absorbed
+        val changes = txlog.read("orders_changes")
+        val dataCols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority").map(col)
+        val mirror = changes.filter(col("_change_type") === "insert")
+          .select(dataCols: _*)
+          .exceptAll(changes.filter(col("_change_type") === "delete")
+            .select(dataCols: _*))
+        val head = DeltaRead.read(s, tbl)
+          .select(dataCols: _*)
+        val parity = mirror.exceptAll(head).isEmpty && head.exceptAll(mirror).isEmpty
+        changes.groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("mirror_parity", lit(parity))
+      },
+      Some("""WITH ins AS (
+             |  SELECT * FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT * FROM orders WHERE o_orderkey % 2 = 1
+             |    AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |SELECT 'insert' AS change_type,
+             |  cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents, TRUE AS mirror_parity
+             |FROM ins
+             |UNION ALL
+             |SELECT 'delete', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM ins WHERE o_orderkey % 5 = 0""".stripMargin)))
 }

@@ -94,6 +94,65 @@ object DeltaFixture {
     written
   }
 
+  /** A MAINTENANCE commit — the OPTIMIZE/compaction shape: `removes` are
+    * tombstoned and `rows` re-added as ONE combined file, every action
+    * with `dataChange=false` (the protocol's marker that the commit
+    * rearranges existing rows without changing table content). Incremental
+    * consumers (readAppends / readChangeFeed / DeltaTail) must treat such
+    * a commit as a no-op. Returns the combined file's relative path. */
+  def compactionCommit(spark: SparkSession, tableDir: String,
+                       schema: StructType, partCols: Seq[String],
+                       version: Long, pv: Map[String, String],
+                       rows: DataFrame, removes: Seq[String]): String = {
+    val root = Paths.get(tableDir)
+    val logDir = root.resolve("_delta_log")
+    val rel = pathFor(partCols, pv, version, 0)
+    val target = root.resolve(rel)
+    Files.createDirectories(target.getParent)
+    val tmp = Files.createTempDirectory("graft_delta_opt").toString
+    rows.select(schema.fieldNames.filterNot(partCols.contains)
+        .map(org.apache.spark.sql.functions.col).toSeq: _*)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet written in $tmp"))
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    removes.foreach { r =>
+      val n = mapper.createObjectNode()
+      val rm = n.putObject("remove")
+      rm.put("path", pathEnc(r))
+      rm.put("deletionTimestamp", 0L)
+      rm.put("dataChange", false)
+      lines += mapper.writeValueAsString(n)
+    }
+    val n = mapper.createObjectNode()
+    val add = n.putObject("add")
+    add.put("path", pathEnc(rel))
+    val pvn = add.putObject("partitionValues")
+    pv.foreach { case (k, v) => pvn.put(k, v) }
+    add.put("size", Files.size(target))
+    add.put("modificationTime", 0L)
+    add.put("dataChange", false)
+    lines += mapper.writeValueAsString(n)
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    rel
+  }
+
+  /** A commit carrying only a `txn` (setTransaction) action — an external
+    * streaming writer's idempotence marker. */
+  def txnCommit(tableDir: String, version: Long, appId: String,
+                txnVersion: Long): Unit = {
+    val logDir = Paths.get(tableDir).resolve("_delta_log")
+    val n = mapper.createObjectNode()
+    val t = n.putObject("txn")
+    t.put("appId", appId)
+    t.put("version", txnVersion)
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      (mapper.writeValueAsString(n) + "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Append one commit whose row-level changes are described by CDC
     * files (PROTOCOL.md §Add CDC File): `cdc` rows carry the data
     * columns + `_change_type` and land under `_change_data/`, recorded
@@ -208,6 +267,82 @@ object DeltaFixture {
       val tmp = Files.createTempDirectory("graft_delta_cm").toString
       rows.select(schema.fieldNames.filterNot(partCols.contains)
           .map(n => org.apache.spark.sql.functions.col(n).as(mapping(n))).toSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet written in $tmp"))
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", pathEnc(rel))
+      val pvn = add.putObject("partitionValues")
+      pv.foreach { case (k, v) => pvn.put(mapping(k), v) } // PHYSICAL keys
+      add.put("size", Files.size(target))
+      add.put("modificationTime", 0L)
+      add.put("dataChange", true)
+      lines += mapper.writeValueAsString(n)
+      rel
+    }
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    written
+  }
+
+  /** Author an ID-mode column-mapped table (delta.columnMapping.mode=id —
+    * the shape of tables converted from Iceberg or upgraded in place):
+    * schemaString fields carry BOTH `delta.columnMapping.id` and
+    * `delta.columnMapping.physicalName`; the log keys partitionValues by
+    * physicalName; but the DATA FILES keep their ORIGINAL (logical)
+    * column names and carry PARQUET FIELD IDS — so a reader that matches
+    * by physical name projects nulls, and only field-id resolution reads
+    * the rows. Field id of column i = i+1, matching the metadata. */
+  def commitMappedId(spark: SparkSession, tableDir: String, schema: StructType,
+                     partCols: Seq[String], version: Long,
+                     mapping: Map[String, String],
+                     adds: Seq[(Map[String, String], DataFrame)]): Seq[String] = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField}
+    require(schema.fieldNames.forall(mapping.contains),
+      s"mapping must cover all fields, missing ${schema.fieldNames.filterNot(mapping.contains).mkString(",")}")
+    val root = Paths.get(tableDir)
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val fieldId: Map[String, Long] =
+      schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1L) }.toMap
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    if (version == 0L) {
+      lines += """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}"""
+      val mappedSchema = StructType(schema.fields.map { f =>
+        StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", fieldId(f.name))
+            .putString("delta.columnMapping.physicalName", mapping(f.name))
+            .build())
+      })
+      val m = mapper.createObjectNode()
+      val md = m.putObject("metaData")
+      md.put("id", "graft-delta-fixture-id")
+      md.putObject("format").put("provider", "parquet")
+      md.put("schemaString", mappedSchema.json)
+      val pc = md.putArray("partitionColumns")
+      partCols.foreach(pc.add)
+      val cfg = md.putObject("configuration")
+      cfg.put("delta.columnMapping.mode", "id")
+      cfg.put("delta.columnMapping.maxColumnId", schema.fields.length.toString)
+      md.put("createdTime", 0L)
+      lines += mapper.writeValueAsString(m)
+    }
+    val written = adds.zipWithIndex.map { case ((pv, rows), i) =>
+      val rel = pathFor(partCols.map(mapping), pv.map { case (k, v) => mapping(k) -> v },
+        version, i)
+      val target = root.resolve(rel)
+      Files.createDirectories(target.getParent)
+      val tmp = Files.createTempDirectory("graft_delta_id").toString
+      // ORIGINAL names + field ids in the data pages (fieldId.write is on
+      // by default when the schema metadata carries parquet.field.id)
+      rows.select(schema.fieldNames.filterNot(partCols.contains)
+          .map(n => org.apache.spark.sql.functions.col(n).as(n,
+            new MetadataBuilder().putLong("parquet.field.id", fieldId(n)).build()))
+          .toSeq: _*)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet"))

@@ -89,12 +89,40 @@ object DeltaRead {
                             tombstones: Seq[RemoveFile] = Nil,
                             protocol: Protocol = Protocol(1, 2),
                             columnMapping: Map[String, String] = Map.empty,
-                            configuration: Map[String, String] = Map.empty) {
+                            configuration: Map[String, String] = Map.empty,
+                            txns: Map[String, Long] = Map.empty,
+                            fieldIds: Map[String, Long] = Map.empty) {
     def dataSchema: StructType =
       StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
     def partitionSchema: StructType =
       StructType(partitionColumns.map(c => schema.fields(schema.fieldIndex(c))))
+    /** The data schema a parquet scan of this table's files needs:
+      * PHYSICAL field names; under id-mode mapping each field also
+      * carries `parquet.field.id` so Spark's parquet reader resolves
+      * columns by FIELD ID (the id-mode contract — file column names are
+      * whatever the original writer used, e.g. an Iceberg conversion's
+      * logical names; only the ids are authoritative). */
+    def physDataSchema: StructType = {
+      def phys(n: String): String = columnMapping.getOrElse(n, n)
+      StructType(dataSchema.fields.map { f =>
+        val md = fieldIds.get(f.name).map { id =>
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong("parquet.field.id", id).build()
+        }.getOrElse(f.metadata)
+        f.copy(name = phys(f.name), metadata = md)
+      })
+    }
   }
+
+  /** Id-mode reads resolve parquet columns by field id — a session conf
+    * gates that matcher on; it only activates for scans whose requested
+    * schema carries `parquet.field.id` metadata (exactly our id-mode
+    * scans). `ignoreMissing` stays at its strict default, so a file
+    * WITHOUT ids under an id-mode table fails loudly instead of silently
+    * projecting nulls. */
+  private def enableFieldIdReads(spark: SparkSession, snap: Snapshot): Unit =
+    if (snap.fieldIds.nonEmpty)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
   private val mapper = new ObjectMapper()
 
@@ -120,10 +148,14 @@ object DeltaRead {
     * pipeline for append-only tables ([[graft.streaming.DeltaTail]] is
     * the streaming sibling; this is the catch-up/backfill form). Each
     * commit's add actions resolve to one distributed parquet read per
-    * partition tuple with the log's partition values restored. A commit
-    * in the range that REMOVES files or adds deletion vectors fails
-    * loudly — "the appends since v" is not well-defined across a
-    * rewrite, and silently returning them would double-count. */
+    * partition tuple with the log's partition values restored. Only
+    * actions with `dataChange=true` count: a compaction/OPTIMIZE commit
+    * (adds+removes with dataChange=false) merely rearranges existing
+    * rows, so it is skipped whole — the same contract Delta's own
+    * streaming source applies. A commit in the range that REMOVES data
+    * (dataChange=true remove) or adds deletion vectors fails loudly —
+    * "the appends since v" is not well-defined across a rewrite, and
+    * silently returning them would double-count. */
   def readAppends(spark: SparkSession, tableDir: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -140,10 +172,10 @@ object DeltaRead {
       Files.readAllLines(f, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty).foreach { l =>
           val node = mapper.readTree(l)
-          require(!node.has("remove"),
-            s"readAppends: version $v carries a remove action (overwrite/delete) — " +
-              "appends-since is not well-defined across a rewrite")
-          if (node.has("add")) {
+          require(!node.has("remove") || !dataChange(node.get("remove")),
+            s"readAppends: version $v carries a dataChange remove action " +
+              "(overwrite/delete) — appends-since is not well-defined across a rewrite")
+          if (node.has("add") && dataChange(node.get("add"))) {
             val a = node.get("add")
             require(!a.has("deletionVector") || a.get("deletionVector").isNull,
               s"readAppends: version $v adds a deletion vector")
@@ -158,7 +190,8 @@ object DeltaRead {
     }
     val root = Paths.get(tableDir)
     def phys(n: String): String = snap.columnMapping.getOrElse(n, n)
-    val physData = StructType(snap.dataSchema.fields.map(f => f.copy(name = phys(f.name))))
+    enableFieldIdReads(spark, snap)
+    val physData = snap.physDataSchema
     if (adds.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         snap.schema)
@@ -203,7 +236,8 @@ object DeltaRead {
         .foreach(f => pvByPath(f.path) = f.partitionValues)
     val toLogical: Map[String, String] = snap.columnMapping.map(_.swap)
     def phys(n: String): String = snap.columnMapping.getOrElse(n, n)
-    val physData = StructType(snap.dataSchema.fields.map(f => f.copy(name = phys(f.name))))
+    enableFieldIdReads(spark, snap)
+    val physData = snap.physDataSchema
     val physCdc = StructType(physData.fields :+ StructField("_change_type", StringType))
 
     def parsePv(a: JsonNode): Map[String, String] =
@@ -246,15 +280,20 @@ object DeltaRead {
           cdcs.map(c => (decodePath(c.get("path").asText), parsePv(c))).toSeq,
           physCdc, changeType = None)
       } else {
-        adds.foreach(a => require(
+        // synthesize ONLY from dataChange=true actions (PROTOCOL.md:
+        // dataChange=false adds/removes rearrange existing rows — a
+        // compaction in the range must contribute NO change rows)
+        val dAdds = adds.filter(dataChange)
+        val dRemoves = removes.filter(dataChange)
+        dAdds.foreach(a => require(
           !a.has("deletionVector") || a.get("deletionVector").isNull,
           s"readChangeFeed: version $v adds a deletion vector without cdc " +
             "actions — its suppressed rows cannot be reconstructed"))
         frames ++= buildFrames(
-          adds.map(a => (decodePath(a.get("path").asText), parsePv(a))).toSeq,
+          dAdds.map(a => (decodePath(a.get("path").asText), parsePv(a))).toSeq,
           physData, changeType = Some("insert"))
         frames ++= buildFrames(
-          removes.map { r =>
+          dRemoves.map { r =>
             val p = decodePath(r.get("path").asText)
             (p, pvByPath.getOrElse(p, parsePv(r)))
           }.toSeq,
@@ -313,10 +352,12 @@ object DeltaRead {
     var partCols: Seq[String] = Nil
     var protocol: Protocol = Protocol(1, 2)
     var colMap: Map[String, String] = Map.empty // logical -> physical
+    var fieldIds: Map[String, Long] = Map.empty // logical -> parquet field id
     var configuration: Map[String, String] = Map.empty
     // last action per path wins — LinkedHashMap keeps add order stable
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     val tomb = scala.collection.mutable.LinkedHashMap[String, RemoveFile]()
+    val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
     def applyAction(node: JsonNode): Unit = {
       if (node.has("protocol")) {
         val p = node.get("protocol")
@@ -347,21 +388,32 @@ object DeltaRead {
           .map(c => c.fieldNames().asScala.map(k => k -> c.get(k).asText()).toMap)
           .getOrElse(Map.empty)
         val mode = configuration.getOrElse("delta.columnMapping.mode", "none")
+        def physicalNames(): Map[String, String] = schema.fields.map { f =>
+          require(f.metadata.contains("delta.columnMapping.physicalName"),
+            s"columnMapping.mode=$mode but field '${f.name}' has no physicalName")
+          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+        }.toMap
         mode match {
-          case "none" => colMap = Map.empty
+          case "none" => colMap = Map.empty; fieldIds = Map.empty
           case "name" =>
             // physical names live in each field's metadata; files store
             // columns (and the log keys partitionValues/stats) by them
-            colMap = schema.fields.map { f =>
-              require(f.metadata.contains("delta.columnMapping.physicalName"),
-                s"columnMapping.mode=name but field '${f.name}' has no physicalName")
-              f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+            colMap = physicalNames()
+            fieldIds = Map.empty
+          case "id" =>
+            // id mode (tables converted from Iceberg, or upgraded in
+            // place on Databricks): files resolve by PARQUET FIELD ID;
+            // the log still keys partitionValues/stats by physicalName
+            // (the spec requires both metadata keys on every field)
+            colMap = physicalNames()
+            fieldIds = schema.fields.map { f =>
+              require(f.metadata.contains("delta.columnMapping.id"),
+                s"columnMapping.mode=id but field '${f.name}' has no field id")
+              f.name -> f.metadata.getLong("delta.columnMapping.id")
             }.toMap
           case other =>
-            // id mode matches parquet field-id metadata, a channel this
-            // reader does not implement — reject, never mis-map
             throw new IllegalArgumentException(
-              s"unsupported delta.columnMapping.mode '$other' (supported: none, name)")
+              s"unsupported delta.columnMapping.mode '$other' (supported: none, name, id)")
         }
       }
       if (node.has("add")) {
@@ -401,6 +453,13 @@ object DeltaRead {
         tomb(path) = RemoveFile(path,
           Option(r.get("deletionTimestamp")).map(_.asLong).getOrElse(0L))
       }
+      if (node.has("txn")) {
+        // setTransaction: latest version per appId — an external streaming
+        // writer's idempotence marker; checkpoints must retain these or a
+        // resuming writer re-commits data it already delivered
+        val t = node.get("txn")
+        txns(t.get("appId").asText) = t.get("version").asLong
+      }
     }
 
     // checkpoint rows carry NO ordering guarantee, so replay its
@@ -420,7 +479,7 @@ object DeltaRead {
     require(schema != null, s"no metaData action found in $tableDir/_delta_log")
     val version = (commits.lastOption.map(versionOf).toSeq ++ checkpoint.map(_._1)).max
     Snapshot(version, schema, partCols, live.values.toSeq, tomb.values.toSeq,
-      protocol, colMap, configuration)
+      protocol, colMap, configuration, txns.toMap, fieldIds)
   }
 
   /** Scan the table at its head snapshot, dead files excluded, partition
@@ -451,8 +510,8 @@ object DeltaRead {
     import org.apache.spark.sql.functions._
     val idx = new DeltaFileIndex(spark, Paths.get(tableDir), snap)
     def phys(n: String): String = snap.columnMapping.getOrElse(n, n)
-    val physData = StructType(snap.dataSchema.fields.map(f =>
-      f.copy(name = phys(f.name))))
+    enableFieldIdReads(spark, snap)
+    val physData = snap.physDataSchema
     val rel = HadoopFsRelation(idx, snap.partitionSchema, physData, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     val base = spark.baseRelationToDataFrame(rel)
@@ -545,6 +604,13 @@ object DeltaRead {
       objMap("minValues"), objMap("maxValues"),
       objMap("nullCount").collect { case (k, v) if v.isIntegralNumber => k -> v.asLong }))
   }
+
+  /** An add/remove action's dataChange flag — required by the protocol,
+    * but a lax writer may omit it; absent means "changes data" (the
+    * conservative reading: treating a real change as a no-op loses rows,
+    * treating a rearrangement as a change only fails loudly). */
+  private def dataChange(action: JsonNode): Boolean =
+    Option(action.get("dataChange")).forall(_.asBoolean(true))
 
   private def versionOf(p: Path): Long =
     p.getFileName.toString.stripSuffix(".json").toLong

@@ -193,16 +193,32 @@ object DeltaWrite {
 
   /** Merge-on-read DELETE via deletion vectors: rows matching `condition`
     * are suppressed WITHOUT rewriting any data file — each touched file
-    * gets (remove, re-add-with-DV) actions and one shared DV file holds
-    * all the commit's bitmaps, exactly the protocol's copy-free delete.
+    * gets (remove, re-add-with-DV) actions, exactly the protocol's
+    * copy-free delete.
     *
     * Scale shape: matching (file, row-index) pairs are computed by the
     * DISTRIBUTED scan (physical positions from `_metadata.row_index`,
     * existing DVs pre-applied so re-deletes merge instead of resurrect),
-    * grouped per file, UNIONED with the file's existing vector and
-    * serialized to roaring bytes ON EXECUTORS — the driver only collects
-    * one (path, bitmap-bytes, cardinality) row per touched file, bounded
-    * by compressed bitmap size, never by deleted-row count.
+    * grouped per file, UNIONED with the file's existing vector,
+    * serialized to roaring bytes ON EXECUTORS, and written to one DV
+    * file PER SHUFFLE PARTITION, also on executors (the protocol allows
+    * any number of DV files per commit) — the driver only collects one
+    * small DESCRIPTOR row per touched file (path, dv-file uuid, offset,
+    * size, cardinality), never a bitmap. A 10%-delete across 10⁶ files
+    * holds at most one partition's bitmaps in any single task, and the
+    * driver's state is O(touched files), the same order as the add
+    * actions it must write anyway. (File IO is java.nio — the local /
+    * shared-filesystem seam this writer targets throughout; a
+    * HDFS/object-store port swaps in the Hadoop FileSystem API here.)
+    *
+    * When the table opted into Change Data Feed
+    * (`delta.enableChangeDataFeed=true`, see [[setProperties]]), the
+    * deleted rows are ALSO persisted under `_change_data/` with
+    * `_change_type='delete'` and recorded as `cdc` actions, so
+    * [[DeltaRead.readChangeFeed]] — or any conformant engine — can serve
+    * this commit as changes (a DV commit without cdc actions is
+    * otherwise a loud CDF reject: the suppressed rows cannot be
+    * reconstructed from the log alone).
     *
     * Returns the committed version (head version unchanged if nothing
     * matched — an empty DELETE is a no-op, not an empty commit). */
@@ -219,7 +235,11 @@ object DeltaWrite {
     val existing: Map[String, Array[Byte]] = snap.files.flatMap(f =>
       f.deletionVector.map(d => DeltaRead.qualifiedPath(spark, root, f) ->
         DeletionVectors.resolve(root, d))).toMap
-    val touched: Array[(String, Array[Byte], Long)] =
+    val rootStr = root.toAbsolutePath.toString
+    // (qualified path, dv uuid base85, offset, sizeInBytes, cardinality):
+    // bitmaps are serialized AND written executor-side; only these rows
+    // ever reach the driver
+    val touched: Array[(String, String, Int, Int, Long)] =
       DeltaRead.readWithPositions(spark, tableDir, snap)
         .filter(condition)
         .groupBy(col("__fp"))
@@ -233,14 +253,22 @@ object DeltaWrite {
           }
           (fp, DeletionVectors.serialize(merged), merged.length.toLong)
         }
+        .mapPartitions { it =>
+          val items = it.toArray
+          if (items.isEmpty) Iterator.empty
+          else {
+            val uuid = java.util.UUID.randomUUID()
+            val offsets = DeletionVectors.writeFile(
+              Paths.get(rootStr).resolve(s"deletion_vector_$uuid.bin"),
+              items.toIndexedSeq.map(_._2))
+            val enc = DeletionVectors.encodeUuid(uuid)
+            items.iterator.zip(offsets.iterator).map {
+              case ((fp, bytes, card), off) => (fp, enc, off, bytes.length, card)
+            }
+          }
+        }
         .collect()
     if (touched.isEmpty) return snap.version
-
-    val uuid = java.util.UUID.randomUUID()
-    val dvRel = s"deletion_vector_$uuid.bin"
-    val offsets = DeletionVectors.writeFile(root.resolve(dvRel),
-      touched.map(_._2).toSeq)
-    val encUuid = DeletionVectors.encodeUuid(uuid)
     // the snapshot's pv/stats keys are LOGICAL (normalized at replay);
     // a column-mapped table's log stores them PHYSICAL — map back
     def physKey(k: String): String = snap.columnMapping.getOrElse(k, k)
@@ -249,23 +277,44 @@ object DeltaWrite {
     val logDir = root.resolve("_delta_log")
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     // first DV on the table gates the protocol up (readerFeatures is how
-    // a conformant engine knows it MUST apply the vectors)
+    // a conformant engine knows it MUST apply the vectors). Converting a
+    // LEGACY protocol to table features must enumerate the features the
+    // old version numbers implied (PROTOCOL.md §Table Features) — else a
+    // strict engine stops enforcing e.g. appendOnly/invariants.
     if (!snap.protocol.readerFeatures.contains("deletionVectors")) {
+      // implied features only when CONVERTING from a legacy protocol — a
+      // table already on table features (writer 7 / reader 3) lists its
+      // features explicitly and implies nothing
+      val impliedWriter =
+        if (snap.protocol.minWriterVersion >= 7) Nil
+        else Seq(
+          2 -> Seq("appendOnly", "invariants"),
+          3 -> Seq("checkConstraints"),
+          4 -> Seq("changeDataFeed", "generatedColumns"),
+          5 -> Seq("columnMapping"),
+          6 -> Seq("identityColumns"))
+          .filter(_._1 <= snap.protocol.minWriterVersion).flatMap(_._2)
+      val impliedReader =
+        if (snap.protocol.minReaderVersion >= 3) Nil
+        else if (snap.protocol.minReaderVersion == 2) Seq("columnMapping")
+        else Nil
       val p = mapper.createObjectNode()
       val pn = p.putObject("protocol")
       pn.put("minReaderVersion", 3)
       pn.put("minWriterVersion", 7)
       val rf = pn.putArray("readerFeatures")
-      (snap.protocol.readerFeatures :+ "deletionVectors").distinct.foreach(rf.add)
+      (impliedReader ++ snap.protocol.readerFeatures :+ "deletionVectors")
+        .distinct.foreach(rf.add)
       val wf = pn.putArray("writerFeatures")
-      (snap.protocol.writerFeatures :+ "deletionVectors").distinct.foreach(wf.add)
+      (impliedWriter ++ snap.protocol.writerFeatures :+ "deletionVectors")
+        .distinct.foreach(wf.add)
       lines += mapper.writeValueAsString(p)
     }
     val ci = mapper.createObjectNode()
     ci.putObject("commitInfo").put("operation", "DELETE")
       .put("engineInfo", "graft-delta-write")
     lines += mapper.writeValueAsString(ci)
-    touched.zipWithIndex.foreach { case ((fp, bytes, card), i) =>
+    touched.foreach { case (fp, encUuid, offset, sizeInBytes, card) =>
       val f = byQualified.getOrElse(fp,
         throw new IllegalStateException(s"scan surfaced unknown file $fp"))
       val rm = mapper.createObjectNode()
@@ -291,12 +340,134 @@ object DeltaWrite {
       val dvn = an.putObject("deletionVector")
       dvn.put("storageType", "u")
       dvn.put("pathOrInlineDv", encUuid)
-      dvn.put("offset", offsets(i))
-      dvn.put("sizeInBytes", bytes.length)
+      dvn.put("offset", offset)
+      dvn.put("sizeInBytes", sizeInBytes)
       dvn.put("cardinality", card)
       lines += mapper.writeValueAsString(ad)
     }
+    // CDF: persist the deleted rows as change data so this DV commit is
+    // consumable as a feed (only when the table property opted in — the
+    // same gate Delta's own writers use)
+    if (snap.configuration.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true"))) {
+      def phys(n: String): String = snap.columnMapping.getOrElse(n, n)
+      val deleted = DeltaRead.readWithPositions(spark, tableDir, snap)
+        .filter(condition).drop("__fp", "__ri")
+      // change files store the table's PHYSICAL layout + _change_type;
+      // partition columns become hive dirs (dropped from data pages). On
+      // an id-mode table the data columns also carry parquet field ids,
+      // so the written change files resolve under the table's id matcher.
+      def asPhys(n: String): org.apache.spark.sql.Column =
+        snap.fieldIds.get(n).map { id =>
+          col(n).as(phys(n), new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id).build())
+        }.getOrElse(col(n).as(phys(n)))
+      val changeDf = deleted.select(
+        (snap.dataSchema.fields.toSeq.map(f => asPhys(f.name)) ++
+          snap.partitionColumns.map(asPhys) :+
+          lit("delete").as("_change_type")): _*)
+      stageAndEmit(changeDf, root, "_change_data",
+        snap.partitionColumns, snap.columnMapping).foreach {
+        case (rel, pv, size) =>
+          val n = mapper.createObjectNode()
+          val cd = n.putObject("cdc")
+          cd.put("path", pathEnc(rel))
+          val pvn = cd.putObject("partitionValues")
+          pv.foreach { case (k, v) =>
+            if (v == null) pvn.putNull(physKey(k)) else pvn.put(physKey(k), v)
+          }
+          cd.put("size", size)
+          cd.put("dataChange", false)
+          lines += mapper.writeValueAsString(n)
+      }
+    }
     commitCas(logDir, version, lines.toSeq)
+    version
+  }
+
+  /** Stage `df` (hive-partitioned by `partCols`) and move the files under
+    * `root/subdir`, returning (table-relative path, partitionValues
+    * keyed LOGICAL, size) per file — the shared write shape of change
+    * data and any other auxiliary file family. */
+  private def stageAndEmit(df: DataFrame, root: Path, subdir: String,
+                           partCols: Seq[String],
+                           columnMapping: Map[String, String])
+      : Seq[(String, Map[String, String], Long)] = {
+    val toLogical = columnMapping.map(_.swap)
+    val staging = root.resolve(
+      s"_staging_${subdir.stripPrefix("_")}-${java.util.UUID.randomUUID().toString.take(8)}")
+    val writer = df.write.mode("overwrite")
+    (if (partCols.nonEmpty)
+      writer.partitionBy(partCols.map(c => columnMapping.getOrElse(c, c)): _*)
+    else writer).parquet(staging.toString)
+    val out = listParquet(staging).map { p =>
+      val rel = staging.relativize(p)
+      val segs = (0 until rel.getNameCount).map(rel.getName(_).toString)
+      val pv = segs.dropRight(1).map { seg =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"staged path $rel is not hive-layout under partitionBy")
+        val raw = ExternalCatalogUtils.unescapePathName(seg.substring(eq + 1))
+        toLogical.getOrElse(seg.substring(0, eq), seg.substring(0, eq)) ->
+          (if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else raw)
+      }.toMap
+      val target = root.resolve(subdir).resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+      (s"$subdir/${segs.mkString("/")}", pv, Files.size(target))
+    }
+    deleteRecursively(staging)
+    out
+  }
+
+  /** ALTER TABLE SET TBLPROPERTIES: commit a metaData action carrying the
+    * merged configuration (the protocol's property-change mechanism).
+    * Enabling `delta.enableChangeDataFeed` also gates the protocol up to
+    * carry the changeDataFeed writer feature, as the spec requires. */
+  def setProperties(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                    props: Map[String, String]): Long = {
+    val snap = DeltaRead.snapshot(tableDir)
+    val root = Paths.get(tableDir)
+    val version = snap.version + 1
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val enablingCdf = props.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true")) &&
+      !snap.configuration.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true"))
+    if (enablingCdf) {
+      val p = snap.protocol
+      val needsFeature = p.minWriterVersion >= 7 &&
+        !p.writerFeatures.contains("changeDataFeed")
+      val needsBump = p.minWriterVersion < 4
+      if (needsFeature || needsBump) {
+        val n = mapper.createObjectNode()
+        val pn = n.putObject("protocol")
+        pn.put("minReaderVersion", p.minReaderVersion)
+        pn.put("minWriterVersion", math.max(p.minWriterVersion, 4))
+        if (p.minWriterVersion >= 7) {
+          val rf = pn.putArray("readerFeatures")
+          p.readerFeatures.distinct.foreach(rf.add)
+          val wf = pn.putArray("writerFeatures")
+          (p.writerFeatures :+ "changeDataFeed").distinct.foreach(wf.add)
+        }
+        lines += mapper.writeValueAsString(n)
+      }
+    }
+    val m = mapper.createObjectNode()
+    val md = m.putObject("metaData")
+    md.put("id", "graft-delta-write")
+    md.putObject("format").put("provider", "parquet")
+    md.put("schemaString", snap.schema.json)
+    val pc = md.putArray("partitionColumns")
+    snap.partitionColumns.foreach(pc.add)
+    val cfg = md.putObject("configuration")
+    (snap.configuration ++ props).foreach { case (k, v) => cfg.put(k, v) }
+    md.put("createdTime", 0L)
+    lines += mapper.writeValueAsString(m)
+    val ci = mapper.createObjectNode()
+    ci.putObject("commitInfo").put("operation", "SET TBLPROPERTIES")
+      .put("engineInfo", "graft-delta-write")
+    lines += mapper.writeValueAsString(ci)
+    commitCas(root.resolve("_delta_log"), version, lines.toSeq)
     version
   }
 
@@ -378,7 +549,11 @@ object DeltaWrite {
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
-      StructField("dataChange", BooleanType))))))
+      StructField("dataChange", BooleanType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType),
+      StructField("lastUpdated", LongType))))))
 
   /** Compact the table's current head into a single-part parquet
     * checkpoint + `_last_checkpoint` pointer — the state
@@ -402,7 +577,8 @@ object DeltaWrite {
     val snap = DeltaRead.snapshot(tableDir)
     val logDir = Paths.get(tableDir, "_delta_log")
     def row(protocol: Row = null, metaData: Row = null, add: Row = null,
-            remove: Row = null): Row = Row(protocol, metaData, add, remove)
+            remove: Row = null, txn: Row = null): Row =
+      Row(protocol, metaData, add, remove, txn)
     val rows = scala.collection.mutable.ArrayBuffer[Row]()
     // re-emit the protocol the log declared: a DV table's feature gates
     // must survive compaction or a resuming engine under-checks itself
@@ -418,12 +594,22 @@ object DeltaWrite {
       Row("parquet", Map.empty[String, String]), snap.schema.json,
       snap.partitionColumns, snap.configuration,
       java.lang.Long.valueOf(0L)))
+    // the snapshot's pv/stats keys are LOGICAL (normalized at replay); a
+    // column-mapped table's log — checkpoints included — stores them
+    // PHYSICAL. A conformant engine resuming from this checkpoint looks
+    // them up by physical name, so map back (same as deleteWhere).
+    def physKey(k: String): String = snap.columnMapping.getOrElse(k, k)
     snap.files.foreach { f =>
       // stats survive compaction — skipping must not degrade after a
       // checkpoint truncates the JSON history
-      rows += row(add = Row(pathEnc(f.path), f.partitionValues,
+      rows += row(add = Row(pathEnc(f.path),
+        f.partitionValues.map { case (k, v) => physKey(k) -> v },
         java.lang.Long.valueOf(f.size), java.lang.Long.valueOf(0L),
-        java.lang.Boolean.FALSE, f.stats.map(statsJson).orNull,
+        java.lang.Boolean.FALSE,
+        f.stats.map(st => statsJson(st.copy(
+          min = st.min.map { case (k, v) => physKey(k) -> v },
+          max = st.max.map { case (k, v) => physKey(k) -> v },
+          nullCount = st.nullCount.map { case (k, v) => physKey(k) -> v }))).orNull,
         f.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
           d.offset.map(Integer.valueOf).orNull,
           Integer.valueOf(d.sizeInBytes),
@@ -432,6 +618,13 @@ object DeltaWrite {
     snap.tombstones.foreach { t =>
       rows += row(remove = Row(pathEnc(t.path),
         java.lang.Long.valueOf(t.deletionTimestamp), java.lang.Boolean.TRUE))
+    }
+    // setTransaction markers: the protocol requires a checkpoint to retain
+    // the latest txn per appId — dropping them would let an external
+    // streaming writer resuming from this checkpoint double-commit
+    snap.txns.foreach { case (appId, v) =>
+      rows += row(txn = Row(appId, java.lang.Long.valueOf(v),
+        java.lang.Long.valueOf(0L)))
     }
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val groups: Seq[Seq[Row]] =
@@ -480,11 +673,40 @@ object DeltaWrite {
     * a missing stat never skips. A column that is all-null in the file
     * gets no min/max but a full nullCount, which is exactly what IsNotNull
     * skipping needs. */
+  /** Typed min/max/nullCount ranges from one parquet footer — the shared
+    * seam behind Delta `add.stats` JSON and Iceberg manifest
+    * `lower_bounds`/`upper_bounds`. Values: Long (integrals), Double
+    * (fractionals), String (strings; dates as ISO), Boolean. */
+  private[sources] final case class FooterRanges(numRecords: Long,
+      mins: Map[String, Any], maxs: Map[String, Any],
+      nulls: Map[String, Long])
+
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
-                          file: Path, dataSchema: StructType): Option[String] = {
+                          file: Path, dataSchema: StructType): Option[String] =
+    footerRanges(conf, file, dataSchema).map { fr =>
+      val n = mapper.createObjectNode()
+      n.put("numRecords", fr.numRecords)
+      val minN = n.putObject("minValues"); val maxN = n.putObject("maxValues")
+      def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode,
+                 k: String, v: Any): Unit = v match {
+        case l: java.lang.Long => o.put(k, l.longValue)
+        case d: java.lang.Double => o.put(k, d.doubleValue)
+        case b: java.lang.Boolean => o.put(k, b.booleanValue)
+        case s: String => o.put(k, s)
+        case _ => ()
+      }
+      fr.mins.foreach { case (k, v) => putVal(minN, k, v) }
+      fr.maxs.foreach { case (k, v) => putVal(maxN, k, v) }
+      val nullN = n.putObject("nullCount")
+      fr.nulls.foreach { case (k, v) => nullN.put(k, v) }
+      mapper.writeValueAsString(n)
+    }
+
+  private[sources] def footerRanges(conf: org.apache.hadoop.conf.Configuration,
+                                    file: Path,
+                                    dataSchema: StructType): Option[FooterRanges] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.io.api.Binary
     val supported = dataSchema.fields.filter(f => f.dataType match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType | StringType | BooleanType | DateType => true
@@ -523,27 +745,13 @@ object DeltaWrite {
           }
         }
         if (rangeKnown && lo != null) {
-          mins(f.name) = statToJsonValue(lo, f.dataType)
-          maxs(f.name) = statToJsonValue(hi, f.dataType)
+          val (mn, mx) = (statToJsonValue(lo, f.dataType),
+            statToJsonValue(hi, f.dataType))
+          if (mn != null && mx != null) { mins(f.name) = mn; maxs(f.name) = mx }
         }
         if (nullsKnown) nulls(f.name) = nullCount
       }
-      val n = mapper.createObjectNode()
-      n.put("numRecords", numRecords)
-      val minN = n.putObject("minValues"); val maxN = n.putObject("maxValues")
-      def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode,
-                 k: String, v: Any): Unit = v match {
-        case l: java.lang.Long => o.put(k, l.longValue)
-        case d: java.lang.Double => o.put(k, d.doubleValue)
-        case b: java.lang.Boolean => o.put(k, b.booleanValue)
-        case s: String => o.put(k, s)
-        case _ => ()
-      }
-      mins.foreach { case (k, v) => putVal(minN, k, v) }
-      maxs.foreach { case (k, v) => putVal(maxN, k, v) }
-      val nullN = n.putObject("nullCount")
-      nulls.foreach { case (k, v) => nullN.put(k, v) }
-      Some(mapper.writeValueAsString(n))
+      Some(FooterRanges(numRecords, mins.toMap, maxs.toMap, nulls.toMap))
     } catch { case _: Exception => None }
     finally rdr.close()
   }

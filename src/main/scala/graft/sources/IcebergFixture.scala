@@ -98,6 +98,9 @@ object IcebergFixture {
          |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
          |  {"name":"record_count","type":"long","field-id":103},
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
+         |  {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+         |  {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
          |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}]}}]}""".stripMargin)
   }
 
@@ -109,6 +112,48 @@ object IcebergFixture {
       |{"name":"content","type":"int","default":0,"field-id":517},
       |{"name":"sequence_number","type":"long","default":0,"field-id":515},
       |{"name":"added_snapshot_id","type":"long","field-id":503}]}""".stripMargin)
+
+  /** Iceberg single-value binary serialization (Table Spec Appendix D):
+    * ints/longs/floats/doubles/dates little-endian, strings UTF-8,
+    * booleans one byte. Returns None for types the bound channel skips. */
+  private def singleValueBytes(node: com.fasterxml.jackson.databind.JsonNode,
+                               dt: DataType): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType if node.isIntegralNumber =>
+        Some(le(4).putInt(node.asInt).array())
+      case LongType if node.isIntegralNumber =>
+        Some(le(8).putLong(node.asLong).array())
+      case FloatType if node.isNumber =>
+        Some(le(4).putFloat(node.asDouble.toFloat).array())
+      case DoubleType if node.isNumber =>
+        Some(le(8).putDouble(node.asDouble).array())
+      case StringType if node.isTextual =>
+        Some(node.asText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case BooleanType if node.isBoolean =>
+        Some(Array[Byte](if (node.asBoolean) 1 else 0))
+      case DateType if node.isTextual =>
+        scala.util.Try(java.time.LocalDate.parse(node.asText).toEpochDay.toInt)
+          .toOption.map(d => le(4).putInt(d).array())
+      case _ => None
+    }
+  }
+
+  /** Typed footer ranges → the JsonNode-valued [[StatsSkip.FileStats]]
+    * shape both readers share. */
+  private def rangesToStats(fr: DeltaWrite.FooterRanges): StatsSkip.FileStats = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.{BooleanNode, DoubleNode, LongNode, TextNode}
+    def conv(m: Map[String, Any]): Map[String, JsonNode] = m.flatMap {
+      case (k, l: java.lang.Long) => Some(k -> LongNode.valueOf(l))
+      case (k, d: java.lang.Double) => Some(k -> DoubleNode.valueOf(d))
+      case (k, b: java.lang.Boolean) => Some(k -> BooleanNode.valueOf(b))
+      case (k, s: String) => Some(k -> TextNode.valueOf(s))
+      case _ => None
+    }
+    StatsSkip.FileStats(fr.numRecords, conv(fr.mins), conv(fr.maxs), fr.nulls)
+  }
 
   private def writeAvro(file: java.nio.file.Path, schema: Schema,
                         rows: Seq[GenericRecord]): Unit = {
@@ -235,9 +280,27 @@ object IcebergFixture {
     val mSchema = manifestSchema(schema, partCols)
     val dfSchema = mSchema.getField("data_file").schema()
     val pSchema = dfSchema.getField("partition").schema()
+    // the spec's map<int,...> fields are avro arrays of {key,value}
+    // records (logicalType map); resolve each field's non-null branch
+    def arraySchemaOf(field: String): Schema =
+      dfSchema.getField(field).schema().getTypes.asScala
+        .find(_.getType == Schema.Type.ARRAY).get
+    val nullCountsSchema = arraySchemaOf("null_value_counts")
+    val lowerSchema = arraySchemaOf("lower_bounds")
+    val upperSchema = arraySchemaOf("upper_bounds")
+    def kvArray(arr: Schema, entries: Seq[(Int, AnyRef)]): GenericData.Array[GenericRecord] = {
+      val out = new GenericData.Array[GenericRecord](entries.size, arr)
+      entries.foreach { case (k, v) =>
+        val r = new GenericData.Record(arr.getElementType)
+        r.put("key", k); r.put("value", v)
+        out.add(r)
+      }
+      out
+    }
     def entry(status: Int, path: String, pv: Map[String, String], n: Long,
               size: Long, seq: Option[Long] = None, content: Int = 0,
-              eqIds: Seq[Int] = Nil, fmt: String = "parquet"): GenericRecord = {
+              eqIds: Seq[Int] = Nil, fmt: String = "parquet",
+              stats: Option[StatsSkip.FileStats] = None): GenericRecord = {
       val e = new GenericData.Record(mSchema)
       e.put("status", status)
       e.put("snapshot_id", snapshotId)
@@ -258,6 +321,24 @@ object IcebergFixture {
       d.put("partition", p)
       d.put("record_count", n)
       d.put("file_size_in_bytes", size)
+      stats.foreach { st =>
+        def bounds(m: Map[String, com.fasterxml.jackson.databind.JsonNode]) =
+          m.toSeq.flatMap { case (name, node) =>
+            val fid = schema.fieldIndex(name) + 1
+            singleValueBytes(node, schema(name).dataType)
+              .map(b => fid -> (java.nio.ByteBuffer.wrap(b): AnyRef))
+          }.sortBy(_._1)
+        val (lo, hi) = (bounds(st.min), bounds(st.max))
+        if (lo.nonEmpty) d.put("lower_bounds", kvArray(lowerSchema, lo))
+        if (hi.nonEmpty) d.put("upper_bounds", kvArray(upperSchema, hi))
+        val nulls = st.nullCount.toSeq.flatMap { case (name, c) =>
+          schema.fieldNames.indexOf(name) match {
+            case -1 => None
+            case i => Some((i + 1) -> (java.lang.Long.valueOf(c): AnyRef))
+          }
+        }.sortBy(_._1)
+        if (nulls.nonEmpty) d.put("null_value_counts", kvArray(nullCountsSchema, nulls))
+      }
       if (eqIds.nonEmpty) {
         val l = new java.util.ArrayList[Integer]()
         eqIds.foreach(i => l.add(Integer.valueOf(i)))
@@ -271,10 +352,19 @@ object IcebergFixture {
     // here would make every 2+-snapshot table miscount in real engines)
     val carried = prev.toSeq.flatMap(_.files).map { f =>
       entry(if (removePaths.contains(f.path)) 2 else 0, f.path, f.partitionValues,
-        f.recordCount, f.size, seq = Some(f.seq), fmt = f.format)
+        f.recordCount, f.size, seq = Some(f.seq), fmt = f.format,
+        stats = f.stats)
     }
+    // column bounds for the added files come from their parquet footers
+    // (same seam as Delta add.stats); ORC adds carry none — conservative
+    val hadoopConf = new org.apache.hadoop.conf.Configuration()
     val added = written.map { case (p, pv, n, size) =>
-      entry(1, p, pv, n, size, fmt = addFormat)
+      val st =
+        if (addFormat == "parquet")
+          DeltaWrite.footerRanges(hadoopConf, Paths.get(p), schema)
+            .map(rangesToStats)
+        else None
+      entry(1, p, pv, n, size, fmt = addFormat, stats = st)
     }
     // per-attempt unique side-file names: a racing writer must never
     // overwrite the winner's manifests before losing the metadata CAS

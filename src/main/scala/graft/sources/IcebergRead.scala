@@ -60,7 +60,8 @@ object IcebergRead {
 
   final case class DataFile(path: String, partitionValues: Map[String, String],
                             size: Long, recordCount: Long, seq: Long = 0L,
-                            format: String = "parquet")
+                            format: String = "parquet",
+                            stats: Option[StatsSkip.FileStats] = None)
 
   /** A live v2 delete file: position (`file_path`+`pos` parquet rows) or
     * equality (rows over the `equalityIds` columns). */
@@ -137,7 +138,7 @@ object IcebergRead {
         else s"current-snapshot-id $curId not in snapshots"))
     val manifestList = resolve(tableDir, snapNode.get("manifest-list").asText)
 
-    val (files, deletes) = readManifestList(tableDir, manifestList)
+    val (files, deletes) = readManifestList(tableDir, manifestList, idToName, schema)
     Snapshot(curId, schema, identityCols, files, deletes, idToName)
   }
 
@@ -336,8 +337,9 @@ object IcebergRead {
     }
   }
 
-  private def readManifestList(tableDir: String,
-                               manifestList: Path): (Seq[DataFile], Seq[DeleteFile]) = {
+  private def readManifestList(tableDir: String, manifestList: Path,
+                               idToName: Map[Int, String],
+                               schema: StructType): (Seq[DataFile], Seq[DeleteFile]) = {
     val live = scala.collection.mutable.ArrayBuffer[DataFile]()
     val dels = scala.collection.mutable.ArrayBuffer[DeleteFile]()
     avroRows(manifestList).foreach { m =>
@@ -370,7 +372,8 @@ object IcebergRead {
                 }.toMap
               case _ => Map.empty[String, String]
             }
-            live += DataFile(path, pv, size, rc, eSeq, fmt)
+            live += DataFile(path, pv, size, rc, eSeq, fmt,
+              parseBounds(df, rc, idToName, schema))
           } else {
             require(fContent == 1 || fContent == 2,
               s"delete manifest entry with content=$fContent (want 1=position, 2=equality)")
@@ -388,6 +391,76 @@ object IcebergRead {
       }
     }
     (live.toSeq, dels.toSeq)
+  }
+
+  /** Manifest `lower_bounds`/`upper_bounds`/`null_value_counts` →
+    * [[StatsSkip.FileStats]] — Iceberg's second scan-economy channel
+    * beside identity-partition pruning, mirroring Delta's `add.stats`.
+    * Bounds are the spec's per-field-id single-value binary serialization
+    * (Appendix D: ints/longs/floats/doubles/dates little-endian, strings
+    * UTF-8, booleans one byte); field ids resolve to logical names
+    * through the schema. Truncated string bounds stay VALID bounds by
+    * the spec (lower truncates down, upper rounds the last char up), so
+    * [[StatsSkip]]'s interval arithmetic is sound over them. Any
+    * unparseable piece degrades to "no stat for that column" — skipping
+    * is economy, never correctness. */
+  private def parseBounds(df: GenericRecord, recordCount: Long,
+                          idToName: Map[Int, String],
+                          schema: StructType): Option[StatsSkip.FileStats] = {
+    def kvPairs(field: String): Seq[(Int, AnyRef)] =
+      Option(df.getSchema.getField(field)).flatMap(_ => Option(df.get(field)))
+        .toSeq.flatMap {
+          case l: java.util.List[_] => l.asScala.toSeq.collect {
+            case r: GenericRecord =>
+              (r.get("key").asInstanceOf[Number].intValue, r.get("value"))
+          }
+          case m: java.util.Map[_, _] => m.asScala.toSeq.map { case (k, v) =>
+            (k.toString.toInt, v.asInstanceOf[AnyRef])
+          }
+          case _ => Nil
+        }
+    def decode(fieldId: Int, raw: AnyRef): Option[(String, JsonNode)] = {
+      import com.fasterxml.jackson.databind.node.{BooleanNode, DoubleNode, LongNode, TextNode}
+      val name = idToName.get(fieldId).getOrElse(return None)
+      val dt = schema.fields.find(_.name == name).map(_.dataType).getOrElse(return None)
+      val bytes: Array[Byte] = raw match {
+        case bb: java.nio.ByteBuffer =>
+          val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+        case a: Array[Byte] => a
+        case _ => return None
+      }
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val node: Option[JsonNode] = dt match {
+        case org.apache.spark.sql.types.IntegerType if bytes.length == 4 =>
+          Some(LongNode.valueOf(bb.getInt.toLong))
+        case org.apache.spark.sql.types.LongType if bytes.length == 8 =>
+          Some(LongNode.valueOf(bb.getLong))
+        case org.apache.spark.sql.types.FloatType if bytes.length == 4 =>
+          Some(DoubleNode.valueOf(bb.getFloat.toDouble))
+        case org.apache.spark.sql.types.DoubleType if bytes.length == 8 =>
+          Some(DoubleNode.valueOf(bb.getDouble))
+        case org.apache.spark.sql.types.StringType =>
+          Some(TextNode.valueOf(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+        case org.apache.spark.sql.types.BooleanType if bytes.length == 1 =>
+          Some(BooleanNode.valueOf(bytes(0) != 0))
+        case org.apache.spark.sql.types.DateType if bytes.length == 4 =>
+          Some(TextNode.valueOf(
+            java.time.LocalDate.ofEpochDay(bb.getInt.toLong).toString))
+        case _ => None
+      }
+      node.map(name -> _)
+    }
+    val lo = kvPairs("lower_bounds").flatMap { case (id, v) => decode(id, v) }.toMap
+    val hi = kvPairs("upper_bounds").flatMap { case (id, v) => decode(id, v) }.toMap
+    val nulls = kvPairs("null_value_counts").flatMap { case (id, v) =>
+      idToName.get(id).flatMap(n => v match {
+        case x: Number => Some(n -> x.longValue)
+        case _ => None
+      })
+    }.toMap
+    if (lo.isEmpty && hi.isEmpty && nulls.isEmpty) None
+    else Some(StatsSkip.FileStats(recordCount, lo, hi, nulls))
   }
 
   private def avroRows(p: Path): Seq[GenericRecord] = {
@@ -443,7 +516,14 @@ final class IcebergFileIndex(spark: SparkSession, snap: IcebergRead.Snapshot)
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
     // empty partition schema ⇒ pruning predicates arrive as dataFilters;
-    // PartitionPrune keeps only conjuncts over the identity tuple columns
+    // PartitionPrune keeps only conjuncts over the identity tuple columns,
+    // then each surviving file is tested against the SAME pushed filters
+    // over its manifest column bounds (StatsSkip — conservative, a file
+    // without bounds is always scheduled), mirroring Delta's two-channel
+    // skipping (partition tuples + add.stats)
     PartitionPrune.prune(tupleSchema, groups, dataFilters)
-      .map { case (_, fs) => PartitionDirectory(InternalRow.empty, fs.map(statusOf)) }
+      .map { case (_, fs) => PartitionDirectory(InternalRow.empty,
+        fs.filter(f => StatsSkip.keep(f.stats, dataFilters, snap.schema))
+          .map(statusOf)) }
+      .filter(_.files.nonEmpty)
 }

@@ -89,17 +89,65 @@ class DeltaColumnMappingSpec extends SparkSpec {
     assert(e.getMessage.contains("column-mapped"))
   }
 
-  test("id-mode column mapping is rejected loudly, never mis-mapped") {
+  test("id mode: files resolve by parquet FIELD ID, not by any name") {
     val t = tbl()
+    // the Iceberg-conversion shape: data files keep their ORIGINAL
+    // (logical) column names and carry field ids — physical-NAME lookup
+    // would project nulls; only id resolution reads the rows
+    DeltaFixture.commitMappedId(spark, t, base.schema, Seq("p"), 0L, mapping,
+      Seq("a", "b").map(p => Map("p" -> p) -> base.filter($"p" === p)))
+    val snap = DeltaRead.snapshot(t)
+    assert(snap.fieldIds == Map("id" -> 1L, "p" -> 2L, "v" -> 3L))
+    assert(snap.columnMapping == mapping)
+    assert(snap.files.forall(_.partitionValues.keySet == Set("p")),
+      "partitionValues keys (physical in the log) normalize to logical")
+    // the raw file is NOT physical-named — name matching cannot work here
+    val raw = spark.read.parquet(
+      java.nio.file.Paths.get(t).resolve(snap.files.head.path).toString)
+    assert(raw.columns.toSet == Set("id", "v"))
+    val back = DeltaRead.read(spark, t)
+    assert(back.columns.toSeq == Seq("id", "p", "v"))
+    assert(back.as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"), (4L, "b", "y")))
+    // logical partition predicate still prunes
+    assert(DeltaRead.candidateFiles(snap, Map("p" -> Set("b"))).size == 1)
+    assert(DeltaRead.read(spark, t).filter($"p" === "b").count() == 2)
+  }
+
+  test("id mode composes with deletion vectors and checkpoints") {
+    val t = tbl()
+    DeltaFixture.commitMappedId(spark, t, base.schema, Seq("p"), 0L, mapping,
+      Seq("a", "b").map(p => Map("p" -> p) -> base.filter($"p" === p)))
+    DeltaWrite.deleteWhere(spark, t, $"id" === 2L)
+    assert(DeltaRead.read(spark, t).as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "x"), (3L, "b", "x"), (4L, "b", "y")))
+    DeltaWrite.checkpoint(spark, t)
+    val logDir = java.nio.file.Paths.get(t, "_delta_log")
+    Files.delete(logDir.resolve(f"${0L}%020d.json"))
+    Files.delete(logDir.resolve(f"${1L}%020d.json"))
+    val snap = DeltaRead.snapshot(t)
+    assert(snap.fieldIds.nonEmpty && snap.columnMapping == mapping,
+      "id mapping must survive checkpoint compaction")
+    assert(DeltaRead.read(spark, t).count() == 3)
+  }
+
+  test("id-mode files WITHOUT field ids fail loudly, never silent nulls") {
+    val t = tbl()
+    // name-mode fixture files: physical names, NO parquet field ids
     DeltaFixture.commitMapped(spark, t, base.schema, Nil, 0L, mapping,
       Seq(Map.empty[String, String] -> base))
-    // flip the mode in the log to 'id'
     val logDir = java.nio.file.Paths.get(t, "_delta_log")
     val f = logDir.resolve(f"${0L}%020d.json")
     Files.writeString(f, Files.readString(f)
       .replace("\"delta.columnMapping.mode\":\"name\"",
         "\"delta.columnMapping.mode\":\"id\""))
-    val e = intercept[IllegalArgumentException] { DeltaRead.snapshot(t) }
-    assert(e.getMessage.contains("columnMapping.mode"))
+    // snapshot parses (the spec's metadata is complete) but the SCAN must
+    // fail — matching by id against an id-less file has no sound answer
+    val e = intercept[Exception] {
+      DeltaRead.read(spark, t).collect()
+    }
+    assert(e.toString.toLowerCase.contains("field id") ||
+      Option(e.getCause).exists(_.toString.toLowerCase.contains("field id")),
+      s"want a loud field-id failure, got $e")
   }
 }

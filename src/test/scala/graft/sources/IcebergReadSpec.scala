@@ -66,6 +66,34 @@ class IcebergReadSpec extends SparkSpec {
     assert(IcebergRead.read(spark, tbl).filter($"p" === "b").count() == 2)
   }
 
+  test("manifest column bounds skip files on non-partition predicates") {
+    val tbl = Files.createTempDirectory("graft_ice_stats").resolve("t").toString
+    val df = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+    // UNPARTITIONED, 4 id-range-clustered files: only column bounds can prune
+    IcebergFixture.snapshot(spark, tbl, df.schema, Nil, 1L,
+      (0L until 4L).map(i => Map.empty[String, String] ->
+        df.filter($"id" >= i * 100L && $"id" < (i + 1) * 100L)))
+    val snap = IcebergRead.snapshot(tbl)
+    assert(snap.files.size == 4 && snap.files.forall(_.stats.nonEmpty),
+      "every added parquet file must carry manifest bounds")
+    val f0 = snap.files.flatMap(_.stats).map(st =>
+      (st.min.get("id").map(_.asLong), st.max.get("id").map(_.asLong))).toSet
+    assert(f0 == Set((Some(0L), Some(99L)), (Some(100L), Some(199L)),
+      (Some(200L), Some(299L)), (Some(300L), Some(399L))), s"got $f0")
+    // string bounds present too
+    assert(snap.files.forall(_.stats.exists(_.min.get("v").exists(_.isTextual))))
+    val probe = IcebergRead.read(spark, tbl).filter($"id" >= 150L && $"id" <= 160L)
+    assert(probe.count() == 11)
+    val scanned = probe.select(input_file_name()).distinct().count()
+    assert(scanned == 1, s"bounds must prune the probe to 1 of 4 files, got $scanned")
+    // bounds survive a second snapshot's carry-forward
+    IcebergFixture.snapshot(spark, tbl, df.schema, Nil, 2L,
+      Seq(Map.empty[String, String] -> Seq((1000L, "z")).toDF("id", "v")))
+    val snap2 = IcebergRead.snapshot(tbl)
+    assert(snap2.files.size == 5 && snap2.files.forall(_.stats.nonEmpty),
+      "carried entries must keep their bounds")
+  }
+
   test("nested schema types (struct/list/map) round-trip end-to-end") {
     val tbl = Files.createTempDirectory("graft_ice_nested").resolve("t").toString
     val df = Seq(
