@@ -89,8 +89,33 @@ object SimQueries {
        | / (sqrt(list_sum(list_transform($a, x -> cast(x as double) * cast(x as double))))
        |    * sqrt(list_sum(list_transform($b, x -> cast(x as double) * cast(x as double)))))""".stripMargin
 
+  /** Distributed top-k per query over `(query_id, neighbor_id, score)`
+    * candidates, score DESC / neighbor_id ASC — the rank every ANN family
+    * member needs. A `row_number()` window must SHUFFLE AND SORT every
+    * candidate (the shape that spilled for geo_knn at sf30, round 12);
+    * the [[graft.expr.TopKPairs]] bounded-heap aggregate reduces each map
+    * task's candidates to ≤ k per group BEFORE the exchange, so the
+    * shuffle carries O(queries × k) rows, not O(candidates). Scores in
+    * this family are `round(x, 4)` doubles by contract, so score × 10⁴ is
+    * an EXACT long: ord = −(score·10⁴) ascending ⇔ score descending, and
+    * the decode `round(−ord/10⁴, 4)` reproduces the identical double
+    * (both are the nearest-double of the same 4-decimal value). Ties on
+    * ord break on payload (neighbor_id) ascending — the window's exact
+    * ORDER BY. */
+  private def topKByScore(cands: DataFrame, k: Int, scoreName: String): DataFrame =
+    cands
+      .withColumn("__ord", (-round(col(scoreName) * 10000)).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(graft.expr.TopKPairs.topKPairs(
+        struct(col("__ord"), col("neighbor_id")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.payload").as("neighbor_id"),
+        round(-col("col.ord") / lit(10000.0), 4).as(scoreName),
+        (col("pos") + 1).cast("long").as("rank"))
+
   /** brute-force cosine top-k — the exactness baseline. Scale shape:
-    * broadcast the QUERY set (small by construction), stream the corpus. */
+    * broadcast the QUERY set (small by construction), stream the corpus,
+    * rank through the bounded-heap aggregate (see [[topKByScore]]). */
   private def bruteTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     val e = emb(s, dir).withColumn("nrm", vecNorm(col("embedding")))
     val q = e.filter(col("vec_id") < 10)
@@ -98,11 +123,7 @@ object SimQueries {
     val scored = broadcast(q).join(e.filter(col("vec_id") >= 10))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKByScore(scored, k, "cos_sim")
   }
 
   /** LSH ANN top-k: deterministic sign-random-projection buckets from
@@ -129,11 +150,7 @@ object SimQueries {
     val cands = broadcast(q).join(bucketed.filter(col("vec_id") >= 10), Seq("bucket"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    cands.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKByScore(cands, k, "cos_sim")
   }
 
   /** CODEBOOK AS DATA, shared by the IVF family (`ivf_ann`, `semdedup`,
@@ -245,18 +262,29 @@ object SimQueries {
     // form aggregate(zip_with(...)) drops out of whole-stage codegen, and
     // this is the hot loop of the quantized scan; values are identical
     // (exact long arithmetic either way)
-    val coarse = broadcast(q).join(quantized.filter(col("vec_id") >= 10))
+    // coarse scan carries ONLY (query, neighbor, integer score) — the
+    // float vectors are re-fetched for the ≤50-per-query shortlist by a
+    // broadcast join-back, so the candidate-scale stage never hauls them
+    val coarse = broadcast(q.select(col("query_id"), col("qq")))
+      .join(quantized.filter(col("vec_id") >= 10))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         graft.expr.VectorExpressions.intDotProduct(col("qq"), col("qv"))
-          .as("approx_score"),
-        col("qe"), col("qn"), col("embedding"), col("nrm"))
-    val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_score").desc, col("neighbor_id").asc)
-    val short = coarse.withColumn("__crn", row_number().over(wc))
-      .filter(col("__crn") <= 50)
+          .as("approx_score"))
+    // integer scores embed directly: ord = −score (exact long)
+    val short = coarse
+      .groupBy(col("query_id"))
+      .agg(graft.expr.TopKPairs.topKPairs(
+        struct((-col("approx_score")).as("o"), col("neighbor_id")), 50).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("t"))
+      .select(col("query_id"), col("t.payload").as("neighbor_id"),
+        (-col("t.ord")).as("approx_score"))
+    val nbrVecs = quantized.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    short
+    broadcast(short).join(nbrVecs, Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))),
+        Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("approx_score"),
         round(dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
           .as("cos_sim"))
@@ -278,10 +306,7 @@ object SimQueries {
     val lut = pqLut(e.filter(col("vec_id") < 10)
       .withColumn("nrm", vecNorm(col("embedding"))), cents, dsub)
     val scored = pqScore(codes, lut, M)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKByScore(scored, k, "approx_cos")
   }
 
   /** the PQ chain as DuckDB CTEs, ending in `scored`
@@ -358,10 +383,12 @@ object SimQueries {
       .select(col("vec_id").as("query_id"), col("cid").as("cell"))
     val lut = pqLut(e.filter(col("vec_id") < 10), pcents, dsub)
     // candidates bounded by the probed cells; the scoring scan reads PQ
-    // codes + the broadcast LUT, never the original vectors
+    // codes + the broadcast LUT, never the original vectors — and the
+    // shortlist rank rides the bounded-heap aggregate, so even the
+    // PQ-scored candidate set never hits a window sort; only the ≤20
+    // shortlist rows fetch the float vectors, by broadcast join-back
     val pairs = broadcast(probed).join(corpus, Seq("cell"))
-      .select(col("query_id"), col("vec_id"),
-        col("embedding").as("nv"), col("nrm").as("nn"))
+      .select(col("query_id"), col("vec_id"))
     val dSum = (0 until M).map(m => max(when(col("m") === m, col("d"))))
       .reduce(_ + _)
     val n2Sum = (0 until M).map(m => max(when(col("m") === m, col("cn2"))))
@@ -369,19 +396,19 @@ object SimQueries {
     val cands = pairs.join(codes, Seq("vec_id"))
       .join(broadcast(lut), Seq("query_id", "m", "j"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(round(dSum / (max(col("qn")) * sqrt(n2Sum)), 4).as("approx_cos"),
-        first(col("nv")).as("nv"), first(col("nn")).as("nn"))
+      .agg(round(dSum / (max(col("qn")) * sqrt(n2Sum)), 4).as("approx_cos"))
     val qvecs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
-    val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
-    val short = cands.withColumn("__crn", row_number().over(wc))
-      .filter(col("__crn") <= shortlist)
-      .join(broadcast(qvecs), Seq("query_id"))
+    val nbrVecs = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        col("nrm").as("nn"))
+    val short = topKByScore(cands, shortlist, "approx_cos").drop("rank")
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    short.select(col("query_id"), col("neighbor_id"), col("approx_cos"),
+    broadcast(short).join(nbrVecs, Seq("neighbor_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("approx_cos"),
         round(dotProduct(col("qv"), col("nv")) / (col("qn") * col("nn")), 4)
           .as("cos_sim"))
       .withColumn("rank", row_number().over(wr).cast("long"))
@@ -1689,11 +1716,7 @@ object SimQueries {
             .select(col("query_id"), col("vec_id").as("neighbor_id"),
               round(dotProduct(col("qv"), col("v")) / (col("qn") * col("nrm")), 4)
                 .as("cos_sim"))
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy(col("query_id"))
-            .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-          scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-            .select("query_id", "neighbor_id")
+          topKByScore(scored, k, "cos_sim").select("query_id", "neighbor_id")
         }
         val truth = topK(identity, 3)
         val truncated = topK(v => slice(v, 1, prefix), 3)
@@ -1861,10 +1884,7 @@ object SimQueries {
         val cands = broadcast(probed).join(corpus, Seq("cell"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             round(dotProduct(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4).as("cos_sim"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-        cands.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
+        topKByScore(cands, 3, "cos_sim")
       },
       Some(s"""WITH cent AS (
               |  SELECT vec_id - 10 AS cid, embedding AS cvec
@@ -1910,24 +1930,28 @@ object SimQueries {
         val paired = e.crossJoin(broadcast(cent))
           .withColumn("s", round(dotProduct(col("embedding"), col("cvec")) /
             (col("nrm") * col("cn")), 4))
+        // corpus argmax: max(struct(s, -cid)) ≡ ORDER BY s DESC, cid ASC
+        // LIMIT 1 — a partially-aggregated groupBy, so the corpus×nlist
+        // pair stream collapses map-side instead of window-sorting (the
+        // same argmax shape ann_codebook_join pins)
+        val corpus = paired.filter(col("vec_id") >= 10)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("s"), (-col("cid")).as("nc"))).as("b"),
+            first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            (-col("b.nc")).as("cell"))
         val byVec = Window.partitionBy(col("vec_id"))
           .orderBy(col("s").desc, col("cid").asc)
-        val ranked = paired
+        val probed = paired.filter(col("vec_id") < 10)
           .withColumn("__rn", row_number().over(byVec))
-        val corpus = ranked.filter(col("vec_id") >= 10 && col("__rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("nrm"),
-            col("cid").as("cell"))
-        val probed = ranked.filter(col("vec_id") < 10 && col("__rn") <= nprobe)
+          .filter(col("__rn") <= nprobe)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
             col("nrm").as("qn"), col("cid").as("cell"))
         val cands = broadcast(probed).join(corpus, Seq("cell"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             round(dotProduct(col("qv"), col("embedding")) /
               (col("qn") * col("nrm")), 4).as("cos_sim"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-        cands.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
+        topKByScore(cands, 3, "cos_sim")
       },
       Some(s"""WITH cent AS (
               |  SELECT vec_id - 10 AS cid, embedding AS cvec
