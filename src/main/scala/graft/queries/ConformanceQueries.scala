@@ -990,6 +990,48 @@ object ConformanceQueries {
              |  TRUE
              |FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin)),
 
+    // SCHEMA EVOLUTION ON WRITE (both formats): mergeSchema appends a
+    // nullable column mid-history — the widened schema lands in the log
+    // (Delta: a metaData action; Iceberg: the next metadata version with
+    // positionally-stable field ids) and the PRE-evolution data files,
+    // which physically lack the column, read back as NULLs through the
+    // name-resolving scan. The oracle derives each row's expected flag
+    // state from orderkey parity alone, so a reader that drops old files,
+    // mis-aligns the new column, or defaults it to false goes red.
+    Q("interop_schema_evolution",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite, IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_evo")
+        val o = rd(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val old = o.filter(col("o_orderkey") % 2 === 0)
+        val young = o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_flagged", col("o_orderkey") % 3 === 0)
+        val dt = s"$wh/orders_evo_delta"
+        DeltaWrite.write(old, dt)
+        DeltaWrite.write(young, dt, mergeSchema = true)
+        val it = s"$wh/orders_evo_ice"
+        IcebergWrite.write(old, it)
+        IcebergWrite.write(young, it, mergeSchema = true)
+        DeltaRead.read(s, dt).withColumn("fmt", lit("delta"))
+          .unionByName(IcebergRead.read(s, it).withColumn("fmt", lit("iceberg")))
+          .groupBy(col("fmt"),
+            when(col("o_flagged").isNull, "null")
+              .when(col("o_flagged"), "true").otherwise("false")
+              .as("flag_state"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      },
+      Some("""SELECT f.fmt,
+             |  CASE WHEN o_orderkey % 2 = 0 THEN 'null'
+             |       WHEN o_orderkey % 3 = 0 THEN 'true'
+             |       ELSE 'false' END AS flag_state,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents
+             |FROM orders, (SELECT 'delta' AS fmt UNION ALL SELECT 'iceberg') f
+             |GROUP BY 1, 2""".stripMargin)),
+
     // CDF EMISSION ON THE WRITE PATH: with delta.enableChangeDataFeed=true
     // (DeltaWrite.setProperties — ALTER TABLE SET TBLPROPERTIES as a
     // metaData commit), a deleteWhere DV commit persists its deleted rows

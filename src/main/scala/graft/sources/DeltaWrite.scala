@@ -55,9 +55,18 @@ object DeltaWrite {
 
   /** Commit `df` to `tableDir` in `mode`; returns the committed version.
     * `partCols` is only consulted when CREATING the table (version 0) —
-    * later commits reuse (and enforce) the log's partitioning. */
+    * later commits reuse (and enforce) the log's partitioning.
+    *
+    * `mergeSchema = true` (Delta's schema-evolution-on-write option):
+    * the incoming frame may ADD nullable columns; every existing table
+    * column must still be present with its exact type. The commit then
+    * carries an updated metaData action with the widened schema —
+    * earlier data files simply lack the new columns, and the
+    * name-resolving parquet scan serves them as NULLs, exactly Delta's
+    * read semantics for added columns. Dropping or retyping a column
+    * stays a loud reject (that is DDL, not evolution-on-write). */
   def write(df: DataFrame, tableDir: String, partCols: Seq[String] = Nil,
-            mode: String = "append"): Long = {
+            mode: String = "append", mergeSchema: Boolean = false): Long = {
     require(Set("append", "overwrite", "overwritePartitions")(mode),
       s"unknown Delta write mode '$mode'")
     val spark = df.sparkSession
@@ -67,18 +76,37 @@ object DeltaWrite {
       if (Files.isDirectory(logDir)) Some(DeltaRead.snapshot(tableDir)) else None
     val version = existing.map(_.version + 1).getOrElse(0L)
     val cols = existing.map(_.partitionColumns).getOrElse(partCols)
+    var evolvedSchema: Option[StructType] = None
     existing.foreach { snap =>
       // this writer stages files under LOGICAL names — appending them to
       // a physical-named (column-mapped) table would write unreadable
       // files. DV deletes (deleteWhere) remain available on such tables.
       require(snap.columnMapping.isEmpty,
         s"appending to a column-mapped table is not supported ($tableDir)")
-      // same (name, type) list in the same order: a lax match here writes
-      // files later commits' readers decode with the wrong schema
       val want = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      require(got == want,
-        s"schema mismatch vs $tableDir log: got ${got.mkString(",")}, table has ${want.mkString(",")}")
+      if (mergeSchema && got != want) {
+        val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val missing = want.filterNot { case (n, t) => byName.get(n).contains(t) }
+        require(missing.isEmpty,
+          s"mergeSchema can only ADD columns; incoming frame drops/retypes " +
+            s"${missing.map(_._1).mkString(",")} of $tableDir")
+        // added columns are FORCED nullable in the table schema — files
+        // written before the evolution have no values for them, so any
+        // reader must be allowed to produce NULLs there
+        val newCols = df.schema.fields.filterNot(f =>
+          snap.schema.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        evolvedSchema = Some(StructType(
+          snap.schema.fields.map(f => f.copy()) ++ newCols))
+      } else {
+        // same (name, type) list in the same order: a lax match here writes
+        // files later commits' readers decode with the wrong schema
+        require(got == want,
+          s"schema mismatch vs $tableDir log: got ${got.mkString(",")}, table has ${want.mkString(",")}" +
+            (if (got.toMap.keySet.subsetOf(want.toMap.keySet)) ""
+             else " (pass mergeSchema = true to add columns)"))
+      }
     }
 
     // distributed data write into a staging dir the log never references
@@ -128,6 +156,11 @@ object DeltaWrite {
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       lines += metaDataJson(df.schema, cols)
     }
+    // schema evolution: this commit re-declares metaData with the widened
+    // schema (configuration carried — re-declaring with an empty map would
+    // silently wipe table properties like delta.enableChangeDataFeed)
+    evolvedSchema.foreach(sch => lines += metaDataJson(sch, cols,
+      existing.map(_.configuration).getOrElse(Map.empty)))
     val ci = mapper.createObjectNode()
     val info = ci.putObject("commitInfo")
     info.put("operation",
@@ -650,7 +683,8 @@ object DeltaWrite {
     snap.version
   }
 
-  private def metaDataJson(schema: StructType, partCols: Seq[String]): String = {
+  private def metaDataJson(schema: StructType, partCols: Seq[String],
+                           configuration: Map[String, String] = Map.empty): String = {
     val m = mapper.createObjectNode()
     val md = m.putObject("metaData")
     md.put("id", "graft-delta-write")
@@ -658,7 +692,8 @@ object DeltaWrite {
     md.put("schemaString", schema.json)
     val pc = md.putArray("partitionColumns")
     partCols.foreach(pc.add)
-    md.putObject("configuration")
+    val cfg = md.putObject("configuration")
+    configuration.foreach { case (k, v) => cfg.put(k, v) }
     md.put("createdTime", 0L)
     mapper.writeValueAsString(m)
   }

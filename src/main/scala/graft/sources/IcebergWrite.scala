@@ -30,9 +30,17 @@ import org.apache.spark.sql.types.StructType
   */
 object IcebergWrite {
 
-  /** Commit `df` as the table's next snapshot; returns the snapshot id. */
+  /** Commit `df` as the table's next snapshot; returns the snapshot id.
+    *
+    * `mergeSchema = true` — schema evolution on write, mirroring
+    * [[DeltaWrite.write]]: the incoming frame may APPEND nullable
+    * columns (field ids are positional, so appending keeps every
+    * existing column's id stable — the spec's add-column evolution);
+    * the committed metadata carries the widened schema, and older data
+    * files simply lack the new columns, which the name-resolving scan
+    * serves as NULLs. Dropping/retyping stays a loud reject. */
   def write(df: DataFrame, tableDir: String, partCols: Seq[String] = Nil,
-            mode: String = "append"): Long = {
+            mode: String = "append", mergeSchema: Boolean = false): Long = {
     require(Set("append", "overwrite", "overwritePartitions")(mode),
       s"unknown Iceberg write mode '$mode'")
     val spark = df.sparkSession
@@ -42,11 +50,24 @@ object IcebergWrite {
         Some(IcebergRead.snapshot(tableDir)) else None
     val snapshotId = existing.map(_.snapshotId + 1).getOrElse(1L)
     val cols = existing.map(_.identityPartitionCols).getOrElse(partCols)
+    // the schema the commit declares: on evolution, the appended columns
+    // are FORCED nullable (older files lack them — readers must be allowed
+    // to produce NULLs), keeping existing fields exactly as the table had
+    var commitSchema: StructType = df.schema
     existing.foreach { snap =>
       val want = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      require(got == want,
-        s"schema mismatch vs $tableDir metadata: got ${got.mkString(",")}, table has ${want.mkString(",")}")
+      if (mergeSchema && got != want) {
+        require(got.take(want.size) == want,
+          s"mergeSchema can only APPEND columns (field ids are positional); " +
+            s"got ${got.mkString(",")}, table has ${want.mkString(",")}")
+        commitSchema = StructType(snap.schema.fields ++
+          df.schema.fields.drop(want.size).map(_.copy(nullable = true)))
+      } else {
+        require(got == want,
+          s"schema mismatch vs $tableDir metadata: got ${got.mkString(",")}, table has ${want.mkString(",")}" +
+            (if (mergeSchema) "" else " (pass mergeSchema = true to append columns)"))
+      }
     }
 
     // distributed stage: shadow partition columns keep the real ones in
@@ -103,7 +124,7 @@ object IcebergWrite {
           .filter(f => touched(f.partitionValues)).map(_.path)).toSet
     }
 
-    IcebergFixture.commitSnapshot(tableDir, df.schema, cols, snapshotId,
+    IcebergFixture.commitSnapshot(tableDir, commitSchema, cols, snapshotId,
       added, removePaths)
     snapshotId
   }

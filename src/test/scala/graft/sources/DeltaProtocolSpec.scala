@@ -175,6 +175,50 @@ class DeltaProtocolSpec extends SparkSpec {
     assert(DeltaRead.readChangeFeed(spark, t, -1L, 2L).count() == 5)
   }
 
+  test("Delta mergeSchema: appended column lands in the log; old files read as NULL") {
+    val t = tbl()
+    DeltaWrite.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)        // v0
+    DeltaWrite.setProperties(spark, t, Map("graft.marker" -> "yes"))      // v1
+    // default stays a loud reject — evolution is opt-in
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.write(Seq((3L, "c", 7L)).toDF("id", "v", "extra"), t)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    DeltaWrite.write(Seq((3L, "c", 7L)).toDF("id", "v", "extra"), t,
+      mergeSchema = true)                                                 // v2
+    val snap = DeltaRead.snapshot(t)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(snap.configuration.get("graft.marker").contains("yes"),
+      "evolution must not wipe table properties")
+    assert(DeltaRead.read(spark, t).select($"id", $"v", $"extra")
+      .as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(7L))))
+    // dropping/retyping is never evolution
+    intercept[IllegalArgumentException] {
+      DeltaWrite.write(Seq((4L, 9L)).toDF("id", "extra"), t, mergeSchema = true)
+    }
+  }
+
+  test("Iceberg mergeSchema: appended column, stable field ids, old files as NULL") {
+    val t = tbl()
+    IcebergWrite.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    IcebergWrite.write(Seq((3L, "c", 7L)).toDF("id", "v", "extra"), t,
+      mergeSchema = true)
+    val snap = IcebergRead.snapshot(t)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(snap.fieldIdToName.get(1).contains("id") &&
+      snap.fieldIdToName.get(3).contains("extra"),
+      s"appending must keep existing field ids stable, got ${snap.fieldIdToName}")
+    assert(IcebergRead.read(spark, t).select($"id", $"v", $"extra")
+      .as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(7L))))
+    // non-appended (reordered/inserted) column sets are rejected
+    intercept[IllegalArgumentException] {
+      IcebergWrite.write(Seq((4L, 9L, "d")).toDF("id", "extra", "v"), t,
+        mergeSchema = true)
+    }
+  }
+
   test("streamChanges tails across appends AND a DV delete as change batches") {
     val t = tbl()
     DeltaWrite.write(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), t, Seq("p")) // v0
