@@ -2151,6 +2151,234 @@ object ConformanceQueries {
              |SELECT segment, n_rows, n_case_variants,
              |  cast(row_number() OVER (ORDER BY segment COLLATE NOCASE, segment)
              |    AS BIGINT) AS lcase_rank
-             |FROM grouped ORDER BY segment""".stripMargin))
+             |FROM grouped ORDER BY segment""".stripMargin)),
+
+    // DELTA OPTIMIZE (bin-pack compaction): the full maintenance
+    // lifecycle on a partitioned interop table — 3 small-file appends, a
+    // DV delete, then OPTIMIZE (dataChange=false rewrite that PURGES the
+    // deletion vectors), then VACUUM reclaiming the tombstoned originals
+    // and the superseded DV file. Pinned: values unchanged through all of
+    // it (the oracle never sees maintenance), exactly one file per
+    // partition after (the repartition(parts, partCols) route), no DV
+    // survives the rewrite, the incremental reader sees an EMPTY delta
+    // for the OPTIMIZE version (dataChange=false is skipped whole), and
+    // vacuum physically deletes something.
+    Q("delta_optimize_compact",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        val wh = DvQueries.tmpWarehouse("graft_delta_opt")
+        val tbl = s"$wh/orders_opt"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        (0 until 3).foreach(i =>
+          DeltaWrite.write(o.filter(col("o_orderkey") % 3 === i), tbl,
+            Seq("o_orderpriority")))                                  // v0-v2
+        DeltaWrite.deleteWhere(s, tbl, col("o_orderkey") % 7 === 0)   // v3
+        val (before, after) = DeltaWrite.optimize(s, tbl)             // v4
+        val snap = DeltaRead.snapshot(tbl)
+        val nParts = snap.files.map(_.partitionValues).distinct.size
+        val dvPurged = snap.files.forall(_.deletionVector.isEmpty)
+        val appendsEmpty = DeltaRead.readAppends(s, tbl, 3, 4).isEmpty
+        val reclaimed = DeltaWrite.vacuum(s, tbl) > 0
+        DeltaRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("one_file_per_partition", lit(after == nParts))
+          .withColumn("compacted_fewer", lit(after < before))
+          .withColumn("dv_purged", lit(dvPurged))
+          .withColumn("optimize_invisible_to_appends", lit(appendsEmpty))
+          .withColumn("vacuum_reclaimed", lit(reclaimed))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS one_file_per_partition, TRUE AS compacted_fewer,
+             |  TRUE AS dv_purged, TRUE AS optimize_invisible_to_appends,
+             |  TRUE AS vacuum_reclaimed
+             |FROM orders WHERE o_orderkey % 7 <> 0
+             |GROUP BY 1""".stripMargin)),
+
+    // DELTA OPTIMIZE ZORDER: multi-dimensional clustering on an
+    // unpartitioned interop table. Four key-interleaved appends leave
+    // every file spanning the full custkey range (a custkey probe scans
+    // everything); the z-order rewrite interleaves (o_orderkey,
+    // o_custkey) bits through the DETERMINISTIC ZCluster layout, after
+    // which add.stats prune a bottom-decile custkey probe. Pinned the
+    // delta_stats_skipping way: scanned == the stats arithmetic's own
+    // prediction, and the prediction actually prunes (layout is
+    // run-invariant, so the booleans cannot flake).
+    Q("delta_optimize_zorder",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        val wh = DvQueries.tmpWarehouse("graft_delta_zopt")
+        val tbl = s"$wh/orders_zopt"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        (0 until 4).foreach(i =>
+          DeltaWrite.write(o.filter(col("o_orderkey") % 4 === i), tbl))
+        val liveBytes = DeltaRead.snapshot(tbl).files.map(_.size).sum
+        val (_, after) = DeltaWrite.optimize(s, tbl,
+          targetFileBytes = math.max(1L, liveBytes / 8),
+          zorderBy = Seq("o_orderkey", "o_custkey"))
+        val snap = DeltaRead.snapshot(tbl)
+        val cutoff = o.agg(max(col("o_custkey"))).head().getLong(0) / 10L
+        val filtered = DeltaRead.read(s, tbl).filter(col("o_custkey") <= cutoff)
+        val predicted = snap.files.count(_.stats.exists(st =>
+          st.min.get("o_custkey").exists(_.asLong <= cutoff))).toLong
+        val scanned = filtered.select(input_file_name()).distinct().count()
+        filtered
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("scanned_eq_predicted", lit(scanned == predicted))
+          .withColumn("zorder_pruned", lit(predicted < after.toLong))
+      },
+      Some("""SELECT cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS scanned_eq_predicted, TRUE AS zorder_pruned
+             |FROM orders
+             |WHERE o_custkey <= (SELECT cast(floor(max(o_custkey) / 10.0) AS BIGINT)
+             |                    FROM orders)""".stripMargin)),
+
+    // DELTA MERGE (upsert): WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
+    // INSERT * — the statement the reference's incremental runs compile
+    // to on Databricks, as a copy-on-write rewrite. Base = even
+    // orderkeys in 4 key-range-clustered commits; source = every %3==0
+    // key in the BOTTOM QUARTILE with a +1000 price marker (matched ⇒
+    // update, odd ⇒ insert). Pinned: final state values (the oracle
+    // recomputes the upsert arithmetic), stats-pruned file economy (the
+    // three upper-quartile commits are never rewritten — their files
+    // survive the merge untouched), and the CDF feed: pre/post images
+    // for matched keys, inserts for new ones, carried rows NEVER in the
+    // feed.
+    Q("delta_merge_upsert",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        val wh = DvQueries.tmpWarehouse("graft_delta_merge")
+        val tbl = s"$wh/orders_merge"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val cutoff = maxKey / 4L
+        val base = o.filter(col("o_orderkey") % 2 === 0)
+        // 4 key-range-clustered commits -> add.stats carry disjoint key
+        // intervals, so the source's bounded keys prune 3 of them
+        val qStep = maxKey / 4L + 1L
+        (0L until 4L).foreach(i =>
+          DeltaWrite.write(base.filter(col("o_orderkey") >= i * qStep &&
+            col("o_orderkey") < (i + 1) * qStep), tbl))              // v0-v3
+        DeltaWrite.setProperties(s, tbl,
+          Map("delta.enableChangeDataFeed" -> "true"))               // v4
+        val source = o.filter(col("o_orderkey") % 3 === 0 &&
+            col("o_orderkey") <= cutoff)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val beforePaths = DeltaRead.snapshot(tbl).files.map(_.path).toSet
+        val v = DeltaWrite.merge(s, tbl, source, Seq("o_orderkey"))  // v5
+        val afterPaths = DeltaRead.snapshot(tbl).files.map(_.path).toSet
+        val untouchedSurvive = (beforePaths intersect afterPaths).nonEmpty
+        val feed = DeltaRead.readChangeFeed(s, tbl, v - 1, v)
+        val feedAgg = feed.groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        DeltaRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("change_type", lit("_state"))
+          .select(col("change_type"), col("priority"), col("n_orders"),
+            col("total_cents"))
+          .unionByName(feedAgg
+            .select(col("change_type"), lit("_feed").as("priority"),
+              col("n_rows").as("n_orders"), col("cents").as("total_cents")))
+          .withColumn("untouched_files_survive", lit(untouchedSurvive))
+      },
+      Some("""WITH params AS (
+             |  SELECT cast(floor(max(o_orderkey) / 4.0) AS BIGINT) AS cutoff
+             |  FROM orders),
+             |src AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+             |         o_orderpriority
+             |  FROM orders, params
+             |  WHERE o_orderkey % 3 = 0 AND o_orderkey <= cutoff),
+             |final AS (
+             |  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderpriority
+             |  FROM orders o, params
+             |  WHERE o.o_orderkey % 2 = 0
+             |    AND NOT (o.o_orderkey % 3 = 0 AND o.o_orderkey <= cutoff)
+             |  UNION ALL
+             |  SELECT * FROM src)
+             |SELECT '_state' AS change_type, o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS untouched_files_survive
+             |FROM final GROUP BY 2
+             |UNION ALL
+             |SELECT 'update_preimage', '_feed', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM orders, params
+             |WHERE o_orderkey % 6 = 0 AND o_orderkey <= cutoff
+             |UNION ALL
+             |SELECT 'update_postimage', '_feed', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round((o_totalprice + 1000) * 100) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM orders, params
+             |WHERE o_orderkey % 6 = 0 AND o_orderkey <= cutoff
+             |UNION ALL
+             |SELECT 'insert', '_feed', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round((o_totalprice + 1000) * 100) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM orders, params
+             |WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1
+             |  AND o_orderkey <= cutoff""".stripMargin)),
+
+    // ICEBERG SNAPSHOT EXPIRATION: the other format's physical-reclaim
+    // op ([[DeltaWrite.vacuum]]'s counterpart — Iceberg has no tombstone
+    // list; TIME TRAVEL is what holds old files live, so expiry is what
+    // releases them). History: append evens, OVERWRITE with odds
+    // (status-2s every even file — but snapshot 1 still serves them),
+    // append a third slice. expireSnapshots(keepLast=1) must drop
+    // snapshots 1-2, physically delete the even-key data files (now
+    // unreachable), keep every live file, and turn time travel to the
+    // expired snapshot into a loud reject. Values after expiry are
+    // pinned against the oracle's recomputation of the final state.
+    Q("iceberg_expire_snapshots",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_ice_expire")
+        val tbl = s"$wh/customer_expire"
+        val c = rd(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        IcebergWrite.write(c.filter(col("c_custkey") % 2 === 0), tbl) // s1
+        IcebergWrite.write(c.filter(col("c_custkey") % 2 === 1), tbl,
+          mode = "overwrite")                                         // s2
+        IcebergWrite.write(c.filter(col("c_custkey") % 2 === 0 &&
+          col("c_custkey") % 3 === 0), tbl)                           // s3
+        val deleted = IcebergWrite.expireSnapshots(tbl, keepLast = 1)
+        val expiredRejected =
+          try { IcebergRead.snapshotAt(tbl, 1L); false }
+          catch { case _: Exception => true }
+        val liveIntact = IcebergRead.snapshot(tbl).files.forall(f =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(f.path)))
+        IcebergRead.read(s, tbl)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+          .withColumn("files_reclaimed", lit(deleted > 0))
+          .withColumn("expired_time_travel_rejected", lit(expiredRejected))
+          .withColumn("live_files_intact", lit(liveIntact))
+      },
+      Some("""SELECT c_mktsegment AS segment,
+             |  cast(count(*) AS BIGINT) AS n_cust,
+             |  cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS bal_cents,
+             |  TRUE AS files_reclaimed, TRUE AS expired_time_travel_rejected,
+             |  TRUE AS live_files_intact
+             |FROM customer
+             |WHERE c_custkey % 2 = 1 OR (c_custkey % 2 = 0 AND c_custkey % 3 = 0)
+             |GROUP BY 1""".stripMargin))
   )
 }

@@ -533,5 +533,70 @@ object StreamingQueries {
              |SELECT 'delete', cast(count(*) AS BIGINT),
              |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
              |  TRUE
-             |FROM ins WHERE o_orderkey % 5 = 0""".stripMargin)))
+             |FROM ins WHERE o_orderkey % 5 = 0""".stripMargin)),
+
+    // ICEBERG STREAMING TAIL (streaming/IcebergTail): the other format's
+    // DeltaTail — Spark's file stream over the versioned metadata JSONs,
+    // new snapshots discovered by DIFFING each arriving version's
+    // snapshots array against its on-disk predecessor (restart-safe, no
+    // stream-side state), appended files read straight from the new
+    // snapshot's status-1 manifest entries. Exactly-once lands on the
+    // snapshot id via TxLogTable.appendOnce across a resume AND a
+    // checkpoint wipe + full redelivery. A post-redelivery
+    // expireSnapshots(keepLast=1) commits a metadata version with NO new
+    // snapshot — the diff must serve it as a no-op, not a redelivery.
+    // Parity vs the batch IcebergRead of the head rides as a boolean;
+    // values are oracle-gated against `orders` directly.
+    Q("streaming_iceberg_tail",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite}
+        import graft.streaming.IcebergTail
+        val wh = DvQueries.tmpWarehouse("graft_iceberg_tail")
+        val tbl = s"$wh/orders_ice"
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl)   // s1
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") % 3 === 0), tbl)                             // s2
+        val txlog = new TxLogTable(s, s"$wh/t")
+        def runTail(): Unit = {
+          val q = IcebergTail.stream(s, tbl, s"$wh/_cp",
+            (df, sid) => { txlog.appendOnce("orders_tail", df, "ice_tail", sid): Unit })
+          q.processAllAvailable(); q.stop()
+        }
+        runTail()                          // s1 + s2
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") % 3 === 1), tbl)                             // s3
+        runTail()                          // resumes, picks up s3 only
+        rmTree(Paths.get(s"$wh/_cp"))
+        runTail()                          // full redelivery — markers absorb
+        // expiry AFTER the redelivery window: it physically deletes the
+        // expired snapshots' manifests, so a checkpoint wipe could no
+        // longer replay them (Iceberg's own streaming sources share that
+        // contract — expiry bounds replayability); the metadata version
+        // it commits carries NO new snapshot, which the diff must serve
+        // as a NO-OP to the still-running checkpointed tail
+        IcebergWrite.expireSnapshots(tbl, keepLast = 1)
+        runTail()                          // expiry arrival: no-op
+        val streamed = txlog.read("orders_tail")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        val batch = IcebergRead.read(s, tbl)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        val parity = streamed.exceptAll(batch).isEmpty &&
+          batch.exceptAll(streamed).isEmpty
+        streamed.groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("batch_parity", lit(parity))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS batch_parity
+             |FROM orders
+             |WHERE o_orderkey % 2 = 0
+             |   OR (o_orderkey % 2 = 1 AND o_orderkey % 3 IN (0, 1))
+             |GROUP BY 1""".stripMargin)))
 }

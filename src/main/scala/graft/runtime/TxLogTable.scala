@@ -1373,101 +1373,16 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
                     zorderBy: Seq[String]): (Int, Int) = {
     require(zorderBy.nonEmpty && zorderBy.size <= 4,
       s"compactZOrder: 1-4 z-order columns, got ${zorderBy.size}")
-    import org.apache.spark.sql.functions.{floor => ffloor, greatest, least, lit, max => fmax, min => fmin, shiftleft, shiftright}
     val v = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"TxLogTable $name does not exist"))
     val live = files(name, v)
     val m = metaOf(name, v)
     val all = readWithDeletes(name, m.cols, live, m.edels)
-    val aggs = zorderBy.flatMap(c => Seq(
-      fmin(col(c).cast("double")).as(s"__mn_$c"),
-      fmax(col(c).cast("double")).as(s"__mx_$c"))) :+
-      org.apache.spark.sql.functions.count(lit(1)).as("__n")
-    val bounds = all.agg(aggs.head, aggs.tail: _*).head()
-    // empty table: nothing to cluster — a rewrite would only churn the
-    // manifest (and min/max are NULL, so the z-math below has no input)
-    if (bounds.getLong(bounds.length - 1) == 0L) return (live.size, live.size)
-    val n = zorderBy.size
-    val zBits = 16
-    val zExpr = zorderBy.zipWithIndex.map { case (c, i) =>
-      // an entirely-NULL column also yields NULL min/max; degrade that
-      // dimension to constant bucket 0 (NULLs share a partition) instead
-      // of NPE-ing on getDouble
-      if (bounds.isNullAt(i * 2)) lit(0L)
-      else {
-        val mn = bounds.getDouble(i * 2)
-        val mx = bounds.getDouble(i * 2 + 1)
-        val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
-        val maxB = (1L << zBits) - 1
-        val bucket = least(greatest(
-          ffloor((col(c).cast("double") - lit(mn)) / lit(span) * lit(maxB.toDouble)),
-          lit(0L)), lit(maxB)).cast("long")
-        (0 until zBits).map(j =>
-          shiftleft(shiftright(bucket, j).bitwiseAND(lit(1L)), j * n + i))
-          .reduce(_ + _)
-      }
-    }.reduce(_ + _)
-    // DETERMINISTIC layout: repartitionByRange SAMPLES its boundaries
-    // (RangePartitioner's reservoir seed varies with the RDD id), so two
-    // OPTIMIZE runs over identical data could pack z-quadrants into files
-    // differently and flip downstream pruning counts. Instead: one EXACT
-    // coarse histogram over the top ≤16 z-bits (≤65536 cells — a bounded
-    // map-side-combined aggregate at any scale), equal-count boundaries
-    // from its cumulative sum, and an exact fid→partition route via
-    // precomputed murmur3-representative keys (repartition(P, rep) sends
-    // fid i to partition i with zero collisions). Skew-aware like range
-    // partitioning, but run-invariant.
-    val zdf = all.withColumn("__zv", zExpr)
-    val coarseShift = math.max(0, zBits * n - 16)
-    val cellCol = shiftright(col("__zv"), coarseShift)
-    val hist = zdf.groupBy(cellCol.as("__cell"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__c"))
-      .orderBy(col("__cell"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val totalRows = hist.map(_._2).sum
-    val t = math.max(1, targetFiles)
-    val boundaries = {
-      val bs = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var cum = 0L
-      var j = 1
-      var i = 0
-      while (i < hist.length && j < t) {
-        cum += hist(i)._2
-        while (j < t && cum >= math.ceil(j.toDouble * totalRows / t).toLong) {
-          if (i + 1 < hist.length &&
-              (bs.isEmpty || hist(i + 1)._1 > bs.last)) bs += hist(i + 1)._1
-          j += 1
-        }
-        i += 1
-      }
-      bs.toSeq
-    }
-    val parts = boundaries.length + 1
-    val fid = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + (cellCol >= lit(b)).cast("int")
-    }
-    // rep(i) = smallest non-negative int whose murmur3(seed 42) lands in
-    // partition i of `parts` — so repartition(parts, __rep) is an exact
-    // identity partitioner over fid. Found in a few probes per slot.
-    val reps: Array[Int] = {
-      val out = new Array[Int](parts)
-      val found = new Array[Boolean](parts)
-      var left = parts
-      var v = 0
-      while (left > 0) {
-        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
-        val p = ((h % parts) + parts) % parts
-        if (!found(p)) { found(p) = true; out(p) = v; left -= 1 }
-        v += 1
-      }
-      out
-    }
-    val compacted = zdf
-      .withColumn("__rep",
-        org.apache.spark.sql.functions.element_at(lit(reps), fid + 1))
-      .repartition(parts, col("__rep"))
-      .sortWithinPartitions(col("__zv"))
-      .drop("__zv", "__rep")
+    // shared deterministic z-layout core (graft.ops.ZCluster) — also
+    // behind DeltaWrite.optimize; `all eq compacted` means empty table:
+    // nothing to cluster, a rewrite would only churn the manifest
+    val compacted = graft.ops.ZCluster.layout(all, zorderBy, targetFiles)
+    if (compacted eq all) return (live.size, live.size)
     val added = writeBatch(name, compacted, m.cols)
     val withStats = m.copy(
       stats = m.stats ++ batchStats(name, added, m.statsCols),

@@ -109,39 +109,9 @@ object DeltaWrite {
       }
     }
 
-    // distributed data write into a staging dir the log never references
-    // (uuid: racing writers must not stage into / sweep each other's dir;
-    // staged part names carry Spark's task uuids, so the moved data files
-    // never collide either)
-    val staging = root.resolve(
-      f"_staging_$version%020d-${java.util.UUID.randomUUID().toString.take(8)}")
-    val writer = df.write.mode("overwrite")
-    (if (cols.nonEmpty) writer.partitionBy(cols: _*) else writer)
-      .parquet(staging.toString)
-
-    val staged = listParquet(staging)
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val dataSchema = StructType(
       df.schema.fields.filterNot(f => cols.contains(f.name)))
-    val adds = staged.map { p =>
-      val rel = staging.relativize(p)
-      val segs = (0 until rel.getNameCount).map(rel.getName(_).toString)
-      val pv = segs.dropRight(1).map { seg =>
-        val eq = seg.indexOf('=')
-        require(eq > 0, s"staged path $rel is not hive-layout under partitionBy")
-        val raw = ExternalCatalogUtils.unescapePathName(seg.substring(eq + 1))
-        seg.substring(0, eq) ->
-          (if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else raw)
-      }.toMap
-      require(pv.keySet == cols.toSet,
-        s"staged path $rel carries partitions ${pv.keySet}, expected $cols")
-      val target = root.resolve(rel)
-      Files.createDirectories(target.getParent)
-      Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
-      (DeltaRead.AddFile(segs.mkString("/"), pv, Files.size(target)),
-        footerStats(hadoopConf, target, dataSchema))
-    }
-    deleteRecursively(staging)
+    val adds = stageDataFiles(df, root, version, cols, dataSchema)
 
     val removes: Seq[String] = mode match {
       case "append" => Nil
@@ -190,6 +160,320 @@ object DeltaWrite {
       lines += mapper.writeValueAsString(n)
     }
     commitCas(logDir, version, lines.toSeq)
+    version
+  }
+
+  /** Distributed DATA write into a staging dir the log never references
+    * (uuid: racing writers must not stage into / sweep each other's dir;
+    * staged part names carry Spark's task uuids, so the moved data files
+    * never collide either), then metadata-move every staged file under
+    * the table root. Returns (add action, footer-stats JSON) per file —
+    * the shared staging seam behind [[write]], [[optimize]], and
+    * [[merge]]. */
+  private def stageDataFiles(df: DataFrame, root: Path, version: Long,
+                             cols: Seq[String], dataSchema: StructType)
+      : Seq[(DeltaRead.AddFile, Option[String])] = {
+    val spark = df.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val staging = root.resolve(
+      f"_staging_$version%020d-${java.util.UUID.randomUUID().toString.take(8)}")
+    val writer = df.write.mode("overwrite")
+    (if (cols.nonEmpty) writer.partitionBy(cols: _*) else writer)
+      .parquet(staging.toString)
+    val staged = listParquet(staging)
+    val adds = staged.map { p =>
+      val rel = staging.relativize(p)
+      val segs = (0 until rel.getNameCount).map(rel.getName(_).toString)
+      val pv = segs.dropRight(1).map { seg =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"staged path $rel is not hive-layout under partitionBy")
+        val raw = ExternalCatalogUtils.unescapePathName(seg.substring(eq + 1))
+        seg.substring(0, eq) ->
+          (if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else raw)
+      }.toMap
+      require(pv.keySet == cols.toSet,
+        s"staged path $rel carries partitions ${pv.keySet}, expected $cols")
+      val target = root.resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+      (DeltaRead.AddFile(segs.mkString("/"), pv, Files.size(target)),
+        footerStats(hadoopConf, target, dataSchema))
+    }
+    deleteRecursively(staging)
+    adds
+  }
+
+  /** OPTIMIZE — physical-layout maintenance that changes NO logical row,
+    * committed with `dataChange = false` add/remove actions exactly as
+    * the protocol prescribes (so [[DeltaRead.readAppends]],
+    * [[DeltaRead.readChangeFeed]], and any conformant incremental
+    * consumer see an empty delta for this commit; a full-snapshot reader
+    * sees identical values from fewer, better files).
+    *
+    * Two modes:
+    *  - **bin-pack** (`zorderBy = Nil`): per partition-tuple, every live
+    *    file smaller than `targetFileBytes` — plus every file carrying a
+    *    deletion vector, whose suppressed rows are physically PURGED by
+    *    the rewrite — is coalesced; tuples with nothing to gain (a
+    *    single small DV-less file, or none) are left untouched. The
+    *    rewrite routes each tuple's rows to a single task
+    *    (`repartition(P, partCols)`), so a touched tuple comes out as
+    *    one file; P scales with candidate bytes / target.
+    *  - **Z-ORDER** (`zorderBy` 1-4 columns): rewrites ALL live files
+    *    into `ceil(live bytes / targetFileBytes)` z-clustered files via
+    *    the deterministic [[graft.ops.ZCluster]] layout (the exact
+    *    coarse-z histogram + representative-key routing that keeps
+    *    downstream stats-pruning counts run-invariant). Declared scope:
+    *    z-order targets UNPARTITIONED tables; on a partitioned table use
+    *    bin-pack (per-partition z-order composes routing with tuple
+    *    isolation and is left out until a user needs it — loud reject).
+    *
+    * Returns (live files before, live files after). A no-op candidate
+    * set commits nothing and leaves the head version unchanged. */
+  def optimize(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+               targetFileBytes: Long = 128L << 20,
+               zorderBy: Seq[String] = Nil): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val snap = DeltaRead.snapshot(tableDir)
+    require(snap.columnMapping.isEmpty,
+      s"optimize on a column-mapped table is not supported ($tableDir)")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val root = Paths.get(tableDir)
+    val cols = snap.partitionColumns
+    val before = snap.files.size
+    if (snap.files.isEmpty) return (0, 0)
+
+    val (rewritten: Seq[DeltaRead.AddFile], laid: DataFrame) =
+      if (zorderBy.nonEmpty) {
+        require(cols.isEmpty,
+          "z-order optimize targets unpartitioned tables (bin-pack handles partitioned)")
+        val missing = zorderBy.filterNot(snap.schema.fieldNames.contains)
+        require(missing.isEmpty, s"z-order columns not in table: $missing")
+        val df = DeltaRead.readSnapshot(spark, tableDir, snap)
+          .select(snap.schema.fieldNames.map(col).toSeq: _*)
+        val t = math.max(1, math.ceil(
+          snap.files.map(_.size).sum.toDouble / targetFileBytes).toInt)
+        (snap.files, graft.ops.ZCluster.layout(df, zorderBy, t))
+      } else {
+        val cands = snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
+          val c = fs.filter(f =>
+            f.size < targetFileBytes || f.deletionVector.nonEmpty)
+          // a lone DV-less small file gains nothing from a rewrite; a
+          // lone DV'd file does (the purge)
+          if (c.size >= 2 || c.exists(_.deletionVector.nonEmpty)) c else Nil
+        }.toSeq
+        if (cands.isEmpty) return (before, before)
+        val sub = snap.copy(files = cands)
+        val df = DeltaRead.readSnapshot(spark, tableDir, sub)
+          .select(snap.schema.fieldNames.map(col).toSeq: _*)
+        val parts = math.max(1, math.ceil(
+          cands.map(_.size).sum.toDouble / targetFileBytes).toInt)
+        // each partition tuple lands in exactly one task -> one output
+        // file per touched tuple; unpartitioned bin-packs round-robin
+        (cands, if (cols.nonEmpty) df.repartition(parts, cols.map(col): _*)
+                else df.repartition(parts))
+      }
+
+    val version = snap.version + 1
+    val adds = stageDataFiles(laid, root, version, cols, snap.dataSchema)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val ci = mapper.createObjectNode()
+    ci.putObject("commitInfo")
+      .put("operation", "OPTIMIZE").put("engineInfo", "graft-delta-write")
+    lines += mapper.writeValueAsString(ci)
+    rewritten.foreach { f =>
+      val n = mapper.createObjectNode()
+      val rm = n.putObject("remove")
+      rm.put("path", pathEnc(f.path))
+      rm.put("deletionTimestamp", 0L)
+      rm.put("dataChange", false)
+      lines += mapper.writeValueAsString(n)
+    }
+    adds.foreach { case (a, stats) =>
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", pathEnc(a.path))
+      val pvn = add.putObject("partitionValues")
+      a.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvn.putNull(k) else pvn.put(k, v)
+      }
+      add.put("size", a.size)
+      add.put("modificationTime", 0L)
+      add.put("dataChange", false)
+      stats.foreach(add.put("stats", _))
+      lines += mapper.writeValueAsString(n)
+    }
+    commitCas(root.resolve("_delta_log"), version, lines.toSeq)
+    (before, before - rewritten.size + adds.size)
+  }
+
+  /** MERGE (upsert): WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED
+    * THEN INSERT * — the statement the reference's incremental
+    * materializations compile to on its Databricks target
+    * (datavault4dbt macros/materializations: MERGE on the hashkey), here
+    * as a copy-on-write rewrite against a real Delta log.
+    *
+    * Scale shape (the same 3-job plan Delta's own MERGE runs):
+    *  1. **Stats prune** — source key [min, max] bounds (one aggregate)
+    *     against each live file's `add.stats` through [[StatsSkip]]; a
+    *     file whose key range cannot contain any source key is never
+    *     read. An append-mostly table with clustered keys touches only
+    *     the recent tail.
+    *  2. **Find touched** — a distributed semi-join of the surviving
+    *     files' rows (deletion vectors pre-applied) against the distinct
+    *     source keys; only DISTINCT file paths reach the driver
+    *     (O(touched files), the same order as the add actions).
+    *  3. **Rewrite** — touched-file rows anti-joined out of the carried
+    *     set, unioned with ALL source rows (matched = update, unmatched
+    *     = insert), one distributed `partitionBy` write. Untouched files
+    *     are never rewritten. Touched files' deletion vectors are purged
+    *     by the rewrite (their suppressed rows are already absent from
+    *     the carried scan).
+    *
+    * `source` is evaluated more than once (bounds, key probe, rewrite,
+    * change feed) — cache it if it is expensive. Duplicate keys in
+    * `source` are a loud reject, matching Delta's
+    * multiple-source-rows-matched error. With
+    * `delta.enableChangeDataFeed=true` the commit also persists
+    * `_change_data` rows — `update_preimage`/`update_postimage` for
+    * matched keys, `insert` for new ones; carried rows stay out of the
+    * feed (without cdc actions a conformant CDF reader would have to
+    * mis-synthesize every carried row as delete+insert).
+    *
+    * Returns the committed version (head unchanged on an empty source). */
+  def merge(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+            source: DataFrame, keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    val snap = DeltaRead.snapshot(tableDir)
+    require(snap.columnMapping.isEmpty,
+      s"merge on a column-mapped table is not supported ($tableDir)")
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val missing = keyCols.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty, s"merge keys not in table schema: $missing")
+    val want = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val got = source.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"merge source schema ${got.mkString(",")} != table ${want.mkString(",")}")
+    val root = Paths.get(tableDir)
+    val fieldCols = snap.schema.fieldNames.toSeq.map(col)
+
+    val dup = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
+    require(dup, "merge source has duplicate keys — each target row may " +
+      "be matched by at most one source row (Delta MERGE semantics)")
+
+    // 1. stats prune: a file whose key interval is disjoint from the
+    // source's overall key [min,max] cannot contain a match (a match
+    // needs EVERY key equal, so ANY disjoint key dimension suffices)
+    val bAggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))) :+
+      count(lit(1)).as("__n")
+    val b = source.agg(bAggs.head, bAggs.tail: _*).head()
+    if (b.getLong(b.length - 1) == 0L) return snap.version // empty MERGE: no-op
+    val boundFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      keyCols.zipWithIndex.flatMap { case (k, i) =>
+        import org.apache.spark.sql.catalyst.expressions._
+        val dt = snap.schema.fields(snap.schema.fieldIndex(k)).dataType
+        if (b.isNullAt(2 * i) || b.isNullAt(2 * i + 1)) Nil
+        else {
+          val attr = AttributeReference(k, dt)()
+          Seq(GreaterThanOrEqual(attr, Literal.create(b.get(2 * i), dt)),
+            LessThanOrEqual(attr, Literal.create(b.get(2 * i + 1), dt)))
+        }
+      }
+    val candidates = snap.files.filter(f =>
+      StatsSkip.keep(f.stats, boundFilters, snap.dataSchema))
+
+    // 2. exactly-touched files: distinct scan paths whose (DV-applied)
+    // rows carry a source key — only the path strings reach the driver
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val touched: Seq[DeltaRead.AddFile] =
+      if (candidates.isEmpty) Nil
+      else {
+        val byQualified = candidates
+          .map(f => DeltaRead.qualifiedPath(spark, root, f) -> f).toMap
+        DeltaRead.readWithPositions(spark, tableDir, snap.copy(files = candidates))
+          .join(srcKeys, keyCols, "left_semi")
+          .select(col("__fp")).distinct()
+          .collect().map(_.getString(0)).toSeq
+          .map(fp => byQualified.getOrElse(fp,
+            throw new IllegalStateException(s"scan surfaced unknown file $fp")))
+      }
+
+    // 3. rewrite: carried rows (touched minus matched) ∪ every source row
+    val src = source.select(fieldCols: _*)
+    val out =
+      if (touched.isEmpty) src
+      else DeltaRead.readSnapshot(spark, tableDir, snap.copy(files = touched))
+        .select(fieldCols: _*)
+        .join(srcKeys, keyCols, "left_anti")
+        .unionByName(src)
+
+    val version = snap.version + 1
+    val adds = stageDataFiles(out, root, version, snap.partitionColumns,
+      snap.dataSchema)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val ci = mapper.createObjectNode()
+    ci.putObject("commitInfo")
+      .put("operation", "MERGE").put("engineInfo", "graft-delta-write")
+    lines += mapper.writeValueAsString(ci)
+    touched.foreach { f =>
+      val n = mapper.createObjectNode()
+      val rm = n.putObject("remove")
+      rm.put("path", pathEnc(f.path))
+      rm.put("deletionTimestamp", 0L)
+      rm.put("dataChange", true)
+      lines += mapper.writeValueAsString(n)
+    }
+    adds.foreach { case (a, stats) =>
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", pathEnc(a.path))
+      val pvn = add.putObject("partitionValues")
+      a.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvn.putNull(k) else pvn.put(k, v)
+      }
+      add.put("size", a.size)
+      add.put("modificationTime", 0L)
+      add.put("dataChange", true)
+      stats.foreach(add.put("stats", _))
+      lines += mapper.writeValueAsString(n)
+    }
+
+    if (snap.configuration.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true"))) {
+      // matched keys = source keys that exist in the touched scan; the
+      // pre/post images split on them, carried rows never enter the feed
+      val touchedRows =
+        if (touched.isEmpty) None
+        else Some(DeltaRead.readSnapshot(spark, tableDir,
+          snap.copy(files = touched)).select(fieldCols: _*))
+      val pre = touchedRows.map(_.join(srcKeys, keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_preimage")))
+      val matchedKeys = touchedRows.map(
+        _.select(keyCols.map(col): _*).distinct())
+      val post = matchedKeys.map(mk => src.join(mk, keyCols, "left_semi")
+        .withColumn("_change_type", lit("update_postimage")))
+      val ins = matchedKeys.map(mk => src.join(mk, keyCols, "left_anti"))
+        .getOrElse(src).withColumn("_change_type", lit("insert"))
+      val changeDf = (pre.toSeq ++ post.toSeq :+ ins).reduce(_ unionByName _)
+        .select((snap.dataSchema.fieldNames.toSeq ++ snap.partitionColumns)
+          .map(col) :+ col("_change_type"): _*)
+      stageAndEmit(changeDf, root, "_change_data",
+        snap.partitionColumns, Map.empty).foreach { case (rel, pv, size) =>
+        val n = mapper.createObjectNode()
+        val cd = n.putObject("cdc")
+        cd.put("path", pathEnc(rel))
+        val pvn = cd.putObject("partitionValues")
+        pv.foreach { case (k, v) =>
+          if (v == null) pvn.putNull(k) else pvn.put(k, v)
+        }
+        cd.put("size", size)
+        cd.put("dataChange", false)
+        lines += mapper.writeValueAsString(n)
+      }
+    }
+    commitCas(root.resolve("_delta_log"), version, lines.toSeq)
     version
   }
 

@@ -463,7 +463,7 @@ object IcebergRead {
     else Some(StatsSkip.FileStats(recordCount, lo, hi, nulls))
   }
 
-  private def avroRows(p: Path): Seq[GenericRecord] = {
+  private[graft] def avroRows(p: Path): Seq[GenericRecord] = {
     val reader = DataFileReader.openReader(p.toFile, new GenericDatumReader[GenericRecord]())
     try reader.iterator().asScala.toSeq finally reader.close()
   }
@@ -476,7 +476,7 @@ object IcebergRead {
       .map(_.asInstanceOf[Number].longValue)
 
   /** Spec paths are full URIs; tolerate relative paths from lax writers. */
-  private def resolve(tableDir: String, raw: String): Path = {
+  private[graft] def resolve(tableDir: String, raw: String): Path = {
     val uri = try new java.net.URI(raw) catch { case _: java.net.URISyntaxException => null }
     if (uri != null && uri.getScheme != null) Paths.get(uri)
     else if (raw.startsWith("/")) Paths.get(raw)

@@ -183,6 +183,104 @@ object IcebergWrite {
     snapshotId
   }
 
+  /** Expire all but the newest `keepLast` snapshots — Iceberg's
+    * `expireSnapshots` maintenance action (Table Spec: table metadata
+    * `snapshots` may drop entries no longer reachable; files referenced
+    * by NO retained snapshot may then be physically removed). The
+    * [[DeltaWrite.vacuum]] counterpart for the other format: Delta
+    * separates logical remove (tombstones) from physical reclaim;
+    * Iceberg bundles both behind snapshot expiry, because time travel —
+    * not a tombstone list — is what holds old files live.
+    *
+    * Mechanics: the newest `keepLast` snapshot entries (which always
+    * include `current-snapshot-id` — snapshots are appended in commit
+    * order) are carried into a new metadata version (CAS, same fence as
+    * every commit); every manifest-list, manifest, data and delete file
+    * reachable ONLY from the expired entries is deleted from disk.
+    * Reachability is computed over ALL manifest entry statuses —
+    * a status-2 (deleted) entry still names a file an OLDER retained
+    * snapshot may serve, so retained inventories are conservative.
+    * Driver cost is O(metadata), never O(rows).
+    *
+    * Returns the number of files physically deleted. */
+  def expireSnapshots(tableDir: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val metaDir = Paths.get(tableDir).resolve("metadata")
+    require(Files.exists(metaDir.resolve("version-hint.text")),
+      s"$tableDir is not an Iceberg table")
+    val version = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      Files.readString(metaDir.resolve(s"v$version.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    if (snaps.size <= keepLast) return 0
+    val (expired, kept) = snaps.splitAt(snaps.size - keepLast)
+    val currentId = meta.get("current-snapshot-id").asLong
+    require(kept.exists(_.get("snapshot-id").asLong == currentId),
+      "retained window must include the current snapshot")
+
+    // file inventory of one snapshot: its manifest list, every manifest,
+    // and the data/delete files its entries reference. For RETAINED
+    // snapshots only LIVE entries (status 0 existing / 1 added) hold a
+    // file — a status-2 (DELETED) entry is removal bookkeeping, and with
+    // suffix retention the file's content is only served by snapshots
+    // that are all older, hence all expired. For EXPIRED snapshots every
+    // referenced path is a deletion candidate (the retained set is what
+    // protects survivors).
+    def inventory(sn: com.fasterxml.jackson.databind.JsonNode,
+                  liveOnly: Boolean): Set[Path] = {
+      val out = scala.collection.mutable.Set[Path]()
+      val ml = IcebergRead.resolve(tableDir, sn.get("manifest-list").asText)
+      out += ml
+      IcebergRead.avroRows(ml).foreach { m =>
+        val mPath = IcebergRead.resolve(tableDir, m.get("manifest_path").toString)
+        out += mPath
+        IcebergRead.avroRows(mPath).foreach { e =>
+          val status = Option(e.get("status"))
+            .map(_.asInstanceOf[Number].intValue).getOrElse(0)
+          if (!liveOnly || status != 2) {
+            val df = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            out += IcebergRead.resolve(tableDir, df.get("file_path").toString)
+          }
+        }
+      }
+      out.toSet
+    }
+    val retained = kept.flatMap(inventory(_, liveOnly = true)).toSet
+    val toDelete = expired.flatMap(inventory(_, liveOnly = false)).toSet -- retained
+
+    // commit the truncated snapshot list FIRST (readers of the new
+    // version never reference the doomed files), then reclaim
+    val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val arr = newMeta.putArray("snapshots")
+    kept.foreach(arr.add)
+    val target = metaDir.resolve(s"v${version + 1}.metadata.json")
+    val tmp = Files.createTempFile(metaDir, ".meta", ".tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(newMeta)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try { Files.createLink(target, tmp); Files.delete(tmp) }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"Iceberg metadata version ${version + 1} was committed " +
+            s"concurrently ($target exists) — re-read the table and retry")
+      case _: UnsupportedOperationException =>
+        if (Files.exists(target)) {
+          Files.deleteIfExists(tmp)
+          throw new java.util.ConcurrentModificationException(
+            s"Iceberg metadata version ${version + 1} was committed concurrently")
+        }
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.write(metaDir.resolve("version-hint.text"),
+      (version + 1).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    toDelete.count(Files.deleteIfExists(_))
+  }
+
   private def rowCount(conf: org.apache.hadoop.conf.Configuration,
                        file: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
