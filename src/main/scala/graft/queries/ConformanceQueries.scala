@@ -933,6 +933,49 @@ object ConformanceQueries {
              |       OR (o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0))
              |GROUP BY 1""".stripMargin)),
 
+    // ICEBERG INCREMENTAL READ: the other format's batch consume-new-data
+    // channel (IcebergRead.readAppends — delta_incremental_read's
+    // sibling). Iceberg's twist: manifests mark each snapshot's delta
+    // explicitly (status-1 ADDED entries), so no log replay is needed —
+    // the appended files are read directly. Same 3-slice history as the
+    // Delta row; the range reads slices 2+3, an empty (s,s] range pins
+    // the boundary, and a range crossing a REWRITE snapshot (compaction)
+    // must reject loudly rather than double-serve rearranged rows.
+    Q("iceberg_incremental_read",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_ice_incr")
+        val tbl = s"$wh/orders_incr"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl)
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW")), tbl)
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority") === "2-HIGH" && col("o_orderkey") % 3 === 0), tbl)
+        val emptyOk = IcebergRead.readAppends(s, tbl, 2L, 2L).isEmpty
+        IcebergWrite.rewriteDataFiles(s, tbl, targetFileBytes = Long.MaxValue)
+        val rewriteRejected =
+          try { IcebergRead.readAppends(s, tbl, 3L, 4L); false }
+          catch { case _: IllegalArgumentException => true }
+        IcebergRead.readAppends(s, tbl, 1L, 3L)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("empty_range_ok", lit(emptyOk))
+          .withColumn("rewrite_range_rejected", lit(rewriteRejected))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS empty_range_ok, TRUE AS rewrite_range_rejected
+             |FROM orders
+             |WHERE o_orderkey % 2 = 1
+             |  AND (o_orderpriority IN ('1-URGENT', '5-LOW')
+             |       OR (o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0))
+             |GROUP BY 1""".stripMargin)),
+
     // DELTA CHANGE DATA FEED: row-level change capture over the interop
     // seam (PROTOCOL.md §Add CDC File). 3-commit history from `orders`:
     // v0 appends evens, v1 appends odd URGENT/LOW, v2 deletes the whole
@@ -2379,6 +2422,104 @@ object ConformanceQueries {
              |  TRUE AS live_files_intact
              |FROM customer
              |WHERE c_custkey % 2 = 1 OR (c_custkey % 2 = 0 AND c_custkey % 3 = 0)
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // ICEBERG COMPACTION (rewriteDataFiles): the MoR-debt payoff cycle —
+    // 3 small-file appends, a position-delete, then a MATERIALIZING
+    // rewrite (deletes folded into clean files and DROPPED from the new
+    // snapshot — a 100 TB MoR table schedules exactly this), then
+    // snapshot expiry physically reclaiming the superseded originals +
+    // delete file. Pinned: values unchanged through the whole cycle, one
+    // file per partition tuple after, zero delete files after, expiry
+    // reclaims > 0, pre-compaction time travel still served before
+    // expiry.
+    Q("iceberg_rewrite_compact",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_ice_rewrite")
+        val tbl = s"$wh/orders_rw"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        (0 until 3).foreach(i =>
+          IcebergWrite.write(o.filter(col("o_orderkey") % 3 === i), tbl,
+            Seq("o_orderpriority")))                                  // s1-s3
+        IcebergWrite.deleteWhere(s, tbl, col("o_orderkey") % 7 === 0) // s4
+        val preCount = IcebergRead.read(s, tbl).count()
+        val (before, after) = IcebergWrite.rewriteDataFiles(s, tbl)   // s5
+        val snap = IcebergRead.snapshot(tbl)
+        val nParts = snap.files.map(_.partitionValues).distinct.size
+        val travelOk = IcebergRead.readAt(s, tbl, 4L).count() == preCount
+        val reclaimed = IcebergWrite.expireSnapshots(tbl, keepLast = 1) > 0
+        IcebergRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("one_file_per_partition", lit(after == nParts))
+          .withColumn("compacted_fewer", lit(after < before))
+          .withColumn("deletes_dropped", lit(snap.deletes.isEmpty))
+          .withColumn("travel_served_before_expiry", lit(travelOk))
+          .withColumn("expiry_reclaimed", lit(reclaimed))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS one_file_per_partition, TRUE AS compacted_fewer,
+             |  TRUE AS deletes_dropped, TRUE AS travel_served_before_expiry,
+             |  TRUE AS expiry_reclaimed
+             |FROM orders WHERE o_orderkey % 7 <> 0
+             |GROUP BY 1""".stripMargin)),
+
+    // ICEBERG MERGE (upsert): the other format's copy-on-write upsert,
+    // same 3-job shape as delta_merge_upsert — manifest column bounds
+    // prune the 3 upper-quartile commits (their files survive the merge
+    // untouched), the semi-join finds exactly-touched files, carried
+    // rows + all source rows rewrite in one distributed pass. The oracle
+    // recomputes the upsert arithmetic from `orders`.
+    Q("iceberg_merge_upsert",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_ice_merge")
+        val tbl = s"$wh/orders_merge"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val cutoff = maxKey / 4L
+        val base = o.filter(col("o_orderkey") % 2 === 0)
+        val qStep = maxKey / 4L + 1L
+        (0L until 4L).foreach(i =>
+          IcebergWrite.write(base.filter(col("o_orderkey") >= i * qStep &&
+            col("o_orderkey") < (i + 1) * qStep), tbl))              // s1-s4
+        val source = o.filter(col("o_orderkey") % 3 === 0 &&
+            col("o_orderkey") <= cutoff)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val beforePaths = IcebergRead.snapshot(tbl).files.map(_.path).toSet
+        IcebergWrite.merge(s, tbl, source, Seq("o_orderkey"))        // s5
+        val afterPaths = IcebergRead.snapshot(tbl).files.map(_.path).toSet
+        val untouchedSurvive = (beforePaths intersect afterPaths).nonEmpty
+        IcebergRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("untouched_files_survive", lit(untouchedSurvive))
+      },
+      Some("""WITH params AS (
+             |  SELECT cast(floor(max(o_orderkey) / 4.0) AS BIGINT) AS cutoff
+             |  FROM orders),
+             |final AS (
+             |  SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority
+             |  FROM orders o, params
+             |  WHERE o.o_orderkey % 2 = 0
+             |    AND NOT (o.o_orderkey % 3 = 0 AND o.o_orderkey <= cutoff)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice + 1000, o_orderpriority
+             |  FROM orders, params
+             |  WHERE o_orderkey % 3 = 0 AND o_orderkey <= cutoff)
+             |SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS untouched_files_survive
+             |FROM final GROUP BY 1""".stripMargin))
   )
 }

@@ -263,7 +263,9 @@ object IcebergFixture {
       added0: Seq[(String, Map[String, String], Long, Long)],
       removePaths: Set[String],
       deleteAdds: Seq[DeleteSpec] = Nil,
-      addFormat: String = "parquet"): Unit = {
+      addFormat: String = "parquet",
+      carryDeletes: Boolean = true,
+      operation: String = "append"): Unit = {
     val root = Paths.get(tableDir)
     val metaDir = root.resolve("metadata")
     Files.createDirectories(metaDir)
@@ -385,7 +387,11 @@ object IcebergFixture {
     val mlEntries = scala.collection.mutable.ArrayBuffer(mlEntry(manifestPath, 0))
 
     // ---- delete manifest: carried delete files + this snapshot's -----
-    val carriedDels = prev.toSeq.flatMap(_.deletes).map { d =>
+    // a compaction that MATERIALIZED the deletes (rewriteDataFiles)
+    // drops them instead of carrying — the rewritten files no longer
+    // contain the suppressed rows
+    val carriedDels = (if (carryDeletes) prev.toSeq.flatMap(_.deletes)
+                       else Nil).map { d =>
       entry(0, d.path, Map.empty, d.recordCount, 0L, seq = Some(d.seq),
         content = if (d.isEquality) 2 else 1, eqIds = d.equalityIds)
     }
@@ -447,7 +453,7 @@ object IcebergFixture {
     s2.put("snapshot-id", snapshotId)
     s2.put("timestamp-ms", 0L)
     s2.put("sequence-number", snapshotId)
-    s2.putObject("summary").put("operation", "append")
+    s2.putObject("summary").put("operation", operation)
     s2.put("manifest-list", mlPath.toString)
 
     // versioned-metadata CAS: the commit point is creating

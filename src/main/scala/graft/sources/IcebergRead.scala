@@ -147,6 +147,84 @@ object IcebergRead {
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readSnap(spark, snapshot(tableDir))
 
+  /** Batch INCREMENTAL read: the rows appended by the snapshots AFTER
+    * `fromSnapshotId` up to and including `toSnapshotId` — the Iceberg
+    * counterpart of [[DeltaRead.readAppends]] (incremental append scan;
+    * [[graft.streaming.IcebergTail]] is the streaming sibling). Iceberg
+    * makes this cheaper than Delta's log replay: each snapshot's
+    * manifests mark their per-snapshot delta explicitly, so the appended
+    * files are exactly the status-1 (ADDED) data-manifest entries.
+    * Ranges are positions in the metadata's append-ordered `snapshots`
+    * array (ids may be arbitrary longs on foreign tables);
+    * `fromSnapshotId = 0` means "from before the first retained
+    * snapshot". A snapshot in the range that DELETES a file (status 2 —
+    * overwrite/rewrite) or adds a delete manifest (MoR delete) fails
+    * loudly: "the appends since X" is not well-defined across row
+    * removal. Files are read with the CURRENT schema (appended columns
+    * surface as NULLs for pre-evolution files, the spec's add-column
+    * read semantics). */
+  def readAppends(spark: SparkSession, tableDir: String,
+                  fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val metaDir = Paths.get(tableDir, "metadata")
+    val meta = mapper.readTree(Files.readString(currentMetadataFile(metaDir)))
+    val schema = snapshot(tableDir).schema
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    def idxOf(id: Long, what: String): Int = {
+      val i = snaps.indexWhere(_.get("snapshot-id").asLong == id)
+      require(i >= 0,
+        s"readAppends: $what snapshot $id of $tableDir is not retained " +
+          "(expired or never committed)")
+      i
+    }
+    val lo = if (fromSnapshotId == 0L) -1 else idxOf(fromSnapshotId, "from")
+    val hi = idxOf(toSnapshotId, "to")
+    require(lo <= hi, s"readAppends: from $fromSnapshotId is after to " +
+      s"$toSnapshotId in $tableDir's snapshot order")
+    val added = snaps.slice(lo + 1, hi + 1).flatMap(addedDataFiles(tableDir, _))
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+    else added.groupBy(_._2).map { case (fmt, fs) =>
+      val rdr = spark.read.schema(schema)
+      val paths = fs.map(_._1)
+      if (fmt == "orc") rdr.orc(paths: _*) else rdr.parquet(paths: _*)
+    }.reduce(_ unionByName _)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** (absolute path, file format) of every data file snapshot node `sn`
+    * ADDED (manifest entry status 1) — the shared per-snapshot delta
+    * seam behind [[readAppends]] and [[graft.streaming.IcebergTail]].
+    * Loud reject for anything a suppressed row could hide behind:
+    * DELETED entries (overwrite / copy-on-write rewrite) and added
+    * delete manifests (MoR deletes). */
+  private[graft] def addedDataFiles(tableDir: String,
+                                    sn: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[(String, String)] = {
+    val id = sn.get("snapshot-id").asLong
+    val ml = resolve(tableDir, sn.get("manifest-list").asText)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    avroRows(ml).foreach { m =>
+      val content = intField(m, "content").getOrElse(0)
+      val mPath = resolve(tableDir, m.get("manifest_path").toString)
+      avroRows(mPath).foreach { e =>
+        val status = intField(e, "status").getOrElse(0)
+        require(status != 2, s"append-only read: snapshot $id DELETES a " +
+          "file (overwrite/rewrite) — re-read from a fresh snapshot " +
+          "instead of silently serving suppressed rows")
+        if (status == 1) {
+          require(content == 0, s"append-only read: snapshot $id adds a " +
+            "DELETE manifest (merge-on-read delete)")
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          out += ((resolve(tableDir, df.get("file_path").toString).toString,
+            df.get("file_format").toString.toLowerCase))
+        }
+      }
+    }
+    out.toSeq
+  }
+
   private def readSnap(spark: SparkSession, snap: Snapshot): DataFrame =
     if (snap.deletes.isEmpty) scanRelation(spark, snap, withPositions = false)
     else readWithPositions(spark, snap).drop("__fp", "__ri")

@@ -70,10 +70,33 @@ object IcebergWrite {
       }
     }
 
-    // distributed stage: shadow partition columns keep the real ones in
-    // the data files, as the spec requires
-    // per-attempt staging dir (racing writers must not stage into — or
-    // sweep — each other's directory)
+    val added = stageDataFiles(df, root, cols, snapshotId)
+
+    val removePaths: Set[String] = mode match {
+      case "append" => Set.empty
+      case "overwrite" => existing.toSeq.flatMap(_.files.map(_.path)).toSet
+      case "overwritePartitions" =>
+        val touched = added.map(_._2).toSet
+        existing.toSeq.flatMap(_.files
+          .filter(f => touched(f.partitionValues)).map(_.path)).toSet
+    }
+
+    IcebergFixture.commitSnapshot(tableDir, commitSchema, cols, snapshotId,
+      added, removePaths)
+    snapshotId
+  }
+
+  /** Distributed stage of `df`'s data files, the shared seam behind
+    * [[write]], [[rewriteDataFiles]], and [[merge]]: shadow partition
+    * columns keep the real ones in the data files as the spec requires;
+    * per-attempt uuid staging dir (racing writers must not stage into —
+    * or sweep — each other's directory); staged files are metadata-moved
+    * under `data/<c>=<v>/`. Returns (absolute path, partition tuple,
+    * record count, size) per file. */
+  private def stageDataFiles(df: DataFrame, root: Path, cols: Seq[String],
+                             snapshotId: Long)
+      : Seq[(String, Map[String, String], Long, Long)] = {
+    val spark = df.sparkSession
     val staging = root.resolve(
       f"_staging_$snapshotId%05d-${java.util.UUID.randomUUID().toString.take(8)}")
     val shadows = cols.map(c => s"__part_$c")
@@ -114,18 +137,160 @@ object IcebergWrite {
       (target.toString, pv, rowCount(conf, target), Files.size(target))
     }
     deleteRecursively(staging)
+    added
+  }
 
-    val removePaths: Set[String] = mode match {
-      case "append" => Set.empty
-      case "overwrite" => existing.toSeq.flatMap(_.files.map(_.path)).toSet
-      case "overwritePartitions" =>
-        val touched = added.map(_._2).toSet
-        existing.toSeq.flatMap(_.files
-          .filter(f => touched(f.partitionValues)).map(_.path)).toSet
-    }
+  /** rewriteDataFiles — Iceberg's compaction maintenance action, the
+    * [[DeltaWrite.optimize]] counterpart (Spark-procedure name from the
+    * Iceberg docs). Two modes, same semantics contract: NO logical row
+    * changes, committed as an `operation=replace` snapshot (status-2 the
+    * rewritten files, status-1 the replacements) that an append-only
+    * tail rejects loudly and time travel steps over cleanly.
+    *
+    *  - **bin-pack** (`zorderBy = Nil`): per partition tuple, live files
+    *    smaller than `targetFileBytes` are coalesced (one task — hence
+    *    one file — per touched tuple).
+    *  - **Z-ORDER** (1-4 columns, unpartitioned tables): ALL live files
+    *    re-laid-out through the deterministic [[graft.ops.ZCluster]]
+    *    core shared with Delta and the tx log.
+    *
+    * When the table carries ROW-LEVEL DELETES (position or equality),
+    * compaction switches to a full MATERIALIZING rewrite: every live
+    * file is rewritten with the deletes applied and the delete files are
+    * DROPPED from the new snapshot (`carryDeletes = false`) — folding
+    * accumulated MoR debt back into clean data files, which is exactly
+    * why a 100 TB MoR table schedules compaction. (A partial rewrite
+    * could not drop a delete file other surviving data files still
+    * need.)
+    *
+    * Returns (live files before, live files after). */
+  def rewriteDataFiles(spark: org.apache.spark.sql.SparkSession,
+                       tableDir: String,
+                       targetFileBytes: Long = 128L << 20,
+                       zorderBy: Seq[String] = Nil): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val snap = IcebergRead.snapshot(tableDir)
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val cols = snap.identityPartitionCols
+    val before = snap.files.size
+    if (snap.files.isEmpty) return (0, 0)
+    val materializing = snap.deletes.nonEmpty
 
-    IcebergFixture.commitSnapshot(tableDir, commitSchema, cols, snapshotId,
-      added, removePaths)
+    val rewritten: Seq[IcebergRead.DataFile] =
+      if (zorderBy.nonEmpty) {
+        require(cols.isEmpty,
+          "z-order rewrite targets unpartitioned tables (bin-pack handles partitioned)")
+        val missing = zorderBy.filterNot(snap.schema.fieldNames.contains)
+        require(missing.isEmpty, s"z-order columns not in table: $missing")
+        snap.files
+      } else if (materializing) snap.files
+      else snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
+        val c = fs.filter(_.size < targetFileBytes)
+        if (c.size >= 2) c else Nil
+      }.toSeq
+    if (rewritten.isEmpty) return (before, before)
+
+    val sub = snap.copy(files = rewritten)
+    val df = IcebergRead.readWithPositions(spark, sub).drop("__fp", "__ri")
+      .select(snap.schema.fieldNames.map(col).toSeq: _*)
+    val bytes = rewritten.map(_.size).sum
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val laid =
+      if (zorderBy.nonEmpty) graft.ops.ZCluster.layout(df, zorderBy, parts)
+      else if (cols.nonEmpty) df.repartition(parts, cols.map(col): _*)
+      else df.repartition(parts)
+
+    val snapshotId = snap.snapshotId + 1
+    val added = stageDataFiles(laid, Paths.get(tableDir), cols, snapshotId)
+    IcebergFixture.commitSnapshot(tableDir, snap.schema, cols, snapshotId,
+      added, rewritten.map(_.path).toSet,
+      carryDeletes = !materializing, operation = "replace")
+    (before, before - rewritten.size + added.size)
+  }
+
+  /** MERGE (upsert): WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT
+    * * as a copy-on-write rewrite — [[DeltaWrite.merge]]'s counterpart,
+    * same 3-job scale shape: (1) source key [min,max] bounds prune
+    * candidate files through the manifest column bounds ([[StatsSkip]]),
+    * (2) a distributed semi-join of the surviving files' rows (row-level
+    * deletes pre-applied) against the distinct source keys finds the
+    * exactly-touched files (driver holds O(touched) paths), (3) carried
+    * rows are anti-joined out and unioned with every source row in one
+    * distributed write, committed as `operation=overwrite` (Iceberg's
+    * summary operation for row-replacing commits). Untouched files are
+    * never rewritten; delete files are carried (they may still suppress
+    * rows in untouched files; against the rewritten files they are
+    * inert — the new files' sequence number is newer).
+    *
+    * Duplicate source keys reject loudly. Returns the committed snapshot
+    * id (head unchanged on an empty source). */
+  def merge(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+            source: DataFrame, keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    val snap = IcebergRead.snapshot(tableDir)
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val missing = keyCols.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty, s"merge keys not in table schema: $missing")
+    val want = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val got = source.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"merge source schema ${got.mkString(",")} != table ${want.mkString(",")}")
+    val fieldCols = snap.schema.fieldNames.toSeq.map(col)
+
+    val dup = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
+    require(dup, "merge source has duplicate keys — each target row may " +
+      "be matched by at most one source row (MERGE semantics)")
+
+    val bAggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))) :+
+      count(lit(1)).as("__n")
+    val b = source.agg(bAggs.head, bAggs.tail: _*).head()
+    if (b.getLong(b.length - 1) == 0L) return snap.snapshotId // empty: no-op
+    val boundFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      keyCols.zipWithIndex.flatMap { case (k, i) =>
+        import org.apache.spark.sql.catalyst.expressions._
+        val dt = snap.schema.fields(snap.schema.fieldIndex(k)).dataType
+        if (b.isNullAt(2 * i) || b.isNullAt(2 * i + 1)) Nil
+        else {
+          val attr = AttributeReference(k, dt)()
+          Seq(GreaterThanOrEqual(attr, Literal.create(b.get(2 * i), dt)),
+            LessThanOrEqual(attr, Literal.create(b.get(2 * i + 1), dt)))
+        }
+      }
+    val candidates = snap.files.filter(f =>
+      StatsSkip.keep(f.stats, boundFilters, snap.schema))
+
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val touched: Seq[IcebergRead.DataFile] =
+      if (candidates.isEmpty) Nil
+      else {
+        val byQualified = candidates
+          .map(f => IcebergRead.qualifiedPath(spark, f.path) -> f).toMap
+        IcebergRead.readWithPositions(spark,
+            snap.copy(files = candidates))
+          .join(srcKeys, keyCols, "left_semi")
+          .select(col("__fp")).distinct()
+          .collect().map(_.getString(0)).toSeq
+          .map(fp => byQualified.getOrElse(fp,
+            throw new IllegalStateException(s"scan surfaced unknown file $fp")))
+      }
+
+    val src = source.select(fieldCols: _*)
+    val out =
+      if (touched.isEmpty) src
+      else IcebergRead.readWithPositions(spark, snap.copy(files = touched))
+        .drop("__fp", "__ri")
+        .select(fieldCols: _*)
+        .join(srcKeys, keyCols, "left_anti")
+        .unionByName(src)
+
+    val snapshotId = snap.snapshotId + 1
+    val added = stageDataFiles(out, Paths.get(tableDir),
+      snap.identityPartitionCols, snapshotId)
+    IcebergFixture.commitSnapshot(tableDir, snap.schema,
+      snap.identityPartitionCols, snapshotId, added,
+      touched.map(_.path).toSet, operation = "overwrite")
     snapshotId
   }
 

@@ -63,7 +63,7 @@ object IcebergTail {
         }.distinct.sorted
         versions.foreach { v =>
           newSnapshots(metaDir, v).foreach { sn =>
-            val added = addedDataFiles(tableDir, sn)
+            val added = IcebergRead.addedDataFiles(tableDir, sn)
             if (added.nonEmpty) {
               val df = added.groupBy(_._2).map { case (fmt, fs) =>
                 val rdr = spark.read.schema(schema)
@@ -98,38 +98,4 @@ object IcebergTail {
     snaps(v).filterNot(sn => prevIds.contains(sn.get("snapshot-id").asLong))
   }
 
-  /** (absolute path, file format) of every data file snapshot `sn` ADDED
-    * (manifest entry status 1). Loud reject for anything a suppressed
-    * row could hide behind: DELETED entries (dynamic overwrite /
-    * copy-on-write rewrite) and added delete manifests (MoR deletes). */
-  private def addedDataFiles(tableDir: String,
-                             sn: com.fasterxml.jackson.databind.JsonNode)
-      : Seq[(String, String)] = {
-    val id = sn.get("snapshot-id").asLong
-    val ml = IcebergRead.resolve(tableDir, sn.get("manifest-list").asText)
-    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    IcebergRead.avroRows(ml).foreach { m =>
-      val content = Option(m.getSchema.getField("content"))
-        .flatMap(_ => Option(m.get("content")))
-        .map(_.asInstanceOf[Number].intValue).getOrElse(0)
-      val mPath = IcebergRead.resolve(tableDir, m.get("manifest_path").toString)
-      IcebergRead.avroRows(mPath).foreach { e =>
-        val status = Option(e.get("status")).map(_.asInstanceOf[Number].intValue)
-          .getOrElse(0)
-        require(status != 2, s"IcebergTail is append-only: snapshot $id " +
-          "DELETES a file (overwrite/rewrite) — restart the tail from a " +
-          "fresh snapshot instead of silently streaming suppressed rows")
-        if (status == 1) {
-          require(content == 0, s"IcebergTail is append-only: snapshot $id " +
-            "adds a DELETE manifest (merge-on-read delete)")
-          val df = e.get("data_file")
-            .asInstanceOf[org.apache.avro.generic.GenericRecord]
-          out += ((IcebergRead.resolve(tableDir,
-            df.get("file_path").toString).toString,
-            df.get("file_format").toString.toLowerCase))
-        }
-      }
-    }
-    out.toSeq
-  }
 }
