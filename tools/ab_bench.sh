@@ -11,7 +11,7 @@ for i in 1 2; do
   for v in r11 r12; do
     (cd /root/repo/.ab/$v && \
      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPEAT=1 \
-     sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' \
+     sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"queries".*}' \
        > /tmp/ab_${v}_${i}.json)
     echo "pass $i $v: $(cut -c1-80 /tmp/ab_${v}_${i}.json)"
   done
