@@ -39,7 +39,7 @@ object MergeScaleSmoke {
         col("o_orderkey") < step)
       .withColumn("o_totalprice", col("o_totalprice") + 1.0)
       .unionByName(o.filter(col("o_orderkey") % 1000 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1L))
     val srcRows = src.count()
     val t2 = System.nanoTime()
     DeltaWrite.merge(spark, tbl, src, Seq("o_orderkey"))
