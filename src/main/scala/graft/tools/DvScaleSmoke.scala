@@ -13,8 +13,15 @@ object DvScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val tbl = java.nio.file.Files.createTempDirectory("dv_scale").resolve("li").toString
-    val li = spark.read.parquet("target/sf10/lineitem.parquet")
+    // SPARK_GRAFT_DV_FILES=n spreads the table over n files — the
+    // high-file-count variant proving the executor-side DV shard write
+    // (r12 rewrote deleteWhere off the driver funnel; a wide delete
+    // across hundreds of files must keep the driver at descriptor-sized
+    // state, one DV file per shuffle partition)
+    val nFiles = sys.env.get("SPARK_GRAFT_DV_FILES").map(_.toInt)
+    val li0 = spark.read.parquet("target/sf10/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val li = nFiles.map(li0.repartition(_)).getOrElse(li0)
     DeltaWrite.write(li, tbl)
     val t1 = System.nanoTime()
     println(f"[dv-smoke] write ${ (t1-t0)/1e9 }%.1f s, files=${DeltaRead.snapshot(tbl).files.size}")
