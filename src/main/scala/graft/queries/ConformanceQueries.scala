@@ -2520,6 +2520,67 @@ object ConformanceQueries {
              |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              |    AS total_cents,
              |  TRUE AS untouched_files_survive
-             |FROM final GROUP BY 1""".stripMargin))
+             |FROM final GROUP BY 1""".stripMargin)),
+
+    // RESTORE / ROLLBACK — the undo half of the maintenance story on
+    // both formats. Delta: RESTORE TO VERSION is a data-change commit
+    // re-adding dropped files / removing since-added ones (here it
+    // un-does a DV delete; the restored-over version stays
+    // time-travelable). Iceberg: rollback_to_snapshot is METADATA-ONLY
+    // (current-snapshot-id repointed, zero file IO), and the next write
+    // must take a FRESH snapshot id — current+1 would collide with the
+    // rolled-over lineage. Values after each undo are oracle-recomputed;
+    // history-preservation and the Iceberg post-rollback append ride as
+    // pinned groups.
+    Q("interop_restore_rollback",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite, IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_restore")
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val dt = s"$wh/orders_restore"
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 0), dt)     // v0
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW")), dt)        // v1
+        DeltaWrite.deleteWhere(s, dt, col("o_orderkey") % 5 === 0)      // v2
+        val v2Count = DeltaRead.read(s, dt).count()
+        DeltaWrite.restore(s, dt, 1L)                                   // v3
+        val historyOk = DeltaRead.readAt(s, dt, 2L).count() == v2Count
+        val delta = DeltaRead.read(s, dt).withColumn("fmt", lit("delta"))
+
+        val it = s"$wh/orders_rollback"
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 0), it)   // s1
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1), it,
+          mode = "overwrite")                                           // s2
+        IcebergWrite.rollback(it, 1L)
+        val sid = IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") % 3 === 0), it)                             // s3
+        val freshId = sid == 3L
+        val ice = IcebergRead.read(s, it).withColumn("fmt", lit("iceberg"))
+
+        delta.unionByName(ice)
+          .groupBy(col("fmt"), col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("delta_history_preserved", lit(historyOk))
+          .withColumn("iceberg_fresh_id_after_rollback", lit(freshId))
+      },
+      Some("""WITH u AS (
+             |  SELECT 'delta' AS fmt, o_orderkey, o_totalprice, o_orderpriority
+             |  FROM orders
+             |  WHERE o_orderkey % 2 = 0
+             |     OR (o_orderkey % 2 = 1 AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |  UNION ALL
+             |  SELECT 'iceberg', o_orderkey, o_totalprice, o_orderpriority
+             |  FROM orders
+             |  WHERE o_orderkey % 2 = 0
+             |     OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0))
+             |SELECT fmt, o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS delta_history_preserved,
+             |  TRUE AS iceberg_fresh_id_after_rollback
+             |FROM u GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -163,6 +163,82 @@ object DeltaWrite {
     version
   }
 
+  /** RESTORE TABLE … TO VERSION (Delta's RESTORE): commit a new version
+    * whose live set equals version `toVersion`'s — remove every file the
+    * head added since, re-add every file the head dropped (with their
+    * original partitionValues/stats/DVs), all `dataChange=true` (a
+    * restore IS a data change to a downstream consumer, exactly how
+    * Delta commits it). History is preserved: the restored-over versions
+    * stay time-travelable until VACUUM.
+    *
+    * Fails loudly if any file to re-add is physically gone (vacuumed
+    * past the restore point) — the same guard Delta applies. Returns the
+    * committed version (head unchanged when already at the target
+    * state). */
+  def restore(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+              toVersion: Long): Long = {
+    val root = Paths.get(tableDir)
+    val head = DeltaRead.snapshot(tableDir)
+    val target = DeltaRead.snapshotAt(tableDir, toVersion)
+    require(head.columnMapping == target.columnMapping &&
+      head.schema == target.schema,
+      s"restore across a schema/column-mapping change is not supported " +
+        s"($tableDir: v$toVersion vs head v${head.version})")
+    def key(f: DeltaRead.AddFile) = (f.path, f.deletionVector.map(_.pathOrInlineDv))
+    val headSet = head.files.map(key).toSet
+    val targetSet = target.files.map(key).toSet
+    val removes = head.files.filterNot(f => targetSet(key(f)))
+    val readds = target.files.filterNot(f => headSet(key(f)))
+    if (removes.isEmpty && readds.isEmpty) return head.version
+    readds.foreach { f =>
+      require(Files.exists(root.resolve(f.path)),
+        s"restore target v$toVersion references ${f.path}, which was " +
+          "vacuumed — restore past the retention horizon is impossible")
+    }
+    def physKey(k: String): String = head.columnMapping.getOrElse(k, k)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val ci = mapper.createObjectNode()
+    ci.putObject("commitInfo")
+      .put("operation", "RESTORE").put("engineInfo", "graft-delta-write")
+    lines += mapper.writeValueAsString(ci)
+    removes.foreach { f =>
+      val n = mapper.createObjectNode()
+      val rm = n.putObject("remove")
+      rm.put("path", pathEnc(f.path))
+      rm.put("deletionTimestamp", 0L)
+      rm.put("dataChange", true)
+      lines += mapper.writeValueAsString(n)
+    }
+    readds.foreach { f =>
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", pathEnc(f.path))
+      val pvn = add.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvn.putNull(physKey(k)) else pvn.put(physKey(k), v)
+      }
+      add.put("size", f.size)
+      add.put("modificationTime", 0L)
+      add.put("dataChange", true)
+      f.stats.foreach(st => add.put("stats", statsJson(st.copy(
+        min = st.min.map { case (k, v) => physKey(k) -> v },
+        max = st.max.map { case (k, v) => physKey(k) -> v },
+        nullCount = st.nullCount.map { case (k, v) => physKey(k) -> v }))))
+      f.deletionVector.foreach { d =>
+        val dvn = add.putObject("deletionVector")
+        dvn.put("storageType", d.storageType)
+        dvn.put("pathOrInlineDv", d.pathOrInlineDv)
+        d.offset.foreach(dvn.put("offset", _))
+        dvn.put("sizeInBytes", d.sizeInBytes)
+        dvn.put("cardinality", d.cardinality)
+      }
+      lines += mapper.writeValueAsString(n)
+    }
+    val version = head.version + 1
+    commitCas(root.resolve("_delta_log"), version, lines.toSeq)
+    version
+  }
+
   /** Distributed DATA write into a staging dir the log never references
     * (uuid: racing writers must not stage into / sweep each other's dir;
     * staged part names carry Spark's task uuids, so the moved data files

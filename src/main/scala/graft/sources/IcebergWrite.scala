@@ -48,7 +48,7 @@ object IcebergWrite {
     val existing =
       if (Files.exists(root.resolve("metadata/version-hint.text")))
         Some(IcebergRead.snapshot(tableDir)) else None
-    val snapshotId = existing.map(_.snapshotId + 1).getOrElse(1L)
+    val snapshotId = existing.map(_ => nextSnapshotId(tableDir)).getOrElse(1L)
     val cols = existing.map(_.identityPartitionCols).getOrElse(partCols)
     // the schema the commit declares: on evolution, the appended columns
     // are FORCED nullable (older files lack them — readers must be allowed
@@ -200,7 +200,7 @@ object IcebergWrite {
       else if (cols.nonEmpty) df.repartition(parts, cols.map(col): _*)
       else df.repartition(parts)
 
-    val snapshotId = snap.snapshotId + 1
+    val snapshotId = nextSnapshotId(tableDir)
     val added = stageDataFiles(laid, Paths.get(tableDir), cols, snapshotId)
     IcebergFixture.commitSnapshot(tableDir, snap.schema, cols, snapshotId,
       added, rewritten.map(_.path).toSet,
@@ -285,7 +285,7 @@ object IcebergWrite {
         .join(srcKeys, keyCols, "left_anti")
         .unionByName(src)
 
-    val snapshotId = snap.snapshotId + 1
+    val snapshotId = nextSnapshotId(tableDir)
     val added = stageDataFiles(out, Paths.get(tableDir),
       snap.identityPartitionCols, snapshotId)
     IcebergFixture.commitSnapshot(tableDir, snap.schema,
@@ -328,7 +328,7 @@ object IcebergWrite {
     val n = matches.count()
     if (n == 0L) return snap.snapshotId
 
-    val snapshotId = snap.snapshotId + 1
+    val snapshotId = nextSnapshotId(tableDir)
     val root = Paths.get(tableDir)
     val target = root.resolve(f"data/delete-$snapshotId%05d-pos.parquet")
     Files.createDirectories(target.getParent)
@@ -346,6 +346,72 @@ object IcebergWrite {
       Seq(IcebergFixture.DeleteSpec(target.toString, isEquality = false, Nil,
         n, Files.size(target))))
     snapshotId
+  }
+
+  /** The next free snapshot id: max over the FULL retained lineage + 1,
+    * NOT current + 1 — after a [[rollback]] the current snapshot is an
+    * older one, and current+1 would collide with a rolled-over id,
+    * corrupting the lineage with duplicate ids. */
+  private def nextSnapshotId(tableDir: String): Long = {
+    val metaDir = Paths.get(tableDir).resolve("metadata")
+    val version = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      Files.readString(metaDir.resolve(s"v$version.metadata.json")))
+    meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong).max + 1
+  }
+
+  /** ROLLBACK to a retained snapshot — Iceberg's `rollback_to_snapshot`
+    * and [[DeltaWrite.restore]]'s counterpart, but METADATA-ONLY: the
+    * spec resolves a table's state entirely through
+    * `current-snapshot-id`, so rolling back is one CAS-fenced metadata
+    * version that repoints it (no add/remove synthesis, no file IO —
+    * this is the operational payoff of Iceberg keeping every snapshot
+    * self-describing). The rolled-over snapshots stay in the lineage
+    * (time-travelable, and re-rollback-able) until
+    * [[expireSnapshots]] drops them. Fails loudly on an
+    * expired/unknown id. Returns the new metadata version. */
+  def rollback(tableDir: String, toSnapshotId: Long): Int = {
+    val metaDir = Paths.get(tableDir).resolve("metadata")
+    require(Files.exists(metaDir.resolve("version-hint.text")),
+      s"$tableDir is not an Iceberg table")
+    val version = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      Files.readString(metaDir.resolve(s"v$version.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val ids = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong).toSeq
+    require(ids.contains(toSnapshotId),
+      s"rollback target $toSnapshotId of $tableDir is not retained " +
+        s"(have ${ids.mkString(",")})")
+    if (meta.get("current-snapshot-id").asLong == toSnapshotId) return version
+    val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    newMeta.put("current-snapshot-id", toSnapshotId)
+    val target = metaDir.resolve(s"v${version + 1}.metadata.json")
+    val tmp = Files.createTempFile(metaDir, ".meta", ".tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(newMeta)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try { Files.createLink(target, tmp); Files.delete(tmp) }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"Iceberg metadata version ${version + 1} was committed " +
+            s"concurrently ($target exists) — re-read the table and retry")
+      case _: UnsupportedOperationException =>
+        if (Files.exists(target)) {
+          Files.deleteIfExists(tmp)
+          throw new java.util.ConcurrentModificationException(
+            s"Iceberg metadata version ${version + 1} was committed concurrently")
+        }
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.write(metaDir.resolve("version-hint.text"),
+      (version + 1).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    version + 1
   }
 
   /** Expire all but the newest `keepLast` snapshots — Iceberg's
@@ -380,10 +446,16 @@ object IcebergWrite {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val snaps = meta.get("snapshots").elements().asScala.toSeq
     if (snaps.size <= keepLast) return 0
-    val (expired, kept) = snaps.splitAt(snaps.size - keepLast)
+    val (expired0, kept0) = snaps.splitAt(snaps.size - keepLast)
     val currentId = meta.get("current-snapshot-id").asLong
-    require(kept.exists(_.get("snapshot-id").asLong == currentId),
-      "retained window must include the current snapshot")
+    // after a rollback the current snapshot may sit OUTSIDE the newest-N
+    // suffix; it is always retained (expiring the state a reader resolves
+    // through would be nonsense), in its original lineage position
+    val (currentKeep, expired) =
+      if (kept0.exists(_.get("snapshot-id").asLong == currentId))
+        (Nil, expired0)
+      else expired0.partition(_.get("snapshot-id").asLong == currentId)
+    val kept = currentKeep ++ kept0
 
     // file inventory of one snapshot: its manifest list, every manifest,
     // and the data/delete files its entries reference. For RETAINED
