@@ -2581,6 +2581,68 @@ object ConformanceQueries {
              |    AS total_cents,
              |  TRUE AS delta_history_preserved,
              |  TRUE AS iceberg_fresh_id_after_rollback
-             |FROM u GROUP BY 1, 2""".stripMargin))
+             |FROM u GROUP BY 1, 2""".stripMargin)),
+
+    // ICEBERG CHANGELOG READ: the other format's row-level change
+    // capture (IcebergRead.readChanges — delta_change_feed's sibling,
+    // but derived from MANIFEST deltas + declared operations instead of
+    // cdc files). 5-snapshot history: two appends, a MoR position
+    // delete (feed = exactly the suppressed rows), a materializing
+    // compaction (operation=replace — the feed must stay SILENT), and a
+    // full overwrite (deletes = the state visible before it — the
+    // already-deleted %5 rows must NOT re-emit — plus the new slice's
+    // inserts). Oracle recomputes every (snapshot, change_type) group
+    // from `orders`; the boolean pins head == net of the feed.
+    Q("iceberg_changelog_read",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_ice_changelog")
+        val tbl = s"$wh/orders_changelog"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl)  // s1
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW")), tbl)       // s2
+        IcebergWrite.deleteWhere(s, tbl, col("o_orderkey") % 5 === 0)   // s3
+        IcebergWrite.rewriteDataFiles(s, tbl)                           // s4
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority") === "2-HIGH" && col("o_orderkey") % 3 === 0),
+          tbl, mode = "overwrite")                                      // s5
+        val feed = IcebergRead.readChanges(s, tbl, 0L, 5L)
+        val ins = feed.filter(col("_change_type") === "insert").count()
+        val del = feed.filter(col("_change_type") === "delete").count()
+        val headOk = IcebergRead.read(s, tbl).count() == ins - del
+        feed.groupBy(col("_snapshot_id").as("snapshot_id"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+          .withColumn("head_consistent", lit(headOk))
+      },
+      Some("""WITH s12 AS (
+             |  SELECT 1 AS sid, * FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 2, * FROM orders WHERE o_orderkey % 2 = 1
+             |    AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |SELECT cast(sid AS BIGINT) AS snapshot_id,
+             |  'insert' AS change_type, cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS cents, TRUE AS head_consistent
+             |FROM s12 GROUP BY 1
+             |UNION ALL
+             |SELECT 3, 'delete', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM s12 WHERE o_orderkey % 5 = 0
+             |UNION ALL
+             |SELECT 5, 'delete', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM s12 WHERE o_orderkey % 5 <> 0
+             |UNION ALL
+             |SELECT 5, 'insert', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |  AND o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0""".stripMargin))
   )
 }

@@ -598,5 +598,67 @@ object StreamingQueries {
              |FROM orders
              |WHERE o_orderkey % 2 = 0
              |   OR (o_orderkey % 2 = 1 AND o_orderkey % 3 IN (0, 1))
-             |GROUP BY 1""".stripMargin)))
+             |GROUP BY 1""".stripMargin)),
+
+    // ICEBERG CHANGELOG STREAMING TAIL (IcebergTail.streamChanges): the
+    // MoR completion on the Iceberg side — a downstream that must
+    // MIRROR a table with deletes cannot use the append-only tail; the
+    // changelog tail serves every new snapshot as CHANGE batches
+    // (_change_type/_snapshot_id) through readChanges' per-snapshot
+    // classification. Exactly-once on the snapshot id via
+    // TxLogTable.appendOnce across a resume AND a checkpoint wipe +
+    // full redelivery; mirror identity (inserts∖deletes == batch head)
+    // and per-type aggregates oracle-gated against `orders`.
+    Q("streaming_iceberg_changes",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite}
+        import graft.streaming.IcebergTail
+        val wh = DvQueries.tmpWarehouse("graft_ice_changes_tail")
+        val tbl = s"$wh/orders_ice"
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl)   // s1
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority").isin("1-URGENT", "5-LOW")), tbl)        // s2
+        val txlog = new TxLogTable(s, s"$wh/t")
+        def runTail(): Unit = {
+          val q = IcebergTail.streamChanges(s, tbl, s"$wh/_cp",
+            (df, sid) => { txlog.appendOnce("orders_changes", df, "ice_cdc", sid): Unit })
+          q.processAllAvailable(); q.stop()
+        }
+        runTail()                                    // s1 + s2 inserts
+        IcebergWrite.deleteWhere(s, tbl, col("o_orderkey") % 5 === 0)    // s3
+        runTail()                                    // resumes: s3's deletes
+        rmTree(Paths.get(s"$wh/_cp"))
+        runTail()                                    // redelivery — absorbed
+        val changes = txlog.read("orders_changes")
+        val dataCols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority").map(col)
+        val mirror = changes.filter(col("_change_type") === "insert")
+          .select(dataCols: _*)
+          .exceptAll(changes.filter(col("_change_type") === "delete")
+            .select(dataCols: _*))
+        val head = IcebergRead.read(s, tbl).select(dataCols: _*)
+        val parity = mirror.exceptAll(head).isEmpty && head.exceptAll(mirror).isEmpty
+        changes.groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("mirror_parity", lit(parity))
+      },
+      Some("""WITH ins AS (
+             |  SELECT * FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT * FROM orders WHERE o_orderkey % 2 = 1
+             |    AND o_orderpriority IN ('1-URGENT', '5-LOW'))
+             |SELECT 'insert' AS change_type,
+             |  cast(count(*) AS BIGINT) AS n_rows,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents, TRUE AS mirror_parity
+             |FROM ins
+             |UNION ALL
+             |SELECT 'delete', cast(count(*) AS BIGINT),
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM ins WHERE o_orderkey % 5 = 0""".stripMargin)))
 }

@@ -222,7 +222,7 @@ object IcebergFixture {
     commitSnapshot(tableDir, prev.schema, prev.identityPartitionCols,
       snapshotId, Nil, Set.empty,
       Seq(DeleteSpec(target.toString, isEquality = false, Nil,
-        deletes.size.toLong, Files.size(target))))
+        deletes.size.toLong, Files.size(target))), operation = "delete")
   }
 
   /** Commit a v2 EQUALITY-delete snapshot: rows whose `eqCols` values
@@ -242,7 +242,7 @@ object IcebergFixture {
     commitSnapshot(tableDir, prev.schema, prev.identityPartitionCols,
       snapshotId, Nil, Set.empty,
       Seq(DeleteSpec(target.toString, isEquality = true, ids, n,
-        Files.size(target))))
+        Files.size(target))), operation = "delete")
   }
 
   /** A v2 delete file to register: absolute path, kind, equality field

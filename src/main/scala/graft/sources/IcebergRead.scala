@@ -193,6 +193,47 @@ object IcebergRead {
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** One snapshot's manifest-level delta: data files ADDED (status 1,
+    * content 0) as (path, format), data-file paths DELETED (status 2),
+    * and DELETE FILES added (status 1, content 1/2). The shared seam
+    * behind [[addedDataFiles]] and [[readChanges]]. */
+  private[graft] def snapshotDelta(tableDir: String,
+                                   sn: com.fasterxml.jackson.databind.JsonNode)
+      : (Seq[(String, String)], Seq[String], Seq[DeleteFile]) = {
+    val added = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val removed = scala.collection.mutable.ArrayBuffer[String]()
+    val dels = scala.collection.mutable.ArrayBuffer[DeleteFile]()
+    val ml = resolve(tableDir, sn.get("manifest-list").asText)
+    avroRows(ml).foreach { m =>
+      val content = intField(m, "content").getOrElse(0)
+      val mSeq = longField(m, "sequence_number").getOrElse(0L)
+      val mPath = resolve(tableDir, m.get("manifest_path").toString)
+      avroRows(mPath).foreach { e =>
+        val status = intField(e, "status").getOrElse(0)
+        if (status != 0) {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val path = resolve(tableDir, df.get("file_path").toString).toString
+          if (status == 2) removed += path
+          else if (content == 0)
+            added += ((path, df.get("file_format").toString.toLowerCase))
+          else {
+            val fContent = intField(df, "content").getOrElse(1)
+            val eqIds = Option(df.getSchema.getField("equality_ids"))
+              .flatMap(_ => Option(df.get("equality_ids"))).toSeq.flatMap {
+                case l: java.util.List[_] =>
+                  l.asScala.map(_.asInstanceOf[Number].intValue).toSeq
+                case _ => Nil
+              }
+            dels += DeleteFile(path, fContent == 2, eqIds,
+              longField(e, "sequence_number").getOrElse(mSeq),
+              longField(df, "record_count").getOrElse(0L))
+          }
+        }
+      }
+    }
+    (added.toSeq, removed.toSeq, dels.toSeq)
+  }
+
   /** (absolute path, file format) of every data file snapshot node `sn`
     * ADDED (manifest entry status 1) — the shared per-snapshot delta
     * seam behind [[readAppends]] and [[graft.streaming.IcebergTail]].
@@ -203,26 +244,176 @@ object IcebergRead {
                                     sn: com.fasterxml.jackson.databind.JsonNode)
       : Seq[(String, String)] = {
     val id = sn.get("snapshot-id").asLong
-    val ml = resolve(tableDir, sn.get("manifest-list").asText)
-    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
-    avroRows(ml).foreach { m =>
-      val content = intField(m, "content").getOrElse(0)
-      val mPath = resolve(tableDir, m.get("manifest_path").toString)
-      avroRows(mPath).foreach { e =>
-        val status = intField(e, "status").getOrElse(0)
-        require(status != 2, s"append-only read: snapshot $id DELETES a " +
-          "file (overwrite/rewrite) — re-read from a fresh snapshot " +
-          "instead of silently serving suppressed rows")
-        if (status == 1) {
-          require(content == 0, s"append-only read: snapshot $id adds a " +
-            "DELETE manifest (merge-on-read delete)")
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          out += ((resolve(tableDir, df.get("file_path").toString).toString,
-            df.get("file_format").toString.toLowerCase))
-        }
+    val (added, removed, dels) = snapshotDelta(tableDir, sn)
+    require(removed.isEmpty, s"append-only read: snapshot $id DELETES a " +
+      "file (overwrite/rewrite) — re-read from a fresh snapshot " +
+      "instead of silently serving suppressed rows")
+    require(dels.isEmpty, s"append-only read: snapshot $id adds a " +
+      "DELETE manifest (merge-on-read delete)")
+    added
+  }
+
+  /** CHANGELOG read: the row-level changes committed by the snapshots
+    * after `fromSnapshotId` up to `toSnapshotId`, as the table schema
+    * plus `_change_type` ('insert'/'delete') and `_snapshot_id` —
+    * Iceberg's incremental changelog scan, and the batch core behind
+    * [[graft.streaming.IcebergTail.streamChanges]]
+    * ([[DeltaRead.readChangeFeed]]'s sibling). Per snapshot, by its
+    * REQUIRED `summary.operation`:
+    *
+    *  - `append`    → inserts from the added data files (O(delta) scan).
+    *  - `replace`   → nothing (compaction rearranges bytes, not rows).
+    *  - `overwrite` → deletes = the status-2 files' rows AS VISIBLE in
+    *    the parent snapshot (parent delete files pre-applied, so
+    *    already-suppressed rows don't re-emit); inserts = added files'
+    *    rows. A copy-on-write overwrite therefore emits carried rows as
+    *    delete+insert pairs — net-correct, the precision ceiling of a
+    *    format without change-data files (Delta's cdc does better; its
+    *    reader uses them when present).
+    *  - `delete`    → deletes = parent rows the NEW delete files
+    *    suppress: position deletes touch only their referenced files
+    *    (O(touched)), equality deletes semi-join older-sequence files.
+    *
+    * Work is O(changed files + delete content) per snapshot — never a
+    * full-table diff. */
+  def readChanges(spark: SparkSession, tableDir: String,
+                  fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val metaDir = Paths.get(tableDir, "metadata")
+    val meta = mapper.readTree(Files.readString(currentMetadataFile(metaDir)))
+    val schema = snapshot(tableDir).schema
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    def idxOf(id: Long, what: String): Int = {
+      val i = snaps.indexWhere(_.get("snapshot-id").asLong == id)
+      require(i >= 0, s"readChanges: $what snapshot $id of $tableDir is " +
+        "not retained (expired or never committed)")
+      i
+    }
+    val lo = if (fromSnapshotId == 0L) -1 else idxOf(fromSnapshotId, "from")
+    val hi = idxOf(toSnapshotId, "to")
+    require(lo <= hi, s"readChanges: from $fromSnapshotId is after to " +
+      s"$toSnapshotId in $tableDir's snapshot order")
+
+    def readFiles(fs: Seq[(String, String)]): DataFrame =
+      fs.groupBy(_._2).map { case (fmt, g) =>
+        val rdr = spark.read.schema(schema)
+        if (fmt == "orc") rdr.orc(g.map(_._1): _*) else rdr.parquet(g.map(_._1): _*)
+      }.reduce(_ unionByName _).select(schema.fieldNames.map(col).toSeq: _*)
+
+    val frames = ((lo + 1) to hi).flatMap { i =>
+      val sn = snaps(i)
+      val sid = sn.get("snapshot-id").asLong
+      val op = Option(sn.get("summary")).flatMap(s => Option(s.get("operation")))
+        .map(_.asText).getOrElse(throw new IllegalArgumentException(
+          s"snapshot $sid of $tableDir has no summary.operation — " +
+            "a changelog cannot classify it"))
+      def stamp(df: DataFrame, tpe: String): DataFrame =
+        df.withColumn("_change_type", lit(tpe))
+          .withColumn("_snapshot_id", lit(sid))
+      def parent(): Option[Snapshot] =
+        if (i == 0) None
+        else Some(snapshotAt(tableDir, snaps(i - 1).get("snapshot-id").asLong))
+      val (added, removed, newDels) = snapshotDelta(tableDir, sn)
+      op match {
+        case "replace" => Nil // physical rearrangement only
+        case "append" =>
+          if (added.isEmpty) Nil else Seq(stamp(readFiles(added), "insert"))
+        case "overwrite" | "delete" =>
+          val p = parent()
+          val removedSet = removed.toSet
+          val delFromRemoved = p.filter(_ => removedSet.nonEmpty).map { ps =>
+            val sub = ps.copy(files = ps.files.filter(f => removedSet(f.path)))
+            stamp(readWithPositions(spark, sub).drop("__fp", "__ri")
+              .select(schema.fieldNames.map(col).toSeq: _*), "delete")
+          }
+          val delFromNew = p.filter(_ => newDels.nonEmpty).map { ps =>
+            // base = parent rows still visible (parent deletes applied)
+            // in files the new deletes can touch, minus files already
+            // counted through removedSet. Position deletes NAME their
+            // files — collect the distinct referenced paths (driver
+            // state O(touched files)) so a one-file delete never scans
+            // the whole parent snapshot.
+            val posDel = newDels.filterNot(_.isEquality)
+            val posTouched: Set[String] =
+              if (posDel.isEmpty) Set.empty
+              else spark.read.parquet(posDel.map(_.path): _*)
+                .select(col("file_path")).distinct()
+                .collect().map(_.getString(0)).toSet
+            val touchable = ps.files.filterNot(f => removedSet(f.path))
+              .filter(f => posTouched.contains(f.path) ||
+                newDels.exists(d => d.isEquality && f.seq < d.seq))
+            val sub = ps.copy(files = touchable)
+            val base = readWithPositions(spark, sub)
+            stamp(suppressedBy(spark, sub, newDels, base)
+              .select(schema.fieldNames.map(col).toSeq: _*), "delete")
+          }
+          val ins = if (added.isEmpty) None
+            else Some(stamp(readFiles(added), "insert"))
+          (delFromRemoved.toSeq ++ delFromNew.toSeq ++ ins.toSeq)
+        case other => throw new IllegalArgumentException(
+          s"snapshot $sid of $tableDir declares unknown operation '$other'")
       }
     }
-    out.toSeq
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_snapshot_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (frames.isEmpty)
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else frames.reduce(_ unionByName _)
+  }
+
+  /** The rows of `base` (a positions scan over `snap.files`) that
+    * `dels` SUPPRESS — [[applyDeletes]]'s complement (semi instead of
+    * anti, position kills excluded from the equality probe so a row is
+    * reported once). Same distributed-join shape and driver contract. */
+  private def suppressedBy(spark: SparkSession, snap: Snapshot,
+                           dels: Seq[DeleteFile], base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val BroadcastRows = 10_000_000L
+    val qual: Map[String, String] =
+      snap.files.map(f => f.path -> qualifiedPath(spark, f.path)).toMap
+    val pos = dels.filterNot(_.isEquality)
+    val eqs = dels.filter(_.isEquality)
+    def sized(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= BroadcastRows) broadcast(df) else df
+    val pd = if (pos.isEmpty) None else Some {
+      val lk = qual.toSeq.toDF("__abs", "__qual")
+      sized(spark.read.parquet(pos.map(_.path): _*)
+        .select(col("file_path"), col("pos"))
+        .join(broadcast(lk), col("file_path") === col("__abs"))
+        .select(col("__qual").as("__del_fp"), col("pos").as("__del_ri")),
+        pos.map(_.recordCount).sum)
+    }
+    val posCond = col("__fp") === col("__del_fp") && col("__ri") === col("__del_ri")
+    val byPos = pd.map(p => base.join(p, posCond, "left_semi"))
+    val byEq = if (eqs.isEmpty) None else Some {
+      val idSets = eqs.map(_.equalityIds).distinct
+      require(idSets.size == 1,
+        s"multiple distinct equality_ids sets are not supported: $idSets")
+      val names = idSets.head.map(id => snap.fieldIdToName.getOrElse(id,
+        throw new IllegalArgumentException(s"equality_ids field $id not in schema")))
+      val ed = sized(eqs.map(f => spark.read.parquet(f.path)
+          .select(names.map(n => col(n).as(s"__del_$n")): _*)
+          .withColumn("__del_seq", lit(f.seq)))
+        .reduce(_ unionByName _), eqs.map(_.recordCount).sum)
+      val seqDf = snap.files.map(f => (qual(f.path), f.seq))
+        .toDF("__sq_fp", "__data_seq")
+      val cond = names.map(n => col(n) <=> col(s"__del_$n")).reduce(_ && _) &&
+        col("__data_seq") < col("__del_seq")
+      val survivors = pd.map(p => base.join(p, posCond, "left_anti"))
+        .getOrElse(base)
+      survivors.join(broadcast(seqDf), col("__fp") === col("__sq_fp"))
+        .join(ed, cond, "left_semi")
+        .drop("__sq_fp", "__data_seq")
+    }
+    (byPos.toSeq ++ byEq.toSeq)
+      .map(_.drop("__fp", "__ri"))
+      .reduceOption(_ unionByName _)
+      .getOrElse(base.limit(0).drop("__fp", "__ri"))
   }
 
   private def readSnap(spark: SparkSession, snap: Snapshot): DataFrame =

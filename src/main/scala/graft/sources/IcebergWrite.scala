@@ -82,7 +82,8 @@ object IcebergWrite {
     }
 
     IcebergFixture.commitSnapshot(tableDir, commitSchema, cols, snapshotId,
-      added, removePaths)
+      added, removePaths,
+      operation = if (mode == "append") "append" else "overwrite")
     snapshotId
   }
 
@@ -344,7 +345,7 @@ object IcebergWrite {
     IcebergFixture.commitSnapshot(tableDir, snap.schema,
       snap.identityPartitionCols, snapshotId, Nil, Set.empty,
       Seq(IcebergFixture.DeleteSpec(target.toString, isEquality = false, Nil,
-        n, Files.size(target))))
+        n, Files.size(target))), operation = "delete")
     snapshotId
   }
 

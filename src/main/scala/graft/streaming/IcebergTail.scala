@@ -79,6 +79,53 @@ object IcebergTail {
       .start()
   }
 
+  /** CHANGELOG tail: like [[stream]], but every new snapshot — appends,
+    * OVERWRITEs, MoR DELETEs — arrives as a CHANGE batch with
+    * `_change_type`/`_snapshot_id` columns served through
+    * [[IcebergRead.readChanges]]' per-snapshot classification
+    * (`replace` compactions contribute nothing) —
+    * [[DeltaTail.streamChanges]]'s sibling, completing the MoR
+    * streaming consumption story on the Iceberg side. `sink(changeDf,
+    * snapshotId)` fires once per new snapshot with at least one change
+    * row. */
+  def streamChanges(spark: SparkSession, tableDir: String, checkpoint: String,
+                    sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val metaDir = java.nio.file.Paths.get(tableDir).resolve("metadata")
+    val arrivals = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "v*.metadata.json")
+      .text(metaDir.toString)
+      .select(col("_metadata.file_path").as("__src"))
+
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val versions = batch.collect().map { r =>
+          r.getString(0).split('/').last
+            .stripPrefix("v").stripSuffix(".metadata.json").toLong
+        }.distinct.sorted
+        versions.foreach { v =>
+          newSnapshots(metaDir, v).foreach { sn =>
+            val sid = sn.get("snapshot-id").asLong
+            // from = sid's predecessor in the lineage, so each batch
+            // computes exactly ONE snapshot's delta (never O(history))
+            val p = metaDir.resolve(s"v$v.metadata.json")
+            val ids = mapper.readTree(java.nio.file.Files.readString(p))
+              .get("snapshots").elements()
+            var prev = 0L
+            var found = false
+            while (ids.hasNext && !found) {
+              val id = ids.next().get("snapshot-id").asLong
+              if (id == sid) found = true else prev = id
+            }
+            val changes = IcebergRead.readChanges(spark, tableDir, prev, sid)
+            if (!changes.isEmpty) sink(changes, sid)
+          }
+        }
+      }
+      .start()
+  }
+
   /** The snapshot nodes metadata version `v` carries that version `v-1`
     * did not (by id, in array order). Version 1 contributes everything.
     * Reads the previous version from disk — the spec keeps superseded
