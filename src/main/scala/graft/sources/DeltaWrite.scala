@@ -194,6 +194,16 @@ object DeltaWrite {
       require(Files.exists(root.resolve(f.path)),
         s"restore target v$toVersion references ${f.path}, which was " +
           "vacuumed — restore past the retention horizon is impossible")
+      // the re-add's DELETION VECTOR must exist too: vacuum reclaims
+      // superseded DV files, and committing a re-add whose DV is gone
+      // would succeed here and then fail every read of the new head
+      f.deletionVector.filter(_.storageType == "u").foreach { d =>
+        val dvRel = DeletionVectors.relativePathOf(d.pathOrInlineDv)
+        require(Files.exists(root.resolve(dvRel)),
+          s"restore target v$toVersion references deletion vector $dvRel " +
+            s"(of ${f.path}), which was vacuumed — restore past the " +
+            "retention horizon is impossible")
+      }
     }
     def physKey(k: String): String = head.columnMapping.getOrElse(k, k)
     val lines = scala.collection.mutable.ArrayBuffer[String]()

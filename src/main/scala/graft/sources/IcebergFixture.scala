@@ -451,19 +451,34 @@ object IcebergFixture {
     prevMetaNode.foreach(_.get("snapshots").elements().asScala.foreach(snaps.add))
     val s2 = snaps.addObject()
     s2.put("snapshot-id", snapshotId)
+    // spec snapshot field `parent-snapshot-id`: the snapshot this commit
+    // was built on — after a rollback that is the rollback TARGET, not
+    // the last array entry, which is what lets readChanges/readAppends
+    // resolve the true lineage instead of assuming array order
+    prev.foreach(p => s2.put("parent-snapshot-id", p.snapshotId))
     s2.put("timestamp-ms", 0L)
     s2.put("sequence-number", snapshotId)
     s2.putObject("summary").put("operation", operation)
     s2.put("manifest-list", mlPath.toString)
 
-    // versioned-metadata CAS: the commit point is creating
-    // v<N>.metadata.json, which a hard link makes exclusive — a racing
-    // writer that computed the same N fails loudly here with both its
-    // side files (unique names) and the winner's state intact. The
-    // version hint is advisory (readers fall back to the max v* scan),
-    // so the winner updating it after the CAS is safe.
     val newVersion = prevMetaNode.map(_ =>
       Files.readString(metaDir.resolve("version-hint.text")).trim.toInt + 1).getOrElse(1)
+    commitMetadataVersion(metaDir, newVersion, meta)
+  }
+
+  /** The versioned-metadata CAS every Iceberg commit path shares
+    * ([[commitSnapshot]], [[IcebergWrite.rollback]],
+    * [[IcebergWrite.expireSnapshots]]) — the table's single most
+    * safety-critical primitive, kept in ONE place. The commit point is
+    * creating `v<N>.metadata.json`, which a hard link makes exclusive
+    * (ATOMIC_MOVE fallback where links are unsupported) — a racing
+    * writer that computed the same N fails loudly with the winner's
+    * state intact. The version hint is advisory (readers fall back to
+    * the max-v* scan), so the winner updating it after the CAS is
+    * safe. */
+  private[sources] def commitMetadataVersion(metaDir: java.nio.file.Path,
+      newVersion: Int,
+      meta: com.fasterxml.jackson.databind.JsonNode): Unit = {
     val target = metaDir.resolve(s"v$newVersion.metadata.json")
     val tmp = Files.createTempFile(metaDir, ".meta", ".tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()

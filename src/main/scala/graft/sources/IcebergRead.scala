@@ -169,19 +169,8 @@ object IcebergRead {
     val metaDir = Paths.get(tableDir, "metadata")
     val meta = mapper.readTree(Files.readString(currentMetadataFile(metaDir)))
     val schema = snapshot(tableDir).schema
-    val snaps = meta.get("snapshots").elements().asScala.toSeq
-    def idxOf(id: Long, what: String): Int = {
-      val i = snaps.indexWhere(_.get("snapshot-id").asLong == id)
-      require(i >= 0,
-        s"readAppends: $what snapshot $id of $tableDir is not retained " +
-          "(expired or never committed)")
-      i
-    }
-    val lo = if (fromSnapshotId == 0L) -1 else idxOf(fromSnapshotId, "from")
-    val hi = idxOf(toSnapshotId, "to")
-    require(lo <= hi, s"readAppends: from $fromSnapshotId is after to " +
-      s"$toSnapshotId in $tableDir's snapshot order")
-    val added = snaps.slice(lo + 1, hi + 1).flatMap(addedDataFiles(tableDir, _))
+    val added = snapshotRange(tableDir, meta, "readAppends",
+      fromSnapshotId, toSnapshotId).flatMap(addedDataFiles(tableDir, _))
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], schema)
@@ -191,6 +180,65 @@ object IcebergRead {
       if (fmt == "orc") rdr.orc(paths: _*) else rdr.parquet(paths: _*)
     }.reduce(_ unionByName _)
       .select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** The snapshots strictly AFTER `fromSnapshotId` up to and including
+    * `toSnapshotId`, oldest first — the shared range seam behind
+    * [[readAppends]] and [[readChanges]]. Resolution is by the spec's
+    * `parent-snapshot-id` ANCESTRY when every non-root snapshot records
+    * it (real Iceberg writers and [[IcebergFixture.commitSnapshot]]
+    * both do): walking parents from `to` is the only range definition
+    * that stays correct after [[IcebergWrite.rollback]] — rolled-over
+    * snapshots sit in the metadata array but are NOT ancestors of the
+    * new head, and emitting their changes would be silently wrong. A
+    * `from` that is retained but not an ancestor of `to` (i.e. it was
+    * rolled over) fails loudly. Tables without parent ids fall back to
+    * metadata-array order, which is exact for linear lineages (the only
+    * kind such a writer can produce through this module).
+    * `fromSnapshotId = 0` means "from before the first retained
+    * snapshot". */
+  private def snapshotRange(tableDir: String, meta: JsonNode, what: String,
+                            fromSnapshotId: Long, toSnapshotId: Long)
+      : Seq[JsonNode] = {
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    val byId = snaps.map(s => s.get("snapshot-id").asLong -> s).toMap
+    def retained(id: Long, label: String): JsonNode =
+      byId.getOrElse(id, throw new IllegalArgumentException(
+        s"$what: $label snapshot $id of $tableDir is not retained " +
+          "(expired or never committed)"))
+    val to = retained(toSnapshotId, "to")
+    if (fromSnapshotId != 0L) retained(fromSnapshotId, "from")
+    val ancestryKnown = snaps.size <= 1 ||
+      snaps.drop(1).forall(_.has("parent-snapshot-id"))
+    if (ancestryKnown) {
+      val buf = scala.collection.mutable.ArrayBuffer[JsonNode]()
+      var cur: Option[JsonNode] = Some(to)
+      var hitFrom = false
+      while (cur.isDefined && !hitFrom) {
+        val c = cur.get
+        if (fromSnapshotId != 0L &&
+            c.get("snapshot-id").asLong == fromSnapshotId) hitFrom = true
+        else {
+          buf += c
+          // a parent expired out of retention terminates the walk: with
+          // from = 0 that IS the earliest retained ancestor
+          cur = Option(c.get("parent-snapshot-id")).map(_.asLong).flatMap(byId.get)
+        }
+      }
+      require(fromSnapshotId == 0L || hitFrom,
+        s"$what: from $fromSnapshotId is not an ancestor of to " +
+          s"$toSnapshotId in $tableDir — it was rolled over (or the " +
+          "lineage between them expired); re-read from a fresh snapshot")
+      buf.reverse.toSeq
+    } else {
+      def idxOf(id: Long, label: String): Int =
+        snaps.indexWhere(_.get("snapshot-id").asLong == id)
+      val lo = if (fromSnapshotId == 0L) -1 else idxOf(fromSnapshotId, "from")
+      val hi = idxOf(toSnapshotId, "to")
+      require(lo <= hi, s"$what: from $fromSnapshotId is after to " +
+        s"$toSnapshotId in $tableDir's snapshot order")
+      snaps.slice(lo + 1, hi + 1)
+    }
   }
 
   /** One snapshot's manifest-level delta: data files ADDED (status 1,
@@ -283,16 +331,6 @@ object IcebergRead {
     val meta = mapper.readTree(Files.readString(currentMetadataFile(metaDir)))
     val schema = snapshot(tableDir).schema
     val snaps = meta.get("snapshots").elements().asScala.toSeq
-    def idxOf(id: Long, what: String): Int = {
-      val i = snaps.indexWhere(_.get("snapshot-id").asLong == id)
-      require(i >= 0, s"readChanges: $what snapshot $id of $tableDir is " +
-        "not retained (expired or never committed)")
-      i
-    }
-    val lo = if (fromSnapshotId == 0L) -1 else idxOf(fromSnapshotId, "from")
-    val hi = idxOf(toSnapshotId, "to")
-    require(lo <= hi, s"readChanges: from $fromSnapshotId is after to " +
-      s"$toSnapshotId in $tableDir's snapshot order")
 
     def readFiles(fs: Seq[(String, String)]): DataFrame =
       fs.groupBy(_._2).map { case (fmt, g) =>
@@ -300,8 +338,9 @@ object IcebergRead {
         if (fmt == "orc") rdr.orc(g.map(_._1): _*) else rdr.parquet(g.map(_._1): _*)
       }.reduce(_ unionByName _).select(schema.fieldNames.map(col).toSeq: _*)
 
-    val frames = ((lo + 1) to hi).flatMap { i =>
-      val sn = snaps(i)
+    val range = snapshotRange(tableDir, meta, "readChanges",
+      fromSnapshotId, toSnapshotId)
+    val frames = range.flatMap { sn =>
       val sid = sn.get("snapshot-id").asLong
       val op = Option(sn.get("summary")).flatMap(s => Option(s.get("operation")))
         .map(_.asText).getOrElse(throw new IllegalArgumentException(
@@ -310,9 +349,16 @@ object IcebergRead {
       def stamp(df: DataFrame, tpe: String): DataFrame =
         df.withColumn("_change_type", lit(tpe))
           .withColumn("_snapshot_id", lit(sid))
-      def parent(): Option[Snapshot] =
-        if (i == 0) None
-        else Some(snapshotAt(tableDir, snaps(i - 1).get("snapshot-id").asLong))
+      // delete rows are computed against the TRUE parent's state —
+      // `parent-snapshot-id` when recorded (correct across rollback),
+      // array predecessor only as the linear-lineage fallback
+      def parent(): Option[Snapshot] = {
+        val i = snaps.indexWhere(_.get("snapshot-id").asLong == sid)
+        Option(sn.get("parent-snapshot-id")).map(_.asLong)
+          .orElse(if (i > 0) Some(snaps(i - 1).get("snapshot-id").asLong)
+                  else None)
+          .map(snapshotAt(tableDir, _))
+      }
       val (added, removed, newDels) = snapshotDelta(tableDir, sn)
       op match {
         case "replace" => Nil // physical rearrangement only

@@ -390,28 +390,7 @@ object IcebergWrite {
     if (meta.get("current-snapshot-id").asLong == toSnapshotId) return version
     val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     newMeta.put("current-snapshot-id", toSnapshotId)
-    val target = metaDir.resolve(s"v${version + 1}.metadata.json")
-    val tmp = Files.createTempFile(metaDir, ".meta", ".tmp")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(newMeta)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    try { Files.createLink(target, tmp); Files.delete(tmp) }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new java.util.ConcurrentModificationException(
-          s"Iceberg metadata version ${version + 1} was committed " +
-            s"concurrently ($target exists) — re-read the table and retry")
-      case _: UnsupportedOperationException =>
-        if (Files.exists(target)) {
-          Files.deleteIfExists(tmp)
-          throw new java.util.ConcurrentModificationException(
-            s"Iceberg metadata version ${version + 1} was committed concurrently")
-        }
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    }
-    Files.write(metaDir.resolve("version-hint.text"),
-      (version + 1).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    IcebergFixture.commitMetadataVersion(metaDir, version + 1, newMeta)
     version + 1
   }
 
@@ -429,10 +408,15 @@ object IcebergWrite {
     * order) are carried into a new metadata version (CAS, same fence as
     * every commit); every manifest-list, manifest, data and delete file
     * reachable ONLY from the expired entries is deleted from disk.
-    * Reachability is computed over ALL manifest entry statuses —
-    * a status-2 (deleted) entry still names a file an OLDER retained
-    * snapshot may serve, so retained inventories are conservative.
-    * Driver cost is O(metadata), never O(rows).
+    * Retained inventories count LIVE entries only (status 0/1): each
+    * snapshot's manifests are self-describing — every file the snapshot
+    * serves appears as a live entry in its own manifests — so a
+    * status-2 (deleted) entry in a retained snapshot protects nothing
+    * (older snapshots that still serve that file are either retained,
+    * and list it live themselves, or expired, surrendering it).
+    * Expired inventories count ALL statuses (deletion candidates are
+    * conservative the other way). Driver cost is O(metadata), never
+    * O(rows).
     *
     * Returns the number of files physically deleted. */
   def expireSnapshots(tableDir: String, keepLast: Int = 1): Int = {
@@ -494,28 +478,7 @@ object IcebergWrite {
     val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     val arr = newMeta.putArray("snapshots")
     kept.foreach(arr.add)
-    val target = metaDir.resolve(s"v${version + 1}.metadata.json")
-    val tmp = Files.createTempFile(metaDir, ".meta", ".tmp")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(newMeta)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    try { Files.createLink(target, tmp); Files.delete(tmp) }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new java.util.ConcurrentModificationException(
-          s"Iceberg metadata version ${version + 1} was committed " +
-            s"concurrently ($target exists) — re-read the table and retry")
-      case _: UnsupportedOperationException =>
-        if (Files.exists(target)) {
-          Files.deleteIfExists(tmp)
-          throw new java.util.ConcurrentModificationException(
-            s"Iceberg metadata version ${version + 1} was committed concurrently")
-        }
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    }
-    Files.write(metaDir.resolve("version-hint.text"),
-      (version + 1).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    IcebergFixture.commitMetadataVersion(metaDir, version + 1, newMeta)
     toDelete.count(Files.deleteIfExists(_))
   }
 

@@ -107,17 +107,23 @@ object IcebergTail {
         versions.foreach { v =>
           newSnapshots(metaDir, v).foreach { sn =>
             val sid = sn.get("snapshot-id").asLong
-            // from = sid's predecessor in the lineage, so each batch
-            // computes exactly ONE snapshot's delta (never O(history))
-            val p = metaDir.resolve(s"v$v.metadata.json")
-            val ids = mapper.readTree(java.nio.file.Files.readString(p))
-              .get("snapshots").elements()
-            var prev = 0L
-            var found = false
-            while (ids.hasNext && !found) {
-              val id = ids.next().get("snapshot-id").asLong
-              if (id == sid) found = true else prev = id
-            }
+            // from = sid's TRUE parent (the spec's parent-snapshot-id —
+            // correct across rollback), so each batch computes exactly
+            // ONE snapshot's delta (never O(history)); array
+            // predecessor only for legacy linear lineages without it
+            val prev = Option(sn.get("parent-snapshot-id")).map(_.asLong)
+              .getOrElse {
+                val p = metaDir.resolve(s"v$v.metadata.json")
+                val ids = mapper.readTree(java.nio.file.Files.readString(p))
+                  .get("snapshots").elements()
+                var pr = 0L
+                var found = false
+                while (ids.hasNext && !found) {
+                  val id = ids.next().get("snapshot-id").asLong
+                  if (id == sid) found = true else pr = id
+                }
+                pr
+              }
             val changes = IcebergRead.readChanges(spark, tableDir, prev, sid)
             if (!changes.isEmpty) sink(changes, sid)
           }

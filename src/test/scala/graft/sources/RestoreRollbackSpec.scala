@@ -71,6 +71,52 @@ class RestoreRollbackSpec extends SparkSpec {
     assert(IcebergRead.read(spark, t).count() == 13) // rolled-back base + append
   }
 
+  test("delta restore to a version whose DV was vacuumed fails loudly") {
+    val t = tbl("graft_restore_dv")
+    DeltaWrite.write(rows(1 to 10).coalesce(1), t)          // v0
+    DeltaWrite.deleteWhere(spark, t, col("id") === 1L)      // v1: DV #1
+    DeltaWrite.deleteWhere(spark, t, col("id") === 2L)      // v2: DV #2 supersedes #1
+    assert(DeltaWrite.vacuum(spark, t) > 0)                 // DV #1 physically gone
+    val ex = intercept[IllegalArgumentException] {
+      DeltaWrite.restore(spark, t, 1L)
+    }
+    assert(ex.getMessage.contains("deletion vector"))
+    // the head is untouched by the failed restore
+    assert(DeltaRead.read(spark, t).count() == 8)
+  }
+
+  test("iceberg changelog and appends follow parent lineage across rollback") {
+    val t = tbl("graft_rollback_lineage")
+    IcebergWrite.write(rows(1 to 10), t)                    // s1
+    IcebergWrite.write(rows(11 to 15), t)                   // s2 (rolled over below)
+    IcebergWrite.rollback(t, 1L)
+    val s3 = IcebergWrite.merge(spark, t,
+      Seq((1L, "patched"), (100L, "new")).toDF("id", "s"), Seq("id")) // parent = s1
+    assert(s3 == 3L)
+    // changes of s3 vs its TRUE parent s1: delete of (1,v1) + inserts —
+    // array-predecessor resolution would diff against s2's state instead
+    val ch = IcebergRead.readChanges(spark, t, 1L, s3)
+      .select("id", "s", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(ch.contains((1L, "v1", "delete")))
+    assert(ch.contains((1L, "patched", "insert")))
+    assert(ch.contains((100L, "new", "insert")))
+    assert(!ch.exists(_._2 == "v11"), s"rolled-over s2 rows leaked: $ch")
+    // full-history changelog skips the rolled-over snapshot entirely
+    val all = IcebergRead.readChanges(spark, t, 0L, s3)
+    assert(all.filter(col("_snapshot_id") === 2L).isEmpty)
+    // a rolled-over from is NOT an ancestor of the head — loud reject
+    val ex = intercept[IllegalArgumentException] {
+      IcebergRead.readChanges(spark, t, 2L, s3)
+    }
+    assert(ex.getMessage.contains("not an ancestor"))
+    // appends across the rollback: s4's rows only, never s2's
+    val s4 = IcebergWrite.write(rows(200 to 201), t)
+    assert(IcebergRead.readAppends(spark, t, s3, s4)
+      .as[(Long, String)].collect().toSet ==
+      Set((200L, "v200"), (201L, "v201")))
+  }
+
   test("iceberg rollback rejects unknown ids; expiry keeps a rolled-back current") {
     val t = tbl("graft_rollback_guard")
     IcebergWrite.write(rows(1 to 5), t)  // s1
