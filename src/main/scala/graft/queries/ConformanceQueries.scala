@@ -2643,6 +2643,162 @@ object ConformanceQueries {
              |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
              |  TRUE
              |FROM orders WHERE o_orderkey % 2 = 1
-             |  AND o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0""".stripMargin))
+             |  AND o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0""".stripMargin)),
+
+    // DELTA V2 CHECKPOINT (PROTOCOL.md §V2 Checkpoints): the layout
+    // modern Databricks writers default to on NEW tables — a UUID-named
+    // top checkpoint file (non-file actions + checkpointMetadata +
+    // sidecar actions) with the add/remove actions split across
+    // _sidecars/ parquet files. The fixture checkpoints a
+    // partitioned+DV'd orders table with 2 sidecars, then DELETES every
+    // JSON commit at or below the checkpoint — replay must resume from
+    // the v2 layout alone (the spec's classic-checkpoint-absent path),
+    // with values, DV suppression, partition pruning and stats skipping
+    // intact, and a post-checkpoint commit replaying on top. Oracle
+    // recomputes the final state from `orders`.
+    Q("delta_v2_checkpoint",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite}
+        val wh = DvQueries.tmpWarehouse("graft_delta_v2cp")
+        val tbl = s"$wh/orders_v2cp"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl,
+          Seq("o_orderpriority"))                                     // v0
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 1), tbl)  // v1
+        DeltaWrite.deleteWhere(s, tbl, col("o_orderkey") % 5 === 0)   // v2+: DVs
+        val cpv = DeltaWrite.checkpointV2(s, tbl, sidecars = 2)
+        val logDir = java.nio.file.Paths.get(tbl, "_delta_log")
+        val listing = java.nio.file.Files.list(logDir)
+        val names = try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala.map(_.getFileName.toString).toSeq
+        } finally listing.close()
+        val layoutOk =
+          names.count(_.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9-]+\\.parquet")) == 1 &&
+            !names.exists(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+        // the pinned path: no JSON history at or below the checkpoint
+        names.filter(_.matches("\\d{20}\\.json"))
+          .filter(_.stripSuffix(".json").toLong <= cpv)
+          .foreach(n => java.nio.file.Files.delete(logDir.resolve(n)))
+        // one more commit AFTER the checkpoint replays on top of it
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 0 &&
+          col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * -1), tbl)
+        val snap = DeltaRead.snapshot(tbl)
+        val resumed = snap.version == cpv + 1 &&
+          snap.protocol.readerFeatures.contains("v2Checkpoint") &&
+          snap.files.exists(_.deletionVector.nonEmpty)
+        val df = DeltaRead.read(s, tbl)
+        // pruning proof from checkpoint-carried partition tuples + stats
+        val probed = df.filter(col("o_orderpriority") === "1-URGENT")
+        val scheduled = probed.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles.toInt
+        }.sum
+        val predicted = snap.files.count(
+          _.partitionValues.get("o_orderpriority").contains("1-URGENT"))
+        df.groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("v2_layout", lit(layoutOk))
+          .withColumn("resumed_from_v2", lit(resumed))
+          .withColumn("pruning_intact",
+            lit(scheduled == predicted && scheduled < snap.files.size))
+      },
+      Some("""WITH final AS (
+             |  SELECT o_orderpriority, o_totalprice FROM orders
+             |  WHERE o_orderkey % 5 <> 0
+             |  UNION ALL
+             |  SELECT o_orderpriority, -o_totalprice FROM orders
+             |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+             |    AND o_orderkey % 7 = 0)
+             |SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS v2_layout, TRUE AS resumed_from_v2,
+             |  TRUE AS pruning_intact
+             |FROM final GROUP BY 1""".stripMargin)),
+
+    // ICEBERG PARTITION TRANSFORMS: production Iceberg tables are
+    // overwhelmingly transform-partitioned (days(ts)/years(ts),
+    // bucket(N, key)) — at 100 TB an unpruned transformed table is a
+    // full scan per query. IcebergWrite lays files out per TRANSFORMED
+    // tuple (years + murmur3 bucket per the Table Spec, Appendix B hash)
+    // and IcebergFileIndex prunes pushed source-column predicates
+    // through the same transform arithmetic. Two channels pinned
+    // scanned == predicted from metadata alone: a timestamp range
+    // (years — timestamps carry NO footer stats, so the transform is
+    // the only pruner; the 1996 boundary year stays, by design), and a
+    // custkey IN-probe (bucket ∩ the files' footer key intervals).
+    // Values are oracle-gated on the range aggregate + probe count.
+    Q("iceberg_transform_pruning",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergTransforms, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_ice_transform")
+        val tbl = s"$wh/orders_transformed"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        IcebergWrite.write(o, tbl,
+          Seq("years(o_orderdate)", "bucket(8, o_custkey)"))
+        val snap = IcebergRead.snapshot(tbl)
+        val transformed = snap.partitionFields.map(_.transform.specName) ==
+          Seq("year", "bucket[8]")
+        def scheduled(df: DataFrame): Int = df.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles.toInt
+        }.sum
+
+        // channel 1: year-range pruning, exact at year granularity
+        val lo = to_timestamp(lit("1994-01-01 00:00:00"))
+        val hi = to_timestamp(lit("1996-01-01 00:00:00"))
+        val ranged = IcebergRead.read(s, tbl)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        val keepYears = Set(24L, 25L, 26L) // 1994, 1995 + the boundary year
+        val yearPredicted = snap.files.count(f =>
+          keepYears(f.partitionValues("o_orderdate_year").toLong))
+        val yearExact = scheduled(ranged) == yearPredicted &&
+          yearPredicted < snap.files.size
+
+        // channel 2: bucket IN-probe over the 3 smallest custkeys,
+        // trimmed further by the files' footer key intervals
+        val keys = o.select(col("o_custkey")).distinct()
+          .orderBy(col("o_custkey")).limit(3).collect().map(_.getLong(0)).toSeq
+        val buckets = keys.map(k =>
+          (IcebergTransforms.hashLong(k) & Int.MaxValue).toLong % 8).toSet
+        val probe = IcebergRead.read(s, tbl)
+          .filter(col("o_custkey").isin(keys: _*))
+        val bucketPredicted = snap.files.count { f =>
+          buckets(f.partitionValues("o_custkey_bucket").toLong) &&
+            f.stats.forall(st => keys.exists(k =>
+              st.min.get("o_custkey").forall(_.asLong <= k) &&
+                st.max.get("o_custkey").forall(_.asLong >= k)))
+        }
+        val bucketExact = scheduled(probe) == bucketPredicted &&
+          bucketPredicted < snap.files.size
+        val nProbe = probe.count()
+
+        ranged.groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("n_probe_rows", lit(nProbe))
+          .withColumn("spec_transformed", lit(transformed))
+          .withColumn("year_scan_exact", lit(yearExact))
+          .withColumn("bucket_scan_exact", lit(bucketExact))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  (SELECT count(*) FROM orders WHERE o_custkey IN
+             |    (SELECT o_custkey FROM (SELECT DISTINCT o_custkey FROM orders
+             |      ORDER BY 1 LIMIT 3))) AS n_probe_rows,
+             |  TRUE AS spec_transformed, TRUE AS year_scan_exact,
+             |  TRUE AS bucket_scan_exact
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+             |GROUP BY 1""".stripMargin))
   )
 }

@@ -615,31 +615,91 @@ object DeltaRead {
   private def versionOf(p: Path): Long =
     p.getFileName.toString.stripSuffix(".json").toLong
 
-  /** `_last_checkpoint` → (version, checkpoint actions). Single-part
-    * (`%020d.checkpoint.parquet`) and multi-part (`parts` field,
-    * `%020d.checkpoint.%010d.%010d.parquet` — large production tables
-    * checkpoint this way) are both read; every named part must exist.
+  /** `_last_checkpoint` → (version, checkpoint actions). Three layouts,
+    * all from PROTOCOL.md §Checkpoints:
+    *
+    *  - classic single-part `%020d.checkpoint.parquet`;
+    *  - multi-part `%020d.checkpoint.%010d.%010d.parquet` (the `parts`
+    *    field names the count; every part must exist);
+    *  - **V2** `%020d.checkpoint.<uuid>.{parquet|json}`: the top file
+    *    holds the non-file actions plus one `checkpointMetadata` action
+    *    and `sidecar` actions naming `_sidecars/<uuid>.parquet` files
+    *    that carry the add/remove actions. `_last_checkpoint`'s classic
+    *    fields carry no file name for these, so the UUID file resolves
+    *    by listing (multiple UUID checkpoints at one version are
+    *    equivalent by the spec; the lexicographic max is taken for
+    *    determinism).
+    *
     * The checkpoint parquet holds one action per row in struct columns. */
   private def lastCheckpoint(logDir: Path): Option[(Long, Seq[JsonNode])] = {
     val ptr = logDir.resolve("_last_checkpoint")
     if (!Files.exists(ptr)) return None
     val j = mapper.readTree(Files.readString(ptr))
     val v = j.get("version").asLong
-    val parts = Option(j.get("parts")).map(_.asInt).getOrElse(1)
-    val files =
-      if (parts <= 1) Seq(logDir.resolve(f"$v%020d.checkpoint.parquet"))
-      else (1 to parts).map(p =>
-        logDir.resolve(f"$v%020d.checkpoint.$p%010d.$parts%010d.parquet"))
-    files.foreach(f => require(Files.exists(f),
-      s"checkpoint part $f named by _last_checkpoint is missing"))
-    // driver-side collect, bounded by checkpoint size (one row per live
-    // file + a handful of metadata rows) — NOT by table data. Inherent to
-    // the FileIndex seam: the planner must hold live-file metadata to
-    // schedule tasks (Delta's TahoeFileIndex materializes the same state).
-    // json-ified so checkpoint and commit replay share one action decoder.
+    val parts = Option(j.get("parts")).map(_.asInt)
+    val classic = logDir.resolve(f"$v%020d.checkpoint.parquet")
+    parts match {
+      case Some(p) if p > 1 =>
+        val files = (1 to p).map(i =>
+          logDir.resolve(f"$v%020d.checkpoint.$i%010d.$p%010d.parquet"))
+        files.foreach(f => require(Files.exists(f),
+          s"checkpoint part $f named by _last_checkpoint is missing"))
+        Some((v, readParquetActions(files)))
+      case _ if Files.exists(classic) =>
+        Some((v, readParquetActions(Seq(classic))))
+      case _ =>
+        val pat = (f"$v%020d" + "\\.checkpoint\\.[A-Za-z0-9-]+\\.(parquet|json)").r
+        val listing = Files.list(logDir)
+        val v2 =
+          try listing.iterator().asScala
+            .filter(p => pat.pattern.matcher(p.getFileName.toString).matches())
+            .toSeq.sortBy(_.getFileName.toString)
+          finally listing.close()
+        require(v2.nonEmpty,
+          s"_last_checkpoint names version $v but no checkpoint file " +
+            s"(classic, multi-part, or v2 UUID-named) for it exists in $logDir")
+        Some((v, loadV2Checkpoint(logDir, v, v2.last)))
+    }
+  }
+
+  /** Load a V2 checkpoint: the top file's own actions (minus the
+    * checkpoint bookkeeping) plus every referenced sidecar's file
+    * actions. checkpointMetadata.version must agree with
+    * `_last_checkpoint`; a missing sidecar fails loudly — resuming from
+    * a partial checkpoint would silently drop live files. */
+  private def loadV2Checkpoint(logDir: Path, v: Long,
+                               file: Path): Seq[JsonNode] = {
+    val top: Seq[JsonNode] =
+      if (file.getFileName.toString.endsWith(".json"))
+        Files.readAllLines(file, StandardCharsets.UTF_8).asScala
+          .filter(_.nonEmpty).map(mapper.readTree).toSeq
+      else readParquetActions(Seq(file))
+    val cm = top.flatMap(n => Option(n.get("checkpointMetadata")))
+      .filterNot(_.isNull)
+    require(cm.nonEmpty, s"v2 checkpoint $file has no checkpointMetadata action")
+    val declared = cm.head.get("version").asLong
+    require(declared == v,
+      s"v2 checkpoint $file declares version $declared but _last_checkpoint says $v")
+    val sidecars = top.flatMap(n => Option(n.get("sidecar"))).filterNot(_.isNull)
+      .map(s => logDir.resolve("_sidecars").resolve(s.get("path").asText))
+    sidecars.foreach(p => require(Files.exists(p),
+      s"sidecar $p named by v2 checkpoint $file is missing"))
+    val sidecarActions =
+      if (sidecars.isEmpty) Nil else readParquetActions(sidecars)
+    top.filterNot(n => n.has("checkpointMetadata") || n.has("sidecar")) ++
+      sidecarActions
+  }
+
+  /** One action per parquet row → JsonNodes, so checkpoint and commit
+    * replay share one action decoder. Driver-side collect, bounded by
+    * checkpoint size (one row per live file + a handful of metadata
+    * rows) — NOT by table data. Inherent to the FileIndex seam: the
+    * planner must hold live-file metadata to schedule tasks (Delta's
+    * TahoeFileIndex materializes the same state). */
+  private def readParquetActions(files: Seq[Path]): Seq[JsonNode] = {
     val spark = SparkSession.active
-    val rows = spark.read.parquet(files.map(_.toString): _*).toJSON.collect()
-    Some((v, rows.toSeq.map(mapper.readTree)))
+    spark.read.parquet(files.map(_.toString): _*).toJSON.collect()
+      .toSeq.map(mapper.readTree)
   }
 
   /** Log paths are RFC 2396 percent-encoded relative paths (or absolute

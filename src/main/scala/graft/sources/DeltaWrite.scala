@@ -974,6 +974,68 @@ object DeltaWrite {
     * single checkpoint file becomes a write/read bottleneck; actions are
     * split round-robin, which is legal because checkpoint rows are
     * unordered state (one action per path). */
+  // ---- shared checkpoint row builders (classic + v2) -----------------
+
+  /** Protocol row — re-emitted as the log declared it: a DV table's
+    * feature gates must survive compaction or a resuming engine
+    * under-checks itself. */
+  private def cpProtocolRow(proto: DeltaRead.Protocol): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(Integer.valueOf(proto.minReaderVersion),
+      Integer.valueOf(proto.minWriterVersion),
+      if (proto.readerFeatures.isEmpty) null else proto.readerFeatures,
+      if (proto.writerFeatures.isEmpty) null else proto.writerFeatures)
+
+  /** metaData row — configuration must survive compaction; dropping e.g.
+    * delta.columnMapping.mode would flip a mapped table to mode=none for
+    * any reader resuming from this checkpoint. */
+  private def cpMetaDataRow(snap: DeltaRead.Snapshot): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row("graft-delta-write", null, null,
+      org.apache.spark.sql.Row("parquet", Map.empty[String, String]),
+      snap.schema.json, snap.partitionColumns, snap.configuration,
+      java.lang.Long.valueOf(0L))
+
+  /** add row — stats survive compaction (skipping must not degrade after
+    * a checkpoint truncates the JSON history). The snapshot's pv/stats
+    * keys are LOGICAL (normalized at replay); a column-mapped table's
+    * log — checkpoints included — stores them PHYSICAL, so map back. */
+  private def cpAddRow(snap: DeltaRead.Snapshot,
+                       f: DeltaRead.AddFile): org.apache.spark.sql.Row = {
+    def physKey(k: String): String = snap.columnMapping.getOrElse(k, k)
+    org.apache.spark.sql.Row(pathEnc(f.path),
+      f.partitionValues.map { case (k, v) => physKey(k) -> v },
+      java.lang.Long.valueOf(f.size), java.lang.Long.valueOf(0L),
+      java.lang.Boolean.FALSE,
+      f.stats.map(st => statsJson(st.copy(
+        min = st.min.map { case (k, v) => physKey(k) -> v },
+        max = st.max.map { case (k, v) => physKey(k) -> v },
+        nullCount = st.nullCount.map { case (k, v) => physKey(k) -> v }))).orNull,
+      f.deletionVector.map(d => org.apache.spark.sql.Row(d.storageType,
+        d.pathOrInlineDv, d.offset.map(Integer.valueOf).orNull,
+        Integer.valueOf(d.sizeInBytes),
+        java.lang.Long.valueOf(d.cardinality))).orNull)
+  }
+
+  private def cpRemoveRow(t: DeltaRead.RemoveFile): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(pathEnc(t.path),
+      java.lang.Long.valueOf(t.deletionTimestamp), java.lang.Boolean.TRUE)
+
+  private def cpTxnRow(appId: String, v: Long): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(appId, java.lang.Long.valueOf(v),
+      java.lang.Long.valueOf(0L))
+
+  /** Write `rows` under `schema` as ONE parquet file at `target`. */
+  private def writeOneParquetFile(spark: org.apache.spark.sql.SparkSession,
+                                  rows: Seq[org.apache.spark.sql.Row],
+                                  schema: StructType, target: Path): Unit = {
+    val tmp = Files.createTempDirectory("graft_delta_cp").toString
+    spark.createDataFrame(rows.asJava, schema).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    Files.createDirectories(target.getParent)
+    Files.move(listParquet(Paths.get(tmp)).head, target,
+      StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(Paths.get(tmp))
+  }
+
   def checkpoint(spark: org.apache.spark.sql.SparkSession, tableDir: String,
                  parts: Int = 1): Long = {
     import org.apache.spark.sql.Row
@@ -983,51 +1045,15 @@ object DeltaWrite {
             remove: Row = null, txn: Row = null): Row =
       Row(protocol, metaData, add, remove, txn)
     val rows = scala.collection.mutable.ArrayBuffer[Row]()
-    // re-emit the protocol the log declared: a DV table's feature gates
-    // must survive compaction or a resuming engine under-checks itself
-    val proto = snap.protocol
-    rows += row(protocol = Row(Integer.valueOf(proto.minReaderVersion),
-      Integer.valueOf(proto.minWriterVersion),
-      if (proto.readerFeatures.isEmpty) null else proto.readerFeatures,
-      if (proto.writerFeatures.isEmpty) null else proto.writerFeatures))
-    // configuration must survive compaction — dropping e.g.
-    // delta.columnMapping.mode would flip a mapped table to mode=none
-    // for any reader resuming from this checkpoint
-    rows += row(metaData = Row("graft-delta-write", null, null,
-      Row("parquet", Map.empty[String, String]), snap.schema.json,
-      snap.partitionColumns, snap.configuration,
-      java.lang.Long.valueOf(0L)))
-    // the snapshot's pv/stats keys are LOGICAL (normalized at replay); a
-    // column-mapped table's log — checkpoints included — stores them
-    // PHYSICAL. A conformant engine resuming from this checkpoint looks
-    // them up by physical name, so map back (same as deleteWhere).
-    def physKey(k: String): String = snap.columnMapping.getOrElse(k, k)
-    snap.files.foreach { f =>
-      // stats survive compaction — skipping must not degrade after a
-      // checkpoint truncates the JSON history
-      rows += row(add = Row(pathEnc(f.path),
-        f.partitionValues.map { case (k, v) => physKey(k) -> v },
-        java.lang.Long.valueOf(f.size), java.lang.Long.valueOf(0L),
-        java.lang.Boolean.FALSE,
-        f.stats.map(st => statsJson(st.copy(
-          min = st.min.map { case (k, v) => physKey(k) -> v },
-          max = st.max.map { case (k, v) => physKey(k) -> v },
-          nullCount = st.nullCount.map { case (k, v) => physKey(k) -> v }))).orNull,
-        f.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
-          d.offset.map(Integer.valueOf).orNull,
-          Integer.valueOf(d.sizeInBytes),
-          java.lang.Long.valueOf(d.cardinality))).orNull))
-    }
-    snap.tombstones.foreach { t =>
-      rows += row(remove = Row(pathEnc(t.path),
-        java.lang.Long.valueOf(t.deletionTimestamp), java.lang.Boolean.TRUE))
-    }
+    rows += row(protocol = cpProtocolRow(snap.protocol))
+    rows += row(metaData = cpMetaDataRow(snap))
+    snap.files.foreach(f => rows += row(add = cpAddRow(snap, f)))
+    snap.tombstones.foreach(t => rows += row(remove = cpRemoveRow(t)))
     // setTransaction markers: the protocol requires a checkpoint to retain
     // the latest txn per appId — dropping them would let an external
     // streaming writer resuming from this checkpoint double-commit
     snap.txns.foreach { case (appId, v) =>
-      rows += row(txn = Row(appId, java.lang.Long.valueOf(v),
-        java.lang.Long.valueOf(0L)))
+      rows += row(txn = cpTxnRow(appId, v))
     }
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val groups: Seq[Seq[Row]] =
@@ -1040,16 +1066,110 @@ object DeltaWrite {
         if (parts == 1) logDir.resolve(f"${snap.version}%020d.checkpoint.parquet")
         else logDir.resolve(
           f"${snap.version}%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet")
-      val tmp = Files.createTempDirectory("graft_delta_cp").toString
-      spark.createDataFrame(g.asJava, checkpointSchema).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      Files.move(listParquet(Paths.get(tmp)).head, target,
-        StandardCopyOption.REPLACE_EXISTING)
-      deleteRecursively(Paths.get(tmp))
+      writeOneParquetFile(spark, g, checkpointSchema, target)
     }
     val partsField = if (parts == 1) "" else s""","parts":$parts"""
     Files.writeString(logDir.resolve("_last_checkpoint"),
       s"""{"version":${snap.version},"size":${rows.size}$partsField}""")
+    snap.version
+  }
+
+  /** V2 CHECKPOINT (PROTOCOL.md §V2 Checkpoints) — the layout modern
+    * Databricks writers default to on new tables: a UUID-named top file
+    * `%020d.checkpoint.<uuid>.parquet` holding the NON-file actions plus
+    * one `checkpointMetadata` action and `sidecar` actions, with the
+    * add/remove file actions split across `_sidecars/<uuid>.parquet`
+    * files. The separation is the point at production scale: sidecars
+    * can be written (and later read) in parallel and reused across
+    * checkpoints, while the tiny top file stays the single commit point.
+    *
+    * A table checkpointed this way must DECLARE it: if the protocol
+    * lacks the `v2Checkpoint` reader feature, a protocol-upgrade commit
+    * lands first (reader 3 / writer 7, legacy versions converted with
+    * their implied features, exactly like the first-DV gate) — a reader
+    * that doesn't understand UUID checkpoints must refuse the table
+    * rather than miss its newest checkpoint.
+    *
+    * Returns the checkpointed version. */
+  def checkpointV2(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                   sidecars: Int = 2): Long = {
+    import org.apache.spark.sql.Row
+    require(sidecars >= 1, s"sidecars must be >= 1, got $sidecars")
+    val logDir = Paths.get(tableDir, "_delta_log")
+    var snap = DeltaRead.snapshot(tableDir)
+    if (!snap.protocol.readerFeatures.contains("v2Checkpoint")) {
+      val impliedWriter =
+        if (snap.protocol.minWriterVersion >= 7) Nil
+        else Seq(
+          2 -> Seq("appendOnly", "invariants"),
+          3 -> Seq("checkConstraints"),
+          4 -> Seq("changeDataFeed", "generatedColumns"),
+          5 -> Seq("columnMapping"),
+          6 -> Seq("identityColumns"))
+          .filter(_._1 <= snap.protocol.minWriterVersion).flatMap(_._2)
+      val impliedReader =
+        if (snap.protocol.minReaderVersion >= 3) Nil
+        else if (snap.protocol.minReaderVersion == 2) Seq("columnMapping")
+        else Nil
+      val p = mapper.createObjectNode()
+      val pn = p.putObject("protocol")
+      pn.put("minReaderVersion", 3)
+      pn.put("minWriterVersion", 7)
+      val rf = pn.putArray("readerFeatures")
+      (impliedReader ++ snap.protocol.readerFeatures :+ "v2Checkpoint")
+        .distinct.foreach(rf.add)
+      val wf = pn.putArray("writerFeatures")
+      (impliedWriter ++ snap.protocol.writerFeatures :+ "v2Checkpoint")
+        .distinct.foreach(wf.add)
+      val ci = mapper.createObjectNode()
+      ci.putObject("commitInfo").put("operation", "UPGRADE PROTOCOL")
+        .put("engineInfo", "graft-delta-write")
+      commitCas(logDir, snap.version + 1,
+        Seq(mapper.writeValueAsString(p), mapper.writeValueAsString(ci)))
+      snap = DeltaRead.snapshot(tableDir)
+    }
+
+    // sidecars: file actions only, round-robin (rows are unordered state)
+    val sidecarSchema = StructType(Seq(
+      checkpointSchema("add"), checkpointSchema("remove")))
+    val fileRows: Seq[Row] =
+      snap.files.map(f => Row(cpAddRow(snap, f), null)) ++
+        snap.tombstones.map(t => Row(null, cpRemoveRow(t)))
+    val sidecarDir = logDir.resolve("_sidecars")
+    val sidecarEntries = (0 until sidecars).map { i =>
+      val g = fileRows.zipWithIndex.collect {
+        case (r, j) if j % sidecars == i => r
+      }
+      val target = sidecarDir.resolve(s"${java.util.UUID.randomUUID()}.parquet")
+      writeOneParquetFile(spark, g, sidecarSchema, target)
+      Row(sidecarDir.relativize(target).toString,
+        java.lang.Long.valueOf(Files.size(target)), java.lang.Long.valueOf(0L))
+    }
+
+    val v2TopSchema = StructType(Seq(
+      checkpointSchema("protocol"), checkpointSchema("metaData"),
+      checkpointSchema("txn"),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType),
+        StructField("tags", MapType(StringType, StringType))))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType))))))
+    val topRows: Seq[Row] =
+      Seq(Row(cpProtocolRow(snap.protocol), null, null, null, null),
+        Row(null, cpMetaDataRow(snap), null, null, null),
+        Row(null, null, null,
+          Row(java.lang.Long.valueOf(snap.version), null), null)) ++
+        snap.txns.toSeq.map { case (appId, v) =>
+          Row(null, null, cpTxnRow(appId, v), null, null)
+        } ++
+        sidecarEntries.map(s => Row(null, null, null, null, s))
+    val top = logDir.resolve(
+      f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
+    writeOneParquetFile(spark, topRows, v2TopSchema, top)
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      s"""{"version":${snap.version},"size":${topRows.size + fileRows.size}}""")
     snap.version
   }
 

@@ -25,10 +25,15 @@ object IcebergFixture {
   private def primitiveName(dt: DataType, at: String): String = dt match {
     case LongType => "long"
     case IntegerType => "int"
+    case FloatType => "float"
     case DoubleType => "double"
     case StringType => "string"
     case BooleanType => "boolean"
     case DateType => "date"
+    // Spark TimestampType is UTC-normalized — Iceberg's timestamptz;
+    // NTZ is the spec's zone-less "timestamp"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
     case other => throw new IllegalArgumentException(
       s"fixture does not emit Iceberg type for $other at '$at'")
   }
@@ -75,16 +80,11 @@ object IcebergFixture {
         new com.fasterxml.jackson.databind.node.TextNode(primitiveName(prim, at))
     }
 
-  private def avroPartType(dt: DataType): String = dt match {
-    case LongType => "long"
-    case IntegerType => "int"
-    case _ => "string"
-  }
-
-  private def manifestSchema(schema: StructType, partCols: Seq[String]): Schema = {
-    val partFields = partCols.map { c =>
-      val t = avroPartType(schema(c).dataType)
-      s"""{"name":"$c","type":["null","$t"],"default":null,"field-id":${1000 + partCols.indexOf(c)}}"""
+  private def manifestSchema(schema: StructType,
+                             partFields0: Seq[IcebergTransforms.PartField]): Schema = {
+    val partFields = partFields0.zipWithIndex.map { case (f, i) =>
+      val t = IcebergTransforms.avroResultType(f, schema)
+      s"""{"name":"${f.name}","type":["null","$t"],"default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
@@ -192,7 +192,8 @@ object IcebergFixture {
       (target.toString, pv, rows.count(), Files.size(target))
     }
 
-    commitSnapshot(tableDir, schema, partCols, snapshotId, written,
+    commitSnapshot(tableDir, schema,
+      partCols.map(IcebergTransforms.parseField), snapshotId, written,
       removes.toSet, addFormat = format)
     written.map(_._1)
   }
@@ -219,7 +220,7 @@ object IcebergFixture {
     val target = Paths.get(tableDir)
       .resolve(f"data/delete-$snapshotId%05d-pos.parquet")
     writeOneParquet(deletes.toDF("file_path", "pos"), target)
-    commitSnapshot(tableDir, prev.schema, prev.identityPartitionCols,
+    commitSnapshot(tableDir, prev.schema, prev.partitionFields,
       snapshotId, Nil, Set.empty,
       Seq(DeleteSpec(target.toString, isEquality = false, Nil,
         deletes.size.toLong, Files.size(target))), operation = "delete")
@@ -239,7 +240,7 @@ object IcebergFixture {
     val proj = rows.select(eqCols.map(org.apache.spark.sql.functions.col): _*)
     val n = proj.count()
     writeOneParquet(proj, target)
-    commitSnapshot(tableDir, prev.schema, prev.identityPartitionCols,
+    commitSnapshot(tableDir, prev.schema, prev.partitionFields,
       snapshotId, Nil, Set.empty,
       Seq(DeleteSpec(target.toString, isEquality = true, ids, n,
         Files.size(target))), operation = "delete")
@@ -259,7 +260,7 @@ object IcebergFixture {
     * sequence_number = snapshotId; ADDED entries inherit it, carried
     * (EXISTING) entries keep their ORIGINAL sequence explicitly. */
   private[sources] def commitSnapshot(tableDir: String, schema: StructType,
-      partCols: Seq[String], snapshotId: Long,
+      partFields: Seq[IcebergTransforms.PartField], snapshotId: Long,
       added0: Seq[(String, Map[String, String], Long, Long)],
       removePaths: Set[String],
       deleteAdds: Seq[DeleteSpec] = Nil,
@@ -279,7 +280,7 @@ object IcebergFixture {
     val written = added0
 
     // ---- manifest: carried-forward state + this snapshot's changes ---
-    val mSchema = manifestSchema(schema, partCols)
+    val mSchema = manifestSchema(schema, partFields)
     val dfSchema = mSchema.getField("data_file").schema()
     val pSchema = dfSchema.getField("partition").schema()
     // the spec's map<int,...> fields are avro arrays of {key,value}
@@ -312,13 +313,14 @@ object IcebergFixture {
       d.put("file_path", path)
       d.put("file_format", fmt.toUpperCase)
       val p = new GenericData.Record(pSchema)
-      partCols.foreach { c =>
-        val v = pv.get(c).orNull
-        if (v != null) p.put(c, schema(c).dataType match {
-          case LongType => java.lang.Long.valueOf(v)
-          case IntegerType => Integer.valueOf(v)
-          case _ => v
-        })
+      partFields.foreach { f =>
+        val v = pv.get(f.name).orNull
+        if (v != null) p.put(f.name,
+          IcebergTransforms.avroResultType(f, schema) match {
+            case "long" => java.lang.Long.valueOf(v)
+            case "int" => Integer.valueOf(v)
+            case _ => v
+          })
       }
       d.put("partition", p)
       d.put("record_count", n)
@@ -438,10 +440,11 @@ object IcebergFixture {
     val spec = specs.addObject()
     spec.put("spec-id", 0)
     val specFields = spec.putArray("fields")
-    partCols.zipWithIndex.foreach { case (c, i) =>
+    partFields.zipWithIndex.foreach { case (pf, i) =>
       val f = specFields.addObject()
-      f.put("name", c); f.put("transform", "identity")
-      f.put("source-id", schema.fieldIndex(c) + 1); f.put("field-id", 1000 + i)
+      f.put("name", pf.name); f.put("transform", pf.transform.specName)
+      f.put("source-id", schema.fieldIndex(pf.sourceCol) + 1)
+      f.put("field-id", 1000 + i)
     }
     meta.put("default-sort-order-id", 0)
     meta.putArray("sort-orders").addObject().put("order-id", 0)

@@ -50,11 +50,12 @@ import org.apache.spark.sql.types._
   * entry-level sequence numbers override the manifest's inherited one.
   *
   * Scope (declared): reads the current snapshot; format v1/v2; parquet
-  * data and delete files; identity partition transforms (bucket/
-  * truncate/date transforms prune nothing — correct, just unpruned —
-  * since transformed values can't be compared to source-column literals
-  * without the transform itself); non-primitive schema fields and
-  * mixed equality_ids sets are rejected loudly rather than read
+  * data and delete files; the FULL partition-transform family prunes
+  * (identity through [[PartitionPrune]]; bucket/truncate/year/month/
+  * day/hour through [[IcebergTransforms.keepFile]] — equality/IN on
+  * every transform, ranges on the order-preserving ones; an unknown
+  * transform reads correct, just unpruned); non-primitive schema fields
+  * and mixed equality_ids sets are rejected loudly rather than read
   * wrongly. */
 object IcebergRead {
 
@@ -73,7 +74,8 @@ object IcebergRead {
                             identityPartitionCols: Seq[String],
                             files: Seq[DataFile],
                             deletes: Seq[DeleteFile] = Nil,
-                            fieldIdToName: Map[Int, String] = Map.empty) {
+                            fieldIdToName: Map[Int, String] = Map.empty,
+                            partitionFields: Seq[IcebergTransforms.PartField] = Nil) {
     def partitionTupleSchema: StructType =
       StructType(identityPartitionCols.map(c => schema.fields(schema.fieldIndex(c))))
   }
@@ -118,13 +120,25 @@ object IcebergRead {
           .getOrElse(throw new IllegalArgumentException(s"default-spec-id $id not in partition-specs"))
           .get("fields")
       } else meta.get("partition-spec")
-    // identity transforms prune; anything else is read unpruned — but a
-    // VOID/unknown transform is fine, the partition tuple is metadata only
-    val identityCols = Option(specNode).toSeq.flatMap(_.elements().asScala).collect {
-      case f if f.get("transform").asText == "identity" =>
-        idToName.getOrElse(f.get("source-id").asInt,
-          throw new IllegalArgumentException(
-            s"partition source-id ${f.get("source-id").asInt} not in schema"))
+    // the FULL partition spec: identity fields prune through
+    // PartitionPrune (whole predicates over typed tuples), transform
+    // fields through IcebergTransforms.keepFile (transform arithmetic
+    // on pushed literals); an unknown transform degrades to Opaque —
+    // the tuple stays metadata only, never wrong
+    val partFields = Option(specNode).toSeq.flatMap(_.elements().asScala).map { f =>
+      val src = idToName.getOrElse(f.get("source-id").asInt,
+        throw new IllegalArgumentException(
+          s"partition source-id ${f.get("source-id").asInt} not in schema"))
+      val name = Option(f.get("name")).map(_.asText).getOrElse(src)
+      IcebergTransforms.PartField(name, src,
+        IcebergTransforms.parseSpec(f.get("transform").asText))
+    }
+    // identity pruning assumes tuple key == column name (this writer's
+    // and Iceberg's default); a renamed identity field keeps reading
+    // correct, just unpruned through this channel
+    val identityCols = partFields.collect {
+      case IcebergTransforms.PartField(name, src, IcebergTransforms.Identity)
+        if name == src => src
     }
 
     val curId = asOf.getOrElse(
@@ -139,7 +153,7 @@ object IcebergRead {
     val manifestList = resolve(tableDir, snapNode.get("manifest-list").asText)
 
     val (files, deletes) = readManifestList(tableDir, manifestList, idToName, schema)
-    Snapshot(curId, schema, identityCols, files, deletes, idToName)
+    Snapshot(curId, schema, identityCols, files, deletes, idToName, partFields)
   }
 
   /** Scan the current snapshot, dead files excluded, identity-partition
@@ -831,14 +845,17 @@ final class IcebergFileIndex(spark: SparkSession, snap: IcebergRead.Snapshot)
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
     // empty partition schema ⇒ pruning predicates arrive as dataFilters;
-    // PartitionPrune keeps only conjuncts over the identity tuple columns,
-    // then each surviving file is tested against the SAME pushed filters
-    // over its manifest column bounds (StatsSkip — conservative, a file
-    // without bounds is always scheduled), mirroring Delta's two-channel
-    // skipping (partition tuples + add.stats)
+    // three channels, all conservative: PartitionPrune evaluates whole
+    // predicates over the identity tuple columns, IcebergTransforms
+    // prunes bucket/truncate/temporal tuples by applying the transform
+    // to pushed literals, and StatsSkip tests the manifest column
+    // bounds — mirroring Delta's skipping (partition tuples + add.stats)
+    // with the transform channel Iceberg adds on top
     PartitionPrune.prune(tupleSchema, groups, dataFilters)
       .map { case (_, fs) => PartitionDirectory(InternalRow.empty,
-        fs.filter(f => StatsSkip.keep(f.stats, dataFilters, snap.schema))
+        fs.filter(f => StatsSkip.keep(f.stats, dataFilters, snap.schema) &&
+            IcebergTransforms.keepFile(snap.partitionFields, snap.schema,
+              f.partitionValues, dataFilters))
           .map(statusOf)) }
       .filter(_.files.nonEmpty)
 }

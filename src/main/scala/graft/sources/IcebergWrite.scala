@@ -32,6 +32,14 @@ object IcebergWrite {
 
   /** Commit `df` as the table's next snapshot; returns the snapshot id.
     *
+    * `partCols` terms are either bare column names (identity) or
+    * transform calls in Iceberg's SQL syntax — `bucket(8, key)`,
+    * `truncate(4, s)`, `days(ts)`, `years(ts)`, `months(ts)`,
+    * `hours(ts)` ([[IcebergTransforms.parseField]]); a table created
+    * with transforms lays its files out per TRANSFORMED tuple while the
+    * data files keep the source columns, and reads prune through the
+    * same transform arithmetic.
+    *
     * `mergeSchema = true` — schema evolution on write, mirroring
     * [[DeltaWrite.write]]: the incoming frame may APPEND nullable
     * columns (field ids are positional, so appending keeps every
@@ -49,7 +57,11 @@ object IcebergWrite {
       if (Files.exists(root.resolve("metadata/version-hint.text")))
         Some(IcebergRead.snapshot(tableDir)) else None
     val snapshotId = existing.map(_ => nextSnapshotId(tableDir)).getOrElse(1L)
-    val cols = existing.map(_.identityPartitionCols).getOrElse(partCols)
+    val fields = existing.map(_.partitionFields)
+      .getOrElse(partCols.map(IcebergTransforms.parseField))
+    fields.foreach(f => require(df.schema.fieldNames.contains(f.sourceCol),
+      s"partition source column ${f.sourceCol} (${f.transform.specName}) " +
+        "not in the frame"))
     // the schema the commit declares: on evolution, the appended columns
     // are FORCED nullable (older files lack them — readers must be allowed
     // to produce NULLs), keeping existing fields exactly as the table had
@@ -70,7 +82,7 @@ object IcebergWrite {
       }
     }
 
-    val added = stageDataFiles(df, root, cols, snapshotId)
+    val added = stageDataFiles(df, root, fields, snapshotId)
 
     val removePaths: Set[String] = mode match {
       case "append" => Set.empty
@@ -81,7 +93,7 @@ object IcebergWrite {
           .filter(f => touched(f.partitionValues)).map(_.path)).toSet
     }
 
-    IcebergFixture.commitSnapshot(tableDir, commitSchema, cols, snapshotId,
+    IcebergFixture.commitSnapshot(tableDir, commitSchema, fields, snapshotId,
       added, removePaths,
       operation = if (mode == "append") "append" else "overwrite")
     snapshotId
@@ -94,18 +106,21 @@ object IcebergWrite {
     * or sweep — each other's directory); staged files are metadata-moved
     * under `data/<c>=<v>/`. Returns (absolute path, partition tuple,
     * record count, size) per file. */
-  private def stageDataFiles(df: DataFrame, root: Path, cols: Seq[String],
+  private def stageDataFiles(df: DataFrame, root: Path,
+                             fields: Seq[IcebergTransforms.PartField],
                              snapshotId: Long)
       : Seq[(String, Map[String, String], Long, Long)] = {
     val spark = df.sparkSession
     val staging = root.resolve(
       f"_staging_$snapshotId%05d-${java.util.UUID.randomUUID().toString.take(8)}")
-    val shadows = cols.map(c => s"__part_$c")
-    val staged0 = cols.foldLeft(df)((d, c) => d.withColumn(s"__part_$c", col(c)))
+    val shadows = fields.map(f => s"__part_${f.name}")
+    val staged0 = fields.foldLeft(df)((d, f) => d.withColumn(
+      s"__part_${f.name}", IcebergTransforms.shadowColumn(f, df.schema)))
     val writer = staged0.write.mode("overwrite")
     (if (shadows.nonEmpty) writer.partitionBy(shadows: _*) else writer)
       .parquet(staging.toString)
 
+    val fieldNames = fields.map(_.name)
     val conf = spark.sparkContext.hadoopConfiguration
     val added = listParquet(staging).zipWithIndex.map { case (p, i) =>
       val rel = staging.relativize(p)
@@ -119,13 +134,13 @@ object IcebergWrite {
           s"NULL partition value for '$c' — not supported by this writer")
         c -> raw
       }.toMap
-      require(pv.keySet == cols.toSet,
-        s"staged path $rel carries partitions ${pv.keySet}, expected $cols")
+      require(pv.keySet == fieldNames.toSet,
+        s"staged path $rel carries partitions ${pv.keySet}, expected $fieldNames")
       // re-escape when composing the target path: pv holds UNESCAPED
       // values, and a raw '/' (or '..') in a value would nest extra
       // directories / escape the table root. Same hive escaping the
       // staged writer used, so the layout matches what DeltaWrite keeps.
-      val dirs = cols.map(c =>
+      val dirs = fieldNames.map(c =>
         s"$c=${ExternalCatalogUtils.escapePathName(pv(c))}")
       // uuid in the name: racing writers that both computed snapshotId
       // must not overwrite each other's data files before the metadata
@@ -172,14 +187,14 @@ object IcebergWrite {
     import org.apache.spark.sql.functions.col
     val snap = IcebergRead.snapshot(tableDir)
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val cols = snap.identityPartitionCols
+    val fields = snap.partitionFields
     val before = snap.files.size
     if (snap.files.isEmpty) return (0, 0)
     val materializing = snap.deletes.nonEmpty
 
     val rewritten: Seq[IcebergRead.DataFile] =
       if (zorderBy.nonEmpty) {
-        require(cols.isEmpty,
+        require(fields.isEmpty,
           "z-order rewrite targets unpartitioned tables (bin-pack handles partitioned)")
         val missing = zorderBy.filterNot(snap.schema.fieldNames.contains)
         require(missing.isEmpty, s"z-order columns not in table: $missing")
@@ -198,12 +213,13 @@ object IcebergWrite {
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val laid =
       if (zorderBy.nonEmpty) graft.ops.ZCluster.layout(df, zorderBy, parts)
-      else if (cols.nonEmpty) df.repartition(parts, cols.map(col): _*)
+      else if (fields.nonEmpty) df.repartition(parts,
+        fields.map(f => IcebergTransforms.shadowColumn(f, df.schema)): _*)
       else df.repartition(parts)
 
     val snapshotId = nextSnapshotId(tableDir)
-    val added = stageDataFiles(laid, Paths.get(tableDir), cols, snapshotId)
-    IcebergFixture.commitSnapshot(tableDir, snap.schema, cols, snapshotId,
+    val added = stageDataFiles(laid, Paths.get(tableDir), fields, snapshotId)
+    IcebergFixture.commitSnapshot(tableDir, snap.schema, fields, snapshotId,
       added, rewritten.map(_.path).toSet,
       carryDeletes = !materializing, operation = "replace")
     (before, before - rewritten.size + added.size)
@@ -288,9 +304,9 @@ object IcebergWrite {
 
     val snapshotId = nextSnapshotId(tableDir)
     val added = stageDataFiles(out, Paths.get(tableDir),
-      snap.identityPartitionCols, snapshotId)
+      snap.partitionFields, snapshotId)
     IcebergFixture.commitSnapshot(tableDir, snap.schema,
-      snap.identityPartitionCols, snapshotId, added,
+      snap.partitionFields, snapshotId, added,
       touched.map(_.path).toSet, operation = "overwrite")
     snapshotId
   }
@@ -343,7 +359,7 @@ object IcebergWrite {
     deleteRecursively(Paths.get(tmp))
 
     IcebergFixture.commitSnapshot(tableDir, snap.schema,
-      snap.identityPartitionCols, snapshotId, Nil, Set.empty,
+      snap.partitionFields, snapshotId, Nil, Set.empty,
       Seq(IcebergFixture.DeleteSpec(target.toString, isEquality = false, Nil,
         n, Files.size(target))), operation = "delete")
     snapshotId
