@@ -15,6 +15,26 @@ object ConformanceQueries {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** Shared oracle for delta_merge_clauses / iceberg_merge_clauses —
+    * the exact final state of the 4-clause MERGE: matched evens get the
+    * doubled price, unsourced 5-LOW rows are deleted, other unsourced
+    * rows go STALE, cheap shifted keys are inserted. */
+  private val mergeClausesOracle: String =
+    """WITH final AS (
+      |  SELECT o_totalprice * 2 AS o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_totalprice, 'STALE'
+      |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderpriority <> '5-LOW'
+      |  UNION ALL
+      |  SELECT o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 1 AND o_totalprice < 100000)
+      |SELECT o_orderpriority AS priority,
+      |  cast(count(*) AS BIGINT) AS n_orders,
+      |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM final GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ARRAY HIGHER-ORDER FUNCTIONS: each order's lineitems collected to
@@ -2644,6 +2664,69 @@ object ConformanceQueries {
              |  TRUE
              |FROM orders WHERE o_orderkey % 2 = 1
              |  AND o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0""".stripMargin)),
+
+    // FULL MERGE CLAUSE FAMILY (both formats): one MERGE exercising all
+    // four clause categories — column-subset UPDATE on matched rows
+    // (the reference rehash shape, rehash_single_hub.sql:84-111),
+    // conditional INSERT for unmatched source rows, and the NOT MATCHED
+    // BY SOURCE pair (conditional DELETE + column-subset UPDATE) for
+    // target rows the source dropped. Source = even-key orders with
+    // doubled price ∪ max-shifted %10==1 keys; the oracle recomputes
+    // the exact final state relationally, so clause routing,
+    // first-match-wins, and the COW rewrite are all value-pinned.
+    Q("delta_merge_clauses",
+      (s, dir) => {
+        import graft.sources.{DeltaRead, DeltaWrite, MergeClauses}
+        val wh = DvQueries.tmpWarehouse("graft_delta_mc")
+        val tbl = s"$wh/orders_mc"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        DeltaWrite.write(o, tbl)
+        val m = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val source = o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(o.filter(col("o_orderkey") % 10 === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + m))
+        DeltaWrite.mergeClauses(s, tbl, source, Seq("o_orderkey"), Seq(
+          MergeClauses.MatchedUpdate(
+            Map("o_totalprice" -> col("s.o_totalprice"))),
+          MergeClauses.NotMatchedInsert(Some(col("s.o_totalprice") < 100000)),
+          MergeClauses.BySourceDelete(Some(col("t.o_orderpriority") === "5-LOW")),
+          MergeClauses.BySourceUpdate(
+            Map("o_orderpriority" -> lit("STALE")))))
+        DeltaRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      },
+      Some(mergeClausesOracle)),
+
+    Q("iceberg_merge_clauses",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite, MergeClauses}
+        val wh = DvQueries.tmpWarehouse("graft_ice_mc")
+        val tbl = s"$wh/orders_mc"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        IcebergWrite.write(o, tbl)
+        val m = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val source = o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(o.filter(col("o_orderkey") % 10 === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + m))
+        IcebergWrite.mergeClauses(s, tbl, source, Seq("o_orderkey"), Seq(
+          MergeClauses.MatchedUpdate(
+            Map("o_totalprice" -> col("s.o_totalprice"))),
+          MergeClauses.NotMatchedInsert(Some(col("s.o_totalprice") < 100000)),
+          MergeClauses.BySourceDelete(Some(col("t.o_orderpriority") === "5-LOW")),
+          MergeClauses.BySourceUpdate(
+            Map("o_orderpriority" -> lit("STALE")))))
+        IcebergRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      },
+      Some(mergeClausesOracle)),
 
     // DELTA V2 CHECKPOINT (PROTOCOL.md §V2 Checkpoints): the layout
     // modern Databricks writers default to on NEW tables — a UUID-named

@@ -563,6 +563,156 @@ object DeltaWrite {
     version
   }
 
+  /** MERGE with the FULL clause family ([[MergeClauses]]): clause
+    * conditions, WHEN MATCHED DELETE, column-subset UPDATE SET (the
+    * reference rehash shape), WHEN NOT MATCHED BY SOURCE
+    * UPDATE/DELETE — everything beyond [[merge]]'s fast
+    * UPDATE-all/INSERT-all path. Same commit anatomy and scale shape:
+    * touched files
+    * are discovered by stats-bounds + a distributed semi-join and
+    * rewritten copy-on-write, UNLESS a NOT-MATCHED-BY-SOURCE clause is
+    * present — those see rows the source does NOT name, so every live
+    * file is touched (the standard cost of that clause everywhere).
+    * With CDF enabled the change rows are emitted PER CLAUSE —
+    * update_preimage/postimage for updates, delete for deletes, insert
+    * for inserts; carried rows stay out of the feed.
+    *
+    * Source contract: must carry the key columns; a NOT MATCHED INSERT
+    * or SET-* update clause additionally requires the full table
+    * schema. Duplicate source keys reject loudly. Returns the committed
+    * version (head unchanged when nothing was touched or inserted). */
+  def mergeClauses(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                   source: DataFrame, keyCols: Seq[String],
+                   clauses: Seq[MergeClauses.Clause],
+                   aliases: (String, String) = ("t", "s")): Long = {
+    import org.apache.spark.sql.functions._
+    val snap = DeltaRead.snapshot(tableDir)
+    require(snap.columnMapping.isEmpty,
+      s"merge on a column-mapped table is not supported ($tableDir)")
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val missing = keyCols.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty, s"merge keys not in table schema: $missing")
+    val srcMissing = keyCols.filterNot(source.schema.fieldNames.contains)
+    require(srcMissing.isEmpty, s"merge keys not in source: $srcMissing")
+    val needsFullSchema = clauses.exists {
+      case _: MergeClauses.NotMatchedInsert => true
+      case MergeClauses.MatchedUpdate(set, _) => set.isEmpty
+      case _ => false
+    }
+    if (needsFullSchema) {
+      val want = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val got = source.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      require(got == want, "INSERT * / UPDATE SET * clauses need the full " +
+        s"table schema in the source; got ${got.mkString(",")}, table has ${want.mkString(",")}")
+    }
+    val root = Paths.get(tableDir)
+
+    val dup = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
+    require(dup, "merge source has duplicate keys — each target row may " +
+      "be matched by at most one source row (Delta MERGE semantics)")
+
+    val touched: Seq[DeltaRead.AddFile] =
+      if (MergeClauses.touchesBySource(clauses)) snap.files
+      else {
+        val bAggs = keyCols.flatMap(k =>
+          Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))) :+
+          count(lit(1)).as("__n")
+        val b = source.agg(bAggs.head, bAggs.tail: _*).head()
+        if (b.getLong(b.length - 1) == 0L) return snap.version
+        val boundFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          keyCols.zipWithIndex.flatMap { case (k, i) =>
+            import org.apache.spark.sql.catalyst.expressions._
+            val dt = snap.schema.fields(snap.schema.fieldIndex(k)).dataType
+            if (b.isNullAt(2 * i) || b.isNullAt(2 * i + 1)) Nil
+            else {
+              val attr = AttributeReference(k, dt)()
+              Seq(GreaterThanOrEqual(attr, Literal.create(b.get(2 * i), dt)),
+                LessThanOrEqual(attr, Literal.create(b.get(2 * i + 1), dt)))
+            }
+          }
+        val candidates = snap.files.filter(f =>
+          StatsSkip.keep(f.stats, boundFilters, snap.dataSchema))
+        if (candidates.isEmpty) Nil
+        else {
+          val byQualified = candidates
+            .map(f => DeltaRead.qualifiedPath(spark, root, f) -> f).toMap
+          DeltaRead.readWithPositions(spark, tableDir,
+              snap.copy(files = candidates))
+            .join(source.select(keyCols.map(col): _*).distinct(),
+              keyCols, "left_semi")
+            .select(col("__fp")).distinct()
+            .collect().map(_.getString(0)).toSeq
+            .map(fp => byQualified.getOrElse(fp,
+              throw new IllegalStateException(s"scan surfaced unknown file $fp")))
+        }
+      }
+
+    val target =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      else DeltaRead.readSnapshot(spark, tableDir, snap.copy(files = touched))
+        .select(snap.schema.fieldNames.map(col).toSeq: _*)
+    val (out, changes) =
+      MergeClauses(target, source, keyCols, clauses, snap.schema, aliases)
+
+    val version = snap.version + 1
+    val adds = stageDataFiles(out, root, version, snap.partitionColumns,
+      snap.dataSchema)
+    if (touched.isEmpty && adds.isEmpty) return snap.version
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val ci = mapper.createObjectNode()
+    ci.putObject("commitInfo")
+      .put("operation", "MERGE").put("engineInfo", "graft-delta-write")
+    lines += mapper.writeValueAsString(ci)
+    touched.foreach { f =>
+      val n = mapper.createObjectNode()
+      val rm = n.putObject("remove")
+      rm.put("path", pathEnc(f.path))
+      rm.put("deletionTimestamp", 0L)
+      rm.put("dataChange", true)
+      lines += mapper.writeValueAsString(n)
+    }
+    adds.foreach { case (a, stats) =>
+      val n = mapper.createObjectNode()
+      val add = n.putObject("add")
+      add.put("path", pathEnc(a.path))
+      val pvn = add.putObject("partitionValues")
+      a.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvn.putNull(k) else pvn.put(k, v)
+      }
+      add.put("size", a.size)
+      add.put("modificationTime", 0L)
+      add.put("dataChange", true)
+      stats.foreach(add.put("stats", _))
+      lines += mapper.writeValueAsString(n)
+    }
+    if (snap.configuration.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true"))) {
+      // per-clause change rows from the SAME clause evaluation —
+      // update images, deletes, inserts; carried rows never enter
+      val changeDf = changes
+        .select((snap.dataSchema.fieldNames.toSeq ++ snap.partitionColumns)
+          .map(col) :+ col("_change_type"): _*)
+      stageAndEmit(changeDf, root, "_change_data",
+        snap.partitionColumns, Map.empty).foreach { case (rel, pv, size) =>
+        val n = mapper.createObjectNode()
+        val cd = n.putObject("cdc")
+        cd.put("path", pathEnc(rel))
+        val pvn = cd.putObject("partitionValues")
+        pv.foreach { case (k, v) =>
+          if (v == null) pvn.putNull(k) else pvn.put(k, v)
+        }
+        cd.put("size", size)
+        cd.put("dataChange", false)
+        lines += mapper.writeValueAsString(n)
+      }
+    }
+    commitCas(root.resolve("_delta_log"), version, lines.toSeq)
+    version
+  }
+
   /** Publish `lines` as commit `version` iff no other writer claimed it —
     * the hard-link CAS TxLogTable.tryCommit uses (createLink fails when
     * the target exists, where a rename would silently REPLACE the

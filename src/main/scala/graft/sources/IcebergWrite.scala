@@ -311,6 +311,97 @@ object IcebergWrite {
     snapshotId
   }
 
+  /** MERGE with the FULL clause family ([[MergeClauses]]) —
+    * [[DeltaWrite.mergeClauses]]'s Iceberg counterpart, same clause
+    * semantics and scale shape (bounds-pruned + semi-joined touched
+    * files, copy-on-write rewrite; a NOT-MATCHED-BY-SOURCE clause
+    * touches every live file), committed as `operation=overwrite`.
+    * Existing row-level delete files are pre-applied to the target rows
+    * and carried (inert against the rewritten files — their sequence
+    * number is newer). Returns the committed snapshot id (head
+    * unchanged when nothing was touched or inserted). */
+  def mergeClauses(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                   source: DataFrame, keyCols: Seq[String],
+                   clauses: Seq[MergeClauses.Clause],
+                   aliases: (String, String) = ("t", "s")): Long = {
+    import org.apache.spark.sql.functions._
+    val snap = IcebergRead.snapshot(tableDir)
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val missing = keyCols.filterNot(snap.schema.fieldNames.contains)
+    require(missing.isEmpty, s"merge keys not in table schema: $missing")
+    val srcMissing = keyCols.filterNot(source.schema.fieldNames.contains)
+    require(srcMissing.isEmpty, s"merge keys not in source: $srcMissing")
+    val needsFullSchema = clauses.exists {
+      case _: MergeClauses.NotMatchedInsert => true
+      case MergeClauses.MatchedUpdate(set, _) => set.isEmpty
+      case _ => false
+    }
+    if (needsFullSchema) {
+      val want = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val got = source.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      require(got == want, "INSERT * / UPDATE SET * clauses need the full " +
+        s"table schema in the source; got ${got.mkString(",")}, table has ${want.mkString(",")}")
+    }
+    val fieldCols = snap.schema.fieldNames.toSeq.map(col)
+
+    val dup = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
+    require(dup, "merge source has duplicate keys — each target row may " +
+      "be matched by at most one source row (MERGE semantics)")
+
+    val touched: Seq[IcebergRead.DataFile] =
+      if (MergeClauses.touchesBySource(clauses)) snap.files
+      else {
+        val bAggs = keyCols.flatMap(k =>
+          Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))) :+
+          count(lit(1)).as("__n")
+        val b = source.agg(bAggs.head, bAggs.tail: _*).head()
+        if (b.getLong(b.length - 1) == 0L) return snap.snapshotId
+        val boundFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          keyCols.zipWithIndex.flatMap { case (k, i) =>
+            import org.apache.spark.sql.catalyst.expressions._
+            val dt = snap.schema.fields(snap.schema.fieldIndex(k)).dataType
+            if (b.isNullAt(2 * i) || b.isNullAt(2 * i + 1)) Nil
+            else {
+              val attr = AttributeReference(k, dt)()
+              Seq(GreaterThanOrEqual(attr, Literal.create(b.get(2 * i), dt)),
+                LessThanOrEqual(attr, Literal.create(b.get(2 * i + 1), dt)))
+            }
+          }
+        val candidates = snap.files.filter(f =>
+          StatsSkip.keep(f.stats, boundFilters, snap.schema))
+        if (candidates.isEmpty) Nil
+        else {
+          val byQualified = candidates
+            .map(f => IcebergRead.qualifiedPath(spark, f.path) -> f).toMap
+          IcebergRead.readWithPositions(spark, snap.copy(files = candidates))
+            .join(source.select(keyCols.map(col): _*).distinct(),
+              keyCols, "left_semi")
+            .select(col("__fp")).distinct()
+            .collect().map(_.getString(0)).toSeq
+            .map(fp => byQualified.getOrElse(fp,
+              throw new IllegalStateException(s"scan surfaced unknown file $fp")))
+        }
+      }
+
+    val target =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      else IcebergRead.readWithPositions(spark, snap.copy(files = touched))
+        .drop("__fp", "__ri").select(fieldCols: _*)
+    val (out, _) = MergeClauses(target, source, keyCols, clauses, snap.schema, aliases)
+
+    val snapshotId = nextSnapshotId(tableDir)
+    val added = stageDataFiles(out, Paths.get(tableDir),
+      snap.partitionFields, snapshotId)
+    if (touched.isEmpty && added.isEmpty) return snap.snapshotId
+    IcebergFixture.commitSnapshot(tableDir, snap.schema,
+      snap.partitionFields, snapshotId, added,
+      touched.map(_.path).toSet, operation = "overwrite")
+    snapshotId
+  }
+
   /** Merge-on-read DELETE via v2 POSITION-delete files: rows matching
     * `condition` are suppressed without rewriting any data file — the
     * next snapshot carries a content=1 delete manifest naming a
