@@ -2665,6 +2665,49 @@ object ConformanceQueries {
              |FROM orders WHERE o_orderkey % 2 = 1
              |  AND o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0""".stripMargin)),
 
+    // ICEBERG FIELD-ID SCHEMA EVOLUTION: rename is metadata-only — the
+    // field keeps its id, so era-1 files (parquet column named
+    // o_totalprice) and era-2 files (written as o_amount after the
+    // rename) serve ONE logical column through field-id resolution,
+    // zero rewrite (the spec's core evolution strength, and what the
+    // reference's rehash rename lifecycle maps to on Iceberg). The
+    // oracle recomputes the union from `orders`; booleans pin the
+    // id-resolution mode, the stable id, and the era split.
+    Q("iceberg_schema_evolution",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_ice_evo")
+        val tbl = s"$wh/orders_evo"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val s1 = IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl)
+        IcebergWrite.renameColumn(tbl, "o_totalprice", "o_amount")
+        val s2 = IcebergWrite.write(
+          o.filter(col("o_orderkey") % 2 === 1)
+            .withColumnRenamed("o_totalprice", "o_amount"), tbl)
+        val snap = IcebergRead.snapshot(tbl)
+        val idStable = snap.resolveById &&
+          snap.fieldIdToName.map(_.swap).get("o_amount").contains(3) &&
+          snap.schema.fieldNames.toSeq ==
+            Seq("o_orderkey", "o_custkey", "o_amount", "o_orderpriority")
+        // era split: the incremental read of s2 alone is the odd half
+        val eraOk = IcebergRead.readAppends(s, tbl, s1, s2)
+          .filter(col("o_orderkey") % 2 === 1).count() ==
+          IcebergRead.readAppends(s, tbl, s1, s2).count()
+        IcebergRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_amount") * 100).cast("long")).as("amount_cents"))
+          .withColumn("id_resolution", lit(idStable))
+          .withColumn("era_split_ok", lit(eraOk))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS amount_cents,
+             |  TRUE AS id_resolution, TRUE AS era_split_ok
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // FULL MERGE CLAUSE FAMILY (both formats): one MERGE exercising all
     // four clause categories — column-subset UPDATE on matched rows
     // (the reference rehash shape, rehash_single_hub.sql:84-111),

@@ -234,7 +234,9 @@ object IcebergFixture {
                              snapshotId: Long, eqCols: Seq[String],
                              rows: DataFrame): Unit = {
     val prev = IcebergRead.snapshot(tableDir)
-    val ids = eqCols.map(c => prev.schema.fieldIndex(c) + 1)
+    val nameToId = prev.fieldIdToName.map(_.swap)
+    val ids = eqCols.map(c => nameToId.getOrElse(c,
+      throw new IllegalArgumentException(s"equality column $c not in schema")))
     val target = Paths.get(tableDir)
       .resolve(f"data/delete-$snapshotId%05d-eq.parquet")
     val proj = rows.select(eqCols.map(org.apache.spark.sql.functions.col): _*)
@@ -244,6 +246,53 @@ object IcebergFixture {
       snapshotId, Nil, Set.empty,
       Seq(DeleteSpec(target.toString, isEquality = true, ids, n,
         Files.size(target))), operation = "delete")
+  }
+
+  /** Stable field-id assignment (the spec's evolution contract): names
+    * the table already knows keep their ids, new names allocate past
+    * `last-column-id`; a fresh table gets positional 1..N. Shared by
+    * [[commitSnapshot]] (schema/spec/bounds ids) and
+    * [[IcebergWrite]]'s data staging (parquet field ids in the written
+    * files), so files and metadata can never disagree. */
+  private[sources] def assignFieldIds(
+      prevMetaNode: Option[com.fasterxml.jackson.databind.JsonNode],
+      prevIdToName: Option[Map[Int, String]],
+      schema: StructType): Map[String, Int] = {
+    val known: Map[String, Int] =
+      prevIdToName.getOrElse(Map.empty).map(_.swap)
+    if (known.isEmpty)
+      return schema.fields.zipWithIndex
+        .map { case (f, i) => f.name -> (i + 1) }.toMap
+    var cursor = math.max(
+      prevMetaNode.flatMap(m => Option(m.get("last-column-id")).map(_.asInt))
+        .getOrElse(0),
+      known.values.maxOption.getOrElse(0))
+    schema.fields.map { f =>
+      f.name -> known.getOrElse(f.name, { cursor += 1; cursor })
+    }.toMap
+  }
+
+  /** [[assignFieldIds]] against a table directory's current metadata —
+    * the write-path entry ([[IcebergWrite.stageDataFiles]] stamps these
+    * ids into the staged parquet). */
+  private[sources] def assignFieldIds(tableDir: String,
+                                      schema: StructType): Map[String, Int] = {
+    val metaDir = Paths.get(tableDir, "metadata")
+    val hint = metaDir.resolve("version-hint.text")
+    if (!Files.exists(hint))
+      return assignFieldIds(None, None, schema)
+    val v = Files.readString(hint).trim.toInt
+    val meta = mapper.readTree(
+      Files.readString(metaDir.resolve(s"v$v.metadata.json")))
+    val schemaNode =
+      if (meta.has("schemas")) {
+        val id = meta.get("current-schema-id").asInt
+        meta.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt == id).get
+      } else meta.get("schema")
+    val idToName = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+    assignFieldIds(Some(meta), Some(idToName), schema)
   }
 
   /** A v2 delete file to register: absolute path, kind, equality field
@@ -277,6 +326,8 @@ object IcebergFixture {
       val v = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
       mapper.readTree(Files.readString(metaDir.resolve(s"v$v.metadata.json")))
     }
+    val nameToId = assignFieldIds(prevMetaNode, prev.map(_.fieldIdToName),
+      schema)
     val written = added0
 
     // ---- manifest: carried-forward state + this snapshot's changes ---
@@ -328,18 +379,16 @@ object IcebergFixture {
       stats.foreach { st =>
         def bounds(m: Map[String, com.fasterxml.jackson.databind.JsonNode]) =
           m.toSeq.flatMap { case (name, node) =>
-            val fid = schema.fieldIndex(name) + 1
-            singleValueBytes(node, schema(name).dataType)
-              .map(b => fid -> (java.nio.ByteBuffer.wrap(b): AnyRef))
+            nameToId.get(name).flatMap(fid =>
+              singleValueBytes(node, schema(name).dataType)
+                .map(b => fid -> (java.nio.ByteBuffer.wrap(b): AnyRef)))
           }.sortBy(_._1)
         val (lo, hi) = (bounds(st.min), bounds(st.max))
         if (lo.nonEmpty) d.put("lower_bounds", kvArray(lowerSchema, lo))
         if (hi.nonEmpty) d.put("upper_bounds", kvArray(upperSchema, hi))
         val nulls = st.nullCount.toSeq.flatMap { case (name, c) =>
-          schema.fieldNames.indexOf(name) match {
-            case -1 => None
-            case i => Some((i + 1) -> (java.lang.Long.valueOf(c): AnyRef))
-          }
+          nameToId.get(name).map(fid =>
+            fid -> (java.lang.Long.valueOf(c): AnyRef))
         }.sortBy(_._1)
         if (nulls.nonEmpty) d.put("null_value_counts", kvArray(nullCountsSchema, nulls))
       }
@@ -417,24 +466,57 @@ object IcebergFixture {
     meta.put("location", tableDir)
     meta.put("last-sequence-number", snapshotId)
     meta.put("last-updated-ms", 0L)
-    meta.put("last-column-id", schema.fields.length)
-    meta.put("current-schema-id", 0)
-    val schemas = meta.putArray("schemas")
-    val sn = schemas.addObject()
-    sn.put("type", "struct"); sn.put("schema-id", 0)
-    val fieldsArr = sn.putArray("fields")
-    // top-level field ids 1..N (partition source-ids bind to these);
-    // nested ids allocated after them
-    var idCursor = schema.fields.length
+    // STABLE field ids (the spec's core evolution contract): existing
+    // names keep the id the table already assigned them — never
+    // positional, which would silently rebind columns after a rename,
+    // drop, or append; new names allocate past last-column-id
+    var idCursor = math.max(
+      prevMetaNode.flatMap(m => Option(m.get("last-column-id")).map(_.asInt))
+        .getOrElse(0),
+      nameToId.values.maxOption.getOrElse(0))
     val nextId = () => { idCursor += 1; idCursor }
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
+    val schemaNode = mapper.createObjectNode()
+    schemaNode.put("type", "struct")
+    val fieldsArr = schemaNode.putArray("fields")
+    schema.fields.foreach { f =>
       val fn = fieldsArr.addObject()
-      fn.put("id", i + 1); fn.put("name", f.name)
+      fn.put("id", nameToId(f.name)); fn.put("name", f.name)
       fn.put("required", !f.nullable)
       fn.set[com.fasterxml.jackson.databind.JsonNode]("type",
         icebergTypeNode(f.dataType, f.name, nextId))
     }
+    // schema HISTORY is retained (the spec keeps every schema version;
+    // multiple schemas are also the reader's signal to resolve parquet
+    // columns by field id instead of name)
+    val prevSchemas = prevMetaNode.toSeq
+      .flatMap(m => Option(m.get("schemas")).toSeq
+        .flatMap(_.elements().asScala))
+    val prevCurrentId = prevMetaNode
+      .map(_.get("current-schema-id").asInt).getOrElse(0)
+    // names + types only: a nullability drift between two frames does
+    // not change column identity and must not flip the table into
+    // field-id resolution (fixture files carry no parquet ids)
+    val schemaChanged = prev.exists { p =>
+      p.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        schema.fields.map(f => (f.name, f.dataType)).toSeq
+    }
+    val currentSchemaId =
+      if (prev.isEmpty) 0
+      else if (schemaChanged)
+        prevSchemas.map(_.get("schema-id").asInt).maxOption.getOrElse(0) + 1
+      else prevCurrentId
+    schemaNode.put("schema-id", currentSchemaId)
     meta.put("last-column-id", idCursor) // includes nested ids
+    meta.put("current-schema-id", currentSchemaId)
+    val schemas = meta.putArray("schemas")
+    if (prev.isEmpty || schemaChanged) {
+      prevSchemas.foreach(schemas.add)
+      schemas.add(schemaNode)
+    } else {
+      // same logical schema: keep the history verbatim
+      prevSchemas.foreach(schemas.add)
+      if (prevSchemas.isEmpty) schemas.add(schemaNode)
+    }
     meta.put("default-spec-id", 0)
     val specs = meta.putArray("partition-specs")
     val spec = specs.addObject()
@@ -443,7 +525,7 @@ object IcebergFixture {
     partFields.zipWithIndex.foreach { case (pf, i) =>
       val f = specFields.addObject()
       f.put("name", pf.name); f.put("transform", pf.transform.specName)
-      f.put("source-id", schema.fieldIndex(pf.sourceCol) + 1)
+      f.put("source-id", nameToId(pf.sourceCol))
       f.put("field-id", 1000 + i)
     }
     meta.put("default-sort-order-id", 0)

@@ -75,10 +75,37 @@ object IcebergRead {
                             files: Seq[DataFile],
                             deletes: Seq[DeleteFile] = Nil,
                             fieldIdToName: Map[Int, String] = Map.empty,
-                            partitionFields: Seq[IcebergTransforms.PartField] = Nil) {
+                            partitionFields: Seq[IcebergTransforms.PartField] = Nil,
+                            resolveById: Boolean = false) {
     def partitionTupleSchema: StructType =
       StructType(identityPartitionCols.map(c => schema.fields(schema.fieldIndex(c))))
+    /** The data schema a parquet scan needs: when the table has EVOLVED
+      * (multiple schema versions — rename/drop happened), each field
+      * carries `parquet.field.id` so Spark resolves columns by FIELD ID
+      * (the spec's contract: a renamed column's data lives in files
+      * under its OLD name; only the id is authoritative, and a
+      * re-added name must NOT capture a dropped column's old data). */
+    def scanSchema: StructType =
+      if (!resolveById) schema
+      else {
+        val nameToId = fieldIdToName.map(_.swap)
+        StructType(schema.fields.map { f =>
+          nameToId.get(f.name).map { id =>
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong)
+              .build())
+          }.getOrElse(f)
+        })
+      }
   }
+
+  /** Field-id reads activate per scan whose requested schema carries
+    * `parquet.field.id` metadata; `ignoreMissing` stays strict, so an
+    * id-less file under an evolved table fails loudly instead of
+    * silently projecting nulls (same stance as Delta id-mode). */
+  private def enableFieldIdReads(spark: SparkSession, snap: Snapshot): Unit =
+    if (snap.resolveById)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
   private val mapper = new ObjectMapper()
 
@@ -153,7 +180,11 @@ object IcebergRead {
     val manifestList = resolve(tableDir, snapNode.get("manifest-list").asText)
 
     val (files, deletes) = readManifestList(tableDir, manifestList, idToName, schema)
-    Snapshot(curId, schema, identityCols, files, deletes, idToName, partFields)
+    // multiple schema versions ⇒ rename/drop happened somewhere in the
+    // history ⇒ name resolution is no longer sound; switch to field ids
+    val evolved = meta.has("schemas") && meta.get("schemas").size() > 1
+    Snapshot(curId, schema, identityCols, files, deletes, idToName,
+      partFields, resolveById = evolved)
   }
 
   /** Scan the current snapshot, dead files excluded, identity-partition
@@ -182,14 +213,16 @@ object IcebergRead {
     import org.apache.spark.sql.functions.col
     val metaDir = Paths.get(tableDir, "metadata")
     val meta = mapper.readTree(Files.readString(currentMetadataFile(metaDir)))
-    val schema = snapshot(tableDir).schema
+    val snap0 = snapshot(tableDir)
+    val schema = snap0.schema
+    enableFieldIdReads(spark, snap0)
     val added = snapshotRange(tableDir, meta, "readAppends",
       fromSnapshotId, toSnapshotId).flatMap(addedDataFiles(tableDir, _))
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], schema)
     else added.groupBy(_._2).map { case (fmt, fs) =>
-      val rdr = spark.read.schema(schema)
+      val rdr = spark.read.schema(snap0.scanSchema)
       val paths = fs.map(_._1)
       if (fmt == "orc") rdr.orc(paths: _*) else rdr.parquet(paths: _*)
     }.reduce(_ unionByName _)
@@ -343,12 +376,14 @@ object IcebergRead {
     import org.apache.spark.sql.functions.{col, lit}
     val metaDir = Paths.get(tableDir, "metadata")
     val meta = mapper.readTree(Files.readString(currentMetadataFile(metaDir)))
-    val schema = snapshot(tableDir).schema
+    val snap0 = snapshot(tableDir)
+    val schema = snap0.schema
+    enableFieldIdReads(spark, snap0)
     val snaps = meta.get("snapshots").elements().asScala.toSeq
 
     def readFiles(fs: Seq[(String, String)]): DataFrame =
       fs.groupBy(_._2).map { case (fmt, g) =>
-        val rdr = spark.read.schema(schema)
+        val rdr = spark.read.schema(snap0.scanSchema)
         if (fmt == "orc") rdr.orc(g.map(_._1): _*) else rdr.parquet(g.map(_._1): _*)
       }.reduce(_ unionByName _).select(schema.fieldNames.map(col).toSeq: _*)
 
@@ -504,7 +539,8 @@ object IcebergRead {
         new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat()
       else new ParquetFileFormat()
     // data files CONTAIN partition columns → no Spark-side partition schema
-    val rel = HadoopFsRelation(idx, new StructType(), snap.schema, None,
+    enableFieldIdReads(spark, snap)
+    val rel = HadoopFsRelation(idx, new StructType(), snap.scanSchema, None,
       fileFormat, Map.empty[String, String])(spark)
     val base = spark.baseRelationToDataFrame(rel)
     if (!withPositions) base

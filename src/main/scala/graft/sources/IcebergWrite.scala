@@ -113,8 +113,19 @@ object IcebergWrite {
     val spark = df.sparkSession
     val staging = root.resolve(
       f"_staging_$snapshotId%05d-${java.util.UUID.randomUUID().toString.take(8)}")
+    // stamp the table's STABLE field ids into the staged parquet
+    // (spark.sql.parquet.fieldId.write.enabled is on by default): after
+    // a rename/drop the reader resolves columns by id, and files
+    // written without ids would reject loudly under an evolved table
+    val ids = IcebergFixture.assignFieldIds(root.toString, df.schema)
+    val stamped = df.select(df.schema.fields.toSeq.map { f =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("parquet.field.id", ids(f.name).toLong).build()
+      col(f.name).as(f.name, md)
+    }: _*)
     val shadows = fields.map(f => s"__part_${f.name}")
-    val staged0 = fields.foldLeft(df)((d, f) => d.withColumn(
+    val staged0 = fields.foldLeft(stamped)((d, f) => d.withColumn(
       s"__part_${f.name}", IcebergTransforms.shadowColumn(f, df.schema)))
     val writer = staged0.write.mode("overwrite")
     (if (shadows.nonEmpty) writer.partitionBy(shadows: _*) else writer)
@@ -468,6 +479,103 @@ object IcebergWrite {
       Files.readString(metaDir.resolve(s"v$version.metadata.json")))
     meta.get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong).max + 1
+  }
+
+  /** RENAME a column — metadata-only, the spec's core evolution
+    * strength: the field keeps its ID, so every existing data file
+    * (whose parquet columns carry the OLD name but the same id) serves
+    * the renamed column through field-id resolution with zero rewrite.
+    * Appends after the rename use the new name; partition specs bind by
+    * source-id and stay valid. Returns the new metadata version. */
+  def renameColumn(tableDir: String, from: String, to: String): Int =
+    evolveSchema(tableDir) { fields =>
+      val names = fields.map(_.get("name").asText)
+      require(names.contains(from), s"rename: column '$from' not in $tableDir")
+      require(!names.contains(to), s"rename: column '$to' already exists in $tableDir")
+      fields.foreach { f =>
+        if (f.get("name").asText == from)
+          f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("name", to)
+      }
+      fields
+    }
+
+  /** DROP a column — metadata-only: the field leaves the current
+    * schema (its id is never reused — [[IcebergFixture.assignFieldIds]]
+    * allocates past last-column-id), data files keep the bytes, and a
+    * column RE-ADDED under the same name gets a fresh id, so old data
+    * can never leak into it (field-id resolution serves NULLs). A
+    * partition source column refuses to drop. Returns the new metadata
+    * version. */
+  def dropColumn(tableDir: String, name: String): Int =
+    evolveSchema(tableDir, protectPartitionSources = Some(name)) { fields =>
+      require(fields.exists(_.get("name").asText == name),
+        s"drop: column '$name' not in $tableDir")
+      require(fields.size > 1, s"drop: '$name' is the only column of $tableDir")
+      fields.filterNot(_.get("name").asText == name)
+    }
+
+  /** Shared metadata-only schema evolution commit: append a NEW schema
+    * version (old ones retained — their presence is also the reader's
+    * switch to field-id resolution), repoint current-schema-id, CAS. */
+  private def evolveSchema(tableDir: String,
+                           protectPartitionSources: Option[String] = None)
+      (transform: Seq[com.fasterxml.jackson.databind.JsonNode] =>
+        Seq[com.fasterxml.jackson.databind.JsonNode]): Int = {
+    val metaDir = Paths.get(tableDir).resolve("metadata")
+    require(Files.exists(metaDir.resolve("version-hint.text")),
+      s"$tableDir is not an Iceberg table")
+    val version = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      Files.readString(metaDir.resolve(s"v$version.metadata.json")))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val legacySingle = !meta.has("schemas")
+    val currentId =
+      if (legacySingle) 0 else meta.get("current-schema-id").asInt
+    val currentSchema =
+      if (legacySingle) meta.get("schema")
+      else meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt == currentId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"current-schema-id $currentId not in schemas of $tableDir"))
+    val oldFields = currentSchema.get("fields").elements().asScala.toSeq
+
+    protectPartitionSources.foreach { name =>
+      val id = oldFields.find(_.get("name").asText == name)
+        .map(_.get("id").asInt)
+      val specSources = Option(meta.get("partition-specs")).toSeq
+        .flatMap(_.elements().asScala)
+        .flatMap(s => s.get("fields").elements().asScala)
+        .map(_.get("source-id").asInt).toSet
+      require(!id.exists(specSources.contains),
+        s"drop: column '$name' is a partition source of $tableDir")
+    }
+
+    val newFields = transform(oldFields.map(_.deepCopy[
+      com.fasterxml.jackson.databind.JsonNode]()))
+    val maxSchemaId =
+      if (legacySingle) 0
+      else meta.get("schemas").elements().asScala
+        .map(_.get("schema-id").asInt).max
+    val newSchema = mapper.createObjectNode()
+    newSchema.put("type", "struct")
+    newSchema.put("schema-id", maxSchemaId + 1)
+    val fa = newSchema.putArray("fields")
+    newFields.foreach(fa.add)
+    if (legacySingle) {
+      val old = meta.get("schema")
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      old.put("schema-id", 0)
+      val arr = meta.putArray("schemas")
+      arr.add(old); arr.add(newSchema)
+      meta.remove("schema")
+    } else meta.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      .add(newSchema)
+    meta.put("current-schema-id", maxSchemaId + 1)
+    IcebergFixture.commitMetadataVersion(metaDir, version + 1, meta)
+    version + 1
   }
 
   /** ROLLBACK to a retained snapshot — Iceberg's `rollback_to_snapshot`
