@@ -110,10 +110,15 @@ object Bench {
     // headline number. (r6/r7 both lost "value" to the tail cut.)
     val json = s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$fj,"sf":"$sfDir"}"""
     println(json)
-    // stdout capture can truncate long lines; persist the full artifact too
+    // stdout capture can truncate long lines; persist the full artifact
+    // twice — target/ for local runs, and BENCH_full.json at the repo
+    // root (committed each round) so per-query regression triage never
+    // depends on what survived the stdout tail cut
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

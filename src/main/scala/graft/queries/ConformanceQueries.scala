@@ -2665,6 +2665,64 @@ object ConformanceQueries {
              |FROM orders WHERE o_orderkey % 2 = 1
              |  AND o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0""".stripMargin)),
 
+    // ICEBERG METADATA TABLES: snapshots/history/files/manifests as
+    // queryable DataFrames over the table's own metadata — the
+    // debugging surface every Iceberg user touches. Fixture lifecycle:
+    // two appends, a MoR position delete, a rollback PAST the delete,
+    // and a post-rollback append — so `history` must flag the
+    // rolled-over delete snapshot as NOT a current ancestor (the
+    // parent-walk, not array order), `files` must count zero delete
+    // files at the head, and the final values reconcile with `orders`.
+    Q("iceberg_metadata_tables",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_ice_meta")
+        val tbl = s"$wh/orders_meta"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val s1 = IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl)
+        val s2 = IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority") === "1-URGENT"), tbl)
+        IcebergWrite.deleteWhere(s, tbl, col("o_orderkey") % 5 === 0) // s3
+        IcebergWrite.rollback(tbl, s2)
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderpriority") === "2-HIGH"), tbl)                  // s4
+        val snapsT = IcebergRead.metadataTable(s, tbl, "snapshots")
+        val histT = IcebergRead.metadataTable(s, tbl, "history")
+        val filesT = IcebergRead.metadataTable(s, tbl, "files")
+        val maniT = IcebergRead.metadataTable(s, tbl, "manifests")
+        val nSnaps = snapsT.count()
+        val opCounts = snapsT.groupBy(col("operation")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nonAncestors = histT.filter(!col("is_current_ancestor"))
+          .select(col("snapshot_id")).collect().map(_.getLong(0)).toSet
+        val liveFiles = filesT.filter(col("content") === 0).count()
+        val delFiles = filesT.filter(col("content") =!= 0).count()
+        val snap = IcebergRead.snapshot(tbl)
+        val consistent = nSnaps == 4 &&
+          opCounts == Map("append" -> 3L, "delete" -> 1L) &&
+          nonAncestors == Set(3L) &&
+          liveFiles == snap.files.size && delFiles == 0 &&
+          maniT.count() >= 1 &&
+          filesT.agg(sum(col("record_count"))).head().getLong(0) ==
+            IcebergRead.read(s, tbl).count()
+        IcebergRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("metadata_consistent", lit(consistent))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS metadata_consistent
+             |FROM orders
+             |WHERE o_orderkey % 2 = 0
+             |   OR (o_orderkey % 2 = 1
+             |       AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             |GROUP BY 1""".stripMargin)),
+
     // ICEBERG FIELD-ID SCHEMA EVOLUTION: rename is metadata-only — the
     // field keeps its id, so era-1 files (parquet column named
     // o_totalprice) and era-2 files (written as o_amount after the

@@ -323,28 +323,31 @@ object DeltaRead {
         .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
         .toSeq.sortBy(_.getFileName.toString)
       finally listing.close()
+    // the checkpoint REFERENCE resolves once, from file names alone —
+    // its (potentially large) parquet content is only read during the
+    // single replay pass below
+    val cpRef = lastCheckpointRef(logDir)
     val commits = asOf match {
       case None => allCommits
       case Some(v) =>
-        require(allCommits.exists(_ => true) || lastCheckpoint(logDir).nonEmpty,
+        require(allCommits.exists(_ => true) || cpRef.nonEmpty,
           s"empty _delta_log in $tableDir")
         require(allCommits.exists(p => versionOf(p) == v) ||
-          lastCheckpoint(logDir).exists(_._1 == v),
+          cpRef.exists(_.version == v),
           s"version $v of $tableDir is not in the log (vacuumed or never committed)")
         allCommits.filter(p => versionOf(p) <= v)
     }
     // time travel may only resume from a checkpoint at or below the target
-    val checkpoint = lastCheckpoint(logDir).filter(cp =>
-      asOf.forall(cp._1 <= _))
+    val checkpoint = cpRef.filter(cp => asOf.forall(cp.version <= _))
     asOf.foreach { v =>
       // every commit in (checkpointVersion, v] must still exist, or the
       // replayed state would silently skip changes
       val have = commits.map(versionOf).toSet
-      val start = checkpoint.map(_._1).getOrElse(-1L)
+      val start = checkpoint.map(_.version).getOrElse(-1L)
       ((start + 1) to v).foreach(i => require(have.contains(i),
         s"commit $i of $tableDir is missing — cannot reconstruct version $v"))
     }
-    val startAfter = checkpoint.map(_._1).getOrElse(-1L)
+    val startAfter = checkpoint.map(_.version).getOrElse(-1L)
     val tail = commits.filter(p => versionOf(p) > startAfter)
     require(checkpoint.nonEmpty || commits.nonEmpty, s"empty _delta_log in $tableDir")
 
@@ -464,20 +467,18 @@ object DeltaRead {
 
     // checkpoint rows carry NO ordering guarantee, so replay its
     // protocol/metaData rows first — add normalization (column mapping)
-    // depends on metaData being known. JSON commits are ordered by the
-    // protocol (metaData precedes adds), so they stream as-is.
-    checkpoint.foreach { case (_, actions) =>
-      val (meta, rest) = actions.partition(n =>
-        n.has("metaData") || n.has("protocol"))
-      meta.foreach(applyAction)
-      rest.foreach(applyAction)
-    }
+    // depends on metaData being known. File actions then STREAM through
+    // applyAction (toLocalIterator) — the driver retains only the
+    // decoded AddFile/RemoveFile state, never a parallel JsonNode copy
+    // of the whole checkpoint. JSON commits are ordered by the protocol
+    // (metaData precedes adds), so they stream as-is.
+    checkpoint.foreach(streamCheckpoint(logDir, _)(applyAction))
     tail.foreach { p =>
       Files.readAllLines(p, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty).foreach(l => applyAction(mapper.readTree(l)))
     }
     require(schema != null, s"no metaData action found in $tableDir/_delta_log")
-    val version = (commits.lastOption.map(versionOf).toSeq ++ checkpoint.map(_._1)).max
+    val version = (commits.lastOption.map(versionOf).toSeq ++ checkpoint.map(_.version)).max
     Snapshot(version, schema, partCols, live.values.toSeq, tomb.values.toSeq,
       protocol, colMap, configuration, txns.toMap, fieldIds)
   }
@@ -631,7 +632,14 @@ object DeltaRead {
     *    determinism).
     *
     * The checkpoint parquet holds one action per row in struct columns. */
-  private def lastCheckpoint(logDir: Path): Option[(Long, Seq[JsonNode])] = {
+  private final case class CheckpointRef(version: Long, parquetFiles: Seq[Path],
+                                         v2Top: Option[Path])
+
+  /** Resolve `_last_checkpoint` to concrete file paths WITHOUT reading
+    * any checkpoint content — snapshotImpl's existence checks stay
+    * cheap, and the (potentially multi-GB at production file counts)
+    * parquet is read exactly once, by [[streamCheckpoint]]. */
+  private def lastCheckpointRef(logDir: Path): Option[CheckpointRef] = {
     val ptr = logDir.resolve("_last_checkpoint")
     if (!Files.exists(ptr)) return None
     val j = mapper.readTree(Files.readString(ptr))
@@ -644,9 +652,9 @@ object DeltaRead {
           logDir.resolve(f"$v%020d.checkpoint.$i%010d.$p%010d.parquet"))
         files.foreach(f => require(Files.exists(f),
           s"checkpoint part $f named by _last_checkpoint is missing"))
-        Some((v, readParquetActions(files)))
+        Some(CheckpointRef(v, files, None))
       case _ if Files.exists(classic) =>
-        Some((v, readParquetActions(Seq(classic))))
+        Some(CheckpointRef(v, Seq(classic), None))
       case _ =>
         val pat = (f"$v%020d" + "\\.checkpoint\\.[A-Za-z0-9-]+\\.(parquet|json)").r
         val listing = Files.list(logDir)
@@ -658,48 +666,68 @@ object DeltaRead {
         require(v2.nonEmpty,
           s"_last_checkpoint names version $v but no checkpoint file " +
             s"(classic, multi-part, or v2 UUID-named) for it exists in $logDir")
-        Some((v, loadV2Checkpoint(logDir, v, v2.last)))
+        Some(CheckpointRef(v, Nil, Some(v2.last)))
     }
   }
 
-  /** Load a V2 checkpoint: the top file's own actions (minus the
-    * checkpoint bookkeeping) plus every referenced sidecar's file
-    * actions. checkpointMetadata.version must agree with
-    * `_last_checkpoint`; a missing sidecar fails loudly — resuming from
-    * a partial checkpoint would silently drop live files. */
-  private def loadV2Checkpoint(logDir: Path, v: Long,
-                               file: Path): Seq[JsonNode] = {
-    val top: Seq[JsonNode] =
-      if (file.getFileName.toString.endsWith(".json"))
-        Files.readAllLines(file, StandardCharsets.UTF_8).asScala
-          .filter(_.nonEmpty).map(mapper.readTree).toSeq
-      else readParquetActions(Seq(file))
-    val cm = top.flatMap(n => Option(n.get("checkpointMetadata")))
-      .filterNot(_.isNull)
-    require(cm.nonEmpty, s"v2 checkpoint $file has no checkpointMetadata action")
-    val declared = cm.head.get("version").asLong
-    require(declared == v,
-      s"v2 checkpoint $file declares version $declared but _last_checkpoint says $v")
-    val sidecars = top.flatMap(n => Option(n.get("sidecar"))).filterNot(_.isNull)
-      .map(s => logDir.resolve("_sidecars").resolve(s.get("path").asText))
-    sidecars.foreach(p => require(Files.exists(p),
-      s"sidecar $p named by v2 checkpoint $file is missing"))
-    val sidecarActions =
-      if (sidecars.isEmpty) Nil else readParquetActions(sidecars)
-    top.filterNot(n => n.has("checkpointMetadata") || n.has("sidecar")) ++
-      sidecarActions
-  }
-
-  /** One action per parquet row → JsonNodes, so checkpoint and commit
-    * replay share one action decoder. Driver-side collect, bounded by
-    * checkpoint size (one row per live file + a handful of metadata
-    * rows) — NOT by table data. Inherent to the FileIndex seam: the
-    * planner must hold live-file metadata to schedule tasks (Delta's
-    * TahoeFileIndex materializes the same state). */
-  private def readParquetActions(files: Seq[Path]): Seq[JsonNode] = {
+  /** Stream a checkpoint's actions through `apply` in replay-safe
+    * order: the handful of protocol/metaData rows land first (a tiny
+    * filtered collect — add normalization depends on them), then every
+    * file action streams via `toLocalIterator` so the driver never
+    * holds a JsonNode per checkpoint row alongside the decoded state.
+    * V2 checkpoints: the small top file is read whole
+    * (checkpointMetadata verified against `_last_checkpoint`, missing
+    * sidecars reject loudly — resuming from a partial checkpoint would
+    * silently drop live files), then the sidecars' file actions
+    * stream. */
+  private def streamCheckpoint(logDir: Path, ref: CheckpointRef)
+                              (apply: JsonNode => Unit): Unit = {
     val spark = SparkSession.active
-    spark.read.parquet(files.map(_.toString): _*).toJSON.collect()
-      .toSeq.map(mapper.readTree)
+    def streamRows(df: org.apache.spark.sql.Dataset[String]): Unit = {
+      val it = df.toLocalIterator()
+      while (it.hasNext) apply(mapper.readTree(it.next()))
+    }
+    ref.v2Top match {
+      case None =>
+        val df = spark.read.parquet(ref.parquetFiles.map(_.toString): _*)
+        val hasMeta = df.columns.contains("metaData") ||
+          df.columns.contains("protocol")
+        if (hasMeta) {
+          val metaCond = Seq("protocol", "metaData")
+            .filter(df.columns.contains).map(c => s"$c is not null")
+          df.filter(metaCond.mkString(" or ")).toJSON.collect()
+            .foreach(r => apply(mapper.readTree(r)))
+          streamRows(df.filter(metaCond.map(c => s"not ($c)")
+            .mkString(" and ")).toJSON)
+        } else streamRows(df.toJSON)
+      case Some(file) =>
+        val top: Seq[JsonNode] =
+          if (file.getFileName.toString.endsWith(".json"))
+            Files.readAllLines(file, StandardCharsets.UTF_8).asScala
+              .filter(_.nonEmpty).map(mapper.readTree).toSeq
+          else spark.read.parquet(file.toString).toJSON.collect()
+            .toSeq.map(mapper.readTree)
+        val cm = top.flatMap(n => Option(n.get("checkpointMetadata")))
+          .filterNot(_.isNull)
+        require(cm.nonEmpty,
+          s"v2 checkpoint $file has no checkpointMetadata action")
+        val declared = cm.head.get("version").asLong
+        require(declared == ref.version,
+          s"v2 checkpoint $file declares version $declared but " +
+            s"_last_checkpoint says ${ref.version}")
+        val sidecars = top.flatMap(n => Option(n.get("sidecar")))
+          .filterNot(_.isNull)
+          .map(s => logDir.resolve("_sidecars").resolve(s.get("path").asText))
+        sidecars.foreach(p => require(Files.exists(p),
+          s"sidecar $p named by v2 checkpoint $file is missing"))
+        val (meta, rest) = top
+          .filterNot(n => n.has("checkpointMetadata") || n.has("sidecar"))
+          .partition(n => n.has("metaData") || n.has("protocol"))
+        meta.foreach(apply)
+        rest.foreach(apply)
+        if (sidecars.nonEmpty)
+          streamRows(spark.read.parquet(sidecars.map(_.toString): _*).toJSON)
+    }
   }
 
   /** Log paths are RFC 2396 percent-encoded relative paths (or absolute

@@ -610,6 +610,86 @@ object IcebergRead {
     cur // positions retained; readSnap drops them
   }
 
+  /** Iceberg METADATA TABLES — the debugging surface every Iceberg user
+    * touches (`SELECT * FROM tbl.snapshots` etc.), served as
+    * DataFrames over the table's own metadata (driver cost O(metadata),
+    * the state any planner already holds):
+    *
+    *  - `snapshots`: committed_at, snapshot_id, parent_id, operation,
+    *    manifest_list — one row per retained snapshot;
+    *  - `history`: made_current_at, snapshot_id, parent_id,
+    *    is_current_ancestor — lineage flags resolved by the SAME
+    *    parent-walk the changelog uses (rolled-over snapshots show
+    *    is_current_ancestor = false);
+    *  - `files`: content, file_path, file_format, record_count,
+    *    file_size_in_bytes, partition (string map) — the CURRENT
+    *    snapshot's live data + delete files;
+    *  - `manifests`: path, length, partition_spec_id, content,
+    *    added_snapshot_id for the current snapshot's manifest list. */
+  def metadataTable(spark: SparkSession, tableDir: String,
+                    table: String): DataFrame = {
+    import spark.implicits._
+    val metaDir = Paths.get(tableDir, "metadata")
+    lazy val meta = mapper.readTree(Files.readString(currentMetadataFile(metaDir)))
+    lazy val snaps = meta.get("snapshots").elements().asScala.toSeq
+    def parentOf(sn: JsonNode): Option[Long] =
+      Option(sn.get("parent-snapshot-id")).map(_.asLong)
+    table match {
+      case "snapshots" =>
+        snaps.map { sn =>
+          (sn.get("timestamp-ms").asLong,
+            sn.get("snapshot-id").asLong,
+            parentOf(sn),
+            Option(sn.get("summary")).flatMap(s => Option(s.get("operation")))
+              .map(_.asText).getOrElse(""),
+            sn.get("manifest-list").asText)
+        }.toDF("committed_at", "snapshot_id", "parent_id", "operation",
+          "manifest_list")
+      case "history" =>
+        val currentId = meta.get("current-snapshot-id").asLong
+        val byId = snaps.map(s => s.get("snapshot-id").asLong -> s).toMap
+        val ancestors = scala.collection.mutable.Set[Long]()
+        var cur = byId.get(currentId)
+        while (cur.isDefined) {
+          val c = cur.get
+          ancestors += c.get("snapshot-id").asLong
+          cur = parentOf(c).flatMap(byId.get)
+        }
+        snaps.map { sn =>
+          val id = sn.get("snapshot-id").asLong
+          (sn.get("timestamp-ms").asLong, id, parentOf(sn), ancestors(id))
+        }.toDF("made_current_at", "snapshot_id", "parent_id",
+          "is_current_ancestor")
+      case "files" =>
+        val snap = snapshot(tableDir)
+        val data = snap.files.map(f => (0, f.path, f.format, f.recordCount,
+          f.size, f.partitionValues))
+        val dels = snap.deletes.map(d =>
+          (if (d.isEquality) 2 else 1, d.path, "parquet", d.recordCount,
+            0L, Map.empty[String, String]))
+        (data ++ dels).toDF("content", "file_path", "file_format",
+          "record_count", "file_size_in_bytes", "partition")
+      case "manifests" =>
+        val currentId = meta.get("current-snapshot-id").asLong
+        val sn = snaps.find(_.get("snapshot-id").asLong == currentId)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-snapshot-id $currentId not in snapshots of $tableDir"))
+        avroRows(resolve(tableDir, sn.get("manifest-list").asText)).map { m =>
+          (m.get("manifest_path").toString,
+            Option(m.getSchema.getField("manifest_length"))
+              .flatMap(_ => Option(m.get("manifest_length")))
+              .map(_.asInstanceOf[Number].longValue).getOrElse(0L),
+            intField(m, "partition_spec_id").getOrElse(0),
+            intField(m, "content").getOrElse(0),
+            longField(m, "added_snapshot_id").getOrElse(0L))
+        }.toDF("path", "length", "partition_spec_id", "content",
+          "added_snapshot_id")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' " +
+          "(supported: snapshots, history, files, manifests)")
+    }
+  }
+
   /** Files a scan filtered to `col -> allowed values` must touch — the
     * pruning arithmetic of [[IcebergFileIndex.listFiles]], pinnable by an
     * oracle row without executing a plan. */
