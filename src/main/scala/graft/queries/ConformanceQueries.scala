@@ -2665,6 +2665,68 @@ object ConformanceQueries {
              |FROM orders WHERE o_orderkey % 2 = 1
              |  AND o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0""".stripMargin)),
 
+    // WRITES ON A COLUMN-MAPPED DELTA TABLE (name mode — the default
+    // on new Databricks tables): append, MERGE, and OPTIMIZE all stage
+    // in the PHYSICAL column space (files carry physical names, add
+    // pv/stats keys are physical — the log contract) while the caller
+    // works purely in logical names. Fixture: a mapped orders table
+    // (o_* → c1..c4), appended, merged (update evens' price + insert
+    // shifted keys), then compacted; the oracle recomputes the final
+    // state; booleans pin the physical layout and that optimize
+    // changed no logical row.
+    Q("delta_mapped_write_lifecycle",
+      (s, dir) => {
+        import graft.sources.{DeltaFixture, DeltaRead, DeltaWrite}
+        val wh = DvQueries.tmpWarehouse("graft_delta_cmw")
+        val tbl = s"$wh/orders_cm"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val mapping = Map("o_orderkey" -> "c1", "o_custkey" -> "c2",
+          "o_totalprice" -> "c3", "o_orderpriority" -> "c4")
+        DeltaFixture.commitMapped(s, tbl, o.schema, Seq("o_orderpriority"),
+          0L, mapping,
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+            .map(p => Map("o_orderpriority" -> p) ->
+              o.filter(col("o_orderpriority") === p &&
+                col("o_orderkey") % 2 === 0)))
+        DeltaWrite.write(o.filter(col("o_orderkey") % 2 === 1), tbl) // v1
+        val m = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        DeltaWrite.merge(s, tbl,
+          o.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2)
+            .unionByName(o.filter(col("o_orderkey") % 10 === 3)
+              .withColumn("o_orderkey", col("o_orderkey") + m)),
+          Seq("o_orderkey"))                                         // v2
+        val preOpt = DeltaRead.read(s, tbl).count()
+        val (n0, n1) = DeltaWrite.optimize(s, tbl)                   // v3
+        val snap = DeltaRead.snapshot(tbl)
+        val physicalOk = snap.columnMapping == mapping &&
+          snap.files.forall(_.partitionValues.keySet == Set("o_orderpriority")) &&
+          snap.files.exists(_.stats.exists(_.min.contains("o_orderkey")))
+        val optOk = n1 <= n0 && DeltaRead.read(s, tbl).count() == preOpt
+        DeltaRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("physical_layout_ok", lit(physicalOk))
+          .withColumn("optimize_preserved_rows", lit(optOk))
+      },
+      Some("""WITH final AS (
+             |  SELECT o_totalprice * 2 AS o_totalprice, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT o_totalprice, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 2 = 1
+             |  UNION ALL
+             |  SELECT o_totalprice, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 10 = 3)
+             |SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS physical_layout_ok, TRUE AS optimize_preserved_rows
+             |FROM final GROUP BY 1""".stripMargin)),
+
     // ICEBERG METADATA TABLES: snapshots/history/files/manifests as
     // queryable DataFrames over the table's own metadata — the
     // debugging surface every Iceberg user touches. Fixture lifecycle:

@@ -78,11 +78,11 @@ object DeltaWrite {
     val cols = existing.map(_.partitionColumns).getOrElse(partCols)
     var evolvedSchema: Option[StructType] = None
     existing.foreach { snap =>
-      // this writer stages files under LOGICAL names — appending them to
-      // a physical-named (column-mapped) table would write unreadable
-      // files. DV deletes (deleteWhere) remain available on such tables.
-      require(snap.columnMapping.isEmpty,
-        s"appending to a column-mapped table is not supported ($tableDir)")
+      // column-mapped tables are written in their PHYSICAL column space
+      // (toPhysical below); schema evolution on them would have to mint
+      // physicalName/field-id metadata — out of scope, loud reject
+      require(snap.columnMapping.isEmpty || !mergeSchema,
+        s"mergeSchema on a column-mapped table is not supported ($tableDir)")
       val want = snap.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
       if (mergeSchema && got != want) {
@@ -109,15 +109,30 @@ object DeltaWrite {
       }
     }
 
-    val dataSchema = StructType(
-      df.schema.fields.filterNot(f => cols.contains(f.name)))
-    val adds = stageDataFiles(df, root, version, cols, dataSchema)
+    // column-mapped tables stage in their PHYSICAL column space: files
+    // store physical names (+ field ids under id mode), dir layout and
+    // add pv/stats keys are physical — exactly the log contract; the
+    // snapshot replay normalizes back to logical on read
+    val mapping = existing.map(_.columnMapping).getOrElse(Map.empty)
+    val (staged, physCols, dataSchema) = existing match {
+      case Some(snap) if mapping.nonEmpty =>
+        (toPhysical(snap, df), snap.partitionColumns.map(mapping(_)),
+          snap.physDataSchema)
+      case _ =>
+        (df, cols, StructType(
+          df.schema.fields.filterNot(f => cols.contains(f.name))))
+    }
+    val adds = stageDataFiles(staged, root, version, physCols, dataSchema)
 
+    val toLogical: Map[String, String] = mapping.map(_.swap)
     val removes: Seq[String] = mode match {
       case "append" => Nil
       case "overwrite" => existing.toSeq.flatMap(_.files.map(_.path))
       case "overwritePartitions" =>
-        val touched = adds.map(_._1.partitionValues).toSet
+        // staged pv keys are physical; the replayed snapshot's are
+        // logical — compare in the logical space
+        val touched = adds.map(_._1.partitionValues
+          .map { case (k, v) => toLogical.getOrElse(k, k) -> v }).toSet
         existing.toSeq.flatMap(_.files.filter(f => touched(f.partitionValues)).map(_.path))
     }
 
@@ -249,6 +264,35 @@ object DeltaWrite {
     version
   }
 
+  /** Rename a LOGICAL-column frame into the table's PHYSICAL column
+    * space for staging: data columns take their physicalName (plus
+    * field-id metadata under id mode, so the written parquet carries
+    * ids), partition columns their physicalName. Files, dir layout, and
+    * therefore add pv/stats keys come out physical — the log contract
+    * for column-mapped tables; replay normalizes back to logical.
+    * No-op without mapping. */
+  private def toPhysical(snap: DeltaRead.Snapshot, out: DataFrame): DataFrame =
+    if (snap.columnMapping.isEmpty) out
+    else {
+      import org.apache.spark.sql.functions.col
+      val physData = snap.physDataSchema
+      val dataCols = snap.dataSchema.fields.toSeq.zip(physData.fields.toSeq)
+        .map { case (lf, pf) => col(lf.name).as(pf.name, pf.metadata) }
+      val partCols = snap.partitionColumns.map(n =>
+        col(n).as(snap.columnMapping.getOrElse(n, n)))
+      out.select(dataCols ++ partCols: _*)
+    }
+
+  /** [[stageDataFiles]] of a logical-column frame against `snap`'s
+    * physical layout — the shared staging seam for rewrites (optimize /
+    * merge / mergeClauses) on mapped and unmapped tables alike. */
+  private def stagePhysical(snap: DeltaRead.Snapshot, out: DataFrame,
+                            root: Path, version: Long)
+      : Seq[(DeltaRead.AddFile, Option[String])] =
+    stageDataFiles(toPhysical(snap, out), root, version,
+      snap.partitionColumns.map(n => snap.columnMapping.getOrElse(n, n)),
+      if (snap.columnMapping.isEmpty) snap.dataSchema else snap.physDataSchema)
+
   /** Distributed DATA write into a staging dir the log never references
     * (uuid: racing writers must not stage into / sweep each other's dir;
     * staged part names carry Spark's task uuids, so the moved data files
@@ -321,8 +365,6 @@ object DeltaWrite {
                zorderBy: Seq[String] = Nil): (Int, Int) = {
     import org.apache.spark.sql.functions.col
     val snap = DeltaRead.snapshot(tableDir)
-    require(snap.columnMapping.isEmpty,
-      s"optimize on a column-mapped table is not supported ($tableDir)")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val root = Paths.get(tableDir)
     val cols = snap.partitionColumns
@@ -361,7 +403,7 @@ object DeltaWrite {
       }
 
     val version = snap.version + 1
-    val adds = stageDataFiles(laid, root, version, cols, snap.dataSchema)
+    val adds = stagePhysical(snap, laid, root, version)
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val ci = mapper.createObjectNode()
     ci.putObject("commitInfo")
@@ -431,8 +473,6 @@ object DeltaWrite {
             source: DataFrame, keyCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
     val snap = DeltaRead.snapshot(tableDir)
-    require(snap.columnMapping.isEmpty,
-      s"merge on a column-mapped table is not supported ($tableDir)")
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val missing = keyCols.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty, s"merge keys not in table schema: $missing")
@@ -496,8 +536,7 @@ object DeltaWrite {
         .unionByName(src)
 
     val version = snap.version + 1
-    val adds = stageDataFiles(out, root, version, snap.partitionColumns,
-      snap.dataSchema)
+    val adds = stagePhysical(snap, out, root, version)
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val ci = mapper.createObjectNode()
     ci.putObject("commitInfo")
@@ -528,6 +567,10 @@ object DeltaWrite {
 
     if (snap.configuration.get("delta.enableChangeDataFeed")
         .exists(_.equalsIgnoreCase("true"))) {
+      // cdc files would need the physical column space too — reject
+      // rather than emit a feed conformant readers mis-decode
+      require(snap.columnMapping.isEmpty,
+        s"CDF emission on a column-mapped table is not supported ($tableDir)")
       // matched keys = source keys that exist in the touched scan; the
       // pre/post images split on them, carried rows never enter the feed
       val touchedRows =
@@ -587,8 +630,6 @@ object DeltaWrite {
                    aliases: (String, String) = ("t", "s")): Long = {
     import org.apache.spark.sql.functions._
     val snap = DeltaRead.snapshot(tableDir)
-    require(snap.columnMapping.isEmpty,
-      s"merge on a column-mapped table is not supported ($tableDir)")
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val missing = keyCols.filterNot(snap.schema.fieldNames.contains)
     require(missing.isEmpty, s"merge keys not in table schema: $missing")
@@ -658,8 +699,7 @@ object DeltaWrite {
       MergeClauses(target, source, keyCols, clauses, snap.schema, aliases)
 
     val version = snap.version + 1
-    val adds = stageDataFiles(out, root, version, snap.partitionColumns,
-      snap.dataSchema)
+    val adds = stagePhysical(snap, out, root, version)
     if (touched.isEmpty && adds.isEmpty) return snap.version
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val ci = mapper.createObjectNode()
@@ -690,6 +730,10 @@ object DeltaWrite {
     }
     if (snap.configuration.get("delta.enableChangeDataFeed")
         .exists(_.equalsIgnoreCase("true"))) {
+      // cdc files would need the physical column space too — reject
+      // rather than emit a feed conformant readers mis-decode
+      require(snap.columnMapping.isEmpty,
+        s"CDF emission on a column-mapped table is not supported ($tableDir)")
       // per-clause change rows from the SAME clause evaluation —
       // update images, deletes, inserts; carried rows never enter
       val changeDf = changes
@@ -903,6 +947,10 @@ object DeltaWrite {
     // same gate Delta's own writers use)
     if (snap.configuration.get("delta.enableChangeDataFeed")
         .exists(_.equalsIgnoreCase("true"))) {
+      // cdc files would need the physical column space too — reject
+      // rather than emit a feed conformant readers mis-decode
+      require(snap.columnMapping.isEmpty,
+        s"CDF emission on a column-mapped table is not supported ($tableDir)")
       def phys(n: String): String = snap.columnMapping.getOrElse(n, n)
       val deleted = DeltaRead.readWithPositions(spark, tableDir, snap)
         .filter(condition).drop("__fp", "__ri")

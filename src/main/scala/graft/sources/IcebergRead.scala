@@ -695,7 +695,10 @@ object IcebergRead {
     * oracle row without executing a plan. */
   def candidateFiles(snap: Snapshot, keep: Map[String, Set[String]]): Seq[DataFile] =
     snap.files.filter(f => keep.forall { case (c, vs) =>
-      f.partitionValues.get(c).exists(vs.contains)
+      f.partitionValues.get(c) match {
+        case None => true // old-spec file: no tuple for c — unprunable
+        case Some(v) => v != null && vs.contains(v)
+      }
     })
 
   // ---- metadata internals --------------------------------------------
@@ -939,8 +942,19 @@ final class IcebergFileIndex(spark: SparkSession, snap: IcebergRead.Snapshot)
 
   private val tupleSchema = snap.partitionTupleSchema
 
+  // files from an EVOLVED-AWAY partition spec (foreign tables: each
+  // manifest binds to the spec it was written under) LACK the current
+  // spec's tuple keys — they must never enter identity-tuple pruning,
+  // where the missing key would read as a null tuple and a pushed
+  // `par = 'x'` would wrongly skip the file. A key present with a
+  // null VALUE is different: that is a genuine all-null source column
+  // and prunes exactly.
+  private lazy val (tupleComplete, tupleIncomplete) =
+    snap.files.partition(f =>
+      tupleSchema.fieldNames.forall(f.partitionValues.contains))
+
   private lazy val groups: Seq[(InternalRow, Seq[IcebergRead.DataFile])] =
-    snap.files.groupBy(f => tupleSchema.fieldNames.toSeq.map(f.partitionValues.get))
+    tupleComplete.groupBy(f => tupleSchema.fieldNames.toSeq.map(f.partitionValues.get))
       .values.toSeq.map(fs => (PartitionPrune.partRow(tupleSchema,
         fs.head.partitionValues, spark.sessionState.conf.sessionLocalTimeZone), fs))
 
@@ -967,8 +981,13 @@ final class IcebergFileIndex(spark: SparkSession, snap: IcebergRead.Snapshot)
     // to pushed literals, and StatsSkip tests the manifest column
     // bounds — mirroring Delta's skipping (partition tuples + add.stats)
     // with the transform channel Iceberg adds on top
-    PartitionPrune.prune(tupleSchema, groups, dataFilters)
-      .map { case (_, fs) => PartitionDirectory(InternalRow.empty,
+    (PartitionPrune.prune(tupleSchema, groups, dataFilters).map(_._2) ++
+      // old-spec files skip the identity channel; the stats and
+      // transform channels below are absence-safe (missing key/stat
+      // keeps), so they stay exactly as prunable as their metadata
+      // allows
+      (if (tupleIncomplete.isEmpty) Nil else Seq(tupleIncomplete)))
+      .map { fs => PartitionDirectory(InternalRow.empty,
         fs.filter(f => StatsSkip.keep(f.stats, dataFilters, snap.schema) &&
             IcebergTransforms.keepFile(snap.partitionFields, snap.schema,
               f.partitionValues, dataFilters))

@@ -24,9 +24,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Modes mirror [[DeltaWrite]]: `append`, `overwrite` (status-2 every
   * previously-live file), `overwritePartitions` (status-2 only the tuples
-  * being rewritten — dynamic partition overwrite). Scope: single-writer,
-  * identity transforms, non-null partition values (Iceberg stores null
-  * tuples; this writer rejects them loudly), schema fixed after creation.
+  * being rewritten — dynamic partition overwrite). Scope: single-writer;
+  * the full transform family ([[IcebergTransforms]]); NULL partition
+  * values round-trip as null tuples; schema evolves via mergeSchema
+  * appends and [[renameColumn]]/[[dropColumn]].
   */
 object IcebergWrite {
 
@@ -141,9 +142,11 @@ object IcebergWrite {
         require(eq > 0, s"staged path $rel is not hive-layout under partitionBy")
         val c = seg.substring(0, eq).stripPrefix("__part_")
         val raw = ExternalCatalogUtils.unescapePathName(seg.substring(eq + 1))
-        require(raw != ExternalCatalogUtils.DEFAULT_PARTITION_NAME,
-          s"NULL partition value for '$c' — not supported by this writer")
-        c -> raw
+        // a null source value transforms to a NULL tuple — the spec
+        // stores it as such (manifest partition field is optional); the
+        // dir name keeps hive's sentinel, the manifest is authoritative
+        c -> (if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+              else raw)
       }.toMap
       require(pv.keySet == fieldNames.toSet,
         s"staged path $rel carries partitions ${pv.keySet}, expected $fieldNames")
@@ -151,8 +154,8 @@ object IcebergWrite {
       // values, and a raw '/' (or '..') in a value would nest extra
       // directories / escape the table root. Same hive escaping the
       // staged writer used, so the layout matches what DeltaWrite keeps.
-      val dirs = fieldNames.map(c =>
-        s"$c=${ExternalCatalogUtils.escapePathName(pv(c))}")
+      val dirs = fieldNames.map(c => s"$c=${ExternalCatalogUtils.escapePathName(
+        Option(pv(c)).getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME))}")
       // uuid in the name: racing writers that both computed snapshotId
       // must not overwrite each other's data files before the metadata
       // CAS decides the winner

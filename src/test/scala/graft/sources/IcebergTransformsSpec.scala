@@ -194,6 +194,31 @@ class IcebergTransformsSpec extends SparkSpec {
     assert(ranged.select(col("s")).as[String].collect().toSet == Set("beta", "bolt"))
   }
 
+  test("null partition values round-trip as null tuples") {
+    val t = tbl("graft_ice_nullpart")
+    val df = Seq((1L, "a"), (2L, null), (3L, "a"), (4L, null))
+      .toDF("id", "par")
+    IcebergWrite.write(df, t, Seq("par"))
+    val snap = IcebergRead.snapshot(t)
+    // the null-source rows landed in a null-tuple file (spec: partition
+    // fields are optional — null is a value, not an error)
+    assert(snap.files.exists(_.partitionValues.get("par").contains(null)))
+    assert(IcebergRead.read(spark, t).as[(Long, Option[String])]
+      .collect().toSet ==
+      Set((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, None)))
+    // equality predicates prune the null-tuple file (null never matches);
+    // IsNull reads serve exactly the null rows
+    assert(IcebergRead.read(spark, t).filter(col("par") === "a")
+      .select(col("id")).as[Long].collect().toSet == Set(1L, 3L))
+    assert(IcebergRead.read(spark, t).filter(col("par").isNull)
+      .select(col("id")).as[Long].collect().toSet == Set(2L, 4L))
+    // dynamic overwrite of the null tuple replaces only the null rows
+    IcebergWrite.write(Seq((9L, null: String)).toDF("id", "par"), t,
+      mode = "overwritePartitions")
+    assert(IcebergRead.read(spark, t).select(col("id")).as[Long]
+      .collect().toSet == Set(1L, 3L, 9L))
+  }
+
   test("pruning stays sound: null tuples, unknown transforms, IsNull") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("s", StringType)))
