@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
@@ -88,6 +89,30 @@ class DeltaMappedWriteSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._2.startsWith("seen_")))
     assert(got.contains((2L, "seen_patched", "even")))
     assert(got.contains((20L, "seen_new", "even")))
+  }
+
+  test("id-mode table: appended files carry parquet field ids") {
+    val t = Files.createTempDirectory("graft_cm_id").resolve("t").toString
+    val mapping = Map("id" -> "c_1", "s" -> "c_2")
+    val base = (1L to 5L).map(i => (i, s"v$i")).toDF("id", "s")
+    DeltaFixture.commitMappedId(spark, t, base.schema, Nil, 0L, mapping,
+      Seq(Map.empty[String, String] -> base))
+    DeltaWrite.write(Seq((6L, "v6")).toDF("id", "s"), t)
+    // the full table reads through id resolution (old + new files)
+    assert(DeltaRead.read(spark, t).as[(Long, String)].collect().toSet ==
+      (1L to 6L).map(i => (i, s"v$i")).toSet)
+    // the appended file must physically carry the field ids the table
+    // declares — without them id-resolving readers reject the file
+    val newFile = DeltaRead.snapshot(t).files.maxBy(_.path)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          java.nio.file.Paths.get(t).resolve(newFile.path).toUri),
+        spark.sparkContext.hadoopConfiguration))
+    val ids = try footer.getFooter.getFileMetaData.getSchema.getFields
+      .asScala.map(f => f.getName -> Option(f.getId).map(_.intValue)).toMap
+    finally footer.close()
+    assert(ids == Map("c_1" -> Some(1), "c_2" -> Some(2)), ids.toString)
   }
 
   test("schema evolution on a mapped table still rejects loudly") {
