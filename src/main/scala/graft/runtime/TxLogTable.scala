@@ -1409,10 +1409,18 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     // key files — an in-horizon reader needs both to reconstruct rows
     val keep = retained.flatMap(v => files(name, v) ++
       equalityDeletes(name, v).map(_.file)).toSet
+    // batches whose expired files THIS pass deletes: deleting a child
+    // bumps the dir's mtime to "now", so the grace check below would
+    // see the dir as freshly modified and skip it (leaving .crc
+    // leftovers to block the empty-dir delete — a flake at millisecond
+    // granularity). These dirs are KNOWN garbage once unreferenced;
+    // reclaim them regardless of mtime.
+    val emptiedBatches = scala.collection.mutable.Set[String]()
     expired.foreach { v =>
       (files(name, v) ++ equalityDeletes(name, v).map(_.file))
         .filterNot(keep).foreach { f =>
           Files.deleteIfExists(root(name).resolve(f)): Unit
+          emptiedBatches += f.split('/').head
         }
       Files.deleteIfExists(manifestPath(name, v)): Unit
     }
@@ -1433,7 +1441,8 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       .foreach { d =>
         val batch = d.getFileName.toString
         val isOrphan = !referencedBatches(batch) &&
-          Files.getLastModifiedTime(d).toMillis < cutoff
+          (emptiedBatches(batch) ||
+            Files.getLastModifiedTime(d).toMillis < cutoff)
         if (isOrphan) rmTree(d)
         // referenced-but-emptied dirs: plain delete succeeds only when empty
         else try Files.delete(d) catch { case _: java.io.IOException => () }

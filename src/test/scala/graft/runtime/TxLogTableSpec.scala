@@ -484,21 +484,9 @@ class TxLogTableSpec extends SparkSpec {
     // compact away the tombstone, then vacuum down to 1 version: the
     // delete file is unreferenced and must be reclaimed
     t.compact("tbl", targetFiles = 1)
-    // grace cutoff is `mtime < now - grace`: BACKDATE the ed- entries
-    // instead of sleeping — under a loaded full-suite run a sleep can
-    // still lose to coarse fs mtime granularity (flaked in r14)
-    val backdate = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 60000L)
-    val walk = Files.walk(t.root("tbl"))
-    try {
-      val it = walk.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.startsWith("ed-") ||
-            p.getParent.getFileName.toString.startsWith("ed-"))
-          Files.setLastModifiedTime(p, backdate)
-      }
-    } finally walk.close()
+    // no sleep/backdate needed: vacuum reclaims a batch it just emptied
+    // regardless of the dir mtime its own deletions bumped (the r14
+    // millisecond-granularity flake)
     t.vacuum("tbl", retainVersions = 1, orphanGraceMs = 0L)
     val root = t.root("tbl")
     val edDirs = Files.list(root).iterator()

@@ -67,7 +67,7 @@ class DeltaColumnMappingSpec extends SparkSpec {
       Set((3L, "b", "x"), (4L, "b", "y")))
   }
 
-  test("checkpoint keeps the mapping configuration; append is rejected") {
+  test("checkpoint keeps the mapping configuration; append stages physically") {
     val t = tbl()
     DeltaFixture.commitMapped(spark, t, base.schema, Seq("p"), 0L, mapping,
       Seq("a", "b").map(p => Map("p" -> p) -> base.filter($"p" === p)))
@@ -82,9 +82,15 @@ class DeltaColumnMappingSpec extends SparkSpec {
       "delta.columnMapping.mode must survive checkpoint compaction")
     assert(DeltaRead.read(spark, t).as[(Long, String, String)].collect().toSet ==
       Set((2L, "a", "y"), (3L, "b", "x"), (4L, "b", "y")))
-    // appending logical-named files to a physical-named table is refused
+    // appends stage in the PHYSICAL column space (r14: supported) and
+    // replay on top of the checkpoint
+    DeltaWrite.write(Seq((9L, "c", "z")).toDF("id", "p", "v"), t)
+    assert(DeltaRead.read(spark, t).as[(Long, String, String)].collect().toSet ==
+      Set((2L, "a", "y"), (3L, "b", "x"), (4L, "b", "y"), (9L, "c", "z")))
+    // mergeSchema on a mapped table stays the loud reject
     val e = intercept[IllegalArgumentException] {
-      DeltaWrite.write(Seq((9L, "c", "z")).toDF("id", "p", "v"), t)
+      DeltaWrite.write(Seq((10L, "c", "z", true)).toDF("id", "p", "v", "w"), t,
+        mergeSchema = true)
     }
     assert(e.getMessage.contains("column-mapped"))
   }

@@ -89,11 +89,16 @@ class IcebergWriteSpec extends SparkSpec {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
-  test("NULL partition values are rejected loudly") {
+  test("NULL partition values round-trip as null tuples (r14: supported)") {
     val t = tbl()
     val withNull = Seq((1L, Some("a"), "x"), (2L, None, "y")).toDF("id", "p", "v")
-    val e = intercept[Exception] { IcebergWrite.write(withNull, t, Seq("p")) }
-    assert(e.getMessage.contains("NULL partition value"))
+    IcebergWrite.write(withNull, t, Seq("p"))
+    val snap = IcebergRead.snapshot(t)
+    assert(snap.files.exists(_.partitionValues.get("p").contains(null)),
+      "null-source rows must land in a null-tuple file")
+    assert(IcebergRead.read(spark, t)
+      .select("id", "p").as[(Long, Option[String])].collect().toSet ==
+      Set((1L, Some("a")), (2L, None)))
   }
 
   test("partition values with path metacharacters stay hive-escaped in the layout") {
