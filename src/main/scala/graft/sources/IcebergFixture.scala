@@ -111,7 +111,10 @@ object IcebergFixture {
       |{"name":"partition_spec_id","type":"int","field-id":502},
       |{"name":"content","type":"int","default":0,"field-id":517},
       |{"name":"sequence_number","type":"long","default":0,"field-id":515},
-      |{"name":"added_snapshot_id","type":"long","field-id":503}]}""".stripMargin)
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":["null","int"],"default":null,"field-id":504},
+      |{"name":"existing_files_count","type":["null","int"],"default":null,"field-id":505},
+      |{"name":"deleted_files_count","type":["null","int"],"default":null,"field-id":506}]}""".stripMargin)
 
   /** Iceberg single-value binary serialization (Table Spec Appendix D):
     * ints/longs/floats/doubles/dates little-endian, strings UTF-8,
@@ -400,14 +403,104 @@ object IcebergFixture {
       e.put("data_file", d)
       e
     }
-    // carry the ORIGINAL record_count forward (the spec requires actual
-    // counts; conformant readers use them, e.g. count(*) pushdown — a 0
-    // here would make every 2+-snapshot table miscount in real engines)
-    val carried = prev.toSeq.flatMap(_.files).map { f =>
-      entry(if (removePaths.contains(f.path)) 2 else 0, f.path, f.partitionValues,
-        f.recordCount, f.size, seq = Some(f.seq), fmt = f.format,
-        stats = f.stats)
+    // ---- manifests: CARRY untouched manifest files, rewrite only the
+    // touched ones, add one new manifest for this snapshot's files —
+    // commit cost O(delta + touched manifests), NOT O(live files),
+    // which is both the 100 TB shape (an append to a 200k-file table
+    // must not rewrite 200k entries) and how conformant writers commit
+    // (what lets snapshotDelta attribute changes by added_snapshot_id).
+    // Per-attempt unique side-file names: a racing writer must never
+    // overwrite the winner's manifests before losing the metadata CAS.
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val mlEntries = scala.collection.mutable.ArrayBuffer[GenericRecord]()
+    def mlEntry(path: java.nio.file.Path, content: Int, nAdded: Int,
+                nExisting: Int, nDeleted: Int,
+                specId: Int = 0): GenericRecord = {
+      val ml = new GenericData.Record(manifestListSchema)
+      ml.put("manifest_path", path.toString)
+      ml.put("manifest_length", Files.size(path))
+      ml.put("partition_spec_id", specId)
+      ml.put("content", content)
+      ml.put("sequence_number", snapshotId)
+      ml.put("added_snapshot_id", snapshotId)
+      ml.put("added_files_count", Integer.valueOf(nAdded))
+      ml.put("existing_files_count", Integer.valueOf(nExisting))
+      ml.put("deleted_files_count", Integer.valueOf(nDeleted))
+      ml
     }
+    def mlInt(m: GenericRecord, field: String): Option[Int] =
+      Option(m.getSchema.getField(field)).flatMap(_ => Option(m.get(field)))
+        .map(_.asInstanceOf[Number].intValue)
+
+    val prevMl: Seq[GenericRecord] = prevMetaNode.toSeq.flatMap { pm =>
+      val curId = pm.get("current-snapshot-id").asLong
+      pm.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong == curId)
+        .map(sn => IcebergRead.avroRows(
+          IcebergRead.resolve(tableDir, sn.get("manifest-list").asText)))
+        .getOrElse(Nil)
+    }
+    var rewriteIdx = 0
+    prevMl.foreach { m =>
+      val content = mlInt(m, "content").getOrElse(0)
+      // a manifest whose counts say it holds NO live files is pure
+      // tombstone history of an older snapshot — drop it (the spec
+      // keeps DELETED entries for one snapshot's changelog only)
+      val tombstoneOnly = mlInt(m, "added_files_count").contains(0) &&
+        mlInt(m, "existing_files_count").contains(0)
+      if (tombstoneOnly) ()
+      else if (content == 1) {
+        // delete manifests carry verbatim — unless this commit
+        // MATERIALIZED the deletes (rewriteDataFiles): the rewritten
+        // data no longer contains the suppressed rows
+        if (carryDeletes) mlEntries += m
+      } else if (removePaths.isEmpty) {
+        mlEntries += m // pure append: carry without even reading entries
+      } else {
+        val mPath = IcebergRead.resolve(tableDir, m.get("manifest_path").toString)
+        val rows = IcebergRead.avroRows(mPath)
+        def statusOf(e: GenericRecord): Int =
+          Option(e.get("status")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
+        def absOf(e: GenericRecord): String = {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          IcebergRead.resolve(tableDir, df.get("file_path").toString).toString
+        }
+        val live = rows.filter(statusOf(_) != 2)
+        if (!live.exists(e => removePaths.contains(absOf(e)))) {
+          if (live.nonEmpty) mlEntries += m
+          // zero live entries: tombstone-only manifest from a legacy
+          // list without counts — drop it here where we had to read
+        } else {
+          // REWRITE this manifest with ITS OWN entry schema (byte-level
+          // fidelity for bounds and partition tuples): kept live entries
+          // go EXISTING with their original sequence explicit; removed
+          // ones go DELETED under this snapshot; prior tombstones drop
+          val entrySchema = rows.head.getSchema
+          val mSeq = Option(m.get("sequence_number"))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+          var (nEx, nDel) = (0, 0)
+          val newRows = live.map { e =>
+            val eSeq = Option(e.getSchema.getField("sequence_number"))
+              .flatMap(_ => Option(e.get("sequence_number")))
+              .map(_.asInstanceOf[Number].longValue).getOrElse(mSeq)
+            e.put("sequence_number", java.lang.Long.valueOf(eSeq))
+            if (removePaths.contains(absOf(e))) {
+              e.put("status", 2); nDel += 1
+              if (e.getSchema.getField("snapshot_id") != null)
+                e.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
+            } else { e.put("status", 0); nEx += 1 }
+            e
+          }
+          val target = metaDir.resolve(
+            f"m-$snapshotId%05d-rw$rewriteIdx%03d-$attempt.avro")
+          rewriteIdx += 1
+          writeAvro(target, entrySchema, newRows)
+          mlEntries += mlEntry(target, 0, 0, nEx, nDel,
+            specId = mlInt(m, "partition_spec_id").getOrElse(0))
+        }
+      }
+    }
+
     // column bounds for the added files come from their parquet footers
     // (same seam as Delta add.stats); ORC adds carry none — conservative
     val hadoopConf = new org.apache.hadoop.conf.Configuration()
@@ -419,41 +512,21 @@ object IcebergFixture {
         else None
       entry(1, p, pv, n, size, fmt = addFormat, stats = st)
     }
-    // per-attempt unique side-file names: a racing writer must never
-    // overwrite the winner's manifests before losing the metadata CAS
-    val attempt = java.util.UUID.randomUUID().toString.take(8)
-    val manifestPath = metaDir.resolve(f"m-$snapshotId%05d-$attempt.avro")
-    writeAvro(manifestPath, mSchema, carried ++ added)
-
-    def mlEntry(path: java.nio.file.Path, content: Int): GenericRecord = {
-      val ml = new GenericData.Record(manifestListSchema)
-      ml.put("manifest_path", path.toString)
-      ml.put("manifest_length", Files.size(path))
-      ml.put("partition_spec_id", 0)
-      ml.put("content", content)
-      ml.put("sequence_number", snapshotId)
-      ml.put("added_snapshot_id", snapshotId)
-      ml
-    }
-    val mlEntries = scala.collection.mutable.ArrayBuffer(mlEntry(manifestPath, 0))
-
-    // ---- delete manifest: carried delete files + this snapshot's -----
-    // a compaction that MATERIALIZED the deletes (rewriteDataFiles)
-    // drops them instead of carrying — the rewritten files no longer
-    // contain the suppressed rows
-    val carriedDels = (if (carryDeletes) prev.toSeq.flatMap(_.deletes)
-                       else Nil).map { d =>
-      entry(0, d.path, Map.empty, d.recordCount, 0L, seq = Some(d.seq),
-        content = if (d.isEquality) 2 else 1, eqIds = d.equalityIds)
+    if (added.nonEmpty || mlEntries.isEmpty) {
+      // the new-files manifest (also written empty for a first, empty
+      // snapshot so the list is never zero-manifest)
+      val manifestPath = metaDir.resolve(f"m-$snapshotId%05d-$attempt.avro")
+      writeAvro(manifestPath, mSchema, added)
+      mlEntries += mlEntry(manifestPath, 0, added.size, 0, 0)
     }
     val addedDels = deleteAdds.map { d =>
       entry(1, d.path, Map.empty, d.recordCount, d.sizeBytes,
         content = if (d.isEquality) 2 else 1, eqIds = d.equalityIds)
     }
-    if ((carriedDels ++ addedDels).nonEmpty) {
+    if (addedDels.nonEmpty) {
       val delManifestPath = metaDir.resolve(f"md-$snapshotId%05d-$attempt.avro")
-      writeAvro(delManifestPath, mSchema, carriedDels ++ addedDels)
-      mlEntries += mlEntry(delManifestPath, 1)
+      writeAvro(delManifestPath, mSchema, addedDels)
+      mlEntries += mlEntry(delManifestPath, 1, addedDels.size, 0, 0)
     }
 
     val mlPath = metaDir.resolve(f"snap-$snapshotId%05d-$attempt.avro")

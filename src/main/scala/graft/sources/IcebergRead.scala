@@ -295,11 +295,20 @@ object IcebergRead {
   private[graft] def snapshotDelta(tableDir: String,
                                    sn: com.fasterxml.jackson.databind.JsonNode)
       : (Seq[(String, String)], Seq[String], Seq[DeleteFile]) = {
+    val sid = sn.get("snapshot-id").asLong
     val added = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val removed = scala.collection.mutable.ArrayBuffer[String]()
     val dels = scala.collection.mutable.ArrayBuffer[DeleteFile]()
     val ml = resolve(tableDir, sn.get("manifest-list").asText)
-    avroRows(ml).foreach { m =>
+    // only manifests ADDED BY this snapshot contribute its delta:
+    // conformant writers (and this module's commits) CARRY older
+    // manifest files verbatim, whose entries keep status 1/0 from
+    // their original snapshot — scanning them would re-report every
+    // carried file as "added here" (over-counting appends/changes on
+    // any real table)
+    avroRows(ml)
+      .filter(m => longField(m, "added_snapshot_id").contains(sid))
+      .foreach { m =>
       val content = intField(m, "content").getOrElse(0)
       val mSeq = longField(m, "sequence_number").getOrElse(0L)
       val mPath = resolve(tableDir, m.get("manifest_path").toString)
