@@ -2785,6 +2785,61 @@ object ConformanceQueries {
              |       AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
              |GROUP BY 1""".stripMargin)),
 
+    // ICEBERG PARTITION SPEC EVOLUTION (updateSpec — ALTER TABLE ...
+    // REPLACE PARTITION FIELD): era 1 lands identity-partitioned by
+    // priority, then the spec flips to years(o_orderdate) and era 2
+    // lands under it. Old files ride their spec verbatim (their
+    // manifests are CARRIED; reads stay correct, just unpruned through
+    // the retired channel), new files prune through the year
+    // transform; rewriteDataFiles migrates the history into the
+    // current layout. Values oracle-gated; booleans pin the two-era
+    // tuple split, exact new-era pruning, and the post-compaction
+    // migration.
+    Q("iceberg_update_spec",
+      (s, dir) => {
+        import graft.sources.{IcebergRead, IcebergWrite}
+        val wh = DvQueries.tmpWarehouse("graft_ice_uspec")
+        val tbl = s"$wh/orders_uspec"
+        val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 0), tbl,
+          Seq("o_orderpriority"))
+        IcebergWrite.updateSpec(tbl, Seq("years(o_orderdate)"))
+        IcebergWrite.write(o.filter(col("o_orderkey") % 2 === 1), tbl)
+        val snap = IcebergRead.snapshot(tbl)
+        val twoEras =
+          snap.files.exists(_.partitionValues.contains("o_orderpriority")) &&
+            snap.files.exists(_.partitionValues.contains("o_orderdate_year")) &&
+            snap.partitionFields.map(_.transform.specName) == Seq("year")
+        def scheduled(df: DataFrame): Int = df.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles.toInt
+        }.sum
+        val hi = to_timestamp(lit("1995-01-01 00:00:00"))
+        val ranged = IcebergRead.read(s, tbl).filter(col("o_orderdate") < hi)
+        val predicted = snap.files.count(f =>
+          f.partitionValues.get("o_orderdate_year").forall(_.toLong <= 25L))
+        val pruneOk = scheduled(ranged) == predicted &&
+          predicted < snap.files.size
+        IcebergWrite.rewriteDataFiles(s, tbl)
+        val migrated = IcebergRead.snapshot(tbl).files
+          .forall(_.partitionValues.contains("o_orderdate_year"))
+        IcebergRead.read(s, tbl)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .withColumn("two_eras", lit(twoEras))
+          .withColumn("new_era_pruning", lit(pruneOk))
+          .withColumn("compaction_migrated", lit(migrated))
+      },
+      Some("""SELECT o_orderpriority AS priority,
+             |  cast(count(*) AS BIGINT) AS n_orders,
+             |  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents,
+             |  TRUE AS two_eras, TRUE AS new_era_pruning,
+             |  TRUE AS compaction_migrated
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // ICEBERG FIELD-ID SCHEMA EVOLUTION: rename is metadata-only — the
     // field keeps its id, so era-1 files (parquet column named
     // o_totalprice) and era-2 files (written as o_amount after the

@@ -331,6 +331,20 @@ object IcebergFixture {
     }
     val nameToId = assignFieldIds(prevMetaNode, prev.map(_.fieldIdToName),
       schema)
+    // resolve THIS commit's partition-spec id against the retained spec
+    // history (IcebergWrite.updateSpec appends specs; a commit under an
+    // already-known spec reuses its id)
+    val prevSpecs = prevMetaNode.toSeq.flatMap(pm =>
+      Option(pm.get("partition-specs")).toSeq.flatMap(_.elements().asScala))
+    def specFieldsOf(s: com.fasterxml.jackson.databind.JsonNode) =
+      s.get("fields").elements().asScala.map(f =>
+        (f.get("name").asText, f.get("transform").asText,
+          f.get("source-id").asInt)).toSeq
+    val wantSpecFields = partFields.map(pf =>
+      (pf.name, pf.transform.specName, nameToId(pf.sourceCol)))
+    val matchingSpec = prevSpecs.find(specFieldsOf(_) == wantSpecFields)
+    val currentSpecId = matchingSpec.map(_.get("spec-id").asInt).getOrElse(
+      prevSpecs.map(_.get("spec-id").asInt).maxOption.map(_ + 1).getOrElse(0))
     val written = added0
 
     // ---- manifest: carried-forward state + this snapshot's changes ---
@@ -415,7 +429,7 @@ object IcebergFixture {
     val mlEntries = scala.collection.mutable.ArrayBuffer[GenericRecord]()
     def mlEntry(path: java.nio.file.Path, content: Int, nAdded: Int,
                 nExisting: Int, nDeleted: Int,
-                specId: Int = 0): GenericRecord = {
+                specId: Int = currentSpecId): GenericRecord = {
       val ml = new GenericData.Record(manifestListSchema)
       ml.put("manifest_path", path.toString)
       ml.put("manifest_length", Files.size(path))
@@ -590,16 +604,22 @@ object IcebergFixture {
       prevSchemas.foreach(schemas.add)
       if (prevSchemas.isEmpty) schemas.add(schemaNode)
     }
-    meta.put("default-spec-id", 0)
+    // partition-spec HISTORY is retained (spec evolution: carried
+    // manifests keep their original spec's tuples; the id resolved at
+    // the top of this method)
+    meta.put("default-spec-id", currentSpecId)
     val specs = meta.putArray("partition-specs")
-    val spec = specs.addObject()
-    spec.put("spec-id", 0)
-    val specFields = spec.putArray("fields")
-    partFields.zipWithIndex.foreach { case (pf, i) =>
-      val f = specFields.addObject()
-      f.put("name", pf.name); f.put("transform", pf.transform.specName)
-      f.put("source-id", nameToId(pf.sourceCol))
-      f.put("field-id", 1000 + i)
+    prevSpecs.foreach(specs.add)
+    if (matchingSpec.isEmpty) {
+      val spec = specs.addObject()
+      spec.put("spec-id", currentSpecId)
+      val specFields = spec.putArray("fields")
+      partFields.zipWithIndex.foreach { case (pf, i) =>
+        val f = specFields.addObject()
+        f.put("name", pf.name); f.put("transform", pf.transform.specName)
+        f.put("source-id", nameToId(pf.sourceCol))
+        f.put("field-id", 1000 + i)
+      }
     }
     meta.put("default-sort-order-id", 0)
     meta.putArray("sort-orders").addObject().put("order-id", 0)

@@ -214,10 +214,18 @@ object IcebergWrite {
         require(missing.isEmpty, s"z-order columns not in table: $missing")
         snap.files
       } else if (materializing) snap.files
-      else snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
-        val c = fs.filter(_.size < targetFileBytes)
-        if (c.size >= 2) c else Nil
-      }.toSeq
+      else {
+        // files written under a RETIRED partition spec are always
+        // rewrite candidates — compaction is how an updateSpec'd table
+        // migrates its history into the current layout (and regains
+        // pruning on it)
+        val fieldNames = fields.map(_.name).toSet
+        snap.files.groupBy(_.partitionValues).values.flatMap { fs =>
+          val oldSpec = fs.filter(_.partitionValues.keySet != fieldNames)
+          val c = (fs.filter(_.size < targetFileBytes) ++ oldSpec).distinct
+          if (c.size >= 2 || oldSpec.nonEmpty) c else Nil
+        }.toSeq
+      }
     if (rewritten.isEmpty) return (before, before)
 
     val sub = snap.copy(files = rewritten)
@@ -482,6 +490,50 @@ object IcebergWrite {
       Files.readString(metaDir.resolve(s"v$version.metadata.json")))
     meta.get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong).max + 1
+  }
+
+  /** UPDATE the table's PARTITION SPEC — Iceberg's spec evolution
+    * (`ALTER TABLE ... ADD/REPLACE PARTITION FIELD`): a metadata-only
+    * commit appending a new spec (spec-id = max + 1) and repointing
+    * `default-spec-id`. Existing data files keep their old spec's
+    * layout and tuples (their manifests are CARRIED verbatim — reads
+    * stay correct, old files simply stop pruning through the retired
+    * identity channel); commits after this one lay files out under the
+    * new spec, and a later [[rewriteDataFiles]] migrates old files
+    * into it. `partCols` takes the same terms as [[write]]
+    * (`days(ts)`, `bucket(8, key)`, bare names). Returns the new
+    * metadata version. */
+  def updateSpec(tableDir: String, partCols: Seq[String]): Int = {
+    val snap = IcebergRead.snapshot(tableDir)
+    val fields = partCols.map(IcebergTransforms.parseField)
+    fields.foreach(f => require(snap.schema.fieldNames.contains(f.sourceCol),
+      s"partition source column ${f.sourceCol} (${f.transform.specName}) " +
+        s"not in $tableDir's schema"))
+    val nameToId = snap.fieldIdToName.map(_.swap)
+    val metaDir = Paths.get(tableDir).resolve("metadata")
+    val version = Files.readString(metaDir.resolve("version-hint.text")).trim.toInt
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      Files.readString(metaDir.resolve(s"v$version.metadata.json")))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val prevSpecs = Option(meta.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    val newId = prevSpecs.map(_.get("spec-id").asInt).maxOption
+      .map(_ + 1).getOrElse(0)
+    val arr = meta.putArray("partition-specs")
+    prevSpecs.foreach(arr.add)
+    val spec = arr.addObject()
+    spec.put("spec-id", newId)
+    val sf = spec.putArray("fields")
+    fields.zipWithIndex.foreach { case (pf, i) =>
+      val f = sf.addObject()
+      f.put("name", pf.name); f.put("transform", pf.transform.specName)
+      f.put("source-id", nameToId(pf.sourceCol))
+      f.put("field-id", 1000 + i)
+    }
+    meta.put("default-spec-id", newId)
+    IcebergFixture.commitMetadataVersion(metaDir, version + 1, meta)
+    version + 1
   }
 
   /** RENAME a column — metadata-only, the spec's core evolution

@@ -17,6 +17,48 @@ import graft.SparkSpec
 class IcebergSpecEvolutionPruneSpec extends SparkSpec {
   import spark.implicits._
 
+  test("updateSpec: old files ride their spec, new files the new one, compact migrates") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = Files.createTempDirectory("graft_updatespec").resolve("t").toString
+    val mkTs = (d: Int) => java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-03-0${d}%dT12:00:00Z"))
+    val era1 = Seq((1L, mkTs(1), "a"), (2L, mkTs(2), "b"), (3L, mkTs(3), "a"))
+      .toDF("id", "ts", "par")
+    IcebergWrite.write(era1, t, Seq("par"))                      // spec 0
+    IcebergWrite.updateSpec(t, Seq("days(ts)"))                  // spec 1
+    val era2 = Seq((4L, mkTs(4), "b"), (5L, mkTs(5), "a")).toDF("id", "ts", "par")
+    IcebergWrite.write(era2, t)                                  // under days(ts)
+    val snap = IcebergRead.snapshot(t)
+    assert(snap.partitionFields.map(_.transform) ==
+      Seq(IcebergTransforms.Day))
+    // old files keep par tuples, new ones ts_day tuples
+    assert(snap.files.filter(_.partitionValues.contains("par"))
+      .map(_.partitionValues("par")).toSet == Set("a", "b"))
+    assert(snap.files.count(_.partitionValues.contains("ts_day")) == 2)
+    val all = IcebergRead.read(spark, t)
+    assert(all.count() == 5)
+    // day pruning hits only new-spec files; old-spec files stay scheduled
+    // ts >= day 5: the day-4 new-spec file prunes; old-spec files stay
+    // scheduled (unprunable through the retired channel)
+    val day5 = java.time.LocalDate.parse("2024-03-05").toEpochDay
+    val ranged = all.filter(col("ts") >= lit(mkTs(5)))
+    val scheduled = ranged.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles.toInt
+    }.sum
+    val predicted = snap.files.count(f =>
+      f.partitionValues.get("ts_day").forall(_.toLong >= day5))
+    assert(scheduled == predicted && scheduled < snap.files.size)
+    assert(ranged.select(col("id")).as[Long].collect().toSet == Set(5L))
+    // compaction migrates everything into the CURRENT spec's layout
+    IcebergWrite.rewriteDataFiles(spark, t, targetFileBytes = 1L << 30)
+    val snap2 = IcebergRead.snapshot(t)
+    assert(snap2.files.forall(_.partitionValues.contains("ts_day")),
+      s"compact must re-lay old files under days(ts): " +
+        s"${snap2.files.map(_.partitionValues)}")
+    assert(IcebergRead.read(spark, t).count() == 5)
+  }
+
   test("old-spec files (missing tuple key) are never identity-pruned") {
     val dir = Files.createTempDirectory("graft_specevo")
     val schema = StructType(Seq(StructField("id", LongType),
