@@ -12,6 +12,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+      // standard INT64-micros timestamps (same as Verify): tx-table
+      // timestamp stats become parquet-footer-readable (TxLogTable
+      // batchStats) instead of INT96, whose footer stats are unusable
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // some events.parquet vintages carried TIMESTAMP(NANOS), readable only
       // under this flag (as BIGINT nanos); no-op for the current
       // timestamp[us] files. SimQueries.events adapts to either surface.

@@ -300,13 +300,46 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       m.checks.toSeq.sorted.map { case (n, sql) => s"$CheckHeader$n\t$sql" }
   }
 
-  /** one pass over a just-written batch collecting per-file min/max of the
-    * stats columns (column-pruned scan of files that are page-cache-warm
-    * from the write — the ANALYZE cost of enabling data skipping) */
+  /** Per-file min/max of the stats columns for a just-written batch, read
+    * from the parquet FOOTERS — driver-side metadata work (one footer per
+    * file, O(files) not O(rows)) replacing the full read-back Spark job
+    * this used to cost on every stats-bearing commit. Values render
+    * exactly as the scan path rendered them (Spark CAST AS STRING under
+    * the session time zone), so stored stats stay comparable with
+    * caller-supplied probe bounds and across commit eras. Footer min/max
+    * remain valid BOUNDS even when the writer truncated long strings (min
+    * rounds down, max rounds up per the parquet spec), so interval pruning
+    * stays sound; a column that is all-NULL in a file, or absent from it,
+    * gets no entry (unprunable, safe) — same as before. A file whose
+    * footer is unusable for any requested column with actual values
+    * (INT96 timestamps, exotic types, a writer that dropped stats) falls
+    * back to the old one-pass scan for that file: identical results at
+    * the old cost. */
   private def batchStats(name: String, batchFiles: Seq[String],
                          statsCols: Seq[String]): Map[(String, String), (String, String)] = {
-    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
     if (statsCols.isEmpty || batchFiles.isEmpty) return Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val out = Map.newBuilder[(String, String), (String, String)]
+    val fallback = Seq.newBuilder[String]
+    batchFiles.foreach { f =>
+      footerMinMax(conf, root(name).resolve(f), statsCols, zone) match {
+        case Some(entries) =>
+          entries.foreach { case (c, mnmx) => out += ((f, c) -> mnmx) }
+        case None => fallback += f
+      }
+    }
+    val needScan = fallback.result()
+    val scanned = if (needScan.isEmpty) Map.empty else scanStats(name, needScan, statsCols)
+    out.result() ++ scanned
+  }
+
+  /** The pre-footer stats pass: one column-pruned Spark scan over `fs`
+    * collecting per-file min/max. Kept as the fallback for files whose
+    * footer stats are unusable. */
+  private def scanStats(name: String, batchFiles: Seq[String],
+                        statsCols: Seq[String]): Map[(String, String), (String, String)] = {
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
     val df = spark.read.option("mergeSchema", "true")
       .parquet(batchFiles.map(f => root(name).resolve(f).toString): _*)
     val present = df.columns.toSet
@@ -327,6 +360,130 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
           }
         }
       }.toMap
+  }
+
+  /** Footer min/max of `statsCols` for one file, rendered as Spark CAST AS
+    * STRING. Some(entries): usable (absent / all-NULL columns yield no
+    * entry). None: at least one requested column has values but unusable
+    * stats — caller must scan this file. */
+  private def footerMinMax(conf: org.apache.hadoop.conf.Configuration,
+                           file: java.nio.file.Path, statsCols: Seq[String],
+                           zone: java.time.ZoneId): Option[Seq[(String, (String, String))]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val hPath = new org.apache.hadoop.fs.Path(file.toUri)
+    val rdr = try ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    catch { case _: Exception => return None }
+    try {
+      val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+      val schema = rdr.getFooter.getFileMetaData.getSchema
+      val entries = Seq.newBuilder[(String, (String, String))]
+      statsCols.foreach { c =>
+        // only TOP-LEVEL primitive columns are ever stats columns (the
+        // writer casts to the mapping's flat physical schema)
+        val inSchema = schema.getFields.asScala.exists(_.getName == c)
+        if (inSchema) {
+          var lo: Any = null; var hi: Any = null
+          var usable = true; var hasValues = false
+          blocks.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+              case None => usable = false
+              case Some(cc) =>
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty) {
+                  // no stats at all: if the block has rows, values may exist
+                  if (b.getRowCount > 0) { usable = false; hasValues = true }
+                } else if (st.hasNonNullValue) {
+                  hasValues = true
+                  val (mn, mx) = (st.genericGetMin, st.genericGetMax)
+                  if (lo == null || cmpFooter(mn, lo) < 0) lo = mn
+                  if (hi == null || cmpFooter(mx, hi) > 0) hi = mx
+                } else if (!st.isNumNullsSet || st.getNumNulls < b.getRowCount) {
+                  usable = false; hasValues = true // values but no bounds
+                } // else: all-NULL block — contributes nothing, stays usable
+            }
+          }
+          if (!usable && hasValues) return None // scan fallback
+          if (usable && lo != null) {
+            val prim = schema.getType(Seq(c): _*).asPrimitiveType()
+            (renderFooterValue(lo, prim, zone), renderFooterValue(hi, prim, zone)) match {
+              case (Some(mn), Some(mx)) => entries += (c -> (mn, mx))
+              case _ => return None // unrenderable type (INT96, …) — scan
+            }
+          }
+          // lo == null (all-NULL or zero rows): no entry — unprunable, safe
+        }
+        // column not in this file (pre-DDL era): no entry, same as before
+      }
+      Some(entries.result())
+    } catch { case _: Exception => None }
+    finally rdr.close()
+  }
+
+  /** footer values are Comparable within a column's physical type — except
+    * Binary, which must combine in UNSIGNED byte order (the order Spark's
+    * string min/max uses). */
+  private def cmpFooter(a: Any, b: Any): Int = (a, b) match {
+    case (x: org.apache.parquet.io.api.Binary, y: org.apache.parquet.io.api.Binary) =>
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(x.getBytes)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromBytes(y.getBytes))
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
+  /** One footer value rendered the way Spark CAST AS STRING renders the
+    * corresponding Catalyst value — the format every stats consumer
+    * (statCompare probes, TxRehash's activeStr checks) compares against.
+    * None = type we cannot render faithfully; caller falls back to the
+    * scan. */
+  private def renderFooterValue(v: Any, prim: org.apache.parquet.schema.PrimitiveType,
+                                zone: java.time.ZoneId): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val ann = prim.getLogicalTypeAnnotation
+    (prim.getPrimitiveTypeName, ann) match {
+      case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+        Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+      case (INT32, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        Some(java.math.BigDecimal.valueOf(v.asInstanceOf[Number].longValue, d.getScale).toString)
+      case (INT64, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        Some(java.math.BigDecimal.valueOf(v.asInstanceOf[Number].longValue, d.getScale).toString)
+      case ((BINARY | FIXED_LEN_BYTE_ARRAY), d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        Some(new java.math.BigDecimal(new java.math.BigInteger(
+          v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes), d.getScale).toString)
+      case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+        Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue).toString)
+      case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+        import LogicalTypeAnnotation.TimeUnit
+        val micros = t.getUnit match {
+          case TimeUnit.MICROS => v.asInstanceOf[Number].longValue
+          case TimeUnit.MILLIS => Math.multiplyExact(v.asInstanceOf[Number].longValue, 1000L)
+          case _ => return None // NANOS: read as BIGINT under nanosAsLong — scan
+        }
+        // adjusted-to-UTC (TimestampType) renders in the session zone;
+        // NTZ renders the stored local datetime verbatim
+        Some(formatMicros(micros, if (t.isAdjustedToUTC) zone else java.time.ZoneOffset.UTC))
+      case (INT32, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) |
+           (INT64, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) |
+           (INT32, null) | (INT64, null) =>
+        Some(v.asInstanceOf[Number].longValue.toString)
+      case (FLOAT, null) => Some(v.asInstanceOf[java.lang.Float].toString)
+      case (DOUBLE, null) => Some(v.asInstanceOf[java.lang.Double].toString)
+      case (BOOLEAN, null) => Some(v.asInstanceOf[java.lang.Boolean].toString)
+      case _ => None // INT96 timestamps, UUIDs, … — scan fallback
+    }
+  }
+
+  /** epoch-micros → Spark's timestamp CAST AS STRING rendering in `zone`:
+    * "yyyy-MM-dd HH:mm:ss[.f…]" with trailing fraction zeros trimmed. */
+  private def formatMicros(us: Long, zone: java.time.ZoneId): String = {
+    val secs = Math.floorDiv(us, 1000000L)
+    val frac = Math.floorMod(us, 1000000L)
+    val ldt = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(secs, frac * 1000L), zone)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d" +
+      f" ${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    if (frac == 0L) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
   }
 
   /** UTF-8 byte ordering — Spark's min/max over strings is binary
@@ -407,9 +564,35 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     finally s.close()
   }
 
+  /** The physical parquet schema a mapping implies. Sound because physical
+    * types are immutable per live set: writeBatch casts to the mapping's
+    * typeDdl, retype rewrites every live file atomically, and evolution
+    * never retypes — so every live file either carries a column at exactly
+    * this type or lacks it entirely (and the reader null-fills it). */
+  private def physicalSchema(cols: Seq[ColMap]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c.physical,
+        org.apache.spark.sql.types.DataType.fromDDL(c.typeDdl), nullable = true)))
+
+  /** raw PHYSICAL-name read of `fs` under the mapping's known schema (no
+    * logical rename/cast) — the shared no-inference read for stats/bloom
+    * builders. Falls back to mergeSchema inference only for legacy
+    * unmapped manifests. */
+  private def readPhysical(name: String, cols: Seq[ColMap],
+                           fs: Seq[String]): DataFrame =
+    if (cols.isEmpty) spark.read.option("mergeSchema", "true")
+      .parquet(fs.map(f => root(name).resolve(f).toString): _*)
+    else spark.read.schema(physicalSchema(cols))
+      .parquet(fs.map(f => root(name).resolve(f).toString): _*)
+
   /** read `fs` through the mapping: files predating an added column
-    * null-fill (mergeSchema unions the physical schemas), renamed columns
-    * surface under their logical name */
+    * null-fill (the reader null-fills requested-but-absent columns),
+    * renamed columns surface under their logical name. The mapping KNOWS
+    * the merged physical schema, so it is passed explicitly — the
+    * `mergeSchema` footer-inference pass this replaces cost one extra
+    * Spark job (a distributed footer read over every file) per table
+    * read, pure fixed overhead at any scale and O(files) wasted I/O at
+    * 100 TB. */
   private def readMapped(name: String, cols: Seq[ColMap],
                          fs: Seq[String]): DataFrame = {
     if (fs.isEmpty) {
@@ -418,16 +601,14 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       return spark.emptyDataFrame.select(cols.map(c =>
         lit(null).cast(c.typeDdl).as(c.logical)): _*)
     }
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(fs.map(f => root(name).resolve(f).toString): _*)
-    if (cols.isEmpty) raw
-    else {
-      val present = raw.columns.toSet
-      raw.select(cols.map { c =>
-        if (present(c.physical)) col(c.physical).cast(c.typeDdl).as(c.logical)
-        else lit(null).cast(c.typeDdl).as(c.logical)
-      }: _*)
-    }
+    if (cols.isEmpty)
+      spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => root(name).resolve(f).toString): _*)
+    else
+      spark.read.schema(physicalSchema(cols))
+        .parquet(fs.map(f => root(name).resolve(f).toString): _*)
+        .select(cols.map(c =>
+          col(c.physical).cast(c.typeDdl).as(c.logical)): _*)
   }
 
   /** the deleted-key frame of one equality-delete file (physical key
@@ -447,8 +628,11 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     if (applicable.isEmpty) return readMapped(name, cols, fs)
     val groups = fs.groupBy(f => applicable.filter(_.scope(f)).map(_.file))
     groups.map { case (delFiles, groupFs) =>
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(groupFs.map(f => root(name).resolve(f).toString): _*)
+      val raw =
+        if (cols.isEmpty) spark.read.option("mergeSchema", "true")
+          .parquet(groupFs.map(f => root(name).resolve(f).toString): _*)
+        else spark.read.schema(physicalSchema(cols))
+          .parquet(groupFs.map(f => root(name).resolve(f).toString): _*)
       val surviving = applicable.filter(e => delFiles.contains(e.file))
         .foldLeft(raw) { (df, e) =>
           // physical key columns are always present: delete files are only
@@ -457,13 +641,8 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
           df.join(deleteKeys(name, e), e.keyPhys, "left_anti")
         }
       if (cols.isEmpty) surviving
-      else {
-        val present = surviving.columns.toSet
-        surviving.select(cols.map { c =>
-          if (present(c.physical)) col(c.physical).cast(c.typeDdl).as(c.logical)
-          else lit(null).cast(c.typeDdl).as(c.logical)
-        }: _*)
-      }
+      else surviving.select(cols.map(c =>
+        col(c.physical).cast(c.typeDdl).as(c.logical)): _*)
     }.reduce(_ unionByName _)
   }
 
@@ -954,12 +1133,12 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     * key-count rows. Shared by [[setBloomColumn]] and the compaction
     * rewrites (which must re-bloom the files they emit, or the skipping
     * property silently dies with the replaced files). */
-  private def buildFileBlooms(name: String, fs: Seq[String], physCol: String,
+  private def buildFileBlooms(name: String, cols: Seq[ColMap], fs: Seq[String],
+                              physCol: String,
                               nbits: Int): Map[(String, String), String] = {
     import org.apache.spark.sql.functions.{col => fcol, collect_set, explode, input_file_name}
     if (fs.isEmpty) return Map.empty
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(fs.map(f => root(name).resolve(f).toString): _*)
+    val raw = readPhysical(name, cols, fs)
       .select(input_file_name().as("__file"), fcol(physCol))
     val posRows = raw.distinct()
       .select(fcol("__file"), explode(bloomPosCols(fcol(physCol), nbits)).as("pos"))
@@ -988,7 +1167,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
                             added: Seq[String]): Map[(String, String), String] =
     m.bloomCols.foldLeft(Map.empty[(String, String), String]) {
       case (acc, (physCol, nbits)) =>
-        acc ++ buildFileBlooms(name, added, physCol, nbits)
+        acc ++ buildFileBlooms(name, m.cols, added, physCol, nbits)
     }
 
   /** Enable a Bloom filter on `logicalCol` and build one per live file in
@@ -1003,8 +1182,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
     val c = m.cols.find(_.logical == logicalCol).getOrElse(
       throw new IllegalArgumentException(s"TxLogTable $name: no column $logicalCol"))
     val live = files(name, v)
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(live.map(f => root(name).resolve(f).toString): _*)
+    val raw = readPhysical(name, m.cols, live)
       .select(input_file_name().as("__file"), fcol(c.physical))
     // sizing only needs an NDV ESTIMATE (an overshoot widens the filter, an
     // undershoot mildly raises FPR): approx_count_distinct is one map-side
@@ -1014,7 +1192,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       .head().getLong(0) * 1.2).toLong
     val nbits = math.max(1024L,
       java.lang.Long.highestOneBit(math.max(1L, maxNdv * bitsPerKey) * 2 - 1)).toInt
-    val byFile = buildFileBlooms(name, live, c.physical, nbits)
+    val byFile = buildFileBlooms(name, m.cols, live, c.physical, nbits)
     val m2 = m.copy(bloomCols = m.bloomCols + (c.physical -> nbits),
       blooms = m.blooms ++ byFile)
     if (!tryCommit(name, v + 1, renderM(m2, live)))
