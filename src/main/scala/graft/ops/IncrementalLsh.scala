@@ -101,9 +101,18 @@ object IncrementalLsh {
         .join(deadNow, Seq("band", "bucket"), "left_anti")
         .select("doc_id", "doc_id_2", "band", "bucket")
       try {
-        store.appendOnce(pairsT(prefix), emit, appId, batchId)
-        store.appendOnce(deadT(prefix), newlyDead, appId, batchId)
-        store.appendOnce(bandsT(prefix), newBands, appId, batchId)
+        // REBALANCE before each append (guide §6): the delta frames inherit
+        // the persisted batch's partitioning (cached plans keep their
+        // partition count), so an unhinted write emits one near-empty file
+        // per partition per commit — at fixture scale 32 tiny files per
+        // append, at any scale files sized by upstream parallelism instead
+        // of bytes. The AQE rebalance shuffle re-sizes output partitions by
+        // bytes, so the index tables accumulate compact files and every
+        // later touched-bucket probe opens O(data) files, not O(commits ×
+        // upstream partitions).
+        store.appendOnce(pairsT(prefix), emit.hint("rebalance"), appId, batchId)
+        store.appendOnce(deadT(prefix), newlyDead.hint("rebalance"), appId, batchId)
+        store.appendOnce(bandsT(prefix), newBands.hint("rebalance"), appId, batchId)
         ()
       } finally { members.unpersist(blocking = false); () }
     } finally { newBands.unpersist(blocking = false); () }

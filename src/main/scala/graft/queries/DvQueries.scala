@@ -2526,9 +2526,16 @@ object DvQueries {
         val t = new graft.runtime.TxLogTable(s, wh)
         val hk = rd(s, dir, "customer")
           .select(Hashing.hashkey(Seq(col("c_custkey"))).as("hk_customer_h"))
-        Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach { d =>
-          t.append("pit", hk.withColumn("sdts", lit(d).cast("timestamp")))
-        }
+        // one clustered write job lands all 3 snapshot days one-day-per-file
+        // (the layout 3 per-day appends produced) without re-scanning and
+        // re-hashing customer per day (guide §1.2)
+        // cluster key is an INT day index, not the timestamp itself: hive
+        // partition-dir escaping of ':' would otherwise break the
+        // cleaner's input_file_name↔manifest suffix matching
+        t.appendClustered("pit", hk.withColumn("sdts",
+          explode(array(Seq("2024-01-01", "2024-01-02", "2024-01-03")
+            .map(d => lit(d).cast("timestamp")): _*))),
+          dayofmonth(col("sdts")), buckets = 3)
         t.overwrite("snap", s.sql(
           """SELECT timestamp'2024-01-01' AS sdts, true AS is_active
             |UNION ALL SELECT timestamp'2024-01-02', false
@@ -2561,14 +2568,18 @@ object DvQueries {
           .withColumn("is_active", lit(true))
         val pit = PitLoader.records(hub, "hk_customer_h",
           Seq(PitSatellite("customer_s", v1)), spine, "dim_key_customer")
-        // land the PIT in sdts-ranged chunks: the cleaner's file-stat
-        // pruning needs per-file sdts ranges, the layout a per-snapshot
-        // incremental PIT load produces naturally
-        Seq(("2024-02-01", "2024-02-08"), ("2024-02-08", "2024-02-15"),
-            ("2024-02-15", "2024-02-22")).foreach { case (lo, hi) =>
-          t.append("pit", pit.filter(col("sdts") >= lit(lo).cast("timestamp") &&
-            col("sdts") < lit(hi).cast("timestamp")))
-        }
+        // land the PIT in sdts-ranged chunks: the cleaner's file pruning
+        // wants per-file sdts ranges, the layout a per-snapshot
+        // incremental PIT load produces naturally. ONE clustered write
+        // job lays the same weekly ranges out one-range-per-file
+        // (appendClustered) — the 3 ranged appends it replaces each
+        // re-executed the ENTIRE PIT build plan (3× the cross-join +
+        // temporal join work) plus a commit apiece (guide §1.2: remove
+        // repeated passes; §2.4: one shuffle where three jobs were).
+        t.appendClustered("pit", pit,
+          when(col("sdts") < lit("2024-02-08").cast("timestamp"), 0)
+            .when(col("sdts") < lit("2024-02-15").cast("timestamp"), 1)
+            .otherwise(2), buckets = 3)
         // the log_logic FLIP: rebuild the v1 control with narrowed retention
         val snapV1 = ControlSnapV1Loader.buildMulti(
           ControlSnapV0Loader.build(s, "2024-02-01", "12:00:00", Some("2024-02-21")),

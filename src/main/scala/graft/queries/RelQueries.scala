@@ -40,8 +40,14 @@ object RelQueries {
     // prunes the long tail before the final join.
     Q("basket_lift",
       (s, dir) => {
+        // the deduped basket table feeds FOUR consumers (order count, both
+        // sides of the pair self-join, the marginals) — materialize it once
+        // (localCheckpoint) instead of re-scanning and re-deduping lineitem
+        // per consumer (guide §1.2 / §5: reuse beats recompute; the frame
+        // is O(distinct basket items), far smaller than raw lineitem)
         val li = rd(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .localCheckpoint()
         val nOrders = li.select("l_orderkey").distinct().count()
         val marg = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
         val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))

@@ -1704,11 +1704,18 @@ object TextQueries {
     Q("pagerank_sim",
       (s, dir) => {
         val cands = lshCandidates(s, dir)
+        // parallelism derived from the edge count (the GraphOps convention,
+        // ~250k edges/partition): the cached candidate frame keeps its
+        // upstream partition count, so an unkeyed repartition inherits 32
+        // near-empty shards and every iteration pays 32-task scheduling for
+        // a few thousand rows; at large scale the same expression widens
+        val nParts = math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+          cands.count() / 250000L)).toInt
         val edges = cands
           .select(col("doc_id").as("src"), col("doc_id_2").as("dst"))
           .unionAll(cands
             .select(col("doc_id_2").as("src"), col("doc_id").as("dst")))
-          .repartition(col("src")) // one exchange, reused by all 3 iterations
+          .repartition(nParts, col("src")) // one exchange, reused by all 3 iterations
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         val n = deg.select(count(lit(1)).cast("double").as("n"))
         var ranks = deg.crossJoin(broadcast(n))
@@ -1778,9 +1785,19 @@ object TextQueries {
             Seq("doc_id_2"))
         val aLower = (col("da") < col("db")) ||
           (col("da") === col("db") && col("doc_id") < col("doc_id_2"))
+        // edge-count-derived parallelism + localCheckpoint (the GraphOps
+        // convention): `oriented` feeds THREE consumers (both wedge sides
+        // and the closure probe) — uncheckpointed, each re-executed the
+        // cands⋈deg⋈deg build, and the cached candidate frame's inherited
+        // 32-shard partitioning made every re-execution a 32-task stage
+        // over a few thousand rows
+        val nParts = math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+          cands.count() / 250000L)).toInt
         val oriented = withDeg.select(
           when(aLower, col("doc_id")).otherwise(col("doc_id_2")).as("src"),
           when(aLower, col("doc_id_2")).otherwise(col("doc_id")).as("dst"))
+          .repartition(nParts, col("src"))
+          .localCheckpoint()
         val wedges = oriented
           .join(oriented.select(col("src").as("src2"), col("dst").as("dst2")),
             col("src") === col("src2") && col("dst") < col("dst2"))
