@@ -3681,7 +3681,14 @@ object TextQueries {
           .select(col("doc_id"), explode(expr(
             "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS w1, words[i + 1] AS w2))")).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        // the vocab²-scale bigram count table feeds FOUR consumers (c1,
+        // back, the n1pTotal action, the join) — checkpoint IT (small
+        // next to the corpus), while the map-side-combined aggregates
+        // over the raw bigram frame stay as-is (guide §2.3: aggregate
+        // before you shuffle; §1.2: don't re-run the c2 chain per
+        // consumer)
         val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          .localCheckpoint()
         val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"),
           count(lit(1)).as("n1p_fwd"))
         val back = c2.groupBy("w2").agg(count(lit(1)).as("n1p_back"))
