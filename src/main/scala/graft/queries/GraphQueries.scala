@@ -33,6 +33,21 @@ object GraphQueries {
   private val CoreK = 3
   private val BfsRounds = 4
 
+  /** Size-adaptive broadcast (guide §3.1): the per-round node sets are
+    * localCheckpointed, and RDD-backed frames report the DEFAULT size to
+    * the planner (Long.Max) — so every semi/anti join against them planned
+    * as a full SortMergeJoin, shuffling the whole edge set once per join
+    * per round. The loop has the exact row count in hand (the frame is
+    * already materialized), so make the decision AQE would make with real
+    * stats: broadcast while the node set fits the session's broadcast
+    * threshold (~16 bytes per id row), fall back to the shuffle join when
+    * it doesn't — at 100 TB a late-round core CAN be huge, so this stays a
+    * runtime size decision, never a blanket hint. */
+  private def bcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
+    val thresh = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thresh > 0 && rows * 16 <= thresh) broadcast(df) else df
+  }
+
   /** symmetric co-purchase edges: part pairs sharing ≥ 2 orders. */
   private def symEdges(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -100,18 +115,22 @@ object GraphQueries {
         val edges = symEdges(s, dir).localCheckpoint()
         var alive = edges.select(col("src").as("node")).distinct()
           .localCheckpoint()
+        var aliveN = alive.count() // frame is materialized — count is free
+        def restricted: DataFrame = {
+          val a = bcastIfSmall(alive, aliveN)
+          edges
+            .join(a.select(col("node").as("src")), Seq("src"), "leftsemi")
+            .join(a.select(col("node").as("dst")), Seq("dst"), "leftsemi")
+        }
         for (_ <- 1 to PeelRounds) {
-          val deg = edges
-            .join(alive.select(col("node").as("src")), Seq("src"), "leftsemi")
-            .join(alive.select(col("node").as("dst")), Seq("dst"), "leftsemi")
+          alive = restricted
             .groupBy(col("src").as("node"))
             .agg(count(lit(1)).as("deg"))
-          alive = deg.filter(col("deg") >= CoreK).select("node")
+            .filter(col("deg") >= CoreK).select("node")
             .localCheckpoint()
+          aliveN = alive.count()
         }
-        edges
-          .join(alive.select(col("node").as("src")), Seq("src"), "leftsemi")
-          .join(alive.select(col("node").as("dst")), Seq("dst"), "leftsemi")
+        restricted
           .groupBy(col("src").as("part_id"))
           .agg(count(lit(1)).as("core_degree"))
       },
@@ -136,14 +155,17 @@ object GraphQueries {
         var labeled = edges.select(col("src").as("node")).distinct()
           .filter(col("node") % 50 === 0)
           .withColumn("hop", lit(0)).localCheckpoint()
+        var labeledN = labeled.count() // materialized — count is free
         for (i <- 1 to BfsRounds) {
+          val lab = bcastIfSmall(labeled, labeledN)
           val frontier = edges
-            .join(labeled.filter(col("hop") === i - 1)
+            .join(lab.filter(col("hop") === i - 1)
               .select(col("node").as("src")), Seq("src"), "leftsemi")
             .select(col("dst").as("node")).distinct()
-            .join(labeled.select("node"), Seq("node"), "left_anti")
+            .join(lab.select("node"), Seq("node"), "left_anti")
             .withColumn("hop", lit(i))
           labeled = labeled.unionByName(frontier).localCheckpoint()
+          labeledN = labeled.count()
         }
         labeled.select(col("node").as("part_id"), col("hop").cast("int"))
       },
