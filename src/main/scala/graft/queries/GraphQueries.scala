@@ -196,9 +196,14 @@ object GraphQueries {
         val low = sym.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg"))
           .filter(col("deg") <= 32)
+        // materialized once: BOTH sides of the pair self-join consume this
+        // frame, and uncheckpointed each side re-ran the sym⋈low join and
+        // the degree aggregate (the before-plan shows the whole subtree
+        // twice with zero exchange reuse — guide §1.2)
         val nbrs = sym
           .join(low.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("src").as("via"), col("dst").as("nbr"), col("deg"))
+          .localCheckpoint()
         val degCounts = (1 to 32).map(d =>
           sum(when(col("a.deg") === d, 1L).otherwise(0L)).as(s"c$d"))
         val aggs = degCounts :+ count(lit(1)).as("n_shared")
