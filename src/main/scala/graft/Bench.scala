@@ -53,6 +53,9 @@ object Bench {
     // flattering the suite total.
     def run(name: String): Either[String, Double] = {
       coldEvict.get(name).foreach(_.apply())
+      // label every job with its query (guide §1.5) so event-log profiles
+      // attribute jobs to queries; O(1) thread-local set, not timed work
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -62,7 +65,7 @@ object Bench {
         val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(500)}"
         System.err.println(s"[bench] $name FAILED: $msg")
         Left(msg)
-      }
+      } finally spark.sparkContext.setJobDescription(null)
     }
 
     // JIT/classloader warmup outside the measurement (driver measures the
@@ -114,6 +117,17 @@ object Bench {
     // headline number. (r6/r7 both lost "value" to the tail cut.)
     val json = s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$fj,"sf":"$sfDir"}"""
     println(json)
+    // The driver keeps only the last ~2000 chars of stdout, so the
+    // 418-entry line above survives headless in its capture and
+    // PERF_r*.per_query has been empty since r11. Emit a SECOND, short
+    // summary line (same schema; `queries` holds only the 30 slowest
+    // entries — the ones regression triage needs) that fits the tail
+    // whole and parses. The full per-query map is unchanged above and
+    // persisted in BENCH_full.json / target/bench.json.
+    val top = results.sortBy(-_._2).take(30)
+    val qsTop = top.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"note":"summary line: queries = 30 slowest of ${results.size}; full map in BENCH_full.json","queries":$qsTop,"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$fj,"sf":"$sfDir"}""")
     // stdout capture can truncate long lines; persist the full artifact
     // twice — target/ for local runs, and BENCH_full.json at the repo
     // root (committed each round) so per-query regression triage never

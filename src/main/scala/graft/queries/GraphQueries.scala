@@ -40,12 +40,16 @@ object GraphQueries {
     * per round. The loop has the exact row count in hand (the frame is
     * already materialized), so make the decision AQE would make with real
     * stats: broadcast while the node set fits the session's broadcast
-    * threshold (~16 bytes per id row), fall back to the shuffle join when
-    * it doesn't — at 100 TB a late-round core CAN be huge, so this stays a
-    * runtime size decision, never a blanket hint. */
-  private def bcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
+    * threshold, fall back to the shuffle join when it doesn't — at 100 TB
+    * a late-round core CAN be huge, so this stays a runtime size decision,
+    * never a blanket hint. Sized at 64 bytes per row: the frames carry
+    * 1-2 long columns, but the real broadcast cost is the built hash
+    * relation (UnsafeRow + HashedRelation overhead), roughly 3-4x the raw
+    * column bytes — 16 B/row under-counted that and could broadcast
+    * frames several times over the threshold. */
+  private[queries] def bcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
     val thresh = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    if (thresh > 0 && rows * 16 <= thresh) broadcast(df) else df
+    if (thresh > 0 && rows * 64 <= thresh) broadcast(df) else df
   }
 
   /** symmetric co-purchase edges: part pairs sharing ≥ 2 orders. */

@@ -383,6 +383,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
         // writer casts to the mapping's flat physical schema)
         val inSchema = schema.getFields.asScala.exists(_.getName == c)
         if (inSchema) {
+          val prim = schema.getType(Seq(c): _*).asPrimitiveType()
           var lo: Any = null; var hi: Any = null
           var usable = true; var hasValues = false
           blocks.foreach { b =>
@@ -396,8 +397,8 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
                 } else if (st.hasNonNullValue) {
                   hasValues = true
                   val (mn, mx) = (st.genericGetMin, st.genericGetMax)
-                  if (lo == null || cmpFooter(mn, lo) < 0) lo = mn
-                  if (hi == null || cmpFooter(mx, hi) > 0) hi = mx
+                  if (lo == null || cmpFooter(prim, mn, lo) < 0) lo = mn
+                  if (hi == null || cmpFooter(prim, mx, hi) > 0) hi = mx
                 } else if (!st.isNumNullsSet || st.getNumNulls < b.getRowCount) {
                   usable = false; hasValues = true // values but no bounds
                 } // else: all-NULL block — contributes nothing, stays usable
@@ -405,7 +406,6 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
           }
           if (!usable && hasValues) return None // scan fallback
           if (usable && lo != null) {
-            val prim = schema.getType(Seq(c): _*).asPrimitiveType()
             (renderFooterValue(lo, prim, zone), renderFooterValue(hi, prim, zone)) match {
               case (Some(mn), Some(mx)) => entries += (c -> (mn, mx))
               case _ => return None // unrenderable type (INT96, …) — scan
@@ -421,12 +421,23 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   }
 
   /** footer values are Comparable within a column's physical type — except
-    * Binary, which must combine in UNSIGNED byte order (the order Spark's
-    * string min/max uses). */
-  private def cmpFooter(a: Any, b: Any): Int = (a, b) match {
+    * Binary, whose order depends on the LOGICAL type: strings combine in
+    * UNSIGNED byte order (the order Spark's string min/max uses), while a
+    * DECIMAL stored as BINARY/FIXED_LEN_BYTE_ARRAY is a SIGNED big-endian
+    * two's-complement integer — combining those unsigned would let a
+    * multi-rowgroup file with mixed-sign decimals store min > true min
+    * (e.g. block mins [-5, 3] combine to 3) and silently wrong-prune. */
+  private def cmpFooter(prim: org.apache.parquet.schema.PrimitiveType,
+                        a: Any, b: Any): Int = (a, b) match {
     case (x: org.apache.parquet.io.api.Binary, y: org.apache.parquet.io.api.Binary) =>
-      org.apache.spark.unsafe.types.UTF8String.fromBytes(x.getBytes)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromBytes(y.getBytes))
+      prim.getLogicalTypeAnnotation match {
+        case _: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          new java.math.BigInteger(x.getBytes)
+            .compareTo(new java.math.BigInteger(y.getBytes))
+        case _ =>
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(x.getBytes)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromBytes(y.getBytes))
+      }
     case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
 
@@ -461,7 +472,7 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
         }
         // adjusted-to-UTC (TimestampType) renders in the session zone;
         // NTZ renders the stored local datetime verbatim
-        Some(formatMicros(micros, if (t.isAdjustedToUTC) zone else java.time.ZoneOffset.UTC))
+        formatMicros(micros, if (t.isAdjustedToUTC) zone else java.time.ZoneOffset.UTC)
       case (INT32, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) |
            (INT64, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) |
            (INT32, null) | (INT64, null) =>
@@ -474,16 +485,22 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
   }
 
   /** epoch-micros → Spark's timestamp CAST AS STRING rendering in `zone`:
-    * "yyyy-MM-dd HH:mm:ss[.f…]" with trailing fraction zeros trimmed. */
-  private def formatMicros(us: Long, zone: java.time.ZoneId): String = {
+    * "yyyy-MM-dd HH:mm:ss[.f…]" with trailing fraction zeros trimmed.
+    * None for years outside [1, 9999]: Spark renders those with a sign /
+    * 5+ digits ("+10000-…", "-0001-…") where %04d would emit "10000" /
+    * "-001" — a divergence that breaks the exact-render contract the
+    * min==max set-membership skip and utf8Compare ordering rely on, so
+    * such files take the scan fallback instead. */
+  private def formatMicros(us: Long, zone: java.time.ZoneId): Option[String] = {
     val secs = Math.floorDiv(us, 1000000L)
     val frac = Math.floorMod(us, 1000000L)
     val ldt = java.time.LocalDateTime.ofInstant(
       java.time.Instant.ofEpochSecond(secs, frac * 1000L), zone)
+    if (ldt.getYear < 1 || ldt.getYear > 9999) return None
     val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d" +
       f" ${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
-    if (frac == 0L) base
-    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+    Some(if (frac == 0L) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse)
   }
 
   /** UTF-8 byte ordering — Spark's min/max over strings is binary

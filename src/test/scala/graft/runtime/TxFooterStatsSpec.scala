@@ -124,6 +124,54 @@ class TxFooterStatsSpec extends SparkSpec {
       "missing stats must never prune")
   }
 
+  test("multi-rowgroup binary decimal stats combine in SIGNED order") {
+    // decimal(38,2) stores as FIXED_LEN_BYTE_ARRAY — a signed big-endian
+    // integer. Combining per-rowgroup min/max in unsigned byte order (the
+    // string rule) ranks negatives ABOVE positives, so a file whose blocks
+    // mix signs would store min > true min and wrong-prune. Tiny
+    // parquet.block.size forces one file into many row groups.
+    val t = new TxLogTable(spark, tmp())
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = Option(hc.get("parquet.block.size"))
+    hc.set("parquet.block.size", "1024")
+    try {
+      val df = spark.range(0, 4000).select(
+        (col("id") - 2000).cast("decimal(38,2)").as("dec"))
+      t.append("tbl", df.coalesce(1))
+    } finally {
+      prev match {
+        case Some(p) => hc.set("parquet.block.size", p)
+        case None    => hc.unset("parquet.block.size")
+      }
+    }
+    t.setStatsColumns("tbl", Seq("dec"))
+    val v = t.currentVersion("tbl").get
+    val got = t.fileStats("tbl", v)
+    assert(got === scanReference(t, "tbl", Seq("dec")))
+    assert(got.values.toSeq === Seq(("-2000.00", "1999.00")))
+    // single-file sanity: really exercised the multi-block combine
+    assert(t.files("tbl", v).size === 1)
+  }
+
+  test("timestamps outside years 1-9999 fall back to the scan rendering") {
+    import spark.implicits._
+    withTimestampType("TIMESTAMP_MICROS") {
+      val t = new TxLogTable(spark, tmp())
+      t.append("tbl", Seq(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        // java.sql.Timestamp.valueOf rejects 5-digit years; go via Instant
+        java.sql.Timestamp.from(java.time.Instant.parse("+10000-01-01T00:00:00Z")))
+        .toDF("sdts").coalesce(1))
+      t.setStatsColumns("tbl", Seq("sdts"))
+      val got = t.fileStats("tbl", t.currentVersion("tbl").get)
+      // Spark renders year 10000 as "+10000-…"; %04d would emit "10000-…".
+      // The footer path must refuse (scan fallback) so the stored stat is
+      // byte-identical to the CAST AS STRING contract.
+      assert(got === scanReference(t, "tbl", Seq("sdts")))
+      assert(got.values.toSeq.map(_._2).forall(_.startsWith("+10000-")))
+    }
+  }
+
   test("files predating an added column get no entry for it and never prune") {
     import spark.implicits._
     val t = new TxLogTable(spark, tmp())
