@@ -330,6 +330,12 @@ final class TxLogTable(val spark: SparkSession, val baseDir: String) extends Vau
       }
     }
     val needScan = fallback.result()
+    // fallback telemetry (VERDICT r14): a silent 100%-fallback table pays
+    // footer-open cost PLUS the old scan — make the rate visible
+    if (needScan.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"TxLogTable $name batchStats: footer fallback for " +
+          s"${needScan.size}/${batchFiles.size} files (INT96/statless)")
     val scanned = if (needScan.isEmpty) Map.empty else scanStats(name, needScan, statsCols)
     out.result() ++ scanned
   }

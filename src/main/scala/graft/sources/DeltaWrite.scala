@@ -483,30 +483,16 @@ object DeltaWrite {
     val root = Paths.get(tableDir)
     val fieldCols = snap.schema.fieldNames.toSeq.map(col)
 
-    val dup = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
-    require(dup, "merge source has duplicate keys — each target row may " +
-      "be matched by at most one source row (Delta MERGE semantics)")
-
-    // 1. stats prune: a file whose key interval is disjoint from the
-    // source's overall key [min,max] cannot contain a match (a match
-    // needs EVERY key equal, so ANY disjoint key dimension suffices)
-    val bAggs = keyCols.flatMap(k =>
-      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))) :+
-      count(lit(1)).as("__n")
-    val b = source.agg(bAggs.head, bAggs.tail: _*).head()
-    if (b.getLong(b.length - 1) == 0L) return snap.version // empty MERGE: no-op
-    val boundFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-      keyCols.zipWithIndex.flatMap { case (k, i) =>
-        import org.apache.spark.sql.catalyst.expressions._
-        val dt = snap.schema.fields(snap.schema.fieldIndex(k)).dataType
-        if (b.isNullAt(2 * i) || b.isNullAt(2 * i + 1)) Nil
-        else {
-          val attr = AttributeReference(k, dt)()
-          Seq(GreaterThanOrEqual(attr, Literal.create(b.get(2 * i), dt)),
-            LessThanOrEqual(attr, Literal.create(b.get(2 * i + 1), dt)))
-        }
-      }
+    // 1. one-pass precheck (dup gate + row count + key bounds in a single
+    // source job — MergeClauses.sourcePrecheck) feeding the stats prune:
+    // a file whose key interval is disjoint from the source's overall key
+    // [min,max] cannot contain a match (a match needs EVERY key equal, so
+    // ANY disjoint key dimension suffices)
+    val b = MergeClauses.sourcePrecheck(source, keyCols) match {
+      case None => return snap.version // empty MERGE: no-op
+      case Some(r) => r
+    }
+    val boundFilters = MergeClauses.keyBoundFilters(b, keyCols, snap.schema)
     val candidates = snap.files.filter(f =>
       StatsSkip.keep(f.stats, boundFilters, snap.dataSchema))
 
@@ -648,30 +634,20 @@ object DeltaWrite {
     }
     val root = Paths.get(tableDir)
 
-    val dup = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
-    require(dup, "merge source has duplicate keys — each target row may " +
-      "be matched by at most one source row (Delta MERGE semantics)")
+    // one-pass precheck: dup gate + row count + key bounds in one source
+    // job (MergeClauses.sourcePrecheck) — the dup gate applies to every
+    // clause family; the bounds only prune when no BY SOURCE clause
+    // forces a full-table touch
+    val pre = MergeClauses.sourcePrecheck(source, keyCols)
 
     val touched: Seq[DeltaRead.AddFile] =
       if (MergeClauses.touchesBySource(clauses)) snap.files
       else {
-        val bAggs = keyCols.flatMap(k =>
-          Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))) :+
-          count(lit(1)).as("__n")
-        val b = source.agg(bAggs.head, bAggs.tail: _*).head()
-        if (b.getLong(b.length - 1) == 0L) return snap.version
-        val boundFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-          keyCols.zipWithIndex.flatMap { case (k, i) =>
-            import org.apache.spark.sql.catalyst.expressions._
-            val dt = snap.schema.fields(snap.schema.fieldIndex(k)).dataType
-            if (b.isNullAt(2 * i) || b.isNullAt(2 * i + 1)) Nil
-            else {
-              val attr = AttributeReference(k, dt)()
-              Seq(GreaterThanOrEqual(attr, Literal.create(b.get(2 * i), dt)),
-                LessThanOrEqual(attr, Literal.create(b.get(2 * i + 1), dt)))
-            }
-          }
+        val b = pre match {
+          case None => return snap.version
+          case Some(r) => r
+        }
+        val boundFilters = MergeClauses.keyBoundFilters(b, keyCols, snap.schema)
         val candidates = snap.files.filter(f =>
           StatsSkip.keep(f.stats, boundFilters, snap.dataSchema))
         if (candidates.isEmpty) Nil

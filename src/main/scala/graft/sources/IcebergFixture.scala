@@ -192,7 +192,16 @@ object IcebergFixture {
       val part = Files.list(Paths.get(tmp)).iterator().asScala
         .find(_.getFileName.toString.endsWith(s".$format")).get
       Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-      (target.toString, pv, rows.count(), Files.size(target))
+      // record count from the just-written footer (driver-side metadata,
+      // exact) instead of a rows.count() Spark job — commitSnapshot opens
+      // the same footer for column bounds anyway, so the count job was a
+      // full extra pass per fixture file (guide §1.2). ORC adds keep the
+      // count job (no footer helper; only the interop fixture writes ORC).
+      val n = if (format == "parquet")
+        IcebergWrite.rowCount(
+          spark.sparkContext.hadoopConfiguration, target)
+      else rows.count()
+      (target.toString, pv, n, Files.size(target))
     }
 
     commitSnapshot(tableDir, schema,
@@ -243,8 +252,11 @@ object IcebergFixture {
     val target = Paths.get(tableDir)
       .resolve(f"data/delete-$snapshotId%05d-eq.parquet")
     val proj = rows.select(eqCols.map(org.apache.spark.sql.functions.col): _*)
-    val n = proj.count()
     writeOneParquet(proj, target)
+    // count from the written footer — one fewer Spark job per delete
+    // snapshot, identical value (guide §1.2)
+    val n = IcebergWrite.rowCount(
+      spark.sparkContext.hadoopConfiguration, target)
     commitSnapshot(tableDir, prev.schema, prev.partitionFields,
       snapshotId, Nil, Set.empty,
       Seq(DeleteSpec(target.toString, isEquality = true, ids, n,

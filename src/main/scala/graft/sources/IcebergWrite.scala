@@ -276,27 +276,13 @@ object IcebergWrite {
       s"merge source schema ${got.mkString(",")} != table ${want.mkString(",")}")
     val fieldCols = snap.schema.fieldNames.toSeq.map(col)
 
-    val dup = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
-    require(dup, "merge source has duplicate keys — each target row may " +
-      "be matched by at most one source row (MERGE semantics)")
-
-    val bAggs = keyCols.flatMap(k =>
-      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))) :+
-      count(lit(1)).as("__n")
-    val b = source.agg(bAggs.head, bAggs.tail: _*).head()
-    if (b.getLong(b.length - 1) == 0L) return snap.snapshotId // empty: no-op
-    val boundFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-      keyCols.zipWithIndex.flatMap { case (k, i) =>
-        import org.apache.spark.sql.catalyst.expressions._
-        val dt = snap.schema.fields(snap.schema.fieldIndex(k)).dataType
-        if (b.isNullAt(2 * i) || b.isNullAt(2 * i + 1)) Nil
-        else {
-          val attr = AttributeReference(k, dt)()
-          Seq(GreaterThanOrEqual(attr, Literal.create(b.get(2 * i), dt)),
-            LessThanOrEqual(attr, Literal.create(b.get(2 * i + 1), dt)))
-        }
-      }
+    // one-pass precheck (dup gate + row count + key bounds in a single
+    // source job — MergeClauses.sourcePrecheck) feeding the stats prune
+    val b = MergeClauses.sourcePrecheck(source, keyCols) match {
+      case None => return snap.snapshotId // empty: no-op
+      case Some(r) => r
+    }
+    val boundFilters = MergeClauses.keyBoundFilters(b, keyCols, snap.schema)
     val candidates = snap.files.filter(f =>
       StatsSkip.keep(f.stats, boundFilters, snap.schema))
 
@@ -366,30 +352,19 @@ object IcebergWrite {
     }
     val fieldCols = snap.schema.fieldNames.toSeq.map(col)
 
-    val dup = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).isEmpty
-    require(dup, "merge source has duplicate keys — each target row may " +
-      "be matched by at most one source row (MERGE semantics)")
+    // one-pass precheck: dup gate + row count + key bounds in one source
+    // job (MergeClauses.sourcePrecheck); bounds only prune when no BY
+    // SOURCE clause forces a full-table touch
+    val pre = MergeClauses.sourcePrecheck(source, keyCols)
 
     val touched: Seq[IcebergRead.DataFile] =
       if (MergeClauses.touchesBySource(clauses)) snap.files
       else {
-        val bAggs = keyCols.flatMap(k =>
-          Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))) :+
-          count(lit(1)).as("__n")
-        val b = source.agg(bAggs.head, bAggs.tail: _*).head()
-        if (b.getLong(b.length - 1) == 0L) return snap.snapshotId
-        val boundFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-          keyCols.zipWithIndex.flatMap { case (k, i) =>
-            import org.apache.spark.sql.catalyst.expressions._
-            val dt = snap.schema.fields(snap.schema.fieldIndex(k)).dataType
-            if (b.isNullAt(2 * i) || b.isNullAt(2 * i + 1)) Nil
-            else {
-              val attr = AttributeReference(k, dt)()
-              Seq(GreaterThanOrEqual(attr, Literal.create(b.get(2 * i), dt)),
-                LessThanOrEqual(attr, Literal.create(b.get(2 * i + 1), dt)))
-            }
-          }
+        val b = pre match {
+          case None => return snap.snapshotId
+          case Some(r) => r
+        }
+        val boundFilters = MergeClauses.keyBoundFilters(b, keyCols, snap.schema)
         val candidates = snap.files.filter(f =>
           StatsSkip.keep(f.stats, boundFilters, snap.schema))
         if (candidates.isEmpty) Nil
@@ -752,8 +727,8 @@ object IcebergWrite {
     toDelete.count(Files.deleteIfExists(_))
   }
 
-  private def rowCount(conf: org.apache.hadoop.conf.Configuration,
-                       file: Path): Long = {
+  private[sources] def rowCount(conf: org.apache.hadoop.conf.Configuration,
+                                file: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val rdr = ParquetFileReader.open(

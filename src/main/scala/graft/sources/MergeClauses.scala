@@ -49,6 +49,51 @@ object MergeClauses {
     case _ => false
   }
 
+  /** One-pass MERGE-source precheck shared by the four MERGE writers
+    * (Delta/Iceberg × fast/clauses): a per-key count aggregate yields, in
+    * ONE job over the source, all three facts every MERGE needs — the
+    * duplicate-key gate (max per-key count), the source row count (the
+    * empty-MERGE no-op), and the per-key [min, max] bounds that drive the
+    * file-stats prune. These were previously two separate full scans of
+    * the source per MERGE (a groupBy dup probe + a bounds aggregate).
+    * Throws on duplicate keys; None on an empty source; otherwise the
+    * aggregate row laid out (min_k0, max_k0, …, min_kn, max_kn, rows,
+    * maxdup) in keyCols order — a bound is null when its key column is
+    * all-NULL, exactly as the old bounds aggregate reported it. */
+  private[sources] def sourcePrecheck(source: DataFrame, keyCols: Seq[String])
+      : Option[org.apache.spark.sql.Row] = {
+    val perKey = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val aggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"))) ++
+      Seq(sum(col("__n")).as("__rows"), max(col("__n")).as("__maxdup"))
+    val r = perKey.agg(aggs.head, aggs.tail: _*).head()
+    val rows = if (r.isNullAt(r.length - 2)) 0L else r.getLong(r.length - 2)
+    require(rows == 0L || r.getLong(r.length - 1) <= 1L,
+      "merge source has duplicate keys — each target row may " +
+        "be matched by at most one source row (MERGE semantics)")
+    if (rows == 0L) None else Some(r)
+  }
+
+  /** The catalyst [min,max] interval filters over the key columns that
+    * [[sourcePrecheck]]'s bounds imply — the prune predicate every MERGE
+    * hands to StatsSkip. A key whose bounds are null (all-NULL column)
+    * contributes no filter, same as before. */
+  private[sources] def keyBoundFilters(b: org.apache.spark.sql.Row,
+                                       keyCols: Seq[String],
+                                       schema: StructType)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    keyCols.zipWithIndex.flatMap { case (k, i) =>
+      import org.apache.spark.sql.catalyst.expressions._
+      val dt = schema.fields(schema.fieldIndex(k)).dataType
+      if (b.isNullAt(2 * i) || b.isNullAt(2 * i + 1)) Nil
+      else {
+        val attr = AttributeReference(k, dt)()
+        Seq(GreaterThanOrEqual(attr, Literal.create(b.get(2 * i), dt)),
+          LessThanOrEqual(attr, Literal.create(b.get(2 * i + 1), dt)))
+      }
+    }
+
   /** Apply `clauses` to `target` (the rows of the touched files, table
     * schema) vs `source`. Returns
     * (output rows, change rows + `_change_type`): the output replaces
